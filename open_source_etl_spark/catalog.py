@@ -1,0 +1,46 @@
+"""Catalog: fixture tables and temp-view registration.
+
+The reference's "catalog" is an external-table registration in Snowflake
+(``dags/ingest_bundesliga_match_scores.py:198-206``) plus a key-value
+metadata table locating the data (``settings.txt:20-21``).  Here the
+catalog surface is Spark temp views over Parquet — schema-on-read,
+non-materialized, exactly the external-table semantics — and the fixture
+loader is the one place that knows the driver's table list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-join candidates at any scale.
+DIM_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (columnar Parquet scan; Catalyst handles
+    projection/filter pushdown from whatever the caller composes on top)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (the engine analogue of
+    the reference's CREATE EXTERNAL TABLE, ``dags/…:174-206``)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
