@@ -11,6 +11,7 @@ loader is the one place that knows the driver's table list.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -31,8 +32,18 @@ DIM_TABLES = frozenset({"region", "nation", "supplier"})
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (columnar Parquet scan; Catalyst handles
-    projection/filter pushdown from whatever the caller composes on top)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    projection/filter pushdown from whatever the caller composes on top).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the file, which Spark's parquet
+    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it lands
+    as nanosecond longs and is normalized here to a microsecond timestamp
+    (truncation — bit-identical to DuckDB's ns→µs conversion, so oracle
+    queries cast ``ts`` to TIMESTAMP on their side).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

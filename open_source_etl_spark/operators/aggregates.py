@@ -1,1 +1,288 @@
-"""(placeholder — filled in as operators land)"""
+"""Aggregation family: grouped/global/conditional aggs, rollup/cube,
+HAVING, collect_list/set, argmin/argmax, approx sketches.
+
+Provenance (SURVEY.md §2A.2-3, §2B "Aggregation"): the reference's
+validation layer is `COUNT(*) WHERE …` under GE/dbt (`schema.yml:8-21`,
+`…data_expectations.json:4-97`); generalized here to the standard family.
+
+Scale notes: every groupBy below gets automatic partial (map-side)
+aggregation from Spark — the shuffle carries one row per (partition ×
+group), not per input row. count_distinct shuffles the distinct values
+first (expand + two-phase agg); approx_count_distinct replaces that with
+a fixed-size HLL sketch per group — the 100 TB answer when exactness
+isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.parity import davg, dsum, sql_davg, sql_dsum
+from ..registry import query
+
+
+@query(
+    "agg_grouped_basic",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      {sql_dsum('o_totalprice')} AS total_revenue,
+      ROUND({sql_davg('o_totalprice')}, 4) AS avg_price,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_grouped_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sum/avg/min/max/count/count_distinct (partial+final agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice").alias("total_revenue"),
+            F.round(davg("o_totalprice"), 4).alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT
+      COUNT(*) AS n_rows,
+      COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      {sql_dsum('l_quantity')} AS total_qty,
+      MIN(l_shipdate) AS first_ship,
+      MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregation collapsing to one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        dsum("l_quantity").alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_filtered_conditional",
+    oracle=f"""
+    SELECT
+      c_mktsegment,
+      SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      {sql_dsum("CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END")} AS big_order_revenue,
+      COUNT(*) AS n_total
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counting / filtered aggregation (GE checks as aggs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
+                "n_urgent"
+            ),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+            dsum(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(0.0)
+            ).alias("big_order_revenue"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL++ estimate is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct via HLL++ (fixed-memory sketch per group).
+
+    The 100 TB substitute for exact countDistinct; rows-only check since
+    the estimate is engine-specific (rsd 1% here).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status+priority → grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n_items,
+      {sql_dsum('l_quantity')} AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of the two keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("total_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT
+      l_suppkey,
+      COUNT(*) AS n_items,
+      {sql_dsum('l_extendedprice')} AS supplier_revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 500
+    ORDER BY l_suppkey
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter (`.agg(...).filter(...)`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("supplier_revenue"))
+        .filter(F.col("n_items") > 500)
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT
+      n.n_name AS nation_name,
+      list_sort(list(DISTINCT c.c_mktsegment)) AS segments
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation_name
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set wrapped in sort_array (order-insensitive by construction)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), nat.n_nationkey == cust.c_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+        .orderBy("nation_name")
+    )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      max_by(o_orderkey, o_totalprice) AS priciest_order,
+      MAX(o_totalprice) AS max_price,
+      min_by(o_orderkey, o_totalprice) AS cheapest_order,
+      MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT
+      c_mktsegment,
+      c_nationkey,
+      COUNT(*) AS n_customers,
+      {sql_dsum('c_acctbal')} AS total_balance
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (`spark.sql`)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """
+        SELECT
+          c_mktsegment,
+          c_nationkey,
+          COUNT(*) AS n_customers,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY c_mktsegment, c_nationkey
+        """
+    )

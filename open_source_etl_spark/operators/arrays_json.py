@@ -1,1 +1,206 @@
-"""(placeholder — filled in as operators land)"""
+"""Array / map / JSON function family (EXT, SURVEY.md §2B "Scalar
+functions": Array + Map/JSON rows).
+
+Exercised over the embeddings fixture (`array<float>` dim 64, L2-
+normalized) and the events fixture (`props` JSON strings).
+
+Scale notes: higher-order functions (`transform`/`aggregate`/`zip_with`)
+run inside codegen on the JVM — no Python boundary — which is why the
+similarity operators (operators/llm_similarity.py) build on them rather
+than on UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "array_funcs_basic",
+    oracle="""
+    SELECT
+      vec_id,
+      len(embedding) AS dim,
+      embedding[1] AS first_component,
+      embedding[1:4] AS head4,
+      list_contains(embedding, 0.0) AS has_exact_zero
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def array_funcs_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / element_at / slice / array_contains on the embedding column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.element_at("embedding", 1).alias("first_component"),
+            F.slice("embedding", 1, 4).alias("head4"),
+            F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_exact_zero"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "array_explode_agg",
+    oracle="""
+    SELECT
+      label,
+      ord AS dim_pos,
+      ROUND(CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS avg_component
+    FROM (
+      SELECT label, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS ord
+      FROM embeddings
+    )
+    WHERE ord <= 8
+    GROUP BY label, ord
+    ORDER BY label, dim_pos
+    """,
+)
+def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode embeddings → per-(label, dimension) mean component.
+
+    The centroid computation behind IVF-style ANN partitioning
+    (operators/llm_similarity.py): explode is a flatMap (no shuffle),
+    the mean shuffles on (label, dim) with map-side partials.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim_pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,8)")).cast("double") / F.count("*"), 6
+            ).alias("avg_component")
+        )
+        .filter(F.col("dim_pos") <= 8)
+        .orderBy("label", "dim_pos")
+    )
+
+
+@query(
+    "array_higher_order",
+    oracle="""
+    SELECT
+      vec_id,
+      ROUND(list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))), 4) AS norm_sq,
+      ROUND(list_sum(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE))), 4) AS l1_norm,
+      len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order transform/aggregate/filter: norms without leaving the JVM."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    acc0 = F.lit(0.0).cast("double")
+    norm_sq = F.aggregate(
+        "embedding", acc0, lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    l1 = F.aggregate("embedding", acc0, lambda acc, x: acc + F.abs(x.cast("double")))
+    return (
+        emb.select(
+            "vec_id",
+            F.round(norm_sq, 4).alias("norm_sq"),
+            F.round(l1, 4).alias("l1_norm"),
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT
+      event_id,
+      event_type,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+      json_extract_string(props, '$.missing') AS prop_missing
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the event props column (REF generalization:
+    event props are JSON strings, SURVEY.md §2B Map/JSON)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+            F.get_json_object("props", "$.missing").alias("prop_missing"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "json_to_map",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → MapType → element access, aggregated per event type.
+
+    Exercises the schema-bearing JSON path (from_json with an explicit
+    MapType) as opposed to stringly get_json_object.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("props_map", F.from_json("props", "map<string,bigint>"))
+    k = F.element_at("props_map", "k")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "array_zip_construct",
+    oracle="""
+    SELECT
+      n.n_name AS nation_name,
+      [r.r_name, n.n_name] AS region_nation,
+      struct_pack(nation := n.n_name, region := r.r_name) AS geo
+    FROM nation n
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    ORDER BY nation_name
+    """,
+)
+def array_zip_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array and struct construction (typed nested values end-to-end)."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), reg.r_regionkey == nat.n_regionkey)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.array("r_name", "n_name").alias("region_nation"),
+            F.struct(
+                F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+            ).alias("geo"),
+        )
+        .orderBy("nation_name")
+    )

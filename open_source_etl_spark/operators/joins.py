@@ -1,1 +1,359 @@
-"""(placeholder — filled in as operators land)"""
+"""Join family: equi (all outer variants), semi/anti, broadcast star,
+cross, theta/range, as-of.
+
+Provenance (SURVEY.md §2B "Joins"): the reference only joins implicitly via
+dbt ``ref()`` lineage (`data_transformations/models/example/
+my_second_dbt_model.sql:4-6`); a complete engine needs the standard family.
+
+Scale notes (100 TB posture):
+- dimension joins broadcast explicitly (`F.broadcast`) — region/nation/
+  supplier stay < MBs at any TPC-H scale factor, so the fact table never
+  shuffles for them;
+- fact⋈fact equi-joins (lineitem⋈orders) shuffle on the join key — the
+  natural hash partitioning; AQE handles skew splits;
+- the as-of join is a single window over a union, NOT a join+filter — one
+  shuffle+sort per key, no pairwise blow-up; this is the form that
+  survives 1000 executors;
+- the theta/range join keeps the banded side tiny (broadcast nested loop);
+  a band-join against a large band table would first bucketize the range
+  key into an equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.parity import dsum, sql_dsum
+from ..registry import query
+
+
+@query(
+    "join_inner_fact",
+    oracle=f"""
+    SELECT
+      o.o_orderkey,
+      o.o_orderdate,
+      {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'DECIMAL(28,6)')} AS revenue
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O' AND l.l_shipdate > TIMESTAMP '2000-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY o.o_orderkey
+    """,
+)
+def join_inner_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact inner equi-join + grouped revenue (shuffle on orderkey)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(rev, "decimal(28,6)").alias("revenue"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      o.o_orderkey,
+      o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON o.o_custkey = c.c_custkey
+    ORDER BY c.c_custkey, o.o_orderkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched customers (NULL right side)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pend = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pend, pend.o_custkey == cust.c_custkey, "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH buyers AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    ), clickers AS (
+      SELECT DISTINCT user_id AS custkey FROM events WHERE event_type = 'purchase'
+    )
+    SELECT
+      COALESCE(b.custkey, k.custkey) AS custkey,
+      b.custkey IS NOT NULL AS has_f_order,
+      k.custkey IS NOT NULL AS has_purchase_event
+    FROM buyers b
+    FULL OUTER JOIN clickers k ON b.custkey = k.custkey
+    ORDER BY custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two derived key sets with presence flags."""
+    buyers = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    clickers = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("custkey"))
+        .distinct()
+    )
+    b, k = buyers.alias("b"), clickers.alias("k")
+    return (
+        b.join(k, F.col("b.custkey") == F.col("k.custkey"), "outer")
+        .select(
+            F.coalesce(F.col("b.custkey"), F.col("k.custkey")).alias("custkey"),
+            F.col("b.custkey").isNotNull().alias("has_f_order"),
+            F.col("k.custkey").isNotNull().alias("has_purchase_event"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 urgent order (no row duplication)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no finished orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    finished = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(finished, cust.c_custkey == finished.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_broadcast_star",
+    oracle=f"""
+    SELECT
+      r.r_name AS region_name,
+      n.n_name AS nation_name,
+      {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'DECIMAL(28,6)')} AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region_name, nation_name
+    """,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through broadcast dimensions (TPC-H-Q5-shaped).
+
+    supplier→nation→region are broadcast: the lineitem fact table is
+    scanned once, filtered at the source, and never shuffled for the
+    dimension joins — only the final small group-by shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            dsum(rev, "decimal(28,6)").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name AS region_name, s.status AS order_status
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+    ORDER BY region_name, order_status
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two small sets (BroadcastNestedLoopJoin)."""
+    reg = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    statuses = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("order_status"))
+        .distinct()
+    )
+    return reg.crossJoin(statuses).orderBy("region_name", "order_status")
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+    WITH bands(band_name, lo, hi) AS (
+      VALUES ('budget', 0.0, 20000.0),
+             ('standard', 20000.0, 60000.0),
+             ('premium', 60000.0, 1000000000.0)
+    )
+    SELECT b.band_name, COUNT(*) AS n_items, CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band_name
+    ORDER BY b.band_name
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a tiny band table (broadcast nested loop).
+
+    The band side is rows-of-constants; at any fact-table scale the right
+    strategy is broadcasting the bands, never shuffling the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 20000.0), ("standard", 20000.0, 60000.0), ("premium", 60000.0, 1e9)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("total_qty"))
+        .orderBy("band_name")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT event_id, user_id, ts, last_view_ts
+    FROM (
+      SELECT
+        event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        last_value(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+      FROM events
+    )
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest view at-or-before it.
+
+    Implemented as one window over the event stream (shuffle+sort by
+    user), not a join: O(n log n) per key and no pairwise intermediate,
+    the only form that survives 100 TB of events. Reference seed: the
+    sensor's "latest available input" semantics (`dags/…:54-67`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    return (
+        ev.withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_view_ts")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle=f"""
+    SELECT
+      n.n_name AS nation_name,
+      {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'DECIMAL(28,6)')} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-table star join, local-supplier revenue by nation.
+
+    Fact tables join on their keys (shuffle); dims broadcast; AQE may
+    reorder. The s_nationkey = c_nationkey condition rides on the
+    supplier join as an extra equi-key.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(sup),
+            (sup.s_suppkey == li.l_suppkey) & (sup.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nat), nat.n_nationkey == cust.c_nationkey)
+        .join(F.broadcast(reg), reg.r_regionkey == nat.n_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(dsum(rev, "decimal(28,6)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation_name")
+    )

@@ -1,1 +1,263 @@
-"""(placeholder — filled in as operators land)"""
+"""Window-function family: ranking, analytic (lag/lead/first/last),
+running and moving frames, range frames.
+
+Provenance: GEN (SURVEY.md §2B "Window functions") — the reference has no
+windows; they're the standard analytic surface any engine replacement
+needs.
+
+Scale notes: a window = one shuffle on partitionBy + per-partition sort.
+Every window below partitions on a real key (customer, supplier, user) so
+state per partition stays bounded; none uses a global (empty-partition)
+window, which would serialize the world onto one task at 100 TB.
+Deterministic tie-breaks (orderBy includes a unique key) keep results
+reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT
+        c.c_custkey, o.o_orderkey, o.o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    WHERE rn <= 3
+    ORDER BY c_custkey, rn
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number over (partition, order, tiebreak)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT
+      s_suppkey,
+      n_items,
+      RANK() OVER (ORDER BY n_items DESC, s_suppkey) AS item_rank,
+      DENSE_RANK() OVER (ORDER BY n_items DESC, s_suppkey) AS item_dense_rank,
+      NTILE(4) OVER (ORDER BY n_items DESC, s_suppkey) AS quartile
+    FROM (
+      SELECT l_suppkey AS s_suppkey, COUNT(*) AS n_items
+      FROM lineitem GROUP BY l_suppkey
+    )
+    ORDER BY item_rank
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over an aggregated input.
+
+    The window is global but its input is pre-aggregated to one row per
+    supplier — bounded cardinality, so a single-partition sort is fine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count("*").alias("n_items")
+    )
+    w = Window.orderBy(F.col("n_items").desc(), "s_suppkey")
+    return (
+        per_supp.select(
+            "s_suppkey",
+            "n_items",
+            F.rank().over(w).alias("item_rank"),
+            F.dense_rank().over(w).alias("item_dense_rank"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("item_rank")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      CAST(o_orderdate AS DATE) AS order_date,
+      date_diff('day',
+                CAST(lag(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS days_since_prev,
+      lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead across each customer's order sequence (inter-arrival days)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag("o_orderdate").over(w).cast("date"),
+            ).alias("days_since_prev"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+        .orderBy("o_custkey", "order_date", "o_orderkey")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_spend,
+      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        AS order_seq
+    FROM orders
+    ORDER BY o_custkey, order_seq
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) spend per customer — unbounded-preceding frame.
+
+    The sum runs in decimal so every prefix is exact and order-stable
+    across engines (see functions/parity.py).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .over(frame)
+            .cast("double")
+            .alias("running_spend"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+        AS moving_avg_3
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average of event values per user (bounded rows frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).over(frame).cast("double")
+                / F.count("*").over(frame),
+                4,
+            ).alias("moving_avg_3"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT
+      p_partkey,
+      p_retailprice,
+      COUNT(*) OVER (ORDER BY p_retailprice
+                     RANGE BETWEEN 50.0 PRECEDING AND 50.0 FOLLOWING)
+        AS n_similar_priced
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: parts within ±50 of each retail price.
+
+    PySpark's Window.rangeBetween only accepts integral offsets, so the
+    fractional frame goes through the SQL expression surface (same plan).
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.selectExpr(
+            "p_partkey",
+            "p_retailprice",
+            "count(*) OVER (ORDER BY p_retailprice RANGE BETWEEN 50.0 PRECEDING AND 50.0 FOLLOWING)"
+            " AS n_similar_priced",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT
+      o_custkey,
+      first_value(o_orderkey) OVER w AS first_orderkey,
+      last_value(o_orderkey)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS last_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last order per customer via unbounded frames + distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            F.last("o_orderkey").over(full).alias("last_orderkey"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )

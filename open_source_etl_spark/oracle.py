@@ -53,6 +53,8 @@ def _canon_value(v: Any) -> Any:
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, date):
         return v.isoformat()
+    if hasattr(v, "asDict"):  # pyspark Row (struct value) — keep field names
+        return tuple(sorted((k, _canon_value(x)) for k, x in v.asDict().items()))
     if isinstance(v, (list, tuple)):
         return tuple(_canon_value(x) for x in v)
     if isinstance(v, dict):

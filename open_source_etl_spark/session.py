@@ -38,6 +38,9 @@ def build_session(config: EngineConfig | None = None) -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", cfg.max_partition_bytes)
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and convert in the catalog (catalog.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.warehouse.dir", cfg.warehouse_dir)
         .config("spark.driver.memory", os.environ.get("OSETL_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
@@ -58,6 +61,7 @@ def tune_session(spark: SparkSession, config: EngineConfig | None = None) -> Spa
     cfg = config or DEFAULT_CONFIG
     spark.conf.set("spark.sql.session.timeZone", cfg.session_timezone)
     spark.conf.set("spark.sql.adaptive.enabled", str(cfg.adaptive_enabled).lower())
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
     except Exception:
