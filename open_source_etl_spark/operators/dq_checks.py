@@ -1,1 +1,105 @@
-"""(placeholder — filled in as operators land)"""
+"""Data-quality checks as oracle-checkable queries.
+
+The library implementation (single-pass suite runner) is
+``open_source_etl_spark.dq``; these queries prove the counting semantics
+against DuckDB over the fixtures (reference suite: SURVEY.md §2A.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "dq_single_pass_suite",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS status_nulls,
+      SUM(CASE WHEN o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+        AS status_out_of_set,
+      SUM(CASE WHEN o_totalprice IS NOT NULL
+                AND (o_totalprice < 0 OR o_totalprice > 1000000) THEN 1 ELSE 0 END)
+        AS price_out_of_range,
+      SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS date_nulls
+    FROM orders
+    """,
+)
+def dq_single_pass_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole expectation suite folded into ONE aggregation pass
+    (engine restatement of `data_validator.py:14-39` — the reference runs
+    each expectation as its own Snowflake query; here one scan covers
+    value-set, range, and not-null checks together)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias("status_nulls"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isNotNull()
+                & ~F.col("o_orderstatus").isin("F", "O", "P"),
+                1,
+            ).otherwise(0)
+        ).alias("status_out_of_set"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNotNull()
+                & ((F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1_000_000)),
+                1,
+            ).otherwise(0)
+        ).alias("price_out_of_range"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("date_nulls"),
+    )
+
+
+@query(
+    "dq_uniqueness_check",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_keys,
+      SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS duplicate_keys,
+      MAX(cnt) AS max_multiplicity
+    FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt
+          FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    """,
+)
+def dq_uniqueness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `unique` test semantics (`schema.yml:10-21`) on the lineitem
+    compound key: duplicate-group count via grouped pre-aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey", "l_linenumber").agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("duplicate_keys"),
+        F.max("cnt").alias("max_multiplicity"),
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems,
+      (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan detection via anti-joins (GEN of the reference's
+    declarative checks to the join graph in FIXTURES.md §B)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    orphan_li = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").count()
+    orphan_orders = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(orphan_li, orphan_orders)], "orphan_lineitems bigint, orphan_orders bigint"
+    )

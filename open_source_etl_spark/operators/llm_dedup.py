@@ -1,1 +1,232 @@
-"""(placeholder — filled in as operators land)"""
+"""Deduplication operators for LLM training-data pipelines (EXT,
+SURVEY.md §2B): exact hash dedup, normalized dedup, blocked n-gram
+Jaccard near-dup, SimHash fingerprints, MinHash+LSH candidate pairs.
+
+Scale design:
+- exact/normalized dedup: hash-groupBy — one shuffle on a 128-bit hash,
+  perfectly balanced keys; the canonical-representative choice (min
+  doc_id) is an agg, not a sort;
+- Jaccard near-dup: BLOCKED pairwise — the quadratic join only runs
+  inside (lang, source, length-band) blocks, never globally.  At 100 TB
+  the block key would be a MinHash band (see minhash module), which is
+  exactly the LSH candidate generation implemented in
+  `llm/minhash.py`-style below via pyspark.ml;
+- SimHash: linear scan producing a 32-bit fingerprint per doc from
+  per-token md5 bits — near-dups share fingerprints; grouping by
+  fingerprint (or by fingerprint bands) replaces all-pairs comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT
+      md5(text) AS content_hash,
+      MIN(doc_id) AS canonical_doc_id,
+      COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) >= 1
+    ORDER BY canonical_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, min-id canonical row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+@query(
+    "dedup_normalized",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_docs,
+      COUNT(DISTINCT md5(text)) AS n_unique_raw,
+      COUNT(DISTINCT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))))
+        AS n_unique_normalized
+    FROM documents
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cardinality under text normalization (lower/trim/space-fold) —
+    the cheap pre-pass before any near-dup machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(F.lower(F.trim(F.regexp_replace("text", " +", " "))))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_raw"),
+        F.countDistinct(norm).alias("n_unique_normalized"),
+    )
+
+
+@query(
+    "dedup_jaccard_blocked",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS tokset
+      FROM documents
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      ROUND(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+            / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset))),
+            4) AS jaccard
+    FROM toks a
+    JOIN toks b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+          / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset)))
+          >= 0.4
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup: pairwise only within
+    (lang, source) blocks, Jaccard on distinct-token sets ≥ 0.4.
+
+    The block key bounds the quadratic term; swap it for MinHash bands
+    (dedup_minhash_candidates) when blocks grow past ~10⁴ docs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("tokset")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    union = F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
+    jaccard = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jaccard, 4).alias("jaccard"),
+        )
+        .filter(jaccard >= 0.4)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH bits AS (
+      SELECT
+        doc_id, b.bit_pos,
+        SUM(CASE WHEN substring(md5(t.tok), b.bit_pos + 1, 1)
+                  IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS weight
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents) t
+      CROSS JOIN (SELECT unnest(range(32)) AS bit_pos) b
+      GROUP BY doc_id, b.bit_pos
+    )
+    SELECT
+      doc_id,
+      string_agg(CASE WHEN weight > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_pos)
+        AS simhash_bits
+    FROM bits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document.
+
+    Each bit b is the sign of Σ_tokens (±1 by the low bit of hex digit b
+    of md5(token)) — portable across engines (no hex→int cast needed).
+    Near-dup docs land on nearby fingerprints; grouping by fingerprint
+    (or banded substrings of it) replaces all-pairs comparison at scale.
+    Implementation is explode-free on the token axis per bit: one explode
+    of (token) then a 32-way sequence explode, both linear.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("tok_md5", F.md5("tok"))
+    bits = (
+        tok.select("doc_id", "tok_md5", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit_pos"))
+        .withColumn(
+            "w",
+            F.when(
+                F.substring(F.col("tok_md5"), F.col("bit_pos") + 1, 1).isin(
+                    "1", "3", "5", "7", "9", "b", "d", "f"
+                ),
+                1,
+            ).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit_pos")
+        .agg(F.sum("w").alias("weight"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "bit_pos",
+                                F.when(F.col("weight") > 0, "1").otherwise("0").alias("bit"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("bit"),
+                ),
+            ).alias("simhash_bits")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("dedup_minhash_candidates")  # no oracle: LSH banding is engine-specific
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs via pyspark.ml (seeded, deterministic
+    per engine): shingle → HashingTF sparse vectors → MinHashLSH →
+    approxSimilarityJoin at Jaccard distance ≤ 0.6.
+
+    This is the scale path for near-dup: candidate generation is
+    band-bucket joins (linear in corpus size), with the exact Jaccard
+    check only on candidates. Rows-only oracle check (the driver compares
+    row counts ≥ 0) since hash families differ across engines.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16, binary=True)
+    feats = tf.transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

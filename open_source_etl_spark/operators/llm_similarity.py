@@ -1,1 +1,211 @@
-"""(placeholder — filled in as operators land)"""
+"""Similarity search over the embeddings fixture (EXT, SURVEY.md §2B):
+brute-force cosine top-k, threshold pair mining, IVF-style cell search,
+LSH-bucketed ANN.
+
+Scale design:
+- embeddings are L2-normalized (fixture property), so cosine ≡ dot
+  product; all dot products run as zip_with/aggregate in double precision
+  inside codegen — no UDF, no Python;
+- brute-force kNN broadcasts the QUERY side (1 row) against the corpus —
+  a map-only scan plus a TakeOrdered, the correct exact baseline at any
+  scale;
+- the quadratic pair miner is blocked (by label here; by LSH bucket in
+  the scale path);
+- IVF: assign each vector to its nearest centroid once (linear), then
+  search only the query's cell — the classic inverted-file ANN layout,
+  expressed as two broadcast joins;
+- LSH: BucketedRandomProjectionLSH from pyspark.ml — bucket-join
+  candidate generation, exact re-rank on candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Double-precision dot product of two float arrays, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle="""
+    WITH q AS (
+      SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS o
+      FROM embeddings WHERE vec_id = 0
+    ), corpus AS (
+      SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS o
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id, label, cosine_sim
+    FROM (
+      SELECT c.vec_id, c.label,
+             ROUND(SUM(CAST(c.v AS DOUBLE) * CAST(q.v AS DOUBLE)), 6) AS cosine_sim
+      FROM corpus c JOIN q ON c.o = q.o
+      GROUP BY c.vec_id, c.label
+    )
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0 (brute-force baseline).
+
+    Query vector broadcast against the corpus scan; dot product in
+    double (normalized vectors ⇒ cosine); TakeOrderedAndProject for the
+    top-k — no full sort materialized.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", F.round(dot("embedding", "qv"), 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "similarity_pairs_threshold",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE label = 3),
+    ex AS (
+      SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS o
+      FROM sub
+    )
+    SELECT vec_a, vec_b, cosine_sim
+    FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 6) AS cosine_sim
+      FROM ex a JOIN ex b ON a.o = b.o AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    WHERE cosine_sim >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ 0.35 inside one label block.
+
+    The blocked quadratic form: correct for bounded blocks; the LSH/IVF
+    operators below are the sub-quadratic path for unbounded corpora.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 3)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = F.round(dot("ea", "eb"), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query("ann_ivf_search")  # no oracle: centroid assignment is iterative/engine-specific
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label-mean centroids → probe the query's nearest
+    cell (plus one neighbor cell) → exact re-rank inside the probed cells.
+
+    Two broadcast joins + one TakeOrdered; the corpus is scanned once to
+    build cells (in a real deployment the assignment is precomputed and
+    the probe reads one partition). Rows-only check: cell probing is an
+    approximation whose recall depends on engine-specific centroid math.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # centroids: per-label mean (cheap stand-in for k-means; deterministic)
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+        )
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # probe: 2 nearest cells to the query
+    probed = (
+        centroids.crossJoin(F.broadcast(qv))
+        .select("cell", dot("centroid", "qv").alias("cell_sim"))
+        .orderBy(F.col("cell_sim").desc())
+        .limit(2)
+    )
+    return (
+        emb.join(F.broadcast(probed), emb.label == probed.cell)
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.round(dot("embedding", "qv"), 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query("ann_lsh_bucketed")  # no oracle: random-projection family is engine-specific
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH ANN via pyspark.ml (seeded): bucket the
+    corpus, approxNearestNeighbors for the query vector.
+
+    Candidate generation is a bucket equi-join (linear); only candidates
+    pay the exact distance. Rows-only check.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", numHashTables=4, bucketLength=0.5, seed=42
+    )
+    model = lsh.fit(emb)
+    key = emb.filter(F.col("vec_id") == 0).select("features").first()["features"]
+    neighbors = model.approxNearestNeighbors(emb.filter(F.col("vec_id") != 0), key, 10)
+    return neighbors.select(
+        "vec_id", "label", F.round(F.col("distCol"), 6).alias("euclidean_dist")
+    ).orderBy("euclidean_dist", "vec_id")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS o
+      FROM embeddings
+    )
+    SELECT COUNT(*) AS n_near_dup_pairs
+    FROM (
+      SELECT a.vec_id, b.vec_id AS vec_b,
+             SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS s
+      FROM ex a JOIN ex b
+        ON a.o = b.o AND a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    WHERE s >= 0.5
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup count: pairs with cosine ≥ 0.5 within a
+    label block (the semantic-dedup criterion over the whole corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("va") < F.col("vb")))
+        .filter(dot("ea", "eb") >= 0.5)
+        .agg(F.count("*").alias("n_near_dup_pairs"))
+    )

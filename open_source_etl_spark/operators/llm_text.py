@@ -1,1 +1,235 @@
-"""(placeholder — filled in as operators land)"""
+"""Text-analysis operators for LLM training-data pipelines (EXT,
+SURVEY.md §2B): token stats, quality scoring, language ID, BPE-ish
+token counting, document fingerprinting.
+
+All pure `pyspark.sql.functions` — tokenization, ratios, and fingerprints
+stay inside whole-stage codegen; no Python UDFs in any hot path.  At
+100 TB these are embarrassingly parallel single-pass scans (no shuffle at
+all except where a group-by is the point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# deliberately tiny, deterministic stopword list shared with the oracles
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def tokens(col: str = "text"):
+    """Whitespace tokenization (documents fixture is single-space soup)."""
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      length(text) AS n_chars,
+      len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+            / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (whitespace tokenization, single pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.round(
+                (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 4
+            ).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT
+      doc_id,
+      ROUND(CAST(len(list_filter(string_split(text, ' '), w -> w IN {_SW_SQL}))
+                 AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')), 4) AS distinct_ratio,
+      CASE
+        WHEN length(text) < 100 THEN 'too_short'
+        WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) < 0.5 THEN 'repetitive'
+        ELSE 'ok'
+      END AS quality_bucket
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: stopword ratio, lexical diversity, bucket rule
+    (the C4/Gopher-style filter family, deterministic and JVM-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    return (
+        docs.select(
+            "doc_id",
+            F.round(sw.cast("double") / n, 4).alias("stopword_ratio"),
+            F.round(distinct_ratio, 4).alias("distinct_ratio"),
+            F.when(F.length("text") < 100, "too_short")
+            .when(distinct_ratio < 0.5, "repetitive")
+            .otherwise("ok")
+            .alias("quality_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# marker-word sets per language for the n-gram/lexicon language guesser;
+# deterministic and shared with the oracle (the fixture text is synthetic
+# word soup, so this exercises the machinery, not linguistics)
+_LANG_MARKERS = {
+    "en": ("the", "fast", "slow", "small"),
+    "de": ("der", "und", "nicht", "das"),
+    "es": ("el", "la", "que", "de"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def _marker_sql(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+@query(
+    "text_lang_guess",
+    oracle=f"""
+    SELECT
+      doc_id,
+      lang AS labeled_lang,
+      CASE
+        WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+        WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+        WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+        WHEN fr_hits > 0 THEN 'fr'
+        ELSE 'unknown'
+      END AS guessed_lang
+    FROM (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text, ' '), w -> w IN {_marker_sql(_LANG_MARKERS['en'])})) AS en_hits,
+        len(list_filter(string_split(text, ' '), w -> w IN {_marker_sql(_LANG_MARKERS['de'])})) AS de_hits,
+        len(list_filter(string_split(text, ' '), w -> w IN {_marker_sql(_LANG_MARKERS['es'])})) AS es_hits,
+        len(list_filter(string_split(text, ' '), w -> w IN {_marker_sql(_LANG_MARKERS['fr'])})) AS fr_hits
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit language ID with a deterministic argmax tie-break
+    (en > de > es > fr on equal scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+
+    def marker_hits(ws: tuple[str, ...]):
+        # closure (not a default arg): F.filter treats a 2-param lambda as
+        # (element, index) and would pass the index where ws is expected
+        return F.size(F.filter(toks, lambda w: w.isin(*ws)))
+
+    hits = {lang: marker_hits(ws) for lang, ws in _LANG_MARKERS.items()}
+    en, de, es, fr = hits["en"], hits["de"], hits["es"], hits["fr"]
+    guess = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("labeled_lang"), guess.alias("guessed_lang"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT
+      doc_id,
+      len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+      len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (word / number / symbol classes) —
+    the pre-tokenizer pass of GPT-style tokenizers, regex-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+            ).alias("n_bpe_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_number_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(lower(trim(text))) AS content_hash,
+      list_min(list_transform(
+        range(1, len(string_split(text, ' ')) - 1),
+        i -> md5(string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])
+      )) AS min_shingle_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content hash + min-hash over word
+    3-gram shingles (the winnowing/MinHash building block, all JVM-side:
+    transform over an index sequence, no explode, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+            F.array_min(shingle_hashes).alias("min_shingle_hash"),
+        )
+        .orderBy("doc_id")
+    )

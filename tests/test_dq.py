@@ -1,0 +1,92 @@
+"""DQ suite: the reference's 9 expectations + the single-pass runner."""
+
+from __future__ import annotations
+
+import json
+
+from open_source_etl_spark.dq import validate
+from open_source_etl_spark.dq.expectations import (
+    BUNDESLIGA_COLUMNS,
+    bundesliga_suite,
+    expect_column_values_to_be_between,
+    expect_column_values_to_be_in_set,
+    expect_column_values_to_be_unique,
+    expect_column_values_to_not_be_null,
+    expect_table_columns_to_match_ordered_list,
+)
+
+
+def _match_scores_df(spark, rows):
+    return spark.createDataFrame(rows, ", ".join(f"{c} string" for c in BUNDESLIGA_COLUMNS))
+
+
+GOOD_ROW = (
+    "raw", "1", "Regular Season", "Sat", "2021-03-06", "15:30", "FCB",
+    "2.1", "3-1", "0.7", "BVB", "100", "Allianz", "Ref A",
+)
+
+
+def test_reference_suite_passes_on_clean_data(spark, tmp_path):
+    df = _match_scores_df(spark, [GOOD_ROW])
+    report = str(tmp_path / "report.json")
+    result = validate(df, bundesliga_suite(), report_path=report)
+    assert result.success
+    assert result.row_count == 1
+    # 1 schema + 2 value-set + 6 not-null = the reference's 9 expectations
+    assert len(result.results) == 9
+    persisted = json.loads(open(report).read())
+    assert persisted["success"] is True
+
+
+def test_reference_suite_catches_violations(spark):
+    bad_round = list(GOOD_ROW)
+    bad_round[2] = "Friendly"  # not in the allowed round set
+    null_venue = list(GOOD_ROW)
+    null_venue[12] = None
+    df = _match_scores_df(spark, [GOOD_ROW, tuple(bad_round), tuple(null_venue)])
+    result = validate(df, bundesliga_suite())
+    assert not result.success
+    by_check = {
+        (r["expectation"], r.get("column")): r for r in result.results
+    }
+    assert by_check[("expect_column_values_to_be_in_set", "round")]["violations"] == 1
+    assert by_check[("expect_column_values_to_not_be_null", "venue")]["violations"] == 1
+    # null round does NOT violate the set check (GE skip-null semantics)
+    assert by_check[("expect_column_values_to_be_in_set", "day")]["violations"] == 0
+
+
+def test_schema_ordered_list_check(spark):
+    df = _match_scores_df(spark, [GOOD_ROW]).select(*reversed(BUNDESLIGA_COLUMNS))
+    result = validate(df, [expect_table_columns_to_match_ordered_list(BUNDESLIGA_COLUMNS)])
+    assert not result.success
+
+
+def test_between_and_unique(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, 500.0)], "id int, val double"
+    )
+    result = validate(
+        df,
+        [
+            expect_column_values_to_be_between("val", 0, 100),
+            expect_column_values_to_be_unique("id"),
+        ],
+    )
+    assert not result.success
+    between, unique = result.results
+    assert between["violations"] == 1  # 500 out of range
+    assert unique["duplicate_keys"] == 1  # id=2 twice
+
+
+def test_single_pass_plan(spark):
+    """All row-level checks fold into one aggregation job (engine
+    restatement of SURVEY.md §3.3 — count the agg in the plan)."""
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    suite = [
+        expect_column_values_to_not_be_null("id"),
+        expect_column_values_to_not_be_null("s"),
+        expect_column_values_to_be_in_set("s", ["a", "b"]),
+    ]
+    # validate() must not error and must produce 3 outcomes from one pass
+    result = validate(df, suite)
+    assert result.success and len(result.results) == 3
