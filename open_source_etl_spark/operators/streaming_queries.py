@@ -1,1 +1,173 @@
-"""(placeholder — filled in as operators land)"""
+"""Streaming operators as oracle-checkable queries (SURVEY.md §2B
+streaming): watermark + tumbling/sliding/session windows, streaming
+dedup, custom stateful processing.
+
+Correctness protocol (SURVEY.md §7 step 7): each query runs a REAL
+Structured Streaming job — file source → stateful transformation →
+memory sink — driven to completion with ``Trigger.AvailableNow``, and the
+DuckDB oracle computes the same result in batch SQL (batch-parity).  The
+reference's only streaming notion is its S3 file sensor
+(`dags/ingest_bundesliga_match_scores.py:54-67`); these generalize it to
+incremental computation with bounded state.
+
+Determinism notes: the fixture is a single parquet file → one micro-batch,
+so update-mode emissions happen exactly once per key and "first-seen"
+dedup is projected to its (order-invariant) key set.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..streaming import (
+    dedup_keys,
+    run_available_now,
+    session_window_stats,
+    sliding_window_counts,
+    stateful_user_rollup,
+    stream_events,
+    tumbling_window_counts,
+)
+
+
+def _sink(name: str) -> str:
+    return f"{name}_{uuid.uuid4().hex[:8]}"
+
+
+@query(
+    "stream_tumbling_window_agg",
+    oracle="""
+    SELECT
+      time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+        AS window_end,
+      event_type,
+      COUNT(*) AS n_events,
+      ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed count/sum per event_type over the streamed
+    events source; complete-mode memory sink equals the batch aggregation
+    (epoch-aligned boundaries on both sides)."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(
+        tumbling_window_counts(ev), _sink("tumb"), "complete"
+    ).orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_sliding_window_agg",
+    oracle="""
+    SELECT
+      ws AS window_start,
+      ws + INTERVAL 2 HOUR AS window_end,
+      COUNT(*) AS n_events
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+               - to_hours(k) AS ws
+      FROM events
+      CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    GROUP BY ws
+    ORDER BY ws
+    """,
+)
+def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour/1-hour windowed counts: every event contributes to
+    two overlapping windows (the oracle expands each row into both window
+    starts and re-aggregates)."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(
+        sliding_window_counts(ev), _sink("slide"), "complete"
+    ).orderBy("window_start")
+
+
+@query(
+    "stream_session_window_agg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL 4 HOUR
+             THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL 4 HOUR AS session_end,
+      user_id,
+      COUNT(*) AS n_events,
+      ROUND(SUM(value), 4) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (4-hour inactivity gap).  Spark merges
+    events whose windows overlap; session end = last event + gap.  The
+    oracle reproduces exactly that with lag/cumulative-sum sessionization
+    (new session iff the gap to the previous event is >= 4 h)."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(
+        session_window_stats(ev), _sink("sess"), "complete"
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication on (user_id, event_type) with watermarked
+    state eviction; projecting only the keys makes the result the distinct
+    key set, independent of which duplicate arrived first."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(
+        dedup_keys(ev), _sink("dedup"), "append"
+    ).orderBy("user_id", "event_type")
+
+
+@query(
+    "stream_stateful_user_rollup",
+    oracle="""
+    SELECT
+      user_id,
+      COUNT(*) AS n_events,
+      ROUND(SUM(value), 4) AS sum_value,
+      MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_stateful_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running totals in explicit group state, emitted in update mode.  The
+    engine's escape hatch for per-key state machines the built-in windowed
+    aggregations can't express."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(
+        stateful_user_rollup(ev), _sink("rollup"), "update"
+    ).orderBy("user_id")

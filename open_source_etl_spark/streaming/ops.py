@@ -1,0 +1,192 @@
+"""Streaming operator builders: watermark + windowed aggregation,
+sessionization, dedup, custom stateful processing (SURVEY.md §2B).
+
+Each builder takes the (streaming) events DataFrame and returns the
+transformed streaming DataFrame; ``runner.run_available_now`` executes it.
+All builders also accept a *batch* DataFrame unchanged — the same code
+path serves both, which is what makes batch-parity checks meaningful.
+
+Scale notes (100 TB posture):
+- every aggregation here is keyed on (window, type) or (user) — state is
+  bounded by key cardinality × active windows, and the watermark evicts
+  closed windows; without it state grows forever.
+- windowed aggs shuffle once on the group key; Spark's streaming agg keeps
+  partial state per shuffle partition (map-side partials apply as in batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type.
+
+    The watermark bounds state: windows older than (max ts − 30 min) are
+    finalized and evicted.  Epoch-aligned boundaries, same as DuckDB's
+    ``time_bucket`` — the oracle relies on that.
+    """
+    w = F.window(F.col("ts"), width)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window (width 2 h, slide 1 h) event counts: each event lands
+    in width/slide = 2 overlapping windows; Spark expands the row into its
+    windows before the keyed aggregation (one shuffle, state per window)."""
+    w = F.window(F.col("ts"), width, slide)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "4 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user session windows: events merge while each arrives within
+    ``gap`` of the session's end; a gap ≥ 4 h starts a new session.  The
+    session's end is last-event-ts + gap (Spark semantics; the oracle
+    reproduces it with lag + cumulative-sum sessionization)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_keys(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming deduplication on a key subset.
+
+    ``dropDuplicates`` keeps the first-seen row per key — *which* row wins
+    is arrival-order-dependent, so only the key columns are projected,
+    making the result deterministic (the distinct key set) while still
+    exercising the stateful dedup operator.  The watermark lets Spark
+    evict per-key state once no earlier duplicate can arrive.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(list(keys))
+        .select(*keys)
+    )
+
+
+_ROLLUP_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+_ROLLUP_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def stateful_user_rollup(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count / value total, emitted each micro-batch.
+
+    This is the engine's escape hatch for semantics the built-in windowed
+    aggs can't express (arbitrary per-key state machines).  State is one
+    (n, total) pair per user — O(|users|), Arrow-batched per group; the
+    built-in agg path is preferred wherever it suffices (UDFs are the
+    slow path).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: Any,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total, 4)],
+                "last_ts": [last_ts],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ROLLUP_OUT,
+        stateStructType=_ROLLUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
