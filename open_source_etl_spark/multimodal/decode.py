@@ -1,0 +1,116 @@
+"""Decode / feature-extract kernels over binary media columns.
+
+Each kernel is an Arrow-batched ``mapInPandas`` stage: payload bytes
+stream through the Python worker in columnar batches, never through the
+driver.  The actual codec call is stubbed (no image/audio libs in this
+container): ``codec="real"`` raises ``NotImplementedError`` at the exact
+call site a library (PIL/librosa/av) would occupy; ``codec="fake"`` runs
+a deterministic, oracle-checkable stand-in so the entire Spark-side
+pipeline — schema, batching, row expansion, partitioning — is tested.
+
+Scale posture: media rows are big, so upstream reads should size input
+splits by bytes (``spark.sql.files.maxPartitionBytes``) and the kernels
+keep per-batch memory bounded by Arrow's batch size
+(``spark.sql.execution.arrow.maxRecordsPerBatch``); decode is
+embarrassingly parallel — zero shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+from .schema import IMAGE_META_SCHEMA
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_sha string"
+
+
+def _fake_image_meta(payload: bytes) -> tuple[str, int, int, int]:
+    """Deterministic stand-in for an image header parse: dimensions are a
+    pure function of the byte length (also computable in SQL, which is
+    what makes the pipeline oracle-checkable)."""
+    n = len(payload)
+    sha = hashlib.sha256(payload).hexdigest()
+    width = 64 + n % 577
+    height = 64 + (n * 31) % 421
+    return sha, width, height, 3
+
+
+def decode_image_meta(
+    media_df: DataFrame, codec: str = "fake"
+) -> DataFrame:
+    """Extract image metadata from ``media.payload`` via ``mapInPandas``.
+
+    ``codec="real"`` marks where ``PIL.Image.open(io.BytesIO(b))`` would
+    run; this container has no codec libraries, so it raises.
+    """
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec: {codec}")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if codec == "real":  # pragma: no cover - no codec libs here
+                raise NotImplementedError(
+                    "real image decode requires an image library (e.g. PIL); "
+                    "not available in this environment — use codec='fake'"
+                )
+            metas = [_fake_image_meta(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(bytes(b)) for b in pdf["payload"]],
+                    "sha": [m[0] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
+                    "n_channels": [m[3] for m in metas],
+                }
+            )
+
+    flat = media_df.select("doc_id", "media.payload")
+    return flat.mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    media_df: DataFrame, frame_bytes: int = 100, stride: int = 10, codec: str = "fake"
+) -> DataFrame:
+    """Treat the payload as a "video" of fixed-size frames and emit every
+    ``stride``-th frame — the row-EXPANDING kernel shape (1 input row →
+    n_frames/stride output rows) real frame extraction uses.
+
+    The fake "frame" is the sha of the frame's byte slice; a real kernel
+    would hand the slice to a video codec here.
+    """
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if codec == "real":  # pragma: no cover - no codec libs here
+                raise NotImplementedError(
+                    "real frame extraction requires a video library (e.g. av)"
+                )
+            doc_ids: list[int] = []
+            frame_idxs: list[int] = []
+            shas: list[str] = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(b)
+                n_frames = len(payload) // frame_bytes
+                for idx in range(0, n_frames, stride):
+                    chunk = payload[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    doc_ids.append(doc_id)
+                    frame_idxs.append(idx)
+                    shas.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": frame_idxs, "frame_sha": shas}
+            )
+
+    flat = media_df.select("doc_id", "media.payload")
+    return flat.mapInPandas(kernel, FRAME_SCHEMA)

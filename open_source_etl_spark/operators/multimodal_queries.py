@@ -1,0 +1,70 @@
+"""Multimodal-column queries: binary payload plumbing through Arrow-batched
+``mapInPandas`` kernels, oracle-checked end to end (EXT, SURVEY.md §2B).
+
+The payloads are synthesized deterministically from document text
+(``multimodal.schema.with_media_payload``), so the fake decode kernels are
+fully reproducible in DuckDB SQL — the *plumbing* under test (struct
+schemas, batch iteration, row expansion) is exactly what a real codec
+kernel would ride on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..multimodal import decode_image_meta, sample_frames, with_media_payload
+from ..registry import query
+
+
+@query(
+    "multimodal_image_meta",
+    oracle="""
+    SELECT
+      doc_id,
+      octet_length(encode(text)) AS n_bytes,
+      sha256(text) AS sha,
+      CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+      CAST(64 + (octet_length(encode(text)) * 31) % 421 AS INTEGER) AS height,
+      CAST(3 AS INTEGER) AS n_channels
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata extraction: documents → media struct (binary payload
+    + typed metadata) → ``mapInPandas`` decode kernel.  Deterministic fake
+    header parse (dimensions are a pure function of byte length); the real
+    codec site raises ``NotImplementedError`` (no image libs here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_payload(docs)
+    return decode_image_meta(media, codec="fake").orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    # DuckDB substring() is varchar-only; the fixture text is pure ASCII
+    # (verified at every SF), so char slicing == the kernel's byte slicing
+    # and sha256(varchar) hashes the same UTF-8 bytes.
+    oracle="""
+    SELECT
+      d.doc_id,
+      f.idx AS frame_idx,
+      sha256(substring(d.text, f.idx * 100 + 1, 100)) AS frame_sha
+    FROM documents d,
+      LATERAL (
+        SELECT unnest(generate_series(0, length(d.text) // 100 - 1, 10)) AS idx
+      ) f
+    ORDER BY d.doc_id, f.idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling shape: the payload is treated as fixed-size
+    frames and every 10th frame is emitted — a row-EXPANDING mapInPandas
+    kernel (1 media row → n_frames/stride frame rows), the plumbing real
+    frame extraction uses.  Zero shuffle; embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_payload(docs)
+    return sample_frames(media, frame_bytes=100, stride=10).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -1,0 +1,97 @@
+"""UDF/UDAF/UDTF surface as oracle-checked queries (EXT, SURVEY.md §2B).
+
+Each query exercises one escape-hatch shape — scalar pandas UDF, grouped
+aggregate pandas UDF, Python UDTF — against a pure-SQL DuckDB twin, so
+the Arrow interchange itself is under differential test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.udfs import ChunkText, exact_cents_sum, group_size, net_revenue
+from ..registry import query
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_extendedprice * (1 - l_discount) AS net_revenue
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF computing net revenue; IEEE
+    double arithmetic matches the SQL expression bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_revenue("l_extendedprice", "l_discount").alias("net_revenue"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT
+      l_returnflag,
+      SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS total_cents,
+      COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): per-flag price total in exact
+    integer cents — order-independent accumulation, reproducible across
+    partitionings (the DECIMAL parity trick, in Python)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            exact_cents_sum("l_extendedprice").alias("total_cents"),
+            group_size("l_extendedprice").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "udtf_text_chunks",
+    oracle="""
+    SELECT
+      d.doc_id,
+      c.i // 256 AS chunk_idx,
+      substring(d.text, c.i + 1, 256) AS chunk,
+      length(substring(d.text, c.i + 1, 256)) AS chunk_len
+    FROM documents d,
+      LATERAL (
+        SELECT unnest(generate_series(0, length(d.text) - 1, 256)) AS i
+      ) c
+    ORDER BY d.doc_id, chunk_idx
+    """,
+)
+def udtf_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: fixed-width (256-char) document chunking via a lateral
+    table function — one document row expands to its context-window
+    chunks."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs_src")
+    spark.udtf.register("chunk_text", ChunkText)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.chunk_len
+        FROM udtf_docs_src d,
+        LATERAL chunk_text(d.text, 256) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )

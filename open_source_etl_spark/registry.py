@@ -49,10 +49,12 @@ def load_all() -> None:
         llm_dedup,
         llm_similarity,
         llm_text,
+        multimodal_queries,
         relational,
         setops,
         sortlimit,
         streaming_queries,
+        udf_queries,
         windows,
     )
 
