@@ -4,11 +4,13 @@ Prints ONE JSON line:
   {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
    "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
 
-Timing protocol: one warm SparkSession; per query, build the plan and run a
-``count()``-free materialization (``collect`` on bounded results,
-``write.format("noop")`` for large ones is avoided — results here are all
-presentation-sized or filtered, and the driver's contract collects too).
-A tiny warm-up query runs first so JVM/codegen startup isn't billed to q1.
+Timing protocol: one warm SparkSession; per query, build the plan and
+collect the (presentation-sized) result.  A tiny warm-up query runs first
+so JVM/codegen startup isn't billed to the first query.  Each query runs
+under a watchdog (Spark job group + cancel) so a single regression can't
+eat the whole bench budget — cancelled queries land in "failures" with
+"timeout", which is itself the signal to go fix the plan.  Per-query
+progress goes to stderr; stdout stays the single JSON line.
 """
 
 from __future__ import annotations
@@ -16,9 +18,12 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+QUERY_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "150"))
 
 
 def main() -> None:
@@ -32,21 +37,48 @@ def main() -> None:
     spark = build_session(cfg)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM / codegen path outside the timed region
+    # warm up outside the timed region: JVM/codegen plus one footer-read +
+    # count per fixture table, so first-query timings aren't billed the
+    # session's one-time parquet/IO setup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from open_source_etl_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in sorted(all_queries().items()):
+        sc = spark.sparkContext
+        sc.setJobGroup(name, f"bench:{name}", interruptOnCancel=True)
+        cancelled = threading.Event()
+
+        def watchdog() -> None:
+            if not done.wait(QUERY_TIMEOUT_SEC):
+                cancelled.set()
+                sc.cancelJobGroup(name)
+
+        done = threading.Event()
+        guard = threading.Thread(target=watchdog, daemon=True)
+        guard.start()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
             rows = df.collect()
             _ = len(rows)
         except Exception as exc:  # keep benching the rest
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            elapsed = time.perf_counter() - t0
+            if cancelled.is_set():
+                failures[name] = f"timeout>{QUERY_TIMEOUT_SEC}s"
+            else:
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"[bench] FAIL {name} {elapsed:8.2f}s {failures[name]}", file=sys.stderr)
             continue
+        finally:
+            done.set()
+            sc.setJobGroup("", "")
         timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"[bench] ok   {name} {timings[name]:8.2f}s", file=sys.stderr)
 
     sf = None
     try:

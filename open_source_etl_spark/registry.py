@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every operator module so registration side effects run."""
     from .operators import (  # noqa: F401
         aggregates,
+        analytics_suite,
         arrays_json,
         dq_checks,
         ingestion,
@@ -53,6 +54,7 @@ def load_all() -> None:
         relational,
         setops,
         sortlimit,
+        source_queries,
         streaming_queries,
         udf_queries,
         windows,

@@ -1,0 +1,12 @@
+"""Source/sink surface (SURVEY.md §2B scans/sources/sinks).
+
+Parquet scans live in ``catalog.load_table``; CSV staging in
+``ingest.staging``; the streaming file source in ``streaming.source``.
+This package holds the remaining formats: line-delimited JSON and the
+partitioned/managed sinks, with the same schema-two-tier design as the
+reference (explicit catalog schema when present, inference fallback).
+"""
+
+from .readers import read_jsonl, write_jsonl, write_partitioned
+
+__all__ = ["read_jsonl", "write_jsonl", "write_partitioned"]

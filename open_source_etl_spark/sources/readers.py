@@ -1,0 +1,46 @@
+"""Line-delimited JSON source and partitioned sinks.
+
+Reference provenance: the engine generalizes the reference's
+CSV-external-table pattern (`dags/ingest_bundesliga_match_scores.py:
+174-196`) to every file format the fixtures imply — event ``props`` are
+JSON strings, so the JSON *file* source is part of the surface
+(SURVEY.md §2B "JSON scan").
+
+Scale notes: ``spark.read.json`` with an explicit schema is a single
+distributed pass (no inference scan); leaving ``schema=None`` costs one
+extra sampling pass — the same trade the reference makes with its 1-row
+header sniff (`dags/…:168-169`).  Writers land Hive-style partition
+directories so downstream scans partition-prune for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Read line-delimited JSON.  With ``schema`` (catalog-supplied tier):
+    one pass, no inference; without: Spark samples to infer (the fallback
+    tier)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write line-delimited JSON (the interchange sink — validation
+    reports, small exports; columnar parquet remains the data sink)."""
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink (Hive layout).  The engine analogue of the
+    reference's dated landing copy (`dags/…:130-143`): layout + columnar
+    conversion in one distributed pass, partition-prunable thereafter."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -19,6 +19,7 @@ def run_available_now(
     name: str,
     output_mode: str = "append",
     timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming query to completion; return the sink table.
 
@@ -26,20 +27,33 @@ def run_available_now(
     once ledger (source offsets + state store), so reusing one across
     logically different queries corrupts semantics.  Long-lived production
     streams keep theirs forever; these deterministic replays never should.
+
+    ``state_partitions`` pins the stateful-operator partition count for
+    the stream (restored after start): every shuffle partition owns a
+    checkpointed state store, so 32 stores on a small stream is pure
+    filesystem overhead, while a real deployment sizes it to key
+    cardinality × executor count.  Results are partition-count-invariant.
     """
     spark: SparkSession = df.sparkSession
     checkpoint = tempfile.mkdtemp(prefix=f"osetl-stream-{name}-")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination(timeout_sec)
-    finally:
         if q.isActive:  # pragma: no cover - only on timeout
             q.stop()
+    finally:
+        # restore only after the stream finished: micro-batches are
+        # planned lazily, so restoring right after start() would race
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)

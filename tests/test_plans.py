@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: pin the optimizer properties the
+100 TB posture depends on (SURVEY.md §4).
+
+A query can stay *correct* while silently de-optimizing (a cast blocking
+pushdown, a missing broadcast turning into a sort-merge shuffle, a UDF
+sneaking into a relational path).  These tests fail on the plan, before
+the slowdown ships.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from open_source_etl_spark.plans import plan_audit
+from open_source_etl_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def audit(spark, sf_dir):
+    def _audit(name):
+        return plan_audit(name, QUERIES[name](spark, sf_dir))
+
+    return _audit
+
+
+def test_q1_scan_is_pruned_and_pushed(audit):
+    facts = audit("q1_pricing_summary")
+    # the shipdate predicate must reach the parquet reader
+    assert any("l_shipdate" in f for f in facts.pushed), facts.pushed
+    # column pruning: 16-column lineitem, 7 read
+    assert "l_comment" not in facts.read_columns
+    assert "l_orderkey" not in facts.read_columns
+    assert len(facts.read_columns) <= 8
+    # pure JVM path: partial/final agg, no Python stage
+    assert facts.python_stages == 0
+    # exactly the algorithmic shuffles: agg exchange + sort exchange
+    assert facts.exchanges <= 2
+
+
+def test_star_join_broadcasts_all_dimensions(audit):
+    facts = audit("join_broadcast_star")
+    assert facts.broadcast_joins >= 3
+    # dims broadcast => the only shuffles left are agg + sort
+    assert facts.exchanges <= 2
+    assert facts.python_stages == 0
+
+
+def test_multiway_star_join_avoids_fact_shuffle_joins(audit):
+    facts = audit("join_multiway_star")
+    # customer/nation/region must broadcast (bounded dims)
+    assert facts.broadcast_joins >= 2
+
+
+def test_point_lookup_pushes_equality(audit):
+    facts = audit("filter_point_lookup")
+    assert any("EqualTo" in f or "=" in f for f in facts.pushed), facts.pushed
+    assert facts.exchanges == 0
+
+
+def test_relational_paths_have_no_python_stages(audit):
+    """Every built-in relational family must stay JVM-side."""
+    for name in (
+        "agg_grouped_basic",
+        "window_rank_family",
+        "setop_union_all",
+        "sort_multikey_nulls",
+        "json_extract_props",
+        "text_token_stats",
+    ):
+        assert audit(name).python_stages == 0, name
+
+
+def test_python_stages_only_where_designed(audit):
+    """The UDF/multimodal surface is the *designed* Python boundary."""
+    assert audit("udf_pandas_scalar").python_stages == 1
+    assert audit("multimodal_image_meta").python_stages >= 1
