@@ -1,0 +1,215 @@
+"""Relational-surface extensions (GEN, SURVEY.md §2B): right outer join,
+pivot/unpivot, exact interpolated percentiles, and correlated subquery
+shapes (EXISTS / scalar subquery).
+
+Catalyst decorrelates the subqueries into joins (SURVEY.md §4 "subquery
+decorrelation" — zero custom code); pivot compiles to a single grouped
+aggregation with conditional sums, not N passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_STATUSES = ("F", "O", "P")
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT
+      o.o_orderkey,
+      o.o_orderstatus,
+      c.c_custkey,
+      c.c_name
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+      AND o.o_totalprice > 400000
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer equi-join with a join-side predicate: every customer
+    survives, orders only above the price floor (the predicate lives in
+    the ON clause, NOT a WHERE — pushed to the left side pre-join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            cust,
+            (orders.o_custkey == cust.c_custkey) & (orders.o_totalprice > 400_000),
+            "right",
+        )
+        .select("o_orderkey", "o_orderstatus", "c_custkey", "c_name")
+        .orderBy(
+            F.col("c_custkey").asc_nulls_first(), F.col("o_orderkey").asc_nulls_first()
+        )
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+      COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+      COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority × status.  The pivot values are
+    declared explicitly — at scale, letting Spark *discover* pivot values
+    costs an extra distinct scan and an unbounded column blowup."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .count()
+        .orderBy("o_orderpriority")
+    )
+    # empty cells: Spark pivot-count yields NULL, SQL conditional COUNT
+    # yields 0 — normalize to 0 (also what a report consumer wants)
+    return out.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s}")
+            for s in _STATUSES
+        ],
+    )
+
+
+@query(
+    "unpivot_status_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT
+        o_orderpriority,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n_orders
+    FROM wide
+    UNPIVOT (n_orders FOR status IN (status_F, status_O, status_P))
+    ORDER BY o_orderpriority, status
+    """,
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide pivot back to long form via
+    ``DataFrame.unpivot`` — ids stay, each value column becomes a row."""
+    wide = pivot_status_by_priority(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ["o_orderpriority"],
+            [f"status_{s}" for s in _STATUSES],
+            "status",
+            "n_orders",
+        )
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+      ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) per group.  Spark's
+    ``percentile`` matches SQL-standard PERCENTILE_CONT (linear
+    interpolation), same as DuckDB's quantile_cont.  At 100 TB swap in
+    ``percentile_approx`` (bounded-memory sketch) — kept exact here so
+    the oracle can check values, with the approx variant exercised in
+    agg_approx_distinct's rows-only pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    )
+    ORDER BY c_custkey
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via Spark SQL — Catalyst decorrelates it into a
+    left-semi join (same plan as the explicit join_semi operator; this
+    proves the SQL surface)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal
+        FROM sq_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM sq_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "subquery_scalar",
+    # mean via DECIMAL sum / count: order-independent on both engines, so
+    # the threshold is bit-identical (functions/parity.py)
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      FROM orders
+    )
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders above 1.5× the mean price).
+    The subquery evaluates once and broadcasts as a literal — no
+    per-row re-evaluation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq2_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM sq2_orders
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          FROM sq2_orders
+        )
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50
+        """
+    )

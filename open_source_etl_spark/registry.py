@@ -52,6 +52,7 @@ def load_all() -> None:
         llm_text,
         multimodal_queries,
         relational,
+        relational_ext,
         setops,
         sortlimit,
         source_queries,
