@@ -243,3 +243,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    SELECT tok, n_docs, n_total
+    FROM (
+      SELECT
+        tok,
+        COUNT(DISTINCT doc_id) AS n_docs,
+        COUNT(*) AS n_total
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    )
+    ORDER BY n_total DESC, tok
+    LIMIT 25
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-25 tokens by occurrence with
+    document frequency (the vocabulary/stopword-discovery pass of an LLM
+    data pipeline).
+
+    One explode + one grouped agg; partial aggregation collapses each
+    partition's token counts before the shuffle, so network volume is
+    O(distinct tokens), not O(token occurrences).  At 100 TB the same
+    query swaps COUNT for a count-min/SpaceSaving sketch to bound memory
+    under adversarial vocabularies; exact here so the oracle checks
+    values.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy(F.col("n_total").desc(), "tok")
+        .limit(25)
+    )
