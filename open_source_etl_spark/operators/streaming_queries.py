@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import query
 from ..streaming import (
     dedup_keys,
+    stream_stream_interval_join,
     run_available_now,
     session_window_stats,
     sliding_window_counts,
@@ -171,3 +172,31 @@ def stream_stateful_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         stateful_user_rollup(ev), _sink("rollup"), "update"
     ).orderBy("user_id")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT
+      v.user_id,
+      v.event_id AS view_id,
+      c.event_id AS click_id,
+      CAST(v.ts AS TIMESTAMP) AS view_ts,
+      CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+      AND v.event_type = 'view' AND c.event_type = 'click'
+      AND c.ts >= v.ts
+      AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY view_id, click_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (views ⋈ clicks within 30 min, per
+    user), both sides watermarked so join state expires; equals the batch
+    interval self-join."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(
+        stream_stream_interval_join(ev), _sink("ssj"), "append"
+    ).orderBy("view_id", "click_id")

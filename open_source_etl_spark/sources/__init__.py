@@ -7,6 +7,19 @@ partitioned/managed sinks, with the same schema-two-tier design as the
 reference (explicit catalog schema when present, inference fallback).
 """
 
-from .readers import read_jsonl, write_jsonl, write_partitioned
+from .bucketing import bucketed_join, write_bucketed
+from .readers import (
+    overwrite_partitions,
+    read_jsonl,
+    write_jsonl,
+    write_partitioned,
+)
 
-__all__ = ["read_jsonl", "write_jsonl", "write_partitioned"]
+__all__ = [
+    "read_jsonl",
+    "write_jsonl",
+    "write_partitioned",
+    "overwrite_partitions",
+    "write_bucketed",
+    "bucketed_join",
+]

@@ -44,3 +44,25 @@ def write_partitioned(
     reference's dated landing copy (`dags/…:130-143`): layout + columnar
     conversion in one distributed pass, partition-prunable thereafter."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent partition-level upsert: rewrite ONLY the partitions
+    present in ``df``, leaving the rest of the dataset untouched.
+
+    This is the reference's daily re-run semantics (the DAG re-lands one
+    date partition per run, `dags/…:80-143`) done safely: static
+    overwrite mode would truncate the WHOLE table; dynamic mode scopes
+    the overwrite to the incoming partition values.  The engine analogue
+    of MERGE-by-partition without requiring a table format with a commit
+    log (Delta/Iceberg would take over this role in production).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -16,6 +16,7 @@ from .ops import (
     session_window_stats,
     sliding_window_counts,
     stateful_user_rollup,
+    stream_stream_interval_join,
     tumbling_window_counts,
 )
 from .runner import run_available_now
@@ -29,4 +30,5 @@ __all__ = [
     "session_window_stats",
     "dedup_keys",
     "stateful_user_rollup",
+    "stream_stream_interval_join",
 ]

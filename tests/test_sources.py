@@ -1,0 +1,76 @@
+"""Source/sink surface: bucketed co-located joins and dynamic partition
+overwrite (sources/)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_etl_spark.catalog import load_table
+from open_source_etl_spark.plans import exchange_count
+from open_source_etl_spark.sources import (
+    bucketed_join,
+    overwrite_partitions,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force sort-merge joins so the test proves bucketing, not broadcast."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, no_broadcast):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    write_bucketed(li, "t_li_bucketed", "l_orderkey", n_buckets=8)
+    write_bucketed(orders, "t_ord_bucketed", "l_orderkey", n_buckets=8)
+    try:
+        joined = bucketed_join(spark, "t_li_bucketed", "t_ord_bucketed", "l_orderkey")
+        # co-located layout satisfies the join's distribution requirement:
+        # the per-query shuffle is gone (paid once at write time)
+        assert exchange_count(joined) == 0
+        plain = li.join(orders, "l_orderkey")
+        assert exchange_count(plain) >= 2
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
+    path = str(tmp_path / "landed")
+    base = spark.createDataFrame(
+        [
+            (1, dt.date(2021, 3, 6), "a"),
+            (2, dt.date(2021, 4, 7), "b"),
+        ],
+        "id long, d date, v string",
+    ).select("id", "v", F.year("d").alias("year"), F.month("d").alias("month"))
+    write_partitioned(base, path, ["year", "month"])
+
+    # re-land ONLY march with corrected data
+    fixed = spark.createDataFrame(
+        [(1, dt.date(2021, 3, 6), "a2"), (9, dt.date(2021, 3, 20), "new")],
+        "id long, d date, v string",
+    ).select("id", "v", F.year("d").alias("year"), F.month("d").alias("month"))
+    overwrite_partitions(fixed, path, ["year", "month"])
+
+    out = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    # march replaced (old id=1/'a' gone), april untouched
+    assert out == {(1, "a2"), (9, "new"), (2, "b")}
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )
