@@ -286,3 +286,37 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment, c_nationkey
         """
     )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
+      ROUND(var_samp(l_quantity), 6) AS qty_var,
+      ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+      ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: sample stddev/variance,
+    correlation, covariance — single-pass streaming moments (Welford
+    updates compose across partitions, so these are partial-aggregation
+    friendly like sum/count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
