@@ -91,6 +91,8 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks a
     JOIN toks b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      AND 5 * len(b.tokset) >= 2 * len(a.tokset)
+      AND 5 * len(a.tokset) >= 2 * len(b.tokset)
     WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
           / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset)))
           >= 0.4
@@ -101,13 +103,18 @@ def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard near-dup: pairwise only within
     (lang, source) blocks, Jaccard on distinct-token sets ≥ 0.4.
 
-    The block key bounds the quadratic term; swap it for MinHash bands
-    (dedup_minhash_candidates) when blocks grow past ~10⁴ docs.
+    Two cost bounds: the block key caps the quadratic term (swap for
+    MinHash bands — dedup_minhash_candidates — when blocks grow past
+    ~10⁴ docs), and a set-similarity LENGTH FILTER prunes pairs before
+    the expensive intersection: J(A,B) ≥ t forces |A| and |B| within a
+    factor 1/t of each other (J ≤ min/max), so 5·|B| ≥ 2·|A| and
+    symmetrically (t=2/5 in exact integer arithmetic) is a sound
+    prefilter evaluated on two ints instead of two arrays.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("tokset")
-    )
+    ).withColumn("n_toks", F.size("tokset"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
     union = F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
@@ -117,7 +124,11 @@ def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # t=0.4 as exact integer arithmetic (5·min ≥ 2·max): a float
+            # literal here would flip the boundary case via rounding
+            & (5 * F.col("b.n_toks") >= 2 * F.col("a.n_toks"))
+            & (5 * F.col("a.n_toks") >= 2 * F.col("b.n_toks")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
