@@ -11,16 +11,16 @@ Scale design:
   scale;
 - the quadratic pair miner is blocked (by label here; by LSH bucket in
   the scale path);
-- IVF: assign each vector to its nearest centroid once (linear), then
-  search only the query's cell — the classic inverted-file ANN layout,
-  expressed as two broadcast joins;
+- IVF: k-means cells built declaratively (label-mean seeds + Lloyd
+  iterations as broadcast-join + grouped-agg rounds), then search only
+  the query's nearest cells — the classic inverted-file ANN layout;
 - LSH: BucketedRandomProjectionLSH from pyspark.ml — bucket-join
   candidate generation, exact re-rank on candidates only.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -112,39 +112,83 @@ def similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_search")  # no oracle: centroid assignment is iterative/engine-specific
-def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: label-mean centroids → probe the query's nearest
-    cell (plus one neighbor cell) → exact re-rank inside the probed cells.
-
-    Two broadcast joins + one TakeOrdered; the corpus is scanned once to
-    build cells (in a real deployment the assignment is precomputed and
-    the probe reads one partition). Rows-only check: cell probing is an
-    approximation whose recall depends on engine-specific centroid math.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    # centroids: per-label mean (cheap stand-in for k-means; deterministic)
-    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-    centroids = (
-        exploded.groupBy("label", "pos")
+def _mean_centroids(assigned: DataFrame, cell_col: str) -> DataFrame:
+    """Per-cell mean vectors via posexplode → grouped avg → re-assemble."""
+    exploded = assigned.select(cell_col, F.posexplode("embedding").alias("pos", "v"))
+    return (
+        exploded.groupBy(cell_col, "pos")
         .agg(F.avg(F.col("v").cast("double")).alias("c"))
-        .groupBy("label")
+        .groupBy(cell_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
-            F.col("label").alias("cell"),
+            F.col(cell_col).alias("cell"),
             F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
         )
     )
+
+
+@query("ann_ivf_search")  # no oracle: centroid assignment is iterative/engine-specific
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with declarative k-means: label-mean seeds → 2 Lloyd
+    iterations (assign via broadcast argmax, recompute means) → probe the
+    query's 2 nearest cells → exact re-rank inside the probed cells.
+
+    Each Lloyd step is one broadcast join (corpus × k centroids, map-only)
+    plus one grouped aggregation — the iterative-algorithm pattern on
+    DataFrames with the driver only orchestrating, never holding data.
+    In a deployment the index build is offline and the probe reads one
+    cell partition.  Rows-only check: recall depends on engine-specific
+    centroid math.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    # probe: 2 nearest cells to the query
+
+    # seed cells from the label column; refine with 2 Lloyd iterations
+    centroids = _mean_centroids(
+        emb.select(F.col("label").alias("cell0"), "embedding"), "cell0"
+    )
+    for _ in range(2):
+        assigned = (
+            emb.join(F.broadcast(centroids), how="cross")
+            .select(
+                "vec_id", "embedding", "cell",
+                dot("embedding", "centroid").alias("cell_sim"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("cell_sim").desc(), F.col("cell")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("cell", "embedding")
+        )
+        centroids = _mean_centroids(assigned, "cell")
+
+    # probe: 2 nearest refined cells to the query
     probed = (
         centroids.crossJoin(F.broadcast(qv))
         .select("cell", dot("centroid", "qv").alias("cell_sim"))
         .orderBy(F.col("cell_sim").desc())
         .limit(2)
     )
+    # final assignment of corpus vectors to refined cells, probe + re-rank
+    final_cells = (
+        emb.join(F.broadcast(centroids), how="cross")
+        .select("vec_id", "label", "embedding", "cell", dot("embedding", "centroid").alias("s"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cell")
+    )
     return (
-        emb.join(F.broadcast(probed), emb.label == probed.cell)
+        final_cells.join(F.broadcast(probed), "cell")
         .crossJoin(F.broadcast(qv))
         .filter(F.col("vec_id") != 0)
         .select("vec_id", "label", F.round(dot("embedding", "qv"), 6).alias("cosine_sim"))

@@ -9,6 +9,7 @@ reference (explicit catalog schema when present, inference fallback).
 
 from .bucketing import bucketed_join, write_bucketed
 from .readers import (
+    compact_parquet,
     overwrite_partitions,
     read_jsonl,
     write_jsonl,
@@ -20,6 +21,7 @@ __all__ = [
     "write_jsonl",
     "write_partitioned",
     "overwrite_partitions",
+    "compact_parquet",
     "write_bucketed",
     "bucketed_join",
 ]

