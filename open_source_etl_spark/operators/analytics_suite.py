@@ -176,6 +176,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation cn ON c.c_nationkey = cn.n_nationkey
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
     WHERE cn.n_name <> sn.n_name
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1998-01-01'
     GROUP BY cn.n_name, sn.n_name, EXTRACT(YEAR FROM o.o_orderdate)
     ORDER BY cust_nation, supp_nation, order_year
     """,
@@ -187,7 +189,9 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine conflates the two sides)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     cust_nation = nation.select(

@@ -294,3 +294,134 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup edge list: the dedup_jaccard_blocked pair semantics
+    (within-block, length-filtered, exact Jaccard ≥ 0.4) as (src, dst)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("tokset")
+    ).withColumn("n_toks", F.size("tokset"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    union = F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.col("b.n_toks") >= 2 * F.col("a.n_toks"))
+            & (5 * F.col("a.n_toks") >= 2 * F.col("b.n_toks")),
+        )
+        .filter(inter.cast("double") / union >= 0.4)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS tokset
+      FROM documents
+    ),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM toks a JOIN toks b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        AND 5 * len(b.tokset) >= 2 * len(a.tokset)
+        AND 5 * len(a.tokset) >= 2 * len(b.tokset)
+      WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+            / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset)))
+            >= 0.4
+    ),
+    und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    mins AS (SELECT src AS doc_id, MIN(dst) AS min_reach FROM reach GROUP BY src)
+    SELECT
+      d.doc_id,
+      LEAST(d.doc_id, COALESCE(m.min_reach, d.doc_id)) AS cluster_id,
+      d.doc_id = LEAST(d.doc_id, COALESCE(m.min_reach, d.doc_id)) AS is_canonical
+    FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    edge graph via min-label propagation with pointer jumping; each doc
+    gets its component's minimum doc_id as cluster_id, and the canonical
+    (kept) doc is the minimum itself — the keep-one-per-cluster step that
+    turns pair mining into an actual dedup decision.
+
+    Iterative DataFrame algorithm: per round, every vertex takes the min
+    label over itself and its neighbors (one join + one grouped min),
+    then jumps to its label's label (path halving) — O(log n) rounds to
+    converge instead of O(diameter).  ``localCheckpoint`` truncates the
+    growing lineage each round; the driver holds only the changed-count.
+    The oracle computes the same components via a recursive-CTE
+    transitive closure.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _jaccard_edges(spark, sf_dir)
+    # materialize the edge list once: it feeds every iteration, and lazy
+    # recomputation would re-run the (expensive) Jaccard join per round
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    # the label table is O(|docs|) — iterate with few, fat partitions;
+    # per-round shuffle overhead dominates at high partition counts
+    # (on a cluster this scales back up with |docs|)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        labels = _propagate_min_labels(und, labels)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+def _propagate_min_labels(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """Min-label propagation + path halving until a fixed point."""
+    for _ in range(20):
+        nbr = und.join(
+            labels, und.src == labels.doc_id
+        ).select(F.col("dst").alias("doc_id"), "label")
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        jump = merged.select(
+            F.col("doc_id").alias("j_doc"), F.col("label").alias("j_label")
+        )
+        new_labels = (
+            merged.join(jump, merged.label == F.col("j_doc"), "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("j_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -284,3 +284,83 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_total").desc(), "tok")
         .limit(25)
     )
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    SELECT
+      doc_id,
+      regexp_replace(
+        regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+        '\\b(you|him|her|me|us)\\b', '<PRON>', 'g'
+      ) AS redacted,
+      len(regexp_extract_all(text, '[0-9]+')) AS n_redacted_numbers
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based redaction (the PII-scrub pass of a training-data
+    pipeline): numbers and a pronoun list replaced by typed placeholder
+    tokens, with a redaction count for audit.  Pure regexp_replace —
+    JVM-side, single pass, embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>"),
+        r"\b(you|him|her|me|us)\b",
+        "<PRON>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias(
+            "n_redacted_numbers"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_edit_distance",
+    oracle="""
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      levenshtein(substring(a.text, 1, 60), substring(b.text, 1, 60)) AS prefix_edit_dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE a.doc_id < 100 AND b.doc_id < 100
+    ORDER BY doc_a, doc_b
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance on 60-char prefixes within (lang, source)
+    blocks — the character-level near-dup check.  Edit distance is
+    O(n·m) per pair, so at scale it runs LAST in the dedup funnel
+    (after hash/MinHash/length filters), on candidates only and on
+    bounded prefixes, exactly as here."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source",
+        F.substring("text", 1, 60).alias("pa"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lb"), F.col("source").alias("sb"),
+        F.substring("text", 1, 60).alias("pb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lb"))
+            & (F.col("source") == F.col("sb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.levenshtein("pa", "pb").alias("prefix_edit_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
