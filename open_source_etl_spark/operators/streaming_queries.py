@@ -200,3 +200,37 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         stream_stream_interval_join(ev), _sink("ssj"), "append"
     ).orderBy("view_id", "click_id")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT
+      e.event_id,
+      e.user_id,
+      e.event_type,
+      c.c_name,
+      c.c_mktsegment
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined per
+    micro-batch against a static dimension (broadcast — no stream state
+    at all, the static side re-resolves each batch).  The standard
+    pattern for attaching slowly-changing reference data to a stream."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    enriched = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+    return run_available_now(enriched, _sink("enrich"), "append").orderBy("event_id")

@@ -261,3 +261,38 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      ROUND(percent_rank() OVER w, 6) AS pr,
+      ROUND(cume_dist() OVER w, 6) AS cd,
+      nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS second_order
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist /
+    nth_value per customer ordered by price (ties broken by key so both
+    engines rank identically)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -60,3 +60,44 @@ def stream_csv_to_partitioned_parquet(
     if q.isActive:  # pragma: no cover - only on timeout
         q.stop()
     return spark.read.parquet(landing_path)
+
+
+def stream_upsert_partitions(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    schema: StructType,
+    checkpoint: str,
+    date_column: str = "date",
+    timeout_sec: int = 300,
+) -> None:
+    """Incremental partition upsert: each micro-batch of newly arrived
+    CSVs OVERWRITES exactly the date partitions it carries (dynamic
+    partition overwrite inside ``foreachBatch``), leaving sibling
+    partitions untouched.
+
+    This is the reference's re-run semantics (re-land one dated
+    partition, `dags/…:80-143`) made continuous and exactly-once: the
+    caller-owned checkpoint remembers which files were already
+    processed, so re-invoking after new files arrive processes ONLY the
+    delta — the metadata table's bookkeeping role, held by the engine.
+    ``foreachBatch`` is the batch-sink escape hatch: any DataFrame
+    writer becomes a streaming sink with replay protection.
+    """
+    from ..sources import overwrite_partitions
+
+    src = spark.readStream.schema(schema).option("header", "true").csv(source_dir)
+    parted = src.select("*", *partition_columns(F.to_date(F.col(date_column))))
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        overwrite_partitions(batch_df, store_path, ["year", "month", "day"])
+
+    q = (
+        parted.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover - only on timeout
+        q.stop()

@@ -55,3 +55,32 @@ def test_stream_lands_date_partitioned(spark, csv_source, tmp_path):
     # incremental discovery: a late file lands on re-run without reprocessing
     pruned = spark.read.parquet(landing).where("month = 'april'")
     assert pruned.count() == 1
+
+
+def test_stream_upsert_processes_only_the_delta(spark, tmp_path):
+    """Exactly-once incremental ingestion: a second invocation with the
+    same checkpoint sees only files that arrived since the first."""
+    from open_source_etl_spark.streaming.pipelines import stream_upsert_partitions
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "day1.csv").write_text(
+        "data_id,round,date,home,away\n0,R,2021-03-06,FCB,BVB\n"
+    )
+    stream_upsert_partitions(spark, str(src), store, SCHEMA, ckpt)
+    assert {r.data_id for r in spark.read.parquet(store).collect()} == {"0"}
+
+    # a corrected re-send for march 6 plus a new day arrive later
+    (src / "day1_fix.csv").write_text(
+        "data_id,round,date,home,away\n10,R,2021-03-06,FCB,S04\n"
+    )
+    (src / "day2.csv").write_text(
+        "data_id,round,date,home,away\n1,R,2021-04-07,RBL,BVB\n"
+    )
+    stream_upsert_partitions(spark, str(src), store, SCHEMA, ckpt)
+    rows = {r.data_id: (r.year, r.month, r.day) for r in spark.read.parquet(store).collect()}
+    # march 6 partition was overwritten by the delta batch (old row gone),
+    # april 7 landed new — day1.csv was NOT reprocessed
+    assert rows == {"10": (2021, "march", 6), "1": (2021, "april", 7)}

@@ -16,14 +16,14 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Projection / filter / predicates", ("project_rename_cast", "filter_point_lookup", "filter_like_prefix", "filter_in_set", "filter_null_predicates", "filter_range_between", "distinct_values")),
     ("Joins", ("join_inner_fact", "join_left_outer", "join_right_outer", "join_full_outer", "join_semi", "join_anti", "join_cross", "join_range_theta", "join_asof", "join_broadcast_star", "join_multiway_star")),
     ("Aggregation", ("agg_grouped_basic", "agg_global", "agg_filtered_conditional", "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect_sorted", "agg_argmax", "agg_percentiles", "agg_stats_moments")),
-    ("Window functions", ("window_rank_family", "window_lag_lead", "window_first_last", "window_running_sum", "window_moving_avg", "window_range_frame", "window_topk_per_group")),
+    ("Window functions", ("window_rank_family", "window_lag_lead", "window_first_last", "window_running_sum", "window_moving_avg", "window_range_frame", "window_distribution_funcs", "window_topk_per_group")),
     ("Sort / limit / top-k", ("sort_multikey_nulls", "limit_topn", "limit_offset_page")),
     ("Set operations", ("setop_union_all", "setop_union_distinct", "setop_intersect", "setop_except", "setop_except_all")),
     ("Scalar functions", ("scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs", "scalar_conditional")),
     ("Array / map / JSON", ("array_funcs_basic", "array_higher_order", "array_explode_agg", "array_zip_construct", "json_extract_props", "json_to_map")),
     ("Pivot / subqueries", ("pivot_status_by_priority", "unpivot_status_counts", "subquery_exists", "subquery_scalar")),
     ("Headline analytics (TPC-H-shaped)", ("q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume", "q7_nation_trade_volume", "q10_returned_items")),
-    ("Streaming", ("stream_tumbling_window_agg", "stream_sliding_window_agg", "stream_session_window_agg", "stream_dedup_keys", "stream_stateful_user_rollup", "stream_stream_join")),
+    ("Streaming", ("stream_tumbling_window_agg", "stream_sliding_window_agg", "stream_session_window_agg", "stream_dedup_keys", "stream_stateful_user_rollup", "stream_stream_join", "stream_static_enrich")),
     ("UDF / UDAF / UDTF", ("udf_pandas_scalar", "udaf_grouped_pandas", "udtf_text_chunks")),
     ("Deduplication", ("dedup_exact", "dedup_normalized", "dedup_minhash_candidates", "dedup_simhash", "dedup_jaccard_blocked", "dedup_embedding_cosine", "dedup_connected_components")),
     ("Similarity search", ("knn_bruteforce_cosine", "similarity_pairs_threshold", "ann_ivf_search", "ann_lsh_bucketed")),
@@ -41,6 +41,7 @@ LIBRARY_SURFACES = """
 | Key-value metadata store (point lookup / upsert) | `ingest/metadata.py` | `tests/test_ingestion.py` |
 | Full ingestion DAG (sense → partition → land → stage) | `ingest/pipeline.py` | `tests/test_ingestion.py` |
 | Continuous CSV → partitioned parquet (streaming ingestion) | `streaming/pipelines.py` | `tests/test_streaming_pipeline.py` |
+| Incremental foreachBatch partition upsert (exactly-once delta) | `streaming/pipelines.py` | `tests/test_streaming_pipeline.py` |
 | Expectation suite + single-pass runner + JSON report | `dq/` | `tests/test_dq.py` |
 | Model registry with ref()-deps, table/view materialization | `models/` | `tests/test_models.py` |
 | Salted aggregation / salted broadcast join / skew profiler | `functions/skew.py` | `tests/test_skew.py` |
