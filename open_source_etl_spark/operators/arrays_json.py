@@ -204,3 +204,34 @@ def array_zip_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_name")
     )
+
+
+@query(
+    "array_explode_outer_nulls",
+    oracle="""
+    SELECT
+      e.event_id,
+      u.tok AS bucket_tok
+    FROM (
+      SELECT
+        event_id,
+        CASE WHEN value >= 50 THEN string_split(event_type, '_') END AS toks
+      FROM events
+      WHERE event_id < 2000
+    ) e
+    LEFT JOIN LATERAL (SELECT unnest(e.toks) AS tok) u ON TRUE
+    ORDER BY event_id, bucket_tok
+    """,
+)
+def array_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-preserving lateral expansion: ``explode_outer`` keeps rows
+    whose array is NULL (low-value events here) as a single NULL-element
+    row — plain explode would silently drop them, the classic
+    lost-rows bug in flattening pipelines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    toks = F.when(F.col("value") >= 50, F.split("event_type", "_"))
+    return (
+        ev.select("event_id", toks.alias("toks"))
+        .select("event_id", F.explode_outer("toks").alias("bucket_tok"))
+        .orderBy("event_id", "bucket_tok")
+    )

@@ -20,7 +20,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Sort / limit / top-k", ("sort_multikey_nulls", "limit_topn", "limit_offset_page")),
     ("Set operations", ("setop_union_all", "setop_union_distinct", "setop_intersect", "setop_except", "setop_except_all")),
     ("Scalar functions", ("scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs", "scalar_conditional")),
-    ("Array / map / JSON", ("array_funcs_basic", "array_higher_order", "array_explode_agg", "array_zip_construct", "json_extract_props", "json_to_map")),
+    ("Array / map / JSON", ("array_funcs_basic", "array_higher_order", "array_explode_agg", "array_zip_construct", "array_explode_outer_nulls", "json_extract_props", "json_to_map")),
     ("Pivot / subqueries", ("pivot_status_by_priority", "unpivot_status_counts", "subquery_exists", "subquery_scalar")),
     ("Headline analytics (TPC-H-shaped)", ("q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume", "q7_nation_trade_volume", "q10_returned_items")),
     ("Streaming", ("stream_tumbling_window_agg", "stream_sliding_window_agg", "stream_session_window_agg", "stream_dedup_keys", "stream_stateful_user_rollup", "stream_stream_join", "stream_static_enrich")),
