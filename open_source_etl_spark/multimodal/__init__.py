@@ -11,7 +11,7 @@ partitioning posture (media rows are large → size partitions by bytes,
 never collect payloads to the driver).
 """
 
-from .decode import decode_image_meta, sample_frames
+from .decode import audio_chunk_energy, decode_image_meta, sample_frames
 from .schema import (
     IMAGE_META_SCHEMA,
     MEDIA_SCHEMA,
@@ -22,6 +22,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "IMAGE_META_SCHEMA",
     "with_media_payload",
+    "audio_chunk_energy",
     "decode_image_meta",
     "sample_frames",
 ]

@@ -114,3 +114,47 @@ def sample_frames(
 
     flat = media_df.select("doc_id", "media.payload")
     return flat.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id long, chunk_idx long, n_samples int, energy bigint, peak int"
+
+
+def audio_chunk_energy(
+    media_df: DataFrame, chunk_samples: int = 400, codec: str = "fake"
+) -> DataFrame:
+    """Audio feature extraction shape: treat the payload as a PCM sample
+    stream, window it into fixed chunks, emit per-chunk energy/peak —
+    the VAD/loudness pre-filter of a speech-data pipeline.
+
+    The fake codec reads one unsigned byte per sample (a real kernel
+    would ``np.frombuffer(b, dtype='<i2')`` and hand frames to a DSP
+    lib); energy = sum of samples, peak = max.  Vectorized numpy inside
+    the batch loop; zero shuffle.
+    """
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if codec == "real":  # pragma: no cover - no codec libs here
+                raise NotImplementedError(
+                    "real audio decode requires an audio library (e.g. librosa)"
+                )
+            out: dict[str, list] = {
+                "doc_id": [], "chunk_idx": [], "n_samples": [], "energy": [], "peak": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(b), dtype=np.uint8)
+                n_chunks = len(samples) // chunk_samples
+                for i in range(n_chunks):
+                    chunk = samples[i * chunk_samples : (i + 1) * chunk_samples]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i)
+                    out["n_samples"].append(len(chunk))
+                    out["energy"].append(int(chunk.sum()))
+                    out["peak"].append(int(chunk.max()))
+            yield pd.DataFrame(out)
+
+    flat = media_df.select("doc_id", "media.payload")
+    return flat.mapInPandas(kernel, AUDIO_SCHEMA)

@@ -68,3 +68,36 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, frame_bytes=100, stride=10).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    # the fixture text is pure ASCII, so byte values == character codes:
+    # the oracle reconstructs the kernel's per-chunk energy with ord()
+    oracle="""
+    SELECT
+      d.doc_id,
+      c.i AS chunk_idx,
+      400 AS n_samples,
+      list_sum(list_transform(range(1, 401),
+               j -> ord(substring(d.text, c.i * 400 + j, 1)))) AS energy,
+      list_max(list_transform(range(1, 401),
+               j -> ord(substring(d.text, c.i * 400 + j, 1)))) AS peak
+    FROM documents d,
+      LATERAL (
+        SELECT unnest(generate_series(0, length(d.text) // 400 - 1)) AS i
+      ) c
+    ORDER BY d.doc_id, c.i
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality kernel: payload as a PCM sample stream, windowed
+    into 400-sample chunks with per-chunk energy/peak via a vectorized
+    mapInPandas kernel (the VAD/loudness pre-filter shape)."""
+    from ..multimodal.decode import audio_chunk_energy
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_payload(docs)
+    return audio_chunk_energy(media, chunk_samples=400).orderBy(
+        "doc_id", "chunk_idx"
+    )

@@ -12,6 +12,7 @@ import pytest
 from open_source_etl_spark.functions.udfs import register_all
 from open_source_etl_spark.catalog import load_table
 from open_source_etl_spark.multimodal import (
+    audio_chunk_energy,
     decode_image_meta,
     sample_frames,
     with_media_payload,
@@ -57,6 +58,26 @@ def test_frame_sampling_counts(media, spark):
         n_frames = n_bytes // 100
         expected = (n_frames + 9) // 10 if n_frames else 0
         assert got.get(doc_id, 0) == expected
+
+
+def test_audio_chunk_energy_matches_bytes(media):
+    """Windowed PCM features: each 400-byte chunk's energy/peak must equal
+    the plain-Python reduction over the same payload slice."""
+    one = media.orderBy("doc_id").limit(1)
+    payload = bytes(one.select("media.payload").first()[0])
+    rows = audio_chunk_energy(one, chunk_samples=400).orderBy("chunk_idx").collect()
+    assert len(rows) == len(payload) // 400
+    for r in rows:
+        chunk = payload[r.chunk_idx * 400 : (r.chunk_idx + 1) * 400]
+        assert r.n_samples == 400
+        assert r.energy == sum(chunk)
+        assert r.peak == max(chunk)
+
+
+def test_audio_real_codec_is_stubbed(media):
+    df = audio_chunk_energy(media.limit(1), codec="real")
+    with pytest.raises(Exception, match="NotImplementedError|audio library"):
+        df.collect()
 
 
 def test_udf_surface_registers_for_sql(spark):
