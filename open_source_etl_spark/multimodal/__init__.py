@@ -11,7 +11,13 @@ partitioning posture (media rows are large → size partitions by bytes,
 never collect payloads to the driver).
 """
 
-from .decode import audio_chunk_energy, decode_image_meta, sample_frames
+from .decode import (
+    audio_chunk_energy,
+    block_mean_resize,
+    byte_histogram,
+    decode_image_meta,
+    sample_frames,
+)
 from .schema import (
     IMAGE_META_SCHEMA,
     MEDIA_SCHEMA,
@@ -23,6 +29,8 @@ __all__ = [
     "IMAGE_META_SCHEMA",
     "with_media_payload",
     "audio_chunk_energy",
+    "block_mean_resize",
+    "byte_histogram",
     "decode_image_meta",
     "sample_frames",
 ]

@@ -158,3 +158,82 @@ def audio_chunk_energy(
 
     flat = media_df.select("doc_id", "media.payload")
     return flat.mapInPandas(kernel, AUDIO_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, n_in int, n_out int, checksum bigint, head array<bigint>"
+
+
+def block_mean_resize(
+    media_df: DataFrame, factor: int = 8, codec: str = "fake"
+) -> DataFrame:
+    """Resize/downsample kernel shape: block-mean the payload byte stream
+    by ``factor`` (the 1-D analogue of thumbnail generation — a real
+    kernel would ``PIL.Image.resize`` the decoded pixel grid here).
+
+    Output byte i = floor(mean of input block i) computed as integer
+    ``sum // factor`` so the result is exactly reproducible in SQL.
+    Emits the resized length, a checksum (sum of resized bytes) and the
+    first 8 resized values; the full resized payload would be carried as
+    binary in production — the summary keeps the oracle cheap.
+    """
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if codec == "real":  # pragma: no cover - no codec libs here
+                raise NotImplementedError(
+                    "real resize requires an image library (e.g. PIL)"
+                )
+            out: dict[str, list] = {
+                "doc_id": [], "n_in": [], "n_out": [], "checksum": [], "head": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(b), dtype=np.uint8)
+                n_out = len(samples) // factor
+                blocks = samples[: n_out * factor].reshape(n_out, factor)
+                resized = blocks.sum(axis=1, dtype=np.int64) // factor
+                out["doc_id"].append(doc_id)
+                out["n_in"].append(len(samples))
+                out["n_out"].append(n_out)
+                out["checksum"].append(int(resized.sum()))
+                out["head"].append([int(x) for x in resized[:8]])
+            yield pd.DataFrame(out)
+
+    flat = media_df.select("doc_id", "media.payload")
+    return flat.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+HISTOGRAM_SCHEMA = "doc_id long, n_bytes int, hist array<bigint>, top_bin int"
+
+
+def byte_histogram(media_df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Feature-extraction kernel shape: a fixed-width feature vector per
+    media row — the 16-bin high-nibble byte histogram (a real kernel
+    would emit CNN embeddings or MFCCs here).  ``top_bin`` is the argmax
+    bin (first on ties), the classify-by-feature step."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if codec == "real":  # pragma: no cover - no codec libs here
+                raise NotImplementedError(
+                    "real feature extraction requires a model runtime"
+                )
+            out: dict[str, list] = {
+                "doc_id": [], "n_bytes": [], "hist": [], "top_bin": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(samples >> 4, minlength=16)[:16]
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(samples))
+                out["hist"].append([int(x) for x in hist])
+                out["top_bin"].append(int(hist.argmax()))
+            yield pd.DataFrame(out)
+
+    flat = media_df.select("doc_id", "media.payload")
+    return flat.mapInPandas(kernel, HISTOGRAM_SCHEMA)

@@ -101,3 +101,67 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_chunk_energy(media, chunk_samples=400).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+@query(
+    "multimodal_resize_blockmean",
+    # resized[i] = sum(block_i) // 8 — exact integer math, so the oracle
+    # rebuilds every resized byte from the ASCII char codes
+    oracle="""
+    WITH r AS (
+      SELECT d.doc_id,
+             length(d.text) AS n_in,
+             length(d.text) // 8 AS n_out,
+             list_transform(range(0, length(d.text) // 8), i ->
+               list_sum(list_transform(range(1, 9),
+                 j -> ord(substring(d.text, CAST(i * 8 + j AS INTEGER), 1)))) // 8
+             ) AS resized
+      FROM documents d)
+    SELECT doc_id,
+           CAST(n_in AS INTEGER) AS n_in,
+           CAST(n_out AS INTEGER) AS n_out,
+           CAST(list_sum(resized) AS BIGINT) AS checksum,
+           list_transform(resized[1:8], x -> CAST(x AS BIGINT)) AS head
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample kernel: block-mean the payload byte stream by 8
+    (the 1-D thumbnail shape).  Integer floor-mean per block keeps the
+    mapInPandas kernel bit-exact against the SQL oracle."""
+    from ..multimodal.decode import block_mean_resize
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_payload(docs)
+    return block_mean_resize(media, factor=8).orderBy("doc_id")
+
+
+@query(
+    "multimodal_feature_histogram",
+    oracle="""
+    WITH h AS (
+      SELECT d.doc_id,
+             length(d.text) AS n_bytes,
+             list_transform(range(0, 16), b ->
+               CAST(length(list_filter(range(1, length(d.text) + 1),
+                 j -> ord(substring(d.text, CAST(j AS INTEGER), 1)) // 16 = b)) AS BIGINT)
+             ) AS hist
+      FROM documents d)
+    SELECT doc_id,
+           CAST(n_bytes AS INTEGER) AS n_bytes,
+           hist,
+           CAST(list_indexof(hist, list_aggregate(hist, 'max')) - 1 AS INTEGER) AS top_bin
+    FROM h
+    ORDER BY doc_id
+    """,
+)
+def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction kernel: fixed-width 16-bin byte histogram per
+    media row (the embed/classify step of a multimodal pipeline) with an
+    argmax ``top_bin``; vectorized numpy inside mapInPandas, zero shuffle."""
+    from ..multimodal.decode import byte_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_payload(docs)
+    return byte_histogram(media).orderBy("doc_id")

@@ -13,6 +13,8 @@ from open_source_etl_spark.functions.udfs import register_all
 from open_source_etl_spark.catalog import load_table
 from open_source_etl_spark.multimodal import (
     audio_chunk_energy,
+    block_mean_resize,
+    byte_histogram,
     decode_image_meta,
     sample_frames,
     with_media_payload,
@@ -78,6 +80,29 @@ def test_audio_real_codec_is_stubbed(media):
     df = audio_chunk_energy(media.limit(1), codec="real")
     with pytest.raises(Exception, match="NotImplementedError|audio library"):
         df.collect()
+
+
+def test_block_mean_resize_matches_bytes(media):
+    one = media.orderBy("doc_id").limit(1)
+    payload = bytes(one.select("media.payload").first()[0])
+    r = block_mean_resize(one, factor=8).first()
+    n_out = len(payload) // 8
+    resized = [sum(payload[i * 8 : (i + 1) * 8]) // 8 for i in range(n_out)]
+    assert (r.n_in, r.n_out) == (len(payload), n_out)
+    assert r.checksum == sum(resized)
+    assert list(r.head) == resized[:8]
+
+
+def test_byte_histogram_matches_bytes(media):
+    one = media.orderBy("doc_id").limit(1)
+    payload = bytes(one.select("media.payload").first()[0])
+    r = byte_histogram(one).first()
+    hist = [0] * 16
+    for b in payload:
+        hist[b >> 4] += 1
+    assert list(r.hist) == hist
+    assert r.top_bin == hist.index(max(hist))
+    assert r.n_bytes == len(payload)
 
 
 def test_udf_surface_registers_for_sql(spark):
