@@ -1,0 +1,259 @@
+"""Training-data pipeline operators (EXT, SURVEY.md §2B): the dataset
+management layer of an LLM training pipeline — deterministic splits,
+stratified sampling, sequence packing, and balanced sharding over the
+``documents`` corpus.
+
+Design notes for 100 TB:
+- Split/sample assignment is a pure hash of the stable ``doc_id`` — no
+  global state, no sampling RNG on the driver, embarrassingly parallel,
+  reproducible across reruns and engines (the generalization of the
+  reference's deterministic partition-path derivation,
+  ``include/scripts/file_services/partitioner.py:7-25``: route rows by a
+  pure function of the row, never by ambient state).
+- Packing is per-group sequential by nature; the engine keeps the
+  *groups* parallel (one ``applyInPandas`` task per language shard) and
+  the per-group loop vectorized.  Chunked (concat-then-split) packing is
+  pure window math and stays entirely JVM-side.
+- Shard balancing orders by size so the heaviest documents spread
+  round-robin — the greedy LPT approximation — with one window sort as
+  the only shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import query
+
+# LCG-style deterministic bucket in [0, 100): identical integer math on
+# both engines (positive operands, so Spark/DuckDB `%` agree).
+_SPLIT_A, _SPLIT_B = 1103515245, 12345
+_SAMPLE_A, _SAMPLE_B = 2654435761, 101
+_MOD = 2147483648
+
+PACK_CAPACITY = 256
+
+
+def _bucket(col, a: int, b: int):
+    return ((col * F.lit(a) + F.lit(b)) % _MOD) % 100
+
+
+def _bucket_sql(expr: str, a: int, b: int) -> str:
+    return f"((({expr}) * {a} + {b}) % {_MOD}) % 100"
+
+
+@query(
+    "datapipe_split_assign",
+    oracle=f"""
+    SELECT
+      CASE WHEN {_bucket_sql('doc_id', _SPLIT_A, _SPLIT_B)} < 80 THEN 'train'
+           WHEN {_bucket_sql('doc_id', _SPLIT_A, _SPLIT_B)} < 90 THEN 'valid'
+           ELSE 'test' END AS split,
+      COUNT(*) AS n_docs,
+      SUM(n_chars) AS total_chars,
+      MIN(doc_id) AS min_doc,
+      MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def datapipe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split: the bucket is a pure
+    LCG hash of ``doc_id`` — reproducible, shuffle-free row routing (each
+    task splits its own rows; only the audit group-by shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"), _SPLIT_A, _SPLIT_B)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "datapipe_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_bucket_sql('doc_id', _SAMPLE_A, _SAMPLE_B)} < 20
+    ORDER BY doc_id
+    """,
+)
+def datapipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample: hash-bucket filter instead of RNG
+    sampling, so the sample is stable across reruns, engines, and
+    repartitioning — the property training-data pipelines need for
+    reproducible ablations.  Pure filter: no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = _bucket(F.col("doc_id"), _SAMPLE_A, _SAMPLE_B) < 20
+    return docs.filter(keep).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@query(
+    "datapipe_pack_chunks",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents
+    ), cum AS (
+      SELECT lang, doc_id, tok,
+             COALESCE(SUM(tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM base
+    )
+    SELECT lang, doc_id, tok,
+           start // {PACK_CAPACITY} AS seq_id,
+           start % {PACK_CAPACITY} AS offset,
+           (start % {PACK_CAPACITY}) + tok > {PACK_CAPACITY} AS spans_boundary
+    FROM cum
+    ORDER BY lang, doc_id
+    """,
+)
+def datapipe_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the Megatron/GPT pretraining
+    layout): documents are concatenated per language in ``doc_id`` order
+    and cut into fixed 256-token context windows; a document whose span
+    crosses a cut is flagged.  Pure window math — one shuffle on the
+    partition key, everything else in whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = docs.select("lang", "doc_id", tok.alias("tok"))
+    start = F.coalesce(F.sum("tok").over(w), F.lit(0))
+    return (
+        base.withColumn("start", start)
+        .select(
+            "lang",
+            "doc_id",
+            "tok",
+            (F.col("start") / PACK_CAPACITY).cast("long").alias("seq_id"),
+            (F.col("start") % PACK_CAPACITY).alias("offset"),
+            ((F.col("start") % PACK_CAPACITY) + F.col("tok") > PACK_CAPACITY).alias(
+                "spans_boundary"
+            ),
+        )
+        .orderBy("lang", "doc_id")
+    )
+
+
+@query(
+    "datapipe_pack_greedy",
+    # greedy first-fit packing is inherently sequential per group; the
+    # oracle replays the same recurrence as a recursive CTE
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ), packed AS (
+      SELECT lang, doc_id, tok, rn,
+             CAST(0 AS BIGINT) AS bin_id, tok AS fill_after
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.lang, b.doc_id, b.tok, b.rn,
+             CASE WHEN p.fill_after + b.tok <= {PACK_CAPACITY}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill_after + b.tok <= {PACK_CAPACITY}
+                  THEN p.fill_after + b.tok ELSE b.tok END
+      FROM packed p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1
+    )
+    SELECT lang, doc_id, tok, bin_id, fill_after
+    FROM packed
+    ORDER BY lang, doc_id
+    """,
+)
+def datapipe_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing: documents fill a 256-token bin
+    until the next one would overflow, then a new bin opens (no document
+    is split).  The recurrence is sequential *within* a language but the
+    languages pack in parallel — one ``applyInPandas`` task per group,
+    loop in C-speed pandas/numpy inside."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.split("text", " ")).cast("long")
+    base = docs.select("lang", "doc_id", tok.alias("tok"))
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_ids, fills = [], []
+        bin_id, fill = 0, 0
+        first = True
+        for t in pdf["tok"]:
+            if first:
+                bin_id, fill, first = 0, int(t), False
+            elif fill + t <= PACK_CAPACITY:
+                fill += int(t)
+            else:
+                bin_id += 1
+                fill = int(t)
+            bin_ids.append(bin_id)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                "lang": pdf["lang"],
+                "doc_id": pdf["doc_id"],
+                "tok": pdf["tok"],
+                "bin_id": bin_ids,
+                "fill_after": fills,
+            }
+        )
+
+    schema = "lang string, doc_id long, tok long, bin_id long, fill_after long"
+    return (
+        base.groupBy("lang").applyInPandas(pack, schema).orderBy("lang", "doc_id")
+    )
+
+
+@query(
+    "datapipe_shard_balance",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM ranked
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def datapipe_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus sharding: size-descending round-robin (the greedy
+    LPT approximation) assigns each document to one of 8 output shards so
+    shard byte-totals stay within a few % of each other — the writer
+    layout step before a partitioned ``write``.  One global window sort;
+    at 100 TB swap ``row_number`` for a range-partitioned rank on
+    pre-aggregated size quantiles."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.select("doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .select(((F.col("rk") - 1) % 8).alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("shard")
+    )
