@@ -211,3 +211,214 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .orderBy("cust_nation", "supp_nation", "order_year")
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT
+      n.n_name AS nation,
+      EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
+      CAST(SUM({_REV_SQL}) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+    ORDER BY nation, order_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and year.
+    The selective part-name filter prunes lineitem via the broadcast
+    part⋈lineitem join before the fact⋈fact orders join; supplier and
+    nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("profit"))
+        .orderBy("nation", F.col("order_year").desc())
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer including the
+    zero bucket — outer join with a JOIN-SIDE predicate (not a WHERE, or
+    the zero-order customers vanish), then a two-level aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT
+      CAST(100.00 * SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL}
+                             ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-03-01'
+      AND l.l_shipdate < DATE '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship-month — a
+    broadcast part join feeding two conditional DECIMAL sums; the ratio
+    divides only after exact accumulation, so the result is
+    order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(28,6)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                (F.lit(100.00) * F.sum(promo).cast("double"))
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, agg.sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300
+    ) agg
+    JOIN orders o ON o.o_orderkey = agg.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — aggregate lineitem FIRST
+    (map-side partial sums shrink the fact table before any join), filter
+    with HAVING, then join the survivors to orders/customer.  Quantities
+    are integral doubles, so the sums are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    # avg threshold multiplied through (bal * n > total) so both engines
+    # compare exact DECIMAL quantities — no float-average boundary flips
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS nation,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM pos)
+          > (SELECT SUM(bal) FROM pos)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers with no urgent orders, by nation
+    (every fixture customer has *some* order, so the anti-join keys on
+    the urgent subset to keep the result non-empty).  The global-average
+    threshold is cross-multiplied (bal·n > Σbal) so the predicate
+    compares exact DECIMALs; the no-urgent-orders test is a left-anti
+    join; the 1-row threshold aggregate broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.sum(bal).alias("total_pos"),
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(bal * F.col("n_pos") > F.col("total_pos"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
