@@ -1,0 +1,253 @@
+"""Behavioral / event-sequence analytics over the ``events`` table:
+sessionization, funnel conversion, cohort retention, path mining, and
+rolling activity — the clickstream workload a warehouse replacement runs
+beside the relational suite.
+
+Provenance: GEN (SURVEY.md §2B) — the reference's event-shaped data stops
+at ingestion; these are the standard downstream analyses any engine
+swap-in must cover.
+
+Scale notes: every query here partitions its windows by ``user_id`` (or
+aggregates first and windows over a tiny per-day series), so per-partition
+state stays bounded at 100 TB — there is no global window.  Sessionization
+is the classic gaps-and-islands rewrite (lag → flag → running sum), which
+costs exactly one shuffle on user_id; funnel steps reuse one aggregated
+per-user frame per stage, each |users|-sized, so the stage joins broadcast.
+
+``events.ts`` is TIMESTAMP(NANOS) parquet: Spark reads it via the
+nanosAsLong normalization in catalog.py; the DuckDB oracles CAST to
+TIMESTAMP (microseconds) to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "behavior_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  <= INTERVAL 6 HOUR
+             THEN 0 ELSE 1 END AS new_session
+      FROM e
+    ), numbered AS (
+      SELECT user_id, ts, value,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY 1, 2
+    ORDER BY user_id, session_id
+    """,
+)
+def behavior_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (6-hour inactivity gap) via gaps-and-islands:
+    lag marks session starts, a running sum numbers them, one groupBy
+    collapses each island.  All three windows share the (user_id, ts)
+    shuffle+sort, so Spark executes them in a single exchange."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_ok = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 6 * 3600
+    flagged = ev.withColumn(
+        "new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "behavior_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+)
+def behavior_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each stage keeps users whose
+    earliest qualifying event strictly follows their previous stage's
+    anchor time.  Every stage frame is |users|-sized, so the stage joins
+    broadcast and the events table is scanned once per stage with the
+    event-type filter pushed into the scan."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def stage(event_type: str, prev: DataFrame | None, anchor: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(F.broadcast(prev), "user_id").filter(F.col("ts") > F.col(anchor))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = stage("view", None, "", "t_view")
+    c = stage("click", v, "t_view", "t_click")
+    p = stage("purchase", c, "t_click", "t_buy")
+    return (
+        v.agg(F.count("*").cast("bigint").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").cast("bigint").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").cast("bigint").alias("n_view_click_purchase")))
+    )
+
+
+@query(
+    "behavior_retention",
+    oracle="""
+    WITH ue AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), cohort AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+      FROM ue GROUP BY 1
+    )
+    SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+           CAST(DATE_DIFF('day', c.cohort_week, DATE_TRUNC('week', e.ts)) / 7
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM ue e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def behavior_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort = week of first activity,
+    cell = distinct users from that cohort active k weeks later.  The
+    cohort map is |users|-sized and broadcasts back onto the event stream;
+    both week columns truncate to Monday midnight, so the day-diff is an
+    exact multiple of 7 in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week_ts")
+    )
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            F.col("cohort_week_ts").cast("date").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week_ts"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "behavior_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+        LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt1,
+        LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt2
+      FROM events
+    )
+    SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE nxt1 IS NOT NULL AND nxt2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def behavior_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 10 most common 3-event sequences across user
+    timelines.  Two leads over one (user_id, ts, event_id) window — a
+    single shuffle+sort — then an ordinary count aggregation; the unique
+    event_id tie-break keeps the sequence (and thus the counts)
+    deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    return (
+        seq.filter(F.col("nxt1").isNotNull() & F.col("nxt2").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("path")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "behavior_daily_ma7",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, n,
+      CAST(AVG(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma7
+    FROM daily
+    ORDER BY event_type, day
+    """,
+)
+def behavior_daily_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling activity: events per (day, type) with a trailing 7-row
+    moving average.  The heavy aggregation happens first (map-side partial
+    counts), so the window runs over a tiny per-day series; the averaged
+    counts are small integers, making the double mean bit-exact across
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        daily.withColumn("ma7", F.avg(F.col("n").cast("double")).over(w).cast("double"))
+        .orderBy("event_type", "day")
+    )

@@ -44,6 +44,7 @@ def load_all() -> None:
         aggregates,
         analytics_suite,
         arrays_json,
+        behavioral,
         datapipe_queries,
         dq_checks,
         ingestion,

@@ -23,6 +23,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Array / map / JSON", ("array_funcs_basic", "array_higher_order", "array_explode_agg", "array_zip_construct", "array_explode_outer_nulls", "json_extract_props", "json_to_map")),
     ("Pivot / subqueries", ("pivot_status_by_priority", "unpivot_status_counts", "subquery_exists", "subquery_scalar")),
     ("Headline analytics (TPC-H-shaped)", ("q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume", "q7_nation_trade_volume", "q8_market_share", "q9_product_profit", "q10_returned_items", "q11_important_parts", "q12_late_line_priority", "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety", "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_filter", "q20_excess_shipments", "q21_waiting_supplier", "q22_sales_opportunity")),
+    ("Behavioral / event-sequence analytics", ("behavior_sessionize", "behavior_funnel", "behavior_retention", "behavior_path_trigrams", "behavior_daily_ma7")),
     ("Streaming", ("stream_tumbling_window_agg", "stream_sliding_window_agg", "stream_session_window_agg", "stream_dedup_keys", "stream_stateful_user_rollup", "stream_stream_join", "stream_static_enrich")),
     ("UDF / UDAF / UDTF", ("udf_pandas_scalar", "udaf_grouped_pandas", "udtf_text_chunks")),
     ("Deduplication", ("dedup_exact", "dedup_normalized", "dedup_minhash_candidates", "dedup_simhash", "dedup_jaccard_blocked", "dedup_embedding_cosine", "dedup_connected_components")),
