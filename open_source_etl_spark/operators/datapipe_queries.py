@@ -257,3 +257,98 @@ def datapipe_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("shard")
     )
+
+
+@query(
+    "datapipe_global_shuffle",
+    # md5 of the stringified key is the shared cross-engine hash; the
+    # shard is a pure function of its first hex char (ascii % 4)
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents
+    )
+    SELECT doc_id,
+           CAST(ascii(substring(hkey, 1, 1)) % 4 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY ascii(substring(hkey, 1, 1)) % 4
+                  ORDER BY hkey, doc_id) AS BIGINT) AS pos_in_shard
+    FROM h
+    ORDER BY shard, pos_in_shard
+    """,
+)
+def datapipe_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    order by a cryptographic hash of the stable key instead of an RNG, so
+    the permutation is reproducible across reruns, engines, and resumes.
+    Sharding first (hash prefix) keeps every window partition-local —
+    position is per-shard, which is what a data loader consumes — so
+    nothing serializes through a single task at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = docs.withColumn("hkey", F.md5(F.col("doc_id").cast("string")))
+    shard = (F.ascii(F.substring("hkey", 1, 1)) % 4).cast("int")
+    w = Window.partitionBy(shard).orderBy("hkey", "doc_id")
+    return (
+        h.select(
+            "doc_id",
+            shard.alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+        )
+        .orderBy("shard", "pos_in_shard")
+    )
+
+
+@query(
+    "datapipe_contamination",
+    # benchmark set = doc_id % 7 == 0 (a stand-in eval split); a train
+    # doc is contaminated if it shares any 5-gram with a benchmark doc
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS g
+      FROM docs, UNNEST(range(1, len(w) - 3)) AS t(i)
+      WHERE len(w) >= 5
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0
+    )
+    SELECT t.doc_id, CAST(COUNT(DISTINCT t.g) AS BIGINT) AS shared_grams
+    FROM grams t
+    JOIN bench b ON t.g = b.g
+    WHERE t.doc_id % 7 <> 0
+    GROUP BY t.doc_id
+    ORDER BY shared_grams DESC, doc_id
+    LIMIT 50
+    """,
+)
+def datapipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: which training documents share
+    5-gram shingles with the (held-out) benchmark set.  The gram stream is
+    built once and reused for both sides; the benchmark side collapses to
+    DISTINCT grams (small — eval sets are tiny relative to the corpus) and
+    broadcasts into the join, so the only wide operation is the final
+    per-doc distinct count.  The token array materializes as a column
+    BEFORE the transform() lambda (transform bodies are not CSE'd — see
+    llm_text.text_fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 5)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 4),
+                lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 7 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 7 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("bigint").alias("shared_grams"))
+        .orderBy(F.col("shared_grams").desc(), "doc_id")
+        .limit(50)
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ..sources import read_jsonl, write_jsonl
+from ..sources import read_jsonl, read_orc, write_jsonl, write_orc
 
 
 @query(
@@ -54,4 +54,42 @@ def json_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_event_id"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "orc_file_scan",
+    oracle="""
+    SELECT lang, source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      MIN(doc_id) AS min_doc_id,
+      MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def orc_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → scan → aggregate (the second columnar format beside
+    parquet; SURVEY.md §2B scans).  The oracle aggregates the original
+    parquet, so any loss in the ORC roundtrip (types, nulls, encoding)
+    hash-mismatches.  ORC scans share parquet's pushdown/pruning behavior
+    at scale — the aggregate's filterless scan still prunes to the four
+    referenced columns (ReadSchema)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="osetl-orc-") + "/documents"
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang", "source")
     )

@@ -1,0 +1,78 @@
+"""Warehouse maintenance operators: slowly-changing-dimension history
+(SCD Type 2) derived from an event stream.
+
+Provenance: GEN (SURVEY.md §2B) — the reference maintains dimension
+tables in Snowflake via dbt models; SCD2 versioning is the standard
+mechanism an engine replacement must offer for the same job.
+
+Scale notes: the whole derivation is two windows over one
+(user_id, ts) shuffle+sort — state-change detection (lag) and validity
+intervals (lead) — then a filter.  Partitioning by the entity key keeps
+per-partition state bounded; there is no global window and no driver
+loop, so the same plan runs at 100 TB with the entity key as the
+shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN event_type = LAG(event_type)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             THEN 0 ELSE 1 END AS is_change
+      FROM e
+    ), changes AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM marked WHERE is_change = 1
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 from an event stream: collapse consecutive identical
+    states (lag ≠ current marks a change), then lead() closes each
+    version's validity interval; the open interval is the current row.
+    Both windows share the (user_id, ts, event_id) sort, so Spark plans
+    one exchange + one sort for the whole history build."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn(
+            "is_change",
+            F.when(F.col("event_type") == F.lag("event_type").over(w), 0).otherwise(1),
+        )
+        .filter(F.col("is_change") == 1)
+        .drop("is_change")
+    )
+    valid_to = F.lead("ts").over(w)
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            valid_to.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

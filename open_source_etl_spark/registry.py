@@ -60,6 +60,7 @@ def load_all() -> None:
         source_queries,
         streaming_queries,
         udf_queries,
+        warehouse,
         windows,
     )
 

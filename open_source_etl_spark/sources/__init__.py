@@ -12,13 +12,17 @@ from .readers import (
     compact_parquet,
     overwrite_partitions,
     read_jsonl,
+    read_orc,
     write_jsonl,
+    write_orc,
     write_partitioned,
 )
 
 __all__ = [
     "read_jsonl",
+    "read_orc",
     "write_jsonl",
+    "write_orc",
     "write_partitioned",
     "overwrite_partitions",
     "compact_parquet",

@@ -12,7 +12,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FAMILIES: list[tuple[str, tuple[str, ...]]] = [
-    ("Scans / sources / sinks", ("staging_all_varchar", "file_provenance", "json_file_scan", "partition_path_derivation", "metadata_value_synthesis")),
+    ("Scans / sources / sinks", ("staging_all_varchar", "file_provenance", "json_file_scan", "orc_file_scan", "partition_path_derivation", "metadata_value_synthesis")),
     ("Projection / filter / predicates", ("project_rename_cast", "filter_point_lookup", "filter_like_prefix", "filter_in_set", "filter_null_predicates", "filter_range_between", "distinct_values")),
     ("Joins", ("join_inner_fact", "join_left_outer", "join_right_outer", "join_full_outer", "join_semi", "join_anti", "join_cross", "join_range_theta", "join_asof", "join_broadcast_star", "join_multiway_star")),
     ("Aggregation", ("agg_grouped_basic", "agg_global", "agg_filtered_conditional", "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect_sorted", "agg_argmax", "agg_percentiles", "agg_stats_moments")),
@@ -23,6 +23,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Array / map / JSON", ("array_funcs_basic", "array_higher_order", "array_explode_agg", "array_zip_construct", "array_explode_outer_nulls", "json_extract_props", "json_to_map")),
     ("Pivot / subqueries", ("pivot_status_by_priority", "unpivot_status_counts", "subquery_exists", "subquery_scalar")),
     ("Headline analytics (TPC-H-shaped)", ("q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume", "q7_nation_trade_volume", "q8_market_share", "q9_product_profit", "q10_returned_items", "q11_important_parts", "q12_late_line_priority", "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety", "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_filter", "q20_excess_shipments", "q21_waiting_supplier", "q22_sales_opportunity")),
+    ("Warehouse maintenance", ("scd2_user_state",)),
     ("Behavioral / event-sequence analytics", ("behavior_sessionize", "behavior_funnel", "behavior_retention", "behavior_path_trigrams", "behavior_daily_ma7")),
     ("Streaming", ("stream_tumbling_window_agg", "stream_sliding_window_agg", "stream_session_window_agg", "stream_dedup_keys", "stream_stateful_user_rollup", "stream_stream_join", "stream_static_enrich")),
     ("UDF / UDAF / UDTF", ("udf_pandas_scalar", "udaf_grouped_pandas", "udtf_text_chunks")),
@@ -30,7 +31,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Similarity search", ("knn_bruteforce_cosine", "similarity_pairs_threshold", "ann_ivf_search", "ann_lsh_bucketed")),
     ("Text analysis", ("text_token_stats", "text_quality_score", "text_lang_guess", "text_bpe_token_count", "text_fingerprint", "text_heavy_hitters", "text_pii_redact", "text_edit_distance")),
     ("Multimodal columns", ("multimodal_image_meta", "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_resize_blockmean", "multimodal_feature_histogram")),
-    ("Training-data pipeline", ("datapipe_split_assign", "datapipe_stratified_sample", "datapipe_pack_chunks", "datapipe_pack_greedy", "datapipe_shard_balance")),
+    ("Training-data pipeline", ("datapipe_split_assign", "datapipe_stratified_sample", "datapipe_pack_chunks", "datapipe_pack_greedy", "datapipe_shard_balance", "datapipe_global_shuffle", "datapipe_contamination")),
     ("Data quality", ("dq_single_pass_suite", "dq_uniqueness_check", "dq_referential_integrity")),
 ]
 
@@ -47,6 +48,7 @@ LIBRARY_SURFACES = """
 | Expectation suite + single-pass runner + JSON report | `dq/` | `tests/test_dq.py` |
 | Model registry with ref()-deps, table/view materialization | `models/` | `tests/test_models.py` |
 | Salted aggregation / salted broadcast join / skew profiler | `functions/skew.py` | `tests/test_skew.py` |
+| Bloom-filter runtime semi-join reduction (no false negatives) | `functions/bloom.py` | `tests/test_bloom.py` |
 | Bucketed co-located joins (zero-Exchange fact⋈fact) | `sources/bucketing.py` | `tests/test_sources.py` |
 | Dynamic partition overwrite (partition-scoped upsert) | `sources/readers.py` | `tests/test_sources.py` |
 | Media decode/frame kernels (stubbed codecs, real plumbing) | `multimodal/` | `tests/test_multimodal.py` |
