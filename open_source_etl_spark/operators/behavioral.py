@@ -251,3 +251,65 @@ def behavior_daily_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("ma7", F.avg(F.col("n").cast("double")).over(w).cast("double"))
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "timeseries_gapfill_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), spans AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM b GROUP BY 1
+    ), spine AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    ), daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      FROM b GROUP BY 1, 2
+    )
+    SELECT s.user_id AS user_id, s.day AS day,
+      CAST(d.day_value IS NOT NULL AS BOOLEAN) AS observed,
+      last_value(d.day_value IGNORE NULLS) OVER (
+        PARTITION BY s.user_id ORDER BY s.day
+        ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM spine s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    ORDER BY s.user_id, s.day
+    """,
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a per-user daily date spine (sequence +
+    explode — generated distributed, not on the driver) left-joined to
+    observed daily totals, forward-filled with last(ignorenulls) over a
+    running frame.  The spine explodes ~|days| rows per user inside each
+    partition, and the fill window rides the same (user_id, day) shuffle
+    as the join — one exchange end-to-end."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("day_value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_value").isNotNull().alias("observed"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "day")
+    )

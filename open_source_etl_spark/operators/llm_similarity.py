@@ -253,3 +253,96 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dot("ea", "eb") >= 0.5)
         .agg(F.count("*").alias("n_near_dup_pairs"))
     )
+
+
+@query(
+    "embed_label_centroids",
+    oracle="""
+    SELECT label, CAST(o - 1 AS INT) AS dim,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid_component,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS o
+      FROM embeddings
+    )
+    WHERE o <= 8
+    GROUP BY label, o
+    ORDER BY label, dim
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (first 8 dims shown): posexplode to
+    (label, dim, component), then a plain grouped mean — the distributed
+    centroid step of k-means/IVF training.  Partial aggregation shrinks
+    the exploded stream map-side, so the shuffle carries |labels|·|dims|
+    rows, not |vectors|·|dims|."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).filter(F.col("dim") < 8)
+    return (
+        exploded.groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_component"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    # FLOOR(x + 0.5) instead of ROUND: floor on the binary double is
+    # engine-identical, Spark/DuckDB ROUND are not (parity.py)
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, label,
+        127.0 / list_max(list_transform(embedding,
+                                        x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        embedding
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, label, scale,
+        list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+      FROM scaled
+    )
+    SELECT vec_id, label, ROUND(scale, 6) AS scale_r,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the storage
+    shrink before ANN serving): per-vector scale = 127/max|x|, components
+    quantized via FLOOR(x·scale + 0.5).  All array math is JVM-side
+    higher-order functions; the scale materializes as a column BEFORE the
+    transform() lambda (transform bodies are not CSE'd)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.withColumn(
+        "scale",
+        F.lit(127.0)
+        / F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+    )
+    q = scaled.withColumn(
+        "qv",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.col("scale") + 0.5).cast("bigint"),
+        ),
+    )
+    return (
+        q.select(
+            "vec_id",
+            "label",
+            F.round("scale", 6).alias("scale_r"),
+            F.array_min("qv").cast("bigint").alias("q_min"),
+            F.array_max("qv").cast("bigint").alias("q_max"),
+            F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        )
+        .orderBy("vec_id")
+    )

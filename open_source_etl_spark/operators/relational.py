@@ -384,3 +384,37 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scalar_regex_funcs",
+    # Java regex (Spark) and RE2 (DuckDB) agree on this \w/\d/literal
+    # subset; DuckDB needs the 'g' flag to match Spark's replace-all
+    oracle="""
+    SELECT doc_id,
+      regexp_extract(text, '^(\\w+)', 1) AS first_token,
+      CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels,
+      regexp_replace(text, '\\d+', '#', 'g') AS no_digits,
+      split_part(text, ' ', 2) AS second_token
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: extract (capture group), count, replace-all,
+    and positional split — all JVM-side codegen'd expressions, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_extract("text", r"^(\w+)", 1).alias("first_token"),
+            F.size(F.expr(r"regexp_extract_all(text, '[aeiou]', 0)"))
+            .cast("bigint")
+            .alias("n_vowels"),
+            F.regexp_replace("text", r"\d+", "#").alias("no_digits"),
+            F.split_part(F.col("text"), F.lit(" "), F.lit(2)).alias("second_token"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )

@@ -213,3 +213,35 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+@query(
+    "lateral_topk_per_group",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS c_acctbal
+    FROM nation n JOIN LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t ON TRUE
+    ORDER BY n_name, c_acctbal DESC, c_custkey
+    """,
+)
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY + LIMIT (the
+    SQL-standard spelling of top-k-per-group).  Catalyst decorrelates the
+    lateral into the same window/top-k plan as window_topk_per_group —
+    this proves the SQL surface, not a new physical strategy."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS c_acctbal
+        FROM lat_nation n JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        ORDER BY n_name, c_acctbal DESC, c_custkey
+        """
+    )
