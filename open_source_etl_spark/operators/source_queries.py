@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ..functions.zorder import morton_code, morton_sql
 from ..sources import read_jsonl, read_orc, write_jsonl, write_orc
 
 
@@ -92,4 +93,44 @@ def orc_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
         .orderBy("lang", "source")
+    )
+
+
+@query(
+    "layout_zorder_key",
+    oracle=f"""
+    WITH b AS (
+      SELECT p_partkey, p_size,
+        CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket
+      FROM part
+    )
+    SELECT p_partkey, p_size, price_bucket,
+      CAST({morton_sql('p_size', 'price_bucket')} AS BIGINT) AS zkey
+    FROM b
+    ORDER BY zkey, p_partkey
+    LIMIT 200
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key: Morton-interleave (p_size, price bucket) and
+    sort by it — the multi-dimension clustering write order (Delta/Iceberg
+    Z-ORDER) as a plain ORDER BY.  Sorting 100 TB by this key gives
+    min/max row-group pruning on BOTH dimensions; the key itself is pure
+    shift/and/or codegen, built by functions/zorder.py and verified
+    bit-exactly against the SQL twin."""
+    part = load_table(spark, sf_dir, "part")
+    b = part.select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_bucket"),
+    )
+    return (
+        b.select(
+            "p_partkey",
+            "p_size",
+            "price_bucket",
+            morton_code(F.col("p_size"), F.col("price_bucket")).cast("bigint").alias("zkey"),
+        )
+        .orderBy("zkey", "p_partkey")
+        .limit(200)
     )

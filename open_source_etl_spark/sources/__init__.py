@@ -8,9 +8,11 @@ reference (explicit catalog schema when present, inference fallback).
 """
 
 from .bucketing import bucketed_join, write_bucketed
+from .pysource import SyntheticEventsSource
 from .readers import (
     compact_parquet,
     overwrite_partitions,
+    read_binary_files,
     read_jsonl,
     read_orc,
     write_jsonl,
@@ -19,6 +21,8 @@ from .readers import (
 )
 
 __all__ = [
+    "SyntheticEventsSource",
+    "read_binary_files",
     "read_jsonl",
     "read_orc",
     "write_jsonl",

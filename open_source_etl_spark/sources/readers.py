@@ -53,6 +53,21 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Read raw files as rows — (path, modificationTime, length, content)
+    with ``content`` the whole file as a binary column.  The ingestion
+    entry for multimodal corpora (images/audio/video land as opaque bytes
+    plus provenance; decode happens later in multimodal/decode.py).  The
+    listing is distributed, so a 10⁸-object bucket doesn't serialize
+    through the driver."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:
