@@ -132,3 +132,38 @@ def stage_csv(
         dated = raw.withColumns({"year": year_c, "month": month_c, "day": day_c})
     dated.write.mode("overwrite").partitionBy("year", "month", "day").parquet(landing_path)
     return spark.read.parquet(landing_path)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    delimiter: str = ",",
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV read that splits rows into (good, quarantined).
+
+    The reference's ingestion assumes every row parses (all-varchar
+    staging, `dags/…:170-188`); typed staging at 100 TB cannot — one
+    malformed row must not fail a million-file backfill (FAILFAST) or
+    vanish silently (DROPMALFORMED).  PERMISSIVE mode nulls the typed
+    columns and preserves the raw line in ``corrupt_col``; splitting on
+    its NULL-ness gives an exactly-once partition of the input: every
+    line lands in `good` or in `bad` with its original text intact for
+    replay after a schema fix.
+    """
+    full_schema = StructType(schema.fields + [StructField(corrupt_col, StringType())])
+    raw = (
+        spark.read.options(
+            header=True,
+            sep=delimiter,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=corrupt_col,
+        )
+        .schema(full_schema)
+        .csv(path)
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad

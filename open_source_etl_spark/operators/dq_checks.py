@@ -103,3 +103,50 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(orphan_li, orphan_orders)], "orphan_lineitems bigint, orphan_orders bigint"
     )
+
+
+@query(
+    "dq_outlier_zscore",
+    # stddev_samp on both engines is the same sum/sumsq formulation over
+    # doubles of modest magnitude; the z-threshold compare is guarded by
+    # ROUND on the reported score only, never on the filter boundary
+    # (the filter cross-multiplies |x-mean| > 1.6*sd exactly as doubles)
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderstatus,
+             AVG(o_totalprice) AS mu,
+             STDDEV_SAMP(o_totalprice) AS sd
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           ROUND((o.o_totalprice - s.mu) / s.sd, 4) AS zscore
+    FROM orders o JOIN stats s ON o.o_orderstatus = s.o_orderstatus
+    WHERE ABS(o.o_totalprice - s.mu) > 1.6 * s.sd
+    ORDER BY o_orderkey
+    """,
+)
+def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection (the anomaly tier above the
+    reference's declarative value checks, GEN of §2A.3): per-group mean and
+    stddev computed once, broadcast back, and rows beyond 1.6σ flagged.
+    Group stats are a |groups|-sized aggregate, so the enrich join
+    broadcasts — the fact table is scanned once and never shuffled."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sd"),
+    )
+    return (
+        orders.join(F.broadcast(stats), "o_orderstatus")
+        .filter(F.abs(F.col("o_totalprice") - F.col("mu")) > 1.6 * F.col("sd"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.round((F.col("o_totalprice") - F.col("mu")) / F.col("sd"), 4).alias(
+                "zscore"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -32,7 +32,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Text analysis", ("text_token_stats", "text_quality_score", "text_lang_guess", "text_bpe_token_count", "text_fingerprint", "text_heavy_hitters", "text_pii_redact", "text_edit_distance")),
     ("Multimodal columns", ("multimodal_image_meta", "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_resize_blockmean", "multimodal_feature_histogram")),
     ("Training-data pipeline", ("datapipe_split_assign", "datapipe_stratified_sample", "datapipe_pack_chunks", "datapipe_pack_greedy", "datapipe_shard_balance", "datapipe_global_shuffle", "datapipe_contamination")),
-    ("Data quality", ("dq_single_pass_suite", "dq_uniqueness_check", "dq_referential_integrity")),
+    ("Data quality", ("dq_single_pass_suite", "dq_uniqueness_check", "dq_referential_integrity", "dq_outlier_zscore")),
 ]
 
 LIBRARY_SURFACES = """
@@ -50,6 +50,8 @@ LIBRARY_SURFACES = """
 | Salted aggregation / salted broadcast join / skew profiler | `functions/skew.py` | `tests/test_skew.py` |
 | Bloom-filter runtime semi-join reduction (no false negatives) | `functions/bloom.py` | `tests/test_bloom.py` |
 | Custom Python DataSource (partitioned synthetic generator) | `sources/pysource.py` | `tests/test_pysource_binary.py` |
+| Join-strategy hints (merge / shuffle_hash / broadcast) | — (DataFrame hint API) | `tests/test_hints_quarantine.py` |
+| PERMISSIVE CSV quarantine (corrupt rows preserved for replay) | `ingest/staging.py` | `tests/test_hints_quarantine.py` |
 | binaryFile multimodal ingestion (path/length/content rows) | `sources/readers.py` | `tests/test_pysource_binary.py` |
 | Bucketed co-located joins (zero-Exchange fact⋈fact) | `sources/bucketing.py` | `tests/test_sources.py` |
 | Dynamic partition overwrite (partition-scoped upsert) | `sources/readers.py` | `tests/test_sources.py` |
