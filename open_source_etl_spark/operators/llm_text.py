@@ -10,7 +10,7 @@ all except where a group-by is the point).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -363,4 +363,67 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("pa", "pb").alias("prefix_edit_dist"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    # rank on the ROUNDED score (6dp) with a token tiebreak: LN() may
+    # differ in the last ulp across libm implementations, and ranking the
+    # raw double would flip tied rows between engines
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), docfreq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+        ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / docfreq.df), 6) AS tfidf
+      FROM tf JOIN docfreq ON tf.tok = docfreq.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT doc_id, tok, tfidf,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, tok) AS rn
+      FROM scored WHERE doc_id < 50
+    )
+    WHERE rn <= 3
+    ORDER BY doc_id, rn
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per (doc, token) × inverse document
+    frequency over the WHOLE corpus, top-3 terms per document (first 50
+    docs shown).  Two grouped aggregations build tf and df; df is
+    |vocabulary|-sized so it broadcasts back onto the tf stream, and the
+    corpus size joins as a 1-row broadcast — the token explosion is
+    scanned once and shuffled once (on the token key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    docfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.filter(F.col("doc_id") < 50)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("doc_id", "rn")
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import query
 from ..streaming import (
     dedup_keys,
+    dedup_keys_within_watermark,
     stream_stream_interval_join,
     run_available_now,
     session_window_stats,
@@ -234,3 +235,25 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), ev.user_id == cust.c_custkey
     ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
     return run_available_now(enriched, _sink("enrich"), "append").orderBy("event_id")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    # one micro-batch + key-only projection ⇒ the emitted set is exactly
+    # the distinct key set, whatever the eviction timeline was
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with time-bounded state
+    (``dropDuplicatesWithinWatermark``): unlike plain dropDuplicates, the
+    state store only holds keys until the watermark passes them — the
+    operator for at-least-once upstream retries over an unbounded key
+    space, where keep-all-keys state would grow forever."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(
+        dedup_keys_within_watermark(ev), _sink("dedup_wm"), "append"
+    ).orderBy("user_id", "event_type")

@@ -13,6 +13,7 @@ the equivalent batch computation (batch-parity — SURVEY.md §7 step 7).
 
 from .ops import (
     dedup_keys,
+    dedup_keys_within_watermark,
     session_window_stats,
     sliding_window_counts,
     stateful_user_rollup,
@@ -29,6 +30,7 @@ __all__ = [
     "sliding_window_counts",
     "session_window_stats",
     "dedup_keys",
+    "dedup_keys_within_watermark",
     "stateful_user_rollup",
     "stream_stream_interval_join",
 ]

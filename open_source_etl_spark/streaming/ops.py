@@ -235,3 +235,22 @@ def stream_stream_interval_join(
         "view_ts",
         "click_ts",
     )
+
+
+def dedup_keys_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming dedup with TIME-BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` only guarantees dedup among events
+    whose timestamps fall within the watermark delay of each other, which
+    lets Spark evict key state aggressively — the right operator when
+    duplicates are caused by at-least-once upstream delivery (retries land
+    close together) and the key space is unbounded.  Key-only projection
+    keeps the emitted set order-invariant, as in dedup_keys."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )
