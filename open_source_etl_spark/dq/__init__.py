@@ -6,6 +6,7 @@ from .expectations import (
     expect_column_values_to_not_be_null,
     expect_table_columns_to_match_ordered_list,
 )
+from .profile import profile_table
 from .runner import ValidationResult, validate
 
 __all__ = [
@@ -13,6 +14,7 @@ __all__ = [
     "expect_column_values_to_be_in_set",
     "expect_column_values_to_not_be_null",
     "expect_table_columns_to_match_ordered_list",
+    "profile_table",
     "ValidationResult",
     "validate",
 ]

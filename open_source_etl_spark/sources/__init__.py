@@ -8,6 +8,7 @@ reference (explicit catalog schema when present, inference fallback).
 """
 
 from .bucketing import bucketed_join, write_bucketed
+from .merge import merge_into
 from .pysource import SyntheticEventsSource
 from .readers import (
     compact_parquet,
@@ -22,6 +23,7 @@ from .readers import (
 
 __all__ = [
     "SyntheticEventsSource",
+    "merge_into",
     "read_binary_files",
     "read_jsonl",
     "read_orc",

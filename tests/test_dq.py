@@ -90,3 +90,21 @@ def test_single_pass_plan(spark):
     # validate() must not error and must produce 3 outcomes from one pass
     result = validate(df, suite)
     assert result.success and len(result.results) == 3
+
+
+def test_profile_table_one_pass(spark, sf_dir):
+    from open_source_etl_spark.catalog import load_table
+    from open_source_etl_spark.dq.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    prof = profile_table(orders, ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    rows = {(r["column"], r["metric"]): r["value"] for r in prof.collect()}
+    n = orders.count()
+    assert rows[("o_orderkey", "count")] == str(n)
+    assert rows[("o_orderkey", "nulls")] == "0"
+    # exact key: approx distinct within HLL tolerance of n
+    assert abs(int(rows[("o_orderkey", "approx_distinct")]) - n) / n < 0.10  # default rsd is ~5%; allow 2 sigma
+    assert rows[("o_orderstatus", "min")] == "F"
+    assert rows[("o_orderstatus", "max")] == "P"
+    assert ("o_orderstatus", "mean") not in rows  # string column: no mean
+    assert float(rows[("o_totalprice", "mean")]) > 0

@@ -46,6 +46,8 @@ LIBRARY_SURFACES = """
 | Continuous CSV → partitioned parquet (streaming ingestion) | `streaming/pipelines.py` | `tests/test_streaming_pipeline.py` |
 | Incremental foreachBatch partition upsert (exactly-once delta) | `streaming/pipelines.py` | `tests/test_streaming_pipeline.py` |
 | Expectation suite + single-pass runner + JSON report | `dq/` | `tests/test_dq.py` |
+| One-pass table profiler (nulls/distinct/min/max/mean per column) | `dq/profile.py` | `tests/test_dq.py` |
+| Row-level MERGE INTO (update/delete/insert, atomic swap) | `sources/merge.py` | `tests/test_merge.py` |
 | Model registry with ref()-deps, table/view materialization | `models/` | `tests/test_models.py` |
 | Salted aggregation / salted broadcast join / skew profiler | `functions/skew.py` | `tests/test_skew.py` |
 | Bloom-filter runtime semi-join reduction (no false negatives) | `functions/bloom.py` | `tests/test_bloom.py` |
