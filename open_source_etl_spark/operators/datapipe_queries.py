@@ -352,3 +352,45 @@ def datapipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_grams").desc(), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "datapipe_vocab_build",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS n FROM tok GROUP BY 1
+    )
+    SELECT tok, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT)
+             AS token_id
+    FROM freq
+    ORDER BY token_id
+    LIMIT 1000
+    """,
+)
+def datapipe_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction for a tokenizer: corpus-wide token counts,
+    frequency-ranked contiguous ids (ties broken lexically so the mapping
+    is deterministic across engines and reruns).  The count shuffles on
+    the token key with map-side partial aggregation; the global rank runs
+    on the |vocabulary|-sized aggregate, and only the top slice is kept —
+    at 100 TB the vocab table is MBs while the corpus is the only big
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    return (
+        freq.select(
+            "tok",
+            F.col("n").cast("bigint").alias("n"),
+            (F.row_number().over(w) - 1).cast("bigint").alias("token_id"),
+        )
+        .orderBy("token_id")
+        .limit(1000)
+    )
