@@ -320,3 +320,35 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("agg_hll_sketch_union")
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL,
+    Spark 3.5+): build one reusable sketch per order priority with
+    ``hll_sketch_agg``, estimate each, then MERGE the per-group sketches
+    with ``hll_union_agg`` for the global estimate — no rescan of the
+    fact table.  This build-once/merge-anywhere pattern is the 100 TB
+    answer to distinct counts across rollup levels (vs. re-shuffling the
+    raw keys per level).  Rows-only check: the estimate is
+    sketch-algorithm-specific, so no cross-engine oracle exists
+    (DuckDB's approx_count_distinct uses a different sketch).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    sketches = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    per_group = sketches.select(
+        "o_orderpriority",
+        "n_orders",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_custkeys"),
+    )
+    merged = sketches.agg(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+            "est_custkeys"
+        ),
+    )
+    return per_group.unionByName(merged).orderBy("o_orderpriority")

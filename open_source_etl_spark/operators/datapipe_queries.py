@@ -394,3 +394,92 @@ def datapipe_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("token_id")
         .limit(1000)
     )
+
+
+# Domain-mixture weights in integer percent (epochs × 100): src0 is
+# upsampled 1.7×, src1 kept, src2 downsampled to 0.4×, the long tail to
+# 0.25×.  Fractional epochs resolve per document through the same
+# deterministic LCG bucket as the split assignment.
+_MIX_PCT = {"src0": 170, "src1": 100, "src2": 40}
+_MIX_DEFAULT_PCT = 25
+
+
+def _mix_pct_sql() -> str:
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in sorted(_MIX_PCT.items())
+    )
+    return f"CASE {arms} ELSE {_MIX_DEFAULT_PCT} END"
+
+
+@query(
+    "datapipe_domain_mix",
+    oracle=f"""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             ({_mix_pct_sql()}) // 100
+             + CASE WHEN {_bucket_sql('doc_id', _SAMPLE_A, _SAMPLE_B)}
+                         < ({_mix_pct_sql()}) % 100
+                    THEN 1 ELSE 0 END AS repeats
+      FROM documents
+    ), emitted AS (
+      SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+      FROM (SELECT * FROM weighted WHERE repeats >= 1),
+           UNNEST(range(1, repeats + 1)) AS t(e)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_out,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_kept,
+           CAST(MAX(epoch) AS BIGINT) AS max_epoch,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM emitted
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def datapipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: each source gets a target epoch weight
+    (1.7× / 1.0× / 0.4× / 0.25×); whole epochs replicate every document,
+    the fractional remainder keeps a deterministic hash-bucket slice —
+    the standard way a pretraining mix is materialized.  Per-source
+    summary of the emitted stream.
+
+    Scale: the repeat count is a pure row-local function (no RNG state,
+    no driver loop); ``explode(sequence(...))`` materializes copies
+    map-side with zero shuffle, and only the final per-source summary
+    aggregates.  At 100 TB the emitted mixture streams straight to the
+    sink."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(p))
+            for s, p in sorted(_MIX_PCT.items())
+        ],
+        F.lit(_MIX_DEFAULT_PCT),
+    )
+    weighted = docs.select(
+        "doc_id",
+        "source",
+        (
+            (pct / 100).cast("int")
+            + F.when(
+                _bucket(F.col("doc_id"), _SAMPLE_A, _SAMPLE_B) < pct % 100, 1
+            ).otherwise(0)
+        ).alias("repeats"),
+    )
+    emitted = weighted.filter(F.col("repeats") >= 1).select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.col("repeats"))).alias("epoch"),
+    )
+    return (
+        emitted.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows_out"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_kept"),
+            F.max("epoch").cast("bigint").alias("max_epoch"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

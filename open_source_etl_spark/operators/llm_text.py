@@ -427,3 +427,81 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("doc_id", "rn")
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g
+      FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+            FROM documents),
+           UNNEST(range(1, len(w))) AS t(i)
+    ), per_gram AS (
+      SELECT doc_id, source, g, COUNT(*) AS c
+      FROM grams GROUP BY 1, 2, 3
+    ), per_doc AS (
+      SELECT doc_id, source,
+             SUM(c) AS n, COUNT(*) AS d, MAX(c) AS m
+      FROM per_gram GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_grams,
+           CAST(SUM(n - d) AS DOUBLE) / SUM(n) AS dup_gram_frac,
+           CAST(SUM(CASE WHEN (n - d) * 10 > n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN m * 5 > n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_topheavy
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher/C4 rule family):
+    per document, the fraction of word-bigrams that are duplicates and
+    the share of the single most-frequent bigram; documents above the
+    thresholds (>10% duplicate bigrams / top bigram >20%) are flagged
+    for drop.  Per-source summary so the result stays small.
+
+    Parity rules: all per-doc metrics stay INTEGER (gram counts) and the
+    thresholds are integer cross-multiplies; the only division is one
+    bigint ratio per source, so no float accumulation order can diverge
+    between engines.  Scale: one shuffle on (doc_id, gram) with map-side
+    partial agg, then doc-sized and source-sized reductions — the gram
+    explosion is never re-shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the split ONCE (transform-lambda expressions are not
+    # CSE'd — see text_fingerprint); guard size>=2 so sequence() is valid
+    w = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    grams = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "source", "g").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n"), F.count("*").alias("d"), F.max("c").alias("m")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_grams"),
+            (
+                F.sum(F.col("n") - F.col("d")).cast("double") / F.sum("n")
+            ).alias("dup_gram_frac"),
+            F.sum(F.when((F.col("n") - F.col("d")) * 10 > F.col("n"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("m") * 5 > F.col("n"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_topheavy"),
+        )
+        .orderBy("source")
+    )

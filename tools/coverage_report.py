@@ -15,7 +15,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Scans / sources / sinks", ("staging_all_varchar", "file_provenance", "json_file_scan", "orc_file_scan", "partition_path_derivation", "metadata_value_synthesis", "layout_zorder_key")),
     ("Projection / filter / predicates", ("project_rename_cast", "filter_point_lookup", "filter_like_prefix", "filter_in_set", "filter_null_predicates", "filter_range_between", "distinct_values")),
     ("Joins", ("join_inner_fact", "join_left_outer", "join_right_outer", "join_full_outer", "join_semi", "join_anti", "join_cross", "join_range_theta", "join_asof", "join_broadcast_star", "join_multiway_star")),
-    ("Aggregation", ("agg_grouped_basic", "agg_global", "agg_filtered_conditional", "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect_sorted", "agg_argmax", "agg_percentiles", "agg_stats_moments")),
+    ("Aggregation", ("agg_grouped_basic", "agg_global", "agg_filtered_conditional", "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect_sorted", "agg_argmax", "agg_percentiles", "agg_stats_moments", "agg_hll_sketch_union")),
     ("Window functions", ("window_rank_family", "window_lag_lead", "window_first_last", "window_running_sum", "window_moving_avg", "window_range_frame", "window_distribution_funcs", "window_topk_per_group")),
     ("Sort / limit / top-k", ("sort_multikey_nulls", "limit_topn", "limit_offset_page")),
     ("Set operations", ("setop_union_all", "setop_union_distinct", "setop_intersect", "setop_except", "setop_except_all")),
@@ -29,9 +29,9 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("UDF / UDAF / UDTF", ("udf_pandas_scalar", "udaf_grouped_pandas", "udtf_text_chunks")),
     ("Deduplication", ("dedup_exact", "dedup_normalized", "dedup_minhash_candidates", "dedup_simhash", "dedup_jaccard_blocked", "dedup_embedding_cosine", "dedup_connected_components")),
     ("Similarity search", ("knn_bruteforce_cosine", "similarity_pairs_threshold", "ann_ivf_search", "ann_lsh_bucketed", "embed_label_centroids", "embed_quantize_int8")),
-    ("Text analysis", ("text_token_stats", "text_quality_score", "text_lang_guess", "text_bpe_token_count", "text_fingerprint", "text_heavy_hitters", "text_pii_redact", "text_edit_distance", "text_tfidf_top_terms")),
+    ("Text analysis", ("text_token_stats", "text_quality_score", "text_lang_guess", "text_bpe_token_count", "text_fingerprint", "text_heavy_hitters", "text_pii_redact", "text_edit_distance", "text_tfidf_top_terms", "text_repetition_filter")),
     ("Multimodal columns", ("multimodal_image_meta", "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_resize_blockmean", "multimodal_feature_histogram")),
-    ("Training-data pipeline", ("datapipe_split_assign", "datapipe_stratified_sample", "datapipe_pack_chunks", "datapipe_pack_greedy", "datapipe_shard_balance", "datapipe_global_shuffle", "datapipe_contamination", "datapipe_vocab_build")),
+    ("Training-data pipeline", ("datapipe_split_assign", "datapipe_stratified_sample", "datapipe_pack_chunks", "datapipe_pack_greedy", "datapipe_shard_balance", "datapipe_global_shuffle", "datapipe_contamination", "datapipe_vocab_build", "datapipe_domain_mix")),
     ("Data quality", ("dq_single_pass_suite", "dq_uniqueness_check", "dq_referential_integrity", "dq_outlier_zscore")),
 ]
 
