@@ -16,7 +16,9 @@ from .ops import (
     dedup_keys_within_watermark,
     session_window_stats,
     sliding_window_counts,
+    ROCKSDB_PROVIDER,
     stateful_user_rollup,
+    transform_with_state_histogram,
     stream_stream_interval_join,
     tumbling_window_counts,
 )
@@ -31,6 +33,8 @@ __all__ = [
     "session_window_stats",
     "dedup_keys",
     "dedup_keys_within_watermark",
+    "ROCKSDB_PROVIDER",
     "stateful_user_rollup",
+    "transform_with_state_histogram",
     "stream_stream_interval_join",
 ]

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -253,4 +254,70 @@ def dedup_keys_within_watermark(
         events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(list(keys))
         .select(*keys)
+    )
+
+
+_TWS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def transform_with_state_histogram(events: DataFrame) -> DataFrame:
+    """Per-user event-type histogram via ``transformWithStateInPandas``
+    (Spark 4's arbitrary-stateful-processing API, the successor to
+    ``applyInPandasWithState``): one MapState(event_type → count) per
+    user, the full histogram re-emitted each micro-batch in update mode.
+
+    Why this API at 100 TB: typed composite state (Value/List/Map) lives
+    in the RocksDB state store (required — set ``ROCKSDB_PROVIDER``
+    before starting), so per-key state spills to local disk instead of
+    executor heap, supports TTL, and checkpoint changelogs stay
+    incremental.  MapState updates touch only the changed event_type
+    entries, not the whole per-user blob (vs. the single-struct state of
+    ``applyInPandasWithState`` in ``stateful_user_rollup``).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Histogram(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # type: ignore[override]
+            import pandas as pd
+
+            for pdf in rows:
+                for et, n in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._counts.getValue((et,))
+                        if self._counts.containsKey((et,))
+                        else None
+                    )
+                    base = int(prev[0]) if prev is not None else 0
+                    self._counts.updateValue((et,), (base + int(n),))
+            items = [
+                (key[0], k[0], int(v[0])) for k, v in self._counts.iterator()
+            ]
+            items.sort(key=lambda t: t[1])
+            yield pd.DataFrame(
+                items, columns=["user_id", "event_type", "n_events"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Histogram(),
+        outputStructType=_TWS_OUT,
+        outputMode="update",
+        timeMode="none",
     )

@@ -45,3 +45,33 @@ def test_session_window_batch_equals_stream(spark, sf_dir):
         "complete",
     )
     assert streamed.count() == batch.count()
+
+
+def test_transform_with_state_plan_and_gate(spark, sf_dir):
+    """transformWithStateInPandas: the logical plan builds (schema typed,
+    streaming bit set) regardless of protobuf; the registry entry appears
+    only when the optional protobuf runtime dependency is importable, and
+    with it present the streamed histogram must equal the batch group
+    count."""
+    from open_source_etl_spark.operators.streaming_queries import _HAS_TWS_PROTO
+    from open_source_etl_spark.registry import all_queries
+    from open_source_etl_spark.streaming import transform_with_state_histogram
+
+    df = transform_with_state_histogram(stream_events(spark, sf_dir))
+    assert df.isStreaming
+    assert df.schema.simpleString() == (
+        "struct<user_id:bigint,event_type:string,n_events:bigint>"
+    )
+    assert ("stream_transform_with_state" in all_queries()) == _HAS_TWS_PROTO
+    if _HAS_TWS_PROTO:
+        from open_source_etl_spark.operators.streaming_queries import (
+            _stream_transform_with_state_impl,
+        )
+
+        got = _stream_transform_with_state_impl(spark, sf_dir)
+        want = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id", "event_type")
+            .count()
+        )
+        assert got.count() == want.count()

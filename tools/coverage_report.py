@@ -59,6 +59,7 @@ LIBRARY_SURFACES = """
 | Dynamic partition overwrite (partition-scoped upsert) | `sources/readers.py` | `tests/test_sources.py` |
 | Media decode/frame kernels (stubbed codecs, real plumbing) | `multimodal/` | `tests/test_multimodal.py` |
 | Plan audit (pushdown/broadcast/shuffle/Python-stage facts) | `plans/` | `tests/test_plans.py` |
+| transformWithStateInPandas histogram (registry entry gated on the optional protobuf runtime dep) | `streaming/ops.py` | `tests/test_streaming.py` |
 """
 
 
