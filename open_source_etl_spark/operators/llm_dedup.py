@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_compute
 from ..registry import query
 
 
@@ -111,7 +111,7 @@ def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrically (t=2/5 in exact integer arithmetic) is a sound
     prefilter evaluated on two ints instead of two arrays.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("tokset")
     ).withColumn("n_toks", F.size("tokset"))
@@ -172,7 +172,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implementation is explode-free on the token axis per bit: one explode
     of (token) then a 32-way sequence explode, both linear.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).withColumn("tok_md5", F.md5("tok"))
@@ -241,7 +241,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only driver check (hash family is engine-specific); the exact
     re-rank emits true Jaccard ≥ 0.5 so output rows ARE verified dups.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tokset")
     )
@@ -278,7 +278,11 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact Jaccard re-rank on candidates only
+    # exact Jaccard re-rank on candidates only.  The candidate table is
+    # bytes-tiny (two longs/row) but CPU-fat (an array_intersect per
+    # row), so AQE's byte-based coalescing would squeeze it onto one
+    # task — repartition pins the re-rank at full width.
+    cand = cand.repartition(spark.sparkContext.defaultParallelism, "doc_a")
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("set_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
@@ -299,7 +303,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup edge list: the dedup_jaccard_blocked pair semantics
     (within-block, length-filtered, exact Jaccard ≥ 0.4) as (src, dst)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("tokset")
     ).withColumn("n_toks", F.size("tokset"))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_compute
 from ..registry import query
 
 
@@ -139,6 +139,11 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     In a deployment the index build is offline and the probe reads one
     cell partition.  Rows-only check: recall depends on engine-specific
     centroid math.
+
+    Deliberately NOT ``load_table_compute``: ``emb`` appears four times
+    in the plan (seed, two Lloyd rounds, final assign), so a widening
+    repartition would be re-planned into four cold shuffles — measured
+    net-slower than the narrow scan despite better per-stage width.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
@@ -243,7 +248,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup count: pairs with cosine ≥ 0.5 within a
     label block (the semantic-dedup criterion over the whole corpus)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_compute(spark, sf_dir, "embeddings")
     a = emb.select("label", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = emb.select(
         F.col("label").alias("lb"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
