@@ -352,3 +352,47 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per_group.unionByName(merged).orderBy("o_orderpriority")
+
+
+@query(
+    "agg_salted_hotkey",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(event_id) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (``functions/skew.py``): phase 1
+    groups by (key, salt) so a pathological hot key spreads over n_salts
+    reducers, phase 2 combines the tiny partials by key alone.  The
+    event_type column is exactly that shape — a handful of keys owning
+    the whole table.  Decimal interior keeps the sum order-independent,
+    so the salted result hash-matches the plain GROUP BY oracle."""
+    from ..functions.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "sum_value": ("v", "sum"),
+            "min_value": ("v", "min"),
+            "max_value": ("v", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    ).orderBy("event_type")

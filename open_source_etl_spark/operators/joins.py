@@ -357,3 +357,42 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(rev, "decimal(28,6)").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "nation_name")
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum('l_extendedprice')} AS volume
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof replicated join (``functions/skew.py``): the fact side
+    gets a random salt, the dimension side is exploded × n_salts and
+    broadcast, so every salt bucket of a hot key joins in its own task —
+    the declarative fallback for skew AQE can't reach (broadcast joins
+    are never skew-split at runtime).  Salting is semantics-preserving:
+    the oracle is the PLAIN join, which is exactly the point."""
+    from ..functions.skew import salted_broadcast_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+        F.col("s_suppkey").alias("l_suppkey"), "n_name"
+    )
+    joined = salted_broadcast_join(li, dim, "l_suppkey")
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            dsum("l_extendedprice").alias("volume"),
+        )
+        .orderBy("n_name")
+    )

@@ -351,3 +351,68 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "dedup_semantic_prune",
+    oracle="""
+    WITH dims AS (
+      SELECT label, o, AVG(CAST(v AS DOUBLE)) AS c
+      FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS o
+            FROM embeddings)
+      GROUP BY label, o
+    ), cent AS (
+      SELECT label, list(c ORDER BY o) AS centroid FROM dims GROUP BY label
+    ), scored AS (
+      SELECT e.label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          c.centroid), 6) AS cos_r
+      FROM embeddings e JOIN cent c USING (label)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN cos_r >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned
+    FROM scored
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-style: cluster the corpus (the label
+    column stands in for the k-means step, which ann_ivf_search builds
+    for real), take each cluster's centroid, and prune vectors whose
+    cosine to their centroid exceeds the redundancy threshold — the
+    "too close to the cluster's semantic center to add information"
+    criterion used to thin web-scale pretraining corpora.
+
+    Scale shape: centroids are one grouped avg over the posexploded
+    stream (shuffle carries |labels|·|dims| partials), then broadcast
+    back — the corpus is scanned twice, never self-joined, so cost is
+    linear where pairwise semantic dedup (dedup_embedding_cosine) is
+    quadratic per block.  Cosines round to 6 before the threshold so the
+    cross-engine flag can't flip on accumulation noise (threshold margin
+    verified >= 1e-5 at every fixture SF vs ~1e-7 engine drift; per-value
+    min/max cosines are deliberately NOT reported — a min sitting on a
+    rounding boundary DID flip between engines)."""
+    emb = load_table_compute(spark, sf_dir, "embeddings")
+    cent = _mean_centroids(
+        emb.select(F.col("label").alias("lbl"), "embedding"), "lbl"
+    ).select(F.col("cell").alias("label"), "centroid")
+    cos = dot("embedding", "centroid") / (
+        F.sqrt(dot("embedding", "embedding")) * F.sqrt(dot("centroid", "centroid"))
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label", F.round(cos, 6).alias("cos_r")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("cos_r") >= 0.25, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pruned"),
+        )
+        .orderBy("label")
+    )

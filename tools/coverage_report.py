@@ -14,8 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Scans / sources / sinks", ("staging_all_varchar", "file_provenance", "json_file_scan", "orc_file_scan", "partition_path_derivation", "metadata_value_synthesis", "layout_zorder_key")),
     ("Projection / filter / predicates", ("project_rename_cast", "filter_point_lookup", "filter_like_prefix", "filter_in_set", "filter_null_predicates", "filter_range_between", "distinct_values")),
-    ("Joins", ("join_inner_fact", "join_left_outer", "join_right_outer", "join_full_outer", "join_semi", "join_anti", "join_cross", "join_range_theta", "join_asof", "join_broadcast_star", "join_multiway_star")),
-    ("Aggregation", ("agg_grouped_basic", "agg_global", "agg_filtered_conditional", "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect_sorted", "agg_argmax", "agg_percentiles", "agg_stats_moments", "agg_hll_sketch_union")),
+    ("Joins", ("join_inner_fact", "join_left_outer", "join_right_outer", "join_full_outer", "join_semi", "join_anti", "join_cross", "join_range_theta", "join_asof", "join_broadcast_star", "join_multiway_star", "join_skew_salted")),
+    ("Aggregation", ("agg_grouped_basic", "agg_global", "agg_filtered_conditional", "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect_sorted", "agg_argmax", "agg_percentiles", "agg_stats_moments", "agg_hll_sketch_union", "agg_salted_hotkey")),
     ("Window functions", ("window_rank_family", "window_lag_lead", "window_first_last", "window_running_sum", "window_moving_avg", "window_range_frame", "window_distribution_funcs", "window_topk_per_group")),
     ("Sort / limit / top-k", ("sort_multikey_nulls", "limit_topn", "limit_offset_page")),
     ("Set operations", ("setop_union_all", "setop_union_distinct", "setop_intersect", "setop_except", "setop_except_all")),
@@ -27,7 +27,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Behavioral / event-sequence analytics", ("behavior_sessionize", "behavior_funnel", "behavior_retention", "behavior_path_trigrams", "behavior_daily_ma7", "timeseries_gapfill_ffill")),
     ("Streaming", ("stream_tumbling_window_agg", "stream_sliding_window_agg", "stream_session_window_agg", "stream_dedup_keys", "stream_stateful_user_rollup", "stream_stream_join", "stream_static_enrich", "stream_dedup_within_watermark")),
     ("UDF / UDAF / UDTF", ("udf_pandas_scalar", "udaf_grouped_pandas", "udtf_text_chunks")),
-    ("Deduplication", ("dedup_exact", "dedup_normalized", "dedup_minhash_candidates", "dedup_simhash", "dedup_jaccard_blocked", "dedup_embedding_cosine", "dedup_connected_components")),
+    ("Deduplication", ("dedup_exact", "dedup_normalized", "dedup_minhash_candidates", "dedup_simhash", "dedup_jaccard_blocked", "dedup_embedding_cosine", "dedup_connected_components", "dedup_semantic_prune")),
     ("Similarity search", ("knn_bruteforce_cosine", "similarity_pairs_threshold", "ann_ivf_search", "ann_lsh_bucketed", "embed_label_centroids", "embed_quantize_int8")),
     ("Text analysis", ("text_token_stats", "text_quality_score", "text_lang_guess", "text_bpe_token_count", "text_fingerprint", "text_heavy_hitters", "text_pii_redact", "text_edit_distance", "text_tfidf_top_terms", "text_repetition_filter")),
     ("Multimodal columns", ("multimodal_image_meta", "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_resize_blockmean", "multimodal_feature_histogram")),
