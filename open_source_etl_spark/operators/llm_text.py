@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_compute
 from ..registry import query
 
 # deliberately tiny, deterministic stopword list shared with the oracles
@@ -502,6 +502,194 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("m") * 5 > F.col("n"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_topheavy"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, source,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+            FROM documents),
+           UNNEST(range(1, len(w) - 1)) AS t(i)
+    ), firstocc AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    ), per_doc AS (
+      SELECT gr.doc_id, gr.source,
+             COUNT(*) AS n,
+             SUM(CASE WHEN f.first_doc < gr.doc_id THEN 1 ELSE 0 END) AS s
+      FROM grams gr JOIN firstocc f ON gr.g = f.g
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_grams,
+           CAST(SUM(s) AS BIGINT) AS n_stale,
+           CAST(SUM(s) AS DOUBLE) / SUM(n) AS stale_frac,
+           CAST(SUM(CASE WHEN 2 * s > n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring novelty (the shuffle-friendly approximation of
+    suffix-array dedup from "Deduplicating Training Data Makes Language
+    Models Better"): a document's word-trigram is STALE if any
+    earlier-ingested document (smaller doc_id) already contains it; docs
+    where most trigrams are stale are flagged as near-copies of prior
+    data.  Per-source rollup keeps the result small.
+
+    Scale shape: distinct (doc, gram) pairs shuffle once on the gram key
+    and a window min finds each gram's first-occurrence doc_id in place —
+    ONE lineage, no self-join (the join formulation recomputes the gram
+    explosion for both sides and measured 4× slower), no pairwise
+    comparison anywhere (the suffix-array algorithm is inherently
+    sequential; min-over-key is its order-free relational core).  Parity:
+    every per-doc metric is an integer count and the drop flag is the
+    integer cross-multiply 2*stale > total, so the single double division
+    per source is the only float op."""
+    docs = load_table_compute(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    grams = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-3),"
+                " i -> concat_ws(' ', slice(w, i+1, 3)))"
+            )
+        ).alias("g"),
+    ).distinct()
+    first_doc = F.min("doc_id").over(Window.partitionBy("g"))
+    per_doc = (
+        grams.withColumn("first_doc", first_doc)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("s"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_grams"),
+            F.sum("s").cast("bigint").alias("n_stale"),
+            (F.sum("s").cast("double") / F.sum("n")).alias("stale_frac"),
+            F.sum(F.when(2 * F.col("s") > F.col("n"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_lm_surprisal",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g
+      FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+            FROM documents),
+           UNNEST(range(1, len(w))) AS t(i)
+    ), bi AS (
+      SELECT g, COUNT(*) AS cg FROM grams GROUP BY g
+    ), uni AS (
+      SELECT split_part(g, ' ', 1) AS w1, SUM(cg) AS cw
+      FROM bi GROUP BY 1
+    ), dict AS (
+      SELECT g, CAST(FLOOR(LN(CAST(cg AS DOUBLE) / cw) * 1000000 + 0.5)
+                     AS BIGINT) AS lp_micro
+      FROM bi JOIN uni ON split_part(bi.g, ' ', 1) = uni.w1
+    ), per_doc AS (
+      SELECT gr.doc_id, gr.source,
+             COUNT(*) AS n, -SUM(d.lp_micro) AS nll
+      FROM grams gr JOIN dict d ON gr.g = d.g
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll) AS BIGINT) AS nll_micro,
+           CAST(SUM(nll) AS DOUBLE) / (1000000.0 * SUM(n)) AS avg_nll,
+           CAST(SUM(CASE WHEN nll > 3450000 * n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filtering, CCNet-style: train a bigram LM
+    on the corpus itself (P(w2|w1) = c(w1 w2)/c(w1 ·)), score every
+    document by its average bigram negative log-likelihood, and flag
+    outlier docs (avg NLL > 3.45 nats, the top ~5% tail on the fixture)
+    whose word sequences the corpus LM
+    finds improbable — the standard proxy for boilerplate/garbled text.
+
+    Scale shape: the LM "training" is one grouped count over the bigram
+    stream (vocab²-bounded), conditional totals reduce off the bigram
+    counts (never rescan the corpus), and scoring is a join of the gram
+    stream against the scored dictionary on the gram key.  Parity: each
+    bigram's log-prob is fixed to integer micro-nats with the
+    FLOOR(x*1e6+0.5) rounding shared by both engines (see
+    embed_quantize_int8 for why not ROUND), so per-doc sums are exact
+    integers, the flag threshold is an integer cross-multiply, and the
+    one double division per source cannot drift."""
+    docs = load_table_compute(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    grams = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-2),"
+                " i -> concat(w[i], ' ', w[i+1]))"
+            )
+        ).alias("g"),
+    )
+    bi = grams.groupBy("g").agg(F.count("*").alias("cg"))
+    w1 = F.split_part(F.col("g"), F.lit(" "), F.lit(1))
+    uni = bi.groupBy(w1.alias("w1")).agg(F.sum("cg").alias("cw"))
+    dict_ = bi.join(uni, w1 == uni.w1).select(
+        "g",
+        F.floor(
+            F.log(F.col("cg").cast("double") / F.col("cw")) * 1000000 + 0.5
+        )
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    per_doc = (
+        grams.join(dict_, "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n"), (-F.sum("lp_micro")).alias("nll"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.sum("nll").cast("bigint").alias("nll_micro"),
+            (F.sum("nll").cast("double") / (F.lit(1000000.0) * F.sum("n"))).alias(
+                "avg_nll"
+            ),
+            F.sum(
+                F.when(F.col("nll") > 3450000 * F.col("n"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
         )
         .orderBy("source")
     )
