@@ -34,15 +34,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (columnar Parquet scan; Catalyst handles
     projection/filter pushdown from whatever the caller composes on top).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the file, which Spark's parquet
-    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it lands
-    as nanosecond longs and is normalized here to a microsecond timestamp
-    (truncation — bit-identical to DuckDB's ns→µs conversion, so oracle
-    queries cast ``ts`` to TIMESTAMP on their side).
+    ``events.ts`` has shipped in two physical forms across fixture drops:
+    TIMESTAMP(NANOS) (which Spark's parquet reader only admits as
+    nanosecond longs under ``spark.sql.legacy.parquet.nanosAsLong``) and
+    TIMESTAMP_NTZ.  Both are normalized here to a session-TZ TIMESTAMP:
+    the nanos path truncates exactly like DuckDB's ns→µs cast, and the
+    NTZ→TIMESTAMP cast is wall-clock-preserving under the UTC session
+    timezone ``tune_session`` pins, so oracle queries (which CAST ts to
+    DuckDB's naive TIMESTAMP) see identical values either way.  Watermarks
+    and streaming event time also require TIMESTAMP, not NTZ.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

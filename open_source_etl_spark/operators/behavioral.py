@@ -14,9 +14,9 @@ is the classic gaps-and-islands rewrite (lag → flag → running sum), which
 costs exactly one shuffle on user_id; funnel steps reuse one aggregated
 per-user frame per stage, each |users|-sized, so the stage joins broadcast.
 
-``events.ts`` is TIMESTAMP(NANOS) parquet: Spark reads it via the
-nanosAsLong normalization in catalog.py; the DuckDB oracles CAST to
-TIMESTAMP (microseconds) to match.
+``events.ts`` is microsecond TIMESTAMP parquet (older fixture drops were
+TIMESTAMP(NANOS), normalized in catalog.py); the DuckDB oracles CAST to
+TIMESTAMP (microseconds) to match either way.
 """
 
 from __future__ import annotations
@@ -61,7 +61,9 @@ def behavior_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle+sort, so Spark executes them in a single exchange."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_ok = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 6 * 3600
+    # Interval comparison works for both TIMESTAMP and TIMESTAMP_NTZ inputs
+    # (a long cast is illegal on NTZ in Spark 4).
+    gap_ok = F.col("ts") - F.lag("ts").over(w) <= F.expr("INTERVAL 6 HOURS")
     flagged = ev.withColumn(
         "new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
     )

@@ -19,9 +19,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Streaming sources need an explicit schema; deriving it from a batch
     read of the same path keeps the two in lockstep (footer-only read —
-    no data IO).  ``ts`` arrives as nanosecond longs (the fixture file is
-    TIMESTAMP(NANOS); see ``catalog.load_table``) and is normalized to a
-    microsecond timestamp, truncating exactly like DuckDB's ns→µs cast.
+    no data IO).  ``ts`` is normalized to TIMESTAMP whatever the fixture's
+    physical type (nanosecond longs or TIMESTAMP_NTZ; see
+    ``catalog.load_table``) — watermarks reject NTZ event-time columns.
     """
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     df = (
@@ -33,6 +33,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
