@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_compute
 from ..functions.parity import davg, dsum, sql_davg, sql_dsum
 from ..registry import query
 
@@ -122,9 +122,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct via HLL++ (fixed-memory sketch per group).
 
     The 100 TB substitute for exact countDistinct; rows-only check since
-    the estimate is engine-specific (rsd 1% here).
+    the estimate is engine-specific (rsd 1% here).  Widened scan: the
+    rsd-1% sketch update is the per-row cost, so fan the single-split
+    fixture file across cores (no-op on a many-split table).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_compute(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(

@@ -98,11 +98,18 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    orphan_li = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").count()
-    orphan_orders = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(orphan_li, orphan_orders)], "orphan_lineitems bigint, orphan_orders bigint"
+    # Both orphan counts in ONE lazy plan (1-row aggs cross-joined) — a
+    # single job instead of two driver-blocking count() actions, and the
+    # two anti-join subtrees run concurrently when the action fires.
+    orphan_li = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
     )
+    orphan_orders = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    return orphan_li.crossJoin(orphan_orders)
 
 
 @query(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_compute
 from ..functions.parity import davg, dsum, sql_davg, sql_dsum
 from ..registry import query
 
@@ -30,13 +30,13 @@ from ..registry import query
     SELECT
       l_returnflag,
       l_linestatus,
-      {sql_dsum('l_quantity')} AS sum_qty,
-      {sql_dsum('l_extendedprice')} AS sum_base_price,
+      {sql_dsum('l_quantity', 'DECIMAL(8,2)')} AS sum_qty,
+      {sql_dsum('l_extendedprice', 'DECIMAL(8,2)')} AS sum_base_price,
       {sql_dsum('l_extendedprice * (1 - l_discount)', 'DECIMAL(28,6)')} AS sum_disc_price,
       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'DECIMAL(28,6)')} AS sum_charge,
-      ROUND({sql_davg('l_quantity')}, 4) AS avg_qty,
-      ROUND({sql_davg('l_extendedprice')}, 4) AS avg_price,
-      ROUND({sql_davg('l_discount')}, 4) AS avg_disc,
+      ROUND({sql_davg('l_quantity', 'DECIMAL(8,2)')}, 4) AS avg_qty,
+      ROUND({sql_davg('l_extendedprice', 'DECIMAL(8,2)')}, 4) AS avg_price,
+      ROUND({sql_davg('l_discount', 'DECIMAL(8,2)')}, 4) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -51,7 +51,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation map-side, single shuffle on the 6-value group key,
     sort of a 6-row result — the plan that scales to 100 TB unchanged.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_compute(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -61,14 +61,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # no presentation rounding on the sums: the decimal interior is
             # exact and its cast to double is deterministic on both engines,
             # while round(x, 2) could hit an exact .005 boundary where
-            # Spark (shortest-repr HALF_UP) and DuckDB (binary value) differ
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
+            # Spark (shortest-repr HALF_UP) and DuckDB (binary value) differ.
+            # Plain 2dp columns sum at DECIMAL(8,2): still exact (no value
+            # rounds), and the p+10=18 sum buffer stays on Spark's
+            # Long-backed decimal fast path — ~2x the BigDecimal route the
+            # wider product sums below must take.
+            dsum("l_quantity", "decimal(8,2)").alias("sum_qty"),
+            dsum("l_extendedprice", "decimal(8,2)").alias("sum_base_price"),
             dsum(disc_price, "decimal(28,6)").alias("sum_disc_price"),
             dsum(charge, "decimal(28,6)").alias("sum_charge"),
-            F.round(davg("l_quantity"), 4).alias("avg_qty"),
-            F.round(davg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(davg("l_discount"), 4).alias("avg_disc"),
+            F.round(davg("l_quantity", "decimal(8,2)"), 4).alias("avg_qty"),
+            F.round(davg("l_extendedprice", "decimal(8,2)"), 4).alias("avg_price"),
+            F.round(davg("l_discount", "decimal(8,2)"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
