@@ -398,3 +398,31 @@ def agg_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN per group (Spark ``median`` = PERCENTILE_CONT 0.5, linear
+    interpolation — same as DuckDB quantile_cont).  Exact median buffers
+    the group's values; at 100 TB swap to ``percentile_approx`` (t-digest
+    sketch, bounded memory) exactly as with agg_percentiles."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("median_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )

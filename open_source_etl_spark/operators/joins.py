@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_compute
 from ..functions.parity import dsum, sql_dsum
 from ..registry import query
 
@@ -240,7 +240,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('standard', 20000.0, 60000.0),
              ('premium', 60000.0, 1000000000.0)
     )
-    SELECT b.band_name, COUNT(*) AS n_items, CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    SELECT b.band_name, COUNT(*) AS n_items, CAST(SUM(CAST(l.l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS total_qty
     FROM lineitem l
     JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
     GROUP BY b.band_name
@@ -252,8 +252,10 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The band side is rows-of-constants; at any fact-table scale the right
     strategy is broadcasting the bands, never shuffling the fact table.
+    Widened scan: the per-row nested-loop probe is the cost on the
+    single-split fixture file (no-op on a many-split table).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_compute(spark, sf_dir, "lineitem")
     bands = spark.createDataFrame(
         [("budget", 0.0, 20000.0), ("standard", 20000.0, 60000.0), ("premium", 60000.0, 1e9)],
         "band_name string, lo double, hi double",
@@ -264,7 +266,9 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
         )
         .groupBy("band_name")
-        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("total_qty"))
+        # quantity is exact at 2dp and < 10^6: DECIMAL(8,2) keeps the sum
+        # buffer (p+10=18) on the Long-backed decimal fast path
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity", "decimal(8,2)").alias("total_qty"))
         .orderBy("band_name")
     )
 

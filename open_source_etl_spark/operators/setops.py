@@ -118,3 +118,27 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status")
     )
     return all_status.exceptAll(low_status).orderBy("status")
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset): each nation key kept min(#customers,
+    #suppliers) times — the duplicate-preserving variant ``intersect``
+    collapses.  Same single hash shuffle on the (narrow) projected row as
+    the distinct form; the multiplicity bookkeeping is in the hash
+    aggregate, not an extra exchange."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersectAll(supp).orderBy("nationkey")
