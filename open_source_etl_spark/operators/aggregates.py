@@ -167,18 +167,24 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_returnflag,
       l_linestatus,
       COUNT(*) AS n_items,
-      {sql_dsum('l_quantity')} AS total_qty
+      {sql_dsum('l_quantity', 'DECIMAL(8,2)')} AS total_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY l_returnflag, l_linestatus
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping-set combinations of the two keys."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """CUBE: all grouping-set combinations of the two keys.  The expand
+    (×4 grouping sets) multiplies per-row work, so the single-split
+    fixture scan is widened across cores; quantity (exact 2dp, < 10^6)
+    sums at DECIMAL(8,2) to stay on the Long-backed decimal fast path."""
+    li = load_table_compute(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("total_qty"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity", "decimal(8,2)").alias("total_qty"),
+        )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
