@@ -35,8 +35,10 @@ def test_q1_scan_is_pruned_and_pushed(audit):
     assert len(facts.read_columns) <= 8
     # pure JVM path: partial/final agg, no Python stage
     assert facts.python_stages == 0
-    # exactly the algorithmic shuffles: agg exchange + sort exchange
-    assert facts.exchanges <= 2
+    # algorithmic shuffles: agg exchange + sort exchange, plus at most
+    # one round-robin from load_table_compute widening the single-split
+    # fixture scan (conditional — absent on a many-split table at scale)
+    assert facts.exchanges <= 3
 
 
 def test_star_join_broadcasts_all_dimensions(audit):
