@@ -483,3 +483,59 @@ def datapipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "datapipe_leakage_safe_split",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, n_chars, sha256(text) AS h FROM documents
+    ),
+    a AS (
+      SELECT doc_id, n_chars,
+             MIN(doc_id) OVER (PARTITION BY h) AS canonical
+      FROM g
+    )
+    SELECT
+      CASE WHEN {_bucket_sql('canonical', _SPLIT_A, _SPLIT_B)} < 80 THEN 'train'
+           WHEN {_bucket_sql('canonical', _SPLIT_A, _SPLIT_B)} < 90 THEN 'valid'
+           ELSE 'test' END AS split,
+      COUNT(*) AS n_docs,
+      COUNT(DISTINCT canonical) AS n_groups,
+      SUM(n_chars) AS total_chars
+    FROM a
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def datapipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the bucket is computed from
+    the duplicate GROUP's canonical doc_id (min doc_id per content hash),
+    not the row's own id — exact duplicates can never straddle splits,
+    the standard guard against train→test contamination that a plain
+    per-row hash split (datapipe_split_assign) does not give.
+
+    One shuffle: the canonical id comes from a window min over the
+    content-hash partition (group-then-join would shuffle twice); the
+    split is then a pure function of the canonical, so the no-straddle
+    invariant holds by construction at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256))
+    a = docs.select(
+        "doc_id", "n_chars", F.min("doc_id").over(w).alias("canonical")
+    )
+    bucket = _bucket(F.col("canonical"), _SPLIT_A, _SPLIT_B)
+    return (
+        a.withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("canonical").alias("n_groups"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
