@@ -46,9 +46,19 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    queries = dict(sorted(all_queries().items()))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = [q.strip() for q in only.split(",") if q.strip()]
+        missing = [q for q in wanted if q not in queries]
+        if missing:
+            print(f"[bench] unknown queries in SPARK_GRAFT_BENCH_ONLY: {missing}", file=sys.stderr)
+            sys.exit(2)
+        queries = {q: queries[q] for q in wanted}
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, fn in sorted(all_queries().items()):
+    for name, fn in queries.items():
         sc = spark.sparkContext
         sc.setJobGroup(name, f"bench:{name}", interruptOnCancel=True)
         cancelled = threading.Event()
