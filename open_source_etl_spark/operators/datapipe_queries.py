@@ -539,3 +539,87 @@ def datapipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "datapipe_corpus_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS w, sha256(text) AS h
+      FROM documents
+      WHERE lang IN ('en', 'de', 'fr', 'es')
+    ),
+    q AS (
+      SELECT doc_id, lang, len(w) AS n_toks, h
+      FROM t
+      WHERE len(w) >= 10 AND 10 * len(list_distinct(w)) >= 3 * len(w)
+    ),
+    d AS (
+      SELECT doc_id, lang, n_toks,
+             MIN(doc_id) OVER (PARTITION BY h) AS canonical
+      FROM q
+    ),
+    kept AS (SELECT * FROM d WHERE doc_id = canonical),
+    s AS (
+      SELECT lang, n_toks,
+        CASE WHEN {_bucket_sql('canonical', _SPLIT_A, _SPLIT_B)} < 80 THEN 'train'
+             WHEN {_bucket_sql('canonical', _SPLIT_A, _SPLIT_B)} < 90 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           SUM(n_toks) AS total_tokens,
+           CAST(CEIL(SUM(n_toks) / {PACK_CAPACITY}.0) AS BIGINT) AS n_bins
+    FROM s
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def datapipe_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build as ONE DataFrame plan: language
+    filter → quality filter (length + distinct-token ratio) → exact
+    dedup (keep min doc_id per content hash) → leakage-safe split →
+    per-(split, lang) packing stats.  The composition proof that the
+    individual datapipe/dedup/text operators chain into the pipeline a
+    user actually runs.
+
+    Scale shape: the lang filter is a pushed-down scan predicate; the
+    quality filter is per-row (no shuffle); dedup + split reuse the one
+    content-hash window shuffle (datapipe_leakage_safe_split); the final
+    stats are a grouped agg over the survivors.  Total: two shuffles and
+    a pure function of the scan, whatever the corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de", "fr", "es")
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("w"),
+        F.sha2("text", 256).alias("h"),
+    ).select(
+        "doc_id", "lang", "h",
+        F.size("w").alias("n_toks"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+    )
+    quality = toks.filter(
+        (F.col("n_toks") >= 10)
+        # distinct-token ratio >= 0.3 in exact integer arithmetic
+        & (10 * F.col("n_distinct") >= 3 * F.col("n_toks"))
+    )
+    deduped = quality.withColumn(
+        "canonical", F.min("doc_id").over(Window.partitionBy("h"))
+    ).filter(F.col("doc_id") == F.col("canonical"))
+    bucket = _bucket(F.col("canonical"), _SPLIT_A, _SPLIT_B)
+    split = deduped.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.ceil(F.sum("n_toks") / PACK_CAPACITY).alias("n_bins"),
+        )
+        .orderBy("split", "lang")
+    )
