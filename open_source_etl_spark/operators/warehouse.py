@@ -76,3 +76,58 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@query(
+    "warehouse_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01 00:00:00'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+    )
+    SELECT
+      months.m AS month_start,
+      COUNT(o.o_orderkey) AS n_orders,
+      COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(8,2))) AS DOUBLE), 0.0)
+        AS revenue
+    FROM months
+    LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = months.m
+    GROUP BY months.m
+    ORDER BY month_start
+    """,
+)
+def warehouse_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): generate the monthly
+    calendar dimension spanning the order history, then left-join order
+    facts onto it so empty months appear as zero rows — the standard
+    gap-free reporting calendar, driven entirely inside the engine (no
+    driver-side date loop).
+
+    Scale shape: the recursion materializes |months| rows (tiny, driver-
+    independent), the join broadcasts the calendar against the fact scan,
+    and months with no orders survive via the LEFT side.  Generalizes
+    the reference's run-date partition math (``partitioner.py:7-25``)
+    from one date to a generated dimension.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+        )
+        SELECT
+          months.m AS month_start,
+          COUNT(o.o_orderkey) AS n_orders,
+          COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(8,2))) AS DOUBLE),
+                   0.0) AS revenue
+        FROM months
+        LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = months.m
+        GROUP BY months.m
+        ORDER BY month_start
+        """
+    )
