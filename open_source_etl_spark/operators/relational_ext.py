@@ -257,3 +257,29 @@ def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name, c_acctbal DESC, c_custkey
         """
     )
+
+
+@query(
+    "scalar_collation_filter",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    WHERE lower(event_type) IN ('click', 'view')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scalar_collation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 ``COLLATE UTF8_LCASE``):
+    case-insensitive predicates expressed as a column property instead of
+    wrapping every operand in lower() — the collation participates in
+    codegen'd comparisons directly.  Output keys are projected through
+    lower() only for cross-engine determinism of the representative."""
+    ev = load_table(spark, sf_dir, "events")
+    ci = F.expr("event_type COLLATE UTF8_LCASE")
+    return (
+        ev.filter(ci.isin("CLICK", "View"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )

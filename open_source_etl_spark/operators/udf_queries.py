@@ -95,3 +95,47 @@ def udtf_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+@query(
+    "udf_sql_scalar",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           AS DOUBLE) AS net_revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_extendedprice * (1 - l_discount) > 50000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 ``CREATE FUNCTION … RETURN
+    expr``): the reusable-expression tier BELOW Python UDFs — the body
+    inlines into the calling plan at analysis time, so it stays inside
+    whole-stage codegen with zero serialization boundary (PLANS.md shows
+    no Python stage), unlike even an Arrow-vectorized pandas UDF.  The
+    engine's answer to the reference's repeated hand-built SQL snippets
+    (`dags/…:82,174-188`): name the expression once in the catalog."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          CAST(SUM(CAST(net_price(l_extendedprice, l_discount)
+                        AS DECIMAL(28,6))) AS DOUBLE) AS net_revenue,
+          COUNT(*) AS n_items
+        FROM lineitem
+        WHERE net_price(l_extendedprice, l_discount) > 50000
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
