@@ -432,3 +432,35 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT
+      c_nationkey,
+      string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 ``LISTAGG … WITHIN GROUP``):
+    the SQL-standard form of collect_list+sort+join, with the ordering
+    declared inside the aggregate so the result is deterministic without
+    a post-hoc sort_array (agg_collect_sorted shows that older idiom)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("la_customer")
+    return spark.sql(
+        """
+        SELECT
+          c_nationkey,
+          listagg(DISTINCT c_mktsegment, ',')
+            WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+          COUNT(*) AS n_customers
+        FROM la_customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )

@@ -422,3 +422,31 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@query(
+    "filter_null_safe_eq",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM
+                    NULLIF(l_linestatus, 'O') THEN 1 ELSE 0 END) AS n_nullsafe_eq,
+      SUM(CASE WHEN NULLIF(l_returnflag, 'N') = NULLIF(l_linestatus, 'O')
+               THEN 1 ELSE 0 END) AS n_plain_eq
+    FROM lineitem
+    """,
+)
+def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (``<=>`` / IS NOT DISTINCT FROM): NULL <=> NULL
+    is TRUE where plain ``=`` yields NULL and drops the row — the
+    operator join keys need when NULLs must match (SCD2 change
+    detection uses the same semantics).  Two derived nullable columns
+    make the three-valued-logic difference visible in one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    y = F.nullif(F.col("l_linestatus"), F.lit("O"))
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(x.eqNullSafe(y).cast("int")).alias("n_nullsafe_eq"),
+        F.sum(F.when(x == y, 1).otherwise(0)).alias("n_plain_eq"),
+    )
