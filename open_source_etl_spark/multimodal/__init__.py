@@ -15,6 +15,7 @@ from .decode import (
     audio_chunk_energy,
     block_mean_resize,
     byte_histogram,
+    perceptual_hash,
     decode_image_meta,
     sample_frames,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "audio_chunk_energy",
     "block_mean_resize",
     "byte_histogram",
+    "perceptual_hash",
     "decode_image_meta",
     "sample_frames",
 ]

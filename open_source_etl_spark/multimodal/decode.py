@@ -237,3 +237,45 @@ def byte_histogram(media_df: DataFrame, codec: str = "fake") -> DataFrame:
 
     flat = media_df.select("doc_id", "media.payload")
     return flat.mapInPandas(kernel, HISTOGRAM_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, phash string"
+
+
+def perceptual_hash(media_df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Perceptual-hash kernel shape: a 16-bit block-brightness signature
+    per media payload (a real kernel would DCT the decoded pixel grid —
+    classic pHash — here the 1-D block analogue over the byte stream).
+
+    Byte j belongs to block ``(j * 16) // n``; bit i is 1 iff block i's
+    mean exceeds the global mean, decided by the integer cross-multiply
+    ``block_sum * n > total_sum * n_block`` so the bit vector is exactly
+    reproducible in SQL (no float mean comparisons on either engine).
+    Near-duplicate payloads (crops, re-encodes with stable brightness
+    profile) collide on the hash; see multimodal_phash_dedup for the
+    bucket-join dedup built on it."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if codec == "real":  # pragma: no cover - no codec libs here
+                raise NotImplementedError(
+                    "real perceptual hashing requires an image library"
+                )
+            out: dict[str, list] = {"doc_id": [], "phash": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                n = len(samples)
+                blk = (np.arange(n) * 16) // max(n, 1)
+                block_sum = np.bincount(blk, weights=samples, minlength=16)[:16]
+                n_block = np.bincount(blk, minlength=16)[:16]
+                total = int(samples.sum())
+                bits = (block_sum.astype(np.int64) * n) > (total * n_block)
+                out["doc_id"].append(doc_id)
+                out["phash"].append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame(out)
+
+    flat = media_df.select("doc_id", "media.payload")
+    return flat.mapInPandas(kernel, PHASH_SCHEMA)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..multimodal import decode_image_meta, sample_frames, with_media_payload
+from ..multimodal import decode_image_meta, perceptual_hash, sample_frames, with_media_payload
 from ..registry import query
 
 
@@ -165,3 +165,67 @@ def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = with_media_payload(docs)
     return byte_histogram(media).orderBy("doc_id")
+
+
+@query(
+    "multimodal_phash_dedup",
+    # byte j (0-based) of the ASCII payload belongs to block (j*16)//n;
+    # bit i = 1 iff block i's mean beats the global mean by integer
+    # cross-multiply — the exact arithmetic the kernel uses.
+    oracle="""
+    WITH chars AS (
+      SELECT d.doc_id,
+             length(d.text) AS n,
+             t.j,
+             ord(substring(d.text, t.j, 1)) AS v,
+             ((t.j - 1) * 16) // length(d.text) AS blk
+      FROM documents d,
+        LATERAL (SELECT unnest(generate_series(1, length(d.text))) AS j) t
+    ),
+    blocks AS (
+      SELECT doc_id, n, blk,
+             SUM(v) AS block_sum, COUNT(*) AS n_block,
+             SUM(SUM(v)) OVER (PARTITION BY doc_id) AS total
+      FROM chars GROUP BY doc_id, n, blk
+    ),
+    bits AS (
+      SELECT i.i, b.doc_id,
+             COALESCE(MAX(CASE WHEN b.blk = i.i AND b.block_sum * b.n > b.total * b.n_block
+                               THEN 1 ELSE 0 END), 0) AS bit
+      FROM (SELECT unnest(range(16)) AS i) i
+      CROSS JOIN (SELECT DISTINCT doc_id FROM documents) d0
+      JOIN blocks b ON b.doc_id = d0.doc_id
+      GROUP BY i.i, b.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+             string_agg(CAST(bit AS VARCHAR), '' ORDER BY i) AS phash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash
+    FROM hashes a JOIN hashes b ON a.phash = b.phash AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup dedup: perceptual-hash the binary payloads
+    (16-bit block-brightness signature via the mapInPandas kernel), then
+    bucket-join equal hashes into candidate pairs — the image-dedup
+    pipeline (pHash → bucket → verify) on the engine's media plumbing,
+    complementing the text (MinHash/SimHash) and embedding (SemDeDup)
+    dedup families.
+
+    Scale shape: hashing is embarrassingly parallel (zero shuffle); the
+    candidate join keys on the 16-bit hash, so bucket sizes — not corpus
+    size — bound the pairwise term, same argument as the LSH band join."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = perceptual_hash(with_media_payload(docs), codec="fake")
+    a = hashes.select(F.col("doc_id").alias("doc_a"), "phash")
+    b = hashes.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))
+    return (
+        a.join(b, (F.col("phash") == F.col("ph_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "phash")
+        .orderBy("doc_a", "doc_b")
+    )
