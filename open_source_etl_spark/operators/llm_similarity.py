@@ -172,12 +172,18 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         centroids = _mean_centroids(assigned, "cell")
 
-    # probe: 2 nearest refined cells to the query
+    # probe: 4 nearest refined cells to the query (nprobe is the IVF
+    # recall/cost dial: 4 of ~10 cells lifts recall@10 from ~0.3-0.4 to
+    # ~0.5-0.8 vs brute force on these weakly-clustered synthetic
+    # embeddings while still skipping 60% of the corpus; recall is
+    # bounded by probed mass when the space doesn't cluster, and a
+    # deployment tunes nprobe against its own recall target —
+    # tests/test_ann_quality.py pins the floor)
     probed = (
         centroids.crossJoin(F.broadcast(qv))
         .select("cell", dot("centroid", "qv").alias("cell_sim"))
         .orderBy(F.col("cell_sim").desc())
-        .limit(2)
+        .limit(4)
     )
     # final assignment of corpus vectors to refined cells, probe + re-rank
     final_cells = (
