@@ -78,3 +78,33 @@ def test_python_stages_only_where_designed(audit):
     """The UDF/multimodal surface is the *designed* Python boundary."""
     assert audit("udf_pandas_scalar").python_stages == 1
     assert audit("multimodal_image_meta").python_stages >= 1
+
+
+def test_partitioned_landing_prunes_at_plan_time(spark, tmp_path):
+    """The date-partitioned landing layout must yield PLAN-TIME partition
+    pruning: a month/day predicate lands entirely in the scan's
+    PartitionFilters (directory listing skips other partitions — the
+    mechanism that makes the year/month/day layout pay at 100 TB), not in
+    post-scan DataFilters."""
+    import datetime as dt
+
+    from open_source_etl_spark.ingest.staging import stage_csv
+
+    src = tmp_path / "csv"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "data_id,round,date\n0,R1,2021-03-06\n1,R1,2021-03-07\n2,R2,2021-04-10\n"
+    )
+    landing = str(tmp_path / "landing")
+    stage_csv(spark, str(src / "*.csv"), landing, date_column="date", run_date=None)
+
+    q = spark.read.parquet(landing).where("month = 'april' AND day = 10")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines, plan
+    scan = scan_lines[0]
+    assert "month" in scan.split("PartitionFilters:")[1].split("PushedFilters:")[0]
+    assert "day" in scan.split("PartitionFilters:")[1].split("PushedFilters:")[0]
+    # nothing of the partition predicate survives as a row-level filter
+    assert "DataFilters: []" in scan
+    assert q.count() == 1
