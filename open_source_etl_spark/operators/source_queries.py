@@ -134,3 +134,48 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "p_partkey")
         .limit(200)
     )
+
+
+@query(
+    "xml_file_scan",
+    oracle="""
+    SELECT c_mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal,
+      MIN(c_custkey) AS min_custkey,
+      MAX(c_custkey) AS max_custkey
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def xml_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write → rowTag scan → aggregate (Spark 4 native XML — the
+    document-interchange format beside JSONL/ORC/parquet/CSV; SURVEY.md
+    §2B scans).  The oracle aggregates the original parquet, so any loss
+    in the XML roundtrip (types, escaping, nulls) hash-mismatches.  XML
+    parse cost is per-row CPU at scale: schema is supplied from the
+    source frame, never inferred by a second pass over the files."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="osetl-xml-") + "/customer"
+    cust.write.format("xml").option("rowTag", "customer").save(path)
+    back = (
+        spark.read.format("xml")
+        .schema(cust.schema)
+        .option("rowTag", "customer")
+        .load(path)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias(
+                "total_acctbal"
+            ),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )
