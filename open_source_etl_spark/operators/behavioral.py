@@ -315,3 +315,78 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "behavior_burst_detect",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, hour, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY hour
+                          RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                                    AND INTERVAL 1 HOUR PRECEDING) AS sum_baseline,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY hour
+                            RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                                      AND INTERVAL 1 HOUR PRECEDING) AS n_baseline
+      FROM hourly
+    )
+    SELECT event_type, hour, n,
+           ROUND(CAST(sum_baseline AS DOUBLE) / n_baseline, 4) AS baseline,
+           -- pure integer cross-multiply: n > 1.5x (sum/count) baseline
+           (n_baseline > 0 AND 2 * n * n_baseline > 3 * sum_baseline)
+             AS is_burst
+    FROM scored
+    ORDER BY event_type, hour
+    """,
+)
+def behavior_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal burst detection: hourly event counts per type scored
+    against their trailing-24h baseline (RANGE frame over event time,
+    excluding the current hour), flagged when the hour runs over 1.5x
+    the baseline — rate-spike alerting, the time-series complement of
+    the global z-score outlier check (dq_outlier_zscore).
+
+    The burst predicate cross-multiplies the windowed integer SUM
+    directly (never avg x count float reconstruction) so the flag can't
+    hinge on float representation or cast rounding.  One shuffle for the hourly rollup, one sort per
+    event_type partition for the frame — the same plan at any scale;
+    state is |types| x 25 hourly counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("event_type", F.col("w.start").alias("hour"), "n")
+    )
+    # RANGE frame over epoch seconds: 24h window ending 1h before now
+    wspec = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour").cast("long"))
+        .rangeBetween(-24 * 3600, -3600)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(wspec).alias("sum_baseline"),
+        F.count("*").over(wspec).alias("n_baseline"),
+    )
+    return scored.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(
+            F.col("sum_baseline").cast("double") / F.col("n_baseline"), 4
+        ).alias("baseline"),
+        (
+            (F.col("n_baseline") > 0)
+            & (2 * F.col("n") * F.col("n_baseline") > 3 * F.col("sum_baseline"))
+        ).alias("is_burst"),
+    ).orderBy("event_type", "hour")
