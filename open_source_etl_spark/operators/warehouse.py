@@ -131,3 +131,66 @@ def warehouse_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY month_start
         """
     )
+
+
+@query(
+    "warehouse_incremental_agg",
+    # the oracle aggregates the whole table directly — the incremental
+    # base+delta merge must be indistinguishable from a full rescan
+    oracle="""
+    SELECT
+      o_orderstatus,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+      ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*), 4)
+        AS avg_price,
+      MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def warehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh):
+    a pre-aggregated BASE (orders before the cutoff) is merged with the
+    newly-arrived DELTA's partial aggregates — re-aggregating sums of
+    sums and sums of counts — instead of rescanning the base table.
+    AVG is derived from merged (sum, count), never averaged averages;
+    MIN/MAX merge by MIN/MAX.  This is the partial-aggregate algebra
+    Spark applies inside one job, applied ACROSS jobs: at 100 TB the
+    base rollup is thousands of times the delta, and the refresh cost
+    becomes O(delta + |groups|).
+
+    The oracle aggregates the full table in one pass — the merge is only
+    correct if it is indistinguishable from the rescan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(8,2)")).alias("revenue_dec"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_dec").alias("revenue_dec"),
+            F.max("last_order").alias("last_order"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue_dec").cast("double") / F.col("n_orders"), 4
+        ).alias("avg_price"),
+        "last_order",
+    ).orderBy("o_orderstatus")
