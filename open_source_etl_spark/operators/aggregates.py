@@ -465,3 +465,45 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_nationkey
         """
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation (Spark 3.5+
+    ``bitmap_construct_agg``): keys bucket into 32k-bit bitmaps per
+    (group, bucket), bitmap_count sums the set bits — the
+    ClickHouse/Doris-style roaring-bitmap technique.  Against
+    COUNT(DISTINCT x)'s expand-and-reshuffle of every distinct value,
+    the shuffle here carries one fixed-size bitmap per (group, bucket):
+    for dense integer keys that is a large constant-factor win, while
+    staying EXACT (the oracle is plain COUNT DISTINCT) — the middle
+    ground between exact countDistinct and the HLL sketch
+    (agg_approx_distinct)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("bm_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               SUM(bucket_distinct) AS n_parts,
+               SUM(bucket_rows) AS n_rows
+        FROM (
+          SELECT l_returnflag,
+                 bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey)))
+                   AS bucket_distinct,
+                 COUNT(*) AS bucket_rows
+          FROM bm_lineitem
+          GROUP BY l_returnflag, bitmap_bucket_number(l_partkey)
+        )
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

@@ -450,3 +450,40 @@ def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x.eqNullSafe(y).cast("int")).alias("n_nullsafe_eq"),
         F.sum(F.when(x == y, 1).otherwise(0)).alias("n_plain_eq"),
     )
+
+
+@query(
+    "scalar_try_arith",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CASE WHEN o_orderkey % 5 = 0 THEN NULL
+           ELSE o_totalprice / (o_orderkey % 5) END AS price_ratio,
+      TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
+      TRY_CAST(o_orderstatus AS INTEGER) AS status_num
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic (``try_divide`` / ``try_cast``): under Spark
+    4's ANSI mode, division by zero and bad casts THROW — the try_
+    family yields NULL instead, the semantics a 100 TB batch job needs
+    so one malformed row can't kill hours of work.  The oracle encodes
+    the same NULL-on-failure contract with CASE/TRY_CAST."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.try_divide(
+                F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")
+            ).alias("price_ratio"),
+            F.expr(
+                "try_cast(substring(o_orderpriority, 1, 1) AS INT)"
+            ).alias("priority_num"),
+            F.expr("try_cast(o_orderstatus AS INT)").alias("status_num"),
+        )
+        .orderBy("o_orderkey")
+    )

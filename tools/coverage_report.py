@@ -15,11 +15,11 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Scans / sources / sinks", ("staging_all_varchar", "file_provenance", "json_file_scan", "orc_file_scan", "xml_file_scan", "partition_path_derivation", "metadata_value_synthesis", "layout_zorder_key")),
     ("Projection / filter / predicates", ("filter_null_safe_eq", "project_rename_cast", "filter_point_lookup", "filter_like_prefix", "filter_in_set", "filter_null_predicates", "filter_range_between", "distinct_values")),
     ("Joins", ("join_inner_fact", "join_left_outer", "join_right_outer", "join_full_outer", "join_semi", "join_anti", "join_cross", "join_range_theta", "join_asof", "join_broadcast_star", "join_multiway_star", "join_skew_salted")),
-    ("Aggregation", ("agg_grouped_basic", "agg_global", "agg_filtered_conditional", "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect_sorted", "agg_argmax", "agg_percentiles", "agg_stats_moments", "agg_hll_sketch_union", "agg_salted_hotkey", "agg_median", "agg_listagg")),
+    ("Aggregation", ("agg_grouped_basic", "agg_global", "agg_filtered_conditional", "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect_sorted", "agg_argmax", "agg_percentiles", "agg_stats_moments", "agg_hll_sketch_union", "agg_salted_hotkey", "agg_median", "agg_listagg", "agg_bitmap_distinct")),
     ("Window functions", ("window_rank_family", "window_lag_lead", "window_first_last", "window_running_sum", "window_moving_avg", "window_range_frame", "window_distribution_funcs", "window_topk_per_group")),
     ("Sort / limit / top-k", ("sort_multikey_nulls", "limit_topn", "limit_offset_page")),
     ("Set operations", ("setop_union_all", "setop_union_distinct", "setop_intersect", "setop_except", "setop_except_all", "setop_intersect_all")),
-    ("Scalar functions", ("scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs", "scalar_conditional", "scalar_regex_funcs", "scalar_collation_filter")),
+    ("Scalar functions", ("scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs", "scalar_conditional", "scalar_regex_funcs", "scalar_collation_filter", "scalar_try_arith")),
     ("Array / map / JSON", ("array_funcs_basic", "array_higher_order", "array_explode_agg", "array_zip_construct", "array_explode_outer_nulls", "json_extract_props", "json_to_map", "json_variant_extract")),
     ("Pivot / subqueries", ("pivot_status_by_priority", "unpivot_status_counts", "subquery_exists", "subquery_scalar", "lateral_topk_per_group")),
     ("Headline analytics (TPC-H-shaped)", ("q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_trade_volume", "q8_market_share", "q9_product_profit", "q10_returned_items", "q11_important_parts", "q12_late_line_priority", "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety", "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_filter", "q20_excess_shipments", "q21_waiting_supplier", "q22_sales_opportunity")),
