@@ -270,3 +270,50 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "map_funcs_explode",
+    oracle="""
+    WITH kv AS (
+      SELECT e.event_id, e.event_type, j.key AS k, CAST(j.value AS BIGINT) AS v
+      FROM events e, LATERAL (
+        SELECT unnest(json_keys(e.props)) AS key,
+               json_extract_string(e.props, '$.' || unnest(json_keys(e.props))) AS value
+      ) j
+      WHERE e.event_id <= 500
+    )
+    SELECT event_id, event_type, k, v, v * 2 AS v_doubled
+    FROM kv
+    ORDER BY event_id, k
+    """,
+)
+def map_funcs_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function family (SURVEY §2B Map/JSON): JSON props →
+    ``from_json`` MapType → ``transform_values`` (higher-order map
+    rewrite) → ``explode`` into (key, value) rows — the generic
+    flatten-a-property-bag shape.  ``map_keys``/``map_filter`` ride the
+    same MapType; per-row, zero shuffle, fully JVM."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "map<string,bigint>").alias("m"),
+    ).select(
+        "event_id",
+        "event_type",
+        "m",
+        F.transform_values("m", lambda _, v: v * 2).alias("m2"),
+    )
+    return (
+        parsed.select(
+            "event_id",
+            "event_type",
+            F.explode("m").alias("k", "v"),
+            "m2",
+        )
+        .select(
+            "event_id", "event_type", "k", "v", F.element_at("m2", F.col("k")).alias("v_doubled")
+        )
+        .orderBy("event_id", "k")
+    )
