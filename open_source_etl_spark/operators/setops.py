@@ -142,3 +142,42 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return cust.intersectAll(supp).orderBy("nationkey")
+
+
+@query(
+    "setop_union_schema_evolution",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey AS order_key, o_orderstatus AS status,
+             o_totalprice AS totalprice, NULL AS priority
+      FROM orders WHERE o_orderkey <= 1000
+      UNION ALL BY NAME
+      SELECT o_orderkey AS order_key, o_orderstatus AS status,
+             NULL AS totalprice, o_orderpriority AS priority
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+    )
+    ORDER BY order_key
+    """,
+)
+def setop_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution UNION (``unionByName(allowMissingColumns=True)``):
+    an old batch without ``priority`` appends to a new batch without
+    ``totalprice``; absent columns fill with NULL by NAME, not position —
+    the semantics every long-lived ingestion needs the day a field is
+    added, where positional unionAll would silently misalign columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    old_batch = orders.filter(F.col("o_orderkey") <= 1000).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    new_batch = orders.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000)
+    ).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return old_batch.unionByName(new_batch, allowMissingColumns=True).orderBy(
+        "order_key"
+    )

@@ -18,7 +18,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Aggregation", ("agg_grouped_basic", "agg_global", "agg_filtered_conditional", "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect_sorted", "agg_argmax", "agg_percentiles", "agg_stats_moments", "agg_hll_sketch_union", "agg_salted_hotkey", "agg_median", "agg_listagg", "agg_bitmap_distinct")),
     ("Window functions", ("window_rank_family", "window_lag_lead", "window_first_last", "window_running_sum", "window_moving_avg", "window_range_frame", "window_distribution_funcs", "window_topk_per_group")),
     ("Sort / limit / top-k", ("sort_multikey_nulls", "limit_topn", "limit_offset_page")),
-    ("Set operations", ("setop_union_all", "setop_union_distinct", "setop_intersect", "setop_except", "setop_except_all", "setop_intersect_all")),
+    ("Set operations", ("setop_union_all", "setop_union_distinct", "setop_intersect", "setop_except", "setop_except_all", "setop_intersect_all", "setop_union_schema_evolution")),
     ("Scalar functions", ("scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs", "scalar_conditional", "scalar_regex_funcs", "scalar_collation_filter", "scalar_try_arith")),
     ("Array / map / JSON", ("array_funcs_basic", "array_higher_order", "array_explode_agg", "array_zip_construct", "array_explode_outer_nulls", "json_extract_props", "json_to_map", "json_variant_extract", "map_funcs_explode")),
     ("Pivot / subqueries", ("pivot_status_by_priority", "unpivot_status_counts", "subquery_exists", "subquery_scalar", "lateral_topk_per_group")),
