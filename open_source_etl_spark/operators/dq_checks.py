@@ -157,3 +157,50 @@ def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "dq_freshness_check",
+    oracle="""
+    WITH f AS (
+      SELECT
+        MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_active_days
+      FROM events
+    )
+    SELECT
+      max_ts,
+      n_events,
+      n_active_days,
+      -- elapsed full hours (integer seconds // 3600), NOT date_diff's
+      -- calendar boundary count — matches the Spark epoch arithmetic
+      CAST((epoch(TIMESTAMP '2024-12-31 00:00:00') - epoch(max_ts)) // 3600
+           AS BIGINT) AS hours_stale,
+      (epoch(TIMESTAMP '2024-12-31 00:00:00') - epoch(max_ts)) // 3600 <= 24
+        AS is_fresh
+    FROM f
+    """,
+)
+def dq_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness check: the latest event timestamp measured against
+    a reference point, with a staleness SLA flag — the operational DQ
+    tier (is the feed still flowing?) beside the content checks
+    (§2A.3), and the batch analogue of the reference's file sensor
+    (`dags/…:54-67`: "has new data arrived?").  One global agg: the
+    max reduces map-side, a single row crosses the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = F.lit("2024-12-31 00:00:00").cast("timestamp")
+    f = ev.agg(
+        F.max("ts").alias("max_ts"),
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+    )
+    hours_stale = (ref.cast("long") - F.col("max_ts").cast("long")) / F.lit(3600)
+    return f.select(
+        "max_ts",
+        "n_events",
+        "n_active_days",
+        F.floor(hours_stale).cast("bigint").alias("hours_stale"),
+        (F.floor(hours_stale) <= 24).alias("is_fresh"),
+    )
