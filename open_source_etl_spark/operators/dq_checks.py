@@ -173,12 +173,15 @@ def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       max_ts,
       n_events,
       n_active_days,
-      -- elapsed full hours (integer seconds // 3600), NOT date_diff's
-      -- calendar boundary count — matches the Spark epoch arithmetic
-      CAST((epoch(TIMESTAMP '2024-12-31 00:00:00') - epoch(max_ts)) // 3600
-           AS BIGINT) AS hours_stale,
-      (epoch(TIMESTAMP '2024-12-31 00:00:00') - epoch(max_ts)) // 3600 <= 24
-        AS is_fresh
+      -- elapsed full hours via explicit FLOOR: DuckDB's // on DOUBLE is
+      -- plain division (and CAST AS BIGINT rounds), and date_diff counts
+      -- calendar boundaries — both diverge from Spark's long arithmetic.
+      -- Spark's long cast truncates the sub-second part first, so floor
+      -- the seconds before dividing.
+      CAST(FLOOR(FLOOR(epoch(TIMESTAMP '2024-12-31 00:00:00') - FLOOR(epoch(max_ts)))
+                 / 3600) AS BIGINT) AS hours_stale,
+      FLOOR(FLOOR(epoch(TIMESTAMP '2024-12-31 00:00:00') - FLOOR(epoch(max_ts)))
+            / 3600) <= 24 AS is_fresh
     FROM f
     """,
 )
