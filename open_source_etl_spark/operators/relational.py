@@ -487,3 +487,48 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scalar_url_funcs",
+    # the oracle reconstructs host/path/query extraction with string ops —
+    # same RESULT as Spark's parse_url, different mechanism
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang
+               || '?doc=' || doc_id || '&v=2' AS url
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT
+      doc_id,
+      url,
+      split_part(split_part(url, '://', 2), '/', 1) AS host,
+      '/' || split_part(split_part(url, '://', 2), '/', 2) || '/'
+          || split_part(split_part(split_part(url, '://', 2), '/', 3), '?', 1)
+        AS path,
+      split_part(split_part(url, 'doc=', 2), '&', 1) AS doc_param
+    FROM u
+    ORDER BY doc_id
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (``parse_url`` HOST/PATH/QUERY-param): the
+    provenance-extraction step of every web-corpus pipeline (group by
+    host for per-domain quotas, dedup by normalized path).  Spark's
+    parse_url runs JVM-side; the oracle reconstructs the same fields
+    with split_part string surgery, so the check is on results, not
+    the mechanism."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("?doc="), F.col("doc_id"), F.lit("&v=2"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("doc")).alias("doc_param"),
+    ).orderBy("doc_id")

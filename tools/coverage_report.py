@@ -19,7 +19,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Window functions", ("window_rank_family", "window_lag_lead", "window_first_last", "window_running_sum", "window_moving_avg", "window_range_frame", "window_distribution_funcs", "window_topk_per_group")),
     ("Sort / limit / top-k", ("sort_multikey_nulls", "limit_topn", "limit_offset_page")),
     ("Set operations", ("setop_union_all", "setop_union_distinct", "setop_intersect", "setop_except", "setop_except_all", "setop_intersect_all", "setop_union_schema_evolution")),
-    ("Scalar functions", ("scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs", "scalar_conditional", "scalar_regex_funcs", "scalar_collation_filter", "scalar_try_arith")),
+    ("Scalar functions", ("scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs", "scalar_conditional", "scalar_regex_funcs", "scalar_collation_filter", "scalar_try_arith", "scalar_url_funcs")),
     ("Array / map / JSON", ("array_funcs_basic", "array_higher_order", "array_explode_agg", "array_zip_construct", "array_explode_outer_nulls", "json_extract_props", "json_to_map", "json_variant_extract", "map_funcs_explode")),
     ("Pivot / subqueries", ("pivot_status_by_priority", "unpivot_status_counts", "subquery_exists", "subquery_scalar", "lateral_topk_per_group")),
     ("Headline analytics (TPC-H-shaped)", ("q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_trade_volume", "q8_market_share", "q9_product_profit", "q10_returned_items", "q11_important_parts", "q12_late_line_priority", "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety", "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_filter", "q20_excess_shipments", "q21_waiting_supplier", "q22_sales_opportunity")),
