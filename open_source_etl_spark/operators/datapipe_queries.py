@@ -623,3 +623,51 @@ def datapipe_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "datapipe_domain_quota",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_bucket_sql('doc_id', _SAMPLE_A, _SAMPLE_B)}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           SUM(n_chars) AS kept_chars,
+           MAX(rk) AS quota_used
+    FROM ranked
+    WHERE rk <= 15
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def datapipe_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: each source keeps at most 15 documents,
+    chosen by deterministic hash rank (not arrival order, which would
+    bias toward whatever was crawled first) — the per-domain cap that
+    stops a single giant site from dominating a web corpus.
+
+    One shuffle on source for the window rank; the hash order makes the
+    selection reproducible across runs and cluster layouts, same
+    property as the split/sample family."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        _bucket(F.col("doc_id"), _SAMPLE_A, _SAMPLE_B), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 15)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.max("rk").alias("quota_used"),
+        )
+        .orderBy("source")
+    )
