@@ -432,3 +432,72 @@ def _propagate_min_labels(und: DataFrame, labels: DataFrame) -> DataFrame:
             break
         prev_total = total
     return labels
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+             THEN 'https://NEWS.Example.COM/page/'
+                  || CAST(doc_id // 2 AS VARCHAR) || '/?utm_source=feed&utm_ca=x'
+             ELSE 'https://news.example.com/page/'
+                  || CAST(doc_id // 2 AS VARCHAR) || '/'
+        END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(url), '\\?utm_[^#]*$', ''),
+                            '/+$', '') AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_variants,
+           MIN(doc_id) AS keep_doc,
+           MAX(doc_id) AS drop_doc
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(*) > 1
+    ORDER BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: lowercase the URL, strip tracking
+    query params (utm_*) and trailing slashes, then group — the
+    cheapest dedup tier of a web corpus (crawl variants of one page
+    collapse BEFORE any content hashing).  The fixture has no URL
+    column, so crawl-style variants (uppercase host + utm params vs
+    clean) are synthesized deterministically per doc pair; the
+    canonicalizer must merge exactly those pairs.
+
+    Pure per-row string work + one grouped agg — the same single
+    shuffle as exact dedup at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") / 2).cast("long").cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("https://NEWS.Example.COM/page/"),
+            page, F.lit("/?utm_source=feed&utm_ca=x"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://news.example.com/page/"), page, F.lit("/")
+        )
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower(url), r"\?utm_[^#]*$", ""), r"/+$", ""
+    )
+    return (
+        docs.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc"),
+            F.max("doc_id").alias("drop_doc"),
+        )
+        .filter(F.col("n_variants") > 1)
+        .orderBy("canonical_url")
+    )
