@@ -194,3 +194,81 @@ def warehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_price"),
         "last_order",
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "model_pipeline_build",
+    oracle="""
+    WITH stg_orders AS (
+      SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+             o_orderstatus AS status, o_totalprice AS totalprice
+      FROM orders
+    ),
+    stg_customers AS (
+      SELECT c_custkey AS cust_key, c_mktsegment AS segment FROM customer
+    )
+    SELECT
+      c.segment,
+      o.status,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o.totalprice AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+    FROM stg_orders o
+    JOIN stg_customers c ON o.cust_key = c.cust_key
+    GROUP BY c.segment, o.status
+    ORDER BY segment, status
+    """,
+)
+def model_pipeline_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-analogue model layer as a t2 query: a 3-model ref() DAG
+    (two staging views -> one fact table) built in dependency order by
+    the ModelRegistry, with the reference's schema tests (unique /
+    not_null, `schema.yml:8-21`) asserted on the staging models before
+    the fact is returned.  This is §2A.2 run end-to-end — model
+    registration, topological build, view/table materialization, tests —
+    not just the library unit tests (tests/test_models.py).
+    """
+    from ..models import ModelRegistry
+
+    reg = ModelRegistry()
+    reg.register(
+        "stg_orders_q",
+        lambda s, ref: load_table(s, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("totalprice"),
+        ),
+        materialized="view",
+        tests={"unique": ("order_key",), "not_null": ("order_key", "cust_key")},
+    )
+    reg.register(
+        "stg_customers_q",
+        lambda s, ref: load_table(s, sf_dir, "customer").select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        materialized="view",
+        tests={"unique": ("cust_key",), "not_null": ("cust_key",)},
+    )
+    reg.register(
+        "fct_revenue_by_segment_q",
+        lambda s, ref: (
+            ref("stg_orders_q")
+            .join(ref("stg_customers_q"), "cust_key")
+            .groupBy("segment", "status")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("totalprice").cast("decimal(8,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        ),
+        materialized="table",
+        depends_on=("stg_orders_q", "stg_customers_q"),
+    )
+    built = reg.build(spark)
+    outcomes = reg.test(spark)
+    failed = [k for k, ok in outcomes.items() if not ok]
+    if failed:  # schema tests gate the model output, as in dbt
+        raise AssertionError(f"model schema tests failed: {failed}")
+    return built["fct_revenue_by_segment_q"].orderBy("segment", "status")
