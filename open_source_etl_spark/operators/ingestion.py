@@ -131,3 +131,63 @@ def staging_all_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(c).cast("string").alias(f"col_{i + 1}") for i, c in enumerate(nat.columns)
     ]
     return nat.select(*cols).orderBy(F.col("col_1").cast("int"))
+
+
+@query(
+    "ingest_pipeline_run",
+    # the staging view is schema-on-read all-varchar over the raw CSV —
+    # the oracle casts the source rows to VARCHAR with the same names
+    oracle="""
+    SELECT
+      CAST(n_nationkey AS VARCHAR) AS data_id,
+      n_name AS name,
+      CAST(n_regionkey AS VARCHAR) AS regionkey,
+      '2021-03-06' AS date
+    FROM nation
+    ORDER BY CAST(data_id AS BIGINT)
+    """,
+)
+def ingest_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE ingestion DAG as one t2 query: metadata
+    key-type lookup → file sensing → run-date partition suffix →
+    metadata partition-value upsert + read-back → date-partitioned
+    landing → header-sniff schema resolution ('Unnamed: 0' → data_id,
+    `dags/…:170`) → all-varchar external staging view — then the staged
+    rows are returned for the differential check.  The CSV feed is
+    derived from the nation fixture so the oracle can reproduce the
+    staged content exactly (schema-on-read: every column VARCHAR).
+    """
+    import datetime as _dt
+    import tempfile as _tf
+
+    from ..ingest.metadata import MetadataStore
+    from ..ingest.pipeline import run_ingestion
+
+    workdir = _tf.mkdtemp(prefix="osetl-ingest-q-")
+    # the raw feed: CSV with the reference's unnamed index column
+    nation = load_table(spark, sf_dir, "nation").orderBy("n_nationkey")
+    feed = nation.select(
+        F.col("n_nationkey").cast("string").alias("Unnamed: 0"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("string").alias("regionkey"),
+        F.lit("2021-03-06").alias("date"),
+    )
+    feed.coalesce(1).write.mode("overwrite").option("header", True).csv(
+        f"{workdir}/raw"
+    )
+
+    meta = MetadataStore(spark, f"{workdir}/metadata")
+    meta.upsert("nation_feed", key_type="incremental", value=None)
+    result = run_ingestion(
+        spark,
+        entity="nation_feed",
+        source_glob=f"{workdir}/raw/*.csv",
+        landing_root=f"{workdir}/landing",
+        metadata=meta,
+        run_date=_dt.date(2021, 3, 6),
+        date_column="date",
+    )
+    assert result is not None and result.staged_rows > 0
+    return spark.table(result.staging_view).orderBy(
+        F.col("data_id").cast("bigint")
+    )
