@@ -296,3 +296,107 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             user_id
+      FROM events
+    ),
+    per_day AS (
+      SELECT event_type, day, COUNT(*) AS day_users
+      FROM du GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, day,
+             CAST(COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum_users,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY user_id) AS rn
+      FROM du
+    )
+    SELECT p.event_type, p.day, p.day_users, c.cum_users
+    FROM per_day p
+    JOIN cum c ON p.event_type = c.event_type AND p.day = c.day AND c.rn = 1
+    ORDER BY p.event_type, p.day
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window (cumulative unique users per
+    event type by day).  Spark has no COUNT(DISTINCT) OVER — the idiom
+    is size(collect_set() over w), which keeps the distinct set in the
+    window frame state; at 100 TB swap the exact set for an HLL sketch
+    merged along the frame (agg_hll_sketch_union shows the sketch calc).
+    The oracle uses DuckDB's native COUNT(DISTINCT) OVER, deduplicated
+    to one row per (type, day)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    per_day = daily.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("day_users"),
+        F.collect_set("user_id").alias("users"),
+    )
+    cum = per_day.withColumn(
+        "cum_users",
+        F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w)))).cast(
+            "bigint"
+        ),
+    )
+    return cum.select("event_type", "day", "day_users", "cum_users").orderBy(
+        "event_type", "day"
+    )
+
+
+@query(
+    "window_pareto_share",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT segment, revenue,
+           ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, segment)
+                 / SUM(revenue) OVER (), 6) AS cum_share
+    FROM seg
+    ORDER BY revenue DESC, segment
+    """,
+)
+def window_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-share analysis: segments ranked by revenue
+    with their running share of the total (the 80/20 cut is where
+    cum_share crosses 0.8).  Two window passes over a |groups|-sized
+    aggregate — the fact table contributes only the initial rollup.
+    The share divides two exact decimal-interior doubles, so ROUND(…, 6)
+    decorates an identical quotient on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(8,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_run = Window.orderBy(F.col("revenue").desc(), "segment").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return seg.select(
+        "segment",
+        "revenue",
+        F.round(F.sum("revenue").over(w_run) / F.sum("revenue").over(w_all), 6).alias(
+            "cum_share"
+        ),
+    ).orderBy(F.col("revenue").desc(), "segment")
