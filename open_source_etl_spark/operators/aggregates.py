@@ -507,3 +507,47 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT
+      CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END
+        AS status,
+      CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END
+        AS priority,
+      GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS grouping_level,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY grouping_level, status, priority
+    """,
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping_id over a rollup: labels that distinguish a
+    subtotal row's NULL from a data NULL — without it, rollup output is
+    ambiguous the moment the grouped column itself contains NULLs.  The
+    '<all>' relabeling is how report layers render subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.when(F.col("g_status") == 1, "<all>")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.when(F.col("g_priority") == 1, "<all>")
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            (F.col("g_status") * 2 + F.col("g_priority"))
+            .cast("bigint")
+            .alias("grouping_level"),
+            "n_orders",
+        )
+        .orderBy("grouping_level", "status", "priority")
+    )
