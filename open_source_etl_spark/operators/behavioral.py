@@ -390,3 +390,50 @@ def behavior_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (2 * F.col("n") * F.col("n_baseline") > 3 * F.col("sum_baseline"))
         ).alias("is_burst"),
     ).orderBy("event_type", "hour")
+
+
+@query(
+    "behavior_ab_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, value,
+             CASE WHEN ((user_id * 2654435761 + 101) % 2147483648) % 100 < 50
+                  THEN 'treatment' ELSE 'control' END AS variant
+      FROM events
+      WHERE event_type IN ('click', 'purchase', 'view')
+    )
+    SELECT event_type, variant,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_value
+    FROM assigned
+    GROUP BY event_type, variant
+    ORDER BY event_type, variant
+    """,
+)
+def behavior_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned
+    50/50 to treatment/control (same multiplicative-hash family as the
+    split/sample ops — assignment is reproducible and user-sticky, never
+    per-event RNG), then per-(event_type, variant) volume and mean value.
+    The uplift read is mean_value(treatment) − mean_value(control) per
+    metric; means divide an exact decimal sum by a count, so both
+    engines report identical figures."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase", "view")
+    )
+    bucket = ((F.col("user_id") * 2654435761 + 101) % 2147483648) % 100
+    assigned = ev.withColumn(
+        "variant", F.when(bucket < 50, "treatment").otherwise("control")
+    )
+    dsum_val = F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+    return (
+        assigned.groupBy("event_type", "variant")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum_val.alias("total_value"),
+            F.round(dsum_val / F.count("*"), 6).alias("mean_value"),
+        )
+        .orderBy("event_type", "variant")
+    )
