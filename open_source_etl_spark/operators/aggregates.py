@@ -551,3 +551,38 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grouping_level", "status", "priority")
     )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT
+      l_returnflag,
+      bit_and(l_orderkey) AS all_and,
+      bit_or(l_orderkey) AS any_or,
+      bit_xor(l_orderkey) AS parity_xor,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and / bit_or / bit_xor): flag-mask
+    consolidation and parity folding over integer columns — associative
+    and commutative, so they combine map-side like any sum and the
+    shuffle carries one 64-bit value per (partition, group).  xor is the
+    classic checksum for did-every-row-arrive-exactly-once audits
+    (a pair of duplicated-and-dropped rows cancels; a single dup
+    flips)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_orderkey").alias("all_and"),
+            F.bit_or("l_orderkey").alias("any_or"),
+            F.bit_xor("l_orderkey").alias("parity_xor"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
