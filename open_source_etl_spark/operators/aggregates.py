@@ -586,3 +586,45 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_histogram_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 60000) AS BIGINT), 9) AS bin
+      FROM orders
+    )
+    SELECT bin,
+           bin * 60000.0 AS bin_lo,
+           CASE WHEN bin = 9 THEN NULL ELSE (bin + 1) * 60000.0 END AS bin_hi,
+           COUNT(*) AS n_orders
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: order values binned into 10 fixed-width
+    buckets (top bucket open-ended) — the distribution-profiling
+    primitive behind data exploration and skew diagnosis.  The bin is
+    FLOOR of one double division, the identical IEEE computation on both
+    engines (deliberately not width_bucket, whose edge semantics differ
+    across dialects); binning is map-side, the shuffle carries 10 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 60000), F.lit(9)).cast("bigint")
+    return (
+        orders.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bin",
+            (F.col("bin") * 60000.0).alias("bin_lo"),
+            F.when(F.col("bin") == 9, F.lit(None).cast("double"))
+            .otherwise((F.col("bin") + 1) * 60000.0)
+            .alias("bin_hi"),
+            "n_orders",
+        )
+        .orderBy("bin")
+    )
