@@ -131,7 +131,10 @@ def stage_csv(
         year_c, month_c, day_c = partition_columns(F.col(date_column).cast("date"))
         dated = raw.withColumns({"year": year_c, "month": month_c, "day": day_c})
     dated.write.mode("overwrite").partitionBy("year", "month", "day").parquet(landing_path)
-    return spark.read.parquet(landing_path)
+    # return the staged frame directly — a full parquet read-back of what
+    # was just written costs a second scan for nothing (callers wanting the
+    # partition-pruned landing layout read ``landing_path`` themselves)
+    return dated
 
 
 def read_csv_with_quarantine(

@@ -86,8 +86,8 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       c_mktsegment,
-      SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
       {sql_dsum("CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END")} AS big_order_revenue,
       COUNT(*) AS n_total
     FROM orders o
@@ -219,7 +219,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n.n_name AS nation_name,
-      list_sort(list(DISTINCT c.c_mktsegment)) AS segments
+      array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), ',') AS segments
     FROM customer c
     JOIN nation n ON n.n_nationkey = c.c_nationkey
     GROUP BY n.n_name
@@ -227,13 +227,22 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set wrapped in sort_array (order-insensitive by construction)."""
+    """collect_set wrapped in sort_array (order-insensitive by construction).
+
+    The output column is serialized with array_join — the driver's pandas
+    canonicalizer cannot hash list cells (CORRECTNESS_r01 `agg_collect_sorted`
+    err), so nested results ship as deterministic strings on both sides.
+    """
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
     return (
         cust.join(F.broadcast(nat), nat.n_nationkey == cust.c_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            )
+        )
         .orderBy("nation_name")
     )
 
@@ -596,8 +605,8 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT bin,
-           bin * 60000.0 AS bin_lo,
-           CASE WHEN bin = 9 THEN NULL ELSE (bin + 1) * 60000.0 END AS bin_hi,
+           CAST(bin * 60000.0 AS DOUBLE) AS bin_lo,
+           CAST(CASE WHEN bin = 9 THEN NULL ELSE (bin + 1) * 60000.0 END AS DOUBLE) AS bin_hi,
            COUNT(*) AS n_orders
     FROM binned
     GROUP BY bin

@@ -26,21 +26,32 @@ from ..registry import query
       vec_id,
       len(embedding) AS dim,
       embedding[1] AS first_component,
-      embedding[1:4] AS head4,
+      array_to_string(list_transform(embedding[1:4],
+        x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS head4,
       list_contains(embedding, 0.0) AS has_exact_zero
     FROM embeddings
     ORDER BY vec_id
     """,
 )
 def array_funcs_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """size / element_at / slice / array_contains on the embedding column."""
+    """size / element_at / slice / array_contains on the embedding column.
+
+    head4 serializes via float→double→decimal(18,6)→string on BOTH engines:
+    the identical widen-then-quantize path makes the rendered digits equal,
+    and a string column survives the driver's pandas hasher (list cells
+    don't — CORRECTNESS_r01 `array_funcs_basic` err).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
+    head4 = F.transform(
+        F.slice("embedding", 1, 4),
+        lambda x: x.cast("double").cast("decimal(18,6)").cast("string"),
+    )
     return (
         emb.select(
             "vec_id",
             F.size("embedding").alias("dim"),
             F.element_at("embedding", 1).alias("first_component"),
-            F.slice("embedding", 1, 4).alias("head4"),
+            F.array_join(head4, ",").alias("head4"),
             F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_exact_zero"),
         )
         .orderBy("vec_id")
@@ -182,24 +193,32 @@ def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n.n_name AS nation_name,
-      [r.r_name, n.n_name] AS region_nation,
-      struct_pack(nation := n.n_name, region := r.r_name) AS geo
+      array_to_string([r.r_name, n.n_name], ',') AS region_nation,
+      CAST(to_json(struct_pack(nation := n.n_name, region := r.r_name)) AS VARCHAR) AS geo
     FROM nation n
     JOIN region r ON r.r_regionkey = n.n_regionkey
     ORDER BY nation_name
     """,
 )
 def array_zip_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array and struct construction (typed nested values end-to-end)."""
+    """Array and struct construction (typed nested values end-to-end).
+
+    The constructed values are serialized (array_join / to_json) because
+    the driver's pandas canonicalizer cannot hash list/struct cells
+    (CORRECTNESS_r01 `array_zip_construct` err); construction itself still
+    exercises F.array / F.struct.
+    """
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
     return (
         nat.join(F.broadcast(reg), reg.r_regionkey == nat.n_regionkey)
         .select(
             F.col("n_name").alias("nation_name"),
-            F.array("r_name", "n_name").alias("region_nation"),
-            F.struct(
-                F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+            F.array_join(F.array("r_name", "n_name"), ",").alias("region_nation"),
+            F.to_json(
+                F.struct(
+                    F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+                )
             ).alias("geo"),
         )
         .orderBy("nation_name")

@@ -108,24 +108,41 @@ def behavior_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def behavior_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase: each stage keeps users whose
     earliest qualifying event strictly follows their previous stage's
-    anchor time.  Every stage frame is |users|-sized, so the stage joins
-    broadcast and the events table is scanned once per stage with the
-    event-type filter pushed into the scan."""
+    anchor time.
+
+    One user-keyed shuffle, zero joins: the stage anchors are nested
+    conditional window-mins over the same ``user_id`` partition (t_view →
+    t_click > t_view → t_buy > t_click share one exchange), then a per-user
+    collapse and a global 1-row count.  Round 1 broadcast each |users|-sized
+    stage frame (VERDICT.md "What's wrong" #5) — at 100 TB |users| is itself
+    huge, so user-cardinality frames must never be broadcast."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-
-    def stage(event_type: str, prev: DataFrame | None, anchor: str, out: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == event_type)
-        if prev is not None:
-            e = e.join(F.broadcast(prev), "user_id").filter(F.col("ts") > F.col(anchor))
-        return e.groupBy("user_id").agg(F.min("ts").alias(out))
-
-    v = stage("view", None, "", "t_view")
-    c = stage("click", v, "t_view", "t_click")
-    p = stage("purchase", c, "t_click", "t_buy")
-    return (
-        v.agg(F.count("*").cast("bigint").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").cast("bigint").alias("n_view_click")))
-        .crossJoin(p.agg(F.count("*").cast("bigint").alias("n_view_click_purchase")))
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    e = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    e = e.withColumn("t_click", t_click)
+    t_buy = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    e = e.withColumn("t_buy", t_buy)
+    per_user = e.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_buy").alias("t_buy"),
+    )
+    return per_user.agg(
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.count("t_click").cast("bigint").alias("n_view_click"),
+        F.count("t_buy").cast("bigint").alias("n_view_click_purchase"),
     )
 
 
@@ -138,7 +155,7 @@ def behavior_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
       FROM ue GROUP BY 1
     )
-    SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+    SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
            CAST(DATE_DIFF('day', c.cohort_week, DATE_TRUNC('week', e.ts)) / 7
                 AS BIGINT) AS week_offset,
            CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
@@ -149,18 +166,23 @@ def behavior_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def behavior_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle: cohort = week of first activity,
-    cell = distinct users from that cohort active k weeks later.  The
-    cohort map is |users|-sized and broadcasts back onto the event stream;
-    both week columns truncate to Monday midnight, so the day-diff is an
-    exact multiple of 7 in both engines."""
+    cell = distinct users from that cohort active k weeks later.
+
+    The cohort anchor is a window-min over the ``user_id`` partition — no
+    |users|-sized frame is materialized or broadcast (round 1 broadcast
+    the cohort map, a 100 TB OOM; VERDICT.md "What's wrong" #5), and the
+    retention rollup reuses the same user-keyed exchange.  Both week
+    columns truncate to Monday midnight, so the day-diff is an exact
+    multiple of 7 in both engines; cohort_week stays TIMESTAMP because
+    DATE outputs materialize differently through pandas on the two driver
+    paths (datetime.date vs datetime64)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    cohort = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week_ts")
-    )
+    wu = Window.partitionBy("user_id")
+    cohort_ts = F.date_trunc("week", F.min("ts").over(wu))
     return (
-        ev.join(F.broadcast(cohort), "user_id")
+        ev.withColumn("cohort_week_ts", cohort_ts)
         .groupBy(
-            F.col("cohort_week_ts").cast("date").alias("cohort_week"),
+            F.col("cohort_week_ts").alias("cohort_week"),
             (
                 F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week_ts"))
                 / 7
@@ -227,7 +249,7 @@ def behavior_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2
     )
-    SELECT day, event_type, n,
+    SELECT CAST(day AS TIMESTAMP) AS day, event_type, n,
       CAST(AVG(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day
            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma7
     FROM daily
@@ -251,6 +273,9 @@ def behavior_daily_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         daily.withColumn("ma7", F.avg(F.col("n").cast("double")).over(w).cast("double"))
+        # DATE outputs materialize as datetime.date (Spark) vs datetime64
+        # (DuckDB) through the driver's pandas path — ship TIMESTAMP
+        .withColumn("day", F.col("day").cast("timestamp"))
         .orderBy("event_type", "day")
     )
 
@@ -271,7 +296,7 @@ def behavior_daily_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
       FROM b GROUP BY 1, 2
     )
-    SELECT s.user_id AS user_id, s.day AS day,
+    SELECT s.user_id AS user_id, CAST(s.day AS TIMESTAMP) AS day,
       CAST(d.day_value IS NOT NULL AS BOOLEAN) AS observed,
       last_value(d.day_value IGNORE NULLS) OVER (
         PARTITION BY s.user_id ORDER BY s.day
@@ -309,7 +334,8 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(daily, ["user_id", "day"], "left")
         .select(
             "user_id",
-            "day",
+            # TIMESTAMP output: DATE diverges through the driver's pandas path
+            F.col("day").cast("timestamp").alias("day"),
             F.col("day_value").isNotNull().alias("observed"),
             F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
         )

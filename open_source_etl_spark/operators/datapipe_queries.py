@@ -53,7 +53,7 @@ def _bucket_sql(expr: str, a: int, b: int) -> str:
            WHEN {_bucket_sql('doc_id', _SPLIT_A, _SPLIT_B)} < 90 THEN 'valid'
            ELSE 'test' END AS split,
       COUNT(*) AS n_docs,
-      SUM(n_chars) AS total_chars,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       MIN(doc_id) AS min_doc,
       MAX(doc_id) AS max_doc
     FROM documents
@@ -117,8 +117,8 @@ def datapipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     )
     SELECT lang, doc_id, tok,
-           start // {PACK_CAPACITY} AS seq_id,
-           start % {PACK_CAPACITY} AS offset,
+           CAST(start // {PACK_CAPACITY} AS BIGINT) AS seq_id,
+           CAST(start % {PACK_CAPACITY} AS BIGINT) AS offset,
            (start % {PACK_CAPACITY}) + tok > {PACK_CAPACITY} AS spans_boundary
     FROM cum
     ORDER BY lang, doc_id
@@ -235,7 +235,7 @@ def datapipe_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM ranked
     GROUP BY 1
     ORDER BY shard
@@ -502,7 +502,7 @@ def datapipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
            ELSE 'test' END AS split,
       COUNT(*) AS n_docs,
       COUNT(DISTINCT canonical) AS n_groups,
-      SUM(n_chars) AS total_chars
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM a
     GROUP BY 1
     ORDER BY split
@@ -569,7 +569,7 @@ def datapipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split, lang,
            COUNT(*) AS n_docs,
-           SUM(n_toks) AS total_tokens,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
            CAST(CEIL(SUM(n_toks) / {PACK_CAPACITY}.0) AS BIGINT) AS n_bins
     FROM s
     GROUP BY split, lang
@@ -638,7 +638,7 @@ def datapipe_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_kept,
-           SUM(n_chars) AS kept_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
            MAX(rk) AS quota_used
     FROM ranked
     WHERE rk <= 15

@@ -19,14 +19,14 @@ from ..registry import query
     oracle="""
     SELECT
       COUNT(*) AS n_rows,
-      SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS status_nulls,
-      SUM(CASE WHEN o_orderstatus IS NOT NULL
-                AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+      CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS status_nulls,
+      CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT)
         AS status_out_of_set,
-      SUM(CASE WHEN o_totalprice IS NOT NULL
-                AND (o_totalprice < 0 OR o_totalprice > 1000000) THEN 1 ELSE 0 END)
+      CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                AND (o_totalprice < 0 OR o_totalprice > 1000000) THEN 1 ELSE 0 END) AS BIGINT)
         AS price_out_of_range,
-      SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS date_nulls
+      CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS date_nulls
     FROM orders
     """,
 )
@@ -62,7 +62,7 @@ def dq_single_pass_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       COUNT(*) AS n_keys,
-      SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS duplicate_keys,
+      CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_keys,
       MAX(cnt) AS max_multiplicity
     FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt
           FROM lineitem GROUP BY l_orderkey, l_linenumber)

@@ -381,11 +381,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    # the label table is O(|docs|) — iterate with few, fat partitions;
-    # per-round shuffle overhead dominates at high partition counts
-    # (on a cluster this scales back up with |docs|)
+    # the label table is O(|docs|): iterate with ~100k labels per shuffle
+    # partition (derived from the input, NOT a constant — per-round shuffle
+    # overhead dominates when partitions are tiny, state spills when they
+    # are huge; a 1e9-doc corpus lands at ~10k partitions, sf0.1 at 8)
+    n_docs = docs.count()
+    iter_parts = max(8, min(-(-n_docs // 100_000), 4096))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
     try:
         labels = _propagate_min_labels(und, labels)
     finally:

@@ -11,6 +11,7 @@ kernel would ride on.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..multimodal import decode_image_meta, perceptual_hash, sample_frames, with_media_payload
@@ -79,8 +80,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       d.doc_id,
       c.i AS chunk_idx,
       400 AS n_samples,
-      list_sum(list_transform(range(1, 401),
-               j -> ord(substring(d.text, c.i * 400 + j, 1)))) AS energy,
+      CAST(list_sum(list_transform(range(1, 401),
+               j -> ord(substring(d.text, c.i * 400 + j, 1)))) AS BIGINT) AS energy,
       list_max(list_transform(range(1, 401),
                j -> ord(substring(d.text, c.i * 400 + j, 1)))) AS peak
     FROM documents d,
@@ -121,7 +122,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_in AS INTEGER) AS n_in,
            CAST(n_out AS INTEGER) AS n_out,
            CAST(list_sum(resized) AS BIGINT) AS checksum,
-           list_transform(resized[1:8], x -> CAST(x AS BIGINT)) AS head
+           array_to_string(resized[1:8], ',') AS head
     FROM r
     ORDER BY doc_id
     """,
@@ -129,12 +130,18 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample kernel: block-mean the payload byte stream by 8
     (the 1-D thumbnail shape).  Integer floor-mean per block keeps the
-    mapInPandas kernel bit-exact against the SQL oracle."""
+    mapInPandas kernel bit-exact against the SQL oracle.
+
+    ``head`` ships as a comma-joined string — the driver's pandas hasher
+    cannot sort list cells (CORRECTNESS_r01 nested-output class)."""
     from ..multimodal.decode import block_mean_resize
 
     docs = load_table(spark, sf_dir, "documents")
     media = with_media_payload(docs)
-    return block_mean_resize(media, factor=8).orderBy("doc_id")
+    out = block_mean_resize(media, factor=8)
+    return out.withColumn(
+        "head", F.array_join(F.transform("head", lambda x: x.cast("string")), ",")
+    ).orderBy("doc_id")
 
 
 @query(
@@ -150,7 +157,7 @@ def multimodal_resize_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d)
     SELECT doc_id,
            CAST(n_bytes AS INTEGER) AS n_bytes,
-           hist,
+           array_to_string(hist, ',') AS hist,
            CAST(list_indexof(hist, list_aggregate(hist, 'max')) - 1 AS INTEGER) AS top_bin
     FROM h
     ORDER BY doc_id
@@ -159,12 +166,18 @@ def multimodal_resize_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction kernel: fixed-width 16-bin byte histogram per
     media row (the embed/classify step of a multimodal pipeline) with an
-    argmax ``top_bin``; vectorized numpy inside mapInPandas, zero shuffle."""
+    argmax ``top_bin``; vectorized numpy inside mapInPandas, zero shuffle.
+
+    ``hist`` ships as a comma-joined string — the driver's pandas hasher
+    cannot sort list cells (CORRECTNESS_r01 nested-output class)."""
     from ..multimodal.decode import byte_histogram
 
     docs = load_table(spark, sf_dir, "documents")
     media = with_media_payload(docs)
-    return byte_histogram(media).orderBy("doc_id")
+    out = byte_histogram(media)
+    return out.withColumn(
+        "hist", F.array_join(F.transform("hist", lambda x: x.cast("string")), ",")
+    ).orderBy("doc_id")
 
 
 @query(

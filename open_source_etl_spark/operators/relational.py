@@ -206,7 +206,7 @@ def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderkey AS order_id,
       CAST(o_orderkey AS VARCHAR) AS order_id_str,
-      CAST(o_orderdate AS DATE) AS order_date,
+      CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
       printf('%.2f', o_totalprice) AS total_price_str,
       CAST(FLOOR(o_totalprice) AS BIGINT) AS total_price_int
     FROM orders
@@ -226,7 +226,10 @@ def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             F.col("o_orderkey").alias("order_id"),
             F.col("o_orderkey").cast("string").alias("order_id_str"),
-            F.col("o_orderdate").cast("date").alias("order_date"),
+            # date→timestamp round-trip: a bare DATE output materializes as
+            # datetime.date (Spark) vs datetime64 (DuckDB) in the driver's
+            # pandas canonicalizer and hash-mismatches
+            F.col("o_orderdate").cast("date").cast("timestamp").alias("order_date"),
             F.format_string("%.2f", F.col("o_totalprice")).alias("total_price_str"),
             F.col("o_totalprice").cast("bigint").alias("total_price_int"),
         )
@@ -285,8 +288,8 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXTRACT(DAY FROM o_orderdate) AS order_day,
       strftime(o_orderdate, '%Y-%m-%d') AS order_ymd,
       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
-      CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
-      CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+      CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS due_date,
+      CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS TIMESTAMP) AS month_start
     FROM orders
     WHERE o_orderkey <= 500
     ORDER BY o_orderkey
@@ -306,8 +309,13 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
                 "days_to_2002"
             ),
-            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
-            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30)
+            .cast("timestamp")
+            .alias("due_date"),
+            F.date_trunc("month", "o_orderdate")
+            .cast("date")
+            .cast("timestamp")
+            .alias("month_start"),
         )
         .orderBy("o_orderkey")
     )
@@ -429,10 +437,10 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       COUNT(*) AS n_rows,
-      SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM
-                    NULLIF(l_linestatus, 'O') THEN 1 ELSE 0 END) AS n_nullsafe_eq,
-      SUM(CASE WHEN NULLIF(l_returnflag, 'N') = NULLIF(l_linestatus, 'O')
-               THEN 1 ELSE 0 END) AS n_plain_eq
+      CAST(SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM
+                    NULLIF(l_linestatus, 'O') THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+      CAST(SUM(CASE WHEN NULLIF(l_returnflag, 'N') = NULLIF(l_linestatus, 'O')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq
     FROM lineitem
     """,
 )

@@ -43,7 +43,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_returnflag,
-      SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS total_cents,
+      CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
       COUNT(*) AS n_items
     FROM lineitem
     GROUP BY l_returnflag

@@ -97,7 +97,7 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_custkey,
       o_orderkey,
-      CAST(o_orderdate AS DATE) AS order_date,
+      CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
       date_diff('day',
                 CAST(lag(o_orderdate) OVER w AS DATE),
                 CAST(o_orderdate AS DATE)) AS days_since_prev,
@@ -115,7 +115,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("order_date"),
+            # date→timestamp: bare DATE outputs diverge through the driver's
+            # pandas canonicalizer (datetime.date vs datetime64)
+            F.col("o_orderdate").cast("date").cast("timestamp").alias("order_date"),
             F.datediff(
                 F.col("o_orderdate").cast("date"),
                 F.lag("o_orderdate").over(w).cast("date"),
@@ -302,13 +304,16 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_distinct",
     oracle="""
     WITH du AS (
+      -- user_id IS NOT NULL keeps day_users consistent with COUNT DISTINCT
+      -- (which skips NULLs) even if a future fixture drop has NULL users
       SELECT DISTINCT event_type,
              CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              user_id
       FROM events
+      WHERE user_id IS NOT NULL
     ),
     per_day AS (
-      SELECT event_type, day, COUNT(*) AS day_users
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS day_users
       FROM du GROUP BY 1, 2
     ),
     cum AS (
@@ -319,7 +324,7 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY user_id) AS rn
       FROM du
     )
-    SELECT p.event_type, p.day, p.day_users, c.cum_users
+    SELECT p.event_type, CAST(p.day AS TIMESTAMP) AS day, p.day_users, c.cum_users
     FROM per_day p
     JOIN cum c ON p.event_type = c.event_type AND p.day = c.day AND c.rn = 1
     ORDER BY p.event_type, p.day
@@ -348,9 +353,12 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ),
     )
-    return cum.select("event_type", "day", "day_users", "cum_users").orderBy(
-        "event_type", "day"
-    )
+    return cum.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        "day_users",
+        "cum_users",
+    ).orderBy("event_type", "day")
 
 
 @query(

@@ -84,6 +84,84 @@ class CompareResult:
     detail: str = ""
 
 
+def _canon_cell(v: Any) -> Any:
+    """Canonicalize one pandas cell, preserving the int-vs-float dtype kind.
+
+    The driver materializes both sides as pandas DataFrames, so a DuckDB
+    HUGEINT (→ float64) against a Spark bigint (→ int64) is a REAL driver
+    failure even when values are numerically equal (CORRECTNESS_r01
+    ``agg_filtered_conditional``).  Tagging cells by kind reproduces that
+    here; conflating them (as exact ``fetchall`` ints did in round 1) is
+    what let 7 latent driver failures through the local suite.
+    """
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return None
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        # the driver's pandas sort_values raises on nested cells; mirror it
+        raise TypeError(f"unhashable nested cell: {type(v).__name__}")
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return None
+        if f == 0:
+            return ("f", 0.0)
+        return ("f", float(f"{f:.9g}"))
+    if isinstance(v, pd.Timestamp):
+        if v.tz is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        # deliberately distinct from the float kind: a Decimal-object column
+        # (Spark DecimalType via Arrow) against DuckDB's float64 must fail
+        # loudly so the query adds an explicit double cast on both sides
+        return ("dec", str(v.normalize()))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def _sort_key(t: tuple) -> tuple:
+    return tuple((x is None, str(type(x)), str(x)) for x in t)
+
+
+def canonical_pdf(pdf) -> list[tuple]:
+    """Driver-shaped canonicalization of a pandas DataFrame.
+
+    Mirrors the driver harness: columns sorted by name, then
+    ``sort_values`` over all columns — which (exactly like the driver)
+    raises ``TypeError: unhashable type`` when a cell holds a list/struct —
+    then per-cell kind-tagged canonicalization and a deterministic final
+    row sort.
+    """
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns))
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    rows.sort(key=_sort_key)
+    return rows
+
+
 def compare(
     name: str,
     spark_df: DataFrame,
@@ -91,24 +169,41 @@ def compare(
     oracle_sql: str,
     max_diff_shown: int = 5,
 ) -> CompareResult:
-    s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(oracle_sql)
-    o_cols = [d[0] for d in rel.description]
-    o_rows = [tuple(r) for r in rel.fetchall()]
+    """Driver-exact comparison: both sides through pandas.
+
+    Round 1 compared ``fetchall()`` tuples (exact Python ints for DuckDB
+    HUGEINT, native lists for arrays), which masked every pandas-level
+    divergence the driver actually checks.  This path uses the driver's
+    own materialization — ``spark_df.toPandas()`` / ``rel.df()`` — so any
+    driver hash failure reproduces locally first (VERDICT.md round 1,
+    "Next round" #2).
+    """
+    s_pdf = spark_df.toPandas()
+    o_pdf = con.execute(oracle_sql).df()
+    s_cols, o_cols = list(s_pdf.columns), list(o_pdf.columns)
 
     if sorted(s_cols) != sorted(o_cols):
         return CompareResult(
-            name, False, len(s_rows), len(o_rows),
+            name, False, len(s_pdf), len(o_pdf),
             f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}",
         )
-    if len(s_rows) != len(o_rows):
+    if len(s_pdf) != len(o_pdf):
         return CompareResult(
-            name, False, len(s_rows), len(o_rows),
-            f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}",
+            name, False, len(s_pdf), len(o_pdf),
+            f"row count mismatch: spark={len(s_pdf)} oracle={len(o_pdf)}",
         )
-    s_canon = canonical_rows(s_cols, s_rows)
-    o_canon = canonical_rows(o_cols, o_rows)
+    try:
+        s_canon = canonical_pdf(s_pdf)
+    except TypeError as e:
+        return CompareResult(
+            name, False, len(s_pdf), len(o_pdf), f"spark canon error: {e}"
+        )
+    try:
+        o_canon = canonical_pdf(o_pdf)
+    except TypeError as e:
+        return CompareResult(
+            name, False, len(s_pdf), len(o_pdf), f"oracle canon error: {e}"
+        )
     if s_canon != o_canon:
         diffs = [
             f"  spark={s!r}\n  oracle={o!r}"
@@ -116,10 +211,10 @@ def compare(
             if s != o
         ][:max_diff_shown]
         return CompareResult(
-            name, False, len(s_rows), len(o_rows),
+            name, False, len(s_pdf), len(o_pdf),
             "value mismatch (first diffs):\n" + "\n".join(diffs),
         )
-    return CompareResult(name, True, len(s_rows), len(o_rows))
+    return CompareResult(name, True, len(s_pdf), len(o_pdf))
 
 
 def run_all(

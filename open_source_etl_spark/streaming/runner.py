@@ -10,6 +10,7 @@ checkpoint protocol.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,4 +68,8 @@ def run_available_now(
         # planned lazily, so restoring right after start() would race
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # the checkpoint is ephemeral by design (fresh one per replay) and
+        # lives on RAM-backed tmpfs — leaking state-store micro-batch files
+        # across a full bench/test session would exhaust /dev/shm
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)

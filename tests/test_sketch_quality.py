@@ -1,0 +1,75 @@
+"""Quality floors for the estimate-only (rows-only) sketch aggregates.
+
+``agg_approx_distinct`` and ``agg_hll_sketch_union`` have no cross-engine
+oracle (the estimates are sketch-algorithm-specific), so the driver runs a
+rows-only check.  These tests pin the part that IS checkable: every
+estimate must land within the sketch's error bound of the exact DuckDB
+count on the same fixture (VERDICT.md round 1, "Next round" #8).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from open_source_etl_spark.registry import all_queries
+
+# approx_count_distinct(rsd=0.02): 2% relative standard deviation.
+# 6 sigma ≈ guaranteed-stable margin for a deterministic fixture (the
+# sketch is deterministic for fixed input, so this is a fixed, replayable
+# assertion — the margin only needs to absorb fixture regeneration).
+_APPROX_RSD = 0.02 * 6
+# DataSketches HLL default lgK=12 → rsd ≈ 1.04/sqrt(4096) ≈ 1.6%
+_HLL_RSD = 0.016 * 6
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def test_approx_distinct_within_rsd_bounds(spark, sf_dir, duck):
+    got = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in all_queries()["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = dict(
+        duck.execute(
+            f"""
+            SELECT l_returnflag, COUNT(DISTINCT l_partkey)
+            FROM read_parquet('{sf_dir}/lineitem.parquet')
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for flag, est in got.items():
+        lo = exact[flag] * (1 - _APPROX_RSD)
+        hi = exact[flag] * (1 + _APPROX_RSD)
+        assert lo <= est <= hi, f"{flag}: est {est} outside [{lo:.0f}, {hi:.0f}]"
+
+
+def test_hll_sketch_union_within_rsd_bounds(spark, sf_dir, duck):
+    got = {
+        r["o_orderpriority"]: r["est_custkeys"]
+        for r in all_queries()["agg_hll_sketch_union"](spark, sf_dir).collect()
+    }
+    exact = dict(
+        duck.execute(
+            f"""
+            SELECT o_orderpriority, COUNT(DISTINCT o_custkey)
+            FROM read_parquet('{sf_dir}/orders.parquet')
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    exact["ALL"] = duck.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    assert set(got) == set(exact)
+    for prio, est in got.items():
+        lo = exact[prio] * (1 - _HLL_RSD)
+        hi = exact[prio] * (1 + _HLL_RSD)
+        assert lo <= est <= hi, f"{prio}: est {est} outside [{lo:.0f}, {hi:.0f}]"
