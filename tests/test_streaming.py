@@ -47,13 +47,11 @@ def test_session_window_batch_equals_stream(spark, sf_dir):
     assert streamed.count() == batch.count()
 
 
-def test_transform_with_state_plan_and_gate(spark, sf_dir):
-    """transformWithStateInPandas: the logical plan builds (schema typed,
-    streaming bit set) regardless of protobuf; the registry entry appears
-    only when the optional protobuf runtime dependency is importable, and
-    with it present the streamed histogram must equal the batch group
-    count."""
-    from open_source_etl_spark.operators.streaming_queries import _HAS_TWS_PROTO
+def test_transform_with_state_plan_and_fallback(spark, sf_dir):
+    """The stateful-histogram operator registers unconditionally: the v2
+    ``transformWithStateInPandas`` plan builds (schema typed, streaming
+    bit set) regardless of protobuf, and ``stateful_histogram`` —
+    whichever API it resolves to — must equal the batch group count."""
     from open_source_etl_spark.registry import all_queries
     from open_source_etl_spark.streaming import transform_with_state_histogram
 
@@ -62,16 +60,12 @@ def test_transform_with_state_plan_and_gate(spark, sf_dir):
     assert df.schema.simpleString() == (
         "struct<user_id:bigint,event_type:string,n_events:bigint>"
     )
-    assert ("stream_transform_with_state" in all_queries()) == _HAS_TWS_PROTO
-    if _HAS_TWS_PROTO:
-        from open_source_etl_spark.operators.streaming_queries import (
-            _stream_transform_with_state_impl,
-        )
+    assert "stream_transform_with_state" in all_queries()
 
-        got = _stream_transform_with_state_impl(spark, sf_dir)
-        want = (
-            load_table(spark, sf_dir, "events")
-            .groupBy("user_id", "event_type")
-            .count()
-        )
-        assert got.count() == want.count()
+    got = all_queries()["stream_transform_with_state"](spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+    )
+    assert got.count() == want.count()
