@@ -380,24 +380,36 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    # the label table is O(|docs|): iterate with ~100k labels per shuffle
-    # partition (derived from the input, NOT a constant — per-round shuffle
-    # overhead dominates when partitions are tiny, state spills when they
-    # are huge; a 1e9-doc corpus lands at ~10k partitions, sf0.1 at 8)
-    n_docs = docs.count()
-    iter_parts = max(8, min(-(-n_docs // 100_000), 4096))
+    # iterate ONLY over vertices that have at least one edge: isolated
+    # docs (the overwhelming majority of a deduped corpus — >90% here,
+    # more at 100 TB) keep label = doc_id by definition and would only
+    # inflate every per-round join/agg; they rejoin via the left join
+    # below after the fixed point
+    verts = und.select(F.col("src").alias("doc_id")).distinct()
+    labels = verts.select("doc_id", F.col("doc_id").alias("label"))
+    # the label table is O(|edge-vertices|): iterate with ~100k labels per
+    # shuffle partition (derived from the input, NOT a constant — per-round
+    # shuffle overhead dominates when partitions are tiny, state spills
+    # when they are huge; a 1e9-vertex dup graph lands at ~10k partitions,
+    # sf0.1 at 8)
+    n_verts = verts.count()
+    iter_parts = max(8, min(-(-n_verts // 100_000), 4096))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
     try:
         labels = _propagate_min_labels(und, labels)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
-    ).orderBy("doc_id")
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce("label", "doc_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _propagate_min_labels(und: DataFrame, labels: DataFrame) -> DataFrame:

@@ -127,18 +127,66 @@ def _mean_centroids(assigned: DataFrame, cell_col: str) -> DataFrame:
     )
 
 
+def _assign_cells(emb: DataFrame, centroids: DataFrame, *cols: str) -> DataFrame:
+    """Map-only nearest-centroid assignment: the k centroids collapse to a
+    single array<struct<cell,centroid>> row, broadcast against the corpus,
+    and the argmax runs as ``array_max`` over a ``transform`` that scores
+    every centroid — k·d multiply-adds per row inside codegen, ZERO
+    shuffle.  (The window-argmax alternative shuffles the full corpus —
+    embeddings included — once per Lloyd round; at 100 TB that is the
+    entire job cost, while this formulation makes assignment free and
+    leaves the mean-recompute as the only exchange.)  Ties break toward
+    the smallest cell id via the negated-cell struct field."""
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cents")
+    )
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                dot("embedding", c["centroid"]).alias("s"),
+                (-c["cell"]).alias("negc"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    return emb.crossJoin(F.broadcast(cent_arr)).select(
+        *cols, best["cell"].alias("cell")
+    )
+
+
+def _centroid_means(assigned: DataFrame) -> DataFrame:
+    """Per-cell mean vectors in ONE shuffle: ``Summarizer.mean`` aggregates
+    ml Vectors with map-side partials (per-partition running sums), vs the
+    posexplode formulation's two exchanges of d× row blow-up.  Used on the
+    rows-only IVF path; ``_mean_centroids`` stays for the oracle-matched
+    label-centroid query."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    return (
+        assigned.select(
+            "cell", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+        )
+        .groupBy("cell")
+        .agg(Summarizer.mean(F.col("v")).alias("m"))
+        .select("cell", vector_to_array("m").alias("centroid"))
+    )
+
+
 @query("ann_ivf_search")  # no oracle: centroid assignment is iterative/engine-specific
 def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with declarative k-means: label-mean seeds → 2 Lloyd
-    iterations (assign via broadcast argmax, recompute means) → probe the
-    query's 2 nearest cells → exact re-rank inside the probed cells.
+    iterations (map-only broadcast argmax assign, one-shuffle mean
+    recompute) → probe the query's 4 nearest cells → exact re-rank inside
+    the probed cells.
 
-    Each Lloyd step is one broadcast join (corpus × k centroids, map-only)
-    plus one grouped aggregation — the iterative-algorithm pattern on
-    DataFrames with the driver only orchestrating, never holding data.
-    In a deployment the index build is offline and the probe reads one
-    cell partition.  Rows-only check: recall depends on engine-specific
-    centroid math.
+    Each Lloyd step is one broadcast of k centroids (corpus side is
+    map-only, see ``_assign_cells``) plus one vector-mean aggregation —
+    the iterative-algorithm pattern on DataFrames with the driver only
+    orchestrating, never holding data.  In a deployment the index build
+    is offline and the probe reads one cell partition.  Rows-only check:
+    recall depends on engine-specific centroid math.
 
     Deliberately NOT ``load_table_compute``: ``emb`` appears four times
     in the plan (seed, two Lloyd rounds, final assign), so a widening
@@ -149,28 +197,15 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
 
     # seed cells from the label column; refine with 2 Lloyd iterations
-    centroids = _mean_centroids(
-        emb.select(F.col("label").alias("cell0"), "embedding"), "cell0"
+    centroids = _centroid_means(
+        emb.select(F.col("label").alias("cell"), "embedding")
     )
     for _ in range(2):
-        assigned = (
-            emb.join(F.broadcast(centroids), how="cross")
-            .select(
-                "vec_id", "embedding", "cell",
-                dot("embedding", "centroid").alias("cell_sim"),
-            )
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(
-                        F.col("cell_sim").desc(), F.col("cell")
-                    )
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("cell", "embedding")
-        )
-        centroids = _mean_centroids(assigned, "cell")
+        assigned = _assign_cells(emb, centroids, "embedding")
+        # k-row frame: localCheckpoint materializes each round eagerly so
+        # the probe AND the final assignment below reuse it instead of
+        # each replaying the whole Lloyd chain from the scan
+        centroids = _centroid_means(assigned).localCheckpoint()
 
     # probe: 4 nearest refined cells to the query (nprobe is the IVF
     # recall/cost dial: 4 of ~10 cells lifts recall@10 from ~0.3-0.4 to
@@ -186,18 +221,7 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(4)
     )
     # final assignment of corpus vectors to refined cells, probe + re-rank
-    final_cells = (
-        emb.join(F.broadcast(centroids), how="cross")
-        .select("vec_id", "label", "embedding", "cell", dot("embedding", "centroid").alias("s"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cell"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "cell")
-    )
+    final_cells = _assign_cells(emb, centroids, "vec_id", "label", "embedding")
     return (
         final_cells.join(F.broadcast(probed), "cell")
         .crossJoin(F.broadcast(qv))
