@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, load_table_compute
+from ..catalog import load_table
 from ..registry import query
 
 _STATUSES = ("F", "O", "P")
@@ -143,10 +143,10 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     value buffer across all three estimates (three separate calls each
     build their own object-agg buffer — measured 1.5× slower at sf0.1);
     partial aggregation still runs map-side, so the shuffle carries one
-    digest per (partition × group), not raw rows.  Widened scan
-    (load_table_compute): the per-row buffer insert is the cost, and the
-    round-robin exchange only carries the two pruned columns."""
-    li = load_table_compute(spark, sf_dir, "lineitem")
+    digest per (partition × group), not raw rows.  Narrow scan: even the
+    per-row buffer insert is cheaper than the widening exchange at sf0.1
+    (and a 100 TB table arrives pre-split anyway)."""
+    li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
