@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_compute
 from ..functions.parity import dsum, sql_dsum
 from ..registry import query
 
@@ -252,8 +252,10 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The band side is rows-of-constants; at any fact-table scale the right
     strategy is broadcasting the bands, never shuffling the fact table —
-    including the round-robin widening exchange, which costs more than
-    the 3-band nested-loop probe saves (narrow scan 2x faster at sf0.1).
+    including the round-robin widening exchange, which interleaved A/B
+    trials put ~40% behind the narrow scan at sf0.1 (the 3-band probe is
+    too cheap to repay a row exchange; a 100 TB table arrives pre-split
+    and skips the question entirely).
     """
     li = load_table(spark, sf_dir, "lineitem")
     bands = spark.createDataFrame(

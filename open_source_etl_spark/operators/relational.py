@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_compute
 from ..functions.parity import davg, dsum, sql_davg, sql_dsum
 from ..registry import query
 
@@ -50,10 +50,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     The full pipeline the reference delegates to Snowflake, run natively:
     partial aggregation map-side, single shuffle on the 6-value group key,
     sort of a 6-row result — the plan that scales to 100 TB unchanged.
-    Narrow scan: the agg expressions are cheap enough that widening the
-    single-split fixture never repays its exchange.
+    Widened scan: eight decimal aggregates per row is enough per-row work
+    that fanning the single-split fixture out repays the exchange.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_compute(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
