@@ -242,9 +242,14 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank emits true Jaccard ≥ 0.5 so output rows ARE verified dups.
     """
     docs = load_table_compute(spark, sf_dir, "documents")
+    # tokenize ONCE: the tokset frame feeds the signature build and both
+    # sides of the exact re-rank join; without materialization the
+    # split+dedup runs three times over the corpus (localCheckpoint =
+    # executor-local persist, the same disk-backed intermediate a
+    # production run would keep)
     toks = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tokset")
-    )
+    ).localCheckpoint()
     tok = toks.select("doc_id", F.explode("tokset").alias("tok"))
     # K minhashes in ONE aggregation pass (single shuffle on doc_id)
     sigs = tok.groupBy("doc_id").agg(
@@ -380,23 +385,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    # iterate ONLY over vertices that have at least one edge: isolated
-    # docs (the overwhelming majority of a deduped corpus — >90% here,
-    # more at 100 TB) keep label = doc_id by definition and would only
-    # inflate every per-round join/agg; they rejoin via the left join
-    # below after the fixed point
-    verts = und.select(F.col("src").alias("doc_id")).distinct()
-    labels = verts.select("doc_id", F.col("doc_id").alias("label"))
-    # the label table is O(|edge-vertices|): iterate with ~100k labels per
-    # shuffle partition (derived from the input, NOT a constant — per-round
-    # shuffle overhead dominates when partitions are tiny, state spills
-    # when they are huge; a 1e9-vertex dup graph lands at ~10k partitions,
-    # sf0.1 at 8)
-    n_verts = verts.count()
-    iter_parts = max(8, min(-(-n_verts // 100_000), 4096))
+    # per-round shuffle load is O(|edges|) (the neighbor join re-shuffles
+    # und every round), so the iteration partition count derives from the
+    # edge count — NOT a constant: overhead dominates when partitions are
+    # tiny, state spills when they are huge; a 1e9-edge dup graph lands
+    # at ~5k partitions, sf0.1 at 8.  und is checkpointed → count is cheap.
+    n_edges = und.count()
+    iter_parts = max(8, min(-(-n_edges // 200_000), 4096))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
     try:
+        # iterate ONLY over vertices that have at least one edge: isolated
+        # docs (the overwhelming majority of a deduped corpus — >90% here,
+        # more at 100 TB) keep label = doc_id by definition and would only
+        # inflate every per-round join/agg; they rejoin via the left join
+        # below after the fixed point.  The init IS propagation round 1:
+        # min(self, all neighbors) per vertex — one grouped min instead of
+        # a distinct-vertices pass followed by the same round.
+        labels = und.select(
+            F.col("src").alias("doc_id"), F.least("src", "dst").alias("label")
+        ).groupBy("doc_id").agg(F.min("label").alias("label"))
         labels = _propagate_min_labels(und, labels)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
