@@ -401,16 +401,17 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: term frequency per (doc, token) × inverse document
     frequency over the WHOLE corpus, top-3 terms per document (first 50
     docs shown).  Two grouped aggregations build tf and df; df is
-    |vocabulary|-sized so it broadcasts back onto the tf stream, and the
-    corpus size joins as a 1-row broadcast — the token explosion is
-    scanned once and shuffled once (on the token key)."""
+    |vocabulary|-sized — unbounded on a web-scale corpus — so the tf⋈df
+    join carries NO broadcast hint (AQE converts it when df is actually
+    small; a 100 TB run shuffle-joins on the token key both sides already
+    hash on).  Only the 1-row corpus count is force-broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     docfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(docfreq), "tok")
+        tf.join(docfreq, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

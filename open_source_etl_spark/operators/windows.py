@@ -382,12 +382,14 @@ def window_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their running share of the total (the 80/20 cut is where
     cum_share crosses 0.8).  Two window passes over a |groups|-sized
     aggregate — the fact table contributes only the initial rollup.
+    No forced broadcast: customer scales with the data (huge at 100 TB),
+    so AQE picks the join strategy at runtime from actual sizes.
     The share divides two exact decimal-interior doubles, so ROUND(…, 6)
     decorates an identical quotient on both engines."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     seg = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(8,2)"))
