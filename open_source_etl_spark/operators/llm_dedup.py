@@ -100,8 +100,9 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked n-gram Jaccard near-dup: pairwise only within
+    """Blocked token-set (unigram) Jaccard near-dup: pairwise only within
     (lang, source) blocks, Jaccard on distinct-token sets ≥ 0.4.
+    (Order-sensitive shingle variant: ``dedup_ngram_jaccard``.)
 
     Two cost bounds: the block key caps the quadratic term (swap for
     MinHash bands — dedup_minhash_candidates — when blocks grow past
@@ -136,6 +137,91 @@ def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jaccard, 4).alias("jaccard"),
         )
         .filter(jaccard >= 0.4)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+      FROM w WHERE len(w) >= 3
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+            4) AS jaccard
+    FROM sh a
+    JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      AND 4 * len(b.sh) >= len(a.sh)
+      AND 4 * len(a.sh) >= len(b.sh)
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= 0.25
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked word-TRIGRAM (shingle) Jaccard near-dup: the
+    order-sensitive variant of ``dedup_jaccard_blocked``.  Unigram sets
+    cannot tell a paraphrase from a copy (bag-of-words is permutation
+    blind); 3-word shingles collapse background similarity (two docs on
+    the same topic share words but few exact word triples) while true
+    edited copies keep most shingles — the standard n-gram dedup from
+    web-corpus pipelines, with threshold 0.25 on the sparser shingle sets.
+
+    Same two cost bounds as the unigram variant: the (lang, source)
+    block caps the quadratic term (MinHash bands are the unbounded-block
+    path), and the t=1/4 set-similarity length filter (4·min ≥ max, exact
+    integer arithmetic) prunes on two ints before any intersection.  At
+    scale the string shingles hash to int64 (xxhash64) before the
+    intersection — kept as strings here so the DuckDB oracle shares the
+    exact set definition.
+    """
+    docs = load_table_compute(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    sh = w.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(w)-3),"
+                " i -> concat_ws(' ', slice(w, i+1, 3)))"
+            )
+        ).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jaccard = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (4 * F.col("b.n_sh") >= F.col("a.n_sh"))
+            & (4 * F.col("a.n_sh") >= F.col("b.n_sh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jaccard, 4).alias("jaccard"),
+        )
+        .filter(jaccard >= 0.25)
         .orderBy("doc_a", "doc_b")
     )
 
