@@ -241,7 +241,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -319,7 +319,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(28,6)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 (F.lit(100.00) * F.sum(promo).cast("double"))
@@ -493,7 +493,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_out = load_table(spark, sf_dir, "supplier")
     nation_out = load_table(spark, sf_dir, "nation")
     return (
-        winners.join(F.broadcast(part), F.col("partkey") == part.p_partkey)
+        winners.join(part, F.col("partkey") == part.p_partkey)
         .join(F.broadcast(supp_out), F.col("suppkey") == supp_out.s_suppkey)
         .join(F.broadcast(nation_out), supp_out.s_nationkey == nation_out.n_nationkey)
         .select(
@@ -593,7 +593,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cnat), cust.c_nationkey == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -742,7 +742,7 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -770,16 +770,17 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand
     — the correlated per-part average decorrelated into an aggregate that
-    joins back on partkey.  The per-part aggregate is |part|-sized, so it
-    broadcasts; lineitem is scanned twice but shuffled never."""
+    joins back on partkey.  The per-part aggregate is |part|-sized —
+    scaling, so no broadcast hint (the local planner still broadcasts it
+    from actual size); lineitem is scanned twice."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("cnt")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(pq), li.l_partkey == F.col("pk"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(pq, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
             (
@@ -819,7 +820,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20)
     arm3 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & qty.between(20, 30)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(arm1 | arm2 | arm3)
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
     )
@@ -862,7 +863,7 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     gear = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(F.sum("l_quantity").alias("qty"))
     )

@@ -324,9 +324,11 @@ def datapipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection: which training documents share
     5-gram shingles with the (held-out) benchmark set.  The gram stream is
     built once and reused for both sides; the benchmark side collapses to
-    DISTINCT grams (small — eval sets are tiny relative to the corpus) and
-    broadcasts into the join, so the only wide operation is the final
-    per-doc distinct count.  The token array materializes as a column
+    DISTINCT grams.  No forced broadcast: a REAL eval set is tiny and AQE
+    will broadcast it from its actual runtime size, but this simulation
+    carves the benchmark out of the corpus itself (doc_id % 7), so its
+    gram set scales with the data and a hint would pin an unbounded
+    broadcast at 100 TB.  The token array materializes as a column
     BEFORE the transform() lambda (transform bodies are not CSE'd — see
     llm_text.text_fingerprint)."""
     docs = load_table(spark, sf_dir, "documents").select(
@@ -346,7 +348,7 @@ def datapipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grams.filter(F.col("doc_id") % 7 != 0)
-        .join(F.broadcast(bench), "g")
+        .join(bench, "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").cast("bigint").alias("shared_grams"))
         .orderBy(F.col("shared_grams").desc(), "doc_id")

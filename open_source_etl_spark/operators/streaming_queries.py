@@ -220,9 +220,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joined per
-    micro-batch against a static dimension (broadcast — no stream state
-    at all, the static side re-resolves each batch).  The standard
-    pattern for attaching slowly-changing reference data to a stream."""
+    micro-batch against a static table (no stream state at all, the
+    static side re-resolves each batch).  The standard pattern for
+    attaching slowly-changing reference data to a stream."""
     from pyspark.sql import functions as F
 
     from ..catalog import load_table
@@ -231,8 +231,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
+    # no forced broadcast: customer scales with the data; the per-batch
+    # planner broadcasts it while it fits and falls back to a shuffled
+    # stream-static join (or a pre-bucketed layout) when it doesn't
     enriched = ev.join(
-        F.broadcast(cust), ev.user_id == cust.c_custkey
+        cust, ev.user_id == cust.c_custkey
     ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
     return run_available_now(enriched, _sink("enrich"), "append").orderBy("event_id")
 
