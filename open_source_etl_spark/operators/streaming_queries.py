@@ -39,6 +39,24 @@ def _sink(name: str) -> str:
     return f"{name}_{uuid.uuid4().hex[:8]}"
 
 
+def _state_parts(sf_dir: str) -> int:
+    """Stateful-operator partition count DERIVED from the replayed
+    source's size, not a constant: every shuffle partition owns a
+    checkpointed state store, so the count should track data volume —
+    ~32 MB of source per store, floor 8 (keep some width on tiny
+    fixtures), cap 4096.  The sf0.1 events file (~2 MB) lands at 8; a
+    100 TB backlog replays at thousands.  A long-lived deployment sizes
+    it once to key cardinality × executors (repartitioning a live
+    checkpoint requires a state rebuild)."""
+    import os
+
+    try:
+        src_bytes = os.path.getsize(f"{sf_dir}/events.parquet")
+    except OSError:
+        src_bytes = 0
+    return max(8, min(src_bytes // (32 << 20), 4096))
+
+
 @query(
     "stream_tumbling_window_agg",
     oracle="""
@@ -60,7 +78,7 @@ def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (epoch-aligned boundaries on both sides)."""
     ev = stream_events(spark, sf_dir)
     return run_available_now(
-        tumbling_window_counts(ev), _sink("tumb"), "complete"
+        tumbling_window_counts(ev), _sink("tumb"), "complete", state_partitions=_state_parts(sf_dir)
     ).orderBy("window_start", "event_type")
 
 
@@ -87,7 +105,7 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts and re-aggregates)."""
     ev = stream_events(spark, sf_dir)
     return run_available_now(
-        sliding_window_counts(ev), _sink("slide"), "complete"
+        sliding_window_counts(ev), _sink("slide"), "complete", state_partitions=_state_parts(sf_dir)
     ).orderBy("window_start")
 
 
@@ -129,7 +147,7 @@ def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (new session iff the gap to the previous event is >= 4 h)."""
     ev = stream_events(spark, sf_dir)
     return run_available_now(
-        session_window_stats(ev), _sink("sess"), "complete"
+        session_window_stats(ev), _sink("sess"), "complete", state_partitions=_state_parts(sf_dir)
     ).orderBy("user_id", "session_start")
 
 
@@ -147,7 +165,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     key set, independent of which duplicate arrived first."""
     ev = stream_events(spark, sf_dir)
     return run_available_now(
-        dedup_keys(ev), _sink("dedup"), "append"
+        dedup_keys(ev), _sink("dedup"), "append", state_partitions=_state_parts(sf_dir)
     ).orderBy("user_id", "event_type")
 
 
@@ -171,7 +189,7 @@ def stream_stateful_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations can't express."""
     ev = stream_events(spark, sf_dir)
     return run_available_now(
-        stateful_user_rollup(ev), _sink("rollup"), "update"
+        stateful_user_rollup(ev), _sink("rollup"), "update", state_partitions=_state_parts(sf_dir)
     ).orderBy("user_id")
 
 
@@ -199,7 +217,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval self-join."""
     ev = stream_events(spark, sf_dir)
     return run_available_now(
-        stream_stream_interval_join(ev), _sink("ssj"), "append"
+        stream_stream_interval_join(ev), _sink("ssj"), "append", state_partitions=_state_parts(sf_dir)
     ).orderBy("view_id", "click_id")
 
 
@@ -237,7 +255,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = ev.join(
         cust, ev.user_id == cust.c_custkey
     ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
-    return run_available_now(enriched, _sink("enrich"), "append").orderBy("event_id")
+    return run_available_now(
+        enriched, _sink("enrich"), "append", state_partitions=_state_parts(sf_dir)
+    ).orderBy("event_id")
 
 
 @query(
@@ -258,7 +278,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     space, where keep-all-keys state would grow forever."""
     ev = stream_events(spark, sf_dir)
     return run_available_now(
-        dedup_keys_within_watermark(ev), _sink("dedup_wm"), "append"
+        dedup_keys_within_watermark(ev), _sink("dedup_wm"), "append", state_partitions=_state_parts(sf_dir)
     ).orderBy("user_id", "event_type")
 
 
@@ -292,8 +312,8 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev = stream_events(spark, sf_dir)
         return run_available_now(
-            stateful_histogram(ev), _sink("tws"), "update"
-        ).orderBy("user_id", "event_type")
+        stateful_histogram(ev), _sink("tws"), "update", state_partitions=_state_parts(sf_dir)
+    ).orderBy("user_id", "event_type")
     finally:
         if HAS_TWS_PROTO:
             if prev is None:
