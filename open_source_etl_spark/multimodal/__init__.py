@@ -2,17 +2,25 @@
 binary columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` pipelines.
 
-The container has no image/audio codecs, so the *decode kernels* are
-stubbed — ``decode.py`` raises ``NotImplementedError`` on the real path
-and ships a deterministic fake for tests — while everything Spark-side is
-real and tested: the struct schemas, the binary payload plumbing, the
-mapInPandas batch iteration, row expansion (frame sampling), and the
-partitioning posture (media rows are large → size partitions by bytes,
-never collect payloads to the driver).
+Uncompressed formats decode FOR REAL with the stdlib: RIFF/WAVE via the
+``wave`` module and 24-bit BMP via hand struct parsing (``synth.py``
+generates spec-compliant fixtures; ``decode_wav_real``/``decode_bmp_real``
+parse them back, differentially checked against formula oracles).  The
+container has no compressed-codec libraries, so JPEG/MP3/H.264 kernels
+stay behind declared ``NotImplementedError`` sites with deterministic
+fakes — while everything Spark-side is real and tested: the struct
+schemas, the binary payload plumbing, the mapInPandas batch iteration,
+row expansion (frame sampling), and the partitioning posture (media rows
+are large → size partitions by bytes, never collect payloads to the
+driver).
 """
 
 from .decode import (
     audio_chunk_energy,
+    decode_bmp_real,
+    decode_wav_real,
+    synthesize_bmp,
+    synthesize_wav,
     block_mean_resize,
     byte_histogram,
     perceptual_hash,
@@ -34,5 +42,9 @@ __all__ = [
     "byte_histogram",
     "perceptual_hash",
     "decode_image_meta",
+    "decode_wav_real",
+    "decode_bmp_real",
+    "synthesize_wav",
+    "synthesize_bmp",
     "sample_frames",
 ]

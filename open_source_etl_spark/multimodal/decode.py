@@ -279,3 +279,163 @@ def perceptual_hash(media_df: DataFrame, codec: str = "fake") -> DataFrame:
 
     flat = media_df.select("doc_id", "media.payload")
     return flat.mapInPandas(kernel, PHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec paths (stdlib-parseable formats).  WAV (RIFF PCM, stdlib
+# `wave`) and uncompressed 24-bit BMP (hand struct parse) need no codec
+# library, so these kernels do genuine format decoding — RIFF chunk walk,
+# DIB header fields, 4-byte BMP row padding — while compressed formats
+# (JPEG/MP3/H.264) stay behind the NotImplementedError sites above.
+# ---------------------------------------------------------------------------
+
+WAV_META_SCHEMA = (
+    "doc_id long, n_bytes long, framerate long, n_channels long, "
+    "sampwidth long, n_frames long, peak_amplitude long, rms_amplitude long"
+)
+BMP_META_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, bpp long, "
+    "mean_r long, mean_g long, mean_b long"
+)
+
+
+def synthesize_wav(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a REAL RIFF/WAVE payload (mapInPandas:
+    synthesis is the ingest stand-in; a deployment reads with
+    ``spark.read.format("binaryFile")``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_wav_bytes
+
+        for pdf in batches:
+            payloads = [make_wav_bytes(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_wav_real(media_df: DataFrame) -> DataFrame:
+    """REAL WAV decode: the stdlib ``wave`` module walks the RIFF chunks
+    for format metadata, then the PCM frames are unpacked for exact
+    integer peak/RMS (the fixture is a ±A square wave, so RMS == A with
+    no float in the ground truth)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import math
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_bytes", "framerate", "n_channels",
+                "sampwidth", "n_frames", "peak_amplitude", "rms_amplitude",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                with wave.open(io.BytesIO(raw)) as w:
+                    nch, sw, fr, nf = (
+                        w.getnchannels(), w.getsampwidth(),
+                        w.getframerate(), w.getnframes(),
+                    )
+                    frames = w.readframes(nf)
+                samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                peak = int(np.abs(samples).max()) if len(samples) else 0
+                rms = (
+                    math.isqrt(int((samples * samples).sum()) // len(samples))
+                    if len(samples) else 0
+                )
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(raw))
+                out["framerate"].append(fr)
+                out["n_channels"].append(nch)
+                out["sampwidth"].append(sw)
+                out["n_frames"].append(nf)
+                out["peak_amplitude"].append(peak)
+                out["rms_amplitude"].append(rms)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(kernel, WAV_META_SCHEMA)
+
+
+def synthesize_bmp(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a REAL uncompressed 24-bit BMP payload."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_bmp_bytes
+
+        for pdf in batches:
+            payloads = [make_bmp_bytes(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_bmp_real(media_df: DataFrame) -> DataFrame:
+    """REAL BMP decode by hand: BITMAPFILEHEADER magic + pixel offset,
+    BITMAPINFOHEADER width/height/bpp, then the bottom-up padded pixel
+    array averaged per channel (exact ints on the solid-color fixture).
+    Handles the 4-byte row padding every real BMP carries."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_bytes", "width", "height", "bpp",
+                "mean_r", "mean_g", "mean_b",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                magic, _file_size, _, _, offset = struct.unpack_from("<2sIHHI", raw, 0)
+                if magic != b"BM":
+                    raise ValueError(f"doc {doc_id}: not a BMP payload")
+                _hdr, width, height, _planes, bpp = struct.unpack_from("<IiiHH", raw, 14)
+                h = abs(height)
+                stride = (width * (bpp // 8) + 3) & ~3
+                # vectorized: view the padded pixel array as (h, stride),
+                # slice off the padding, reshape to (n_px, 3) BGR triples
+                px = (
+                    np.frombuffer(raw, np.uint8, count=stride * h, offset=offset)
+                    .reshape(h, stride)[:, : width * 3]
+                    .reshape(-1, 3)
+                    .astype(np.int64)
+                )
+                tb, tg, tr = (int(x) for x in px.sum(axis=0))
+                n_px = width * h
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(raw))
+                out["width"].append(width)
+                out["height"].append(h)
+                out["bpp"].append(bpp)
+                out["mean_r"].append(tr // n_px)
+                out["mean_g"].append(tg // n_px)
+                out["mean_b"].append(tb // n_px)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(kernel, BMP_META_SCHEMA)
