@@ -21,6 +21,7 @@ from .decode import (
     decode_wav_real,
     synthesize_bmp,
     synthesize_wav,
+    wav_window_features,
     block_mean_resize,
     byte_histogram,
     perceptual_hash,
@@ -46,5 +47,6 @@ __all__ = [
     "decode_bmp_real",
     "synthesize_wav",
     "synthesize_bmp",
+    "wav_window_features",
     "sample_frames",
 ]

@@ -439,3 +439,46 @@ def decode_bmp_real(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media_df.select("doc_id", "payload").mapInPandas(kernel, BMP_META_SCHEMA)
+
+
+WAV_WINDOW_SCHEMA = (
+    "doc_id long, window_idx long, n_samples long, rms long, zero_crossings long"
+)
+
+
+def wav_window_features(media_df: DataFrame, window: int = 250) -> DataFrame:
+    """REAL audio feature extraction: fixed-size analysis windows over the
+    decoded PCM stream, per-window RMS and zero-crossing count — the
+    row-EXPANDING kernel shape (1 media row → n_windows feature rows)
+    that real DSP featurization (MFCC frames, VAD windows) rides on.
+    numpy-vectorized; zero shuffle."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import math
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "window_idx", "n_samples", "rms", "zero_crossings",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(b))) as w:
+                    frames = w.readframes(w.getnframes())
+                samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                for wi in range(0, len(samples), window):
+                    chunk = samples[wi : wi + window]
+                    n = len(chunk)
+                    rms = math.isqrt(int((chunk * chunk).sum()) // n)
+                    zc = int((np.signbit(chunk[1:]) != np.signbit(chunk[:-1])).sum())
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(wi // window)
+                    out["n_samples"].append(n)
+                    out["rms"].append(rms)
+                    out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(kernel, WAV_WINDOW_SCHEMA)

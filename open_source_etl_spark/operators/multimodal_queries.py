@@ -309,3 +309,37 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_bmp_real(synthesize_bmp(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_wav_features",
+    # ±A square wave alternating every sample: every window's RMS is
+    # exactly A and every adjacent pair crosses zero → zc = n - 1.  The
+    # oracle generates the window grid from the frame-count formula;
+    # Spark must produce it by decoding PCM and windowing real samples.
+    oracle="""
+    SELECT
+      d.doc_id,
+      w.idx AS window_idx,
+      CAST(LEAST(250, (400 + d.doc_id % 100 * 8) - w.idx * 250) AS BIGINT)
+        AS n_samples,
+      CAST(1000 + (d.doc_id % 50) * 100 AS BIGINT) AS rms,
+      CAST(LEAST(250, (400 + d.doc_id % 100 * 8) - w.idx * 250) - 1 AS BIGINT)
+        AS zero_crossings
+    FROM documents d,
+      LATERAL (
+        SELECT unnest(generate_series(
+          0, ((400 + d.doc_id % 100 * 8) - 1) // 250)) AS idx
+      ) w
+    ORDER BY d.doc_id, w.idx
+    """,
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio featurization: 250-sample analysis windows over decoded
+    PCM with per-window RMS and zero-crossing counts — the row-expanding
+    (1 → n_windows) feature kernel real DSP pipelines use, running on
+    genuine RIFF/WAVE bytes end to end."""
+    from ..multimodal.decode import synthesize_wav, wav_window_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_window_features(synthesize_wav(docs)).orderBy("doc_id", "window_idx")
