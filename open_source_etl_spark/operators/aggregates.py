@@ -638,3 +638,71 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "agg_regression_family",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+      ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+      ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS base_price,
+      ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS fit_r2,
+      ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS mean_qty,
+      ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS mean_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS per group via the SQL-standard REGR_* aggregates
+    (price ~ quantity per return flag): slope, intercept, R², and the
+    marginal means, all in ONE pass.  Like the other moment aggregates
+    these are streaming partial-aggregation-friendly (sums of x, y, xy,
+    x², y² compose across partitions), so at 100 TB the shuffle carries
+    five accumulators per group, never the rows.  EXT beyond the
+    reference (its dbt layer has no model-fitting tier); rounded on both
+    engines because the final divisions are IEEE doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n_pairs"),
+            F.round(F.regr_slope(y, x), 4).alias("price_per_qty"),
+            F.round(F.regr_intercept(y, x), 4).alias("base_price"),
+            F.round(F.regr_r2(y, x), 6).alias("fit_r2"),
+            F.round(F.regr_avgx(y, x), 6).alias("mean_qty"),
+            F.round(F.regr_avgy(y, x), 4).alias("mean_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_quantile")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's Greenwald–Khanna sketch
+    (``percentile_approx``, relative rank error <= 1/accuracy): the
+    bounded-memory alternative to ``agg_percentiles``'s exact sort-based
+    percentiles.  At 100 TB the exact form must shuffle every value to
+    its group; the GK sketch keeps O(accuracy · log n) per group and
+    merges across partitions.  Rows-only for the driver (the sketch is
+    engine-specific — DuckDB's approx_quantile uses t-digest); the rank
+    error against the exact answer is pinned in
+    ``tests/test_sketch_quality.py``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias("p90_approx"),
+            F.percentile_approx("l_extendedprice", F.lit(0.99), acc).alias("p99_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -402,3 +402,80 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH errs AS (
+      SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS err_ts
+      FROM events WHERE event_type = 'error'
+    ), clicks AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT e.err_id) AS BIGINT) AS n_errors_followed
+    FROM errs e JOIN clicks c
+      ON c.user_id = e.user_id
+     AND c.click_ts >= e.err_ts
+     AND c.click_ts < e.err_ts + INTERVAL 30 MINUTE
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large interval join via TIME-BUCKET BLOCKING: clicks within
+    30 minutes after each error, per user.
+
+    A naive theta join (the oracle's form) is a per-user cross product —
+    quadratic in events-per-user and a nested-loop plan at any scale.
+    The scale form bins time into buckets equal to the interval length:
+    each 30-minute query window [t, t+30m) spans at most two buckets, so
+    the error side explodes to exactly 2 rows, both sides equi-join on
+    (user_id, bucket) — a plain shuffle-hash join Catalyst and AQE can
+    optimize — and the exact range predicate filters residuals.  Each
+    qualifying pair matches in exactly one bucket (the click's), so no
+    dedup step is needed.  This is the standard range-join optimization
+    (Databricks range-join hints / interval binning) expressed with
+    vanilla operators; cost is linear in events with a 2× fan-out on the
+    build side, and the shuffle key (user_id, bucket) also spreads a
+    single hot user across time.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket_s = 1800  # = interval width: a window overlaps at most 2 buckets
+    sec = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errs_b = errs.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(sec("err_ts") / bucket_s),
+                F.floor(sec("err_ts") / bucket_s) + 1,
+            )
+        ),
+    )
+    clicks_b = clicks.withColumn("bucket", F.floor(sec("click_ts") / bucket_s))
+    pairs = errs_b.join(
+        clicks_b,
+        (errs_b.user_id == clicks_b.c_user_id)
+        & (errs_b.bucket == clicks_b.bucket)
+        & (clicks_b.click_ts >= errs_b.err_ts)
+        & (clicks_b.click_ts < errs_b.err_ts + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("err_id").cast("bigint").alias("n_errors_followed"),
+        )
+        .orderBy("user_id")
+    )

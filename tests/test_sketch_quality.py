@@ -73,3 +73,28 @@ def test_hll_sketch_union_within_rsd_bounds(spark, sf_dir, duck):
         lo = exact[prio] * (1 - _HLL_RSD)
         hi = exact[prio] * (1 + _HLL_RSD)
         assert lo <= est <= hi, f"{prio}: est {est} outside [{lo:.0f}, {hi:.0f}]"
+
+
+def test_approx_quantile_within_rank_error(spark, sf_dir, duck):
+    """percentile_approx(accuracy=10000) guarantees rank error <= n/10000;
+    assert each approximate percentile's true rank is within that bound
+    (plus 1 for boundary/interpolation slack) of the requested rank."""
+    rows = all_queries()["agg_approx_quantile"](spark, sf_dir).collect()
+    for r in rows:
+        n = r["n_rows"]
+        tol = max(1, n // 10000) + 1
+        for p, col in ((0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")):
+            est = r[col]
+            # rank of est within the group = #values <= est
+            (rank,) = duck.execute(
+                f"""
+                SELECT COUNT(*) FROM read_parquet('{sf_dir}/lineitem.parquet')
+                WHERE l_returnflag = ? AND l_extendedprice <= ?
+                """,
+                [r["l_returnflag"], est],
+            ).fetchone()
+            target = p * n
+            assert abs(rank - target) <= tol, (
+                f"{r['l_returnflag']} {col}: rank {rank} vs target {target:.0f} "
+                f"(tol {tol}, n {n})"
+            )
