@@ -446,3 +446,95 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embed_covariance_block",
+    oracle="""
+    SELECT t1.i AS i, t2.j AS j,
+           ROUND(covar_samp(e.embedding[t1.i + 1], e.embedding[t2.j + 1]), 6) AS cov
+    FROM embeddings e, range(8) t1(i), range(8) t2(j)
+    GROUP BY t1.i, t2.j
+    ORDER BY i, j
+    """,
+)
+def embed_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the first 8 embedding dimensions, as (i, j,
+    cov) rows — the feature-correlation profile behind whitening /
+    dimensionality-reduction decisions on an embedding corpus.
+
+    Built with CHAINED GENERATORS, not a self-join: posexplode the
+    truncated vector to (i, xi) while carrying the array, then explode
+    again to (j, xj) — the d² fan-out happens map-side inside codegen and
+    the single shuffle carries 64 Welford accumulators, never the
+    vectors.  Contrast with joining the exploded table to itself on
+    vec_id, which would shuffle the corpus twice and blow up the join.
+    At 100 TB: fan-out is d² per row (bounded by the block size, here 8),
+    and covar_samp composes across partitions like any moment aggregate.
+    """
+    emb = load_table_compute(spark, sf_dir, "embeddings")
+    head8 = F.slice(F.col("embedding"), 1, 8)
+    step1 = emb.select(
+        F.posexplode(head8).alias("i", "xi"), head8.alias("h8")
+    )
+    step2 = step1.select("i", "xi", F.posexplode("h8").alias("j", "xj"))
+    return (
+        step2.groupBy("i", "j")
+        .agg(
+            F.round(
+                F.covar_samp(F.col("xi").cast("double"), F.col("xj").cast("double")), 6
+            ).alias("cov")
+        )
+        .orderBy("i", "j")
+    )
+
+
+@query("embed_pca_power")
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding corpus by
+    POWER ITERATION without materializing the d x d Gram matrix: iterate
+    v <- normalize(sum_rows (x . v) x), with v a broadcast literal.  Each
+    round is ONE distributed pass — a codegen dot product against the
+    64-float literal, a scalar-vector scale, and an element-wise array
+    sum — so at 100 TB each round costs a scan plus a d-length reduce,
+    and only d floats ever leave the executors.  The driver holds just v
+    (d doubles), never the data.  Deterministic all-ones start, 8 rounds;
+    the distributed kernel is differentially checked against the
+    IDENTICAL numpy iteration in ``tests/test_ann_quality.py`` (the
+    fixture's spectrum is nearly flat, so the test pins the computation,
+    not eigen-convergence, plus Rayleigh-quotient bounds).
+
+    Rows-only for the driver: iterative linear algebra has no ANSI-SQL
+    twin.  Output: one row per leading dimension (first 8) of v plus the
+    Rayleigh-quotient eigenvalue estimate.
+    """
+    emb = load_table_compute(spark, sf_dir, "embeddings").select("embedding")
+    d = 64
+    v = [1.0] * d
+    for _ in range(8):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        proj = dot("embedding", vlit)
+        contrib = F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * proj
+        )
+        # element-wise sum of the contribution vectors: aggregate over an
+        # exploded (dim, value) pair keeps the combine map-side
+        summed = (
+            emb.select(F.posexplode(contrib).alias("dim", "val"))
+            .groupBy("dim")
+            .agg(F.sum("val").alias("s"))
+            .orderBy("dim")
+            .collect()
+        )
+        vec = [r["s"] for r in summed]
+        norm = sum(x * x for x in vec) ** 0.5
+        v = [x / norm for x in vec]
+    # Rayleigh quotient lambda = sum((x.v)^2) / n on the final direction
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    proj = dot("embedding", vlit)
+    ray = emb.agg(
+        (F.sum(proj * proj) / F.count("*")).alias("eigenvalue")
+    ).collect()[0]["eigenvalue"]
+    spark_rows = [(i, round(float(v[i]), 6)) for i in range(8)]
+    out = spark.createDataFrame(spark_rows, "dim int, component double")
+    return out.withColumn("eigenvalue", F.round(F.lit(float(ray)), 4)).orderBy("dim")

@@ -56,3 +56,38 @@ def test_minhash_finds_high_jaccard_pairs(spark, queries):
     }
     found = len(exact & mh) / len(exact)
     assert found >= 0.8, f"MinHash missed {1 - found:.0%} of J>=0.9 pairs"
+
+
+def test_pca_power_matches_numpy_iteration(spark, queries):
+    """embed_pca_power runs 8 power-iteration rounds distributed; numpy
+    running the IDENTICAL iteration (all-ones start, same normalization)
+    must agree elementwise to float tolerance — this pins the
+    distributed kernel (dot, scale, elementwise reduce), which is the
+    operator's claim.  The fixture's spectrum is nearly flat, so
+    eigen-convergence itself is not assertable; instead the Rayleigh
+    quotient must land within the exact eigenvalue range."""
+    import duckdb
+    import numpy as np
+
+    rows = queries["embed_pca_power"](spark, SF).collect()
+    v_spark = np.array([r.component for r in rows])
+    lam_spark = rows[0].eigenvalue
+
+    X = np.array(
+        duckdb.connect()
+        .execute(f"SELECT embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id")
+        .df()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    v = np.ones(X.shape[1])
+    for _ in range(8):
+        s = X.T @ (X @ v)
+        v = s / np.linalg.norm(s)
+    assert np.allclose(v_spark, np.round(v[:8], 6), atol=2e-6), (
+        f"kernel divergence: {v_spark} vs {np.round(v[:8], 6)}"
+    )
+    w = np.linalg.eigvalsh(X.T @ X / len(X))
+    assert w[0] - 1e-9 <= lam_spark <= w[-1] + 1e-4, (
+        f"Rayleigh {lam_spark} outside eigenvalue range [{w[0]}, {w[-1]}]"
+    )

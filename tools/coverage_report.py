@@ -28,7 +28,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Streaming", ("stream_tumbling_window_agg", "stream_sliding_window_agg", "stream_session_window_agg", "stream_dedup_keys", "stream_stateful_user_rollup", "stream_transform_with_state", "stream_stream_join", "stream_static_enrich", "stream_dedup_within_watermark")),
     ("UDF / UDAF / UDTF", ("udf_pandas_scalar", "udaf_grouped_pandas", "udtf_text_chunks", "udf_sql_scalar")),
     ("Deduplication", ("dedup_exact", "dedup_normalized", "dedup_minhash_candidates", "dedup_simhash", "dedup_jaccard_blocked", "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_connected_components", "dedup_semantic_prune", "dedup_url_canonical")),
-    ("Similarity search", ("knn_bruteforce_cosine", "similarity_pairs_threshold", "ann_ivf_search", "ann_lsh_bucketed", "embed_label_centroids", "embed_quantize_int8")),
+    ("Similarity search", ("knn_bruteforce_cosine", "similarity_pairs_threshold", "ann_ivf_search", "ann_lsh_bucketed", "embed_label_centroids", "embed_quantize_int8", "embed_covariance_block", "embed_pca_power")),
     ("Text analysis", ("text_token_stats", "text_quality_score", "text_lang_guess", "text_bpe_token_count", "text_fingerprint", "text_heavy_hitters", "text_pii_redact", "text_edit_distance", "text_tfidf_top_terms", "text_repetition_filter", "text_ngram_novelty", "text_lm_surprisal")),
     ("Multimodal columns", ("multimodal_image_meta", "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_resize_blockmean", "multimodal_feature_histogram", "multimodal_phash_dedup", "multimodal_wav_decode", "multimodal_bmp_decode", "multimodal_wav_features")),
     ("Training-data pipeline", ("datapipe_split_assign", "datapipe_stratified_sample", "datapipe_pack_chunks", "datapipe_pack_greedy", "datapipe_shard_balance", "datapipe_global_shuffle", "datapipe_contamination", "datapipe_vocab_build", "datapipe_domain_mix", "datapipe_leakage_safe_split", "datapipe_corpus_pipeline", "datapipe_domain_quota")),
