@@ -673,3 +673,57 @@ def datapipe_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "datapipe_weighted_sample",
+    oracle="""
+    WITH cum AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(n_chars) OVER (PARTITION BY source) AS total_w
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+           CAST((cum_w * 10) // total_w AS BIGINT) AS pick_slot
+    FROM cum
+    WHERE (cum_w * 10) // total_w > ((cum_w - n_chars) * 10) // total_w
+    ORDER BY doc_id
+    """,
+)
+def datapipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size (PPS) sampling per source via
+    SYSTEMATIC cumulative-weight selection: lay each stratum's documents
+    on a line segment scaled by weight (n_chars), drop k=10 equally
+    spaced picks, keep the document whose segment contains each pick —
+    long documents are proportionally more likely, exactly the
+    quality/length-weighted sampling step of a training-data mixture.
+
+    Deterministic and EXACT cross-engine: selection is pure BIGINT
+    arithmetic (a document is picked iff floor(cum*k/W) advances across
+    its segment) — no RNG, no transcendental sampling keys whose libm
+    rounding could flip a boundary (the A-ES u^(1/w) form is NOT
+    replayable across engines).  One window shuffle per stratum; at
+    100 TB this is a single hash-partition by source + in-partition scan,
+    and re-running any subset of shards reproduces the identical sample.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source")
+    w_cum = w_src.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.sum("n_chars").over(w_cum).alias("cum_w"),
+        F.sum("n_chars").over(w_src).alias("total_w"),
+    )
+    # exact BIGINT division on both engines (Spark `div` == DuckDB `//`)
+    slot = F.expr("(cum_w * 10) div total_w")
+    prev_slot = F.expr("((cum_w - weight) * 10) div total_w")
+    return (
+        cum.withColumn("pick_slot", slot.cast("bigint"))
+        .filter(slot > prev_slot)
+        .select("doc_id", "source", "weight", "pick_slot")
+        .orderBy("doc_id")
+    )

@@ -9,7 +9,7 @@ aggregation with conditional sums, not N passes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -282,4 +282,61 @@ def scalar_collation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_type")
+    )
+
+
+@query(
+    "analytics_skyline_2d",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+    )
+    SELECT price, size FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price <= a.price AND b.size >= a.size
+        AND (b.price < a.price OR b.size > a.size)
+    )
+    ORDER BY price, size
+    """,
+)
+def analytics_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts no other part beats on
+    BOTH cheaper price and larger size — the classic multi-criteria
+    shortlist operator.
+
+    The oracle states dominance as a quadratic NOT EXISTS; the engine
+    runs a PARTITION-PARALLEL two-level sweep instead of a global sort:
+    (1) hash prices into ordered buckets; within each bucket a window
+    sweep (price ASC, size DESC) keeps points whose size strictly
+    exceeds the running predecessor max — predecessors are exactly the
+    in-bucket dominators; (2) cross-bucket dominance needs only each
+    bucket's MAX size: a point also survives iff its size exceeds the
+    running max of all strictly-cheaper buckets' maxima (every point
+    there is strictly cheaper).  Level 1 parallelizes per bucket, level
+    2 is a bucket-count-sized frame broadcast back — no global
+    single-partition window anywhere, which is what makes the sweep hold
+    at 100 TB (skylines compose associatively under this rule).
+    """
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    ).distinct()
+    pts = pts.withColumn("bucket", F.floor(F.col("price") / 200.0))
+    in_bucket = Window.partitionBy("bucket").orderBy(
+        F.asc("price"), F.desc("size")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    survivors = pts.withColumn("prev_max", F.max("size").over(in_bucket)).filter(
+        F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max"))
+    )
+    bucket_max = pts.groupBy("bucket").agg(F.max("size").alias("bmax"))
+    prev_buckets = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_cummax = bucket_max.withColumn(
+        "prev_bmax", F.max("bmax").over(prev_buckets)
+    ).select("bucket", "prev_bmax")
+    return (
+        survivors.join(F.broadcast(bucket_cummax), "bucket")
+        .filter(F.col("prev_bmax").isNull() | (F.col("size") > F.col("prev_bmax")))
+        .select("price", "size")
+        .orderBy("price", "size")
     )
