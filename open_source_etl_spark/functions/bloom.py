@@ -65,8 +65,12 @@ def build_bloom(
     )
     n = max(len(hashes), 1)
     m = max(int(-n * np.log(fpp) / (np.log(2) ** 2)), 64)
+    # byte-align m: probing recovers m as bits.size * 8, so build and
+    # probe MUST agree — an unaligned m silently shifts every probe
+    # position and drops true matches (caught by test_bloom_unaligned_m)
+    m = ((m + 7) // 8) * 8
     k = max(int(round(m / n * np.log(2))), 1)
-    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    bits = np.zeros(m // 8, dtype=np.uint8)
     for pos in _probe_positions(hashes.view(np.uint64), k, m):
         np.bitwise_or.at(bits, pos // 8, np.left_shift(np.uint8(1), (pos % 8).astype(np.uint8)))
     return bits, k

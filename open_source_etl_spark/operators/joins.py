@@ -479,3 +479,54 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    WITH hot AS (
+      SELECT DISTINCT o_custkey
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM customer c
+    JOIN hot h ON h.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction surfaced as a query: the
+    customer table joins a selective urgent-big-spender key set, with a
+    bloom filter (``functions/bloom.py``) applied BEFORE the shuffle so
+    guaranteed-non-matching probe rows never enter the exchange — the
+    explicit form of Spark's runtime bloom-filter pushdown.  The bloom
+    has no false negatives and the real join removes false positives, so
+    the result is EXACTLY the plain join the oracle states; at 100 TB
+    the win is the probe-side exchange shrinking by the join selectivity
+    before any network movement.
+    """
+    from ..functions.bloom import bloom_prefilter
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    hot = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 250000)
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    pruned = bloom_prefilter(cust, hot, "c_custkey")
+    return (
+        pruned.join(hot, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint")).cast("bigint").alias("acctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

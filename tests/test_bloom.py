@@ -55,3 +55,15 @@ def test_bloom_empty_keys(spark, sf_dir):
     # an empty key set may pass a sliver of hash-collision rows but must
     # never error; the join still returns zero rows
     assert bloom_prefilter(li, keys, "l_orderkey").join(keys, "l_orderkey").count() == 0
+
+
+def test_bloom_unaligned_m_no_false_negatives(spark, sf_dir):
+    """Regression: a key-set size whose theoretical bit count is NOT a
+    multiple of 8 (n=93 -> m=891 before alignment) must still keep every
+    true match — build and probe have to agree on the modulus."""
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_custkey") % 13 < 8).select("c_custkey").limit(93)
+    n_keys = keys.count()
+    kept = bloom_prefilter(cust, keys, "c_custkey").join(keys, "c_custkey").count()
+    exact = cust.join(keys, "c_custkey").count()
+    assert kept == exact, f"bloom dropped true matches: {kept} != {exact} (n={n_keys})"
