@@ -1,0 +1,113 @@
+"""Iterative graph analytics over relationship edges derived from the
+warehouse (EXT, SURVEY.md §2B scale notes): PageRank on the
+customer–supplier trade graph.
+
+Companion to ``llm_dedup.dedup_connected_components`` (the other
+iterative-graph operator): both run Pregel-style rounds as DataFrame
+joins + grouped aggregation, with ``localCheckpoint`` truncating lineage
+per round so plans stay constant-size across iterations.
+
+Scale design (100 TB posture):
+- edges live distributed end-to-end; each round is one shuffle join on
+  src + one grouped sum on dst — hash-partitioned both times, no
+  driver-side state beyond the scalar iteration counter;
+- per-node out-degree is precomputed once and folded into the edge
+  weight, so the iteration joins a (src, dst, w) frame with a (node,
+  rank) frame — the minimal-width shuffle payload;
+- rank mass is conserved by construction (undirected edges mean no
+  dangling nodes), so convergence needs no global renormalization pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+DAMPING = 0.85
+ROUNDS = 6
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected customer–supplier edges from order lineage,
+    encoded as bigint node ids (customer = 2·custkey, supplier =
+    2·suppkey + 1)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cust_node").alias("src"), F.col("supp_node").alias("dst"))
+    rev = pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer–supplier trade graph
+    (undirected: an order lineitem links both ways), damping 0.85,
+    6 synchronous rounds — "which suppliers sit at the center of the
+    purchase network" as a warehouse query.
+
+    Each round: fold rank/out_degree into the edge, shuffle-join ranks
+    on src, grouped-sum contributions on dst, add the teleport term.
+    ``localCheckpoint`` after each round keeps the plan O(1) deep (the
+    same pattern as dedup_connected_components).  Rows-only for the
+    driver (iterative fixpoints have no ANSI-SQL twin); the result is
+    differentially checked against a dense numpy PageRank on the same
+    edges in ``tests/test_graph.py``, and mass conservation (ranks sum
+    to 1) is asserted there too.
+
+    Output: top 20 nodes by rank (node_type, key, rank rounded to 8dp).
+    """
+    edges = trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    wedges = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    )
+    wedges = wedges.localCheckpoint(eager=True)
+
+    # per-round shuffle load is O(|edges|); size the iteration partition
+    # count from the edge count exactly like dedup_connected_components
+    # (tiny rounds drown in task-launch overhead at the default count)
+    n_edges = wedges.count()
+    iter_parts = max(8, min(-(-n_edges // 200_000), 4096))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+    try:
+        nodes = wedges.select(F.col("src").alias("node")).distinct()
+        n_nodes = nodes.count()
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        teleport = (1.0 - DAMPING) / n_nodes
+        for _ in range(ROUNDS):
+            contribs = (
+                wedges.join(ranks, wedges.src == ranks.node)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
+            )
+            # every node has out-degree >= 1 (undirected), so no dangling
+            # mass: rank_new = teleport + d * inflow preserves sum(rank) = 1
+            ranks = contribs.select(
+                F.col("dst").alias("node"),
+                (F.lit(teleport) + F.lit(DAMPING) * F.col("inflow")).alias("rank"),
+            ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            (F.col("node") / 2).cast("bigint").alias("key"),
+            F.round("rank", 8).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), "node_type", "key")
+        .limit(20)
+    )

@@ -47,6 +47,7 @@ def load_all() -> None:
         behavioral,
         datapipe_queries,
         dq_checks,
+        graph_queries,
         ingestion,
         joins,
         llm_dedup,

@@ -32,6 +32,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Text analysis", ("text_token_stats", "text_quality_score", "text_lang_guess", "text_bpe_token_count", "text_fingerprint", "text_heavy_hitters", "text_pii_redact", "text_edit_distance", "text_tfidf_top_terms", "text_repetition_filter", "text_ngram_novelty", "text_lm_surprisal")),
     ("Multimodal columns", ("multimodal_image_meta", "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_resize_blockmean", "multimodal_feature_histogram", "multimodal_phash_dedup", "multimodal_wav_decode", "multimodal_bmp_decode", "multimodal_wav_features")),
     ("Training-data pipeline", ("datapipe_split_assign", "datapipe_stratified_sample", "datapipe_pack_chunks", "datapipe_pack_greedy", "datapipe_shard_balance", "datapipe_global_shuffle", "datapipe_contamination", "datapipe_vocab_build", "datapipe_domain_mix", "datapipe_leakage_safe_split", "datapipe_corpus_pipeline", "datapipe_domain_quota", "datapipe_weighted_sample")),
+    ("Graph analytics", ("graph_pagerank",)),
     ("Data quality", ("dq_single_pass_suite", "dq_uniqueness_check", "dq_referential_integrity", "dq_outlier_zscore", "dq_freshness_check", "dq_outlier_mad")),
 ]
 
