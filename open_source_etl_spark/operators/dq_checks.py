@@ -268,3 +268,69 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "dq_distribution_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 60000) AS BIGINT), 9) AS bin,
+             CASE WHEN CAST(o_orderdate AS TIMESTAMP)
+                       < TIMESTAMP '1998-01-01' THEN 'ref' ELSE 'cur' END AS win
+      FROM orders
+    ), counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+    )
+    SELECT bin, n_ref, n_cur,
+           ROUND(((n_cur + 1.0) / (t_cur + 10.0) - (n_ref + 1.0) / (t_ref + 10.0))
+                 * LN(((n_cur + 1.0) / (t_cur + 10.0))
+                      / ((n_ref + 1.0) / (t_ref + 10.0))), 6) AS psi_term
+    FROM counts, tot
+    ORDER BY bin
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring via the Population Stability Index:
+    order values binned into the histogram grid, reference window
+    (pre-1998) vs current window (1998+), per-bin PSI term
+    (q−p)·ln(q/p) with +1 Laplace smoothing so an empty bin cannot
+    produce ln(0).  PSI ≥ 0.2 is the standard retrain/alert threshold —
+    summing the returned terms gives the headline score, kept per-bin
+    here so the drifted bins are identifiable.
+
+    One single-pass conditional aggregation (both windows counted in the
+    same scan — the dq_single_pass_suite pattern), a 10-row result, and
+    the totals fold in via a broadcast of one row; cost at 100 TB is one
+    scan, one 10-key shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 60000), F.lit(9)).cast("bigint")
+    is_ref = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    counts = (
+        orders.select(bin_.alias("bin"), is_ref.alias("is_ref"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10.0)
+    q = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10.0)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

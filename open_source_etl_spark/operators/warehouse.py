@@ -272,3 +272,72 @@ def model_pipeline_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     if failed:  # schema tests gate the model output, as in dbt
         raise AssertionError(f"model schema tests failed: {failed}")
     return built["fct_revenue_by_segment_q"].orderBy("segment", "status")
+
+
+@query(
+    "warehouse_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY user_id, event_type
+    ), b AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY user_id, event_type
+    )
+    SELECT
+      CASE WHEN a.user_id IS NULL THEN 'added'
+           WHEN b.user_id IS NULL THEN 'removed'
+           WHEN a.n <> b.n THEN 'changed'
+           ELSE 'unchanged' END AS change_type,
+      CAST(COUNT(*) AS BIGINT) AS n_keys,
+      CAST(SUM(COALESCE(b.n, 0) - COALESCE(a.n, 0)) AS BIGINT) AS net_delta
+    FROM a FULL OUTER JOIN b
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+    GROUP BY 1
+    ORDER BY change_type
+    """,
+)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the data-diff behind incremental-load
+    audits): aggregate two time slices of the event stream to the same
+    grain, FULL OUTER join on the key, and classify every key as
+    added / removed / changed / unchanged with the net row delta.
+
+    Both slices aggregate BEFORE the join, so the join carries one row
+    per key per side, never raw events; at 100 TB the two grouped
+    aggregations and the join all hash-partition on the same key — with
+    AQE the exchanges coalesce, and the diff output is bounded by key
+    cardinality.  GEN of the reference's load-verification sensor
+    (`dags/ingest_bundesliga_match_scores.py:54-67` checks presence only;
+    this checks content).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    grain = lambda df: df.groupBy("user_id", "event_type").agg(  # noqa: E731
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = grain(ev.filter(F.col("ts") < cut)).withColumnsRenamed({"n": "n_a"})
+    b = grain(ev.filter(F.col("ts") >= cut)).withColumnsRenamed({"n": "n_b"})
+    joined = a.join(b, ["user_id", "event_type"], "full_outer")
+    change = (
+        F.when(F.col("n_a").isNull(), "added")
+        .when(F.col("n_b").isNull(), "removed")
+        .when(F.col("n_a") != F.col("n_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            change.alias("change_type"),
+            (F.coalesce("n_b", F.lit(0)) - F.coalesce("n_a", F.lit(0))).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("delta").cast("bigint").alias("net_delta"),
+        )
+        .orderBy("change_type")
+    )
