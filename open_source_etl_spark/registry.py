@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every operator module so registration side effects run."""
     from .operators import (  # noqa: F401
         aggregates,
+        analytics_extras,
         analytics_suite,
         arrays_json,
         behavioral,
