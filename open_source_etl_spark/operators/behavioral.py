@@ -463,3 +463,154 @@ def behavior_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "variant")
     )
+
+
+@query(
+    "behavior_attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id IS NOT NULL
+    ), touched AS (
+      SELECT *,
+        LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS) OVER w AS channel,
+        LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+                   IGNORE NULLS) OVER w AS touch_ts
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase' AND channel IS NOT NULL
+      AND ts - touch_ts <= INTERVAL 7 DAY
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def behavior_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    most recent preceding non-purchase event by the same user within a
+    7-day lookback.
+
+    The "most recent preceding touch" is ``last(..., ignorenulls=True)``
+    over an unbounded-preceding row frame — Spark keeps one running
+    value per partition, so the pass is a single user_id shuffle with
+    O(1) window state per key, the same gaps-and-islands machinery as
+    sessionization (no as-of self-join, which would re-shuffle the
+    events twice).  Value sums go through DECIMAL so both engines add
+    exactly; the 7-day cutoff compares native timestamps."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("channel"),
+        F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return (
+        touched.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("channel").isNotNull()
+            & (
+                F.col("ts").cast("long") - F.col("touch_ts").cast("long")
+                <= 7 * 86400
+            )
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "timeseries_repeat_interval",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), intervals AS (
+      SELECT f.o_custkey,
+             date_diff('day', f.d, s.d) AS days_between
+      FROM ranked f JOIN ranked s
+        ON f.o_custkey = s.o_custkey AND f.rn = 1 AND s.rn = 2
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+           ROUND(AVG(days_between), 4) AS avg_days,
+           ROUND(median(days_between), 4) AS median_days,
+           ROUND(quantile_cont(days_between, 0.9), 4) AS p90_days
+    FROM intervals i JOIN customer c ON i.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def timeseries_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-repeat-purchase survival summary: days between each
+    customer's first and second order, distributed per market segment
+    (mean / median / p90, linear-interpolated on both engines).
+
+    One user-keyed window ranks orders (tie-broken on orderkey), a
+    conditional ``min_by``-free self-pair picks ranks 1 and 2, and the
+    segment rollup is a plain hash agg after the customer dimension
+    join.  The window is the only big shuffle; per-key state is one
+    counter.  Exact percentiles over the per-customer intervals frame
+    (|customers| rows, already 1000× smaller than orders) are fine at
+    any scale — the raw-fact percentile variant is what
+    ``agg_approx_quantile`` covers with the GK sketch."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    first = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("d").alias("d1")
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("d").alias("d2")
+    )
+    intervals = first.join(second, "o_custkey").select(
+        "o_custkey", F.datediff("d2", "d1").alias("days_between")
+    )
+    return (
+        intervals.join(cust, intervals.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_repeat_customers"),
+            F.round(F.avg("days_between"), 4).alias("avg_days"),
+            F.round(F.median("days_between"), 4).alias("median_days"),
+            F.round(F.percentile("days_between", F.lit(0.9)), 4).alias(
+                "p90_days"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
