@@ -7,7 +7,7 @@ against DuckDB over the fixtures (reference suite: SURVEY.md §2A.3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -333,4 +333,58 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
         )
         .orderBy("bin")
+    )
+
+
+@query(
+    "dq_anomaly_seasonal",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             dayofweek(CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT event_type, day, n,
+             AVG(n) OVER (PARTITION BY event_type, dow) AS dow_baseline
+      FROM daily
+    )
+    SELECT event_type, day,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(dow_baseline, 6) AS dow_baseline,
+           ROUND(n / dow_baseline, 6) AS ratio
+    FROM scored
+    WHERE n >= 1.5 * dow_baseline
+    ORDER BY event_type, day
+    """,
+)
+def dq_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomaly screen: daily event counts
+    compared against the same-day-of-week mean for that event type;
+    days at >= 1.5x their weekday baseline are flagged.  The plain
+    global-mean z-score (``dq_outlier_zscore``) false-alarms on weekly
+    rhythm; conditioning the baseline on day-of-week is the minimal
+    seasonal correction.  Shape: one grouped count (|types| x |days|
+    rows), then a window over the tiny daily series — the raw stream is
+    touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type", "dow")
+    scored = daily.withColumn("dow_baseline", F.avg("n").over(w))
+    return (
+        scored.filter(F.col("n") >= 1.5 * F.col("dow_baseline"))
+        .select(
+            "event_type",
+            "day",
+            F.col("n").alias("n_events"),
+            F.round("dow_baseline", 6).alias("dow_baseline"),
+            F.round(F.col("n") / F.col("dow_baseline"), 6).alias("ratio"),
+        )
+        .orderBy("event_type", "day")
     )

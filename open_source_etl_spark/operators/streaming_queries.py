@@ -320,3 +320,58 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
             else:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT
+        time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        event_type,
+        COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type) AS rk
+      FROM counts
+    )
+    WHERE rk <= 2
+    ORDER BY window_start, rk
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k event types per tumbling hour over the live stream: the
+    streaming stage is the watermarked windowed count (bounded state,
+    complete-mode memory sink) and the rank-and-filter runs on the sink
+    table — the split Structured Streaming requires, since ranking
+    windows aren't supported on a streaming aggregate.  This is also the
+    production topology (serving-side ranking over a continuously
+    maintained count table): the stream shuffles only (window, type)
+    accumulator rows, and the per-window top-k sort touches
+    |windows|×|types| rows, never raw events."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, sf_dir)
+    counts = run_available_now(
+        tumbling_window_counts(ev),
+        _sink("topk"),
+        "complete",
+        state_partitions=_state_parts(sf_dir),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), "event_type"
+        )
+    )
+    return (
+        counts.select("window_start", "event_type", "n_events")
+        .withColumn("rk", rk.cast("bigint"))
+        .filter(F.col("rk") <= 2)
+        .orderBy("window_start", "rk")
+    )

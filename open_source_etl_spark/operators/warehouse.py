@@ -341,3 +341,89 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "warehouse_point_in_time_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events WHERE user_id IS NOT NULL
+    ), marked AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN event_type = LAG(event_type)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             THEN 0 ELSE 1 END AS is_change
+      FROM e WHERE event_type <> 'purchase'
+    ), dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM marked WHERE is_change = 1
+    )
+    SELECT d.state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS total_value
+    FROM e f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (f.ts < d.valid_to OR d.valid_to IS NULL)
+    WHERE f.event_type = 'purchase'
+    GROUP BY d.state
+    ORDER BY d.state
+    """,
+)
+def warehouse_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: facts (purchases) against the SCD2
+    dimension version valid at fact time — the standard consumption
+    pattern for the history ``scd2_user_state`` builds, and the
+    correctness backbone of ML feature stores (no future leakage: a fact
+    only ever sees dimension state with ``valid_from <= ts``).
+
+    Physical shape: equi-join on the entity key with the interval
+    predicate as a residual filter — a sort-merge join partitioned by
+    user_id whose per-key version list is bounded (consecutive-dedup
+    keeps one row per state change), so the residual scan per fact is
+    short.  When the version count per key grows unbounded, the engine
+    switches to the union-and-last-value ASOF form
+    (``behavior_attribution_last_touch``) which is one window pass;
+    both are registered so the planner choice is explicit."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    nonp = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        nonp.withColumn(
+            "is_change",
+            F.when(F.col("event_type") == F.lag("event_type").over(w), 0).otherwise(1),
+        )
+        .filter(F.col("is_change") == 1)
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = facts.join(
+        dim,
+        (facts.user_id == dim.d_user_id)
+        & (facts.ts >= dim.valid_from)
+        & ((facts.ts < dim.valid_to) | dim.valid_to.isNull()),
+    )
+    return (
+        joined.groupBy("state")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .orderBy("state")
+    )
