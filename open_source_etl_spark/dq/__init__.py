@@ -6,6 +6,14 @@ from .expectations import (
     expect_column_values_to_not_be_null,
     expect_table_columns_to_match_ordered_list,
 )
+from .observe import (
+    null_count,
+    observed,
+    out_of_range_count,
+    out_of_set_count,
+    row_count,
+    validate_while_writing,
+)
 from .profile import profile_table
 from .runner import ValidationResult, validate
 
@@ -14,6 +22,12 @@ __all__ = [
     "expect_column_values_to_be_in_set",
     "expect_column_values_to_not_be_null",
     "expect_table_columns_to_match_ordered_list",
+    "null_count",
+    "observed",
+    "out_of_range_count",
+    "out_of_set_count",
+    "row_count",
+    "validate_while_writing",
     "profile_table",
     "ValidationResult",
     "validate",

@@ -614,3 +614,53 @@ def timeseries_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "behavior_markov_transition",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events WHERE user_id IS NOT NULL
+    ), pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+    FROM pairs
+    ORDER BY from_type, to_type
+    """,
+)
+def behavior_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type).
+
+    One user-keyed window (lead) forms consecutive pairs, a hash agg
+    counts them, and row-normalization is a window over the
+    |types|² count frame — the raw stream is shuffled once on user_id
+    and everything after runs on a bounded matrix.  The path-mining
+    companion to ``behavior_path_trigrams`` (which counts whole
+    3-step paths; this gives the normalized step kernel that feeds
+    simulation / next-action prediction)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(wn), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )

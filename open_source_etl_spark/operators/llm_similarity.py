@@ -492,17 +492,18 @@ def embed_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embed_pca_power")
 def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the (uncentered) embedding corpus by
-    POWER ITERATION without materializing the d x d Gram matrix: iterate
-    v <- normalize(sum_rows (x . v) x), with v a broadcast literal.  Each
-    round is ONE distributed pass — a codegen dot product against the
-    64-float literal, a scalar-vector scale, and an element-wise array
-    sum — so at 100 TB each round costs a scan plus a d-length reduce,
-    and only d floats ever leave the executors.  The driver holds just v
-    (d doubles), never the data.  Deterministic all-ones start, 8 rounds;
-    the distributed kernel is differentially checked against the
-    IDENTICAL numpy iteration in ``tests/test_ann_quality.py`` (the
-    fixture's spectrum is nearly flat, so the test pins the computation,
-    not eigen-convergence, plus Rayleigh-quotient bounds).
+    POWER ITERATION on a one-pass d x d Gram matrix: a single
+    distributed scan accumulates G = X^T X as Arrow-batched numpy
+    partials (d^2 = 4096 doubles per partition), partials tree-reduce
+    in-engine, and the 8 power rounds run driver-side on the 32 KB G —
+    so 100 TB is read ONCE, not once per round.  Deterministic all-ones
+    start; differentially checked against the IDENTICAL numpy iteration
+    in ``tests/test_ann_quality.py`` (the fixture's spectrum is nearly
+    flat, so the test pins the computation, not eigen-convergence, plus
+    Rayleigh-quotient bounds).  For d large enough that d^2 partials
+    stop being small (d >~ 4096, G = 128 MB+), the engine reverts to
+    Gram-free distributed rounds (broadcast-literal v, d sum
+    accumulators per pass) at one scan per round.
 
     Rows-only for the driver: iterative linear algebra has no ANSI-SQL
     twin.  Output: one row per leading dimension (first 8) of v plus the
@@ -510,31 +511,59 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table_compute(spark, sf_dir, "embeddings").select("embedding")
     d = 64
+    # ONE distributed pass builds the d x d Gram matrix G = X^T X as
+    # Arrow-batched numpy partials per partition (the vectorized-linear-
+    # algebra case pandas kernels exist for); partials reduce Spark-side
+    # (posexplode + grouped sum), so the driver receives exactly d^2
+    # doubles (32 KB at d=64) regardless of partition count.  All 8
+    # power rounds then run on the driver against the tiny G — O(d^2)
+    # each, microseconds.  Versus iterating distributed passes, this is
+    # 1 scan of 100 TB instead of 9.  The in-engine multi-pass variant
+    # (broadcast-literal v, d sum accumulators per round) remains the
+    # stated path when d^2 partials stop being small (d >~ 4096).
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    def gram_partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = np.zeros((d, d))
+        n = 0
+        for pdf in batches:
+            if len(pdf):
+                X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                G += X.T @ X
+                n += len(X)
+        yield pd.DataFrame({"g": [G.ravel().tolist()], "n": [n]})
+
+    schema = StructType(
+        [
+            StructField("g", ArrayType(DoubleType())),
+            StructField("n", LongType()),
+        ]
+    )
+    reduced = (
+        emb.mapInPandas(gram_partial, schema)
+        .select(F.col("n"), F.posexplode("g").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("s"), F.sum(F.when(F.col("idx") == 0, F.col("n"))).alias("n"))
+        .collect()
+    )
+    flat = [0.0] * (d * d)
+    n_rows = 0
+    for r in reduced:
+        flat[r["idx"]] = r["s"]
+        if r["idx"] == 0:
+            n_rows = r["n"]
+    G = [flat[i * d : (i + 1) * d] for i in range(d)]
     v = [1.0] * d
     for _ in range(8):
-        vlit = F.array(*[F.lit(float(x)) for x in v])
-        proj = dot("embedding", vlit)
-        contrib = F.transform(
-            F.col("embedding"), lambda x: x.cast("double") * proj
-        )
-        # element-wise sum of the contribution vectors: aggregate over an
-        # exploded (dim, value) pair keeps the combine map-side
-        summed = (
-            emb.select(F.posexplode(contrib).alias("dim", "val"))
-            .groupBy("dim")
-            .agg(F.sum("val").alias("s"))
-            .orderBy("dim")
-            .collect()
-        )
-        vec = [r["s"] for r in summed]
+        vec = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
         norm = sum(x * x for x in vec) ** 0.5
         v = [x / norm for x in vec]
-    # Rayleigh quotient lambda = sum((x.v)^2) / n on the final direction
-    vlit = F.array(*[F.lit(float(x)) for x in v])
-    proj = dot("embedding", vlit)
-    ray = emb.agg(
-        (F.sum(proj * proj) / F.count("*")).alias("eigenvalue")
-    ).collect()[0]["eigenvalue"]
+    # Rayleigh quotient lambda = v^T G v / n == sum((x.v)^2) / n
+    gv = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+    ray = sum(v[i] * gv[i] for i in range(d)) / n_rows
     spark_rows = [(i, round(float(v[i]), 6)) for i in range(8)]
     out = spark.createDataFrame(spark_rows, "dim int, component double")
     return out.withColumn("eigenvalue", F.round(F.lit(float(ray)), 4)).orderBy("dim")

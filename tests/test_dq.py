@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from open_source_etl_spark.dq import validate
 from open_source_etl_spark.dq.expectations import (
     BUNDESLIGA_COLUMNS,
@@ -108,3 +110,36 @@ def test_profile_table_one_pass(spark, sf_dir):
     assert rows[("o_orderstatus", "max")] == "P"
     assert ("o_orderstatus", "mean") not in rows  # string column: no mean
     assert float(rows[("o_totalprice", "mean")]) > 0
+
+
+def test_observe_metrics_piggyback_on_write(spark, tmp_path, sf_dir):
+    """observe() metrics arrive with the landing write — one job, no
+    second scan — and match the separately-computed truth."""
+    from open_source_etl_spark.dq import (
+        null_count,
+        out_of_range_count,
+        out_of_set_count,
+        row_count,
+        validate_while_writing,
+    )
+    from open_source_etl_spark.catalog import load_table
+
+    orders = load_table(spark, str(sf_dir), "orders")
+    metrics = validate_while_writing(
+        orders,
+        str(tmp_path / "landed"),
+        row_count(),
+        null_count("o_custkey"),
+        out_of_set_count("o_orderstatus", ["O", "F", "P"]),
+        out_of_range_count("o_totalprice", 0.0, 1e9),
+    )
+    truth = orders.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("nulls"),
+    ).first()
+    assert metrics["rows"] == truth["rows"]
+    assert metrics["o_custkey__nulls"] == truth["nulls"]
+    assert metrics["o_orderstatus__out_of_set"] == 0
+    assert metrics["o_totalprice__out_of_range"] == 0
+    # the landed data is complete
+    assert spark.read.parquet(str(tmp_path / "landed")).count() == metrics["rows"]
