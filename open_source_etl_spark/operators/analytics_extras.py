@@ -473,7 +473,7 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
-      WHERE user_id IS NOT NULL AND user_id % 50 = 0
+      WHERE user_id IS NOT NULL AND user_id % 50 = 0 AND value IS NOT NULL
     )
     SELECT a.user_id, a.event_id,
            ROUND(SUM(b.value * 0.5 * power(0.5, a.rn - b.rn))
@@ -501,7 +501,11 @@ def window_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     of events.  The user_id % 50 slice keeps the oracle's self-join
     tractable at sf0.1; the Spark plan is slice-independent."""
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & (F.col("user_id") % 50 == 0)
+        F.col("user_id").isNotNull()
+        & (F.col("user_id") % 50 == 0)
+        # NULL values would desynchronize the two formulations (collect_list
+        # skips NULLs; the oracle's row join counts rows) — exclude them
+        & F.col("value").isNotNull()
     )
     w = (
         Window.partitionBy("user_id")

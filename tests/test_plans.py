@@ -108,3 +108,62 @@ def test_partitioned_landing_prunes_at_plan_time(spark, tmp_path):
     # nothing of the partition predicate survives as a row-level filter
     assert "DataFilters: []" in scan
     assert q.count() == 1
+
+
+def test_ohlc_is_single_aggregation_no_window(audit):
+    """OHLC downsampling must stay ONE grouped aggregation (min_by/max_by
+    struct ordering) — a window-based rewrite would double the shuffle
+    and sort the whole stream."""
+    facts = audit("timeseries_downsample_ohlc")
+    assert facts.python_stages == 0
+    # agg exchange + presentation sort (+ optional scan widening)
+    assert facts.exchanges <= 3
+
+
+def test_mode_has_no_window(audit):
+    """Deterministic mode = two hash aggregations; the naive row_number
+    rewrite would add a per-group sort."""
+    facts = audit("agg_mode_deterministic")
+    assert facts.python_stages == 0
+    assert facts.exchanges <= 4
+
+
+def test_pca_gram_is_single_python_pass(spark, sf_dir):
+    """The Gram build is ONE mapInPandas pass whose reduce ships d^2
+    doubles — audit the build plan itself (the query's returned frame is
+    the already-reduced 8-row result, so auditing it would prove
+    nothing)."""
+    from pyspark.sql import functions as F
+
+    from open_source_etl_spark.catalog import load_table_compute
+
+    emb = load_table_compute(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({"g": [[0.0]], "n": [len(pdf)]})
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("g", ArrayType(DoubleType())), StructField("n", LongType())]
+    )
+    reduced = (
+        emb.mapInPandas(gram_partial, schema)
+        .select(F.col("n"), F.posexplode("g").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("s"))
+    )
+    facts = plan_audit("pca_gram_build", reduced)
+    assert facts.python_stages == 1
+    # partial-reduce exchange (+ optional scan widening)
+    assert facts.exchanges <= 2
