@@ -87,3 +87,100 @@ def test_canonical_float_tolerates_one_ulp(x):
     cx, cy = canonical_rows(["v"], [(x,)]), canonical_rows(["v"], [(y,)])
     if f"{x:.9g}" == f"{y:.9g}":
         assert cx == cy
+
+
+def test_ewma_matches_python_reference(spark, tmp_path):
+    """window_ewma_bounded's array formulation must equal the plain
+    Python recurrence on a seeded random series — pins the zip_with /
+    sequence weight ordering (newest term gets weight alpha, the tail
+    decays), which the DuckDB oracle checks only through its own
+    equivalent SQL."""
+    import datetime as _dt
+
+    rnd = random.Random(7)
+    rows = []
+    eid = 0
+    for uid in (0, 50, 100):
+        t = _dt.datetime(2024, 1, 1)
+        for _ in range(40):
+            t += _dt.timedelta(minutes=rnd.randint(1, 90))
+            rows.append((eid, t, uid, "view", round(rnd.uniform(-5, 5), 3), "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from open_source_etl_spark.registry import all_queries
+
+    got = {
+        (r.user_id, r.event_id): r.ewma
+        for r in all_queries()["window_ewma_bounded"](spark, str(tmp_path)).collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for eid_, t, uid, _, v, _p in rows:
+        by_user.setdefault(uid, []).append((t, eid_, v))
+    n_checked = 0
+    for uid, evs in by_user.items():
+        evs.sort()
+        for i in range(len(evs)):
+            xs = [v for _, _, v in evs[max(0, i - 15) : i + 1]]
+            num = sum(x * 0.5 * 0.5 ** (len(xs) - 1 - k) for k, x in enumerate(xs))
+            expect = round(num / (1 - 0.5 ** len(xs)), 6)
+            assert abs(got[(uid, evs[i][1])] - expect) <= 1e-6, (uid, i)
+            n_checked += 1
+    assert n_checked == len(rows)
+
+
+def test_pit_join_equals_asof_window_form(spark):
+    """The interval-residual PIT join and the union/last_value ASOF
+    window form are the same semantics — both attach the dimension state
+    valid at fact time.  The engine registers the first and names the
+    second as its high-version-count fallback; prove they agree on the
+    fixture."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from open_source_etl_spark.catalog import load_table
+    from open_source_etl_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    pit = {
+        r.state: (r.n_purchases, r.n_users, r.total_value)
+        for r in all_queries()["warehouse_point_in_time_join"](spark, sf).collect()
+    }
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp = F.col("event_type") != "purchase"
+    # ASOF form: the state at a purchase is the last preceding
+    # non-purchase event type, with consecutive-identical collapse being
+    # a no-op for "latest value" semantics
+    asof = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.last(F.when(nonp, F.col("event_type")), ignorenulls=True)
+            .over(w)
+            .alias("state"),
+        )
+        .filter((F.col("event_type") == "purchase") & F.col("state").isNotNull())
+        .groupBy("state")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+    asof_d = {
+        r.state: (r.n_purchases, r.n_users, r.total_value) for r in asof.collect()
+    }
+    assert pit == asof_d
