@@ -1,0 +1,117 @@
+"""Empirical scaling probe: rerun heavy operators on a 5x replica of the
+sf0.1 fixtures and report the time ratio.
+
+Usage: python tools/scale_probe.py [mult=5] [out_dir=/tmp/osetl-scaleprobe]
+
+Construction (scale-out semantics, not row duplication): fact tables are
+unioned ``mult`` times with entity keys offset per copy — more orders,
+more customers, more events — while enumerated dimensions (nation,
+region) stay fixed, exactly how a real corpus grows.  Text/embedding
+tables are excluded: replicating documents verbatim manufactures
+duplicate clusters, so a dedup query's output (and its pair count)
+grows quadratically BY CONSTRUCTION — that would measure the synthetic
+data, not the operator.
+
+A near-``mult`` (or lower, since fixed overhead amortizes) time ratio is
+the evidence the SCALE.md claims rest on; a super-linear ratio flags an
+operator whose cost curve bends the wrong way before the driver's bench
+would ever show it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+
+# key columns to offset per copy (dimension tables nation/region are NOT
+# replicated; their keys are referenced unchanged)
+OFFSETS = {
+    "customer": {"c_custkey": 10**9},
+    "supplier": {"s_suppkey": 10**9},
+    "part": {"p_partkey": 10**9},
+    "orders": {"o_orderkey": 10**12, "o_custkey": 10**9},
+    "lineitem": {"l_orderkey": 10**12, "l_partkey": 10**9, "l_suppkey": 10**9},
+    "events": {"event_id": 10**12, "user_id": 10**9},
+}
+COPY_AS_IS = ["nation", "region", "documents", "embeddings"]
+
+PROBES = [
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "behavior_sessionize",
+    "behavior_attribution_last_touch",
+    "graph_pagerank",
+    "analytics_market_basket",
+    "warehouse_point_in_time_join",
+    "timeseries_downsample_ohlc",
+    "scd2_user_state",
+    "agg_grouped_basic",
+]
+
+
+def build(spark, mult: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for tbl, keys in OFFSETS.items():
+        df = spark.read.parquet(f"{BASE}/{tbl}.parquet")
+        parts = []
+        for i in range(mult):
+            d = df
+            for c, off in keys.items():
+                d = d.withColumn(c, F.col(c) + F.lit(i * off))
+            parts.append(d)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        u.write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
+    for tbl in COPY_AS_IS:
+        spark.read.parquet(f"{BASE}/{tbl}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{tbl}.parquet")
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/osetl-scaleprobe"
+
+    from open_source_etl_spark.conf import EngineConfig
+    from open_source_etl_spark.registry import all_queries
+    from open_source_etl_spark.session import build_session
+
+    spark = build_session(EngineConfig(master="local[32]", shuffle_partitions=32))
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    print(f"building {mult}x replica under {out} ...", flush=True)
+    t0 = time.time()
+    build(spark, mult, out)
+    print(f"built in {time.time() - t0:.1f}s", flush=True)
+
+    # warm the JVM so the first probe doesn't pay codegen spin-up
+    queries["q1_pricing_summary"](spark, BASE).count()
+
+    print(f"{'query':40s} {'sf0.1':>8s} {f'{mult}x':>8s} {'ratio':>6s}")
+    for name in PROBES:
+        t0 = time.time()
+        queries[name](spark, BASE).count()
+        base_s = time.time() - t0
+        t0 = time.time()
+        queries[name](spark, out).count()
+        big_s = time.time() - t0
+        print(
+            f"{name:40s} {base_s:8.2f} {big_s:8.2f} {big_s / base_s:6.2f}",
+            flush=True,
+        )
+
+    shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
