@@ -132,3 +132,57 @@ def compact_parquet(
     _os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE line-delimited-JSON read split into (good, quarantined)
+    — the JSON twin of ``ingest.staging.read_csv_with_quarantine``, same
+    contract: every input line lands exactly once, either as a fully
+    typed row in `good` or as its raw text in `bad` for replay after a
+    schema fix.  Semi-structured feeds corrupt MORE often than CSV
+    (truncated objects, mixed encodings, concatenated docs), so the
+    quarantine path is the production default for event streams."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    full_schema = StructType(schema.fields + [StructField(corrupt_col, StringType())])
+    raw = (
+        spark.read.options(
+            mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col
+        )
+        .schema(full_schema)
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
+
+
+def analyze_table_stats(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> dict:
+    """Collect catalog statistics (ANALYZE TABLE ... COMPUTE STATISTICS)
+    so Spark's cost-based optimizer has real row counts / sizes / NDVs
+    to reorder joins and pick broadcast sides with.
+
+    At 100 TB, CBO decisions made from file sizes alone misjudge joins
+    whose selective filters cut 1000x; column-level stats (min/max/NDV/
+    null count) feed both join reordering and star-schema detection.
+    Returns the collected table-level stats for assertion/monitoring.
+    """
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    stats = {}
+    for r in desc:
+        if r.col_name == "Statistics":
+            stats["statistics"] = r.data_type
+    return stats

@@ -90,3 +90,40 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert after == n < before
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_jsonl_quarantine_partitions_input_exactly_once(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from open_source_etl_spark.sources.readers import read_jsonl_with_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": "not-a-number", "name": "bad-type"}\n'
+        '{"id": 3, "name": "ok2"}\n'
+        "{truncated\n"
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    good, bad = read_jsonl_with_quarantine(spark, str(p), schema)
+    assert good.count() == 2
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    bad_lines = [r[0] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    # raw text preserved for replay
+    assert any("not-a-number" in b for b in bad_lines)
+    assert any("truncated" in b for b in bad_lines)
+
+
+def test_analyze_table_stats_feeds_cbo(spark, sf_dir):
+    from open_source_etl_spark.catalog import load_table
+    from open_source_etl_spark.sources.readers import analyze_table_stats
+
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "stats_nation"
+    )
+    stats = analyze_table_stats(spark, "stats_nation", ["n_nationkey", "n_name"])
+    assert "statistics" in stats and "rows" in stats["statistics"]
+    spark.sql("DROP TABLE stats_nation")

@@ -57,6 +57,8 @@ LIBRARY_SURFACES = """
 | Join-strategy hints (merge / shuffle_hash / broadcast) | — (DataFrame hint API) | `tests/test_hints_quarantine.py` |
 | PERMISSIVE CSV quarantine (corrupt rows preserved for replay) | `ingest/staging.py` | `tests/test_hints_quarantine.py` |
 | binaryFile multimodal ingestion (path/length/content rows) | `sources/readers.py` | `tests/test_pysource_binary.py` |
+| PERMISSIVE JSONL quarantine (corrupt lines preserved for replay) | `sources/readers.py` | `tests/test_sources.py` |
+| Catalog statistics collection for CBO (ANALYZE TABLE + columns) | `sources/readers.py` | `tests/test_sources.py` |
 | Bucketed co-located joins (zero-Exchange fact⋈fact) | `sources/bucketing.py` | `tests/test_sources.py` |
 | Dynamic partition overwrite (partition-scoped upsert) | `sources/readers.py` | `tests/test_sources.py` |
 | Media decode/frame kernels (stubbed codecs, real plumbing) | `multimodal/` | `tests/test_multimodal.py` |
