@@ -155,3 +155,19 @@ def test_run_ingestion_end_to_end(spark, csv_dir, tmp_path):
         )
         is None
     )
+
+
+def test_migration_example_runs_end_to_end(tmp_path):
+    """examples/migrate_reference_pipeline.py is the reference user's
+    documented switch-over path — keep it runnable."""
+    import runpy
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["migrate_reference_pipeline.py", str(tmp_path / "wd")]
+    try:
+        runpy.run_path(
+            "examples/migrate_reference_pipeline.py", run_name="__main__"
+        )
+    finally:
+        sys.argv = argv
