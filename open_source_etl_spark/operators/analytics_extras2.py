@@ -1,0 +1,374 @@
+"""Round-2 batch 4: curriculum phasing, log-space means, nearest as-of
+join, Zipf rank-frequency fit, and trade-graph degree distribution.
+
+Provenance GEN/EXT (SURVEY.md §2B): standard analytic families over the
+driver fixtures, Spark-first — single-pass grouped aggregation where the
+semantics allow, user-keyed windows where ordering is inherent, no
+Python anywhere.
+
+Scale posture (100 TB):
+- curriculum phasing is deterministic hash/ntile bucketing — one
+  window over per-doc scores (swap for percentile_approx thresholds at
+  scale, as documented on the RFM operator) plus a hash agg;
+- nearest as-of joins ONE union-window pass per direction over the
+  user-keyed stream — never a per-event range probe;
+- the Zipf fit aggregates token counts (vocabulary-sized frame), ranks
+  the top slice, and runs the regression as one grouped pass over
+  1000 rows;
+- degree distribution reduces the edge list to |nodes| rows before any
+  window; log2 binning keeps the output bounded at ~64 rows regardless
+  of graph size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "datapipe_curriculum_phases",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             ntile(3) OVER (ORDER BY n_chars, doc_id) AS phase,
+             doc_id % 8 AS shard
+      FROM documents
+    )
+    SELECT phase, CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def datapipe_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training data: documents split into 3
+    difficulty phases (short → long, the standard length-as-difficulty
+    proxy; swap any quality score in) with deterministic doc_id
+    tie-break, then round-robin sharded within each phase so every
+    shard sees the same difficulty mix — the layout a curriculum
+    training loop consumes phase-by-phase.  The report is per
+    (phase, shard) volume, which is also the balance check."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(3).over(Window.orderBy("n_chars", "doc_id")).alias("phase"),
+        (F.col("doc_id") % 8).alias("shard"),
+    )
+    return (
+        scored.groupBy("phase", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("phase", "shard")
+    )
+
+
+@query(
+    "agg_logspace_means",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(exp(AVG(ln(l_extendedprice))), 2) AS geometric_mean,
+           ROUND(COUNT(*) / SUM(1.0 / l_extendedprice), 2) AS harmonic_mean,
+           ROUND(AVG(l_extendedprice), 2) AS arithmetic_mean
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_logspace_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means via log-/reciprocal-space
+    aggregation — the means that survive multiplicative data (growth
+    rates, ratios, latencies) where the arithmetic mean misleads, and
+    the standard trick for computing them distributed: both reduce to
+    a plain SUM/AVG after a per-row transform, so they get map-side
+    partial aggregation like any sum (no sorted or windowed pass).
+    AM >= GM >= HM by construction — a built-in sanity invariant."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.exp(F.avg(F.log("l_extendedprice"))), 2).alias(
+                "geometric_mean"
+            ),
+            F.round(
+                F.count("*") / F.sum(F.lit(1.0) / F.col("l_extendedprice")), 2
+            ).alias("harmonic_mean"),
+            F.round(F.avg("l_extendedprice"), 2).alias("arithmetic_mean"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('error', 'click')
+    ), marked AS (
+      SELECT *,
+        LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS back_ts,
+        FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_ts
+      FROM e
+    )
+    SELECT user_id, event_id AS error_event_id,
+           CASE WHEN fwd_ts IS NULL THEN back_ts
+                WHEN back_ts IS NULL THEN fwd_ts
+                WHEN date_diff('microsecond', back_ts, ts)
+                     <= date_diff('microsecond', ts, fwd_ts) THEN back_ts
+                ELSE fwd_ts END AS nearest_click_ts,
+           CAST(FLOOR(LEAST(
+             COALESCE(date_diff('microsecond', back_ts, ts), 9223372036854775807),
+             COALESCE(date_diff('microsecond', ts, fwd_ts), 9223372036854775807)
+           ) / 1000000) AS BIGINT) AS gap_seconds
+    FROM marked
+    WHERE event_type = 'error' AND (back_ts IS NOT NULL OR fwd_ts IS NOT NULL)
+    ORDER BY user_id, error_event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join: each error event pairs with the
+    closest click by the same user in EITHER time direction (ties break
+    backward) — the bidirectional completion of ``join_asof`` (backward
+    only), used for telemetry root-causing ("what did the user click
+    around this error").
+
+    One union of the two event sets, one user-keyed window pass
+    computing the last-preceding and first-following click per row
+    (running value each way — O(1) window state), then an in-row
+    comparison picks the nearer side.  No range join, no per-event
+    probe; the stream is shuffled exactly once on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("error", "click")
+    )
+    back_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fwd_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.last(click_ts, ignorenulls=True).over(back_w).alias("back_ts"),
+        F.first(click_ts, ignorenulls=True).over(fwd_w).alias("fwd_ts"),
+    )
+    us = lambda c: F.col(c).cast("timestamp").cast("decimal(26,6)") * 1000000  # noqa: E731
+    back_gap = us("ts") - us("back_ts")
+    fwd_gap = us("fwd_ts") - us("ts")
+    nearest = (
+        F.when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(back_gap <= fwd_gap, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    gap = F.least(
+        F.coalesce(back_gap, F.lit(2**63 - 1)),
+        F.coalesce(fwd_gap, F.lit(2**63 - 1)),
+    )
+    return (
+        marked.filter(
+            (F.col("event_type") == "error")
+            & (F.col("back_ts").isNotNull() | F.col("fwd_ts").isNotNull())
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("error_event_id"),
+            nearest.alias("nearest_click_ts"),
+            F.floor(gap / 1000000).cast("bigint").alias("gap_seconds"),
+        )
+        .orderBy("user_id", "error_event_id")
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+      FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
+           ROUND(regr_intercept(ln(n), ln(rnk)), 4) AS zipf_intercept,
+           ROUND(regr_r2(ln(n), ln(rnk)), 4) AS r2
+    FROM ranked
+    WHERE rnk <= 1000
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
+    log(frequency) on log(rank) for the top 1000 tokens — natural text
+    lands near -1, and a corpus whose slope drifts is machine-generated,
+    templated, or mis-tokenized (a one-row corpus-health screen for
+    training-data intake).
+
+    Token counting is the only corpus-sized stage (hash agg on token).
+    Ranking runs on the vocabulary frame (already corpus-independent in
+    size) and the regression is a single-row aggregate over 1000
+    points, computed with the same one-pass regr_* moments as
+    ``agg_regression_family``."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = freq.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "tok"))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 1000)
+    ln_n, ln_r = F.log("n"), F.log("rnk")
+    return ranked.agg(
+        F.count("*").alias("n_ranks"),
+        F.round(F.regr_slope(ln_n, ln_r), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_r), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_n, ln_r), 4).alias("r2"),
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT cust * 2 AS node FROM pairs
+        UNION ALL
+        SELECT supp * 2 + 1 AS node FROM pairs
+      ) GROUP BY node
+    )
+    SELECT CAST(FLOOR(ln(degree) / ln(2)) AS BIGINT) AS log2_degree_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(degree) AS BIGINT) AS min_degree,
+           CAST(MAX(degree) AS BIGINT) AS max_degree
+    FROM deg
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned degree distribution of the customer–supplier trade
+    graph — the first diagnostic run before any iterative graph
+    algorithm (PageRank / components), because the max-degree bins
+    predict join skew: a hub node's edges all hash to one partition,
+    which is exactly what the salting operators exist for.
+
+    Edge dedup + per-node count + ~64-row binning: the output is
+    bounded regardless of graph size, and the per-node degree frame is
+    the |nodes|-sized intermediate every subsequent algorithm reuses."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    nodes = pairs.select(F.col("cust_node").alias("node")).unionAll(
+        pairs.select(F.col("supp_node").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy(
+            F.floor(F.log("degree") / F.log(F.lit(2.0)))
+            .cast("bigint")
+            .alias("log2_degree_bin")
+        )
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        .orderBy("log2_degree_bin")
+    )
+
+
+@query(
+    "analytics_period_over_period",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT month_start, n_orders, ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / LAG(revenue) OVER (ORDER BY month_start) - 1, 6)
+             AS mom_growth,
+           ROUND(revenue / LAG(revenue, 12) OVER (ORDER BY month_start) - 1, 6)
+             AS yoy_growth
+    FROM monthly
+    ORDER BY month_start
+    """,
+)
+def analytics_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    first dashboard query every warehouse serves.  The raw stream
+    reduces to a |months|-sized frame before any window (the lag runs
+    on dozens of rows, so the unpartitioned window is free — the
+    opposite trade of the per-user windows elsewhere); revenue sums in
+    DECIMAL for order-independent, engine-exact totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_start")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    w = Window.orderBy("month_start")
+    return (
+        monthly.select(
+            "month_start",
+            "n_orders",
+            F.round("revenue", 2).alias("revenue"),
+            F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias(
+                "mom_growth"
+            ),
+            F.round(
+                F.col("revenue") / F.lag("revenue", 12).over(w) - 1, 6
+            ).alias("yoy_growth"),
+        )
+        .orderBy("month_start")
+    )

@@ -43,6 +43,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         analytics_extras,
+        analytics_extras2,
         analytics_suite,
         arrays_json,
         behavioral,
