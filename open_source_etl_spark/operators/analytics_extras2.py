@@ -372,3 +372,63 @@ def analytics_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_start")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             SUM(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MIN(total) AS DOUBLE) AS total_weight,
+           MIN(l_extendedprice) AS weighted_median_price
+    FROM cum
+    WHERE cumw >= total / 2
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median: the smallest price whose cumulative
+    quantity weight reaches half the group's total — the
+    inventory-weighted "typical price" plain median misses (a cheap
+    high-volume line should pull the median down by its volume, not
+    count once).
+
+    The classic distributed formulation: one value-ordered cumulative-
+    weight window per group plus the group-total window sharing the same
+    shuffle, then the threshold row is a filtered MIN — no per-group
+    sort-and-index on the driver, no collect.  Weights and threshold
+    stay in exact arithmetic (integer-valued doubles), and the result
+    is an actual data value, so cross-engine equality is exact with no
+    rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(cum_w).alias("cumw"),
+        F.sum("l_quantity").over(tot_w).alias("total"),
+    )
+    return (
+        cum.filter(F.col("cumw") >= F.col("total") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("total").cast("double").alias("total_weight"),
+            F.min("l_extendedprice").alias("weighted_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
