@@ -246,12 +246,17 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
-    ranked = freq.select(
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), then the rank window touches only the
+    # 1000 survivors; ranking the full vocabulary in a global window
+    # would single-partition-sort it
+    top = freq.orderBy(F.col("n").desc(), "tok").limit(1000)
+    ranked = top.select(
         "n",
         F.row_number()
         .over(Window.orderBy(F.col("n").desc(), "tok"))
         .alias("rnk"),
-    ).filter(F.col("rnk") <= 1000)
+    )
     ln_n, ln_r = F.log("n"), F.log("rnk")
     return ranked.agg(
         F.count("*").alias("n_ranks"),
