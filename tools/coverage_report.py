@@ -60,6 +60,7 @@ LIBRARY_SURFACES = """
 | PERMISSIVE JSONL quarantine (corrupt lines preserved for replay) | `sources/readers.py` | `tests/test_sources.py` |
 | Catalog statistics collection for CBO (ANALYZE TABLE + columns) | `sources/readers.py` | `tests/test_sources.py` |
 | Reference-user migration walkthrough (ingest → validate → models) | `examples/migrate_reference_pipeline.py` | `tests/test_ingestion.py` |
+| Generic as-of join API (backward/forward/nearest, tolerance) | `functions/temporal.py` | `tests/test_temporal.py` |
 | Bucketed co-located joins (zero-Exchange fact⋈fact) | `sources/bucketing.py` | `tests/test_sources.py` |
 | Dynamic partition overwrite (partition-scoped upsert) | `sources/readers.py` | `tests/test_sources.py` |
 | Media decode/frame kernels (stubbed codecs, real plumbing) | `multimodal/` | `tests/test_multimodal.py` |
