@@ -33,3 +33,26 @@ def test_query_parity(name, spark, sf_dir, con):
         # rows-only check for non-SQL-expressible ops
         assert df.count() >= 0
         assert len(df.columns) > 0
+
+
+def test_compare_actually_fails_on_differences(spark, con, sf_dir):
+    """Negative control for the harness itself: a wrong value, a wrong
+    type kind, and a wrong row count must each produce ok=False — a
+    comparator that never fails would make the whole green suite
+    meaningless."""
+    df = spark.sql("SELECT CAST(1 AS BIGINT) AS a, 'x' AS b")
+    ok = compare("neg_ok", df, con, "SELECT CAST(1 AS BIGINT) AS a, 'x' AS b")
+    assert ok.ok
+    wrong_value = compare(
+        "neg_val", df, con, "SELECT CAST(2 AS BIGINT) AS a, 'x' AS b"
+    )
+    assert not wrong_value.ok
+    wrong_kind = compare(
+        "neg_kind", df, con, "SELECT 1.0 AS a, 'x' AS b"
+    )
+    assert not wrong_kind.ok, "int-vs-float kind divergence must fail"
+    wrong_rows = compare(
+        "neg_rows", df, con,
+        "SELECT CAST(1 AS BIGINT) AS a, 'x' AS b UNION ALL SELECT 1, 'x'",
+    )
+    assert not wrong_rows.ok
