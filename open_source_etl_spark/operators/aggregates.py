@@ -503,8 +503,8 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag,
-               SUM(bucket_distinct) AS n_parts,
-               SUM(bucket_rows) AS n_rows
+               CAST(SUM(bucket_distinct) AS BIGINT) AS n_parts,
+               CAST(SUM(bucket_rows) AS BIGINT) AS n_rows
         FROM (
           SELECT l_returnflag,
                  bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey)))

@@ -388,3 +388,83 @@ def dq_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "dq_profile_table",
+    oracle="""
+    WITH w AS (
+      SELECT
+        COUNT(*) AS n_rows,
+        CAST(COUNT(o_orderstatus) AS BIGINT) AS status_nonnull,
+        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+        MIN(o_orderstatus) AS status_min,
+        MAX(o_orderstatus) AS status_max,
+        CAST(COUNT(o_totalprice) AS BIGINT) AS price_nonnull,
+        CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS price_distinct,
+        CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS price_min,
+        CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS price_max,
+        CAST(COUNT(o_orderdate) AS BIGINT) AS date_nonnull,
+        CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS date_distinct,
+        CAST(MIN(o_orderdate) AS VARCHAR) AS date_min,
+        CAST(MAX(o_orderdate) AS VARCHAR) AS date_max
+      FROM orders
+    )
+    SELECT 'o_orderstatus' AS col_name, n_rows,
+           status_nonnull AS nonnull_count, status_distinct AS n_distinct,
+           status_min AS min_value, status_max AS max_value FROM w
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, price_nonnull, price_distinct,
+           price_min, price_max FROM w
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, date_nonnull, date_distinct,
+           date_min, date_max FROM w
+    ORDER BY col_name
+    """,
+)
+def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass EXACT table profile as a driver-checkable query (the
+    query-surface twin of ``dq/profile.py``'s library profiler, which
+    uses HLL distinct and a driver-side reshape).
+
+    Every statistic for every profiled column is an aggregate expression
+    in a single ``agg(...)`` — a 100-column 100 TB table is scanned ONCE
+    with map-side partial aggregation, never one job per column (the
+    pandas-profiling trap).  The wide 1-row result is unpivoted to long
+    form with ``stack`` inside the plan: no collect, no driver loop.
+
+    min/max of the double column are pinned through DECIMAL(18,2) → string
+    on both engines so the rendered digits agree (parity.py rule); the
+    date column casts to ISO 'YYYY-MM-DD' identically in Spark and DuckDB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").alias("status_nonnull"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min("o_orderstatus").alias("status_min"),
+        F.max("o_orderstatus").alias("status_max"),
+        F.count("o_totalprice").alias("price_nonnull"),
+        F.countDistinct("o_totalprice").alias("price_distinct"),
+        F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("price_min"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("price_max"),
+        F.count("o_orderdate").alias("date_nonnull"),
+        F.countDistinct("o_orderdate").alias("date_distinct"),
+        F.min("o_orderdate").cast("string").alias("date_min"),
+        F.max("o_orderdate").cast("string").alias("date_max"),
+    )
+    return wide.selectExpr(
+        """stack(3,
+             'o_orderstatus', n_rows, status_nonnull, status_distinct,
+                              status_min, status_max,
+             'o_totalprice',  n_rows, price_nonnull,  price_distinct,
+                              price_min, price_max,
+             'o_orderdate',   n_rows, date_nonnull,   date_distinct,
+                              date_min, date_max)
+           AS (col_name, n_rows, nonnull_count, n_distinct,
+               min_value, max_value)"""
+    ).orderBy("col_name")

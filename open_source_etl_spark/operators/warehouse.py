@@ -427,3 +427,97 @@ def warehouse_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@query(
+    "warehouse_merge_upsert",
+    oracle="""
+    WITH chg AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE) AS c_acctbal,
+             'U' AS op
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal, 'D' AS op
+      FROM customer WHERE c_custkey % 7 = 3
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEW', CAST(100.0 AS DOUBLE), 'I' AS op
+      FROM customer WHERE c_custkey % 101 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                  ELSE t.c_mktsegment END AS c_mktsegment,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                  ELSE t.c_acctbal END AS c_acctbal
+      FROM (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer) t
+      FULL OUTER JOIN chg s ON t.c_custkey = s.c_custkey
+      WHERE COALESCE(s.op, '') <> 'D'
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM merged
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE INTO as a driver-checkable query: a deterministic
+    changes feed (updates for custkey%7=0, deletes for %7=3, inserts of
+    brand-new keys for %101=0) applied to a parquet customer snapshot via
+    ``sources.merge.merge_into`` (one key-partitioned full-outer join +
+    atomic staging swap — the Snowflake-side MERGE of SURVEY §2A.2 #13-14
+    without a warehouse), then the post-merge per-segment balance totals.
+
+    Scale: the merge shuffles once on the merge key and the rewrite is a
+    straight distributed parquet write; no driver-side row handling.  The
+    balance update (+100) runs in exact DECIMAL so the post-merge sum is
+    order-independent on both engines (functions/parity.py contract).
+    """
+    import tempfile as _tf
+
+    from ..functions.parity import dsum
+    from ..sources.merge import merge_into
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    workdir = _tf.mkdtemp(prefix="osetl-merge-q-")
+    target_path = f"{workdir}/customer_snapshot"
+    cust.write.mode("overwrite").parquet(target_path)
+
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(18,2)") + F.lit(100))
+        .cast("double")
+        .alias("c_acctbal"),
+        F.lit("U").alias("op"),
+    )
+    deletes = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", F.lit("D").alias("op")
+    )
+    inserts = cust.filter(F.col("c_custkey") % 101 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(100.0).alias("c_acctbal"),
+        F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+
+    merged = merge_into(
+        spark,
+        target_path,
+        changes,
+        ["c_custkey"],
+        when_matched_delete=F.col("__src_op") == "D",
+    )
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

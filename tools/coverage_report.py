@@ -23,7 +23,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Array / map / JSON", ("array_funcs_basic", "array_higher_order", "array_explode_agg", "array_zip_construct", "array_explode_outer_nulls", "json_extract_props", "json_to_map", "json_variant_extract", "map_funcs_explode")),
     ("Pivot / subqueries", ("pivot_status_by_priority", "unpivot_status_counts", "subquery_exists", "subquery_scalar", "lateral_topk_per_group")),
     ("Headline analytics (TPC-H-shaped)", ("q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_trade_volume", "q8_market_share", "q9_product_profit", "q10_returned_items", "q11_important_parts", "q12_late_line_priority", "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety", "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_filter", "q20_excess_shipments", "q21_waiting_supplier", "q22_sales_opportunity", "analytics_skyline_2d", "analytics_market_basket", "analytics_rfm_segmentation", "analytics_period_over_period")),
-    ("Warehouse maintenance", ("scd2_user_state", "warehouse_recursive_calendar", "warehouse_incremental_agg", "model_pipeline_build", "warehouse_snapshot_diff", "warehouse_point_in_time_join")),
+    ("Warehouse maintenance", ("scd2_user_state", "warehouse_recursive_calendar", "warehouse_incremental_agg", "model_pipeline_build", "warehouse_snapshot_diff", "warehouse_point_in_time_join", "warehouse_merge_upsert")),
     ("Behavioral / event-sequence analytics", ("behavior_sessionize", "behavior_funnel", "behavior_retention", "behavior_path_trigrams", "behavior_daily_ma7", "timeseries_gapfill_ffill", "behavior_burst_detect", "behavior_ab_test", "timeseries_downsample_ohlc", "behavior_attribution_last_touch", "timeseries_repeat_interval", "behavior_markov_transition")),
     ("Streaming", ("stream_tumbling_window_agg", "stream_sliding_window_agg", "stream_session_window_agg", "stream_dedup_keys", "stream_stateful_user_rollup", "stream_transform_with_state", "stream_stream_join", "stream_static_enrich", "stream_dedup_within_watermark", "stream_windowed_topk")),
     ("UDF / UDAF / UDTF", ("udf_pandas_scalar", "udaf_grouped_pandas", "udtf_text_chunks", "udf_sql_scalar")),
@@ -33,7 +33,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Multimodal columns", ("multimodal_image_meta", "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_resize_blockmean", "multimodal_feature_histogram", "multimodal_phash_dedup", "multimodal_wav_decode", "multimodal_bmp_decode", "multimodal_wav_features")),
     ("Training-data pipeline", ("datapipe_split_assign", "datapipe_stratified_sample", "datapipe_pack_chunks", "datapipe_pack_greedy", "datapipe_shard_balance", "datapipe_global_shuffle", "datapipe_contamination", "datapipe_vocab_build", "datapipe_domain_mix", "datapipe_leakage_safe_split", "datapipe_corpus_pipeline", "datapipe_domain_quota", "datapipe_weighted_sample", "datapipe_curriculum_phases")),
     ("Graph analytics", ("graph_pagerank", "graph_triangle_count", "graph_degree_distribution")),
-    ("Data quality", ("dq_single_pass_suite", "dq_uniqueness_check", "dq_referential_integrity", "dq_outlier_zscore", "dq_freshness_check", "dq_outlier_mad", "dq_distribution_drift", "dq_benford_first_digit", "dq_anomaly_seasonal")),
+    ("Data quality", ("dq_single_pass_suite", "dq_uniqueness_check", "dq_referential_integrity", "dq_outlier_zscore", "dq_freshness_check", "dq_outlier_mad", "dq_distribution_drift", "dq_benford_first_digit", "dq_anomaly_seasonal", "dq_profile_table")),
 ]
 
 LIBRARY_SURFACES = """

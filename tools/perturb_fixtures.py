@@ -1,0 +1,126 @@
+"""Adversarial fixture perturbation for oracle-parity robustness.
+
+The driver REGENERATES fixtures between rounds (ADVICE r01 #4: an oracle
+that is "only correct because the current fixture has no NULL user_ids"
+breaks on the next drop).  Both sides of the differential oracle read the
+same parquet, so parity must hold on ANY data the generator could emit —
+not just today's draw.  This module writes a perturbed copy of a fixture
+dir that front-loads the nasty cases:
+
+- NULLs in every nullable non-key column that is plausibly generator-
+  varied (events.user_id / events.value, documents.lang, customer.c_acctbal,
+  embeddings.label);
+- heavy TIES: many orders share one o_totalprice, event timestamps
+  truncated to the hour (equal ts within a user) — flushes out top-k /
+  window queries whose engines could pick different tie rows;
+- degenerate documents: empty text, whitespace-only text, unicode text
+  (n_chars kept consistent = length(text), as the generator derives it);
+- empty embedding vectors.
+
+All perturbations are deterministic (key-modulus selected), so the
+perturbed tables are stable across runs.  Usage:
+
+    python tools/perturb_fixtures.py [src_dir] [dst_dir]
+
+or programmatically: ``perturb(src_dir, dst_dir)``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Per-table SELECT rewriting the raw scan (aliased t) into its perturbed
+# form.  Tables not listed are copied verbatim.
+_PERTURB_SQL: dict[str, str] = {
+    "customer": """
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 71 = 0 THEN NULL ELSE c_acctbal END
+                 AS c_acctbal,
+               c_mktsegment
+        FROM t
+    """,
+    "orders": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 61 = 0
+                    THEN CAST(12345.67 AS DOUBLE) ELSE o_totalprice END
+                 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM t
+    """,
+    "events": """
+        SELECT event_id,
+               CASE WHEN event_id % 59 = 0
+                    THEN date_trunc('hour', ts) ELSE ts END AS ts,
+               CASE WHEN event_id % 37 = 0 THEN NULL ELSE user_id END
+                 AS user_id,
+               event_type,
+               CASE WHEN event_id % 41 = 0 THEN NULL ELSE value END AS value,
+               props
+        FROM t
+    """,
+    "documents": """
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 89 = 0 THEN ''
+                   WHEN doc_id % 97 = 0 THEN '  '
+                   WHEN doc_id % 101 = 0
+                     THEN 'naïve café über-σχῆμα 数据 déjà-vu ' || text
+                   ELSE text
+                 END AS text,
+                 CASE WHEN doc_id % 83 = 0 THEN NULL ELSE lang END AS lang,
+                 source
+          FROM t
+        ) p
+    """,
+    "embeddings": """
+        SELECT vec_id,
+               CASE WHEN vec_id % 151 = 0
+                    THEN CAST([] AS FLOAT[]) ELSE embedding END AS embedding,
+               CASE WHEN vec_id % 103 = 0 THEN NULL ELSE label END AS label
+        FROM t
+    """,
+}
+
+
+def perturb(src_dir: str, dst_dir: str) -> str:
+    os.makedirs(dst_dir, exist_ok=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        src = os.path.join(src_dir, f"{name}.parquet")
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        body = _PERTURB_SQL.get(name, "SELECT * FROM t")
+        con.execute(
+            f"""
+            COPY (
+              WITH t AS (SELECT * FROM read_parquet('{src}'))
+              {body}
+            ) TO '{dst}' (FORMAT PARQUET)
+            """
+        )
+    con.close()
+    return dst_dir
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/osetl-perturbed-sf0.001"
+    print(perturb(src, dst))
