@@ -26,8 +26,9 @@ from ..registry import query
       vec_id,
       len(embedding) AS dim,
       embedding[1] AS first_component,
-      array_to_string(list_transform(embedding[1:4],
-        x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS head4,
+      COALESCE(array_to_string(list_transform(embedding[1:4],
+        x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)), ','),
+        '') AS head4,
       list_contains(embedding, 0.0) AS has_exact_zero
     FROM embeddings
     ORDER BY vec_id
@@ -50,7 +51,9 @@ def array_funcs_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             "vec_id",
             F.size("embedding").alias("dim"),
-            F.element_at("embedding", 1).alias("first_component"),
+            # try_element_at: ANSI element_at ERRORS on a zero-length
+            # array; DuckDB's [1] yields NULL — try_ matches that
+            F.try_element_at("embedding", F.lit(1)).alias("first_component"),
             F.array_join(head4, ",").alias("head4"),
             F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_exact_zero"),
         )
@@ -100,8 +103,8 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       vec_id,
-      ROUND(list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))), 4) AS norm_sq,
-      ROUND(list_sum(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE))), 4) AS l1_norm,
+      ROUND(COALESCE(list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))), 0.0), 4) AS norm_sq,
+      ROUND(COALESCE(list_sum(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE))), 0.0), 4) AS l1_norm,
       len(list_filter(embedding, x -> x > 0)) AS n_positive
     FROM embeddings
     ORDER BY vec_id
@@ -118,8 +121,11 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select(
             "vec_id",
-            F.round(norm_sq, 4).alias("norm_sq"),
-            F.round(l1, 4).alias("l1_norm"),
+            # coalesce: both engines agree the empty/NULL-array sum is 0.0
+            # (DuckDB list_sum yields NULL there; Spark aggregate yields
+            # 0.0 on empty but NULL on a NULL array)
+            F.round(F.coalesce(norm_sq, F.lit(0.0)), 4).alias("norm_sq"),
+            F.round(F.coalesce(l1, F.lit(0.0)), 4).alias("l1_norm"),
             F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         )
         .orderBy("vec_id")

@@ -88,7 +88,7 @@ def behavior_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
-      FROM events WHERE event_type = 'view' GROUP BY 1
+      FROM events WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
     ), c AS (
       SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
       FROM events e JOIN v ON v.user_id = e.user_id
@@ -115,8 +115,17 @@ def behavior_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_click > t_view → t_buy > t_click share one exchange), then a per-user
     collapse and a global 1-row count.  Round 1 broadcast each |users|-sized
     stage frame (VERDICT.md "What's wrong" #5) — at 100 TB |users| is itself
-    huge, so user-cardinality frames must never be broadcast."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    huge, so user-cardinality frames must never be broadcast.
+
+    Anonymous events (NULL user_id) are excluded up front: a window
+    PARTITION BY groups all NULLs into one pseudo-user that would
+    "advance" through the funnel, while SQL equi-joins drop them — the
+    explicit filter keeps both engines honest."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_type")
+    )
     w = Window.partitionBy("user_id")
     t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     e = ev.withColumn("t_view", t_view)

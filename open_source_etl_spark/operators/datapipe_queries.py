@@ -165,6 +165,7 @@ def datapipe_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
              row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
       FROM documents
+      WHERE lang IS NOT NULL
     ), packed AS (
       SELECT lang, doc_id, tok, rn,
              CAST(0 AS BIGINT) AS bin_id, tok AS fill_after
@@ -187,8 +188,13 @@ def datapipe_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the next one would overflow, then a new bin opens (no document
     is split).  The recurrence is sequential *within* a language but the
     languages pack in parallel — one ``applyInPandas`` task per group,
-    loop in C-speed pandas/numpy inside."""
-    docs = load_table(spark, sf_dir, "documents")
+    loop in C-speed pandas/numpy inside.
+
+    Untagged documents (NULL lang) are excluded on both engines: bins are
+    language-homogeneous by definition, and a recursive-CTE oracle can
+    never chain a NULL join key (the Spark groupBy would happily pack a
+    NULL pseudo-group — the parity break the perturbed sweep caught)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
     tok = F.size(F.split("text", " ")).cast("long")
     base = docs.select("lang", "doc_id", tok.alias("tok"))
 

@@ -41,10 +41,10 @@ def dot(a: Column | str, b: Column | str) -> Column:
     oracle="""
     WITH q AS (
       SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS o
-      FROM embeddings WHERE vec_id = 0
+      FROM embeddings WHERE vec_id = 0 AND len(embedding) > 0
     ), corpus AS (
       SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS o
-      FROM embeddings WHERE vec_id <> 0
+      FROM embeddings WHERE vec_id <> 0 AND len(embedding) > 0
     )
     SELECT vec_id, label, cosine_sim
     FROM (
@@ -62,9 +62,12 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Query vector broadcast against the corpus scan; dot product in
     double (normalized vectors ⇒ cosine); TakeOrderedAndProject for the
-    top-k — no full sort materialized.
+    top-k — no full sort materialized.  Degenerate (empty) vectors are
+    excluded on BOTH engines — cosine against a zero-dim vector is
+    undefined, and a regenerated fixture must not flip parity
+    (tests/test_perturbed_parity.py).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return (
         emb.filter(F.col("vec_id") != 0)
@@ -192,8 +195,11 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the plan (seed, two Lloyd rounds, final assign), so a widening
     repartition would be re-planned into four cold shuffles — measured
     net-slower than the narrow scan despite better per-stage width.
+
+    Empty vectors are excluded up front: ``Summarizer.mean`` requires a
+    consistent vector dimension and a zero-dim vector has no cell.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
 
     # seed cells from the label column; refine with 2 Lloyd iterations
@@ -243,15 +249,27 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        # zero-dim vectors crash the BLAS projection (DGEMV) and carry no
+        # similarity signal — excluded like every other similarity op
+        .filter(F.size("embedding") > 0)
+        .withColumn(
+            "features", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", numHashTables=4, bucketLength=0.5, seed=42
     )
     model = lsh.fit(emb)
-    key = emb.filter(F.col("vec_id") == 0).select("features").first()["features"]
-    neighbors = model.approxNearestNeighbors(emb.filter(F.col("vec_id") != 0), key, 10)
+    key_row = emb.filter(F.col("vec_id") == 0).select("features").first()
+    if key_row is None:  # query vector degenerate in this fixture drop
+        return emb.select(
+            "vec_id", "label", F.lit(0.0).alias("euclidean_dist")
+        ).limit(0)
+    neighbors = model.approxNearestNeighbors(
+        emb.filter(F.col("vec_id") != 0), key_row["features"], 10
+    )
     return neighbors.select(
         "vec_id", "label", F.round(F.col("distCol"), 6).alias("euclidean_dist")
     ).orderBy("euclidean_dist", "vec_id")
@@ -337,6 +355,7 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         x -> abs(CAST(x AS DOUBLE)))) AS scale,
         embedding
       FROM embeddings
+      WHERE len(embedding) > 0
     ), q AS (
       SELECT vec_id, label, scale,
         list_transform(embedding,
@@ -356,8 +375,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink before ANN serving): per-vector scale = 127/max|x|, components
     quantized via FLOOR(x·scale + 0.5).  All array math is JVM-side
     higher-order functions; the scale materializes as a column BEFORE the
-    transform() lambda (transform bodies are not CSE'd)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    transform() lambda (transform bodies are not CSE'd).  Empty vectors
+    are unquantizable (scale = 127/max|x| has no max) and are excluded
+    identically on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
     scaled = emb.withColumn(
         "scale",
         F.lit(127.0)
@@ -386,11 +407,13 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_semantic_prune",
     oracle="""
-    WITH dims AS (
+    WITH nonempty AS (
+      SELECT * FROM embeddings WHERE len(embedding) > 0
+    ), dims AS (
       SELECT label, o, AVG(CAST(v AS DOUBLE)) AS c
       FROM (SELECT label, unnest(embedding) AS v,
                    generate_subscripts(embedding, 1) AS o
-            FROM embeddings)
+            FROM nonempty)
       GROUP BY label, o
     ), cent AS (
       SELECT label, list(c ORDER BY o) AS centroid FROM dims GROUP BY label
@@ -398,7 +421,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.label,
              ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                           c.centroid), 6) AS cos_r
-      FROM embeddings e JOIN cent c USING (label)
+      FROM nonempty e JOIN cent c USING (label)
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -425,8 +448,13 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine flag can't flip on accumulation noise (threshold margin
     verified >= 1e-5 at every fixture SF vs ~1e-7 engine drift; per-value
     min/max cosines are deliberately NOT reported — a min sitting on a
-    rounding boundary DID flip between engines)."""
-    emb = load_table_compute(spark, sf_dir, "embeddings")
+    rounding boundary DID flip between engines).  Empty vectors are
+    excluded before both the centroid build and the scoring pass
+    (cosine to a zero-dim vector is undefined; DuckDB's
+    list_cosine_similarity errors on it)."""
+    emb = load_table_compute(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    )
     cent = _mean_centroids(
         emb.select(F.col("label").alias("lbl"), "embedding"), "lbl"
     ).select(F.col("cell").alias("label"), "centroid")
@@ -510,7 +538,16 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rayleigh-quotient eigenvalue estimate.
     """
     emb = load_table_compute(spark, sf_dir, "embeddings").select("embedding")
-    d = 64
+    # derive d from the corpus (footer-cheap 1-column agg) instead of
+    # hardcoding: a regenerated fixture may change the embedding width,
+    # and degenerate (empty / off-width) vectors must not poison the
+    # numpy batch into a ragged object array
+    d = emb.agg(F.max(F.size("embedding"))).first()[0] or 0
+    if d == 0:
+        return spark.createDataFrame(
+            [], "dim int, component double, eigenvalue double"
+        )
+    emb = emb.filter(F.size("embedding") == d)
     # ONE distributed pass builds the d x d Gram matrix G = X^T X as
     # Arrow-batched numpy partials per partition (the vectorized-linear-
     # algebra case pandas kernels exist for); partials reduce Spark-side

@@ -224,15 +224,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens().alias("toks"),
     )
     toks = F.col("toks")
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            )
+    # guard: with < 3 tokens there is no shingle, and an unguarded
+    # sequence(1, size-2) would run DESCENDING (1, 0, -1) and drive
+    # element_at out of bounds under ANSI (perturbed-fixture sweep)
+    shingle_hashes = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                )
+            ),
         ),
     )
     return (

@@ -18,6 +18,18 @@ from ..multimodal import decode_image_meta, perceptual_hash, sample_frames, with
 from ..registry import query
 
 
+def _ascii_docs(docs: DataFrame) -> DataFrame:
+    """Non-empty pure-ASCII documents (chars == bytes): the fake-payload
+    byte kernels are oracle-checked against CHARACTER-function SQL, a
+    reconstruction that only holds when every char is one byte.  Non-ASCII
+    or empty payloads flow through the kernels fine in production — they
+    are excluded from the CHECKED queries so a regenerated fixture with
+    unicode text cannot flip parity (tests/test_perturbed_parity.py)."""
+    return docs.filter(
+        (F.length("text") > 0) & (F.length("text") == F.octet_length("text"))
+    )
+
+
 @query(
     "multimodal_image_meta",
     oracle="""
@@ -56,6 +68,7 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
       LATERAL (
         SELECT unnest(generate_series(0, length(d.text) // 100 - 1, 10)) AS idx
       ) f
+    WHERE length(d.text) > 0 AND length(d.text) = octet_length(encode(d.text))
     ORDER BY d.doc_id, f.idx
     """,
 )
@@ -64,7 +77,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames and every 10th frame is emitted — a row-EXPANDING mapInPandas
     kernel (1 media row → n_frames/stride frame rows), the plumbing real
     frame extraction uses.  Zero shuffle; embarrassingly parallel."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_docs(load_table(spark, sf_dir, "documents"))
     media = with_media_payload(docs)
     return sample_frames(media, frame_bytes=100, stride=10).orderBy(
         "doc_id", "frame_idx"
@@ -88,6 +101,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       LATERAL (
         SELECT unnest(generate_series(0, length(d.text) // 400 - 1)) AS i
       ) c
+    WHERE length(d.text) > 0 AND length(d.text) = octet_length(encode(d.text))
     ORDER BY d.doc_id, c.i
     """,
 )
@@ -97,7 +111,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas kernel (the VAD/loudness pre-filter shape)."""
     from ..multimodal.decode import audio_chunk_energy
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_docs(load_table(spark, sf_dir, "documents"))
     media = with_media_payload(docs)
     return audio_chunk_energy(media, chunk_samples=400).orderBy(
         "doc_id", "chunk_idx"
@@ -117,12 +131,17 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sum(list_transform(range(1, 9),
                  j -> ord(substring(d.text, CAST(i * 8 + j AS INTEGER), 1)))) // 8
              ) AS resized
-      FROM documents d)
+      FROM documents d
+      WHERE length(d.text) > 0
+        AND length(d.text) = octet_length(encode(d.text)))
     SELECT doc_id,
            CAST(n_in AS INTEGER) AS n_in,
            CAST(n_out AS INTEGER) AS n_out,
-           CAST(list_sum(resized) AS BIGINT) AS checksum,
-           array_to_string(resized[1:8], ',') AS head
+           -- COALESCE: a sub-8-byte payload has zero blocks; the kernel
+           -- sums that to 0 while list_sum([]) is NULL (and one NULL
+           -- would float64-poison the whole pandas column driver-side)
+           CAST(COALESCE(list_sum(resized), 0) AS BIGINT) AS checksum,
+           COALESCE(array_to_string(resized[1:8], ','), '') AS head
     FROM r
     ORDER BY doc_id
     """,
@@ -136,7 +155,7 @@ def multimodal_resize_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot sort list cells (CORRECTNESS_r01 nested-output class)."""
     from ..multimodal.decode import block_mean_resize
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_docs(load_table(spark, sf_dir, "documents"))
     media = with_media_payload(docs)
     out = block_mean_resize(media, factor=8)
     return out.withColumn(
@@ -154,7 +173,9 @@ def multimodal_resize_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(length(list_filter(range(1, length(d.text) + 1),
                  j -> ord(substring(d.text, CAST(j AS INTEGER), 1)) // 16 = b)) AS BIGINT)
              ) AS hist
-      FROM documents d)
+      FROM documents d
+      WHERE length(d.text) > 0
+        AND length(d.text) = octet_length(encode(d.text)))
     SELECT doc_id,
            CAST(n_bytes AS INTEGER) AS n_bytes,
            array_to_string(hist, ',') AS hist,
@@ -172,7 +193,7 @@ def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot sort list cells (CORRECTNESS_r01 nested-output class)."""
     from ..multimodal.decode import byte_histogram
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_docs(load_table(spark, sf_dir, "documents"))
     media = with_media_payload(docs)
     out = byte_histogram(media)
     return out.withColumn(
@@ -186,13 +207,17 @@ def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit i = 1 iff block i's mean beats the global mean by integer
     # cross-multiply — the exact arithmetic the kernel uses.
     oracle="""
-    WITH chars AS (
+    WITH ascii_docs AS (
+      SELECT * FROM documents
+      WHERE length(text) > 0 AND length(text) = octet_length(encode(text))
+    ),
+    chars AS (
       SELECT d.doc_id,
              length(d.text) AS n,
              t.j,
              ord(substring(d.text, t.j, 1)) AS v,
              ((t.j - 1) * 16) // length(d.text) AS blk
-      FROM documents d,
+      FROM ascii_docs d,
         LATERAL (SELECT unnest(generate_series(1, length(d.text))) AS j) t
     ),
     blocks AS (
@@ -206,7 +231,7 @@ def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(MAX(CASE WHEN b.blk = i.i AND b.block_sum * b.n > b.total * b.n_block
                                THEN 1 ELSE 0 END), 0) AS bit
       FROM (SELECT unnest(range(16)) AS i) i
-      CROSS JOIN (SELECT DISTINCT doc_id FROM documents) d0
+      CROSS JOIN (SELECT DISTINCT doc_id FROM ascii_docs) d0
       JOIN blocks b ON b.doc_id = d0.doc_id
       GROUP BY i.i, b.doc_id
     ),
@@ -233,7 +258,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — bound the pairwise term, same argument as the LSH band join."""
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_docs(load_table(spark, sf_dir, "documents"))
     hashes = perceptual_hash(with_media_payload(docs), codec="fake")
     a = hashes.select(F.col("doc_id").alias("doc_a"), "phash")
     b = hashes.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))

@@ -508,7 +508,8 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              'https://' || source || '.example.com/docs/' || lang
                || '?doc=' || doc_id || '&v=2' AS url
-      FROM documents WHERE doc_id < 200
+      FROM documents
+      WHERE doc_id < 200 AND lang IS NOT NULL AND source IS NOT NULL
     )
     SELECT
       doc_id,
@@ -528,8 +529,17 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     host for per-domain quotas, dedup by normalized path).  Spark's
     parse_url runs JVM-side; the oracle reconstructs the same fields
     with split_part string surgery, so the check is on results, not
-    the mechanism."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    the mechanism.
+
+    NULL components are excluded before parsing: a NULL lang/source makes
+    the whole concat NULL, where Spark's parse_url(NULL) → NULL but
+    DuckDB's split_part(NULL) → '' — undefined inputs must not reach the
+    divergent code paths."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200)
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
         F.col("lang"), F.lit("?doc="), F.col("doc_id"), F.lit("&v=2"),

@@ -289,8 +289,11 @@ def model_pipeline_build(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id, event_type
     )
     SELECT
-      CASE WHEN a.user_id IS NULL THEN 'added'
-           WHEN b.user_id IS NULL THEN 'removed'
+      -- unmatched-side detection MUST use the aggregate (a.n/b.n), not the
+      -- key columns: a genuinely-NULL user_id key would misclassify as
+      -- added/removed (caught by the perturbed-fixture sweep)
+      CASE WHEN a.n IS NULL THEN 'added'
+           WHEN b.n IS NULL THEN 'removed'
            WHEN a.n <> b.n THEN 'changed'
            ELSE 'unchanged' END AS change_type,
       CAST(COUNT(*) AS BIGINT) AS n_keys,
