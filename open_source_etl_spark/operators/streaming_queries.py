@@ -375,3 +375,127 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .orderBy("window_start", "rk")
     )
+
+
+@query(
+    "stream_incremental_upsert",
+    # the whole two-wave replay is deterministic from the events table:
+    # wave 1 = days < d0+10, wave 2 = restatement of day d0+3 (values
+    # doubled) + days >= d0+10; partition overwrite keeps wave-2 content
+    # wherever wave 2 carried the partition
+    oracle="""
+    WITH b AS (
+      SELECT event_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+      FROM events
+    ), p AS (
+      SELECT MIN(d) AS d0 FROM b
+    ), final AS (
+      SELECT event_id, d, value FROM b, p
+      WHERE d < d0 + 10 AND d <> d0 + 3
+      UNION ALL
+      SELECT event_id, d, value * 2 FROM b, p WHERE d = d0 + 3
+      UNION ALL
+      SELECT event_id, d, value FROM b, p WHERE d >= d0 + 10
+    )
+    SELECT CAST(year(d) AS INT) AS year,
+           lower(monthname(d)) AS month,
+           CAST(day(d) AS INT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM final
+    GROUP BY 1, 2, 3
+    ORDER BY year, month, day
+    """,
+)
+def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming foreachBatch partition upsert as a driver-checkable query
+    (the ``streaming/pipelines.stream_upsert_partitions`` library surface,
+    previously test-only): two CSV waves drain through ONE caller-owned
+    checkpoint — wave 1 lands the history, wave 2 RESTATES one day
+    (values doubled) and appends new days — and dynamic partition
+    overwrite inside ``foreachBatch`` rewrites exactly the partitions
+    each micro-batch carries.  The checkpoint guarantees run 2 processes
+    only the new file: exactly-once across restarts, the reference's
+    re-land-one-dated-partition semantics made continuous.
+
+    Every cutoff is DERIVED from the data (d0 = min event date), so a
+    regenerated fixture with a shifted date range replays identically on
+    both engines.  Scale: file discovery is incremental, the upsert
+    writes only touched partitions, and the final aggregate groups the
+    partition columns — all executor-parallel.
+    """
+    import os
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..streaming.pipelines import stream_upsert_partitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.to_date(F.col("ts").cast("timestamp")).alias("d"), "value"
+    )
+    d0 = ev.agg(F.min("d")).first()[0]
+    if d0 is None:  # empty fixture: nothing to land
+        return spark.createDataFrame(
+            [], "year int, month string, day int, n_events bigint, total_value double"
+        )
+    import datetime as _dt
+
+    restate = d0 + _dt.timedelta(days=3)
+    cutoff = d0 + _dt.timedelta(days=10)
+
+    feed_cols = [
+        F.col("event_id"),
+        F.date_format("d", "yyyy-MM-dd").alias("date"),
+        F.col("value"),
+    ]
+    wave1 = ev.filter(F.col("d") < F.lit(cutoff)).select(*feed_cols)
+    wave2 = (
+        ev.filter(F.col("d") == F.lit(restate))
+        .select("event_id", F.date_format("d", "yyyy-MM-dd").alias("date"),
+                (F.col("value") * 2).alias("value"))
+        .unionByName(ev.filter(F.col("d") >= F.lit(cutoff)).select(*feed_cols))
+    )
+
+    workdir = _tf.mkdtemp(prefix="osetl-stream-upsert-q-")
+    source_dir = os.path.join(workdir, "feed")
+    store = os.path.join(workdir, "store")
+    checkpoint = os.path.join(workdir, "checkpoint")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("date", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    # the feeds are presentation-sized CSV waves; coalesce(1) keeps one
+    # file per wave so each run drains exactly one new file
+    wave1.coalesce(1).write.mode("append").option("header", "true").csv(source_dir)
+    stream_upsert_partitions(
+        spark, source_dir, store, schema, checkpoint, date_column="date"
+    )
+    wave2.coalesce(1).write.mode("append").option("header", "true").csv(source_dir)
+    stream_upsert_partitions(
+        spark, source_dir, store, schema, checkpoint, date_column="date"
+    )
+
+    landed = spark.read.parquet(store)
+    return (
+        landed.groupBy(
+            F.col("year").cast("int").alias("year"),
+            F.col("month").cast("string").alias("month"),
+            F.col("day").cast("int").alias("day"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("year", "month", "day")
+    )

@@ -25,7 +25,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Headline analytics (TPC-H-shaped)", ("q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_trade_volume", "q8_market_share", "q9_product_profit", "q10_returned_items", "q11_important_parts", "q12_late_line_priority", "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety", "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_filter", "q20_excess_shipments", "q21_waiting_supplier", "q22_sales_opportunity", "analytics_skyline_2d", "analytics_market_basket", "analytics_rfm_segmentation", "analytics_period_over_period")),
     ("Warehouse maintenance", ("scd2_user_state", "warehouse_recursive_calendar", "warehouse_incremental_agg", "model_pipeline_build", "warehouse_snapshot_diff", "warehouse_point_in_time_join", "warehouse_merge_upsert")),
     ("Behavioral / event-sequence analytics", ("behavior_sessionize", "behavior_funnel", "behavior_retention", "behavior_path_trigrams", "behavior_daily_ma7", "timeseries_gapfill_ffill", "behavior_burst_detect", "behavior_ab_test", "timeseries_downsample_ohlc", "behavior_attribution_last_touch", "timeseries_repeat_interval", "behavior_markov_transition")),
-    ("Streaming", ("stream_tumbling_window_agg", "stream_sliding_window_agg", "stream_session_window_agg", "stream_dedup_keys", "stream_stateful_user_rollup", "stream_transform_with_state", "stream_stream_join", "stream_static_enrich", "stream_dedup_within_watermark", "stream_windowed_topk")),
+    ("Streaming", ("stream_tumbling_window_agg", "stream_sliding_window_agg", "stream_session_window_agg", "stream_dedup_keys", "stream_stateful_user_rollup", "stream_transform_with_state", "stream_stream_join", "stream_static_enrich", "stream_dedup_within_watermark", "stream_windowed_topk", "stream_incremental_upsert")),
     ("UDF / UDAF / UDTF", ("udf_pandas_scalar", "udaf_grouped_pandas", "udtf_text_chunks", "udf_sql_scalar")),
     ("Deduplication", ("dedup_exact", "dedup_normalized", "dedup_minhash_candidates", "dedup_simhash", "dedup_jaccard_blocked", "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_connected_components", "dedup_semantic_prune", "dedup_url_canonical")),
     ("Similarity search", ("knn_bruteforce_cosine", "similarity_pairs_threshold", "ann_ivf_search", "ann_lsh_bucketed", "embed_label_centroids", "embed_quantize_int8", "embed_covariance_block", "embed_pca_power")),
