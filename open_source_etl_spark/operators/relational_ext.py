@@ -290,6 +290,7 @@ def scalar_collation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pts AS (
       SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
     )
     SELECT price, size FROM pts a
     WHERE NOT EXISTS (
@@ -319,9 +320,17 @@ def analytics_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB (skylines compose associatively under this rule).
     """
     part = load_table(spark, sf_dir, "part")
-    pts = part.select(
-        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
-    ).distinct()
+    # incomparable (NULL-dimension) points are excluded on both engines:
+    # SQL NOT EXISTS can never find a dominator for a NULL size (every
+    # comparison is NULL) while the window sweep silently drops it —
+    # dominance is only defined over fully-known points
+    pts = (
+        part.filter(
+            F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+        )
+        .select(F.col("p_retailprice").alias("price"), F.col("p_size").alias("size"))
+        .distinct()
+    )
     pts = pts.withColumn("bucket", F.floor(F.col("price") / 200.0))
     in_bucket = Window.partitionBy("bucket").orderBy(
         F.asc("price"), F.desc("size")

@@ -49,18 +49,49 @@ TABLES = (
 # form.  Tables not listed are copied verbatim.
 _PERTURB_SQL: dict[str, str] = {
     "customer": """
-        SELECT c_custkey, c_name, c_nationkey,
+        SELECT c_custkey, c_name,
+               -- tier 2: dangling FK (nation 99 does not exist) — joins
+               -- must drop these identically on both engines
+               CASE WHEN c_custkey % 179 = 0 THEN 99 ELSE c_nationkey END
+                 AS c_nationkey,
                CASE WHEN c_custkey % 71 = 0 THEN NULL ELSE c_acctbal END
                  AS c_acctbal,
                c_mktsegment
         FROM t
     """,
     "orders": """
-        SELECT o_orderkey, o_custkey, o_orderstatus,
+        SELECT o_orderkey,
+               -- tier 2: orphan orders (custkey outside the customer set)
+               CASE WHEN o_orderkey % 173 = 0
+                    THEN o_custkey + 20000000 ELSE o_custkey END AS o_custkey,
+               o_orderstatus,
                CASE WHEN o_orderkey % 61 = 0
                     THEN CAST(12345.67 AS DOUBLE) ELSE o_totalprice END
                  AS o_totalprice,
                o_orderdate, o_orderpriority
+        FROM t
+    """,
+    "lineitem": """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               l_quantity, l_extendedprice,
+               CASE WHEN l_orderkey % 113 = 0 THEN NULL ELSE l_discount END
+                 AS l_discount,
+               CASE WHEN l_orderkey % 127 = 0 THEN NULL ELSE l_tax END
+                 AS l_tax,
+               l_returnflag, l_linestatus, l_shipdate
+        FROM t
+    """,
+    "part": """
+        SELECT p_partkey, p_name, p_brand, p_type,
+               CASE WHEN p_partkey % 109 = 0 THEN NULL ELSE p_size END
+                 AS p_size,
+               p_retailprice
+        FROM t
+    """,
+    "supplier": """
+        SELECT s_suppkey, s_name, s_nationkey,
+               CASE WHEN s_suppkey % 53 = 0 THEN NULL ELSE s_acctbal END
+                 AS s_acctbal
         FROM t
     """,
     "events": """
