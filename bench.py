@@ -121,6 +121,14 @@ def main() -> None:
             sc.setJobGroup("", "")
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"[bench] ok   {name} {timings[name]:8.2f}s", file=sys.stderr)
+        # hygiene between queries: drop cached frames and let the
+        # ContextCleaner reap localCheckpoint blocks — 228 queries' worth
+        # of accumulated storage blocks otherwise starve execution memory
+        # and inflate late-alphabet queries many-fold (measured 37 s vs
+        # 5 s for the same query full-run vs isolated)
+        spark.catalog.clearCache()
+        if len(timings) % 16 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     sf = None
     try:
@@ -146,11 +154,33 @@ def main() -> None:
     # line under the capture budget: totals + as many per-query timings as
     # fit, headline q1–q22 first.
     full = json.dumps(out)
-    if not only:  # a SPARK_GRAFT_BENCH_ONLY subset must not clobber the full record
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w"
-        ) as f:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if not only:  # a SPARK_GRAFT_BENCH_ONLY subset must not touch the records
+        with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
             f.write(full + "\n")
+        # BENCH_LOCAL.json is the regression BAR: per-query MINIMUM across
+        # quiet full runs (single-run times spread up to 10x on sub-second
+        # queries from hypervisor steal — BASELINE.md).  Min-merge this run
+        # into it; tools/bench_regression.py compares new runs against it.
+        bar_path = os.path.join(repo, "BENCH_LOCAL.json")
+        try:
+            with open(bar_path) as f:
+                bar = json.load(f)
+        except (OSError, ValueError):
+            bar = {"queries": {}}
+        merged = dict(bar.get("queries", {}))
+        for q, t in timings.items():
+            merged[q] = min(merged.get(q, t), t)
+        merged = {q: t for q, t in merged.items() if q in timings}  # drop renamed
+        bar_out = {
+            "metric": "per_query_min_wall_sec",
+            "value": round(sum(merged.values()), 4),
+            "unit": "sec",
+            "queries": merged,
+            "sf": sf,
+        }
+        with open(bar_path, "w") as f:
+            f.write(json.dumps(bar_out) + "\n")
     print(f"[bench] full json: {full}", file=sys.stderr)
 
     budget = 1900
@@ -169,7 +199,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failures": len(failures),
-        "queries_full": "BENCH_LOCAL.json",
+        "queries_full": "BENCH_FULL.json",
     }
     for name in sorted(timings, key=_rank):
         trial = dict(base)

@@ -538,16 +538,6 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rayleigh-quotient eigenvalue estimate.
     """
     emb = load_table_compute(spark, sf_dir, "embeddings").select("embedding")
-    # derive d from the corpus (footer-cheap 1-column agg) instead of
-    # hardcoding: a regenerated fixture may change the embedding width,
-    # and degenerate (empty / off-width) vectors must not poison the
-    # numpy batch into a ragged object array
-    d = emb.agg(F.max(F.size("embedding"))).first()[0] or 0
-    if d == 0:
-        return spark.createDataFrame(
-            [], "dim int, component double, eigenvalue double"
-        )
-    emb = emb.filter(F.size("embedding") == d)
     # ONE distributed pass builds the d x d Gram matrix G = X^T X as
     # Arrow-batched numpy partials per partition (the vectorized-linear-
     # algebra case pandas kernels exist for); partials reduce Spark-side
@@ -558,40 +548,79 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1 scan of 100 TB instead of 9.  The in-engine multi-pass variant
     # (broadcast-literal v, d sum accumulators per round) remains the
     # stated path when d^2 partials stop being small (d >~ 4096).
-    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+    #
+    # The vector width is NOT hardcoded: each partition accumulates one
+    # partial PER DISTINCT WIDTH it sees (a regenerated fixture may change
+    # d, and degenerate empty/off-width vectors must not poison the numpy
+    # batch into a ragged object array), and the driver keeps the width
+    # carrying the most vectors — width detection costs zero extra scans.
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     def gram_partial(batches):
         import numpy as np
         import pandas as pd
 
-        G = np.zeros((d, d))
-        n = 0
+        acc: dict[int, list] = {}  # width -> [G, n]
         for pdf in batches:
-            if len(pdf):
-                X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-                G += X.T @ X
-                n += len(X)
-        yield pd.DataFrame({"g": [G.ravel().tolist()], "n": [n]})
+            if not len(pdf):
+                continue
+            widths = pdf["embedding"].map(len)
+            for w in widths.unique():
+                if w == 0:
+                    continue
+                X = np.array(
+                    pdf["embedding"][widths == w].tolist(), dtype=np.float64
+                )
+                if w not in acc:
+                    acc[w] = [np.zeros((w, w)), 0]
+                acc[w][0] += X.T @ X
+                acc[w][1] += len(X)
+        yield pd.DataFrame(
+            {
+                "d": [int(w) for w in acc],
+                "g": [G.ravel().tolist() for G, _ in acc.values()],
+                "n": [n for _, n in acc.values()],
+            }
+        )
 
     schema = StructType(
         [
+            StructField("d", IntegerType()),
             StructField("g", ArrayType(DoubleType())),
             StructField("n", LongType()),
         ]
     )
     reduced = (
         emb.mapInPandas(gram_partial, schema)
-        .select(F.col("n"), F.posexplode("g").alias("idx", "val"))
-        .groupBy("idx")
-        .agg(F.sum("val").alias("s"), F.sum(F.when(F.col("idx") == 0, F.col("n"))).alias("n"))
+        .select("d", "n", F.posexplode("g").alias("idx", "val"))
+        .groupBy("d", "idx")
+        .agg(
+            F.sum("val").alias("s"),
+            F.sum(F.when(F.col("idx") == 0, F.col("n"))).alias("n"),
+        )
         .collect()
     )
-    flat = [0.0] * (d * d)
-    n_rows = 0
+    if not reduced:  # empty or all-degenerate corpus
+        return spark.createDataFrame(
+            [], "dim int, component double, eigenvalue double"
+        )
+    counts: dict[int, int] = {}
     for r in reduced:
-        flat[r["idx"]] = r["s"]
         if r["idx"] == 0:
-            n_rows = r["n"]
+            counts[r["d"]] = counts.get(r["d"], 0) + r["n"]
+    d = max(counts, key=lambda w: (counts[w], w))  # modal width, ties → larger
+    flat = [0.0] * (d * d)
+    n_rows = counts[d]
+    for r in reduced:
+        if r["d"] == d:
+            flat[r["idx"]] = r["s"]
     G = [flat[i * d : (i + 1) * d] for i in range(d)]
     v = [1.0] * d
     for _ in range(8):
