@@ -103,6 +103,7 @@ def orc_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_partkey, p_size,
         CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket
       FROM part
+      WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
     )
     SELECT p_partkey, p_size, price_bucket,
       CAST({morton_sql('p_size', 'price_bucket')} AS BIGINT) AS zkey
@@ -117,8 +118,16 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     Z-ORDER) as a plain ORDER BY.  Sorting 100 TB by this key gives
     min/max row-group pruning on BOTH dimensions; the key itself is pure
     shift/and/or codegen, built by functions/zorder.py and verified
-    bit-exactly against the SQL twin."""
-    part = load_table(spark, sf_dir, "part")
+    bit-exactly against the SQL twin.
+
+    NULL dimensions have no interleaving position (and Spark sorts NULL
+    keys FIRST where DuckDB sorts them LAST — a LIMIT over the z-order
+    would pick different rows): rows missing either dimension are
+    excluded on both engines; a table layout job would route them to a
+    trailing unclustered file group."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull()
+    )
     b = part.select(
         "p_partkey",
         "p_size",

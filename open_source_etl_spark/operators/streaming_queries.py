@@ -117,9 +117,13 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     marked AS (
       SELECT user_id, ts, value,
+        -- STRICT >: Spark's session_window merges an event arriving at
+        -- exactly last-ts + gap (probed empirically: 00:00 and 04:00
+        -- merge under a 4h gap), so only a gap STRICTLY beyond the
+        -- window end opens a new session
         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                 >= INTERVAL 4 HOUR
+                 > INTERVAL 4 HOUR
              THEN 1 ELSE 0 END AS new_session
       FROM e
     ),

@@ -91,7 +91,8 @@ def session_window_stats(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """Per-user session windows: events merge while each arrives within
-    ``gap`` of the session's end; a gap ≥ 4 h starts a new session.  The
+    ``gap`` of the session's end; only a gap STRICTLY > 4 h starts a new
+    session (an event at exactly last-ts + gap still merges).  The
     session's end is last-event-ts + gap (Spark semantics; the oracle
     reproduces it with lag + cumulative-sum sessionization)."""
     return (
