@@ -188,3 +188,142 @@ def xml_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join with ZERO exchanges via bucketed layout
+    (``sources/bucketing.py``, previously library/test-only): both fact
+    tables are written ``bucketBy(8, orderkey) sortBy(orderkey)``, so
+    Catalyst satisfies the join's distribution AND ordering requirements
+    from the file layout — the shuffle happened once at ingestion and is
+    amortized over every subsequent join.  At 100 TB this is the
+    difference between re-exchanging two fact tables per query and none
+    (broadcast only covers the dim side; lineitem⋈orders is big⋈big).
+
+    Broadcast is disabled around the join so the plan proves BUCKETING
+    (restored after); the aggregation on top still exchanges its own
+    grouped partials — the pin is "no exchange BELOW the join".
+    tests/test_plans.py::test_bucketed_query_joins_without_exchange
+    asserts it stays that way.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    from ..sources import bucketed_join, write_bucketed
+
+    write_bucketed(li, "q_li_bucketed", "l_orderkey", n_buckets=8)
+    write_bucketed(orders, "q_ord_bucketed", "l_orderkey", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "q_li_bucketed", "q_ord_bucketed", "l_orderkey")
+        out = (
+            joined.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        # materialize the bucketed join under the no-broadcast conf; the
+        # returned frame is the (tiny) aggregated result
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return spark.createDataFrame(rows, out.schema).orderBy("o_orderstatus")
+
+
+@query(
+    "layout_partition_prune_dpp",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                           AS INTEGER) AS order_month
+      FROM orders
+    ), sel AS (
+      SELECT order_month FROM m
+      WHERE order_month % 2 = (SELECT MIN(order_month) % 2 FROM m)
+    )
+    SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS INTEGER)
+             AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN sel ON CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)
+                     AS INTEGER) = sel.order_month
+    GROUP BY 1
+    ORDER BY order_month
+    """,
+)
+def layout_partition_prune_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is written PARTITIONED BY
+    month, then joined to a filtered dimension whose qualifying months
+    are only known at RUNTIME — Catalyst injects a dynamic-pruning
+    subquery into the fact scan, so only the joined months' partitions
+    are read (`dynamicpruningexpression` in the physical plan;
+    tests/test_plans.py pins it).  At 100 TB this is the scan-cost
+    difference between reading 2 months and reading the whole table —
+    the join-driven complement of the static pruning
+    `partition_path_derivation` demonstrates.
+
+    The dim filter (months sharing the first month's parity) derives
+    from the data, so a regenerated fixture with a shifted date range
+    replays identically.  DPP needs a real selective PREDICATE on the
+    dim side — a LIMIT doesn't qualify — hence the parity filter over a
+    separately-written month dimension.
+    """
+    import tempfile as _tf
+
+    orders = load_table(spark, sf_dir, "orders")
+    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+    base = _tf.mkdtemp(prefix="osetl-dpp-")
+    fact_path = base + "/orders_by_month"
+    dim_path = base + "/month_dim"
+    orders.withColumn("order_month", month).write.partitionBy(
+        "order_month"
+    ).parquet(fact_path)
+    orders.select(month.alias("order_month")).distinct().withColumn(
+        "parity", F.col("order_month") % 2
+    ).write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path)
+    p0 = dim.agg(F.min("order_month")).first()[0]
+    if p0 is None:
+        return spark.createDataFrame(
+            [], "order_month int, n_orders bigint, revenue double"
+        )
+    sel = dim.filter(F.col("parity") == int(p0) % 2).select("order_month")
+    return (
+        fact.join(sel.hint("broadcast"), "order_month")
+        .groupBy(F.col("order_month").cast("int").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("order_month")
+    )

@@ -442,7 +442,12 @@ def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.pipelines import stream_upsert_partitions
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    from ..catalog import load_table
+
+    # load_table, NOT a raw parquet read: it normalizes the ts column's
+    # physical form (TIMESTAMP_NANOS drops ship as bigint under
+    # nanosAsLong — a raw read would cast raw nanos as seconds)
+    ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.to_date(F.col("ts").cast("timestamp")).alias("d"), "value"
     )
     d0 = ev.agg(F.min("d")).first()[0]

@@ -167,3 +167,39 @@ def test_pca_gram_is_single_python_pass(spark, sf_dir):
     assert facts.python_stages == 1
     # partial-reduce exchange (+ optional scan widening)
     assert facts.exchanges <= 2
+
+
+def test_dpp_query_plans_dynamic_pruning(spark, sf_dir):
+    """layout_partition_prune_dpp must actually inject the runtime
+    pruning subquery into the fact scan — the whole point of the query.
+    (A LIMIT-based dim silently degrades to a full scan; only a real
+    selective predicate on the dim side qualifies for DPP.)"""
+    df = QUERIES["layout_partition_prune_dpp"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_bucketed_query_joins_without_exchange(spark, sf_dir):
+    """join_bucketed_colocated's join must be satisfied by the bucketed
+    layout: no Exchange below the join (the aggregation above it still
+    exchanges its grouped partials — that one is expected)."""
+    from open_source_etl_spark.plans import exchange_count
+    from open_source_etl_spark.sources import bucketed_join, write_bucketed
+    from open_source_etl_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    write_bucketed(li, "t_plan_li_b", "l_orderkey", n_buckets=8)
+    write_bucketed(orders, "t_plan_ord_b", "l_orderkey", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_plan_li_b", "t_plan_ord_b", "l_orderkey")
+        assert exchange_count(joined) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_plan_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_plan_ord_b")

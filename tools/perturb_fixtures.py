@@ -148,7 +148,23 @@ def perturb(src_dir: str, dst_dir: str) -> str:
             """
         )
     con.close()
+    _rewrite_events_ts_nanos(os.path.join(dst_dir, "events.parquet"))
     return dst_dir
+
+
+def _rewrite_events_ts_nanos(path: str) -> None:
+    """Store events.ts as TIMESTAMP(NANOS) — the alternate physical form
+    fixture drops have shipped (catalog.load_table normalizes it via
+    ``spark.sql.legacy.parquet.nanosAsLong`` + ``timestamp_micros(ts div
+    1000)``; DuckDB truncates ns→µs in CAST).  Exercising it continuously
+    keeps both readers' normalization honest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    idx = t.schema.get_field_index("ts")
+    t = t.set_column(idx, "ts", t.column("ts").cast(pa.timestamp("ns")))
+    pq.write_table(t, path, store_schema=False, coerce_timestamps=None)
 
 
 if __name__ == "__main__":
