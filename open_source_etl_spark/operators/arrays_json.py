@@ -138,15 +138,21 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_id,
       event_type,
-      CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
-      json_extract_string(props, '$.missing') AS prop_missing
+      CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS BIGINT) AS prop_k,
+      CASE WHEN json_valid(props)
+           THEN json_extract_string(props, '$.missing') END AS prop_missing
     FROM events
     ORDER BY event_id
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the event props column (REF generalization:
-    event props are JSON strings, SURVEY.md §2B Map/JSON)."""
+    event props are JSON strings, SURVEY.md §2B Map/JSON).
+
+    The oracle guards every extraction with json_valid: Spark's
+    get_json_object NULLs on malformed JSON while DuckDB's json functions
+    ERROR — undefined inputs must not reach the divergent path."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
@@ -165,10 +171,15 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events
+      CAST(SUM(k) AS BIGINT) AS sum_k,
+      MIN(k) AS min_k,
+      MAX(k) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+      FROM events
+    )
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -267,10 +278,15 @@ def array_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
       CAST(COUNT(*) AS BIGINT) AS n,
-      CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
-      CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS k_min,
-      CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS k_max
-    FROM events
+      CAST(SUM(k) AS BIGINT) AS k_sum,
+      CAST(MIN(k) AS INT) AS k_min,
+      CAST(MAX(k) AS INT) AS k_max
+    FROM (
+      SELECT event_type,
+             CAST(CASE WHEN json_valid(props)
+                       THEN json_extract(props, '$.k') END AS INTEGER) AS k
+      FROM events
+    )
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -283,7 +299,9 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar value.  At 100 TB the variant column is the storage format;
     here it's derived in-flight from the props string."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    # try_parse_json: parse_json ERRORS on malformed input; the NULL-on-
+    # malformed behavior matches the oracle's json_valid guard
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -300,13 +318,20 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "map_funcs_explode",
     oracle="""
-    WITH kv AS (
+    WITH src AS (
+      -- json_valid must filter BEFORE the lateral: DuckDB evaluates the
+      -- lateral's json_keys ahead of an outer WHERE, erroring on the
+      -- malformed string.  Spark mirrors via from_json -> NULL map ->
+      -- explode drops the row.
+      SELECT event_id, event_type, props
+      FROM events
+      WHERE event_id <= 500 AND json_valid(props)
+    ), kv AS (
       SELECT e.event_id, e.event_type, j.key AS k, CAST(j.value AS BIGINT) AS v
-      FROM events e, LATERAL (
+      FROM src e, LATERAL (
         SELECT unnest(json_keys(e.props)) AS key,
                json_extract_string(e.props, '$.' || unnest(json_keys(e.props))) AS value
       ) j
-      WHERE e.event_id <= 500
     )
     SELECT event_id, event_type, k, v, v * 2 AS v_doubled
     FROM kv

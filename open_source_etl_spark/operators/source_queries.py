@@ -224,14 +224,22 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
+    import uuid as _uuid
+
     from ..sources import bucketed_join, write_bucketed
 
-    write_bucketed(li, "q_li_bucketed", "l_orderkey", n_buckets=8)
-    write_bucketed(orders, "q_ord_bucketed", "l_orderkey", n_buckets=8)
+    # unique table names per invocation: the session catalog is
+    # in-memory, so a fixed name collides with a previous JVM's leftover
+    # warehouse directory (LOCATION_ALREADY_EXISTS); both tables are
+    # dropped below once the (collected) result is materialized
+    tag = _uuid.uuid4().hex[:8]
+    t_li, t_ord = f"q_li_bucketed_{tag}", f"q_ord_bucketed_{tag}"
+    write_bucketed(li, t_li, "l_orderkey", n_buckets=8)
+    write_bucketed(orders, t_ord, "l_orderkey", n_buckets=8)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = bucketed_join(spark, "q_li_bucketed", "q_ord_bucketed", "l_orderkey")
+        joined = bucketed_join(spark, t_li, t_ord, "l_orderkey")
         out = (
             joined.groupBy("o_orderstatus")
             .agg(
@@ -251,6 +259,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
     return spark.createDataFrame(rows, out.schema).orderBy("o_orderstatus")
 
 

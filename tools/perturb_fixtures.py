@@ -102,7 +102,13 @@ _PERTURB_SQL: dict[str, str] = {
                  AS user_id,
                event_type,
                CASE WHEN event_id % 41 = 0 THEN NULL ELSE value END AS value,
-               props
+               -- tier 5: broken property bags — Spark's JSON readers NULL
+               -- on malformed input where DuckDB's json_* functions ERROR,
+               -- so every oracle must guard with json_valid
+               CASE WHEN event_id % 211 = 0 THEN '{"k": 17'
+                    WHEN event_id % 223 = 0 THEN ''
+                    WHEN event_id % 227 = 0 THEN NULL
+                    ELSE props END AS props
         FROM t
     """,
     "documents": """
