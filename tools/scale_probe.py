@@ -52,6 +52,11 @@ PROBES = [
     "timeseries_downsample_ohlc",
     "scd2_user_state",
     "agg_grouped_basic",
+    # round-2 additions
+    "behavior_funnel",
+    "dq_profile_table",
+    "warehouse_merge_upsert",
+    "layout_partition_prune_dpp",
 ]
 
 
