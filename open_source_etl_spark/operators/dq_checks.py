@@ -468,3 +468,78 @@ def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            AS (col_name, n_rows, nonnull_count, n_distinct,
                min_value, max_value)"""
     ).orderBy("col_name")
+
+
+@query(
+    "dq_cross_field_consistency",
+    oracle="""
+    SELECT 'documents.n_chars_matches_text' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n_chars IS DISTINCT FROM length(text)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'orders.totalprice_positive',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.discount_unit_interval',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events.ts_within_epoch',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2000-01-01'
+                          OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2100-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    ORDER BY rule
+    """,
+)
+def dq_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field / cross-column expectations (the GE
+    ``expect_column_pair_values...`` tier above the reference's
+    single-column suite, SURVEY §2A.3): each rule is a conditional count
+    over one table — derived-column consistency (n_chars == length(text)),
+    domain bounds (price > 0, discount ∈ [0,1]), and timestamp sanity.
+
+    One aggregation pass per table, map-side partials, outputs pinned to
+    BIGINT (the HUGEINT-vs-bigint driver lesson); NULL-robust via
+    IS DISTINCT FROM / NULL-skipping comparisons on both engines (NULL
+    fields are a missing-value concern — dq_single_pass_suite — not a
+    consistency violation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def rule(df, name, violated):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(violated, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+        )
+
+    r1 = rule(
+        docs,
+        "documents.n_chars_matches_text",
+        ~F.col("n_chars").eqNullSafe(F.length("text")),
+    )
+    r2 = rule(orders, "orders.totalprice_positive", F.col("o_totalprice") <= 0)
+    r3 = rule(
+        li,
+        "lineitem.discount_unit_interval",
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+    )
+    ts = F.col("ts").cast("timestamp")
+    r4 = rule(
+        ev,
+        "events.ts_within_epoch",
+        (ts < F.lit("2000-01-01").cast("timestamp"))
+        | (ts >= F.lit("2100-01-01").cast("timestamp")),
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4).orderBy("rule")

@@ -33,7 +33,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Multimodal columns", ("multimodal_image_meta", "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_resize_blockmean", "multimodal_feature_histogram", "multimodal_phash_dedup", "multimodal_wav_decode", "multimodal_bmp_decode", "multimodal_wav_features")),
     ("Training-data pipeline", ("datapipe_split_assign", "datapipe_stratified_sample", "datapipe_pack_chunks", "datapipe_pack_greedy", "datapipe_shard_balance", "datapipe_global_shuffle", "datapipe_contamination", "datapipe_vocab_build", "datapipe_domain_mix", "datapipe_leakage_safe_split", "datapipe_corpus_pipeline", "datapipe_domain_quota", "datapipe_weighted_sample", "datapipe_curriculum_phases")),
     ("Graph analytics", ("graph_pagerank", "graph_triangle_count", "graph_degree_distribution")),
-    ("Data quality", ("dq_single_pass_suite", "dq_uniqueness_check", "dq_referential_integrity", "dq_outlier_zscore", "dq_freshness_check", "dq_outlier_mad", "dq_distribution_drift", "dq_benford_first_digit", "dq_anomaly_seasonal", "dq_profile_table")),
+    ("Data quality", ("dq_single_pass_suite", "dq_uniqueness_check", "dq_referential_integrity", "dq_outlier_zscore", "dq_freshness_check", "dq_outlier_mad", "dq_distribution_drift", "dq_benford_first_digit", "dq_anomaly_seasonal", "dq_profile_table", "dq_cross_field_consistency")),
 ]
 
 LIBRARY_SURFACES = """
