@@ -168,10 +168,19 @@ def main() -> None:
                 bar = json.load(f)
         except (OSError, ValueError):
             bar = {"queries": {}}
+        # Scale-factor guard: a run at a different SF must not min-merge its
+        # times into the bar (a smaller-SF run would permanently poison the
+        # regression baseline with unbeatable minimums).  Different sf →
+        # start a fresh bar for this sf.
+        if bar.get("sf") != sf:
+            bar = {"queries": {}}
         merged = dict(bar.get("queries", {}))
         for q, t in timings.items():
             merged[q] = min(merged.get(q, t), t)
-        merged = {q: t for q, t in merged.items() if q in timings}  # drop renamed
+        # Drop only queries that no longer EXIST in the registry (renamed /
+        # removed) — not queries that merely failed this run, so one flaky
+        # timeout doesn't erase that query's historical regression bar.
+        merged = {q: t for q, t in merged.items() if q in queries}
         bar_out = {
             "metric": "per_query_min_wall_sec",
             "value": round(sum(merged.values()), 4),

@@ -332,26 +332,42 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running DISTINCT count over a window (cumulative unique users per
-    event type by day).  Spark has no COUNT(DISTINCT) OVER — the idiom
-    is size(collect_set() over w), which keeps the distinct set in the
-    window frame state; at 100 TB swap the exact set for an HLL sketch
-    merged along the frame (agg_hll_sketch_union shows the sketch calc).
-    The oracle uses DuckDB's native COUNT(DISTINCT) OVER, deduplicated
-    to one row per (type, day)."""
+    event type by day) — EXACT, with no distinct sets in window state.
+
+    Spark has no COUNT(DISTINCT) OVER; the naive idiom
+    size(array_distinct(flatten(collect_list(collect_set(u)) over w)))
+    materializes every user the event_type has ever seen inside the final
+    row's frame: O(days x |users|) memory in one task at 100 TB.  The
+    scale-safe exact identity instead: a user is counted the first day
+    they appear, so cumulative-distinct(day) = running SUM of
+    first-occurrence counts.  One groupBy(event_type, user) for min(day),
+    one groupBy(event_type, day) for the new-user counts, then a running
+    sum over the |days|-sized aggregate — every shuffle carries scalar
+    counts, never user sets.  (An HLL companion for the approximate path
+    is window_running_distinct_approx.)  The oracle uses DuckDB's native
+    COUNT(DISTINCT) OVER, deduplicated to one row per (type, day)."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.select(
+    daily = ev.where(F.col("user_id").isNotNull()).select(
         "event_type", F.col("ts").cast("date").alias("day"), "user_id"
     )
-    w = Window.partitionBy("event_type").orderBy("day")
     per_day = daily.groupBy("event_type", "day").agg(
-        F.countDistinct("user_id").alias("day_users"),
-        F.collect_set("user_id").alias("users"),
+        F.countDistinct("user_id").alias("day_users")
     )
-    cum = per_day.withColumn(
-        "cum_users",
-        F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w)))).cast(
-            "bigint"
-        ),
+    new_per_day = (
+        daily.groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        per_day.join(new_per_day, ["event_type", "day"], "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
     )
     return cum.select(
         "event_type",
@@ -359,6 +375,45 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_users",
         "cum_users",
     ).orderBy("event_type", "day")
+
+
+@query("window_running_distinct_approx")  # no oracle: HLL estimate is engine-specific
+def window_running_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate running distinct-user count via HLL sketches merged
+    along the window frame — the documented 100 TB path when even the
+    first-occurrence exact rewrite (window_running_distinct) is too much
+    state (e.g. the (event_type, user) key space itself won't shuffle
+    cheaply).  One fixed-size sketch per (event_type, day) from a single
+    groupBy pass, then hll_union_agg over the cumulative frame: window
+    state is |days| x 1 KB sketches per partition, independent of user
+    cardinality.  Estimate quality is pinned by a relative-error-bound
+    test against the exact rewrite (tests/test_sketch_quality.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.where(F.col("user_id").isNotNull()).select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    per_day = daily.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("day_users"),
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_day.withColumn(
+            "cum_users_approx",
+            F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).cast("bigint"),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            "day_users",
+            "cum_users_approx",
+        )
+        .orderBy("event_type", "day")
+    )
 
 
 @query(

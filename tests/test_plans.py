@@ -203,3 +203,16 @@ def test_bucketed_query_joins_without_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_plan_li_b")
         spark.sql("DROP TABLE IF EXISTS t_plan_ord_b")
+
+
+def test_running_distinct_keeps_no_sets_in_window_state(spark, sf_dir):
+    """The exact running-distinct rewrite must never materialize user
+    sets inside a window frame: cumulative distinct = running SUM of
+    first-occurrence counts, so the plan carries only scalar counts
+    (VERDICT.md round 2, "What's wrong" #1)."""
+    from open_source_etl_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["window_running_distinct"](spark, sf_dir))
+    assert "collect_set" not in plan
+    assert "collect_list" not in plan
+    assert "array_distinct" not in plan

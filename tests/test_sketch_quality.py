@@ -98,3 +98,27 @@ def test_approx_quantile_within_rank_error(spark, sf_dir, duck):
                 f"{r['l_returnflag']} {col}: rank {rank} vs target {target:.0f} "
                 f"(tol {tol}, n {n})"
             )
+
+
+def test_window_running_distinct_approx_matches_exact(spark, sf_dir):
+    """The HLL running-distinct companion must track the exact
+    first-occurrence rewrite within the lgK=14 sketch's error bound
+    (rsd ~ 1.04/sqrt(2^14) ~ 0.8%; 6-sigma margin as above) on every
+    (event_type, day) row — this is the quality floor that makes the
+    rows-only driver check meaningful."""
+    qs = all_queries()
+    exact = {
+        (r["event_type"], r["day"]): r["cum_users"]
+        for r in qs["window_running_distinct"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["event_type"], r["day"]): r["cum_users_approx"]
+        for r in qs["window_running_distinct_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    bound = 0.008 * 6
+    for key, true in exact.items():
+        est = approx[key]
+        assert abs(est - true) <= max(1, true * bound), (
+            f"{key}: est {est} vs exact {true}"
+        )
