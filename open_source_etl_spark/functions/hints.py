@@ -1,0 +1,64 @@
+"""Size-aware broadcast hinting.
+
+A forced ``F.broadcast`` hint overrides AQE's size check — correct for
+tables whose cardinality is bounded by the schema forever (nation = 25
+rows, region = 5, 1-row stat frames), wrong for tables that merely START
+small but scale linearly with the data (supplier: a few MB at sf0.1, ~1 B
+rows at 100 TB).  ``maybe_broadcast`` is the policy seam: it applies the
+hint only while Catalyst's own size estimate for the frame is under a
+configured byte bound, and silently degrades to "no hint — AQE decides
+from actual runtime sizes" past it.  A deployment moving up the scale
+curve changes one config value, not ~15 query bodies
+(VERDICT.md round 2, "What's wrong" #2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Matches SCALE.md §2's stated broadcast budget: nothing estimated above
+# this ever gets a forced hint.  Spark's own autoBroadcastJoinThreshold
+# default is 10 MB; 32 MB is a deliberate bump for executors with the
+# memory headroom this engine assumes (tune per deployment).
+DEFAULT_BOUND_BYTES = 32 * 1024 * 1024
+_BOUND_KEY = "spark.osetl.broadcast.maxBytes"
+
+
+def broadcast_bound_bytes(spark) -> int:
+    """The active bound: ``spark.osetl.broadcast.maxBytes`` if set (a
+    deployment-level knob, settable per session), else the 32 MB default."""
+    try:
+        return int(spark.conf.get(_BOUND_KEY))
+    except Exception:
+        return DEFAULT_BOUND_BYTES
+
+
+def estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the frame's optimized logical plan
+    (file-size based at the leaves, propagated through operators).  None
+    when the estimate isn't reachable (e.g. Spark Connect) — callers must
+    treat that as "unknown", not "small"."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+
+
+def maybe_broadcast(df: DataFrame, bound_bytes: int | None = None) -> DataFrame:
+    """``F.broadcast(df)`` iff Catalyst estimates the frame under the
+    bound; otherwise the frame unchanged (AQE picks the join strategy at
+    runtime from ACTUAL sizes — which still broadcasts when the filtered
+    result turns out small, without ever forcing an OOM-sized build side).
+
+    Use for scaling tables hinted for bench-fixture speed (supplier and
+    frames derived from it).  Schema-bounded dims (nation/region) and
+    1-row stat frames keep their unconditional ``F.broadcast``.
+    """
+    if bound_bytes is None:
+        bound_bytes = broadcast_bound_bytes(df.sparkSession)
+    est = estimated_size_bytes(df)
+    if est is not None and est <= bound_bytes:
+        return F.broadcast(df)
+    return df

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_table_compute
+from ..functions.hints import maybe_broadcast
 from ..functions.parity import dsum, sql_dsum
 from ..registry import query
 
@@ -200,7 +201,7 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -371,7 +372,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(sup),
+            maybe_broadcast(sup),
             (sup.s_suppkey == li.l_suppkey) & (sup.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(nat), nat.n_nationkey == cust.c_nationkey)
