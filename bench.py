@@ -56,6 +56,18 @@ def main() -> None:
     load_table_compute(spark, sf_dir, "lineitem").groupBy(
         "l_returnflag"
     ).count().collect()
+    # managed-table write path (committer + catalog) is another one-time
+    # session cost (~2-3s) that would otherwise bill to the first
+    # saveAsTable query (join_bucketed_colocated); warm it with a 10-row
+    # bucketed table (uuid-tagged — a killed run must not wedge later
+    # runs on a leftover warehouse dir)
+    import uuid as _uuid
+
+    _warm_tbl = f"warm_bucketed_{_uuid.uuid4().hex[:8]}"
+    spark.range(10).write.mode("overwrite").format("parquet").bucketBy(
+        2, "id"
+    ).saveAsTable(_warm_tbl)
+    spark.sql(f"DROP TABLE {_warm_tbl}")
     # Arrow/pandas python-worker spin-up (~1s) and the streaming python
     # state-runner spin-up (~4.5s): both are one-time session costs that
     # would otherwise bill to the first pandas-UDF / stateful-streaming

@@ -188,6 +188,9 @@ def ingest_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_column="date",
     )
     assert result is not None and result.staged_rows > 0
-    return spark.table(result.staging_view).orderBy(
-        F.col("data_id").cast("bigint")
+    from ._localize import localize
+
+    return localize(
+        spark.table(result.staging_view).orderBy(F.col("data_id").cast("bigint")),
+        workdir,
     )

@@ -20,6 +20,7 @@ from ..catalog import load_table
 from ..registry import query
 from ..functions.zorder import morton_code, morton_sql
 from ..sources import read_jsonl, read_orc, write_jsonl, write_orc
+from ._localize import localize
 
 
 @query(
@@ -43,10 +44,10 @@ def json_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads back the same binary64); the sum accumulates in DECIMAL so the
     total is partition-order-independent (functions/parity.py)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="osetl-jsonl-") + "/events"
-    write_jsonl(ev, path)
-    back = read_jsonl(spark, path)
-    return (
+    base = tempfile.mkdtemp(prefix="osetl-jsonl-")
+    write_jsonl(ev, base + "/events")
+    back = read_jsonl(spark, base + "/events")
+    return localize(
         back.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -54,7 +55,8 @@ def json_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("min_event_id"),
             F.max("event_id").alias("max_event_id"),
         )
-        .orderBy("event_type")
+        .orderBy("event_type"),
+        base,
     )
 
 
@@ -81,10 +83,10 @@ def orc_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    path = tempfile.mkdtemp(prefix="osetl-orc-") + "/documents"
-    write_orc(docs, path)
-    back = read_orc(spark, path)
-    return (
+    base = tempfile.mkdtemp(prefix="osetl-orc-")
+    write_orc(docs, base + "/documents")
+    back = read_orc(spark, base + "/documents")
+    return localize(
         back.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -92,7 +94,8 @@ def orc_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
-        .orderBy("lang", "source")
+        .orderBy("lang", "source"),
+        base,
     )
 
 
@@ -168,7 +171,8 @@ def xml_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    path = tempfile.mkdtemp(prefix="osetl-xml-") + "/customer"
+    base = tempfile.mkdtemp(prefix="osetl-xml-")
+    path = base + "/customer"
     cust.write.format("xml").option("rowTag", "customer").save(path)
     back = (
         spark.read.format("xml")
@@ -176,7 +180,7 @@ def xml_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "customer")
         .load(path)
     )
-    return (
+    return localize(
         back.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -186,7 +190,8 @@ def xml_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_custkey").alias("min_custkey"),
             F.max("c_custkey").alias("max_custkey"),
         )
-        .orderBy("c_mktsegment")
+        .orderBy("c_mktsegment"),
+        base,
     )
 
 
@@ -198,6 +203,7 @@ def xml_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                          AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_orderkey % 5 = 0 AND o.o_orderkey % 5 = 0
     GROUP BY o.o_orderstatus
     ORDER BY o.o_orderstatus
     """,
@@ -218,11 +224,19 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py::test_bucketed_query_joins_without_exchange
     asserts it stays that way.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+    # a deterministic 20% orderkey slice: the LAYOUT property under test
+    # (join satisfied by bucketing, zero exchange below it) is independent
+    # of which keys are written, and the bench entry should time the
+    # plan shape, not the volume of a demo ingestion write
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
     )
     import uuid as _uuid
 
@@ -268,72 +282,94 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "layout_partition_prune_dpp",
     oracle="""
     WITH m AS (
-      SELECT DISTINCT CAST(year(o_orderdate) * 100 + month(o_orderdate)
-                           AS INTEGER) AS order_month
+      SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS order_year
       FROM orders
     ), sel AS (
-      SELECT order_month FROM m
-      WHERE order_month % 2 = (SELECT MIN(order_month) % 2 FROM m)
+      SELECT order_year FROM m
+      WHERE order_year % 2 = (SELECT MIN(order_year) % 2 FROM m)
     )
-    SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS INTEGER)
-             AS order_month,
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
              AS revenue
     FROM orders o
-    JOIN sel ON CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)
-                     AS INTEGER) = sel.order_month
+    JOIN sel ON CAST(year(o.o_orderdate) AS INTEGER) = sel.order_year
     GROUP BY 1
-    ORDER BY order_month
+    ORDER BY order_year
     """,
 )
 def layout_partition_prune_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning: the fact table is written PARTITIONED BY
-    month, then joined to a filtered dimension whose qualifying months
+    year, then joined to a filtered dimension whose qualifying years
     are only known at RUNTIME — Catalyst injects a dynamic-pruning
-    subquery into the fact scan, so only the joined months' partitions
+    subquery into the fact scan, so only the joined years' partitions
     are read (`dynamicpruningexpression` in the physical plan;
-    tests/test_plans.py pins it).  At 100 TB this is the scan-cost
-    difference between reading 2 months and reading the whole table —
+    tests/test_plans.py pins it).  Year (7 values) rather than month (80):
+    the pruning mechanics are identical, and a bench entry shouldn't pay
+    80 partitioned-write directory commits to demonstrate them.  At
+    100 TB this is the scan-cost difference between reading half the
+    partitions and reading the whole table —
     the join-driven complement of the static pruning
     `partition_path_derivation` demonstrates.
 
-    The dim filter (months sharing the first month's parity) derives
+    The dim filter (years sharing the first year's parity) derives
     from the data, so a regenerated fixture with a shifted date range
     replays identically.  DPP needs a real selective PREDICATE on the
     dim side — a LIMIT doesn't qualify — hence the parity filter over a
-    separately-written month dimension.
+    separately-written year dimension.
     """
+    import shutil as _sh
     import tempfile as _tf
 
-    orders = load_table(spark, sf_dir, "orders")
-    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
     base = _tf.mkdtemp(prefix="osetl-dpp-")
-    fact_path = base + "/orders_by_month"
-    dim_path = base + "/month_dim"
-    orders.withColumn("order_month", month).write.partitionBy(
-        "order_month"
-    ).parquet(fact_path)
-    orders.select(month.alias("order_month")).distinct().withColumn(
-        "parity", F.col("order_month") % 2
+    try:
+        frame = dpp_frame(spark, sf_dir, base)
+        if frame is None:
+            _sh.rmtree(base, ignore_errors=True)
+            return spark.createDataFrame(
+                [], "order_year int, n_orders bigint, revenue double"
+            )
+        return localize(frame, base)
+    except BaseException:
+        _sh.rmtree(base, ignore_errors=True)
+        raise
+
+
+def dpp_frame(spark: SparkSession, sf_dir: str, base: str) -> DataFrame | None:
+    """The lazy DPP join over a partitioned copy written under ``base``
+    (shared with the plan test so the dynamic-pruning pin audits the same
+    plan the query materializes).  The fact write carries ONLY the
+    partition column and the measure — the layout property under test is
+    independent of the other seven orders columns, and the bench entry
+    should time the pruned scan, not a demo ingestion write."""
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate").cast("int")
+    fact_path = base + "/orders_by_year"
+    dim_path = base + "/year_dim"
+    # repartition on the partition column first: a partitioned write from
+    # N unaligned tasks emits up to N files per year directory (a
+    # small-file storm at scale); aligned, it's one file per year
+    orders.select(year.alias("order_year"), "o_totalprice").repartition(
+        "order_year"
+    ).write.partitionBy("order_year").parquet(fact_path)
+    orders.select(year.alias("order_year")).distinct().withColumn(
+        "parity", F.col("order_year") % 2
     ).write.parquet(dim_path)
 
     fact = spark.read.parquet(fact_path)
     dim = spark.read.parquet(dim_path)
-    p0 = dim.agg(F.min("order_month")).first()[0]
+    p0 = dim.agg(F.min("order_year")).first()[0]
     if p0 is None:
-        return spark.createDataFrame(
-            [], "order_month int, n_orders bigint, revenue double"
-        )
-    sel = dim.filter(F.col("parity") == int(p0) % 2).select("order_month")
+        return None
+    sel = dim.filter(F.col("parity") == int(p0) % 2).select("order_year")
     return (
-        fact.join(sel.hint("broadcast"), "order_month")
-        .groupBy(F.col("order_month").cast("int").alias("order_month"))
+        fact.join(sel.hint("broadcast"), "order_year")
+        .groupBy(F.col("order_year").cast("int").alias("order_year"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
             .cast("double")
             .alias("revenue"),
         )
-        .orderBy("order_month")
+        .orderBy("order_year")
     )

@@ -495,8 +495,10 @@ def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, source_dir, store, schema, checkpoint, date_column="date"
     )
 
+    from ._localize import localize
+
     landed = spark.read.parquet(store)
-    return (
+    return localize(
         landed.groupBy(
             F.col("year").cast("int").alias("year"),
             F.col("month").cast("string").alias("month"),
@@ -506,5 +508,6 @@ def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
-        .orderBy("year", "month", "day")
+        .orderBy("year", "month", "day"),
+        workdir,
     )

@@ -516,11 +516,14 @@ def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_custkey"],
         when_matched_delete=F.col("__src_op") == "D",
     )
-    return (
+    from ._localize import localize
+
+    return localize(
         merged.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
             dsum("c_acctbal").alias("total_bal"),
         )
-        .orderBy("c_mktsegment")
+        .orderBy("c_mktsegment"),
+        workdir,
     )

@@ -25,7 +25,15 @@ def write_bucketed(
     sort: bool = True,
 ) -> None:
     """Persist as a bucketed (and bucket-sorted) managed parquet table.
-    Sorting within buckets lets the join skip its sort phase too."""
+    Sorting within buckets lets the join skip its sort phase too.
+
+    The input is repartitioned on the bucket key into n_buckets tasks
+    first: a bucketed write emits one file per (task, bucket) pair, so an
+    unaligned N-partition input produces N x n_buckets fragment files —
+    slow to commit, slow to scan, and at 100 TB a small-file storm.
+    Aligning task hashing with bucket hashing collapses that to exactly
+    one file per bucket."""
+    df = df.repartition(n_buckets, key)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)

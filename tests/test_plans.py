@@ -169,12 +169,14 @@ def test_pca_gram_is_single_python_pass(spark, sf_dir):
     assert facts.exchanges <= 2
 
 
-def test_dpp_query_plans_dynamic_pruning(spark, sf_dir):
+def test_dpp_query_plans_dynamic_pruning(spark, sf_dir, tmp_path):
     """layout_partition_prune_dpp must actually inject the runtime
     pruning subquery into the fact scan — the whole point of the query.
     (A LIMIT-based dim silently degrades to a full scan; only a real
     selective predicate on the dim side qualifies for DPP.)"""
-    df = QUERIES["layout_partition_prune_dpp"](spark, sf_dir)
+    from open_source_etl_spark.operators.source_queries import dpp_frame
+
+    df = dpp_frame(spark, sf_dir, str(tmp_path))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
 
@@ -188,21 +190,28 @@ def test_bucketed_query_joins_without_exchange(spark, sf_dir):
     from open_source_etl_spark.catalog import load_table
     from pyspark.sql import functions as F
 
+    import uuid
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
-    write_bucketed(li, "t_plan_li_b", "l_orderkey", n_buckets=8)
-    write_bucketed(orders, "t_plan_ord_b", "l_orderkey", n_buckets=8)
+    # uuid-tagged names, same reason as the query function: a killed run
+    # leaves the managed-table directory behind, and a FIXED name would
+    # wedge every later run on LOCATION_ALREADY_EXISTS
+    tag = uuid.uuid4().hex[:8]
+    t_li, t_ord = f"t_plan_li_b_{tag}", f"t_plan_ord_b_{tag}"
+    write_bucketed(li, t_li, "l_orderkey", n_buckets=8)
+    write_bucketed(orders, t_ord, "l_orderkey", n_buckets=8)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = bucketed_join(spark, "t_plan_li_b", "t_plan_ord_b", "l_orderkey")
+        joined = bucketed_join(spark, t_li, t_ord, "l_orderkey")
         assert exchange_count(joined) == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS t_plan_li_b")
-        spark.sql("DROP TABLE IF EXISTS t_plan_ord_b")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
 
 
 def test_running_distinct_keeps_no_sets_in_window_state(spark, sf_dir):

@@ -127,3 +127,23 @@ def test_analyze_table_stats_feeds_cbo(spark, sf_dir):
     stats = analyze_table_stats(spark, "stats_nation", ["n_nationkey", "n_name"])
     assert "statistics" in stats and "rows" in stats["statistics"]
     spark.sql("DROP TABLE stats_nation")
+
+
+def test_bucketed_query_leaves_warehouse_empty(spark, sf_dir):
+    """join_bucketed_colocated drops its uuid-tagged managed tables in a
+    finally block; nothing of them may survive in the warehouse dir (a
+    leftover directory from a killed run once wedged later runs on
+    LOCATION_ALREADY_EXISTS — VERDICT.md round 2, hygiene #3)."""
+    import os
+    from urllib.parse import urlparse
+
+    from open_source_etl_spark.registry import all_queries
+
+    all_queries()["join_bucketed_colocated"](spark, sf_dir).collect()
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    leftovers = (
+        [d for d in os.listdir(wh) if d.startswith(("q_li_bucketed", "q_ord_bucketed"))]
+        if os.path.isdir(wh)
+        else []
+    )
+    assert leftovers == []
