@@ -77,3 +77,77 @@ def make_bmp_bytes(doc_id: int) -> bytes:
         "<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset
     )
     return header + dib + pixel_data
+
+
+def png_params(doc_id: int) -> tuple[int, int, tuple[int, int, int]]:
+    """(width, height, (r, g, b)) for the solid-color PNG fixture.
+    Distinct formulas from bmp_params so a decoder can't pass by reading
+    the wrong synthesizer."""
+    width = 12 + doc_id % 19
+    height = 6 + doc_id % 11
+    color = ((doc_id * 3) % 256, (doc_id * 11) % 256, (doc_id * 17) % 256)
+    return width, height, color
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def make_png_bytes(doc_id: int) -> bytes:
+    """Real compressed PNG: 8-bit/channel RGB (color type 2), scanlines
+    filtered then zlib-DEFLATEd into IDAT, CRC-32 on every chunk.  The
+    filter type CYCLES per row (row % 5 → None/Sub/Up/Average/Paeth), so
+    a decoder must implement all five unfilters — a solid-color image
+    under Sub/Up/Average/Paeth still produces nontrivial filtered bytes,
+    while the ground-truth channel means stay exact integers."""
+    import zlib
+
+    width, height, (r, g, b) = png_params(doc_id)
+    bpp = 3  # bytes per pixel
+    row = bytes((r, g, b)) * width
+    prev = bytes(len(row))
+    scanlines = []
+    for y in range(height):
+        f = y % 5
+        filt = bytearray(len(row))
+        for x in range(len(row)):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            up_left = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, up_left)
+            filt[x] = (row[x] - pred) & 0xFF
+        scanlines.append(bytes([f]) + bytes(filt))
+        prev = row
+    idat = zlib.compress(b"".join(scanlines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )

@@ -368,3 +368,38 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return wav_window_features(synthesize_wav(docs)).orderBy("doc_id", "window_idx")
+
+
+@query(
+    "multimodal_png_decode",
+    # formulas mirror synth.png_params; n_bytes is NOT emitted — the IDAT
+    # is zlib-compressed, so its length is not a closed-form function of
+    # doc_id (that is exactly what makes this a real compressed decode)
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(12 + doc_id % 19 AS BIGINT) AS width,
+      CAST(6 + doc_id % 11 AS BIGINT) AS height,
+      CAST(8 AS BIGINT) AS bit_depth,
+      CAST(2 AS BIGINT) AS color_type,
+      CAST((doc_id * 3) % 256 AS BIGINT) AS mean_r,
+      CAST((doc_id * 11) % 256 AS BIGINT) AS mean_g,
+      CAST((doc_id * 17) % 256 AS BIGINT) AS mean_b
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode in pure stdlib: spec-compliant PNGs
+    (zlib-deflated IDAT, filter type cycling across all five scanline
+    filters, CRC'd chunks) parsed back by chunk walk + inflate +
+    per-scanline unfilter (None/Sub/Up/Average/Paeth) — the first
+    compressed codec to move OUT from behind the NotImplementedError
+    sites.  The oracle predicts geometry and exact channel means from the
+    generation formulas; Spark earns them by reconstructing actual
+    pixels (a wrong unfilter implementation shifts every mean).
+    Entropy-coded formats (JPEG/MP3) remain declared stubs."""
+    from ..multimodal.decode import decode_png_real, synthesize_png
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png_real(synthesize_png(docs)).orderBy("doc_id")
