@@ -437,3 +437,87 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "timeseries_gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    obs AS (  -- deterministic outage: day-of-month % 4 = 1 days are lost
+      SELECT * FROM daily WHERE dayofmonth(day) % 4 <> 1
+    ),
+    cal AS (
+      SELECT o.event_type,
+             unnest(generate_series(o.d0, o.d1, INTERVAL 1 DAY)) AS day
+      FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+            FROM obs GROUP BY 1) o
+    )
+    SELECT c.event_type,
+           CAST(c.day AS TIMESTAMP) AS day,
+           last_value(o.total_value IGNORE NULLS) OVER (
+             PARTITION BY c.event_type ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS total_value_filled,
+           o.total_value IS NOT NULL AS is_observed
+    FROM cal c LEFT JOIN obs o
+      ON c.event_type = o.event_type AND CAST(c.day AS DATE) = o.day
+    ORDER BY c.event_type, day
+    """,
+)
+def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with last-observation-carried-forward: rebuild a
+    dense daily series from a feed with dropped days (a deterministic
+    day-of-month rule simulates the outage so both engines and
+    regenerated fixtures replay it), emitting the filled value and an
+    is_observed audit flag per day — the repair step dashboards and
+    window features need before any day-over-day math is trustworthy.
+
+    The calendar derives per group from sequence(min, max) — |days| rows
+    per group, never a driver-side date loop — and the fill is one
+    last(ignorenulls) window over the same partition the join already
+    shuffled to.  At 100 TB: groups × days stays tiny relative to the
+    fact table; the daily pre-aggregation is where the data volume dies."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    )
+    obs = daily.filter(F.dayofmonth("day") % 4 != 1)
+    cal = (
+        obs.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(obs, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            F.last("total_value", ignorenulls=True)
+            .over(w)
+            .alias("total_value_filled"),
+            F.col("total_value").isNotNull().alias("is_observed"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -733,3 +733,167 @@ def datapipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "weight", "pick_slot")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "datapipe_cap_per_source",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             (doc_id * {_SAMPLE_A} + {_SAMPLE_B}) % {_MOD} AS shuffle_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, shuffle_key,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY shuffle_key, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY source, rk
+    """,
+)
+def datapipe_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (keep at most K docs per source) — the
+    anti-domination guard every web-scale corpus applies so one crawler
+    host can't dominate training.  Selection is a DETERMINISTIC pseudo-
+    random order (LCG key of doc_id — pure BIGINT math both engines
+    reproduce), so reruns and engine swaps keep identical docs: no RNG,
+    no driver state.  One window over the source partition is the only
+    shuffle; at 100 TB the per-source partitions are bounded by the cap's
+    early discard (rank > K rows never leave the map side under AQE's
+    partial windowed top-k... rewrite as groupBy(max-heap agg) if a
+    single source exceeds task memory)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * _SAMPLE_A + _SAMPLE_B) % _MOD).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("source").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+@query(
+    "datapipe_contamination_ngram",
+    oracle="""
+    WITH sh_all AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(n_chars - 19, 0) + 1),
+                                   i -> substr(text, CAST(i AS INTEGER), 20)))
+               AS sh
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh_all WHERE doc_id % 13 = 0)
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_shared_ngrams
+    FROM sh_all t JOIN bench b ON t.sh = b.sh
+    WHERE t.doc_id % 13 <> 0
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def datapipe_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination check: flag training documents that
+    share any character-20-gram with a held-out benchmark set (docs with
+    doc_id % 13 = 0 stand in for the eval suite) — the decontamination
+    pass every serious pretraining pipeline runs before training.
+
+    Shingling is pure JVM codegen (sequence → transform → explode, no
+    Python), the benchmark shingle set is deduplicated BEFORE the join,
+    and the join hash-partitions on the shingle itself, so hot shingles
+    spread by value and the fact side streams map-side.  At 100 TB the
+    benchmark side is tiny (eval suites are MBs) → AQE broadcasts it;
+    nothing here assumes that, so a giant benchmark degrades to a
+    shuffle join, not an OOM."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(n_chars - 19, 0)), "
+                "i -> substring(text, i, 20))"
+            )
+        ).alias("sh"),
+    )
+    bench = (
+        shingles.filter(F.col("doc_id") % 13 == 0).select("sh").distinct()
+    )
+    train = shingles.filter(F.col("doc_id") % 13 != 0)
+    return (
+        train.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "datapipe_c4_filter_cascade",
+    oracle="""
+    WITH f AS (
+      SELECT
+        doc_id, lang, source,
+        n_chars < 100 AS too_short,
+        len(text) - len(replace(text, ' ', '')) + 1 < 20 AS too_few_words,
+        CAST(len(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+          / n_chars > 0.05 AS bad_symbol_ratio,
+        NOT (text LIKE '% the %' OR text LIKE '% a %'
+             OR text LIKE 'the %' OR text LIKE 'a %') AS no_stopword
+      FROM documents
+    )
+    SELECT doc_id, lang, source, too_short, too_few_words,
+           bad_symbol_ratio, no_stopword,
+           NOT (too_short OR too_few_words OR bad_symbol_ratio OR no_stopword)
+             AS keep
+    FROM f
+    ORDER BY doc_id
+    """,
+)
+def datapipe_c4_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality-filter cascade as one scan: per-document boolean
+    verdicts for each heuristic (length floor, word-count floor, symbol
+    ratio, stopword presence) plus the final keep decision — kept as
+    FLAGS rather than a filtered subset so the pipeline can audit rule
+    firing rates before committing to a drop (the reference's DQ-report
+    posture applied to corpus curation).  Pure codegen expressions over
+    one pass; no shuffle except the presentation sort.  Rules compose
+    with OR so adding a rule can only remove docs — monotone, auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    symbol_ratio = (
+        F.length(F.regexp_replace("text", "[a-z ]", "")).cast("double")
+        / F.col("n_chars")
+    )
+    has_stopword = (
+        F.col("text").like("% the %")
+        | F.col("text").like("% a %")
+        | F.col("text").like("the %")
+        | F.col("text").like("a %")
+    )
+    f = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") < 100).alias("too_short"),
+        (n_words < 20).alias("too_few_words"),
+        (symbol_ratio > 0.05).alias("bad_symbol_ratio"),
+        (~has_stopword).alias("no_stopword"),
+    )
+    return f.withColumn(
+        "keep",
+        ~(
+            F.col("too_short")
+            | F.col("too_few_words")
+            | F.col("bad_symbol_ratio")
+            | F.col("no_stopword")
+        ),
+    ).orderBy("doc_id")

@@ -49,25 +49,12 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionAll(rev)
 
 
-@query("graph_pagerank")
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the bipartite customer–supplier trade graph
-    (undirected: an order lineitem links both ways), damping 0.85,
-    6 synchronous rounds — "which suppliers sit at the center of the
-    purchase network" as a warehouse query.
-
-    Each round: fold rank/out_degree into the edge, shuffle-join ranks
-    on src, grouped-sum contributions on dst, add the teleport term.
-    ``localCheckpoint`` after each round keeps the plan O(1) deep (the
-    same pattern as dedup_connected_components).  Rows-only for the
-    driver (iterative fixpoints have no ANSI-SQL twin); the result is
-    differentially checked against a dense numpy PageRank on the same
-    edges in ``tests/test_graph.py``, and mass conservation (ranks sum
-    to 1) is asserted there too.
-
-    Output: top 20 nodes by rank (node_type, key, rank rounded to 8dp).
-    """
-    edges = trade_edges(spark, sf_dir)
+def pagerank(spark: SparkSession, edges: DataFrame, rounds: int = ROUNDS) -> DataFrame:
+    """The synchronous PageRank loop over an undirected (src, dst) edge
+    frame — extracted so the scale probe (tools/scale_probe.py) can run
+    the identical kernel on synthetic graphs 100x the fixture's key
+    space.  Returns the final (dst, rank) frame; mass sums to 1 when
+    every node has out-degree >= 1 (undirected edges guarantee it)."""
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     wedges = edges.join(deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
@@ -92,7 +79,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_nodes = nodes.count()
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
         teleport = (1.0 - DAMPING) / n_nodes
-        for _ in range(ROUNDS):
+        for _ in range(rounds):
             contribs = (
                 wedges.join(
                     ranks.withColumnRenamed("dst", "node"),
@@ -109,6 +96,29 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return ranks
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer–supplier trade graph
+    (undirected: an order lineitem links both ways), damping 0.85,
+    6 synchronous rounds — "which suppliers sit at the center of the
+    purchase network" as a warehouse query.
+
+    Each round: fold rank/out_degree into the edge, shuffle-join ranks
+    on src, grouped-sum contributions on dst, add the teleport term.
+    ``localCheckpoint`` after each round keeps the plan O(1) deep (the
+    same pattern as dedup_connected_components).  Rows-only for the
+    driver (iterative fixpoints have no ANSI-SQL twin); the result is
+    differentially checked against a dense numpy PageRank on the same
+    edges in ``tests/test_graph.py``, and mass conservation (ranks sum
+    to 1) is asserted there too.
+
+    Output: top 20 nodes by rank (node_type, key, rank rounded to 8dp).
+    """
+    edges = trade_edges(spark, sf_dir)
+    ranks = pagerank(spark, edges, rounds=ROUNDS)
     return (
         ranks.select(
             F.when(F.col("dst") % 2 == 0, F.lit("customer"))

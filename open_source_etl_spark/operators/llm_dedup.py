@@ -610,3 +610,60 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_variants") > 1)
         .orderBy("canonical_url")
     )
+
+
+@query(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars, text
+      FROM documents WHERE n_chars <= 220
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      AND abs(a.n_chars - b.n_chars) <= 40
+    WHERE levenshtein(a.text, b.text) <= 60
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: EXACT Levenshtein within (lang,
+    source) blocks, gated by the free lower bound |len(a) − len(b)| ≤ τ
+    (an edit changes length by at most 1, so the length delta bounds the
+    distance) — the character-level complement to the token-level
+    Jaccard family, catching typo-grade duplicates token sets miss.
+
+    Scale shape mirrors dedup_jaccard_blocked: candidate pairs exist
+    only inside hash-partitioned blocks, the O(n·m) DP runs ONLY on
+    pairs surviving the length prefilter (evaluated from the scan's
+    n_chars column before either text is compared), and the length cap
+    keeps each DP bounded.  At 100 TB the blocks sharpen to LSH band
+    keys (dedup_minhash_candidates) with Levenshtein as the exact
+    re-rank inside each bucket."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") <= 220)
+        .select("doc_id", "lang", "source", "n_chars", "text")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text"))
+            .cast("bigint")
+            .alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 60)
+        .orderBy("doc_a", "doc_b")
+    )

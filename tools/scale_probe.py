@@ -118,5 +118,101 @@ def main() -> None:
     shutil.rmtree(out, ignore_errors=True)
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# Iterative-operator probe: 100x key-space scaling for the two Pregel-style
+# loops (PageRank, connected components).  Fixture replication is the wrong
+# instrument here — the fixture's graph is dense-bipartite and CC's edges
+# derive from document content — so the probe runs the EXACT iteration
+# kernels (graph_queries.pagerank, llm_dedup._propagate_min_labels) on
+# synthetic graphs whose vertex count spans two orders of magnitude, and
+# reports the fitted scaling exponent alpha where time ~ n^alpha
+# (alpha <= 1 = at-most-linear; the SCALE.md claim).
+#
+# Graph shapes (deterministic, |E| proportional to |V|):
+# - pagerank: each v -> (7v+1) mod V and (13v+5) mod V, undirected
+#   (expander-ish: every round's contribution shuffle carries 4|V| rows).
+# - cc: chains of length 32 (v <-> v+1 within a block), so min-label
+#   propagation + path halving needs its full log-depth round count at
+#   every size — the worst case for the convergence loop, not the best.
+# ---------------------------------------------------------------------------
+
+ITER_SIZES = (100_000, 1_000_000, 10_000_000)
+
+
+def _pagerank_edges(spark, n: int):
+    from pyspark.sql import functions as F
+
+    v = spark.range(n).select(F.col("id").alias("src"))
+    fwd = v.select(
+        "src", ((F.col("src") * 7 + 1) % n).alias("dst")
+    ).union(v.select("src", ((F.col("src") * 13 + 5) % n).alias("dst")))
+    return fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _chain_edges(spark, n: int, block: int = 32):
+    from pyspark.sql import functions as F
+
+    v = spark.range(n - 1).select(F.col("id").alias("src"))
+    fwd = v.filter((F.col("src") % block) != block - 1).select(
+        "src", (F.col("src") + 1).alias("dst")
+    )
+    return fwd
+
+
+def iterative_main() -> None:
+    import math
+
+    from open_source_etl_spark.conf import EngineConfig
+    from open_source_etl_spark.operators.graph_queries import pagerank
+    from open_source_etl_spark.operators.llm_dedup import _propagate_min_labels
+    from open_source_etl_spark.session import build_session
+    from pyspark.sql import functions as F
+
+    spark = build_session(EngineConfig(master="local[32]", shuffle_partitions=32))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results: dict[str, list[tuple[int, float]]] = {"pagerank": [], "cc": []}
+    for n in ITER_SIZES:
+        e_pr = _pagerank_edges(spark, n).localCheckpoint(eager=True)
+        t0 = time.time()
+        ranks = pagerank(spark, e_pr, rounds=6)
+        mass = ranks.agg(F.sum("rank")).first()[0]
+        pr_s = time.time() - t0
+        assert abs(mass - 1.0) < 1e-6, mass
+        results["pagerank"].append((n, pr_s))
+
+        e_cc = _chain_edges(spark, n)
+        und = e_cc.union(
+            e_cc.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint(eager=True)
+        t0 = time.time()
+        labels = und.select(
+            F.col("src").alias("doc_id"), F.least("src", "dst").alias("label")
+        ).groupBy("doc_id").agg(F.min("label").alias("label"))
+        labels = _propagate_min_labels(und, labels)
+        n_clusters = labels.select("label").distinct().count()
+        cc_s = time.time() - t0
+        # chains of 32 -> exactly ceil(n/32) components: correctness at scale
+        assert n_clusters == -(-n // 32), (n_clusters, n)
+        results["cc"].append((n, cc_s))
+        print(f"n={n:>11,}  pagerank {pr_s:7.1f}s  cc {cc_s:7.1f}s", flush=True)
+        spark.catalog.clearCache()
+
+    for op, series in results.items():
+        for (n1, t1), (n2, t2) in zip(series, series[1:]):
+            alpha = math.log(t2 / t1) / math.log(n2 / n1)
+            print(f"{op}: n {n1:,} -> {n2:,}: alpha = {alpha:.2f}", flush=True)
+        (n1, t1), (n2, t2) = series[0], series[-1]
+        alpha = math.log(t2 / t1) / math.log(n2 / n1)
+        print(f"{op}: OVERALL {n1:,} -> {n2:,} (100x): alpha = {alpha:.2f}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "iterative":
+        iterative_main()
+    else:
+        main()
