@@ -816,10 +816,16 @@ def datapipe_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = docs.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(n_chars - 19, 0)), "
-                "i -> substring(text, i, 20))"
-            )
+            # Spark's sequence(1, 0) steps DOWN to [1, 0] (it is not empty),
+            # so docs shorter than the shingle width must be guarded to an
+            # empty array explicitly or they emit phantom shingles.
+            F.when(
+                F.col("n_chars") >= 20,
+                F.expr(
+                    "transform(sequence(1, n_chars - 19), "
+                    "i -> substring(text, i, 20))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("sh"),
     )
     bench = (
@@ -869,9 +875,9 @@ def datapipe_c4_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = (
         F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
     )
-    symbol_ratio = (
-        F.length(F.regexp_replace("text", "[a-z ]", "")).cast("double")
-        / F.col("n_chars")
+    symbol_ratio = F.try_divide(
+        F.length(F.regexp_replace("text", "[a-z ]", "")).cast("double"),
+        F.col("n_chars"),
     )
     has_stopword = (
         F.col("text").like("% the %")
