@@ -623,47 +623,85 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
     FROM d a JOIN d b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      AND abs(a.n_chars - b.n_chars) <= 40
+      AND abs(a.n_chars - b.n_chars) <= 60
     WHERE levenshtein(a.text, b.text) <= 60
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs: EXACT Levenshtein within (lang,
-    source) blocks, gated by the free lower bound |len(a) − len(b)| ≤ τ
-    (an edit changes length by at most 1, so the length delta bounds the
-    distance) — the character-level complement to the token-level
-    Jaccard family, catching typo-grade duplicates token sets miss.
+    """Edit-distance near-dup pairs: EXACT Levenshtein gated by the
+    TRUE free lower bound |len(a) − len(b)| ≤ 60 (one edit changes the
+    length by at most 1, so a length delta above the distance threshold
+    can never qualify — the prefilter is lossless) — the
+    character-level complement to the token-level Jaccard family,
+    catching typo-grade duplicates token sets miss.
 
-    Scale shape mirrors dedup_jaccard_blocked: candidate pairs exist
-    only inside hash-partitioned blocks, the O(n·m) DP runs ONLY on
-    pairs surviving the length prefilter (evaluated from the scan's
-    n_chars column before either text is compared), and the length cap
-    keeps each DP bounded.  At 100 TB the blocks sharpen to LSH band
-    keys (dedup_minhash_candidates) with Levenshtein as the exact
-    re-rank inside each bucket."""
+    Scale shape: LENGTH-BUCKET BLOCKING (the join_interval_overlap
+    binning trick applied to document length).  Since qualifying pairs
+    satisfy |Δlen| ≤ 60, bucket length by floor(n_chars/60): a pair's
+    buckets differ by at most 1, so one side explodes to its 3 adjacent
+    buckets and both sides equi-join on (lang, source, len_bucket) — a
+    plain shuffle-hash join.  Exactly one of the 3 exploded keys equals
+    the other side's bucket, so each pair matches once and no dedup is
+    needed.  Candidate pairs are bounded per bucket instead of
+    quadratic per (lang, source) block: at 100 TB the corpus' length
+    distribution spreads over thousands of buckets, so block size — and
+    with it the O(n²) pair count the old (lang, source)-only blocking
+    suffered — stays bounded as the corpus grows.  The O(n·m) DP runs
+    ONLY on pairs surviving the length gate, and the length cap keeps
+    each DP bounded."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("n_chars") <= 220)
         .select("doc_id", "lang", "source", "n_chars", "text")
+        .withColumn("len_bucket", F.floor(F.col("n_chars") / 60))
     )
-    a = d.alias("a")
+    a = d.withColumn(
+        "jb",
+        F.explode(
+            F.array(
+                F.col("len_bucket") - 1,
+                F.col("len_bucket"),
+                F.col("len_bucket") + 1,
+            )
+        ),
+    ).alias("a")
     b = d.alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.jb") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 60),
     )
+    # The DP stage is compute-bound on rows AQE sees as tiny, so AQE
+    # coalesces it onto one task and serializes the work; the explicit
+    # repartition spreads the DP across the cluster.  levenshtein's
+    # 3-arg banded form stops each DP early once the running distance
+    # exceeds the threshold (returns -1), roughly halving cell work vs
+    # the full O(n*m) table.
     return (
         pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text"))
+            F.col("a.text").alias("ta"),
+            F.col("b.text").alias("tb"),
+        )
+        .repartition(
+            # explicit count: a bare column-repartition is still subject
+            # to AQE coalescing, which is exactly the behavior to avoid
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "doc_a",
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("levenshtein(ta, tb, 60)")
             .cast("bigint")
             .alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= 60)
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 60))
         .orderBy("doc_a", "doc_b")
     )
