@@ -46,7 +46,21 @@ def estimated_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def maybe_broadcast(df: DataFrame, bound_bytes: int | None = None) -> DataFrame:
+# (cache_key, bound-independent) -> estimated bytes.  Query functions are
+# re-invoked with freshly-built DataFrames every call (bench, tests, the
+# driver), and each estimate walks Catalyst analysis + optimization on the
+# driver — ~10-20 ms per hint site, ~0.2 s on multi-hint queries like q7.
+# The estimate is deterministic given the fixture dir + frame shape, so
+# call sites pass a stable (sf_dir, label) key and pay Catalyst once per
+# fixture.  The BOUND is re-read every call (still a live session knob).
+_EST_CACHE: dict[tuple, int | None] = {}
+
+
+def maybe_broadcast(
+    df: DataFrame,
+    bound_bytes: int | None = None,
+    cache_key: tuple | None = None,
+) -> DataFrame:
     """``F.broadcast(df)`` iff Catalyst estimates the frame under the
     bound; otherwise the frame unchanged (AQE picks the join strategy at
     runtime from ACTUAL sizes — which still broadcasts when the filtered
@@ -55,10 +69,20 @@ def maybe_broadcast(df: DataFrame, bound_bytes: int | None = None) -> DataFrame:
     Use for scaling tables hinted for bench-fixture speed (supplier and
     frames derived from it).  Schema-bounded dims (nation/region) and
     1-row stat frames keep their unconditional ``F.broadcast``.
+
+    ``cache_key``: a stable identity for the frame's size — conventionally
+    ``(sf_dir, label)`` — letting repeat invocations skip the per-call
+    Catalyst stats walk.  Keys must change when the underlying data can
+    (the fixture dir in the key covers that for this repo's layout).
     """
     if bound_bytes is None:
         bound_bytes = broadcast_bound_bytes(df.sparkSession)
-    est = estimated_size_bytes(df)
+    if cache_key is not None and cache_key in _EST_CACHE:
+        est = _EST_CACHE[cache_key]
+    else:
+        est = estimated_size_bytes(df)
+        if cache_key is not None:
+            _EST_CACHE[cache_key] = est
     if est is not None and est <= bound_bytes:
         return F.broadcast(df)
     return df

@@ -107,7 +107,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            maybe_broadcast(supp),
+            maybe_broadcast(supp, cache_key=(sf_dir, "supplier")),
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -204,7 +204,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
-        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(supp, cache_key=(sf_dir, "supplier")), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -243,7 +243,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(supp, cache_key=(sf_dir, "supplier")), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -476,7 +476,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("eur_suppkey"))
     )
     supply = (
-        li.join(maybe_broadcast(eur_keys), li.l_suppkey == F.col("eur_suppkey"))
+        li.join(maybe_broadcast(eur_keys, cache_key=(sf_dir, "q2_eur_suppkeys")), li.l_suppkey == F.col("eur_suppkey"))
         .groupBy(
             F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
         )
@@ -495,7 +495,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_out = load_table(spark, sf_dir, "nation")
     return (
         winners.join(part, F.col("partkey") == part.p_partkey)
-        .join(maybe_broadcast(supp_out), F.col("suppkey") == supp_out.s_suppkey)
+        .join(maybe_broadcast(supp_out, cache_key=(sf_dir, "supplier")), F.col("suppkey") == supp_out.s_suppkey)
         .join(F.broadcast(nation_out), supp_out.s_nationkey == nation_out.n_nationkey)
         .select(
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
@@ -597,7 +597,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cnat), cust.c_nationkey == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
-        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(supp, cache_key=(sf_dir, "supplier")), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(snat), supp.s_nationkey == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -711,7 +711,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(maybe_broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .join(maybe_broadcast(supp, cache_key=(sf_dir, "supplier")), F.col("suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
         .orderBy("s_suppkey")
     )
@@ -877,7 +877,7 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(maybe_broadcast(heavy), supp.s_suppkey == F.col("suppkey"), "left_semi")
+        .join(maybe_broadcast(heavy, cache_key=(sf_dir, "q20_heavy_suppkeys")), supp.s_suppkey == F.col("suppkey"), "left_semi")
         .select("s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
         .orderBy("s_suppkey")
     )
@@ -938,7 +938,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waiting.join(maybe_broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        waiting.join(maybe_broadcast(supp, cache_key=(sf_dir, "supplier")), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -201,7 +201,7 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(maybe_broadcast(sup, cache_key=(sf_dir, "supplier")), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -372,7 +372,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            maybe_broadcast(sup),
+            maybe_broadcast(sup, cache_key=(sf_dir, "supplier")),
             (sup.s_suppkey == li.l_suppkey) & (sup.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(nat), nat.n_nationkey == cust.c_nationkey)
