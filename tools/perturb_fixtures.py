@@ -113,7 +113,14 @@ _PERTURB_SQL: dict[str, str] = {
     """,
     "documents": """
         SELECT doc_id, text, lang, source,
-               CAST(length(text) AS BIGINT) AS n_chars
+               -- tier 6: n_chars-vs-text disagreement — the pristine
+               -- generator keeps n_chars = length(text), but queries must
+               -- stay ENGINE-CONSISTENT (Spark result == oracle result)
+               -- even when the two columns disagree, since both engines
+               -- read the same parquet
+               CASE WHEN doc_id % 137 = 0 THEN CAST(0 AS BIGINT)
+                    WHEN doc_id % 139 = 0 THEN CAST(length(text) + 7 AS BIGINT)
+                    ELSE CAST(length(text) AS BIGINT) END AS n_chars
         FROM (
           SELECT doc_id,
                  CASE
@@ -121,6 +128,13 @@ _PERTURB_SQL: dict[str, str] = {
                    WHEN doc_id % 97 = 0 THEN '  '
                    WHEN doc_id % 101 = 0
                      THEN 'naïve café über-σχῆμα 数据 déjà-vu ' || text
+                   -- short-document band (round-3 phantom-shingle bug
+                   -- class): zero-length at high density, sub-shingle
+                   -- lengths, and the 19-char boundary one below the
+                   -- 20-char shingle width
+                   WHEN doc_id % 47 = 0 THEN ''
+                   WHEN doc_id % 43 = 0 THEN substr(text, 1, 11)
+                   WHEN doc_id % 59 = 0 THEN substr(text, 1, 19)
                    ELSE text
                  END AS text,
                  CASE WHEN doc_id % 83 = 0 THEN NULL ELSE lang END AS lang,
