@@ -284,11 +284,11 @@ def perceptual_hash(media_df: DataFrame, codec: str = "fake") -> DataFrame:
 # ---------------------------------------------------------------------------
 # REAL codec paths (stdlib-parseable formats).  WAV (RIFF PCM, stdlib
 # `wave`), uncompressed 24-bit BMP (hand struct parse), and compressed
-# PNG (zlib inflate + all five scanline unfilters) need no codec
-# library, so these kernels do genuine format decoding — RIFF chunk walk,
-# DIB header fields, BMP row padding, PNG chunk CRCs — while
-# entropy-coded formats (JPEG/MP3/H.264) stay behind the
-# NotImplementedError sites above.
+# PNG (zlib inflate + all five scanline unfilters), and baseline JPEG
+# (canonical Huffman + dequantization + IDCT) need no codec library, so
+# these kernels do genuine format decoding — RIFF chunk walk, DIB header
+# fields, BMP row padding, PNG chunk CRCs, JPEG marker/bitstream walk —
+# while MP3/H.264 stay behind the NotImplementedError sites above.
 # ---------------------------------------------------------------------------
 
 WAV_META_SCHEMA = (
@@ -605,3 +605,264 @@ def decode_png_real(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media_df.select("doc_id", "payload").mapInPandas(kernel, PNG_META_SCHEMA)
+
+
+JPEG_META_SCHEMA = (
+    "doc_id long, width long, height long, n_blocks long, mean_gray long"
+)
+
+
+def decode_jpeg_real(media_df: DataFrame) -> DataFrame:
+    """REAL entropy-coded image decode in pure stdlib: baseline
+    sequential JPEG (ISO/IEC 10918-1) — marker walk, DQT/SOF0/DHT/SOS
+    parsing, canonical Huffman decode of the scan (byte-stuffing aware),
+    DC differential + category/extend decoding, run-length AC with
+    EOB/ZRL, dequantization in zigzag space, float 2-D IDCT, level
+    shift, and the pixel mean over the true image region.  Grayscale
+    (one component) without restart markers is supported — the
+    fixture's shape; progressive (SOF2), multi-component, or RSTn
+    streams raise."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        from .synth import JPEG_ZIGZAG
+
+        # IDCT basis matrix M[u, x] = C(u)/2 cos((2x+1) u pi / 16);
+        # spatial block = M.T @ F @ M (rows = y, cols = x)
+        basis = np.array(
+            [
+                [
+                    (math.sqrt(0.5) if u == 0 else 1.0)
+                    / 2.0
+                    * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+        unzig = np.array(JPEG_ZIGZAG)
+
+        def idct_block(coef_z: list[int], q: "np.ndarray") -> "np.ndarray":
+            """coef_z: the 64 quantized coefficients in zigzag order."""
+            dequant = np.asarray(coef_z, dtype=np.float64) * q
+            F = np.zeros(64)
+            F[unzig] = dequant
+            spatial = basis.T @ F.reshape(8, 8) @ basis
+            px = np.floor(spatial + 128.5).astype(np.int64)  # round + shift
+            return np.clip(px, 0, 255)
+
+        def build_huffman(counts: bytes, symbols: bytes) -> dict:
+            table, code, k = {}, 0, 0
+            for length in range(1, 17):
+                for _ in range(counts[length - 1]):
+                    table[(length, code)] = symbols[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        class BitReader:
+            def __init__(self, data: bytes):
+                self.data = data
+                self.pos = 0
+                self.acc = 0
+                self.nbits = 0
+
+            def bit(self) -> int:
+                if not self.nbits:
+                    if self.pos >= len(self.data):
+                        raise ValueError("entropy stream truncated")
+                    self.acc = self.data[self.pos]
+                    self.pos += 1
+                    self.nbits = 8
+                self.nbits -= 1
+                return (self.acc >> self.nbits) & 1
+
+            def bits(self, n: int) -> int:
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | self.bit()
+                return v
+
+            def huff(self, table: dict) -> int:
+                length, code = 0, 0
+                while length < 16:
+                    code = (code << 1) | self.bit()
+                    length += 1
+                    sym = table.get((length, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("invalid Huffman code in scan")
+
+        def extend(bits: int, size: int) -> int:
+            # JPEG "extend": a size-bit field with MSB 0 encodes a
+            # negative value bits - (2^size - 1)
+            if size == 0:
+                return 0
+            return bits if bits >> (size - 1) else bits - ((1 << size) - 1)
+
+        def decode_one(doc_id: int, raw: bytes):
+            if raw[:2] != b"\xff\xd8":
+                raise ValueError(f"doc {doc_id}: missing SOI")
+            pos = 2
+            quant: dict[int, list[int]] = {}
+            huff_dc: dict[int, dict] = {}
+            huff_ac: dict[int, dict] = {}
+            sof = None
+            comp_spec = None
+            while pos < len(raw):
+                if raw[pos] != 0xFF:
+                    raise ValueError(f"doc {doc_id}: marker sync lost")
+                marker = raw[pos + 1]
+                if marker == 0xD9:  # EOI with no scan
+                    raise ValueError(f"doc {doc_id}: no scan data")
+                (seg_len,) = struct.unpack_from(">H", raw, pos + 2)
+                data = raw[pos + 4 : pos + 2 + seg_len]
+                if marker == 0xDB:  # DQT
+                    p = 0
+                    while p < len(data):
+                        pq, tq = data[p] >> 4, data[p] & 15
+                        if pq != 0:
+                            raise ValueError(f"doc {doc_id}: 16-bit DQT")
+                        quant[tq] = list(data[p + 1 : p + 65])
+                        p += 65
+                elif marker == 0xC0:  # SOF0 baseline
+                    precision, h, w_, nc = struct.unpack_from(">BHHB", data, 0)
+                    if precision != 8 or nc != 1:
+                        raise ValueError(
+                            f"doc {doc_id}: only 8-bit grayscale supported"
+                        )
+                    comp_spec = (data[6], data[7], data[8])  # id, sampling, tq
+                    if comp_spec[1] != 0x11:
+                        raise ValueError(f"doc {doc_id}: subsampling unsupported")
+                    sof = (w_, h)
+                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+                    raise ValueError(f"doc {doc_id}: non-baseline SOF {marker:x}")
+                elif marker == 0xC4:  # DHT
+                    p = 0
+                    while p < len(data):
+                        tc, th = data[p] >> 4, data[p] & 15
+                        counts = data[p + 1 : p + 17]
+                        nsym = sum(counts)
+                        symbols = data[p + 17 : p + 17 + nsym]
+                        (huff_dc if tc == 0 else huff_ac)[th] = build_huffman(
+                            counts, symbols
+                        )
+                        p += 17 + nsym
+                elif marker == 0xDD:
+                    raise ValueError(f"doc {doc_id}: restart markers unsupported")
+                elif marker == 0xDA:  # SOS: entropy data follows
+                    td, ta = data[2] >> 4, data[2] & 15
+                    pos += 2 + seg_len
+                    break
+                pos += 2 + seg_len
+            else:
+                raise ValueError(f"doc {doc_id}: no SOS marker")
+            if sof is None or comp_spec is None:
+                raise ValueError(f"doc {doc_id}: missing SOF before SOS")
+            width, height = sof
+            q = quant[comp_spec[2]]
+            # de-stuff the scan: FF00 -> FF; any other FFxx is a marker
+            body = bytearray()
+            p = pos
+            while p < len(raw):
+                byte = raw[p]
+                if byte == 0xFF:
+                    nxt = raw[p + 1] if p + 1 < len(raw) else None
+                    if nxt == 0x00:
+                        body.append(0xFF)
+                        p += 2
+                        continue
+                    if nxt == 0xD9:
+                        break
+                    raise ValueError(f"doc {doc_id}: unexpected marker in scan")
+                body.append(byte)
+                p += 1
+            else:
+                raise ValueError(f"doc {doc_id}: missing EOI")
+            reader = BitReader(bytes(body))
+            bx = (width + 7) // 8
+            by = (height + 7) // 8
+            pred = 0
+            dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
+            qv = np.asarray(q, dtype=np.float64)
+            image = np.zeros((by * 8, bx * 8), dtype=np.int64)
+            for bj in range(by):
+                for bi in range(bx):
+                    size = reader.huff(dc_tab)
+                    diff = extend(reader.bits(size), size)
+                    pred += diff
+                    coef_z = [0] * 64
+                    coef_z[0] = pred
+                    k = 0
+                    any_ac = False
+                    while k < 63:
+                        sym = reader.huff(ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size_ac = sym >> 4, sym & 15
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += run + 1
+                        if k > 63:
+                            raise ValueError(f"doc {doc_id}: AC index overflow")
+                        coef_z[k] = extend(reader.bits(size_ac), size_ac)
+                        any_ac = True
+                    if any_ac:
+                        block = idct_block(coef_z, qv)
+                    else:
+                        # DC-only block is constant — the sparse shortcut
+                        # every real decoder takes; F(0,0)/8 + 128 exactly
+                        val = int(
+                            math.floor(coef_z[0] * q[0] / 8.0 + 128.5)
+                        )
+                        block = np.full((8, 8), max(0, min(255, val)))
+                    image[bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8] = block
+            # mean over the true image region only (crop block padding)
+            total = int(image[:height, :width].sum())
+            return width, height, bx * by, total // (width * height)
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height", "n_blocks", "mean_gray",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                w_, h_, nb, mean = decode_one(int(doc_id), bytes(b))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w_)
+                out["height"].append(h_)
+                out["n_blocks"].append(nb)
+                out["mean_gray"].append(mean)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(kernel, JPEG_META_SCHEMA)
+
+
+def synthesize_jpeg(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a REAL entropy-coded baseline JPEG
+    payload (DC differential Huffman coding, byte stuffing, CRC-free
+    marker framing per the spec)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_jpeg_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [make_jpeg_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )

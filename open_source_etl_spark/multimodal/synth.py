@@ -151,3 +151,136 @@ def make_png_bytes(doc_id: int) -> bytes:
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def jpeg_params(doc_id: int) -> tuple[int, int, int]:
+    """(blocks_x, blocks_y, base) for the block-gradient JPEG fixture.
+    Block k (raster order) is the constant value base + k; with dims a
+    multiple of 8 and Q[DC] = 8 the decode is EXACT (see
+    make_jpeg_bytes), so the pixel mean has the closed form
+    base + (n_blocks - 1) // 2 a SQL oracle can state."""
+    blocks_x = 2 + doc_id % 4
+    blocks_y = 1 + doc_id % 3
+    base = (doc_id * 5) % 150  # + at most 14 keeps every value < 255
+    return blocks_x, blocks_y, base
+
+
+# JPEG zigzag order: zigzag index -> natural (row*8+col) index (ISO/IEC
+# 10918-1 Figure 5).  Shared by the encoder (DQT emission) and decoder
+# (coefficient placement).
+JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Canonical Huffman spec for the fixture scan: DC symbols are the 12
+# JPEG size categories, all at code length 4 (12 of 16 codes used, the
+# all-ones code left free); AC has the single symbol EOB at length 2.
+JPEG_DC_COUNTS = bytes(16 * [0])[:3] + bytes([12]) + bytes(12 * [0])
+JPEG_DC_SYMBOLS = bytes(range(12))
+JPEG_AC_COUNTS = bytes([0, 1]) + bytes(14 * [0])
+JPEG_AC_SYMBOLS = bytes([0x00])
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (a 0x00 is
+    inserted after every emitted 0xFF so entropy data can't alias a
+    marker)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._nbits += 1
+            if self._nbits == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc = 0
+                self._nbits = 0
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # 1-padding per the spec
+        return bytes(self.out)
+
+
+def _canonical_codes(counts: bytes, symbols: bytes) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the JPEG canonical assignment
+    (Annex C): codes of each length are consecutive, doubling at each
+    length step."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def make_jpeg_bytes(doc_id: int) -> bytes:
+    """Real baseline-sequential JPEG (ISO/IEC 10918-1): 8-bit grayscale,
+    one DQT (Q[DC] = 8, ACs unused), SOF0, custom canonical DHTs, and an
+    entropy-coded scan with DC differential coding, category/extend bit
+    packing, EOB per block, byte stuffing, and 1-padding.
+
+    Each 8x8 block is the constant base + k, so every DCT has a single
+    nonzero coefficient F(0,0) = 8*(v - 128); quantizing by Q[DC] = 8
+    stores v - 128 exactly and the decode round-trips losslessly — the
+    ground truth stays integer-exact while the DC Huffman path does real
+    work (the first block's diff spans categories up to 8; later diffs
+    are +1, category 1)."""
+    blocks_x, blocks_y, base = jpeg_params(doc_id)
+    width, height = 8 * blocks_x, 8 * blocks_y
+
+    quant = bytearray(64)
+    quant[0] = 8  # zigzag 0 = DC; stored in zigzag order per the spec
+    for i in range(1, 64):
+        quant[i] = 16
+
+    dc_codes = _canonical_codes(JPEG_DC_COUNTS, JPEG_DC_SYMBOLS)
+    ac_codes = _canonical_codes(JPEG_AC_COUNTS, JPEG_AC_SYMBOLS)
+
+    w = _BitWriter()
+    pred = 0
+    for k in range(blocks_x * blocks_y):
+        dc = (base + k) - 128  # quantized DC = v - 128 exactly (Q=8)
+        diff = dc - pred
+        pred = dc
+        size = diff.bit_length() if diff else 0  # |diff| fits category
+        if diff < 0:
+            size = (-diff).bit_length()
+        code, length = dc_codes[size]
+        w.write(code, length)
+        if size:
+            bits = diff if diff >= 0 else diff + (1 << size) - 1
+            w.write(bits & ((1 << size) - 1), size)
+        code, length = ac_codes[0x00]  # EOB: all 63 ACs are zero
+        w.write(code, length)
+    scan = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFDB, bytes([0x00]) + bytes(quant))  # DQT: 8-bit table 0
+        + seg(  # SOF0: baseline, 8-bit, 1 component, no subsampling
+            0xFFC0,
+            struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+        )
+        + seg(0xFFC4, bytes([0x00]) + JPEG_DC_COUNTS + JPEG_DC_SYMBOLS)
+        + seg(0xFFC4, bytes([0x10]) + JPEG_AC_COUNTS + JPEG_AC_SYMBOLS)
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+        + scan
+        + b"\xff\xd9"  # EOI
+    )

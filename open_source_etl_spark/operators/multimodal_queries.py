@@ -397,9 +397,44 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed codec to move OUT from behind the NotImplementedError
     sites.  The oracle predicts geometry and exact channel means from the
     generation formulas; Spark earns them by reconstructing actual
-    pixels (a wrong unfilter implementation shifts every mean).
-    Entropy-coded formats (JPEG/MP3) remain declared stubs."""
+    pixels (a wrong unfilter implementation shifts every mean)."""
     from ..multimodal.decode import decode_png_real, synthesize_png
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_png_real(synthesize_png(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_jpeg_decode",
+    # formulas mirror synth.jpeg_params: dims are 8*blocks, block k is
+    # the constant base+k so the exact decoded mean is base+(n-1)//2;
+    # payload length is NOT emitted — the Huffman scan's length is not a
+    # closed-form function of doc_id (that is what makes this a real
+    # entropy-coded decode)
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(8 * (2 + doc_id % 4) AS BIGINT) AS width,
+      CAST(8 * (1 + doc_id % 3) AS BIGINT) AS height,
+      CAST((2 + doc_id % 4) * (1 + doc_id % 3) AS BIGINT) AS n_blocks,
+      CAST((doc_id * 5) % 150
+           + ((2 + doc_id % 4) * (1 + doc_id % 3) - 1) // 2 AS BIGINT)
+        AS mean_gray
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-coded image decode in pure stdlib: spec-compliant
+    baseline JPEGs (DC differential Huffman coding, category/extend bit
+    packing, EOB-coded AC runs, byte stuffing) parsed back by marker
+    walk + canonical Huffman decode + dequantization + IDCT — the
+    second compressed codec out from behind the NotImplementedError
+    sites (PNG was first).  The oracle predicts geometry, block count,
+    and the exact pixel mean from the generation formulas; Spark earns
+    them by decoding the bitstream (a wrong Huffman table, extend sign,
+    or IDCT scale shifts every mean).  MP3 remains a declared stub."""
+    from ..multimodal.decode import decode_jpeg_real, synthesize_jpeg
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_real(synthesize_jpeg(docs)).orderBy("doc_id")
