@@ -903,3 +903,123 @@ def datapipe_c4_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             | F.col("no_stopword")
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "datapipe_epoch_mixture",
+    oracle="""
+    WITH avail AS (
+      SELECT source,
+             CAST((CAST(SUBSTR(source, 4) AS INTEGER) % 5) + 1 AS BIGINT)
+               AS weight,
+             CAST(SUM(n_chars) // 4 AS BIGINT) AS available_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(weight) AS wsum FROM avail)
+    SELECT source, weight, available_tokens,
+           CAST((1000000 * weight) // wsum AS BIGINT) AS target_tokens,
+           CAST(CASE WHEN available_tokens = 0 THEN 0
+                ELSE ((1000000 * weight) // wsum + available_tokens - 1)
+                     // available_tokens END AS BIGINT) AS n_epochs,
+           CAST(CASE WHEN available_tokens = 0 THEN 0
+                ELSE (1000000 * weight) // wsum
+                     - (((1000000 * weight) // wsum + available_tokens - 1)
+                        // available_tokens - 1) * available_tokens
+                END AS BIGINT) AS last_epoch_tokens
+    FROM avail, tot
+    ORDER BY source
+    """,
+)
+def datapipe_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixture schedule: given per-source mixture weights
+    and a total token budget, compute how many EPOCHS of each source
+    the training run needs (repeat factor) and how many tokens the
+    final partial epoch draws — the Llama-style data-recipe arithmetic
+    that turns "sample src3 at 2x weight" into a concrete repeat plan
+    when a source has fewer tokens than its target share.
+
+    All integer arithmetic (floor-div token estimate at 4 chars/token,
+    ceil-div epochs), so both engines agree bit-for-bit.  One
+    groupBy(source) — a bounded-cardinality agg with map-side partials;
+    the weight is a pure function of the source name, so the whole plan
+    derives from one scan at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    budget = F.lit(1000000)
+    avail = docs.groupBy("source").agg(
+        ((F.substring("source", 4, 10).cast("int") % 5) + 1)
+        .cast("bigint")
+        .alias("weight"),
+        F.floor(F.sum("n_chars") / 4).cast("bigint").alias("available_tokens"),
+    )
+    wsum = avail.agg(F.sum("weight").alias("wsum"))
+    target = F.floor(budget * F.col("weight") / F.col("wsum")).cast("bigint")
+    epochs = F.when(F.col("available_tokens") == 0, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("target_tokens") + F.col("available_tokens") - 1)
+            / F.col("available_tokens")
+        )
+    ).cast("bigint")
+    return (
+        avail.crossJoin(F.broadcast(wsum))
+        .withColumn("target_tokens", target)
+        .withColumn("n_epochs", epochs)
+        .withColumn(
+            "last_epoch_tokens",
+            F.when(F.col("available_tokens") == 0, F.lit(0))
+            .otherwise(
+                F.col("target_tokens")
+                - (F.col("n_epochs") - 1) * F.col("available_tokens")
+            )
+            .cast("bigint"),
+        )
+        .select(
+            "source", "weight", "available_tokens", "target_tokens",
+            "n_epochs", "last_epoch_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "datapipe_bpe_merge_step",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2)))
+        AS pair
+      FROM words WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def datapipe_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge iteration, distributed: count every
+    adjacent character pair inside every word across the corpus and
+    rank the top candidates — the inner loop of byte-pair-encoding
+    vocabulary training (the winning pair becomes the next merge rule).
+
+    Pure codegen: split → explode words → per-word pair explode (the
+    sequence generator is start ≤ stop by the len ≥ 2 guard) → one
+    hash-partitioned count.  Pair cardinality is bounded by the
+    alphabet squared, so the aggregation state is tiny no matter the
+    corpus size; map-side partial aggregation does almost all the work
+    and the shuffle carries only (pair, count) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

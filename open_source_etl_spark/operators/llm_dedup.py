@@ -705,3 +705,45 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 60))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_incremental_against_corpus",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+      SELECT doc_id, source, sha256(text) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT b.doc_id, b.source
+    FROM batch b ANTI JOIN corpus c ON b.h = c.h
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_incremental_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup: an incoming batch (doc_id % 3 = 0 stands in
+    for the new crawl drop) anti-joined against the content hashes of
+    the EXISTING corpus — the "don't re-ingest what we already have"
+    pass that runs on every refresh, distinct from within-corpus dedup
+    (dedup_exact).
+
+    The corpus side reduces to distinct 32-byte hashes before the join
+    (never the text), so the shuffled build side is hashes only; the
+    anti join hash-partitions on the digest, which is uniform by
+    construction — no skew, one shuffle each side, and at 100 TB the
+    corpus hash set is the small persistent artifact an incremental
+    pipeline would keep materialized."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    corpus = (
+        docs.filter(F.col("doc_id") % 3 != 0).select(h.alias("h")).distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", h.alias("h")
+    )
+    return (
+        batch.join(corpus, "h", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

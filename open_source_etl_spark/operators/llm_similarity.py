@@ -633,3 +633,63 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark_rows = [(i, round(float(v[i]), 6)) for i in range(8)]
     out = spark.createDataFrame(spark_rows, "dim int, component double")
     return out.withColumn("eigenvalue", F.round(F.lit(float(ray)), 4)).orderBy("dim")
+
+
+@query(
+    "ann_topk_multiquery",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS o
+      FROM embeddings WHERE vec_id % 97 = 0 AND len(embedding) > 0
+    ), c AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS o
+      FROM embeddings WHERE vec_id % 97 <> 0 AND len(embedding) > 0
+    ), s AS (
+      SELECT q.qid, c.vec_id,
+             ROUND(SUM(CAST(c.v AS DOUBLE) * CAST(q.v AS DOUBLE)), 6)
+               AS cosine_sim
+      FROM c JOIN q ON c.o = q.o
+      GROUP BY q.qid, c.vec_id
+    )
+    SELECT qid AS query_id, vec_id, cosine_sim, rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine_sim DESC, vec_id
+      ) AS rk FROM s
+    )
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def ann_topk_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact top-k: EVERY query vector (vec_id % 97 = 0) against
+    the corpus in one pass — the evaluation-harness shape (recall@k
+    needs exact neighbors for a query batch, not one probe).
+
+    The query batch broadcasts (it is small by construction — eval sets
+    are), the corpus streams map-side through a codegen dot product per
+    (row, query), and the only shuffle is the per-query top-k window on
+    query_id.  At 100 TB the corpus side never shuffles; a query batch
+    too big to broadcast degrades to a shuffle join, not an OOM.  Ranks
+    are computed on the ROUNDED similarity in both engines so
+    float-associativity noise cannot flip an order."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
+    qs = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0).select("vec_id", "embedding")
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        F.round(dot("embedding", "qv"), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    )

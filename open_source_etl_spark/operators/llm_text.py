@@ -700,3 +700,80 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_domain_blocklist",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             'cdn' || CAST(doc_id % 7 AS VARCHAR)
+               || '.site' || CAST(doc_id % 23 AS VARCHAR)
+               || CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                                  WHEN 2 THEN '.net' ELSE '.io' END AS host
+      FROM documents
+    ), bl(s) AS (
+      VALUES ('site3.org'), ('site5.com'), ('cdn2.site7.net'), ('site19.io')
+    ), suf AS (
+      SELECT doc_id, host,
+             list_transform(range(1, len(string_split(host, '.'))),
+               i -> array_to_string(
+                 list_slice(string_split(host, '.'), i,
+                            len(string_split(host, '.'))), '.')) AS chain
+      FROM d
+    ), bll AS (SELECT list(s) AS ss FROM bl)
+    SELECT doc_id, host,
+           len(list_intersect(chain, ss)) > 0 AS blocked
+    FROM suf, bll
+    ORDER BY doc_id
+    """,
+)
+def text_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering with SUFFIX-CHAIN matching: a host is
+    blocked if the blocklist contains the host itself or any registrable
+    suffix of it (sub.cdn2.site7.net matches a cdn2.site7.net entry) —
+    the URL-filtering pass every web-corpus pipeline runs (hosts are
+    synthesized deterministically from doc_id; the fixture has no URL
+    column).
+
+    Scale shape: each host explodes into its ≤ L suffixes (L = label
+    count, bounded by hostname syntax) and equi-joins the blocklist on
+    the suffix — a broadcast/shuffle HASH join independent of blocklist
+    size, instead of the O(rows × blocklist) LIKE-scan a naive filter
+    runs.  The left join + max-aggregation keeps unblocked hosts in the
+    output with blocked = false, so the pass is auditable (firing rates
+    per rule) rather than silently dropping rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("cdn"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".site"), (F.col("doc_id") % 23).cast("string"),
+        F.element_at(
+            F.array(F.lit(".com"), F.lit(".org"), F.lit(".net"), F.lit(".io")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+    )
+    # JVM-side literal relation (createDataFrame would round-trip a
+    # Python RDD for four rows)
+    blocklist = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.lit("site3.org"), F.lit("site5.com"),
+                F.lit("cdn2.site7.net"), F.lit("site19.io"),
+            )
+        ).alias("s")
+    )
+    hosts = docs.select("doc_id", host.alias("host")).withColumn(
+        "chain",
+        F.expr(
+            "transform(sequence(1, size(split(host, '\\\\.')) - 1), "
+            "i -> array_join(slice(split(host, '\\\\.'), i, "
+            "size(split(host, '\\\\.')) - i + 1), '.'))"
+        ),
+    )
+    exploded = hosts.select("doc_id", "host", F.explode("chain").alias("suffix"))
+    return (
+        exploded.join(F.broadcast(blocklist), exploded.suffix == blocklist.s, "left")
+        .groupBy("doc_id", "host")
+        .agg(F.max(F.col("s").isNotNull()).alias("blocked"))
+        .orderBy("doc_id")
+    )
