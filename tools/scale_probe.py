@@ -211,8 +211,147 @@ def iterative_main() -> None:
         print(f"{op}: OVERALL {n1:,} -> {n2:,} (100x): alpha = {alpha:.2f}", flush=True)
 
 
+
+
+def pairs_main() -> None:
+    """Candidate-pair growth probe for the Levenshtein dedup blocking
+    (`python tools/scale_probe.py pairs [mults]`): replicate the
+    document corpus N x with doc_id offsets (same length distribution —
+    the quantity under test is ENUMERATION growth, not dup semantics)
+    and count the candidate pairs each blocking scheme feeds the DP:
+
+    - old: (lang, source) blocks + |delta n_chars| residual — block size
+      grows linearly with the corpus, so pairs grow quadratically;
+    - new: (lang, source, floor(n_chars/60)) equi-key with the
+      3-adjacent-bucket explode — pair growth tracks the per-bucket
+      density, the shape that holds when a real corpus's length
+      distribution spreads over thousands of buckets.
+    """
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from open_source_etl_spark.conf import EngineConfig
+    from open_source_etl_spark.session import build_session
+
+    mults = [int(m) for m in (sys.argv[2:] or ["1", "5", "25"])]
+    spark = build_session(EngineConfig(master="local[32]", shuffle_partitions=32))
+    spark.sparkContext.setLogLevel("ERROR")
+    base = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .filter(F.col("n_chars") <= 220)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    n_base = base.count()
+    for mult in mults:
+        d = base
+        if mult > 1:
+            d = base.withColumn(
+                "copy", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
+            ).select(
+                (F.col("doc_id") + F.col("copy") * 10_000_000).alias("doc_id"),
+                "lang", "source", "n_chars",
+            )
+        d = d.withColumn("len_bucket", F.floor(F.col("n_chars") / 60))
+        a_old, b_old = d.alias("a"), d.alias("b")
+        old_pairs = a_old.join(
+            b_old,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 60),
+        ).count()
+        a_new = d.withColumn(
+            "jb",
+            F.explode(
+                F.array(
+                    F.col("len_bucket") - 1,
+                    F.col("len_bucket"),
+                    F.col("len_bucket") + 1,
+                )
+            ),
+        ).alias("a")
+        new_pairs = a_new.join(
+            d.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.jb") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 60),
+        ).count()
+        # join-candidate volume BEFORE residual filters = what each plan
+        # actually streams through the probe side
+        old_cand = a_old.join(
+            b_old,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source")),
+        ).count()
+        new_cand = a_new.join(
+            d.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.jb") == F.col("b.len_bucket")),
+        ).count()
+        print(
+            f"mult={mult} docs={n_base * mult:,} "
+            f"equi-candidates old={old_cand:,} new={new_cand:,} "
+            f"(ratio {old_cand / max(new_cand, 1):.1f}x) "
+            f"DP-surviving old={old_pairs:,} new={new_pairs:,}",
+            flush=True,
+        )
+
+    # the fixture caps n_chars at 220 (4 buckets), which understates the
+    # bucketing win; a real crawl corpus spreads lengths over thousands
+    # of buckets.  Re-run the largest mult with a synthetic WIDE length
+    # distribution (uniform-ish 0..4000 — 67 buckets) to measure the
+    # shape that actually holds at 100 TB.
+    mult = mults[-1]
+    d = base.select("doc_id", "lang", "source")
+    if mult > 1:
+        d = d.withColumn(
+            "copy", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
+        ).select(
+            (F.col("doc_id") + F.col("copy") * 10_000_000).alias("doc_id"),
+            "lang", "source",
+        )
+    d = d.withColumn("n_chars", (F.col("doc_id") * 37) % 4000).withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 60)
+    )
+    a_old, b_old = d.alias("a"), d.alias("b")
+    old_cand = a_old.join(
+        b_old,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source")),
+    ).count()
+    a_new = d.withColumn(
+        "jb",
+        F.explode(
+            F.array(
+                F.col("len_bucket") - 1,
+                F.col("len_bucket"),
+                F.col("len_bucket") + 1,
+            )
+        ),
+    ).alias("a")
+    new_cand = a_new.join(
+        d.alias("b"),
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.jb") == F.col("b.len_bucket")),
+    ).count()
+    print(
+        f"WIDE-length mult={mult} docs={n_base * mult:,} "
+        f"equi-candidates old={old_cand:,} new={new_cand:,} "
+        f"(ratio {old_cand / max(new_cand, 1):.1f}x)",
+        flush=True,
+    )
+
+
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "iterative":
         iterative_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "pairs":
+        pairs_main()
     else:
         main()
