@@ -106,6 +106,7 @@ class PlanFacts:
     broadcast_joins: int = 0
     exchanges: int = 0
     python_stages: int = 0
+    plan: str = ""  # full formatted plan, for ad-hoc node assertions
 
 
 def plan_audit(name: str, df: DataFrame) -> PlanFacts:
@@ -118,4 +119,5 @@ def plan_audit(name: str, df: DataFrame) -> PlanFacts:
         broadcast_joins=broadcast_join_count(df),
         exchanges=exchange_count(df),
         python_stages=python_stage_count(df),
+        plan=formatted_plan(df),
     )

@@ -225,3 +225,53 @@ def test_running_distinct_keeps_no_sets_in_window_state(spark, sf_dir):
     assert "collect_set" not in plan
     assert "collect_list" not in plan
     assert "array_distinct" not in plan
+
+
+def test_blocklist_matches_via_hash_join_not_like_scan(audit):
+    """text_domain_blocklist's suffix-chain match must be a BROADCAST
+    HASH join on the exploded suffix (independent of blocklist size) —
+    not a nested-loop LIKE scan, and no Python stage anywhere."""
+    facts = audit("text_domain_blocklist")
+    assert facts.broadcast_joins >= 1, facts.plan[:800]
+    assert "BroadcastNestedLoopJoin" not in facts.plan
+    assert facts.python_stages == 0
+
+
+def test_topk_multiquery_corpus_never_shuffles_prejoin(audit):
+    """ann_topk_multiquery: the query batch broadcasts; the corpus scan
+    reaches the join without a shuffle (the only exchanges are the
+    top-k window on query_id and presentation)."""
+    facts = audit("ann_topk_multiquery")
+    # a broadcast cross join lowers to BroadcastNestedLoopJoin — that IS
+    # the intended plan (every corpus row scores every query); what must
+    # never appear is a non-broadcast cartesian or a corpus-side shuffle
+    # join
+    assert "BroadcastExchange" in facts.plan, facts.plan[:800]
+    assert "CartesianProduct" not in facts.plan
+    assert "SortMergeJoin" not in facts.plan
+    assert facts.python_stages == 0
+
+
+def test_incremental_dedup_shuffles_digests_not_text(audit):
+    """dedup_incremental_against_corpus: the anti join must be a HASH
+    join keyed on the digest (uniform keys), and the corpus side must
+    not carry the text column through its exchange — only doc_id/source
+    on the batch side and the 32-byte hash on both."""
+    facts = audit("dedup_incremental_against_corpus")
+    assert "BroadcastNestedLoopJoin" not in facts.plan
+    assert facts.python_stages == 0
+    # the join's build side projects the digest only: no `text` column
+    # may appear in any exchange's output schema
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", facts.plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_bpe_merge_aggregation_is_partial_then_final(audit):
+    """datapipe_bpe_merge_step: the pair count must run as partial
+    (map-side) then final HashAggregate — the shuffle carries (pair,
+    count) rows, bounded by alphabet², not the exploded pair stream."""
+    facts = audit("datapipe_bpe_merge_step")
+    assert facts.plan.count("HashAggregate") >= 2, facts.plan[:800]
+    assert facts.python_stages == 0
