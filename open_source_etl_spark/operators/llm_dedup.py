@@ -747,3 +747,64 @@ def dedup_incremental_against_corpus(spark: SparkSession, sf_dir: str) -> DataFr
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS h,
+             CAST(n_chars AS BIGINT)
+               - 5 * (len(text) - len(replace(text, '  ', ''))) AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY h ORDER BY quality DESC, doc_id
+      ) AS rk, COUNT(*) OVER (PARTITION BY h) AS n_members
+      FROM scored
+    )
+    SELECT h AS cluster_hash, doc_id AS canonical_doc,
+           CAST(quality AS BIGINT) AS quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked
+    WHERE rk = 1 AND n_members > 1
+    ORDER BY cluster_hash
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection WITHIN dup clusters by QUALITY, not
+    by arrival order: normalized-text clusters keep the member with the
+    best quality score (longest content, penalized for double-space
+    noise), tie-broken by doc_id — the curation step after any dedup
+    pass decides which copy survives (min-doc_id canonicalization, as
+    in dedup_exact, keeps whichever copy crawled first; real pipelines
+    keep the cleanest).
+
+    One window over the cluster hash: rank-by-quality and member count
+    share the single hash-partitioned sort, so the whole selection is
+    one shuffle keyed by a uniform 128-bit hash — no skew, no second
+    pass, and the per-cluster state is O(1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.regexp_replace("text", " +", " "))))
+    quality = (
+        F.col("n_chars").cast("bigint")
+        - 5 * (F.length("text") - F.length(F.regexp_replace("text", "  ", "")))
+    )
+    w = Window.partitionBy("h").orderBy(F.col("quality").desc(), "doc_id")
+    wc = Window.partitionBy("h")
+    return (
+        docs.select(
+            "doc_id", "source", h.alias("h"), quality.alias("quality")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter((F.col("rk") == 1) & (F.col("n_members") > 1))
+        .select(
+            F.col("h").alias("cluster_hash"),
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("quality").cast("bigint").alias("quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy("cluster_hash")
+    )

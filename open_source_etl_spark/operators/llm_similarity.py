@@ -693,3 +693,97 @@ def ann_topk_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("query_id", "rk")
     )
+
+
+@query(
+    "embed_prefix_topk_overlap",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id % 97 = 0 AND len(embedding) >= 16
+    ), c AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 97 <> 0 AND len(embedding) >= 16
+    ), qx AS (
+      SELECT qid, unnest(qv) AS v, generate_subscripts(qv, 1) AS o FROM q
+    ), cx AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS o FROM c
+    ), full_ex AS (
+      SELECT qx.qid, cx.vec_id,
+             ROUND(SUM(CAST(cx.v AS DOUBLE) * CAST(qx.v AS DOUBLE)), 6) AS sim
+      FROM cx JOIN qx ON cx.o = qx.o
+      GROUP BY qx.qid, cx.vec_id
+    ), pref_ex AS (
+      SELECT qx.qid, cx.vec_id,
+             ROUND(SUM(CAST(cx.v AS DOUBLE) * CAST(qx.v AS DOUBLE)), 6) AS sim
+      FROM cx JOIN qx ON cx.o = qx.o AND cx.o <= 16 AND qx.o <= 16
+      GROUP BY qx.qid, cx.vec_id
+    ), full_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (
+          PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM full_ex
+      ) WHERE rk <= 5
+    ), pref_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (
+          PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM pref_ex
+      ) WHERE rk <= 5
+    )
+    SELECT f.qid AS query_id,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_overlap
+    FROM full_top f LEFT JOIN pref_top p
+      ON f.qid = p.qid AND f.vec_id = p.vec_id
+    GROUP BY f.qid
+    ORDER BY query_id
+    """,
+)
+def embed_prefix_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix evaluation: how many of each query's
+    exact top-5 neighbors (full 64-dim dot product) survive when
+    similarity uses only the FIRST 16 dimensions — the measurement that
+    decides whether a truncated-embedding index (cheap prefix filter,
+    full-dim re-rank) is viable for this embedding family.
+
+    Both rankings share one broadcast of the query batch; each is a
+    map-side scored scan plus a per-query top-k window, and the overlap
+    is a tiny top-k × top-k join.  The corpus is scanned twice rather
+    than cached — at 100 TB a re-scan is cheaper than materializing a
+    scored copy, and the two scans pipeline independently."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") >= 16)
+    qs = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0).select("vec_id", "embedding")
+
+    def topk(corpus_col, query_col):
+        scored = corpus.crossJoin(F.broadcast(qs)).select(
+            "qid",
+            "vec_id",
+            F.round(dot(corpus_col, query_col), 6).alias("sim"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("qid", "vec_id")
+        )
+
+    full_top = topk(F.col("embedding"), F.col("qv"))
+    pref_top = topk(
+        F.slice(F.col("embedding"), 1, 16), F.slice(F.col("qv"), 1, 16)
+    )
+    p = pref_top.select(
+        F.col("qid").alias("p_qid"), F.col("vec_id").alias("p_vec")
+    )
+    return (
+        full_top.join(
+            p,
+            (full_top.qid == p.p_qid) & (full_top.vec_id == p.p_vec),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("p_vec").cast("bigint").alias("n_overlap"))
+        .select(F.col("qid").alias("query_id"), "n_overlap")
+        .orderBy("query_id")
+    )
