@@ -754,7 +754,8 @@ def dedup_incremental_against_corpus(spark: SparkSession, sf_dir: str) -> DataFr
     oracle="""
     WITH scored AS (
       SELECT doc_id, source,
-             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS h,
+             md5(substr(lower(trim(regexp_replace(text, ' +', ' ', 'g'))),
+                        1, 40)) AS h,
              CAST(n_chars AS BIGINT)
                - 5 * (len(text) - len(replace(text, '  ', ''))) AS quality
       FROM documents
@@ -774,9 +775,10 @@ def dedup_incremental_against_corpus(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection WITHIN dup clusters by QUALITY, not
-    by arrival order: normalized-text clusters keep the member with the
-    best quality score (longest content, penalized for double-space
-    noise), tie-broken by doc_id — the curation step after any dedup
+    by arrival order: normalized-PREFIX clusters (the 40-char prefix
+    fingerprint groups boilerplate-headed copies that exact hashing
+    misses) keep the member with the best quality score (longest
+    content, penalized for double-space noise), tie-broken by doc_id — the curation step after any dedup
     pass decides which copy survives (min-doc_id canonicalization, as
     in dedup_exact, keeps whichever copy crawled first; real pipelines
     keep the cleanest).
@@ -786,7 +788,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle keyed by a uniform 128-bit hash — no skew, no second
     pass, and the per-cluster state is O(1)."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.lower(F.trim(F.regexp_replace("text", " +", " "))))
+    h = F.md5(
+        F.substring(F.lower(F.trim(F.regexp_replace("text", " +", " "))), 1, 40)
+    )
     quality = (
         F.col("n_chars").cast("bigint")
         - 5 * (F.length("text") - F.length(F.regexp_replace("text", "  ", "")))
