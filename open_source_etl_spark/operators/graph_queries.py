@@ -99,7 +99,43 @@ def pagerank(spark: SparkSession, edges: DataFrame, rounds: int = ROUNDS) -> Dat
     return ranks
 
 
-@query("graph_pagerank")
+@query(
+    "graph_pagerank",
+    # the 6-round synchronous fixpoint IS ANSI-expressible: a recursive
+    # CTE carries (iter, node, rank) and the recursive term is one
+    # round's contribution aggregation.  Both engines round to 8dp
+    # before the top-20 cut, so float-associativity noise (~1e-15 on
+    # ~25-term sums) cannot flip an order.
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      UNION
+      SELECT DISTINCT l.l_suppkey * 2 + 1, o.o_custkey * 2
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), wedges AS (
+      SELECT src, dst, 1.0 / (COUNT(*) OVER (PARTITION BY src)) AS w
+      FROM edges
+    ), nodes AS (SELECT DISTINCT src AS node FROM edges),
+    meta AS (SELECT COUNT(*) AS n FROM nodes),
+    pr AS (
+      SELECT 0 AS iter, node, 1.0 / (SELECT n FROM meta) AS rank FROM nodes
+      UNION ALL
+      SELECT p.iter + 1, w.dst AS node,
+             (0.15 / (SELECT n FROM meta)) + 0.85 * SUM(p.rank * w.w)
+      FROM pr p JOIN wedges w ON w.src = p.node
+      WHERE p.iter < 6
+      GROUP BY p.iter, w.dst
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(node // 2 AS BIGINT) AS key,
+           ROUND(rank, 8) AS rank
+    FROM pr WHERE iter = 6
+    ORDER BY rank DESC, node_type, key
+    LIMIT 20
+    """,
+)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite customer–supplier trade graph
     (undirected: an order lineitem links both ways), damping 0.85,
@@ -109,11 +145,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round: fold rank/out_degree into the edge, shuffle-join ranks
     on src, grouped-sum contributions on dst, add the teleport term.
     ``localCheckpoint`` after each round keeps the plan O(1) deep (the
-    same pattern as dedup_connected_components).  Rows-only for the
-    driver (iterative fixpoints have no ANSI-SQL twin); the result is
-    differentially checked against a dense numpy PageRank on the same
-    edges in ``tests/test_graph.py``, and mass conservation (ranks sum
-    to 1) is asserted there too.
+    same pattern as dedup_connected_components).  The FIXED-round
+    fixpoint has an exact ANSI twin — a recursive CTE whose recursive
+    term is one round's contribution aggregation — so this is a full
+    value-hash oracle check (upgraded from rows-only in round 4); the
+    result is additionally checked against a dense numpy PageRank on
+    the same edges in ``tests/test_graph.py``, with mass conservation
+    (ranks sum to 1) asserted there too.
 
     Output: top 20 nodes by rank (node_type, key, rank rounded to 8dp).
     """
