@@ -521,3 +521,122 @@ def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "timeseries_resample_interp",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    obs AS (  -- same deterministic outage rule as the LOCF query
+      SELECT * FROM daily WHERE dayofmonth(day) % 4 <> 1
+    ),
+    cal AS (
+      SELECT o.event_type,
+             CAST(unnest(generate_series(o.d0, o.d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+            FROM obs GROUP BY 1) o
+    ),
+    sp AS (
+      SELECT c.event_type, c.day, o.total_value,
+             last_value(o.total_value IGNORE NULLS) OVER (
+               PARTITION BY c.event_type ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN o.total_value IS NOT NULL THEN c.day END
+                        IGNORE NULLS) OVER (
+               PARTITION BY c.event_type ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(o.total_value IGNORE NULLS) OVER (
+               PARTITION BY c.event_type ORDER BY c.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN o.total_value IS NOT NULL THEN c.day END
+                         IGNORE NULLS) OVER (
+               PARTITION BY c.event_type ORDER BY c.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM cal c LEFT JOIN obs o
+        ON c.event_type = o.event_type AND c.day = o.day
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           ROUND(CASE WHEN total_value IS NOT NULL THEN total_value
+                 ELSE pv + (nv - pv) * CAST(day - pd AS DOUBLE)
+                          / CAST(nd - pd AS DOUBLE) END, 6)
+             AS value_interp,
+           total_value IS NOT NULL AS is_observed
+    FROM sp
+    ORDER BY event_type, day
+    """,
+)
+def timeseries_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample with LINEAR interpolation: the companion to
+    timeseries_gap_fill_locf that estimates missing days as the lerp
+    between the surrounding observations instead of carrying the last
+    one forward — the fill curve ML feature pipelines usually want
+    (LOCF introduces staircase bias into day-over-day deltas).
+
+    Same spine-join shape: one |days|-per-group calendar explode, one
+    left join, then FOUR ignore-nulls window passes (prev/next value
+    and prev/next day) sharing the single event_type partition sort —
+    Spark evaluates all four in one Window node, so the physical cost
+    equals the LOCF query's.  Endpoints are always observed (the spine
+    is bounded by min/max observed day), so the lerp denominator is
+    never zero."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    )
+    obs = daily.filter(F.dayofmonth("day") % 4 != 1)
+    cal = (
+        obs.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("total_value").isNotNull(), F.col("day"))
+    sp = (
+        cal.join(obs, ["event_type", "day"], "left")
+        .withColumn("pv", F.last("total_value", ignorenulls=True).over(wb))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("total_value", ignorenulls=True).over(wf))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wf))
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff("day", "pd").cast("double")
+        / F.datediff("nd", "pd").cast("double")
+    )
+    return sp.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        F.round(
+            F.when(F.col("total_value").isNotNull(), F.col("total_value")).otherwise(
+                lerp
+            ),
+            6,
+        ).alias("value_interp"),
+        F.col("total_value").isNotNull().alias("is_observed"),
+    ).orderBy("event_type", "day")

@@ -777,3 +777,53 @@ def text_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.col("s").isNotNull()).alias("blocked"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_quality_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(('0x' || md5(tok)[1:8]) AS BIGINT) % 64 AS bucket
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM((bucket * 7) % 13 - 6) AS BIGINT) AS score,
+           SUM((bucket * 7) % 13 - 6) > 0 AS keep
+    FROM b
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier, distributed: hash every
+    token into a 64-bucket feature space (first 8 hex digits of md5 —
+    the same hash both engines can compute), score each document as the
+    sum of per-bucket weights, keep = score > 0.  This is the inference
+    shape of the quality filters real pipelines train on
+    wiki-vs-crawl labels (fastText / DCLM-style): feature hashing, a
+    broadcast-sized weight vector, one pass over the corpus.
+
+    The weight vector is a pure function of the bucket index (integer
+    LCG-ish (b*7) % 13 - 6), so the score is exact integer arithmetic —
+    no float model weights to diverge cross-engine.  Plan: explode →
+    map-side partial sum → one shuffle keyed by doc_id.  At 100 TB a
+    learned float weight vector broadcasts the same way; only the
+    weights change, not the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bucket = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % 64
+    weight = (bucket * 7) % 13 - 6
+    return (
+        toks.select("doc_id", weight.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.sum("w").cast("bigint").alias("score"),
+        )
+        .withColumn("keep", F.col("score") > 0)
+        .orderBy("doc_id")
+    )
