@@ -6,11 +6,11 @@ Uncompressed formats decode FOR REAL with the stdlib: RIFF/WAVE via the
 ``wave`` module and 24-bit BMP via hand struct parsing (``synth.py``
 generates spec-compliant fixtures; ``decode_wav_real``/``decode_bmp_real``
 parse them back, differentially checked against formula oracles).  The
-container has no compressed-codec libraries, but two compressed codecs
-are now decoded in pure stdlib anyway — PNG (zlib inflate + scanline
-unfilters) and baseline JPEG (canonical Huffman + dequant + IDCT) —
-leaving only MP3/H.264 behind declared ``NotImplementedError`` sites
-with deterministic fakes — while everything Spark-side is real and tested: the struct
+container has no compressed-codec libraries, but three compressed codec
+families are now decoded in pure stdlib anyway — PNG (DEFLATE + scanline
+unfilters), baseline JPEG (canonical Huffman + dequant + IDCT), and GIF
+(variable-width LZW) — leaving only MP3/H.264 behind declared
+``NotImplementedError`` sites with deterministic fakes — while everything Spark-side is real and tested: the struct
 schemas, the binary payload plumbing, the mapInPandas batch iteration,
 row expansion (frame sampling), and the partitioning posture (media rows
 are large → size partitions by bytes, never collect payloads to the

@@ -284,10 +284,11 @@ def perceptual_hash(media_df: DataFrame, codec: str = "fake") -> DataFrame:
 # ---------------------------------------------------------------------------
 # REAL codec paths (stdlib-parseable formats).  WAV (RIFF PCM, stdlib
 # `wave`), uncompressed 24-bit BMP (hand struct parse), and compressed
-# PNG (zlib inflate + all five scanline unfilters), and baseline JPEG
-# (canonical Huffman + dequantization + IDCT) need no codec library, so
-# these kernels do genuine format decoding — RIFF chunk walk, DIB header
-# fields, BMP row padding, PNG chunk CRCs, JPEG marker/bitstream walk —
+# PNG (zlib inflate + all five scanline unfilters), baseline JPEG
+# (canonical Huffman + dequantization + IDCT), and GIF (variable-width
+# LZW) need no codec library, so these kernels do genuine format
+# decoding — RIFF chunk walk, DIB header fields, BMP row padding, PNG
+# chunk CRCs, JPEG marker/bitstream walk, GIF sub-block reassembly —
 # while MP3/H.264 stay behind the NotImplementedError sites above.
 # ---------------------------------------------------------------------------
 
@@ -860,6 +861,169 @@ def synthesize_jpeg(docs_df: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"].values,
                     "kind": ["image"] * len(pdf),
                     "payload": [make_jpeg_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+GIF_META_SCHEMA = (
+    "doc_id long, width long, height long, n_colors long, "
+    "mean_r long, mean_g long, mean_b long"
+)
+
+
+def decode_gif_real(media_df: DataFrame) -> DataFrame:
+    """REAL LZW-compressed image decode in pure stdlib: GIF89a header
+    walk (logical screen descriptor, global color table, image
+    descriptor), sub-block reassembly, variable-width LZW decode with
+    the KwKwK edge case and CLEAR/EOI handling, palette mapping, and
+    per-channel means — the third compressed codec family (LZW) beside
+    DEFLATE (PNG) and Huffman+DCT (JPEG).  Single non-interlaced frame
+    with a global color table is supported — the fixture's shape;
+    interlaced or local-color-table streams raise."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def lzw_decode(data: bytes, min_code_size: int, n_expected: int,
+                       doc_id: int) -> list[int]:
+            clear = 1 << min_code_size
+            eoi = clear + 1
+            width = min_code_size + 1
+            table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+            out: list[int] = []
+            acc = nbits = pos = 0
+            prev: tuple[int, ...] | None = None
+            while True:
+                while nbits < width:
+                    if pos >= len(data):
+                        raise ValueError(f"doc {doc_id}: LZW stream truncated")
+                    acc |= data[pos] << nbits
+                    pos += 1
+                    nbits += 8
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table = [(i,) for i in range(clear)] + [(), ()]
+                    width = min_code_size + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    break
+                if prev is None:
+                    if code >= len(table):
+                        raise ValueError(f"doc {doc_id}: bad initial LZW code")
+                    entry = table[code]
+                else:
+                    if code < len(table):
+                        entry = table[code]
+                    elif code == len(table):  # KwKwK: cScSc pattern
+                        entry = prev + (prev[0],)
+                    else:
+                        raise ValueError(f"doc {doc_id}: LZW code out of range")
+                    table.append(prev + (entry[0],))
+                    # the decoder's table trails the encoder's by one
+                    # entry (no add on the first code after CLEAR), so
+                    # it must widen one entry earlier than the encoder's
+                    # next_code >= 2^w rule — the classic GIF pairing
+                    if len(table) >= (1 << width) - 1 and width < 12:
+                        width += 1
+                out.extend(entry)
+                prev = entry
+                if len(out) > n_expected:
+                    raise ValueError(f"doc {doc_id}: LZW output overruns image")
+            return out
+
+        def decode_one(doc_id: int, raw: bytes):
+            if raw[:6] not in (b"GIF89a", b"GIF87a"):
+                raise ValueError(f"doc {doc_id}: not a GIF payload")
+            sw, sh = struct.unpack_from("<HH", raw, 6)
+            packed = raw[10]
+            if not packed & 0x80:
+                raise ValueError(f"doc {doc_id}: global color table required")
+            n_colors = 2 << (packed & 0x07)
+            pos = 13
+            palette = [
+                tuple(raw[pos + 3 * i : pos + 3 * i + 3]) for i in range(n_colors)
+            ]
+            pos += 3 * n_colors
+            while raw[pos] == 0x21:  # extension blocks: skip sub-blocks
+                pos += 2
+                while raw[pos]:
+                    pos += raw[pos] + 1
+                pos += 1
+            if raw[pos] != 0x2C:
+                raise ValueError(f"doc {doc_id}: missing image descriptor")
+            left, top, w_, h_ = struct.unpack_from("<HHHH", raw, pos + 1)
+            ipacked = raw[pos + 9]
+            if ipacked & 0x80:
+                raise ValueError(f"doc {doc_id}: local color table unsupported")
+            if ipacked & 0x40:
+                raise ValueError(f"doc {doc_id}: interlaced GIF unsupported")
+            pos += 10
+            min_code_size = raw[pos]
+            pos += 1
+            lzw = bytearray()
+            while raw[pos]:
+                n = raw[pos]
+                lzw += raw[pos + 1 : pos + 1 + n]
+                pos += n + 1
+            pos += 1
+            if raw[pos] != 0x3B:
+                raise ValueError(f"doc {doc_id}: missing trailer")
+            indices = lzw_decode(bytes(lzw), min_code_size, w_ * h_, doc_id)
+            if len(indices) != w_ * h_:
+                raise ValueError(
+                    f"doc {doc_id}: LZW yielded {len(indices)} of {w_ * h_} pixels"
+                )
+            tr = tg = tb = 0
+            for idx in indices:
+                r, g, b = palette[idx]
+                tr += r
+                tg += g
+                tb += b
+            n_px = w_ * h_
+            return w_, h_, n_colors, tr // n_px, tg // n_px, tb // n_px
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height", "n_colors",
+                "mean_r", "mean_g", "mean_b",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                w_, h_, nc, mr, mg, mb = decode_one(int(doc_id), bytes(b))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w_)
+                out["height"].append(h_)
+                out["n_colors"].append(nc)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(kernel, GIF_META_SCHEMA)
+
+
+def synthesize_gif(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a REAL LZW-compressed GIF89a payload."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_gif_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [make_gif_bytes(int(d)) for d in pdf["doc_id"]],
                 }
             )
 

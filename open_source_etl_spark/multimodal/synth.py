@@ -284,3 +284,102 @@ def make_jpeg_bytes(doc_id: int) -> bytes:
         + scan
         + b"\xff\xd9"  # EOI
     )
+
+
+def gif_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) for the 4-color gradient GIF fixture.  Pixel
+    (x, y) carries palette index (x + y + doc_id) % 4; palette entry i
+    is ((40*i + 7*(doc_id % 5)) % 256, (80*i + 11*(doc_id % 3)) % 256,
+    (60*i + 13*(doc_id % 7)) % 256) — every decoded channel mean is a
+    pure function of doc_id a SQL oracle can restate."""
+    return 8 + doc_id % 13, 4 + doc_id % 7
+
+
+def gif_palette(doc_id: int) -> list[tuple[int, int, int]]:
+    return [
+        (
+            (40 * i + 7 * (doc_id % 5)) % 256,
+            (80 * i + 11 * (doc_id % 3)) % 256,
+            (60 * i + 13 * (doc_id % 7)) % 256,
+        )
+        for i in range(4)
+    ]
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Variable-width LZW per the GIF spec (Appendix F): dictionary
+    seeded with the 2^min_code_size roots plus CLEAR/EOI, code width
+    grows when the next free code would overflow it, dictionary resets
+    via CLEAR at 4096.  LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix: tuple[int, ...] = ()
+    for idx in indices:
+        cand = prefix + (idx,)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        # standard growth rule (giflib/Pillow): the width bump fires as
+        # soon as next_code reaches the current width's capacity, so the
+        # NEXT emitted code — which may be the just-added entry's
+        # predecessor-capacity code — already uses the wider field
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = (idx,)
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif_bytes(doc_id: int) -> bytes:
+    """Real GIF89a: logical screen descriptor, 4-entry global color
+    table, image descriptor, variable-width LZW-compressed pixel
+    indices in 255-byte sub-blocks, trailer."""
+    width, height = gif_params(doc_id)
+    palette = gif_palette(doc_id)
+    indices = [(x + y + doc_id) % 4 for y in range(height) for x in range(width)]
+    lzw = _lzw_encode(indices, 2)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    gct = bytes(v for rgb in palette for v in rgb)
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0x81, 0, 0])  # GCT present, 2-bit table; bg 0; no aspect
+        + gct
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + bytes([2])  # LZW minimum code size
+        + bytes(blocks)
+        + b"\x3b"
+    )

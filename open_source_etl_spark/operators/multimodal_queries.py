@@ -438,3 +438,52 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_jpeg_real(synthesize_jpeg(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_gif_decode",
+    # formulas mirror synth.gif_params/gif_palette: pixel (x, y) carries
+    # palette index (x + y + doc_id) % 4, palette entry i is a pure
+    # doc_id formula, so the oracle recomputes the exact channel means
+    # by replaying the pixel grid — while Spark must earn them by
+    # decoding the variable-width LZW bitstream
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 13 AS w,
+             4 + doc_id % 7 AS h
+      FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), px AS (
+      SELECT doc_id, w, h, (x + y.y + doc_id) % 4 AS idx
+      FROM (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs) AS y
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS n_colors,
+           CAST(SUM((40 * idx + 7 * (doc_id % 5)) % 256) // (w * h) AS BIGINT)
+             AS mean_r,
+           CAST(SUM((80 * idx + 11 * (doc_id % 3)) % 256) // (w * h) AS BIGINT)
+             AS mean_g,
+           CAST(SUM((60 * idx + 13 * (doc_id % 7)) % 256) // (w * h) AS BIGINT)
+             AS mean_b
+    FROM px
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed image decode in pure stdlib: spec-compliant
+    GIF89a payloads (variable-width LZW with the standard deferred
+    width-growth pairing, CLEAR/EOI codes, 255-byte sub-blocks, global
+    color table) parsed back by header walk + sub-block reassembly +
+    LZW decode (including the KwKwK edge case) + palette mapping — the
+    third compressed codec family (LZW) retired from the declared-stub
+    list, beside DEFLATE (PNG) and Huffman+DCT (JPEG).  Only MP3/H.264
+    remain stubs (no codec libs in this container)."""
+    from ..multimodal.decode import decode_gif_real, synthesize_gif
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_gif_real(synthesize_gif(docs)).orderBy("doc_id")
