@@ -548,3 +548,46 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "join_strategy_hints",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= DATE '1997-01-01'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy override: the fact⋈fact join carries a
+    SHUFFLE_HASH hint, forcing a shuffled hash join where Catalyst's
+    default for two large sides is sort-merge.  Hash beats sort-merge
+    when one side fits a per-partition hash map and neither side's sort
+    order is reusable downstream — here the aggregation that follows
+    destroys any sort order SMJ would have produced, so the two
+    per-side sorts are pure waste.  The hint is advisory and safe: if
+    the build side cannot be hashed, Spark falls back rather than OOM.
+    ``tests/test_plans.py`` pins the ShuffledHashJoin node so a silent
+    fallback to SMJ fails the build, not the runbook."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1997-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -275,3 +275,11 @@ def test_bpe_merge_aggregation_is_partial_then_final(audit):
     facts = audit("datapipe_bpe_merge_step")
     assert facts.plan.count("HashAggregate") >= 2, facts.plan[:800]
     assert facts.python_stages == 0
+
+
+def test_strategy_hint_forces_shuffled_hash_join(audit):
+    """join_strategy_hints must lower to ShuffledHashJoin (the hint's
+    whole point); a silent fallback to SortMergeJoin fails here."""
+    facts = audit("join_strategy_hints")
+    assert "ShuffledHashJoin" in facts.plan, facts.plan[:800]
+    assert "SortMergeJoin" not in facts.plan
