@@ -1023,3 +1023,56 @@ def datapipe_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+# fixed merge table for the tokenizer demo, in priority order — a real
+# pipeline learns these (see datapipe_bpe_merge_step); the application
+# machinery is identical
+_BPE_MERGES = [
+    ("t h", "th"), ("i n", "in"), ("e r", "er"),
+    ("a n", "an"), ("o n", "on"), ("th e", "the"),
+]
+
+
+@query(
+    "datapipe_bpe_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_char_units,
+           CAST(len(string_split_regex(trim(
+             replace(replace(replace(replace(replace(replace(
+               trim(regexp_replace(text, '(.)', '\\1 ', 'g')),
+               't h', 'th'), 'i n', 'in'), 'e r', 'er'),
+               'a n', 'an'), 'o n', 'on'), 'th e', 'the')
+           ), ' +')) AS BIGINT) AS n_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def datapipe_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization APPLY pass, fully declarative: split text into
+    character units, then apply the merge table in priority order as
+    sequential global replaces — the greedy merge application at the
+    heart of byte-pair tokenizers, over the whole corpus in one scan
+    with zero Python.  (datapipe_bpe_merge_step LEARNS merge
+    candidates; this applies a fixed table.)  Word boundaries
+    self-protect: the char split turns an original space into extra
+    separator spaces, so no single-space merge pattern can fire across
+    words.
+
+    Output: per-document unit count before merges (non-space chars)
+    and token count after — the compression the merge table buys.
+    Pure codegen string ops; the merge table scales to thousands of
+    entries as a chained expression or a gather-join, same plan
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    units = F.trim(F.regexp_replace("text", "(.)", "$1 "))
+    for pat, rep in _BPE_MERGES:
+        units = F.replace(units, F.lit(pat), F.lit(rep))
+    return docs.select(
+        "doc_id",
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("n_char_units"),
+        F.size(F.split(F.trim(units), " +")).cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
