@@ -139,3 +139,48 @@ def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_scripting_iterative",
+    oracle="""
+    WITH RECURSIVE probe AS (
+      SELECT CAST(1000 AS BIGINT) AS threshold,
+             (SELECT COUNT(*) FROM orders WHERE o_totalprice > 1000) AS n
+      UNION ALL
+      SELECT threshold * 2,
+             (SELECT COUNT(*) FROM orders o WHERE o.o_totalprice > p.threshold * 2)
+      FROM probe p WHERE p.n >= 100
+    )
+    SELECT threshold, CAST(n AS BIGINT) AS n_above
+    FROM probe
+    WHERE n < 100
+    ORDER BY threshold
+    LIMIT 1
+    """,
+)
+def sql_scripting_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE, SQL/PSM-style):
+    iteratively double a price threshold until fewer than 100 orders
+    exceed it, entirely inside one SQL script — the procedural control
+    flow warehouses run as stored procedures, executed by the engine
+    with each iteration's probe still a full declarative (optimizable,
+    distributed) query.  The driver holds two scalar variables; the
+    data never leaves the cluster.  The oracle replays the same
+    doubling recurrence as a recursive CTE."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE threshold BIGINT DEFAULT 1000;
+          DECLARE n BIGINT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > threshold);
+          WHILE n >= 100 DO
+            SET threshold = threshold * 2;
+            SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > threshold);
+          END WHILE;
+          SELECT threshold, n AS n_above;
+        END
+        """
+    )
