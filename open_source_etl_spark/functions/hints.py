@@ -81,7 +81,10 @@ def maybe_broadcast(
         est = _EST_CACHE[cache_key]
     else:
         est = estimated_size_bytes(df)
-        if cache_key is not None:
+        # never cache a FAILED estimate (None): one transient Catalyst
+        # hiccup must not pin "unknown -> no hint" for the process
+        # lifetime — retry on the next invocation instead
+        if cache_key is not None and est is not None:
             _EST_CACHE[cache_key] = est
     if est is not None and est <= bound_bytes:
         return F.broadcast(df)

@@ -719,9 +719,17 @@ def decode_jpeg_real(media_df: DataFrame) -> DataFrame:
             while pos < len(raw):
                 if raw[pos] != 0xFF:
                     raise ValueError(f"doc {doc_id}: marker sync lost")
+                # spec-legal 0xFF fill bytes may pad before any marker
+                # (ISO/IEC 10918-1 B.1.1.2): skip to the marker byte
+                while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
+                    pos += 1
                 marker = raw[pos + 1]
                 if marker == 0xD9:  # EOI with no scan
                     raise ValueError(f"doc {doc_id}: no scan data")
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    # TEM / RSTn are standalone (no length segment)
+                    pos += 2
+                    continue
                 (seg_len,) = struct.unpack_from(">H", raw, pos + 2)
                 data = raw[pos + 4 : pos + 2 + seg_len]
                 if marker == 0xDB:  # DQT
@@ -875,6 +883,60 @@ GIF_META_SCHEMA = (
 )
 
 
+def gif_lzw_decode(
+    data: bytes, min_code_size: int, n_expected: int, doc_id: int = -1
+) -> list[int]:
+    """Variable-width GIF LZW decode (module-scope so the hypothesis
+    property suite drives the PRODUCTION decoder, not a test-local
+    copy): CLEAR/EOI handling, the KwKwK edge case, and the deferred
+    width-growth pairing — the decoder's table trails the encoder's by
+    one entry (no add on the first code after CLEAR), so it widens one
+    entry earlier than the encoder's next_code >= 2^w rule."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    acc = nbits = pos = 0
+    prev: tuple[int, ...] | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError(f"doc {doc_id}: LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"doc {doc_id}: bad initial LZW code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK: cScSc pattern
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError(f"doc {doc_id}: LZW code out of range")
+            table.append(prev + (entry[0],))
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError(f"doc {doc_id}: LZW output overruns image")
+    return out
+
+
 def decode_gif_real(media_df: DataFrame) -> DataFrame:
     """REAL LZW-compressed image decode in pure stdlib: GIF89a header
     walk (logical screen descriptor, global color table, image
@@ -889,56 +951,6 @@ def decode_gif_real(media_df: DataFrame) -> DataFrame:
         import struct
 
         import pandas as pd
-
-        def lzw_decode(data: bytes, min_code_size: int, n_expected: int,
-                       doc_id: int) -> list[int]:
-            clear = 1 << min_code_size
-            eoi = clear + 1
-            width = min_code_size + 1
-            table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
-            out: list[int] = []
-            acc = nbits = pos = 0
-            prev: tuple[int, ...] | None = None
-            while True:
-                while nbits < width:
-                    if pos >= len(data):
-                        raise ValueError(f"doc {doc_id}: LZW stream truncated")
-                    acc |= data[pos] << nbits
-                    pos += 1
-                    nbits += 8
-                code = acc & ((1 << width) - 1)
-                acc >>= width
-                nbits -= width
-                if code == clear:
-                    table = [(i,) for i in range(clear)] + [(), ()]
-                    width = min_code_size + 1
-                    prev = None
-                    continue
-                if code == eoi:
-                    break
-                if prev is None:
-                    if code >= len(table):
-                        raise ValueError(f"doc {doc_id}: bad initial LZW code")
-                    entry = table[code]
-                else:
-                    if code < len(table):
-                        entry = table[code]
-                    elif code == len(table):  # KwKwK: cScSc pattern
-                        entry = prev + (prev[0],)
-                    else:
-                        raise ValueError(f"doc {doc_id}: LZW code out of range")
-                    table.append(prev + (entry[0],))
-                    # the decoder's table trails the encoder's by one
-                    # entry (no add on the first code after CLEAR), so
-                    # it must widen one entry earlier than the encoder's
-                    # next_code >= 2^w rule — the classic GIF pairing
-                    if len(table) >= (1 << width) - 1 and width < 12:
-                        width += 1
-                out.extend(entry)
-                prev = entry
-                if len(out) > n_expected:
-                    raise ValueError(f"doc {doc_id}: LZW output overruns image")
-            return out
 
         def decode_one(doc_id: int, raw: bytes):
             if raw[:6] not in (b"GIF89a", b"GIF87a"):
@@ -977,7 +989,7 @@ def decode_gif_real(media_df: DataFrame) -> DataFrame:
             pos += 1
             if raw[pos] != 0x3B:
                 raise ValueError(f"doc {doc_id}: missing trailer")
-            indices = lzw_decode(bytes(lzw), min_code_size, w_ * h_, doc_id)
+            indices = gif_lzw_decode(bytes(lzw), min_code_size, w_ * h_, doc_id)
             if len(indices) != w_ * h_:
                 raise ValueError(
                     f"doc {doc_id}: LZW yielded {len(indices)} of {w_ * h_} pixels"

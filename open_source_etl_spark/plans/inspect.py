@@ -48,11 +48,11 @@ def _node_count(plan: str, node_pattern: str) -> int:
     return len(re.findall(rf"^\(\d+\) {node_pattern}\b", plan, re.MULTILINE))
 
 
-def pushed_filters(df: DataFrame) -> list[str]:
+def pushed_filters(df: DataFrame, plan: str | None = None) -> list[str]:
     """All non-empty PushedFilters entries across the plan's file scans —
     predicates that reached the parquet reader (row-group / page skipping
     at scale) instead of filtering post-scan."""
-    plan = formatted_plan(df)
+    plan = formatted_plan(df) if plan is None else plan
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
         inner = m.group(1).strip()
@@ -61,12 +61,12 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
-def scan_read_schema(df: DataFrame) -> list[str]:
+def scan_read_schema(df: DataFrame, plan: str | None = None) -> list[str]:
     """Column names each file scan actually reads (union across scans).
     A scan reading columns the query never uses means column pruning
     failed — at 100 TB that is the difference between reading 2 columns
     and 16."""
-    plan = formatted_plan(df)
+    plan = formatted_plan(df) if plan is None else plan
     cols: list[str] = []
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         for part in m.group(1).split(","):
@@ -76,25 +76,25 @@ def scan_read_schema(df: DataFrame) -> list[str]:
     return sorted(set(cols))
 
 
-def broadcast_join_count(df: DataFrame) -> int:
+def broadcast_join_count(df: DataFrame, plan: str | None = None) -> int:
     """BroadcastHashJoin / BroadcastNestedLoopJoin nodes — joins that ship
     the small side to every executor instead of shuffling the big side."""
-    plan = formatted_plan(df)
+    plan = formatted_plan(df) if plan is None else plan
     return _node_count(plan, "Broadcast(?:Hash|NestedLoop)Join")
 
 
-def exchange_count(df: DataFrame) -> int:
+def exchange_count(df: DataFrame, plan: str | None = None) -> int:
     """Shuffle exchanges in the plan (broadcast exchanges excluded —
     those ship only the small side).  Every shuffle is a full network
     rewrite of its input: the unit of cost to minimize at scale."""
-    return _node_count(formatted_plan(df), "Exchange")
+    return _node_count(formatted_plan(df) if plan is None else plan, "Exchange")
 
 
-def python_stage_count(df: DataFrame) -> int:
+def python_stage_count(df: DataFrame, plan: str | None = None) -> int:
     """Python-boundary nodes in the plan.  Each one breaks whole-stage
     codegen and serializes data to a Python worker (Arrow-batched at
     best); relational hot paths should report zero."""
-    plan = formatted_plan(df)
+    plan = formatted_plan(df) if plan is None else plan
     return sum(_node_count(plan, n) for n in _PY_NODES)
 
 
@@ -111,13 +111,17 @@ class PlanFacts:
 
 def plan_audit(name: str, df: DataFrame) -> PlanFacts:
     """One-stop physical-plan audit for a query (used by tests and the
-    bench report)."""
+    bench report).  The plan is formatted ONCE and shared by every
+    extractor — explain("formatted") walks the whole physical tree, and
+    paying it six times per query turned the 250-query audit sweep into
+    driver-side busywork."""
+    plan = formatted_plan(df)
     return PlanFacts(
         name=name,
-        pushed=pushed_filters(df),
-        read_columns=scan_read_schema(df),
-        broadcast_joins=broadcast_join_count(df),
-        exchanges=exchange_count(df),
-        python_stages=python_stage_count(df),
-        plan=formatted_plan(df),
+        pushed=pushed_filters(df, plan),
+        read_columns=scan_read_schema(df, plan),
+        broadcast_joins=broadcast_join_count(df, plan),
+        exchanges=exchange_count(df, plan),
+        python_stages=python_stage_count(df, plan),
+        plan=plan,
     )

@@ -197,47 +197,7 @@ def test_gif_lzw_roundtrips_any_index_sequence(seq):
     repeated dictionary pressure.  A width-pairing bug (the classic
     off-by-one between deferred and early code-size change) fails here
     within a few examples."""
+    from open_source_etl_spark.multimodal.decode import gif_lzw_decode
     from open_source_etl_spark.multimodal.synth import _lzw_encode
 
-    # mirror of decode.py's in-kernel LZW (kept in sync by
-    # tests/test_multimodal.py's hand-assembled bitstreams)
-    def lzw_decode(data, mcs):
-        clear = 1 << mcs
-        eoi = clear + 1
-        width = mcs + 1
-        table = [(i,) for i in range(clear)] + [(), ()]
-        out = []
-        acc = nbits = pos = 0
-        prev = None
-        while True:
-            while nbits < width:
-                acc |= data[pos] << nbits
-                pos += 1
-                nbits += 8
-            code = acc & ((1 << width) - 1)
-            acc >>= width
-            nbits -= width
-            if code == clear:
-                table = [(i,) for i in range(clear)] + [(), ()]
-                width = mcs + 1
-                prev = None
-                continue
-            if code == eoi:
-                break
-            if prev is None:
-                entry = table[code]
-            else:
-                if code < len(table):
-                    entry = table[code]
-                elif code == len(table):
-                    entry = prev + (prev[0],)
-                else:
-                    raise AssertionError("decoder desync")
-                table.append(prev + (entry[0],))
-                if len(table) >= (1 << width) - 1 and width < 12:
-                    width += 1
-            out.extend(entry)
-            prev = entry
-        return out
-
-    assert lzw_decode(_lzw_encode(seq, 2), 2) == seq
+    assert gif_lzw_decode(_lzw_encode(seq, 2), 2, len(seq)) == seq

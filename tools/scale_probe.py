@@ -305,7 +305,13 @@ def pairs_main() -> None:
     # distribution (uniform-ish 0..4000 — 67 buckets) to measure the
     # shape that actually holds at 100 TB.
     mult = mults[-1]
-    d = base.select("doc_id", "lang", "source")
+    # the FULL document table, not the n_chars<=220-filtered `base`:
+    # the WIDE branch overwrites n_chars anyway, and the published
+    # SCALE.md §9c row is measured over all docs
+    d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    n_wide = d.count()
     if mult > 1:
         d = d.withColumn(
             "copy", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
@@ -339,7 +345,7 @@ def pairs_main() -> None:
         & (F.col("a.jb") == F.col("b.len_bucket")),
     ).count()
     print(
-        f"WIDE-length mult={mult} docs={n_base * mult:,} "
+        f"WIDE-length mult={mult} docs={n_wide * mult:,} "
         f"equi-candidates old={old_cand:,} new={new_cand:,} "
         f"(ratio {old_cand / max(new_cand, 1):.1f}x)",
         flush=True,
