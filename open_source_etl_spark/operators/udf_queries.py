@@ -15,6 +15,20 @@ from ..functions.udfs import ChunkText, exact_cents_sum, group_size, net_revenue
 from ..registry import query
 
 
+def _scoped_view(spark: SparkSession, sf_dir: str, table: str, tag: str) -> str:
+    """Register a fixture table under a NAME SCOPED TO THE FIXTURE DIR.
+    A fixed view name is a cross-invocation race: two concurrent callers
+    with different sf_dirs would silently read each other's data through
+    the shared session catalog.  The md5-suffixed name is deterministic
+    per (tag, sf_dir) so repeat invocations reuse, never collide."""
+    import hashlib
+
+    name = f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    load_table(spark, sf_dir, table).createOrReplaceTempView(name)
+    return name
+
+
+
 @query(
     "udf_pandas_scalar",
     oracle="""
@@ -84,13 +98,12 @@ def udtf_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF: fixed-width (256-char) document chunking via a lateral
     table function — one document row expands to its context-window
     chunks."""
-    docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("udtf_docs_src")
+    view = _scoped_view(spark, sf_dir, "documents", "udtf_docs_src")
     spark.udtf.register("chunk_text", ChunkText)
     return spark.sql(
-        """
+        f"""
         SELECT d.doc_id, c.chunk_idx, c.chunk, c.chunk_len
-        FROM udtf_docs_src d,
+        FROM {view} d,
         LATERAL chunk_text(d.text, 256) c
         ORDER BY d.doc_id, c.chunk_idx
         """
@@ -119,7 +132,7 @@ def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python stage), unlike even an Arrow-vectorized pandas UDF.  The
     engine's answer to the reference's repeated hand-built SQL snippets
     (`dags/…:82,174-188`): name the expression once in the catalog."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    view = _scoped_view(spark, sf_dir, "lineitem", "udf_sql_lineitem")
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE)
@@ -127,13 +140,13 @@ def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(
-        """
+        f"""
         SELECT
           l_returnflag,
           CAST(SUM(CAST(net_price(l_extendedprice, l_discount)
                         AS DECIMAL(28,6))) AS DOUBLE) AS net_revenue,
           COUNT(*) AS n_items
-        FROM lineitem
+        FROM {view}
         WHERE net_price(l_extendedprice, l_discount) > 50000
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -169,16 +182,16 @@ def sql_scripting_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     data never leaves the cluster.  The oracle replays the same
     doubling recurrence as a recursive CTE."""
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    view = _scoped_view(spark, sf_dir, "orders", "sqlscript_orders")
     return spark.sql(
-        """
+        f"""
         BEGIN
           DECLARE threshold BIGINT DEFAULT 1000;
           DECLARE n BIGINT DEFAULT 0;
-          SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > threshold);
+          SET n = (SELECT COUNT(*) FROM {view} WHERE o_totalprice > threshold);
           WHILE n >= 100 DO
             SET threshold = threshold * 2;
-            SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > threshold);
+            SET n = (SELECT COUNT(*) FROM {view} WHERE o_totalprice > threshold);
           END WHILE;
           SELECT threshold, n AS n_above;
         END
