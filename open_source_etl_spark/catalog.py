@@ -83,3 +83,19 @@ def load_table_compute(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def scoped_view(spark: SparkSession, sf_dir: str, table: str, tag: str) -> str:
+    """Register a fixture table as a temp view NAMED PER FIXTURE DIR.
+
+    A fixed view name is session-global mutable state: two concurrent
+    callers with different fixture dirs would silently read each
+    other's data through the shared catalog (tests/test_concurrency.py
+    guards the pattern).  The md5-suffixed name is deterministic per
+    (tag, sf_dir), so repeat invocations reuse the registration and
+    distinct dirs never collide."""
+    import hashlib
+
+    name = f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    load_table(spark, sf_dir, table).createOrReplaceTempView(name)
+    return name

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scoped_view
 from ..functions.parity import davg, dsum, sql_davg, sql_dsum
 from ..registry import query
 
@@ -292,15 +292,15 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL surface (`spark.sql`)."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    view = scoped_view(spark, sf_dir, "customer", "customer_gs")
     return spark.sql(
-        """
+        f"""
         SELECT
           c_mktsegment,
           c_nationkey,
           COUNT(*) AS n_customers,
           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
-        FROM customer_gs
+        FROM {view}
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         ORDER BY c_mktsegment, c_nationkey
         """
@@ -462,15 +462,15 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL-standard form of collect_list+sort+join, with the ordering
     declared inside the aggregate so the result is deterministic without
     a post-hoc sort_array (agg_collect_sorted shows that older idiom)."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("la_customer")
+    view = scoped_view(spark, sf_dir, "customer", "la_customer")
     return spark.sql(
-        """
+        f"""
         SELECT
           c_nationkey,
           listagg(DISTINCT c_mktsegment, ',')
             WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
           COUNT(*) AS n_customers
-        FROM la_customer
+        FROM {view}
         GROUP BY c_nationkey
         ORDER BY c_nationkey
         """
@@ -499,9 +499,9 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     staying EXACT (the oracle is plain COUNT DISTINCT) — the middle
     ground between exact countDistinct and the HLL sketch
     (agg_approx_distinct)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("bm_lineitem")
+    view = scoped_view(spark, sf_dir, "lineitem", "bm_lineitem")
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag,
                CAST(SUM(bucket_distinct) AS BIGINT) AS n_parts,
                CAST(SUM(bucket_rows) AS BIGINT) AS n_rows
@@ -510,7 +510,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey)))
                    AS bucket_distinct,
                  COUNT(*) AS bucket_rows
-          FROM bm_lineitem
+          FROM {view}
           GROUP BY l_returnflag, bitmap_bucket_number(l_partkey)
         )
         GROUP BY l_returnflag

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scoped_view
 from ..registry import query
 
 _STATUSES = ("F", "O", "P")
@@ -178,14 +178,14 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS via Spark SQL — Catalyst decorrelates it into a
     left-semi join (same plan as the explicit join_semi operator; this
     proves the SQL surface)."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    vc = scoped_view(spark, sf_dir, "customer", "sq_customer")
+    vo = scoped_view(spark, sf_dir, "orders", "sq_orders")
     return spark.sql(
-        """
+        f"""
         SELECT c.c_custkey, c.c_name, c.c_acctbal
-        FROM sq_customer c
+        FROM {vc} c
         WHERE EXISTS (
-          SELECT 1 FROM sq_orders o
+          SELECT 1 FROM {vo} o
           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
         )
         ORDER BY c_custkey
@@ -212,14 +212,14 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery in a predicate (orders above 1.5× the mean price).
     The subquery evaluates once and broadcasts as a literal — no
     per-row re-evaluation."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq2_orders")
+    vo2 = scoped_view(spark, sf_dir, "orders", "sq2_orders")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_totalprice
-        FROM sq2_orders
+        FROM {vo2}
         WHERE o_totalprice > 1.5 * (
           SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
-          FROM sq2_orders
+          FROM {vo2}
         )
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 50
@@ -244,13 +244,13 @@ def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-standard spelling of top-k-per-group).  Catalyst decorrelates the
     lateral into the same window/top-k plan as window_topk_per_group —
     this proves the SQL surface, not a new physical strategy."""
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    vn = scoped_view(spark, sf_dir, "nation", "lat_nation")
+    vcu = scoped_view(spark, sf_dir, "customer", "lat_customer")
     return spark.sql(
-        """
+        f"""
         SELECT n.n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS c_acctbal
-        FROM lat_nation n JOIN LATERAL (
-          SELECT c_custkey, c_acctbal FROM lat_customer c
+        FROM {vn} n JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM {vcu} c
           WHERE c.c_nationkey = n.n_nationkey
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2
         ) t

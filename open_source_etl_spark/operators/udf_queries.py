@@ -16,16 +16,9 @@ from ..registry import query
 
 
 def _scoped_view(spark: SparkSession, sf_dir: str, table: str, tag: str) -> str:
-    """Register a fixture table under a NAME SCOPED TO THE FIXTURE DIR.
-    A fixed view name is a cross-invocation race: two concurrent callers
-    with different sf_dirs would silently read each other's data through
-    the shared session catalog.  The md5-suffixed name is deterministic
-    per (tag, sf_dir) so repeat invocations reuse, never collide."""
-    import hashlib
+    from ..catalog import scoped_view
 
-    name = f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
-    load_table(spark, sf_dir, table).createOrReplaceTempView(name)
-    return name
+    return scoped_view(spark, sf_dir, table, tag)
 
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scoped_view
 from ..registry import query
 
 
@@ -111,9 +111,9 @@ def warehouse_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's run-date partition math (``partitioner.py:7-25``)
     from one date to a generated dimension.
     """
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    vord = scoped_view(spark, sf_dir, "orders", "orders")
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE months(m) AS (
           SELECT TIMESTAMP '1995-01-01 00:00:00'
           UNION ALL
@@ -126,7 +126,7 @@ def warehouse_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(8,2))) AS DOUBLE),
                    0.0) AS revenue
         FROM months
-        LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = months.m
+        LEFT JOIN {vord} o ON date_trunc('month', o.o_orderdate) = months.m
         GROUP BY months.m
         ORDER BY month_start
         """
