@@ -190,3 +190,64 @@ def sql_scripting_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "udf_arrow_batch",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes_utf8,
+           CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+    FROM documents
+    WHERE strlen(text) % 3 = 0
+    ORDER BY doc_id
+    """,
+)
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the lowest-overhead Python boundary — raw
+    ``pyarrow.RecordBatch`` in and out, no pandas materialization at
+    all (one tier below the pandas UDFs this module demonstrates, two
+    below row-at-a-time Python).  The kernel computes per-document byte
+    stats with pyarrow compute kernels (C++, zero Python per row) and
+    filters inside the batch, so what crosses back is already reduced.
+
+    Byte semantics are explicit on both sides (pyarrow binary_length,
+    DuckDB strlen), so unicode documents — which the adversarial
+    fixtures inject — agree exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            t = pa.table(
+                {
+                    "doc_id": batch.column(batch.schema.get_field_index("doc_id")),
+                    "text": batch.column(batch.schema.get_field_index("text")),
+                }
+            )
+            n_bytes = pc.binary_length(pc.cast(t["text"], pa.binary()))
+            nonspace = pc.binary_length(
+                pc.cast(
+                    pc.replace_substring(t["text"], pattern=" ", replacement=""),
+                    pa.binary(),
+                )
+            )
+            out = pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_bytes_utf8": pc.cast(n_bytes, pa.int64()),
+                    "n_nonspace": pc.cast(nonspace, pa.int64()),
+                }
+            )
+            # pyarrow has no modulo kernel: n % 3 == 0  <=>  n - 3*(n/3) == 0
+            # (integer divide truncates)
+            third = pc.divide(out["n_bytes_utf8"], 3)
+            keep = pc.equal(
+                pc.subtract(out["n_bytes_utf8"], pc.multiply(third, 3)), 0
+            )
+            yield from out.filter(keep).to_batches()
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        kernel, "doc_id long, n_bytes_utf8 long, n_nonspace long"
+    ).orderBy("doc_id")
