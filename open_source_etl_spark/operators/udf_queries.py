@@ -251,3 +251,55 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         kernel, "doc_id long, n_bytes_utf8 long, n_nonspace long"
     ).orderBy("doc_id")
+
+
+@query(
+    "udaf_arrow_grouped",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+    FROM documents
+    WHERE lang IS NOT NULL
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Arrow aggregation (``groupBy().applyInArrow``): each
+    language group arrives as one pyarrow Table and reduces with C++
+    compute kernels — the Arrow-native sibling of the pandas UDAF
+    (udaf_grouped_pandas), again with zero pandas materialization.
+    NULL-lang docs are excluded on both engines (a NULL group key is a
+    real group to Spark but its per-group kernel output would need
+    NULL-safe comparison downstream — the filter keeps the contract
+    crisp)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(table: "pa.Table") -> "pa.Table":
+        nbytes = pc.binary_length(pc.cast(table["text"], pa.binary()))
+        return pa.table(
+            {
+                "lang": [table["lang"][0].as_py()],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "total_bytes": pa.array(
+                    [pc.sum(nbytes).as_py() or 0], pa.int64()
+                ),
+                "max_bytes": pa.array([pc.max(nbytes).as_py() or 0], pa.int64()),
+            }
+        )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .select("lang", "text")
+    )
+    return (
+        docs.groupBy("lang")
+        .applyInArrow(
+            kernel, "lang string, n_docs long, total_bytes long, max_bytes long"
+        )
+        .orderBy("lang")
+    )
