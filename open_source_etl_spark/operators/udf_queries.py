@@ -303,3 +303,85 @@ def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "udf_cogrouped_asof",
+    oracle="""
+    WITH errs AS (
+      SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS err_ts
+      FROM events WHERE event_type = 'error' AND user_id IS NOT NULL
+    ), clicks AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+             value
+      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+    )
+    SELECT e.user_id, e.err_id, e.err_ts,
+           c.click_id, CAST(c.value AS DOUBLE) AS click_value
+    FROM errs e LEFT JOIN LATERAL (
+      SELECT click_id, value FROM clicks c
+      WHERE c.user_id = e.user_id AND c.click_ts <= e.err_ts
+      ORDER BY c.click_ts DESC, c.click_id DESC LIMIT 1
+    ) c ON TRUE
+    ORDER BY e.user_id, e.err_id
+    """,
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas kernel (``groupBy().cogroup().applyInPandas``):
+    per-user AS-OF matching between two event streams — for every error
+    the most recent click at-or-before it — via ``pd.merge_asof`` inside
+    each cogroup.  This is the API tier for per-key logic that needs
+    BOTH sides of a join as local frames (as-of, interval alignment,
+    per-key reconciliation); both inputs arrive hash-partitioned on the
+    key, so the kernel never sees another user's rows.
+
+    Ties (the perturbed fixtures truncate timestamps to the hour) are
+    made deterministic by sorting clicks on (ts, event_id) — merge_asof
+    then resolves an equal-ts run to the max event_id, which the
+    oracle's lateral ORDER BY ... DESC LIMIT 1 states identically.
+    NULL user_ids are excluded on both engines (a NULL cogroup key is a
+    real group to Spark but can never equi-match in SQL)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "value",
+    )
+
+    def kernel(left, right):
+        import pandas as pd
+
+        if left.empty:
+            return pd.DataFrame(
+                columns=["user_id", "err_id", "err_ts", "click_id", "click_value"]
+            )
+        left = left.sort_values(["err_ts", "err_id"])
+        if right.empty:
+            out = left.assign(click_id=pd.NA, click_value=pd.NA)
+        else:
+            right = right.sort_values(["click_ts", "click_id"]).drop(
+                columns=["user_id"]
+            )
+            out = pd.merge_asof(
+                left, right, left_on="err_ts", right_on="click_ts",
+                direction="backward",
+            ).rename(columns={"value": "click_value"})
+        out = out[["user_id", "err_id", "err_ts", "click_id", "click_value"]]
+        out["click_id"] = out["click_id"].astype("Int64")
+        out["click_value"] = out["click_value"].astype("Float64")
+        return out
+
+    return (
+        errs.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            kernel,
+            "user_id long, err_id long, err_ts timestamp, "
+            "click_id long, click_value double",
+        )
+        .orderBy("user_id", "err_id")
+    )

@@ -26,7 +26,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Warehouse maintenance", ("scd2_user_state", "warehouse_recursive_calendar", "warehouse_incremental_agg", "model_pipeline_build", "warehouse_snapshot_diff", "warehouse_point_in_time_join", "warehouse_merge_upsert")),
     ("Behavioral / event-sequence analytics", ("behavior_sessionize", "behavior_funnel", "behavior_retention", "behavior_path_trigrams", "behavior_daily_ma7", "timeseries_gapfill_ffill", "behavior_burst_detect", "behavior_ab_test", "timeseries_downsample_ohlc", "behavior_attribution_last_touch", "timeseries_repeat_interval", "behavior_markov_transition", "timeseries_gap_fill_locf", "timeseries_resample_interp")),
     ("Streaming", ("stream_tumbling_window_agg", "stream_sliding_window_agg", "stream_session_window_agg", "stream_dedup_keys", "stream_stateful_user_rollup", "stream_transform_with_state", "stream_stream_join", "stream_static_enrich", "stream_dedup_within_watermark", "stream_windowed_topk", "stream_incremental_upsert")),
-    ("UDF / UDAF / UDTF", ("udf_pandas_scalar", "udaf_grouped_pandas", "udtf_text_chunks", "udf_sql_scalar", "sql_scripting_iterative", "udf_arrow_batch", "udaf_arrow_grouped")),
+    ("UDF / UDAF / UDTF", ("udf_pandas_scalar", "udaf_grouped_pandas", "udtf_text_chunks", "udf_sql_scalar", "sql_scripting_iterative", "udf_arrow_batch", "udaf_arrow_grouped", "udf_cogrouped_asof")),
     ("Deduplication", ("dedup_exact", "dedup_normalized", "dedup_minhash_candidates", "dedup_simhash", "dedup_jaccard_blocked", "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_connected_components", "dedup_semantic_prune", "dedup_url_canonical", "dedup_levenshtein_blocked", "dedup_incremental_against_corpus", "dedup_cluster_canonical")),
     ("Similarity search", ("knn_bruteforce_cosine", "similarity_pairs_threshold", "ann_ivf_search", "ann_lsh_bucketed", "embed_label_centroids", "embed_quantize_int8", "embed_covariance_block", "embed_pca_power", "ann_topk_multiquery", "embed_prefix_topk_overlap")),
     ("Text analysis", ("text_token_stats", "text_quality_score", "text_lang_guess", "text_bpe_token_count", "text_fingerprint", "text_heavy_hitters", "text_pii_redact", "text_edit_distance", "text_tfidf_top_terms", "text_repetition_filter", "text_ngram_novelty", "text_lm_surprisal", "text_zipf_fit", "text_domain_blocklist", "text_quality_classifier")),
