@@ -310,11 +310,15 @@ def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH errs AS (
       SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS err_ts
-      FROM events WHERE event_type = 'error' AND user_id IS NOT NULL
+      FROM events
+      WHERE event_type = 'error' AND user_id IS NOT NULL
+        AND user_id % 7 = 0
     ), clicks AS (
       SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts,
              value
-      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+      FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL
+        AND user_id % 7 = 0
     )
     SELECT e.user_id, e.err_id, e.err_ts,
            c.click_id, CAST(c.value AS DOUBLE) AS click_value
@@ -340,8 +344,17 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     then resolves an equal-ts run to the max event_id, which the
     oracle's lateral ORDER BY ... DESC LIMIT 1 states identically.
     NULL user_ids are excluded on both engines (a NULL cogroup key is a
-    real group to Spark but can never equi-match in SQL)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    real group to Spark but can never equi-match in SQL).
+
+    The demo runs on a deterministic 1-in-7 user slice: cogroup pays a
+    Python kernel invocation PER KEY, so thousands of tiny fixture
+    groups are all overhead — the wrong regime for this API.  Use it
+    when per-key frames are large (sessions, instruments); for as-of at
+    corpus scale the declarative forms (join_asof, join_asof_nearest)
+    are the path, with NO per-key Python cost."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & (F.col("user_id") % 7 == 0)
+    )
     errs = ev.filter(F.col("event_type") == "error").select(
         "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
     )
