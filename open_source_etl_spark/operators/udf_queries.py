@@ -10,15 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scoped_view
 from ..functions.udfs import ChunkText, exact_cents_sum, group_size, net_revenue
 from ..registry import query
 
 
-def _scoped_view(spark: SparkSession, sf_dir: str, table: str, tag: str) -> str:
-    from ..catalog import scoped_view
 
-    return scoped_view(spark, sf_dir, table, tag)
 
 
 
@@ -91,7 +88,7 @@ def udtf_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF: fixed-width (256-char) document chunking via a lateral
     table function — one document row expands to its context-window
     chunks."""
-    view = _scoped_view(spark, sf_dir, "documents", "udtf_docs_src")
+    view = scoped_view(spark, sf_dir, "documents", "udtf_docs_src")
     spark.udtf.register("chunk_text", ChunkText)
     return spark.sql(
         f"""
@@ -125,7 +122,7 @@ def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python stage), unlike even an Arrow-vectorized pandas UDF.  The
     engine's answer to the reference's repeated hand-built SQL snippets
     (`dags/…:82,174-188`): name the expression once in the catalog."""
-    view = _scoped_view(spark, sf_dir, "lineitem", "udf_sql_lineitem")
+    view = scoped_view(spark, sf_dir, "lineitem", "udf_sql_lineitem")
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE)
@@ -175,7 +172,7 @@ def sql_scripting_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     data never leaves the cluster.  The oracle replays the same
     doubling recurrence as a recursive CTE."""
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    view = _scoped_view(spark, sf_dir, "orders", "sqlscript_orders")
+    view = scoped_view(spark, sf_dir, "orders", "sqlscript_orders")
     return spark.sql(
         f"""
         BEGIN
@@ -284,10 +281,12 @@ def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "lang": [table["lang"][0].as_py()],
                 "n_docs": pa.array([table.num_rows], pa.int64()),
-                "total_bytes": pa.array(
-                    [pc.sum(nbytes).as_py() or 0], pa.int64()
-                ),
-                "max_bytes": pa.array([pc.max(nbytes).as_py() or 0], pa.int64()),
+                # .as_py() yields None for an all-NULL group — exactly
+                # SQL's SUM/MAX NULL semantics (coercing to 0 here would
+                # silently diverge from the oracle on a future fixture
+                # drop with nullable text)
+                "total_bytes": pa.array([pc.sum(nbytes).as_py()], pa.int64()),
+                "max_bytes": pa.array([pc.max(nbytes).as_py()], pa.int64()),
             }
         )
 
