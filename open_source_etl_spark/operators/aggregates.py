@@ -706,3 +706,29 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("agg_approx_topk")  # no oracle: sketch internals are engine-specific
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k heavy hitters via the ``approx_top_k`` sketch
+    (Spark 4): the 10 most frequent part keys across lineitem, tracked
+    in bounded per-partition sketch state that merges map-side — the
+    scale replacement for an exact count-then-sort whose aggregation
+    state is the full key cardinality.  Rows-only driver check (sketch
+    internals are engine-specific); ``tests/test_sketch_quality.py``
+    pins accuracy against the exact top-k: at 100 TB the exact form is
+    a full shuffle of every distinct key, the sketch is one bounded
+    object per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.select(
+        F.expr("approx_top_k(l_partkey, 10, 10000)").alias("top")
+    )
+    return (
+        sk.select(F.posexplode("top").alias("rank", "entry"))
+        .select(
+            (F.col("rank") + 1).cast("bigint").alias("rank"),
+            F.col("entry.item").cast("bigint").alias("part_key"),
+            F.col("entry.count").cast("bigint").alias("est_count"),
+        )
+        .orderBy("rank")
+    )

@@ -122,3 +122,37 @@ def test_window_running_distinct_approx_matches_exact(spark, sf_dir):
         assert abs(est - true) <= max(1, true * bound), (
             f"{key}: est {est} vs exact {true}"
         )
+
+
+def test_approx_topk_matches_exact_heavy_hitters(spark, sf_dir):
+    """The approx_top_k sketch must agree with the exact top-10 on
+    membership (>= 8 of 10 overlap) and, for every key it reports,
+    estimate the count within 5% — the accuracy contract that makes the
+    bounded-state sketch a usable replacement for the exact
+    count-then-sort."""
+    from pyspark.sql import functions as F
+
+    from open_source_etl_spark.catalog import load_table
+    from open_source_etl_spark.registry import all_queries
+
+    approx = {
+        r.part_key: r.est_count
+        for r in all_queries()["agg_approx_topk"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_partkey: r.n
+        for r in li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "l_partkey")
+        .limit(10)
+        .collect()
+    }
+    assert len(set(approx) & set(exact)) >= 8, (approx, exact)
+    full = {
+        r.l_partkey: r.n
+        for r in li.groupBy("l_partkey").agg(F.count("*").alias("n")).collect()
+    }
+    for key, est in approx.items():
+        true = full[key]
+        assert abs(est - true) <= max(1, 0.05 * true), (key, est, true)

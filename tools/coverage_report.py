@@ -15,7 +15,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Scans / sources / sinks", ("staging_all_varchar", "file_provenance", "json_file_scan", "orc_file_scan", "xml_file_scan", "partition_path_derivation", "metadata_value_synthesis", "layout_zorder_key", "ingest_pipeline_run", "join_bucketed_colocated", "layout_partition_prune_dpp")),
     ("Projection / filter / predicates", ("filter_null_safe_eq", "project_rename_cast", "filter_point_lookup", "filter_like_prefix", "filter_in_set", "filter_null_predicates", "filter_range_between", "distinct_values")),
     ("Joins", ("join_inner_fact", "join_left_outer", "join_right_outer", "join_full_outer", "join_semi", "join_anti", "join_cross", "join_range_theta", "join_asof", "join_broadcast_star", "join_multiway_star", "join_skew_salted", "join_interval_overlap", "join_bloom_prefilter", "join_asof_nearest", "join_strategy_hints")),
-    ("Aggregation", ("agg_grouped_basic", "agg_global", "agg_filtered_conditional", "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect_sorted", "agg_argmax", "agg_percentiles", "agg_stats_moments", "agg_hll_sketch_union", "agg_salted_hotkey", "agg_median", "agg_listagg", "agg_bitmap_distinct", "agg_rollup_grouping_id", "agg_bitwise", "agg_histogram_bins", "agg_regression_family", "agg_approx_quantile", "agg_mode_deterministic", "agg_logspace_means", "agg_weighted_median")),
+    ("Aggregation", ("agg_grouped_basic", "agg_global", "agg_filtered_conditional", "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect_sorted", "agg_argmax", "agg_percentiles", "agg_stats_moments", "agg_hll_sketch_union", "agg_salted_hotkey", "agg_median", "agg_listagg", "agg_bitmap_distinct", "agg_rollup_grouping_id", "agg_bitwise", "agg_histogram_bins", "agg_regression_family", "agg_approx_quantile", "agg_mode_deterministic", "agg_logspace_means", "agg_weighted_median", "agg_approx_topk")),
     ("Window functions", ("window_rank_family", "window_lag_lead", "window_first_last", "window_running_sum", "window_moving_avg", "window_range_frame", "window_distribution_funcs", "window_topk_per_group", "window_running_distinct", "window_pareto_share", "window_ewma_bounded", "window_running_distinct_approx")),
     ("Sort / limit / top-k", ("sort_multikey_nulls", "limit_topn", "limit_offset_page")),
     ("Set operations", ("setop_union_all", "setop_union_distinct", "setop_intersect", "setop_except", "setop_except_all", "setop_intersect_all", "setop_union_schema_evolution")),
