@@ -1076,3 +1076,69 @@ def datapipe_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_char_units"),
         F.size(F.split(F.trim(units), " +")).cast("bigint").alias("n_tokens"),
     ).orderBy("doc_id")
+
+
+@query(
+    "datapipe_quality_percentile_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS quality_score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality_score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality_score DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_in_source
+      FROM scored
+    )
+    SELECT doc_id, source, quality_score,
+           CAST(rk AS BIGINT) AS rk,
+           CAST(n_in_source AS BIGINT) AS n_in_source
+    FROM ranked
+    WHERE rk * 4 <= n_in_source + 3
+    ORDER BY doc_id
+    """,
+)
+def datapipe_quality_percentile_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RELATIVE quality filtering: keep the top quarter of each source by
+    a quality score — the FineWeb-style per-domain percentile threshold,
+    as opposed to the absolute rule cascade of
+    ``datapipe_c4_filter_cascade`` (fixed cutoffs drop whole domains
+    whose baseline differs; a within-source quantile adapts the bar per
+    domain) and the anti-domination constant-K cap of
+    ``datapipe_cap_per_source`` (which selects randomly, not by merit).
+
+    Determinism/parity: the score is an integer (distinct-token count —
+    both engines split on the literal space and agree on empty/repeated
+    separators), ordering is made total by the ``doc_id`` tie-break, and
+    the quantile cut is pure integer math (``4*rk <= n+3`` is
+    ``rk <= ceil(n/4)``) — no percent_rank doubles, no boundary rounding.
+
+    Scale shape: the score is pure codegen on the scan; the only shuffle
+    is one hash-partition by source for the window.  At 100 TB the exact
+    per-source sort is the cost — the standard relaxation computes
+    ``approx_percentile(score, 0.75)`` per source (a tiny two-level agg)
+    and broadcasts the thresholds back as a map-side filter; the exact
+    form is kept here because the driver's oracle checks value equality.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    scored = docs.select(
+        "doc_id", "source", score.cast("bigint").alias("quality_score")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    n_src = F.count("*").over(Window.partitionBy("source"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("n_in_source", n_src.cast("bigint"))
+        .filter(F.col("rk") * 4 <= F.col("n_in_source") + 3)
+        .select("doc_id", "source", "quality_score", "rk", "n_in_source")
+        .orderBy("doc_id")
+    )
