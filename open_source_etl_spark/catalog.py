@@ -30,9 +30,23 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+# (sf_dir, table) → parquet file schema.  Without an explicit schema, every
+# spark.read.parquet call re-reads footers to infer one — ~80-120 ms of driver
+# time per call on local fixtures, and at deployment scale a footer GET
+# round-trip per query per table.  The schema is a pure property of the files,
+# and fixture dirs are immutable within a process (writers in this repo always
+# use fresh paths), so it is inferred once and replayed through
+# ``reader.schema(...)``.  Only the SCHEMA is cached, never the DataFrame:
+# each call must still build a fresh relation with fresh attribute IDs so two
+# loads of the same table remain distinguishable join sides, exactly as two
+# raw ``read.parquet`` calls were.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (columnar Parquet scan; Catalyst handles
     projection/filter pushdown from whatever the caller composes on top).
+    Schema inference is memoized per (dir, table) — see ``_SCHEMA_CACHE``.
 
     ``events.ts`` has shipped in two physical forms across fixture drops:
     TIMESTAMP(NANOS) (which Spark's parquet reader only admits as
@@ -44,7 +58,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB's naive TIMESTAMP) see identical values either way.  Watermarks
     and streaming event time also require TIMESTAMP, not NTZ.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
