@@ -59,3 +59,23 @@ def test_try_divide_matches_duckdb_null_on_zero(spark):
         F.try_divide(F.lit(5.0), F.lit(0)).alias("td")
     ).first()
     assert row["td"] is None
+
+
+def test_load_table_yields_fresh_join_sides(spark):
+    """Two ``load_table`` calls for the same table must be independently
+    resolvable join sides (fresh attribute IDs per call), exactly as two
+    raw ``read.parquet`` calls are.  Pinned because the schema-inference
+    cache in ``catalog.load_table`` must never graduate to caching the
+    DataFrame itself: a shared relation makes ``a[c] == b[c]`` ambiguous
+    (Spark resolves by attribute ID, and ``.alias`` does NOT refresh
+    them — measured live before the cache was narrowed to schemas)."""
+    from open_source_etl_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    a = load_table(spark, sf, "nation")
+    b = load_table(spark, sf, "nation")
+    joined = a.join(b, a["n_nationkey"] == b["n_regionkey"])
+    assert joined.count() > 0
+    # and the memoized schema is byte-identical to a fresh inference
+    fresh = spark.read.parquet(f"{sf}/nation.parquet").schema
+    assert a.schema == fresh
