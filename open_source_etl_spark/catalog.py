@@ -30,17 +30,47 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier"})
 
 
-# (sf_dir, table) → parquet file schema.  Without an explicit schema, every
-# spark.read.parquet call re-reads footers to infer one — ~80-120 ms of driver
-# time per call on local fixtures, and at deployment scale a footer GET
-# round-trip per query per table.  The schema is a pure property of the files,
-# and fixture dirs are immutable within a process (writers in this repo always
-# use fresh paths), so it is inferred once and replayed through
-# ``reader.schema(...)``.  Only the SCHEMA is cached, never the DataFrame:
+# (sf_dir, table, file-fingerprint) → parquet file schema.  Without an
+# explicit schema, every spark.read.parquet call re-reads footers to infer one
+# — ~80-120 ms of driver time per call on local fixtures, and at deployment
+# scale a footer GET round-trip per query per table.  The schema is a pure
+# property of the files, so it is inferred once and replayed through
+# ``reader.schema(...)``.  The cache key includes a cheap stat-based
+# fingerprint of the path (name/mtime/size, recursing one level for
+# directory-shaped datasets) so a REWRITTEN path — perturb tooling reusing a
+# temp dir, a fixture drop changing a physical type — is re-inferred instead
+# of read with a stale schema that could error or silently null-cast columns.
+# Non-local schemes (s3a://, hdfs://) aren't stat-able; they skip the cache
+# rather than risk staleness.  Only the SCHEMA is cached, never the DataFrame:
 # each call must still build a fresh relation with fresh attribute IDs so two
 # loads of the same table remain distinguishable join sides, exactly as two
 # raw ``read.parquet`` calls were.
 _SCHEMA_CACHE: dict = {}
+
+
+def _local_fingerprint(path: str):
+    """(mtime_ns, size) fingerprint of a local parquet file or one-level
+    directory dataset; None when the path isn't local-stat-able (remote
+    scheme), which disables caching for it."""
+    import os
+
+    p = path
+    if "://" in p:
+        if not p.startswith("file://"):
+            return None
+        p = p[len("file://"):]
+    try:
+        st = os.stat(p)
+        if not os.path.isdir(p):
+            return (st.st_mtime_ns, st.st_size)
+        parts = [("", st.st_mtime_ns, 0)]
+        with os.scandir(p) as it:
+            for e in it:
+                est = e.stat()
+                parts.append((e.name, est.st_mtime_ns, est.st_size))
+        return tuple(sorted(parts))
+    except OSError:
+        return None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,12 +89,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and streaming event time also require TIMESTAMP, not NTZ.
     """
     path = f"{sf_dir}/{name}.parquet"
-    key = (sf_dir, name)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[key] = schema
-    df = spark.read.schema(schema).parquet(path)
+    fp = _local_fingerprint(path)
+    if fp is None:
+        df = spark.read.parquet(path)
+    else:
+        key = (sf_dir, name, fp)
+        schema = _SCHEMA_CACHE.get(key)
+        if schema is None:
+            schema = spark.read.parquet(path).schema
+            if len(_SCHEMA_CACHE) > 4096:  # rewritten paths retire old keys
+                _SCHEMA_CACHE.clear()
+            _SCHEMA_CACHE[key] = schema
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

@@ -817,6 +817,10 @@ def decode_jpeg_real(media_df: DataFrame) -> DataFrame:
                         run, size_ac = sym >> 4, sym & 15
                         if sym == 0xF0:  # ZRL
                             k += 16
+                            if k > 63:
+                                raise ValueError(
+                                    f"doc {doc_id}: AC index overflow"
+                                )
                             continue
                         k += run + 1
                         if k > 63:
@@ -888,10 +892,12 @@ def gif_lzw_decode(
 ) -> list[int]:
     """Variable-width GIF LZW decode (module-scope so the hypothesis
     property suite drives the PRODUCTION decoder, not a test-local
-    copy): CLEAR/EOI handling, the KwKwK edge case, and the deferred
-    width-growth pairing — the decoder's table trails the encoder's by
-    one entry (no add on the first code after CLEAR), so it widens one
-    entry earlier than the encoder's next_code >= 2^w rule."""
+    copy): CLEAR/EOI handling, the KwKwK edge case, and the standard
+    giflib/Pillow width-growth rule — the decoder widens when its
+    table reaches 2^w entries (it trails the encoder's table by one,
+    pairing with an encoder that widens at next_code > 2^w).  Entries
+    are never added past code 4095, so deferred-clear streams from
+    third-party encoders keep decoding at 12 bits instead of raising."""
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -927,8 +933,9 @@ def gif_lzw_decode(
                 entry = prev + (prev[0],)
             else:
                 raise ValueError(f"doc {doc_id}: LZW code out of range")
-            table.append(prev + (entry[0],))
-            if len(table) >= (1 << width) - 1 and width < 12:
+            if len(table) < 4096:
+                table.append(prev + (entry[0],))
+            if len(table) >= (1 << width) and width < 12:
                 width += 1
         out.extend(entry)
         prev = entry

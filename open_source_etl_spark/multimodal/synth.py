@@ -309,50 +309,53 @@ def gif_palette(doc_id: int) -> list[tuple[int, int, int]]:
 def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
     """Variable-width LZW per the GIF spec (Appendix F): dictionary
     seeded with the 2^min_code_size roots plus CLEAR/EOI, code width
-    grows when the next free code would overflow it, dictionary resets
-    via CLEAR at 4096.  LSB-first bit packing."""
+    grows once code 2^w itself has been assigned (the giflib/Pillow
+    rule — the first code that NEEDS w+1 bits is 2^w, which becomes
+    emittable only after it is assigned), dictionary resets via CLEAR
+    at 4096.  LSB-first bit packing."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
     acc = nbits = 0
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
 
-    def emit(code: int, width: int) -> None:
-        nonlocal acc, nbits
+    def emit(code: int) -> None:
+        # giflib pairing: the width check fires after EVERY emitted code
+        # (data, flush, CLEAR, EOI alike), keyed to the next free slot
+        # at emission time.  The decoder mirrors it per code READ, so
+        # e.g. the final prefix flush can push EOI one bit wider even
+        # though no table entry is added for it.
+        nonlocal acc, nbits, width
         acc |= code << nbits
         nbits += width
         while nbits >= 8:
             out.append(acc & 0xFF)
             acc >>= 8
             nbits -= 8
+        if next_code >= (1 << width) and width < 12:
+            width += 1
 
-    table = {(i,): i for i in range(clear)}
-    next_code = eoi + 1
-    width = min_code_size + 1
-    emit(clear, width)
+    emit(clear)
     prefix: tuple[int, ...] = ()
     for idx in indices:
         cand = prefix + (idx,)
         if cand in table:
             prefix = cand
             continue
-        emit(table[prefix], width)
+        emit(table[prefix])
         table[cand] = next_code
         next_code += 1
-        # standard growth rule (giflib/Pillow): the width bump fires as
-        # soon as next_code reaches the current width's capacity, so the
-        # NEXT emitted code — which may be the just-added entry's
-        # predecessor-capacity code — already uses the wider field
-        if next_code >= (1 << width) and width < 12:
-            width += 1
         if next_code == 4096:
-            emit(clear, width)
+            emit(clear)
             table = {(i,): i for i in range(clear)}
             next_code = eoi + 1
             width = min_code_size + 1
         prefix = (idx,)
     if prefix:
-        emit(table[prefix], width)
-    emit(eoi, width)
+        emit(table[prefix])
+    emit(eoi)
     if nbits:
         out.append(acc & 0xFF)
     return bytes(out)

@@ -147,3 +147,36 @@ def test_bucketed_query_leaves_warehouse_empty(spark, sf_dir):
         else []
     )
     assert leftovers == []
+
+
+def test_schema_cache_detects_rewritten_path(spark, tmp_path):
+    """The memoized schema inference in catalog.load_table must key on a
+    file fingerprint, not the bare path: perturb tooling rewrites fixed
+    temp paths, and fixture drops have changed physical types in place
+    (ADVICE round 4).  A rewritten table at the same path must be read
+    with its NEW schema, not a stale cached one."""
+    sf_dir = str(tmp_path)
+    p = f"{sf_dir}/events.parquet"
+    spark.createDataFrame([(1, "a")], "id long, payload string").write.parquet(p)
+    first = load_table(spark, sf_dir, "events")
+    assert dict(first.dtypes) == {"id": "bigint", "payload": "string"}
+
+    # rewrite in place with a different schema (and bump mtime to cover
+    # same-size same-second filesystems)
+    import os
+    import shutil
+    import time
+
+    shutil.rmtree(p)
+    spark.createDataFrame(
+        [(2, 3.5, "b")], "id long, score double, payload string"
+    ).write.parquet(p)
+    os.utime(p, ns=(time.time_ns(), time.time_ns() + 1))
+
+    second = load_table(spark, sf_dir, "events")
+    assert dict(second.dtypes) == {
+        "id": "bigint",
+        "score": "double",
+        "payload": "string",
+    }
+    assert second.count() == 1
