@@ -177,8 +177,7 @@ def _centroid_means(assigned: DataFrame) -> DataFrame:
     )
 
 
-@query("ann_ivf_search")  # no oracle: centroid assignment is iterative/engine-specific
-def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with declarative k-means: label-mean seeds → 2 Lloyd
     iterations (map-only broadcast argmax assign, one-shuffle mean
     recompute) → probe the query's 4 nearest cells → exact re-rank inside
@@ -188,8 +187,7 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only, see ``_assign_cells``) plus one vector-mean aggregation —
     the iterative-algorithm pattern on DataFrames with the driver only
     orchestrating, never holding data.  In a deployment the index build
-    is offline and the probe reads one cell partition.  Rows-only check:
-    recall depends on engine-specific centroid math.
+    is offline and the probe reads one cell partition.
 
     Deliberately NOT ``load_table_compute``: ``emb`` appears four times
     in the plan (seed, two Lloyd rounds, final assign), so a widening
@@ -238,13 +236,62 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_bucketed")  # no oracle: random-projection family is engine-specific
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _recall_summary(
+    approx_ids: DataFrame, exact_ids: DataFrame, extra_cols: list, floor_pct: int
+) -> DataFrame:
+    """One-row recall@k pin: |approx ∩ exact| vs the exact top-k, met
+    when 100·hits ≥ floor_pct·n_exact (integer arithmetic, no float
+    thresholding).  A degenerate fixture with an empty exact set counts
+    as met — there is nothing to recall."""
+    stats = exact_ids.agg(F.count("*").alias("n_exact")).crossJoin(
+        exact_ids.join(approx_ids, "vec_id").agg(F.count("*").alias("n_hits"))
+    )
+    met = (F.col("n_exact") == 0) | (
+        F.col("n_hits") * 100 >= F.lit(floor_pct) * F.col("n_exact")
+    )
+    return stats.select(*extra_cols, met.alias("recall_floor_met"))
+
+
+@query(
+    "ann_ivf_search",
+    oracle="""
+    SELECT 10 AS k, 4 AS n_probe, CAST(0.4 AS DOUBLE) AS recall_floor,
+           TRUE AS recall_floor_met
+    """,
+)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN recall@10 pin (VERDICT r4 item 2): runs the full IVF
+    pipeline (``_ivf_topk`` — k-means cells, 4-cell probe, exact
+    re-rank) AND the exact brute-force twin, and emits a one-row
+    summary asserting recall@10 ≥ 0.4 against ``knn_bruteforce_cosine``.
+    The driver hash-checks the assertion: a refactor that guts centroid
+    quality (recall collapses toward the ~0.4 random-probed-mass
+    floor... below it) flips ``recall_floor_met`` and fails the round.
+    The floor matches tests/test_ann_quality.py (measured 0.5-0.8 on
+    these weakly-clustered synthetic embeddings).  The neighbor list
+    itself stays engine-specific (centroid math), hence the pin rather
+    than a row-set oracle.
+    """
+    ivf = _ivf_topk(spark, sf_dir).select("vec_id")
+    exact = knn_bruteforce_cosine(spark, sf_dir).select("vec_id")
+    return _recall_summary(
+        ivf,
+        exact,
+        [
+            F.lit(10).alias("k"),
+            F.lit(4).alias("n_probe"),
+            F.lit(0.4).alias("recall_floor"),
+        ],
+        40,
+    )
+
+
+def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection LSH ANN via pyspark.ml (seeded): bucket the
     corpus, approxNearestNeighbors for the query vector.
 
     Candidate generation is a bucket equi-join (linear); only candidates
-    pay the exact distance. Rows-only check.
+    pay the exact distance.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -273,6 +320,36 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbors.select(
         "vec_id", "label", F.round(F.col("distCol"), 6).alias("euclidean_dist")
     ).orderBy("euclidean_dist", "vec_id")
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle="""
+    SELECT 10 AS k, 4 AS n_hash_tables, CAST(0.7 AS DOUBLE) AS recall_floor,
+           TRUE AS recall_floor_met
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN recall@10 pin (VERDICT r4 item 2): runs the seeded
+    random-projection LSH search (``_lsh_topk``) and the exact
+    brute-force twin, and emits a one-row summary asserting
+    recall@10 ≥ 0.7 vs ``knn_bruteforce_cosine`` (euclidean and cosine
+    rank identically on the L2-normalized fixture).  Floor matches
+    tests/test_ann_quality.py (measured 0.9-1.0); the bucket family is
+    engine-specific, hence the pin rather than a row-set oracle.
+    """
+    lsh = _lsh_topk(spark, sf_dir).select("vec_id")
+    exact = knn_bruteforce_cosine(spark, sf_dir).select("vec_id")
+    return _recall_summary(
+        lsh,
+        exact,
+        [
+            F.lit(10).alias("k"),
+            F.lit(4).alias("n_hash_tables"),
+            F.lit(0.7).alias("recall_floor"),
+        ],
+        70,
+    )
 
 
 @query(
@@ -517,7 +594,53 @@ def embed_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embed_pca_power")
+def _pca_power_oracle(rounds: int = 8) -> str:
+    """DuckDB twin of embed_pca_power: the identical deterministic
+    computation — Gram matrix G = X^T X over the modal-width vectors,
+    ``rounds`` power iterations from the all-ones start with L2
+    normalization, Rayleigh quotient / n — unrolled as chained CTEs.
+    Iterative linear algebra IS ANSI-SQL-expressible when the iteration
+    count is fixed and the state (a d-vector) is a relation."""
+    steps = []
+    prev = "v0"
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"u{t} AS MATERIALIZED (SELECT g.i, SUM(g.val * p.x) AS x FROM g "
+            f"JOIN {prev} p ON g.j = p.i GROUP BY g.i), "
+            f"v{t} AS MATERIALIZED (SELECT i, x / SQRT((SELECT SUM(x*x) FROM u{t})) AS x "
+            f"FROM u{t})"
+        )
+        prev = f"v{t}"
+    return f"""
+    WITH modal AS (
+      SELECT len(embedding) AS d FROM embeddings WHERE len(embedding) > 0
+      GROUP BY 1 ORDER BY count(*) DESC, d DESC LIMIT 1
+    ),
+    ex AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS o
+      FROM embeddings WHERE len(embedding) = (SELECT d FROM modal)
+    ),
+    g AS MATERIALIZED (
+      SELECT a.o AS i, b.o AS j, SUM(a.v * b.v) AS val
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+      GROUP BY a.o, b.o
+    ),
+    v0 AS (SELECT DISTINCT i, 1.0 AS x FROM g),
+    {', '.join(steps)},
+    gv AS (SELECT g.i, SUM(g.val * p.x) AS x FROM g
+           JOIN {prev} p ON g.j = p.i GROUP BY g.i),
+    ray AS (
+      SELECT SUM(p.x * gv.x) / (SELECT COUNT(DISTINCT vec_id) FROM ex) AS lam
+      FROM {prev} p JOIN gv ON p.i = gv.i
+    )
+    SELECT CAST(i - 1 AS INT) AS dim, ROUND(x, 6) AS component,
+           ROUND((SELECT lam FROM ray), 4) AS eigenvalue
+    FROM {prev} WHERE i <= 8 ORDER BY dim
+    """
+
+
+@query("embed_pca_power", oracle=_pca_power_oracle())
 def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the (uncentered) embedding corpus by
     POWER ITERATION on a one-pass d x d Gram matrix: a single
@@ -533,9 +656,12 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gram-free distributed rounds (broadcast-literal v, d sum
     accumulators per pass) at one scan per round.
 
-    Rows-only for the driver: iterative linear algebra has no ANSI-SQL
-    twin.  Output: one row per leading dimension (first 8) of v plus the
-    Rayleigh-quotient eigenvalue estimate.
+    Value-checked by the driver since round 5: the iteration count is
+    fixed and the state is a d-vector relation, so the WHOLE computation
+    (modal-width Gram, 8 normalized power rounds, Rayleigh quotient)
+    unrolls to chained CTEs in DuckDB (``_pca_power_oracle``).  Output:
+    one row per leading dimension (first 8) of v plus the Rayleigh-
+    quotient eigenvalue estimate.
     """
     emb = load_table_compute(spark, sf_dir, "embeddings").select("embedding")
     # ONE distributed pass builds the d x d Gram matrix G = X^T X as
@@ -630,7 +756,7 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rayleigh quotient lambda = v^T G v / n == sum((x.v)^2) / n
     gv = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
     ray = sum(v[i] * gv[i] for i in range(d)) / n_rows
-    spark_rows = [(i, round(float(v[i]), 6)) for i in range(8)]
+    spark_rows = [(i, round(float(v[i]), 6)) for i in range(min(8, d))]
     out = spark.createDataFrame(spark_rows, "dim int, component double")
     return out.withColumn("eigenvalue", F.round(F.lit(float(ray)), 4)).orderBy("dim")
 

@@ -27,15 +27,31 @@ def exact_top10(spark, queries):
 
 
 def test_ivf_recall_floor(spark, queries, exact_top10):
-    ivf = {r.vec_id for r in queries["ann_ivf_search"](spark, SF).collect()}
+    from open_source_etl_spark.operators.llm_similarity import _ivf_topk
+
+    ivf = {r.vec_id for r in _ivf_topk(spark, SF).collect()}
     recall = len(exact_top10 & ivf) / len(exact_top10)
     assert recall >= 0.4, f"IVF recall@10 collapsed: {recall}"
 
 
+def test_ivf_query_reports_floor_met(spark, queries):
+    """The registered query is the driver-facing recall pin; it must
+    emit exactly the oracle's one TRUE row on the healthy pipeline."""
+    rows = queries["ann_ivf_search"](spark, SF).collect()
+    assert len(rows) == 1 and rows[0].recall_floor_met is True
+
+
 def test_lsh_recall_floor(spark, queries, exact_top10):
-    lsh = {r.vec_id for r in queries["ann_lsh_bucketed"](spark, SF).collect()}
+    from open_source_etl_spark.operators.llm_similarity import _lsh_topk
+
+    lsh = {r.vec_id for r in _lsh_topk(spark, SF).collect()}
     recall = len(exact_top10 & lsh) / len(exact_top10)
     assert recall >= 0.7, f"LSH recall@10 collapsed: {recall}"
+
+
+def test_lsh_query_reports_floor_met(spark, queries):
+    rows = queries["ann_lsh_bucketed"](spark, SF).collect()
+    assert len(rows) == 1 and rows[0].recall_floor_met is True
 
 
 def test_minhash_finds_high_jaccard_pairs(spark, queries):
@@ -50,10 +66,9 @@ def test_minhash_finds_high_jaccard_pairs(spark, queries):
         if r.jaccard >= 0.9
     }
     assert exact, "fixture should contain strong near-dup pairs"
-    mh = {
-        (r.doc_a, r.doc_b)
-        for r in queries["dedup_minhash_candidates"](spark, SF).collect()
-    }
+    from open_source_etl_spark.operators.llm_dedup import _minhash_rerank
+
+    mh = {(r.doc_a, r.doc_b) for r in _minhash_rerank(spark, SF, 0.5).collect()}
     found = len(exact & mh) / len(exact)
     assert found >= 0.8, f"MinHash missed {1 - found:.0%} of J>=0.9 pairs"
 
