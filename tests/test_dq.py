@@ -143,3 +143,33 @@ def test_observe_metrics_piggyback_on_write(spark, tmp_path, sf_dir):
     assert metrics["o_totalprice__out_of_range"] == 0
     # the landed data is complete
     assert spark.read.parquet(str(tmp_path / "landed")).count() == metrics["rows"]
+
+
+def test_data_docs_rendering(spark, tmp_path):
+    """Data-docs analogue of the reference checkpoint's update_data_docs
+    action (checkpoint.yml:9-20): validation results render to a static
+    HTML site - index + per-suite detail pages - with pass/fail badges
+    and violation details present in the markup."""
+    from open_source_etl_spark.dq.datadocs import write_data_docs
+
+    good = validate(_match_scores_df(spark, [GOOD_ROW]), bundesliga_suite())
+    bad_row = list(GOOD_ROW)
+    bad_row[2] = "Friendly"  # violates the round value-set expectation
+    bad = validate(_match_scores_df(spark, [bad_row]), bundesliga_suite())
+
+    site = str(tmp_path / "data_docs")
+    index = write_data_docs(site, {"clean_batch": good, "dirty_batch": bad})
+
+    idx = open(index).read()
+    assert "clean_batch" in idx and "dirty_batch" in idx
+    assert 'href="validations/clean_batch.html"' in idx
+    assert "PASSED" in idx and "FAILED" in idx
+
+    detail = open(f"{site}/validations/dirty_batch.html").read()
+    assert "FAILED" in detail and "violations=1" in detail
+    clean_detail = open(f"{site}/validations/clean_batch.html").read()
+    assert "FAILED" not in clean_detail
+
+    # idempotent overwrite, like repeated checkpoint runs
+    write_data_docs(site, {"clean_batch": good, "dirty_batch": bad})
+    assert open(index).read() == idx
