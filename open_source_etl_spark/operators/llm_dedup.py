@@ -386,7 +386,8 @@ def _minhash_rerank(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
       SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ts
       FROM documents
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(1.0 AS DOUBLE) AS jaccard
     FROM t a JOIN t b ON a.ts = b.ts AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b
     """,
