@@ -613,29 +613,21 @@ JPEG_META_SCHEMA = (
 )
 
 
-def decode_jpeg_real(media_df: DataFrame) -> DataFrame:
-    """REAL entropy-coded image decode in pure stdlib: baseline
-    sequential JPEG (ISO/IEC 10918-1) — marker walk, DQT/SOF0/DHT/SOS
-    parsing, canonical Huffman decode of the scan (byte-stuffing aware),
-    DC differential + category/extend decoding, run-length AC with
-    EOB/ZRL, dequantization in zigzag space, float 2-D IDCT, level
-    shift, and the pixel mean over the true image region.  Grayscale
-    (one component) without restart markers is supported — the
-    fixture's shape; progressive (SOF2), multi-component, or RSTn
-    streams raise."""
+_JPEG_CTX: dict = {}
 
-    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+
+def _jpeg_ctx():
+    """Shared JPEG decode tables, built lazily once per process: the
+    numpy IDCT basis M[u, x] = C(u)/2 cos((2x+1) u pi / 16) (spatial
+    block = M.T @ F @ M) and the un-zigzag index vector."""
+    if not _JPEG_CTX:
         import math
-        import struct
 
         import numpy as np
-        import pandas as pd
 
         from .synth import JPEG_ZIGZAG
 
-        # IDCT basis matrix M[u, x] = C(u)/2 cos((2x+1) u pi / 16);
-        # spatial block = M.T @ F @ M (rows = y, cols = x)
-        basis = np.array(
+        _JPEG_CTX["basis"] = np.array(
             [
                 [
                     (math.sqrt(0.5) if u == 0 else 1.0)
@@ -646,207 +638,239 @@ def decode_jpeg_real(media_df: DataFrame) -> DataFrame:
                 for u in range(8)
             ]
         )
-        unzig = np.array(JPEG_ZIGZAG)
+        _JPEG_CTX["unzig"] = np.array(JPEG_ZIGZAG)
+    return _JPEG_CTX["basis"], _JPEG_CTX["unzig"]
 
-        def idct_block(coef_z: list[int], q: "np.ndarray") -> "np.ndarray":
-            """coef_z: the 64 quantized coefficients in zigzag order."""
-            dequant = np.asarray(coef_z, dtype=np.float64) * q
-            F = np.zeros(64)
-            F[unzig] = dequant
-            spatial = basis.T @ F.reshape(8, 8) @ basis
-            px = np.floor(spatial + 128.5).astype(np.int64)  # round + shift
-            return np.clip(px, 0, 255)
 
-        def build_huffman(counts: bytes, symbols: bytes) -> dict:
-            table, code, k = {}, 0, 0
-            for length in range(1, 17):
-                for _ in range(counts[length - 1]):
-                    table[(length, code)] = symbols[k]
-                    code += 1
-                    k += 1
-                code <<= 1
-            return table
+def _build_huffman(counts: bytes, symbols: bytes) -> dict:
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
 
-        class BitReader:
-            def __init__(self, data: bytes):
-                self.data = data
-                self.pos = 0
-                self.acc = 0
-                self.nbits = 0
 
-            def bit(self) -> int:
-                if not self.nbits:
-                    if self.pos >= len(self.data):
-                        raise ValueError("entropy stream truncated")
-                    self.acc = self.data[self.pos]
-                    self.pos += 1
-                    self.nbits = 8
-                self.nbits -= 1
-                return (self.acc >> self.nbits) & 1
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
 
-            def bits(self, n: int) -> int:
-                v = 0
-                for _ in range(n):
-                    v = (v << 1) | self.bit()
-                return v
+    def bit(self) -> int:
+        if not self.nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream truncated")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
 
-            def huff(self, table: dict) -> int:
-                length, code = 0, 0
-                while length < 16:
-                    code = (code << 1) | self.bit()
-                    length += 1
-                    sym = table.get((length, code))
-                    if sym is not None:
-                        return sym
-                raise ValueError("invalid Huffman code in scan")
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
 
-        def extend(bits: int, size: int) -> int:
-            # JPEG "extend": a size-bit field with MSB 0 encodes a
-            # negative value bits - (2^size - 1)
-            if size == 0:
-                return 0
-            return bits if bits >> (size - 1) else bits - ((1 << size) - 1)
+    def huff(self, table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
 
-        def decode_one(doc_id: int, raw: bytes):
-            if raw[:2] != b"\xff\xd8":
-                raise ValueError(f"doc {doc_id}: missing SOI")
-            pos = 2
-            quant: dict[int, list[int]] = {}
-            huff_dc: dict[int, dict] = {}
-            huff_ac: dict[int, dict] = {}
-            sof = None
-            comp_spec = None
-            while pos < len(raw):
-                if raw[pos] != 0xFF:
-                    raise ValueError(f"doc {doc_id}: marker sync lost")
-                # spec-legal 0xFF fill bytes may pad before any marker
-                # (ISO/IEC 10918-1 B.1.1.2): skip to the marker byte
-                while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
-                    pos += 1
-                marker = raw[pos + 1]
-                if marker == 0xD9:  # EOI with no scan
-                    raise ValueError(f"doc {doc_id}: no scan data")
-                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-                    # TEM / RSTn are standalone (no length segment)
-                    pos += 2
-                    continue
-                (seg_len,) = struct.unpack_from(">H", raw, pos + 2)
-                data = raw[pos + 4 : pos + 2 + seg_len]
-                if marker == 0xDB:  # DQT
-                    p = 0
-                    while p < len(data):
-                        pq, tq = data[p] >> 4, data[p] & 15
-                        if pq != 0:
-                            raise ValueError(f"doc {doc_id}: 16-bit DQT")
-                        quant[tq] = list(data[p + 1 : p + 65])
-                        p += 65
-                elif marker == 0xC0:  # SOF0 baseline
-                    precision, h, w_, nc = struct.unpack_from(">BHHB", data, 0)
-                    if precision != 8 or nc != 1:
-                        raise ValueError(
-                            f"doc {doc_id}: only 8-bit grayscale supported"
-                        )
-                    comp_spec = (data[6], data[7], data[8])  # id, sampling, tq
-                    if comp_spec[1] != 0x11:
-                        raise ValueError(f"doc {doc_id}: subsampling unsupported")
-                    sof = (w_, h)
-                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-                    raise ValueError(f"doc {doc_id}: non-baseline SOF {marker:x}")
-                elif marker == 0xC4:  # DHT
-                    p = 0
-                    while p < len(data):
-                        tc, th = data[p] >> 4, data[p] & 15
-                        counts = data[p + 1 : p + 17]
-                        nsym = sum(counts)
-                        symbols = data[p + 17 : p + 17 + nsym]
-                        (huff_dc if tc == 0 else huff_ac)[th] = build_huffman(
-                            counts, symbols
-                        )
-                        p += 17 + nsym
-                elif marker == 0xDD:
-                    raise ValueError(f"doc {doc_id}: restart markers unsupported")
-                elif marker == 0xDA:  # SOS: entropy data follows
-                    td, ta = data[2] >> 4, data[2] & 15
-                    pos += 2 + seg_len
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    # JPEG "extend": a size-bit field with MSB 0 encodes a
+    # negative value bits - (2^size - 1)
+    if size == 0:
+        return 0
+    return bits if bits >> (size - 1) else bits - ((1 << size) - 1)
+
+
+def jpeg_decode_gray(doc_id: int, raw: bytes) -> tuple[int, int, int, int]:
+    """Decode one baseline-sequential grayscale JPEG payload to
+    (width, height, n_blocks, mean_gray).  Module-scope so BOTH the
+    standalone image query and the MJPEG-in-AVI frame extraction run
+    the SAME production decoder (and the property suite can drive it
+    directly).  Progressive (SOF2), multi-component, or RSTn streams
+    raise."""
+    import math
+    import struct
+
+    import numpy as np
+
+    basis, unzig = _jpeg_ctx()
+
+    def idct_block(coef_z: list[int], q: "np.ndarray") -> "np.ndarray":
+        """coef_z: the 64 quantized coefficients in zigzag order."""
+        dequant = np.asarray(coef_z, dtype=np.float64) * q
+        F = np.zeros(64)
+        F[unzig] = dequant
+        spatial = basis.T @ F.reshape(8, 8) @ basis
+        px = np.floor(spatial + 128.5).astype(np.int64)  # round + shift
+        return np.clip(px, 0, 255)
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError(f"doc {doc_id}: missing SOI")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    comp_spec = None
+    while pos < len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"doc {doc_id}: marker sync lost")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        # (ISO/IEC 10918-1 B.1.1.2): skip to the marker byte
+        while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI with no scan
+            raise ValueError(f"doc {doc_id}: no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (no length segment)
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", raw, pos + 2)
+        data = raw[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 15
+                if pq != 0:
+                    raise ValueError(f"doc {doc_id}: 16-bit DQT")
+                quant[tq] = list(data[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w_, nc = struct.unpack_from(">BHHB", data, 0)
+            if precision != 8 or nc != 1:
+                raise ValueError(
+                    f"doc {doc_id}: only 8-bit grayscale supported"
+                )
+            comp_spec = (data[6], data[7], data[8])  # id, sampling, tq
+            if comp_spec[1] != 0x11:
+                raise ValueError(f"doc {doc_id}: subsampling unsupported")
+            sof = (w_, h)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(f"doc {doc_id}: non-baseline SOF {marker:x}")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 15
+                counts = data[p + 1 : p + 17]
+                nsym = sum(counts)
+                symbols = data[p + 17 : p + 17 + nsym]
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
+                    counts, symbols
+                )
+                p += 17 + nsym
+        elif marker == 0xDD:
+            raise ValueError(f"doc {doc_id}: restart markers unsupported")
+        elif marker == 0xDA:  # SOS: entropy data follows
+            td, ta = data[2] >> 4, data[2] & 15
+            pos += 2 + seg_len
+            break
+        pos += 2 + seg_len
+    else:
+        raise ValueError(f"doc {doc_id}: no SOS marker")
+    if sof is None or comp_spec is None:
+        raise ValueError(f"doc {doc_id}: missing SOF before SOS")
+    width, height = sof
+    q = quant[comp_spec[2]]
+    # de-stuff the scan: FF00 -> FF; any other FFxx is a marker
+    body = bytearray()
+    p = pos
+    while p < len(raw):
+        byte = raw[p]
+        if byte == 0xFF:
+            nxt = raw[p + 1] if p + 1 < len(raw) else None
+            if nxt == 0x00:
+                body.append(0xFF)
+                p += 2
+                continue
+            if nxt == 0xD9:
+                break
+            raise ValueError(f"doc {doc_id}: unexpected marker in scan")
+        body.append(byte)
+        p += 1
+    else:
+        raise ValueError(f"doc {doc_id}: missing EOI")
+    reader = _BitReader(bytes(body))
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    pred = 0
+    dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
+    qv = np.asarray(q, dtype=np.float64)
+    image = np.zeros((by * 8, bx * 8), dtype=np.int64)
+    for bj in range(by):
+        for bi in range(bx):
+            size = reader.huff(dc_tab)
+            diff = _jpeg_extend(reader.bits(size), size)
+            pred += diff
+            coef_z = [0] * 64
+            coef_z[0] = pred
+            k = 0
+            any_ac = False
+            while k < 63:
+                sym = reader.huff(ac_tab)
+                if sym == 0x00:  # EOB
                     break
-                pos += 2 + seg_len
-            else:
-                raise ValueError(f"doc {doc_id}: no SOS marker")
-            if sof is None or comp_spec is None:
-                raise ValueError(f"doc {doc_id}: missing SOF before SOS")
-            width, height = sof
-            q = quant[comp_spec[2]]
-            # de-stuff the scan: FF00 -> FF; any other FFxx is a marker
-            body = bytearray()
-            p = pos
-            while p < len(raw):
-                byte = raw[p]
-                if byte == 0xFF:
-                    nxt = raw[p + 1] if p + 1 < len(raw) else None
-                    if nxt == 0x00:
-                        body.append(0xFF)
-                        p += 2
-                        continue
-                    if nxt == 0xD9:
-                        break
-                    raise ValueError(f"doc {doc_id}: unexpected marker in scan")
-                body.append(byte)
-                p += 1
-            else:
-                raise ValueError(f"doc {doc_id}: missing EOI")
-            reader = BitReader(bytes(body))
-            bx = (width + 7) // 8
-            by = (height + 7) // 8
-            pred = 0
-            dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
-            qv = np.asarray(q, dtype=np.float64)
-            image = np.zeros((by * 8, bx * 8), dtype=np.int64)
-            for bj in range(by):
-                for bi in range(bx):
-                    size = reader.huff(dc_tab)
-                    diff = extend(reader.bits(size), size)
-                    pred += diff
-                    coef_z = [0] * 64
-                    coef_z[0] = pred
-                    k = 0
-                    any_ac = False
-                    while k < 63:
-                        sym = reader.huff(ac_tab)
-                        if sym == 0x00:  # EOB
-                            break
-                        run, size_ac = sym >> 4, sym & 15
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            if k > 63:
-                                raise ValueError(
-                                    f"doc {doc_id}: AC index overflow"
-                                )
-                            continue
-                        k += run + 1
-                        if k > 63:
-                            raise ValueError(f"doc {doc_id}: AC index overflow")
-                        coef_z[k] = extend(reader.bits(size_ac), size_ac)
-                        any_ac = True
-                    if any_ac:
-                        block = idct_block(coef_z, qv)
-                    else:
-                        # DC-only block is constant — the sparse shortcut
-                        # every real decoder takes; F(0,0)/8 + 128 exactly
-                        val = int(
-                            math.floor(coef_z[0] * q[0] / 8.0 + 128.5)
+                run, size_ac = sym >> 4, sym & 15
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    if k > 63:
+                        raise ValueError(
+                            f"doc {doc_id}: AC index overflow"
                         )
-                        block = np.full((8, 8), max(0, min(255, val)))
-                    image[bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8] = block
-            # mean over the true image region only (crop block padding)
-            total = int(image[:height, :width].sum())
-            return width, height, bx * by, total // (width * height)
+                    continue
+                k += run + 1
+                if k > 63:
+                    raise ValueError(f"doc {doc_id}: AC index overflow")
+                coef_z[k] = _jpeg_extend(reader.bits(size_ac), size_ac)
+                any_ac = True
+            if any_ac:
+                block = idct_block(coef_z, qv)
+            else:
+                # DC-only block is constant — the sparse shortcut
+                # every real decoder takes; F(0,0)/8 + 128 exactly
+                val = int(
+                    math.floor(coef_z[0] * q[0] / 8.0 + 128.5)
+                )
+                block = np.full((8, 8), max(0, min(255, val)))
+            image[bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8] = block
+    # mean over the true image region only (crop block padding)
+    total = int(image[:height, :width].sum())
+    return width, height, bx * by, total // (width * height)
+
+
+def decode_jpeg_real(media_df: DataFrame) -> DataFrame:
+    """REAL entropy-coded image decode in pure stdlib: baseline
+    sequential JPEG (ISO/IEC 10918-1) — marker walk, DQT/SOF0/DHT/SOS
+    parsing, canonical Huffman decode of the scan (byte-stuffing aware),
+    DC differential + category/extend decoding, run-length AC with
+    EOB/ZRL, dequantization in zigzag space, float 2-D IDCT, level
+    shift, and the pixel mean over the true image region.  Grayscale
+    (one component) without restart markers is supported — the
+    fixture's shape; the per-payload core is ``jpeg_decode_gray``."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
 
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in (
                 "doc_id", "width", "height", "n_blocks", "mean_gray",
             )}
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                w_, h_, nb, mean = decode_one(int(doc_id), bytes(b))
+                w_, h_, nb, mean = jpeg_decode_gray(int(doc_id), bytes(b))
                 out["doc_id"].append(doc_id)
                 out["width"].append(w_)
                 out["height"].append(h_)
@@ -1043,6 +1067,165 @@ def synthesize_gif(docs_df: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"].values,
                     "kind": ["image"] * len(pdf),
                     "payload": [make_gif_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+AVI_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long, mean_gray long"
+)
+
+
+def decode_avi_mjpeg(media_df: DataFrame) -> DataFrame:
+    """REAL video-container decode: RIFF/AVI chunk walk (hdrl: avih main
+    header + vids/MJPG stream header + BITMAPINFOHEADER; movi: 00dc
+    frame chunks with word alignment; idx1 index), each frame handed to
+    the production baseline-JPEG decoder (``jpeg_decode_gray``) — the
+    row-expanding (1 video → n_frames rows) shape real frame extraction
+    uses.  Closes the video gap from behind the declared codec stubs:
+    MJPEG is JPEG-per-frame, so the existing entropy decoder IS the
+    video decoder once the container is parsed (H.264 remains a
+    declared stub — inter-frame prediction needs a real codec).
+
+    Cross-validates container metadata against stream content: frame
+    dimensions must match the headers, the frame count must match
+    dwTotalFrames, and an idx1 (when present) must index every frame —
+    a malformed container raises rather than yielding silently wrong
+    frames."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def parse_hdrl(doc_id: int, raw: bytes, pos: int, end: int):
+            dims = None
+            stream_ok = False
+            while pos + 8 <= end:
+                fourcc = raw[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", raw, pos + 4)
+                body = pos + 8
+                if fourcc == b"avih":
+                    vals = struct.unpack_from("<14I", raw, body)
+                    dims = (vals[8], vals[9], vals[4])  # width, height, frames
+                elif fourcc == b"LIST" and raw[body : body + 4] == b"strl":
+                    p = body + 4
+                    while p + 8 <= body + size:
+                        sub = raw[p : p + 4]
+                        (ssz,) = struct.unpack_from("<I", raw, p + 4)
+                        if sub == b"strh":
+                            if raw[p + 8 : p + 12] == b"vids":
+                                if raw[p + 12 : p + 16] != b"MJPG":
+                                    raise ValueError(
+                                        f"doc {doc_id}: non-MJPEG video stream"
+                                    )
+                                stream_ok = True
+                        elif sub == b"strf" and stream_ok:
+                            comp = raw[p + 8 + 16 : p + 8 + 20]
+                            if comp != b"MJPG":
+                                raise ValueError(
+                                    f"doc {doc_id}: strf compression {comp!r}"
+                                )
+                        p += 8 + ssz + (ssz & 1)
+                pos = body + size + (size & 1)
+            if dims is None or not stream_ok:
+                raise ValueError(f"doc {doc_id}: missing avih or vids stream")
+            return dims
+
+        def parse_movi(doc_id: int, raw: bytes, pos: int, end: int):
+            frames = []
+            while pos + 8 <= end:
+                fourcc = raw[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", raw, pos + 4)
+                body = pos + 8
+                if body + size > end:
+                    raise ValueError(f"doc {doc_id}: movi chunk truncated")
+                if fourcc == b"00dc":
+                    frames.append(raw[body : body + size])
+                pos = body + size + (size & 1)
+            return frames
+
+        def decode_one(doc_id: int, raw: bytes):
+            if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+                raise ValueError(f"doc {doc_id}: not an AVI payload")
+            (riff_len,) = struct.unpack_from("<I", raw, 4)
+            if 8 + riff_len > len(raw):
+                raise ValueError(f"doc {doc_id}: RIFF size overruns payload")
+            pos, end = 12, 8 + riff_len
+            header = None
+            frames: list[bytes] = []
+            n_indexed = None
+            while pos + 8 <= end:
+                fourcc = raw[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", raw, pos + 4)
+                body = pos + 8
+                if body + size > end:
+                    raise ValueError(f"doc {doc_id}: chunk {fourcc!r} truncated")
+                if fourcc == b"LIST":
+                    subtype = raw[body : body + 4]
+                    if subtype == b"hdrl":
+                        header = parse_hdrl(doc_id, raw, body + 4, body + size)
+                    elif subtype == b"movi":
+                        frames = parse_movi(doc_id, raw, body + 4, body + size)
+                elif fourcc == b"idx1":
+                    n_indexed = size // 16
+                pos = body + size + (size & 1)
+            if header is None:
+                raise ValueError(f"doc {doc_id}: missing hdrl")
+            width, height, total = header
+            if len(frames) != total:
+                raise ValueError(
+                    f"doc {doc_id}: {len(frames)} frames, header says {total}"
+                )
+            if n_indexed is not None and n_indexed != len(frames):
+                raise ValueError(
+                    f"doc {doc_id}: idx1 indexes {n_indexed} of {len(frames)}"
+                )
+            out = []
+            for k, frame in enumerate(frames):
+                w_, h_, _nb, mean = jpeg_decode_gray(doc_id, frame)
+                if (w_, h_) != (width, height):
+                    raise ValueError(
+                        f"doc {doc_id}: frame {k} is {w_}x{h_}, "
+                        f"container says {width}x{height}"
+                    )
+                out.append((k, w_, h_, mean))
+            return out
+
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "mean_gray",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for k, w_, h_, mean in decode_one(int(doc_id), bytes(b)):
+                    cols["doc_id"].append(doc_id)
+                    cols["frame_idx"].append(k)
+                    cols["width"].append(w_)
+                    cols["height"].append(h_)
+                    cols["mean_gray"].append(mean)
+            yield pd.DataFrame(cols)
+
+    return media_df.select("doc_id", "payload").mapInPandas(kernel, AVI_FRAME_SCHEMA)
+
+
+def synthesize_avi(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a REAL MJPEG-in-AVI payload."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_avi_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [make_avi_bytes(int(d)) for d in pdf["doc_id"]],
                 }
             )
 

@@ -239,7 +239,13 @@ def make_jpeg_bytes(doc_id: int) -> bytes:
     ground truth stays integer-exact while the DC Huffman path does real
     work (the first block's diff spans categories up to 8; later diffs
     are +1, category 1)."""
-    blocks_x, blocks_y, base = jpeg_params(doc_id)
+    return _jpeg_encode(*jpeg_params(doc_id))
+
+
+def _jpeg_encode(blocks_x: int, blocks_y: int, base: int) -> bytes:
+    """The encoder core behind ``make_jpeg_bytes``, parameterized so the
+    MJPEG-in-AVI synthesizer can emit frames sharing one geometry with a
+    per-frame base level."""
     width, height = 8 * blocks_x, 8 * blocks_y
 
     quant = bytearray(64)
@@ -386,3 +392,92 @@ def make_gif_bytes(doc_id: int) -> bytes:
         + bytes(blocks)
         + b"\x3b"
     )
+
+
+def avi_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(n_frames, blocks_x, blocks_y, base) for the MJPEG-in-AVI
+    fixture.  Every frame shares ``jpeg_params(doc_id)`` geometry (an
+    AVI stream has one frame size); frame k's flat level is
+    (base + 17*k) % 150, so each decoded frame mean has the closed form
+    (base + 17*k) % 150 + (n_blocks - 1) // 2 a SQL oracle can state."""
+    blocks_x, blocks_y, base = jpeg_params(doc_id)
+    return 2 + doc_id % 3, blocks_x, blocks_y, base
+
+
+def make_avi_bytes(doc_id: int) -> bytes:
+    """Real RIFF/AVI container carrying an MJPEG video stream (the
+    OpenDML/VfW layout): ``hdrl`` LIST with the 56-byte ``avih`` main
+    header and a ``strl`` LIST (56-byte ``'vids'``/``'MJPG'`` ``strh``
+    + 40-byte BITMAPINFOHEADER ``strf``), a ``movi`` LIST with one
+    word-aligned ``00dc`` chunk per entropy-coded JPEG frame, and a
+    standard ``idx1`` index (AVIIF_KEYFRAME entries, offsets relative
+    to the ``movi`` fourcc)."""
+    n_frames, bx, by, base = avi_params(doc_id)
+    width, height = 8 * bx, 8 * by
+    frames = [_jpeg_encode(bx, by, (base + 17 * k) % 150) for k in range(n_frames)]
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(subtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", subtype + payload)
+
+    max_frame = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        40_000,  # dwMicroSecPerFrame (25 fps)
+        max_frame * 25,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n_frames,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_frame,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1, 25,  # dwScale / dwRate = 25 fps
+            0,  # dwStart
+            n_frames,  # dwLength (in frames)
+            max_frame,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (default)
+            0,  # dwSampleSize (0: varying frame sizes)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        max_frame,  # biSizeImage (largest compressed frame)
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = bytearray()
+    idx_entries = bytearray()
+    for f in frames:
+        # idx1 offsets point at the ckid, relative to the 'movi' fourcc
+        offset = 4 + len(movi_payload)
+        movi_payload += chunk(b"00dc", f)
+        idx_entries += b"00dc" + struct.pack("<III", 0x10, offset, len(f))
+    movi = lst(b"movi", bytes(movi_payload))
+    idx1 = chunk(b"idx1", bytes(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
