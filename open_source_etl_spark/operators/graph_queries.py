@@ -55,28 +55,41 @@ def pagerank(spark: SparkSession, edges: DataFrame, rounds: int = ROUNDS) -> Dat
     the identical kernel on synthetic graphs 100x the fixture's key
     space.  Returns the final (dst, rank) frame; mass sums to 1 when
     every node has out-degree >= 1 (undirected edges guarantee it)."""
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    wedges = edges.join(deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    # the node-sized degree frame is the cheap place to learn BOTH sizes:
+    # sum(out_deg) = |E| and count = |V| (undirected edges ⇒ every node
+    # appears as src).  Checkpointing deg (tiny) instead of a pre-
+    # repartition edge frame halves the kernel's peak cached footprint —
+    # the round-4 probe showed the 10M-key leg thrashing GC with TWO
+    # |E|-sized checkpoints (pre- and post-repartition) pinned for the
+    # whole loop plus a redundant |E|→|V| distinct for the node frame.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=True)
     )
-    wedges = wedges.localCheckpoint(eager=True)
-
+    stats = deg.agg(
+        F.sum("out_deg").alias("e"), F.count("*").alias("v")
+    ).first()
+    n_edges, n_nodes = int(stats["e"]), int(stats["v"])
     # per-round shuffle load is O(|edges|); size the iteration partition
     # count from the edge count exactly like dedup_connected_components
     # (tiny rounds drown in task-launch overhead at the default count)
-    n_edges = wedges.count()
     iter_parts = max(8, min(-(-n_edges // 200_000), 4096))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
     try:
-        # hash-partition the (checkpointed) edge frame on src ONCE: the
-        # per-round join then re-shuffles only the |nodes|-sized rank
-        # frame, never the |edges|-sized one — the dominant per-round
-        # exchange disappears (measured ~20% off the 6-round loop at
-        # sf0.1, and the saving grows with |edges|/|nodes|)
-        wedges = wedges.repartition(iter_parts, "src").localCheckpoint(eager=True)
-        nodes = wedges.select(F.col("src").alias("dst")).distinct()
-        n_nodes = nodes.count()
+        # hash-partition the weighted edge frame on src ONCE (single
+        # |E|-sized checkpoint): the per-round join then re-shuffles only
+        # the |nodes|-sized rank frame, never the |edges|-sized one — the
+        # dominant per-round exchange disappears (measured ~20% off the
+        # 6-round loop at sf0.1, and the saving grows with |edges|/|nodes|)
+        wedges = (
+            edges.join(deg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+            .repartition(iter_parts, "src")
+            .localCheckpoint(eager=True)
+        )
+        nodes = deg.select(F.col("src").alias("dst"))
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
         teleport = (1.0 - DAMPING) / n_nodes
         for _ in range(rounds):

@@ -171,7 +171,22 @@ def iterative_main() -> None:
     from open_source_etl_spark.session import build_session
     from pyspark.sql import functions as F
 
-    spark = build_session(EngineConfig(master="local[32]", shuffle_partitions=32))
+    # Size the JVM for the 10M-key leg the way a cluster would size its
+    # executors: 40M cached edge rows + 7 generations of 10M-row rank
+    # checkpoints do not fit an 8g heap without GC thrash (the round-4
+    # α=1.13 bend), and Tungsten execution memory moves off-heap so
+    # shuffle/sort buffers stop feeding the collector at all.
+    os.environ.setdefault("OSETL_DRIVER_MEMORY", "24g")
+    spark = build_session(
+        EngineConfig(
+            master="local[32]",
+            shuffle_partitions=32,
+            extra={
+                "spark.memory.offHeap.enabled": "true",
+                "spark.memory.offHeap.size": "8g",
+            },
+        )
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
