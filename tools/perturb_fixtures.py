@@ -28,6 +28,7 @@ or programmatically: ``perturb(src_dir, dst_dir)``.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 import duckdb
@@ -153,6 +154,12 @@ _PERTURB_SQL: dict[str, str] = {
 
 
 def perturb(src_dir: str, dst_dir: str) -> str:
+    # start from an EMPTY destination: fixtures regenerate between
+    # rounds, and a stale table left from a previous run (or a table
+    # later dropped from TABLES) must never mask a parity break
+    # (VERDICT r4 hygiene item 8)
+    if os.path.isdir(dst_dir):
+        shutil.rmtree(dst_dir)
     os.makedirs(dst_dir, exist_ok=True)
     con = duckdb.connect()
     for name in TABLES:
