@@ -117,24 +117,59 @@ def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL++ estimate is engine-specific
+@query(
+    "agg_approx_distinct",
+    # the raw HLL++ estimate is engine-specific (DuckDB uses a different
+    # sketch), so the value-checked surface is the exact twin plus a
+    # 3-sigma error-bound pin on the estimate — any sketch regression
+    # (hashing, register merge, bias correction) flips the flag
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_6pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct via HLL++ (fixed-memory sketch per group).
 
-    The 100 TB substitute for exact countDistinct; rows-only check since
-    the estimate is engine-specific (rsd 2% here — 4x fewer HLL registers
-    than 1% for ~1.5x faster updates, still far tighter than Spark's
-    0.05 default).  Narrow scan: the register update is cheaper than a
-    round-robin exchange of the rows (measured 2.5x at sf0.1).
+    The 100 TB substitute for exact countDistinct (rsd 2% here — 4x
+    fewer HLL registers than 1% for ~1.5x faster updates, still far
+    tighter than Spark's 0.05 default).  Narrow scan: the register
+    update is cheaper than a round-robin exchange of the rows (measured
+    2.5x at sf0.1).
+
+    Driver pin: the exact countDistinct twin rides the SAME single agg
+    pass (one shuffle, two aggregation buffers) purely to make the
+    sketch checkable — ``approx_within_6pct`` asserts the estimate is
+    inside 3x the configured rsd via integer arithmetic (no float
+    parity risk).  At 100 TB one would drop the exact twin and keep
+    only the sketch; the estimate itself is deterministic for a given
+    dataset (register max-merge is order-independent).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.count("*").alias("n_rows"),
-        )
-        .orderBy("l_returnflag")
+    raw = approx_distinct_raw(load_table(spark, sf_dir, "lineitem"))
+    return raw.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts")) * 100
+            <= F.col("exact_parts") * 6
+        ).alias("approx_within_6pct"),
+    ).orderBy("l_returnflag")
+
+
+def approx_distinct_raw(li: DataFrame) -> DataFrame:
+    """Raw HLL++ estimates next to their exact twins, one agg pass —
+    the registry query projects the bound flag from this; the tighter
+    6-sigma pin in tests/test_sketch_quality.py reads the estimates."""
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
 
 
@@ -341,7 +376,31 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_union")
+@query(
+    "agg_hll_sketch_union",
+    # the DataSketches estimate is sketch-algorithm-specific, so the
+    # value-checked surface is the exact distinct twin plus a 3-sigma
+    # bound pin on every estimate — including the MERGED one, which is
+    # the operator's point (union of per-group sketches, no rescan)
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys
+      FROM orders GROUP BY o_orderpriority
+    ),
+    a AS (
+      SELECT 'ALL' AS o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys
+      FROM orders
+    )
+    SELECT o_orderpriority, n_orders, exact_custkeys,
+           TRUE AS est_within_5pct
+    FROM (SELECT * FROM g UNION ALL SELECT * FROM a)
+    ORDER BY o_orderpriority
+    """,
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting (Apache DataSketches HLL,
     Spark 3.5+): build one reusable sketch per order priority with
@@ -349,19 +408,45 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``hll_union_agg`` for the global estimate — no rescan of the
     fact table.  This build-once/merge-anywhere pattern is the 100 TB
     answer to distinct counts across rollup levels (vs. re-shuffling the
-    raw keys per level).  Rows-only check: the estimate is
-    sketch-algorithm-specific, so no cross-engine oracle exists
-    (DuckDB's approx_count_distinct uses a different sketch).
+    raw keys per level).
+
+    Driver pin: exact countDistinct twins (per-group in the same agg
+    pass; one extra tiny agg for the global row since per-group exacts
+    don't compose across overlapping custkeys) make every estimate
+    checkable — ``est_within_5pct`` is 3x the default-lgK=12 relative
+    standard error (1.04/sqrt(4096) ~ 1.6%), integer arithmetic only.
+    The merged row's flag specifically catches union-merge bugs that
+    per-group estimates cannot see.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    raw = hll_sketch_union_raw(load_table(spark, sf_dir, "orders"))
+    return raw.select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_custkeys",
+        (
+            F.abs(F.col("est_custkeys") - F.col("exact_custkeys")) * 100
+            <= F.col("exact_custkeys") * 5
+        ).alias("est_within_5pct"),
+    ).orderBy("o_orderpriority")
+
+
+def hll_sketch_union_raw(orders: DataFrame) -> DataFrame:
+    """Per-priority and merged-ALL HLL estimates next to exact twins —
+    the registry query projects the bound flag; the tighter 6-sigma pin
+    in tests/test_sketch_quality.py reads the estimates."""
     sketches = orders.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
         F.count("*").cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_custkeys"),
     )
     per_group = sketches.select(
         "o_orderpriority",
         "n_orders",
+        "exact_custkeys",
         F.hll_sketch_estimate("sk").cast("bigint").alias("est_custkeys"),
+    )
+    exact_all = orders.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_custkeys")
     )
     merged = sketches.agg(
         F.lit("ALL").alias("o_orderpriority"),
@@ -369,8 +454,8 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
             "est_custkeys"
         ),
-    )
-    return per_group.unionByName(merged).orderBy("o_orderpriority")
+    ).crossJoin(exact_all)
+    return per_group.unionByName(merged, allowMissingColumns=False)
 
 
 @query(
@@ -682,53 +767,178 @@ def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile")
+@query(
+    "agg_approx_quantile",
+    # the GK sketch's returned element is engine-specific (DuckDB's
+    # approx_quantile is t-digest), so the value-checked surface is the
+    # exact interpolated percentiles plus a rank-error pin on each GK
+    # answer: the returned element's rank must sit within the published
+    # 1/accuracy rank-error band (checked with 2x slack, integer
+    # arithmetic only)
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+      ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+      ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+      TRUE AS gk_rank_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via Spark's Greenwald–Khanna sketch
     (``percentile_approx``, relative rank error <= 1/accuracy): the
     bounded-memory alternative to ``agg_percentiles``'s exact sort-based
     percentiles.  At 100 TB the exact form must shuffle every value to
     its group; the GK sketch keeps O(accuracy · log n) per group and
-    merges across partitions.  Rows-only for the driver (the sketch is
-    engine-specific — DuckDB's approx_quantile uses t-digest); the rank
-    error against the exact answer is pinned in
-    ``tests/test_sketch_quality.py``.
+    merges across partitions.
+
+    Driver pin: a second narrow (2-column) scan joined to the
+    broadcast 3-row stats frame counts each group's values strictly
+    below / at-or-below every GK answer; ``gk_rank_ok`` asserts the
+    answer's rank interval intersects [q*n - 2n/acc - acc, q*n +
+    2n/acc + acc] in integer arithmetic (2x the guarantee plus one
+    element of slack — a sketch whose merge or compress is broken
+    misses by orders of magnitude).  Exact percentiles ride the first
+    pass for the cross-engine value check; at 100 TB both the exact
+    twin and the verification scan drop away, leaving the single
+    sketch pass.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    acc = F.lit(10000)
-    return (
-        li.groupBy("l_returnflag")
+    acc = GK_ACCURACY
+    stats = approx_quantile_raw(li)
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(stats.select("l_returnflag", "a50", "a90", "a99")),
+              "l_returnflag")
+        .groupBy("l_returnflag")
         .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50_approx"),
-            F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias("p90_approx"),
-            F.percentile_approx("l_extendedprice", F.lit(0.99), acc).alias("p99_approx"),
+            *[
+                agg_col
+                for q in (50, 90, 99)
+                for agg_col in (
+                    F.sum(
+                        (F.col("l_extendedprice") < F.col(f"a{q}")).cast("long")
+                    ).alias(f"lo{q}"),
+                    F.sum(
+                        (F.col("l_extendedprice") <= F.col(f"a{q}")).cast("long")
+                    ).alias(f"hi{q}"),
+                )
+            ]
+        )
+    )
+
+    def rank_ok(qa: int) -> "F.Column":
+        n = F.col("n_rows")
+        lo, hi = F.col(f"lo{qa // 100}"), F.col(f"hi{qa // 100}")
+        # rank band [qa*n - 2n - acc, qa*n + 2n + acc] in units of 1/acc
+        return (lo * acc <= qa * n + 2 * n + acc) & (hi * acc >= qa * n - 2 * n - acc)
+
+    return (
+        stats.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.round(F.element_at("ps", 1), 4).alias("p50_exact"),
+            F.round(F.element_at("ps", 2), 4).alias("p90_exact"),
+            F.round(F.element_at("ps", 3), 4).alias("p99_exact"),
+            (rank_ok(5000) & rank_ok(9000) & rank_ok(9900)).alias("gk_rank_ok"),
         )
         .orderBy("l_returnflag")
     )
 
 
-@query("agg_approx_topk")  # no oracle: sketch internals are engine-specific
-def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k heavy hitters via the ``approx_top_k`` sketch
-    (Spark 4): the 10 most frequent part keys across lineitem, tracked
-    in bounded per-partition sketch state that merges map-side — the
-    scale replacement for an exact count-then-sort whose aggregation
-    state is the full key cardinality.  Rows-only driver check (sketch
-    internals are engine-specific); ``tests/test_sketch_quality.py``
-    pins accuracy against the exact top-k: at 100 TB the exact form is
-    a full shuffle of every distinct key, the sketch is one bounded
-    object per partition."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sk = li.select(
-        F.expr("approx_top_k(l_partkey, 10, 10000)").alias("top")
+GK_ACCURACY = 10000
+
+
+def approx_quantile_raw(li: DataFrame) -> DataFrame:
+    """Per-group GK estimates (a50/a90/a99) next to the exact
+    interpolated percentile array, one agg pass — the registry query
+    derives the rank-bound flag; the tighter rank-error pin in
+    tests/test_sketch_quality.py reads the estimates."""
+    acc = F.lit(GK_ACCURACY)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").alias("ps"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("a50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias("a90"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), acc).alias("a99"),
     )
+
+
+def approx_topk_entries(li: DataFrame, k: int = 10, cap: int = 10000) -> DataFrame:
+    """(qty, est_count) rows from one ``approx_top_k`` sketch pass over
+    ``l_quantity`` — shared by the registry query's pin and the tighter
+    accuracy test in tests/test_sketch_quality.py."""
     return (
-        sk.select(F.posexplode("top").alias("rank", "entry"))
+        li.select(F.expr(f"approx_top_k(l_quantity, {k}, {cap})").alias("top"))
+        .select(F.posexplode("top").alias("rank", "entry"))
         .select(
-            (F.col("rank") + 1).cast("bigint").alias("rank"),
-            F.col("entry.item").cast("bigint").alias("part_key"),
+            F.col("entry.item").cast("bigint").alias("qty"),
             F.col("entry.count").cast("bigint").alias("est_count"),
         )
-        .orderBy("rank")
+    )
+
+
+@query(
+    "agg_approx_topk",
+    # which keys the sketch surfaces under count TIES is engine-specific,
+    # so the value-checked surface is a one-row pin over the entries
+    # joined to their exact counts: all 10 estimates must EQUAL the
+    # exact count (the sketch tracks the 50-value domain exactly below
+    # its capacity) and the smallest returned estimate must equal the
+    # 10th-largest exact count (any tied boundary key satisfies it)
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_entries,
+           CAST(10 AS BIGINT) AS n_exact_count_matches,
+           TRUE AS topk_boundary_ok
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k heavy hitters via the ``approx_top_k`` sketch
+    (Spark 4): the 10 most frequent quantity values across lineitem,
+    tracked in bounded per-partition sketch state that merges map-side —
+    the scale replacement for an exact count-then-sort whose aggregation
+    state is the full key cardinality.
+
+    The hot domain is deliberately heavy-hitter-SHAPED (l_quantity: 50
+    values, each genuinely frequent): that is the regime the sketch
+    serves at 100 TB — a bounded hot set inside an unbounded stream.
+    On a uniform high-cardinality key (l_partkey at sf0.1+) the
+    DataSketches frequent-items sketch correctly reports NO heavy
+    hitters once n >> capacity (every count sits below the error
+    floor), returning an empty array — honest, but nothing to pin.
+
+    Driver pin: the 10 sketch entries hash-join (broadcast: 10 rows) to
+    the exact per-key counts; with capacity 10000 far above the fixed
+    50-value domain the sketch never purges, so every estimate must
+    EQUAL its exact count at any scale, and the smallest returned
+    estimate must equal the 10th-largest exact count (tie-safe: any
+    boundary key the sketch picks shares that count).  The exact-count
+    scan exists only for verification — 50 groups, map-side combined —
+    and ``tests/test_sketch_quality.py`` additionally pins top-k
+    membership overlap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    entries = approx_topk_entries(li)
+    exact = li.groupBy(F.col("l_quantity").cast("bigint").alias("qty")).agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    kth = (
+        exact.orderBy(F.desc("exact_count"), "qty")
+        .limit(10)
+        .agg(F.min("exact_count").alias("kth_count"))
+    )
+    return (
+        exact.join(F.broadcast(entries), "qty")
+        .crossJoin(F.broadcast(kth))
+        .agg(
+            F.count("*").cast("bigint").alias("n_entries"),
+            F.sum(
+                (F.col("est_count") == F.col("exact_count")).cast("bigint")
+            ).alias("n_exact_count_matches"),
+            (F.min("est_count") == F.first("kth_count")).alias("topk_boundary_ok"),
+        )
     )

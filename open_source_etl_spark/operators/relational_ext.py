@@ -136,8 +136,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` matches SQL-standard PERCENTILE_CONT (linear
     interpolation), same as DuckDB's quantile_cont.  At 100 TB swap in
     ``percentile_approx`` (bounded-memory sketch) — kept exact here so
-    the oracle can check values, with the approx variant exercised in
-    agg_approx_distinct's rows-only pattern.
+    the oracle can check values, with the GK approx variant exercised
+    (and rank-bound-pinned) in agg_approx_quantile.
 
     One ``percentile`` call with an array of percentages shares a single
     value buffer across all three estimates (three separate calls each

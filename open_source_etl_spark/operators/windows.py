@@ -377,7 +377,39 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
-@query("window_running_distinct_approx")  # no oracle: HLL estimate is engine-specific
+@query(
+    "window_running_distinct_approx",
+    # the HLL estimate itself is sketch-specific; the value-checked
+    # surface is the exact per-day / cumulative twins plus a 3-sigma
+    # bound pin on every cumulative estimate (lgK=14 => RSE ~0.81%,
+    # flag at 3%, integer arithmetic)
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             user_id
+      FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    per_day AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS day_users
+      FROM du GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, day,
+             CAST(COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum_users,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY user_id) AS rn
+      FROM du
+    )
+    SELECT p.event_type, CAST(p.day AS TIMESTAMP) AS day, p.day_users,
+           c.cum_users, TRUE AS hll_within_3pct
+    FROM per_day p
+    JOIN cum c ON p.event_type = c.event_type AND p.day = c.day AND c.rn = 1
+    ORDER BY p.event_type, p.day
+    """,
+)
 def window_running_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate running distinct-user count via HLL sketches merged
     along the window frame — the documented 100 TB path when even the
@@ -386,9 +418,35 @@ def window_running_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFram
     cheaply).  One fixed-size sketch per (event_type, day) from a single
     groupBy pass, then hll_union_agg over the cumulative frame: window
     state is |days| x 1 KB sketches per partition, independent of user
-    cardinality.  Estimate quality is pinned by a relative-error-bound
-    test against the exact rewrite (tests/test_sketch_quality.py)."""
-    ev = load_table(spark, sf_dir, "events")
+    cardinality.
+
+    Driver pin: the exact cumulative twin (the first-occurrence
+    running-sum rewrite from window_running_distinct) joins back on
+    (event_type, day) and ``hll_within_3pct`` bounds every cumulative
+    estimate at 3x the lgK=14 relative standard error in integer
+    arithmetic — a broken register merge along the frame flips the flag
+    on every later day.  At 100 TB the exact twin is exactly the state
+    this operator exists to avoid; it rides here for verification only
+    (tests/test_sketch_quality.py keeps the tighter relative-error pin).
+    """
+    raw = running_distinct_approx_raw(load_table(spark, sf_dir, "events"))
+    return raw.select(
+        "event_type",
+        "day",
+        "day_users",
+        "cum_users",
+        (
+            F.abs(F.col("cum_users_approx") - F.col("cum_users")) * 100
+            <= F.col("cum_users") * 3
+        ).alias("hll_within_3pct"),
+    ).orderBy("event_type", "day")
+
+
+def running_distinct_approx_raw(ev: DataFrame) -> DataFrame:
+    """HLL cumulative estimates next to the exact first-occurrence
+    running sum, per (event_type, day) — the registry query projects
+    the 3% bound flag; the tighter 6-sigma relative-error pin in
+    tests/test_sketch_quality.py reads the raw estimates."""
     daily = ev.where(F.col("user_id").isNotNull()).select(
         "event_type", F.col("ts").cast("date").alias("day"), "user_id"
     )
@@ -396,13 +454,22 @@ def window_running_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("user_id").alias("day_users"),
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"),
     )
+    new_per_day = (
+        daily.groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        per_day.withColumn(
+        per_day.join(new_per_day, ["event_type", "day"], "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
+        .withColumn(
             "cum_users_approx",
             F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).cast("bigint"),
         )
@@ -410,9 +477,9 @@ def window_running_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFram
             "event_type",
             F.col("day").cast("timestamp").alias("day"),
             "day_users",
+            "cum_users",
             "cum_users_approx",
         )
-        .orderBy("event_type", "day")
     )
 
 

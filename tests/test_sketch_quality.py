@@ -1,10 +1,11 @@
-"""Quality floors for the estimate-only (rows-only) sketch aggregates.
+"""Tight quality floors for the sketch aggregates' RAW estimates.
 
-``agg_approx_distinct`` and ``agg_hll_sketch_union`` have no cross-engine
-oracle (the estimates are sketch-algorithm-specific), so the driver runs a
-rows-only check.  These tests pin the part that IS checkable: every
-estimate must land within the sketch's error bound of the exact DuckDB
-count on the same fixture (VERDICT.md round 1, "Next round" #8).
+Since round 5 every sketch query's registry surface is value-checked
+(exact twins + integer-arithmetic bound flags the DuckDB oracle pins at
+3-sigma), so the driver no longer needs a rows-only tier.  These tests
+keep the TIGHTER pins on the raw estimates themselves, read from the
+``*_raw`` helper frames the registry queries project their flags from
+(one implementation, two verification tiers).
 """
 
 from __future__ import annotations
@@ -12,6 +13,15 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from open_source_etl_spark.catalog import load_table
+from open_source_etl_spark.operators.aggregates import (
+    GK_ACCURACY,
+    approx_distinct_raw,
+    approx_quantile_raw,
+    approx_topk_entries,
+    hll_sketch_union_raw,
+)
+from open_source_etl_spark.operators.windows import running_distinct_approx_raw
 from open_source_etl_spark.registry import all_queries
 
 # approx_count_distinct(rsd=0.02): 2% relative standard deviation.
@@ -21,6 +31,8 @@ from open_source_etl_spark.registry import all_queries
 _APPROX_RSD = 0.02 * 6
 # DataSketches HLL default lgK=12 → rsd ≈ 1.04/sqrt(4096) ≈ 1.6%
 _HLL_RSD = 0.016 * 6
+# hll_sketch_agg(lgK=14) → rsd ≈ 1.04/sqrt(2^14) ≈ 0.8%
+_HLL14_RSD = 0.008 * 6
 
 
 @pytest.fixture(scope="module")
@@ -33,7 +45,9 @@ def duck(sf_dir):
 def test_approx_distinct_within_rsd_bounds(spark, sf_dir, duck):
     got = {
         r["l_returnflag"]: r["approx_parts"]
-        for r in all_queries()["agg_approx_distinct"](spark, sf_dir).collect()
+        for r in approx_distinct_raw(
+            load_table(spark, sf_dir, "lineitem")
+        ).collect()
     }
     exact = dict(
         duck.execute(
@@ -54,7 +68,9 @@ def test_approx_distinct_within_rsd_bounds(spark, sf_dir, duck):
 def test_hll_sketch_union_within_rsd_bounds(spark, sf_dir, duck):
     got = {
         r["o_orderpriority"]: r["est_custkeys"]
-        for r in all_queries()["agg_hll_sketch_union"](spark, sf_dir).collect()
+        for r in hll_sketch_union_raw(
+            load_table(spark, sf_dir, "orders")
+        ).collect()
     }
     exact = dict(
         duck.execute(
@@ -79,11 +95,11 @@ def test_approx_quantile_within_rank_error(spark, sf_dir, duck):
     """percentile_approx(accuracy=10000) guarantees rank error <= n/10000;
     assert each approximate percentile's true rank is within that bound
     (plus 1 for boundary/interpolation slack) of the requested rank."""
-    rows = all_queries()["agg_approx_quantile"](spark, sf_dir).collect()
+    rows = approx_quantile_raw(load_table(spark, sf_dir, "lineitem")).collect()
     for r in rows:
         n = r["n_rows"]
-        tol = max(1, n // 10000) + 1
-        for p, col in ((0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")):
+        tol = max(1, n // GK_ACCURACY) + 1
+        for p, col in ((0.5, "a50"), (0.9, "a90"), (0.99, "a99")):
             est = r[col]
             # rank of est within the group = #values <= est
             (rank,) = duck.execute(
@@ -103,56 +119,43 @@ def test_approx_quantile_within_rank_error(spark, sf_dir, duck):
 def test_window_running_distinct_approx_matches_exact(spark, sf_dir):
     """The HLL running-distinct companion must track the exact
     first-occurrence rewrite within the lgK=14 sketch's error bound
-    (rsd ~ 1.04/sqrt(2^14) ~ 0.8%; 6-sigma margin as above) on every
-    (event_type, day) row — this is the quality floor that makes the
-    rows-only driver check meaningful."""
-    qs = all_queries()
+    (6-sigma margin as above) on every (event_type, day) row — tighter
+    than the 3% flag the registry query's oracle pins."""
+    rows = running_distinct_approx_raw(
+        load_table(spark, sf_dir, "events")
+    ).collect()
     exact = {
         (r["event_type"], r["day"]): r["cum_users"]
-        for r in qs["window_running_distinct"](spark, sf_dir).collect()
+        for r in all_queries()["window_running_distinct"](spark, sf_dir).collect()
     }
-    approx = {
-        (r["event_type"], r["day"]): r["cum_users_approx"]
-        for r in qs["window_running_distinct_approx"](spark, sf_dir).collect()
-    }
-    assert set(exact) == set(approx)
-    bound = 0.008 * 6
-    for key, true in exact.items():
-        est = approx[key]
-        assert abs(est - true) <= max(1, true * bound), (
-            f"{key}: est {est} vs exact {true}"
+    assert {(r["event_type"], r["day"]) for r in rows} == set(exact)
+    for r in rows:
+        true = exact[(r["event_type"], r["day"])]
+        est = r["cum_users_approx"]
+        assert r["cum_users"] == true  # raw frame's own exact twin agrees
+        assert abs(est - true) <= max(1, true * _HLL14_RSD), (
+            f"{(r['event_type'], r['day'])}: est {est} vs exact {true}"
         )
 
 
 def test_approx_topk_matches_exact_heavy_hitters(spark, sf_dir):
-    """The approx_top_k sketch must agree with the exact top-10 on
-    membership (>= 8 of 10 overlap) and, for every key it reports,
-    estimate the count within 5% — the accuracy contract that makes the
-    bounded-state sketch a usable replacement for the exact
-    count-then-sort."""
+    """The approx_top_k sketch must agree with the exact top-10 quantity
+    values on membership under count ties (every reported key's exact
+    count >= the 10th-largest count) and report EXACT counts — the
+    50-value domain sits far below the sketch capacity, so any deviation
+    is a merge bug, not estimation error."""
     from pyspark.sql import functions as F
 
-    from open_source_etl_spark.catalog import load_table
-    from open_source_etl_spark.registry import all_queries
-
-    approx = {
-        r.part_key: r.est_count
-        for r in all_queries()["agg_approx_topk"](spark, sf_dir).collect()
-    }
     li = load_table(spark, sf_dir, "lineitem")
-    exact = {
-        r.l_partkey: r.n
-        for r in li.groupBy("l_partkey")
+    approx = {r.qty: r.est_count for r in approx_topk_entries(li).collect()}
+    full = {
+        int(r.qty): r.n
+        for r in li.groupBy(F.col("l_quantity").cast("bigint").alias("qty"))
         .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "l_partkey")
-        .limit(10)
         .collect()
     }
-    assert len(set(approx) & set(exact)) >= 8, (approx, exact)
-    full = {
-        r.l_partkey: r.n
-        for r in li.groupBy("l_partkey").agg(F.count("*").alias("n")).collect()
-    }
+    assert len(approx) == 10
+    kth = sorted(full.values(), reverse=True)[9]
     for key, est in approx.items():
-        true = full[key]
-        assert abs(est - true) <= max(1, 0.05 * true), (key, est, true)
+        assert est == full[key], (key, est, full[key])
+        assert full[key] >= kth, (key, full[key], kth)
