@@ -481,3 +481,112 @@ def make_avi_bytes(doc_id: int) -> bytes:
     idx1 = chunk(b"idx1", bytes(idx_entries))
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# MPEG-1 Layer III bitrate table (kbps), index 1..14 (0=free, 15=bad),
+# and the three MPEG-1 sample rates by header sample-rate index.
+MP3_BITRATES_KBPS = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+MP3_SAMPLE_RATES = (44100, 48000, 32000)
+MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+
+
+def mp3_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, sample_rate_index, id3_body_len) for the MP3 fixture.
+    Frame k's bitrate index is 1 + (doc_id + 3*k) % 14 (a VBR stream —
+    walkers that assume the first frame's bitrate for the whole file
+    get duration wrong) and its padding bit is (doc_id + k) % 2."""
+    return 4 + doc_id % 5, doc_id % 3, (doc_id % 7) * 3
+
+
+def make_mp3_bytes(doc_id: int) -> bytes:
+    """Spec-shaped MPEG-1 Layer III stream: an ID3v2.3 tag (syncsafe
+    size, must be skipped), then back-to-back frames whose 4-byte
+    headers carry real sync/version/layer/bitrate/samplerate/padding
+    fields and whose lengths follow the Layer III formula
+    ``144 * bitrate / sample_rate + padding`` — a walker can only find
+    frame k+1 by decoding frame k's header.  Frame payload bytes keep
+    the high bit clear so no false syncword can appear."""
+    n_frames, sr_idx, id3_len = mp3_params(doc_id)
+    sr = MP3_SAMPLE_RATES[sr_idx]
+    out = bytearray()
+    # ID3v2.3 header: "ID3", version 3.0, no flags, syncsafe body size
+    out += b"ID3" + bytes((3, 0, 0))
+    out += bytes(
+        ((id3_len >> 21) & 0x7F, (id3_len >> 14) & 0x7F,
+         (id3_len >> 7) & 0x7F, id3_len & 0x7F)
+    )
+    out += b"\x20" * id3_len
+    for k in range(n_frames):
+        br_idx = 1 + (doc_id + 3 * k) % 14
+        padding = (doc_id + k) % 2
+        kbps = MP3_BITRATES_KBPS[br_idx]
+        frame_len = (144 * kbps * 1000) // sr + padding
+        h0 = 0xFF
+        h1 = 0b11111011  # sync cont. + MPEG-1 (11) + Layer III (01) + no CRC (1)
+        h2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+        h3 = 0b11000100  # mono + no mode ext + not copyrighted + original
+        out += bytes((h0, h1, h2, h3))
+        out += bytes([(doc_id + k) % 128]) * (frame_len - 4)
+    return bytes(out)
+
+
+def h264_params(doc_id: int) -> tuple[int, int, int, int, int, int]:
+    """(n_gops, gop_len, epb_pairs, filler_len, sps_len, pps_len) for
+    the H.264 Annex-B fixture.  Each GOP is one IDR slice followed by
+    gop_len-1 non-IDR slices; every slice RBSP embeds epb_pairs
+    two-zero runs that the encoder must escape with emulation-
+    prevention bytes (and the parser must strip)."""
+    return (
+        1 + doc_id % 3,      # n_gops
+        2 + doc_id % 4,      # gop_len (frames per GOP)
+        doc_id % 5,          # epb_pairs per slice
+        16 + doc_id % 8,     # slice filler bytes
+        8 + doc_id % 4,      # SPS RBSP length
+        4 + doc_id % 4,      # PPS RBSP length
+    )
+
+
+def _h264_escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes: any 00 00 followed by a byte
+    <= 03 becomes 00 00 03 xx (ITU-T H.264 7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for byte in rbsp:
+        if zeros >= 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+def make_h264_bytes(doc_id: int) -> bytes:
+    """Spec-shaped H.264 Annex-B byte stream: SPS and PPS NAL units,
+    then n_gops GOPs of one IDR + (gop_len-1) non-IDR slice NALs.  The
+    first start code is 4-byte (00 00 00 01), later ones alternate with
+    the 3-byte form — parsers keying on one form only miss NALs.  Slice
+    payloads embed two-zero runs escaped per 7.4.1.1, so byte-exact
+    RBSP recovery requires stripping emulation-prevention bytes."""
+    n_gops, gop_len, epb_pairs, filler_len, sps_len, pps_len = h264_params(doc_id)
+
+    def nal(ref_idc: int, nal_type: int, rbsp: bytes, index: int) -> bytes:
+        start = b"\x00\x00\x00\x01" if index == 0 or index % 2 == 0 else b"\x00\x00\x01"
+        header = bytes(((ref_idc << 5) | nal_type,))
+        return start + header + _h264_escape(rbsp)
+
+    slice_rbsp = b"\x00\x00\x02\x55" * epb_pairs + bytes(
+        0x41 + (i % 32) for i in range(filler_len)
+    )
+    units: list[bytes] = []
+    units.append(nal(3, 7, bytes(0x42 + (i % 16) for i in range(sps_len)), 0))
+    units.append(nal(3, 8, bytes(0x52 + (i % 16) for i in range(pps_len)), 1))
+    idx = 2
+    for _g in range(n_gops):
+        units.append(nal(3, 5, slice_rbsp, idx))  # IDR
+        idx += 1
+        for _s in range(gop_len - 1):
+            units.append(nal(2, 1, slice_rbsp, idx))  # non-IDR
+            idx += 1
+    return b"".join(units)

