@@ -1142,3 +1142,101 @@ def datapipe_quality_percentile_filter(
         .select("doc_id", "source", "quality_score", "rk", "n_in_source")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "datapipe_boilerplate_prune",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(n_chars - 19, 0) + 1),
+                                     i -> substr(text, CAST(i AS INTEGER), 20)))
+                 AS s
+        FROM documents
+      )
+    ),
+    df AS (SELECT s, COUNT(*) AS d FROM sh GROUP BY s),
+    per AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN df.d >= 4 THEN 1 ELSE 0 END) AS n_boilerplate
+      FROM sh JOIN df ON sh.s = df.s
+      GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(per.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+           COALESCE(per.n_boilerplate, 0) * 2 <= COALESCE(per.n_shingles, 0)
+             AS keep
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def datapipe_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-corpus boilerplate mining (the Lee et al. "Deduplicating
+    Training Data" repeated-substring problem, restated over shingles):
+    a character-20-gram appearing in >= 4 distinct documents is
+    boilerplate (shared nav/footer/license text); a document keeps only
+    if boilerplate shingles are <= half its distinct shingles.  Distinct
+    from ``datapipe_contamination_ngram`` (cross-corpus: train vs
+    held-out benchmark) and ``text_repetition_filter`` (within-document
+    repetition): this is the cross-document, within-corpus axis.
+
+    Shape: shingling is pure JVM codegen; per-doc dedup then ONE
+    groupBy(shingle) computes document frequency (count of per-doc
+    distinct rows IS doc-frequency — no count-distinct needed); only
+    the df >= 4 survivors join back, so the join-back side shrinks to
+    the boilerplate set (tiny by Zipf — AQE broadcasts it at any real
+    corpus size).  Docs too short to shingle keep trivially via the
+    left join.  At 100 TB, shingle STRINGS in the shuffle would be the
+    cost driver — production swaps in xxhash64(shingle) exactly as the
+    MinHash family does (``llm_dedup.py``), identical join/count
+    semantics; strings are kept here so the oracle stays
+    cross-engine-expressible."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.col("n_chars") >= 20,
+                    F.expr(
+                        "transform(sequence(1, n_chars - 19), "
+                        "i -> substring(text, i, 20))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    boiler = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= 4)
+        .select("s")
+    )
+    per = (
+        sh.join(boiler.withColumn("is_b", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce("is_b", F.lit(0))).cast("bigint").alias("n_boilerplate"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_boilerplate", F.lit(0)).cast("bigint").alias(
+                "n_boilerplate"
+            ),
+            (
+                F.coalesce("n_boilerplate", F.lit(0)) * 2
+                <= F.coalesce("n_shingles", F.lit(0))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
