@@ -1183,32 +1183,40 @@ def datapipe_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out benchmark) and ``text_repetition_filter`` (within-document
     repetition): this is the cross-document, within-corpus axis.
 
-    Shape: shingling is pure JVM codegen; per-doc dedup then ONE
-    groupBy(shingle) computes document frequency (count of per-doc
-    distinct rows IS doc-frequency — no count-distinct needed); only
-    the df >= 4 survivors join back, so the join-back side shrinks to
-    the boilerplate set (tiny by Zipf — AQE broadcasts it at any real
-    corpus size).  Docs too short to shingle keep trivially via the
-    left join.  At 100 TB, shingle STRINGS in the shuffle would be the
-    cost driver — production swaps in xxhash64(shingle) exactly as the
-    MinHash family does (``llm_dedup.py``), identical join/count
-    semantics; strings are kept here so the oracle stays
+    Shape: shingling is pure JVM codegen, and per-doc dedup happens
+    BEFORE the explode via ``array_distinct`` — every shingle of a doc
+    sits in one row, so the (doc_id, shingle) dedup that a naive plan
+    pays a full string shuffle for costs zero exchanges here.  ONE
+    groupBy(shingle) then computes document frequency (count of
+    per-doc-distinct rows IS doc-frequency — no count-distinct
+    needed); only the df >= 4 survivors join back, so the join-back
+    side shrinks to the boilerplate set (tiny by Zipf — AQE broadcasts
+    it at any real corpus size).  The shingle projection is computed
+    once per consumer (two scans: df-count branch + membership
+    branch) by design: a shingle-pair shuffle carries ~20x the corpus
+    bytes (one 20-char shingle per character position), so trading
+    the old shared-``distinct()`` exchange (1 scan + 2 pair-shuffles)
+    for 2 columnar scans + 1 pair-shuffle is the 100 TB win; a window
+    count would reach 1 scan + 1 shuffle but adds an external SORT of
+    the full pair stream, which loses to a second scan.  Docs too short to shingle keep
+    trivially via the left join.  At 100 TB, shingle STRINGS in the
+    remaining doc-frequency shuffle would be the cost driver —
+    production swaps in xxhash64(shingle) exactly as the MinHash
+    family does (``llm_dedup.py``), identical join/count semantics;
+    strings are kept here so the oracle stays
     cross-engine-expressible."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    sh = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.col("n_chars") >= 20,
-                    F.expr(
-                        "transform(sequence(1, n_chars - 19), "
-                        "i -> substring(text, i, 20))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("s"),
-        )
-        .distinct()
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n_chars") >= 20,
+                F.expr(
+                    "array_distinct(transform(sequence(1, n_chars - 19), "
+                    "i -> substring(text, i, 20)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("s"),
     )
     boiler = (
         sh.groupBy("s")
