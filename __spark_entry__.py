@@ -31,10 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()["q1_pricing_summary"](spark, _SF_SMOKE)
 
 
-def _sample_history() -> tuple[set[str], set[str]]:
-    """(seen, failed): query names with any CORRECTNESS_r{N}.json row
-    from a previous round's driver sample, and the subset whose LATEST
-    row was a failure (comparator error or a rows/hash mismatch)."""
+def _sample_history() -> tuple[set[str], set[str], set[str]]:
+    """(seen, failed, rows_only): query names with any
+    CORRECTNESS_r{N}.json row from a previous round's driver sample,
+    the subset whose LATEST row was a failure (comparator error or a
+    rows/hash mismatch), and the subset whose LATEST row was a weak
+    rows-only check (``err == "no_oracle"``) — those sampled before
+    their value oracle landed and must be re-checked first once an
+    oracle registers (VERDICT round 6, item 1)."""
     import glob
     import json
 
@@ -55,7 +59,12 @@ def _sample_history() -> tuple[set[str], set[str]]:
         or row.get("schema_match") is False
         or row.get("hash_match") is False
     }
-    return set(latest), failed
+    rows_only = {
+        name
+        for name, row in latest.items()
+        if row.get("err") == "no_oracle" and name not in failed
+    }
+    return set(latest), failed, rows_only
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -82,10 +91,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return call
 
     registry = all_queries()
-    seen, failed = _sample_history()
+    seen, failed, rows_only = _sample_history()
+    oracles = all_oracles()
 
     def rank(n: str) -> int:
-        if n in failed:
+        # A latest row of "no_oracle" for a query that NOW registers a
+        # value oracle is stale proof, not passing history — re-check
+        # it first, alongside outright failures (VERDICT r6 item 1).
+        if n in failed or (n in rows_only and n in oracles):
             return 0
         return 1 if n not in seen else 2
 

@@ -921,7 +921,14 @@ def gif_lzw_decode(
     table reaches 2^w entries (it trails the encoder's table by one,
     pairing with an encoder that widens at next_code > 2^w).  Entries
     are never added past code 4095, so deferred-clear streams from
-    third-party encoders keep decoding at 12 bits instead of raising."""
+    third-party encoders keep decoding at 12 bits instead of raising.
+
+    The GIF spec floors the minimum code size at 2 (even 2-color images
+    write 2); below that the width-growth rule mis-pairs with encoders."""
+    if min_code_size < 2 or min_code_size > 8:
+        raise ValueError(
+            f"doc {doc_id}: GIF LZW min code size must be in [2, 8], got {min_code_size}"
+        )
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -1113,6 +1120,11 @@ def decode_avi_mjpeg(media_df: DataFrame) -> DataFrame:
                     vals = struct.unpack_from("<14I", raw, body)
                     dims = (vals[8], vals[9], vals[4])  # width, height, frames
                 elif fourcc == b"LIST" and raw[body : body + 4] == b"strl":
+                    # stream type is scoped to THIS strl LIST: only the
+                    # video stream's strf carries a BITMAPINFOHEADER whose
+                    # biCompression must be MJPG.  A later audio strl's
+                    # strf (WAVEFORMATEX) must not be checked against it.
+                    this_is_video = False
                     p = body + 4
                     while p + 8 <= body + size:
                         sub = raw[p : p + 4]
@@ -1123,8 +1135,9 @@ def decode_avi_mjpeg(media_df: DataFrame) -> DataFrame:
                                     raise ValueError(
                                         f"doc {doc_id}: non-MJPEG video stream"
                                     )
+                                this_is_video = True
                                 stream_ok = True
-                        elif sub == b"strf" and stream_ok:
+                        elif sub == b"strf" and this_is_video:
                             comp = raw[p + 8 + 16 : p + 8 + 20]
                             if comp != b"MJPG":
                                 raise ValueError(
@@ -1236,7 +1249,8 @@ def synthesize_avi(docs_df: DataFrame) -> DataFrame:
 
 MP3_META_SCHEMA = (
     "doc_id long, n_frames long, sample_rate long, duration_ms long, "
-    "avg_kbps long, is_vbr boolean, n_padded long"
+    "avg_kbps long, is_vbr boolean, n_padded long, "
+    "sum_main_data_begin long, max_main_data_begin long"
 )
 
 
@@ -1245,13 +1259,18 @@ def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
     (syncsafe size), then step frame to frame by decoding each 4-byte
     header (sync, version, layer, bitrate index, sample-rate index,
     padding bit) and applying the Layer III length formula
-    ``144 * bitrate // sample_rate + padding`` — the stream-structure
-    layer of an audio pipeline's metadata pass (duration, CBR/VBR,
-    average bitrate) with NO audio decode: the Huffman/IMDCT sample
-    reconstruction stays a declared stub (``audio_chunk_energy``'s
-    codec='real' site).  Malformed streams (bad sync, reserved
-    bitrate/sample-rate indices, truncated final frame, trailing
-    garbage) raise rather than yielding silently wrong durations."""
+    ``144 * bitrate // sample_rate + padding`` — plus one level into
+    each frame: the 17-byte mono side info (ISO 11172-3 2.4.1.7) whose
+    leading 9 bits are ``main_data_begin``, the bit-reservoir
+    back-pointer (summed / maxed per stream — the reservoir-depth
+    signal an audio curation pass uses to spot pathological encodes).
+    The stream-structure layer of an audio pipeline's metadata pass
+    (duration, CBR/VBR, average bitrate) with NO audio decode: the
+    Huffman/IMDCT sample reconstruction stays a declared stub
+    (``audio_chunk_energy``'s codec='real' site).  Malformed streams
+    (bad sync, reserved bitrate/sample-rate indices, truncated final
+    frame, a frame too short to carry its side info, trailing garbage)
+    raise rather than yielding silently wrong durations."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1268,7 +1287,7 @@ def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
                 )
                 pos = 10 + size
             n_frames = n_padded = 0
-            kbps_sum = 0
+            kbps_sum = mdb_sum = mdb_max = 0
             kbps_seen: set[int] = set()
             sr = None
             while pos < len(raw):
@@ -1297,6 +1316,15 @@ def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
                 frame_len = (144 * kbps * 1000) // this_sr + padding
                 if pos + frame_len > len(raw):
                     raise ValueError(f"doc {doc_id}: truncated final frame")
+                # mono, no CRC: the 17-byte side info starts right after
+                # the header; main_data_begin is its first 9 bits
+                if frame_len < 4 + 17:
+                    raise ValueError(
+                        f"doc {doc_id}: frame at {pos} too short for side info"
+                    )
+                mdb = (raw[pos + 4] << 1) | (raw[pos + 5] >> 7)
+                mdb_sum += mdb
+                mdb_max = max(mdb_max, mdb)
                 n_frames += 1
                 n_padded += padding
                 kbps_sum += kbps
@@ -1307,23 +1335,20 @@ def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
             duration_ms = (n_frames * MP3_SAMPLES_PER_FRAME * 1000) // sr
             return (
                 n_frames, sr, duration_ms, kbps_sum // n_frames,
-                len(kbps_seen) > 1, n_padded,
+                len(kbps_seen) > 1, n_padded, mdb_sum, mdb_max,
             )
 
+        cols = (
+            "doc_id", "n_frames", "sample_rate", "duration_ms",
+            "avg_kbps", "is_vbr", "n_padded", "sum_main_data_begin",
+            "max_main_data_begin",
+        )
         for pdf in batches:
-            out: dict[str, list] = {k: [] for k in (
-                "doc_id", "n_frames", "sample_rate", "duration_ms",
-                "avg_kbps", "is_vbr", "n_padded",
-            )}
+            out: dict[str, list] = {k: [] for k in cols}
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                nf, sr, dur, kbps, vbr, pad = walk(int(doc_id), bytes(b))
-                out["doc_id"].append(doc_id)
-                out["n_frames"].append(nf)
-                out["sample_rate"].append(sr)
-                out["duration_ms"].append(dur)
-                out["avg_kbps"].append(kbps)
-                out["is_vbr"].append(vbr)
-                out["n_padded"].append(pad)
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
             yield pd.DataFrame(out)
 
     return media_df.select("doc_id", "payload").mapInPandas(kernel, MP3_META_SCHEMA)
@@ -1353,21 +1378,112 @@ def synthesize_mp3(docs_df: DataFrame) -> DataFrame:
 
 H264_META_SCHEMA = (
     "doc_id long, n_nal long, n_sps long, n_pps long, n_idr long, "
-    "n_non_idr long, n_epb long, rbsp_bytes long"
+    "n_non_idr long, n_epb long, rbsp_bytes long, profile_idc long, "
+    "level_idc long, width long, height long"
 )
+
+
+class _H264BitReader:
+    """MSB-first RBSP bit reader (ITU-T H.264 7.2/9.1); raises on
+    exhaustion so a truncated SPS rejects instead of mis-parsing."""
+
+    def __init__(self, data: bytes, doc_id: int) -> None:
+        self.data = data
+        self.pos = 0
+        self.doc_id = doc_id
+
+    def u(self, n: int) -> int:
+        if self.pos + n > 8 * len(self.data):
+            raise ValueError(f"doc {self.doc_id}: truncated SPS bitstream")
+        val = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            val = (val << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return val
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError(f"doc {self.doc_id}: exp-Golomb overflow")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def parse_sps(doc_id: int, rbsp: bytes) -> tuple[int, int, int, int]:
+    """Parse a seq_parameter_set RBSP (ITU-T H.264 7.3.2.1.1) down to
+    the picture dimensions: (profile_idc, level_idc, width, height) in
+    luma samples.  Implements the High-profile chroma-format branch and
+    both POC types 0 and 2; scaling matrices and POC type 1 raise (the
+    honest boundary — they need tables this metadata pass never uses).
+    frame cropping is applied to the returned dimensions."""
+    r = _H264BitReader(rbsp, doc_id)
+    profile_idc = r.u(8)
+    r.u(8)  # constraint_setN flags + reserved_zero_2bits
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135):
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            raise ValueError(f"doc {doc_id}: SPS scaling matrices unsupported")
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        raise ValueError(f"doc {doc_id}: POC type 1 unsupported")
+    elif poc_type != 2:
+        raise ValueError(f"doc {doc_id}: invalid pic_order_cnt_type {poc_type}")
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    w_m1 = r.ue()
+    h_m1 = r.ue()
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    width = 16 * (w_m1 + 1)
+    height = 16 * (h_m1 + 1) * (2 - frame_mbs_only)
+    if r.u(1):  # frame_cropping_flag
+        # crop units per 7.4.2.1.1: SubWidthC/SubHeightC by chroma format
+        sub_w = 1 if chroma_format_idc == 3 or chroma_format_idc == 0 else 2
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        crop_x = sub_w if chroma_format_idc != 0 else 1
+        crop_y = (sub_h if chroma_format_idc != 0 else 1) * (2 - frame_mbs_only)
+        left, right, top, bottom = r.ue(), r.ue(), r.ue(), r.ue()
+        width -= crop_x * (left + right)
+        height -= crop_y * (top + bottom)
+    r.u(1)  # vui_parameters_present_flag
+    if width <= 0 or height <= 0:
+        raise ValueError(f"doc {doc_id}: SPS crop exceeds picture size")
+    return profile_idc, level_idc, width, height
 
 
 def decode_h264_nals(media_df: DataFrame) -> DataFrame:
     """REAL H.264 Annex-B NAL-layer parse: split the byte stream on
     both 3- and 4-byte start codes, read each NAL header (checking the
     forbidden_zero_bit), strip emulation-prevention bytes per ITU-T
-    H.264 7.4.1.1 to recover byte-exact RBSP sizes, and classify units
-    (SPS/PPS/IDR/non-IDR) — the stream-structure layer a video
-    pipeline's keyframe-density / GOP-stats pass needs, with NO pixel
-    decode: CAVLC/CABAC slice reconstruction stays a declared stub
-    (``sample_frames``'s codec='real' site).  A stream not starting
-    with a start code, a forbidden-bit violation, or an invalid
-    00 00 02 escape sequence raises."""
+    H.264 7.4.1.1 to recover byte-exact RBSP sizes, classify units
+    (SPS/PPS/IDR/non-IDR), and parse the SPS one level down
+    (``parse_sps``): profile_idc / level_idc and the exp-Golomb-coded
+    picture dimensions per 7.3.2.1.1 — the stream-structure layer a
+    video pipeline's keyframe-density / GOP-stats / resolution pass
+    needs, with NO pixel decode: CAVLC/CABAC slice reconstruction stays
+    a declared stub (``sample_frames``'s codec='real' site).  A stream
+    not starting with a start code, a forbidden-bit violation, an
+    invalid 00 00 02 escape sequence, a truncated SPS, or a missing
+    SPS raises."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1415,6 +1531,7 @@ def decode_h264_nals(media_df: DataFrame) -> DataFrame:
         def parse(doc_id: int, raw: bytes):
             counts = {7: 0, 8: 0, 5: 0, 1: 0}
             n_nal = n_epb = rbsp_bytes = 0
+            sps_fields = None
             for unit in split_nals(doc_id, raw):
                 if not unit:
                     raise ValueError(f"doc {doc_id}: empty NAL unit")
@@ -1428,26 +1545,26 @@ def decode_h264_nals(media_df: DataFrame) -> DataFrame:
                 rbsp_bytes += len(rbsp)
                 if nal_type in counts:
                     counts[nal_type] += 1
+                if nal_type == 7 and sps_fields is None:
+                    sps_fields = parse_sps(doc_id, rbsp)
+            if sps_fields is None:
+                raise ValueError(f"doc {doc_id}: stream carries no SPS")
             return (
                 n_nal, counts[7], counts[8], counts[5], counts[1],
-                n_epb, rbsp_bytes,
+                n_epb, rbsp_bytes, *sps_fields,
             )
 
+        cols = (
+            "doc_id", "n_nal", "n_sps", "n_pps", "n_idr", "n_non_idr",
+            "n_epb", "rbsp_bytes", "profile_idc", "level_idc", "width",
+            "height",
+        )
         for pdf in batches:
-            out: dict[str, list] = {k: [] for k in (
-                "doc_id", "n_nal", "n_sps", "n_pps", "n_idr",
-                "n_non_idr", "n_epb", "rbsp_bytes",
-            )}
+            out: dict[str, list] = {k: [] for k in cols}
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                nn, sps, pps, idr, nidr, epb, rb = parse(int(doc_id), bytes(b))
-                out["doc_id"].append(doc_id)
-                out["n_nal"].append(nn)
-                out["n_sps"].append(sps)
-                out["n_pps"].append(pps)
-                out["n_idr"].append(idr)
-                out["n_non_idr"].append(nidr)
-                out["n_epb"].append(epb)
-                out["rbsp_bytes"].append(rb)
+                vals = (int(doc_id), *parse(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
             yield pd.DataFrame(out)
 
     return media_df.select("doc_id", "payload").mapInPandas(kernel, H264_META_SCHEMA)

@@ -318,7 +318,12 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
     grows once code 2^w itself has been assigned (the giflib/Pillow
     rule — the first code that NEEDS w+1 bits is 2^w, which becomes
     emittable only after it is assigned), dictionary resets via CLEAR
-    at 4096.  LSB-first bit packing."""
+    at 4096.  LSB-first bit packing.
+
+    The GIF spec floors the minimum code size at 2 even for 2-color
+    images; a size of 1 would mis-pair width growth with the decoder."""
+    if min_code_size < 2 or min_code_size > 8:
+        raise ValueError(f"GIF LZW min code size must be in [2, 8], got {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
@@ -500,14 +505,25 @@ def mp3_params(doc_id: int) -> tuple[int, int, int]:
     return 4 + doc_id % 5, doc_id % 3, (doc_id % 7) * 3
 
 
+def mp3_main_data_begin(doc_id: int, k: int) -> int:
+    """Frame k's side-info main_data_begin (the 9-bit bit-reservoir
+    back-pointer, ISO 11172-3 2.4.1.7): a closed form a SQL oracle can
+    restate.  Capped at 499 (< the 511 field max) so the side info's
+    first byte can never be 0xFF and forge a false syncword."""
+    return (doc_id * 7 + 11 * k) % 500
+
+
 def make_mp3_bytes(doc_id: int) -> bytes:
     """Spec-shaped MPEG-1 Layer III stream: an ID3v2.3 tag (syncsafe
     size, must be skipped), then back-to-back frames whose 4-byte
     headers carry real sync/version/layer/bitrate/samplerate/padding
     fields and whose lengths follow the Layer III formula
     ``144 * bitrate / sample_rate + padding`` — a walker can only find
-    frame k+1 by decoding frame k's header.  Frame payload bytes keep
-    the high bit clear so no false syncword can appear."""
+    frame k+1 by decoding frame k's header.  Each frame's payload
+    begins with the REAL 17-byte mono side info (no CRC): the 9-bit
+    ``main_data_begin`` back-pointer packed MSB-first per ISO 11172-3
+    2.4.1.7, remaining side-info fields zeroed.  Filler bytes keep the
+    high bit clear so no false syncword can appear."""
     n_frames, sr_idx, id3_len = mp3_params(doc_id)
     sr = MP3_SAMPLE_RATES[sr_idx]
     out = bytearray()
@@ -528,7 +544,14 @@ def make_mp3_bytes(doc_id: int) -> bytes:
         h2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
         h3 = 0b11000100  # mono + no mode ext + not copyrighted + original
         out += bytes((h0, h1, h2, h3))
-        out += bytes([(doc_id + k) % 128]) * (frame_len - 4)
+        # 17-byte mono side info: main_data_begin in the top 9 bits,
+        # private/scfsi/granule fields zeroed
+        mdb = mp3_main_data_begin(doc_id, k)
+        side = bytearray(17)
+        side[0] = mdb >> 1
+        side[1] = (mdb & 1) << 7
+        out += bytes(side)
+        out += bytes([(doc_id + k) % 128]) * (frame_len - 4 - 17)
     return bytes(out)
 
 
@@ -537,15 +560,88 @@ def h264_params(doc_id: int) -> tuple[int, int, int, int, int, int]:
     the H.264 Annex-B fixture.  Each GOP is one IDR slice followed by
     gop_len-1 non-IDR slices; every slice RBSP embeds epb_pairs
     two-zero runs that the encoder must escape with emulation-
-    prevention bytes (and the parser must strip)."""
+    prevention bytes (and the parser must strip).  sps_len is the
+    length of the REAL exp-Golomb-coded SPS (``h264_sps_rbsp``) — a
+    pure function of doc_id, 6 or 7 bytes depending on the ue() widths
+    of the picture dimensions."""
     return (
         1 + doc_id % 3,      # n_gops
         2 + doc_id % 4,      # gop_len (frames per GOP)
         doc_id % 5,          # epb_pairs per slice
         16 + doc_id % 8,     # slice filler bytes
-        8 + doc_id % 4,      # SPS RBSP length
+        len(h264_sps_rbsp(doc_id)),  # SPS RBSP length (real encode)
         4 + doc_id % 4,      # PPS RBSP length
     )
+
+
+def h264_sps_fields(doc_id: int) -> tuple[int, int, int, int]:
+    """(profile_idc, level_idc, pic_width_in_mbs_minus1,
+    pic_height_in_map_units_minus1) for the fixture SPS — closed forms
+    a SQL oracle can restate.  Profiles cycle baseline/main/extended
+    (66/77/88 — all below the High tier, so the chroma-format branch of
+    7.3.2.1.1 is not entered by the ENCODER; the parser still
+    implements it)."""
+    return (
+        66 + (doc_id % 3) * 11,   # profile_idc: 66 / 77 / 88
+        10 + (doc_id % 5) * 10,   # level_idc: 10..50 (level 1.0 .. 5.0)
+        1 + doc_id % 9,           # width = 16 * (2 + doc_id % 9)
+        1 + doc_id % 7,           # height = 16 * (2 + doc_id % 7)
+    )
+
+
+class _H264BitWriter:
+    """MSB-first bit packer for RBSP payloads (ITU-T H.264 7.3/9.1)."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def ue(self, value: int) -> None:
+        # Exp-Golomb: M leading zeros, 1, then M-bit suffix of value+1
+        code = value + 1
+        m = code.bit_length() - 1
+        self.u(0, m)
+        self.u(code, m + 1)
+
+    def rbsp_trailing(self) -> bytes:
+        self.bits.append(1)  # rbsp_stop_one_bit
+        while len(self.bits) % 8:
+            self.bits.append(0)  # rbsp_alignment_zero_bit
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for b in self.bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+        return bytes(out)
+
+
+def h264_sps_rbsp(doc_id: int) -> bytes:
+    """REAL seq_parameter_set RBSP per ITU-T H.264 7.3.2.1.1: fixed
+    profile/constraint/level bytes, then exp-Golomb-coded ids, frame
+    numbering, POC type 2 (no extra fields), reference count, and the
+    picture dimensions in macroblock units; frame_mbs_only_flag=1 (no
+    field coding), no cropping, no VUI, proper rbsp_trailing_bits."""
+    profile_idc, level_idc, w_m1, h_m1 = h264_sps_fields(doc_id)
+    w = _H264BitWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)  # constraint_set0..5 + reserved_zero_2bits
+    w.u(level_idc, 8)
+    w.ue(0)    # seq_parameter_set_id
+    w.ue(0)    # log2_max_frame_num_minus4
+    w.ue(2)    # pic_order_cnt_type (2: no further POC fields)
+    w.ue(1)    # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(w_m1)  # pic_width_in_mbs_minus1
+    w.ue(h_m1)  # pic_height_in_map_units_minus1
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    w.u(0, 1)  # frame_cropping_flag
+    w.u(0, 1)  # vui_parameters_present_flag
+    return w.rbsp_trailing()
 
 
 def _h264_escape(rbsp: bytes) -> bytes:
@@ -580,7 +676,9 @@ def make_h264_bytes(doc_id: int) -> bytes:
         0x41 + (i % 32) for i in range(filler_len)
     )
     units: list[bytes] = []
-    units.append(nal(3, 7, bytes(0x42 + (i % 16) for i in range(sps_len)), 0))
+    sps = h264_sps_rbsp(doc_id)
+    assert len(sps) == sps_len
+    units.append(nal(3, 7, sps, 0))
     units.append(nal(3, 8, bytes(0x52 + (i % 16) for i in range(pps_len)), 1))
     idx = 2
     for _g in range(n_gops):

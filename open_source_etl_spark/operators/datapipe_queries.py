@@ -799,7 +799,9 @@ def datapipe_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY t.doc_id
     """,
 )
-def datapipe_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def datapipe_contamination_ngram(
+    spark: SparkSession, sf_dir: str, *, hash_shingles: bool = False
+) -> DataFrame:
     """Train/benchmark contamination check: flag training documents that
     share any character-20-gram with a held-out benchmark set (docs with
     doc_id % 13 = 0 stand in for the eval suite) — the decontamination
@@ -811,8 +813,19 @@ def datapipe_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread by value and the fact side streams map-side.  At 100 TB the
     benchmark side is tiny (eval suites are MBs) → AQE broadcasts it;
     nothing here assumes that, so a giant benchmark degrades to a
-    shuffle join, not an OOM."""
+    shuffle join, not an OOM.  ``hash_shingles=True`` is the production
+    path: ``xxhash64(shingle)`` replaces the 20-char string in the
+    dedup/join/countDistinct, identical semantics over an 8-byte key
+    (SCALE.md §9d; parity on the fixtures —
+    ``tests/test_datapipe_hashed_shingles.py``); the string form stays
+    for the cross-engine oracle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    shingle = (
+        "xxhash64(substring(text, i, 20))"
+        if hash_shingles
+        else "substring(text, i, 20)"
+    )
+    empty_t = "array<bigint>" if hash_shingles else "array<string>"
     shingles = docs.select(
         "doc_id",
         F.explode(
@@ -823,9 +836,9 @@ def datapipe_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_chars") >= 20,
                 F.expr(
                     "transform(sequence(1, n_chars - 19), "
-                    "i -> substring(text, i, 20))"
+                    f"i -> {shingle})"
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast(empty_t))
         ).alias("sh"),
     )
     bench = (
@@ -1173,7 +1186,9 @@ def datapipe_quality_percentile_filter(
     ORDER BY d.doc_id
     """,
 )
-def datapipe_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def datapipe_boilerplate_prune(
+    spark: SparkSession, sf_dir: str, *, hash_shingles: bool = False
+) -> DataFrame:
     """WITHIN-corpus boilerplate mining (the Lee et al. "Deduplicating
     Training Data" repeated-substring problem, restated over shingles):
     a character-20-gram appearing in >= 4 distinct documents is
@@ -1200,12 +1215,23 @@ def datapipe_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     count would reach 1 scan + 1 shuffle but adds an external SORT of
     the full pair stream, which loses to a second scan.  Docs too short to shingle keep
     trivially via the left join.  At 100 TB, shingle STRINGS in the
-    remaining doc-frequency shuffle would be the cost driver —
-    production swaps in xxhash64(shingle) exactly as the MinHash
-    family does (``llm_dedup.py``), identical join/count semantics;
-    strings are kept here so the oracle stays
-    cross-engine-expressible."""
+    remaining doc-frequency shuffle would be the cost driver — the
+    production path (``hash_shingles=True``) swaps in
+    ``xxhash64(shingle)`` exactly as the MinHash family does
+    (``llm_dedup.py``): identical groupBy/join/count semantics over an
+    8-byte key instead of a 20-char string (measured shuffle-bytes
+    ratio in SCALE.md §9d; survivors identical on the fixtures —
+    ``tests/test_datapipe_hashed_shingles.py``).  The oracle runs the
+    string form so it stays cross-engine-expressible; a 64-bit hash
+    collision can only conflate two shingles' doc-frequencies, the
+    same tolerance every MinHash deployment accepts."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    shingle = (
+        "xxhash64(substring(text, i, 20))"
+        if hash_shingles
+        else "substring(text, i, 20)"
+    )
+    empty_t = "array<bigint>" if hash_shingles else "array<string>"
     sh = docs.select(
         "doc_id",
         F.explode(
@@ -1213,9 +1239,9 @@ def datapipe_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_chars") >= 20,
                 F.expr(
                     "array_distinct(transform(sequence(1, n_chars - 19), "
-                    "i -> substring(text, i, 20)))"
+                    f"i -> {shingle}))"
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast(empty_t))
         ).alias("s"),
     )
     boiler = (

@@ -549,7 +549,8 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n_frames, sr_idx, k.k AS k,
              ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
                [1 + (doc_id + 3 * k.k) % 14] AS kbps,
-             (doc_id + k.k) % 2 AS padded
+             (doc_id + k.k) % 2 AS padded,
+             (doc_id * 7 + 11 * k.k) % 500 AS mdb
       FROM p, LATERAL (SELECT unnest(range(0, n_frames)) AS k) k
     )
     SELECT doc_id,
@@ -561,7 +562,9 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ELSE 32000 END AS BIGINT) AS duration_ms,
            CAST(SUM(kbps) // MAX(n_frames) AS BIGINT) AS avg_kbps,
            COUNT(DISTINCT kbps) > 1 AS is_vbr,
-           CAST(SUM(padded) AS BIGINT) AS n_padded
+           CAST(SUM(padded) AS BIGINT) AS n_padded,
+           CAST(SUM(mdb) AS BIGINT) AS sum_main_data_begin,
+           CAST(MAX(mdb) AS BIGINT) AS max_main_data_begin
     FROM f
     GROUP BY doc_id
     ORDER BY doc_id
@@ -570,10 +573,13 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MPEG-1 Layer III frame-header walk over spec-shaped VBR
     streams (ID3v2 tag skip, sync/version/layer validation, Layer III
-    frame-length stepping): the metadata pass (duration, average
-    bitrate, CBR/VBR, padded-frame count) an audio data pipeline runs
-    per file without decoding audio — the Huffman/IMDCT sample path
-    remains the declared stub (``decode.py`` codec='real' sites)."""
+    frame-length stepping) plus one level into each frame: the 17-byte
+    mono side info's 9-bit ``main_data_begin`` back-pointer (ISO
+    11172-3 2.4.1.7), value-checked as per-stream sum/max — the
+    metadata pass (duration, average bitrate, CBR/VBR, padded-frame
+    count, bit-reservoir depth) an audio data pipeline runs per file
+    without decoding audio; the Huffman/IMDCT sample path remains the
+    declared stub (``decode.py`` codec='real' sites)."""
     from ..multimodal.decode import decode_mp3_frames, synthesize_mp3
 
     docs = load_table(spark, sf_dir, "documents")
@@ -582,10 +588,14 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_h264_nal_walk",
-    # formulas mirror synth.h264_params: per doc, 1 SPS + 1 PPS +
-    # n_gops IDR + n_gops*(gop_len-1) non-IDR slices; every slice RBSP
-    # is 4*epb_pairs + filler_len bytes and costs epb_pairs
-    # emulation-prevention bytes; NAL headers add 1 byte per unit.
+    # formulas mirror synth.h264_params / h264_sps_fields: per doc,
+    # 1 SPS + 1 PPS + n_gops IDR + n_gops*(gop_len-1) non-IDR slices;
+    # every slice RBSP is 4*epb_pairs + filler_len bytes and costs
+    # epb_pairs emulation-prevention bytes; NAL headers add 1 byte per
+    # unit.  The SPS is a REAL exp-Golomb encode, so its byte length is
+    # ceil((38 + ue_bits(w_m1) + ue_bits(h_m1)) / 8) where ue_bits(k) =
+    # 2*floor(log2(k+1))+1 — restated below as a CASE over the fixture's
+    # k <= 14 range.
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -593,9 +603,18 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
              2 + doc_id % 4 AS gop_len,
              doc_id % 5 AS epb_pairs,
              16 + doc_id % 8 AS filler_len,
-             8 + doc_id % 4 AS sps_len,
+             1 + doc_id % 9 AS w_m1,
+             1 + doc_id % 7 AS h_m1,
              4 + doc_id % 4 AS pps_len
       FROM documents
+    ),
+    q AS (
+      SELECT *,
+             (38
+              + CASE WHEN w_m1 <= 2 THEN 3 WHEN w_m1 <= 6 THEN 5 ELSE 7 END
+              + CASE WHEN h_m1 <= 2 THEN 3 WHEN h_m1 <= 6 THEN 5 ELSE 7 END
+              + 7) // 8 AS sps_len
+      FROM p
     )
     SELECT doc_id,
            CAST(2 + n_gops * gop_len AS BIGINT) AS n_nal,
@@ -606,19 +625,25 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_gops * gop_len * epb_pairs AS BIGINT) AS n_epb,
            CAST(sps_len + pps_len
                 + n_gops * gop_len * (4 * epb_pairs + filler_len)
-             AS BIGINT) AS rbsp_bytes
-    FROM p
+             AS BIGINT) AS rbsp_bytes,
+           CAST(66 + (doc_id % 3) * 11 AS BIGINT) AS profile_idc,
+           CAST(10 + (doc_id % 5) * 10 AS BIGINT) AS level_idc,
+           CAST(16 * (w_m1 + 1) AS BIGINT) AS width,
+           CAST(16 * (h_m1 + 1) AS BIGINT) AS height
+    FROM q
     ORDER BY doc_id
     """,
 )
 def multimodal_h264_nal_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL H.264 Annex-B NAL-layer parse over spec-shaped streams
     (mixed 3-/4-byte start codes, forbidden-bit check, emulation-
-    prevention-byte stripping per ITU-T 7.4.1.1): the GOP/keyframe-
-    density stats pass a video pipeline runs per clip without pixel
-    decode — CAVLC/CABAC slice reconstruction remains the declared
-    stub.  Byte-exact RBSP size recovery proves the EPB stripping is
-    real, not a start-code count."""
+    prevention-byte stripping per ITU-T 7.4.1.1) plus a REAL SPS parse
+    (``decode.parse_sps``, 7.3.2.1.1): profile_idc / level_idc and the
+    exp-Golomb-coded picture dimensions, value-checked per doc — the
+    GOP/keyframe-density/resolution stats pass a video pipeline runs
+    per clip without pixel decode; CAVLC/CABAC slice reconstruction
+    remains the declared stub.  Byte-exact RBSP size recovery proves
+    the EPB stripping is real, not a start-code count."""
     from ..multimodal.decode import decode_h264_nals, synthesize_h264
 
     docs = load_table(spark, sf_dir, "documents")

@@ -27,3 +27,24 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.environ.get("OSETL_TEST_SF_DIR", SF_SMOKE)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _sweep_osetl_scratch():
+    """Remove osetl-* scratch dirs this test session created under /tmp.
+
+    Query builders and streaming checkpoints mkdtemp(prefix="osetl-...")
+    because their returned DataFrames lazily read the scratch data — they
+    can't delete it themselves.  Snapshot what already exists (another
+    process may own it), then sweep only the new entries at session end
+    (VERDICT round 5 item 8 / round 7 item 8).
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    pattern = os.path.join(tempfile.gettempdir(), "osetl-*")
+    before = set(glob.glob(pattern))
+    yield
+    for path in set(glob.glob(pattern)) - before:
+        shutil.rmtree(path, ignore_errors=True)

@@ -369,10 +369,146 @@ def pairs_main() -> None:
 
 
 
+def _shuffle_write_bytes(spark) -> int:
+    """Total shuffle-write bytes across all completed stages, via the
+    UI REST API (the probe session enables the UI for exactly this).
+    Deltas around a run isolate that run's shuffle volume."""
+    import json as _json
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{url}/api/v1/applications/{app}/stages?status=complete"
+    ) as r:
+        stages = _json.load(r)
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def shingles_main() -> None:
+    """Scale probe for the two shingle operators
+    (`python tools/scale_probe.py shingles [mults]`), string vs
+    xxhash64 scheme (VERDICT round 7 items 4 + 6):
+
+    - corpus construction: union of per-copy ISOMORPHIC corpora — each
+      copy rotates the lowercase alphabet by its copy index (translate,
+      length-preserving), so within-copy shingle/doc-frequency structure
+      matches the base corpus exactly while cross-copy shingle overlap
+      is ~nil.  Verbatim replication would instead multiply every
+      shingle's doc-frequency by mult and flip the df>=4 threshold
+      corpus-wide — measuring the synthetic data, not the operator.
+    - per (query, mult): run the string scheme and the hashed scheme,
+      assert their RESULTS agree (same survivors / shared-ngram sums),
+      record wall time and the run's shuffle-write bytes.
+    - report: fitted time exponents per scheme, and the string/hashed
+      shuffle-bytes ratio (the 100 TB cost driver the hashed path
+      exists to cut)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from open_source_etl_spark.conf import EngineConfig
+    from open_source_etl_spark.operators.datapipe_queries import (
+        datapipe_boilerplate_prune,
+        datapipe_contamination_ngram,
+    )
+    from open_source_etl_spark.session import build_session
+
+    mults = [int(m) for m in (sys.argv[2:] or ["1", "5", "25"])]
+    spark = build_session(
+        EngineConfig(
+            master="local[32]",
+            shuffle_partitions=32,
+            extra={"spark.ui.enabled": "true"},
+        )
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    base = spark.read.parquet(f"{BASE}/documents.parquet")
+
+    def summarize_boiler(df):
+        row = df.agg(
+            F.count("*"),
+            F.sum(F.col("keep").cast("int")),
+            F.sum("n_boilerplate"),
+            F.sum("n_shingles"),
+        ).first()
+        return tuple(row)
+
+    def summarize_contam(df):
+        row = df.agg(F.count("*"), F.sum("n_shared_ngrams")).first()
+        return tuple(row)
+
+    probes = [
+        ("datapipe_boilerplate_prune", datapipe_boilerplate_prune, summarize_boiler),
+        (
+            "datapipe_contamination_ngram",
+            datapipe_contamination_ngram,
+            summarize_contam,
+        ),
+    ]
+    times: dict[tuple[str, bool], list[tuple[int, float]]] = {}
+    for mult in mults:
+        out = f"/tmp/osetl-shingleprobe-{mult}"
+        parts = []
+        for i in range(mult):
+            rot = alpha[i % 26 :] + alpha[: i % 26]
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    F.translate("text", alpha, rot).alias("text"),
+                    "n_chars",
+                    "lang",
+                    "source",
+                    *[c for c in base.columns if c not in
+                      ("doc_id", "text", "n_chars", "lang", "source")],
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+        for qname, fn, summarize in probes:
+            sums = {}
+            for hashed in (False, True):
+                spark.catalog.clearCache()
+                b0 = _shuffle_write_bytes(spark)
+                t0 = time.time()
+                sums[hashed] = summarize(fn(spark, out, hash_shingles=hashed))
+                dt = time.time() - t0
+                db = _shuffle_write_bytes(spark) - b0
+                times.setdefault((qname, hashed), []).append((mult, dt))
+                print(
+                    f"mult={mult:2d} {qname:32s} "
+                    f"{'xxhash64' if hashed else 'string':8s} "
+                    f"{dt:7.2f}s shuffle={db / 1e6:10.2f} MB",
+                    flush=True,
+                )
+            assert sums[False] == sums[True], (qname, mult, sums)
+            print(f"         {qname:32s} schemes agree: {sums[False]}", flush=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+    for (qname, hashed), series in sorted(times.items()):
+        if len(series) < 2:
+            continue
+        (n1, t1), (n2, t2) = series[0], series[-1]
+        a = math.log(t2 / t1) / math.log(n2 / n1)
+        print(
+            f"{qname} [{'xxhash64' if hashed else 'string'}]: "
+            f"mult {n1} -> {n2}: alpha = {a:.2f}",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "iterative":
         iterative_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "pairs":
         pairs_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "shingles":
+        shingles_main()
     else:
         main()
