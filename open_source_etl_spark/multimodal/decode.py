@@ -2,11 +2,24 @@
 
 Each kernel is an Arrow-batched ``mapInPandas`` stage: payload bytes
 stream through the Python worker in columnar batches, never through the
-driver.  The actual codec call is stubbed (no image/audio libs in this
-container): ``codec="real"`` raises ``NotImplementedError`` at the exact
-call site a library (PIL/librosa/av) would occupy; ``codec="fake"`` runs
-a deterministic, oracle-checkable stand-in so the entire Spark-side
-pipeline — schema, batching, row expansion, partitioning — is tested.
+driver.  Two tiers coexist:
+
+- REAL pure-stdlib decoders, implemented from the public specs and
+  value-checked against closed-form oracles: PNG (zlib/filters), JPEG
+  (canonical Huffman + dequant + IDCT), GIF (variable-width LZW), BMP,
+  WAV, AVI/MJPEG containers (frame-by-frame via the JPEG decoder), the
+  MPEG-1 Layer III frame walk + FULL side-info parse (main_data_begin,
+  per-granule Huffman-region geometry), and the H.264 Annex-B NAL walk
+  + SPS/PPS/slice-header parses (exp-Golomb, emulation-prevention
+  stripping).
+- Library-shaped stubs for what genuinely needs a codec/DSP library or
+  entropy-model tables this container lacks: ``codec="real"`` raises
+  ``NotImplementedError`` at the exact call site PIL/librosa/av would
+  occupy (generic image open, PCM DSP), and the MP3 Huffman/IMDCT
+  sample path and H.264 CAVLC/CABAC macroblock path remain declared
+  stubs; ``codec="fake"`` runs a deterministic, oracle-checkable
+  stand-in so the entire Spark-side pipeline — schema, batching, row
+  expansion, partitioning — is tested either way.
 
 Scale posture: media rows are big, so upstream reads should size input
 splits by bytes (``spark.sql.files.maxPartitionBytes``) and the kernels
@@ -1250,8 +1263,56 @@ def synthesize_avi(docs_df: DataFrame) -> DataFrame:
 MP3_META_SCHEMA = (
     "doc_id long, n_frames long, sample_rate long, duration_ms long, "
     "avg_kbps long, is_vbr boolean, n_padded long, "
-    "sum_main_data_begin long, max_main_data_begin long"
+    "sum_main_data_begin long, max_main_data_begin long, "
+    "sum_part2_3_length long, sum_big_values long, sum_global_gain long"
 )
+
+
+def parse_mp3_side_info(doc_id: int, si: bytes) -> tuple[int, list[tuple[int, int, int]]]:
+    """Parse a full 17-byte MPEG-1 Layer III mono side info (ISO
+    11172-3 2.4.1.7): main_data_begin, then per granule
+    part2_3_length / big_values / global_gain / scalefac_compress and
+    either the long-block branch (3 table_selects + region counts) or
+    the window-switching branch (block_type, mixed_block_flag, 2
+    table_selects, 3 subblock_gains — both branches are 22 bits), then
+    the preflag/scalefac_scale/count1table_select tail.  Returns
+    (main_data_begin, [(part2_3_length, big_values, global_gain)] x2).
+    big_values above the spec's 288 ceiling, the reserved block_type 0
+    under window switching, or a short buffer raise."""
+    if len(si) < 17:
+        raise ValueError(f"doc {doc_id}: side info shorter than 17 bytes")
+    r = _H264BitReader(si, doc_id)
+    mdb = r.u(9)
+    r.u(5)  # private_bits
+    r.u(4)  # scfsi
+    granules: list[tuple[int, int, int]] = []
+    for _g in (0, 1):
+        part2_3 = r.u(12)
+        big_values = r.u(9)
+        if big_values > 288:
+            raise ValueError(
+                f"doc {doc_id}: big_values {big_values} exceeds spec max 288"
+            )
+        global_gain = r.u(8)
+        r.u(4)  # scalefac_compress
+        if r.u(1):  # windows_switching_flag
+            block_type = r.u(2)
+            if block_type == 0:
+                raise ValueError(
+                    f"doc {doc_id}: reserved block_type 0 under window switching"
+                )
+            r.u(1)  # mixed_block_flag
+            r.u(5); r.u(5)  # table_select x2
+            r.u(3); r.u(3); r.u(3)  # subblock_gain x3
+        else:
+            r.u(5); r.u(5); r.u(5)  # table_select x3
+            r.u(4)  # region0_count
+            r.u(3)  # region1_count
+        r.u(1)  # preflag
+        r.u(1)  # scalefac_scale
+        r.u(1)  # count1table_select
+        granules.append((part2_3, big_values, global_gain))
+    return mdb, granules
 
 
 def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
@@ -1259,11 +1320,14 @@ def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
     (syncsafe size), then step frame to frame by decoding each 4-byte
     header (sync, version, layer, bitrate index, sample-rate index,
     padding bit) and applying the Layer III length formula
-    ``144 * bitrate // sample_rate + padding`` — plus one level into
-    each frame: the 17-byte mono side info (ISO 11172-3 2.4.1.7) whose
-    leading 9 bits are ``main_data_begin``, the bit-reservoir
-    back-pointer (summed / maxed per stream — the reservoir-depth
-    signal an audio curation pass uses to spot pathological encodes).
+    ``144 * bitrate // sample_rate + padding`` — plus a FULL parse of
+    each frame's 17-byte mono side info (ISO 11172-3 2.4.1.7,
+    ``parse_mp3_side_info``): ``main_data_begin`` (the bit-reservoir
+    back-pointer, summed/maxed per stream — the reservoir-depth signal
+    an audio curation pass uses to spot pathological encodes) and the
+    per-granule ``part2_3_length`` / ``big_values`` / ``global_gain``
+    fields (summed per stream), with spec bounds enforced
+    (big_values ≤ 288, no reserved block_type).
     The stream-structure layer of an audio pipeline's metadata pass
     (duration, CBR/VBR, average bitrate) with NO audio decode: the
     Huffman/IMDCT sample reconstruction stays a declared stub
@@ -1288,6 +1352,7 @@ def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
                 pos = 10 + size
             n_frames = n_padded = 0
             kbps_sum = mdb_sum = mdb_max = 0
+            p23_sum = bv_sum = gg_sum = 0
             kbps_seen: set[int] = set()
             sr = None
             while pos < len(raw):
@@ -1317,14 +1382,20 @@ def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
                 if pos + frame_len > len(raw):
                     raise ValueError(f"doc {doc_id}: truncated final frame")
                 # mono, no CRC: the 17-byte side info starts right after
-                # the header; main_data_begin is its first 9 bits
+                # the header — parse it fully (parse_mp3_side_info)
                 if frame_len < 4 + 17:
                     raise ValueError(
                         f"doc {doc_id}: frame at {pos} too short for side info"
                     )
-                mdb = (raw[pos + 4] << 1) | (raw[pos + 5] >> 7)
+                mdb, granules = parse_mp3_side_info(
+                    int(doc_id), raw[pos + 4 : pos + 21]
+                )
                 mdb_sum += mdb
                 mdb_max = max(mdb_max, mdb)
+                for part2_3, big_values, global_gain in granules:
+                    p23_sum += part2_3
+                    bv_sum += big_values
+                    gg_sum += global_gain
                 n_frames += 1
                 n_padded += padding
                 kbps_sum += kbps
@@ -1336,12 +1407,14 @@ def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
             return (
                 n_frames, sr, duration_ms, kbps_sum // n_frames,
                 len(kbps_seen) > 1, n_padded, mdb_sum, mdb_max,
+                p23_sum, bv_sum, gg_sum,
             )
 
         cols = (
             "doc_id", "n_frames", "sample_rate", "duration_ms",
             "avg_kbps", "is_vbr", "n_padded", "sum_main_data_begin",
-            "max_main_data_begin",
+            "max_main_data_begin", "sum_part2_3_length",
+            "sum_big_values", "sum_global_gain",
         )
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}
@@ -1379,7 +1452,8 @@ def synthesize_mp3(docs_df: DataFrame) -> DataFrame:
 H264_META_SCHEMA = (
     "doc_id long, n_nal long, n_sps long, n_pps long, n_idr long, "
     "n_non_idr long, n_epb long, rbsp_bytes long, profile_idc long, "
-    "level_idc long, width long, height long"
+    "level_idc long, width long, height long, pic_init_qp long, "
+    "sum_frame_num long, sum_idr_pic_id long"
 )
 
 
@@ -1394,7 +1468,7 @@ class _H264BitReader:
 
     def u(self, n: int) -> int:
         if self.pos + n > 8 * len(self.data):
-            raise ValueError(f"doc {self.doc_id}: truncated SPS bitstream")
+            raise ValueError(f"doc {self.doc_id}: truncated bitstream")
         val = 0
         for _ in range(n):
             byte = self.data[self.pos >> 3]
@@ -1422,6 +1496,13 @@ def parse_sps(doc_id: int, rbsp: bytes) -> tuple[int, int, int, int]:
     both POC types 0 and 2; scaling matrices and POC type 1 raise (the
     honest boundary — they need tables this metadata pass never uses).
     frame cropping is applied to the returned dimensions."""
+    f = _parse_sps_all(doc_id, rbsp)
+    return f["profile_idc"], f["level_idc"], f["width"], f["height"]
+
+
+def _parse_sps_all(doc_id: int, rbsp: bytes) -> dict:
+    """Full SPS parse; also exposes frame_num_bits (the u(v) width
+    slice headers need to read frame_num) and pic_order_cnt_type."""
     r = _H264BitReader(rbsp, doc_id)
     profile_idc = r.u(8)
     r.u(8)  # constraint_setN flags + reserved_zero_2bits
@@ -1437,7 +1518,7 @@ def parse_sps(doc_id: int, rbsp: bytes) -> tuple[int, int, int, int]:
         r.u(1)  # qpprime_y_zero_transform_bypass_flag
         if r.u(1):  # seq_scaling_matrix_present_flag
             raise ValueError(f"doc {doc_id}: SPS scaling matrices unsupported")
-    r.ue()  # log2_max_frame_num_minus4
+    frame_num_bits = r.ue() + 4  # log2_max_frame_num_minus4
     poc_type = r.ue()
     if poc_type == 0:
         r.ue()  # log2_max_pic_order_cnt_lsb_minus4
@@ -1467,7 +1548,67 @@ def parse_sps(doc_id: int, rbsp: bytes) -> tuple[int, int, int, int]:
     r.u(1)  # vui_parameters_present_flag
     if width <= 0 or height <= 0:
         raise ValueError(f"doc {doc_id}: SPS crop exceeds picture size")
-    return profile_idc, level_idc, width, height
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "width": width,
+        "height": height,
+        "frame_num_bits": frame_num_bits,
+        "poc_type": poc_type,
+    }
+
+
+def parse_pps(doc_id: int, rbsp: bytes) -> tuple[int, int]:
+    """Parse a pic_parameter_set RBSP (ITU-T H.264 7.3.2.2) down to
+    (entropy_coding_mode_flag, pic_init_qp): whether slices are CAVLC
+    (0) or CABAC (1) coded, and the default quantizer.  FMO slice
+    groups raise (they need per-group maps this metadata pass never
+    uses)."""
+    r = _H264BitReader(rbsp, doc_id)
+    r.ue()  # pic_parameter_set_id
+    r.ue()  # seq_parameter_set_id
+    entropy_mode = r.u(1)  # 0: CAVLC, 1: CABAC
+    r.u(1)  # bottom_field_pic_order_in_frame_present_flag
+    if r.ue() != 0:  # num_slice_groups_minus1
+        raise ValueError(f"doc {doc_id}: FMO slice groups unsupported")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.u(1)  # weighted_pred_flag
+    r.u(2)  # weighted_bipred_idc
+    pic_init_qp = 26 + r.se()  # pic_init_qp_minus26
+    if not 0 <= pic_init_qp <= 51:
+        raise ValueError(f"doc {doc_id}: pic_init_qp {pic_init_qp} out of range")
+    r.se()  # pic_init_qs_minus26
+    r.se()  # chroma_qp_index_offset
+    r.u(1)  # deblocking_filter_control_present_flag
+    r.u(1)  # constrained_intra_pred_flag
+    r.u(1)  # redundant_pic_cnt_present_flag
+    return entropy_mode, pic_init_qp
+
+
+def parse_slice_header(
+    doc_id: int, rbsp: bytes, nal_type: int, frame_num_bits: int
+) -> tuple[int, int, int | None]:
+    """Parse a slice header prefix (ITU-T H.264 7.3.3) through
+    (slice_type, frame_num, idr_pic_id): the fields a GOP-structure /
+    keyframe-cadence pass needs, all readable without entropy-decoding
+    slice data.  Cross-checks the slice type against the NAL type (an
+    IDR NAL must carry an I slice) and raises on mismatch."""
+    r = _H264BitReader(rbsp, doc_id)
+    r.ue()  # first_mb_in_slice
+    slice_type = r.ue()
+    if slice_type > 9:
+        raise ValueError(f"doc {doc_id}: invalid slice_type {slice_type}")
+    if nal_type == 5 and slice_type % 5 != 2:
+        raise ValueError(
+            f"doc {doc_id}: IDR NAL carries non-I slice_type {slice_type}"
+        )
+    r.ue()  # pic_parameter_set_id
+    frame_num = r.u(frame_num_bits)
+    idr_pic_id = r.ue() if nal_type == 5 else None
+    if nal_type == 5 and frame_num != 0:
+        raise ValueError(f"doc {doc_id}: IDR slice with frame_num {frame_num}")
+    return slice_type, frame_num, idr_pic_id
 
 
 def decode_h264_nals(media_df: DataFrame) -> DataFrame:
@@ -1531,7 +1672,8 @@ def decode_h264_nals(media_df: DataFrame) -> DataFrame:
         def parse(doc_id: int, raw: bytes):
             counts = {7: 0, 8: 0, 5: 0, 1: 0}
             n_nal = n_epb = rbsp_bytes = 0
-            sps_fields = None
+            sum_frame_num = sum_idr_pic_id = 0
+            sps = pps = None
             for unit in split_nals(doc_id, raw):
                 if not unit:
                     raise ValueError(f"doc {doc_id}: empty NAL unit")
@@ -1545,19 +1687,34 @@ def decode_h264_nals(media_df: DataFrame) -> DataFrame:
                 rbsp_bytes += len(rbsp)
                 if nal_type in counts:
                     counts[nal_type] += 1
-                if nal_type == 7 and sps_fields is None:
-                    sps_fields = parse_sps(doc_id, rbsp)
-            if sps_fields is None:
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                elif nal_type in (1, 5):
+                    if sps is None:
+                        raise ValueError(f"doc {doc_id}: slice before SPS")
+                    _st, frame_num, idr_pic_id = parse_slice_header(
+                        doc_id, rbsp, nal_type, sps["frame_num_bits"]
+                    )
+                    sum_frame_num += frame_num
+                    if idr_pic_id is not None:
+                        sum_idr_pic_id += idr_pic_id
+            if sps is None:
                 raise ValueError(f"doc {doc_id}: stream carries no SPS")
+            if pps is None:
+                raise ValueError(f"doc {doc_id}: stream carries no PPS")
             return (
                 n_nal, counts[7], counts[8], counts[5], counts[1],
-                n_epb, rbsp_bytes, *sps_fields,
+                n_epb, rbsp_bytes, sps["profile_idc"], sps["level_idc"],
+                sps["width"], sps["height"], pps[1], sum_frame_num,
+                sum_idr_pic_id,
             )
 
         cols = (
             "doc_id", "n_nal", "n_sps", "n_pps", "n_idr", "n_non_idr",
             "n_epb", "rbsp_bytes", "profile_idc", "level_idc", "width",
-            "height",
+            "height", "pic_init_qp", "sum_frame_num", "sum_idr_pic_id",
         )
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}

@@ -513,6 +513,59 @@ def mp3_main_data_begin(doc_id: int, k: int) -> int:
     return (doc_id * 7 + 11 * k) % 500
 
 
+def mp3_granule_fields(doc_id: int, k: int, g: int) -> dict[str, int]:
+    """Frame k / granule g's Layer III side-info fields (ISO 11172-3
+    2.4.1.7, mono): closed forms a SQL oracle can restate.  big_values
+    stays within the spec's 288 ceiling; every field fits its bit
+    width."""
+    return {
+        "part2_3_length": (doc_id * 19 + 13 * k + 7 * g) % 4096,  # 12 bits
+        "big_values": (doc_id * 3 + 5 * k + g) % 288,             # 9 bits
+        "global_gain": (doc_id + 29 * k + 17 * g) % 256,          # 8 bits
+        "scalefac_compress": (doc_id + g) % 16,                   # 4 bits
+        # windows_switching_flag = 0 -> the long-block branch:
+        "table_select": [
+            (doc_id + 3 * k + g + t) % 32 for t in range(3)       # 5 bits x3
+        ],
+        "region0_count": doc_id % 16,                             # 4 bits
+        "region1_count": (doc_id + k) % 8,                        # 3 bits
+        "preflag": doc_id % 2,                                    # 1 bit
+        "scalefac_scale": k % 2,                                  # 1 bit
+        "count1table_select": (doc_id + k + g) % 2,               # 1 bit
+    }
+
+
+def mp3_side_info(doc_id: int, k: int) -> bytes:
+    """The REAL 17-byte mono side info for frame k (ISO 11172-3
+    2.4.1.7): main_data_begin(9) + private_bits(5) + scfsi(4), then per
+    granule part2_3_length(12) big_values(9) global_gain(8)
+    scalefac_compress(4) windows_switching_flag(1) [long-block branch:
+    table_select(5)x3 region0_count(4) region1_count(3)] preflag(1)
+    scalefac_scale(1) count1table_select(1) — 18 + 2x59 = 136 bits,
+    exactly 17 bytes, no padding."""
+    w = _BitPacker()
+    w.u(mp3_main_data_begin(doc_id, k), 9)
+    w.u(0, 5)  # private_bits
+    w.u(0, 4)  # scfsi (no scalefactor reuse)
+    for g in (0, 1):
+        f = mp3_granule_fields(doc_id, k, g)
+        w.u(f["part2_3_length"], 12)
+        w.u(f["big_values"], 9)
+        w.u(f["global_gain"], 8)
+        w.u(f["scalefac_compress"], 4)
+        w.u(0, 1)  # windows_switching_flag: long blocks
+        for t in f["table_select"]:
+            w.u(t, 5)
+        w.u(f["region0_count"], 4)
+        w.u(f["region1_count"], 3)
+        w.u(f["preflag"], 1)
+        w.u(f["scalefac_scale"], 1)
+        w.u(f["count1table_select"], 1)
+    out = w.to_bytes()
+    assert len(out) == 17
+    return out
+
+
 def make_mp3_bytes(doc_id: int) -> bytes:
     """Spec-shaped MPEG-1 Layer III stream: an ID3v2.3 tag (syncsafe
     size, must be skipped), then back-to-back frames whose 4-byte
@@ -520,10 +573,12 @@ def make_mp3_bytes(doc_id: int) -> bytes:
     fields and whose lengths follow the Layer III formula
     ``144 * bitrate / sample_rate + padding`` — a walker can only find
     frame k+1 by decoding frame k's header.  Each frame's payload
-    begins with the REAL 17-byte mono side info (no CRC): the 9-bit
-    ``main_data_begin`` back-pointer packed MSB-first per ISO 11172-3
-    2.4.1.7, remaining side-info fields zeroed.  Filler bytes keep the
-    high bit clear so no false syncword can appear."""
+    begins with the REAL 17-byte mono side info (no CRC) — every field
+    bit-packed per ISO 11172-3 2.4.1.7 (``mp3_side_info``), so the
+    packed bytes can contain 0xFF exactly like a real encode: a walker
+    that rescans for sync instead of stepping by frame length breaks
+    here, ours must not.  Filler bytes after the side info keep the
+    high bit clear."""
     n_frames, sr_idx, id3_len = mp3_params(doc_id)
     sr = MP3_SAMPLE_RATES[sr_idx]
     out = bytearray()
@@ -544,13 +599,7 @@ def make_mp3_bytes(doc_id: int) -> bytes:
         h2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
         h3 = 0b11000100  # mono + no mode ext + not copyrighted + original
         out += bytes((h0, h1, h2, h3))
-        # 17-byte mono side info: main_data_begin in the top 9 bits,
-        # private/scfsi/granule fields zeroed
-        mdb = mp3_main_data_begin(doc_id, k)
-        side = bytearray(17)
-        side[0] = mdb >> 1
-        side[1] = (mdb & 1) << 7
-        out += bytes(side)
+        out += mp3_side_info(doc_id, k)
         out += bytes([(doc_id + k) % 128]) * (frame_len - 4 - 17)
     return bytes(out)
 
@@ -570,7 +619,7 @@ def h264_params(doc_id: int) -> tuple[int, int, int, int, int, int]:
         doc_id % 5,          # epb_pairs per slice
         16 + doc_id % 8,     # slice filler bytes
         len(h264_sps_rbsp(doc_id)),  # SPS RBSP length (real encode)
-        4 + doc_id % 4,      # PPS RBSP length
+        len(h264_pps_rbsp(doc_id)),  # PPS RBSP length (real encode)
     )
 
 
@@ -589,8 +638,9 @@ def h264_sps_fields(doc_id: int) -> tuple[int, int, int, int]:
     )
 
 
-class _H264BitWriter:
-    """MSB-first bit packer for RBSP payloads (ITU-T H.264 7.3/9.1)."""
+class _BitPacker:
+    """MSB-first bit packer (shared by the H.264 RBSP and MP3
+    side-info encoders)."""
 
     def __init__(self) -> None:
         self.bits: list[int] = []
@@ -599,17 +649,8 @@ class _H264BitWriter:
         for i in range(n - 1, -1, -1):
             self.bits.append((value >> i) & 1)
 
-    def ue(self, value: int) -> None:
-        # Exp-Golomb: M leading zeros, 1, then M-bit suffix of value+1
-        code = value + 1
-        m = code.bit_length() - 1
-        self.u(0, m)
-        self.u(code, m + 1)
-
-    def rbsp_trailing(self) -> bytes:
-        self.bits.append(1)  # rbsp_stop_one_bit
-        while len(self.bits) % 8:
-            self.bits.append(0)  # rbsp_alignment_zero_bit
+    def to_bytes(self) -> bytes:
+        assert len(self.bits) % 8 == 0, "bitstream not byte-aligned"
         out = bytearray()
         for i in range(0, len(self.bits), 8):
             byte = 0
@@ -617,6 +658,27 @@ class _H264BitWriter:
                 byte = (byte << 1) | b
             out.append(byte)
         return bytes(out)
+
+
+class _H264BitWriter(_BitPacker):
+    """MSB-first bit packer for RBSP payloads (ITU-T H.264 7.3/9.1)."""
+
+    def ue(self, value: int) -> None:
+        # Exp-Golomb: M leading zeros, 1, then M-bit suffix of value+1
+        code = value + 1
+        m = code.bit_length() - 1
+        self.u(0, m)
+        self.u(code, m + 1)
+
+    def se(self, value: int) -> None:
+        # signed Exp-Golomb (9.1.1): k>0 -> 2k-1, k<=0 -> -2k
+        self.ue(2 * value - 1 if value > 0 else -2 * value)
+
+    def rbsp_trailing(self) -> bytes:
+        self.bits.append(1)  # rbsp_stop_one_bit
+        while len(self.bits) % 8:
+            self.bits.append(0)  # rbsp_alignment_zero_bit
+        return self.to_bytes()
 
 
 def h264_sps_rbsp(doc_id: int) -> bytes:
@@ -644,6 +706,61 @@ def h264_sps_rbsp(doc_id: int) -> bytes:
     return w.rbsp_trailing()
 
 
+def h264_pic_init_qp(doc_id: int) -> int:
+    """The fixture PPS's pic_init_qp: a closed form in [20, 35] (the
+    spec range is [0, 51]) so its signed-exp-Golomb width varies with
+    doc_id."""
+    return 20 + doc_id % 16
+
+
+def h264_pps_rbsp(doc_id: int) -> bytes:
+    """REAL pic_parameter_set RBSP per ITU-T H.264 7.3.2.2: CAVLC
+    entropy coding, one slice group, default reference counts, no
+    weighted prediction, a doc_id-varying pic_init_qp (signed
+    exp-Golomb), and proper rbsp_trailing_bits."""
+    w = _H264BitWriter()
+    w.ue(0)    # pic_parameter_set_id
+    w.ue(0)    # seq_parameter_set_id
+    w.u(0, 1)  # entropy_coding_mode_flag: CAVLC
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)    # num_slice_groups_minus1
+    w.ue(0)    # num_ref_idx_l0_default_active_minus1
+    w.ue(0)    # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)  # weighted_pred_flag
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(h264_pic_init_qp(doc_id) - 26)  # pic_init_qp_minus26
+    w.se(0)    # pic_init_qs_minus26
+    w.se(0)    # chroma_qp_index_offset
+    w.u(0, 1)  # deblocking_filter_control_present_flag
+    w.u(0, 1)  # constrained_intra_pred_flag
+    w.u(0, 1)  # redundant_pic_cnt_present_flag
+    return w.rbsp_trailing()
+
+
+def h264_slice_header_bytes(gop: int, slice_in_gop: int) -> bytes:
+    """The parseable slice-header prefix (ITU-T H.264 7.3.3):
+    first_mb_in_slice=0, slice_type (7=I for the IDR slice, 5=P
+    otherwise), pic_parameter_set_id=0, frame_num u(4) = the slice's
+    position in its GOP, and idr_pic_id = the GOP index on IDR slices —
+    bit-packed and zero-padded to 2 bytes.  The padding byte-aligns the
+    synthetic slice body that stands in for the remaining header +
+    entropy-coded macroblock data (a real stream continues bit-level;
+    the walker only parses this prefix)."""
+    w = _H264BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    idr = slice_in_gop == 0
+    w.ue(7 if idr else 5)  # slice_type: I (all-slices-I) / P (all-P)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(slice_in_gop, 4)  # frame_num (log2_max_frame_num_minus4 = 0)
+    if idr:
+        w.ue(gop)  # idr_pic_id
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    out = w.to_bytes()
+    assert len(out) == 2 and out[-1] != 0  # no 00-byte at the EPB boundary
+    return out
+
+
 def _h264_escape(rbsp: bytes) -> bytes:
     """Insert emulation-prevention bytes: any 00 00 followed by a byte
     <= 03 becomes 00 00 03 xx (ITU-T H.264 7.4.1.1)."""
@@ -659,12 +776,15 @@ def _h264_escape(rbsp: bytes) -> bytes:
 
 
 def make_h264_bytes(doc_id: int) -> bytes:
-    """Spec-shaped H.264 Annex-B byte stream: SPS and PPS NAL units,
-    then n_gops GOPs of one IDR + (gop_len-1) non-IDR slice NALs.  The
-    first start code is 4-byte (00 00 00 01), later ones alternate with
-    the 3-byte form — parsers keying on one form only miss NALs.  Slice
-    payloads embed two-zero runs escaped per 7.4.1.1, so byte-exact
-    RBSP recovery requires stripping emulation-prevention bytes."""
+    """Spec-shaped H.264 Annex-B byte stream: REAL exp-Golomb SPS and
+    PPS NAL units (``h264_sps_rbsp`` / ``h264_pps_rbsp``), then n_gops
+    GOPs of one IDR + (gop_len-1) non-IDR slice NALs, each slice
+    opening with a REAL parseable header prefix
+    (``h264_slice_header_bytes``) before its synthetic body.  The first
+    start code is 4-byte (00 00 00 01), later ones alternate with the
+    3-byte form — parsers keying on one form only miss NALs.  Slice
+    bodies embed two-zero runs escaped per 7.4.1.1, so byte-exact RBSP
+    recovery requires stripping emulation-prevention bytes."""
     n_gops, gop_len, epb_pairs, filler_len, sps_len, pps_len = h264_params(doc_id)
 
     def nal(ref_idc: int, nal_type: int, rbsp: bytes, index: int) -> bytes:
@@ -672,19 +792,23 @@ def make_h264_bytes(doc_id: int) -> bytes:
         header = bytes(((ref_idc << 5) | nal_type,))
         return start + header + _h264_escape(rbsp)
 
-    slice_rbsp = b"\x00\x00\x02\x55" * epb_pairs + bytes(
+    slice_body = b"\x00\x00\x02\x55" * epb_pairs + bytes(
         0x41 + (i % 32) for i in range(filler_len)
     )
     units: list[bytes] = []
     sps = h264_sps_rbsp(doc_id)
     assert len(sps) == sps_len
     units.append(nal(3, 7, sps, 0))
-    units.append(nal(3, 8, bytes(0x52 + (i % 16) for i in range(pps_len)), 1))
+    pps = h264_pps_rbsp(doc_id)
+    assert len(pps) == pps_len
+    units.append(nal(3, 8, pps, 1))
     idx = 2
-    for _g in range(n_gops):
-        units.append(nal(3, 5, slice_rbsp, idx))  # IDR
-        idx += 1
-        for _s in range(gop_len - 1):
-            units.append(nal(2, 1, slice_rbsp, idx))  # non-IDR
+    for g in range(n_gops):
+        for s in range(gop_len):
+            rbsp = h264_slice_header_bytes(g, s) + slice_body
+            if s == 0:
+                units.append(nal(3, 5, rbsp, idx))  # IDR
+            else:
+                units.append(nal(2, 1, rbsp, idx))  # non-IDR
             idx += 1
     return b"".join(units)

@@ -552,6 +552,14 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              (doc_id + k.k) % 2 AS padded,
              (doc_id * 7 + 11 * k.k) % 500 AS mdb
       FROM p, LATERAL (SELECT unnest(range(0, n_frames)) AS k) k
+    ),
+    gr AS (
+      SELECT doc_id,
+             SUM((doc_id * 19 + 13 * k + 7 * gg.g) % 4096) AS sum_p23,
+             SUM((doc_id * 3 + 5 * k + gg.g) % 288) AS sum_bv,
+             SUM((doc_id + 29 * k + 17 * gg.g) % 256) AS sum_gg
+      FROM f, LATERAL (SELECT unnest([0, 1]) AS g) gg
+      GROUP BY doc_id
     )
     SELECT doc_id,
            CAST(MAX(n_frames) AS BIGINT) AS n_frames,
@@ -564,8 +572,11 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT kbps) > 1 AS is_vbr,
            CAST(SUM(padded) AS BIGINT) AS n_padded,
            CAST(SUM(mdb) AS BIGINT) AS sum_main_data_begin,
-           CAST(MAX(mdb) AS BIGINT) AS max_main_data_begin
-    FROM f
+           CAST(MAX(mdb) AS BIGINT) AS max_main_data_begin,
+           CAST(MAX(gr.sum_p23) AS BIGINT) AS sum_part2_3_length,
+           CAST(MAX(gr.sum_bv) AS BIGINT) AS sum_big_values,
+           CAST(MAX(gr.sum_gg) AS BIGINT) AS sum_global_gain
+    FROM f JOIN gr USING (doc_id)
     GROUP BY doc_id
     ORDER BY doc_id
     """,
@@ -573,13 +584,15 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MPEG-1 Layer III frame-header walk over spec-shaped VBR
     streams (ID3v2 tag skip, sync/version/layer validation, Layer III
-    frame-length stepping) plus one level into each frame: the 17-byte
-    mono side info's 9-bit ``main_data_begin`` back-pointer (ISO
-    11172-3 2.4.1.7), value-checked as per-stream sum/max — the
-    metadata pass (duration, average bitrate, CBR/VBR, padded-frame
-    count, bit-reservoir depth) an audio data pipeline runs per file
-    without decoding audio; the Huffman/IMDCT sample path remains the
-    declared stub (``decode.py`` codec='real' sites)."""
+    frame-length stepping) plus a FULL parse of each frame's 17-byte
+    mono side info (ISO 11172-3 2.4.1.7): ``main_data_begin``
+    (bit-reservoir back-pointer, sum/max) and per-granule
+    ``part2_3_length`` / ``big_values`` / ``global_gain`` (sums), all
+    value-checked — the metadata pass (duration, average bitrate,
+    CBR/VBR, padded-frame count, reservoir depth, Huffman-region
+    geometry) an audio data pipeline runs per file without decoding
+    audio; the Huffman/IMDCT sample path itself remains the declared
+    stub (``decode.py`` codec='real' sites)."""
     from ..multimodal.decode import decode_mp3_frames, synthesize_mp3
 
     docs = load_table(spark, sf_dir, "documents")
@@ -588,14 +601,15 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_h264_nal_walk",
-    # formulas mirror synth.h264_params / h264_sps_fields: per doc,
-    # 1 SPS + 1 PPS + n_gops IDR + n_gops*(gop_len-1) non-IDR slices;
-    # every slice RBSP is 4*epb_pairs + filler_len bytes and costs
-    # epb_pairs emulation-prevention bytes; NAL headers add 1 byte per
-    # unit.  The SPS is a REAL exp-Golomb encode, so its byte length is
-    # ceil((38 + ue_bits(w_m1) + ue_bits(h_m1)) / 8) where ue_bits(k) =
-    # 2*floor(log2(k+1))+1 — restated below as a CASE over the fixture's
-    # k <= 14 range.
+    # formulas mirror synth.h264_params / h264_sps_fields /
+    # h264_pic_init_qp: per doc, 1 SPS + 1 PPS + n_gops IDR +
+    # n_gops*(gop_len-1) non-IDR slices; every slice RBSP is a 2-byte
+    # parseable header prefix + 4*epb_pairs + filler_len body bytes and
+    # costs epb_pairs emulation-prevention bytes; NAL headers add
+    # 1 byte per unit.  SPS and PPS are REAL exp-Golomb encodes, so
+    # their byte lengths follow the coded widths: ue_bits(k) =
+    # 2*floor(log2(k+1))+1 (restated as CASEs over the fixture ranges);
+    # the PPS's signed field maps qp-26 -> code 2k-1 (k>0) / -2k (k<=0).
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -605,7 +619,7 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
              16 + doc_id % 8 AS filler_len,
              1 + doc_id % 9 AS w_m1,
              1 + doc_id % 7 AS h_m1,
-             4 + doc_id % 4 AS pps_len
+             20 + doc_id % 16 AS qp
       FROM documents
     ),
     q AS (
@@ -613,8 +627,18 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
              (38
               + CASE WHEN w_m1 <= 2 THEN 3 WHEN w_m1 <= 6 THEN 5 ELSE 7 END
               + CASE WHEN h_m1 <= 2 THEN 3 WHEN h_m1 <= 6 THEN 5 ELSE 7 END
-              + 7) // 8 AS sps_len
-      FROM p
+              + 7) // 8 AS sps_len,
+             (16
+              + CASE WHEN se_code = 0 THEN 1 WHEN se_code <= 2 THEN 3
+                     WHEN se_code <= 6 THEN 5 WHEN se_code <= 14 THEN 7
+                     ELSE 9 END
+              + 7) // 8 AS pps_len
+      FROM (
+        SELECT *,
+               CASE WHEN qp > 26 THEN 2 * (qp - 26) - 1
+                    ELSE -2 * (qp - 26) END AS se_code
+        FROM p
+      )
     )
     SELECT doc_id,
            CAST(2 + n_gops * gop_len AS BIGINT) AS n_nal,
@@ -624,12 +648,16 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_gops * (gop_len - 1) AS BIGINT) AS n_non_idr,
            CAST(n_gops * gop_len * epb_pairs AS BIGINT) AS n_epb,
            CAST(sps_len + pps_len
-                + n_gops * gop_len * (4 * epb_pairs + filler_len)
+                + n_gops * gop_len * (2 + 4 * epb_pairs + filler_len)
              AS BIGINT) AS rbsp_bytes,
            CAST(66 + (doc_id % 3) * 11 AS BIGINT) AS profile_idc,
            CAST(10 + (doc_id % 5) * 10 AS BIGINT) AS level_idc,
            CAST(16 * (w_m1 + 1) AS BIGINT) AS width,
-           CAST(16 * (h_m1 + 1) AS BIGINT) AS height
+           CAST(16 * (h_m1 + 1) AS BIGINT) AS height,
+           CAST(qp AS BIGINT) AS pic_init_qp,
+           CAST(n_gops * gop_len * (gop_len - 1) // 2 AS BIGINT)
+             AS sum_frame_num,
+           CAST(n_gops * (n_gops - 1) // 2 AS BIGINT) AS sum_idr_pic_id
     FROM q
     ORDER BY doc_id
     """,
@@ -637,13 +665,17 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_h264_nal_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL H.264 Annex-B NAL-layer parse over spec-shaped streams
     (mixed 3-/4-byte start codes, forbidden-bit check, emulation-
-    prevention-byte stripping per ITU-T 7.4.1.1) plus a REAL SPS parse
-    (``decode.parse_sps``, 7.3.2.1.1): profile_idc / level_idc and the
-    exp-Golomb-coded picture dimensions, value-checked per doc — the
-    GOP/keyframe-density/resolution stats pass a video pipeline runs
-    per clip without pixel decode; CAVLC/CABAC slice reconstruction
-    remains the declared stub.  Byte-exact RBSP size recovery proves
-    the EPB stripping is real, not a start-code count."""
+    prevention-byte stripping per ITU-T 7.4.1.1) plus REAL parameter-
+    set and slice-header parses: SPS (``decode.parse_sps``, 7.3.2.1.1
+    — profile/level and exp-Golomb picture dimensions), PPS
+    (``parse_pps``, 7.3.2.2 — entropy mode, pic_init_qp), and each
+    slice's header prefix (``parse_slice_header``, 7.3.3 — slice_type
+    cross-checked against the NAL type, frame_num at the SPS-declared
+    width, idr_pic_id), all value-checked per doc — the GOP/keyframe-
+    cadence/resolution stats pass a video pipeline runs per clip
+    without pixel decode; CAVLC/CABAC macroblock reconstruction remains
+    the declared stub.  Byte-exact RBSP size recovery proves the EPB
+    stripping is real, not a start-code count."""
     from ..multimodal.decode import decode_h264_nals, synthesize_h264
 
     docs = load_table(spark, sf_dir, "documents")
