@@ -1611,6 +1611,53 @@ def parse_slice_header(
     return slice_type, frame_num, idr_pic_id
 
 
+def h264_split_nals(doc_id: int, raw: bytes):
+    """Split an Annex-B byte stream into NAL unit payloads, honoring
+    both 3- and 4-byte start codes; raises if the stream does not open
+    with a start code."""
+    starts = []
+    i = 0
+    while i + 3 <= len(raw):
+        if raw[i] == 0 and raw[i + 1] == 0:
+            if raw[i + 2] == 1:
+                starts.append((i, i + 3))
+                i += 3
+                continue
+            if i + 4 <= len(raw) and raw[i + 2] == 0 and raw[i + 3] == 1:
+                starts.append((i, i + 4))
+                i += 4
+                continue
+        i += 1
+    if not starts or starts[0][0] != 0:
+        raise ValueError(f"doc {doc_id}: no leading start code")
+    for j, (_s, body) in enumerate(starts):
+        end = starts[j + 1][0] if j + 1 < len(starts) else len(raw)
+        yield raw[body:end]
+
+
+def h264_unescape(doc_id: int, payload: bytes) -> bytes:
+    """Strip emulation-prevention bytes (ITU-T H.264 7.4.1.1); a bare
+    00 00 0x (x <= 2) run inside a NAL is invalid and raises."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(payload):
+        byte = payload[i]
+        if zeros >= 2:
+            if byte <= 2:
+                raise ValueError(
+                    f"doc {doc_id}: unescaped 00 00 {byte:02x} in NAL"
+                )
+            if byte == 3:
+                zeros = 0
+                i += 1
+                continue
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+        i += 1
+    return bytes(out)
+
+
 def decode_h264_nals(media_df: DataFrame) -> DataFrame:
     """REAL H.264 Annex-B NAL-layer parse: split the byte stream on
     both 3- and 4-byte start codes, read each NAL header (checking the
@@ -1621,53 +1668,16 @@ def decode_h264_nals(media_df: DataFrame) -> DataFrame:
     picture dimensions per 7.3.2.1.1 — the stream-structure layer a
     video pipeline's keyframe-density / GOP-stats / resolution pass
     needs, with NO pixel decode: CAVLC/CABAC slice reconstruction stays
-    a declared stub (``sample_frames``'s codec='real' site).  A stream
-    not starting with a start code, a forbidden-bit violation, an
-    invalid 00 00 02 escape sequence, a truncated SPS, or a missing
-    SPS raises."""
+    a declared stub (``sample_frames``'s codec='real' site; the I_PCM
+    path, which bypasses entropy coding, IS decoded —
+    ``decode_h264_ipcm``).  A stream not starting with a start code, a
+    forbidden-bit violation, an invalid 00 00 02 escape sequence, a
+    truncated SPS, or a missing SPS raises."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        def split_nals(doc_id: int, raw: bytes):
-            starts = []
-            i = 0
-            while i + 3 <= len(raw):
-                if raw[i] == 0 and raw[i + 1] == 0:
-                    if raw[i + 2] == 1:
-                        starts.append((i, i + 3))
-                        i += 3
-                        continue
-                    if i + 4 <= len(raw) and raw[i + 2] == 0 and raw[i + 3] == 1:
-                        starts.append((i, i + 4))
-                        i += 4
-                        continue
-                i += 1
-            if not starts or starts[0][0] != 0:
-                raise ValueError(f"doc {doc_id}: no leading start code")
-            for j, (s, body) in enumerate(starts):
-                end = starts[j + 1][0] if j + 1 < len(starts) else len(raw)
-                yield raw[body:end]
-
-        def unescape(doc_id: int, payload: bytes) -> bytes:
-            out = bytearray()
-            zeros = 0
-            i = 0
-            while i < len(payload):
-                byte = payload[i]
-                if zeros >= 2:
-                    if byte <= 2:
-                        raise ValueError(
-                            f"doc {doc_id}: unescaped 00 00 {byte:02x} in NAL"
-                        )
-                    if byte == 3:
-                        zeros = 0
-                        i += 1
-                        continue
-                out.append(byte)
-                zeros = zeros + 1 if byte == 0 else 0
-                i += 1
-            return bytes(out)
+        split_nals, unescape = h264_split_nals, h264_unescape
 
         def parse(doc_id: int, raw: bytes):
             counts = {7: 0, 8: 0, 5: 0, 1: 0}
@@ -1725,6 +1735,157 @@ def decode_h264_nals(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media_df.select("doc_id", "payload").mapInPandas(kernel, H264_META_SCHEMA)
+
+
+H264_IPCM_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long, mean_luma long"
+)
+
+
+def _parse_ipcm_slice(
+    doc_id: int, rbsp: bytes, frame_num_bits: int, n_mbs: int
+) -> tuple[int, int]:
+    """Decode one all-I_PCM IDR slice (ITU-T H.264 7.3.3 + 7.3.5):
+    header prefix, then per macroblock ``mb_type`` (must be 25 = I_PCM
+    — anything else needs the CAVLC tables this decoder honestly does
+    not have), ``pcm_alignment_zero_bit`` padding, 256 raw luma and 128
+    raw 4:2:0 chroma samples.  Verifies the rbsp_trailing_bits close
+    the slice exactly.  Returns (idr_pic_id, mean luma over the
+    picture)."""
+    r = _H264BitReader(rbsp, doc_id)
+    r.ue()  # first_mb_in_slice
+    slice_type = r.ue()
+    if slice_type % 5 != 2:
+        raise ValueError(f"doc {doc_id}: I_PCM stream with non-I slice")
+    r.ue()  # pic_parameter_set_id
+    if r.u(frame_num_bits) != 0:
+        raise ValueError(f"doc {doc_id}: IDR slice with nonzero frame_num")
+    idr_pic_id = r.ue()
+    luma_sum = 0
+    for _m in range(n_mbs):
+        mb_type = r.ue()
+        if mb_type != 25:
+            raise ValueError(
+                f"doc {doc_id}: mb_type {mb_type} is entropy-coded "
+                "(I_PCM-only decoder)"
+            )
+        while r.pos % 8:
+            if r.u(1) != 0:
+                raise ValueError(
+                    f"doc {doc_id}: nonzero pcm_alignment_zero_bit"
+                )
+        # samples are byte-aligned after pcm_alignment — slice them out
+        # wholesale instead of 3072 bit-reads per macroblock
+        at = r.pos // 8
+        if at + 384 > len(rbsp):
+            raise ValueError(f"doc {doc_id}: truncated I_PCM samples")
+        luma_sum += sum(rbsp[at : at + 256])
+        r.pos += 384 * 8  # 256 luma + 2x64 chroma (read, chroma discarded)
+    if r.u(1) != 1:
+        raise ValueError(f"doc {doc_id}: missing rbsp_stop_one_bit")
+    while r.pos % 8:
+        if r.u(1) != 0:
+            raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
+    if r.pos != 8 * len(rbsp):
+        raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
+    return idr_pic_id, luma_sum // (256 * n_mbs)
+
+
+def decode_h264_ipcm(media_df: DataFrame) -> DataFrame:
+    """REAL pixel-level H.264 decode for all-I_PCM streams: the NAL
+    walk + SPS/PPS parses, then every IDR slice's macroblock layer —
+    I_PCM macroblocks carry raw samples after a pcm_alignment, the one
+    slice-data path the spec defines WITHOUT entropy coding, so exact
+    pixel recovery needs no CAVLC/CABAC tables (those paths stay the
+    declared stub and any entropy-coded mb_type raises).  Emits one row
+    per frame (row-expanding) with the decoded mean luma — proving the
+    video path goes byte-stream -> pixels, not just headers.  The
+    picture's macroblock count comes from the SPS, the entropy mode
+    from the PPS (CABAC streams raise: their pcm path needs the CABAC
+    init this decoder does not implement), and frame indices are
+    cross-checked against each IDR's idr_pic_id."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            sps = pps = None
+            frames = []
+            for unit in h264_split_nals(doc_id, raw):
+                if not unit:
+                    raise ValueError(f"doc {doc_id}: empty NAL unit")
+                if unit[0] & 0x80:
+                    raise ValueError(f"doc {doc_id}: forbidden_zero_bit set")
+                nal_type = unit[0] & 0x1F
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                    if pps[0] != 0:
+                        raise ValueError(
+                            f"doc {doc_id}: CABAC stream (I_PCM-only "
+                            "decoder is CAVLC-mode)"
+                        )
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    n_mbs = (sps["width"] // 16) * (sps["height"] // 16)
+                    idr_pic_id, mean_luma = _parse_ipcm_slice(
+                        doc_id, rbsp, sps["frame_num_bits"], n_mbs
+                    )
+                    if idr_pic_id != len(frames):
+                        raise ValueError(
+                            f"doc {doc_id}: idr_pic_id {idr_pic_id} out of "
+                            f"order at frame {len(frames)}"
+                        )
+                    frames.append(mean_luma)
+            if sps is None or not frames:
+                raise ValueError(f"doc {doc_id}: no decodable I_PCM frames")
+            return sps["width"], sps["height"], frames
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "frame_idx", "width", "height", "mean_luma")
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                width, height, frames = walk(int(doc_id), bytes(b))
+                for f_idx, mean_luma in enumerate(frames):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f_idx)
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["mean_luma"].append(mean_luma)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, H264_IPCM_SCHEMA
+    )
+
+
+def synthesize_h264_ipcm(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a REAL all-I_PCM H.264 stream."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_ipcm_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [make_h264_ipcm_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
 
 
 def synthesize_h264(docs_df: DataFrame) -> DataFrame:

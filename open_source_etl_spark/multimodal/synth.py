@@ -687,7 +687,12 @@ def h264_sps_rbsp(doc_id: int) -> bytes:
     numbering, POC type 2 (no extra fields), reference count, and the
     picture dimensions in macroblock units; frame_mbs_only_flag=1 (no
     field coding), no cropping, no VUI, proper rbsp_trailing_bits."""
-    profile_idc, level_idc, w_m1, h_m1 = h264_sps_fields(doc_id)
+    return _h264_sps_from_fields(*h264_sps_fields(doc_id))
+
+
+def _h264_sps_from_fields(
+    profile_idc: int, level_idc: int, w_m1: int, h_m1: int
+) -> bytes:
     w = _H264BitWriter()
     w.u(profile_idc, 8)
     w.u(0, 8)  # constraint_set0..5 + reserved_zero_2bits
@@ -775,6 +780,14 @@ def _h264_escape(rbsp: bytes) -> bytes:
     return bytes(out)
 
 
+def _h264_nal(ref_idc: int, nal_type: int, rbsp: bytes, index: int) -> bytes:
+    """One Annex-B NAL unit: alternating 4-/3-byte start codes, the
+    1-byte NAL header, and the 7.4.1.1-escaped RBSP."""
+    start = b"\x00\x00\x00\x01" if index % 2 == 0 else b"\x00\x00\x01"
+    header = bytes(((ref_idc << 5) | nal_type,))
+    return start + header + _h264_escape(rbsp)
+
+
 def make_h264_bytes(doc_id: int) -> bytes:
     """Spec-shaped H.264 Annex-B byte stream: REAL exp-Golomb SPS and
     PPS NAL units (``h264_sps_rbsp`` / ``h264_pps_rbsp``), then n_gops
@@ -787,11 +800,7 @@ def make_h264_bytes(doc_id: int) -> bytes:
     recovery requires stripping emulation-prevention bytes."""
     n_gops, gop_len, epb_pairs, filler_len, sps_len, pps_len = h264_params(doc_id)
 
-    def nal(ref_idc: int, nal_type: int, rbsp: bytes, index: int) -> bytes:
-        start = b"\x00\x00\x00\x01" if index == 0 or index % 2 == 0 else b"\x00\x00\x01"
-        header = bytes(((ref_idc << 5) | nal_type,))
-        return start + header + _h264_escape(rbsp)
-
+    nal = _h264_nal
     slice_body = b"\x00\x00\x02\x55" * epb_pairs + bytes(
         0x41 + (i % 32) for i in range(filler_len)
     )
@@ -811,4 +820,60 @@ def make_h264_bytes(doc_id: int) -> bytes:
             else:
                 units.append(nal(2, 1, rbsp, idx))  # non-IDR
             idx += 1
+    return b"".join(units)
+
+
+def h264_ipcm_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, mb_w, mb_h) for the all-I_PCM fixture stream: tiny
+    pictures (1-2 macroblocks per side) so 500 docs of raw 4:2:0
+    samples stay small."""
+    return 1 + doc_id % 3, 1 + doc_id % 2, 1 + (doc_id // 2) % 2
+
+
+def h264_ipcm_luma(doc_id: int, frame: int, mb: int) -> int:
+    """Macroblock ``mb`` of frame ``frame``'s (flat) luma sample value:
+    a closed form in [10, 209] a SQL oracle can restate (every sample
+    of an MB is equal, so the MB's mean luma IS this value — but the
+    decoder must still read and average all 256 samples to know it)."""
+    return 10 + (doc_id * 13 + 31 * frame + 7 * mb) % 200
+
+
+def make_h264_ipcm_bytes(doc_id: int) -> bytes:
+    """REAL all-I_PCM H.264 Annex-B stream — the one slice-data path
+    that bypasses entropy coding entirely (ITU-T H.264 7.3.5 macroblock
+    layer: ``mb_type`` 25 = I_PCM, ``pcm_alignment_zero_bit`` padding to
+    a byte boundary, then 256 raw luma + 2x64 raw 4:2:0 chroma samples
+    per macroblock), so a decoder without CAVLC/CABAC tables can
+    recover exact pixels.  Every frame is a single-slice IDR (I slices
+    only, frame_num 0, idr_pic_id = frame index); the slice header and
+    macroblock loop share one continuous bit stream, exactly as the
+    spec writes them — no artificial byte alignment between header and
+    data."""
+    n_frames, mb_w, mb_h = h264_ipcm_params(doc_id)
+    units = [
+        _h264_nal(3, 7, _h264_sps_from_fields(66, 10, mb_w - 1, mb_h - 1), 0),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+    for f in range(n_frames):
+        w = _H264BitWriter()
+        w.ue(0)        # first_mb_in_slice
+        w.ue(7)        # slice_type: I (all slices in stream are I)
+        w.ue(0)        # pic_parameter_set_id
+        w.u(0, 4)      # frame_num (IDR -> 0)
+        w.ue(f)        # idr_pic_id
+        w.ue(25)       # first macroblock's mb_type: I_PCM
+        while len(w.bits) % 8:
+            w.bits.append(0)  # pcm_alignment_zero_bit
+        parts = [w.to_bytes()]
+        for m in range(mb_w * mb_h):
+            if m:
+                # PCM samples end byte-aligned, so every later MB's
+                # prefix is the same two bytes: ue(25) = 000011010,
+                # then 7 pcm_alignment_zero_bits -> 0x0D 0x00
+                parts.append(b"\x0d\x00")
+            luma = h264_ipcm_luma(doc_id, f, m)
+            parts.append(bytes([luma]) * 256 + bytes([128]) * 128)
+        # rbsp_trailing_bits at a byte boundary: stop bit + 7 zeros
+        parts.append(b"\x80")
+        units.append(_h264_nal(3, 5, b"".join(parts), 2 + f))
     return b"".join(units)

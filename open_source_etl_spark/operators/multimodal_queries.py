@@ -680,3 +680,56 @@ def multimodal_h264_nal_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_h264_nals(synthesize_h264(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_h264_ipcm_decode",
+    # formulas mirror synth.h264_ipcm_params / h264_ipcm_luma: every
+    # macroblock's 256 luma samples share one closed-form value, so the
+    # picture mean is the integer mean of the per-MB values — but the
+    # decoder only knows that by reading all the samples.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 3 AS n_frames,
+             1 + doc_id % 2 AS mb_w,
+             1 + (doc_id // 2) % 2 AS mb_h
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, mb_w, mb_h, k.f AS f
+      FROM p, LATERAL (SELECT unnest(range(0, n_frames)) AS f) k
+    ),
+    m AS (
+      SELECT doc_id, f, mb_w, mb_h,
+             SUM(10 + (doc_id * 13 + 31 * f + 7 * mm.m) % 200) AS luma_sum
+      FROM f, LATERAL (SELECT unnest(range(0, mb_w * mb_h)) AS m) mm
+      GROUP BY doc_id, f, mb_w, mb_h
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(16 * mb_w AS BIGINT) AS width,
+           CAST(16 * mb_h AS BIGINT) AS height,
+           CAST(luma_sum // (mb_w * mb_h) AS BIGINT) AS mean_luma
+    FROM m
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level H.264 decode over all-I_PCM streams
+    (``decode.decode_h264_ipcm``): NAL walk + SPS/PPS parses, then each
+    IDR slice's macroblock layer — I_PCM macroblocks (ITU-T H.264
+    7.3.5) carry raw 4:2:0 samples after a pcm_alignment, the one
+    slice-data path the spec defines without entropy coding, so exact
+    pixels come back with no CAVLC/CABAC tables (entropy-coded mb_types
+    raise — that path remains the declared stub).  Row-expanding
+    (1 video → n_frames rows) with the decoded per-frame mean luma
+    value-checked — the byte-stream-to-pixels proof for the video
+    column, complementing ``multimodal_avi_mjpeg_decode`` (MJPEG) and
+    the header-level ``multimodal_h264_nal_walk``."""
+    from ..multimodal.decode import decode_h264_ipcm, synthesize_h264_ipcm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_h264_ipcm(synthesize_h264_ipcm(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
