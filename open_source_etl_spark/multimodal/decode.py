@@ -1281,36 +1281,45 @@ def parse_mp3_side_info(doc_id: int, si: bytes) -> tuple[int, list[tuple[int, in
     under window switching, or a short buffer raise."""
     if len(si) < 17:
         raise ValueError(f"doc {doc_id}: side info shorter than 17 bytes")
-    r = _H264BitReader(si, doc_id)
-    mdb = r.u(9)
-    r.u(5)  # private_bits
-    r.u(4)  # scfsi
+    # one 136-bit integer + shift/mask extraction: the walker reads a
+    # side info per frame, and a per-bit reader costs ~10x more here
+    word = int.from_bytes(si[:17], "big")
+    pos = 0
+
+    def take(n: int) -> int:
+        nonlocal pos
+        pos += n
+        return (word >> (136 - pos)) & ((1 << n) - 1)
+
+    mdb = take(9)
+    take(5)  # private_bits
+    take(4)  # scfsi
     granules: list[tuple[int, int, int]] = []
     for _g in (0, 1):
-        part2_3 = r.u(12)
-        big_values = r.u(9)
+        part2_3 = take(12)
+        big_values = take(9)
         if big_values > 288:
             raise ValueError(
                 f"doc {doc_id}: big_values {big_values} exceeds spec max 288"
             )
-        global_gain = r.u(8)
-        r.u(4)  # scalefac_compress
-        if r.u(1):  # windows_switching_flag
-            block_type = r.u(2)
+        global_gain = take(8)
+        take(4)  # scalefac_compress
+        if take(1):  # windows_switching_flag
+            block_type = take(2)
             if block_type == 0:
                 raise ValueError(
                     f"doc {doc_id}: reserved block_type 0 under window switching"
                 )
-            r.u(1)  # mixed_block_flag
-            r.u(5); r.u(5)  # table_select x2
-            r.u(3); r.u(3); r.u(3)  # subblock_gain x3
+            take(1)  # mixed_block_flag
+            take(10)  # table_select x2
+            take(9)   # subblock_gain x3
         else:
-            r.u(5); r.u(5); r.u(5)  # table_select x3
-            r.u(4)  # region0_count
-            r.u(3)  # region1_count
-        r.u(1)  # preflag
-        r.u(1)  # scalefac_scale
-        r.u(1)  # count1table_select
+            take(15)  # table_select x3
+            take(4)   # region0_count
+            take(3)   # region1_count
+        take(1)  # preflag
+        take(1)  # scalefac_scale
+        take(1)  # count1table_select
         granules.append((part2_3, big_values, global_gain))
     return mdb, granules
 
@@ -1614,20 +1623,20 @@ def parse_slice_header(
 def h264_split_nals(doc_id: int, raw: bytes):
     """Split an Annex-B byte stream into NAL unit payloads, honoring
     both 3- and 4-byte start codes; raises if the stream does not open
-    with a start code."""
+    with a start code.  Scans with ``bytes.find`` (a 4-byte code is a
+    3-byte code preceded by one more zero) instead of a per-byte Python
+    loop."""
     starts = []
     i = 0
-    while i + 3 <= len(raw):
-        if raw[i] == 0 and raw[i + 1] == 0:
-            if raw[i + 2] == 1:
-                starts.append((i, i + 3))
-                i += 3
-                continue
-            if i + 4 <= len(raw) and raw[i + 2] == 0 and raw[i + 3] == 1:
-                starts.append((i, i + 4))
-                i += 4
-                continue
-        i += 1
+    while True:
+        j = raw.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        if j >= 1 and raw[j - 1] == 0:
+            starts.append((j - 1, j + 3))  # 00 00 00 01
+        else:
+            starts.append((j, j + 3))      # 00 00 01
+        i = j + 3
     if not starts or starts[0][0] != 0:
         raise ValueError(f"doc {doc_id}: no leading start code")
     for j, (_s, body) in enumerate(starts):
@@ -1638,6 +1647,10 @@ def h264_split_nals(doc_id: int, raw: bytes):
 def h264_unescape(doc_id: int, payload: bytes) -> bytes:
     """Strip emulation-prevention bytes (ITU-T H.264 7.4.1.1); a bare
     00 00 0x (x <= 2) run inside a NAL is invalid and raises."""
+    if b"\x00\x00" not in payload:
+        # both escapes (00 00 03) and violations (00 00 0x, x<=2) need a
+        # two-zero run — none present, so the RBSP is the payload as-is
+        return payload
     out = bytearray()
     zeros = 0
     i = 0
