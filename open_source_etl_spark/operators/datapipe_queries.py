@@ -800,7 +800,7 @@ def datapipe_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def datapipe_contamination_ngram(
-    spark: SparkSession, sf_dir: str, *, hash_shingles: bool = False
+    spark: SparkSession, sf_dir: str, *, hash_shingles: bool = True
 ) -> DataFrame:
     """Train/benchmark contamination check: flag training documents that
     share any character-20-gram with a held-out benchmark set (docs with
@@ -813,12 +813,13 @@ def datapipe_contamination_ngram(
     spread by value and the fact side streams map-side.  At 100 TB the
     benchmark side is tiny (eval suites are MBs) → AQE broadcasts it;
     nothing here assumes that, so a giant benchmark degrades to a
-    shuffle join, not an OOM.  ``hash_shingles=True`` is the production
-    path: ``xxhash64(shingle)`` replaces the 20-char string in the
-    dedup/join/countDistinct, identical semantics over an 8-byte key
-    (SCALE.md §9d; parity on the fixtures —
-    ``tests/test_datapipe_hashed_shingles.py``); the string form stays
-    for the cross-engine oracle."""
+    shuffle join, not an OOM.  The DEFAULT is the production path:
+    ``xxhash64(shingle)`` replaces the 20-char string in the
+    dedup/join/countDistinct — identical semantics and identical
+    RESULTS over an 8-byte key (2.3x faster at 25x corpus scale,
+    SCALE.md §9d; parity pinned by
+    ``tests/test_datapipe_hashed_shingles.py``); ``hash_shingles=False``
+    keeps the string form the oracle restates."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     shingle = (
         "xxhash64(substring(text, i, 20))"
@@ -1187,7 +1188,7 @@ def datapipe_quality_percentile_filter(
     """,
 )
 def datapipe_boilerplate_prune(
-    spark: SparkSession, sf_dir: str, *, hash_shingles: bool = False
+    spark: SparkSession, sf_dir: str, *, hash_shingles: bool = True
 ) -> DataFrame:
     """WITHIN-corpus boilerplate mining (the Lee et al. "Deduplicating
     Training Data" repeated-substring problem, restated over shingles):
@@ -1215,16 +1216,17 @@ def datapipe_boilerplate_prune(
     count would reach 1 scan + 1 shuffle but adds an external SORT of
     the full pair stream, which loses to a second scan.  Docs too short to shingle keep
     trivially via the left join.  At 100 TB, shingle STRINGS in the
-    remaining doc-frequency shuffle would be the cost driver — the
-    production path (``hash_shingles=True``) swaps in
-    ``xxhash64(shingle)`` exactly as the MinHash family does
-    (``llm_dedup.py``): identical groupBy/join/count semantics over an
-    8-byte key instead of a 20-char string (measured shuffle-bytes
-    ratio in SCALE.md §9d; survivors identical on the fixtures —
-    ``tests/test_datapipe_hashed_shingles.py``).  The oracle runs the
-    string form so it stays cross-engine-expressible; a 64-bit hash
-    collision can only conflate two shingles' doc-frequencies, the
-    same tolerance every MinHash deployment accepts."""
+    doc-frequency shuffle would be the cost driver, so the DEFAULT is
+    the production path: ``xxhash64(shingle)`` 8-byte keys, exactly as
+    the MinHash family does (``llm_dedup.py``) — identical
+    groupBy/join/count semantics and identical RESULTS to the string
+    form (``hash_shingles=False``; parity pinned by
+    ``tests/test_datapipe_hashed_shingles.py``, measured 3.5x faster
+    and ~25% fewer shuffle bytes at 25x corpus scale — SCALE.md §9d).
+    The oracle restates the string form, which the hashed plan
+    hash-matches because the OUTPUT columns carry no shingles; a 64-bit
+    collision can only conflate two shingles' doc-frequencies, the same
+    tolerance every MinHash deployment accepts."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     shingle = (
         "xxhash64(substring(text, i, 20))"

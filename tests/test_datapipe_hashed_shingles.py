@@ -1,9 +1,9 @@
-"""The xxhash64(shingle) production path must be a pure representation
-swap: identical survivors, doc-frequencies, and shared-ngram counts to
-the string form on the fixtures (VERDICT round 5 item 4 / round 7 item
-4).  The string form exists for the cross-engine DuckDB oracle; the
-hashed form is what a 100 TB run ships, cutting the shingle shuffle to
-8-byte keys."""
+"""The xxhash64(shingle) production path (the DEFAULT) must be a pure
+representation swap: identical survivors, doc-frequencies, and
+shared-ngram counts to the string form on the fixtures (VERDICT round 5
+item 4 / round 7 item 4).  The string form (``hash_shingles=False``) is
+what the cross-engine DuckDB oracle restates; the hashed form is what a
+100 TB run ships, cutting the shingle shuffle to 8-byte keys."""
 
 from __future__ import annotations
 
@@ -20,19 +20,19 @@ def _rows(df):
 
 
 def test_boilerplate_prune_hashed_matches_string(spark):
-    base = _rows(datapipe_boilerplate_prune(spark, SF))
+    string = _rows(datapipe_boilerplate_prune(spark, SF, hash_shingles=False))
     hashed = _rows(datapipe_boilerplate_prune(spark, SF, hash_shingles=True))
-    assert hashed == base
+    assert hashed == string
     # the fixture actually exercises both branches of the keep decision
-    keeps = {r[3] for r in base}
+    keeps = {r[3] for r in string}
     assert keeps == {True, False}
 
 
 def test_contamination_ngram_hashed_matches_string(spark):
-    base = _rows(datapipe_contamination_ngram(spark, SF))
+    string = _rows(datapipe_contamination_ngram(spark, SF, hash_shingles=False))
     hashed = _rows(datapipe_contamination_ngram(spark, SF, hash_shingles=True))
-    assert hashed == base
-    assert base, "fixture must produce contaminated docs"
+    assert hashed == string
+    assert string, "fixture must produce contaminated docs"
 
 
 def test_hashed_shingle_plan_carries_no_strings(spark):
