@@ -201,3 +201,61 @@ def test_gif_lzw_roundtrips_any_index_sequence(seq):
     from open_source_etl_spark.multimodal.synth import _lzw_encode
 
     assert gif_lzw_decode(_lzw_encode(seq, 2), 2, len(seq)) == seq
+
+
+@given(
+    profile=st.sampled_from([66, 77, 88]),
+    level=st.integers(min_value=9, max_value=52),
+    w_m1=st.integers(min_value=0, max_value=511),
+    h_m1=st.integers(min_value=0, max_value=511),
+)
+@settings(max_examples=200, deadline=None)
+def test_h264_sps_roundtrips_any_fields(profile, level, w_m1, h_m1):
+    """The SPS encoder/parser pair must round-trip ANY in-range
+    profile/level/dimension combination — exp-Golomb widths up to
+    ue(511) (19 bits) exercise multi-byte codes the fixture's small
+    dimensions never reach.  (The encoder writes the pre-High layout,
+    so profiles stay in that tier; the parser's High-profile
+    chroma-format branch is exercised by a handcrafted SPS in
+    test_multimodal.py.)"""
+    from open_source_etl_spark.multimodal.decode import parse_sps
+    from open_source_etl_spark.multimodal.synth import _h264_sps_from_fields
+
+    got = parse_sps(0, _h264_sps_from_fields(profile, level, w_m1, h_m1))
+    assert got == (profile, level, 16 * (w_m1 + 1), 16 * (h_m1 + 1))
+
+
+@given(
+    mdb=st.integers(min_value=0, max_value=511),
+    fields=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4095),  # part2_3_length
+            st.integers(min_value=0, max_value=288),   # big_values
+            st.integers(min_value=0, max_value=255),   # global_gain
+            st.integers(min_value=0, max_value=15),    # scalefac_compress
+        ),
+        min_size=2,
+        max_size=2,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_mp3_side_info_roundtrips_any_fields(mdb, fields):
+    """The side-info bit layout must round-trip ANY in-range field
+    values — all-ones and all-zeros patterns catch shift/mask errors
+    the fixture's modular closed forms can miss."""
+    from open_source_etl_spark.multimodal.decode import parse_mp3_side_info
+    from open_source_etl_spark.multimodal.synth import _BitPacker
+
+    w = _BitPacker()
+    w.u(mdb, 9)
+    w.u(0, 5)
+    w.u(0, 4)
+    for p23, bv, gg, sfc in fields:
+        w.u(p23, 12); w.u(bv, 9); w.u(gg, 8); w.u(sfc, 4)
+        w.u(0, 1)              # long-block branch
+        w.u(31, 5); w.u(0, 5); w.u(17, 5)  # table_select x3
+        w.u(15, 4); w.u(7, 3)  # region counts (all-ones patterns)
+        w.u(1, 1); w.u(0, 1); w.u(1, 1)
+    got_mdb, got = parse_mp3_side_info(0, w.to_bytes())
+    assert got_mdb == mdb
+    assert got == [(p23, bv, gg) for p23, bv, gg, _ in fields]
