@@ -1238,6 +1238,199 @@ def decode_avi_mjpeg(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "payload").mapInPandas(kernel, AVI_FRAME_SCHEMA)
 
 
+AVI_AV_SCHEMA = (
+    "doc_id long, n_frames long, width long, height long, "
+    "sum_frame_gray long, n_audio_chunks long, audio_rate long, "
+    "n_audio_samples long, audio_sample_sum long"
+)
+
+
+def decode_avi_av(media_df: DataFrame) -> DataFrame:
+    """REAL A/V container demux: a two-stream RIFF/AVI (MJPEG video +
+    u8 mono PCM audio) is split back into its streams — each ``00dc``
+    frame decoded by the production baseline-JPEG decoder
+    (``jpeg_decode_gray``), each ``01wb`` chunk's raw PCM samples
+    accumulated — the demux-then-decode shape an audio-visual training
+    pipeline runs per clip.  Stream typing is scoped per ``strl`` (the
+    audio stream's WAVEFORMATEX is validated as audio: PCM, mono,
+    8-bit — NOT against the video codec, the pre-round-7 bug), and the
+    container cross-checks hold on both axes: frame count and frame
+    dimensions against the headers, total audio samples against the
+    audio ``strh``'s dwLength."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def parse_hdrl(doc_id: int, raw: bytes, pos: int, end: int):
+            dims = None
+            n_streams = None
+            video_ok = False
+            audio = None
+            while pos + 8 <= end:
+                fourcc = raw[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", raw, pos + 4)
+                body = pos + 8
+                if fourcc == b"avih":
+                    vals = struct.unpack_from("<14I", raw, body)
+                    dims = (vals[8], vals[9], vals[4])
+                    n_streams = vals[6]
+                elif fourcc == b"LIST" and raw[body : body + 4] == b"strl":
+                    this_type = None
+                    audio_len = None
+                    p = body + 4
+                    while p + 8 <= body + size:
+                        sub = raw[p : p + 4]
+                        (ssz,) = struct.unpack_from("<I", raw, p + 4)
+                        if sub == b"strh":
+                            this_type = raw[p + 8 : p + 12]
+                            if this_type == b"vids":
+                                if raw[p + 12 : p + 16] != b"MJPG":
+                                    raise ValueError(
+                                        f"doc {doc_id}: non-MJPEG video"
+                                    )
+                                video_ok = True
+                            elif this_type == b"auds":
+                                # dwLength (samples) at struct offset 32
+                                (audio_len,) = struct.unpack_from(
+                                    "<I", raw, p + 8 + 32
+                                )
+                        elif sub == b"strf":
+                            if this_type == b"vids":
+                                if raw[p + 8 + 16 : p + 8 + 20] != b"MJPG":
+                                    raise ValueError(
+                                        f"doc {doc_id}: video strf not MJPG"
+                                    )
+                            elif this_type == b"auds":
+                                tag, ch, rate, _bps, _ba, bits = (
+                                    struct.unpack_from("<HHIIHH", raw, p + 8)
+                                )
+                                if (tag, ch, bits) != (1, 1, 8):
+                                    raise ValueError(
+                                        f"doc {doc_id}: not u8 mono PCM "
+                                        f"(tag={tag} ch={ch} bits={bits})"
+                                    )
+                                audio = (rate, audio_len)
+                        p += 8 + ssz + (ssz & 1)
+                pos = body + size + (size & 1)
+            if dims is None or not video_ok or audio is None:
+                raise ValueError(f"doc {doc_id}: missing avih/vids/auds")
+            if n_streams != 2:
+                raise ValueError(
+                    f"doc {doc_id}: avih dwStreams {n_streams}, demuxed 2"
+                )
+            return dims, audio
+
+        def parse_movi(doc_id: int, raw: bytes, pos: int, end: int):
+            frames, chunks = [], []
+            while pos + 8 <= end:
+                fourcc = raw[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", raw, pos + 4)
+                body = pos + 8
+                if body + size > end:
+                    raise ValueError(f"doc {doc_id}: movi chunk truncated")
+                if fourcc == b"00dc":
+                    frames.append(raw[body : body + size])
+                elif fourcc == b"01wb":
+                    chunks.append(raw[body : body + size])
+                pos = body + size + (size & 1)
+            return frames, chunks
+
+        def demux(doc_id: int, raw: bytes):
+            if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+                raise ValueError(f"doc {doc_id}: not an AVI payload")
+            (riff_len,) = struct.unpack_from("<I", raw, 4)
+            if 8 + riff_len > len(raw):
+                raise ValueError(f"doc {doc_id}: RIFF size overruns payload")
+            pos, end = 12, 8 + riff_len
+            header = audio_meta = None
+            frames: list[bytes] = []
+            chunks: list[bytes] = []
+            while pos + 8 <= end:
+                fourcc = raw[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", raw, pos + 4)
+                body = pos + 8
+                if body + size > end:
+                    raise ValueError(f"doc {doc_id}: chunk {fourcc!r} truncated")
+                if fourcc == b"LIST":
+                    subtype = raw[body : body + 4]
+                    if subtype == b"hdrl":
+                        header, audio_meta = parse_hdrl(
+                            doc_id, raw, body + 4, body + size
+                        )
+                    elif subtype == b"movi":
+                        frames, chunks = parse_movi(
+                            doc_id, raw, body + 4, body + size
+                        )
+                pos = body + size + (size & 1)
+            if header is None:
+                raise ValueError(f"doc {doc_id}: missing hdrl")
+            width, height, total = header
+            rate, audio_len = audio_meta
+            if len(frames) != total:
+                raise ValueError(
+                    f"doc {doc_id}: {len(frames)} frames, header says {total}"
+                )
+            sum_gray = 0
+            for frame in frames:
+                f_w, f_h, _nb, mean = jpeg_decode_gray(doc_id, frame)
+                if (f_w, f_h) != (width, height):
+                    raise ValueError(
+                        f"doc {doc_id}: frame {f_w}x{f_h} vs header "
+                        f"{width}x{height}"
+                    )
+                sum_gray += mean
+            n_samples = sum(len(c) for c in chunks)
+            if audio_len is not None and n_samples != audio_len:
+                raise ValueError(
+                    f"doc {doc_id}: {n_samples} audio samples, strh says "
+                    f"{audio_len}"
+                )
+            sample_sum = sum(sum(c) for c in chunks)
+            return (
+                len(frames), width, height, sum_gray, len(chunks), rate,
+                n_samples, sample_sum,
+            )
+
+        cols = (
+            "doc_id", "n_frames", "width", "height", "sum_frame_gray",
+            "n_audio_chunks", "audio_rate", "n_audio_samples",
+            "audio_sample_sum",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *demux(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(kernel, AVI_AV_SCHEMA)
+
+
+def synthesize_avi_av(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a REAL two-stream (MJPEG + PCM) AVI."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_avi_av_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [make_avi_av_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 def synthesize_avi(docs_df: DataFrame) -> DataFrame:
     """doc_id → media struct with a REAL MJPEG-in-AVI payload."""
 

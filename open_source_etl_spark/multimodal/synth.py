@@ -488,6 +488,106 @@ def make_avi_bytes(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+AVI_AV_SAMPLES_PER_CHUNK = 64
+AVI_AV_RATE = 8000
+
+
+def avi_av_audio_sample(doc_id: int, chunk: int, s: int) -> int:
+    """Sample ``s`` of audio chunk ``chunk`` (unsigned 8-bit PCM): a
+    closed form in [20, 219] a SQL oracle can restate."""
+    return 20 + (doc_id * 3 + 11 * chunk + s) % 200
+
+
+def make_avi_av_bytes(doc_id: int) -> bytes:
+    """Real two-stream RIFF/AVI: the MJPEG video stream of
+    ``make_avi_bytes`` PLUS an interleaved unsigned-8-bit mono PCM
+    audio stream — the ``hdrl`` carries both ``strl`` LISTs (the
+    audio one with an ``'auds'`` ``strh`` and an 18-byte WAVEFORMATEX
+    ``strf``), the ``movi`` interleaves one ``01wb`` audio chunk after
+    each ``00dc`` frame (the VfW A/V layout), and the ``idx1`` indexes
+    both streams in interleave order.  A demuxer that validates every
+    ``strf`` against the video codec (the pre-round-7 bug) rejects
+    this valid file."""
+    n_frames, bx, by, base = avi_params(doc_id)
+    width, height = 8 * bx, 8 * by
+    frames = [_jpeg_encode(bx, by, (base + 17 * k) % 150) for k in range(n_frames)]
+    audio = [
+        bytes(
+            avi_av_audio_sample(doc_id, k, s)
+            for s in range(AVI_AV_SAMPLES_PER_CHUNK)
+        )
+        for k in range(n_frames)
+    ]
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(subtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", subtype + payload)
+
+    max_frame = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        40_000, max_frame * 25, 0,
+        0x10,          # dwFlags: AVIF_HASINDEX
+        n_frames,
+        0,
+        2,             # dwStreams: video + audio
+        max_frame, width, height,
+        0, 0, 0, 0,
+    )
+    strh_v = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0, 0, 0, 0, 1, 25, 0, n_frames, max_frame, 0xFFFFFFFF, 0,
+            0, 0, width, height,
+        )
+    )
+    strf_v = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", max_frame, 0, 0, 0, 0,
+    )
+    strh_a = (
+        b"auds" + b"\x00\x00\x00\x00"
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0, 0, 0, 0,
+            1, AVI_AV_RATE,  # dwScale / dwRate: samples per second
+            0,
+            n_frames * AVI_AV_SAMPLES_PER_CHUNK,  # dwLength in samples
+            AVI_AV_SAMPLES_PER_CHUNK,
+            0xFFFFFFFF,
+            1,  # dwSampleSize: 1 byte per sample (u8 PCM)
+            0, 0, 0, 0,
+        )
+    )
+    strf_a = struct.pack(
+        "<HHIIHHH",
+        1, 1, AVI_AV_RATE, AVI_AV_RATE, 1, 8, 0,  # PCM WAVEFORMATEX
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)),
+    )
+    movi_payload = bytearray()
+    idx_entries = bytearray()
+    for f, a in zip(frames, audio):
+        offset = 4 + len(movi_payload)
+        movi_payload += chunk(b"00dc", f)
+        idx_entries += b"00dc" + struct.pack("<III", 0x10, offset, len(f))
+        offset = 4 + len(movi_payload)
+        movi_payload += chunk(b"01wb", a)
+        idx_entries += b"01wb" + struct.pack("<III", 0, offset, len(a))
+    movi = lst(b"movi", bytes(movi_payload))
+    idx1 = chunk(b"idx1", bytes(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 # MPEG-1 Layer III bitrate table (kbps), index 1..14 (0=free, 15=bad),
 # and the three MPEG-1 sample rates by header sample-rate index.
 MP3_BITRATES_KBPS = (

@@ -532,6 +532,65 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_avi_av_demux",
+    # formulas mirror synth.avi_params / avi_av_audio_sample: n_frames
+    # MJPEG frames (closed-form per-frame mean gray) interleaved with
+    # one 64-sample u8 PCM chunk per frame.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS n_frames,
+             2 + doc_id % 4 AS bx,
+             1 + doc_id % 3 AS by_,
+             (doc_id * 5) % 150 AS base
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             SUM((base + 17 * k.k) % 150 + (bx * by_ - 1) // 2) AS sum_gray
+      FROM p, LATERAL (SELECT unnest(range(0, n_frames)) AS k) k
+      GROUP BY doc_id
+    ),
+    a AS (
+      SELECT doc_id,
+             SUM(20 + (doc_id * 3 + 11 * k.k + s.s) % 200) AS sample_sum
+      FROM p,
+           LATERAL (SELECT unnest(range(0, n_frames)) AS k) k,
+           LATERAL (SELECT unnest(range(0, 64)) AS s) s
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(8 * bx AS BIGINT) AS width,
+           CAST(8 * by_ AS BIGINT) AS height,
+           CAST(v.sum_gray AS BIGINT) AS sum_frame_gray,
+           CAST(n_frames AS BIGINT) AS n_audio_chunks,
+           CAST(8000 AS BIGINT) AS audio_rate,
+           CAST(n_frames * 64 AS BIGINT) AS n_audio_samples,
+           CAST(a.sample_sum AS BIGINT) AS audio_sample_sum
+    FROM p JOIN v USING (doc_id) JOIN a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def multimodal_avi_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-visual container demux (``decode.decode_avi_av``): a
+    two-stream RIFF/AVI — MJPEG video + unsigned-8-bit mono PCM audio,
+    interleaved ``00dc``/``01wb`` chunks — split back into its streams,
+    every frame decoded by the production baseline-JPEG decoder and
+    every PCM chunk's samples accumulated, with container cross-checks
+    on both axes (frame count/dimensions vs headers, total samples vs
+    the audio strh dwLength).  The demux-then-decode pass an
+    audio-visual training pipeline runs per clip; also the regression
+    query for the round-7 multi-stream strf fix (a demuxer that
+    validates the audio stream's WAVEFORMATEX against the video codec
+    rejects these valid files)."""
+    from ..multimodal.decode import decode_avi_av, synthesize_avi_av
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_avi_av(synthesize_avi_av(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_mp3_frame_walk",
     # formulas mirror synth.mp3_params: n_frames = 4 + doc_id % 5,
     # sample rate from doc_id % 3, frame k's bitrate
