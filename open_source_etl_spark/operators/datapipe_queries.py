@@ -1276,3 +1276,163 @@ def datapipe_boilerplate_prune(
         )
         .orderBy("doc_id")
     )
+
+
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling"): score each raw-pool document by the
+# log-likelihood ratio of its hashed n-gram features under a target
+# distribution vs the raw distribution.  The feature hash must be
+# IDENTICAL on both engines, so the bucket is derived from md5 hex
+# digits (md5 is bit-identical everywhere) rather than engine-native
+# hashes: bucket = int(md5(term)[:3], 16) in [0, 4096).
+_DSIR_K = 4096
+
+
+@query(
+    "datapipe_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    terms AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               w,
+               list_transform(range(1, len(w)),
+                              i -> w[CAST(i AS INTEGER)] || ' ' ||
+                                   w[CAST(i AS INTEGER) + 1])
+             )) AS term
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             (strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1)
+               AS bucket
+      FROM terms
+    ),
+    tc AS (SELECT bucket, COUNT(*) AS t_n FROM feats WHERE lang = 'en'
+           GROUP BY bucket),
+    rc AS (SELECT bucket, COUNT(*) AS r_n FROM feats WHERE lang <> 'en'
+           GROUP BY bucket),
+    tot AS (SELECT (SELECT COALESCE(SUM(t_n), 0) FROM tc) AS t_tot,
+                   (SELECT COALESCE(SUM(r_n), 0) FROM rc) AS r_tot),
+    lr AS (
+      SELECT rc.bucket,
+             CAST(ROUND((LN((COALESCE(tc.t_n, 0) + 0.5)
+                            / (tot.t_tot + {_DSIR_K} * 0.5))
+                       - LN((rc.r_n + 0.5)
+                            / (tot.r_tot + {_DSIR_K} * 0.5))) * 1000000, 0)
+                  AS BIGINT) AS lr_micro
+      FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tot
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(lr.lr_micro) AS BIGINT) AS dsir_logweight_micro,
+           SUM(lr.lr_micro) > 0 AS keep
+    FROM feats f JOIN lr ON f.bucket = lr.bucket
+    WHERE f.lang <> 'en'
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def datapipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting for data selection (Xie et al. 2023):
+    treat the English documents as the target corpus, every other
+    document as the raw crawl pool, featurize both as hashed
+    unigram+bigram counts over ``_DSIR_K`` buckets, and score each raw
+    document by the summed per-bucket log-likelihood ratio of the
+    (Laplace-smoothed) target vs raw bucket distributions.  ``keep``
+    marks documents that look more target-like than raw-like — the
+    importance-resampling acceptance direction.
+
+    100 TB posture: the two bucket-count aggregations partially
+    aggregate map-side and collapse to <= 4096 rows each, so the
+    log-ratio table is a guaranteed-broadcast dimension regardless of
+    corpus size; the only corpus-scale shuffle is the final per-doc
+    score aggregation (keyed by doc_id, combinable sum).  Everything is
+    JVM codegen — md5/substr/instr for the feature hash (bit-identical
+    across engines, which is what makes the DuckDB twin exact), no
+    Python.  Per-bucket log ratios are quantized to BIGINT micro-units
+    before the per-doc sum, so the summed weight is integer-exact and
+    immune to float-addition ordering (a double sum differed at the
+    4th decimal between engines on the fixtures)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    ).withColumn("nw", F.size("w"))
+    terms = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("w"),
+                F.when(
+                    F.col("nw") >= 2,
+                    F.expr(
+                        "transform(sequence(1, nw - 1), "
+                        "i -> concat(element_at(w, i), ' ', "
+                        "element_at(w, i + 1)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("term"),
+    )
+    feats = terms.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "(instr('0123456789abcdef', substring(md5(term), 1, 1)) - 1) * 256"
+            " + (instr('0123456789abcdef', substring(md5(term), 2, 1)) - 1) * 16"
+            " + (instr('0123456789abcdef', substring(md5(term), 3, 1)) - 1)"
+        ).alias("bucket"),
+    )
+    tc = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t_n"))
+    )
+    rc = (
+        feats.filter(F.col("lang") != "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("r_n"))
+    )
+    tot = tc.crossJoin(rc.select(F.sum("r_n").alias("r_tot"))).select(
+        F.sum("t_n").alias("t_tot"), F.first("r_tot").alias("r_tot")
+    )
+    half_k = F.lit(_DSIR_K * 0.5)
+    lr = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("t_n", F.lit(0)) + 0.5)
+                        / (F.col("t_tot") + half_k)
+                    )
+                    - F.log(
+                        (F.col("r_n") + 0.5) / (F.col("r_tot") + half_k)
+                    )
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        feats.filter(F.col("lang") != "en")
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("lr_micro").cast("bigint").alias("dsir_logweight_micro"),
+            (F.sum("lr_micro") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
