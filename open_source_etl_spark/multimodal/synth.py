@@ -977,3 +977,133 @@ def make_h264_ipcm_bytes(doc_id: int) -> bytes:
         parts.append(b"\x80")
         units.append(_h264_nal(3, 5, b"".join(parts), 2 + f))
     return b"".join(units)
+
+
+# MPEG-1 Layer III scalefac_compress -> (slen1, slen2) (ISO 11172-3
+# Table 2.4.2.7): slen1 covers scalefactor bands 0-10, slen2 bands
+# 11-20 of a long-block mono granule.
+MP3_SLEN = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+)
+
+
+def mp3_md_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(n_frames, sample_rate_index, bitrate_index, reservoir_step) for
+    the main-data MP3 fixture (``make_mp3_md_bytes``).  CBR so every
+    frame's main-data region has the same capacity; reservoir_step is
+    the per-frame growth of main_data_begin (blob k is reservoir_step
+    bytes smaller than its region, so frame k's main data begins
+    k * reservoir_step bytes back in the bit reservoir — bounded by
+    6 * 63 = 378 < the field's 511 ceiling)."""
+    return (
+        3 + doc_id % 5,        # n_frames (3..7)
+        doc_id % 3,            # sample-rate index
+        7 + doc_id % 3,        # bitrate index: 96/112/128 kbps
+        (doc_id % 8) * 9,      # reservoir step delta (0..63 bytes)
+    )
+
+
+def mp3_md_granule(doc_id: int, g: int, region_bytes: int, delta: int):
+    """Closed-form main-data content for granule g (identical across a
+    doc's frames except the count1 sign, which alternates by frame):
+    (scalefac_compress, sf_first11, sf_last10, quad_pattern, n_quads,
+    part2_3_length).  All integer arithmetic a SQL oracle restates."""
+    sfc = (doc_id + g) % 16
+    sl1, sl2 = MP3_SLEN[sfc]
+    sf_a = (doc_id + g) % (1 << sl1)
+    sf_b = (doc_id + 5 + g) % (1 << sl2)
+    sf_bits = 11 * sl1 + 10 * sl2
+    pattern = (doc_id + g) % 16
+    nz = bin(pattern).count("1")
+    bpq = 4 + nz
+    blob_bits = 8 * (region_bytes - delta)
+    budget = blob_bits // 2 if g == 0 else blob_bits - blob_bits // 2
+    n_quads = (budget - sf_bits) // bpq
+    part2_3 = sf_bits + n_quads * bpq
+    return sfc, sf_a, sf_b, pattern, n_quads, part2_3
+
+
+def make_mp3_md_bytes(doc_id: int) -> bytes:
+    """MPEG-1 Layer III stream with REAL, decodable main data and a
+    REAL bit reservoir: CBR frames whose side info points
+    ``main_data_begin = k * delta`` bytes back into the concatenated
+    main-data regions, and whose granule data is an actual entropy
+    bitstream — slen-coded scalefactors (Table 2.4.2.7) followed by
+    count1 quadruples in the fixed-length table-B code (4 complement
+    bits + one sign bit per nonzero value), exactly ``part2_3_length``
+    bits per granule.  ``big_values = 0`` keeps the spectrum entirely
+    in the count1 region — the Huffman big-values tables (B.7) remain
+    the decoder's declared stub."""
+    n_frames, sr_idx, br_idx, delta = mp3_md_params(doc_id)
+    sr = MP3_SAMPLE_RATES[sr_idx]
+    kbps = MP3_BITRATES_KBPS[br_idx]
+    frame_len = (144 * kbps * 1000) // sr
+    cap = frame_len - 4 - 17
+    blob_len = cap - delta
+
+    def granule_bits(g: int, k: int) -> "_BitPacker":
+        sfc, sf_a, sf_b, pattern, n_quads, _p23 = mp3_md_granule(
+            doc_id, g, cap, delta
+        )
+        sl1, sl2 = MP3_SLEN[sfc]
+        w = _BitPacker()
+        for _band in range(11):
+            w.u(sf_a, sl1)
+        for _band in range(10):
+            w.u(sf_b, sl2)
+        neg = (doc_id + g + k) % 2
+        vals = ((pattern >> 3) & 1, (pattern >> 2) & 1,
+                (pattern >> 1) & 1, pattern & 1)
+        for _q in range(n_quads):
+            for v in vals:
+                w.u(v ^ 1, 1)  # table B: transmitted bit = complement
+            for v in vals:
+                if v:
+                    w.u(neg, 1)  # sign bit: 1 = negative
+        return w
+
+    # Logical blob per frame: granule0 || granule1 bit-contiguous, then
+    # zero ancillary bits up to blob_len bytes.
+    blobs = []
+    for k in range(n_frames):
+        w = _BitPacker()
+        for g in (0, 1):
+            w.bits.extend(granule_bits(g, k).bits)
+        pad = 8 * blob_len - len(w.bits)
+        assert pad >= 0, "granule data overran the blob budget"
+        w.u(0, pad)
+        blobs.append(w.to_bytes())
+    # Physical main-data stream: blobs laid contiguously, stuffing at
+    # the tail so the total matches n_frames regions of cap bytes.
+    stream = b"".join(blobs)
+    stream += bytes(n_frames * cap - len(stream))
+
+    out = bytearray()
+    for k in range(n_frames):
+        out += bytes((
+            0xFF, 0b11111011,
+            (br_idx << 4) | (sr_idx << 2), 0b11000100,
+        ))
+        w = _BitPacker()
+        w.u(k * delta, 9)   # main_data_begin: the real reservoir offset
+        w.u(0, 5)
+        w.u(0, 4)           # scfsi: no reuse
+        for g in (0, 1):
+            sfc, _a, _b, _p, _nq, p23 = mp3_md_granule(doc_id, g, cap, delta)
+            w.u(p23, 12)
+            w.u(0, 9)       # big_values = 0: spectrum is count1-only
+            w.u((doc_id + 29 * k + 17 * g) % 256, 8)
+            w.u(sfc, 4)
+            w.u(0, 1)       # long blocks
+            w.u(0, 15)      # table_select x3 (unused: big_values = 0)
+            w.u(0, 4)
+            w.u(0, 3)
+            w.u(0, 1)       # preflag
+            w.u(0, 1)       # scalefac_scale
+            w.u(1, 1)       # count1table_select = 1: fixed-length table B
+        si = w.to_bytes()
+        assert len(si) == 17
+        out += si
+        out += stream[k * cap : (k + 1) * cap]
+    return bytes(out)

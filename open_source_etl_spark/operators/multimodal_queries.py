@@ -792,3 +792,106 @@ def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_h264_ipcm(synthesize_h264_ipcm(docs)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@query(
+    "multimodal_mp3_maindata_decode",
+    # formulas mirror synth.mp3_md_params / mp3_md_granule: CBR frames
+    # (bitrate index 7 + doc_id % 3 -> 96/112/128 kbps), region
+    # capacity cap = 144*kbps*1000 // sr - 21, per-frame reservoir step
+    # delta = (doc_id % 8) * 9, per-granule slen-table scalefactors and
+    # a count1-only spectrum whose quadruple pattern is the low 4 bits
+    # of doc_id + g.  The reservoir walk and the entropy bitstream have
+    # no closed form — Spark must reassemble and bit-decode to get ANY
+    # of these sums; the oracle restates the generator arithmetic.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             3 + doc_id % 5 AS n_frames,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS sr,
+             CASE doc_id % 3 WHEN 0 THEN 96 WHEN 1 THEN 112
+                  ELSE 128 END AS kbps,
+             (doc_id % 8) * 9 AS delta
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_frames, delta,
+             144 * kbps * 1000 // sr - 21 AS cap
+      FROM p
+    ),
+    g AS (
+      SELECT doc_id, n_frames, delta, cap, gg.g AS g,
+             (doc_id + gg.g) % 16 AS sfc,
+             (doc_id + gg.g) % 16 AS pat,
+             8 * (cap - delta) AS blob_bits
+      FROM c, LATERAL (SELECT unnest([0, 1]) AS g) gg
+    ),
+    s AS (
+      SELECT doc_id, n_frames, delta, g, pat,
+             CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+                  WHEN 3 THEN 0 WHEN 4 THEN 3 WHEN 5 THEN 1 WHEN 6 THEN 1
+                  WHEN 7 THEN 1 WHEN 8 THEN 2 WHEN 9 THEN 2 WHEN 10 THEN 2
+                  WHEN 11 THEN 3 WHEN 12 THEN 3 WHEN 13 THEN 3 WHEN 14 THEN 4
+                  ELSE 4 END AS sl1,
+             CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                  WHEN 3 THEN 3 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 2
+                  WHEN 7 THEN 3 WHEN 8 THEN 1 WHEN 9 THEN 2 WHEN 10 THEN 3
+                  WHEN 11 THEN 1 WHEN 12 THEN 2 WHEN 13 THEN 3 WHEN 14 THEN 2
+                  ELSE 3 END AS sl2,
+             CASE WHEN g = 0 THEN blob_bits // 2
+                  ELSE blob_bits - blob_bits // 2 END AS budget
+      FROM g
+    ),
+    q AS (
+      SELECT doc_id, n_frames, delta, g,
+             (doc_id + g) % (CASE sl1 WHEN 0 THEN 1 WHEN 1 THEN 2
+                  WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS sf_a,
+             (doc_id + 5 + g) % (CASE sl2 WHEN 0 THEN 1 WHEN 1 THEN 2
+                  WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS sf_b,
+             (pat // 8) % 2 + (pat // 4) % 2 + (pat // 2) % 2 + pat % 2
+               AS nz,
+             11 * sl1 + 10 * sl2 AS sf_bits,
+             budget
+      FROM s
+    ),
+    n AS (
+      SELECT doc_id, n_frames, delta, g, sf_a, sf_b, nz,
+             (budget - sf_bits)
+               // (4 + nz) AS n_quads
+      FROM q
+    )
+    SELECT doc_id,
+           CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+           CAST(MAX((n_frames - 1) * delta) AS BIGINT) AS max_reservoir,
+           CAST(SUM(n_frames * (11 * sf_a + 10 * sf_b)) AS BIGINT)
+             AS sum_scalefac,
+           CAST(SUM(n_frames * n_quads) AS BIGINT) AS n_quads,
+           CAST(SUM(n_frames * n_quads * nz) AS BIGINT) AS sum_quad_abs,
+           CAST(SUM(n_quads * nz * (n_frames % 2)
+                    * (1 - 2 * ((doc_id + g) % 2))) AS BIGINT)
+             AS sum_quad_signed
+    FROM n
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_maindata_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III main-data ENTROPY decode over streams with
+    a live bit reservoir: the decoder reassembles the reservoir from
+    the physical frame regions, seeks each frame's data
+    ``main_data_begin`` bytes back across frame boundaries, and
+    bit-decodes every granule — slen-table scalefactors plus the
+    count1 spectrum region in the fixed-length table-B code (4
+    complement bits per quadruple, one sign bit per nonzero) — with
+    exact ``part2_3_length`` accounting.  One level below
+    ``multimodal_mp3_frame_walk``: that query proves the stream/side-
+    info layer, this one proves the engine read the entropy bitstream
+    itself (scalefactor sums, quadruple counts, signed spectrum sums
+    are unknowable from headers).  The Huffman big-values tables
+    (B.7), count1 table A, and short-block partitions remain the
+    declared ``NotImplementedError`` stubs (``decode.py``)."""
+    from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_md
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_mp3_maindata(synthesize_mp3_md(docs)).orderBy("doc_id")
