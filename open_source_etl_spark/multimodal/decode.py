@@ -1969,7 +1969,9 @@ def _parse_ipcm_slice(
     doc_id: int, rbsp: bytes, frame_num_bits: int, n_mbs: int
 ) -> tuple[int, int]:
     """Decode one all-I_PCM IDR slice (ITU-T H.264 7.3.3 + 7.3.5):
-    header prefix, then per macroblock ``mb_type`` (must be 25 = I_PCM
+    the COMPLETE header for this stream shape (through the IDR
+    dec_ref_pic_marking pair and slice_qp_delta), then per macroblock
+    ``mb_type`` (must be 25 = I_PCM
     — anything else needs the CAVLC tables this decoder honestly does
     not have), ``pcm_alignment_zero_bit`` padding, 256 raw luma and 128
     raw 4:2:0 chroma samples.  Verifies the rbsp_trailing_bits close
@@ -1984,6 +1986,11 @@ def _parse_ipcm_slice(
     if r.u(frame_num_bits) != 0:
         raise ValueError(f"doc {doc_id}: IDR slice with nonzero frame_num")
     idr_pic_id = r.ue()
+    r.u(1)  # dec_ref_pic_marking: no_output_of_prior_pics_flag
+    r.u(1)  # dec_ref_pic_marking: long_term_reference_flag
+    qp_delta = r.se()  # slice_qp_delta (I_PCM ignores qp; range-check only)
+    if not -52 < qp_delta < 52:
+        raise ValueError(f"doc {doc_id}: slice_qp_delta {qp_delta} out of range")
     luma_sum = 0
     for _m in range(n_mbs):
         mb_type = r.ue()
@@ -2086,6 +2093,175 @@ def decode_h264_ipcm(media_df: DataFrame) -> DataFrame:
 
     return media_df.select("doc_id", "payload").mapInPandas(
         kernel, H264_IPCM_SCHEMA
+    )
+
+
+H264_GOP_SCHEMA = (
+    "doc_id long, frame_idx long, frame_type string, mean_luma long, "
+    "n_skipped_mbs long"
+)
+
+
+def _parse_pskip_slice(
+    doc_id: int, rbsp: bytes, frame_num_bits: int, n_mbs: int
+) -> int:
+    """Decode one all-P_Skip slice (ITU-T H.264 7.3.3 + 7.3.4): the
+    COMPLETE P header for this stream shape (ref-list override and
+    modification flags, non-IDR dec_ref_pic_marking, slice_qp_delta),
+    then slice_data — a single ``mb_skip_run`` that must cover the
+    whole picture.  A skip run short of the picture means an entropy-
+    coded macroblock layer follows: that is the declared CAVLC stub.
+    Returns frame_num."""
+    r = _H264BitReader(rbsp, doc_id)
+    if r.ue() != 0:
+        raise ValueError(f"doc {doc_id}: multi-slice picture")
+    slice_type = r.ue()
+    if slice_type % 5 != 0:
+        raise ValueError(
+            f"doc {doc_id}: non-P slice_type {slice_type} in inter decode"
+        )
+    r.ue()  # pic_parameter_set_id
+    frame_num = r.u(frame_num_bits)
+    if r.u(1):  # num_ref_idx_active_override_flag
+        r.ue()  # num_ref_idx_l0_active_minus1
+    if r.u(1):  # ref_pic_list_modification_flag_l0
+        raise NotImplementedError(
+            "ref_pic_list_modification not implemented (single-ref fixture)"
+        )
+    if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+        raise NotImplementedError(
+            "adaptive reference marking not implemented"
+        )
+    qp_delta = r.se()
+    if not -52 < qp_delta < 52:
+        raise ValueError(f"doc {doc_id}: slice_qp_delta {qp_delta} out of range")
+    skip_run = r.ue()
+    if skip_run > n_mbs:
+        raise ValueError(
+            f"doc {doc_id}: mb_skip_run {skip_run} exceeds picture size {n_mbs}"
+        )
+    if skip_run < n_mbs:
+        raise NotImplementedError(
+            "entropy-coded macroblock layer after a partial skip run "
+            "needs the CAVLC residual tables (declared stub)"
+        )
+    if r.u(1) != 1:
+        raise ValueError(f"doc {doc_id}: missing rbsp_stop_one_bit")
+    while r.pos % 8:
+        if r.u(1) != 0:
+            raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
+    if r.pos != 8 * len(rbsp):
+        raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
+    return frame_num
+
+
+def decode_h264_gop(media_df: DataFrame) -> DataFrame:
+    """REAL inter-frame H.264 decode for IDR+P_Skip GOP streams: IDR
+    pictures decode pixel-exact via the I_PCM path, and every following
+    all-skip P picture is reconstructed by reference copy — P_Skip with
+    no decoded spatial neighbors has a zero motion vector prediction
+    (8.4.1.1), so each macroblock copies the co-located reference
+    macroblock and the picture reproduces its GOP's IDR exactly.  This
+    is the spec's one inter path with NO entropy-coded macroblock
+    layer; a partial skip run (real residuals) raises at the declared
+    CAVLC stub.  Emits one row per decoded picture in decode order with
+    its type, reconstructed mean luma, and skipped-macroblock count —
+    the P rows' luma values exist only because the decoder carried
+    reference state across NAL units."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            sps = pps = None
+            rows = []  # (frame_type, mean_luma, n_skipped)
+            ref_luma = None
+            for unit in h264_split_nals(doc_id, raw):
+                if not unit:
+                    raise ValueError(f"doc {doc_id}: empty NAL unit")
+                if unit[0] & 0x80:
+                    raise ValueError(f"doc {doc_id}: forbidden_zero_bit set")
+                nal_type = unit[0] & 0x1F
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                    if pps[0] != 0:
+                        raise ValueError(
+                            f"doc {doc_id}: CABAC stream (CAVLC-mode decoder)"
+                        )
+                elif nal_type in (1, 5):
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    n_mbs = (sps["width"] // 16) * (sps["height"] // 16)
+                    if nal_type == 5:
+                        _idr_pic_id, mean_luma = _parse_ipcm_slice(
+                            doc_id, rbsp, sps["frame_num_bits"], n_mbs
+                        )
+                        ref_luma = mean_luma
+                        rows.append(("I", mean_luma, 0))
+                    else:
+                        if ref_luma is None:
+                            raise ValueError(
+                                f"doc {doc_id}: P slice with no reference "
+                                "picture (stream must open with an IDR)"
+                            )
+                        _parse_pskip_slice(
+                            doc_id, rbsp, sps["frame_num_bits"], n_mbs
+                        )
+                        rows.append(("P", ref_luma, n_mbs))
+            if not rows:
+                raise ValueError(f"doc {doc_id}: no decodable pictures")
+            return rows
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "frame_idx", "frame_type", "mean_luma",
+                    "n_skipped_mbs",
+                )
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for f_idx, (ftype, luma, skipped) in enumerate(
+                    walk(int(doc_id), bytes(b))
+                ):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f_idx)
+                    out["frame_type"].append(ftype)
+                    out["mean_luma"].append(luma)
+                    out["n_skipped_mbs"].append(skipped)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, H264_GOP_SCHEMA
+    )
+
+
+def synthesize_h264_gop(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying an IDR+P_Skip GOP H.264 stream."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_gop_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_gop_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
     )
 
 

@@ -955,27 +955,105 @@ def make_h264_ipcm_bytes(doc_id: int) -> bytes:
         _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
     ]
     for f in range(n_frames):
-        w = _H264BitWriter()
-        w.ue(0)        # first_mb_in_slice
-        w.ue(7)        # slice_type: I (all slices in stream are I)
-        w.ue(0)        # pic_parameter_set_id
-        w.u(0, 4)      # frame_num (IDR -> 0)
-        w.ue(f)        # idr_pic_id
-        w.ue(25)       # first macroblock's mb_type: I_PCM
-        while len(w.bits) % 8:
-            w.bits.append(0)  # pcm_alignment_zero_bit
-        parts = [w.to_bytes()]
-        for m in range(mb_w * mb_h):
-            if m:
-                # PCM samples end byte-aligned, so every later MB's
-                # prefix is the same two bytes: ue(25) = 000011010,
-                # then 7 pcm_alignment_zero_bits -> 0x0D 0x00
-                parts.append(b"\x0d\x00")
-            luma = h264_ipcm_luma(doc_id, f, m)
-            parts.append(bytes([luma]) * 256 + bytes([128]) * 128)
-        # rbsp_trailing_bits at a byte boundary: stop bit + 7 zeros
-        parts.append(b"\x80")
-        units.append(_h264_nal(3, 5, b"".join(parts), 2 + f))
+        units.append(
+            _h264_nal(3, 5, h264_ipcm_idr_rbsp(doc_id, f, f, mb_w * mb_h), 2 + f)
+        )
+    return b"".join(units)
+
+
+def h264_ipcm_idr_rbsp(
+    doc_id: int, frame: int, idr_pic_id: int, n_mbs: int
+) -> bytes:
+    """One COMPLETE all-I_PCM IDR slice RBSP (ITU-T H.264 7.3.3 +
+    7.3.5): the full header for this SPS/PPS shape — first_mb_in_slice,
+    slice_type 7, pps id, frame_num (IDR -> 0), idr_pic_id, the IDR
+    dec_ref_pic_marking pair (no_output_of_prior_pics_flag,
+    long_term_reference_flag) and slice_qp_delta — then the macroblock
+    loop: mb_type 25 (I_PCM), pcm_alignment_zero_bits, 256 raw luma +
+    2x64 raw 4:2:0 chroma samples per MB, closed by
+    rbsp_trailing_bits."""
+    w = _H264BitWriter()
+    w.ue(0)        # first_mb_in_slice
+    w.ue(7)        # slice_type: I (all slices in stream are I)
+    w.ue(0)        # pic_parameter_set_id
+    w.u(0, 4)      # frame_num (IDR -> 0)
+    w.ue(idr_pic_id)
+    w.u(0, 1)      # dec_ref_pic_marking: no_output_of_prior_pics_flag
+    w.u(0, 1)      # dec_ref_pic_marking: long_term_reference_flag
+    w.se(0)        # slice_qp_delta
+    w.ue(25)       # first macroblock's mb_type: I_PCM
+    while len(w.bits) % 8:
+        w.bits.append(0)  # pcm_alignment_zero_bit
+    parts = [w.to_bytes()]
+    for m in range(n_mbs):
+        if m:
+            # PCM samples end byte-aligned, so every later MB's
+            # prefix is the same two bytes: ue(25) = 000011010,
+            # then 7 pcm_alignment_zero_bits -> 0x0D 0x00
+            parts.append(b"\x0d\x00")
+        luma = h264_ipcm_luma(doc_id, frame, m)
+        parts.append(bytes([luma]) * 256 + bytes([128]) * 128)
+    # rbsp_trailing_bits at a byte boundary: stop bit + 7 zeros
+    parts.append(b"\x80")
+    return b"".join(parts)
+
+
+def h264_gop_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(n_gops, gop_len, mb_w, mb_h) for the inter-frame GOP fixture:
+    each GOP is one all-I_PCM IDR picture followed by gop_len-1 all-
+    P_Skip pictures (every macroblock skipped -> copy the reference)."""
+    return 1 + doc_id % 2, 2 + doc_id % 3, 1 + doc_id % 2, 1 + (doc_id // 2) % 2
+
+
+def h264_pskip_rbsp(frame_num: int, n_mbs: int) -> bytes:
+    """One COMPLETE all-skip P slice RBSP for this fixture's SPS/PPS
+    shape (ITU-T H.264 7.3.3 + 7.3.4): the full P header —
+    first_mb_in_slice, slice_type 5 (all-slices-P), pps id, frame_num,
+    num_ref_idx_active_override_flag, ref_pic_list_modification flag,
+    dec_ref_pic_marking (non-IDR: adaptive flag), slice_qp_delta — then
+    slice_data that is a single ``mb_skip_run`` covering every
+    macroblock in the picture (P_Skip: zero motion against the
+    reference, no residual, NO entropy-coded macroblock layer), closed
+    by rbsp_trailing_bits."""
+    w = _H264BitWriter()
+    w.ue(0)                 # first_mb_in_slice
+    w.ue(5)                 # slice_type: P (all slices in stream are P)
+    w.ue(0)                 # pic_parameter_set_id
+    w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num_minus4 = 0)
+    w.u(0, 1)               # num_ref_idx_active_override_flag
+    w.u(0, 1)               # ref_pic_list_modification_flag_l0
+    w.u(0, 1)               # dec_ref_pic_marking: adaptive_marking_flag
+    w.se(0)                 # slice_qp_delta
+    w.ue(n_mbs)             # mb_skip_run: every macroblock is P_Skip
+    return w.rbsp_trailing()
+
+
+def make_h264_gop_bytes(doc_id: int) -> bytes:
+    """REAL H.264 Annex-B stream with INTER frames a decoder can fully
+    reconstruct without entropy tables: each GOP opens with an
+    all-I_PCM IDR picture (raw pixels, ``h264_ipcm_idr_rbsp``) followed
+    by all-P_Skip pictures (``h264_pskip_rbsp``) whose every macroblock
+    copies the co-located reference macroblock — with zero spatial MV
+    neighbors everywhere, the P_Skip motion vector prediction is zero,
+    so each P picture IS its GOP's IDR picture.  The one inter-
+    prediction path the spec defines whose slice_data carries no
+    entropy-coded macroblock layer; any non-skip macroblock would need
+    the CAVLC tables and stays the declared stub."""
+    n_gops, gop_len, mb_w, mb_h = h264_gop_params(doc_id)
+    n_mbs = mb_w * mb_h
+    units = [
+        _h264_nal(3, 7, _h264_sps_from_fields(66, 10, mb_w - 1, mb_h - 1), 0),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+    idx = 2
+    for g in range(n_gops):
+        units.append(
+            _h264_nal(3, 5, h264_ipcm_idr_rbsp(doc_id, g, g, n_mbs), idx)
+        )
+        idx += 1
+        for s in range(1, gop_len):
+            units.append(_h264_nal(2, 1, h264_pskip_rbsp(s, n_mbs), idx))
+            idx += 1
     return b"".join(units)
 
 

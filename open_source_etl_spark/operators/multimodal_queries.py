@@ -895,3 +895,66 @@ def multimodal_mp3_maindata_decode(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_mp3_maindata(synthesize_mp3_md(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_h264_gop_decode",
+    # formulas mirror synth.h264_gop_params / h264_ipcm_luma: per doc,
+    # n_gops GOPs of gop_len pictures over an n_mbs-macroblock frame;
+    # picture g*gop_len+s is the IDR (s=0, I_PCM pixels) or an all-skip
+    # P picture whose reconstruction equals its GOP's IDR.  The NAL
+    # walk, full slice headers, skip-run accounting, and the reference
+    # copy itself have no closed form — Spark must carry decoder state
+    # across NAL units to produce the P rows at all.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS n_gops,
+             2 + doc_id % 3 AS gop_len,
+             (1 + doc_id % 2) * (1 + (doc_id // 2) % 2) AS n_mbs
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_gops, gop_len, n_mbs, gg.g AS g, ss.s AS s
+      FROM p,
+           LATERAL (SELECT unnest(range(0, n_gops)) AS g) gg,
+           LATERAL (SELECT unnest(range(0, gop_len)) AS s) ss
+    ),
+    lum AS (
+      SELECT doc_id, g,
+             SUM(10 + (doc_id * 13 + 31 * g + 7 * mm.m) % 200)
+               // MAX(n_mbs) AS mean_luma
+      FROM (SELECT DISTINCT doc_id, n_mbs, g FROM f) d,
+           LATERAL (SELECT unnest(range(0, n_mbs)) AS m) mm
+      GROUP BY doc_id, g
+    )
+    SELECT f.doc_id,
+           CAST(f.g * f.gop_len + f.s AS BIGINT) AS frame_idx,
+           CASE WHEN f.s = 0 THEN 'I' ELSE 'P' END AS frame_type,
+           CAST(lum.mean_luma AS BIGINT) AS mean_luma,
+           CAST(CASE WHEN f.s = 0 THEN 0 ELSE f.n_mbs END AS BIGINT)
+             AS n_skipped_mbs
+    FROM f JOIN lum ON f.doc_id = lum.doc_id AND f.g = lum.g
+    ORDER BY f.doc_id, frame_idx
+    """,
+)
+def multimodal_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL inter-frame H.264 decode: IDR+P_Skip GOP streams where the
+    IDR picture decodes pixel-exact through the I_PCM path (now with
+    the COMPLETE slice header: dec_ref_pic_marking, slice_qp_delta) and
+    every following all-skip P picture is reconstructed by reference
+    copy — the spec's one inter-prediction path with no entropy-coded
+    macroblock layer (mb_skip_run covers the picture; P_Skip motion
+    vector prediction is zero with no spatial neighbors, 8.4.1.1).
+    One level below ``multimodal_h264_ipcm_decode``: the decoder
+    carries reference-picture state ACROSS NAL units, parses full P
+    slice headers, and accounts the skip run against the SPS picture
+    size.  Partial skip runs (real CAVLC residuals), CABAC, and
+    ref-list modification raise at the declared stubs
+    (``decode.py:_parse_pskip_slice``)."""
+    from ..multimodal.decode import decode_h264_gop, synthesize_h264_gop
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_h264_gop(synthesize_h264_gop(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
