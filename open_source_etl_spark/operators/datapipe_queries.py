@@ -1389,15 +1389,24 @@ def datapipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + (instr('0123456789abcdef', substring(md5(term), 3, 1)) - 1)"
         ).alias("bucket"),
     )
+    # Collapse the term stream to per-(doc, bucket) counts FIRST: the
+    # three consumers below (target counts, raw counts, scoring) then
+    # shuffle compressed rows (<= 4096 per doc) instead of raw terms,
+    # and the per-doc score becomes sum(c * lr) over the compressed
+    # form — the two-pass structure the DSIR paper's hashed features
+    # are designed for.
+    counts = feats.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").alias("c")
+    )
     tc = (
-        feats.filter(F.col("lang") == "en")
+        counts.filter(F.col("lang") == "en")
         .groupBy("bucket")
-        .agg(F.count("*").alias("t_n"))
+        .agg(F.sum("c").alias("t_n"))
     )
     rc = (
-        feats.filter(F.col("lang") != "en")
+        counts.filter(F.col("lang") != "en")
         .groupBy("bucket")
-        .agg(F.count("*").alias("r_n"))
+        .agg(F.sum("c").alias("r_n"))
     )
     tot = tc.crossJoin(rc.select(F.sum("r_n").alias("r_tot"))).select(
         F.sum("t_n").alias("t_tot"), F.first("r_tot").alias("r_tot")
@@ -1426,13 +1435,15 @@ def datapipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        feats.filter(F.col("lang") != "en")
+        counts.filter(F.col("lang") != "en")
         .join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_terms"),
-            F.sum("lr_micro").cast("bigint").alias("dsir_logweight_micro"),
-            (F.sum("lr_micro") > 0).alias("keep"),
+            F.sum("c").cast("bigint").alias("n_terms"),
+            F.sum(F.col("c") * F.col("lr_micro"))
+            .cast("bigint")
+            .alias("dsir_logweight_micro"),
+            (F.sum(F.col("c") * F.col("lr_micro")) > 0).alias("keep"),
         )
         .orderBy("doc_id")
     )

@@ -503,6 +503,72 @@ def shingles_main() -> None:
         )
 
 
+def dsir_main() -> None:
+    """Scale probe for ``datapipe_dsir_importance``
+    (`python tools/scale_probe.py dsir [mults]`): isomorphic corpus
+    replication (the shingles probe's alphabet-rotation construction,
+    which preserves each copy's term structure and the lang-based
+    target/raw split while keeping cross-copy term overlap ~nil), wall
+    time per mult, and the fitted exponent.  The expected shape: the
+    two bucket-count aggregations collapse to <= 4096 rows regardless
+    of mult, so cost is dominated by the term explode + one per-doc
+    combinable sum — alpha ~= 1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from open_source_etl_spark.conf import EngineConfig
+    from open_source_etl_spark.operators.datapipe_queries import (
+        datapipe_dsir_importance,
+    )
+    from open_source_etl_spark.session import build_session
+
+    mults = [int(m) for m in (sys.argv[2:] or ["1", "5", "25"])]
+    spark = build_session(
+        EngineConfig(master="local[32]", shuffle_partitions=32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    base = spark.read.parquet(f"{BASE}/documents.parquet")
+    series = []
+    for mult in mults:
+        out = f"/tmp/osetl-dsirprobe-{mult}"
+        parts = []
+        for i in range(mult):
+            rot = alpha[i % 26 :] + alpha[: i % 26]
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    F.translate("text", alpha, rot).alias("text"),
+                    "n_chars", "lang", "source",
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+        spark.catalog.clearCache()
+        t0 = time.time()
+        row = datapipe_dsir_importance(spark, out).agg(
+            F.count("*"), F.sum("n_terms")
+        ).first()
+        dt = time.time() - t0
+        series.append((mult, dt))
+        print(
+            f"mult={mult:2d} dsir_importance {dt:7.2f}s "
+            f"docs={row[0]} terms={row[1]}",
+            flush=True,
+        )
+        shutil.rmtree(out, ignore_errors=True)
+    if len(series) >= 2:
+        (n1, t1), (n2, t2) = series[0], series[-1]
+        a = math.log(t2 / t1) / math.log(n2 / n1)
+        print(f"dsir_importance: mult {n1} -> {n2}: alpha = {a:.2f}", flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "iterative":
         iterative_main()
@@ -510,5 +576,7 @@ if __name__ == "__main__":
         pairs_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "shingles":
         shingles_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "dsir":
+        dsir_main()
     else:
         main()
