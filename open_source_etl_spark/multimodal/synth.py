@@ -1185,3 +1185,163 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
         out += si
         out += stream[k * cap : (k + 1) * cap]
     return bytes(out)
+
+
+# Adam7 pass grid (PNG spec 8.2): (x_start, x_step, y_start, y_step)
+PNG_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def png_adam7_params(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(width, height, r0, g0, b0) for the interlaced-PNG gradient
+    fixture.  Channel values are the linear ramps r = r0 + x + 2y,
+    g = g0 + 2x + y, b = b0 + x + y — slopes small enough that no value
+    wraps 255 (W <= 30, H <= 16, bases <= 139), so per-channel sums
+    have exact closed forms AND every pixel position is distinguishable:
+    a decoder that misplaces an Adam7 pass gets the probe pixels wrong."""
+    return (
+        12 + doc_id % 19,
+        6 + doc_id % 11,
+        (doc_id * 3) % 140,
+        (doc_id * 7) % 140,
+        (doc_id * 11) % 140,
+    )
+
+
+def png_adam7_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Channel values of pixel (x, y) in the gradient fixture."""
+    _w, _h, r0, g0, b0 = png_adam7_params(doc_id)
+    return r0 + x + 2 * y, g0 + 2 * x + y, b0 + x + y
+
+
+def make_png_adam7_bytes(doc_id: int) -> bytes:
+    """Real Adam7-INTERLACED PNG (interlace method 1): the gradient
+    image is split into the spec's seven passes, each pass filtered as
+    its own sub-image (filter type cycles per pass row, previous-row
+    state resets at every pass boundary) and all passes DEFLATEd into
+    one IDAT datastream — a decoder must walk the pass grid to place
+    any pixel correctly; treating the stream as sequential scanlines
+    scrambles the image."""
+    import zlib
+
+    width, height, _r0, _g0, _b0 = png_adam7_params(doc_id)
+    bpp = 3
+    scanlines = []
+    for x0, dx, y0, dy in PNG_ADAM7:
+        if x0 >= width or y0 >= height:
+            continue
+        xs = range(x0, width, dx)
+        prev = bytes(len(xs) * bpp)
+        for j, y in enumerate(range(y0, height, dy)):
+            row = bytearray()
+            for x in xs:
+                row += bytes(png_adam7_pixel(doc_id, x, y))
+            f = j % 5
+            filt = bytearray(len(row))
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                up_left = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = left
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, up_left)
+                filt[i] = (row[i] - pred) & 0xFF
+            scanlines.append(bytes([f]) + bytes(filt))
+            prev = bytes(row)
+    idat = zlib.compress(b"".join(scanlines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def gif_anim_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) for the animated-GIF fixture: frame 0
+    is a full-screen 4-color gradient; each later frame is a 4x3 patch
+    composited under disposal method 1 (do not dispose)."""
+    return 10 + doc_id % 12, 6 + doc_id % 8, 2 + doc_id % 4
+
+
+def gif_anim_patch(doc_id: int, k: int, width: int, height: int):
+    """(left, top, w, h) of animation frame k's patch (k >= 1): closed
+    forms bounded inside the logical screen."""
+    return (doc_id + 2 * k) % (width - 3), (doc_id + k) % (height - 2), 4, 3
+
+
+def make_gif_anim_bytes(doc_id: int) -> bytes:
+    """Real ANIMATED GIF89a: NETSCAPE looping application extension, a
+    Graphic Control Extension (disposal method 1, per-frame delay)
+    before every frame, frame 0 full-screen, frames k >= 1 sub-
+    rectangle patches whose image descriptors carry real left/top
+    offsets — a decoder must composite each patch onto the persisting
+    canvas (disposal 1 = do not dispose) to know any later frame's
+    pixels.  Patch pixels use a k-dependent index formula in ABSOLUTE
+    coordinates, so a decoder that pastes a patch at the wrong offset
+    (or forgets earlier patches) diverges immediately."""
+    width, height, n_frames = gif_anim_params(doc_id)
+    palette = gif_palette(doc_id)
+    gct = bytes(v for rgb in palette for v in rgb)
+
+    def img_block(left, top, w, h, indices):
+        lzw = _lzw_encode(indices, 2)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        return (
+            b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+            + bytes([2]) + bytes(blocks)
+        )
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x81, 0, 0])
+    out += gct
+    # NETSCAPE 2.0 looping extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for k in range(n_frames):
+        # GCE: disposal 1 (do not dispose), no transparency, delay
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack(
+            "<H", 5 + k
+        ) + b"\x00\x00"
+        if k == 0:
+            idx = [
+                (x + y + doc_id) % 4
+                for y in range(height)
+                for x in range(width)
+            ]
+            out += img_block(0, 0, width, height, idx)
+        else:
+            left, top, w, h = gif_anim_patch(doc_id, k, width, height)
+            idx = [
+                (x + 2 * y + doc_id + k) % 4
+                for y in range(top, top + h)
+                for x in range(left, left + w)
+            ]
+            out += img_block(left, top, w, h, idx)
+    out += b"\x3b"
+    return bytes(out)

@@ -958,3 +958,141 @@ def multimodal_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_h264_gop(synthesize_h264_gop(docs)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@query(
+    "multimodal_png_adam7_decode",
+    # formulas mirror synth.png_adam7_params / png_adam7_pixel: the
+    # gradient r = r0 + x + 2y (g, b analogous) never wraps 255, so
+    # channel sums reduce to arithmetic-series closed forms and the
+    # per-pass probe pixels are linear in r0.  Which byte of the IDAT
+    # stream feeds which pixel goes through the Adam7 pass grid — the
+    # decoder must reconstruct seven sub-images to read any probe.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             12 + doc_id % 19 AS w,
+             6 + doc_id % 11 AS h,
+             (doc_id * 3) % 140 AS r0,
+             (doc_id * 7) % 140 AS g0,
+             (doc_id * 11) % 140 AS b0
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(7 AS BIGINT) AS n_passes,
+           CAST((w * h * r0 + h * (w * (w - 1) // 2)
+                 + 2 * w * (h * (h - 1) // 2)) // (w * h) AS BIGINT)
+             AS mean_r,
+           CAST((w * h * g0 + 2 * h * (w * (w - 1) // 2)
+                 + w * (h * (h - 1) // 2)) // (w * h) AS BIGINT)
+             AS mean_g,
+           CAST((w * h * b0 + h * (w * (w - 1) // 2)
+                 + w * (h * (h - 1) // 2)) // (w * h) AS BIGINT)
+             AS mean_b,
+           CAST(r0 AS BIGINT) AS probe_p1,
+           CAST(r0 + 4 AS BIGINT) AS probe_p2,
+           CAST(r0 + 8 AS BIGINT) AS probe_p3,
+           CAST(r0 + 2 AS BIGINT) AS probe_p4,
+           CAST(r0 + 4 AS BIGINT) AS probe_p5,
+           CAST(r0 + 1 AS BIGINT) AS probe_p6,
+           CAST(r0 + 2 AS BIGINT) AS probe_p7
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def multimodal_png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-interlaced PNG decode (PNG spec 8.2): the seven-pass
+    sub-image reconstruction — per-pass scanline geometry, filter state
+    that resets at pass boundaries, all five unfilters, and pixel
+    placement through the pass grid — over gradient images where every
+    pixel position is distinguishable.  Value-checks per-channel means
+    AND one probe pixel from each pass, so a decoder that misorders,
+    skips, or mis-strides a pass fails even if the global mean
+    survives.  Completes the PNG surface next to the non-interlaced
+    ``multimodal_png_decode``."""
+    from ..multimodal.decode import decode_png_adam7, synthesize_png_adam7
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png_adam7(synthesize_png_adam7(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_gif_anim_decode",
+    # formulas mirror synth.gif_anim_params / gif_anim_patch /
+    # gif_palette: the oracle REPLAYS the composition declaratively —
+    # for every (frame, pixel) the last patch covering it (MAX j <= k
+    # over the patch rects) decides the palette index.  The LZW
+    # bitstream, sub-block framing, and GCE walk have no closed form;
+    # Spark must decode and composite to produce any row.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             10 + doc_id % 12 AS w,
+             6 + doc_id % 8 AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, h, kk.k AS k
+      FROM p, LATERAL (SELECT unnest(range(0, nf)) AS k) kk
+    ),
+    pat AS (
+      SELECT doc_id, k AS j,
+             (doc_id + 2 * k) % (w - 3) AS pl,
+             (doc_id + k) % (h - 2) AS pt
+      FROM f WHERE k >= 1
+    ),
+    px AS (
+      SELECT f.doc_id, f.w, f.h, f.k, xx.x AS x, yy.y AS y
+      FROM f,
+           LATERAL (SELECT unnest(range(0, f.w)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, f.h)) AS y) yy
+    ),
+    wr AS (
+      SELECT px.doc_id, px.w, px.h, px.k, px.x, px.y, MAX(pat.j) AS jmax
+      FROM px LEFT JOIN pat
+        ON pat.doc_id = px.doc_id AND pat.j <= px.k
+       AND px.x >= pat.pl AND px.x < pat.pl + 4
+       AND px.y >= pat.pt AND px.y < pat.pt + 3
+      GROUP BY px.doc_id, px.w, px.h, px.k, px.x, px.y
+    ),
+    col AS (
+      SELECT doc_id, w, h, k,
+             CASE WHEN jmax IS NULL THEN (x + y + doc_id) % 4
+                  ELSE (x + 2 * y + doc_id + jmax) % 4 END AS idx
+      FROM wr
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN k = 0 THEN w ELSE 4 END AS BIGINT) AS patch_w,
+           CAST(CASE WHEN k = 0 THEN h ELSE 3 END AS BIGINT) AS patch_h,
+           CAST(SUM((40 * idx + 7 * (doc_id % 5)) % 256) // (w * h)
+                AS BIGINT) AS mean_r,
+           CAST(SUM((80 * idx + 11 * (doc_id % 3)) % 256) // (w * h)
+                AS BIGINT) AS mean_g,
+           CAST(SUM((60 * idx + 13 * (doc_id % 7)) % 256) // (w * h)
+                AS BIGINT) AS mean_b
+    FROM col
+    GROUP BY doc_id, w, h, k
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_gif_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode with cross-frame composition: GCE and
+    application-extension walk, per-frame sub-rectangle LZW decode
+    (the same production ``gif_lzw_decode`` as the static path), and
+    disposal-method-1 pasting onto a canvas that persists across
+    frames.  Each output row's composited means depend on EVERY
+    earlier patch, so the value check proves decoder state across
+    frames — the animation sibling of the static
+    ``multimodal_gif_decode``, and the GIF counterpart of the H.264
+    reference-copy decode.  Disposal 2/3, transparency, interlaced
+    frames, and local color tables raise at declared boundaries."""
+    from ..multimodal.decode import decode_gif_anim, synthesize_gif_anim
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_gif_anim(synthesize_gif_anim(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
