@@ -1447,3 +1447,48 @@ def datapipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "datapipe_warc_extract",
+    # formulas mirror ingest.warc: n_pages = 2 + doc_id % 3, each page
+    # a request+response record pair after one warcinfo; page k is 404
+    # when (doc_id + k) % 5 = 0, its body wraps the text slice
+    # [7k, 7k + 40 + 3k) in fixed HTML, and page 0's body carries the
+    # 9-char "WARC/1.0 " content-length trap.  The record walk, HTTP
+    # status parse, and tag stripping have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, n_chars, 2 + doc_id % 3 AS np FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, np, kk.k AS k,
+             CASE WHEN (doc_id + kk.k) % 5 = 0 THEN 0 ELSE 1 END AS ok,
+             GREATEST(0, LEAST(40 + 3 * kk.k, n_chars - 7 * kk.k)) AS len,
+             CASE WHEN kk.k = 0 THEN 9 ELSE 0 END AS extra
+      FROM p, LATERAL (SELECT unnest(range(0, np)) AS k) kk
+    )
+    SELECT doc_id,
+           CAST(1 + 2 * MAX(np) AS BIGINT) AS n_records,
+           CAST(MAX(np) AS BIGINT) AS n_responses,
+           CAST(SUM(ok) AS BIGINT) AS n_ok,
+           CAST(SUM(ok * (len + extra)) AS BIGINT) AS sum_text_chars
+    FROM pg
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def datapipe_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-container extraction (ISO 28500) — the FIRST parse of
+    a web-scale training pipeline: walk each document's WARC file
+    record by record strictly by ``Content-Length`` (one body embeds a
+    literal ``WARC/1.0`` marker, so magic-rescanning parsers miscount),
+    split warcinfo/request/response types, parse HTTP status lines,
+    and strip HTML tags from 200 responses to count visible text.
+    Per-file work in an Arrow ``mapInPandas`` kernel with no cross-row
+    state — at 100 TB the same kernel maps over ``binaryFile`` rows of
+    real crawl shards (``ingest/warc.py``)."""
+    from ..ingest.warc import extract_warc_records, synthesize_warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_warc_records(synthesize_warc(docs)).orderBy("doc_id")

@@ -1,0 +1,72 @@
+"""WARC container plumbing: the content-length walk, the embedded-magic
+trap, tag stripping, and malformed-file rejection (oracle parity for the
+registered query runs in test_oracle_parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from open_source_etl_spark.ingest.warc import (
+    make_warc_bytes,
+    parse_warc,
+    strip_html_text,
+)
+
+
+def test_warc_walk_honors_content_length_over_magic():
+    """Page 0's body embeds a literal 'WARC/1.0 ' — the parser must
+    count records by Content-Length, not by scanning for the magic."""
+    raw = make_warc_bytes(1, "x" * 200)
+    assert raw.count(b"WARC/1.0") == 8  # 7 record headers + 1 in a body
+    n_records, n_resp, _ok, _chars, _bytes = parse_warc(1, raw)
+    assert (n_records, n_resp) == (7, 3)
+
+
+def test_strip_html_text():
+    assert strip_html_text("<html><body>a<b>c</b></body></html>") == "ac"
+    assert strip_html_text("no tags") == "no tags"
+    assert strip_html_text("<p>") == ""
+
+
+def test_warc_rejects_malformed():
+    """Wrong magic, a Content-Length lie (payload not closed by
+    CRLFCRLF), a missing Content-Length header, and truncation all
+    raise."""
+    raw = make_warc_bytes(3, "y" * 150)
+
+    bad_magic = b"WARC/0.9" + raw[8:]
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(3, bad_magic)
+
+    lie = raw.replace(b"Content-Length: 33", b"Content-Length: 30", 1)
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(3, lie)
+
+    no_len = raw.replace(b"Content-Length: 33\r\n", b"", 1)
+    with pytest.raises(ValueError, match="without Content-Length"):
+        parse_warc(3, no_len)
+
+    with pytest.raises(ValueError, match="truncated|unterminated"):
+        parse_warc(3, raw[:-6])
+
+    with pytest.raises(ValueError, match="empty"):
+        parse_warc(3, b"")
+
+
+def test_warc_extract_distributed(spark):
+    """The mapInPandas path produces one row per doc with the same
+    values as the pure parse."""
+    from open_source_etl_spark.ingest.warc import (
+        extract_warc_records,
+        synthesize_warc,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (10 + i)) for i in range(6)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in extract_warc_records(synthesize_warc(docs)).collect()}
+    for i in range(6):
+        exp = parse_warc(i, make_warc_bytes(i, "word " * (10 + i)))[:4]
+        got = (rows[i].n_records, rows[i].n_responses, rows[i].n_ok,
+               rows[i].sum_text_chars)
+        assert got == exp
