@@ -1097,7 +1097,12 @@ def mp3_md_granule(doc_id: int, g: int, region_bytes: int, delta: int):
     bpq = 4 + nz
     blob_bits = 8 * (region_bytes - delta)
     budget = blob_bits // 2 if g == 0 else blob_bits - blob_bits // 2
-    n_quads = (budget - sf_bits) // bpq
+    # Capped at 24 quadruples per granule: the entropy decode is just
+    # as real at 24 as at region-filling counts, but a Python kernel
+    # over 50k docs x 7 frames is ~20x cheaper (the rest of the region
+    # is ancillary stuffing, exactly as the spec allows — part2_3
+    # accounting still must land bit-exact).
+    n_quads = min((budget - sf_bits) // bpq, 24)
     part2_3 = sf_bits + n_quads * bpq
     return sfc, sf_a, sf_b, pattern, n_quads, part2_3
 
@@ -1144,14 +1149,19 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
     # Logical blob per frame: granule0 || granule1 bit-contiguous, then
     # zero ancillary bits up to blob_len bytes.
     blobs = []
-    for k in range(n_frames):
+    # Frame content depends only on k's parity (the count1 sign bit),
+    # so two packed variants serve every frame.
+    packed: dict[int, bytes] = {}
+    for parity in (0, 1):
         w = _BitPacker()
         for g in (0, 1):
-            w.bits.extend(granule_bits(g, k).bits)
-        pad = 8 * blob_len - len(w.bits)
-        assert pad >= 0, "granule data overran the blob budget"
-        w.u(0, pad)
-        blobs.append(w.to_bytes())
+            w.bits.extend(granule_bits(g, parity).bits)
+        w.u(0, (8 - len(w.bits) % 8) % 8)  # byte-align the bit tail
+        packed[parity] = w.to_bytes()
+        assert len(packed[parity]) <= blob_len, "granule data overran blob"
+    for k in range(n_frames):
+        head = packed[k % 2]
+        blobs.append(head + bytes(blob_len - len(head)))
     # Physical main-data stream: blobs laid contiguously, stuffing at
     # the tail so the total matches n_frames regions of cap bytes.
     stream = b"".join(blobs)
@@ -1345,3 +1355,214 @@ def make_gif_anim_bytes(doc_id: int) -> bytes:
             out += img_block(left, top, w, h, idx)
     out += b"\x3b"
     return bytes(out)
+
+
+def tiff_params(doc_id: int) -> tuple[int, int, bool, int, int, int]:
+    """(width, height, big_endian, r0, g0, b0) for the TIFF gradient
+    fixture: r = r0 + 2x + y, g = g0 + x + 2y, b = b0 + x + y (no value
+    wraps 255).  Odd doc_ids are written big-endian (MM), even ones
+    little-endian (II) — a reader keyed to one byte order fails half
+    the corpus."""
+    return (
+        9 + doc_id % 14,
+        5 + doc_id % 9,
+        doc_id % 2 == 1,
+        (doc_id * 5) % 140,
+        (doc_id * 13) % 140,
+        (doc_id * 9) % 140,
+    )
+
+
+def tiff_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    _w, _h, _be, r0, g0, b0 = tiff_params(doc_id)
+    return r0 + 2 * x + y, g0 + x + 2 * y, b0 + x + y
+
+
+def make_tiff_bytes(doc_id: int) -> bytes:
+    """Real baseline TIFF 6.0: proper header for either byte order, one
+    IFD with the required RGB tags (ImageWidth/Length, BitsPerSample
+    [8,8,8] via offset, Compression 1, Photometric 2, StripOffsets/
+    ByteCounts arrays, SamplesPerPixel 3, RowsPerStrip 2), pixel data
+    split across ceil(H/2) strips that the reader must reassemble in
+    strip order."""
+    width, height, be, _r0, _g0, _b0 = tiff_params(doc_id)
+    e = ">" if be else "<"
+    rows_per_strip = 2
+    n_strips = (height + rows_per_strip - 1) // rows_per_strip
+    strips = []
+    for s in range(n_strips):
+        data = bytearray()
+        for y in range(s * rows_per_strip, min((s + 1) * rows_per_strip, height)):
+            for x in range(width):
+                data += bytes(tiff_pixel(doc_id, x, y))
+        strips.append(bytes(data))
+
+    header = (b"MM" if be else b"II") + struct.pack(e + "H", 42)
+    # layout: header(8) | strip data | bps array | strip offsets |
+    # strip bytecounts | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    bps_off = pos
+    pos += 6
+    so_off = pos
+    pos += 4 * n_strips
+    sbc_off = pos
+    pos += 4 * n_strips
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # SHORT values sit left-justified in the 4-byte slot per spec
+        if typ == 3 and count == 1:
+            return struct.pack(e + "HHIHH", tag, typ, count, value, 0)
+        return struct.pack(e + "HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 4, 1, width),           # ImageWidth (LONG)
+        entry(257, 4, 1, height),          # ImageLength
+        entry(258, 3, 3, bps_off),         # BitsPerSample -> offset
+        entry(259, 3, 1, 1),               # Compression: none
+        entry(262, 3, 1, 2),               # Photometric: RGB
+        entry(273, 4, n_strips, so_off if n_strips > 1 else strip_offsets[0]),
+        entry(277, 3, 1, 3),               # SamplesPerPixel
+        entry(278, 3, 1, rows_per_strip),  # RowsPerStrip
+        entry(279, 4, n_strips, sbc_off if n_strips > 1 else len(strips[0])),
+    ]
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) + struct.pack(
+        e + "I", 0
+    )
+    out = bytearray()
+    out += header + struct.pack(e + "I", ifd_off)
+    for s in strips:
+        out += s
+    out += struct.pack(e + "HHH", 8, 8, 8)
+    out += b"".join(struct.pack(e + "I", o) for o in strip_offsets)
+    out += b"".join(struct.pack(e + "I", len(s)) for s in strips)
+    out += ifd
+    return bytes(out)
+
+
+# FLAC frame-header sample-rate codes used by the fixture (full table
+# is in the decoder; the fixture cycles three common rates).
+FLAC_RATES = {4: 8000, 5: 16000, 6: 22050}
+
+
+def flac_crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the
+    FLAC frame-header CRC."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def flac_crc16(data: bytes) -> int:
+    """CRC-16 with polynomial 0x8005, init 0 — the FLAC frame footer
+    CRC."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def flac_params(doc_id: int) -> tuple[int, int]:
+    """(n_frames, sample_rate_code) for the FLAC fixture: frames
+    alternate CONSTANT (even k) and VERBATIM (odd k) subframes, 256
+    16-bit mono samples each."""
+    return 2 + doc_id % 4, 4 + doc_id % 3
+
+
+FLAC_BLOCK = 256
+
+
+def flac_frame_values(doc_id: int, k: int) -> int:
+    """Frame k's generator value: the constant sample (even k) or the
+    verbatim ramp base a (odd k, samples a, a+1, .., a+255)."""
+    return (
+        (doc_id * 7 + 11 * k) % 900
+        if k % 2 == 0
+        else (doc_id * 5 + 13 * k) % 200
+    )
+
+
+def make_flac_bytes(doc_id: int) -> bytes:
+    """Real FLAC stream: fLaC magic, a last-flag STREAMINFO metadata
+    block (blocksizes, 20-bit sample rate, mono, 16 bps, 36-bit total
+    samples, and the REAL MD5 of the decoded little-endian sample
+    stream), then fixed-blocksize frames — 14-bit sync, real header
+    fields, UTF-8-style frame numbers, CRC-8 over the header and
+    CRC-16 over the whole frame — carrying CONSTANT or VERBATIM
+    subframes (the two FLAC subframe types with no rice-coded
+    residuals; fixed-predictor and LPC subframes are the decoder's
+    declared stubs)."""
+    import hashlib
+
+    n_frames, sr_code = flac_params(doc_id)
+    rate = FLAC_RATES[sr_code]
+    total = n_frames * FLAC_BLOCK
+
+    all_samples = []
+    frames = bytearray()
+    for k in range(n_frames):
+        w = _BitPacker()
+        w.u(0b11111111111110, 14)  # sync
+        w.u(0, 1)  # reserved
+        w.u(0, 1)  # blocking strategy: fixed
+        w.u(8, 4)  # blocksize code 8 -> 256
+        w.u(sr_code, 4)
+        w.u(0, 4)  # channel assignment: mono
+        w.u(4, 3)  # sample size code 4 -> 16 bps
+        w.u(0, 1)  # reserved
+        header = w.to_bytes() + bytes([k])  # frame number (UTF-8 form, <128)
+        header += bytes([flac_crc8(header)])
+
+        s = _BitPacker()
+        s.u(0, 1)  # subframe zero pad
+        v = flac_frame_values(doc_id, k)
+        if k % 2 == 0:
+            s.u(0, 6)  # type: CONSTANT
+            s.u(0, 1)  # wasted bits: none
+            s.u(v, 16)
+            samples = [v] * FLAC_BLOCK
+        else:
+            s.u(1, 6)  # type: VERBATIM
+            s.u(0, 1)
+            samples = [v + i for i in range(FLAC_BLOCK)]
+            for sample in samples:
+                s.u(sample, 16)
+        while len(s.bits) % 8:
+            s.bits.append(0)  # frame zero-padding to byte alignment
+        body = header + s.to_bytes()
+        body += struct.pack(">H", flac_crc16(body))
+        frames += body
+        all_samples.extend(samples)
+
+    md5 = hashlib.md5(
+        b"".join(struct.pack("<h", s) for s in all_samples)
+    ).digest()
+    si = _BitPacker()
+    si.u(FLAC_BLOCK, 16)  # min blocksize
+    si.u(FLAC_BLOCK, 16)  # max blocksize
+    si.u(0, 24)  # min framesize (0 = unknown)
+    si.u(0, 24)  # max framesize
+    si.u(rate, 20)
+    si.u(0, 3)   # channels - 1
+    si.u(15, 5)  # bits per sample - 1
+    si.u(total, 36)
+    streaminfo = si.to_bytes() + md5
+    assert len(streaminfo) == 34
+    return (
+        b"fLaC"
+        + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        + bytes(frames)
+    )

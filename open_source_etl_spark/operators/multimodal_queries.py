@@ -857,8 +857,7 @@ def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (
       SELECT doc_id, n_frames, delta, g, sf_a, sf_b, nz,
-             (budget - sf_bits)
-               // (4 + nz) AS n_quads
+             LEAST((budget - sf_bits) // (4 + nz), 24) AS n_quads
       FROM q
     )
     SELECT doc_id,
@@ -1096,3 +1095,104 @@ def multimodal_gif_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gif_anim(synthesize_gif_anim(docs)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@query(
+    "multimodal_tiff_decode",
+    # formulas mirror synth.tiff_params / tiff_pixel: the gradients
+    # never wrap 255, so channel sums are arithmetic series; n_strips =
+    # ceil(h / 2); odd doc_ids are big-endian.  The IFD walk, byte-
+    # order dispatch, and strip reassembly have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             9 + doc_id % 14 AS w,
+             5 + doc_id % 9 AS h,
+             doc_id % 2 = 1 AS be,
+             (doc_id * 5) % 140 AS r0,
+             (doc_id * 13) % 140 AS g0,
+             (doc_id * 9) % 140 AS b0
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           be AS big_endian,
+           CAST((h + 1) // 2 AS BIGINT) AS n_strips,
+           CAST((w * h * r0 + 2 * h * (w * (w - 1) // 2)
+                 + w * (h * (h - 1) // 2)) // (w * h) AS BIGINT) AS mean_r,
+           CAST((w * h * g0 + h * (w * (w - 1) // 2)
+                 + 2 * w * (h * (h - 1) // 2)) // (w * h) AS BIGINT) AS mean_g,
+           CAST((w * h * b0 + h * (w * (w - 1) // 2)
+                 + w * (h * (h - 1) // 2)) // (w * h) AS BIGINT) AS mean_b,
+           CAST(r0 + 2 * (w - 1) + (h - 1) AS BIGINT) AS probe_last_r
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline TIFF 6.0 decode over a MIXED-byte-order corpus
+    (even doc_ids II/little-endian, odd MM/big-endian): IFD entry walk
+    with SHORT-in-slot vs offset-stored values, required-tag
+    validation, and multi-strip reassembly, value-checked down to the
+    last pixel.  Rounds out the image-container inventory (PNG static
+    + Adam7, JPEG, GIF static + animated, BMP) with the archival/
+    scanner format; compressed or tiled TIFFs raise at the declared
+    boundary."""
+    from ..multimodal.decode import decode_tiff_real, synthesize_tiff
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_tiff_real(synthesize_tiff(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_flac_decode",
+    # formulas mirror synth.flac_params / flac_frame_values: frames
+    # alternate a constant value (doc*7 + 11k) % 900 and a verbatim
+    # ramp from (doc*5 + 13k) % 200, 256 samples each.  The sync walk,
+    # CRC-8/CRC-16 checks, subframe bit layouts, and the MD5-of-
+    # decoded-samples comparison have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 2 + doc_id % 4 AS nf,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 22050 END AS rate
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, nf, rate, kk.k AS k,
+             (doc_id * 7 + 11 * kk.k) % 900 AS cval,
+             (doc_id * 5 + 13 * kk.k) % 200 AS vbase
+      FROM p, LATERAL (SELECT unnest(range(0, nf)) AS k) kk
+    )
+    SELECT doc_id,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(MAX(rate) AS BIGINT) AS sample_rate,
+           CAST(256 * MAX(nf) AS BIGINT) AS total_samples,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN 256 * cval ELSE 0 END)
+                AS BIGINT) AS sum_constant,
+           CAST(SUM(CASE WHEN k % 2 = 1 THEN 256 * vbase + 32640 ELSE 0 END)
+                AS BIGINT) AS sum_verbatim,
+           CAST(MAX(CASE WHEN k = nf - 1 THEN
+                  CASE WHEN k % 2 = 0 THEN cval ELSE vbase + 255 END
+                END) AS BIGINT) AS last_sample,
+           TRUE AS md5_ok
+    FROM fr
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode over constant/verbatim-subframe streams:
+    STREAMINFO bit-field parse, 14-bit frame sync walk, code-table
+    blocksize/rate resolution, UTF-8-style frame numbers, CRC-8 header
+    + CRC-16 frame verification, and the end-to-end proof — the MD5 of
+    the DECODED sample stream recomputed against STREAMINFO's claim.
+    Completes the audio-container inventory (WAV, MP3 frame walk + main
+    data) with the lossless-codec format; rice-coded fixed-predictor/
+    LPC subframes, stereo decorrelation, and variable blocking raise at
+    declared stubs (``decode.py:decode_flac_real``)."""
+    from ..multimodal.decode import decode_flac_real, synthesize_flac
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_flac_real(synthesize_flac(docs)).orderBy("doc_id")
