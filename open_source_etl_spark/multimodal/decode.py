@@ -2376,7 +2376,6 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
             if not frames:
                 raise ValueError(f"doc {doc_id}: no MP3 frames")
 
-            bits = len(stream) * 8
 
             sum_sf = n_quads = sum_abs = sum_signed = max_resv = 0
             for region_start, mdb, granules in frames:
@@ -2387,18 +2386,6 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                     )
                 max_resv = max(max_resv, mdb)
                 bp = (region_start - mdb) * 8  # bit cursor into stream
-
-                def take(n: int) -> int:
-                    nonlocal bp
-                    if bp + n > bits:
-                        raise ValueError(
-                            f"doc {doc_id}: main data ends mid-field"
-                        )
-                    v = 0
-                    for _ in range(n):
-                        v = (v << 1) | ((stream[bp >> 3] >> (7 - (bp & 7))) & 1)
-                        bp += 1
-                    return v
 
                 for g in granules:
                     if g["windows_switching_flag"]:
@@ -2417,26 +2404,52 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                             "count1 Huffman table A not implemented — "
                             "fixed-length table B only"
                         )
-                    start_bp = bp
+                    p23 = g["part2_3_length"]
+                    # One bigint per granule, fields extracted by shift
+                    # (a per-bit Python reader here dominated the sf0.1
+                    # bench).  The slice rounds up to byte edges, so a
+                    # final quadruple may legally read a few bits past
+                    # p23 before the overrun check rejects it.
+                    off = bp & 7
+                    base = bp >> 3
+                    nbytes = (off + p23 + 7) // 8
+                    if base + nbytes > len(stream):
+                        raise ValueError(
+                            f"doc {doc_id}: main data ends mid-field"
+                        )
+                    big = int.from_bytes(stream[base : base + nbytes], "big")
+                    tot = nbytes * 8
+                    used = 0
+
+                    def take(n: int) -> int:
+                        nonlocal used
+                        shift = tot - off - used - n
+                        if shift < 0:
+                            raise ValueError(
+                                f"doc {doc_id}: main data ends mid-field"
+                            )
+                        used += n
+                        return (big >> shift) & ((1 << n) - 1)
+
                     sl1, sl2 = MP3_SLEN[g["scalefac_compress"]]
                     for _band in range(11):
                         sum_sf += take(sl1)
                     for _band in range(10):
                         sum_sf += take(sl2)
-                    p23 = g["part2_3_length"]
-                    while bp - start_bp < p23:
-                        quad = [take(1) ^ 1 for _ in range(4)]
-                        for v in quad:
-                            if v:
+                    while used < p23:
+                        quad = take(4) ^ 0xF
+                        for shift4 in (3, 2, 1, 0):
+                            if (quad >> shift4) & 1:
                                 sign = take(1)
                                 sum_abs += 1
                                 sum_signed += -1 if sign else 1
                         n_quads += 1
-                        if bp - start_bp > p23:
+                        if used > p23:
                             raise ValueError(
                                 f"doc {doc_id}: count1 quadruple overran "
                                 f"part2_3_length"
                             )
+                    bp += p23
             return (
                 len(frames), max_resv, sum_sf, n_quads, sum_abs, sum_signed,
             )
@@ -3102,20 +3115,17 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
                     )
                 pos += 1
                 if stype == 0:  # CONSTANT
-                    value = int.from_bytes(raw[pos : pos + 2], "big")
-                    if value & 0x8000:
-                        value -= 0x10000
+                    value = int.from_bytes(
+                        raw[pos : pos + 2], "big", signed=True
+                    )
                     pos += 2
                     samples = [value] * blocksize
                     sum_c += value * blocksize
                 elif stype == 1:  # VERBATIM
-                    samples = []
-                    for i in range(blocksize):
-                        v = int.from_bytes(raw[pos : pos + 2], "big")
-                        if v & 0x8000:
-                            v -= 0x10000
-                        samples.append(v)
-                        pos += 2
+                    samples = list(
+                        struct.unpack_from(f">{blocksize}h", raw, pos)
+                    )
+                    pos += 2 * blocksize
                     sum_v += sum(samples)
                 elif 8 <= stype <= 12 or stype >= 32:
                     raise NotImplementedError(
@@ -3132,8 +3142,7 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
                 ):
                     raise ValueError(f"doc {doc_id}: frame CRC-16 bad")
                 pos += 2
-                for s in samples:
-                    md5.update(struct.pack("<h", s))
+                md5.update(struct.pack(f"<{len(samples)}h", *samples))
                 last_sample = samples[-1]
                 n_frames += 1
             if n_frames == 0:
