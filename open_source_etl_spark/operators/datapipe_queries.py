@@ -1459,12 +1459,16 @@ def datapipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # status parse, and tag stripping have no closed form.
     oracle="""
     WITH p AS (
-      SELECT doc_id, n_chars, 2 + doc_id % 3 AS np FROM documents
+      -- length(text), NOT n_chars: the perturbed fixtures deliberately
+      -- break the n_chars==length(text) invariant, and the WARC bytes
+      -- are built from the text itself on both engines
+      SELECT doc_id, length(text) AS t_len, 2 + doc_id % 3 AS np
+      FROM documents
     ),
     pg AS (
       SELECT doc_id, np, kk.k AS k,
              CASE WHEN (doc_id + kk.k) % 5 = 0 THEN 0 ELSE 1 END AS ok,
-             GREATEST(0, LEAST(40 + 3 * kk.k, n_chars - 7 * kk.k)) AS len,
+             GREATEST(0, LEAST(40 + 3 * kk.k, t_len - 7 * kk.k)) AS len,
              CASE WHEN kk.k = 0 THEN 9 ELSE 0 END AS extra
       FROM p, LATERAL (SELECT unnest(range(0, np)) AS k) kk
     )
