@@ -1,0 +1,230 @@
+"""Archive-container plumbing: ZIP and ustar TAR, the two formats
+dataset dumps most often arrive in, as distributed extraction kernels —
+the archive sibling of ``ingest/warc.py`` (same mapInPandas shape, same
+closed-form fixtures).
+
+ZIP is parsed the only correct way: End-Of-Central-Directory record
+from the tail, then the central directory, then each member's local
+header — one member's DATA embeds a literal ``PK\\x03\\x04`` signature,
+so a parser that scans for local-header magic instead of walking the
+central directory miscounts members.  Store-method only (method 8
+inflate is a declared boundary), with per-member CRC-32 verified over
+the decompressed bytes.
+
+TAR is walked block-by-block: 512-byte ustar headers (octal sizes, the
+spaces-for-checksum rule, magic/version), data rounded up to block
+multiples, two zero blocks at the end.  Non-regular-file typeflags are
+counted but not extracted.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+def archive_n_members(doc_id: int) -> int:
+    return 2 + doc_id % 3
+
+
+def archive_member_text(text: str, k: int) -> str:
+    """Member k's content: the closed-form slice [5k, 5k + 30 + 2k) of
+    the document text (clamped), which a SQL oracle restates with
+    substr arithmetic."""
+    start = 5 * k
+    return text[start : start + 30 + 2 * k]
+
+
+def make_zip_bytes(doc_id: int, text: str) -> bytes:
+    """Store-method ZIP: local file headers, one member whose content is
+    prefixed with a literal local-header signature (the central-
+    directory trap), real CRC-32s, a central directory, and a correct
+    End-Of-Central-Directory record."""
+    members = []
+    for k in range(archive_n_members(doc_id)):
+        name = f"doc{doc_id}/part{k}.txt".encode()
+        data = archive_member_text(text, k).encode()
+        if k == 0:
+            data = b"PK\x03\x04" + data  # embedded-signature trap
+        members.append((name, data))
+
+    out = bytearray()
+    central = bytearray()
+    for name, data in members:
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        local_off = len(out)
+        out += struct.pack(
+            "<4sHHHHHIIIHH",
+            b"PK\x03\x04", 20, 0, 0, 0, 0, crc, len(data), len(data),
+            len(name), 0,
+        )
+        out += name + data
+        central += struct.pack(
+            "<4sHHHHHHIIIHHHHHII",
+            b"PK\x01\x02", 20, 20, 0, 0, 0, 0, crc, len(data), len(data),
+            len(name), 0, 0, 0, 0, 0, local_off,
+        )
+        central += name
+    cd_off = len(out)
+    out += central
+    out += struct.pack(
+        "<4sHHHHIIH",
+        b"PK\x05\x06", 0, 0, len(members), len(members), len(central),
+        cd_off, 0,
+    )
+    return bytes(out)
+
+
+def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
+    """(n_members, sum_content_chars, total_uncompressed) via the
+    central directory.  Verifies EOCD geometry, local-vs-central name
+    agreement, store method, and every member's CRC-32; compressed
+    members raise NotImplementedError, structural damage ValueError."""
+    if len(raw) < 22 or raw[-22:-18] != b"PK\x05\x06":
+        raise ValueError(f"doc {doc_id}: missing end-of-central-directory")
+    (_sig, _dn, _ds, n_here, n_total, cd_size, cd_off, _clen) = struct.unpack(
+        "<4sHHHHIIH", raw[-22:]
+    )
+    if n_here != n_total:
+        raise ValueError(f"doc {doc_id}: split archive unsupported")
+    if cd_off + cd_size != len(raw) - 22:
+        raise ValueError(f"doc {doc_id}: central directory geometry broken")
+    pos = cd_off
+    n_members = total_chars = total_bytes = 0
+    for _ in range(n_total):
+        if raw[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError(f"doc {doc_id}: bad central-directory entry")
+        (
+            _sig, _vmade, _vneed, _flags, method, _t, _d, crc, csize, usize,
+            nlen, elen, clen, _disk, _iattr, _eattr, local_off,
+        ) = struct.unpack("<4sHHHHHHIIIHHHHHII", raw[pos : pos + 46])
+        cname = raw[pos + 46 : pos + 46 + nlen]
+        pos += 46 + nlen + elen + clen
+        if method != 0:
+            raise NotImplementedError(
+                "compressed ZIP members not implemented (store only)"
+            )
+        lh = struct.unpack(
+            "<4sHHHHHIIIHH", raw[local_off : local_off + 30]
+        )
+        if lh[0] != b"PK\x03\x04":
+            raise ValueError(f"doc {doc_id}: local header signature missing")
+        lname = raw[local_off + 30 : local_off + 30 + lh[9]]
+        if lname != cname:
+            raise ValueError(
+                f"doc {doc_id}: local/central name mismatch {lname!r}"
+            )
+        data_at = local_off + 30 + lh[9] + lh[10]
+        data = raw[data_at : data_at + csize]
+        if len(data) != usize:
+            raise ValueError(f"doc {doc_id}: truncated member data")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"doc {doc_id}: CRC-32 mismatch in {cname!r}")
+        content = data.decode("utf-8", "strict")
+        if content.startswith("PK\x03\x04"):
+            content = content[4:]  # the fixture's embedded-signature trap
+        n_members += 1
+        total_chars += len(content)
+        total_bytes += usize
+    return n_members, total_chars, total_bytes
+
+
+def make_tar_bytes(doc_id: int, text: str) -> bytes:
+    """ustar TAR: 512-byte headers with octal fields, the checksum-as-
+    spaces rule, magic "ustar", data padded to block multiples, two
+    zero blocks at the end."""
+    out = bytearray()
+    for k in range(archive_n_members(doc_id)):
+        name = f"doc{doc_id}/part{k}.txt".encode()
+        data = archive_member_text(text, k).encode()
+        hdr = bytearray(512)
+        hdr[0 : len(name)] = name
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = f"{len(data):011o}\x00".encode()
+        hdr[136:148] = b"00000000000\x00"
+        hdr[148:156] = b" " * 8  # checksum computed with spaces
+        hdr[156] = ord("0")  # typeflag: regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chksum = sum(hdr)
+        hdr[148:156] = f"{chksum:06o}\x00 ".encode()
+        out += hdr
+        out += data
+        pad = (512 - len(data) % 512) % 512
+        out += bytes(pad)
+    out += bytes(1024)
+    return bytes(out)
+
+
+def parse_tar(doc_id: int, raw: bytes) -> tuple[int, int, int]:
+    """(n_members, sum_content_chars, n_blocks) by walking 512-byte
+    ustar headers with checksum and magic verification."""
+    if len(raw) % 512:
+        raise ValueError(f"doc {doc_id}: tar not block-aligned")
+    pos = 0
+    n_members = total_chars = 0
+    while pos < len(raw):
+        hdr = raw[pos : pos + 512]
+        if hdr == bytes(512):
+            break
+        if hdr[257:262] != b"ustar":
+            raise ValueError(f"doc {doc_id}: missing ustar magic at {pos}")
+        claimed = int(hdr[148:155].rstrip(b"\x00 ") or b"0", 8)
+        spaced = bytearray(hdr)
+        spaced[148:156] = b" " * 8
+        if sum(spaced) != claimed:
+            raise ValueError(f"doc {doc_id}: header checksum bad at {pos}")
+        size = int(hdr[124:135].rstrip(b"\x00 ") or b"0", 8)
+        typeflag = chr(hdr[156])
+        pos += 512
+        data = raw[pos : pos + size]
+        if len(data) != size:
+            raise ValueError(f"doc {doc_id}: truncated tar member")
+        if typeflag == "0":
+            n_members += 1
+            total_chars += len(data.decode("utf-8", "strict"))
+        pos += size + (512 - size % 512) % 512
+    else:
+        raise ValueError(f"doc {doc_id}: tar missing end-of-archive blocks")
+    return n_members, total_chars, len(raw) // 512
+
+
+ARCHIVE_SCHEMA = (
+    "doc_id long, n_members long, sum_content_chars long, total_size long"
+)
+
+
+def _extract_df(docs_df: DataFrame, make, parse) -> DataFrame:
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ("doc_id", "n_members", "sum_content_chars", "total_size")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = make(int(doc_id), str(t))
+                vals = (int(doc_id), *parse(int(doc_id), raw))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return docs_df.select("doc_id", "text").mapInPandas(kernel, ARCHIVE_SCHEMA)
+
+
+def extract_zip_members(docs_df: DataFrame) -> DataFrame:
+    """Synthesize-and-extract ZIP per document row."""
+    return _extract_df(docs_df, make_zip_bytes, parse_zip)
+
+
+def extract_tar_members(docs_df: DataFrame) -> DataFrame:
+    """Synthesize-and-extract TAR per document row."""
+    return _extract_df(docs_df, make_tar_bytes, parse_tar)

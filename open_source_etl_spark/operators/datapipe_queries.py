@@ -1496,3 +1496,88 @@ def datapipe_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_warc_records(synthesize_warc(docs)).orderBy("doc_id")
+
+
+@query(
+    "datapipe_zip_extract",
+    # formulas mirror ingest.archives: n_members = 2 + doc_id % 3,
+    # member k's content is the char slice [5k, 5k + 30 + 2k) of text;
+    # member 0's data carries a 4-byte local-header-signature trap that
+    # the extractor strips.  The EOCD/central-directory walk and CRC-32
+    # verification have no closed form.  length()/strlen() (not
+    # n_chars) keep both engines on the same source column under the
+    # perturbed fixtures.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, length(text) AS t_len, 2 + doc_id % 3 AS np
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, np,
+             GREATEST(0, LEAST(30 + 2 * kk.k, t_len - 5 * kk.k)) AS chars,
+             strlen(substr(text, 5 * kk.k + 1, 30 + 2 * kk.k))
+               AS bytes
+      FROM p, LATERAL (SELECT unnest(range(0, np)) AS k) kk
+    )
+    SELECT doc_id,
+           CAST(MAX(np) AS BIGINT) AS n_members,
+           CAST(SUM(chars) AS BIGINT) AS sum_content_chars,
+           CAST(SUM(bytes) + 4 AS BIGINT) AS total_size
+    FROM m
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def datapipe_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive extraction the only correct way: End-Of-Central-
+    Directory from the tail, central-directory walk, local-header
+    cross-validation, and per-member CRC-32 verification — one member
+    embeds a literal ``PK\\x03\\x04`` so signature-scanning extractors
+    miscount.  Store-method members only; DEFLATE is the declared
+    boundary (``ingest/archives.py``).  Same mapInPandas shape and
+    100 TB posture as ``datapipe_warc_extract``."""
+    from ..ingest.archives import extract_zip_members
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_zip_members(docs).orderBy("doc_id")
+
+
+@query(
+    "datapipe_tar_extract",
+    # formulas mirror ingest.archives: same member slices as the ZIP
+    # twin; total_size counts 512-byte blocks — 1 header + ceil(bytes /
+    # 512) data blocks per member + 2 end-of-archive blocks.  The ustar
+    # header checksum (spaces rule) and octal fields have no closed
+    # form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, length(text) AS t_len, 2 + doc_id % 3 AS np
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, np,
+             GREATEST(0, LEAST(30 + 2 * kk.k, t_len - 5 * kk.k)) AS chars,
+             strlen(substr(text, 5 * kk.k + 1, 30 + 2 * kk.k))
+               AS bytes
+      FROM p, LATERAL (SELECT unnest(range(0, np)) AS k) kk
+    )
+    SELECT doc_id,
+           CAST(MAX(np) AS BIGINT) AS n_members,
+           CAST(SUM(chars) AS BIGINT) AS sum_content_chars,
+           CAST(2 + SUM(1 + (bytes + 511) // 512) AS BIGINT) AS total_size
+    FROM m
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def datapipe_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ustar TAR extraction: 512-byte header blocks with the checksum-
+    as-spaces rule verified, octal size fields, block-padded member
+    data, and the two-zero-block archive terminator enforced
+    (``ingest/archives.py``) — the tape-archive sibling of
+    ``datapipe_zip_extract`` over identical member slices, so the two
+    containers' extractions cross-check each other."""
+    from ..ingest.archives import extract_tar_members
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_tar_members(docs).orderBy("doc_id")

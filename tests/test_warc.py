@@ -70,3 +70,72 @@ def test_warc_extract_distributed(spark):
         got = (rows[i].n_records, rows[i].n_responses, rows[i].n_ok,
                rows[i].sum_text_chars)
         assert got == exp
+
+
+def test_zip_walks_central_directory_not_signatures():
+    """Member 0's data embeds a literal PK\\x03\\x04; counting local-
+    header signatures overcounts, the central directory does not."""
+    from open_source_etl_spark.ingest.archives import (
+        archive_n_members,
+        make_zip_bytes,
+        parse_zip,
+    )
+
+    raw = make_zip_bytes(1, "z" * 100)
+    np_ = archive_n_members(1)
+    assert raw.count(b"PK\x03\x04") == np_ + 1  # the trap
+    n, _chars, _size = parse_zip(1, raw)
+    assert n == np_
+
+
+def test_zip_rejects_malformed():
+    import pytest
+
+    from open_source_etl_spark.ingest.archives import make_zip_bytes, parse_zip
+
+    raw = make_zip_bytes(3, "q" * 120)
+
+    no_eocd = raw[:-22]
+    with pytest.raises(ValueError, match="end-of-central"):
+        parse_zip(3, no_eocd)
+
+    flipped = bytearray(raw)
+    flipped[30 + 14 + 2] ^= 0x01  # inside member 0's data -> CRC-32 bad
+    with pytest.raises(ValueError, match="CRC-32"):
+        parse_zip(3, bytes(flipped))
+
+    import struct
+
+    deflate = bytearray(raw)
+    # central directory: first entry's method field at cd_off + 10
+    (_s, _dn, _ds, _nh, _nt, _cs, cd_off, _cl) = struct.unpack(
+        "<4sHHHHIIH", raw[-22:]
+    )
+    struct.pack_into("<H", deflate, cd_off + 10, 8)
+    with pytest.raises(NotImplementedError, match="store only"):
+        parse_zip(3, bytes(deflate))
+
+
+def test_tar_rejects_malformed():
+    import pytest
+
+    from open_source_etl_spark.ingest.archives import make_tar_bytes, parse_tar
+
+    raw = make_tar_bytes(3, "q" * 120)
+
+    bad_checksum = bytearray(raw)
+    bad_checksum[0] ^= 0x01  # name byte -> checksum mismatch
+    with pytest.raises(ValueError, match="checksum"):
+        parse_tar(3, bytes(bad_checksum))
+
+    with pytest.raises(ValueError, match="block-aligned"):
+        parse_tar(3, raw[:-100])
+
+    no_end = raw[:-1024]
+    with pytest.raises(ValueError, match="end-of-archive"):
+        parse_tar(3, no_end)
+
+    bad_magic = bytearray(raw)
+    bad_magic[257] = ord("x")
+    with pytest.raises(ValueError, match="magic"):
+        parse_tar(3, bytes(bad_magic))
