@@ -12,6 +12,8 @@ import datetime as dt
 import random
 import string
 
+from struct import error as struct_error
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -259,3 +261,77 @@ def test_mp3_side_info_roundtrips_any_fields(mdb, fields):
     got_mdb, got = parse_mp3_side_info(0, w.to_bytes())
     assert got_mdb == mdb
     assert got == [(p23, bv, gg) for p23, bv, gg, _ in fields]
+
+
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.text(
+        # '<' and '>' excluded: the WARC fixture wraps text in HTML and
+        # the tag stripper would (correctly) eat them — the documents
+        # corpus never contains angle brackets
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="<>"
+        ),
+        max_size=400,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_container_parsers_roundtrip_any_text(doc_id, text):
+    """WARC/ZIP/TAR synth+parse agree with the closed forms for ANY
+    document text (unicode, empty, newline-ridden) — the oracle
+    restatement the registered queries rely on."""
+    from open_source_etl_spark.ingest.archives import (
+        archive_member_text,
+        archive_n_members,
+        make_tar_bytes,
+        make_zip_bytes,
+        parse_tar,
+        parse_zip,
+    )
+    from open_source_etl_spark.ingest.warc import (
+        make_warc_bytes,
+        parse_warc,
+        warc_n_pages,
+        warc_page_params,
+    )
+
+    np_ = archive_n_members(doc_id)
+    slices = [archive_member_text(text, k) for k in range(np_)]
+    exp_chars = sum(len(s) for s in slices)
+    exp_bytes = sum(len(s.encode()) for s in slices)
+    assert parse_zip(doc_id, make_zip_bytes(doc_id, text)) == (
+        np_, exp_chars, exp_bytes + 4,
+    )
+    blocks = 2 + sum(1 + (len(s.encode()) + 511) // 512 for s in slices)
+    assert parse_tar(doc_id, make_tar_bytes(doc_id, text)) == (
+        np_, exp_chars, blocks,
+    )
+
+    n_rec, n_resp, n_ok, chars, _ = parse_warc(
+        doc_id, make_warc_bytes(doc_id, text)
+    )
+    pages = warc_n_pages(doc_id)
+    exp_ok = exp_tc = 0
+    for k in range(pages):
+        status, _start, length = warc_page_params(doc_id, k, len(text))
+        if status == 200:
+            exp_ok += 1
+            exp_tc += length + (9 if k == 0 else 0)
+    assert (n_rec, n_resp, n_ok, chars) == (1 + 2 * pages, pages, exp_ok, exp_tc)
+
+
+@given(st.binary(min_size=1, max_size=600))
+@settings(max_examples=80, deadline=None)
+def test_container_parsers_never_hang_on_garbage(raw):
+    """Arbitrary bytes either raise cleanly or parse to sane counts —
+    no hangs, no negative sizes, no silent wrong types."""
+    from open_source_etl_spark.ingest.archives import parse_tar, parse_zip
+    from open_source_etl_spark.ingest.warc import parse_warc
+
+    for parser in (parse_zip, parse_tar, parse_warc):
+        try:
+            out = parser(0, raw)
+        except (ValueError, NotImplementedError, UnicodeDecodeError,
+                struct_error, OverflowError):
+            continue
+        assert all(isinstance(v, int) and v >= 0 for v in out)

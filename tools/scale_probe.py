@@ -569,6 +569,73 @@ def dsir_main() -> None:
         print(f"dsir_importance: mult {n1} -> {n2}: alpha = {a:.2f}", flush=True)
 
 
+def containers_main() -> None:
+    """Scale probe for the three container extractors
+    (`python tools/scale_probe.py containers [mults]`): replicate the
+    documents corpus (doc_id offset per copy, text reused — container
+    bytes are per-row so verbatim replication is safe here, unlike the
+    shingle probes), run WARC/ZIP/TAR extraction, fit exponents.
+    Expected: embarrassingly parallel mapInPandas kernels, alpha ~= 1
+    until the 32 cores saturate, then exactly 1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from open_source_etl_spark.conf import EngineConfig
+    from open_source_etl_spark.operators.datapipe_queries import (
+        datapipe_tar_extract,
+        datapipe_warc_extract,
+        datapipe_zip_extract,
+    )
+    from open_source_etl_spark.session import build_session
+
+    mults = [int(m) for m in (sys.argv[2:] or ["1", "5", "25"])]
+    spark = build_session(
+        EngineConfig(master="local[32]", shuffle_partitions=32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    base = spark.read.parquet(f"{BASE}/documents.parquet")
+    probes = [
+        ("datapipe_warc_extract", datapipe_warc_extract),
+        ("datapipe_zip_extract", datapipe_zip_extract),
+        ("datapipe_tar_extract", datapipe_tar_extract),
+    ]
+    times: dict[str, list[tuple[int, float]]] = {}
+    for mult in mults:
+        out = f"/tmp/osetl-containerprobe-{mult}"
+        parts = [
+            base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+            )
+            for i in range(mult)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        for qname, fn in probes:
+            t0 = time.time()
+            row = fn(spark, out).agg(
+                F.count("*"), F.sum("n_members")
+                if qname != "datapipe_warc_extract"
+                else F.sum("n_records")
+            ).first()
+            dt = time.time() - t0
+            times.setdefault(qname, []).append((mult, dt))
+            print(
+                f"mult={mult:2d} {qname:24s} {dt:7.2f}s rows={row[0]}",
+                flush=True,
+            )
+        shutil.rmtree(out, ignore_errors=True)
+    for qname, series in times.items():
+        if len(series) >= 2:
+            (n1, t1), (n2, t2) = series[0], series[-1]
+            a = math.log(t2 / t1) / math.log(n2 / n1)
+            print(f"{qname}: mult {n1} -> {n2}: alpha = {a:.2f}", flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "iterative":
         iterative_main()
@@ -578,5 +645,7 @@ if __name__ == "__main__":
         shingles_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "dsir":
         dsir_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "containers":
+        containers_main()
     else:
         main()
