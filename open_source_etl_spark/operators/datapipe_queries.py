@@ -1581,3 +1581,45 @@ def datapipe_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_tar_members(docs).orderBy("doc_id")
+
+
+@query(
+    "datapipe_tfrecord_scan",
+    # formulas mirror ingest.tfrecord: n_records = 2 + doc_id % 3,
+    # record j's text feature is the char slice [6j, 6j + 25 + 3j) and
+    # its packed int64_list is [doc_id*100 + j, j].  The framing CRCs
+    # and the protobuf wire walk have no closed form; length(text)
+    # keeps both engines on the same column under perturbed fixtures.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, length(text) AS t_len, 2 + doc_id % 3 AS nr
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, nr, jj.j AS j,
+             GREATEST(0, LEAST(25 + 3 * jj.j, t_len - 6 * jj.j)) AS chars
+      FROM p, LATERAL (SELECT unnest(range(0, nr)) AS j) jj
+    )
+    SELECT doc_id,
+           CAST(MAX(nr) AS BIGINT) AS n_records,
+           CAST(SUM(chars) AS BIGINT) AS sum_text_chars,
+           CAST(SUM(doc_id * 100 + 2 * j) AS BIGINT) AS sum_ids
+    FROM r
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def datapipe_tfrecord_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord scan — the container ML training pipelines write their
+    tensorized data into: 8-byte-length framing with BOTH masked
+    CRC-32Cs verified per record (reflected Castagnoli checksum, the
+    TensorFlow rotate-and-offset mask), then a REAL protobuf wire walk
+    of each ``tf.Example`` — varint tags, LEN-delimited nested
+    messages, the map<string, Feature> entries, bytes_list and PACKED
+    int64_list values — with unknown fields skipped by wire type
+    (``ingest/tfrecord.py``).  Completes the dataset-container
+    inventory: WARC in, ZIP/TAR through, TFRecord out."""
+    from ..ingest.tfrecord import extract_tfrecord
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_tfrecord(docs).orderBy("doc_id")

@@ -139,3 +139,54 @@ def test_tar_rejects_malformed():
     bad_magic[257] = ord("x")
     with pytest.raises(ValueError, match="magic"):
         parse_tar(3, bytes(bad_magic))
+
+
+def test_tfrecord_crc32c_and_rejection():
+    """CRC-32C matches the public check vector; framing damage (either
+    masked CRC, truncation) and wire damage (truncated varint) raise."""
+    import pytest
+
+    from open_source_etl_spark.ingest.tfrecord import (
+        crc32c,
+        make_tfrecord_bytes,
+        parse_tfrecord,
+    )
+
+    assert crc32c(b"123456789") == 0xE3069283  # RFC 3720 check value
+
+    raw = make_tfrecord_bytes(3, "q" * 200)
+
+    bad_len_crc = bytearray(raw)
+    bad_len_crc[8] ^= 0x01
+    with pytest.raises(ValueError, match="length CRC"):
+        parse_tfrecord(3, bytes(bad_len_crc))
+
+    bad_payload = bytearray(raw)
+    bad_payload[14] ^= 0x01  # inside the first Example
+    with pytest.raises(ValueError, match="CRC mismatch|varint|overruns"):
+        parse_tfrecord(3, bytes(bad_payload))
+
+    with pytest.raises(ValueError, match="truncated"):
+        parse_tfrecord(3, raw[:-2])
+
+    with pytest.raises(ValueError, match="empty"):
+        parse_tfrecord(3, b"")
+
+
+def test_tfrecord_example_skips_unknown_fields():
+    """The wire walk must skip features and fields it does not know —
+    forward compatibility is the point of the wire format."""
+    from open_source_etl_spark.ingest.tfrecord import (
+        _len_field,
+        _varint,
+        make_example_bytes,
+        parse_example,
+    )
+
+    base = make_example_bytes("hello", [5])
+    # append an unknown varint field 9 and an unknown LEN field 12 at
+    # the Example level
+    extended = base + _varint((9 << 3) | 0) + _varint(42) + _len_field(
+        12, b"future"
+    )
+    assert parse_example(extended) == ("hello", [5])
