@@ -3197,3 +3197,159 @@ def synthesize_flac(docs_df: DataFrame) -> DataFrame:
     return docs_df.select("doc_id").mapInPandas(
         kernel, "doc_id long, kind string, payload binary"
     )
+
+
+BMP_RLE8_SCHEMA = (
+    "doc_id long, width long, height long, mean_r long, mean_g long, "
+    "mean_b long, probe_tl long, probe_br long"
+)
+
+
+def decode_bmp_rle8(media_df: DataFrame) -> DataFrame:
+    """REAL RLE8-compressed BMP decode: header/palette parse
+    (BI_RLE8, 8 bpp, biClrUsed palette), then the run-length stream —
+    encoded runs, ABSOLUTE-mode segments with their word-boundary
+    padding, end-of-line / end-of-bitmap escapes — onto a bottom-up
+    raster, with cursor discipline enforced (runs past the row edge,
+    missing escapes, or trailing bytes raise).  Emits palette-mapped
+    channel means plus the top-left and bottom-right pixels as
+    placement probes.  The delta escape (00 02) is the declared
+    boundary — the fixture never moves the cursor over undefined
+    pixels."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            if raw[:2] != b"BM":
+                raise ValueError(f"doc {doc_id}: not a BMP payload")
+            (_m, _fsize, _r1, _r2, offset) = struct.unpack_from("<2sIHHI", raw, 0)
+            (
+                hsz, width, height, _planes, bpp, comp, _isize,
+                _xp, _yp, n_used, _imp,
+            ) = struct.unpack_from("<IiiHHIIiiII", raw, 14)
+            if hsz != 40 or bpp != 8:
+                raise ValueError(f"doc {doc_id}: not an 8-bit BITMAPINFOHEADER")
+            if comp != 1:
+                raise NotImplementedError(
+                    "only BI_RLE8 handled here (uncompressed BMPs take "
+                    "decode_bmp_real)"
+                )
+            if height <= 0:
+                raise ValueError(f"doc {doc_id}: top-down RLE8 is invalid")
+            n_pal = n_used or 256
+            pal_at = 14 + hsz
+            palette = [
+                tuple(raw[pal_at + 4 * i : pal_at + 4 * i + 3])  # B, G, R
+                for i in range(n_pal)
+            ]
+            img = [[0] * width for _ in range(height)]
+            pos, x, y = offset, 0, 0  # y counts storage rows (bottom-up)
+            ended = False
+            while pos < len(raw):
+                if pos + 2 > len(raw):
+                    raise ValueError(f"doc {doc_id}: truncated RLE pair")
+                b0, b1 = raw[pos], raw[pos + 1]
+                pos += 2
+                if b0 == 0:
+                    if b1 == 0:  # end of line
+                        x, y = 0, y + 1
+                    elif b1 == 1:  # end of bitmap
+                        ended = True
+                        break
+                    elif b1 == 2:
+                        raise NotImplementedError(
+                            "RLE8 delta escape leaves pixels undefined "
+                            "(declared boundary)"
+                        )
+                    else:  # absolute mode: b1 literal indices
+                        if y >= height or x + b1 > width:
+                            raise ValueError(
+                                f"doc {doc_id}: absolute run past row edge"
+                            )
+                        seg = raw[pos : pos + b1]
+                        if len(seg) < b1:
+                            raise ValueError(
+                                f"doc {doc_id}: truncated absolute run"
+                            )
+                        row = img[height - 1 - y]
+                        for i, v in enumerate(seg):
+                            if v >= n_pal:
+                                raise ValueError(
+                                    f"doc {doc_id}: palette index {v} "
+                                    f"out of range"
+                                )
+                            row[x + i] = v
+                        x += b1
+                        pos += b1 + (b1 % 2)  # word-boundary padding
+                else:  # encoded run: b0 copies of index b1
+                    if y >= height or x + b0 > width:
+                        raise ValueError(
+                            f"doc {doc_id}: encoded run past row edge"
+                        )
+                    if b1 >= n_pal:
+                        raise ValueError(
+                            f"doc {doc_id}: palette index {b1} out of range"
+                        )
+                    row = img[height - 1 - y]
+                    for i in range(b0):
+                        row[x + i] = b1
+                    x += b0
+            if not ended:
+                raise ValueError(f"doc {doc_id}: missing end-of-bitmap escape")
+            if pos != len(raw):
+                raise ValueError(f"doc {doc_id}: trailing bytes after bitmap")
+            tr = tg = tb = 0
+            for row in img:
+                for v in row:
+                    b, g, r = palette[v]
+                    tr += r
+                    tg += g
+                    tb += b
+            n_px = width * height
+            return (
+                width, height, tr // n_px, tg // n_px, tb // n_px,
+                palette[img[0][0]][2], palette[img[-1][-1]][2],
+            )
+
+        cols = (
+            "doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+            "probe_tl", "probe_br",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, BMP_RLE8_SCHEMA
+    )
+
+
+def synthesize_bmp_rle8(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying an RLE8-compressed BMP."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_bmp_rle8_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_bmp_rle8_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )

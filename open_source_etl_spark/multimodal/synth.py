@@ -1580,3 +1580,47 @@ def make_flac_bytes(doc_id: int) -> bytes:
         + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
         + bytes(frames)
     )
+
+
+def bmp_rle8_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) for the RLE8 BMP fixture.  Pixel (x, y) carries
+    palette index (x + y + doc_id) % 4 for x < 5 (written in absolute
+    mode) and (y + doc_id) % 4 for x >= 5 (written as encoded runs);
+    palette entries are gif_palette(doc_id) — closed forms a SQL
+    oracle restates."""
+    return 14 + doc_id % 12, 6 + doc_id % 6
+
+
+def make_bmp_rle8_bytes(doc_id: int) -> bytes:
+    """BI_RLE8-compressed 8-bit BMP (bottom-up, as the format demands):
+    each row opens with an ABSOLUTE-mode segment (00 nn + nn indices,
+    padded to a word boundary) followed by encoded runs, closed by the
+    00 00 end-of-line escape; the bitmap ends with 00 01.  A decoder
+    must honor both modes, the padding rule, and the escapes."""
+    width, height = bmp_rle8_params(doc_id)
+    palette = gif_palette(doc_id)
+    rle = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        n_abs = min(5, width)
+        rle += bytes((0, n_abs))
+        for x in range(n_abs):
+            rle.append((x + y + doc_id) % 4)
+        if n_abs % 2:
+            rle.append(0)  # absolute runs pad to word boundaries
+        remaining = width - n_abs
+        color = (y + doc_id) % 4
+        while remaining > 0:
+            run = min(remaining, 255)
+            rle += bytes((run, color))
+            remaining -= run
+        rle += bytes((0, 0))  # end of line
+    rle += bytes((0, 1))  # end of bitmap
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 8, 1,  # BI_RLE8
+        len(rle), 2835, 2835, 4, 0,  # biClrUsed = 4
+    )
+    pal = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    offset = 14 + 40 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(rle), 0, 0, offset)
+    return header + dib + pal + rle

@@ -1196,3 +1196,60 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_flac_real(synthesize_flac(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_bmp_rle8_decode",
+    # formulas mirror synth.bmp_rle8_params / gif_palette: pixel (x, y)
+    # carries palette index (x+y+doc)%4 for x < 5 (the absolute-mode
+    # band) and (y+doc)%4 for x >= 5 (the encoded runs); channel c of
+    # palette entry i is ((40,80,60)[c]*i + (7,11,13)[c]*(doc % (5,3,7)[c]))
+    # % 256.  The RLE stream itself (runs, absolute segments, padding,
+    # escapes, bottom-up rows) has no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 14 + doc_id % 12 AS w, 6 + doc_id % 6 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, xx.x AS x, yy.y AS y,
+             CASE WHEN xx.x < 5 THEN (xx.x + yy.y + doc_id) % 4
+                  ELSE (yy.y + doc_id) % 4 END AS idx
+      FROM p,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, h)) AS y) yy
+    ),
+    c AS (
+      SELECT doc_id, w, h, x, y,
+             (40 * idx + 7 * (doc_id % 5)) % 256 AS r,
+             (80 * idx + 11 * (doc_id % 3)) % 256 AS g,
+             (60 * idx + 13 * (doc_id % 7)) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM(r) // (MAX(w) * MAX(h)) AS BIGINT) AS mean_r,
+           CAST(SUM(g) // (MAX(w) * MAX(h)) AS BIGINT) AS mean_g,
+           CAST(SUM(b) // (MAX(w) * MAX(h)) AS BIGINT) AS mean_b,
+           CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN r END) AS BIGINT)
+             AS probe_tl,
+           CAST(MAX(CASE WHEN x = w - 1 AND y = h - 1 THEN r END) AS BIGINT)
+             AS probe_br
+    FROM c
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_bmp_rle8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RLE8-compressed BMP decode: BI_RLE8 run-length stream with
+    encoded runs, ABSOLUTE-mode segments (word-boundary padded),
+    end-of-line / end-of-bitmap escapes, bottom-up raster placement,
+    palette mapping, and cursor discipline enforced — the compressed
+    sibling of the uncompressed ``multimodal_bmp_decode``, so the BMP
+    surface now covers both of the format's storage modes.  The delta
+    escape (undefined pixels) stays the declared boundary."""
+    from ..multimodal.decode import decode_bmp_rle8, synthesize_bmp_rle8
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_bmp_rle8(synthesize_bmp_rle8(docs)).orderBy("doc_id")
