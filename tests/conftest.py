@@ -42,9 +42,31 @@ def _sweep_osetl_scratch():
     import glob
     import shutil
     import tempfile
+    import time
 
     pattern = os.path.join(tempfile.gettempdir(), "osetl-*")
+
+    # Stale leftovers from DEAD processes (a killed pytest, a driver bench
+    # run — those create osetl-xml-*/osetl-merge-* scratch too) predate
+    # this session, so the new-entries sweep below would protect them
+    # forever (VERDICT r8 item 6: 6 dirs survived a full run exactly this
+    # way).  Claim anything old enough that no live run can own it.
+    now = time.time()
+    for path in glob.glob(pattern):
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        if age > 2 * 3600:
+            shutil.rmtree(path, ignore_errors=True)
+
     before = set(glob.glob(pattern))
     yield
     for path in set(glob.glob(pattern)) - before:
         shutil.rmtree(path, ignore_errors=True)
+    # Fixed-name dirs are owned by THIS suite (test_concurrency /
+    # test_perturbed_parity recreate them from scratch every session), so
+    # delete them even when a recent prior run put them in `before`.
+    for fixed in ("osetl-concurrency-perturbed", "osetl-perturbed-*"):
+        for path in glob.glob(os.path.join(tempfile.gettempdir(), fixed)):
+            shutil.rmtree(path, ignore_errors=True)

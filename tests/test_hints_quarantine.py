@@ -4,7 +4,6 @@ PERMISSIVE CSV quarantine (malformed rows preserved, not dropped)."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -52,8 +51,8 @@ CSV_SCHEMA = StructType(
 )
 
 
-def test_csv_quarantine_split(spark):
-    root = tempfile.mkdtemp(prefix="osetl-quarantine-")
+def test_csv_quarantine_split(spark, tmp_path):
+    root = str(tmp_path)
     with open(os.path.join(root, "feed.csv"), "w") as f:
         f.write("id,v\n1,1.5\n2,oops\nnot_a_number,3.0\n4,4.25\n")
     good, bad = read_csv_with_quarantine(spark, root, CSV_SCHEMA)

@@ -4,7 +4,6 @@ atomic swap of the target."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -18,8 +17,8 @@ def _write_target(spark, path):
     ).write.mode("overwrite").parquet(path)
 
 
-def test_merge_update_insert(spark):
-    path = os.path.join(tempfile.mkdtemp(prefix="osetl-merge-"), "t")
+def test_merge_update_insert(spark, tmp_path):
+    path = str(tmp_path / "t")
     _write_target(spark, path)
     source = spark.createDataFrame(
         [(2, "B", 200.0), (5, "e", 50.0)], "id BIGINT, tag STRING, amount DOUBLE"
@@ -35,8 +34,8 @@ def test_merge_update_insert(spark):
     }
 
 
-def test_merge_delete_and_no_insert(spark):
-    path = os.path.join(tempfile.mkdtemp(prefix="osetl-merge-"), "t")
+def test_merge_delete_and_no_insert(spark, tmp_path):
+    path = str(tmp_path / "t")
     _write_target(spark, path)
     source = spark.createDataFrame(
         [(1, "A", -1.0), (3, "C", 300.0), (9, "z", 9.0)],
@@ -58,8 +57,8 @@ def test_merge_delete_and_no_insert(spark):
     }  # id=1 deleted, id=9 not inserted
 
 
-def test_merge_partial_update_columns(spark):
-    path = os.path.join(tempfile.mkdtemp(prefix="osetl-merge-"), "t")
+def test_merge_partial_update_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
     _write_target(spark, path)
     source = spark.createDataFrame([(2, "B", 999.0)], "id BIGINT, tag STRING, amount DOUBLE")
     out = merge_into(
