@@ -92,12 +92,20 @@ def pagerank(spark: SparkSession, edges: DataFrame, rounds: int = ROUNDS) -> Dat
         nodes = deg.select(F.col("src").alias("dst"))
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
         teleport = (1.0 - DAMPING) / n_nodes
+        # The rank frame is |V|-sized and |V| is known EXACTLY here —
+        # when it provably fits the broadcast policy cap (~24 B/row for
+        # two 8-byte columns plus hash-relation overhead), broadcast it
+        # into every round: the per-round join shuffle disappears and the
+        # only remaining exchange is the |V|-sized post-combine grouped
+        # sum.  Past the cap (billions of nodes at 100 TB) the loop falls
+        # back to the src-copartitioned shuffle join unchanged.
+        bcast_ranks = n_nodes * 24 < 32 * 1024 * 1024
         for _ in range(rounds):
+            rank_side = ranks.withColumnRenamed("dst", "node")
+            if bcast_ranks:
+                rank_side = F.broadcast(rank_side)
             contribs = (
-                wedges.join(
-                    ranks.withColumnRenamed("dst", "node"),
-                    wedges.src == F.col("node"),
-                )
+                wedges.join(rank_side, wedges.src == F.col("node"))
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
             )
