@@ -7,9 +7,10 @@ ZIP is parsed the only correct way: End-Of-Central-Directory record
 from the tail, then the central directory, then each member's local
 header — one member's DATA embeds a literal ``PK\\x03\\x04`` signature,
 so a parser that scans for local-header magic instead of walking the
-central directory miscounts members.  Store-method only (method 8
-inflate is a declared boundary), with per-member CRC-32 verified over
-the decompressed bytes.
+central directory miscounts members.  Store (method 0) and DEFLATE
+(method 8, raw-deflate inflate via the same stdlib zlib the PNG path
+uses) members are extracted, with per-member CRC-32 verified over the
+decompressed bytes; other methods raise at the exact boundary.
 
 TAR is walked block-by-block: 512-byte ustar headers (octal sizes, the
 spaces-for-checksum rule, magic/version), data rounded up to block
@@ -43,33 +44,41 @@ def archive_member_text(text: str, k: int) -> str:
 
 
 def make_zip_bytes(doc_id: int, text: str) -> bytes:
-    """Store-method ZIP: local file headers, one member whose content is
-    prefixed with a literal local-header signature (the central-
-    directory trap), real CRC-32s, a central directory, and a correct
-    End-Of-Central-Directory record."""
+    """Mixed store/DEFLATE ZIP: local file headers, one member whose
+    content is prefixed with a literal local-header signature (the
+    central-directory trap), real CRC-32s, a central directory, and a
+    correct End-Of-Central-Directory record.  Odd members are raw-
+    deflate compressed (method 8) so the extractor's inflate path is
+    exercised on every archive with >= 2 members."""
     members = []
     for k in range(archive_n_members(doc_id)):
         name = f"doc{doc_id}/part{k}.txt".encode()
         data = archive_member_text(text, k).encode()
         if k == 0:
             data = b"PK\x03\x04" + data  # embedded-signature trap
-        members.append((name, data))
+        members.append((name, data, k % 2 == 1))
 
     out = bytearray()
     central = bytearray()
-    for name, data in members:
+    for name, data, deflated in members:
         crc = zlib.crc32(data) & 0xFFFFFFFF
+        if deflated:
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate
+            payload = co.compress(data) + co.flush()
+            method = 8
+        else:
+            payload, method = data, 0
         local_off = len(out)
         out += struct.pack(
             "<4sHHHHHIIIHH",
-            b"PK\x03\x04", 20, 0, 0, 0, 0, crc, len(data), len(data),
-            len(name), 0,
+            b"PK\x03\x04", 20, 0, method, 0, 0, crc, len(payload),
+            len(data), len(name), 0,
         )
-        out += name + data
+        out += name + payload
         central += struct.pack(
             "<4sHHHHHHIIIHHHHHII",
-            b"PK\x01\x02", 20, 20, 0, 0, 0, 0, crc, len(data), len(data),
-            len(name), 0, 0, 0, 0, 0, local_off,
+            b"PK\x01\x02", 20, 20, 0, method, 0, 0, crc, len(payload),
+            len(data), len(name), 0, 0, 0, 0, 0, local_off,
         )
         central += name
     cd_off = len(out)
@@ -85,8 +94,9 @@ def make_zip_bytes(doc_id: int, text: str) -> bytes:
 def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
     """(n_members, sum_content_chars, total_uncompressed) via the
     central directory.  Verifies EOCD geometry, local-vs-central name
-    agreement, store method, and every member's CRC-32; compressed
-    members raise NotImplementedError, structural damage ValueError."""
+    agreement, and every member's CRC-32 over the DECOMPRESSED bytes;
+    store and DEFLATE members are extracted, other methods raise
+    NotImplementedError, structural damage ValueError."""
     if len(raw) < 22 or raw[-22:-18] != b"PK\x05\x06":
         raise ValueError(f"doc {doc_id}: missing end-of-central-directory")
     (_sig, _dn, _ds, n_here, n_total, cd_size, cd_off, _clen) = struct.unpack(
@@ -107,9 +117,10 @@ def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
         ) = struct.unpack("<4sHHHHHHIIIHHHHHII", raw[pos : pos + 46])
         cname = raw[pos + 46 : pos + 46 + nlen]
         pos += 46 + nlen + elen + clen
-        if method != 0:
+        if method not in (0, 8):
             raise NotImplementedError(
-                "compressed ZIP members not implemented (store only)"
+                f"ZIP compression method {method} not implemented "
+                "(store/deflate only)"
             )
         lh = struct.unpack(
             "<4sHHHHHIIIHH", raw[local_off : local_off + 30]
@@ -123,8 +134,17 @@ def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
             )
         data_at = local_off + 30 + lh[9] + lh[10]
         data = raw[data_at : data_at + csize]
-        if len(data) != usize:
+        if len(data) != csize:
             raise ValueError(f"doc {doc_id}: truncated member data")
+        if method == 8:
+            try:  # raw deflate: negative wbits = no zlib header/trailer
+                data = zlib.decompress(data, -15)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"doc {doc_id}: bad deflate stream in {cname!r}: {exc}"
+                ) from None
+        if len(data) != usize:
+            raise ValueError(f"doc {doc_id}: member size mismatch")
         if zlib.crc32(data) & 0xFFFFFFFF != crc:
             raise ValueError(f"doc {doc_id}: CRC-32 mismatch in {cname!r}")
         content = data.decode("utf-8", "strict")

@@ -1533,9 +1533,10 @@ def datapipe_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Directory from the tail, central-directory walk, local-header
     cross-validation, and per-member CRC-32 verification — one member
     embeds a literal ``PK\\x03\\x04`` so signature-scanning extractors
-    miscount.  Store-method members only; DEFLATE is the declared
-    boundary (``ingest/archives.py``).  Same mapInPandas shape and
-    100 TB posture as ``datapipe_warc_extract``."""
+    miscount.  Odd members are raw-DEFLATE compressed (method 8) and
+    inflated with stdlib zlib; CRC-32 is verified over the decompressed
+    bytes (``ingest/archives.py``).  Same mapInPandas shape and 100 TB
+    posture as ``datapipe_warc_extract``."""
     from ..ingest.archives import extract_zip_members
 
     docs = load_table(spark, sf_dir, "documents")

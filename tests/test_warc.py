@@ -106,14 +106,62 @@ def test_zip_rejects_malformed():
 
     import struct
 
-    deflate = bytearray(raw)
-    # central directory: first entry's method field at cd_off + 10
     (_s, _dn, _ds, _nh, _nt, _cs, cd_off, _cl) = struct.unpack(
         "<4sHHHHIIH", raw[-22:]
     )
-    struct.pack_into("<H", deflate, cd_off + 10, 8)
-    with pytest.raises(NotImplementedError, match="store only"):
-        parse_zip(3, bytes(deflate))
+    # central directory: first entry's method field at cd_off + 10
+    bzip2 = bytearray(raw)
+    struct.pack_into("<H", bzip2, cd_off + 10, 12)  # method 12 = bzip2
+    with pytest.raises(NotImplementedError, match="store/deflate only"):
+        parse_zip(3, bytes(bzip2))
+
+    # claiming DEFLATE over stored (non-deflate) payload must fail as a
+    # corrupt stream, not decode garbage
+    fake_deflate = bytearray(raw)
+    struct.pack_into("<H", fake_deflate, cd_off + 10, 8)
+    with pytest.raises(ValueError, match="bad deflate stream"):
+        parse_zip(3, bytes(fake_deflate))
+
+
+def test_zip_deflate_members_roundtrip_and_reject_corruption():
+    """Odd members are raw-DEFLATE compressed: the archive must be
+    smaller than the stored payload implies, still extract to the same
+    closed-form totals, and reject a corrupted compressed stream."""
+    import struct
+
+    import pytest
+
+    from open_source_etl_spark.ingest.archives import (
+        archive_member_text,
+        archive_n_members,
+        make_zip_bytes,
+        parse_zip,
+    )
+
+    doc_id, text = 7, "the quick brown fox " * 12  # repetitive → compresses
+    raw = make_zip_bytes(doc_id, text)
+    n = archive_n_members(doc_id)
+    chars = sum(len(archive_member_text(text, k)) for k in range(n))
+    total = chars + 4  # member 0's embedded-signature trap bytes
+    assert parse_zip(doc_id, raw) == (n, chars, total)
+    assert len(raw) < total + n * (30 + 46 + 2 * 16) + 22  # deflate shrank
+
+    # locate member 1 (deflated) via the central directory and flip a
+    # byte inside its compressed payload
+    (_s, _dn, _ds, _nh, _nt, _cs, cd_off, _cl) = struct.unpack(
+        "<4sHHHHIIH", raw[-22:]
+    )
+    pos = cd_off
+    entry = struct.unpack("<4sHHHHHHIIIHHHHHII", raw[pos : pos + 46])
+    pos += 46 + entry[10] + entry[11] + entry[12]
+    entry1 = struct.unpack("<4sHHHHHHIIIHHHHHII", raw[pos : pos + 46])
+    assert entry1[4] == 8  # member 1 is DEFLATE
+    local_off, nlen, csize = entry1[16], entry1[10], entry1[8]
+    data_at = local_off + 30 + nlen
+    corrupt = bytearray(raw)
+    corrupt[data_at + csize // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="bad deflate stream|CRC-32|size mismatch"):
+        parse_zip(doc_id, bytes(corrupt))
 
 
 def test_tar_rejects_malformed():
