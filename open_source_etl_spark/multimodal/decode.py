@@ -1965,6 +1965,21 @@ H264_IPCM_SCHEMA = (
 )
 
 
+def _read_pcm_mb_luma(doc_id: int, r, rbsp: bytes) -> int:
+    """Consume one I_PCM macroblock's payload after its mb_type:
+    pcm_alignment_zero_bits, then 256 raw luma + 2x64 raw 4:2:0 chroma
+    samples (byte-aligned — sliced out wholesale instead of 3072
+    bit-reads).  Returns the macroblock's luma sum."""
+    while r.pos % 8:
+        if r.u(1) != 0:
+            raise ValueError(f"doc {doc_id}: nonzero pcm_alignment_zero_bit")
+    at = r.pos // 8
+    if at + 384 > len(rbsp):
+        raise ValueError(f"doc {doc_id}: truncated I_PCM samples")
+    r.pos += 384 * 8
+    return sum(rbsp[at : at + 256])
+
+
 def _parse_ipcm_slice(
     doc_id: int, rbsp: bytes, frame_num_bits: int, n_mbs: int
 ) -> tuple[int, int]:
@@ -1976,7 +1991,8 @@ def _parse_ipcm_slice(
     not have), ``pcm_alignment_zero_bit`` padding, 256 raw luma and 128
     raw 4:2:0 chroma samples.  Verifies the rbsp_trailing_bits close
     the slice exactly.  Returns (idr_pic_id, mean luma over the
-    picture)."""
+    picture, per-macroblock luma sums — the reference state the GOP
+    decoder carries across pictures)."""
     r = _H264BitReader(rbsp, doc_id)
     r.ue()  # first_mb_in_slice
     slice_type = r.ue()
@@ -1991,7 +2007,7 @@ def _parse_ipcm_slice(
     qp_delta = r.se()  # slice_qp_delta (I_PCM ignores qp; range-check only)
     if not -52 < qp_delta < 52:
         raise ValueError(f"doc {doc_id}: slice_qp_delta {qp_delta} out of range")
-    luma_sum = 0
+    mb_sums = []
     for _m in range(n_mbs):
         mb_type = r.ue()
         if mb_type != 25:
@@ -1999,18 +2015,7 @@ def _parse_ipcm_slice(
                 f"doc {doc_id}: mb_type {mb_type} is entropy-coded "
                 "(I_PCM-only decoder)"
             )
-        while r.pos % 8:
-            if r.u(1) != 0:
-                raise ValueError(
-                    f"doc {doc_id}: nonzero pcm_alignment_zero_bit"
-                )
-        # samples are byte-aligned after pcm_alignment — slice them out
-        # wholesale instead of 3072 bit-reads per macroblock
-        at = r.pos // 8
-        if at + 384 > len(rbsp):
-            raise ValueError(f"doc {doc_id}: truncated I_PCM samples")
-        luma_sum += sum(rbsp[at : at + 256])
-        r.pos += 384 * 8  # 256 luma + 2x64 chroma (read, chroma discarded)
+        mb_sums.append(_read_pcm_mb_luma(doc_id, r, rbsp))
     if r.u(1) != 1:
         raise ValueError(f"doc {doc_id}: missing rbsp_stop_one_bit")
     while r.pos % 8:
@@ -2018,7 +2023,7 @@ def _parse_ipcm_slice(
             raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
     if r.pos != 8 * len(rbsp):
         raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
-    return idr_pic_id, luma_sum // (256 * n_mbs)
+    return idr_pic_id, sum(mb_sums) // (256 * n_mbs), mb_sums
 
 
 def decode_h264_ipcm(media_df: DataFrame) -> DataFrame:
@@ -2063,7 +2068,7 @@ def decode_h264_ipcm(media_df: DataFrame) -> DataFrame:
                             f"doc {doc_id}: slice before parameter sets"
                         )
                     n_mbs = (sps["width"] // 16) * (sps["height"] // 16)
-                    idr_pic_id, mean_luma = _parse_ipcm_slice(
+                    idr_pic_id, mean_luma, _mb_sums = _parse_ipcm_slice(
                         doc_id, rbsp, sps["frame_num_bits"], n_mbs
                     )
                     if idr_pic_id != len(frames):
@@ -2104,14 +2109,18 @@ H264_GOP_SCHEMA = (
 
 def _parse_pskip_slice(
     doc_id: int, rbsp: bytes, frame_num_bits: int, n_mbs: int
-) -> int:
-    """Decode one all-P_Skip slice (ITU-T H.264 7.3.3 + 7.3.4): the
-    COMPLETE P header for this stream shape (ref-list override and
-    modification flags, non-IDR dec_ref_pic_marking, slice_qp_delta),
-    then slice_data — a single ``mb_skip_run`` that must cover the
-    whole picture.  A skip run short of the picture means an entropy-
-    coded macroblock layer follows: that is the declared CAVLC stub.
-    Returns frame_num."""
+) -> tuple[int, dict[int, int]]:
+    """Decode one P slice (ITU-T H.264 7.3.3 + 7.3.4): the COMPLETE P
+    header for this stream shape (ref-list override and modification
+    flags, non-IDR dec_ref_pic_marking, slice_qp_delta), then
+    slice_data — alternating ``mb_skip_run`` fields and coded
+    macroblocks.  Skipped macroblocks copy the co-located reference
+    (P_Skip MV prediction is zero with no decoded spatial neighbors,
+    8.4.1.1); the one coded-macroblock type decodable without entropy
+    tables is I_PCM (mb_type 30 = intra 25 + the P-slice offset 5,
+    7.4.5) — any other mb_type needs the CAVLC residual tables and
+    raises at the declared stub.  Returns (frame_num, {mb_index:
+    luma_sum} of the refreshed macroblocks)."""
     r = _H264BitReader(rbsp, doc_id)
     if r.ue() != 0:
         raise ValueError(f"doc {doc_id}: multi-slice picture")
@@ -2135,16 +2144,27 @@ def _parse_pskip_slice(
     qp_delta = r.se()
     if not -52 < qp_delta < 52:
         raise ValueError(f"doc {doc_id}: slice_qp_delta {qp_delta} out of range")
-    skip_run = r.ue()
-    if skip_run > n_mbs:
-        raise ValueError(
-            f"doc {doc_id}: mb_skip_run {skip_run} exceeds picture size {n_mbs}"
-        )
-    if skip_run < n_mbs:
-        raise NotImplementedError(
-            "entropy-coded macroblock layer after a partial skip run "
-            "needs the CAVLC residual tables (declared stub)"
-        )
+    refreshed: dict[int, int] = {}
+    decoded = 0
+    while decoded < n_mbs:
+        skip_run = r.ue()
+        if skip_run > n_mbs - decoded:
+            raise ValueError(
+                f"doc {doc_id}: mb_skip_run {skip_run} exceeds picture "
+                f"size {n_mbs}"
+            )
+        decoded += skip_run
+        if decoded == n_mbs:
+            break
+        mb_type = r.ue()
+        if mb_type != 30:
+            raise NotImplementedError(
+                f"mb_type {mb_type} after a partial skip run is "
+                "entropy-coded — needs the CAVLC residual tables "
+                "(declared stub; only I_PCM refresh macroblocks decode)"
+            )
+        refreshed[decoded] = _read_pcm_mb_luma(doc_id, r, rbsp)
+        decoded += 1
     if r.u(1) != 1:
         raise ValueError(f"doc {doc_id}: missing rbsp_stop_one_bit")
     while r.pos % 8:
@@ -2152,21 +2172,22 @@ def _parse_pskip_slice(
             raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
     if r.pos != 8 * len(rbsp):
         raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
-    return frame_num
+    return frame_num, refreshed
 
 
 def decode_h264_gop(media_df: DataFrame) -> DataFrame:
-    """REAL inter-frame H.264 decode for IDR+P_Skip GOP streams: IDR
-    pictures decode pixel-exact via the I_PCM path, and every following
-    all-skip P picture is reconstructed by reference copy — P_Skip with
-    no decoded spatial neighbors has a zero motion vector prediction
-    (8.4.1.1), so each macroblock copies the co-located reference
-    macroblock and the picture reproduces its GOP's IDR exactly.  This
-    is the spec's one inter path with NO entropy-coded macroblock
-    layer; a partial skip run (real residuals) raises at the declared
-    CAVLC stub.  Emits one row per decoded picture in decode order with
-    its type, reconstructed mean luma, and skipped-macroblock count —
-    the P rows' luma values exist only because the decoder carried
+    """REAL inter-frame H.264 decode for IDR+P GOP streams: IDR
+    pictures decode pixel-exact via the I_PCM path; P pictures decode
+    through PER-MACROBLOCK reference state — skipped macroblocks copy
+    the co-located reference macroblock (P_Skip with no decoded
+    spatial neighbors has a zero motion vector prediction, 8.4.1.1)
+    and partial skip runs carry I_PCM refresh macroblocks whose raw
+    pixels overwrite their block and PERSIST into later pictures (the
+    decoded picture becomes the next reference).  Coded macroblocks
+    other than I_PCM (real CAVLC residuals) raise at the declared
+    stub.  Emits one row per decoded picture in decode order with its
+    type, reconstructed mean luma, and skipped-macroblock count — the
+    P rows' luma values exist only because the decoder carried
     reference state across NAL units."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -2175,7 +2196,7 @@ def decode_h264_gop(media_df: DataFrame) -> DataFrame:
         def walk(doc_id: int, raw: bytes):
             sps = pps = None
             rows = []  # (frame_type, mean_luma, n_skipped)
-            ref_luma = None
+            ref_mbs = None  # per-macroblock luma sums of the reference
             for unit in h264_split_nals(doc_id, raw):
                 if not unit:
                     raise ValueError(f"doc {doc_id}: empty NAL unit")
@@ -2198,21 +2219,33 @@ def decode_h264_gop(media_df: DataFrame) -> DataFrame:
                         )
                     n_mbs = (sps["width"] // 16) * (sps["height"] // 16)
                     if nal_type == 5:
-                        _idr_pic_id, mean_luma = _parse_ipcm_slice(
+                        _idr_pic_id, mean_luma, mb_sums = _parse_ipcm_slice(
                             doc_id, rbsp, sps["frame_num_bits"], n_mbs
                         )
-                        ref_luma = mean_luma
+                        ref_mbs = mb_sums
                         rows.append(("I", mean_luma, 0))
                     else:
-                        if ref_luma is None:
+                        if ref_mbs is None:
                             raise ValueError(
                                 f"doc {doc_id}: P slice with no reference "
                                 "picture (stream must open with an IDR)"
                             )
-                        _parse_pskip_slice(
+                        _frame_num, refreshed = _parse_pskip_slice(
                             doc_id, rbsp, sps["frame_num_bits"], n_mbs
                         )
-                        rows.append(("P", ref_luma, n_mbs))
+                        # reconstruct: skipped MBs copy the reference,
+                        # refreshed MBs take their PCM pixels — and the
+                        # picture becomes the reference for the next one
+                        ref_mbs = list(ref_mbs)
+                        for i, luma_sum in refreshed.items():
+                            ref_mbs[i] = luma_sum
+                        rows.append(
+                            (
+                                "P",
+                                sum(ref_mbs) // (256 * n_mbs),
+                                n_mbs - len(refreshed),
+                            )
+                        )
             if not rows:
                 raise ValueError(f"doc {doc_id}: no decodable pictures")
             return rows
@@ -2311,7 +2344,30 @@ def synthesize_h264(docs_df: DataFrame) -> DataFrame:
 
 MP3_MAINDATA_SCHEMA = (
     "doc_id long, n_frames long, max_reservoir long, sum_scalefac long, "
+    "n_pairs long, sum_bv_abs long, sum_bv_signed long, "
     "n_quads long, sum_quad_abs long, sum_quad_signed long"
+)
+
+# ISO 11172-3 Table B.7 Huffman code tables for the big-values region,
+# (code_length, code) -> (x, y).  Clean-room boundary: only table 1
+# (2x2, no linbits) ships — the remaining tables are empirical code
+# assignments this implementation does not reproduce from memory, so
+# table_select >= 2 raises rather than risking a silently-wrong table.
+# Table 0 is handled structurally (an all-zero region transmits no
+# bits at all).
+MP3_HUFF_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
+    1: {(1, 0b1): (0, 0), (2, 0b01): (1, 0),
+        (3, 0b001): (0, 1), (3, 0b000): (1, 1)},
+}
+
+# ISO 11172-3 Table B.8: long-block scalefactor band boundaries
+# (sample indices) at 44.1 kHz — the boundaries that split the
+# big-values region into its three table_select regions via
+# region0_count/region1_count.  Only the 44.1 kHz row ships; a stream
+# that actually needs region dispatch at another rate raises.
+MP3_SFB_LONG_44100 = (
+    0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
+    162, 196, 238, 288, 342, 418, 576,
 )
 
 
@@ -2321,19 +2377,25 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
     frame regions, seek each frame's main data ``main_data_begin``
     bytes BACK across frame boundaries (2.4.2.7 — the data for frame k
     usually lives in frames k-1/k-2), then bit-decode each granule:
-    slen-coded scalefactors (Table 2.4.2.7 via ``MP3_SLEN``) and the
-    count1 spectrum region in the fixed-length table-B code (4
-    complement bits per quadruple + one sign bit per nonzero value),
-    asserting EXACT ``part2_3_length`` consumption.
+    slen-coded scalefactors (Table 2.4.2.7 via ``MP3_SLEN``), the
+    big-values spectrum region — pair codes through the per-region
+    ``table_select`` (B.7 table 1 shipped; table 0 regions transmit
+    nothing), sign bits after each code, region boundaries from Table
+    B.8 when the three tables differ — and the count1 region in the
+    fixed-length table-B code (4 complement bits per quadruple + one
+    sign bit per nonzero value), asserting EXACT ``part2_3_length``
+    consumption.
 
-    Honest stub boundary: ``big_values > 0`` (the 32 Huffman
-    spectrum tables, ISO 11172-3 B.7), count1 table A
-    (``count1table_select = 0``), and short-block scalefactor
-    partitions raise ``NotImplementedError`` at the exact site a codec
-    library would take over — everything this decoder emits it computed
-    from the entropy bitstream itself.  Malformed streams (reservoir
-    pointer before stream start, granule bits overrunning
-    part2_3_length, truncated regions) raise."""
+    Honest stub boundary: B.7 Huffman tables 2-31 (including every
+    linbits table — their code assignments are empirical data this
+    clean-room implementation does not reproduce), count1 table A
+    (``count1table_select = 0``), B.8 rows other than 44.1 kHz, and
+    short-block scalefactor partitions raise ``NotImplementedError``
+    at the exact site a codec library would take over — everything
+    this decoder emits it computed from the entropy bitstream itself.
+    Malformed streams (reservoir pointer before stream start, granule
+    bits overrunning part2_3_length, invalid Huffman codes, truncated
+    regions) raise."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -2370,7 +2432,7 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                 mdb, granules = parse_mp3_side_info_full(
                     doc_id, raw[pos + 4 : pos + 21]
                 )
-                frames.append((len(stream), mdb, granules))
+                frames.append((len(stream), mdb, sr, granules))
                 stream += raw[pos + 21 : pos + frame_len]
                 pos += frame_len
             if not frames:
@@ -2378,7 +2440,8 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
 
 
             sum_sf = n_quads = sum_abs = sum_signed = max_resv = 0
-            for region_start, mdb, granules in frames:
+            n_pairs = sum_bv_abs = sum_bv_signed = 0
+            for region_start, mdb, sr, granules in frames:
                 if mdb > region_start:
                     raise ValueError(
                         f"doc {doc_id}: reservoir pointer {mdb} reaches "
@@ -2392,12 +2455,6 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                         raise NotImplementedError(
                             "short-block scalefactor partitions not "
                             "implemented (long-block fixture only)"
-                        )
-                    if g["big_values"]:
-                        raise NotImplementedError(
-                            "Huffman big-values spectrum tables (ISO "
-                            "11172-3 B.7) not implemented — count1-only "
-                            "streams supported"
                         )
                     if not g["count1table_select"]:
                         raise NotImplementedError(
@@ -2436,6 +2493,84 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                         sum_sf += take(sl1)
                     for _band in range(10):
                         sum_sf += take(sl2)
+                    # big-values region: pairs Huffman-decoded through
+                    # the region's table_select, x's sign then y's sign
+                    # after each pair code (ISO 2.4.2.7).  Region
+                    # boundaries only matter when the three tables
+                    # differ — then they come from Table B.8 (44.1 kHz
+                    # shipped); uniform table_selects decode without
+                    # boundary knowledge at any rate.
+                    nbv = g["big_values"]
+                    if nbv:
+                        tsels = g["table_select"]
+                        if len(set(tsels)) == 1:
+                            regions = [(nbv, tsels[0])]
+                        else:
+                            if sr != 44100:
+                                raise NotImplementedError(
+                                    "region-dependent table switching "
+                                    "needs ISO B.8 band boundaries; "
+                                    "only the 44.1 kHz row is shipped"
+                                )
+                            b = MP3_SFB_LONG_44100
+                            r0 = min(
+                                nbv, b[g["region0_count"] + 1] // 2
+                            )
+                            r1 = min(
+                                nbv,
+                                b[
+                                    g["region0_count"]
+                                    + g["region1_count"]
+                                    + 2
+                                ]
+                                // 2,
+                            )
+                            regions = [
+                                (r0, tsels[0]),
+                                (r1 - r0, tsels[1]),
+                                (nbv - r1, tsels[2]),
+                            ]
+                        for count, tsel in regions:
+                            if count <= 0:
+                                continue
+                            if tsel == 0:
+                                # table 0: the region is all zeros and
+                                # transmits nothing
+                                n_pairs += count
+                                continue
+                            table = MP3_HUFF_TABLES.get(tsel)
+                            if table is None:
+                                raise NotImplementedError(
+                                    f"ISO 11172-3 B.7 Huffman table "
+                                    f"{tsel} data not shipped (tables "
+                                    "0/1 only)"
+                                )
+                            for _ in range(count):
+                                length = code = 0
+                                while True:
+                                    code = (code << 1) | take(1)
+                                    length += 1
+                                    xy = table.get((length, code))
+                                    if xy is not None:
+                                        break
+                                    if length >= 19:
+                                        raise ValueError(
+                                            f"doc {doc_id}: invalid "
+                                            "Huffman code in big_values"
+                                        )
+                                x, y = xy
+                                if x:
+                                    sum_bv_abs += x
+                                    sum_bv_signed += -x if take(1) else x
+                                if y:
+                                    sum_bv_abs += y
+                                    sum_bv_signed += -y if take(1) else y
+                                n_pairs += 1
+                                if used > p23:
+                                    raise ValueError(
+                                        f"doc {doc_id}: big-values "
+                                        "region overran part2_3_length"
+                                    )
                     while used < p23:
                         quad = take(4) ^ 0xF
                         for shift4 in (3, 2, 1, 0):
@@ -2451,11 +2586,13 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                             )
                     bp += p23
             return (
-                len(frames), max_resv, sum_sf, n_quads, sum_abs, sum_signed,
+                len(frames), max_resv, sum_sf, n_pairs, sum_bv_abs,
+                sum_bv_signed, n_quads, sum_abs, sum_signed,
             )
 
         cols = (
             "doc_id", "n_frames", "max_reservoir", "sum_scalefac",
+            "n_pairs", "sum_bv_abs", "sum_bv_signed",
             "n_quads", "sum_quad_abs", "sum_quad_signed",
         )
         for pdf in batches:
@@ -2964,9 +3101,89 @@ def synthesize_tiff(docs_df: DataFrame) -> DataFrame:
 
 FLAC_SCHEMA = (
     "doc_id long, n_frames long, sample_rate long, total_samples long, "
-    "sum_constant long, sum_verbatim long, last_sample long, "
-    "md5_ok boolean"
+    "sum_constant long, sum_verbatim long, sum_fixed long, "
+    "last_sample long, md5_ok boolean"
 )
+
+
+class _FlacBits:
+    """MSB-first bit reader positioned at an absolute bit offset into
+    the whole stream, so the byte-aligned frame walk can hand off to
+    bit-level subframe decode and take the cursor back afterwards.
+    Multi-bit reads extract via one int.from_bytes per call — no
+    per-bit Python loop on the field path."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes, byte_offset: int):
+        self.data = data
+        self.bitpos = byte_offset * 8
+
+    def u(self, n: int) -> int:
+        end = self.bitpos + n
+        if end > len(self.data) * 8:
+            raise ValueError("FLAC bitstream truncated")
+        first = self.bitpos >> 3
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[first:last], "big")
+        self.bitpos = end
+        return (chunk >> (last * 8 - end)) & ((1 << n) - 1)
+
+    def unary(self) -> int:
+        q = 0
+        while self.u(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> int:
+        """Zero-check and skip padding to the next byte edge; return
+        the byte offset there."""
+        pad = -self.bitpos % 8
+        if pad and self.u(pad) != 0:
+            raise ValueError("nonzero FLAC subframe padding")
+        return self.bitpos >> 3
+
+
+# reconstruction: x[i] = r[i] + sum(coef[j] * x[i-1-j]) (RFC 9639 §9.2.3)
+_FLAC_FIXED_COEFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _flac_read_residuals(
+    doc_id: int, br: "_FlacBits", blocksize: int, order: int
+) -> list:
+    """Rice-coded residual section (RFC 9639 §9.2.7, shared by the
+    FIXED and LPC subframes): 2-bit coding method (RICE/RICE2), 4-bit
+    partition order, 2^p partitions each led by its parameter — or the
+    all-ones escape to raw `n`-bit two's-complement residuals."""
+    method = br.u(2)
+    if method > 1:
+        raise ValueError(
+            f"doc {doc_id}: reserved residual coding method {method}"
+        )
+    pbits = 4 + method  # 00 = RICE, 01 = RICE2
+    escape = (1 << pbits) - 1
+    porder = br.u(4)
+    if blocksize % (1 << porder) or (blocksize >> porder) <= order:
+        raise ValueError(
+            f"doc {doc_id}: rice partition order {porder} does not "
+            f"divide blocksize {blocksize}"
+        )
+    res = []
+    for part in range(1 << porder):
+        param = br.u(pbits)
+        n = (blocksize >> porder) - (order if part == 0 else 0)
+        if param == escape:  # raw two's-complement
+            nbits = br.u(5)
+            for _ in range(n):
+                v = br.u(nbits) if nbits else 0
+                if nbits and v >> (nbits - 1):
+                    v -= 1 << nbits
+                res.append(v)
+        else:
+            for _ in range(n):
+                m = (br.unary() << param) | (br.u(param) if param else 0)
+                res.append((m >> 1) ^ -(m & 1))
+    return res
 
 # FLAC frame-header code tables (subset the decoder accepts; the rest
 # of the spec's codes raise explicitly rather than mis-decode)
@@ -2979,18 +3196,23 @@ _FLAC_SAMPLE_RATES = {
 
 
 def decode_flac_real(media_df: DataFrame) -> DataFrame:
-    """REAL FLAC decode for constant/verbatim-subframe streams: magic
-    and STREAMINFO parse (20-bit rate, 36-bit total-sample packing),
-    frame walk with 14-bit sync, code-table blocksize/rate/bps
-    resolution, UTF-8-style frame-number decode, CRC-8 header and
-    CRC-16 frame verification, subframe decode for the two
-    non-residual types, and an END-TO-END check: the MD5 of the
-    decoded little-endian sample stream is recomputed and compared to
-    STREAMINFO's — ``md5_ok`` is decoded proof, not metadata.  Honest
-    boundaries: fixed-predictor and LPC subframes (rice-coded
-    residuals), stereo channel assignments, and variable blocking
-    raise ``NotImplementedError`` at the exact sites a codec library
-    would take over."""
+    """REAL FLAC decode across all four subframe types: magic and
+    STREAMINFO parse (20-bit rate, 36-bit total-sample packing), frame
+    walk with 14-bit sync, code-table blocksize/rate/bps resolution,
+    UTF-8-style frame-number decode, CRC-8 header and CRC-16 frame
+    verification, subframe decode for CONSTANT, VERBATIM, all five
+    FIXED predictor orders, and LPC — in-stream quantized coefficients
+    (4-bit precision, signed 5-bit shift, RFC 9639 §9.2.4) driving the
+    arithmetic-shifted prediction recurrence — with Rice-coded
+    residual partitions (§9.2.7: coding method, partition order,
+    per-partition parameter or raw-bits escape, zigzag quotient/
+    remainder codes) feeding both predictor paths, and an END-TO-END
+    check: the MD5 of the decoded little-endian sample stream is
+    recomputed and compared to STREAMINFO's — ``md5_ok`` is decoded
+    proof, not metadata.  Honest boundaries: stereo channel
+    assignments, wasted bits, and variable blocking raise
+    ``NotImplementedError`` at the exact sites a codec library would
+    take over."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -3027,7 +3249,7 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
                     "only 16-bit mono FLAC implemented (stereo channel "
                     "assignments need inter-channel decorrelation)"
                 )
-            n_frames = sum_c = sum_v = 0
+            n_frames = sum_c = sum_v = sum_f = 0
             last_sample = 0
             md5 = hashlib.md5()
             while pos < len(raw):
@@ -3128,10 +3350,56 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
                     pos += 2 * blocksize
                     sum_v += sum(samples)
                 elif 8 <= stype <= 12 or stype >= 32:
-                    raise NotImplementedError(
-                        "fixed-predictor / LPC subframes need rice-coded "
-                        "residual decode (declared stub)"
+                    # FIXED (order 0-4) or LPC (order 1-32): warmup,
+                    # for LPC the in-stream quantized predictor, then
+                    # the shared Rice residual section and the
+                    # reconstruction recurrence
+                    is_lpc = stype >= 32
+                    order = stype - 31 if is_lpc else stype - 8
+                    br = _FlacBits(raw, pos)
+                    samples = []
+                    for _ in range(order):
+                        w = br.u(16)
+                        samples.append(w - 0x10000 if w & 0x8000 else w)
+                    if is_lpc:  # RFC 9639 §9.2.4
+                        prec_m1 = br.u(4)
+                        if prec_m1 == 15:
+                            raise ValueError(
+                                f"doc {doc_id}: invalid LPC coefficient "
+                                "precision 0b1111"
+                            )
+                        precision = prec_m1 + 1
+                        shift = br.u(5)
+                        if shift & 0x10:
+                            raise ValueError(
+                                f"doc {doc_id}: negative LPC "
+                                "quantization shift"
+                            )
+                        coefs = []
+                        for _ in range(order):
+                            c = br.u(precision)
+                            if c >> (precision - 1):
+                                c -= 1 << precision
+                            coefs.append(c)
+                    else:
+                        shift = 0
+                        coefs = _FLAC_FIXED_COEFS[order]
+                    res = _flac_read_residuals(
+                        doc_id, br, blocksize, order
                     )
+                    for r in res:
+                        pred = sum(
+                            c * samples[-1 - j]
+                            for j, c in enumerate(coefs)
+                        )
+                        samples.append(r + (pred >> shift))
+                    if any(not -0x8000 <= s <= 0x7FFF for s in samples):
+                        raise ValueError(
+                            f"doc {doc_id}: predictor output exceeds "
+                            "16-bit range"
+                        )
+                    pos = br.align()
+                    sum_f += sum(samples)
                 else:
                     raise ValueError(
                         f"doc {doc_id}: reserved subframe type {stype}"
@@ -3154,13 +3422,14 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
                     f"decoded {total}"
                 )
             return (
-                n_frames, rate, total, sum_c, sum_v, last_sample,
+                n_frames, rate, total, sum_c, sum_v, sum_f, last_sample,
                 md5.digest() == md5_claim,
             )
 
         cols = (
             "doc_id", "n_frames", "sample_rate", "total_samples",
-            "sum_constant", "sum_verbatim", "last_sample", "md5_ok",
+            "sum_constant", "sum_verbatim", "sum_fixed", "last_sample",
+            "md5_ok",
         )
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}

@@ -1028,17 +1028,60 @@ def h264_pskip_rbsp(frame_num: int, n_mbs: int) -> bytes:
     return w.rbsp_trailing()
 
 
+def h264_refresh_fields(doc_id: int, g: int, s: int, n_mbs: int) -> tuple[int, int]:
+    """(refresh_mb_index, flat_luma) of the I_PCM refresh macroblock
+    that every P picture of an even doc carries: closed forms a SQL
+    oracle restates.  The refreshed index depends only on (doc, g) so
+    each P picture's mean is one substitution into the IDR sum — no
+    refresh history needed in SQL (the decoder still carries full
+    per-macroblock reference state; persistence across non-refresh
+    pictures is pinned by a handcrafted unit test)."""
+    return (doc_id + g) % n_mbs, 10 + (doc_id * 11 + 37 * g + 23 * s) % 200
+
+
+def h264_prefresh_rbsp(
+    frame_num: int, n_mbs: int, refresh_mb: int, luma: int
+) -> bytes:
+    """A P slice with a PARTIAL skip run (ITU-T H.264 7.3.4): the same
+    P header as ``h264_pskip_rbsp``, then slice_data of mb_skip_run =
+    refresh_mb, ONE non-skipped macroblock coded as I_PCM (mb_type 30
+    in a P slice = intra type 25 + 5, 7.4.5), and the closing
+    mb_skip_run over the remaining macroblocks.  The one partial-skip
+    shape that carries real pixels without the CAVLC residual tables."""
+    w = _H264BitWriter()
+    w.ue(0)                 # first_mb_in_slice
+    w.ue(5)                 # slice_type: P
+    w.ue(0)                 # pic_parameter_set_id
+    w.u(frame_num % 16, 4)  # frame_num
+    w.u(0, 1)               # num_ref_idx_active_override_flag
+    w.u(0, 1)               # ref_pic_list_modification_flag_l0
+    w.u(0, 1)               # dec_ref_pic_marking: adaptive_marking_flag
+    w.se(0)                 # slice_qp_delta
+    w.ue(refresh_mb)        # mb_skip_run before the coded macroblock
+    w.ue(30)                # mb_type: I_PCM (P-slice intra offset +5)
+    while len(w.bits) % 8:
+        w.bits.append(0)    # pcm_alignment_zero_bit
+    parts = [w.to_bytes(), bytes([luma]) * 256 + bytes([128]) * 128]
+    tail = _H264BitWriter()
+    if refresh_mb < n_mbs - 1:
+        tail.ue(n_mbs - 1 - refresh_mb)  # closing skip run
+    parts.append(tail.rbsp_trailing())
+    return b"".join(parts)
+
+
 def make_h264_gop_bytes(doc_id: int) -> bytes:
     """REAL H.264 Annex-B stream with INTER frames a decoder can fully
     reconstruct without entropy tables: each GOP opens with an
     all-I_PCM IDR picture (raw pixels, ``h264_ipcm_idr_rbsp``) followed
-    by all-P_Skip pictures (``h264_pskip_rbsp``) whose every macroblock
-    copies the co-located reference macroblock — with zero spatial MV
-    neighbors everywhere, the P_Skip motion vector prediction is zero,
-    so each P picture IS its GOP's IDR picture.  The one inter-
-    prediction path the spec defines whose slice_data carries no
-    entropy-coded macroblock layer; any non-skip macroblock would need
-    the CAVLC tables and stays the declared stub."""
+    by P pictures: odd docs ship all-P_Skip pictures
+    (``h264_pskip_rbsp`` — every macroblock copies the co-located
+    reference; with zero spatial MV neighbors the P_Skip motion vector
+    prediction is zero, so the picture IS its GOP's IDR), even docs
+    ship PARTIAL skip runs (``h264_prefresh_rbsp``) whose one
+    non-skipped macroblock is an I_PCM refresh — skip, coded
+    macroblock, skip, all in one slice_data.  Non-PCM coded
+    macroblocks would need the CAVLC tables and stay the declared
+    stub."""
     n_gops, gop_len, mb_w, mb_h = h264_gop_params(doc_id)
     n_mbs = mb_w * mb_h
     units = [
@@ -1052,7 +1095,12 @@ def make_h264_gop_bytes(doc_id: int) -> bytes:
         )
         idx += 1
         for s in range(1, gop_len):
-            units.append(_h264_nal(2, 1, h264_pskip_rbsp(s, n_mbs), idx))
+            if doc_id % 2 == 0:
+                r_mb, luma = h264_refresh_fields(doc_id, g, s, n_mbs)
+                rbsp = h264_prefresh_rbsp(s, n_mbs, r_mb, luma)
+            else:
+                rbsp = h264_pskip_rbsp(s, n_mbs)
+            units.append(_h264_nal(2, 1, rbsp, idx))
             idx += 1
     return b"".join(units)
 
@@ -1082,11 +1130,55 @@ def mp3_md_params(doc_id: int) -> tuple[int, int, int, int]:
     )
 
 
+# ISO 11172-3 Table B.7, Huffman code table 1 (2x2, no linbits) —
+# (x, y) -> (code_length, code).  The one big-values table this
+# clean-room implementation ships; see decode.MP3_HUFF_TABLES.
+MP3_HUFF1_ENC = {(0, 0): (1, 0b1), (1, 0): (2, 0b01),
+                 (0, 1): (3, 0b001), (1, 1): (3, 0b000)}
+
+
+def mp3_bv_tables(doc_id: int) -> tuple[int, int, int]:
+    """Per-doc region table_select triple.  Every sixth doc (always a
+    44.1 kHz doc: doc%6=0 implies doc%3=0) switches tables across the
+    regions — table 0 (all-zero, zero bits) for region1 — so the
+    corpus exercises the B.8 region-boundary dispatch; everyone else
+    uses table 1 uniformly (boundaries then provably irrelevant)."""
+    return (1, 0, 1) if doc_id % 6 == 0 else (1, 1, 1)
+
+
+def mp3_bv_pairs(doc_id: int, g: int) -> list[tuple[int, int]]:
+    """The granule's big-values spectrum pairs (closed forms): pair q
+    is (x, y) = ((doc+3q+g)%2, (doc+q+2g)%2), zeroed for pairs 2-3 of
+    the region-switching docs (their region1 = samples 4..7 = pairs
+    2-3 at region0_count = region1_count = 0 carries table 0)."""
+    n_pairs = 6 + (doc_id + g) % 7
+    pairs = []
+    for q in range(n_pairs):
+        if doc_id % 6 == 0 and 2 <= q < 4:
+            pairs.append((0, 0))
+        else:
+            pairs.append(((doc_id + 3 * q + g) % 2, (doc_id + q + 2 * g) % 2))
+    return pairs
+
+
+def mp3_bv_bits(doc_id: int, g: int) -> int:
+    """Bits the big-values region occupies: per pair, the table-1 code
+    length plus one sign bit per nonzero — except the table-0 pairs of
+    the region-switching docs, which occupy zero bits."""
+    total = 0
+    for q, (x, y) in enumerate(mp3_bv_pairs(doc_id, g)):
+        if doc_id % 6 == 0 and 2 <= q < 4:
+            continue
+        total += MP3_HUFF1_ENC[(x, y)][0] + x + y
+    return total
+
+
 def mp3_md_granule(doc_id: int, g: int, region_bytes: int, delta: int):
     """Closed-form main-data content for granule g (identical across a
-    doc's frames except the count1 sign, which alternates by frame):
-    (scalefac_compress, sf_first11, sf_last10, quad_pattern, n_quads,
-    part2_3_length).  All integer arithmetic a SQL oracle restates."""
+    doc's frames except the big-values/count1 signs, which alternate
+    by frame): (scalefac_compress, sf_first11, sf_last10, quad_pattern,
+    n_quads, part2_3_length).  All integer arithmetic a SQL oracle
+    restates."""
     sfc = (doc_id + g) % 16
     sl1, sl2 = MP3_SLEN[sfc]
     sf_a = (doc_id + g) % (1 << sl1)
@@ -1102,8 +1194,9 @@ def mp3_md_granule(doc_id: int, g: int, region_bytes: int, delta: int):
     # over 50k docs x 7 frames is ~20x cheaper (the rest of the region
     # is ancillary stuffing, exactly as the spec allows — part2_3
     # accounting still must land bit-exact).
-    n_quads = min((budget - sf_bits) // bpq, 24)
-    part2_3 = sf_bits + n_quads * bpq
+    bv_bits = mp3_bv_bits(doc_id, g)
+    n_quads = min((budget - sf_bits - bv_bits) // bpq, 24)
+    part2_3 = sf_bits + bv_bits + n_quads * bpq
     return sfc, sf_a, sf_b, pattern, n_quads, part2_3
 
 
@@ -1113,11 +1206,13 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
     ``main_data_begin = k * delta`` bytes back into the concatenated
     main-data regions, and whose granule data is an actual entropy
     bitstream — slen-coded scalefactors (Table 2.4.2.7) followed by
-    count1 quadruples in the fixed-length table-B code (4 complement
-    bits + one sign bit per nonzero value), exactly ``part2_3_length``
-    bits per granule.  ``big_values = 0`` keeps the spectrum entirely
-    in the count1 region — the Huffman big-values tables (B.7) remain
-    the decoder's declared stub."""
+    a big-values region of table-1 Huffman pair codes with sign bits
+    (every sixth doc switches regions between tables 1 and 0 so the
+    B.8 boundary dispatch is exercised), then count1 quadruples in the
+    fixed-length table-B code (4 complement bits + one sign bit per
+    nonzero value), exactly ``part2_3_length`` bits per granule.
+    Huffman tables 2-31 (including all linbits tables) remain the
+    decoder's declared stub."""
     n_frames, sr_idx, br_idx, delta = mp3_md_params(doc_id)
     sr = MP3_SAMPLE_RATES[sr_idx]
     kbps = MP3_BITRATES_KBPS[br_idx]
@@ -1140,6 +1235,22 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
         for _band in range(10):
             acc = (acc << sl2) | sf_b
             nb += sl2
+        # big-values region: per pair one table-1 Huffman code, then a
+        # sign bit per nonzero value (x's, then y's — ISO 2.4.2.7's
+        # decode order); the table-0 pairs of the region-switching
+        # docs transmit nothing.
+        for q, (x, y) in enumerate(mp3_bv_pairs(doc_id, g)):
+            if doc_id % 6 == 0 and 2 <= q < 4:
+                continue
+            hlen, hcode = MP3_HUFF1_ENC[(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if x:
+                acc = (acc << 1) | ((doc_id + q + k + g) % 2)
+                nb += 1
+            if y:
+                acc = (acc << 1) | ((doc_id + q + k + g + 1) % 2)
+                nb += 1
         neg = (doc_id + g + k) % 2
         vals = ((pattern >> 3) & 1, (pattern >> 2) & 1,
                 (pattern >> 1) & 1, pattern & 1)
@@ -1193,13 +1304,14 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
         for g in (0, 1):
             sfc, _a, _b, _p, _nq, p23 = mp3_md_granule(doc_id, g, cap, delta)
             w.u(p23, 12)
-            w.u(0, 9)       # big_values = 0: spectrum is count1-only
+            w.u(len(mp3_bv_pairs(doc_id, g)), 9)  # big_values (pairs)
             w.u((doc_id + 29 * k + 17 * g) % 256, 8)
             w.u(sfc, 4)
             w.u(0, 1)       # long blocks
-            w.u(0, 15)      # table_select x3 (unused: big_values = 0)
-            w.u(0, 4)
-            w.u(0, 3)
+            for t in mp3_bv_tables(doc_id):
+                w.u(t, 5)   # table_select per region
+            w.u(0, 4)       # region0_count
+            w.u(0, 3)       # region1_count
             w.u(0, 1)       # preflag
             w.u(0, 1)       # scalefac_scale
             w.u(1, 1)       # count1table_select = 1: fixed-length table B
@@ -1498,23 +1610,133 @@ def flac_crc16(data: bytes) -> int:
 
 
 def flac_params(doc_id: int) -> tuple[int, int]:
-    """(n_frames, sample_rate_code) for the FLAC fixture: frames
-    alternate CONSTANT (even k) and VERBATIM (odd k) subframes, 256
-    16-bit mono samples each."""
+    """(n_frames, sample_rate_code) for the FLAC fixture: frames cycle
+    CONSTANT (k%3=0), VERBATIM (k%3=1), and a Rice-coded predicted
+    subframe (k%3=2: FIXED on even docs, LPC on odd docs), 256 16-bit
+    mono samples each."""
     return 2 + doc_id % 4, 4 + doc_id % 3
 
 
 FLAC_BLOCK = 256
 
+# x[i] = r[i] + sum(coef[j] * x[i-1-j]) — the five FLAC fixed
+# predictors (RFC 9639 §9.2.3: successive differencing orders 0-4)
+FLAC_FIXED_COEFS = (
+    (),
+    (1,),
+    (2, -1),
+    (3, -3, 1),
+    (4, -6, 4, -1),
+)
+
 
 def flac_frame_values(doc_id: int, k: int) -> int:
-    """Frame k's generator value: the constant sample (even k) or the
-    verbatim ramp base a (odd k, samples a, a+1, .., a+255)."""
-    return (
-        (doc_id * 7 + 11 * k) % 900
-        if k % 2 == 0
-        else (doc_id * 5 + 13 * k) % 200
-    )
+    """Frame k's generator value: the constant sample (k%3=0) or the
+    ramp base a (samples a, a+1, .., a+255) for the verbatim (k%3=1)
+    and predicted (k%3=2, fixed or LPC) frames."""
+    if k % 3 == 0:
+        return (doc_id * 7 + 11 * k) % 900
+    if k % 3 == 1:
+        return (doc_id * 5 + 13 * k) % 200
+    return (doc_id * 3 + 17 * k) % 300
+
+
+def flac_fixed_shape(doc_id: int, k: int) -> tuple[int, int]:
+    """(predictor_order, rice_partition_order) for fixed frame k —
+    cycles all five orders and partition orders 0-2 across the corpus."""
+    return (doc_id + k) % 5, (doc_id + k) % 3
+
+
+def flac_lpc_shape(doc_id: int) -> tuple[int, int, int, list[int]]:
+    """(order, precision, shift, coefficients) of the odd docs' LPC
+    subframe.  c_0 = 2^shift pins the predictor's gain at ~1 so ramp
+    residuals stay small (rice parameter <= 12 by construction); the
+    other taps cycle [-15, 15].  Orders 1-4, precisions 8-12, shifts
+    3-5 all occur across the corpus."""
+    order = 1 + doc_id % 4
+    precision = 8 + doc_id % 5
+    shift = 3 + doc_id % 3
+    coefs = [1 << shift] + [
+        ((doc_id * 5 + 7 * j) % 31) - 15 for j in range(1, order)
+    ]
+    return order, precision, shift, coefs
+
+
+def _flac_rice_residuals(
+    w: "_BitPacker", res: list, porder: int, order: int, blocksize: int
+) -> None:
+    """Rice-coded residual section (shared by the FIXED and LPC
+    subframes): method 00 (4-bit parameters), partition order p, 2^p
+    partitions whose first holds blocksize/2^p - order residuals.
+    Each residual zigzags to m and writes m>>param zeros, a 1, and the
+    param low bits."""
+    w.u(0, 2)       # residual coding method: RICE (4-bit parameters)
+    w.u(porder, 4)
+    idx = 0
+    for part in range(1 << porder):
+        n = (blocksize >> porder) - (order if part == 0 else 0)
+        chunk = res[idx : idx + n]
+        idx += n
+        zig = [(r << 1) if r >= 0 else (-r << 1) - 1 for r in chunk]
+        # smallest parameter keeping every quotient <= 1 bit of unary
+        param = max(0, max((m.bit_length() - 1 for m in zig), default=0))
+        assert param <= 14, "fixture residuals exceed the rice range"
+        w.u(param, 4)
+        for m in zig:
+            w.u(0, m >> param)
+            w.u(1, 1)
+            if param:
+                w.u(m & ((1 << param) - 1), param)
+
+
+def _flac_fixed_subframe(doc_id: int, k: int, samples: list) -> bytes:
+    """SUBFRAME_FIXED bitstream: header byte (pad 0, type 001|order,
+    wasted 0), order warmup samples at 16 bits, then the Rice-coded
+    residual section; the subframe zero-pads to the byte edge."""
+    order, porder = flac_fixed_shape(doc_id, k)
+    coefs = FLAC_FIXED_COEFS[order]
+    res = [
+        samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        for i in range(order, len(samples))
+    ]
+    w = _BitPacker()
+    w.u((8 + order) << 1, 8)
+    for s in samples[:order]:
+        w.u(s & 0xFFFF, 16)
+    _flac_rice_residuals(w, res, porder, order, len(samples))
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    return w.to_bytes()
+
+
+def _flac_lpc_subframe(doc_id: int, k: int, samples: list) -> bytes:
+    """SUBFRAME_LPC bitstream (RFC 9639 §9.2.4): header byte (pad 0,
+    type 1|order-1, wasted 0), order warmup samples at 16 bits, 4-bit
+    coefficient precision minus 1, 5-bit signed quantization shift,
+    order signed `precision`-bit quantized coefficients, then the same
+    Rice-coded residual section as SUBFRAME_FIXED.  Residuals are
+    computed against the spec predictor — arithmetic-shifted
+    coefficient dot product over RECONSTRUCTED history — so the
+    decoder's reconstruction is exact by construction."""
+    order, precision, shift, coefs = flac_lpc_shape(doc_id)
+    _, porder = flac_fixed_shape(doc_id, k)
+    res = [
+        samples[i]
+        - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+        for i in range(order, len(samples))
+    ]
+    w = _BitPacker()
+    w.u((32 + order - 1) << 1, 8)
+    for s in samples[:order]:
+        w.u(s & 0xFFFF, 16)
+    w.u(precision - 1, 4)
+    w.u(shift & 0x1F, 5)
+    for c in coefs:
+        w.u(c & ((1 << precision) - 1), precision)
+    _flac_rice_residuals(w, res, porder, order, len(samples))
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    return w.to_bytes()
 
 
 def make_flac_bytes(doc_id: int) -> bytes:
@@ -1523,10 +1745,13 @@ def make_flac_bytes(doc_id: int) -> bytes:
     samples, and the REAL MD5 of the decoded little-endian sample
     stream), then fixed-blocksize frames — 14-bit sync, real header
     fields, UTF-8-style frame numbers, CRC-8 over the header and
-    CRC-16 over the whole frame — carrying CONSTANT or VERBATIM
-    subframes (the two FLAC subframe types with no rice-coded
-    residuals; fixed-predictor and LPC subframes are the decoder's
-    declared stubs)."""
+    CRC-16 over the whole frame — cycling CONSTANT, VERBATIM, and
+    predicted subframes — FIXED (even docs) or LPC with in-stream
+    quantized coefficients (odd docs).  Predicted frames carry real
+    Rice-coded residual partitions (RFC 9639 §9.2.7: 2-bit coding
+    method, 4-bit partition order, per-partition 4-bit parameter,
+    zigzag + quotient-unary + k-bit remainder codes, zero-padded to
+    the byte edge)."""
     import hashlib
 
     n_frames, sr_code = flac_params(doc_id)
@@ -1536,10 +1761,10 @@ def make_flac_bytes(doc_id: int) -> bytes:
     all_samples = []
     frames = bytearray()
     for k in range(n_frames):
-        # Every field boundary in this fixture lands on a byte edge
+        # CONSTANT/VERBATIM field boundaries land on byte edges
         # (sync+codes = 4 bytes, 1-byte frame number, 1-byte subframe
-        # header, 16-bit samples), so the frame assembles as plain
-        # bytes — no bit packer in the per-doc hot path.
+        # header, 16-bit samples) so those frames assemble as plain
+        # bytes; FIXED frames pack Rice codes through _BitPacker.
         header = bytes((
             0xFF, 0b11111000,           # 14-bit sync + reserved + fixed
             (8 << 4) | sr_code,         # blocksize code 8 (256) | rate
@@ -1548,14 +1773,23 @@ def make_flac_bytes(doc_id: int) -> bytes:
         ))
         header += bytes([flac_crc8(header)])
         v = flac_frame_values(doc_id, k)
-        if k % 2 == 0:
+        if k % 3 == 0:
             sub = bytes([0 << 1]) + struct.pack(">h", v)  # CONSTANT
             samples = [v] * FLAC_BLOCK
-        else:
+        elif k % 3 == 1:
             samples = list(range(v, v + FLAC_BLOCK))
             sub = bytes([1 << 1]) + struct.pack(  # VERBATIM
                 f">{FLAC_BLOCK}h", *samples
             )
+        else:
+            samples = list(range(v, v + FLAC_BLOCK))
+            # odd docs take the LPC path, even docs the fixed path —
+            # both reconstruct the same ramp, so the closed-form sums
+            # (and the SQL oracle) are identical either way
+            if doc_id % 2:
+                sub = _flac_lpc_subframe(doc_id, k, samples)
+            else:
+                sub = _flac_fixed_subframe(doc_id, k, samples)
         body = header + sub
         body += struct.pack(">H", flac_crc16(body))
         frames += body

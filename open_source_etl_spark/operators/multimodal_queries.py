@@ -796,14 +796,18 @@ def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_mp3_maindata_decode",
-    # formulas mirror synth.mp3_md_params / mp3_md_granule: CBR frames
-    # (bitrate index 7 + doc_id % 3 -> 96/112/128 kbps), region
-    # capacity cap = 144*kbps*1000 // sr - 21, per-frame reservoir step
-    # delta = (doc_id % 8) * 9, per-granule slen-table scalefactors and
-    # a count1-only spectrum whose quadruple pattern is the low 4 bits
-    # of doc_id + g.  The reservoir walk and the entropy bitstream have
-    # no closed form — Spark must reassemble and bit-decode to get ANY
-    # of these sums; the oracle restates the generator arithmetic.
+    # formulas mirror synth.mp3_md_params / mp3_md_granule /
+    # mp3_bv_pairs: CBR frames (bitrate index 7 + doc_id % 3 ->
+    # 96/112/128 kbps), region capacity cap = 144*kbps*1000 // sr - 21,
+    # per-frame reservoir step delta = (doc_id % 8) * 9, per-granule
+    # slen-table scalefactors, a big-values region of 6 + (doc+g) % 7
+    # table-1 pairs x=(doc+3q+g)%2 y=(doc+q+2g)%2 (pairs 2-3 zeroed on
+    # the region-switching doc%6=0 docs, whose region1 carries table
+    # 0), and a count1 spectrum whose quadruple pattern is the low 4
+    # bits of doc_id + g.  The reservoir walk and the entropy
+    # bitstream have no closed form — Spark must reassemble and
+    # bit-decode to get ANY of these sums; the oracle restates the
+    # generator arithmetic.
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -827,6 +831,30 @@ def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              8 * (cap - delta) AS blob_bits
       FROM c, LATERAL (SELECT unnest([0, 1]) AS g) gg
     ),
+    bv AS (
+      SELECT doc_id, g,
+             CASE WHEN doc_id % 6 = 0 AND qq.q BETWEEN 2 AND 3 THEN 0
+                  ELSE (doc_id + 3 * qq.q + g) % 2 END AS x,
+             CASE WHEN doc_id % 6 = 0 AND qq.q BETWEEN 2 AND 3 THEN 0
+                  ELSE (doc_id + qq.q + 2 * g) % 2 END AS y,
+             CASE WHEN doc_id % 6 = 0 AND qq.q BETWEEN 2 AND 3 THEN 1
+                  ELSE 0 END AS tab0,
+             qq.q AS q
+      FROM g, LATERAL (SELECT unnest(range(0, 6 + (doc_id + g) % 7))
+                       AS q) qq
+    ),
+    bva AS (
+      SELECT doc_id, g, COUNT(*) AS nbv,
+             SUM(CASE WHEN tab0 = 1 THEN 0
+                      ELSE (CASE WHEN x = 0 AND y = 0 THEN 1
+                                 WHEN x = 1 AND y = 0 THEN 2
+                                 ELSE 3 END) + x + y END) AS bv_bits,
+             SUM(x + y) AS bv_abs,
+             SUM((x - y) * (1 - 2 * ((doc_id + q + g) % 2)))
+               AS bv_signed_base
+      FROM bv
+      GROUP BY doc_id, g
+    ),
     s AS (
       SELECT doc_id, n_frames, delta, g, pat,
              CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
@@ -844,20 +872,22 @@ def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     ),
     q AS (
-      SELECT doc_id, n_frames, delta, g,
-             (doc_id + g) % (CASE sl1 WHEN 0 THEN 1 WHEN 1 THEN 2
+      SELECT s.doc_id, n_frames, delta, s.g AS g,
+             (s.doc_id + s.g) % (CASE sl1 WHEN 0 THEN 1 WHEN 1 THEN 2
                   WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS sf_a,
-             (doc_id + 5 + g) % (CASE sl2 WHEN 0 THEN 1 WHEN 1 THEN 2
+             (s.doc_id + 5 + s.g) % (CASE sl2 WHEN 0 THEN 1 WHEN 1 THEN 2
                   WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS sf_b,
              (pat // 8) % 2 + (pat // 4) % 2 + (pat // 2) % 2 + pat % 2
                AS nz,
              11 * sl1 + 10 * sl2 AS sf_bits,
-             budget
-      FROM s
+             budget, bva.nbv, bva.bv_bits, bva.bv_abs, bva.bv_signed_base
+      FROM s JOIN bva ON s.doc_id = bva.doc_id AND s.g = bva.g
     ),
     n AS (
       SELECT doc_id, n_frames, delta, g, sf_a, sf_b, nz,
-             LEAST((budget - sf_bits) // (4 + nz), 24) AS n_quads
+             nbv, bv_abs, bv_signed_base,
+             LEAST((budget - sf_bits - bv_bits) // (4 + nz), 24)
+               AS n_quads
       FROM q
     )
     SELECT doc_id,
@@ -865,6 +895,10 @@ def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX((n_frames - 1) * delta) AS BIGINT) AS max_reservoir,
            CAST(SUM(n_frames * (11 * sf_a + 10 * sf_b)) AS BIGINT)
              AS sum_scalefac,
+           CAST(SUM(n_frames * nbv) AS BIGINT) AS n_pairs,
+           CAST(SUM(n_frames * bv_abs) AS BIGINT) AS sum_bv_abs,
+           CAST(SUM((n_frames % 2) * bv_signed_base) AS BIGINT)
+             AS sum_bv_signed,
            CAST(SUM(n_frames * n_quads) AS BIGINT) AS n_quads,
            CAST(SUM(n_frames * n_quads * nz) AS BIGINT) AS sum_quad_abs,
            CAST(SUM(n_quads * nz * (n_frames % 2)
@@ -880,15 +914,18 @@ def multimodal_mp3_maindata_decode(spark: SparkSession, sf_dir: str) -> DataFram
     a live bit reservoir: the decoder reassembles the reservoir from
     the physical frame regions, seeks each frame's data
     ``main_data_begin`` bytes back across frame boundaries, and
-    bit-decodes every granule — slen-table scalefactors plus the
-    count1 spectrum region in the fixed-length table-B code (4
-    complement bits per quadruple, one sign bit per nonzero) — with
-    exact ``part2_3_length`` accounting.  One level below
+    bit-decodes every granule — slen-table scalefactors, the Huffman
+    big-values spectrum region (B.7 table-1 pair codes with sign bits,
+    per-region ``table_select`` dispatch through the Table B.8 band
+    boundaries when the regions differ, zero-bit table-0 regions), and
+    the count1 region in the fixed-length table-B code (4 complement
+    bits per quadruple, one sign bit per nonzero) — with exact
+    ``part2_3_length`` accounting.  One level below
     ``multimodal_mp3_frame_walk``: that query proves the stream/side-
     info layer, this one proves the engine read the entropy bitstream
-    itself (scalefactor sums, quadruple counts, signed spectrum sums
-    are unknowable from headers).  The Huffman big-values tables
-    (B.7), count1 table A, and short-block partitions remain the
+    itself (scalefactor sums, pair/quadruple counts, signed spectrum
+    sums are unknowable from headers).  B.7 tables 2-31 (empirical
+    code data), count1 table A, and short-block partitions remain the
     declared ``NotImplementedError`` stubs (``decode.py``)."""
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_md
 
@@ -898,13 +935,16 @@ def multimodal_mp3_maindata_decode(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "multimodal_h264_gop_decode",
-    # formulas mirror synth.h264_gop_params / h264_ipcm_luma: per doc,
-    # n_gops GOPs of gop_len pictures over an n_mbs-macroblock frame;
-    # picture g*gop_len+s is the IDR (s=0, I_PCM pixels) or an all-skip
-    # P picture whose reconstruction equals its GOP's IDR.  The NAL
-    # walk, full slice headers, skip-run accounting, and the reference
-    # copy itself have no closed form — Spark must carry decoder state
-    # across NAL units to produce the P rows at all.
+    # formulas mirror synth.h264_gop_params / h264_ipcm_luma /
+    # h264_refresh_fields: per doc, n_gops GOPs of gop_len pictures
+    # over an n_mbs-macroblock frame; picture g*gop_len+s is the IDR
+    # (s=0, I_PCM pixels), an all-skip P (odd docs — reconstruction
+    # equals the GOP's IDR), or a partial-skip P (even docs — one
+    # I_PCM refresh macroblock at index (doc+g)%n_mbs with flat luma
+    # 10+(doc*11+37g+23s)%200 substituted into the IDR sum).  The NAL
+    # walk, full slice headers, skip-run accounting, and the per-MB
+    # reference copy itself have no closed form — Spark must carry
+    # decoder state across NAL units to produce the P rows at all.
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -922,7 +962,8 @@ def multimodal_mp3_maindata_decode(spark: SparkSession, sf_dir: str) -> DataFram
     lum AS (
       SELECT doc_id, g,
              SUM(10 + (doc_id * 13 + 31 * g + 7 * mm.m) % 200)
-               // MAX(n_mbs) AS mean_luma
+               AS idr_sum,
+             MAX(n_mbs) AS n_mbs
       FROM (SELECT DISTINCT doc_id, n_mbs, g FROM f) d,
            LATERAL (SELECT unnest(range(0, n_mbs)) AS m) mm
       GROUP BY doc_id, g
@@ -930,26 +971,38 @@ def multimodal_mp3_maindata_decode(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT f.doc_id,
            CAST(f.g * f.gop_len + f.s AS BIGINT) AS frame_idx,
            CASE WHEN f.s = 0 THEN 'I' ELSE 'P' END AS frame_type,
-           CAST(lum.mean_luma AS BIGINT) AS mean_luma,
-           CAST(CASE WHEN f.s = 0 THEN 0 ELSE f.n_mbs END AS BIGINT)
+           CAST(CASE
+             WHEN f.s > 0 AND f.doc_id % 2 = 0 THEN
+               (lum.idr_sum
+                - (10 + (f.doc_id * 13 + 31 * f.g
+                         + 7 * ((f.doc_id + f.g) % f.n_mbs)) % 200)
+                + 10 + (f.doc_id * 11 + 37 * f.g + 23 * f.s) % 200)
+               // f.n_mbs
+             ELSE lum.idr_sum // f.n_mbs
+           END AS BIGINT) AS mean_luma,
+           CAST(CASE WHEN f.s = 0 THEN 0
+                     WHEN f.doc_id % 2 = 0 THEN f.n_mbs - 1
+                     ELSE f.n_mbs END AS BIGINT)
              AS n_skipped_mbs
     FROM f JOIN lum ON f.doc_id = lum.doc_id AND f.g = lum.g
     ORDER BY f.doc_id, frame_idx
     """,
 )
 def multimodal_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL inter-frame H.264 decode: IDR+P_Skip GOP streams where the
-    IDR picture decodes pixel-exact through the I_PCM path (now with
-    the COMPLETE slice header: dec_ref_pic_marking, slice_qp_delta) and
-    every following all-skip P picture is reconstructed by reference
-    copy — the spec's one inter-prediction path with no entropy-coded
-    macroblock layer (mb_skip_run covers the picture; P_Skip motion
-    vector prediction is zero with no spatial neighbors, 8.4.1.1).
-    One level below ``multimodal_h264_ipcm_decode``: the decoder
-    carries reference-picture state ACROSS NAL units, parses full P
-    slice headers, and accounts the skip run against the SPS picture
-    size.  Partial skip runs (real CAVLC residuals), CABAC, and
-    ref-list modification raise at the declared stubs
+    """REAL inter-frame H.264 decode: IDR+P GOP streams where the IDR
+    picture decodes pixel-exact through the I_PCM path (with the
+    COMPLETE slice header: dec_ref_pic_marking, slice_qp_delta) and P
+    pictures reconstruct through PER-MACROBLOCK reference state —
+    all-skip pictures copy their GOP's IDR, and partial skip runs
+    (even docs) decode a real skip/coded-macroblock/skip slice_data
+    whose I_PCM refresh macroblock overwrites its block in the
+    reference (P_Skip MV prediction is zero with no spatial
+    neighbors, 8.4.1.1; I_PCM in a P slice is mb_type 30 = 25 + 5,
+    7.4.5).  One level below ``multimodal_h264_ipcm_decode``: the
+    decoder carries per-MB reference state ACROSS NAL units, parses
+    full P slice headers, and accounts every skip run against the SPS
+    picture size.  Non-PCM coded macroblocks (real CAVLC residuals),
+    CABAC, and ref-list modification raise at the declared stubs
     (``decode.py:_parse_pskip_slice``)."""
     from ..multimodal.decode import decode_h264_gop, synthesize_h264_gop
 
@@ -1148,10 +1201,11 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_flac_decode",
     # formulas mirror synth.flac_params / flac_frame_values: frames
-    # alternate a constant value (doc*7 + 11k) % 900 and a verbatim
-    # ramp from (doc*5 + 13k) % 200, 256 samples each.  The sync walk,
-    # CRC-8/CRC-16 checks, subframe bit layouts, and the MD5-of-
-    # decoded-samples comparison have no closed form.
+    # cycle a constant value (doc*7 + 11k) % 900, a verbatim ramp from
+    # (doc*5 + 13k) % 200, and a fixed-predictor ramp from (doc*3 +
+    # 17k) % 300, 256 samples each.  The sync walk, CRC-8/CRC-16
+    # checks, Rice residual codes, predictor reconstruction, and the
+    # MD5-of-decoded-samples comparison have no closed form.
     oracle="""
     WITH p AS (
       SELECT doc_id, 2 + doc_id % 4 AS nf,
@@ -1162,19 +1216,24 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr AS (
       SELECT doc_id, nf, rate, kk.k AS k,
              (doc_id * 7 + 11 * kk.k) % 900 AS cval,
-             (doc_id * 5 + 13 * kk.k) % 200 AS vbase
+             (doc_id * 5 + 13 * kk.k) % 200 AS vbase,
+             (doc_id * 3 + 17 * kk.k) % 300 AS fbase
       FROM p, LATERAL (SELECT unnest(range(0, nf)) AS k) kk
     )
     SELECT doc_id,
            CAST(MAX(nf) AS BIGINT) AS n_frames,
            CAST(MAX(rate) AS BIGINT) AS sample_rate,
            CAST(256 * MAX(nf) AS BIGINT) AS total_samples,
-           CAST(SUM(CASE WHEN k % 2 = 0 THEN 256 * cval ELSE 0 END)
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN 256 * cval ELSE 0 END)
                 AS BIGINT) AS sum_constant,
-           CAST(SUM(CASE WHEN k % 2 = 1 THEN 256 * vbase + 32640 ELSE 0 END)
+           CAST(SUM(CASE WHEN k % 3 = 1 THEN 256 * vbase + 32640 ELSE 0 END)
                 AS BIGINT) AS sum_verbatim,
+           CAST(SUM(CASE WHEN k % 3 = 2 THEN 256 * fbase + 32640 ELSE 0 END)
+                AS BIGINT) AS sum_fixed,
            CAST(MAX(CASE WHEN k = nf - 1 THEN
-                  CASE WHEN k % 2 = 0 THEN cval ELSE vbase + 255 END
+                  CASE WHEN k % 3 = 0 THEN cval
+                       WHEN k % 3 = 1 THEN vbase + 255
+                       ELSE fbase + 255 END
                 END) AS BIGINT) AS last_sample,
            TRUE AS md5_ok
     FROM fr
@@ -1183,15 +1242,18 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL FLAC decode over constant/verbatim-subframe streams:
-    STREAMINFO bit-field parse, 14-bit frame sync walk, code-table
-    blocksize/rate resolution, UTF-8-style frame numbers, CRC-8 header
-    + CRC-16 frame verification, and the end-to-end proof — the MD5 of
-    the DECODED sample stream recomputed against STREAMINFO's claim.
-    Completes the audio-container inventory (WAV, MP3 frame walk + main
-    data) with the lossless-codec format; rice-coded fixed-predictor/
-    LPC subframes, stereo decorrelation, and variable blocking raise at
-    declared stubs (``decode.py:decode_flac_real``)."""
+    """REAL FLAC decode across all four subframe types: STREAMINFO
+    bit-field parse, 14-bit frame sync walk, code-table blocksize/rate
+    resolution, UTF-8-style frame numbers, CRC-8 header + CRC-16 frame
+    verification, Rice-coded residual partitions reconstructed through
+    all five fixed predictors (even docs) AND through LPC's in-stream
+    quantized-coefficient recurrence (odd docs, RFC 9639 §9.2.4), and
+    the end-to-end proof — the MD5 of the DECODED sample stream
+    recomputed against STREAMINFO's claim.  Completes the
+    audio-container inventory (WAV, MP3 frame walk + main data) with
+    the lossless-codec format; stereo decorrelation, wasted bits, and
+    variable blocking raise at declared stubs
+    (``decode.py:decode_flac_real``)."""
     from ..multimodal.decode import decode_flac_real, synthesize_flac
 
     docs = load_table(spark, sf_dir, "documents")
