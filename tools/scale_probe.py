@@ -636,6 +636,72 @@ def containers_main() -> None:
             print(f"{qname}: mult {n1} -> {n2}: alpha = {a:.2f}", flush=True)
 
 
+def similarity_main() -> None:
+    """Scale probe for the exact-similarity linear scans
+    (`python tools/scale_probe.py similarity [mults]`): grow the
+    embeddings corpus with vec_id offsets while PINNING the query
+    batch to copy 0's (replicated rows that would land on the
+    vec_id % 97 = 0 query stride are dropped, ~1%), so the measured
+    curve is scan cost vs corpus size — not the quadratic
+    queries x corpus blow-up verbatim replication would manufacture.
+    Expected: alpha ~= 1 (one broadcast-batch scored scan per
+    ranking); the fitted throughput extrapolates the documented
+    exact->ANN handoff in SCALE.md §9g."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from open_source_etl_spark.conf import EngineConfig
+    from open_source_etl_spark.operators.llm_similarity import (
+        ann_topk_multiquery,
+        embed_prefix_topk_overlap,
+    )
+    from open_source_etl_spark.session import build_session
+
+    mults = [int(m) for m in (sys.argv[2:] or ["1", "5", "25"])]
+    spark = build_session(
+        EngineConfig(master="local[32]", shuffle_partitions=32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    base = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    probes = [
+        ("ann_topk_multiquery", ann_topk_multiquery),
+        ("embed_prefix_topk_overlap", embed_prefix_topk_overlap),
+    ]
+    times: dict[str, list[tuple[int, float]]] = {}
+    for mult in mults:
+        out = f"/tmp/osetl-simprobe-{mult}"
+        parts = [base]
+        for i in range(1, mult):
+            shifted = base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+            )
+            parts.append(shifted.filter(F.col("vec_id") % 97 != 0))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        u.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+        n_rows = spark.read.parquet(f"{out}/embeddings.parquet").count()
+        for qname, fn in probes:
+            t0 = time.time()
+            row = fn(spark, out).agg(F.count("*")).first()
+            dt = time.time() - t0
+            times.setdefault(qname, []).append((mult, dt))
+            print(
+                f"mult={mult:2d} {qname:26s} {dt:7.2f}s "
+                f"corpus={n_rows} out_rows={row[0]}",
+                flush=True,
+            )
+        shutil.rmtree(out, ignore_errors=True)
+    for qname, series in times.items():
+        if len(series) >= 2:
+            (n1, t1), (n2, t2) = series[0], series[-1]
+            a = math.log(t2 / t1) / math.log(n2 / n1)
+            print(f"{qname}: mult {n1} -> {n2}: alpha = {a:.2f}", flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "iterative":
         iterative_main()
@@ -647,5 +713,7 @@ if __name__ == "__main__":
         dsir_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "containers":
         containers_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "similarity":
+        similarity_main()
     else:
         main()
