@@ -2812,13 +2812,15 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
     Graphic Control Extension per frame), every frame's sub-rectangle
     LZW-decoded (``gif_lzw_decode`` — same production decoder as the
     static path) and pasted at its image descriptor's left/top onto a
-    canvas that persists across frames (disposal method 1, "do not
-    dispose").  Emits one row per frame with the COMPOSITED canvas
-    per-channel means — later frames' values depend on every earlier
-    patch, so the rows prove cross-frame decoder state, not per-image
-    decoding alone.  Honest boundaries: disposal methods 2/3
-    (restore-to-background/previous), transparency, interlaced frames,
-    and local color tables raise."""
+    canvas that persists across frames under the full GIF89a state
+    machine: disposal 0/1 leave the canvas, 2 restores the drawn rect
+    to the screen descriptor's background index, 3 restores the pixels
+    the frame overdrew, and transparent-index pixels leave the canvas
+    showing through.  Emits one row per frame with the COMPOSITED
+    canvas per-channel means — later frames' values depend on every
+    earlier patch AND disposal, so the rows prove cross-frame decoder
+    state, not per-image decoding alone.  Honest boundaries:
+    interlaced frames and local color tables raise."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -2839,9 +2841,19 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                 for i in range(gct_size)
             ]
             pos += 3 * gct_size
+            bg_index = raw[11]
+            if bg_index >= gct_size:
+                raise ValueError(
+                    f"doc {doc_id}: background index {bg_index} outside "
+                    "the global color table"
+                )
             canvas = [[0] * width for _ in range(height)]
             frames = []  # (patch_w, patch_h, mean_r, mean_g, mean_b)
             pending_disposal = 0
+            transparent_idx = None
+            # disposal of the PREVIOUSLY drawn frame, applied when the
+            # next image arrives: (method, rect, saved-region rows)
+            last: tuple | None = None
             while pos < len(raw):
                 block = raw[pos]
                 if block == 0x3B:  # trailer
@@ -2857,10 +2869,14 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                             )
                         packed = raw[pos + 1]
                         pending_disposal = (packed >> 2) & 0x7
-                        if packed & 0x1:
-                            raise NotImplementedError(
-                                "GIF transparency not implemented"
+                        if pending_disposal > 3:
+                            raise ValueError(
+                                f"doc {doc_id}: reserved disposal method "
+                                f"{pending_disposal}"
                             )
+                        transparent_idx = (
+                            raw[pos + 4] if packed & 0x1 else None
+                        )
                         pos += 1 + size
                     # skip remaining sub-blocks (any extension type)
                     while raw[pos] != 0:
@@ -2881,11 +2897,26 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                         raise ValueError(
                             f"doc {doc_id}: frame rect outside logical screen"
                         )
-                    if frames and pending_disposal != 1:
-                        raise NotImplementedError(
-                            f"disposal method {pending_disposal} not "
-                            "implemented (do-not-dispose composition only)"
-                        )
+                    # apply the previous frame's disposal before this
+                    # one draws (GIF89a 23.c.viii): 0/1 leave the
+                    # canvas, 2 restores its rect to the background
+                    # index, 3 restores the pixels it overdrew
+                    if last is not None:
+                        d, (l0, t0, w0, h0), saved = last
+                        if d == 2:
+                            for j in range(h0):
+                                canvas[t0 + j][l0 : l0 + w0] = (
+                                    [bg_index] * w0
+                                )
+                        elif d == 3:
+                            for j in range(h0):
+                                canvas[t0 + j][l0 : l0 + w0] = saved[j]
+                    saved_region = (
+                        [list(canvas[top + j][left : left + w])
+                         for j in range(h)]
+                        if pending_disposal == 3
+                        else None
+                    )
                     pos += 10
                     mcs = raw[pos]
                     pos += 1
@@ -2904,7 +2935,14 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                     for j in range(h):
                         row = canvas[top + j]
                         for i in range(w):
-                            row[left + i] = idx[j * w + i]
+                            v = idx[j * w + i]
+                            if v != transparent_idx:
+                                row[left + i] = v
+                    last = (
+                        pending_disposal, (left, top, w, h), saved_region
+                    )
+                    pending_disposal = 0
+                    transparent_idx = None
                     tr = tg = tb = 0
                     for row in canvas:
                         for v in row:
@@ -2963,6 +3001,31 @@ def synthesize_gif_anim(docs_df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_gif_disposal(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a disposal-2/3 + transparency GIF."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_gif_disposal_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_gif_disposal_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 TIFF_SCHEMA = (
     "doc_id long, width long, height long, big_endian boolean, "
     "n_strips long, mean_r long, mean_g long, mean_b long, "
@@ -2970,15 +3033,51 @@ TIFF_SCHEMA = (
 )
 
 
+def _packbits_decode(doc_id: int, buf: bytes, expected: int) -> bytes:
+    """TIFF 6.0 PackBits: header byte n — 0..127 copies n+1 literal
+    bytes, 129..255 repeats the next byte 257-n times, 128 is a no-op.
+    Each strip decompresses independently and must land exactly on its
+    geometric size."""
+    out = bytearray()
+    i, n = 0, len(buf)
+    while i < n:
+        h = buf[i]
+        i += 1
+        if h == 128:  # no-op
+            continue
+        if h < 128:
+            if i + h + 1 > n:
+                raise ValueError(
+                    f"doc {doc_id}: PackBits literal packet truncated"
+                )
+            out += buf[i : i + h + 1]
+            i += h + 1
+        else:
+            if i >= n:
+                raise ValueError(
+                    f"doc {doc_id}: PackBits repeat packet truncated"
+                )
+            out += bytes([buf[i]]) * (257 - h)
+            i += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"doc {doc_id}: PackBits strip decodes {len(out)} bytes, "
+            f"geometry needs {expected}"
+        )
+    return bytes(out)
+
+
 def decode_tiff_real(media_df: DataFrame) -> DataFrame:
     """REAL baseline TIFF 6.0 decode in pure stdlib: byte-order
     dispatch from the II/MM magic (both orders live in the corpus),
     the 42 check, IFD entry walk with SHORT-in-slot vs offset-stored
     value resolution, required-RGB-tag validation (8-bit samples,
-    Compression 1, Photometric 2, SamplesPerPixel 3), and multi-strip
-    pixel reassembly via StripOffsets/StripByteCounts — per-channel
-    means plus the last pixel as a placement probe.  Compressed,
-    tiled, paletted, or non-8-bit TIFFs raise at declared boundaries."""
+    Compression 1 or 32773, Photometric 2, SamplesPerPixel 3), and
+    multi-strip pixel reassembly via StripOffsets/StripByteCounts —
+    PackBits strips (every third doc) decompress independently with
+    exact geometric-size accounting — per-channel means plus the last
+    pixel as a placement probe.  Other compressions, tiled, paletted,
+    or non-8-bit TIFFs raise at declared boundaries."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -3027,9 +3126,11 @@ def decode_tiff_real(media_df: DataFrame) -> DataFrame:
                 raise ValueError(
                     f"doc {doc_id}: only 8-bit 3-sample RGB supported"
                 )
-            if tags[259][2] != 1:
+            compression = tags[259][2]
+            if compression not in (1, 32773):
                 raise NotImplementedError(
-                    "compressed TIFF not implemented (baseline only)"
+                    f"compressed TIFF compression {compression} not "
+                    "implemented (baseline + PackBits only)"
                 )
             if tags[262][2] != 2:
                 raise ValueError(f"doc {doc_id}: non-RGB photometric")
@@ -3039,11 +3140,18 @@ def decode_tiff_real(media_df: DataFrame) -> DataFrame:
                 raise ValueError(
                     f"doc {doc_id}: StripOffsets/ByteCounts length mismatch"
                 )
+            rows_per_strip = tags[278][2]
             data = bytearray()
-            for o, c in zip(offsets, counts):
+            for s, (o, c) in enumerate(zip(offsets, counts)):
                 if o + c > len(raw):
                     raise ValueError(f"doc {doc_id}: strip beyond EOF")
-                data += raw[o : o + c]
+                strip = raw[o : o + c]
+                if compression == 32773:
+                    rows = min(rows_per_strip, height - s * rows_per_strip)
+                    strip = _packbits_decode(
+                        doc_id, strip, rows * width * 3
+                    )
+                data += strip
             if len(data) != width * height * 3:
                 raise ValueError(
                     f"doc {doc_id}: strips carry {len(data)} bytes for a "

@@ -1482,6 +1482,72 @@ def make_gif_anim_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def gif_disposal_params(doc_id: int) -> tuple[int, int, int, int, int, int]:
+    """(width, height, n_frames, bg_index, patch_left, patch_top) for
+    the disposal/transparency GIF fixture.  All frames k >= 1 draw the
+    SAME 4x3 rect with alternating disposal 2/3 — that pins the rect's
+    pre-draw state to a closed form (background index once any earlier
+    frame used disposal 2, else the base frame) a SQL oracle restates
+    without replaying history."""
+    w = 10 + doc_id % 10
+    h = 7 + doc_id % 6
+    return (
+        w, h, 3 + doc_id % 3, doc_id % 4, doc_id % (w - 4),
+        doc_id % (h - 3),
+    )
+
+
+def make_gif_disposal_bytes(doc_id: int) -> bytes:
+    """Real GIF89a exercising the FULL frame-disposal state machine:
+    a do-not-dispose base frame, then patches over one fixed rect
+    whose GCEs alternate disposal 2 (restore to the screen
+    descriptor's background index) and 3 (restore previous), each with
+    the transparency flag set — transparent-index (3) pixels under the
+    (x+y+k)%3=0 mask let the disposed canvas show through, opaque
+    pixels carry (x+2y+doc+k)%3 (never the transparent index)."""
+    width, height, n_frames, bg, pl, pt = gif_disposal_params(doc_id)
+    palette = gif_palette(doc_id)
+    gct = bytes(v for rgb in palette for v in rgb)
+
+    def img_block(left, top, w, h, indices):
+        lzw = _lzw_encode(indices, 2)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        return (
+            b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+            + bytes([2]) + bytes(blocks)
+        )
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x81, bg, 0])  # GCT flag/size, background index
+    out += gct
+    # base frame: disposal 1, opaque
+    out += b"\x21\xf9\x04\x04\x00\x00\x00\x00"
+    out += img_block(
+        0, 0, width, height,
+        [(x + y + doc_id) % 4 for y in range(height) for x in range(width)],
+    )
+    for k in range(1, n_frames):
+        disposal = 2 + (doc_id + k) % 2
+        # GCE: disposal | transparency flag, delay, transparent idx 3
+        out += b"\x21\xf9\x04" + bytes([(disposal << 2) | 0x01])
+        out += struct.pack("<H", 4) + bytes([3, 0])
+        idx = [
+            3 if (x + y + k) % 3 == 0 else (x + 2 * y + doc_id + k) % 3
+            for y in range(pt, pt + 3)
+            for x in range(pl, pl + 4)
+        ]
+        out += img_block(pl, pt, 4, 3, idx)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def tiff_params(doc_id: int) -> tuple[int, int, bool, int, int, int]:
     """(width, height, big_endian, r0, g0, b0) for the TIFF gradient
     fixture: r = r0 + 2x + y, g = g0 + x + 2y, b = b0 + x + y (no value
@@ -1503,15 +1569,46 @@ def tiff_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
     return r0 + 2 * x + y, g0 + x + 2 * y, b0 + x + y
 
 
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF 6.0 PackBits (Apple RLE): repeat packets (header 257-n,
+    n in 2..128) for runs of >= 3 equal bytes, literal packets
+    (header n-1, n in 1..128) otherwise."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes((257 - run, data[i]))
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out.append(i - lit - 1)
+        out += data[lit:i]
+    return bytes(out)
+
+
 def make_tiff_bytes(doc_id: int) -> bytes:
-    """Real baseline TIFF 6.0: proper header for either byte order, one
-    IFD with the required RGB tags (ImageWidth/Length, BitsPerSample
-    [8,8,8] via offset, Compression 1, Photometric 2, StripOffsets/
+    """Real TIFF 6.0: proper header for either byte order, one IFD
+    with the required RGB tags (ImageWidth/Length, BitsPerSample
+    [8,8,8] via offset, Compression, Photometric 2, StripOffsets/
     ByteCounts arrays, SamplesPerPixel 3, RowsPerStrip 2), pixel data
     split across ceil(H/2) strips that the reader must reassemble in
-    strip order."""
+    strip order.  Every third doc's strips are PackBits-compressed
+    (Compression 32773, each strip independently, per the spec);
+    the rest are Compression 1 — the decoded pixels, and therefore
+    the oracle closed forms, are identical either way."""
     width, height, be, _r0, _g0, _b0 = tiff_params(doc_id)
     e = ">" if be else "<"
+    packed = doc_id % 3 == 0
     rows_per_strip = 2
     n_strips = (height + rows_per_strip - 1) // rows_per_strip
     strips = []
@@ -1520,7 +1617,7 @@ def make_tiff_bytes(doc_id: int) -> bytes:
         for y in range(s * rows_per_strip, min((s + 1) * rows_per_strip, height)):
             for x in range(width):
                 data += bytes(tiff_pixel(doc_id, x, y))
-        strips.append(bytes(data))
+        strips.append(packbits_encode(bytes(data)) if packed else bytes(data))
 
     header = (b"MM" if be else b"II") + struct.pack(e + "H", 42)
     # layout: header(8) | strip data | bps array | strip offsets |
@@ -1548,7 +1645,7 @@ def make_tiff_bytes(doc_id: int) -> bytes:
         entry(256, 4, 1, width),           # ImageWidth (LONG)
         entry(257, 4, 1, height),          # ImageLength
         entry(258, 3, 3, bps_off),         # BitsPerSample -> offset
-        entry(259, 3, 1, 1),               # Compression: none
+        entry(259, 3, 1, 32773 if packed else 1),  # Compression
         entry(262, 3, 1, 2),               # Photometric: RGB
         entry(273, 4, n_strips, so_off if n_strips > 1 else strip_offsets[0]),
         entry(277, 3, 1, 3),               # SamplesPerPixel

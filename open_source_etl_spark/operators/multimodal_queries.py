@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_compute
 from ..multimodal import decode_image_meta, perceptual_hash, sample_frames, with_media_payload
 from ..registry import query
 
@@ -49,7 +49,7 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     + typed metadata) → ``mapInPandas`` decode kernel.  Deterministic fake
     header parse (dimensions are a pure function of byte length); the real
     codec site raises ``NotImplementedError`` (no image libs here)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     media = with_media_payload(docs)
     return decode_image_meta(media, codec="fake").orderBy("doc_id")
 
@@ -77,7 +77,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames and every 10th frame is emitted — a row-EXPANDING mapInPandas
     kernel (1 media row → n_frames/stride frame rows), the plumbing real
     frame extraction uses.  Zero shuffle; embarrassingly parallel."""
-    docs = _ascii_docs(load_table(spark, sf_dir, "documents"))
+    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents"))
     media = with_media_payload(docs)
     return sample_frames(media, frame_bytes=100, stride=10).orderBy(
         "doc_id", "frame_idx"
@@ -111,7 +111,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas kernel (the VAD/loudness pre-filter shape)."""
     from ..multimodal.decode import audio_chunk_energy
 
-    docs = _ascii_docs(load_table(spark, sf_dir, "documents"))
+    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents"))
     media = with_media_payload(docs)
     return audio_chunk_energy(media, chunk_samples=400).orderBy(
         "doc_id", "chunk_idx"
@@ -155,7 +155,7 @@ def multimodal_resize_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot sort list cells (CORRECTNESS_r01 nested-output class)."""
     from ..multimodal.decode import block_mean_resize
 
-    docs = _ascii_docs(load_table(spark, sf_dir, "documents"))
+    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents"))
     media = with_media_payload(docs)
     out = block_mean_resize(media, factor=8)
     return out.withColumn(
@@ -193,7 +193,7 @@ def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot sort list cells (CORRECTNESS_r01 nested-output class)."""
     from ..multimodal.decode import byte_histogram
 
-    docs = _ascii_docs(load_table(spark, sf_dir, "documents"))
+    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents"))
     media = with_media_payload(docs)
     out = byte_histogram(media)
     return out.withColumn(
@@ -258,7 +258,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — bound the pairwise term, same argument as the LSH band join."""
     from pyspark.sql import functions as F
 
-    docs = _ascii_docs(load_table(spark, sf_dir, "documents"))
+    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents"))
     hashes = perceptual_hash(with_media_payload(docs), codec="fake")
     a = hashes.select(F.col("doc_id").alias("doc_a"), "phash")
     b = hashes.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))
@@ -300,7 +300,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``NotImplementedError`` sites in ``multimodal/decode.py``."""
     from ..multimodal.decode import decode_wav_real, synthesize_wav
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_wav_real(synthesize_wav(docs)).orderBy("doc_id")
 
 
@@ -332,7 +332,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual bytes.  JPEG/PNG remain behind ``NotImplementedError``."""
     from ..multimodal.decode import decode_bmp_real, synthesize_bmp
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_bmp_real(synthesize_bmp(docs)).orderBy("doc_id")
 
 
@@ -366,7 +366,7 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine RIFF/WAVE bytes end to end."""
     from ..multimodal.decode import synthesize_wav, wav_window_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return wav_window_features(synthesize_wav(docs)).orderBy("doc_id", "window_idx")
 
 
@@ -400,7 +400,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels (a wrong unfilter implementation shifts every mean)."""
     from ..multimodal.decode import decode_png_real, synthesize_png
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_png_real(synthesize_png(docs)).orderBy("doc_id")
 
 
@@ -436,7 +436,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     or IDCT scale shifts every mean).  MP3 remains a declared stub."""
     from ..multimodal.decode import decode_jpeg_real, synthesize_jpeg
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_jpeg_real(synthesize_jpeg(docs)).orderBy("doc_id")
 
 
@@ -485,7 +485,7 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     remain stubs (no codec libs in this container)."""
     from ..multimodal.decode import decode_gif_real, synthesize_gif
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_gif_real(synthesize_gif(docs)).orderBy("doc_id")
 
 
@@ -527,7 +527,7 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     without new codec work (H.264 stays a declared stub)."""
     from ..multimodal.decode import decode_avi_mjpeg, synthesize_avi
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_avi_mjpeg(synthesize_avi(docs)).orderBy("doc_id", "frame_idx")
 
 
@@ -586,7 +586,7 @@ def multimodal_avi_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects these valid files)."""
     from ..multimodal.decode import decode_avi_av, synthesize_avi_av
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_avi_av(synthesize_avi_av(docs)).orderBy("doc_id")
 
 
@@ -654,7 +654,7 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub (``decode.py`` codec='real' sites)."""
     from ..multimodal.decode import decode_mp3_frames, synthesize_mp3
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_mp3_frames(synthesize_mp3(docs)).orderBy("doc_id")
 
 
@@ -737,7 +737,7 @@ def multimodal_h264_nal_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripping is real, not a start-code count."""
     from ..multimodal.decode import decode_h264_nals, synthesize_h264
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_h264_nals(synthesize_h264(docs)).orderBy("doc_id")
 
 
@@ -788,7 +788,7 @@ def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the header-level ``multimodal_h264_nal_walk``."""
     from ..multimodal.decode import decode_h264_ipcm, synthesize_h264_ipcm
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_h264_ipcm(synthesize_h264_ipcm(docs)).orderBy(
         "doc_id", "frame_idx"
     )
@@ -929,7 +929,7 @@ def multimodal_mp3_maindata_decode(spark: SparkSession, sf_dir: str) -> DataFram
     declared ``NotImplementedError`` stubs (``decode.py``)."""
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_md
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_mp3_maindata(synthesize_mp3_md(docs)).orderBy("doc_id")
 
 
@@ -1006,7 +1006,7 @@ def multimodal_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``decode.py:_parse_pskip_slice``)."""
     from ..multimodal.decode import decode_h264_gop, synthesize_h264_gop
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_h264_gop(synthesize_h264_gop(docs)).orderBy(
         "doc_id", "frame_idx"
     )
@@ -1066,7 +1066,7 @@ def multimodal_png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``multimodal_png_decode``."""
     from ..multimodal.decode import decode_png_adam7, synthesize_png_adam7
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_png_adam7(synthesize_png_adam7(docs)).orderBy("doc_id")
 
 
@@ -1144,8 +1144,87 @@ def multimodal_gif_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames, and local color tables raise at declared boundaries."""
     from ..multimodal.decode import decode_gif_anim, synthesize_gif_anim
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_gif_anim(synthesize_gif_anim(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
+    "multimodal_gif_disposal_decode",
+    # formulas mirror synth.gif_disposal_params / make_gif_disposal_bytes:
+    # frames k >= 1 draw ONE fixed 4x3 rect with alternating disposal
+    # 2/3 and transparency, so the rect's pre-draw state S(k) is closed
+    # form — the base frame for k=1, the background index once any
+    # j < k used disposal 2 (k >= 3 always; k = 2 iff doc is odd),
+    # else still the base.  Transparent pixels ((x+y+k)%3=0) show
+    # S(k); opaque ones carry (x+2y+doc+k)%3.  The GCE state machine,
+    # rect save/restore, and LZW streams have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             10 + doc_id % 10 AS w,
+             7 + doc_id % 6 AS h,
+             3 + doc_id % 3 AS nf,
+             doc_id % 4 AS bg,
+             doc_id % (10 + doc_id % 10 - 4) AS pl,
+             doc_id % (7 + doc_id % 6 - 3) AS pt
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, h, nf, bg, pl, pt, kk.k AS k
+      FROM p, LATERAL (SELECT unnest(range(0, nf)) AS k) kk
+    ),
+    px AS (
+      SELECT f.*, xx.x AS x, yy.y AS y,
+             (xx.x + yy.y + doc_id) % 4 AS base
+      FROM f,
+           LATERAL (SELECT unnest(range(0, f.w)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, f.h)) AS y) yy
+    ),
+    col AS (
+      SELECT doc_id, w, h, k,
+             CASE
+               WHEN k = 0 OR x < pl OR x >= pl + 4
+                    OR y < pt OR y >= pt + 3 THEN base
+               WHEN (x + y + k) % 3 = 0 THEN
+                 CASE WHEN k >= 3 OR (k = 2 AND doc_id % 2 = 1)
+                      THEN bg ELSE base END
+               ELSE (x + 2 * y + doc_id + k) % 3
+             END AS idx
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN k = 0 THEN w ELSE 4 END AS BIGINT) AS patch_w,
+           CAST(CASE WHEN k = 0 THEN h ELSE 3 END AS BIGINT) AS patch_h,
+           CAST(SUM((40 * idx + 7 * (doc_id % 5)) % 256) // (w * h)
+                AS BIGINT) AS mean_r,
+           CAST(SUM((80 * idx + 11 * (doc_id % 3)) % 256) // (w * h)
+                AS BIGINT) AS mean_g,
+           CAST(SUM((60 * idx + 13 * (doc_id % 7)) % 256) // (w * h)
+                AS BIGINT) AS mean_b
+    FROM col
+    GROUP BY doc_id, w, h, k
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_gif_disposal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF89a frame-disposal decode: the same composited-canvas
+    decoder as ``multimodal_gif_anim_decode``, driven through the parts
+    of the state machine that fixture never touches — disposal 2
+    (restore the drawn rect to the screen descriptor's background
+    index), disposal 3 (restore the pixels the frame overdrew, which
+    forces the decoder to SAVE the region before drawing), and
+    transparency (transparent-index pixels leave the disposed canvas
+    showing through).  Every frame's means depend on the full
+    dispose-save-draw cycle; a decoder that skips the save, fills the
+    wrong rect, or draws transparent pixels diverges immediately
+    (``decode.py:decode_gif_anim``)."""
+    from ..multimodal.decode import decode_gif_anim, synthesize_gif_disposal
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_gif_anim(synthesize_gif_disposal(docs)).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -1194,7 +1273,7 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary."""
     from ..multimodal.decode import decode_tiff_real, synthesize_tiff
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_tiff_real(synthesize_tiff(docs)).orderBy("doc_id")
 
 
@@ -1256,7 +1335,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``decode.py:decode_flac_real``)."""
     from ..multimodal.decode import decode_flac_real, synthesize_flac
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_flac_real(synthesize_flac(docs)).orderBy("doc_id")
 
 
@@ -1313,5 +1392,5 @@ def multimodal_bmp_rle8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape (undefined pixels) stays the declared boundary."""
     from ..multimodal.decode import decode_bmp_rle8, synthesize_bmp_rle8
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return decode_bmp_rle8(synthesize_bmp_rle8(docs)).orderBy("doc_id")
