@@ -1,7 +1,7 @@
-"""Archive-container plumbing: ZIP and ustar TAR, the two formats
-dataset dumps most often arrive in, as distributed extraction kernels —
-the archive sibling of ``ingest/warc.py`` (same mapInPandas shape, same
-closed-form fixtures).
+"""Archive-container plumbing: ZIP, ustar TAR, and multi-member gzip
+JSONL — the formats dataset dumps most often arrive in, as distributed
+extraction kernels — the archive siblings of ``ingest/warc.py`` (same
+mapInPandas shape, same closed-form fixtures).
 
 ZIP is parsed the only correct way: End-Of-Central-Directory record
 from the tail, then the central directory, then each member's local
@@ -20,6 +20,7 @@ counted but not extracted.
 
 from __future__ import annotations
 
+import json
 import struct
 import zlib
 from collections.abc import Iterator
@@ -248,3 +249,146 @@ def extract_zip_members(docs_df: DataFrame) -> DataFrame:
 def extract_tar_members(docs_df: DataFrame) -> DataFrame:
     """Synthesize-and-extract TAR per document row."""
     return _extract_df(docs_df, make_tar_bytes, parse_tar)
+
+
+# --- multi-member gzip JSONL (the .jsonl.gz corpus shape) -------------------
+
+GZIP_JSONL_SCHEMA = (
+    "doc_id long, n_members long, n_lines long, sum_ids long, "
+    "sum_text_chars long"
+)
+
+
+def gzip_n_members(doc_id: int) -> int:
+    return 1 + doc_id % 3
+
+
+def gzip_member_lines(doc_id: int, i: int) -> int:
+    return 2 + (doc_id + i) % 4
+
+
+def gzip_line_text(text: str, i: int, line: int) -> str:
+    """Line (i, line)'s payload: the closed-form text slice
+    [3(i+line), 3(i+line) + 8 + line)."""
+    start = 3 * (i + line)
+    return text[start : start + 8 + line]
+
+
+def make_gzip_jsonl_bytes(doc_id: int, text: str) -> bytes:
+    """A CONCATENATED multi-member gzip file (RFC 1952 allows — and web
+    corpora use — back-to-back members a reader must loop over), each
+    member one JSONL shard: magic 1F 8B, CM 8, per-member header flags
+    (FNAME on odd members, FEXTRA on members divisible by 3), raw
+    DEFLATE body, then CRC-32 and ISIZE trailers over the plain text."""
+    out = bytearray()
+    for i in range(gzip_n_members(doc_id)):
+        lines = []
+        for line in range(gzip_member_lines(doc_id, i)):
+            obj = {
+                "id": doc_id * 100 + i * 10 + line,
+                "t": gzip_line_text(text, i, line),
+            }
+            lines.append(json.dumps(obj, separators=(",", ":")))
+        plain = ("\n".join(lines) + "\n").encode()
+        flg = (0x08 if i % 2 else 0) | (0x04 if i % 3 == 0 else 0)
+        out += bytes((0x1F, 0x8B, 8, flg))
+        out += struct.pack("<I", (doc_id * 7 + i) % 2**32)  # MTIME
+        out += bytes((0, 255))  # XFL, OS unknown
+        if flg & 0x04:  # FEXTRA: len-prefixed subfield block
+            extra = b"SG" + struct.pack("<H", 4) + struct.pack("<I", i)
+            out += struct.pack("<H", len(extra)) + extra
+        if flg & 0x08:  # FNAME: zero-terminated
+            out += f"shard-{i:03d}.jsonl".encode() + b"\x00"
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        out += co.compress(plain) + co.flush()
+        out += struct.pack("<I", zlib.crc32(plain) & 0xFFFFFFFF)
+        out += struct.pack("<I", len(plain) % 2**32)
+    return bytes(out)
+
+
+def parse_gzip_jsonl(doc_id: int, raw: bytes) -> tuple[int, int, int, int]:
+    """(n_members, n_lines, sum_ids, sum_text_chars) by walking every
+    gzip member: header flag dispatch (FEXTRA/FNAME/FCOMMENT/FHCRC),
+    raw-DEFLATE decompression, CRC-32 and ISIZE verification against
+    the decompressed text, then JSON decoding of each line."""
+    pos = 0
+    n_members = n_lines = sum_ids = sum_chars = 0
+    while pos < len(raw):
+        if pos + 10 > len(raw):
+            raise ValueError(f"doc {doc_id}: truncated gzip header")
+        if raw[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"doc {doc_id}: bad gzip magic at {pos}")
+        if raw[pos + 2] != 8:
+            raise NotImplementedError(
+                f"gzip compression method {raw[pos + 2]} not implemented "
+                "(deflate only)"
+            )
+        flg = raw[pos + 3]
+        if flg & 0xE0:
+            raise ValueError(f"doc {doc_id}: reserved gzip FLG bits set")
+        pos += 10
+        if flg & 0x04:  # FEXTRA
+            if pos + 2 > len(raw):
+                raise ValueError(f"doc {doc_id}: truncated FEXTRA length")
+            (xlen,) = struct.unpack_from("<H", raw, pos)
+            pos += 2 + xlen
+        if flg & 0x08:  # FNAME
+            end = raw.find(b"\x00", pos)
+            if end < 0:
+                raise ValueError(f"doc {doc_id}: unterminated FNAME")
+            pos = end + 1
+        if flg & 0x10:  # FCOMMENT
+            end = raw.find(b"\x00", pos)
+            if end < 0:
+                raise ValueError(f"doc {doc_id}: unterminated FCOMMENT")
+            pos = end + 1
+        if flg & 0x02:  # FHCRC
+            pos += 2
+        d = zlib.decompressobj(-15)
+        try:
+            plain = d.decompress(raw[pos:])
+        except zlib.error as exc:
+            raise ValueError(
+                f"doc {doc_id}: bad deflate member: {exc}"
+            ) from None
+        if not d.eof:
+            raise ValueError(f"doc {doc_id}: deflate member unterminated")
+        pos = len(raw) - len(d.unused_data)
+        if pos + 8 > len(raw):
+            raise ValueError(f"doc {doc_id}: truncated gzip trailer")
+        crc, isize = struct.unpack_from("<II", raw, pos)
+        pos += 8
+        if zlib.crc32(plain) & 0xFFFFFFFF != crc:
+            raise ValueError(f"doc {doc_id}: gzip CRC-32 mismatch")
+        if len(plain) % 2**32 != isize:
+            raise ValueError(f"doc {doc_id}: gzip ISIZE mismatch")
+        n_members += 1
+        for line in plain.decode("utf-8", "strict").splitlines():
+            obj = json.loads(line)
+            n_lines += 1
+            sum_ids += obj["id"]
+            sum_chars += len(obj["t"])
+    if n_members == 0:
+        raise ValueError(f"doc {doc_id}: empty gzip stream")
+    return n_members, n_lines, sum_ids, sum_chars
+
+
+def extract_gzip_jsonl(docs_df: DataFrame) -> DataFrame:
+    """Synthesize-and-extract one multi-member .jsonl.gz per doc row."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ("doc_id", "n_members", "n_lines", "sum_ids", "sum_text_chars")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = make_gzip_jsonl_bytes(int(doc_id), str(t))
+                vals = (int(doc_id), *parse_gzip_jsonl(int(doc_id), raw))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return docs_df.select("doc_id", "text").mapInPandas(
+        kernel, GZIP_JSONL_SCHEMA
+    )

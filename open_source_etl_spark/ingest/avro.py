@@ -1,0 +1,348 @@
+"""Avro Object Container File plumbing — the row-oriented interchange
+format data platforms hand training pipelines (alongside parquet in,
+TFRecord out): header magic + metadata map + sync marker, then
+count/size-framed data blocks each closed by the SAME sync marker,
+records binary-encoded against the header's JSON schema.
+
+Everything is implemented from the public Avro 1.x specification:
+zigzag-varint longs, length-prefixed strings/bytes, little-endian IEEE
+floats/doubles, index-prefixed unions, block-encoded arrays and maps
+(including the negative-count + byteSize form), enums as int indices,
+fixed as raw bytes, and the container framing itself — optional
+raw-DEFLATE block compression (``avro.codec: deflate``) through the
+same stdlib inflate the ZIP/PNG paths use.  The reader decodes
+GENERICALLY from the parsed writer schema; per-block sync markers and
+exact byte consumption are verified, unknown codecs and unsupported
+schema forms raise at the exact boundary.
+
+Scale posture: identical to ``ingest/tfrecord.py`` — per-file kernels
+via ``mapInPandas``, no cross-row state; at 100 TB the kernels map
+over ``binaryFile`` rows of real Avro shards.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+AVRO_MAGIC = b"Obj\x01"
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(v: int) -> bytes:
+    n = _zigzag(v)
+    out = bytearray()
+    while True:
+        bits = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(bits | 0x80)
+        else:
+            out.append(bits)
+            return bytes(out)
+
+
+def read_long(raw: bytes, pos: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        if pos >= len(raw):
+            raise ValueError("truncated avro varint")
+        byte = raw[pos]
+        pos += 1
+        n |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return _unzigzag(n), pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("avro varint overflows 64 bits")
+
+
+def _write_bytes(b: bytes) -> bytes:
+    return write_long(len(b)) + b
+
+
+def _write_str(s: str) -> bytes:
+    return _write_bytes(s.encode())
+
+
+class _Reader:
+    """Cursor over one decompressed block (or the header region)."""
+
+    __slots__ = ("raw", "pos")
+
+    def __init__(self, raw: bytes, pos: int = 0):
+        self.raw = raw
+        self.pos = pos
+
+    def long(self) -> int:
+        v, self.pos = read_long(self.raw, self.pos)
+        return v
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.raw):
+            raise ValueError("avro value overruns block")
+        out = self.raw[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def decode(self, schema) -> object:
+        """Generic binary decode against a (parsed-JSON) writer schema.
+        Supports every Avro 1.x type except recursive named-type
+        references and logical-type annotations."""
+        if isinstance(schema, list):  # union: long index, then value
+            idx = self.long()
+            if not 0 <= idx < len(schema):
+                raise ValueError(f"union index {idx} out of range")
+            return self.decode(schema[idx])
+        if isinstance(schema, dict):
+            typ = schema["type"]
+            if typ == "record":
+                return {
+                    f["name"]: self.decode(f["type"])
+                    for f in schema["fields"]
+                }
+            if typ == "array":
+                out = []
+                while True:
+                    count = self.long()
+                    if count == 0:
+                        return out
+                    if count < 0:  # negative count: byteSize follows
+                        count = -count
+                        self.long()
+                    for _ in range(count):
+                        out.append(self.decode(schema["items"]))
+            if typ == "map":
+                out = {}
+                while True:
+                    count = self.long()
+                    if count == 0:
+                        return out
+                    if count < 0:
+                        count = -count
+                        self.long()
+                    for _ in range(count):
+                        key = self.take(self.long()).decode()
+                        out[key] = self.decode(schema["values"])
+            if typ == "enum":
+                idx = self.long()
+                symbols = schema["symbols"]
+                if not 0 <= idx < len(symbols):
+                    raise ValueError(f"enum index {idx} out of range")
+                return symbols[idx]
+            if typ == "fixed":
+                return self.take(schema["size"])
+            schema = typ  # {"type": "long"} primitive wrapper
+        if schema == "null":
+            return None
+        if schema == "boolean":
+            return self.take(1) != b"\x00"
+        if schema in ("int", "long"):
+            return self.long()
+        if schema == "float":
+            return struct.unpack("<f", self.take(4))[0]
+        if schema == "double":
+            return struct.unpack("<d", self.take(8))[0]
+        if schema == "bytes":
+            return self.take(self.long())
+        if schema == "string":
+            return self.take(self.long()).decode("utf-8", "strict")
+        raise NotImplementedError(
+            f"avro schema form {schema!r} not supported (recursive "
+            "named-type references and logical types are the boundary)"
+        )
+
+
+# --- fixture ---------------------------------------------------------------
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "body", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "long"}},
+        {"name": "score", "type": "double"},
+    ],
+}
+
+AVRO_BLOCK_RECORDS = 2
+
+
+def avro_n_records(doc_id: int) -> int:
+    return 2 + doc_id % 3
+
+
+def avro_body(text: str, j: int) -> str:
+    """Record j's body: the closed-form slice [4j, 4j + 10 + 2j)."""
+    return text[4 * j : 4 * j + 10 + 2 * j]
+
+
+def avro_sync(doc_id: int) -> bytes:
+    return bytes((doc_id * 31 + i * 7) % 256 for i in range(16))
+
+
+def make_avro_bytes(doc_id: int, text: str) -> bytes:
+    """One Avro Object Container File per doc: magic, metadata map
+    (avro.schema JSON + avro.codec), sync marker, then records split
+    into 2-record data blocks (count, post-codec size, data, sync).
+    Odd docs deflate their blocks (raw DEFLATE per the spec); record
+    j carries id doc*10+j, a null body every fifth record, tags
+    [doc%7 + j, 2j], and score doc%100 + j/4 (binary-exact)."""
+    codec = "deflate" if doc_id % 2 else "null"
+    sync = avro_sync(doc_id)
+    header = bytearray(AVRO_MAGIC)
+    meta = [
+        ("avro.schema", json.dumps(AVRO_SCHEMA).encode()),
+        ("avro.codec", codec.encode()),
+    ]
+    header += write_long(len(meta))
+    for k, v in meta:
+        header += _write_str(k) + _write_bytes(v)
+    header += write_long(0)
+    header += sync
+
+    def record(j: int) -> bytes:
+        out = bytearray()
+        out += write_long(doc_id * 10 + j)
+        if (doc_id + j) % 5 == 0:
+            out += write_long(0)  # union index 0: null
+        else:
+            out += write_long(1) + _write_str(avro_body(text, j))
+        out += write_long(2)  # array block of 2 items
+        out += write_long(doc_id % 7 + j) + write_long(2 * j)
+        out += write_long(0)  # array end
+        out += struct.pack("<d", doc_id % 100 + j * 0.25)
+        return bytes(out)
+
+    n = avro_n_records(doc_id)
+    body = bytearray(header)
+    for start in range(0, n, AVRO_BLOCK_RECORDS):
+        recs = [record(j) for j in range(start, min(start + AVRO_BLOCK_RECORDS, n))]
+        plain = b"".join(recs)
+        if codec == "deflate":
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            data = co.compress(plain) + co.flush()
+        else:
+            data = plain
+        body += write_long(len(recs))
+        body += write_long(len(data))
+        body += data
+        body += sync
+    return bytes(body)
+
+
+def parse_avro(doc_id: int, raw: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """(n_records, n_blocks, sum_ids, sum_body_chars, n_null_bodies,
+    sum_tags, sum_score_quarters) by walking the container: header
+    metadata map, codec dispatch, per-block count/size framing with
+    sync-marker verification, and a generic schema-driven decode of
+    every record with exact byte-consumption accounting."""
+    if raw[:4] != AVRO_MAGIC:
+        raise ValueError(f"doc {doc_id}: not an avro container")
+    r = _Reader(raw, 4)
+    meta: dict[str, bytes] = {}
+    while True:
+        count = r.long()
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            r.long()
+        for _ in range(count):
+            key = r.take(r.long()).decode()
+            meta[key] = r.take(r.long())
+    if "avro.schema" not in meta:
+        raise ValueError(f"doc {doc_id}: container missing avro.schema")
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(
+            f"avro codec {codec!r} not implemented (null/deflate only)"
+        )
+    sync = r.take(16)
+    n_records = n_blocks = sum_ids = sum_chars = n_nulls = 0
+    sum_tags = sum_q = 0
+    while r.pos < len(raw):
+        count = r.long()
+        size = r.long()
+        if count < 0 or size < 0:
+            raise ValueError(f"doc {doc_id}: negative block framing")
+        data = r.take(size)
+        if codec == "deflate":
+            try:
+                data = zlib.decompress(data, -15)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"doc {doc_id}: bad deflate block: {exc}"
+                ) from None
+        if r.take(16) != sync:
+            raise ValueError(f"doc {doc_id}: sync marker mismatch")
+        br = _Reader(data)
+        for _ in range(count):
+            rec = br.decode(schema)
+            sum_ids += rec["id"]
+            if rec["body"] is None:
+                n_nulls += 1
+            else:
+                sum_chars += len(rec["body"])
+            sum_tags += sum(rec["tags"])
+            q = rec["score"] * 4
+            if q != int(q):
+                raise ValueError(
+                    f"doc {doc_id}: score not quarter-exact"
+                )
+            sum_q += int(q)
+        if br.pos != len(data):
+            raise ValueError(
+                f"doc {doc_id}: block count consumed {br.pos} of "
+                f"{len(data)} bytes"
+            )
+        n_records += count
+        n_blocks += 1
+    if n_blocks == 0:
+        raise ValueError(f"doc {doc_id}: no data blocks")
+    return n_records, n_blocks, sum_ids, sum_chars, n_nulls, sum_tags, sum_q
+
+
+AVRO_EXTRACT_SCHEMA = (
+    "doc_id long, n_records long, n_blocks long, sum_ids long, "
+    "sum_body_chars long, n_null_bodies long, sum_tags long, "
+    "sum_score_quarters long"
+)
+
+
+def extract_avro(docs_df: DataFrame) -> DataFrame:
+    """Synthesize-and-extract one Avro container per document row."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = tuple(f.split()[0] for f in AVRO_EXTRACT_SCHEMA.split(", "))
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = make_avro_bytes(int(doc_id), str(t))
+                vals = (int(doc_id), *parse_avro(int(doc_id), raw))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return docs_df.select("doc_id", "text").mapInPandas(
+        kernel, AVRO_EXTRACT_SCHEMA
+    )

@@ -1624,3 +1624,106 @@ def datapipe_tfrecord_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_tfrecord(docs).orderBy("doc_id")
+
+
+@query(
+    "datapipe_avro_scan",
+    # formulas mirror ingest.avro: n_records = 2 + doc_id % 3 split
+    # into 2-record blocks, record j carries id doc*10+j, a null body
+    # every fifth (doc+j), body chars = the [4j, 4j+10+2j) text slice,
+    # tags [doc%7 + j, 2j], score doc%100 + j/4 (reported in exact
+    # quarters).  The container framing, sync markers, zigzag varints,
+    # union/array block encodings, and deflate blocks have no closed
+    # form; length(text) keeps both engines on the same column under
+    # perturbed fixtures.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, length(text) AS t_len, 2 + doc_id % 3 AS nr
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, nr, jj.j AS j,
+             CASE WHEN (doc_id + jj.j) % 5 = 0 THEN NULL
+                  ELSE GREATEST(0, LEAST(10 + 2 * jj.j, t_len - 4 * jj.j))
+             END AS chars
+      FROM p, LATERAL (SELECT unnest(range(0, nr)) AS j) jj
+    )
+    SELECT doc_id,
+           CAST(MAX(nr) AS BIGINT) AS n_records,
+           CAST((MAX(nr) + 1) // 2 AS BIGINT) AS n_blocks,
+           CAST(SUM(doc_id * 10 + j) AS BIGINT) AS sum_ids,
+           CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS sum_body_chars,
+           CAST(SUM(CASE WHEN chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_bodies,
+           CAST(SUM(doc_id % 7 + 3 * j) AS BIGINT) AS sum_tags,
+           CAST(SUM(4 * (doc_id % 100) + j) AS BIGINT)
+             AS sum_score_quarters
+    FROM r
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def datapipe_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container scan — the row-oriented interchange format
+    data platforms hand training pipelines: header metadata map (JSON
+    writer schema + codec), per-block count/size framing with the sync
+    marker verified after EVERY block, raw-DEFLATE block decompression
+    (odd docs), and a GENERIC schema-driven binary decode — zigzag
+    varint longs, index-prefixed unions (nullable body), block-encoded
+    arrays, IEEE doubles — with exact per-block byte-consumption
+    accounting (``ingest/avro.py``).  Completes the dataset-container
+    inventory beside WARC/ZIP/TAR/TFRecord."""
+    from ..ingest.avro import extract_avro
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_avro(docs).orderBy("doc_id")
+
+
+@query(
+    "datapipe_gzip_jsonl_scan",
+    # formulas mirror ingest.archives gzip_*: 1 + doc % 3 concatenated
+    # members, member i holding 2 + (doc+i) % 4 JSON lines, line (i,l)
+    # carrying id doc*100 + 10i + l and the text slice
+    # [3(i+l), 3(i+l) + 8 + l).  The gzip header-flag walk, deflate
+    # members, CRC-32/ISIZE trailers, and JSON decode have no closed
+    # form; length(text) keeps both engines on the same column under
+    # perturbed fixtures.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, length(text) AS t_len, 1 + doc_id % 3 AS nm
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, nm, t_len, ii.i AS i, 2 + (doc_id + ii.i) % 4 AS nl
+      FROM p, LATERAL (SELECT unnest(range(0, nm)) AS i) ii
+    ),
+    l AS (
+      SELECT doc_id, nm, i, ll.l AS l,
+             doc_id * 100 + 10 * i + ll.l AS id,
+             GREATEST(0, LEAST(8 + ll.l, t_len - 3 * (i + ll.l)))
+               AS chars
+      FROM m, LATERAL (SELECT unnest(range(0, nl)) AS l) ll
+    )
+    SELECT doc_id,
+           CAST(MAX(nm) AS BIGINT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(id) AS BIGINT) AS sum_ids,
+           CAST(SUM(chars) AS BIGINT) AS sum_text_chars
+    FROM l
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def datapipe_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-member .jsonl.gz scan — the compressed-shard shape web
+    corpora actually ship: per member a REAL RFC 1952 header walk
+    (FEXTRA length-prefixed subfields, zero-terminated FNAME, reserved
+    FLG-bit rejection), raw-DEFLATE decompression, CRC-32 AND ISIZE
+    trailer verification over the decompressed text, then JSON decode
+    of every line — and the member loop itself, since readers that
+    stop at the first trailer silently drop the rest of a concatenated
+    file (``ingest/archives.py``)."""
+    from ..ingest.archives import extract_gzip_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_gzip_jsonl(docs).orderBy("doc_id")

@@ -238,3 +238,142 @@ def test_tfrecord_example_skips_unknown_fields():
         12, b"future"
     )
     assert parse_example(extended) == ("hello", [5])
+
+
+def test_avro_container_roundtrip_and_rejects_corruption():
+    """The Avro walker verifies what it claims: per-block sync markers,
+    codec dispatch, exact byte consumption, and the generic decode —
+    each corruption fires at its own site."""
+    import json
+    import struct
+
+    import pytest
+
+    from open_source_etl_spark.ingest.avro import (
+        AVRO_SCHEMA,
+        avro_body,
+        avro_n_records,
+        make_avro_bytes,
+        parse_avro,
+        write_long,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog " * 3
+    for doc in (4, 7):  # null codec / deflate codec
+        raw = make_avro_bytes(doc, text)
+        n = avro_n_records(doc)
+        exp_chars = sum(
+            len(avro_body(text, j)) for j in range(n) if (doc + j) % 5
+        )
+        got = parse_avro(doc, raw)
+        assert got[0] == n and got[1] == (n + 1) // 2
+        assert got[3] == exp_chars
+
+    raw = make_avro_bytes(7, text)  # deflate doc
+
+    bad_magic = b"Obj\x02" + raw[4:]
+    with pytest.raises(ValueError, match="not an avro container"):
+        parse_avro(7, bad_magic)
+
+    flipped_sync = bytearray(raw)
+    flipped_sync[-1] ^= 0xFF  # final block's sync marker
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        parse_avro(7, bytes(flipped_sync))
+
+    bad_deflate = bytearray(raw)
+    bad_deflate[-20] ^= 0xFF  # inside the final compressed block
+    with pytest.raises(ValueError, match="deflate|sync|consumed|varint|overruns"):
+        parse_avro(7, bytes(bad_deflate))
+
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        parse_avro(7, raw[:-10])
+
+    # unknown codec: rebuild the header with avro.codec = snappy
+    header = bytearray(b"Obj\x01")
+    header += write_long(2)
+    for k, v in (
+        ("avro.schema", json.dumps(AVRO_SCHEMA).encode()),
+        ("avro.codec", b"snappy"),
+    ):
+        header += write_long(len(k)) + k.encode()
+        header += write_long(len(v)) + v
+    header += write_long(0) + bytes(16)
+    header += write_long(1) + write_long(1) + b"\x00" + bytes(16)
+    with pytest.raises(NotImplementedError, match="snappy"):
+        parse_avro(1, bytes(header))
+
+    # block count lying about its records: one record encoded, two
+    # claimed -> the decode must fail, not fabricate
+    doc0 = make_avro_bytes(0, text)  # null codec, 2 records in 1 block
+    lying = bytearray()
+    # header of doc0 ends after magic + meta + 16-byte sync; find the
+    # first block by re-walking: meta map is deterministic here
+    from open_source_etl_spark.ingest.avro import _Reader
+
+    r = _Reader(doc0, 4)
+    while True:
+        c = r.long()
+        if c == 0:
+            break
+        for _ in range(c):
+            r.take(r.long())
+            r.take(r.long())
+    sync_at = r.pos
+    header_end = sync_at + 16
+    r2 = _Reader(doc0, header_end)
+    count = r2.long()
+    size = r2.long()
+    assert count == 2
+    lying += doc0[:header_end]
+    lying += write_long(3) + write_long(size)  # claim 3 records
+    lying += doc0[r2.pos : r2.pos + size + 16]
+    with pytest.raises(ValueError, match="overruns|truncated|consumed"):
+        parse_avro(0, bytes(lying))
+
+
+def test_gzip_jsonl_rejects_corruption():
+    """The gzip walker verifies its trailers and flags: CRC-32 and
+    ISIZE mismatches, reserved FLG bits, a non-deflate CM, an
+    unterminated FNAME, and a truncated trailer all raise."""
+    import struct
+
+    import pytest
+
+    from open_source_etl_spark.ingest.archives import (
+        make_gzip_jsonl_bytes,
+        parse_gzip_jsonl,
+    )
+
+    text = "some sample text for the shards " * 4
+    raw = make_gzip_jsonl_bytes(4, text)  # doc 4: 2 members
+
+    # member 0 has FEXTRA (0 % 3 == 0) but no FNAME (0 % 2 == 0):
+    # header is 10 + 2 + 8 bytes, deflate follows — flip a CRC byte
+    # by locating the SECOND member's magic and backing up 8 bytes
+    second = raw.index(b"\x1f\x8b", 2)
+    bad_crc = bytearray(raw)
+    bad_crc[second - 8] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32"):
+        parse_gzip_jsonl(4, bytes(bad_crc))
+
+    bad_isize = bytearray(raw)
+    bad_isize[second - 4] ^= 0xFF
+    with pytest.raises(ValueError, match="ISIZE"):
+        parse_gzip_jsonl(4, bytes(bad_isize))
+
+    reserved = bytearray(raw)
+    reserved[3] |= 0x80
+    with pytest.raises(ValueError, match="reserved gzip FLG"):
+        parse_gzip_jsonl(4, bytes(reserved))
+
+    lzw_cm = bytearray(raw)
+    lzw_cm[2] = 1
+    with pytest.raises(NotImplementedError, match="method 1"):
+        parse_gzip_jsonl(4, bytes(lzw_cm))
+
+    with pytest.raises(ValueError, match="truncated|unterminated"):
+        parse_gzip_jsonl(4, raw[:-5])
+
+    # a reader that stops after member 0's trailer undercounts: the
+    # walker must see BOTH members of doc 4's concatenated file
+    assert parse_gzip_jsonl(4, raw)[0] == 2
