@@ -57,11 +57,15 @@ def make_zip_bytes(doc_id: int, text: str) -> bytes:
         data = archive_member_text(text, k).encode()
         if k == 0:
             data = b"PK\x03\x04" + data  # embedded-signature trap
-        members.append((name, data, k % 2 == 1))
+        # member 2 (when present) is written STREAMING-style: general
+        # purpose flag bit 3, zeroed local sizes/CRC, and a trailing
+        # data descriptor — the shape zip writers emit when they can't
+        # seek back (and naive extractors trip over)
+        members.append((name, data, k % 2 == 1, k == 2))
 
     out = bytearray()
     central = bytearray()
-    for name, data, deflated in members:
+    for name, data, deflated, streamed in members:
         crc = zlib.crc32(data) & 0xFFFFFFFF
         if deflated:
             co = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate
@@ -70,15 +74,21 @@ def make_zip_bytes(doc_id: int, text: str) -> bytes:
         else:
             payload, method = data, 0
         local_off = len(out)
+        flags = 0x8 if streamed else 0
+        lh = (crc, len(payload), len(data)) if not streamed else (0, 0, 0)
         out += struct.pack(
             "<4sHHHHHIIIHH",
-            b"PK\x03\x04", 20, 0, method, 0, 0, crc, len(payload),
-            len(data), len(name), 0,
+            b"PK\x03\x04", 20, flags, method, 0, 0, *lh,
+            len(name), 0,
         )
         out += name + payload
+        if streamed:  # data descriptor (with the optional signature)
+            out += struct.pack(
+                "<4sIII", b"PK\x07\x08", crc, len(payload), len(data)
+            )
         central += struct.pack(
             "<4sHHHHHHIIIHHHHHII",
-            b"PK\x01\x02", 20, 20, 0, method, 0, 0, crc, len(payload),
+            b"PK\x01\x02", 20, 20, flags, method, 0, 0, crc, len(payload),
             len(data), len(name), 0, 0, 0, 0, 0, local_off,
         )
         central += name
@@ -137,6 +147,30 @@ def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
         data = raw[data_at : data_at + csize]
         if len(data) != csize:
             raise ValueError(f"doc {doc_id}: truncated member data")
+        if lh[2] & 0x8:
+            # streamed member: zeroed local fields, trailing data
+            # descriptor (optionally signed) that must agree with the
+            # central directory
+            desc_at = data_at + csize
+            if raw[desc_at : desc_at + 4] == b"PK\x07\x08":
+                desc_at += 4
+            if desc_at + 12 > len(raw):
+                raise ValueError(
+                    f"doc {doc_id}: truncated data descriptor"
+                )
+            d_crc, d_csize, d_usize = struct.unpack_from(
+                "<III", raw, desc_at
+            )
+            if (d_crc, d_csize, d_usize) != (crc, csize, usize):
+                raise ValueError(
+                    f"doc {doc_id}: data descriptor disagrees with "
+                    "central directory"
+                )
+        elif (lh[6], lh[7], lh[8]) != (crc, csize, usize):
+            raise ValueError(
+                f"doc {doc_id}: local header fields disagree with "
+                "central directory"
+            )
         if method == 8:
             try:  # raw deflate: negative wbits = no zlib header/trailer
                 data = zlib.decompress(data, -15)
@@ -157,42 +191,64 @@ def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
     return n_members, total_chars, total_bytes
 
 
+def _tar_header(name: bytes, size: int, typeflag: str) -> bytes:
+    hdr = bytearray(512)
+    hdr[0 : len(name)] = name[:100]
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = f"{size:011o}\x00".encode()
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8  # checksum computed with spaces
+    hdr[156] = ord(typeflag)
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    chksum = sum(hdr)
+    hdr[148:156] = f"{chksum:06o}\x00 ".encode()
+    return bytes(hdr)
+
+
+def tar_long_name(doc_id: int, k: int) -> str:
+    """Odd members' REAL (>100-char) path, delivered via a GNU
+    @LongLink entry."""
+    return f"doc{doc_id}/" + "deep/" * 22 + f"part{k}.txt"
+
+
 def make_tar_bytes(doc_id: int, text: str) -> bytes:
     """ustar TAR: 512-byte headers with octal fields, the checksum-as-
     spaces rule, magic "ustar", data padded to block multiples, two
-    zero blocks at the end."""
+    zero blocks at the end.  Odd members carry a 120+-char path via a
+    GNU 'L' @LongLink entry (one header + one data block naming the
+    NEXT member) — the extension every real tar of nested corpora
+    hits."""
     out = bytearray()
     for k in range(archive_n_members(doc_id)):
-        name = f"doc{doc_id}/part{k}.txt".encode()
         data = archive_member_text(text, k).encode()
-        hdr = bytearray(512)
-        hdr[0 : len(name)] = name
-        hdr[100:108] = b"0000644\x00"
-        hdr[108:116] = b"0000000\x00"
-        hdr[116:124] = b"0000000\x00"
-        hdr[124:136] = f"{len(data):011o}\x00".encode()
-        hdr[136:148] = b"00000000000\x00"
-        hdr[148:156] = b" " * 8  # checksum computed with spaces
-        hdr[156] = ord("0")  # typeflag: regular file
-        hdr[257:263] = b"ustar\x00"
-        hdr[263:265] = b"00"
-        chksum = sum(hdr)
-        hdr[148:156] = f"{chksum:06o}\x00 ".encode()
-        out += hdr
+        if k % 2:
+            longname = tar_long_name(doc_id, k).encode() + b"\x00"
+            out += _tar_header(b"././@LongLink", len(longname), "L")
+            out += longname + bytes((512 - len(longname) % 512) % 512)
+            name = longname[:100].rstrip(b"\x00")  # truncated fallback
+        else:
+            name = f"doc{doc_id}/part{k}.txt".encode()
+        out += _tar_header(name, len(data), "0")
         out += data
-        pad = (512 - len(data) % 512) % 512
-        out += bytes(pad)
+        out += bytes((512 - len(data) % 512) % 512)
     out += bytes(1024)
     return bytes(out)
 
 
 def parse_tar(doc_id: int, raw: bytes) -> tuple[int, int, int]:
     """(n_members, sum_content_chars, n_blocks) by walking 512-byte
-    ustar headers with checksum and magic verification."""
+    ustar headers with checksum and magic verification.  GNU 'L'
+    @LongLink entries are consumed as the NEXT member's real name
+    (NUL-terminated, must agree with the following header's truncated
+    prefix); a dangling 'L' with no member after it raises."""
     if len(raw) % 512:
         raise ValueError(f"doc {doc_id}: tar not block-aligned")
     pos = 0
     n_members = total_chars = 0
+    pending_name: bytes | None = None
     while pos < len(raw):
         hdr = raw[pos : pos + 512]
         if hdr == bytes(512):
@@ -210,12 +266,30 @@ def parse_tar(doc_id: int, raw: bytes) -> tuple[int, int, int]:
         data = raw[pos : pos + size]
         if len(data) != size:
             raise ValueError(f"doc {doc_id}: truncated tar member")
-        if typeflag == "0":
+        if typeflag == "L":
+            if pending_name is not None:
+                raise ValueError(
+                    f"doc {doc_id}: consecutive @LongLink entries"
+                )
+            pending_name = data.rstrip(b"\x00")
+            if not pending_name:
+                raise ValueError(f"doc {doc_id}: empty @LongLink name")
+        elif typeflag == "0":
+            if pending_name is not None:
+                short = hdr[:100].rstrip(b"\x00")
+                if not pending_name.startswith(short):
+                    raise ValueError(
+                        f"doc {doc_id}: @LongLink name disagrees with "
+                        "the member header prefix"
+                    )
+                pending_name = None
             n_members += 1
             total_chars += len(data.decode("utf-8", "strict"))
         pos += size + (512 - size % 512) % 512
     else:
         raise ValueError(f"doc {doc_id}: tar missing end-of-archive blocks")
+    if pending_name is not None:
+        raise ValueError(f"doc {doc_id}: dangling @LongLink entry")
     return n_members, total_chars, len(raw) // 512
 
 

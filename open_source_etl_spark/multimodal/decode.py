@@ -2889,10 +2889,18 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                         raise NotImplementedError(
                             "local color tables not implemented"
                         )
+                    # GIF interlace: frame data rows arrive in the
+                    # four-pass order (rows 0,8,..; 4,12,..; 2,6,..;
+                    # 1,3,..) and must be PLACED back — a decoder that
+                    # ignores the flag scrambles every later composite
                     if iflags & 0x40:
-                        raise ValueError(
-                            f"doc {doc_id}: interlaced GIF frame unsupported"
-                        )
+                        row_map = [
+                            y
+                            for s0, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                            for y in range(s0, h, st)
+                        ]
+                    else:
+                        row_map = list(range(h))
                     if left + w > width or top + h > height:
                         raise ValueError(
                             f"doc {doc_id}: frame rect outside logical screen"
@@ -2933,7 +2941,7 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                             f"{w * h} pixels"
                         )
                     for j in range(h):
-                        row = canvas[top + j]
+                        row = canvas[top + row_map[j]]
                         for i in range(w):
                             v = idx[j * w + i]
                             if v != transparent_idx:

@@ -1499,7 +1499,9 @@ def gif_disposal_params(doc_id: int) -> tuple[int, int, int, int, int, int]:
 
 def make_gif_disposal_bytes(doc_id: int) -> bytes:
     """Real GIF89a exercising the FULL frame-disposal state machine:
-    a do-not-dispose base frame, then patches over one fixed rect
+    a do-not-dispose base frame (INTERLACED on every fourth doc: rows
+    shipped in the four-pass order under flag 0x40), then patches over
+    one fixed rect
     whose GCEs alternate disposal 2 (restore to the screen
     descriptor's background index) and 3 (restore previous), each with
     the transparency flag set — transparent-index (3) pixels under the
@@ -1509,7 +1511,7 @@ def make_gif_disposal_bytes(doc_id: int) -> bytes:
     palette = gif_palette(doc_id)
     gct = bytes(v for rgb in palette for v in rgb)
 
-    def img_block(left, top, w, h, indices):
+    def img_block(left, top, w, h, indices, interlaced=False):
         lzw = _lzw_encode(indices, 2)
         blocks = bytearray()
         for i in range(0, len(lzw), 255):
@@ -1517,9 +1519,10 @@ def make_gif_disposal_bytes(doc_id: int) -> bytes:
             blocks.append(len(chunk))
             blocks += chunk
         blocks.append(0)
+        flags = 0x40 if interlaced else 0x00
         return (
-            b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
-            + bytes([2]) + bytes(blocks)
+            b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+            + bytes([flags, 2]) + bytes(blocks)
         )
 
     out = bytearray()
@@ -1527,11 +1530,24 @@ def make_gif_disposal_bytes(doc_id: int) -> bytes:
     out += struct.pack("<HH", width, height)
     out += bytes([0x81, bg, 0])  # GCT flag/size, background index
     out += gct
-    # base frame: disposal 1, opaque
+    # base frame: disposal 1, opaque; every fourth doc ships it
+    # INTERLACED (rows in the four-pass order, flag 0x40) — base pixel
+    # values vary by row, so a decoder that ignores the flag scrambles
+    # every frame's composited means
+    interlaced = doc_id % 4 == 0
+    if interlaced:
+        row_order = [
+            y
+            for s0, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for y in range(s0, height, st)
+        ]
+    else:
+        row_order = list(range(height))
     out += b"\x21\xf9\x04\x04\x00\x00\x00\x00"
     out += img_block(
         0, 0, width, height,
-        [(x + y + doc_id) % 4 for y in range(height) for x in range(width)],
+        [(x + y + doc_id) % 4 for y in row_order for x in range(width)],
+        interlaced=interlaced,
     )
     for k in range(1, n_frames):
         disposal = 2 + (doc_id + k) % 2

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_compute
 from ..registry import query
 
 # LCG-style deterministic bucket in [0, 100): identical integer math on
@@ -1494,7 +1494,7 @@ def datapipe_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     real crawl shards (``ingest/warc.py``)."""
     from ..ingest.warc import extract_warc_records, synthesize_warc
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return extract_warc_records(synthesize_warc(docs)).orderBy("doc_id")
 
 
@@ -1539,7 +1539,7 @@ def datapipe_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture as ``datapipe_warc_extract``."""
     from ..ingest.archives import extract_zip_members
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return extract_zip_members(docs).orderBy("doc_id")
 
 
@@ -1547,9 +1547,10 @@ def datapipe_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datapipe_tar_extract",
     # formulas mirror ingest.archives: same member slices as the ZIP
     # twin; total_size counts 512-byte blocks — 1 header + ceil(bytes /
-    # 512) data blocks per member + 2 end-of-archive blocks.  The ustar
-    # header checksum (spaces rule) and octal fields have no closed
-    # form.
+    # 512) data blocks per member, 2 extra blocks per odd member (its
+    # GNU @LongLink entry: header + <512-byte name), + 2 end-of-archive
+    # blocks.  The ustar header checksum (spaces rule) and octal
+    # fields have no closed form.
     oracle="""
     WITH p AS (
       SELECT doc_id, text, length(text) AS t_len, 2 + doc_id % 3 AS np
@@ -1565,7 +1566,8 @@ def datapipe_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(MAX(np) AS BIGINT) AS n_members,
            CAST(SUM(chars) AS BIGINT) AS sum_content_chars,
-           CAST(2 + SUM(1 + (bytes + 511) // 512) AS BIGINT) AS total_size
+           CAST(2 + SUM(1 + (bytes + 511) // 512)
+                + 2 * (MAX(np) // 2) AS BIGINT) AS total_size
     FROM m
     GROUP BY doc_id
     ORDER BY doc_id
@@ -1580,7 +1582,7 @@ def datapipe_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     containers' extractions cross-check each other."""
     from ..ingest.archives import extract_tar_members
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return extract_tar_members(docs).orderBy("doc_id")
 
 
@@ -1622,7 +1624,7 @@ def datapipe_tfrecord_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventory: WARC in, ZIP/TAR through, TFRecord out."""
     from ..ingest.tfrecord import extract_tfrecord
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return extract_tfrecord(docs).orderBy("doc_id")
 
 
@@ -1675,7 +1677,7 @@ def datapipe_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventory beside WARC/ZIP/TAR/TFRecord."""
     from ..ingest.avro import extract_avro
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return extract_avro(docs).orderBy("doc_id")
 
 
@@ -1725,5 +1727,5 @@ def datapipe_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     file (``ingest/archives.py``)."""
     from ..ingest.archives import extract_gzip_jsonl
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents")
     return extract_gzip_jsonl(docs).orderBy("doc_id")

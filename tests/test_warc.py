@@ -377,3 +377,71 @@ def test_gzip_jsonl_rejects_corruption():
     # a reader that stops after member 0's trailer undercounts: the
     # walker must see BOTH members of doc 4's concatenated file
     assert parse_gzip_jsonl(4, raw)[0] == 2
+
+
+def test_zip_streamed_member_descriptor_verified():
+    """Member 2 is written streaming-style (flag bit 3, zeroed local
+    fields, trailing data descriptor): it must extract, and a
+    descriptor that disagrees with the central directory must raise."""
+    import struct
+
+    import pytest
+
+    from open_source_etl_spark.ingest.archives import (
+        archive_n_members,
+        make_zip_bytes,
+        parse_zip,
+    )
+
+    doc = 3  # 2 + 3 % 3 = 2 members... need k=2: use doc 4 (3 members)
+    doc = 4
+    assert archive_n_members(doc) == 3
+    raw = make_zip_bytes(doc, "stream me please " * 8)
+    n, _c, _t = parse_zip(doc, raw)
+    assert n == 3
+    # the streamed member's local header really is zeroed
+    desc_at = raw.index(b"PK\x07\x08")
+    crc, csize, usize = struct.unpack_from("<III", raw, desc_at + 4)
+    assert usize > 0
+    bad = bytearray(raw)
+    struct.pack_into("<I", bad, desc_at + 4, crc ^ 0xFF)
+    with pytest.raises(ValueError, match="data descriptor disagrees"):
+        parse_zip(doc, bytes(bad))
+
+
+def test_tar_longlink_names_applied_and_verified():
+    """Odd members arrive via GNU @LongLink: the walker must consume
+    the 'L' entry without counting it, cross-check the name prefix,
+    and reject a dangling 'L' at end of archive."""
+    import pytest
+
+    from open_source_etl_spark.ingest.archives import (
+        _tar_header,
+        archive_n_members,
+        make_tar_bytes,
+        parse_tar,
+        tar_long_name,
+    )
+
+    doc = 4
+    raw = make_tar_bytes(doc, "0123456789" * 20)
+    assert b"././@LongLink" in raw
+    assert parse_tar(doc, raw)[0] == archive_n_members(doc)
+    assert len(tar_long_name(doc, 1)) > 100
+
+    # prefix disagreement: corrupt the longname data block's first byte
+    at = raw.index(b"././@LongLink") + 512
+    bad = bytearray(raw)
+    bad[at] ^= 0x01
+    with pytest.raises(ValueError, match="disagrees|checksum"):
+        parse_tar(doc, bytes(bad))
+
+    # dangling L entry with no member after it
+    name = b"some/very/long/name\x00"
+    dangling = (
+        _tar_header(b"././@LongLink", len(name), "L")
+        + name + bytes(512 - len(name))
+        + bytes(1024)
+    )
+    with pytest.raises(ValueError, match="dangling @LongLink"):
+        parse_tar(0, dangling)
