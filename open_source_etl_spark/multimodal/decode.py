@@ -3325,10 +3325,10 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
     remainder codes) feeding both predictor paths, and an END-TO-END
     check: the MD5 of the decoded little-endian sample stream is
     recomputed and compared to STREAMINFO's — ``md5_ok`` is decoded
-    proof, not metadata.  Honest boundaries: stereo channel
-    assignments, wasted bits, and variable blocking raise
-    ``NotImplementedError`` at the exact sites a codec library would
-    take over."""
+    proof, not metadata.  Stereo streams take ``decode_flac_stereo``
+    (all four channel assignments); wasted bits and variable blocking
+    raise ``NotImplementedError`` at the exact sites a codec library
+    would take over."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -3362,8 +3362,8 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
             md5_claim = streaminfo[18:34]
             if n_ch != 1 or bps != 16:
                 raise NotImplementedError(
-                    "only 16-bit mono FLAC implemented (stereo channel "
-                    "assignments need inter-channel decorrelation)"
+                    "this path decodes 16-bit mono FLAC; stereo streams "
+                    "take decode_flac_stereo"
                 )
             n_frames = sum_c = sum_v = sum_f = 0
             last_sample = 0
@@ -3731,6 +3731,261 @@ def synthesize_bmp_rle8(docs_df: DataFrame) -> DataFrame:
                     "kind": ["image"] * len(pdf),
                     "payload": [
                         make_bmp_rle8_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+FLAC_STEREO_SCHEMA = (
+    "doc_id long, n_frames long, sample_rate long, total_samples long, "
+    "sum_left long, sum_right long, last_left long, last_right long, "
+    "md5_ok boolean"
+)
+
+
+def _flac_read_subframe(
+    doc_id: int, br: "_FlacBits", blocksize: int, bps: int
+) -> list:
+    """One complete subframe at an arbitrary (not byte-aligned) bit
+    depth — the reader the stereo path needs, since side channels carry
+    bps+1 bits and the second channel's subframe starts mid-byte.
+    Handles all four subframe types through the shared Rice residual
+    reader and predictor recurrences."""
+    if br.u(1):
+        raise ValueError(f"doc {doc_id}: subframe pad bit set")
+    stype = br.u(6)
+    if br.u(1):
+        raise NotImplementedError("wasted-bits-per-sample not implemented")
+
+    def signed(v: int) -> int:
+        return v - (1 << bps) if v >> (bps - 1) else v
+
+    if stype == 0:  # CONSTANT
+        return [signed(br.u(bps))] * blocksize
+    if stype == 1:  # VERBATIM
+        return [signed(br.u(bps)) for _ in range(blocksize)]
+    if 8 <= stype <= 12 or stype >= 32:
+        is_lpc = stype >= 32
+        order = stype - 31 if is_lpc else stype - 8
+        samples = [signed(br.u(bps)) for _ in range(order)]
+        if is_lpc:
+            prec_m1 = br.u(4)
+            if prec_m1 == 15:
+                raise ValueError(
+                    f"doc {doc_id}: invalid LPC coefficient precision"
+                )
+            precision = prec_m1 + 1
+            shift = br.u(5)
+            if shift & 0x10:
+                raise ValueError(
+                    f"doc {doc_id}: negative LPC quantization shift"
+                )
+            coefs = []
+            for _ in range(order):
+                cv = br.u(precision)
+                if cv >> (precision - 1):
+                    cv -= 1 << precision
+                coefs.append(cv)
+        else:
+            shift = 0
+            coefs = _FLAC_FIXED_COEFS[order]
+        for r in _flac_read_residuals(doc_id, br, blocksize, order):
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(r + (pred >> shift))
+        return samples
+    raise ValueError(f"doc {doc_id}: reserved subframe type {stype}")
+
+
+def decode_flac_stereo(media_df: DataFrame) -> DataFrame:
+    """REAL stereo FLAC decode across all four channel assignments
+    (RFC 9639 §4.2): independent L/R, left/side, right/side, and
+    mid/side — side subframes read at bps+1 bits, mid's dropped low
+    bit recovered from side's parity (L+R = mid<<1 | (side&1), then
+    L = (L+R+side)>>1, R = L - side).  Subframes are bit-contiguous,
+    so the whole frame body decodes through the bit reader; CRC-8/
+    CRC-16 and the frame walk match the mono decoder, and the MD5 of
+    the INTERLEAVED decoded stream is recomputed against STREAMINFO's
+    claim — a decoder that skips the decorrelation cannot fake any of
+    the per-channel sums or ``md5_ok``."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        from .synth import flac_crc8, flac_crc16
+
+        def walk(doc_id: int, raw: bytes):
+            if raw[:4] != b"fLaC":
+                raise ValueError(f"doc {doc_id}: not a FLAC stream")
+            pos, streaminfo = 4, None
+            while True:
+                head = raw[pos]
+                length = int.from_bytes(raw[pos + 1 : pos + 4], "big")
+                if head & 0x7F == 0:
+                    streaminfo = raw[pos + 4 : pos + 4 + length]
+                pos += 4 + length
+                if head & 0x80:
+                    break
+            if streaminfo is None or len(streaminfo) != 34:
+                raise ValueError(f"doc {doc_id}: missing STREAMINFO")
+            word = int.from_bytes(streaminfo[:18], "big")
+            rate = (word >> (144 - 80 - 20)) & 0xFFFFF
+            n_ch = ((word >> (144 - 100 - 3)) & 0x7) + 1
+            bps = ((word >> (144 - 103 - 5)) & 0x1F) + 1
+            total_claim = word & ((1 << 36) - 1)
+            md5_claim = streaminfo[18:34]
+            if n_ch != 2 or bps != 16:
+                raise NotImplementedError(
+                    "stereo decoder expects 2-channel 16-bit streams "
+                    "(mono takes decode_flac_real)"
+                )
+            n_frames = sum_l = sum_r = 0
+            last_l = last_r = 0
+            md5 = hashlib.md5()
+            while pos < len(raw):
+                start = pos
+                h0 = int.from_bytes(raw[pos : pos + 2], "big")
+                if h0 >> 2 != 0b11111111111110:
+                    raise ValueError(f"doc {doc_id}: lost frame sync at {pos}")
+                if h0 & 0x2:
+                    raise ValueError(f"doc {doc_id}: reserved bit set")
+                if h0 & 0x1:
+                    raise NotImplementedError(
+                        "variable-blocksize streams not implemented"
+                    )
+                b2 = raw[pos + 2]
+                bs_code, sr_code = b2 >> 4, b2 & 0xF
+                b3 = raw[pos + 3]
+                ch_code, ss_code = b3 >> 4, (b3 >> 1) & 0x7
+                if ch_code not in (1, 8, 9, 10):
+                    raise NotImplementedError(
+                        f"channel assignment {ch_code} not implemented "
+                        "(2-channel codes only)"
+                    )
+                if ss_code != 4:
+                    raise ValueError(
+                        f"doc {doc_id}: sample-size code {ss_code} is "
+                        "not 16-bit"
+                    )
+                pos += 4
+                frame_num = raw[pos]
+                if frame_num >= 0x80:
+                    raise ValueError(
+                        f"doc {doc_id}: multi-byte frame number "
+                        "unexpected in this fixture"
+                    )
+                pos += 1
+                if bs_code != 8 or sr_code not in _FLAC_SAMPLE_RATES:
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected blocksize/rate code"
+                    )
+                blocksize = 256
+                if _FLAC_SAMPLE_RATES[sr_code] != rate:
+                    raise ValueError(
+                        f"doc {doc_id}: frame rate disagrees with "
+                        "STREAMINFO"
+                    )
+                if frame_num != n_frames:
+                    raise ValueError(
+                        f"doc {doc_id}: frame number out of order"
+                    )
+                if flac_crc8(raw[start:pos]) != raw[pos]:
+                    raise ValueError(f"doc {doc_id}: frame-header CRC-8 bad")
+                pos += 1
+                br = _FlacBits(raw, pos)
+                # the SIDE subframe (channel 1 for left/side and
+                # mid/side, channel 0 for right/side) carries bps+1
+                side_ch = {1: None, 8: 1, 9: 0, 10: 1}[ch_code]
+                subs = []
+                for ch in (0, 1):
+                    ch_bps = 17 if ch == side_ch else 16
+                    subs.append(
+                        _flac_read_subframe(doc_id, br, blocksize, ch_bps)
+                    )
+                pos = br.align()
+                if struct.unpack_from(">H", raw, pos)[0] != flac_crc16(
+                    raw[start:pos]
+                ):
+                    raise ValueError(f"doc {doc_id}: frame CRC-16 bad")
+                pos += 2
+                if ch_code == 1:
+                    left, right = subs
+                elif ch_code == 8:  # left/side: R = L - side
+                    left = subs[0]
+                    right = [l - s for l, s in zip(left, subs[1])]
+                elif ch_code == 9:  # right/side: L = R + side
+                    right = subs[1]
+                    left = [r + s for r, s in zip(right, subs[0])]
+                else:  # mid/side: L+R = mid<<1 | side&1
+                    left = [
+                        ((m << 1 | (s & 1)) + s) >> 1
+                        for m, s in zip(subs[0], subs[1])
+                    ]
+                    right = [l - s for l, s in zip(left, subs[1])]
+                if any(
+                    not -0x8000 <= v <= 0x7FFF for v in left + right
+                ):
+                    raise ValueError(
+                        f"doc {doc_id}: decorrelated output exceeds "
+                        "16-bit range"
+                    )
+                inter = [v for pair in zip(left, right) for v in pair]
+                md5.update(struct.pack(f"<{len(inter)}h", *inter))
+                sum_l += sum(left)
+                sum_r += sum(right)
+                last_l, last_r = left[-1], right[-1]
+                n_frames += 1
+            if n_frames == 0:
+                raise ValueError(f"doc {doc_id}: no FLAC frames")
+            if total_claim != n_frames * 256:
+                raise ValueError(
+                    f"doc {doc_id}: STREAMINFO total disagrees with "
+                    "decoded frames"
+                )
+            return (
+                n_frames, rate, n_frames * 256, sum_l, sum_r,
+                last_l, last_r, md5.digest() == md5_claim,
+            )
+
+        cols = (
+            "doc_id", "n_frames", "sample_rate", "total_samples",
+            "sum_left", "sum_right", "last_left", "last_right", "md5_ok",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, FLAC_STEREO_SCHEMA
+    )
+
+
+def synthesize_flac_stereo(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a four-assignment stereo FLAC."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_flac_stereo_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_flac_stereo_bytes(int(d))
+                        for d in pdf["doc_id"]
                     ],
                 }
             )

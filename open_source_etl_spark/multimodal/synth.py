@@ -1971,3 +1971,107 @@ def make_bmp_rle8_bytes(doc_id: int) -> bytes:
     offset = 14 + 40 + len(pal)
     header = struct.pack("<2sIHHI", b"BM", offset + len(rle), 0, 0, offset)
     return header + dib + pal + rle
+
+
+def flac_stereo_params(doc_id: int) -> tuple[int, int]:
+    """(n_frames, sample_rate_code) for the STEREO FLAC fixture: 4-5
+    frames cycling all four channel assignments (independent,
+    left/side, right/side, mid/side), 256 interchannel samples each."""
+    return 4 + doc_id % 2, 4 + doc_id % 3
+
+
+def flac_stereo_values(doc_id: int, k: int) -> tuple[int, int]:
+    """Frame k's generators: the LEFT channel is the ramp a..a+255,
+    the RIGHT channel the constant c — closed forms whose sums only
+    come out right if the decoder undoes the frame's decorrelation."""
+    return (doc_id * 7 + 9 * k) % 300, (doc_id * 5 + 11 * k) % 200
+
+
+def _flac_pack_subframe(w: "_BitPacker", samples: list, bps: int,
+                        constant: bool) -> None:
+    """One CONSTANT or VERBATIM subframe at an arbitrary bit depth
+    (side channels carry bps+1 bits, so nothing here is byte-aligned)."""
+    mask = (1 << bps) - 1
+    if constant:
+        w.u(0 << 1, 8)
+        w.u(samples[0] & mask, bps)
+    else:
+        w.u(1 << 1, 8)
+        for s in samples:
+            w.u(s & mask, bps)
+
+
+def make_flac_stereo_bytes(doc_id: int) -> bytes:
+    """Real STEREO FLAC stream exercising inter-channel decorrelation
+    (RFC 9639 §4.2 / §9.1): frame k's channel-assignment code cycles
+    independent (1), left/side (8), right/side (9), mid/side (10).
+    Side subframes carry bps+1 = 17-bit samples (side = L - R can be
+    negative: two's complement); mid = (L+R)>>1, with the dropped low
+    bit recoverable from side's parity.  Subframes are bit-contiguous
+    — nothing after the frame header is byte-aligned until the closing
+    zero-padding — and the STREAMINFO MD5 is over the interleaved
+    L0 R0 L1 R1 .. little-endian stream, so ``md5_ok`` proves the
+    decorrelation end-to-end."""
+    import hashlib
+
+    n_frames, sr_code = flac_stereo_params(doc_id)
+    rate = FLAC_RATES[sr_code]
+    total = n_frames * FLAC_BLOCK
+
+    interleaved = []
+    frames = bytearray()
+    for k in range(n_frames):
+        a, c = flac_stereo_values(doc_id, k)
+        left = list(range(a, a + FLAC_BLOCK))
+        right = [c] * FLAC_BLOCK
+        mode = k % 4
+        ch_code = (1, 8, 9, 10)[mode]
+        header = bytes((
+            0xFF, 0b11111000,
+            (8 << 4) | sr_code,          # blocksize code 8 (256) | rate
+            (ch_code << 4) | (4 << 1),   # channel assignment | 16-bit
+            k,
+        ))
+        header += bytes([flac_crc8(header)])
+        side = [l - r for l, r in zip(left, right)]
+        w = _BitPacker()
+        if mode == 0:    # independent: L verbatim, R constant
+            _flac_pack_subframe(w, left, 16, constant=False)
+            _flac_pack_subframe(w, right, 16, constant=True)
+        elif mode == 1:  # left/side
+            _flac_pack_subframe(w, left, 16, constant=False)
+            _flac_pack_subframe(w, side, 17, constant=False)
+        elif mode == 2:  # right/side
+            _flac_pack_subframe(w, side, 17, constant=False)
+            _flac_pack_subframe(w, right, 16, constant=True)
+        else:            # mid/side
+            mid = [(l + r) >> 1 for l, r in zip(left, right)]
+            _flac_pack_subframe(w, mid, 16, constant=False)
+            _flac_pack_subframe(w, side, 17, constant=False)
+        while len(w.bits) % 8:
+            w.bits.append(0)
+        body = header + w.to_bytes()
+        body += struct.pack(">H", flac_crc16(body))
+        frames += body
+        for l, r in zip(left, right):
+            interleaved += [l, r]
+
+    md5 = hashlib.md5(
+        struct.pack(f"<{len(interleaved)}h", *interleaved)
+    ).digest()
+    si = _BitPacker()
+    si.u(FLAC_BLOCK, 16)
+    si.u(FLAC_BLOCK, 16)
+    si.u(0, 24)
+    si.u(0, 24)
+    si.u(rate, 20)
+    si.u(1, 3)   # channels - 1 = 1: stereo
+    si.u(15, 5)  # bits per sample - 1
+    si.u(total, 36)
+    streaminfo = si.to_bytes() + md5
+    assert len(streaminfo) == 34
+    return (
+        b"fLaC"
+        + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        + bytes(frames)
+    )

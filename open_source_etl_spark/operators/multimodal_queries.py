@@ -1340,6 +1340,61 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_flac_stereo_decode",
+    # formulas mirror synth.flac_stereo_params / flac_stereo_values:
+    # frame k's LEFT channel is the ramp (doc*7 + 9k) % 300 .. +255 and
+    # the RIGHT the constant (doc*5 + 11k) % 200; frames cycle the four
+    # channel assignments, so the per-channel sums only come out right
+    # if the decoder undoes left/side, right/side, and mid/side
+    # decorrelation (17-bit side subframes, mid's parity bit).  The
+    # frame walk, CRCs, bit-contiguous subframes, and the interleaved
+    # MD5 have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 2 AS nf,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 22050 END AS rate
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, nf, rate, kk.k AS k,
+             (doc_id * 7 + 9 * kk.k) % 300 AS a,
+             (doc_id * 5 + 11 * kk.k) % 200 AS c
+      FROM p, LATERAL (SELECT unnest(range(0, nf)) AS k) kk
+    )
+    SELECT doc_id,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(MAX(rate) AS BIGINT) AS sample_rate,
+           CAST(256 * MAX(nf) AS BIGINT) AS total_samples,
+           CAST(SUM(256 * a + 32640) AS BIGINT) AS sum_left,
+           CAST(SUM(256 * c) AS BIGINT) AS sum_right,
+           CAST(MAX(CASE WHEN k = nf - 1 THEN a + 255 END) AS BIGINT)
+             AS last_left,
+           CAST(MAX(CASE WHEN k = nf - 1 THEN c END) AS BIGINT)
+             AS last_right,
+           TRUE AS md5_ok
+    FROM fr
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stereo FLAC decode with inter-channel decorrelation: frames
+    cycle all four channel assignments (independent, left/side,
+    right/side, mid/side — RFC 9639 §4.2), side subframes read at
+    bps+1 = 17 bits, mid's dropped low bit recovered from side's
+    parity, subframes bit-contiguous through one bit reader, and the
+    end-to-end proof — the MD5 of the INTERLEAVED decoded stream
+    recomputed against STREAMINFO's claim.  Removes the mono
+    restriction that was the FLAC family's last major boundary
+    (``decode.py:decode_flac_stereo``)."""
+    from ..multimodal.decode import decode_flac_stereo, synthesize_flac_stereo
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_flac_stereo(synthesize_flac_stereo(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_bmp_rle8_decode",
     # formulas mirror synth.bmp_rle8_params / gif_palette: pixel (x, y)
     # carries palette index (x+y+doc)%4 for x < 5 (the absolute-mode
