@@ -583,7 +583,10 @@ def containers_main() -> None:
 
     from open_source_etl_spark.conf import EngineConfig
     from open_source_etl_spark.operators.datapipe_queries import (
+        datapipe_avro_scan,
+        datapipe_gzip_jsonl_scan,
         datapipe_tar_extract,
+        datapipe_tfrecord_scan,
         datapipe_warc_extract,
         datapipe_zip_extract,
     )
@@ -601,6 +604,9 @@ def containers_main() -> None:
         ("datapipe_warc_extract", datapipe_warc_extract),
         ("datapipe_zip_extract", datapipe_zip_extract),
         ("datapipe_tar_extract", datapipe_tar_extract),
+        ("datapipe_tfrecord_scan", datapipe_tfrecord_scan),
+        ("datapipe_avro_scan", datapipe_avro_scan),
+        ("datapipe_gzip_jsonl_scan", datapipe_gzip_jsonl_scan),
     ]
     times: dict[str, list[tuple[int, float]]] = {}
     for mult in mults:
@@ -617,10 +623,17 @@ def containers_main() -> None:
         u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
         for qname, fn in probes:
             t0 = time.time()
+            count_col = (
+                "n_records"
+                if qname in ("datapipe_warc_extract",
+                             "datapipe_tfrecord_scan",
+                             "datapipe_avro_scan")
+                else "n_lines"
+                if qname == "datapipe_gzip_jsonl_scan"
+                else "n_members"
+            )
             row = fn(spark, out).agg(
-                F.count("*"), F.sum("n_members")
-                if qname != "datapipe_warc_extract"
-                else F.sum("n_records")
+                F.count("*"), F.sum(count_col)
             ).first()
             dt = time.time() - t0
             times.setdefault(qname, []).append((mult, dt))
