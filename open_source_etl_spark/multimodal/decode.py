@@ -713,8 +713,10 @@ def jpeg_decode_gray(doc_id: int, raw: bytes) -> tuple[int, int, int, int]:
     (width, height, n_blocks, mean_gray).  Module-scope so BOTH the
     standalone image query and the MJPEG-in-AVI frame extraction run
     the SAME production decoder (and the property suite can drive it
-    directly).  Progressive (SOF2), multi-component, or RSTn streams
-    raise."""
+    directly).  DRI/RSTn restart intervals decode per E.1.4 — segment
+    splits at the byte-aligned markers, D0-D7 sequence verified, DC
+    predictor reset per segment; progressive (SOF2) or multi-component
+    streams raise."""
     import math
     import struct
 
@@ -739,6 +741,7 @@ def jpeg_decode_gray(doc_id: int, raw: bytes) -> tuple[int, int, int, int]:
     huff_ac: dict[int, dict] = {}
     sof = None
     comp_spec = None
+    restart_interval = 0
     while pos < len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"doc {doc_id}: marker sync lost")
@@ -786,8 +789,8 @@ def jpeg_decode_gray(doc_id: int, raw: bytes) -> tuple[int, int, int, int]:
                     counts, symbols
                 )
                 p += 17 + nsym
-        elif marker == 0xDD:
-            raise ValueError(f"doc {doc_id}: restart markers unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS: entropy data follows
             td, ta = data[2] >> 4, data[2] & 15
             pos += 2 + seg_len
@@ -799,33 +802,67 @@ def jpeg_decode_gray(doc_id: int, raw: bytes) -> tuple[int, int, int, int]:
         raise ValueError(f"doc {doc_id}: missing SOF before SOS")
     width, height = sof
     q = quant[comp_spec[2]]
-    # de-stuff the scan: FF00 -> FF; any other FFxx is a marker
-    body = bytearray()
+    # de-stuff the scan: FF00 -> FF; RSTn splits a new entropy
+    # segment; any other FFxx is a marker
+    segments: list[bytearray] = [bytearray()]
+    markers: list[int] = []
     p = pos
     while p < len(raw):
         byte = raw[p]
         if byte == 0xFF:
             nxt = raw[p + 1] if p + 1 < len(raw) else None
             if nxt == 0x00:
-                body.append(0xFF)
+                segments[-1].append(0xFF)
+                p += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                markers.append(nxt & 7)
+                segments.append(bytearray())
                 p += 2
                 continue
             if nxt == 0xD9:
                 break
             raise ValueError(f"doc {doc_id}: unexpected marker in scan")
-        body.append(byte)
+        segments[-1].append(byte)
         p += 1
     else:
         raise ValueError(f"doc {doc_id}: missing EOI")
-    reader = _BitReader(bytes(body))
+    if markers and not restart_interval:
+        raise ValueError(f"doc {doc_id}: RSTn marker without a DRI segment")
+    for i, m in enumerate(markers):
+        if m != i % 8:  # E.1.4: markers cycle D0..D7 in order
+            raise ValueError(
+                f"doc {doc_id}: restart marker D{m} out of sequence "
+                f"(expected D{i % 8})"
+            )
     bx = (width + 7) // 8
     by = (height + 7) // 8
+    n_mcu = bx * by
+    if restart_interval:
+        expected_segs = -(-n_mcu // restart_interval)
+        if len(segments) != expected_segs:
+            raise ValueError(
+                f"doc {doc_id}: {len(segments)} restart segments for "
+                f"{n_mcu} MCUs at interval {restart_interval}"
+            )
+    reader = _BitReader(bytes(segments[0]))
+    seg_idx = 0
     pred = 0
     dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
     qv = np.asarray(q, dtype=np.float64)
     image = np.zeros((by * 8, bx * 8), dtype=np.int64)
     for bj in range(by):
         for bi in range(bx):
+            k_mcu = bj * bx + bi
+            if (
+                restart_interval
+                and k_mcu
+                and k_mcu % restart_interval == 0
+            ):
+                # restart: next byte-aligned segment, DC predictor reset
+                seg_idx += 1
+                reader = _BitReader(bytes(segments[seg_idx]))
+                pred = 0
             size = reader.huff(dc_tab)
             diff = _jpeg_extend(reader.bits(size), size)
             pred += diff
@@ -3985,6 +4022,308 @@ def synthesize_flac_stereo(docs_df: DataFrame) -> DataFrame:
                     "kind": ["audio"] * len(pdf),
                     "payload": [
                         make_flac_stereo_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+WAV_EXT_SCHEMA = (
+    "doc_id long, format_tag long, bits long, framerate long, "
+    "n_frames long, peak_q15 long, rms_q15 long"
+)
+
+
+def decode_wav_ext(media_df: DataFrame) -> DataFrame:
+    """REAL extended-WAV decode by hand (no stdlib ``wave``): RIFF
+    chunk walk honoring the even-alignment pad rule and skipping
+    unknown/LIST chunks, fmt parse for PCM (16/24-bit), IEEE float
+    (32-bit), and WAVE_FORMAT_EXTENSIBLE (cbSize 22, subformat GUID
+    verified against the KSDATAFORMAT tail, classic code taken from
+    its first two bytes), then sample decode with every format
+    normalized to exact q15 integers — 24-bit via arithmetic >>8,
+    float via round(x * 32768) with quarter-exact fixture values — so
+    peak/RMS are bit-identical across containers.  Unknown format
+    tags and truncated chunks raise."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+        import struct
+
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+            (riff_len,) = struct.unpack_from("<I", raw, 4)
+            if 8 + riff_len != len(raw):
+                raise ValueError(f"doc {doc_id}: RIFF length mismatch")
+            pos = 12
+            fmt = data = None
+            while pos + 8 <= len(raw):
+                tag = raw[pos : pos + 4]
+                (clen,) = struct.unpack_from("<I", raw, pos + 4)
+                payload = raw[pos + 8 : pos + 8 + clen]
+                if len(payload) != clen:
+                    raise ValueError(
+                        f"doc {doc_id}: chunk {tag!r} truncated"
+                    )
+                if tag == b"fmt ":
+                    fmt = payload
+                elif tag == b"data":
+                    data = payload
+                pos += 8 + clen + (clen % 2)  # even-alignment pad
+            if fmt is None or data is None:
+                raise ValueError(f"doc {doc_id}: missing fmt or data chunk")
+            tag16, nch, framerate, _brate, block, bits = struct.unpack_from(
+                "<HHIIHH", fmt, 0
+            )
+            if tag16 == 0xFFFE:
+                (cb,) = struct.unpack_from("<H", fmt, 16)
+                if cb < 22:
+                    raise ValueError(
+                        f"doc {doc_id}: EXTENSIBLE cbSize {cb} too small"
+                    )
+                guid = fmt[24:40]
+                if guid[4:] != bytes(
+                    (0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+                     0x00, 0x38, 0x9B, 0x71)
+                ):
+                    raise ValueError(
+                        f"doc {doc_id}: unknown EXTENSIBLE subformat GUID"
+                    )
+                (tag16,) = struct.unpack_from("<H", guid, 0)
+            if nch != 1:
+                raise NotImplementedError(
+                    "multi-channel extended WAV not implemented"
+                )
+            if len(data) % block:
+                raise ValueError(f"doc {doc_id}: data not frame-aligned")
+            n_frames = len(data) // block
+            if tag16 == 1 and bits == 16:
+                samples = list(struct.unpack(f"<{n_frames}h", data))
+                q15 = samples
+            elif tag16 == 1 and bits == 24:
+                q15 = []
+                for i in range(0, len(data), 3):
+                    v = int.from_bytes(data[i : i + 3], "little", signed=True)
+                    q15.append(v >> 8)  # arithmetic: exact on the fixture
+            elif tag16 == 3 and bits == 32:
+                floats = struct.unpack(f"<{n_frames}f", data)
+                q15 = []
+                for f in floats:
+                    if not -1.0 <= f <= 1.0:
+                        raise ValueError(
+                            f"doc {doc_id}: float sample out of range"
+                        )
+                    q15.append(round(f * 32768.0))
+            else:
+                raise NotImplementedError(
+                    f"WAV format tag {tag16} at {bits} bits not "
+                    "implemented (PCM 16/24, float 32)"
+                )
+            peak = max((abs(s) for s in q15), default=0)
+            rms = (
+                math.isqrt(sum(s * s for s in q15) // len(q15))
+                if q15 else 0
+            )
+            return tag16, bits, framerate, n_frames, peak, rms
+
+        cols = (
+            "doc_id", "format_tag", "bits", "framerate", "n_frames",
+            "peak_q15", "rms_q15",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, WAV_EXT_SCHEMA
+    )
+
+
+def synthesize_wav_ext(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a 24-bit / float / EXTENSIBLE WAV."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_wav_ext_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_wav_ext_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+PNG_PALETTE_SCHEMA = (
+    "doc_id long, width long, height long, n_palette long, "
+    "mean_r long, mean_g long, mean_b long, sum_alpha long"
+)
+
+
+def decode_png_palette(media_df: DataFrame) -> DataFrame:
+    """REAL paletted-PNG decode (color type 3): chunk walk with CRC-32
+    verification, PLTE parse (length must be a multiple of 3), tRNS
+    alpha table with the spec's default-opaque tail, all five
+    unfilters at bpp = 1, palette-index range checks, and per-channel
+    means over the palette-mapped pixels plus the exact alpha sum —
+    a decoder that misreads PLTE/tRNS or unfilters at the wrong bpp
+    diverges immediately.  Indices beyond the palette, bad depths,
+    and oversized tRNS raise."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        from .synth import _paeth
+
+        def walk(doc_id: int, raw: bytes):
+            if raw[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError(f"doc {doc_id}: not a PNG payload")
+            pos, ihdr, idat = 8, None, b""
+            plte = trns = None
+            while pos < len(raw):
+                (length,) = struct.unpack_from(">I", raw, pos)
+                typ = raw[pos + 4 : pos + 8]
+                data = raw[pos + 8 : pos + 8 + length]
+                (crc,) = struct.unpack_from(">I", raw, pos + 8 + length)
+                if zlib.crc32(typ + data) != crc:
+                    raise ValueError(f"doc {doc_id}: bad CRC in {typ!r}")
+                if typ == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif typ == b"PLTE":
+                    if length % 3:
+                        raise ValueError(
+                            f"doc {doc_id}: PLTE length not a multiple of 3"
+                        )
+                    plte = [
+                        tuple(data[i : i + 3]) for i in range(0, length, 3)
+                    ]
+                elif typ == b"tRNS":
+                    trns = data
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                pos += 12 + length
+            if ihdr is None:
+                raise ValueError(f"doc {doc_id}: missing IHDR")
+            width, height, depth, ctype, _c, _f, interlace = ihdr
+            if depth != 8 or ctype != 3 or interlace != 0:
+                raise ValueError(
+                    f"doc {doc_id}: palette path needs 8-bit color type 3"
+                )
+            if plte is None:
+                raise ValueError(f"doc {doc_id}: color type 3 without PLTE")
+            if trns is not None and len(trns) > len(plte):
+                raise ValueError(
+                    f"doc {doc_id}: tRNS longer than the palette"
+                )
+            alpha = [
+                trns[i] if trns is not None and i < len(trns) else 255
+                for i in range(len(plte))
+            ]
+            plain = zlib.decompress(idat)
+            if len(plain) != height * (width + 1):
+                raise ValueError(
+                    f"doc {doc_id}: IDAT decodes {len(plain)} bytes for "
+                    f"{width}x{height} indices"
+                )
+            prev = bytearray(width)
+            tr = tg = tb = ta = 0
+            for y in range(height):
+                off = y * (width + 1)
+                f = plain[off]
+                line = bytearray(plain[off + 1 : off + 1 + width])
+                if f == 1:  # Sub, bpp = 1
+                    for x in range(1, width):
+                        line[x] = (line[x] + line[x - 1]) & 0xFF
+                elif f == 2:  # Up
+                    for x in range(width):
+                        line[x] = (line[x] + prev[x]) & 0xFF
+                elif f == 3:  # Average
+                    for x in range(width):
+                        left = line[x - 1] if x else 0
+                        line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+                elif f == 4:  # Paeth
+                    for x in range(width):
+                        left = line[x - 1] if x else 0
+                        ul = prev[x - 1] if x else 0
+                        line[x] = (
+                            line[x] + _paeth(left, prev[x], ul)
+                        ) & 0xFF
+                elif f != 0:
+                    raise ValueError(f"doc {doc_id}: bad filter {f}")
+                for v in line:
+                    if v >= len(plte):
+                        raise ValueError(
+                            f"doc {doc_id}: palette index {v} out of range"
+                        )
+                    r, g, b = plte[v]
+                    tr += r
+                    tg += g
+                    tb += b
+                    ta += alpha[v]
+                prev = line
+            n_px = width * height
+            return (
+                width, height, len(plte),
+                tr // n_px, tg // n_px, tb // n_px, ta,
+            )
+
+        cols = (
+            "doc_id", "width", "height", "n_palette",
+            "mean_r", "mean_g", "mean_b", "sum_alpha",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, PNG_PALETTE_SCHEMA
+    )
+
+
+def synthesize_png_palette(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a paletted (type 3 + tRNS) PNG."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_png_palette_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_png_palette_bytes(int(d))
                         for d in pdf["doc_id"]
                     ],
                 }

@@ -238,14 +238,23 @@ def make_jpeg_bytes(doc_id: int) -> bytes:
     stores v - 128 exactly and the decode round-trips losslessly — the
     ground truth stays integer-exact while the DC Huffman path does real
     work (the first block's diff spans categories up to 8; later diffs
-    are +1, category 1)."""
-    return _jpeg_encode(*jpeg_params(doc_id))
+    are +1, category 1).  Every third doc writes a DRI segment and real
+    RSTn markers every 2-4 MCUs — 1-padded segment flushes, cycling
+    D0-D7 markers, and DC-prediction resets a decoder must honor (the
+    post-restart diff is a full-magnitude category again)."""
+    blocks_x, blocks_y, base = jpeg_params(doc_id)
+    ri = 2 + doc_id % 3 if doc_id % 3 == 0 else 0
+    return _jpeg_encode(blocks_x, blocks_y, base, restart_interval=ri)
 
 
-def _jpeg_encode(blocks_x: int, blocks_y: int, base: int) -> bytes:
+def _jpeg_encode(
+    blocks_x: int, blocks_y: int, base: int, restart_interval: int = 0
+) -> bytes:
     """The encoder core behind ``make_jpeg_bytes``, parameterized so the
     MJPEG-in-AVI synthesizer can emit frames sharing one geometry with a
-    per-frame base level."""
+    per-frame base level.  ``restart_interval`` > 0 writes a DRI segment
+    and a byte-aligned RSTn marker (cycling D0-D7) after every that many
+    MCUs, resetting the DC predictor per ISO/IEC 10918-1 E.1.4."""
     width, height = 8 * blocks_x, 8 * blocks_y
 
     quant = bytearray(64)
@@ -258,7 +267,15 @@ def _jpeg_encode(blocks_x: int, blocks_y: int, base: int) -> bytes:
 
     w = _BitWriter()
     pred = 0
+    parts = []
+    rst = 0
     for k in range(blocks_x * blocks_y):
+        if restart_interval and k and k % restart_interval == 0:
+            parts.append(w.flush())
+            parts.append(bytes((0xFF, 0xD0 + rst % 8)))
+            rst += 1
+            w = _BitWriter()
+            pred = 0
         dc = (base + k) - 128  # quantized DC = v - 128 exactly (Q=8)
         diff = dc - pred
         pred = dc
@@ -272,11 +289,17 @@ def _jpeg_encode(blocks_x: int, blocks_y: int, base: int) -> bytes:
             w.write(bits & ((1 << size) - 1), size)
         code, length = ac_codes[0x00]  # EOB: all 63 ACs are zero
         w.write(code, length)
-    scan = w.flush()
+    parts.append(w.flush())
+    scan = b"".join(parts)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFDB, bytes([0x00]) + bytes(quant))  # DQT: 8-bit table 0
@@ -286,6 +309,7 @@ def _jpeg_encode(blocks_x: int, blocks_y: int, base: int) -> bytes:
         )
         + seg(0xFFC4, bytes([0x00]) + JPEG_DC_COUNTS + JPEG_DC_SYMBOLS)
         + seg(0xFFC4, bytes([0x10]) + JPEG_AC_COUNTS + JPEG_AC_SYMBOLS)
+        + dri
         + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
         + scan
         + b"\xff\xd9"  # EOI
@@ -2074,4 +2098,133 @@ def make_flac_stereo_bytes(doc_id: int) -> bytes:
         b"fLaC"
         + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
         + bytes(frames)
+    )
+
+
+def wav_ext_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(format_kind, framerate, n_frames, amplitude_q15) for the
+    extended-WAV fixture: kind 0 = 24-bit PCM, 1 = 32-bit IEEE float,
+    2 = 16-bit PCM wrapped in WAVE_FORMAT_EXTENSIBLE.  The square wave
+    normalizes to the same q15 amplitude in every container, so one
+    oracle covers all three."""
+    return (
+        doc_id % 3,
+        8000 + (doc_id % 4) * 4000,
+        300 + (doc_id % 80) * 6,
+        1000 + (doc_id % 50) * 100,
+    )
+
+
+# KSDATAFORMAT_SUBTYPE tail: every EXTENSIBLE subformat GUID ends with
+# these 12 bytes; the leading 4 are the classic format code
+_WAVE_EXT_GUID_TAIL = bytes(
+    (0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+)
+
+
+def make_wav_ext_bytes(doc_id: int) -> bytes:
+    """Hand-assembled RIFF/WAVE beyond the stdlib module's reach:
+    24-bit PCM (3-byte little-endian samples), 32-bit IEEE float
+    (format 3), or WAVE_FORMAT_EXTENSIBLE (0xFFFE, cbSize 22, valid
+    bits + channel mask + subformat GUID).  A LIST metadata chunk and
+    an ODD-sized junk chunk (with its spec-required pad byte) sit
+    before fmt/data, so a reader must walk chunks by size — and honor
+    the even-alignment rule — rather than assume canonical layout."""
+    kind, framerate, n_frames, amp = wav_ext_params(doc_id)
+    square = [amp if i % 2 == 0 else -amp for i in range(n_frames)]
+    if kind == 0:  # 24-bit PCM: amplitude scaled by 256 to q23
+        fmt_tag, bits, block = 1, 24, 3
+        data = b"".join(
+            (s * 256).to_bytes(3, "little", signed=True) for s in square
+        )
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, 1, framerate, framerate * block, block, bits
+        )
+    elif kind == 1:  # IEEE float, q15 fraction (exact binary64->32)
+        fmt_tag, bits, block = 3, 32, 4
+        data = b"".join(
+            struct.pack("<f", s / 32768.0) for s in square
+        )
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, 1, framerate, framerate * block, block, bits
+        )
+    else:  # EXTENSIBLE wrapping 16-bit PCM
+        bits, block = 16, 2
+        data = b"".join(struct.pack("<h", s) for s in square)
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, 1, framerate, framerate * block, block, bits
+        )
+        fmt += struct.pack("<HHI", 22, bits, 0x4)  # cbSize, valid, mask
+        fmt += struct.pack("<H", 1) + b"\x00\x00" + _WAVE_EXT_GUID_TAIL
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    junk = chunk(b"junk", bytes(7 + doc_id % 4 * 2))  # odd sizes too
+    listc = chunk(b"LIST", b"INFO" + chunk(b"IART", b"osetl synth\x00"))
+    body = b"WAVE" + junk + listc + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def png_palette_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, alpha3) for the paletted-PNG fixture: pixel
+    (x, y) carries palette index (x + y + doc) % 4, palette entries
+    are gif_palette(doc), and tRNS gives index 3 the partial alpha
+    (doc * 37) % 200 while indices 0-2 stay opaque."""
+    return 9 + doc_id % 14, 5 + doc_id % 9, (doc_id * 37) % 200
+
+
+def make_png_palette_bytes(doc_id: int) -> bytes:
+    """Real paletted PNG (color type 3): PLTE with four RGB entries, a
+    SHORT tRNS (one alpha per leading palette index — trailing entries
+    default opaque per the spec), 1-byte-per-pixel scanlines with the
+    filter type cycling all five per row at bpp = 1, zlib IDAT, CRC-32
+    on every chunk."""
+    import zlib
+
+    width, height, alpha3 = png_palette_params(doc_id)
+    palette = gif_palette(doc_id)
+    prev = bytes(width)
+    scanlines = []
+    for y in range(height):
+        row = bytes((x + y + doc_id) % 4 for x in range(width))
+        f = y % 5
+        filt = bytearray(width)
+        for x in range(width):
+            left = row[x - 1] if x >= 1 else 0
+            up = prev[x]
+            up_left = prev[x - 1] if x >= 1 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, up_left)
+            filt[x] = (row[x] - pred) & 0xFF
+        scanlines.append(bytes([f]) + bytes(filt))
+        prev = row
+    idat = zlib.compress(b"".join(scanlines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = bytes(v for rgb in palette for v in rgb)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"tRNS", bytes((255, 255, 255, alpha3)))
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
     )

@@ -1340,6 +1340,94 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_palette_decode",
+    # formulas mirror synth.png_palette_params / gif_palette: pixel
+    # (x, y) carries palette index (x+y+doc)%4; channel c of entry i is
+    # ((40,80,60)[c]*i + (7,11,13)[c]*(doc % (5,3,7)[c])) % 256; tRNS
+    # makes index 3's alpha (doc*37)%200, others opaque.  The chunk
+    # walk, CRCs, bpp-1 unfilters, and PLTE/tRNS parsing have no
+    # closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 9 + doc_id % 14 AS w, 5 + doc_id % 9 AS h,
+             (doc_id * 37) % 200 AS a3
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, a3, (xx.x + yy.y + doc_id) % 4 AS idx
+      FROM p,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, h)) AS y) yy
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS n_palette,
+           CAST(SUM((40 * idx + 7 * (doc_id % 5)) % 256) // (MAX(w) * MAX(h))
+                AS BIGINT) AS mean_r,
+           CAST(SUM((80 * idx + 11 * (doc_id % 3)) % 256) // (MAX(w) * MAX(h))
+                AS BIGINT) AS mean_g,
+           CAST(SUM((60 * idx + 13 * (doc_id % 7)) % 256) // (MAX(w) * MAX(h))
+                AS BIGINT) AS mean_b,
+           CAST(SUM(CASE WHEN idx = 3 THEN a3 ELSE 255 END) AS BIGINT)
+             AS sum_alpha
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL paletted-PNG decode (color type 3 + tRNS): chunk walk with
+    CRC-32s, PLTE parse, the spec's default-opaque tRNS tail, all five
+    unfilters at bpp = 1 (different predictor geometry than the RGB
+    path's bpp = 3), palette-index range checks, and the exact alpha
+    sum (``decode.py:decode_png_palette``).  Completes the PNG family
+    beside truecolor (``multimodal_png_decode``) and Adam7
+    (``multimodal_png_adam7_decode``)."""
+    from ..multimodal.decode import decode_png_palette, synthesize_png_palette
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_png_palette(synthesize_png_palette(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_wav_extended_decode",
+    # formulas mirror synth.wav_ext_params: doc % 3 picks 24-bit PCM /
+    # 32-bit IEEE float / EXTENSIBLE 16-bit PCM, all carrying the same
+    # ±amplitude square wave normalized to q15 (peak = rms = amplitude
+    # exactly).  The RIFF chunk walk (odd-chunk pad byte, LIST/junk
+    # skipping), fmt/GUID parsing, and per-format sample decode have
+    # no closed form.
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 3 ELSE 1 END AS BIGINT)
+             AS format_tag,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 32
+                ELSE 16 END AS BIGINT) AS bits,
+           CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS framerate,
+           CAST(300 + (doc_id % 80) * 6 AS BIGINT) AS n_frames,
+           CAST(1000 + (doc_id % 50) * 100 AS BIGINT) AS peak_q15,
+           CAST(1000 + (doc_id % 50) * 100 AS BIGINT) AS rms_q15
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_wav_extended_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL extended-WAV decode past the stdlib module's reach: a hand
+    RIFF chunk walk (even-alignment pad rule, LIST/junk chunks
+    skipped by size), 24-bit PCM, 32-bit IEEE float, and
+    WAVE_FORMAT_EXTENSIBLE with its subformat GUID verified — every
+    container normalized to exact q15 integers so peak/RMS are
+    bit-identical across formats (``decode.py:decode_wav_ext``).
+    Completes the WAV family beside the stdlib-path
+    ``multimodal_wav_decode``."""
+    from ..multimodal.decode import decode_wav_ext, synthesize_wav_ext
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_wav_ext(synthesize_wav_ext(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_flac_stereo_decode",
     # formulas mirror synth.flac_stereo_params / flac_stereo_values:
     # frame k's LEFT channel is the ramp (doc*7 + 9k) % 300 .. +255 and
