@@ -1537,10 +1537,10 @@ def parse_mp3_side_info_full(
 
     mdb = take(9)
     take(5)  # private_bits
-    take(4)  # scfsi
+    scfsi = take(4)
     granules: list[dict] = []
     for _g in (0, 1):
-        g: dict = {}
+        g: dict = {"scfsi": scfsi}
         g["part2_3_length"] = take(12)
         g["big_values"] = take(9)
         if g["big_values"] > 288:
@@ -2414,8 +2414,10 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
     frame regions, seek each frame's main data ``main_data_begin``
     bytes BACK across frame boundaries (2.4.2.7 — the data for frame k
     usually lives in frames k-1/k-2), then bit-decode each granule:
-    slen-coded scalefactors (Table 2.4.2.7 via ``MP3_SLEN``), the
-    big-values spectrum region — pair codes through the per-region
+    slen-coded scalefactors (Table 2.4.2.7 via ``MP3_SLEN``) with
+    REAL scfsi handling — granule 1 reuses granule 0's values for
+    every scalefactor band group whose scfsi bit is set and transmits
+    nothing for it — the big-values spectrum region — pair codes through the per-region
     ``table_select`` (B.7 table 1 shipped; table 0 regions transmit
     nothing), sign bits after each code, region boundaries from Table
     B.8 when the three tables differ — and the count1 region in the
@@ -2487,7 +2489,8 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                 max_resv = max(max_resv, mdb)
                 bp = (region_start - mdb) * 8  # bit cursor into stream
 
-                for g in granules:
+                g0_bands: list | None = None
+                for gi, g in enumerate(granules):
                     if g["windows_switching_flag"]:
                         raise NotImplementedError(
                             "short-block scalefactor partitions not "
@@ -2525,11 +2528,26 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                         used += n
                         return (big >> shift) & ((1 << n) - 1)
 
+                    # scalefactors (2.4.2.7): granule 0 transmits all
+                    # 21 long-block bands; granule 1 REUSES granule
+                    # 0's values for every band group whose scfsi bit
+                    # is set and transmits nothing for it
                     sl1, sl2 = MP3_SLEN[g["scalefac_compress"]]
-                    for _band in range(11):
-                        sum_sf += take(sl1)
-                    for _band in range(10):
-                        sum_sf += take(sl2)
+                    groups = ((0, 6, sl1), (6, 5, sl1),
+                              (11, 5, sl2), (16, 5, sl2))
+                    bands = [0] * 21
+                    for g_idx, (b_start, b_n, slen) in enumerate(groups):
+                        reuse = gi == 1 and (
+                            (g["scfsi"] >> (3 - g_idx)) & 1
+                        )
+                        for bnd in range(b_start, b_start + b_n):
+                            if reuse:
+                                bands[bnd] = g0_bands[bnd]
+                            else:
+                                bands[bnd] = take(slen)
+                    sum_sf += sum(bands)
+                    if gi == 0:
+                        g0_bands = bands
                     # big-values region: pairs Huffman-decoded through
                     # the region's table_select, x's sign then y's sign
                     # after each pair code (ISO 2.4.2.7).  Region

@@ -1197,6 +1197,26 @@ def mp3_bv_bits(doc_id: int, g: int) -> int:
     return total
 
 
+def mp3_scfsi(doc_id: int) -> int:
+    """The frame's 4-bit scfsi (ISO 11172-3 2.4.2.7): bit 3-i covers
+    scalefactor band group i (bands 0-5 / 6-10 / 11-15 / 16-20); a set
+    bit means granule 1 REUSES granule 0's scalefactors for that group
+    and transmits nothing.  (doc*3 + 7) % 16 walks every pattern
+    across the corpus, including all-reuse (15) and none (0)."""
+    return (doc_id * 3 + 7) % 16
+
+
+def mp3_sf_counts(doc_id: int, g: int) -> tuple[int, int]:
+    """(slen1-coded, slen2-coded) band counts granule g TRANSMITS:
+    granule 0 always all 11+10; granule 1 drops the scfsi-reused
+    groups (6/5 slen1 bands, 5/5 slen2 bands)."""
+    if g == 0:
+        return 11, 10
+    scfsi = mp3_scfsi(doc_id)
+    b = [(scfsi >> (3 - i)) & 1 for i in range(4)]
+    return 6 * (1 - b[0]) + 5 * (1 - b[1]), 5 * (1 - b[2]) + 5 * (1 - b[3])
+
+
 def mp3_md_granule(doc_id: int, g: int, region_bytes: int, delta: int):
     """Closed-form main-data content for granule g (identical across a
     doc's frames except the big-values/count1 signs, which alternate
@@ -1207,7 +1227,8 @@ def mp3_md_granule(doc_id: int, g: int, region_bytes: int, delta: int):
     sl1, sl2 = MP3_SLEN[sfc]
     sf_a = (doc_id + g) % (1 << sl1)
     sf_b = (doc_id + 5 + g) % (1 << sl2)
-    sf_bits = 11 * sl1 + 10 * sl2
+    n1, n2 = mp3_sf_counts(doc_id, g)
+    sf_bits = n1 * sl1 + n2 * sl2
     pattern = (doc_id + g) % 16
     nz = bin(pattern).count("1")
     bpq = 4 + nz
@@ -1229,7 +1250,8 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
     REAL bit reservoir: CBR frames whose side info points
     ``main_data_begin = k * delta`` bytes back into the concatenated
     main-data regions, and whose granule data is an actual entropy
-    bitstream — slen-coded scalefactors (Table 2.4.2.7) followed by
+    bitstream — slen-coded scalefactors (Table 2.4.2.7) with a live
+    scfsi field (granule 1 omits the reused band groups) followed by
     a big-values region of table-1 Huffman pair codes with sign bits
     (every sixth doc switches regions between tables 1 and 0 so the
     B.8 boundary dispatch is exercised), then count1 quadruples in the
@@ -1252,11 +1274,12 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
             doc_id, g, cap, delta
         )
         sl1, sl2 = MP3_SLEN[sfc]
+        n1, n2 = mp3_sf_counts(doc_id, g)
         acc = nb = 0
-        for _band in range(11):
+        for _band in range(n1):
             acc = (acc << sl1) | sf_a
             nb += sl1
-        for _band in range(10):
+        for _band in range(n2):
             acc = (acc << sl2) | sf_b
             nb += sl2
         # big-values region: per pair one table-1 Huffman code, then a
@@ -1324,7 +1347,7 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
         w = _BitPacker()
         w.u(k * delta, 9)   # main_data_begin: the real reservoir offset
         w.u(0, 5)
-        w.u(0, 4)           # scfsi: no reuse
+        w.u(mp3_scfsi(doc_id), 4)  # scfsi: granule-1 scalefactor reuse
         for g in (0, 1):
             sfc, _a, _b, _p, _nq, p23 = mp3_md_granule(doc_id, g, cap, delta)
             w.u(p23, 12)

@@ -800,7 +800,9 @@ def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mp3_bv_pairs: CBR frames (bitrate index 7 + doc_id % 3 ->
     # 96/112/128 kbps), region capacity cap = 144*kbps*1000 // sr - 21,
     # per-frame reservoir step delta = (doc_id % 8) * 9, per-granule
-    # slen-table scalefactors, a big-values region of 6 + (doc+g) % 7
+    # slen-table scalefactors under scfsi = (doc*3 + 7) % 16 (granule
+    # 1 reuses granule 0's values per set group bit and transmits
+    # nothing), a big-values region of 6 + (doc+g) % 7
     # table-1 pairs x=(doc+3q+g)%2 y=(doc+q+2g)%2 (pairs 2-3 zeroed on
     # the region-switching doc%6=0 docs, whose region1 carries table
     # 0), and a count1 spectrum whose quadruple pattern is the low 4
@@ -872,29 +874,47 @@ def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     ),
     q AS (
-      SELECT s.doc_id, n_frames, delta, s.g AS g,
+      SELECT s.doc_id, n_frames, delta, s.g AS g, sl1, sl2,
              (s.doc_id + s.g) % (CASE sl1 WHEN 0 THEN 1 WHEN 1 THEN 2
                   WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS sf_a,
              (s.doc_id + 5 + s.g) % (CASE sl2 WHEN 0 THEN 1 WHEN 1 THEN 2
                   WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS sf_b,
              (pat // 8) % 2 + (pat // 4) % 2 + (pat // 2) % 2 + pat % 2
                AS nz,
-             11 * sl1 + 10 * sl2 AS sf_bits,
+             ((s.doc_id * 3 + 7) % 16 // 8) % 2 AS b0,
+             ((s.doc_id * 3 + 7) % 16 // 4) % 2 AS b1,
+             ((s.doc_id * 3 + 7) % 16 // 2) % 2 AS b2,
+             (s.doc_id * 3 + 7) % 16 % 2 AS b3,
              budget, bva.nbv, bva.bv_bits, bva.bv_abs, bva.bv_signed_base
       FROM s JOIN bva ON s.doc_id = bva.doc_id AND s.g = bva.g
     ),
     n AS (
-      SELECT doc_id, n_frames, delta, g, sf_a, sf_b, nz,
-             nbv, bv_abs, bv_signed_base,
-             LEAST((budget - sf_bits - bv_bits) // (4 + nz), 24)
+      -- granule 1 transmits only the non-reused band groups (scfsi
+      -- bits b0..b3 over groups 0-5/6-10/11-15/16-20) and its decoded
+      -- scalefactors take granule 0's values for the reused groups
+      SELECT q.doc_id, q.n_frames, q.delta, q.g, q.nz,
+             q.nbv, q.bv_abs, q.bv_signed_base,
+             CASE WHEN q.g = 0
+                  THEN 11 * q.sf_a + 10 * q.sf_b
+                  ELSE 6 * (CASE WHEN q.b0 = 1 THEN q0.sf_a ELSE q.sf_a END)
+                     + 5 * (CASE WHEN q.b1 = 1 THEN q0.sf_a ELSE q.sf_a END)
+                     + 5 * (CASE WHEN q.b2 = 1 THEN q0.sf_b ELSE q.sf_b END)
+                     + 5 * (CASE WHEN q.b3 = 1 THEN q0.sf_b ELSE q.sf_b END)
+             END AS sf_sum,
+             LEAST((q.budget
+                    - (CASE WHEN q.g = 0 THEN 11
+                            ELSE 6 * (1 - q.b0) + 5 * (1 - q.b1) END) * q.sl1
+                    - (CASE WHEN q.g = 0 THEN 10
+                            ELSE 5 * (1 - q.b2) + 5 * (1 - q.b3) END) * q.sl2
+                    - q.bv_bits) // (4 + q.nz), 24)
                AS n_quads
-      FROM q
+      FROM q JOIN q AS q0
+        ON q.doc_id = q0.doc_id AND q0.g = 0
     )
     SELECT doc_id,
            CAST(MAX(n_frames) AS BIGINT) AS n_frames,
            CAST(MAX((n_frames - 1) * delta) AS BIGINT) AS max_reservoir,
-           CAST(SUM(n_frames * (11 * sf_a + 10 * sf_b)) AS BIGINT)
-             AS sum_scalefac,
+           CAST(SUM(n_frames * sf_sum) AS BIGINT) AS sum_scalefac,
            CAST(SUM(n_frames * nbv) AS BIGINT) AS n_pairs,
            CAST(SUM(n_frames * bv_abs) AS BIGINT) AS sum_bv_abs,
            CAST(SUM((n_frames % 2) * bv_signed_base) AS BIGINT)
@@ -914,7 +934,9 @@ def multimodal_mp3_maindata_decode(spark: SparkSession, sf_dir: str) -> DataFram
     a live bit reservoir: the decoder reassembles the reservoir from
     the physical frame regions, seeks each frame's data
     ``main_data_begin`` bytes back across frame boundaries, and
-    bit-decodes every granule — slen-table scalefactors, the Huffman
+    bit-decodes every granule — slen-table scalefactors with scfsi
+    reuse (granule 1 takes granule 0's values for reused band groups
+    and transmits nothing), the Huffman
     big-values spectrum region (B.7 table-1 pair codes with sign bits,
     per-region ``table_select`` dispatch through the Table B.8 band
     boundaries when the regions differ, zero-bit table-0 regions), and
