@@ -2019,19 +2019,21 @@ def _read_pcm_mb_luma(doc_id: int, r, rbsp: bytes) -> int:
 
 def _parse_ipcm_slice(
     doc_id: int, rbsp: bytes, frame_num_bits: int, n_mbs: int
-) -> tuple[int, int]:
-    """Decode one all-I_PCM IDR slice (ITU-T H.264 7.3.3 + 7.3.5):
-    the COMPLETE header for this stream shape (through the IDR
+) -> tuple[int, int, list]:
+    """Decode one I_PCM IDR SLICE (ITU-T H.264 7.3.3 + 7.3.5): the
+    COMPLETE header for this stream shape (through the IDR
     dec_ref_pic_marking pair and slice_qp_delta), then per macroblock
-    ``mb_type`` (must be 25 = I_PCM
-    — anything else needs the CAVLC tables this decoder honestly does
-    not have), ``pcm_alignment_zero_bit`` padding, 256 raw luma and 128
-    raw 4:2:0 chroma samples.  Verifies the rbsp_trailing_bits close
-    the slice exactly.  Returns (idr_pic_id, mean luma over the
-    picture, per-macroblock luma sums — the reference state the GOP
-    decoder carries across pictures)."""
+    ``mb_type`` (must be 25 = I_PCM — anything else needs the CAVLC
+    tables this decoder honestly does not have),
+    ``pcm_alignment_zero_bit`` padding, 256 raw luma and 128 raw 4:2:0
+    chroma samples, until the rbsp_trailing_bits close the slice
+    exactly.  A slice may carve any contiguous macroblock run of its
+    picture (multi-slice IDRs), so the loop runs to end-of-data rather
+    than a fixed count.  Returns (idr_pic_id, first_mb_in_slice,
+    per-macroblock luma sums — the reference state the GOP decoder
+    carries across pictures)."""
     r = _H264BitReader(rbsp, doc_id)
-    r.ue()  # first_mb_in_slice
+    first_mb = r.ue()
     slice_type = r.ue()
     if slice_type % 5 != 2:
         raise ValueError(f"doc {doc_id}: I_PCM stream with non-I slice")
@@ -2045,7 +2047,12 @@ def _parse_ipcm_slice(
     if not -52 < qp_delta < 52:
         raise ValueError(f"doc {doc_id}: slice_qp_delta {qp_delta} out of range")
     mb_sums = []
-    for _m in range(n_mbs):
+    while True:
+        # PCM samples end byte-aligned, so a finished slice shows
+        # exactly the rbsp_trailing byte 0x80 next — anything else is
+        # another macroblock (or damage the mb_type check rejects)
+        if r.pos % 8 == 0 and r.pos // 8 == len(rbsp) - 1:
+            break
         mb_type = r.ue()
         if mb_type != 25:
             raise ValueError(
@@ -2053,6 +2060,10 @@ def _parse_ipcm_slice(
                 "(I_PCM-only decoder)"
             )
         mb_sums.append(_read_pcm_mb_luma(doc_id, r, rbsp))
+        if first_mb + len(mb_sums) > n_mbs:
+            raise ValueError(
+                f"doc {doc_id}: slice macroblocks overrun the picture"
+            )
     if r.u(1) != 1:
         raise ValueError(f"doc {doc_id}: missing rbsp_stop_one_bit")
     while r.pos % 8:
@@ -2060,7 +2071,9 @@ def _parse_ipcm_slice(
             raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
     if r.pos != 8 * len(rbsp):
         raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
-    return idr_pic_id, sum(mb_sums) // (256 * n_mbs), mb_sums
+    if not mb_sums:
+        raise ValueError(f"doc {doc_id}: empty I_PCM slice")
+    return idr_pic_id, first_mb, mb_sums
 
 
 def decode_h264_ipcm(media_df: DataFrame) -> DataFrame:
@@ -2105,9 +2118,15 @@ def decode_h264_ipcm(media_df: DataFrame) -> DataFrame:
                             f"doc {doc_id}: slice before parameter sets"
                         )
                     n_mbs = (sps["width"] // 16) * (sps["height"] // 16)
-                    idr_pic_id, mean_luma, _mb_sums = _parse_ipcm_slice(
+                    idr_pic_id, first_mb, mb_sums = _parse_ipcm_slice(
                         doc_id, rbsp, sps["frame_num_bits"], n_mbs
                     )
+                    if first_mb != 0 or len(mb_sums) != n_mbs:
+                        raise ValueError(
+                            f"doc {doc_id}: partial slice in the "
+                            "single-slice I_PCM stream"
+                        )
+                    mean_luma = sum(mb_sums) // (256 * n_mbs)
                     if idr_pic_id != len(frames):
                         raise ValueError(
                             f"doc {doc_id}: idr_pic_id {idr_pic_id} out of "
@@ -2234,6 +2253,7 @@ def decode_h264_gop(media_df: DataFrame) -> DataFrame:
             sps = pps = None
             rows = []  # (frame_type, mean_luma, n_skipped)
             ref_mbs = None  # per-macroblock luma sums of the reference
+            pending = None  # partially assembled multi-slice IDR
             for unit in h264_split_nals(doc_id, raw):
                 if not unit:
                     raise ValueError(f"doc {doc_id}: empty NAL unit")
@@ -2256,12 +2276,37 @@ def decode_h264_gop(media_df: DataFrame) -> DataFrame:
                         )
                     n_mbs = (sps["width"] // 16) * (sps["height"] // 16)
                     if nal_type == 5:
-                        _idr_pic_id, mean_luma, mb_sums = _parse_ipcm_slice(
+                        _idr_pic_id, first_mb, mb_sums = _parse_ipcm_slice(
                             doc_id, rbsp, sps["frame_num_bits"], n_mbs
                         )
-                        ref_mbs = mb_sums
-                        rows.append(("I", mean_luma, 0))
+                        # multi-slice IDR assembly: slice N must start
+                        # exactly where slice N-1 stopped; the picture
+                        # emits (and becomes the reference) only when
+                        # every macroblock has arrived
+                        if first_mb == 0:
+                            pending = [None] * n_mbs
+                        elif pending is None or first_mb != sum(
+                            v is not None for v in pending
+                        ):
+                            raise ValueError(
+                                f"doc {doc_id}: slice starting at mb "
+                                f"{first_mb} does not continue its "
+                                "picture"
+                            )
+                        for i, v in enumerate(mb_sums):
+                            pending[first_mb + i] = v
+                        if all(v is not None for v in pending):
+                            ref_mbs = pending
+                            pending = None
+                            rows.append(
+                                ("I", sum(ref_mbs) // (256 * n_mbs), 0)
+                            )
                     else:
+                        if pending is not None:
+                            raise ValueError(
+                                f"doc {doc_id}: P slice before the IDR "
+                                "picture completed"
+                            )
                         if ref_mbs is None:
                             raise ValueError(
                                 f"doc {doc_id}: P slice with no reference "
@@ -2283,6 +2328,11 @@ def decode_h264_gop(media_df: DataFrame) -> DataFrame:
                                 n_mbs - len(refreshed),
                             )
                         )
+            if pending is not None:
+                raise ValueError(
+                    f"doc {doc_id}: stream ends mid-picture (incomplete "
+                    "multi-slice IDR)"
+                )
             if not rows:
                 raise ValueError(f"doc {doc_id}: no decodable pictures")
             return rows
@@ -2874,8 +2924,10 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
     showing through.  Emits one row per frame with the COMPOSITED
     canvas per-channel means — later frames' values depend on every
     earlier patch AND disposal, so the rows prove cross-frame decoder
-    state, not per-image decoding alone.  Honest boundaries:
-    interlaced frames and local color tables raise."""
+    state, not per-image decoding alone.  Local color tables override
+    the global one per frame (the canvas stores RGB, so mixed palettes
+    compose correctly); remaining boundary: none — the GIF89a frame
+    lifecycle is fully implemented."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -2902,7 +2954,10 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                     f"doc {doc_id}: background index {bg_index} outside "
                     "the global color table"
                 )
-            canvas = [[0] * width for _ in range(height)]
+            # the canvas stores RGB tuples, not palette indices: with
+            # per-frame LOCAL color tables an index has no stable
+            # meaning across frames
+            canvas = [[palette[0]] * width for _ in range(height)]
             frames = []  # (patch_w, patch_h, mean_r, mean_g, mean_b)
             pending_disposal = 0
             transparent_idx = None
@@ -2940,10 +2995,16 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                 elif block == 0x2C:  # image descriptor
                     left, top, w, h = struct.unpack_from("<HHHH", raw, pos + 1)
                     iflags = raw[pos + 9]
-                    if iflags & 0x80:
-                        raise NotImplementedError(
-                            "local color tables not implemented"
-                        )
+                    frame_palette = palette
+                    lct_len = 0
+                    if iflags & 0x80:  # local color table overrides GCT
+                        n_local = 2 << (iflags & 0x7)
+                        at = pos + 10
+                        frame_palette = [
+                            tuple(raw[at + 3 * i : at + 3 * i + 3])
+                            for i in range(n_local)
+                        ]
+                        lct_len = 3 * n_local
                     # GIF interlace: frame data rows arrive in the
                     # four-pass order (rows 0,8,..; 4,12,..; 2,6,..;
                     # 1,3,..) and must be PLACED back — a decoder that
@@ -2969,7 +3030,7 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                         if d == 2:
                             for j in range(h0):
                                 canvas[t0 + j][l0 : l0 + w0] = (
-                                    [bg_index] * w0
+                                    [palette[bg_index]] * w0
                                 )
                         elif d == 3:
                             for j in range(h0):
@@ -2980,7 +3041,7 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                         if pending_disposal == 3
                         else None
                     )
-                    pos += 10
+                    pos += 10 + lct_len
                     mcs = raw[pos]
                     pos += 1
                     lzw = bytearray()
@@ -3000,7 +3061,12 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                         for i in range(w):
                             v = idx[j * w + i]
                             if v != transparent_idx:
-                                row[left + i] = v
+                                if v >= len(frame_palette):
+                                    raise ValueError(
+                                        f"doc {doc_id}: pixel index {v} "
+                                        "outside the frame's color table"
+                                    )
+                                row[left + i] = frame_palette[v]
                     last = (
                         pending_disposal, (left, top, w, h), saved_region
                     )
@@ -3008,8 +3074,7 @@ def decode_gif_anim(media_df: DataFrame) -> DataFrame:
                     transparent_idx = None
                     tr = tg = tb = 0
                     for row in canvas:
-                        for v in row:
-                            r, g, b = palette[v]
+                        for r, g, b in row:
                             tr += r
                             tg += g
                             tb += b
@@ -4343,6 +4408,30 @@ def synthesize_png_palette(docs_df: DataFrame) -> DataFrame:
                     "payload": [
                         make_png_palette_bytes(int(d))
                         for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_gif_lct(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a local-color-table GIF."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_gif_lct_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_gif_lct_bytes(int(d)) for d in pdf["doc_id"]
                     ],
                 }
             )

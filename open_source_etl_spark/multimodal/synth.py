@@ -986,7 +986,8 @@ def make_h264_ipcm_bytes(doc_id: int) -> bytes:
 
 
 def h264_ipcm_idr_rbsp(
-    doc_id: int, frame: int, idr_pic_id: int, n_mbs: int
+    doc_id: int, frame: int, idr_pic_id: int, n_mbs: int,
+    first_mb: int = 0, mb_count: int | None = None,
 ) -> bytes:
     """One COMPLETE all-I_PCM IDR slice RBSP (ITU-T H.264 7.3.3 +
     7.3.5): the full header for this SPS/PPS shape — first_mb_in_slice,
@@ -995,9 +996,13 @@ def h264_ipcm_idr_rbsp(
     long_term_reference_flag) and slice_qp_delta — then the macroblock
     loop: mb_type 25 (I_PCM), pcm_alignment_zero_bits, 256 raw luma +
     2x64 raw 4:2:0 chroma samples per MB, closed by
-    rbsp_trailing_bits."""
+    rbsp_trailing_bits.  ``first_mb``/``mb_count`` carve one SLICE of
+    the picture (multi-slice IDRs: several NAL units share frame_num 0
+    and idr_pic_id, each starting at its first_mb_in_slice)."""
+    if mb_count is None:
+        mb_count = n_mbs - first_mb
     w = _H264BitWriter()
-    w.ue(0)        # first_mb_in_slice
+    w.ue(first_mb)  # first_mb_in_slice
     w.ue(7)        # slice_type: I (all slices in stream are I)
     w.ue(0)        # pic_parameter_set_id
     w.u(0, 4)      # frame_num (IDR -> 0)
@@ -1009,8 +1014,8 @@ def h264_ipcm_idr_rbsp(
     while len(w.bits) % 8:
         w.bits.append(0)  # pcm_alignment_zero_bit
     parts = [w.to_bytes()]
-    for m in range(n_mbs):
-        if m:
+    for m in range(first_mb, first_mb + mb_count):
+        if m != first_mb:
             # PCM samples end byte-aligned, so every later MB's
             # prefix is the same two bytes: ue(25) = 000011010,
             # then 7 pcm_alignment_zero_bits -> 0x0D 0x00
@@ -1096,7 +1101,9 @@ def h264_prefresh_rbsp(
 def make_h264_gop_bytes(doc_id: int) -> bytes:
     """REAL H.264 Annex-B stream with INTER frames a decoder can fully
     reconstruct without entropy tables: each GOP opens with an
-    all-I_PCM IDR picture (raw pixels, ``h264_ipcm_idr_rbsp``) followed
+    all-I_PCM IDR picture (raw pixels, ``h264_ipcm_idr_rbsp``; every
+    fifth doc splits it into TWO slices sharing frame_num/idr_pic_id,
+    the second starting at first_mb_in_slice = n_mbs//2) followed
     by P pictures: odd docs ship all-P_Skip pictures
     (``h264_pskip_rbsp`` — every macroblock copies the co-located
     reference; with zero spatial MV neighbors the P_Skip motion vector
@@ -1113,10 +1120,30 @@ def make_h264_gop_bytes(doc_id: int) -> bytes:
         _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
     ]
     idx = 2
+    split_idr = doc_id % 5 == 0 and n_mbs >= 2
     for g in range(n_gops):
-        units.append(
-            _h264_nal(3, 5, h264_ipcm_idr_rbsp(doc_id, g, g, n_mbs), idx)
-        )
+        if split_idr:
+            # multi-slice IDR: two NAL units share frame_num 0 and
+            # idr_pic_id, carving the picture at n_mbs//2
+            half = n_mbs // 2
+            units.append(
+                _h264_nal(
+                    3, 5,
+                    h264_ipcm_idr_rbsp(doc_id, g, g, n_mbs, 0, half),
+                    idx,
+                )
+            )
+            idx += 1
+            units.append(
+                _h264_nal(
+                    3, 5,
+                    h264_ipcm_idr_rbsp(doc_id, g, g, n_mbs, half), idx,
+                )
+            )
+        else:
+            units.append(
+                _h264_nal(3, 5, h264_ipcm_idr_rbsp(doc_id, g, g, n_mbs), idx)
+            )
         idx += 1
         for s in range(1, gop_len):
             if doc_id % 2 == 0:
@@ -2251,3 +2278,63 @@ def make_png_palette_bytes(doc_id: int) -> bytes:
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def gif_lct_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, patch_left, patch_top) for the local-color-table
+    GIF fixture: the base frame's pixels map through the GLOBAL table
+    (gif_palette(doc)), the 5x4 patch's through its own LOCAL table
+    (gif_palette(doc + 1)) — same index formulas, different colors, so
+    a decoder that maps patch indices through the GCT is wrong on
+    every patch pixel."""
+    w = 11 + doc_id % 9
+    h = 6 + doc_id % 7
+    return w, h, doc_id % (w - 5), doc_id % (h - 4)
+
+
+def make_gif_lct_bytes(doc_id: int) -> bytes:
+    """Two-frame GIF89a where frame 2 carries a LOCAL color table: a
+    full-screen base frame under the global table, then a 5x4 patch
+    whose image descriptor sets the LCT flag and embeds four RGB
+    entries of its own (gif_palette(doc + 1)).  Disposal 1 throughout;
+    indices are (x + y + doc) % 4 absolute for the base and
+    (x + 2y + doc) % 4 for the patch."""
+    width, height, pl, pt = gif_lct_params(doc_id)
+    gct = bytes(v for rgb in gif_palette(doc_id) for v in rgb)
+    lct = bytes(v for rgb in gif_palette(doc_id + 1) for v in rgb)
+
+    def blocks_of(indices):
+        lzw = _lzw_encode(indices, 2)
+        out = bytearray()
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        return bytes(out)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x81, 0, 0])
+    out += gct
+    out += b"\x21\xf9\x04\x04\x00\x00\x00\x00"  # GCE: disposal 1
+    base = [(x + y + doc_id) % 4 for y in range(height) for x in range(width)]
+    out += (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x00" + bytes([2]) + blocks_of(base)
+    )
+    out += b"\x21\xf9\x04\x04\x01\x00\x00\x00"
+    patch = [
+        (x + 2 * y + doc_id) % 4
+        for y in range(pt, pt + 4)
+        for x in range(pl, pl + 5)
+    ]
+    out += (
+        b"\x2c" + struct.pack("<HHHH", pl, pt, 5, 4)
+        + bytes([0x81])  # LCT flag + 2-bit table size
+        + lct
+        + bytes([2]) + blocks_of(patch)
+    )
+    out += b"\x3b"
+    return bytes(out)

@@ -1362,6 +1362,73 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_lct_decode",
+    # formulas mirror synth.gif_lct_params / gif_palette: the base
+    # frame's index (x+y+doc)%4 maps through the GLOBAL palette
+    # (parameterized by doc), the 5x4 patch's (x+2y+doc)%4 through its
+    # LOCAL palette (parameterized by doc+1).  Frame 2's composited
+    # means therefore mix the two tables — the chunk walk, LZW, and
+    # LCT parsing have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 11 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+             doc_id % (11 + doc_id % 9 - 5) AS pl,
+             doc_id % (6 + doc_id % 7 - 4) AS pt
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, h, pl, pt, kk.k AS k
+      FROM p, LATERAL (SELECT unnest([0, 1]) AS k) kk
+    ),
+    px AS (
+      SELECT f.*, xx.x AS x, yy.y AS y,
+             CASE WHEN f.k = 1 AND xx.x >= pl AND xx.x < pl + 5
+                       AND yy.y >= pt AND yy.y < pt + 4
+                  THEN 1 ELSE 0 END AS in_patch
+      FROM f,
+           LATERAL (SELECT unnest(range(0, f.w)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, f.h)) AS y) yy
+    ),
+    col AS (
+      SELECT doc_id, w, h, k,
+             CASE WHEN in_patch = 1 THEN (x + 2 * y + doc_id) % 4
+                  ELSE (x + y + doc_id) % 4 END AS idx,
+             CASE WHEN in_patch = 1 THEN doc_id + 1 ELSE doc_id END AS pd
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN k = 0 THEN w ELSE 5 END AS BIGINT) AS patch_w,
+           CAST(CASE WHEN k = 0 THEN h ELSE 4 END AS BIGINT) AS patch_h,
+           CAST(SUM((40 * idx + 7 * (pd % 5)) % 256) // (w * h)
+                AS BIGINT) AS mean_r,
+           CAST(SUM((80 * idx + 11 * (pd % 3)) % 256) // (w * h)
+                AS BIGINT) AS mean_g,
+           CAST(SUM((60 * idx + 13 * (pd % 7)) % 256) // (w * h)
+                AS BIGINT) AS mean_b
+    FROM col
+    GROUP BY doc_id, w, h, k
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_gif_lct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL local-color-table GIF decode: frame 2's image descriptor
+    embeds its OWN four-entry palette, so the composited canvas mixes
+    two tables — the decoder stores RGB (not indices) per pixel and
+    maps each frame's indices through ITS table (GCT for the base,
+    LCT for the patch), with index range checks against the active
+    table (``decode.py:decode_gif_anim``).  Completes the GIF89a
+    frame-lifecycle inventory: composition, disposal, transparency,
+    interlace, and now per-frame palettes."""
+    from ..multimodal.decode import decode_gif_anim, synthesize_gif_lct
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_gif_anim(synthesize_gif_lct(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
     "multimodal_png_palette_decode",
     # formulas mirror synth.png_palette_params / gif_palette: pixel
     # (x, y) carries palette index (x+y+doc)%4; channel c of entry i is
