@@ -243,7 +243,7 @@ def make_jpeg_bytes(doc_id: int) -> bytes:
     D0-D7 markers, and DC-prediction resets a decoder must honor (the
     post-restart diff is a full-magnitude category again)."""
     blocks_x, blocks_y, base = jpeg_params(doc_id)
-    ri = 2 + doc_id % 3 if doc_id % 3 == 0 else 0
+    ri = 2 + (doc_id // 3) % 3 if doc_id % 3 == 0 else 0
     return _jpeg_encode(blocks_x, blocks_y, base, restart_interval=ri)
 
 
@@ -1867,7 +1867,8 @@ def _flac_rice_residuals(
         zig = [(r << 1) if r >= 0 else (-r << 1) - 1 for r in chunk]
         # smallest parameter keeping every quotient <= 1 bit of unary
         param = max(0, max((m.bit_length() - 1 for m in zig), default=0))
-        assert param <= 14, "fixture residuals exceed the rice range"
+        if param > 14:  # 15 is the 4-bit RICE escape code
+            raise ValueError("fixture residuals exceed the rice range")
         w.u(param, 4)
         for m in zig:
             w.u(0, m >> param)
@@ -2338,3 +2339,145 @@ def make_gif_lct_bytes(doc_id: int) -> bytes:
     )
     out += b"\x3b"
     return bytes(out)
+
+
+def _flac_utf8(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coded number (RFC 9639 §9.1.5): the
+    standard UTF-8 prefix scheme stretched to 7 bytes / 36 bits so a
+    variable-blocksize frame can carry any sample offset."""
+    if n < 0x80:
+        return bytes([n])
+    for extra in range(1, 7):
+        head_bits = 6 - extra if extra < 6 else 0
+        if n < (1 << (head_bits + 6 * extra)):
+            prefix = (0xFF << (7 - extra)) & 0xFF
+            out = [prefix | (n >> (6 * extra))]
+            out.extend(
+                0x80 | ((n >> (6 * i)) & 0x3F)
+                for i in range(extra - 1, -1, -1)
+            )
+            return bytes(out)
+    raise ValueError("coded number exceeds 36 bits")
+
+
+def flac_vbs_params(doc_id: int) -> tuple[int, int]:
+    """(n_frames, sample_rate_code) for the VARIABLE-blocksize FLAC
+    fixture."""
+    return 3 + doc_id % 3, 4 + doc_id % 3
+
+
+def flac_vbs_frame_shape(doc_id: int, k: int) -> tuple[int, int, int]:
+    """(blocksize, blocksize_code, wasted_bits) of frame k: blocksizes
+    cycle 192/224/256/288 through all four header encodings — the 192
+    and 256 table codes and the 8- and 16-bit uncommon-size forms —
+    and wasted bits cycle 0-3 (0 = flag off)."""
+    bs = (192, 224, 256, 288)[(doc_id + k) % 4]
+    code = {192: 1, 224: 6, 256: 8, 288: 7}[bs]
+    return bs, code, (doc_id + k) % 4
+
+
+def flac_vbs_value(doc_id: int, k: int) -> int:
+    """Frame k's generator: the PRE-SHIFT constant (k%3=0) or ramp base
+    (otherwise); the emitted sample is this << wasted_bits."""
+    if k % 3 == 0:
+        return (doc_id * 7 + 11 * k) % 512
+    return (doc_id * 5 + 13 * k) % 200
+
+
+def make_flac_vbs_bytes(doc_id: int) -> bytes:
+    """VARIABLE-blocksize FLAC stream with wasted-bits-per-sample
+    (RFC 9639 §9.1.2, §9.2.2): the blocking-strategy bit is 1, every
+    frame header carries the first-sample offset as an extended-UTF-8
+    coded number (multi-byte once the stream passes sample 127), and
+    blocksizes change frame to frame through all four header encodings
+    (table codes 1 and 8, 8-bit code 6, 16-bit code 7).  Subframes
+    cycle CONSTANT / VERBATIM / FIXED; frames with wasted_bits w > 0
+    set the subframe wasted flag, unary-code w, write the subframe at
+    16-w bits, and every decoded sample is the coded value << w —
+    STREAMINFO's MD5 is over the SHIFTED samples, so a decoder that
+    ignores the wasted-bits layer cannot fake ``md5_ok``."""
+    import hashlib
+
+    n_frames, sr_code = flac_vbs_params(doc_id)
+
+    all_samples = []
+    frames = bytearray()
+    sample_pos = 0
+    for k in range(n_frames):
+        bs, bs_code, wasted = flac_vbs_frame_shape(doc_id, k)
+        header = bytearray((
+            0xFF, 0b11111001,           # sync + reserved 0 + VARIABLE
+            (bs_code << 4) | sr_code,
+            (0 << 4) | (4 << 1),        # mono | 16-bit | reserved
+        ))
+        header += _flac_utf8(sample_pos)  # first-sample offset
+        if bs_code == 6:
+            header.append(bs - 1)
+        elif bs_code == 7:
+            header += struct.pack(">H", bs - 1)
+        header.append(flac_crc8(bytes(header)))
+
+        eff = 16 - wasted
+        v = flac_vbs_value(doc_id, k)
+        w = _BitPacker()
+        if k % 3 == 0:  # CONSTANT
+            w.u(0, 1); w.u(0, 6)
+            _flac_wasted_flag(w, wasted)
+            w.u(v & ((1 << eff) - 1), eff)
+            samples = [v << wasted] * bs
+        elif k % 3 == 1:  # VERBATIM
+            w.u(0, 1); w.u(1, 6)
+            _flac_wasted_flag(w, wasted)
+            for i in range(bs):
+                w.u((v + i) & ((1 << eff) - 1), eff)
+            samples = [(v + i) << wasted for i in range(bs)]
+        else:  # FIXED at the reduced bit depth
+            order = (doc_id + k) % 5
+            porder = (doc_id + k) % 3
+            pre = [v + i for i in range(bs)]
+            coefs = FLAC_FIXED_COEFS[order]
+            res = [
+                pre[i] - sum(c * pre[i - 1 - j] for j, c in enumerate(coefs))
+                for i in range(order, bs)
+            ]
+            w.u(0, 1); w.u(8 + order, 6)
+            _flac_wasted_flag(w, wasted)
+            for s in pre[:order]:
+                w.u(s & ((1 << eff) - 1), eff)
+            _flac_rice_residuals(w, res, porder, order, bs)
+            samples = [p << wasted for p in pre]
+        while len(w.bits) % 8:
+            w.bits.append(0)
+        body = bytes(header) + w.to_bytes()
+        body += struct.pack(">H", flac_crc16(body))
+        frames += body
+        all_samples.extend(samples)
+        sample_pos += bs
+
+    md5 = hashlib.md5(
+        struct.pack(f"<{len(all_samples)}h", *all_samples)
+    ).digest()
+    si = _BitPacker()
+    si.u(192, 16)  # min blocksize
+    si.u(288, 16)  # max blocksize
+    si.u(0, 24); si.u(0, 24)
+    si.u(FLAC_RATES[sr_code], 20)
+    si.u(0, 3)   # channels - 1
+    si.u(15, 5)  # bits per sample - 1
+    si.u(sample_pos, 36)
+    streaminfo = si.to_bytes() + md5
+    return (
+        b"fLaC"
+        + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        + bytes(frames)
+    )
+
+
+def _flac_wasted_flag(w: "_BitPacker", wasted: int) -> None:
+    """Subframe wasted-bits field: flag 0, or flag 1 + unary(k-1)."""
+    if wasted == 0:
+        w.u(0, 1)
+    else:
+        w.u(1, 1)
+        w.u(0, wasted - 1)  # k-1 zeros ...
+        w.u(1, 1)           # ... then the terminating 1

@@ -49,7 +49,7 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     + typed metadata) → ``mapInPandas`` decode kernel.  Deterministic fake
     header parse (dimensions are a pure function of byte length); the real
     codec site raises ``NotImplementedError`` (no image libs here)."""
-    docs = load_table_compute(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents", heavy=False)
     media = with_media_payload(docs)
     return decode_image_meta(media, codec="fake").orderBy("doc_id")
 
@@ -77,7 +77,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames and every 10th frame is emitted — a row-EXPANDING mapInPandas
     kernel (1 media row → n_frames/stride frame rows), the plumbing real
     frame extraction uses.  Zero shuffle; embarrassingly parallel."""
-    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents"))
+    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents", heavy=False))
     media = with_media_payload(docs)
     return sample_frames(media, frame_bytes=100, stride=10).orderBy(
         "doc_id", "frame_idx"
@@ -111,7 +111,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas kernel (the VAD/loudness pre-filter shape)."""
     from ..multimodal.decode import audio_chunk_energy
 
-    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents"))
+    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents", heavy=False))
     media = with_media_payload(docs)
     return audio_chunk_energy(media, chunk_samples=400).orderBy(
         "doc_id", "chunk_idx"
@@ -155,7 +155,7 @@ def multimodal_resize_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot sort list cells (CORRECTNESS_r01 nested-output class)."""
     from ..multimodal.decode import block_mean_resize
 
-    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents"))
+    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents", heavy=False))
     media = with_media_payload(docs)
     out = block_mean_resize(media, factor=8)
     return out.withColumn(
@@ -193,7 +193,7 @@ def multimodal_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot sort list cells (CORRECTNESS_r01 nested-output class)."""
     from ..multimodal.decode import byte_histogram
 
-    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents"))
+    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents", heavy=False))
     media = with_media_payload(docs)
     out = byte_histogram(media)
     return out.withColumn(
@@ -258,7 +258,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — bound the pairwise term, same argument as the LSH band join."""
     from pyspark.sql import functions as F
 
-    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents"))
+    docs = _ascii_docs(load_table_compute(spark, sf_dir, "documents", heavy=False))
     hashes = perceptual_hash(with_media_payload(docs), codec="fake")
     a = hashes.select(F.col("doc_id").alias("doc_a"), "phash")
     b = hashes.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))
@@ -332,7 +332,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual bytes.  JPEG/PNG remain behind ``NotImplementedError``."""
     from ..multimodal.decode import decode_bmp_real, synthesize_bmp
 
-    docs = load_table_compute(spark, sf_dir, "documents")
+    docs = load_table_compute(spark, sf_dir, "documents", heavy=False)
     return decode_bmp_real(synthesize_bmp(docs)).orderBy("doc_id")
 
 
@@ -1162,8 +1162,11 @@ def multimodal_gif_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier patch, so the value check proves decoder state across
     frames — the animation sibling of the static
     ``multimodal_gif_decode``, and the GIF counterpart of the H.264
-    reference-copy decode.  Disposal 2/3, transparency, interlaced
-    frames, and local color tables raise at declared boundaries."""
+    reference-copy decode.  ``decode_gif_anim`` carries the full GIF89a
+    lifecycle — disposal methods 0-3 (incl. restore-to-background and
+    restore-to-previous), transparency, Adam-style interlaced frames,
+    and per-frame local color tables — exercised by the sibling
+    ``multimodal_gif_{disposal,lct}_decode`` fixtures."""
     from ..multimodal.decode import decode_gif_anim, synthesize_gif_anim
 
     docs = load_table_compute(spark, sf_dir, "documents")
