@@ -3445,10 +3445,12 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
     remainder codes) feeding both predictor paths, and an END-TO-END
     check: the MD5 of the decoded little-endian sample stream is
     recomputed and compared to STREAMINFO's — ``md5_ok`` is decoded
-    proof, not metadata.  Stereo streams take ``decode_flac_stereo``
-    (all four channel assignments); wasted bits and variable blocking
-    raise ``NotImplementedError`` at the exact sites a codec library
-    would take over."""
+    proof, not metadata.  Both blocking strategies decode: fixed
+    blocksize (coded number = frame index) and variable blocksize
+    (coded number = first-sample offset, per-frame sizes through all
+    four header encodings), as does the wasted-bits-per-sample layer
+    (§9.2.2) via the shared subframe reader.  Stereo streams take
+    ``decode_flac_stereo`` (all four channel assignments)."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -3486,6 +3488,7 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
                     "take decode_flac_stereo"
                 )
             n_frames = sum_c = sum_v = sum_f = 0
+            total_decoded = 0
             last_sample = 0
             md5 = hashlib.md5()
             while pos < len(raw):
@@ -3495,11 +3498,11 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
                     raise ValueError(f"doc {doc_id}: lost frame sync at {pos}")
                 if h0 & 0x2:
                     raise ValueError(f"doc {doc_id}: reserved bit set")
+                # blocking strategy (RFC 9639 §9.1.1): 0 = fixed
+                # blocksize, coded number is the frame index; 1 =
+                # variable blocksize, coded number is the frame's
+                # first-sample offset
                 variable = h0 & 0x1
-                if variable:
-                    raise NotImplementedError(
-                        "variable-blocksize streams not implemented"
-                    )
                 b2 = raw[pos + 2]
                 bs_code, sr_code = b2 >> 4, b2 & 0xF
                 b3 = raw[pos + 3]
@@ -3554,92 +3557,34 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
                         f"doc {doc_id}: frame rate {frame_rate} disagrees "
                         f"with STREAMINFO {rate}"
                     )
-                if frame_num != n_frames:
+                expect = total_decoded if variable else n_frames
+                if frame_num != expect:
                     raise ValueError(
-                        f"doc {doc_id}: frame number {frame_num} out of "
-                        f"order at index {n_frames}"
+                        f"doc {doc_id}: coded number {frame_num} != "
+                        f"expected {expect} "
+                        f"({'sample offset' if variable else 'frame index'})"
                     )
                 if flac_crc8(raw[start:pos]) != raw[pos]:
                     raise ValueError(f"doc {doc_id}: frame-header CRC-8 bad")
                 pos += 1
-                # subframe: 1 pad bit + 6 type bits + wasted-bits flag
-                sb = raw[pos]
-                if sb & 0x80:
-                    raise ValueError(f"doc {doc_id}: subframe pad bit set")
-                stype = (sb >> 1) & 0x3F
-                if sb & 0x01:
-                    raise NotImplementedError(
-                        "wasted-bits-per-sample not implemented"
-                    )
-                pos += 1
-                if stype == 0:  # CONSTANT
-                    value = int.from_bytes(
-                        raw[pos : pos + 2], "big", signed=True
-                    )
-                    pos += 2
-                    samples = [value] * blocksize
-                    sum_c += value * blocksize
-                elif stype == 1:  # VERBATIM
-                    samples = list(
-                        struct.unpack_from(f">{blocksize}h", raw, pos)
-                    )
-                    pos += 2 * blocksize
-                    sum_v += sum(samples)
-                elif 8 <= stype <= 12 or stype >= 32:
-                    # FIXED (order 0-4) or LPC (order 1-32): warmup,
-                    # for LPC the in-stream quantized predictor, then
-                    # the shared Rice residual section and the
-                    # reconstruction recurrence
-                    is_lpc = stype >= 32
-                    order = stype - 31 if is_lpc else stype - 8
-                    br = _FlacBits(raw, pos)
-                    samples = []
-                    for _ in range(order):
-                        w = br.u(16)
-                        samples.append(w - 0x10000 if w & 0x8000 else w)
-                    if is_lpc:  # RFC 9639 §9.2.4
-                        prec_m1 = br.u(4)
-                        if prec_m1 == 15:
-                            raise ValueError(
-                                f"doc {doc_id}: invalid LPC coefficient "
-                                "precision 0b1111"
-                            )
-                        precision = prec_m1 + 1
-                        shift = br.u(5)
-                        if shift & 0x10:
-                            raise ValueError(
-                                f"doc {doc_id}: negative LPC "
-                                "quantization shift"
-                            )
-                        coefs = []
-                        for _ in range(order):
-                            c = br.u(precision)
-                            if c >> (precision - 1):
-                                c -= 1 << precision
-                            coefs.append(c)
-                    else:
-                        shift = 0
-                        coefs = _FLAC_FIXED_COEFS[order]
-                    res = _flac_read_residuals(
-                        doc_id, br, blocksize, order
-                    )
-                    for r in res:
-                        pred = sum(
-                            c * samples[-1 - j]
-                            for j, c in enumerate(coefs)
-                        )
-                        samples.append(r + (pred >> shift))
-                    if any(not -0x8000 <= s <= 0x7FFF for s in samples):
-                        raise ValueError(
-                            f"doc {doc_id}: predictor output exceeds "
-                            "16-bit range"
-                        )
-                    pos = br.align()
-                    sum_f += sum(samples)
-                else:
+                # subframe (all four types + wasted bits) through the
+                # shared bit-level reader; mono frames have exactly one
+                br = _FlacBits(raw, pos)
+                stype, samples = _flac_read_subframe(
+                    doc_id, br, blocksize, 16
+                )
+                pos = br.align()
+                if any(not -0x8000 <= s <= 0x7FFF for s in samples):
                     raise ValueError(
-                        f"doc {doc_id}: reserved subframe type {stype}"
+                        f"doc {doc_id}: predictor output exceeds "
+                        "16-bit range"
                     )
+                if stype == 0:
+                    sum_c += samples[0] * blocksize
+                elif stype == 1:
+                    sum_v += sum(samples)
+                else:
+                    sum_f += sum(samples)
                 # frame CRC-16 over everything since the sync
                 if struct.unpack_from(">H", raw, pos)[0] != flac_crc16(
                     raw[start:pos]
@@ -3649,17 +3594,17 @@ def decode_flac_real(media_df: DataFrame) -> DataFrame:
                 md5.update(struct.pack(f"<{len(samples)}h", *samples))
                 last_sample = samples[-1]
                 n_frames += 1
+                total_decoded += len(samples)
             if n_frames == 0:
                 raise ValueError(f"doc {doc_id}: no FLAC frames")
-            total = n_frames * 256
-            if total_claim != total:
+            if total_claim != total_decoded:
                 raise ValueError(
                     f"doc {doc_id}: STREAMINFO total {total_claim} != "
-                    f"decoded {total}"
+                    f"decoded {total_decoded}"
                 )
             return (
-                n_frames, rate, total, sum_c, sum_v, sum_f, last_sample,
-                md5.digest() == md5_claim,
+                n_frames, rate, total_decoded, sum_c, sum_v, sum_f,
+                last_sample, md5.digest() == md5_claim,
             )
 
         cols = (
@@ -3869,25 +3814,41 @@ FLAC_STEREO_SCHEMA = (
 
 def _flac_read_subframe(
     doc_id: int, br: "_FlacBits", blocksize: int, bps: int
-) -> list:
+) -> tuple:
     """One complete subframe at an arbitrary (not byte-aligned) bit
     depth — the reader the stereo path needs, since side channels carry
     bps+1 bits and the second channel's subframe starts mid-byte.
     Handles all four subframe types through the shared Rice residual
-    reader and predictor recurrences."""
+    reader and predictor recurrences, plus the wasted-bits-per-sample
+    layer (RFC 9639 §9.2.2: flag 1 + unary k-1, the subframe decodes
+    at bps-k and every sample shifts left by k).  Returns
+    ``(subframe_type, samples)`` so callers can attribute sums."""
     if br.u(1):
         raise ValueError(f"doc {doc_id}: subframe pad bit set")
     stype = br.u(6)
+    wasted = 0
     if br.u(1):
-        raise NotImplementedError("wasted-bits-per-sample not implemented")
+        wasted = 1
+        while br.u(1) == 0:
+            wasted += 1
+        if wasted >= bps:
+            raise ValueError(
+                f"doc {doc_id}: wasted bits {wasted} leave no sample bits"
+            )
+        bps -= wasted
+
+    def shifted(samples: list) -> tuple:
+        if wasted:
+            samples = [s << wasted for s in samples]
+        return stype, samples
 
     def signed(v: int) -> int:
         return v - (1 << bps) if v >> (bps - 1) else v
 
     if stype == 0:  # CONSTANT
-        return [signed(br.u(bps))] * blocksize
+        return shifted([signed(br.u(bps))] * blocksize)
     if stype == 1:  # VERBATIM
-        return [signed(br.u(bps)) for _ in range(blocksize)]
+        return shifted([signed(br.u(bps)) for _ in range(blocksize)])
     if 8 <= stype <= 12 or stype >= 32:
         is_lpc = stype >= 32
         order = stype - 31 if is_lpc else stype - 8
@@ -3916,7 +3877,7 @@ def _flac_read_subframe(
         for r in _flac_read_residuals(doc_id, br, blocksize, order):
             pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
             samples.append(r + (pred >> shift))
-        return samples
+        return shifted(samples)
     raise ValueError(f"doc {doc_id}: reserved subframe type {stype}")
 
 
@@ -4026,7 +3987,7 @@ def decode_flac_stereo(media_df: DataFrame) -> DataFrame:
                 for ch in (0, 1):
                     ch_bps = 17 if ch == side_ch else 16
                     subs.append(
-                        _flac_read_subframe(doc_id, br, blocksize, ch_bps)
+                        _flac_read_subframe(doc_id, br, blocksize, ch_bps)[1]
                     )
                 pos = br.align()
                 if struct.unpack_from(">H", raw, pos)[0] != flac_crc16(
@@ -4432,6 +4393,31 @@ def synthesize_gif_lct(docs_df: DataFrame) -> DataFrame:
                     "kind": ["image"] * len(pdf),
                     "payload": [
                         make_gif_lct_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_flac_vbs(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a VARIABLE-blocksize FLAC stream
+    whose subframes exercise the wasted-bits-per-sample layer."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_flac_vbs_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_flac_vbs_bytes(int(d)) for d in pdf["doc_id"]
                     ],
                 }
             )

@@ -2370,10 +2370,11 @@ def flac_vbs_frame_shape(doc_id: int, k: int) -> tuple[int, int, int]:
     """(blocksize, blocksize_code, wasted_bits) of frame k: blocksizes
     cycle 192/224/256/288 through all four header encodings — the 192
     and 256 table codes and the 8- and 16-bit uncommon-size forms —
-    and wasted bits cycle 0-3 (0 = flag off)."""
+    and wasted bits cycle 0-3 (0 = flag off) on a phase decorrelated
+    from the blocksize cycle so every (size, wasted) pairing occurs."""
     bs = (192, 224, 256, 288)[(doc_id + k) % 4]
     code = {192: 1, 224: 6, 256: 8, 288: 7}[bs]
-    return bs, code, (doc_id + k) % 4
+    return bs, code, (doc_id // 2 + k) % 4
 
 
 def flac_vbs_value(doc_id: int, k: int) -> int:

@@ -1355,13 +1355,81 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end-to-end proof — the MD5 of the DECODED sample stream
     recomputed against STREAMINFO's claim.  Completes the
     audio-container inventory (WAV, MP3 frame walk + main data) with
-    the lossless-codec format; stereo decorrelation, wasted bits, and
-    variable blocking raise at declared stubs
-    (``decode.py:decode_flac_real``)."""
+    the lossless-codec format; stereo decorrelation lives in
+    ``multimodal_flac_stereo_decode`` and variable blocking + wasted
+    bits in ``multimodal_flac_vbs_decode``."""
     from ..multimodal.decode import decode_flac_real, synthesize_flac
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_flac_real(synthesize_flac(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_flac_vbs_decode",
+    # formulas mirror synth.flac_vbs_params / flac_vbs_frame_shape /
+    # flac_vbs_value: blocksizes cycle 192/224/256/288 on (doc+k)%4,
+    # wasted bits cycle (doc//2+k)%4, frames cycle CONSTANT (value
+    # (doc*7+11k)%512 << w) and VERBATIM/FIXED ramps from
+    # (doc*5+13k)%200 << w.  The variable-blocksize header walk
+    # (sample-offset coded numbers, per-frame size fields), the
+    # wasted-bits unary decode, and the MD5 proof have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 3 + doc_id % 3 AS nf,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 22050 END AS rate
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, nf, rate, kk.k AS k,
+             CASE (doc_id + kk.k) % 4 WHEN 0 THEN 192 WHEN 1 THEN 224
+                  WHEN 2 THEN 256 ELSE 288 END AS bs,
+             (1 << ((doc_id // 2 + kk.k) % 4)) AS sh,
+             (doc_id * 7 + 11 * kk.k) % 512 AS cval,
+             (doc_id * 5 + 13 * kk.k) % 200 AS rbase
+      FROM p, LATERAL (SELECT unnest(range(0, nf)) AS k) kk
+    )
+    SELECT doc_id,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(MAX(rate) AS BIGINT) AS sample_rate,
+           CAST(SUM(bs) AS BIGINT) AS total_samples,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN cval * bs * sh ELSE 0 END)
+                AS BIGINT) AS sum_constant,
+           CAST(SUM(CASE WHEN k % 3 = 1
+                    THEN (rbase * bs + bs * (bs - 1) // 2) * sh
+                    ELSE 0 END) AS BIGINT) AS sum_verbatim,
+           CAST(SUM(CASE WHEN k % 3 = 2
+                    THEN (rbase * bs + bs * (bs - 1) // 2) * sh
+                    ELSE 0 END) AS BIGINT) AS sum_fixed,
+           CAST(MAX(CASE WHEN k = nf - 1 THEN
+                  (CASE WHEN k % 3 = 0 THEN cval
+                        ELSE rbase + bs - 1 END) * sh
+                END) AS BIGINT) AS last_sample,
+           TRUE AS md5_ok
+    FROM fr
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_flac_vbs_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode of VARIABLE-blocksize streams with wasted bits
+    (RFC 9639 §9.1.2, §9.2.2), closing the format's core past the
+    fixed-blocksize and stereo queries: the blocking-strategy bit flips
+    the coded number's meaning to a first-sample offset (extended UTF-8,
+    multi-byte once the stream passes sample 127 — the decoder verifies
+    it against the running decoded total), per-frame blocksizes arrive
+    through all four header encodings (table codes 1/8, 8-bit code 6,
+    16-bit code 7), and subframes with the wasted-bits flag unary-code
+    k, decode at 16-k bits, and shift every sample left by k.  The
+    MD5-of-decoded-samples check is over the SHIFTED stream, so a
+    decoder that skips any of the three layers cannot fake ``md5_ok``.
+    Reference scope note: the reference delegates all media handling to
+    its warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..multimodal.decode import decode_flac_real, synthesize_flac_vbs
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_flac_real(synthesize_flac_vbs(docs)).orderBy("doc_id")
 
 
 @query(
