@@ -50,7 +50,17 @@ def make_zip_bytes(doc_id: int, text: str) -> bytes:
     central-directory trap), real CRC-32s, a central directory, and a
     correct End-Of-Central-Directory record.  Odd members are raw-
     deflate compressed (method 8) so the extractor's inflate path is
-    exercised on every archive with >= 2 members."""
+    exercised on every archive with >= 2 members.
+
+    Every fourth doc is written in ZIP64 form (APPNOTE 4.5, the layout
+    any >4 GiB / >65k-member crawl archive uses): member 1's sizes and
+    local-header offset are 0xFFFFFFFF sentinels resolved through a
+    0x0001 extended-information extra field (central AND local), and
+    the classic EOCD carries all-sentinel counts resolved through a
+    ZIP64 end-of-central-directory record + locator.  The member
+    CONTENT is identical either way — only the container encoding
+    changes, so the extraction oracle is form-independent."""
+    zip64 = doc_id % 4 == 0
     members = []
     for k in range(archive_n_members(doc_id)):
         name = f"doc{doc_id}/part{k}.txt".encode()
@@ -65,7 +75,7 @@ def make_zip_bytes(doc_id: int, text: str) -> bytes:
 
     out = bytearray()
     central = bytearray()
-    for name, data, deflated, streamed in members:
+    for k, (name, data, deflated, streamed) in enumerate(members):
         crc = zlib.crc32(data) & 0xFFFFFFFF
         if deflated:
             co = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate
@@ -75,31 +85,83 @@ def make_zip_bytes(doc_id: int, text: str) -> bytes:
             payload, method = data, 0
         local_off = len(out)
         flags = 0x8 if streamed else 0
+        wide = zip64 and k == 1  # the sentinel-size member
         lh = (crc, len(payload), len(data)) if not streamed else (0, 0, 0)
+        local_extra = b""
+        if wide:
+            # local zip64 extra carries usize then csize (APPNOTE 4.5.3:
+            # both MUST appear in the local variant)
+            lh = (crc, 0xFFFFFFFF, 0xFFFFFFFF)
+            local_extra = struct.pack(
+                "<HHQQ", 0x0001, 16, len(data), len(payload)
+            )
         out += struct.pack(
             "<4sHHHHHIIIHH",
-            b"PK\x03\x04", 20, flags, method, 0, 0, *lh,
-            len(name), 0,
+            b"PK\x03\x04", 45 if wide else 20, flags, method, 0, 0, *lh,
+            len(name), len(local_extra),
         )
-        out += name + payload
+        out += name + local_extra + payload
         if streamed:  # data descriptor (with the optional signature)
             out += struct.pack(
                 "<4sIII", b"PK\x07\x08", crc, len(payload), len(data)
             )
+        if wide:
+            # central zip64 extra: only the sentinel fields, in spec
+            # order usize, csize, local-header offset
+            c_extra = struct.pack(
+                "<HHQQQ", 0x0001, 24, len(data), len(payload), local_off
+            )
+            c_csize = c_usize = c_off = 0xFFFFFFFF
+        else:
+            c_extra = b""
+            c_csize, c_usize, c_off = len(payload), len(data), local_off
         central += struct.pack(
             "<4sHHHHHHIIIHHHHHII",
-            b"PK\x01\x02", 20, 20, flags, method, 0, 0, crc, len(payload),
-            len(data), len(name), 0, 0, 0, 0, 0, local_off,
+            b"PK\x01\x02", 45 if wide else 20, 45 if wide else 20, flags,
+            method, 0, 0, crc, c_csize, c_usize,
+            len(name), len(c_extra), 0, 0, 0, 0, c_off,
         )
-        central += name
+        central += name + c_extra
     cd_off = len(out)
     out += central
-    out += struct.pack(
-        "<4sHHHHIIH",
-        b"PK\x05\x06", 0, 0, len(members), len(members), len(central),
-        cd_off, 0,
-    )
+    if zip64:
+        z64_at = len(out)
+        out += struct.pack(
+            "<4sQHHIIQQQQ",
+            b"PK\x06\x06", 44, 45, 45, 0, 0,
+            len(members), len(members), len(central), cd_off,
+        )
+        out += struct.pack("<4sIQI", b"PK\x06\x07", 0, z64_at, 1)
+        out += struct.pack(
+            "<4sHHHHIIH",
+            b"PK\x05\x06", 0, 0, 0xFFFF, 0xFFFF,
+            0xFFFFFFFF, 0xFFFFFFFF, 0,
+        )
+    else:
+        out += struct.pack(
+            "<4sHHHHIIH",
+            b"PK\x05\x06", 0, 0, len(members), len(members), len(central),
+            cd_off, 0,
+        )
     return bytes(out)
+
+
+def _zip64_extra(doc_id: int, extra: bytes) -> bytes:
+    """The 0x0001 extended-information field's payload from a header's
+    extra area (APPNOTE 4.5.2: a sequence of id(2)/size(2)/data
+    chunks); raises when sentinels demanded one and it is absent."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        fid, fsz = struct.unpack_from("<HH", extra, pos)
+        pos += 4
+        if pos + fsz > len(extra):
+            raise ValueError(f"doc {doc_id}: extra field overruns its area")
+        if fid == 0x0001:
+            return extra[pos : pos + fsz]
+        pos += fsz
+    raise ValueError(
+        f"doc {doc_id}: size/offset sentinels without a ZIP64 extra field"
+    )
 
 
 def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
@@ -107,7 +169,10 @@ def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
     central directory.  Verifies EOCD geometry, local-vs-central name
     agreement, and every member's CRC-32 over the DECOMPRESSED bytes;
     store and DEFLATE members are extracted, other methods raise
-    NotImplementedError, structural damage ValueError."""
+    NotImplementedError, structural damage ValueError.  ZIP64 archives
+    (APPNOTE 4.5) resolve: 0xFFFF/0xFFFFFFFF EOCD sentinels through
+    the ZIP64 EOCD locator + record, and per-entry size/offset
+    sentinels through the 0x0001 extended-information extra field."""
     if len(raw) < 22 or raw[-22:-18] != b"PK\x05\x06":
         raise ValueError(f"doc {doc_id}: missing end-of-central-directory")
     (_sig, _dn, _ds, n_here, n_total, cd_size, cd_off, _clen) = struct.unpack(
@@ -115,7 +180,31 @@ def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
     )
     if n_here != n_total:
         raise ValueError(f"doc {doc_id}: split archive unsupported")
-    if cd_off + cd_size != len(raw) - 22:
+    cd_end = len(raw) - 22
+    if 0xFFFF in (n_here, n_total) or 0xFFFFFFFF in (cd_size, cd_off):
+        # ZIP64: the locator sits immediately before the classic EOCD
+        if len(raw) < 42 or raw[-42:-38] != b"PK\x06\x07":
+            raise ValueError(
+                f"doc {doc_id}: EOCD sentinels without a ZIP64 locator"
+            )
+        _lsig, l_disk, z64_at, n_disks = struct.unpack(
+            "<4sIQI", raw[-42:-22]
+        )
+        if l_disk != 0 or n_disks != 1:
+            raise ValueError(f"doc {doc_id}: split ZIP64 archive unsupported")
+        if z64_at + 56 > len(raw) or raw[z64_at : z64_at + 4] != b"PK\x06\x06":
+            raise ValueError(
+                f"doc {doc_id}: ZIP64 EOCD record missing at {z64_at}"
+            )
+        (_zsig, _zsize, _vmade, _vneed, _zd, _zcd, z_here, z_total,
+         cd_size, cd_off) = struct.unpack(
+            "<4sQHHIIQQQQ", raw[z64_at : z64_at + 56]
+        )
+        if z_here != z_total:
+            raise ValueError(f"doc {doc_id}: split ZIP64 archive unsupported")
+        n_total = z_total
+        cd_end = z64_at
+    if cd_off + cd_size != cd_end:
         raise ValueError(f"doc {doc_id}: central directory geometry broken")
     pos = cd_off
     n_members = total_chars = total_bytes = 0
@@ -127,7 +216,26 @@ def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
             nlen, elen, clen, _disk, _iattr, _eattr, local_off,
         ) = struct.unpack("<4sHHHHHHIIIHHHHHII", raw[pos : pos + 46])
         cname = raw[pos + 46 : pos + 46 + nlen]
+        extra = raw[pos + 46 + nlen : pos + 46 + nlen + elen]
         pos += 46 + nlen + elen + clen
+        if 0xFFFFFFFF in (csize, usize, local_off):
+            z64 = _zip64_extra(doc_id, extra)
+            # APPNOTE 4.5.3 field order: usize, csize, offset — only
+            # the sentinel fields are present
+            want = [usize == 0xFFFFFFFF, csize == 0xFFFFFFFF,
+                    local_off == 0xFFFFFFFF]
+            if len(z64) != 8 * sum(want):
+                raise ValueError(
+                    f"doc {doc_id}: ZIP64 extra carries {len(z64)} bytes "
+                    f"for {sum(want)} sentinel fields in {cname!r}"
+                )
+            vals = iter(struct.unpack(f"<{sum(want)}Q", z64))
+            if want[0]:
+                usize = next(vals)
+            if want[1]:
+                csize = next(vals)
+            if want[2]:
+                local_off = next(vals)
         if method not in (0, 8):
             raise NotImplementedError(
                 f"ZIP compression method {method} not implemented "
@@ -164,6 +272,24 @@ def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
             if (d_crc, d_csize, d_usize) != (crc, csize, usize):
                 raise ValueError(
                     f"doc {doc_id}: data descriptor disagrees with "
+                    "central directory"
+                )
+        elif lh[7] == lh[8] == 0xFFFFFFFF:
+            # ZIP64 local header: real sizes live in its 0x0001 extra
+            # (usize then csize, both mandatory in the local variant)
+            l_extra = raw[
+                local_off + 30 + lh[9] : local_off + 30 + lh[9] + lh[10]
+            ]
+            z64 = _zip64_extra(doc_id, l_extra)
+            if len(z64) != 16:
+                raise ValueError(
+                    f"doc {doc_id}: local ZIP64 extra must carry "
+                    f"usize+csize, got {len(z64)} bytes"
+                )
+            l_usize, l_csize = struct.unpack("<QQ", z64)
+            if (lh[6], l_csize, l_usize) != (crc, csize, usize):
+                raise ValueError(
+                    f"doc {doc_id}: local ZIP64 fields disagree with "
                     "central directory"
                 )
         elif (lh[6], lh[7], lh[8]) != (crc, csize, usize):
@@ -214,13 +340,38 @@ def tar_long_name(doc_id: int, k: int) -> str:
     return f"doc{doc_id}/" + "deep/" * 22 + f"part{k}.txt"
 
 
+def tar_pax_name(doc_id: int, k: int) -> str:
+    """Member 2's REAL path, delivered via a POSIX pax 'x' record:
+    >100 chars AND non-ASCII (pax paths are UTF-8 by definition; the
+    ustar header field can carry neither)."""
+    return f"doc{doc_id}/" + "pax/" * 24 + f"pärt{k}.txt"
+
+
+def _pax_data(records: dict[str, str]) -> bytes:
+    """pax extended-header payload (POSIX.1-2001 §pax): each record is
+    '<len> <key>=<value>\\n' where len counts the WHOLE record
+    including its own digits — the self-referential length every pax
+    writer solves by iteration."""
+    out = bytearray()
+    for key, value in records.items():
+        body = f" {key}={value}\n".encode()
+        length = len(body) + 1
+        while len(str(length)) + len(body) != length:
+            length = len(str(length)) + len(body)
+        out += str(length).encode() + body
+    return bytes(out)
+
+
 def make_tar_bytes(doc_id: int, text: str) -> bytes:
     """ustar TAR: 512-byte headers with octal fields, the checksum-as-
     spaces rule, magic "ustar", data padded to block multiples, two
     zero blocks at the end.  Odd members carry a 120+-char path via a
     GNU 'L' @LongLink entry (one header + one data block naming the
     NEXT member) — the extension every real tar of nested corpora
-    hits."""
+    hits; member 2 (archives with >= 3 members) instead carries a
+    POSIX pax 'x' extended header with a >100-char UTF-8 path plus
+    size and sub-second-mtime records — the modern GNU/POSIX default
+    format."""
     out = bytearray()
     for k in range(archive_n_members(doc_id)):
         data = archive_member_text(text, k).encode()
@@ -229,6 +380,19 @@ def make_tar_bytes(doc_id: int, text: str) -> bytes:
             out += _tar_header(b"././@LongLink", len(longname), "L")
             out += longname + bytes((512 - len(longname) % 512) % 512)
             name = longname[:100].rstrip(b"\x00")  # truncated fallback
+        elif k == 2:
+            # POSIX pax 'x' extended header naming the NEXT member:
+            # a long UTF-8 path (beyond ustar's field), the decimal
+            # size (pax lifts the 8 GiB octal ceiling), and a
+            # sub-second mtime — the modern GNU/POSIX default format
+            pax = _pax_data({
+                "path": tar_pax_name(doc_id, k),
+                "size": str(len(data)),
+                "mtime": "1700000000.123456789",
+            })
+            out += _tar_header(b"./PaxHeaders.0/part", len(pax), "x")
+            out += pax + bytes((512 - len(pax) % 512) % 512)
+            name = tar_pax_name(doc_id, k).encode()[:100]
         else:
             name = f"doc{doc_id}/part{k}.txt".encode()
         out += _tar_header(name, len(data), "0")
@@ -238,17 +402,52 @@ def make_tar_bytes(doc_id: int, text: str) -> bytes:
     return bytes(out)
 
 
+def _parse_pax(doc_id: int, data: bytes) -> dict[str, str]:
+    """pax extended-header records: '<len> <key>=<value>\\n' with the
+    self-including decimal length verified for every record."""
+    records: dict[str, str] = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0:
+            raise ValueError(f"doc {doc_id}: pax record missing length")
+        try:
+            length = int(data[pos:sp])
+        except ValueError:
+            raise ValueError(
+                f"doc {doc_id}: non-decimal pax record length"
+            ) from None
+        rec = data[pos : pos + length]
+        if length <= sp - pos or not rec.endswith(b"\n"):
+            raise ValueError(
+                f"doc {doc_id}: pax record length {length} does not land "
+                "on a newline"
+            )
+        key, eq, value = rec[sp - pos + 1 : -1].partition(b"=")
+        if not eq:
+            raise ValueError(f"doc {doc_id}: pax record without '='")
+        records[key.decode("utf-8")] = value.decode("utf-8")
+        pos += length
+    return records
+
+
 def parse_tar(doc_id: int, raw: bytes) -> tuple[int, int, int]:
     """(n_members, sum_content_chars, n_blocks) by walking 512-byte
     ustar headers with checksum and magic verification.  GNU 'L'
     @LongLink entries are consumed as the NEXT member's real name
     (NUL-terminated, must agree with the following header's truncated
-    prefix); a dangling 'L' with no member after it raises."""
+    prefix); POSIX pax 'x' extended headers are parsed as
+    length-verified key=value records whose path/size overrides are
+    checked against the following member (UTF-8 long path agrees with
+    the header's truncated prefix, decimal size agrees with the octal
+    field).  A dangling 'L'/'x' with no member after it raises;
+    global 'g' records are a declared stub."""
     if len(raw) % 512:
         raise ValueError(f"doc {doc_id}: tar not block-aligned")
     pos = 0
     n_members = total_chars = 0
     pending_name: bytes | None = None
+    pending_pax: dict[str, str] | None = None
     while pos < len(raw):
         hdr = raw[pos : pos + 512]
         if hdr == bytes(512):
@@ -274,6 +473,17 @@ def parse_tar(doc_id: int, raw: bytes) -> tuple[int, int, int]:
             pending_name = data.rstrip(b"\x00")
             if not pending_name:
                 raise ValueError(f"doc {doc_id}: empty @LongLink name")
+        elif typeflag == "x":
+            if pending_pax is not None:
+                raise ValueError(
+                    f"doc {doc_id}: consecutive pax extended headers"
+                )
+            pending_pax = _parse_pax(doc_id, data)
+        elif typeflag == "g":
+            raise NotImplementedError(
+                "pax 'g' global extended headers not implemented "
+                "(per-file 'x' records only)"
+            )
         elif typeflag == "0":
             if pending_name is not None:
                 short = hdr[:100].rstrip(b"\x00")
@@ -283,6 +493,23 @@ def parse_tar(doc_id: int, raw: bytes) -> tuple[int, int, int]:
                         "the member header prefix"
                     )
                 pending_name = None
+            if pending_pax is not None:
+                short = hdr[:100].rstrip(b"\x00")
+                pax_path = pending_pax.get("path")
+                if pax_path is not None and not pax_path.encode(
+                    "utf-8"
+                ).startswith(short):
+                    raise ValueError(
+                        f"doc {doc_id}: pax path disagrees with the "
+                        "member header prefix"
+                    )
+                pax_size = pending_pax.get("size")
+                if pax_size is not None and int(pax_size) != size:
+                    raise ValueError(
+                        f"doc {doc_id}: pax size {pax_size} disagrees "
+                        f"with the header's {size}"
+                    )
+                pending_pax = None
             n_members += 1
             total_chars += len(data.decode("utf-8", "strict"))
         pos += size + (512 - size % 512) % 512
@@ -290,6 +517,8 @@ def parse_tar(doc_id: int, raw: bytes) -> tuple[int, int, int]:
         raise ValueError(f"doc {doc_id}: tar missing end-of-archive blocks")
     if pending_name is not None:
         raise ValueError(f"doc {doc_id}: dangling @LongLink entry")
+    if pending_pax is not None:
+        raise ValueError(f"doc {doc_id}: dangling pax extended header")
     return n_members, total_chars, len(raw) // 512
 
 
@@ -352,8 +581,10 @@ def make_gzip_jsonl_bytes(doc_id: int, text: str) -> bytes:
     """A CONCATENATED multi-member gzip file (RFC 1952 allows — and web
     corpora use — back-to-back members a reader must loop over), each
     member one JSONL shard: magic 1F 8B, CM 8, per-member header flags
-    (FNAME on odd members, FEXTRA on members divisible by 3), raw
-    DEFLATE body, then CRC-32 and ISIZE trailers over the plain text."""
+    (FNAME on odd members, FEXTRA on members divisible by 3, FHCRC on
+    members with doc_id + i odd — its CRC-16 really computed over the
+    header bytes per RFC 1952 §2.3.1), raw DEFLATE body, then CRC-32
+    and ISIZE trailers over the plain text."""
     out = bytearray()
     for i in range(gzip_n_members(doc_id)):
         lines = []
@@ -364,15 +595,22 @@ def make_gzip_jsonl_bytes(doc_id: int, text: str) -> bytes:
             }
             lines.append(json.dumps(obj, separators=(",", ":")))
         plain = ("\n".join(lines) + "\n").encode()
-        flg = (0x08 if i % 2 else 0) | (0x04 if i % 3 == 0 else 0)
-        out += bytes((0x1F, 0x8B, 8, flg))
-        out += struct.pack("<I", (doc_id * 7 + i) % 2**32)  # MTIME
-        out += bytes((0, 255))  # XFL, OS unknown
+        flg = (
+            (0x08 if i % 2 else 0)
+            | (0x04 if i % 3 == 0 else 0)
+            | (0x02 if (doc_id + i) % 2 else 0)
+        )
+        hdr = bytearray((0x1F, 0x8B, 8, flg))
+        hdr += struct.pack("<I", (doc_id * 7 + i) % 2**32)  # MTIME
+        hdr += bytes((0, 255))  # XFL, OS unknown
         if flg & 0x04:  # FEXTRA: len-prefixed subfield block
             extra = b"SG" + struct.pack("<H", 4) + struct.pack("<I", i)
-            out += struct.pack("<H", len(extra)) + extra
+            hdr += struct.pack("<H", len(extra)) + extra
         if flg & 0x08:  # FNAME: zero-terminated
-            out += f"shard-{i:03d}.jsonl".encode() + b"\x00"
+            hdr += f"shard-{i:03d}.jsonl".encode() + b"\x00"
+        if flg & 0x02:  # FHCRC: low 16 bits of CRC-32 over the header
+            hdr += struct.pack("<H", zlib.crc32(bytes(hdr)) & 0xFFFF)
+        out += hdr
         co = zlib.compressobj(9, zlib.DEFLATED, -15)
         out += co.compress(plain) + co.flush()
         out += struct.pack("<I", zlib.crc32(plain) & 0xFFFFFFFF)
@@ -382,12 +620,15 @@ def make_gzip_jsonl_bytes(doc_id: int, text: str) -> bytes:
 
 def parse_gzip_jsonl(doc_id: int, raw: bytes) -> tuple[int, int, int, int]:
     """(n_members, n_lines, sum_ids, sum_text_chars) by walking every
-    gzip member: header flag dispatch (FEXTRA/FNAME/FCOMMENT/FHCRC),
-    raw-DEFLATE decompression, CRC-32 and ISIZE verification against
-    the decompressed text, then JSON decoding of each line."""
+    gzip member: header flag dispatch (FEXTRA/FNAME/FCOMMENT/FHCRC,
+    the FHCRC really VERIFIED as the low 16 bits of CRC-32 over the
+    header bytes, RFC 1952 §2.3.1), raw-DEFLATE decompression, CRC-32
+    and ISIZE verification against the decompressed text, then JSON
+    decoding of each line."""
     pos = 0
     n_members = n_lines = sum_ids = sum_chars = 0
     while pos < len(raw):
+        member_at = pos
         if pos + 10 > len(raw):
             raise ValueError(f"doc {doc_id}: truncated gzip header")
         if raw[pos : pos + 2] != b"\x1f\x8b":
@@ -416,7 +657,15 @@ def parse_gzip_jsonl(doc_id: int, raw: bytes) -> tuple[int, int, int, int]:
             if end < 0:
                 raise ValueError(f"doc {doc_id}: unterminated FCOMMENT")
             pos = end + 1
-        if flg & 0x02:  # FHCRC
+        if flg & 0x02:  # FHCRC: CRC-16 over the header bytes so far
+            if pos + 2 > len(raw):
+                raise ValueError(f"doc {doc_id}: truncated FHCRC")
+            (claimed,) = struct.unpack_from("<H", raw, pos)
+            if zlib.crc32(raw[member_at:pos]) & 0xFFFF != claimed:
+                raise ValueError(
+                    f"doc {doc_id}: gzip header CRC-16 mismatch at "
+                    f"{member_at}"
+                )
             pos += 2
         d = zlib.decompressobj(-15)
         try:

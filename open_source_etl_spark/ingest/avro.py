@@ -346,3 +346,312 @@ def extract_avro(docs_df: DataFrame) -> DataFrame:
     return docs_df.select("doc_id", "text").mapInPandas(
         kernel, AVRO_EXTRACT_SCHEMA
     )
+
+
+# --- schema resolution (Avro 1.11 spec, "Schema Resolution") ----------------
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _type_name(schema) -> str:
+    if isinstance(schema, dict):
+        return schema["type"]
+    return schema
+
+
+def resolve_decode(r: "_Reader", writer, reader):
+    """Decode one value written under ``writer`` as ``reader`` per the
+    Avro 1.11 schema-resolution rules: records match fields BY NAME in
+    WRITER order (writer-only fields are decoded and discarded,
+    reader-only fields take their declared ``default``), primitives
+    promote along int→long→float→double and string↔bytes, writer
+    unions resolve branch-by-branch, and a non-union writer matches
+    the first compatible reader-union branch."""
+    if isinstance(writer, list):  # writer union: read the branch index
+        idx = r.long()
+        if not 0 <= idx < len(writer):
+            raise ValueError(f"union index {idx} out of range")
+        return resolve_decode(r, writer[idx], reader)
+    if isinstance(reader, list):  # reader union: first compatible branch
+        w_name = _type_name(writer)
+        for branch in reader:
+            b_name = _type_name(branch)
+            if b_name == w_name or b_name in _PROMOTIONS.get(w_name, ()):
+                return resolve_decode(r, writer, branch)
+        raise ValueError(
+            f"writer type {w_name!r} matches no reader-union branch"
+        )
+    w_name, r_name = _type_name(writer), _type_name(reader)
+    if w_name == r_name == "record":
+        reader_fields = {f["name"]: f for f in reader["fields"]}
+        out = {}
+        for wf in writer["fields"]:  # writer order drives the bytes
+            rf = reader_fields.pop(wf["name"], None)
+            if rf is None:
+                r.decode(wf["type"])  # skip a writer-only field
+            else:
+                out[wf["name"]] = resolve_decode(
+                    r, wf["type"], rf["type"]
+                )
+        for name, rf in reader_fields.items():  # reader-only fields
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {name!r} absent from the writer "
+                    "and has no default"
+                )
+            out[name] = rf["default"]
+        return out
+    if w_name == r_name == "array":
+        out = []
+        while True:
+            count = r.long()
+            if count == 0:
+                return out
+            if count < 0:
+                count = -count
+                r.long()
+            for _ in range(count):
+                out.append(
+                    resolve_decode(r, writer["items"], reader["items"])
+                )
+    if w_name == r_name == "map":
+        out = {}
+        while True:
+            count = r.long()
+            if count == 0:
+                return out
+            if count < 0:
+                count = -count
+                r.long()
+            for _ in range(count):
+                key = r.take(r.long()).decode()
+                out[key] = resolve_decode(
+                    r, writer["values"], reader["values"]
+                )
+    if w_name == r_name == "enum":
+        idx = r.long()
+        symbols = writer["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise ValueError(f"enum index {idx} out of range")
+        sym = symbols[idx]
+        if sym not in reader["symbols"]:
+            if "default" not in reader:
+                raise ValueError(
+                    f"writer enum symbol {sym!r} unknown to the reader"
+                )
+            return reader["default"]
+        return sym
+    if w_name == r_name:  # identical primitive / fixed: plain decode
+        return r.decode(writer)
+    if r_name in _PROMOTIONS.get(w_name, ()):
+        val = r.decode(writer if isinstance(writer, str) else w_name)
+        if w_name in ("int", "long") and r_name in ("float", "double"):
+            return float(val)
+        if w_name == "string" and r_name == "bytes":
+            return val.encode("utf-8")
+        if w_name == "bytes" and r_name == "string":
+            return val.decode("utf-8", "strict")
+        return val
+    raise ValueError(
+        f"writer schema {w_name!r} does not resolve to reader "
+        f"{r_name!r}"
+    )
+
+
+# --- schema-evolution fixture -----------------------------------------------
+
+AVRO_WRITER_V1 = {
+    "type": "record",
+    "name": "DocV1",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "body", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "long"}},
+        {"name": "score", "type": "float"},
+    ],
+}
+
+# The reader's view after evolution: id promoted int->long, score
+# float->double, the tags array RETIRED (reader must skip it inside
+# every record), and a new lang field with a default the writer never
+# knew about.  Field order deliberately differs from the writer's —
+# resolution is by name, the byte stream follows writer order.
+AVRO_READER_V2 = {
+    "type": "record",
+    "name": "DocV1",
+    "fields": [
+        {"name": "lang", "type": "string", "default": "en"},
+        {"name": "score", "type": "double"},
+        {"name": "id", "type": "long"},
+        {"name": "body", "type": ["null", "string"]},
+    ],
+}
+
+
+def make_avro_v1_bytes(doc_id: int, text: str) -> bytes:
+    """An Object Container File written under AVRO_WRITER_V1 — same
+    record generators as ``make_avro_bytes`` (ids doc*10+j, null body
+    every fifth record, tags [doc%7+j, 2j], quarter-exact scores, odd
+    docs deflate) but with int ids and float32 scores, the types the
+    V2 reader must PROMOTE."""
+    codec = "deflate" if doc_id % 2 else "null"
+    sync = avro_sync(doc_id)
+    header = bytearray(AVRO_MAGIC)
+    meta = [
+        ("avro.schema", json.dumps(AVRO_WRITER_V1).encode()),
+        ("avro.codec", codec.encode()),
+    ]
+    header += write_long(len(meta))
+    for k, v in meta:
+        header += _write_str(k) + _write_bytes(v)
+    header += write_long(0)
+    header += sync
+
+    def record(j: int) -> bytes:
+        out = bytearray()
+        out += write_long(doc_id * 10 + j)
+        if (doc_id + j) % 5 == 0:
+            out += write_long(0)
+        else:
+            out += write_long(1) + _write_str(avro_body(text, j))
+        out += write_long(2)
+        out += write_long(doc_id % 7 + j) + write_long(2 * j)
+        out += write_long(0)
+        out += struct.pack("<f", doc_id % 100 + j * 0.25)
+        return bytes(out)
+
+    n = avro_n_records(doc_id)
+    body = bytearray(header)
+    for start in range(0, n, AVRO_BLOCK_RECORDS):
+        recs = [
+            record(j)
+            for j in range(start, min(start + AVRO_BLOCK_RECORDS, n))
+        ]
+        plain = b"".join(recs)
+        if codec == "deflate":
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            data = co.compress(plain) + co.flush()
+        else:
+            data = plain
+        body += write_long(len(recs))
+        body += write_long(len(data))
+        body += data
+        body += sync
+    return bytes(body)
+
+
+def parse_avro_evolved(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int, int]:
+    """(n_records, sum_ids, sum_body_chars, n_null_bodies,
+    sum_score_quarters, n_default_lang) by reading a V1-written
+    container THROUGH the V2 reader schema: the resolver promotes
+    id int->long and score float->double, skips the retired tags
+    array inside every record, fills lang from its default, and the
+    reader schema's own field order plays no role in the byte walk.
+    The container must declare the V1 writer schema by name."""
+    if raw[:4] != AVRO_MAGIC:
+        raise ValueError(f"doc {doc_id}: not an avro container")
+    r = _Reader(raw, 4)
+    meta: dict[str, bytes] = {}
+    while True:
+        count = r.long()
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            r.long()
+        for _ in range(count):
+            key = r.take(r.long()).decode()
+            meta[key] = r.take(r.long())
+    writer = json.loads(meta["avro.schema"])
+    if writer.get("name") != "DocV1":
+        raise ValueError(
+            f"doc {doc_id}: container schema {writer.get('name')!r} is "
+            "not the V1 writer this reader evolves from"
+        )
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(
+            f"avro codec {codec!r} not implemented (null/deflate only)"
+        )
+    sync = r.take(16)
+    n_records = sum_ids = sum_chars = n_nulls = sum_q = n_default = 0
+    while r.pos < len(raw):
+        count = r.long()
+        size = r.long()
+        if count < 0 or size < 0:
+            raise ValueError(f"doc {doc_id}: negative block framing")
+        data = r.take(size)
+        if codec == "deflate":
+            try:
+                data = zlib.decompress(data, -15)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"doc {doc_id}: bad deflate block: {exc}"
+                ) from None
+        if r.take(16) != sync:
+            raise ValueError(f"doc {doc_id}: sync marker mismatch")
+        br = _Reader(data)
+        for _ in range(count):
+            rec = resolve_decode(br, writer, AVRO_READER_V2)
+            if set(rec) != {"lang", "score", "id", "body"}:
+                raise ValueError(
+                    f"doc {doc_id}: resolved record has fields "
+                    f"{sorted(rec)}"
+                )
+            sum_ids += rec["id"]
+            if rec["body"] is None:
+                n_nulls += 1
+            else:
+                sum_chars += len(rec["body"])
+            q = rec["score"] * 4
+            if q != int(q):
+                raise ValueError(f"doc {doc_id}: score not quarter-exact")
+            sum_q += int(q)
+            if rec["lang"] == "en":
+                n_default += 1
+        if br.pos != len(data):
+            raise ValueError(
+                f"doc {doc_id}: block count consumed {br.pos} of "
+                f"{len(data)} bytes"
+            )
+        n_records += count
+    if n_records == 0:
+        raise ValueError(f"doc {doc_id}: no data blocks")
+    return n_records, sum_ids, sum_chars, n_nulls, sum_q, n_default
+
+
+AVRO_EVOLVED_SCHEMA = (
+    "doc_id long, n_records long, sum_ids long, sum_body_chars long, "
+    "n_null_bodies long, sum_score_quarters long, n_default_lang long"
+)
+
+
+def extract_avro_evolved(docs_df: DataFrame) -> DataFrame:
+    """Synthesize a V1-written container per doc row and read it
+    through the V2 reader schema."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = tuple(f.split()[0] for f in AVRO_EVOLVED_SCHEMA.split(", "))
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = make_avro_v1_bytes(int(doc_id), str(t))
+                vals = (int(doc_id), *parse_avro_evolved(int(doc_id), raw))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return docs_df.select("doc_id", "text").mapInPandas(
+        kernel, AVRO_EVOLVED_SCHEMA
+    )

@@ -49,7 +49,13 @@ def make_warc_bytes(doc_id: int, text: str) -> bytes:
     a request record and a response record whose HTTP payload wraps a
     closed-form slice of the document text in fixed HTML.  Page 0's
     body opens with the literal ``WARC/1.0 `` string — the
-    content-length trap."""
+    content-length trap.
+
+    Odd docs are written as ``.warc.gz`` exactly the way Common Crawl
+    ships them (ISO 28500 annex): EVERY RECORD its own gzip member,
+    members concatenated — the layout that makes per-record random
+    access possible.  The record content is identical either way, so
+    the extraction oracle is form-independent."""
     def record(rtype: str, uri: str, payload: bytes) -> bytes:
         head = (
             f"WARC/1.0\r\n"
@@ -82,6 +88,10 @@ def make_warc_bytes(doc_id: int, text: str) -> bytes:
             f"Content-Length: {len(body)}\r\n\r\n"
         ).encode() + body
         out.append(record("response", uri, http))
+    if doc_id % 2:
+        import gzip
+
+        return b"".join(gzip.compress(r, 9, mtime=0) for r in out)
     return b"".join(out)
 
 
@@ -105,8 +115,47 @@ def parse_warc(doc_id: int, raw: bytes) -> tuple[int, int, int, int, int]:
     the version magic — payloads may contain it): returns (n_records,
     n_responses, n_ok, sum_text_chars, sum_payload_bytes), where
     sum_text_chars counts the visible HTML text of 200 responses only.
-    Malformed files (bad magic, missing Content-Length, a record not
-    closed by CRLF CRLF, truncation) raise."""
+    ``.warc.gz`` input (1F 8B magic) is walked member by member —
+    zlib's gzip mode verifies each member's CRC-32/ISIZE trailer —
+    and each member must hold EXACTLY ONE record, the Common Crawl
+    random-access contract.  Malformed files (bad magic, missing
+    Content-Length, a record not closed by CRLF CRLF, truncation, an
+    unterminated member, a multi-record member) raise."""
+    if raw[:2] == b"\x1f\x8b":
+        import zlib
+
+        totals = [0, 0, 0, 0, 0]
+        pos = 0
+        while pos < len(raw):
+            d = zlib.decompressobj(31)  # gzip wrapper, trailer verified
+            try:
+                plain = d.decompress(raw[pos:])
+            except zlib.error as exc:
+                raise ValueError(
+                    f"doc {doc_id}: bad warc.gz member at {pos}: {exc}"
+                ) from None
+            if not d.eof:
+                raise ValueError(
+                    f"doc {doc_id}: warc.gz member at {pos} unterminated"
+                )
+            pos = len(raw) - len(d.unused_data)
+            counts = _parse_warc_records(doc_id, plain)
+            if counts[0] != 1:
+                raise ValueError(
+                    f"doc {doc_id}: warc.gz member holds {counts[0]} "
+                    "records (exactly one per member)"
+                )
+            totals = [a + b for a, b in zip(totals, counts)]
+        if totals[0] == 0:
+            raise ValueError(f"doc {doc_id}: empty WARC file")
+        return tuple(totals)
+    return _parse_warc_records(doc_id, raw)
+
+
+def _parse_warc_records(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int]:
+    """The Content-Length record walk over an UNCOMPRESSED buffer."""
     pos = 0
     n_records = n_responses = n_ok = text_chars = payload_bytes = 0
     while pos < len(raw):

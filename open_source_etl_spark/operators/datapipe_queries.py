@@ -1489,6 +1489,9 @@ def datapipe_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal ``WARC/1.0`` marker, so magic-rescanning parsers miscount),
     split warcinfo/request/response types, parse HTTP status lines,
     and strip HTML tags from 200 responses to count visible text.
+    Odd docs arrive as ``.warc.gz`` in the Common Crawl layout — every
+    record its own gzip member (trailers verified, exactly one record
+    per member enforced) — so both forms of the container decode.
     Per-file work in an Arrow ``mapInPandas`` kernel with no cross-row
     state — at 100 TB the same kernel maps over ``binaryFile`` rows of
     real crawl shards (``ingest/warc.py``)."""
@@ -1535,8 +1538,13 @@ def datapipe_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeds a literal ``PK\\x03\\x04`` so signature-scanning extractors
     miscount.  Odd members are raw-DEFLATE compressed (method 8) and
     inflated with stdlib zlib; CRC-32 is verified over the decompressed
-    bytes (``ingest/archives.py``).  Same mapInPandas shape and 100 TB
-    posture as ``datapipe_warc_extract``."""
+    bytes.  Every fourth doc arrives in ZIP64 form (APPNOTE 4.5 — the
+    layout >4 GiB crawl archives use): sentinel EOCD counts resolved
+    through the ZIP64 EOCD record + locator, and per-member sentinel
+    sizes/offsets through 0x0001 extended-information extras in both
+    the central and local headers (``ingest/archives.py``).  Same
+    mapInPandas shape and 100 TB posture as
+    ``datapipe_warc_extract``."""
     from ..ingest.archives import extract_zip_members
 
     docs = load_table_compute(spark, sf_dir, "documents")
@@ -1548,9 +1556,11 @@ def datapipe_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulas mirror ingest.archives: same member slices as the ZIP
     # twin; total_size counts 512-byte blocks — 1 header + ceil(bytes /
     # 512) data blocks per member, 2 extra blocks per odd member (its
-    # GNU @LongLink entry: header + <512-byte name), + 2 end-of-archive
-    # blocks.  The ustar header checksum (spaces rule) and octal
-    # fields have no closed form.
+    # GNU @LongLink entry: header + <512-byte name), 2 extra blocks
+    # when member 2 exists (its pax 'x' extended header: header +
+    # <512-byte record data), + 2 end-of-archive blocks.  The ustar
+    # header checksum (spaces rule), octal fields, and pax record
+    # length rule have no closed form.
     oracle="""
     WITH p AS (
       SELECT doc_id, text, length(text) AS t_len, 2 + doc_id % 3 AS np
@@ -1567,7 +1577,9 @@ def datapipe_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(np) AS BIGINT) AS n_members,
            CAST(SUM(chars) AS BIGINT) AS sum_content_chars,
            CAST(2 + SUM(1 + (bytes + 511) // 512)
-                + 2 * (MAX(np) // 2) AS BIGINT) AS total_size
+                + 2 * (MAX(np) // 2)
+                + CASE WHEN MAX(np) >= 3 THEN 2 ELSE 0 END
+                AS BIGINT) AS total_size
     FROM m
     GROUP BY doc_id
     ORDER BY doc_id
@@ -1576,7 +1588,11 @@ def datapipe_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def datapipe_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ustar TAR extraction: 512-byte header blocks with the checksum-
     as-spaces rule verified, octal size fields, block-padded member
-    data, and the two-zero-block archive terminator enforced
+    data, and the two-zero-block archive terminator enforced — plus
+    both long-path extensions a real crawl tarball uses: GNU 'L'
+    @LongLink entries (odd members) and POSIX pax 'x' extended
+    headers (member 2) with length-verified key=value records whose
+    path/size overrides are checked against the following member
     (``ingest/archives.py``) — the tape-archive sibling of
     ``datapipe_zip_extract`` over identical member slices, so the two
     containers' extractions cross-check each other."""
@@ -1682,6 +1698,64 @@ def datapipe_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "datapipe_avro_evolution_scan",
+    # formulas mirror ingest.avro AVRO_WRITER_V1 records read under
+    # AVRO_READER_V2: same generators as datapipe_avro_scan (ids
+    # doc*10+j, null body every fifth, quarter-exact scores), but the
+    # reader DROPS tags (skipped inside every record), PROMOTES id
+    # int->long and score float->double, and fills lang='en' from its
+    # default — so n_default_lang = n_records and sum_tags is gone.
+    # The resolution walk itself (by-name field matching in writer
+    # byte order) has no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, length(text) AS t_len, 2 + doc_id % 3 AS nr
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, nr, jj.j AS j,
+             CASE WHEN (doc_id + jj.j) % 5 = 0 THEN NULL
+                  ELSE GREATEST(0, LEAST(10 + 2 * jj.j, t_len - 4 * jj.j))
+             END AS chars
+      FROM p, LATERAL (SELECT unnest(range(0, nr)) AS j) jj
+    )
+    SELECT doc_id,
+           CAST(MAX(nr) AS BIGINT) AS n_records,
+           CAST(SUM(doc_id * 10 + j) AS BIGINT) AS sum_ids,
+           CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS sum_body_chars,
+           CAST(SUM(CASE WHEN chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_bodies,
+           CAST(SUM(4 * (doc_id % 100) + j) AS BIGINT)
+             AS sum_score_quarters,
+           CAST(MAX(nr) AS BIGINT) AS n_default_lang
+    FROM r
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def datapipe_avro_evolution_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Avro SCHEMA RESOLUTION (Avro 1.11 spec) — the evolution contract
+    that keeps years-old shards readable: containers written under the
+    V1 writer schema (int ids, float scores, a tags array) are read
+    through the V2 reader schema, which PROMOTES id int->long and
+    score float->double, RETIRES tags (the resolver must decode and
+    discard it inside every record), ADDS lang with default 'en', and
+    declares its fields in a different order (resolution is by NAME;
+    the byte stream follows writer order).  A reader that applies the
+    reader schema positionally, skips promotion, or mis-skips the
+    retired array mis-decodes every downstream field
+    (``ingest/avro.py:resolve_decode``).  Reference scope note: the
+    reference delegates format evolution to its warehouse; this is
+    part of the training-data-pipeline surface the brief adds."""
+    from ..ingest.avro import extract_avro_evolved
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return extract_avro_evolved(docs).orderBy("doc_id")
+
+
+@query(
     "datapipe_gzip_jsonl_scan",
     # formulas mirror ingest.archives gzip_*: 1 + doc % 3 concatenated
     # members, member i holding 2 + (doc+i) % 4 JSON lines, line (i,l)
@@ -1719,8 +1793,10 @@ def datapipe_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def datapipe_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-member .jsonl.gz scan — the compressed-shard shape web
     corpora actually ship: per member a REAL RFC 1952 header walk
-    (FEXTRA length-prefixed subfields, zero-terminated FNAME, reserved
-    FLG-bit rejection), raw-DEFLATE decompression, CRC-32 AND ISIZE
+    (FEXTRA length-prefixed subfields, zero-terminated FNAME, FHCRC
+    header checksums VERIFIED as the low 16 bits of CRC-32 over the
+    header, reserved FLG-bit rejection), raw-DEFLATE decompression,
+    CRC-32 AND ISIZE
     trailer verification over the decompressed text, then JSON decode
     of every line — and the member loop itself, since readers that
     stop at the first trailer silently drop the rest of a concatenated

@@ -302,11 +302,14 @@ def test_container_parsers_roundtrip_any_text(doc_id, text):
     assert parse_zip(doc_id, make_zip_bytes(doc_id, text)) == (
         np_, exp_chars, exp_bytes + 4,
     )
-    # odd members add a GNU @LongLink entry: 1 header + 1 name block
+    # odd members add a GNU @LongLink entry (1 header + 1 name block);
+    # member 2, when present, adds a pax 'x' extended header (1 header
+    # + 1 record block)
     blocks = (
         2
         + sum(1 + (len(s.encode()) + 511) // 512 for s in slices)
         + 2 * (np_ // 2)
+        + (2 if np_ >= 3 else 0)
     )
     assert parse_tar(doc_id, make_tar_bytes(doc_id, text)) == (
         np_, exp_chars, blocks,

@@ -16,10 +16,41 @@ from open_source_etl_spark.ingest.warc import (
 def test_warc_walk_honors_content_length_over_magic():
     """Page 0's body embeds a literal 'WARC/1.0 ' — the parser must
     count records by Content-Length, not by scanning for the magic."""
-    raw = make_warc_bytes(1, "x" * 200)
+    raw = make_warc_bytes(4, "x" * 200)  # even doc: plain form
     assert raw.count(b"WARC/1.0") == 8  # 7 record headers + 1 in a body
-    n_records, n_resp, _ok, _chars, _bytes = parse_warc(1, raw)
+    n_records, n_resp, _ok, _chars, _bytes = parse_warc(4, raw)
     assert (n_records, n_resp) == (7, 3)
+
+
+def test_warc_gz_per_record_members():
+    """Odd docs arrive as .warc.gz with ONE record per gzip member
+    (the Common Crawl random-access layout): counts match the plain
+    form, a corrupted member trailer raises, and a member holding two
+    records violates the contract."""
+    import gzip
+
+    text = "z" * 200
+    gz = make_warc_bytes(1, text)
+    assert gz[:2] == b"\x1f\x8b"
+    # identical counts to a hand-built plain form of the same records
+    members = []
+    pos = 0
+    import zlib
+    while pos < len(gz):
+        d = zlib.decompressobj(31)
+        members.append(d.decompress(gz[pos:]))
+        pos = len(gz) - len(d.unused_data)
+    assert parse_warc(1, gz) == parse_warc(1, b"".join(members))
+    assert len(members) == 7  # one member per record
+
+    bad = bytearray(gz)
+    bad[-2] ^= 0xFF  # last member's ISIZE
+    with pytest.raises(ValueError, match="warc.gz member"):
+        parse_warc(1, bytes(bad))
+
+    two = gzip.compress(members[0] + members[1], 9, mtime=0)
+    with pytest.raises(ValueError, match="exactly one per member"):
+        parse_warc(1, two + gz[len(gzip.compress(members[0], 9, mtime=0)):])
 
 
 def test_strip_html_text():
@@ -32,25 +63,25 @@ def test_warc_rejects_malformed():
     """Wrong magic, a Content-Length lie (payload not closed by
     CRLFCRLF), a missing Content-Length header, and truncation all
     raise."""
-    raw = make_warc_bytes(3, "y" * 150)
+    raw = make_warc_bytes(2, "y" * 150)  # even doc: plain form
 
     bad_magic = b"WARC/0.9" + raw[8:]
     with pytest.raises(ValueError, match="version"):
-        parse_warc(3, bad_magic)
+        parse_warc(2, bad_magic)
 
     lie = raw.replace(b"Content-Length: 33", b"Content-Length: 30", 1)
     with pytest.raises(ValueError, match="Content-Length"):
-        parse_warc(3, lie)
+        parse_warc(2, lie)
 
     no_len = raw.replace(b"Content-Length: 33\r\n", b"", 1)
     with pytest.raises(ValueError, match="without Content-Length"):
-        parse_warc(3, no_len)
+        parse_warc(2, no_len)
 
     with pytest.raises(ValueError, match="truncated|unterminated"):
-        parse_warc(3, raw[:-6])
+        parse_warc(2, raw[:-6])
 
     with pytest.raises(ValueError, match="empty"):
-        parse_warc(3, b"")
+        parse_warc(2, b"")
 
 
 def test_warc_extract_distributed(spark):
@@ -445,3 +476,209 @@ def test_tar_longlink_names_applied_and_verified():
     )
     with pytest.raises(ValueError, match="dangling @LongLink"):
         parse_tar(0, dangling)
+
+
+def test_zip64_sentinels_resolved_and_rejected():
+    """Every fourth doc's ZIP is ZIP64: EOCD sentinels resolve through
+    the locator + ZIP64 EOCD record and member 1's sentinel
+    sizes/offset through the 0x0001 extra; stripping the locator or
+    the extra raises at the declared sites."""
+    import pytest
+
+    from open_source_etl_spark.ingest.archives import (
+        archive_member_text,
+        make_zip_bytes,
+        parse_zip,
+    )
+
+    text = "zip sixty four needs big offsets " * 6
+    raw = make_zip_bytes(4, text)  # 4 % 4 == 0 -> ZIP64, 3 members
+    assert b"PK\x06\x06" in raw and b"PK\x06\x07" in raw
+    assert raw[-22:-18] == b"PK\x05\x06"
+    n, chars, total = parse_zip(4, raw)
+    assert n == 3
+    assert chars == sum(len(archive_member_text(text, k)) for k in range(3))
+
+    # classic form of the same doc content parses identically
+    classic = make_zip_bytes(5, text)
+    assert b"PK\x06\x06" not in classic
+
+    # cut the locator + zip64 EOCD out: sentinels now dangle
+    z64_at = raw.index(b"PK\x06\x06")
+    no_locator = raw[:z64_at] + raw[-22:]
+    with pytest.raises(ValueError, match="ZIP64 locator"):
+        parse_zip(4, no_locator)
+
+    # corrupt the central extra's field id: member sentinels unresolved
+    bad = bytearray(raw)
+    at = raw.rindex(b"\x01\x00\x18\x00")
+    bad[at] = 0x02
+    with pytest.raises(ValueError, match="without a ZIP64 extra"):
+        parse_zip(4, bytes(bad))
+
+
+def test_tar_pax_records_applied_and_verified():
+    """Member 2 arrives behind a pax 'x' extended header: the
+    length-verified records parse, the UTF-8 path override must agree
+    with the member's truncated header name, and the size record must
+    agree with the octal field."""
+    import pytest
+
+    from open_source_etl_spark.ingest.archives import (
+        _pax_data,
+        _parse_pax,
+        make_tar_bytes,
+        parse_tar,
+        tar_pax_name,
+    )
+
+    text = "pax extended headers for modern tars " * 5
+    raw = make_tar_bytes(4, text)  # 3 members: k=2 is pax'd
+    n, chars, blocks = parse_tar(4, raw)
+    assert n == 3
+
+    # record codec: self-including lengths round-trip, including the
+    # boundary where the length's digit count changes
+    recs = {"path": tar_pax_name(4, 2), "size": "74", "x" * 80: "y" * 10}
+    assert _parse_pax(4, _pax_data(recs)) == recs
+
+    # size record disagreeing with the octal field raises
+    data = _pax_data({"size": "9999"})
+    import re
+    hdr_at = raw.index(b"./PaxHeaders.0/part")
+    with pytest.raises(ValueError, match="pax size"):
+        # rebuild the archive with a lying size record
+        from open_source_etl_spark.ingest.archives import _tar_header
+        lying = bytearray(raw[:hdr_at])
+        lying += _tar_header(b"./PaxHeaders.0/part", len(data), "x")
+        lying += data + bytes((512 - len(data) % 512) % 512)
+        # the original member header follows the original pax blocks
+        orig_pax_len = 512 + 512  # header + one record block
+        lying += raw[hdr_at + orig_pax_len:]
+        parse_tar(4, bytes(lying))
+
+    # a pax header with no member after it raises
+    dangling = raw[:hdr_at + 1024] + bytes(1024)
+    with pytest.raises(ValueError, match="dangling pax"):
+        parse_tar(4, dangling)
+
+    # 'g' global records are a declared stub
+    g_hdr = bytearray(raw)
+    from open_source_etl_spark.ingest.archives import _tar_header as th
+    g = th(b"./PaxHeaders.0/part", 0, "g")
+    g_hdr[hdr_at:hdr_at + 512] = g
+    g_hdr = g_hdr[:hdr_at + 512] + raw[hdr_at + 1024:]  # drop record block
+    with pytest.raises(NotImplementedError, match="global"):
+        parse_tar(4, bytes(g_hdr))
+
+
+def test_gzip_fhcrc_verified():
+    """Members with FHCRC carry a real header CRC-16 (low 16 bits of
+    CRC-32 over the header bytes, RFC 1952 §2.3.1): the walker
+    verifies it, and a flipped header bit after the CRC was computed
+    raises at the FHCRC site (not at the body CRC-32)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from open_source_etl_spark.ingest.archives import (
+        make_gzip_jsonl_bytes,
+        parse_gzip_jsonl,
+    )
+
+    text = "fhcrc header checksums for real-world gzip " * 4
+    raw = make_gzip_jsonl_bytes(3, text)  # member 0: (3+0)%2=1 -> FHCRC
+    assert raw[3] & 0x02, "fixture member 0 must set FHCRC"
+    n, lines, ids, chars = parse_gzip_jsonl(3, raw)
+    assert n == 1 + 3 % 3
+
+    # flip a bit in MTIME (covered by the header CRC)
+    bad = bytearray(raw)
+    bad[4] ^= 0x01
+    with pytest.raises(ValueError, match="header CRC-16"):
+        parse_gzip_jsonl(3, bytes(bad))
+
+    # truncating the stream inside the CRC field raises the
+    # truncated-FHCRC guard on a hand-built minimal member
+    hdr = bytes((0x1F, 0x8B, 8, 0x02, 0, 0, 0, 0, 0, 255))
+    short = hdr + struct.pack("<H", zlib.crc32(hdr) & 0xFFFF)[:1]
+    with pytest.raises(ValueError, match="truncated FHCRC"):
+        parse_gzip_jsonl(0, short)
+
+
+def test_avro_schema_resolution():
+    """The Avro 1.11 resolution rules, exercised directly: by-name
+    field matching in writer byte order, int->long and float->double
+    promotion, string<->bytes, retired-field skipping, defaults for
+    reader-only fields, reader-union matching — and the failure modes
+    (missing default, incompatible types)."""
+    import pytest
+
+    from open_source_etl_spark.ingest.avro import (
+        AVRO_READER_V2,
+        AVRO_WRITER_V1,
+        _Reader,
+        _write_str,
+        make_avro_v1_bytes,
+        parse_avro_evolved,
+        resolve_decode,
+        struct,
+        write_long,
+    )
+
+    # one V1 record: id=7, body="hi", tags=[3, 4], score=2.25
+    buf = (
+        write_long(7)
+        + write_long(1) + _write_str("hi")
+        + write_long(2) + write_long(3) + write_long(4) + write_long(0)
+        + struct.pack("<f", 2.25)
+    )
+    rec = resolve_decode(_Reader(buf), AVRO_WRITER_V1, AVRO_READER_V2)
+    assert rec == {"lang": "en", "score": 2.25, "id": 7, "body": "hi"}
+    assert isinstance(rec["score"], float)
+
+    # reader-only field WITHOUT a default must raise
+    no_default = {
+        "type": "record", "name": "DocV1",
+        "fields": [{"name": "id", "type": "long"},
+                   {"name": "body", "type": ["null", "string"]},
+                   {"name": "tags",
+                    "type": {"type": "array", "items": "long"}},
+                   {"name": "score", "type": "double"},
+                   {"name": "missing", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        resolve_decode(_Reader(buf), AVRO_WRITER_V1, no_default)
+
+    # demotion long->int is NOT a legal resolution
+    demote = {
+        "type": "record", "name": "DocV1",
+        "fields": [{"name": "id", "type": "long"},
+                   {"name": "body", "type": "int"}],
+    }
+    writer = {
+        "type": "record", "name": "DocV1",
+        "fields": [{"name": "id", "type": "int"},
+                   {"name": "body", "type": "long"}],
+    }
+    with pytest.raises(ValueError, match="does not resolve"):
+        resolve_decode(_Reader(write_long(1) + write_long(2)),
+                       writer, demote)
+
+    # string -> bytes promotion
+    sb = resolve_decode(
+        _Reader(_write_str("abc")), "string", "bytes"
+    )
+    assert sb == b"abc"
+
+    # a container whose schema name is not the expected V1 lineage
+    from open_source_etl_spark.ingest.avro import make_avro_bytes
+    other = make_avro_bytes(2, "x" * 80)  # schema name "Doc"
+    with pytest.raises(ValueError, match="not the V1 writer"):
+        parse_avro_evolved(2, other)
+
+    # end-to-end: every record resolves, lang defaults everywhere
+    raw = make_avro_v1_bytes(5, "y" * 120)
+    n, ids, chars, nulls, q, lang = parse_avro_evolved(5, raw)
+    assert n == lang == 2 + 5 % 3
