@@ -2541,10 +2541,15 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
 
                 g0_bands: list | None = None
                 for gi, g in enumerate(granules):
-                    if g["windows_switching_flag"]:
+                    short = (
+                        g["windows_switching_flag"]
+                        and g["block_type"] == 2
+                    )
+                    if short and g["mixed_block_flag"]:
                         raise NotImplementedError(
-                            "short-block scalefactor partitions not "
-                            "implemented (long-block fixture only)"
+                            "mixed long/short scalefactor partitions "
+                            "not implemented (pure short and pure "
+                            "long granules only)"
                         )
                     if not g["count1table_select"]:
                         raise NotImplementedError(
@@ -2578,26 +2583,50 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                         used += n
                         return (big >> shift) & ((1 << n) - 1)
 
-                    # scalefactors (2.4.2.7): granule 0 transmits all
-                    # 21 long-block bands; granule 1 REUSES granule
-                    # 0's values for every band group whose scfsi bit
-                    # is set and transmits nothing for it
+                    # scalefactors (2.4.2.7): long granules transmit
+                    # 21 bands (granule 1 REUSES granule 0's values
+                    # for every band group whose scfsi bit is set and
+                    # transmits nothing for it); short granules
+                    # (block_type 2, mixed off) transmit 12 bands x 3
+                    # windows — bands 0-5 at slen1, 6-11 at slen2 —
+                    # and scfsi MUST be all-zero for them
                     sl1, sl2 = MP3_SLEN[g["scalefac_compress"]]
-                    groups = ((0, 6, sl1), (6, 5, sl1),
-                              (11, 5, sl2), (16, 5, sl2))
-                    bands = [0] * 21
-                    for g_idx, (b_start, b_n, slen) in enumerate(groups):
-                        reuse = gi == 1 and (
-                            (g["scfsi"] >> (3 - g_idx)) & 1
-                        )
-                        for bnd in range(b_start, b_start + b_n):
-                            if reuse:
-                                bands[bnd] = g0_bands[bnd]
-                            else:
-                                bands[bnd] = take(slen)
-                    sum_sf += sum(bands)
-                    if gi == 0:
-                        g0_bands = bands
+                    if short:
+                        if g["scfsi"]:
+                            raise ValueError(
+                                f"doc {doc_id}: scfsi set on a "
+                                "short-block granule"
+                            )
+                        total = 0
+                        for bnd in range(12):
+                            slen = sl1 if bnd < 6 else sl2
+                            for _w in range(3):
+                                total += take(slen)
+                        sum_sf += total
+                    else:
+                        groups = ((0, 6, sl1), (6, 5, sl1),
+                                  (11, 5, sl2), (16, 5, sl2))
+                        bands = [0] * 21
+                        for g_idx, (b_start, b_n, slen) in enumerate(
+                            groups
+                        ):
+                            reuse = gi == 1 and (
+                                (g["scfsi"] >> (3 - g_idx)) & 1
+                            )
+                            for bnd in range(b_start, b_start + b_n):
+                                if reuse:
+                                    if g0_bands is None:
+                                        raise ValueError(
+                                            f"doc {doc_id}: scfsi "
+                                            "reuse without a long "
+                                            "granule 0"
+                                        )
+                                    bands[bnd] = g0_bands[bnd]
+                                else:
+                                    bands[bnd] = take(slen)
+                        sum_sf += sum(bands)
+                        if gi == 0:
+                            g0_bands = bands
                     # big-values region: pairs Huffman-decoded through
                     # the region's table_select, x's sign then y's sign
                     # after each pair code (ISO 2.4.2.7).  Region
@@ -2611,6 +2640,12 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                         if len(set(tsels)) == 1:
                             regions = [(nbv, tsels[0])]
                         else:
+                            if g["windows_switching_flag"]:
+                                raise NotImplementedError(
+                                    "window-switching granules carry "
+                                    "IMPLIED region boundaries; only "
+                                    "uniform table_selects decode"
+                                )
                             if sr != 44100:
                                 raise NotImplementedError(
                                     "region-dependent table switching "
@@ -3161,6 +3196,59 @@ TIFF_SCHEMA = (
 )
 
 
+def _tiff_lzw_decode(doc_id: int, data: bytes, n_expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW strip decode: MSB-first bit packing (the
+    opposite of GIF's LSB-first ``gif_lzw_decode``), 9-bit initial
+    codes over a fixed 256-literal alphabet with CLEAR=256/EOI=257,
+    and the spec's EarlyChange rule — the encoder widens when NextCode
+    reaches 511/1023/2047 (one code earlier than GIF), so this
+    decoder, whose table trails NextCode by one, widens at 2^w - 2
+    entries.  Each strip is an independent stream starting at a CLEAR
+    and ending at an EOI."""
+    CLEAR, EOI = 256, 257
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError(f"doc {doc_id}: TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"doc {doc_id}: bad initial TIFF LZW code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"doc {doc_id}: TIFF LZW code out of range")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError(f"doc {doc_id}: TIFF LZW output overruns strip")
+    return bytes(out)
+
+
 def _packbits_decode(doc_id: int, buf: bytes, expected: int) -> bytes:
     """TIFF 6.0 PackBits: header byte n — 0..127 copies n+1 literal
     bytes, 129..255 repeats the next byte 257-n times, 128 is a no-op.
@@ -3200,12 +3288,13 @@ def decode_tiff_real(media_df: DataFrame) -> DataFrame:
     dispatch from the II/MM magic (both orders live in the corpus),
     the 42 check, IFD entry walk with SHORT-in-slot vs offset-stored
     value resolution, required-RGB-tag validation (8-bit samples,
-    Compression 1 or 32773, Photometric 2, SamplesPerPixel 3), and
+    Compression 1, 5, or 32773, Photometric 2, SamplesPerPixel 3), and
     multi-strip pixel reassembly via StripOffsets/StripByteCounts —
-    PackBits strips (every third doc) decompress independently with
-    exact geometric-size accounting — per-channel means plus the last
-    pixel as a placement probe.  Other compressions, tiled, paletted,
-    or non-8-bit TIFFs raise at declared boundaries."""
+    PackBits and LZW strips (the compression cycles by doc) decompress
+    independently with exact geometric-size accounting — per-channel
+    means plus the last pixel as a placement probe.  Other
+    compressions, tiled, paletted, or non-8-bit TIFFs raise at
+    declared boundaries."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -3255,10 +3344,21 @@ def decode_tiff_real(media_df: DataFrame) -> DataFrame:
                     f"doc {doc_id}: only 8-bit 3-sample RGB supported"
                 )
             compression = tags[259][2]
-            if compression not in (1, 32773):
+            if compression not in (1, 5, 32773):
                 raise NotImplementedError(
                     f"compressed TIFF compression {compression} not "
-                    "implemented (baseline + PackBits only)"
+                    "implemented (baseline, LZW, and PackBits only)"
+                )
+            predictor = tags[317][2] if 317 in tags else 1
+            if predictor not in (1, 2):
+                raise NotImplementedError(
+                    f"TIFF predictor {predictor} not implemented "
+                    "(none and horizontal differencing only)"
+                )
+            if predictor == 2 and compression == 1:
+                raise ValueError(
+                    f"doc {doc_id}: Predictor 2 on uncompressed strips "
+                    "is not a meaningful encoding"
                 )
             if tags[262][2] != 2:
                 raise ValueError(f"doc {doc_id}: non-RGB photometric")
@@ -3274,11 +3374,27 @@ def decode_tiff_real(media_df: DataFrame) -> DataFrame:
                 if o + c > len(raw):
                     raise ValueError(f"doc {doc_id}: strip beyond EOF")
                 strip = raw[o : o + c]
+                rows = min(rows_per_strip, height - s * rows_per_strip)
                 if compression == 32773:
-                    rows = min(rows_per_strip, height - s * rows_per_strip)
                     strip = _packbits_decode(
                         doc_id, strip, rows * width * 3
                     )
+                elif compression == 5:
+                    strip = _tiff_lzw_decode(
+                        doc_id, strip, rows * width * 3
+                    )
+                if predictor == 2:
+                    # undo horizontal differencing per row: cumulative
+                    # sum mod 256 at the sample stride
+                    und = bytearray(strip)
+                    stride = width * 3
+                    for r_ in range(rows):
+                        base = r_ * stride
+                        for x in range(3, stride):
+                            und[base + x] = (
+                                und[base + x] + und[base + x - 3]
+                            ) & 0xFF
+                    strip = bytes(und)
                 data += strip
             if len(data) != width * height * 3:
                 raise ValueError(
@@ -4418,6 +4534,516 @@ def synthesize_flac_vbs(docs_df: DataFrame) -> DataFrame:
                     "kind": ["audio"] * len(pdf),
                     "payload": [
                         make_flac_vbs_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_mp3_sb(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a SHORT-BLOCK (windows_switching,
+    block_type 2) Layer III stream (``make_mp3_sb_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_sb_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_sb_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_bmp_rle4(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a BI_RLE4-compressed BMP."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_bmp_rle4_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_bmp_rle4_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_bmp_rle4(media_df: DataFrame) -> DataFrame:
+    """REAL RLE4-compressed BMP decode — the 4-bit sibling of
+    ``decode_bmp_rle8`` with the rules that are RLE4-specific: encoded
+    runs alternate the count across the color byte's HIGH and LOW
+    nibbles, absolute segments pack two indices per byte (high nibble
+    first) and pad to word boundaries on their BYTE count, and the
+    DELTA escape (00 02 dx dy) moves the cursor over pixels that stay
+    at palette index 0 on the zero-initialized canvas (the GDI
+    convention, stated in the fixture contract).  Emits palette-mapped
+    channel means plus corner probes; cursor discipline (runs past the
+    row edge, truncation, missing escapes) raises."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            if raw[:2] != b"BM":
+                raise ValueError(f"doc {doc_id}: not a BMP payload")
+            (_m, _fs, _r1, _r2, offset) = struct.unpack_from(
+                "<2sIHHI", raw, 0
+            )
+            (
+                hsz, width, height, _planes, bpp, comp, _isize,
+                _xp, _yp, n_used, _imp,
+            ) = struct.unpack_from("<IiiHHIIiiII", raw, 14)
+            if hsz != 40 or bpp != 4:
+                raise ValueError(
+                    f"doc {doc_id}: not a 4-bit BITMAPINFOHEADER"
+                )
+            if comp != 2:
+                raise NotImplementedError(
+                    "only BI_RLE4 handled here (8-bit RLE takes "
+                    "decode_bmp_rle8)"
+                )
+            if height <= 0:
+                raise ValueError(f"doc {doc_id}: top-down RLE4 is invalid")
+            n_pal = n_used or 16
+            pal_at = 14 + hsz
+            palette = [
+                tuple(raw[pal_at + 4 * i : pal_at + 4 * i + 3])  # B, G, R
+                for i in range(n_pal)
+            ]
+            img = [[0] * width for _ in range(height)]
+            pos, x, y = offset, 0, 0
+            ended = False
+            while pos < len(raw):
+                if pos + 2 > len(raw):
+                    raise ValueError(f"doc {doc_id}: truncated RLE pair")
+                b0, b1 = raw[pos], raw[pos + 1]
+                pos += 2
+                if b0 == 0:
+                    if b1 == 0:  # end of line
+                        x, y = 0, y + 1
+                    elif b1 == 1:  # end of bitmap
+                        ended = True
+                        break
+                    elif b1 == 2:  # delta: cursor jump, pixels stay 0
+                        if pos + 2 > len(raw):
+                            raise ValueError(
+                                f"doc {doc_id}: truncated delta escape"
+                            )
+                        dx, dy = raw[pos], raw[pos + 1]
+                        pos += 2
+                        x += dx
+                        y += dy
+                        if x > width or y > height:
+                            raise ValueError(
+                                f"doc {doc_id}: delta jumps off the raster"
+                            )
+                    else:  # absolute mode: b1 packed nibble indices
+                        if y >= height or x + b1 > width:
+                            raise ValueError(
+                                f"doc {doc_id}: absolute run past row edge"
+                            )
+                        n_bytes = (b1 + 1) // 2
+                        seg = raw[pos : pos + n_bytes]
+                        if len(seg) < n_bytes:
+                            raise ValueError(
+                                f"doc {doc_id}: truncated absolute run"
+                            )
+                        row = img[height - 1 - y]
+                        for i in range(b1):
+                            v = (
+                                seg[i // 2] >> 4
+                                if i % 2 == 0
+                                else seg[i // 2] & 0xF
+                            )
+                            if v >= n_pal:
+                                raise ValueError(
+                                    f"doc {doc_id}: palette index {v} "
+                                    "out of range"
+                                )
+                            row[x + i] = v
+                        x += b1
+                        pos += n_bytes + (n_bytes % 2)  # word padding
+                else:  # encoded run: b0 pixels alternating b1's nibbles
+                    if y >= height or x + b0 > width:
+                        raise ValueError(
+                            f"doc {doc_id}: encoded run past row edge"
+                        )
+                    hi, lo = b1 >> 4, b1 & 0xF
+                    if hi >= n_pal or lo >= n_pal:
+                        raise ValueError(
+                            f"doc {doc_id}: palette index out of range"
+                        )
+                    row = img[height - 1 - y]
+                    for i in range(b0):
+                        row[x + i] = hi if i % 2 == 0 else lo
+                    x += b0
+            if not ended:
+                raise ValueError(
+                    f"doc {doc_id}: RLE stream missing end-of-bitmap"
+                )
+            if pos != len(raw):
+                raise ValueError(
+                    f"doc {doc_id}: {len(raw) - pos} trailing bytes after "
+                    "end-of-bitmap"
+                )
+            n_px = width * height
+            tr = tg = tb = 0
+            for row in img:
+                for v in row:
+                    b, g, r = palette[v]
+                    tr += r
+                    tg += g
+                    tb += b
+            return (
+                width, height, tr // n_px, tg // n_px, tb // n_px,
+                palette[img[0][0]][2], palette[img[-1][-1]][2],
+            )
+
+        cols = (
+            "doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+            "probe_tl", "probe_br",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, BMP_RLE8_SCHEMA
+    )
+
+
+def _h264_mvp(
+    mbs: list, idx: int, mb_w: int
+) -> tuple[int, int]:
+    """Luma 16x16 motion vector predictor (ITU-T H.264 8.4.1.3) over
+    the CURRENT picture's already-decoded macroblock state ``mbs``
+    (each entry None = not yet decoded, else (ref_idx, (mvx, mvy));
+    intra macroblocks carry ref_idx -1 and a zero MV, exactly the
+    substitution 8.4.1.3.1 prescribes).  Neighbor A is left, B above,
+    C above-right (D above-left substitutes when C is outside the
+    picture).  Rules, in spec order: (1) if B, C and D are all
+    unavailable and A is available, the predictor is mvA wholesale;
+    (2) if EXACTLY ONE neighbor's ref_idx equals the current ref (0 in
+    this single-reference stream), the predictor is that neighbor's MV
+    wholesale; (3) otherwise the component-wise median."""
+    row, col = idx // mb_w, idx % mb_w
+
+    def neighbor(dr: int, dc: int):
+        r2, c2 = row + dr, col + dc
+        if r2 < 0 or c2 < 0 or c2 >= mb_w:
+            return None
+        j = r2 * mb_w + c2
+        if j >= idx or mbs[j] is None:
+            return None
+        return mbs[j]
+
+    a = neighbor(0, -1)
+    b = neighbor(-1, 0)
+    c = neighbor(-1, 1)
+    c_is_d = False
+    if c is None:
+        c = neighbor(-1, -1)  # D substitutes for an unavailable C
+        c_is_d = True
+    if b is None and c is None and a is not None:
+        # rule 1: picture edge — only A exists as a macroblock
+        return a[1]
+    ref_mv = [
+        nb if nb is not None else (-1, (0, 0)) for nb in (a, b, c)
+    ]
+    matches = [mv for ref, mv in ref_mv if ref == 0]
+    if len(matches) == 1:
+        return matches[0]  # rule 2: exactly one matching reference
+    xs = sorted(mv[0] for _ref, mv in ref_mv)
+    ys = sorted(mv[1] for _ref, mv in ref_mv)
+    del c_is_d
+    return xs[1], ys[1]  # rule 3: component-wise median
+
+
+def _h264_skip_mv(mbs: list, idx: int, mb_w: int) -> tuple[int, int]:
+    """P_Skip luma motion (ITU-T H.264 8.4.1.1): zero when neighbor A
+    or B is unavailable, or when either is an inter macroblock with
+    ref_idx 0 and a zero MV; otherwise the 8.4.1.3 median predictor."""
+    row, col = idx // mb_w, idx % mb_w
+    a = mbs[idx - 1] if col > 0 else None
+    b = mbs[idx - mb_w] if row > 0 else None
+    if a is None or b is None:
+        return 0, 0
+    if a == (0, (0, 0)) or b == (0, (0, 0)):
+        return 0, 0
+    return _h264_mvp(mbs, idx, mb_w)
+
+
+def _parse_p_inter_slice(
+    doc_id: int, rbsp: bytes, frame_num_bits: int, mb_w: int, mb_h: int
+) -> tuple[int, list]:
+    """Decode one P slice carrying REAL motion (ITU-T H.264 7.3.3 +
+    7.3.4 + 7.3.5): P_Skip runs whose per-macroblock motion is
+    INFERRED by 8.4.1.1, P_L0_16x16 macroblocks (mb_type 0) with
+    se(v) MV differences added to the 8.4.1.3 spatial median
+    predictor and coded_block_pattern through the Inter me(v) mapping
+    (codeNum 0 <-> cbp 0, Table 9-4 — nonzero cbp needs the CAVLC
+    residual tables and raises), and I_PCM refreshes (mb_type 30).
+    Sub-16x16 partitions (mb_types 1-4) would need pixel-plane
+    interpolation state and raise at the declared boundary.  Returns
+    (frame_num, ops) where ops[i] is ('mv', (mvx, mvy)) in
+    quarter-pel units, or ('pcm', luma_sum)."""
+    n_mbs = mb_w * mb_h
+    r = _H264BitReader(rbsp, doc_id)
+    if r.ue() != 0:
+        raise ValueError(f"doc {doc_id}: multi-slice picture")
+    slice_type = r.ue()
+    if slice_type % 5 != 0:
+        raise ValueError(
+            f"doc {doc_id}: non-P slice_type {slice_type} in inter decode"
+        )
+    r.ue()  # pic_parameter_set_id
+    frame_num = r.u(frame_num_bits)
+    if r.u(1):  # num_ref_idx_active_override_flag
+        if r.ue() != 0:
+            raise NotImplementedError(
+                "multiple reference pictures not implemented "
+                "(single-ref fixture)"
+            )
+    if r.u(1):
+        raise NotImplementedError(
+            "ref_pic_list_modification not implemented (single-ref fixture)"
+        )
+    if r.u(1):
+        raise NotImplementedError("adaptive reference marking not implemented")
+    qp_delta = r.se()
+    if not -52 < qp_delta < 52:
+        raise ValueError(f"doc {doc_id}: slice_qp_delta out of range")
+    mbs: list = [None] * n_mbs   # (ref_idx, (mvx, mvy)) per decoded MB
+    ops: list = [None] * n_mbs   # ('mv', mv) | ('pcm', luma_sum)
+    decoded = 0
+    while decoded < n_mbs:
+        skip_run = r.ue()
+        if skip_run > n_mbs - decoded:
+            raise ValueError(
+                f"doc {doc_id}: mb_skip_run {skip_run} exceeds picture size"
+            )
+        for _ in range(skip_run):
+            mv = _h264_skip_mv(mbs, decoded, mb_w)
+            mbs[decoded] = (0, mv)
+            ops[decoded] = ("skip", mv)
+            decoded += 1
+        if decoded == n_mbs:
+            break
+        mb_type = r.ue()
+        if mb_type == 0:  # P_L0_16x16
+            mvd = (r.se(), r.se())
+            mvp = _h264_mvp(mbs, decoded, mb_w)
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            cbp_code = r.ue()
+            if cbp_code != 0:
+                raise NotImplementedError(
+                    "nonzero coded_block_pattern carries CAVLC residual "
+                    "blocks (declared stub; Table 9-4 Inter codeNum 0 "
+                    "only)"
+                )
+            mbs[decoded] = (0, mv)
+            ops[decoded] = ("inter", mv)
+            decoded += 1
+        elif mb_type == 30:  # I_PCM (intra 25 + P-slice offset 5)
+            luma = _read_pcm_mb_luma(doc_id, r, rbsp)
+            mbs[decoded] = (-1, (0, 0))
+            ops[decoded] = ("pcm", luma)
+            decoded += 1
+        elif 1 <= mb_type <= 4:
+            raise NotImplementedError(
+                f"mb_type {mb_type} partitions sub-16x16 motion — needs "
+                "pixel-plane reference state (declared boundary)"
+            )
+        else:
+            raise NotImplementedError(
+                f"mb_type {mb_type} is entropy-coded — needs the CAVLC "
+                "residual tables (declared stub)"
+            )
+    if r.u(1) != 1:
+        raise ValueError(f"doc {doc_id}: missing rbsp_stop_one_bit")
+    while r.pos % 8:
+        if r.u(1) != 0:
+            raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
+    if r.pos != 8 * len(rbsp):
+        raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
+    return frame_num, ops
+
+
+H264_INTER_SCHEMA = (
+    "doc_id long, frame_idx long, frame_type string, mean_luma long, "
+    "n_skip long, n_inter long, sum_abs_mv long, sum_skip_mv long"
+)
+
+
+def decode_h264_inter(media_df: DataFrame) -> DataFrame:
+    """REAL motion-compensated H.264 decode: P_L0_16x16 macroblocks
+    reconstruct by fetching the reference macroblock their decoded
+    motion vector points at — MVs recovered as se(v) differences
+    against the SPATIAL MEDIAN predictor (8.4.1.3, including the
+    exactly-one-matching-refIdx override and the picture-edge mvA
+    rule), and P_Skip macroblocks move by the 8.4.1.1 inferred motion
+    (zero only when a shortcut neighbor is zero or missing).  All
+    fixture MVs are macroblock-aligned full-pel, so per-MB luma-sum
+    state reconstructs exactly; a sub-MB vector raises at the declared
+    pixel-interpolation boundary.  Emits per picture: mean luma,
+    skip/inter macroblock counts, the summed |MV| of inter macroblocks
+    and the summed |MV| of MOVING SKIPS (nonzero only if the decoder
+    really ran the skip inference) — in full-pel units."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            sps = pps = None
+            rows = []
+            ref: list | None = None  # per-MB luma sums
+            expect_frame = 1
+            for unit in h264_split_nals(doc_id, raw):
+                if not unit:
+                    raise ValueError(f"doc {doc_id}: empty NAL unit")
+                nal_type = unit[0] & 0x1F
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    n_mbs = (sps["width"] // 16) * (sps["height"] // 16)
+                    _pid, first_mb, mb_sums = _parse_ipcm_slice(
+                        doc_id, rbsp, sps["frame_num_bits"], n_mbs
+                    )
+                    if first_mb != 0 or len(mb_sums) != n_mbs:
+                        raise ValueError(
+                            f"doc {doc_id}: partial IDR in inter fixture"
+                        )
+                    ref = list(mb_sums)
+                    rows.append(
+                        ("I", sum(ref) // (256 * n_mbs), 0, 0, 0, 0)
+                    )
+                    expect_frame = 1
+                elif nal_type == 1:
+                    if ref is None or sps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: P slice with no reference"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    frame_num, ops = _parse_p_inter_slice(
+                        doc_id, rbsp, sps["frame_num_bits"], mb_w, mb_h
+                    )
+                    if frame_num != expect_frame % 16:
+                        raise ValueError(
+                            f"doc {doc_id}: frame_num {frame_num} != "
+                            f"expected {expect_frame % 16}"
+                        )
+                    expect_frame += 1
+                    new = [0] * len(ops)
+                    n_skip = n_inter = mv_sum = skip_mv_sum = 0
+                    for idx, (kind, val) in enumerate(ops):
+                        if kind == "pcm":
+                            new[idx] = val
+                            continue
+                        mvx, mvy = val
+                        if mvx % 64 or mvy % 64:
+                            raise NotImplementedError(
+                                "sub-macroblock motion needs pixel-plane "
+                                "reference state (declared boundary)"
+                            )
+                        row_, col = idx // mb_w, idx % mb_w
+                        sr = row_ + mvy // 64
+                        sc = col + mvx // 64
+                        if not (0 <= sr < mb_h and 0 <= sc < mb_w):
+                            raise NotImplementedError(
+                                "motion past the picture edge needs the "
+                                "8.4.2.2.1 reference clipping (declared "
+                                "boundary; fixture MVs stay inside)"
+                            )
+                        new[idx] = ref[sr * mb_w + sc]
+                        fullpel = (abs(mvx) + abs(mvy)) // 4
+                        if kind == "inter":
+                            n_inter += 1
+                            mv_sum += fullpel
+                        else:
+                            n_skip += 1
+                            skip_mv_sum += fullpel
+                    ref = new
+                    rows.append(("P", sum(ref) // (256 * len(ops)),
+                                 n_skip, n_inter, mv_sum, skip_mv_sum))
+                elif nal_type not in (7, 8):
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected NAL type {nal_type}"
+                    )
+            if not rows:
+                raise ValueError(f"doc {doc_id}: no pictures decoded")
+            return rows
+
+        cols = (
+            "doc_id", "frame_idx", "frame_type", "mean_luma",
+            "n_skip", "n_inter", "sum_abs_mv", "sum_skip_mv",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, row in enumerate(walk(int(doc_id), bytes(b))):
+                    vals = (int(doc_id), fi, *row)
+                    for col, v in zip(cols, vals):
+                        out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, H264_INTER_SCHEMA
+    )
+
+
+def synthesize_h264_inter(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a motion-compensated H.264 GOP."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_inter_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_inter_bytes(int(d)) for d in pdf["doc_id"]
                     ],
                 }
             )

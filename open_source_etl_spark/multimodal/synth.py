@@ -1686,28 +1686,89 @@ def packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW strip encode: MSB-first bit packing, 9-bit
+    initial codes, CLEAR=256/EOI=257, and the spec's EarlyChange rule
+    ("When NextCode equals 511, switch to 10 bits" — one code earlier
+    than GIF), with a forced CLEAR before the table would pass 4094."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+    CLEAR, EOI = 256, 257
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:  # table full under EarlyChange
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        emit(0, 8 - nbits)  # zero-pad to the byte edge
+    return bytes(out)
+
+
 def make_tiff_bytes(doc_id: int) -> bytes:
     """Real TIFF 6.0: proper header for either byte order, one IFD
     with the required RGB tags (ImageWidth/Length, BitsPerSample
     [8,8,8] via offset, Compression, Photometric 2, StripOffsets/
     ByteCounts arrays, SamplesPerPixel 3, RowsPerStrip 2), pixel data
     split across ceil(H/2) strips that the reader must reassemble in
-    strip order.  Every third doc's strips are PackBits-compressed
-    (Compression 32773, each strip independently, per the spec);
-    the rest are Compression 1 — the decoded pixels, and therefore
-    the oracle closed forms, are identical either way."""
+    strip order.  Compression cycles by doc: every third doc's strips
+    are PackBits-compressed (32773), the next third LZW-compressed
+    (5, MSB-first with the EarlyChange width rule) — and half of THOSE
+    (doc % 6 == 1) run horizontal differencing first (Predictor 2,
+    tag 317: per row, each sample minus the same sample one pixel
+    left, the pairing real scanner TIFFs use because gradients
+    difference to near-constant streams LZW crushes) — the rest
+    Compression 1.  Each strip is independent per the spec; the
+    decoded pixels, and therefore the oracle closed forms, are
+    identical in every form."""
     width, height, be, _r0, _g0, _b0 = tiff_params(doc_id)
     e = ">" if be else "<"
-    packed = doc_id % 3 == 0
+    predictor = 2 if doc_id % 6 == 1 else 1
     rows_per_strip = 2
     n_strips = (height + rows_per_strip - 1) // rows_per_strip
     strips = []
     for s in range(n_strips):
         data = bytearray()
         for y in range(s * rows_per_strip, min((s + 1) * rows_per_strip, height)):
+            row = bytearray()
             for x in range(width):
-                data += bytes(tiff_pixel(doc_id, x, y))
-        strips.append(packbits_encode(bytes(data)) if packed else bytes(data))
+                row += bytes(tiff_pixel(doc_id, x, y))
+            if predictor == 2:  # horizontal differencing, per row
+                for x in range(len(row) - 1, 2, -1):
+                    row[x] = (row[x] - row[x - 3]) & 0xFF
+            data += row
+        if doc_id % 3 == 0:
+            strips.append(packbits_encode(bytes(data)))
+        elif doc_id % 3 == 1:
+            strips.append(tiff_lzw_encode(bytes(data)))
+        else:
+            strips.append(bytes(data))
 
     header = (b"MM" if be else b"II") + struct.pack(e + "H", 42)
     # layout: header(8) | strip data | bps array | strip offsets |
@@ -1735,13 +1796,15 @@ def make_tiff_bytes(doc_id: int) -> bytes:
         entry(256, 4, 1, width),           # ImageWidth (LONG)
         entry(257, 4, 1, height),          # ImageLength
         entry(258, 3, 3, bps_off),         # BitsPerSample -> offset
-        entry(259, 3, 1, 32773 if packed else 1),  # Compression
+        entry(259, 3, 1, {0: 32773, 1: 5, 2: 1}[doc_id % 3]),  # Compression
         entry(262, 3, 1, 2),               # Photometric: RGB
         entry(273, 4, n_strips, so_off if n_strips > 1 else strip_offsets[0]),
         entry(277, 3, 1, 3),               # SamplesPerPixel
         entry(278, 3, 1, rows_per_strip),  # RowsPerStrip
         entry(279, 4, n_strips, sbc_off if n_strips > 1 else len(strips[0])),
     ]
+    if predictor == 2:  # tag order stays ascending (317 > 279)
+        entries.append(entry(317, 3, 1, 2))  # Predictor: horizontal
     ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) + struct.pack(
         e + "I", 0
     )
@@ -2482,3 +2545,364 @@ def _flac_wasted_flag(w: "_BitPacker", wasted: int) -> None:
         w.u(1, 1)
         w.u(0, wasted - 1)  # k-1 zeros ...
         w.u(1, 1)           # ... then the terminating 1
+
+
+def mp3_sb_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(n_frames, sample_rate_index, bitrate_index, reservoir_step)
+    for the SHORT-BLOCK MP3 fixture (``make_mp3_sb_bytes``)."""
+    return (
+        3 + doc_id % 4,        # n_frames (3..6)
+        doc_id % 3,            # sample-rate index
+        7 + doc_id % 3,        # bitrate index: 96/112/128 kbps
+        (doc_id % 6) * 9,      # reservoir step (0..45 bytes)
+    )
+
+
+def mp3_sb_granule(doc_id: int, g: int, region_bytes: int, delta: int):
+    """Closed-form content of a SHORT-BLOCK (windows_switching,
+    block_type 2, mixed off) granule: (scalefac_compress, sf_a, sf_b,
+    quad_pattern, n_quads, part2_3_length).  Scalefactors are 12 short
+    bands x 3 windows — bands 0-5 carry sf_a at slen1 bits, bands 6-11
+    sf_b at slen2 — so part2 is 18*(slen1+slen2) bits."""
+    sfc = (doc_id + g) % 16
+    sl1, sl2 = MP3_SLEN[sfc]
+    sf_a = (doc_id + g) % (1 << sl1)
+    sf_b = (doc_id + 5 + g) % (1 << sl2)
+    sf_bits = 18 * (sl1 + sl2)
+    pattern = (doc_id + g) % 16
+    nz = bin(pattern).count("1")
+    bpq = 4 + nz
+    blob_bits = 8 * (region_bytes - delta)
+    budget = blob_bits // 2 if g == 0 else blob_bits - blob_bits // 2
+    bv_bits = sum(
+        MP3_HUFF1_ENC[(x, y)][0] + x + y
+        for x, y in mp3_sb_pairs(doc_id, g)
+    )
+    n_quads = min((budget - sf_bits - bv_bits) // bpq, 24)
+    part2_3 = sf_bits + bv_bits + n_quads * bpq
+    return sfc, sf_a, sf_b, pattern, n_quads, part2_3
+
+
+def mp3_sb_pairs(doc_id: int, g: int) -> list[tuple[int, int]]:
+    """The short-block granule's big-values pairs — same generator as
+    the long fixture but with NO region switching (both table_selects
+    are table 1, so the implied window-switching boundaries never
+    matter)."""
+    return [
+        ((doc_id + 3 * q + g) % 2, (doc_id + q + 2 * g) % 2)
+        for q in range(6 + (doc_id + g) % 7)
+    ]
+
+
+def make_mp3_sb_bytes(doc_id: int) -> bytes:
+    """MPEG-1 Layer III stream whose granules are SHORT-BLOCK
+    (windows_switching_flag 1, block_type 2, mixed_block_flag 0):
+    the side info carries the window-switching shape — 2-entry
+    table_select and three 3-bit subblock_gain fields — and the main
+    data carries the 12-band x 3-window scalefactor partition (bands
+    0-5 at slen1, 6-11 at slen2, ISO 11172-3 2.4.2.7), with scfsi all
+    zero as the spec demands for short blocks, followed by the same
+    table-1 big-values and table-B count1 regions as the long-block
+    fixture, through the same live bit reservoir."""
+    n_frames, sr_idx, br_idx, delta = mp3_sb_params(doc_id)
+    sr = MP3_SAMPLE_RATES[sr_idx]
+    kbps = MP3_BITRATES_KBPS[br_idx]
+    frame_len = (144 * kbps * 1000) // sr
+    cap = frame_len - 4 - 17
+    blob_len = cap - delta
+
+    def granule_bits(g: int, k: int) -> tuple[int, int]:
+        sfc, sf_a, sf_b, pattern, n_quads, _p23 = mp3_sb_granule(
+            doc_id, g, cap, delta
+        )
+        sl1, sl2 = MP3_SLEN[sfc]
+        acc = nb = 0
+        for bnd in range(12):
+            slen, val = (sl1, sf_a) if bnd < 6 else (sl2, sf_b)
+            for _w in range(3):
+                acc = (acc << slen) | val
+                nb += slen
+        for q, (x, y) in enumerate(mp3_sb_pairs(doc_id, g)):
+            hlen, hcode = MP3_HUFF1_ENC[(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if x:
+                acc = (acc << 1) | ((doc_id + q + k + g) % 2)
+                nb += 1
+            if y:
+                acc = (acc << 1) | ((doc_id + q + k + g + 1) % 2)
+                nb += 1
+        neg = (doc_id + g + k) % 2
+        vals = ((pattern >> 3) & 1, (pattern >> 2) & 1,
+                (pattern >> 1) & 1, pattern & 1)
+        qv = qn = 0
+        for v in vals:
+            qv = (qv << 1) | (v ^ 1)
+            qn += 1
+        for v in vals:
+            if v:
+                qv = (qv << 1) | neg
+                qn += 1
+        for _q in range(n_quads):
+            acc = (acc << qn) | qv
+            nb += qn
+        return acc, nb
+
+    packed: dict[int, bytes] = {}
+    for parity in (0, 1):
+        a0, n0 = granule_bits(0, parity)
+        a1, n1 = granule_bits(1, parity)
+        acc = (a0 << n1) | a1
+        nb = n0 + n1
+        pad = (8 - nb % 8) % 8
+        acc <<= pad
+        packed[parity] = acc.to_bytes((nb + pad) // 8, "big")
+        if len(packed[parity]) > blob_len:
+            raise ValueError("granule data overran blob")
+    blobs = [
+        packed[k % 2] + bytes(blob_len - len(packed[k % 2]))
+        for k in range(n_frames)
+    ]
+    stream = b"".join(blobs)
+    stream += bytes(n_frames * cap - len(stream))
+
+    out = bytearray()
+    for k in range(n_frames):
+        out += bytes((
+            0xFF, 0b11111011,
+            (br_idx << 4) | (sr_idx << 2), 0b11000100,
+        ))
+        w = _BitPacker()
+        w.u(k * delta, 9)
+        w.u(0, 5)
+        w.u(0, 4)           # scfsi: all zero (short blocks)
+        for g in (0, 1):
+            sfc, _a, _b, _p, _nq, p23 = mp3_sb_granule(
+                doc_id, g, cap, delta
+            )
+            w.u(p23, 12)
+            w.u(len(mp3_sb_pairs(doc_id, g)), 9)
+            w.u((doc_id + 29 * k + 17 * g) % 256, 8)  # global_gain
+            w.u(sfc, 4)
+            w.u(1, 1)       # windows_switching_flag
+            w.u(2, 2)       # block_type 2: three short windows
+            w.u(0, 1)       # mixed_block_flag
+            w.u(1, 5)       # table_select region 0
+            w.u(1, 5)       # table_select region 1
+            for win in range(3):
+                w.u((doc_id + g + win) % 8, 3)  # subblock_gain
+            w.u(0, 1)       # preflag
+            w.u(0, 1)       # scalefac_scale
+            w.u(1, 1)       # count1table_select = 1: table B
+        si = w.to_bytes()
+        if len(si) != 17:
+            raise ValueError("side info must pack to 17 bytes")
+        out += si
+        out += stream[k * cap : (k + 1) * cap]
+    return bytes(out)
+
+
+def bmp_rle4_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) for the RLE4 BMP fixture.  Pixel (x, y):
+    x < 4 carries palette index (x+y+doc)%4 (absolute mode); the
+    middle storage row (y == height//2) then DELTA-skips 2 pixels
+    (left at index 0 on the zero-initialized canvas, the GDI
+    convention); everything after alternates the two-nibble encoded
+    run colors c1=(y+doc)%4, c2=(y+doc+1)%4 by horizontal parity."""
+    return 12 + doc_id % 10, 5 + doc_id % 5
+
+
+def make_bmp_rle4_bytes(doc_id: int) -> bytes:
+    """BI_RLE4-compressed 4-bit BMP (bottom-up): each row opens with an
+    ABSOLUTE segment (00 nn + packed nibbles, high nibble first, padded
+    to a word boundary), the middle row follows with a DELTA escape
+    (00 02 dx dy) that jumps the cursor right by 2, then two-color
+    encoded runs whose count byte covers ALTERNATING high/low nibbles,
+    closed by end-of-line (00 00) and end-of-bitmap (00 01).  A decoder
+    must honor nibble packing, the run alternation rule, the delta
+    jump, and both escapes."""
+    width, height = bmp_rle4_params(doc_id)
+    palette = gif_palette(doc_id)
+    rle = bytearray()
+    delta_row = height // 2
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        n_abs = 4
+        rle += bytes((0, n_abs))
+        nibbles = [(x + y + doc_id) % 4 for x in range(n_abs)]
+        for i in range(0, n_abs, 2):
+            hi = nibbles[i]
+            lo = nibbles[i + 1] if i + 1 < n_abs else 0
+            rle.append((hi << 4) | lo)
+        if ((n_abs + 1) // 2) % 2:
+            rle.append(0)  # absolute segments pad to word boundaries
+        x = n_abs
+        if y == delta_row:
+            rle += bytes((0, 2, 2, 0))  # delta: right 2, down 0
+            x += 2
+        c1, c2 = (y + doc_id) % 4, (y + doc_id + 1) % 4
+        remaining = width - x
+        if remaining > 0:  # fixture widths keep each row to one run
+            rle += bytes((remaining, (c1 << 4) | c2))
+        rle += bytes((0, 0))  # end of line
+    rle += bytes((0, 1))  # end of bitmap
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 4, 2,  # BI_RLE4
+        len(rle), 2835, 2835, 4, 0,
+    )
+    pal = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    offset = 14 + 40 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(rle), 0, 0, offset)
+    return header + dib + pal + rle
+
+
+def h264_inter_params(doc_id: int) -> tuple[int, int, int]:
+    """(mb_w, mb_h, ca) for the MOTION-COMPENSATED fixture: a real MB
+    grid (4-5 x 3-4) so spatial MV prediction has genuine neighbors,
+    and ca (1 or 2) the column of P1's lone inter macroblock."""
+    return 4 + doc_id % 2, 3 + doc_id % 2, 1 + doc_id % 2
+
+
+def h264_inter_base(doc_id: int) -> int:
+    """B of the affine IDR luma plane L(r, c) = B + 5r + 3c — affine so
+    every motion-compensated copy shifts a frame sum by a CONSTANT the
+    SQL oracle restates."""
+    return 30 + (doc_id * 7) % 90
+
+
+def h264_inter_refresh_luma(doc_id: int, i: int) -> int:
+    """Flat luma of P3's i-th I_PCM refresh macroblock."""
+    return 12 + (doc_id * 17 + 29 * i) % 180
+
+
+def _h264_idr_values_rbsp(idr_pic_id: int, lumas: list[int]) -> bytes:
+    """All-I_PCM IDR slice RBSP whose macroblock lumas are given
+    explicitly (the affine plane the inter fixture needs)."""
+    w = _H264BitWriter()
+    w.ue(0)        # first_mb_in_slice
+    w.ue(7)        # slice_type: I
+    w.ue(0)        # pic_parameter_set_id
+    w.u(0, 4)      # frame_num
+    w.ue(idr_pic_id)
+    w.u(0, 1)      # no_output_of_prior_pics_flag
+    w.u(0, 1)      # long_term_reference_flag
+    w.se(0)        # slice_qp_delta
+    w.ue(25)       # first mb_type: I_PCM
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    parts = [w.to_bytes()]
+    for m, luma in enumerate(lumas):
+        if m:
+            parts.append(b"\x0d\x00")  # ue(25) + alignment, byte-aligned
+        parts.append(bytes([luma]) * 256 + bytes([128]) * 128)
+    parts.append(b"\x80")
+    return b"".join(parts)
+
+
+def make_h264_inter_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream whose P pictures carry REAL motion
+    vectors: P_L0_16x16 macroblocks (mb_type 0) with se(v) motion
+    vector differences against the SPATIAL MEDIAN predictor (ITU-T
+    H.264 8.4.1.3), coded_block_pattern 0 through the Inter me(v)
+    mapping's codeNum 0 (Table 9-4), and P_Skip motion inferred by
+    8.4.1.1 — alongside I_PCM refreshes.  All MVs are MACROBLOCK-
+    aligned full-pel (multiples of 64 quarter-pel units), so the
+    decoder's per-MB reference state reconstructs exactly; sub-MB
+    motion would need pixel-plane interpolation and stays the
+    declared boundary.
+
+    Four pictures, each exercising a different clause of the MV
+    prediction rules:
+    - IDR: affine I_PCM plane L(r,c) = B + 5r + 3c.
+    - P1: one inter MB at (0, ca), mv (-16, 0) full-pel — row 0, so
+      B/C/D are unavailable and mvp = mvA (= 0) by the edge rule.
+    - P2: an L-shaped inter block (1,1),(1,2),(2,1) with mv (0,-16) —
+      (2,1) sees TWO matching nonzero neighbors, so its mvp is the
+      nonzero component MEDIAN (mvd = 0); the raster-next P_Skip at
+      (2,2) has neither shortcut neighbor zero, so ITS motion is the
+      nonzero median too — a moving skip.
+    - P3: I_PCM refreshes at (1,2),(1,3), then inter (2,1) (mvd full)
+      and inter (2,2) whose neighbors B/C are intra (refIdx -1): with
+      EXACTLY ONE matching refIdx the predictor is mvA wholesale, NOT
+      the median — a decoder that always takes the median fetches the
+      wrong reference block and the value oracle catches it.  The
+      skip at (2,3) inherits motion through the same exactly-one rule
+      (its B neighbor is intra, disabling the zero shortcut)."""
+    mb_w, mb_h, ca = h264_inter_params(doc_id)
+    n_mbs = mb_w * mb_h
+    base = h264_inter_base(doc_id)
+    units = [
+        _h264_nal(3, 7, _h264_sps_from_fields(66, 10, mb_w - 1, mb_h - 1), 0),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+    lumas = [base + 5 * r + 3 * c for r in range(mb_h) for c in range(mb_w)]
+    units.append(_h264_nal(3, 5, _h264_idr_values_rbsp(0, lumas), 2))
+
+    def p_header(frame_num: int) -> "_H264BitWriter":
+        w = _H264BitWriter()
+        w.ue(0)                 # first_mb_in_slice
+        w.ue(5)                 # slice_type: P (all slices P)
+        w.ue(0)                 # pic_parameter_set_id
+        w.u(frame_num % 16, 4)  # frame_num
+        w.u(0, 1)               # num_ref_idx_active_override_flag
+        w.u(0, 1)               # ref_pic_list_modification_flag_l0
+        w.u(0, 1)               # adaptive_ref_pic_marking_mode_flag
+        w.se(0)                 # slice_qp_delta
+        return w
+
+    def inter_mb(w: "_H264BitWriter", mvd: tuple[int, int]) -> None:
+        w.ue(0)      # mb_type: P_L0_16x16
+        w.se(mvd[0])  # mvd_l0 x (quarter-pel units)
+        w.se(mvd[1])  # mvd_l0 y
+        w.ue(0)      # coded_block_pattern: Inter me(v) codeNum 0 -> 0
+
+    # P1: skip run to (0, ca), inter mvd (-64, 0), closing run
+    w = p_header(1)
+    w.ue(ca)
+    inter_mb(w, (-64, 0))
+    if n_mbs - ca - 1:
+        w.ue(n_mbs - ca - 1)
+    units.append(_h264_nal(2, 1, w.rbsp_trailing(), 3))
+
+    # P2: L-block (1,1),(1,2),(2,1) all mv (0,-64); mvds derived from
+    # the median rules the decoder re-runs: (1,1)/(1,2) predict 0,
+    # (2,1) predicts the full MV (mvd 0)
+    w = p_header(2)
+    w.ue(mb_w + 1)
+    inter_mb(w, (0, -64))
+    w.ue(0)
+    inter_mb(w, (0, -64))
+    w.ue(mb_w - 2)
+    inter_mb(w, (0, 0))
+    w.ue(n_mbs - (2 * mb_w + 2))
+    units.append(_h264_nal(2, 1, w.rbsp_trailing(), 4))
+
+    # P3: I_PCM refreshes at (1,2),(1,3); inter (2,1) mvd (-64, 0);
+    # inter (2,2) mvd 0 via the exactly-one-refIdx rule (B/C intra)
+    w = p_header(3)
+    w.ue(mb_w + 2)
+    w.ue(30)  # mb_type: I_PCM in a P slice (intra 25 + offset 5)
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    parts = [w.to_bytes()]
+    parts.append(
+        bytes([h264_inter_refresh_luma(doc_id, 0)]) * 256 + bytes([128]) * 128
+    )
+    w2 = _H264BitWriter()
+    w2.ue(0)
+    w2.ue(30)
+    while len(w2.bits) % 8:
+        w2.bits.append(0)
+    parts.append(w2.to_bytes())
+    parts.append(
+        bytes([h264_inter_refresh_luma(doc_id, 1)]) * 256 + bytes([128]) * 128
+    )
+    w3 = _H264BitWriter()
+    w3.ue(mb_w - 3)
+    inter_mb(w3, (-64, 0))
+    w3.ue(0)
+    inter_mb(w3, (0, 0))
+    w3.ue(n_mbs - (2 * mb_w + 3))
+    parts.append(w3.rbsp_trailing())
+    units.append(_h264_nal(2, 1, b"".join(parts), 5))
+    return b"".join(units)

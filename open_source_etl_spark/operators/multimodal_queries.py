@@ -947,12 +947,134 @@ def multimodal_mp3_maindata_decode(spark: SparkSession, sf_dir: str) -> DataFram
     info layer, this one proves the engine read the entropy bitstream
     itself (scalefactor sums, pair/quadruple counts, signed spectrum
     sums are unknowable from headers).  B.7 tables 2-31 (empirical
-    code data), count1 table A, and short-block partitions remain the
-    declared ``NotImplementedError`` stubs (``decode.py``)."""
+    code data), count1 table A, and mixed long/short partitions remain
+    the declared ``NotImplementedError`` stubs (``decode.py``);
+    pure short-block granules decode in
+    ``multimodal_mp3_short_block_decode``."""
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_md
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_mp3_maindata(synthesize_mp3_md(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_mp3_short_block_decode",
+    # formulas mirror synth.mp3_sb_params / mp3_sb_granule /
+    # mp3_sb_pairs: CBR frames (96/112/128 kbps), reservoir step
+    # delta = (doc%6)*9, every granule SHORT-BLOCK (block_type 2) with
+    # 12 bands x 3 windows of scalefactors — bands 0-5 carry
+    # (doc+g)%2^slen1 at slen1 bits, 6-11 carry (doc+5+g)%2^slen2 —
+    # scfsi 0, then 6+(doc+g)%7 table-1 big-values pairs and table-B
+    # count1 quadruples (pattern = (doc+g)%16).  The window-switching
+    # side-info shape (2-entry table_select, subblock gains) and the
+    # 36-value scalefactor partition have no closed form bit-side.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             3 + doc_id % 4 AS n_frames,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS sr,
+             CASE doc_id % 3 WHEN 0 THEN 96 WHEN 1 THEN 112
+                  ELSE 128 END AS kbps,
+             (doc_id % 6) * 9 AS delta
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_frames, delta, gg.g AS g,
+             (doc_id + gg.g) % 16 AS sfc,
+             (doc_id + gg.g) % 16 AS pat,
+             8 * (144 * kbps * 1000 // sr - 21 - delta) AS blob_bits
+      FROM p, LATERAL (SELECT unnest([0, 1]) AS g) gg
+    ),
+    bva AS (
+      SELECT doc_id, g, COUNT(*) AS nbv,
+             SUM((CASE WHEN x = 0 AND y = 0 THEN 1
+                       WHEN x = 1 AND y = 0 THEN 2
+                       ELSE 3 END) + x + y) AS bv_bits,
+             SUM(x + y) AS bv_abs,
+             SUM((x - y) * (1 - 2 * ((doc_id + q + g) % 2)))
+               AS bv_signed_base
+      FROM (
+        SELECT doc_id, g, qq.q AS q,
+               (doc_id + 3 * qq.q + g) % 2 AS x,
+               (doc_id + qq.q + 2 * g) % 2 AS y
+        FROM g, LATERAL (SELECT unnest(range(0, 6 + (doc_id + g) % 7))
+                         AS q) qq
+      )
+      GROUP BY doc_id, g
+    ),
+    s AS (
+      SELECT g.doc_id, n_frames, delta, g.g AS g, pat,
+             CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+                  WHEN 3 THEN 0 WHEN 4 THEN 3 WHEN 5 THEN 1 WHEN 6 THEN 1
+                  WHEN 7 THEN 1 WHEN 8 THEN 2 WHEN 9 THEN 2 WHEN 10 THEN 2
+                  WHEN 11 THEN 3 WHEN 12 THEN 3 WHEN 13 THEN 3 WHEN 14 THEN 4
+                  ELSE 4 END AS sl1,
+             CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                  WHEN 3 THEN 3 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 2
+                  WHEN 7 THEN 3 WHEN 8 THEN 1 WHEN 9 THEN 2 WHEN 10 THEN 3
+                  WHEN 11 THEN 1 WHEN 12 THEN 2 WHEN 13 THEN 3 WHEN 14 THEN 2
+                  ELSE 3 END AS sl2,
+             (pat // 8) % 2 + (pat // 4) % 2 + (pat // 2) % 2 + pat % 2
+               AS nz,
+             CASE WHEN g.g = 0 THEN blob_bits // 2
+                  ELSE blob_bits - blob_bits // 2 END AS budget,
+             bva.nbv, bva.bv_bits, bva.bv_abs, bva.bv_signed_base
+      FROM g JOIN bva ON g.doc_id = bva.doc_id AND g.g = bva.g
+    ),
+    n AS (
+      SELECT doc_id, n_frames, delta, g, nz, nbv, bv_abs, bv_signed_base,
+             18 * ((doc_id + g) % (CASE sl1 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END))
+             + 18 * ((doc_id + 5 + g) % (CASE sl2 WHEN 0 THEN 1
+                    WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                    ELSE 16 END)) AS sf_sum,
+             LEAST((budget - 18 * (sl1 + sl2) - bv_bits) // (4 + nz), 24)
+               AS n_quads
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+           CAST(MAX((n_frames - 1) * delta) AS BIGINT) AS max_reservoir,
+           CAST(SUM(n_frames * sf_sum) AS BIGINT) AS sum_scalefac,
+           CAST(SUM(n_frames * nbv) AS BIGINT) AS n_pairs,
+           CAST(SUM(n_frames * bv_abs) AS BIGINT) AS sum_bv_abs,
+           CAST(SUM((n_frames % 2) * bv_signed_base) AS BIGINT)
+             AS sum_bv_signed,
+           CAST(SUM(n_frames * n_quads) AS BIGINT) AS n_quads,
+           CAST(SUM(n_frames * n_quads * nz) AS BIGINT) AS sum_quad_abs,
+           CAST(SUM(n_quads * nz * (n_frames % 2)
+                    * (1 - 2 * ((doc_id + g) % 2))) AS BIGINT)
+             AS sum_quad_signed
+    FROM n
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_short_block_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL short-block MP3 main-data decode (ISO 11172-3 2.4.2.7,
+    window switching): every granule is block_type 2 / mixed off, so
+    the side info carries the window-switching shape (2-entry
+    table_select, three 3-bit subblock gains) and the scalefactor
+    part2 is the 12-band x 3-window SHORT partition — bands 0-5 at
+    slen1 bits, 6-11 at slen2 — with scfsi required zero, as the spec
+    demands for short blocks (the decoder raises on a violating
+    stream).  Big-values and count1 decode through the same table-1 /
+    table-B machinery and the same live bit reservoir as
+    ``multimodal_mp3_maindata_decode``; a decoder that applies the
+    long 21-band layout to these granules mis-slices every downstream
+    field and cannot land part2_3_length accounting.  Mixed
+    long/short granules and the implied window-switching region
+    boundaries remain declared stubs (``decode.py``).  Reference
+    scope note: the reference delegates all media handling to its
+    warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_sb
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_maindata(synthesize_mp3_sb(docs)).orderBy("doc_id")
 
 
 @query(
@@ -1292,10 +1414,14 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (even doc_ids II/little-endian, odd MM/big-endian): IFD entry walk
     with SHORT-in-slot vs offset-stored values, required-tag
     validation, and multi-strip reassembly, value-checked down to the
-    last pixel.  Rounds out the image-container inventory (PNG static
-    + Adam7, JPEG, GIF static + animated, BMP) with the archival/
-    scanner format; compressed or tiled TIFFs raise at the declared
-    boundary."""
+    last pixel.  Compression cycles by doc — PackBits (32773), LZW
+    (5, MSB-first codes with the EarlyChange width rule; half the LZW
+    docs add Predictor 2 horizontal differencing, undone per row at
+    the 3-sample pixel stride), and none — each strip decompressed
+    independently per the spec.  Rounds out the image-container
+    inventory (PNG static + Adam7, JPEG, GIF static + animated, BMP)
+    with the archival/scanner format; other compressions, predictors,
+    and tiled TIFFs raise at the declared boundary."""
     from ..multimodal.decode import decode_tiff_real, synthesize_tiff
 
     docs = load_table_compute(spark, sf_dir, "documents")
@@ -1697,3 +1823,166 @@ def multimodal_bmp_rle8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_bmp_rle8(synthesize_bmp_rle8(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_bmp_rle4_decode",
+    # formulas mirror synth.bmp_rle4_params / gif_palette: pixel (x, y)
+    # carries index (x+y+doc)%4 for x < 4 (absolute nibbles); the
+    # middle storage row (y == h//2) leaves x in [4, 6) at index 0
+    # (delta skip over the zeroed canvas); everything else alternates
+    # c1=(y+doc)%4 (even offset from the run start) with c2=(y+doc+1)%4
+    # (odd).  The nibble packing, run alternation, delta jump, and
+    # escapes have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 12 + doc_id % 10 AS w, 5 + doc_id % 5 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, xx.x AS x, yy.y AS y,
+             CASE
+               WHEN xx.x < 4 THEN (xx.x + yy.y + doc_id) % 4
+               WHEN yy.y = h // 2 AND xx.x < 6 THEN 0
+               WHEN yy.y = h // 2 THEN
+                 CASE WHEN (xx.x - 6) % 2 = 0 THEN (yy.y + doc_id) % 4
+                      ELSE (yy.y + doc_id + 1) % 4 END
+               ELSE
+                 CASE WHEN (xx.x - 4) % 2 = 0 THEN (yy.y + doc_id) % 4
+                      ELSE (yy.y + doc_id + 1) % 4 END
+             END AS idx
+      FROM p,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, h)) AS y) yy
+    ),
+    c AS (
+      SELECT doc_id, w, h, x, y,
+             (40 * idx + 7 * (doc_id % 5)) % 256 AS r,
+             (80 * idx + 11 * (doc_id % 3)) % 256 AS g,
+             (60 * idx + 13 * (doc_id % 7)) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM(r) // (MAX(w) * MAX(h)) AS BIGINT) AS mean_r,
+           CAST(SUM(g) // (MAX(w) * MAX(h)) AS BIGINT) AS mean_g,
+           CAST(SUM(b) // (MAX(w) * MAX(h)) AS BIGINT) AS mean_b,
+           CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN r END) AS BIGINT)
+             AS probe_tl,
+           CAST(MAX(CASE WHEN x = w - 1 AND y = h - 1 THEN r END) AS BIGINT)
+             AS probe_br
+    FROM c
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_bmp_rle4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RLE4-compressed BMP decode — completes the BMP compression
+    surface (uncompressed 24-bit, RLE8, now RLE4) with the rules that
+    are 4-bit-specific: encoded runs ALTERNATE the color byte's high
+    and low nibbles across the run, absolute segments pack two indices
+    per byte and word-pad on their byte count, and the DELTA escape
+    (00 02 dx dy) jumps the cursor over pixels that stay at palette
+    index 0 on the zeroed canvas — the escape the RLE8 query leaves at
+    its declared boundary, decoded here with the jump geometry
+    enforced.  Value oracle from the fixture's pixel closed forms
+    through the shared 4-entry palette.  Reference scope note: the
+    reference delegates media handling to its warehouse; this query is
+    part of the training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_bmp_rle4, synthesize_bmp_rle4
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_bmp_rle4(synthesize_bmp_rle4(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_h264_inter_decode",
+    # formulas mirror synth.h264_inter_params / h264_inter_base /
+    # h264_inter_refresh_luma and the fixture's motion algebra: the
+    # affine IDR plane L(r,c) = B + 5r + 3c makes every MB-aligned
+    # copy shift the frame sum by a CONSTANT — P1 moves one MB left
+    # (-3), P2's L-block + moving skip pull four MBs one row up
+    # (-23), P3 swaps in two PCM refreshes and two/three moved MBs
+    # (parity-dependent: even docs' 4-wide grid loses neighbor C, so
+    # the skip at (2,3) inherits motion through the D-substitution
+    # and the exactly-one-refIdx rule; odd docs' 5-wide grid has a
+    # zero-MV C and the median pins that skip still).  The MV
+    # syntax, median prediction, and skip inference have no closed
+    # form — the decoder must run 8.4.1.1/8.4.1.3 to land these sums.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             4 + doc_id % 2 AS mbw,
+             3 + doc_id % 2 AS mbh,
+             30 + (doc_id * 7) % 90 AS b,
+             12 + (doc_id * 17) % 180 AS v1,
+             12 + (doc_id * 17 + 29) % 180 AS v2
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, mbw, mbh, b, v1, v2, mbw * mbh AS n,
+             mbw * mbh * b
+               + 5 * mbw * (mbh * (mbh - 1) // 2)
+               + 3 * mbh * (mbw * (mbw - 1) // 2) AS s0
+      FROM p
+    ),
+    f AS (
+      SELECT doc_id, n, ff.k AS frame_idx,
+             CASE ff.k WHEN 0 THEN 'I' ELSE 'P' END AS frame_type,
+             CASE ff.k
+               WHEN 0 THEN s0
+               WHEN 1 THEN s0 - 3
+               WHEN 2 THEN s0 - 26
+               ELSE s0 - 26 + v1 + v2 - 2 * b
+                    - CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 18 END
+             END AS total,
+             CASE ff.k WHEN 0 THEN 0 WHEN 1 THEN n - 1
+                  WHEN 2 THEN n - 3 ELSE n - 4 END AS n_skip,
+             CASE ff.k WHEN 0 THEN 0 WHEN 1 THEN 1
+                  WHEN 2 THEN 3 ELSE 2 END AS n_inter,
+             CASE ff.k WHEN 0 THEN 0 WHEN 1 THEN 16
+                  WHEN 2 THEN 48 ELSE 32 END AS sum_abs_mv,
+             CASE ff.k WHEN 2 THEN 16
+                  WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END
+                  ELSE 0 END AS sum_skip_mv
+      FROM s, LATERAL (SELECT unnest([0, 1, 2, 3]) AS k) ff
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           frame_type,
+           CAST(total // n AS BIGINT) AS mean_luma,
+           CAST(n_skip AS BIGINT) AS n_skip,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sum_abs_mv AS BIGINT) AS sum_abs_mv,
+           CAST(sum_skip_mv AS BIGINT) AS sum_skip_mv
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_h264_inter_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL motion-compensated H.264 decode — the step past the
+    skip/I_PCM GOP query: P_L0_16x16 macroblocks (mb_type 0) carry
+    se(v) motion vector DIFFERENCES that only reconstruct through the
+    spatial median predictor (ITU-T H.264 8.4.1.3: component medians
+    of neighbors A/B/C with D substitution, the picture-edge mvA rule,
+    and the exactly-one-matching-refIdx override), and P_Skip
+    macroblocks move by the 8.4.1.1 inferred motion — the fixture
+    includes a SKIP whose decoded vector is nonzero, so a decoder that
+    treats skips as co-located copies gets its luma (and the
+    ``sum_skip_mv`` column) wrong.  coded_block_pattern decodes
+    through the Inter me(v) mapping's codeNum 0 (Table 9-4).  MVs are
+    macroblock-aligned full-pel, reconstructed against per-MB
+    reference sums; sub-MB vectors, out-of-picture motion
+    (8.4.2.2.1 clipping), partitioned mb_types 1-4, and CAVLC
+    residuals raise at declared boundaries.  Reference scope note:
+    the reference delegates media handling to its warehouse; this is
+    part of the training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_h264_inter, synthesize_h264_inter
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_inter(synthesize_h264_inter(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
