@@ -1396,6 +1396,162 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
+# The B.7 table ids the widened-Huffman fixture cycles through (every
+# table the decoder ships) and each table's x/y grid width.
+MP3_HT_TABLES = (1, 2, 3, 5, 6, 7)
+MP3_HT_DIMS = {1: 2, 2: 3, 3: 3, 5: 4, 6: 4, 7: 6}
+
+_MP3_HT_ENC_CACHE: dict | None = None
+
+
+def _mp3_ht_enc() -> tuple[dict, dict]:
+    """Encoder mirrors of the decoder's shipped table data — inverted
+    from ``decode.MP3_HUFF_TABLES`` / ``decode.MP3_COUNT1A`` so the
+    spec tables have exactly one source of truth in the repo."""
+    global _MP3_HT_ENC_CACHE
+    if _MP3_HT_ENC_CACHE is None:
+        from .decode import MP3_COUNT1A, MP3_HUFF_TABLES
+
+        _MP3_HT_ENC_CACHE = (
+            {
+                t: {xy: lc for lc, xy in tab.items()}
+                for t, tab in MP3_HUFF_TABLES.items()
+            },
+            {pat: lc for lc, pat in MP3_COUNT1A.items()},
+        )
+    return _MP3_HT_ENC_CACHE
+
+
+def mp3_ht_tsels(doc_id: int, g: int) -> tuple[int, int, int]:
+    """Granule g's region table_select triple: every fifth doc splits
+    the big-values spectrum across THREE DIFFERENT shipped tables
+    (region boundaries then come from the 44.1 kHz B.8 row: pairs 0-1 /
+    2-3 / rest at region0_count = region1_count = 0); other docs use
+    one table uniformly, cycling all six shipped ids."""
+    if doc_id % 5 == 0:
+        return (
+            MP3_HT_TABLES[(doc_id + g) % 6],
+            MP3_HT_TABLES[(doc_id + g + 2) % 6],
+            MP3_HT_TABLES[(doc_id + g + 4) % 6],
+        )
+    t = MP3_HT_TABLES[(doc_id + g) % 6]
+    return (t, t, t)
+
+
+def mp3_ht_pairs(doc_id: int, g: int) -> list[tuple[int, int, int]]:
+    """Granule g's big-values pairs as (table, x, y) closed forms: pair
+    q draws from its region's table (region = 0 for q < 2, 1 for
+    q < 4, else 2 — the B.8 44.1 kHz boundaries at count fields 0) with
+    x = (doc + 3q + g) % dim, y = (2 doc + q + g) % dim."""
+    tsels = mp3_ht_tsels(doc_id, g)
+    out = []
+    for q in range(5 + (doc_id + g) % 6):
+        t = tsels[0 if q < 2 else (1 if q < 4 else 2)]
+        dim = MP3_HT_DIMS[t]
+        out.append((t, (doc_id + 3 * q + g) % dim,
+                    (2 * doc_id + q + g) % dim))
+    return out
+
+
+def make_mp3_ht_bytes(doc_id: int) -> bytes:
+    """MPEG-1 Layer III stream exercising EVERY shipped B.7 Huffman
+    table and BOTH count1 codes: 44.1 kHz CBR frames
+    (96/112/128 kbps), ``main_data_begin = 0`` (the reservoir lives in
+    the ``make_mp3_md_bytes`` fixture — this one isolates entropy-table
+    dispatch), scfsi 0, both granules long-block.  Granule g's
+    big-values region carries ``mp3_ht_pairs`` codes — every fifth doc
+    splits its regions across three different tables so the B.8
+    boundary dispatch runs against the NEW tables — and its count1
+    region alternates between Huffman table A (uncomplemented
+    patterns + sign bits) and fixed-length table B by (doc + g)
+    parity.  Every value is a closed form a SQL oracle restates;
+    ``part2_3_length`` is the exact bit count."""
+    enc, c1a_enc = _mp3_ht_enc()
+    n_frames = 2 + doc_id % 3
+    br_idx = 7 + doc_id % 3  # 96/112/128 kbps
+    kbps = MP3_BITRATES_KBPS[br_idx]
+    frame_len = (144 * kbps * 1000) // 44100
+    cap = frame_len - 4 - 17
+
+    def granule_bits(g: int) -> tuple[int, int, int]:
+        """(acc, n_bits, part2_3) of granule g's entropy data."""
+        sfc = (doc_id + 2 * g) % 16
+        sl1, sl2 = MP3_SLEN[sfc]
+        sf_a = (doc_id + g) % (1 << sl1)
+        sf_b = (doc_id + 7 + g) % (1 << sl2)
+        acc = nb = 0
+        for _band in range(11):
+            acc = (acc << sl1) | sf_a
+            nb += sl1
+        for _band in range(10):
+            acc = (acc << sl2) | sf_b
+            nb += sl2
+        for q, (t, x, y) in enumerate(mp3_ht_pairs(doc_id, g)):
+            hlen, hcode = enc[t][(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if x:
+                acc = (acc << 1) | ((doc_id + q + g) % 2)
+                nb += 1
+            if y:
+                acc = (acc << 1) | ((doc_id + q + g + 1) % 2)
+                nb += 1
+        use_a = (doc_id + g) % 2 == 0
+        for j in range(3 + (doc_id + g) % 4):
+            pattern = (doc_id + 5 * g + j) % 16
+            if use_a:
+                hlen, hcode = c1a_enc[pattern]
+                acc = (acc << hlen) | hcode
+                nb += hlen
+            else:
+                acc = (acc << 4) | (pattern ^ 0xF)
+                nb += 4
+            neg = (doc_id + j) % 2
+            for shift in (3, 2, 1, 0):
+                if (pattern >> shift) & 1:
+                    acc = (acc << 1) | neg
+                    nb += 1
+        return acc, nb, nb
+
+    a0, n0, p23_0 = granule_bits(0)
+    a1, n1, p23_1 = granule_bits(1)
+    acc = (a0 << n1) | a1
+    nb = n0 + n1
+    pad = (8 - nb % 8) % 8
+    acc <<= pad
+    packed = acc.to_bytes((nb + pad) // 8, "big")
+    if len(packed) > cap:
+        raise ValueError("granule data overran the frame region")
+    region = packed + bytes(cap - len(packed))
+
+    out = bytearray()
+    for _k in range(n_frames):
+        out += bytes((0xFF, 0b11111011, (br_idx << 4) | (0 << 2),
+                      0b11000100))
+        w = _BitPacker()
+        w.u(0, 9)   # main_data_begin: no reservoir in this fixture
+        w.u(0, 5)
+        w.u(0, 4)   # scfsi
+        for g, p23 in ((0, p23_0), (1, p23_1)):
+            w.u(p23, 12)
+            w.u(len(mp3_ht_pairs(doc_id, g)), 9)
+            w.u((doc_id + 31 * g) % 256, 8)  # global_gain
+            w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
+            w.u(0, 1)                        # long blocks
+            for t in mp3_ht_tsels(doc_id, g):
+                w.u(t, 5)
+            w.u(0, 4)   # region0_count
+            w.u(0, 3)   # region1_count
+            w.u(0, 1)   # preflag
+            w.u(0, 1)   # scalefac_scale
+            w.u(0 if (doc_id + g) % 2 == 0 else 1, 1)  # count1 A/B
+        si = w.to_bytes()
+        assert len(si) == 17
+        out += si
+        out += region
+    return bytes(out)
+
+
 # Adam7 pass grid (PNG spec 8.2): (x_start, x_step, y_start, y_step)
 PNG_ADAM7 = (
     (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),

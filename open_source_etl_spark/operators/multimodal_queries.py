@@ -946,11 +946,13 @@ def multimodal_mp3_maindata_decode(spark: SparkSession, sf_dir: str) -> DataFram
     ``multimodal_mp3_frame_walk``: that query proves the stream/side-
     info layer, this one proves the engine read the entropy bitstream
     itself (scalefactor sums, pair/quadruple counts, signed spectrum
-    sums are unknowable from headers).  B.7 tables 2-31 (empirical
-    code data), count1 table A, and mixed long/short partitions remain
-    the declared ``NotImplementedError`` stubs (``decode.py``);
+    sums are unknowable from headers).  B.7 tables 8-15, the linbits
+    escape tables 16-31 (clean-room transcriptions that failed
+    grid/prefix/Kraft validation), and mixed long/short partitions
+    remain the declared ``NotImplementedError`` stubs (``decode.py``);
     pure short-block granules decode in
-    ``multimodal_mp3_short_block_decode``."""
+    ``multimodal_mp3_short_block_decode`` and the widened-table +
+    count1-table-A dispatch in ``multimodal_mp3_hufftables_decode``."""
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_md
 
     docs = load_table_compute(spark, sf_dir, "documents")
@@ -1075,6 +1077,138 @@ def multimodal_mp3_short_block_decode(
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_mp3_maindata(synthesize_mp3_sb(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_mp3_hufftables_decode",
+    # formulas mirror synth.make_mp3_ht_bytes / mp3_ht_tsels /
+    # mp3_ht_pairs: n_frames = 2 + doc % 3, main_data_begin = 0 (the
+    # reservoir is the OTHER fixture's job), per-granule scalefactors
+    # under scalefac_compress = (doc + 2g) % 16, a big-values region of
+    # 5 + (doc+g) % 6 pairs whose per-region table cycles ALL SIX
+    # shipped B.7 tables (every fifth doc splits its regions across
+    # three different tables at the B.8 44.1 kHz boundaries: pairs
+    # 0-1 / 2-3 / rest), x = (doc+3q+g) % dim, y = (2 doc+q+g) % dim,
+    # and 3 + (doc+g) % 4 count1 quadruples of pattern (doc+5g+j) % 16
+    # coded in Huffman table A on even doc+g, fixed-length table B on
+    # odd.  The entropy bitstream has no closed form — Spark must
+    # Huffman-decode through the right table to land ANY of these
+    # sums; the oracle restates the generator arithmetic.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 2 + doc_id % 3 AS n_frames, gg.g AS g,
+             (doc_id + 2 * gg.g) % 16 AS sfc
+      FROM documents, LATERAL (SELECT unnest([0, 1]) AS g) gg
+    ),
+    bv AS (
+      SELECT doc_id, g, q, x, y,
+             x * (1 - 2 * ((doc_id + q + g) % 2))
+               + y * (1 - 2 * ((doc_id + q + g + 1) % 2)) AS signed_xy
+      FROM (
+        SELECT doc_id, g, q,
+               (doc_id + 3 * q + g) % dim AS x,
+               (2 * doc_id + q + g) % dim AS y
+        FROM (
+          SELECT doc_id, g, qq.q AS q,
+                 CASE (CASE WHEN doc_id % 5 = 0
+                            THEN (doc_id + g
+                                  + 2 * (CASE WHEN qq.q < 2 THEN 0
+                                              WHEN qq.q < 4 THEN 1
+                                              ELSE 2 END)) % 6
+                            ELSE (doc_id + g) % 6 END)
+                      WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 3
+                      WHEN 3 THEN 4 WHEN 4 THEN 4 ELSE 6 END AS dim
+          FROM g, LATERAL (SELECT unnest(range(0, 5 + (doc_id + g) % 6))
+                           AS q) qq
+        )
+      )
+    ),
+    bva AS (
+      SELECT doc_id, g, COUNT(*) AS nbv, SUM(x + y) AS bv_abs,
+             SUM(signed_xy) AS bv_signed
+      FROM bv GROUP BY doc_id, g
+    ),
+    qd AS (
+      SELECT doc_id, g, COUNT(*) AS nq, SUM(nz) AS quad_abs,
+             SUM(nz * (1 - 2 * ((doc_id + j) % 2))) AS quad_signed
+      FROM (
+        SELECT doc_id, g, jj.j AS j,
+               ((doc_id + 5 * g + jj.j) % 16 // 8) % 2
+               + ((doc_id + 5 * g + jj.j) % 16 // 4) % 2
+               + ((doc_id + 5 * g + jj.j) % 16 // 2) % 2
+               + (doc_id + 5 * g + jj.j) % 16 % 2 AS nz
+        FROM g, LATERAL (SELECT unnest(range(0, 3 + (doc_id + g) % 4))
+                         AS j) jj
+      )
+      GROUP BY doc_id, g
+    ),
+    sf AS (
+      SELECT doc_id, g, n_frames,
+             11 * ((doc_id + g) % (CASE sl1 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END))
+             + 10 * ((doc_id + 7 + g) % (CASE sl2 WHEN 0 THEN 1
+                    WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                    ELSE 16 END)) AS sf_sum
+      FROM (
+        SELECT doc_id, g, n_frames,
+               CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+                    WHEN 3 THEN 0 WHEN 4 THEN 3 WHEN 5 THEN 1
+                    WHEN 6 THEN 1 WHEN 7 THEN 1 WHEN 8 THEN 2
+                    WHEN 9 THEN 2 WHEN 10 THEN 2 WHEN 11 THEN 3
+                    WHEN 12 THEN 3 WHEN 13 THEN 3 WHEN 14 THEN 4
+                    ELSE 4 END AS sl1,
+               CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                    WHEN 3 THEN 3 WHEN 4 THEN 0 WHEN 5 THEN 1
+                    WHEN 6 THEN 2 WHEN 7 THEN 3 WHEN 8 THEN 1
+                    WHEN 9 THEN 2 WHEN 10 THEN 3 WHEN 11 THEN 1
+                    WHEN 12 THEN 2 WHEN 13 THEN 3 WHEN 14 THEN 2
+                    ELSE 3 END AS sl2
+        FROM g
+      )
+    )
+    SELECT sf.doc_id,
+           CAST(MAX(sf.n_frames) AS BIGINT) AS n_frames,
+           CAST(0 AS BIGINT) AS max_reservoir,
+           CAST(SUM(sf.n_frames * sf.sf_sum) AS BIGINT) AS sum_scalefac,
+           CAST(SUM(sf.n_frames * bva.nbv) AS BIGINT) AS n_pairs,
+           CAST(SUM(sf.n_frames * bva.bv_abs) AS BIGINT) AS sum_bv_abs,
+           CAST(SUM(sf.n_frames * bva.bv_signed) AS BIGINT)
+             AS sum_bv_signed,
+           CAST(SUM(sf.n_frames * qd.nq) AS BIGINT) AS n_quads,
+           CAST(SUM(sf.n_frames * qd.quad_abs) AS BIGINT)
+             AS sum_quad_abs,
+           CAST(SUM(sf.n_frames * qd.quad_signed) AS BIGINT)
+             AS sum_quad_signed
+    FROM sf
+    JOIN bva ON sf.doc_id = bva.doc_id AND sf.g = bva.g
+    JOIN qd ON sf.doc_id = qd.doc_id AND sf.g = qd.g
+    GROUP BY sf.doc_id
+    ORDER BY sf.doc_id
+    """,
+)
+def multimodal_mp3_hufftables_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MP3 main-data decode through EVERY shipped ISO 11172-3 B.7
+    Huffman table (1/2/3/5/6/7 — each machine-validated complete +
+    prefix-free on its exact x-by-y grid) and BOTH count1 codes:
+    granule regions cycle all six table ids, every fifth doc splits
+    its big-values spectrum across THREE different tables so the
+    Table B.8 region-boundary dispatch runs against the widened set,
+    and count1 alternates Huffman table A (uncomplemented quadruple
+    patterns) with the fixed-length complemented table B.  A decoder
+    with any wrong code entry desyncs the bitstream and fails
+    part2_3_length accounting — it cannot produce these sums by
+    accident.  B.7 tables 8-15 and the linbits escape tables 16-31
+    remain declared stubs (their clean-room transcriptions failed the
+    grid/prefix/Kraft validation that gates shipping).  Reference
+    scope note: the reference delegates all media handling to its
+    warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_ht
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_maindata(synthesize_mp3_ht(docs)).orderBy("doc_id")
 
 
 @query(
