@@ -7,9 +7,13 @@ ZIP is parsed the only correct way: End-Of-Central-Directory record
 from the tail, then the central directory, then each member's local
 header — one member's DATA embeds a literal ``PK\\x03\\x04`` signature,
 so a parser that scans for local-header magic instead of walking the
-central directory miscounts members.  Store (method 0) and DEFLATE
+central directory miscounts members.  Store (method 0), DEFLATE
 (method 8, raw-deflate inflate via the same stdlib zlib the PNG path
-uses) members are extracted, with per-member CRC-32 verified over the
+uses), bzip2 (method 12, a whole bzip2 stream per APPNOTE 4.4.5), and
+LZMA (method 14, APPNOTE 5.8: 2-byte version + 2-byte properties size
++ 5-byte LZMA properties, then the raw stream — reframed as an
+LZMA-alone container with the central directory's uncompressed size)
+members are extracted, with per-member CRC-32 verified over the
 decompressed bytes; other methods raise at the exact boundary.
 
 TAR is walked block-by-block: 512-byte ustar headers (octal sizes, the
@@ -20,7 +24,9 @@ counted but not extracted.
 
 from __future__ import annotations
 
+import bz2
 import json
+import lzma
 import struct
 import zlib
 from collections.abc import Iterator
@@ -45,12 +51,15 @@ def archive_member_text(text: str, k: int) -> str:
 
 
 def make_zip_bytes(doc_id: int, text: str) -> bytes:
-    """Mixed store/DEFLATE ZIP: local file headers, one member whose
+    """Mixed-method ZIP: local file headers, one member whose
     content is prefixed with a literal local-header signature (the
     central-directory trap), real CRC-32s, a central directory, and a
-    correct End-Of-Central-Directory record.  Odd members are raw-
-    deflate compressed (method 8) so the extractor's inflate path is
-    exercised on every archive with >= 2 members.
+    correct End-Of-Central-Directory record.  Member k's compression
+    method cycles store / DEFLATE / bzip2 / LZMA (methods 0/8/12/14)
+    by k % 4, so every archive with >= 2 members exercises the inflate
+    path and every >= 3-member archive the bzip2 path; LZMA members
+    carry the APPNOTE 5.8 version + properties-size + properties
+    preamble before the raw stream.
 
     Every fourth doc is written in ZIP64 form (APPNOTE 4.5, the layout
     any >4 GiB / >65k-member crawl archive uses): member 1's sizes and
@@ -71,20 +80,32 @@ def make_zip_bytes(doc_id: int, text: str) -> bytes:
         # purpose flag bit 3, zeroed local sizes/CRC, and a trailing
         # data descriptor — the shape zip writers emit when they can't
         # seek back (and naive extractors trip over)
-        members.append((name, data, k % 2 == 1, k == 2))
+        members.append((name, data, (0, 8, 12, 14)[k % 4], k == 2))
 
     out = bytearray()
     central = bytearray()
-    for k, (name, data, deflated, streamed) in enumerate(members):
+    for k, (name, data, method, streamed) in enumerate(members):
         crc = zlib.crc32(data) & 0xFFFFFFFF
-        if deflated:
+        if method == 8:
             co = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate
             payload = co.compress(data) + co.flush()
-            method = 8
+        elif method == 12:
+            payload = bz2.compress(data, 9)
+        elif method == 14:
+            # APPNOTE 5.8.5: version (2 bytes), properties size (2,
+            # little-endian, = 5), the LZMA properties, then the raw
+            # stream.  lzma-alone = 5-byte properties + 8-byte size +
+            # raw stream, so slice the preamble off and keep the rest.
+            alone = lzma.compress(data, format=lzma.FORMAT_ALONE)
+            payload = (
+                struct.pack("<BBH", 9, 20, 5) + alone[:5] + alone[13:]
+            )
         else:
-            payload, method = data, 0
+            payload = data
         local_off = len(out)
-        flags = 0x8 if streamed else 0
+        # flag bit 3: data descriptor follows; bit 1 (for method 14):
+        # the LZMA stream ends with an end-of-stream marker
+        flags = (0x8 if streamed else 0) | (0x2 if method == 14 else 0)
         wide = zip64 and k == 1  # the sentinel-size member
         lh = (crc, len(payload), len(data)) if not streamed else (0, 0, 0)
         local_extra = b""
@@ -168,8 +189,8 @@ def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
     """(n_members, sum_content_chars, total_uncompressed) via the
     central directory.  Verifies EOCD geometry, local-vs-central name
     agreement, and every member's CRC-32 over the DECOMPRESSED bytes;
-    store and DEFLATE members are extracted, other methods raise
-    NotImplementedError, structural damage ValueError.  ZIP64 archives
+    store, DEFLATE, bzip2, and LZMA members are extracted, other
+    methods raise NotImplementedError, structural damage ValueError.  ZIP64 archives
     (APPNOTE 4.5) resolve: 0xFFFF/0xFFFFFFFF EOCD sentinels through
     the ZIP64 EOCD locator + record, and per-entry size/offset
     sentinels through the 0x0001 extended-information extra field."""
@@ -236,10 +257,10 @@ def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
                 csize = next(vals)
             if want[2]:
                 local_off = next(vals)
-        if method not in (0, 8):
+        if method not in (0, 8, 12, 14):
             raise NotImplementedError(
                 f"ZIP compression method {method} not implemented "
-                "(store/deflate only)"
+                "(store/deflate/bzip2/lzma only)"
             )
         lh = struct.unpack(
             "<4sHHHHHIIIHH", raw[local_off : local_off + 30]
@@ -303,6 +324,41 @@ def parse_zip(doc_id: int, raw: bytes) -> tuple[int, int, int]:
             except zlib.error as exc:
                 raise ValueError(
                     f"doc {doc_id}: bad deflate stream in {cname!r}: {exc}"
+                ) from None
+        elif method == 12:
+            try:  # a whole bzip2 stream (APPNOTE 4.4.5)
+                data = bz2.decompress(data)
+            except (OSError, ValueError) as exc:
+                raise ValueError(
+                    f"doc {doc_id}: bad bzip2 stream in {cname!r}: {exc}"
+                ) from None
+        elif method == 14:
+            # APPNOTE 5.8.5 preamble, then the raw LZMA stream.  Rebuild
+            # an LZMA-alone container: flag bit 1 means the stream ends
+            # with an EOS marker (size unknown); otherwise the central
+            # directory's uncompressed size bounds it.
+            if len(data) < 9:
+                raise ValueError(
+                    f"doc {doc_id}: LZMA member too short in {cname!r}"
+                )
+            psize = int.from_bytes(data[2:4], "little")
+            if psize != 5:
+                raise ValueError(
+                    f"doc {doc_id}: LZMA properties size {psize} != 5 "
+                    f"in {cname!r}"
+                )
+            size8 = (
+                b"\xff" * 8 if _flags & 0x2
+                else usize.to_bytes(8, "little")
+            )
+            try:
+                data = lzma.decompress(
+                    data[4:9] + size8 + data[9:],
+                    format=lzma.FORMAT_ALONE,
+                )
+            except lzma.LZMAError as exc:
+                raise ValueError(
+                    f"doc {doc_id}: bad LZMA stream in {cname!r}: {exc}"
                 ) from None
         if len(data) != usize:
             raise ValueError(f"doc {doc_id}: member size mismatch")

@@ -8,9 +8,12 @@ Everything is implemented from the public Avro 1.x specification:
 zigzag-varint longs, length-prefixed strings/bytes, little-endian IEEE
 floats/doubles, index-prefixed unions, block-encoded arrays and maps
 (including the negative-count + byteSize form), enums as int indices,
-fixed as raw bytes, and the container framing itself — optional
-raw-DEFLATE block compression (``avro.codec: deflate``) through the
-same stdlib inflate the ZIP/PNG paths use.  The reader decodes
+fixed as raw bytes, and the container framing itself — with block
+compression per the spec's codec registry: raw-DEFLATE
+(``avro.codec: deflate``) through the same stdlib inflate the ZIP/PNG
+paths use, whole-stream bzip2, and whole-stream xz (the spec's
+``bzip2`` / ``xz`` codecs; ``snappy`` and ``zstandard`` raise at the
+declared boundary — their libraries are not in this environment).  The reader decodes
 GENERICALLY from the parsed writer schema; per-block sync markers and
 exact byte consumption are verified, unknown codecs and unsupported
 schema forms raise at the exact boundary.
@@ -22,7 +25,9 @@ over ``binaryFile`` rows of real Avro shards.
 
 from __future__ import annotations
 
+import bz2
 import json
+import lzma
 import struct
 import zlib
 from collections.abc import Iterator
@@ -197,14 +202,51 @@ def avro_sync(doc_id: int) -> bytes:
     return bytes((doc_id * 31 + i * 7) % 256 for i in range(16))
 
 
+def avro_codec(doc_id: int) -> str:
+    """The fixture's per-doc block codec: cycles the full shipped set
+    (spec codec registry: null, deflate = raw DEFLATE, bzip2 and xz =
+    whole compressed streams per block)."""
+    return ("null", "deflate", "bzip2", "xz")[doc_id % 4]
+
+
+def _encode_block(codec: str, plain: bytes) -> bytes:
+    if codec == "deflate":
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return co.compress(plain) + co.flush()
+    if codec == "bzip2":
+        return bz2.compress(plain, 9)
+    if codec == "xz":
+        return lzma.compress(plain, format=lzma.FORMAT_XZ)
+    return plain
+
+
+def _decode_block(doc_id: int, codec: str, data: bytes) -> bytes:
+    """Dispatch one data block through the container's declared codec
+    (the codec was validated against the shipped set at header time);
+    corrupt streams surface as ValueError, never as garbage records."""
+    try:
+        if codec == "deflate":
+            return zlib.decompress(data, -15)
+        if codec == "bzip2":
+            return bz2.decompress(data)
+        if codec == "xz":
+            return lzma.decompress(data, format=lzma.FORMAT_XZ)
+    except (zlib.error, OSError, ValueError, lzma.LZMAError) as exc:
+        raise ValueError(
+            f"doc {doc_id}: bad {codec} block: {exc}"
+        ) from None
+    return data
+
+
 def make_avro_bytes(doc_id: int, text: str) -> bytes:
     """One Avro Object Container File per doc: magic, metadata map
     (avro.schema JSON + avro.codec), sync marker, then records split
     into 2-record data blocks (count, post-codec size, data, sync).
-    Odd docs deflate their blocks (raw DEFLATE per the spec); record
+    Doc k's blocks go through codec ``avro_codec(k)`` (the full
+    null/deflate/bzip2/xz cycle); record
     j carries id doc*10+j, a null body every fifth record, tags
     [doc%7 + j, 2j], and score doc%100 + j/4 (binary-exact)."""
-    codec = "deflate" if doc_id % 2 else "null"
+    codec = avro_codec(doc_id)
     sync = avro_sync(doc_id)
     header = bytearray(AVRO_MAGIC)
     meta = [
@@ -235,11 +277,7 @@ def make_avro_bytes(doc_id: int, text: str) -> bytes:
     for start in range(0, n, AVRO_BLOCK_RECORDS):
         recs = [record(j) for j in range(start, min(start + AVRO_BLOCK_RECORDS, n))]
         plain = b"".join(recs)
-        if codec == "deflate":
-            co = zlib.compressobj(9, zlib.DEFLATED, -15)
-            data = co.compress(plain) + co.flush()
-        else:
-            data = plain
+        data = _encode_block(codec, plain)
         body += write_long(len(recs))
         body += write_long(len(data))
         body += data
@@ -271,9 +309,10 @@ def parse_avro(doc_id: int, raw: bytes) -> tuple[int, int, int, int, int, int, i
         raise ValueError(f"doc {doc_id}: container missing avro.schema")
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "bzip2", "xz"):
         raise NotImplementedError(
-            f"avro codec {codec!r} not implemented (null/deflate only)"
+            f"avro codec {codec!r} not implemented "
+            "(null/deflate/bzip2/xz only)"
         )
     sync = r.take(16)
     n_records = n_blocks = sum_ids = sum_chars = n_nulls = 0
@@ -284,13 +323,7 @@ def parse_avro(doc_id: int, raw: bytes) -> tuple[int, int, int, int, int, int, i
         if count < 0 or size < 0:
             raise ValueError(f"doc {doc_id}: negative block framing")
         data = r.take(size)
-        if codec == "deflate":
-            try:
-                data = zlib.decompress(data, -15)
-            except zlib.error as exc:
-                raise ValueError(
-                    f"doc {doc_id}: bad deflate block: {exc}"
-                ) from None
+        data = _decode_block(doc_id, codec, data)
         if r.take(16) != sync:
             raise ValueError(f"doc {doc_id}: sync marker mismatch")
         br = _Reader(data)
@@ -498,10 +531,10 @@ AVRO_READER_V2 = {
 def make_avro_v1_bytes(doc_id: int, text: str) -> bytes:
     """An Object Container File written under AVRO_WRITER_V1 — same
     record generators as ``make_avro_bytes`` (ids doc*10+j, null body
-    every fifth record, tags [doc%7+j, 2j], quarter-exact scores, odd
-    docs deflate) but with int ids and float32 scores, the types the
+    every fifth record, tags [doc%7+j, 2j], quarter-exact scores, the
+    full codec cycle) but with int ids and float32 scores, the types the
     V2 reader must PROMOTE."""
-    codec = "deflate" if doc_id % 2 else "null"
+    codec = avro_codec(doc_id)
     sync = avro_sync(doc_id)
     header = bytearray(AVRO_MAGIC)
     meta = [
@@ -535,11 +568,7 @@ def make_avro_v1_bytes(doc_id: int, text: str) -> bytes:
             for j in range(start, min(start + AVRO_BLOCK_RECORDS, n))
         ]
         plain = b"".join(recs)
-        if codec == "deflate":
-            co = zlib.compressobj(9, zlib.DEFLATED, -15)
-            data = co.compress(plain) + co.flush()
-        else:
-            data = plain
+        data = _encode_block(codec, plain)
         body += write_long(len(recs))
         body += write_long(len(data))
         body += data
@@ -578,9 +607,10 @@ def parse_avro_evolved(
             "not the V1 writer this reader evolves from"
         )
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "bzip2", "xz"):
         raise NotImplementedError(
-            f"avro codec {codec!r} not implemented (null/deflate only)"
+            f"avro codec {codec!r} not implemented "
+            "(null/deflate/bzip2/xz only)"
         )
     sync = r.take(16)
     n_records = sum_ids = sum_chars = n_nulls = sum_q = n_default = 0
@@ -590,13 +620,7 @@ def parse_avro_evolved(
         if count < 0 or size < 0:
             raise ValueError(f"doc {doc_id}: negative block framing")
         data = r.take(size)
-        if codec == "deflate":
-            try:
-                data = zlib.decompress(data, -15)
-            except zlib.error as exc:
-                raise ValueError(
-                    f"doc {doc_id}: bad deflate block: {exc}"
-                ) from None
+        data = _decode_block(doc_id, codec, data)
         if r.take(16) != sync:
             raise ValueError(f"doc {doc_id}: sync marker mismatch")
         br = _Reader(data)

@@ -1536,9 +1536,10 @@ def datapipe_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Directory from the tail, central-directory walk, local-header
     cross-validation, and per-member CRC-32 verification — one member
     embeds a literal ``PK\\x03\\x04`` so signature-scanning extractors
-    miscount.  Odd members are raw-DEFLATE compressed (method 8) and
-    inflated with stdlib zlib; CRC-32 is verified over the decompressed
-    bytes.  Every fourth doc arrives in ZIP64 form (APPNOTE 4.5 — the
+    miscount.  Member methods cycle store / raw-DEFLATE / bzip2 / LZMA
+    (APPNOTE methods 0/8/12/14, all via stdlib codecs; other methods
+    raise at the declared boundary); CRC-32 is verified over the
+    decompressed bytes.  Every fourth doc arrives in ZIP64 form (APPNOTE 4.5 — the
     layout >4 GiB crawl archives use): sentinel EOCD counts resolved
     through the ZIP64 EOCD record + locator, and per-member sentinel
     sizes/offsets through 0x0001 extended-information extras in both
@@ -1685,8 +1686,10 @@ def datapipe_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro Object Container scan — the row-oriented interchange format
     data platforms hand training pipelines: header metadata map (JSON
     writer schema + codec), per-block count/size framing with the sync
-    marker verified after EVERY block, raw-DEFLATE block decompression
-    (odd docs), and a GENERIC schema-driven binary decode — zigzag
+    marker verified after EVERY block, block decompression through the
+    spec's codec registry (the fixture cycles null / raw-DEFLATE /
+    bzip2 / xz; snappy and zstandard stay declared stubs), and a
+    GENERIC schema-driven binary decode — zigzag
     varint longs, index-prefixed unions (nullable body), block-encoded
     arrays, IEEE doubles — with exact per-block byte-consumption
     accounting (``ingest/avro.py``).  Completes the dataset-container

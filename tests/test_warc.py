@@ -141,10 +141,19 @@ def test_zip_rejects_malformed():
         "<4sHHHHIIH", raw[-22:]
     )
     # central directory: first entry's method field at cd_off + 10
-    bzip2 = bytearray(raw)
-    struct.pack_into("<H", bzip2, cd_off + 10, 12)  # method 12 = bzip2
-    with pytest.raises(NotImplementedError, match="store/deflate only"):
-        parse_zip(3, bytes(bzip2))
+    unknown = bytearray(raw)
+    struct.pack_into("<H", unknown, cd_off + 10, 93)  # zstd: not shipped
+    with pytest.raises(
+        NotImplementedError, match="store/deflate/bzip2/lzma only"
+    ):
+        parse_zip(3, bytes(unknown))
+
+    # claiming bzip2 over stored (non-bzip2) payload must fail as a
+    # corrupt stream, not decode garbage
+    fake_bzip2 = bytearray(raw)
+    struct.pack_into("<H", fake_bzip2, cd_off + 10, 12)
+    with pytest.raises(ValueError, match="bad bzip2 stream"):
+        parse_zip(3, bytes(fake_bzip2))
 
     # claiming DEFLATE over stored (non-deflate) payload must fail as a
     # corrupt stream, not decode garbage
@@ -169,9 +178,13 @@ def test_zip_deflate_members_roundtrip_and_reject_corruption():
         parse_zip,
     )
 
-    doc_id, text = 7, "the quick brown fox " * 12  # repetitive → compresses
+    # doc 9: exactly two members (store + DEFLATE), so the whole-archive
+    # shrink bound isn't diluted by bzip2/LZMA's fixed header overhead
+    # on tiny payloads
+    doc_id, text = 9, "the quick brown fox " * 12  # repetitive → compresses
     raw = make_zip_bytes(doc_id, text)
     n = archive_n_members(doc_id)
+    assert n == 2
     chars = sum(len(archive_member_text(text, k)) for k in range(n))
     total = chars + 4  # member 0's embedded-signature trap bytes
     assert parse_zip(doc_id, raw) == (n, chars, total)
@@ -193,6 +206,66 @@ def test_zip_deflate_members_roundtrip_and_reject_corruption():
     corrupt[data_at + csize // 2] ^= 0xFF
     with pytest.raises(ValueError, match="bad deflate stream|CRC-32|size mismatch"):
         parse_zip(doc_id, bytes(corrupt))
+
+
+def test_zip_bzip2_and_lzma_members_roundtrip_and_reject_corruption():
+    """Member k's method cycles store/DEFLATE/bzip2/LZMA by k % 4: a
+    4-member archive (doc % 3 = 2) carries one bzip2 and one LZMA
+    member, both must extract to the same closed-form totals as a
+    store-only archive would, and a corrupted compressed payload must
+    fail as a corrupt stream (or CRC mismatch), never decode garbage."""
+    import struct
+
+    import pytest
+
+    from open_source_etl_spark.ingest.archives import (
+        archive_member_text,
+        archive_n_members,
+        make_zip_bytes,
+        parse_zip,
+    )
+
+    doc_id, text = 5, "pack my box with five dozen liquor jugs " * 8
+    raw = make_zip_bytes(doc_id, text)
+    n = archive_n_members(doc_id)
+    assert n == 4  # members 2 (bzip2, streamed) and 3 (LZMA) exist
+    chars = sum(len(archive_member_text(text, k)) for k in range(n))
+    assert parse_zip(doc_id, raw) == (n, chars, chars + 4)
+
+    # walk the central directory to members 2 and 3
+    (_s, _dn, _ds, _nh, _nt, _cs, cd_off, _cl) = struct.unpack(
+        "<4sHHHHIIH", raw[-22:]
+    )
+    pos, entries = cd_off, []
+    for _ in range(n):
+        e = struct.unpack("<4sHHHHHHIIIHHHHHII", raw[pos : pos + 46])
+        entries.append(e)
+        pos += 46 + e[10] + e[11] + e[12]
+    assert [e[4] for e in entries] == [0, 8, 12, 14]
+    # flip bytes the decoder provably consumes: the stream tail (bzip2
+    # combined CRC / LZMA end-of-stream region) and the bzip2 block
+    # header — a mid-stream flip can land in dead table slots and
+    # change nothing, which is not corruption tolerance, just unread
+    # bits
+    for idx, off in ((2, 5), (2, None), (3, None)):
+        e = entries[idx]
+        local_off, nlen, csize = e[16], e[10], e[8]
+        data_at = local_off + 30 + nlen
+        corrupt = bytearray(raw)
+        corrupt[data_at + (csize - 3 if off is None else off)] ^= 0xFF
+        with pytest.raises(
+            ValueError,
+            match="bad bzip2 stream|bad LZMA stream|CRC-32|size mismatch",
+        ):
+            parse_zip(doc_id, bytes(corrupt))
+
+    # LZMA member with a non-5 properties size is rejected at the
+    # preamble, before any decompression
+    e = entries[3]
+    bad_psize = bytearray(raw)
+    struct.pack_into("<H", bad_psize, e[16] + 30 + e[10] + 2, 9)
+    with pytest.raises(ValueError, match="properties size"):
+        parse_zip(doc_id, bytes(bad_psize))
 
 
 def test_tar_rejects_malformed():
@@ -290,7 +363,7 @@ def test_avro_container_roundtrip_and_rejects_corruption():
     )
 
     text = "the quick brown fox jumps over the lazy dog " * 3
-    for doc in (4, 7):  # null codec / deflate codec
+    for doc in (4, 5, 6, 7):  # null / deflate / bzip2 / xz codecs
         raw = make_avro_bytes(doc, text)
         n = avro_n_records(doc)
         exp_chars = sum(
@@ -300,24 +373,35 @@ def test_avro_container_roundtrip_and_rejects_corruption():
         assert got[0] == n and got[1] == (n + 1) // 2
         assert got[3] == exp_chars
 
-    raw = make_avro_bytes(7, text)  # deflate doc
+    raw = make_avro_bytes(5, text)  # deflate doc (5 % 4 = 1)
 
     bad_magic = b"Obj\x02" + raw[4:]
     with pytest.raises(ValueError, match="not an avro container"):
-        parse_avro(7, bad_magic)
+        parse_avro(5, bad_magic)
 
     flipped_sync = bytearray(raw)
     flipped_sync[-1] ^= 0xFF  # final block's sync marker
     with pytest.raises(ValueError, match="sync marker mismatch"):
-        parse_avro(7, bytes(flipped_sync))
+        parse_avro(5, bytes(flipped_sync))
 
     bad_deflate = bytearray(raw)
     bad_deflate[-20] ^= 0xFF  # inside the final compressed block
     with pytest.raises(ValueError, match="deflate|sync|consumed|varint|overruns"):
-        parse_avro(7, bytes(bad_deflate))
+        parse_avro(5, bytes(bad_deflate))
 
     with pytest.raises(ValueError, match="truncated|overruns"):
-        parse_avro(7, raw[:-10])
+        parse_avro(5, raw[:-10])
+
+    # a flipped byte inside a bzip2 / xz block fails as a corrupt
+    # stream (or downstream as desynced records), never as garbage
+    for doc, codec in ((6, "bzip2"), (7, "xz")):
+        braw = bytearray(make_avro_bytes(doc, text))
+        braw[-20] ^= 0xFF
+        with pytest.raises(
+            ValueError,
+            match=f"{codec}|sync|consumed|varint|overruns",
+        ):
+            parse_avro(doc, bytes(braw))
 
     # unknown codec: rebuild the header with avro.codec = snappy
     header = bytearray(b"Obj\x01")
