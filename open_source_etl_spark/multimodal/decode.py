@@ -31,6 +31,7 @@ embarrassingly parallel — zero shuffle.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -4073,6 +4074,19 @@ def _flac_read_subframe(
     if stype == 0:  # CONSTANT
         return shifted([signed(br.u(bps))] * blocksize)
     if stype == 1:  # VERBATIM
+        if bps == 16 and br.bitpos % 8 == 0:
+            # byte-aligned 16-bit verbatim block (the common mono
+            # layout: the 8-bit subframe header lands on a byte edge
+            # when no wasted-bits field follows) — one C-level bulk
+            # unpack instead of blocksize bit-reader calls
+            at = br.bitpos >> 3
+            if at + 2 * blocksize > len(br.data):
+                raise ValueError("FLAC bitstream truncated")
+            samples = list(
+                struct.unpack_from(f">{blocksize}h", br.data, at)
+            )
+            br.bitpos += 16 * blocksize
+            return shifted(samples)
         return shifted([signed(br.u(bps)) for _ in range(blocksize)])
     if 8 <= stype <= 12 or stype >= 32:
         is_lpc = stype >= 32
