@@ -2699,13 +2699,28 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                         tsels = g["table_select"]
                         if len(set(tsels)) == 1:
                             regions = [(nbv, tsels[0])]
-                        else:
-                            if g["windows_switching_flag"]:
+                        elif g["windows_switching_flag"]:
+                            # window-switching granules carry IMPLIED
+                            # region boundaries (2.4.2.7): two regions,
+                            # region0 ending at sample 36 — a fixed,
+                            # rate-independent split for block_type-2
+                            # (short) granules; start/stop blocks
+                            # (types 1/3) keep the long band layout,
+                            # whose 8th boundary is 36 only on the
+                            # shipped 44.1 kHz B.8 row
+                            if g["block_type"] != 2 and sr != 44100:
                                 raise NotImplementedError(
-                                    "window-switching granules carry "
-                                    "IMPLIED region boundaries; only "
-                                    "uniform table_selects decode"
+                                    "start/stop-block region "
+                                    "boundaries need ISO B.8 band "
+                                    "boundaries; only the 44.1 kHz "
+                                    "row is shipped"
                                 )
+                            r0 = min(nbv, 18)
+                            regions = [
+                                (r0, tsels[0]),
+                                (nbv - r0, tsels[1]),
+                            ]
+                        else:
                             if sr != 44100:
                                 raise NotImplementedError(
                                     "region-dependent table switching "
@@ -2847,6 +2862,32 @@ def synthesize_mp3_md(docs_df: DataFrame) -> DataFrame:
                     "kind": ["audio"] * len(pdf),
                     "payload": [
                         make_mp3_md_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_mp3_ws(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with an MPEG-1 Layer III stream whose
+    short-block granules switch Huffman tables at the IMPLIED
+    window-switching region boundary (``make_mp3_ws_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_ws_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_ws_bytes(int(d)) for d in pdf["doc_id"]
                     ],
                 }
             )
@@ -3400,7 +3441,8 @@ def decode_tiff_real(media_df: DataFrame) -> DataFrame:
     value resolution, required-RGB-tag validation (8-bit samples,
     Compression 1, 5, or 32773, Photometric 2, SamplesPerPixel 3), and
     multi-strip pixel reassembly via StripOffsets/StripByteCounts —
-    PackBits and LZW strips (the compression cycles by doc) decompress
+    PackBits, LZW, and Adobe-deflate strips (the compression cycles
+    by doc) decompress
     independently with exact geometric-size accounting — per-channel
     means plus the last pixel as a placement probe.  Other
     compressions, tiled, paletted, or non-8-bit TIFFs raise at
@@ -3454,10 +3496,11 @@ def decode_tiff_real(media_df: DataFrame) -> DataFrame:
                     f"doc {doc_id}: only 8-bit 3-sample RGB supported"
                 )
             compression = tags[259][2]
-            if compression not in (1, 5, 32773):
+            if compression not in (1, 5, 8, 32773):
                 raise NotImplementedError(
                     f"compressed TIFF compression {compression} not "
-                    "implemented (baseline, LZW, and PackBits only)"
+                    "implemented (baseline, LZW, Adobe deflate, and "
+                    "PackBits only)"
                 )
             predictor = tags[317][2] if 317 in tags else 1
             if predictor not in (1, 2):
@@ -3493,6 +3536,22 @@ def decode_tiff_real(media_df: DataFrame) -> DataFrame:
                     strip = _tiff_lzw_decode(
                         doc_id, strip, rows * width * 3
                     )
+                elif compression == 8:
+                    # Adobe deflate (TIFF TN2): one zlib stream per
+                    # strip
+                    import zlib
+
+                    try:
+                        strip = zlib.decompress(strip)
+                    except zlib.error as exc:
+                        raise ValueError(
+                            f"doc {doc_id}: bad deflate strip: {exc}"
+                        ) from None
+                    if len(strip) != rows * width * 3:
+                        raise ValueError(
+                            f"doc {doc_id}: deflate strip carries "
+                            f"{len(strip)} bytes for {rows} rows"
+                        )
                 if predictor == 2:
                     # undo horizontal differencing per row: cumulative
                     # sum mod 256 at the sample stride

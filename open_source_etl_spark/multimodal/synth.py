@@ -15,6 +15,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 
 def wav_params(doc_id: int) -> tuple[int, int, int]:
@@ -1893,19 +1894,19 @@ def make_tiff_bytes(doc_id: int) -> bytes:
     [8,8,8] via offset, Compression, Photometric 2, StripOffsets/
     ByteCounts arrays, SamplesPerPixel 3, RowsPerStrip 2), pixel data
     split across ceil(H/2) strips that the reader must reassemble in
-    strip order.  Compression cycles by doc: every third doc's strips
-    are PackBits-compressed (32773), the next third LZW-compressed
-    (5, MSB-first with the EarlyChange width rule) — and half of THOSE
-    (doc % 6 == 1) run horizontal differencing first (Predictor 2,
-    tag 317: per row, each sample minus the same sample one pixel
-    left, the pairing real scanner TIFFs use because gradients
-    difference to near-constant streams LZW crushes) — the rest
-    Compression 1.  Each strip is independent per the spec; the
-    decoded pixels, and therefore the oracle closed forms, are
+    strip order.  Compression cycles by doc % 4: PackBits (32773),
+    LZW (5, MSB-first with the EarlyChange width rule), none (1), and
+    Adobe deflate (8, one zlib stream per strip) — and half of the
+    LZW and deflate docs (doc % 8 in {1, 3}) run horizontal
+    differencing first (Predictor 2, tag 317: per row, each sample
+    minus the same sample one pixel left, the pairing real scanner
+    TIFFs use because gradients difference to near-constant streams
+    entropy coders crush).  Each strip is independent per the spec;
+    the decoded pixels, and therefore the oracle closed forms, are
     identical in every form."""
     width, height, be, _r0, _g0, _b0 = tiff_params(doc_id)
     e = ">" if be else "<"
-    predictor = 2 if doc_id % 6 == 1 else 1
+    predictor = 2 if doc_id % 8 in (1, 3) else 1
     rows_per_strip = 2
     n_strips = (height + rows_per_strip - 1) // rows_per_strip
     strips = []
@@ -1919,10 +1920,12 @@ def make_tiff_bytes(doc_id: int) -> bytes:
                 for x in range(len(row) - 1, 2, -1):
                     row[x] = (row[x] - row[x - 3]) & 0xFF
             data += row
-        if doc_id % 3 == 0:
+        if doc_id % 4 == 0:
             strips.append(packbits_encode(bytes(data)))
-        elif doc_id % 3 == 1:
+        elif doc_id % 4 == 1:
             strips.append(tiff_lzw_encode(bytes(data)))
+        elif doc_id % 4 == 3:
+            strips.append(zlib.compress(bytes(data), 9))
         else:
             strips.append(bytes(data))
 
@@ -1952,7 +1955,7 @@ def make_tiff_bytes(doc_id: int) -> bytes:
         entry(256, 4, 1, width),           # ImageWidth (LONG)
         entry(257, 4, 1, height),          # ImageLength
         entry(258, 3, 3, bps_off),         # BitsPerSample -> offset
-        entry(259, 3, 1, {0: 32773, 1: 5, 2: 1}[doc_id % 3]),  # Compression
+        entry(259, 3, 1, {0: 32773, 1: 5, 2: 1, 3: 8}[doc_id % 4]),  # Compression
         entry(262, 3, 1, 2),               # Photometric: RGB
         entry(273, 4, n_strips, so_off if n_strips > 1 else strip_offsets[0]),
         entry(277, 3, 1, 3),               # SamplesPerPixel
@@ -2855,6 +2858,124 @@ def make_mp3_sb_bytes(doc_id: int) -> bytes:
             raise ValueError("side info must pack to 17 bytes")
         out += si
         out += stream[k * cap : (k + 1) * cap]
+    return bytes(out)
+
+
+def mp3_ws_tables(doc_id: int, g: int) -> tuple[int, int]:
+    """The window-switching fixture's (region0, region1) table pair —
+    always DIFFERENT tables (indices 3 apart in the shipped cycle), so
+    the decoder must place the implied 36-sample boundary to know
+    where region0's code table stops."""
+    return (
+        MP3_HT_TABLES[(doc_id + g) % 6],
+        MP3_HT_TABLES[(doc_id + g + 3) % 6],
+    )
+
+
+def mp3_ws_pairs(doc_id: int, g: int) -> list[tuple[int, int, int]]:
+    """Granule g's big-values pairs as (table, x, y): 20 + (doc+g) % 5
+    pairs, the first 18 (samples 0-35) from region0's table, the rest
+    from region1's — the implied window-switching split."""
+    t0, t1 = mp3_ws_tables(doc_id, g)
+    out = []
+    for q in range(20 + (doc_id + g) % 5):
+        t = t0 if q < 18 else t1
+        dim = MP3_HT_DIMS[t]
+        out.append((t, (doc_id + 3 * q + g) % dim,
+                    (2 * doc_id + q + g) % dim))
+    return out
+
+
+def make_mp3_ws_bytes(doc_id: int) -> bytes:
+    """MPEG-1 Layer III stream whose SHORT-BLOCK granules switch
+    Huffman tables at the IMPLIED window-switching region boundary:
+    block_type 2 granules carry two DIFFERENT table_selects and more
+    than 18 big-values pairs, so pairs 0-17 (samples 0-35) decode
+    through region0's table and the rest through region1's — a decoder
+    that misplaces the 36-sample split reads the wrong code table and
+    desyncs.  Any sample rate (the block_type-2 boundary is
+    rate-independent); ``main_data_begin = 0``; scfsi 0; count1 table
+    B.  All values are closed forms a SQL oracle restates."""
+    enc, _c1a = _mp3_ht_enc()
+    n_frames = 2 + doc_id % 3
+    sr_idx = doc_id % 3
+    br_idx = 7 + doc_id % 3
+    sr = MP3_SAMPLE_RATES[sr_idx]
+    kbps = MP3_BITRATES_KBPS[br_idx]
+    frame_len = (144 * kbps * 1000) // sr
+    cap = frame_len - 4 - 17
+
+    def granule_bits(g: int) -> tuple[int, int, int]:
+        sfc = (doc_id + 2 * g) % 16
+        sl1, sl2 = MP3_SLEN[sfc]
+        sf_a = (doc_id + g) % (1 << sl1)
+        sf_b = (doc_id + 7 + g) % (1 << sl2)
+        acc = nb = 0
+        for bnd in range(12):  # short partition: 12 bands x 3 windows
+            slen, val = (sl1, sf_a) if bnd < 6 else (sl2, sf_b)
+            for _w in range(3):
+                acc = (acc << slen) | val
+                nb += slen
+        for q, (t, x, y) in enumerate(mp3_ws_pairs(doc_id, g)):
+            hlen, hcode = enc[t][(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if x:
+                acc = (acc << 1) | ((doc_id + q + g) % 2)
+                nb += 1
+            if y:
+                acc = (acc << 1) | ((doc_id + q + g + 1) % 2)
+                nb += 1
+        for j in range(3 + (doc_id + g) % 4):  # count1 table B
+            pattern = (doc_id + 5 * g + j) % 16
+            acc = (acc << 4) | (pattern ^ 0xF)
+            nb += 4
+            neg = (doc_id + j) % 2
+            for shift in (3, 2, 1, 0):
+                if (pattern >> shift) & 1:
+                    acc = (acc << 1) | neg
+                    nb += 1
+        return acc, nb, nb
+
+    a0, n0, p23_0 = granule_bits(0)
+    a1, n1, p23_1 = granule_bits(1)
+    acc = (a0 << n1) | a1
+    nb = n0 + n1
+    pad = (8 - nb % 8) % 8
+    acc <<= pad
+    packed = acc.to_bytes((nb + pad) // 8, "big")
+    if len(packed) > cap:
+        raise ValueError("granule data overran the frame region")
+    region = packed + bytes(cap - len(packed))
+
+    out = bytearray()
+    for _k in range(n_frames):
+        out += bytes((0xFF, 0b11111011, (br_idx << 4) | (sr_idx << 2),
+                      0b11000100))
+        w = _BitPacker()
+        w.u(0, 9)   # main_data_begin
+        w.u(0, 5)
+        w.u(0, 4)   # scfsi: all zero (short blocks)
+        for g, p23 in ((0, p23_0), (1, p23_1)):
+            w.u(p23, 12)
+            w.u(len(mp3_ws_pairs(doc_id, g)), 9)
+            w.u((doc_id + 13 * g) % 256, 8)  # global_gain
+            w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
+            w.u(1, 1)       # windows_switching_flag
+            w.u(2, 2)       # block_type 2: three short windows
+            w.u(0, 1)       # mixed_block_flag
+            for t in mp3_ws_tables(doc_id, g):
+                w.u(t, 5)   # 2-entry table_select
+            for win in range(3):
+                w.u((doc_id + g + win) % 8, 3)  # subblock_gain
+            w.u(0, 1)       # preflag
+            w.u(0, 1)       # scalefac_scale
+            w.u(1, 1)       # count1table_select = 1: table B
+        si = w.to_bytes()
+        if len(si) != 17:
+            raise ValueError("side info must pack to 17 bytes")
+        out += si
+        out += region
     return bytes(out)
 
 

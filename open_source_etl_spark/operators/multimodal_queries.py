@@ -1068,8 +1068,9 @@ def multimodal_mp3_short_block_decode(
     ``multimodal_mp3_maindata_decode``; a decoder that applies the
     long 21-band layout to these granules mis-slices every downstream
     field and cannot land part2_3_length accounting.  Mixed
-    long/short granules and the implied window-switching region
-    boundaries remain declared stubs (``decode.py``).  Reference
+    long/short granules remain a declared stub (``decode.py``); the
+    implied window-switching region boundary is exercised by
+    ``multimodal_mp3_wswitch_regions_decode``.  Reference
     scope note: the reference delegates all media handling to its
     warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
@@ -1209,6 +1210,131 @@ def multimodal_mp3_hufftables_decode(
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_mp3_maindata(synthesize_mp3_ht(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_mp3_wswitch_regions_decode",
+    # formulas mirror synth.make_mp3_ws_bytes / mp3_ws_tables /
+    # mp3_ws_pairs: n_frames = 2 + doc % 3, short-block granules
+    # (12-band x 3-window scalefactors under scalefac_compress =
+    # (doc + 2g) % 16, so sf_sum = 18 (sf_a + sf_b)), 20 + (doc+g) % 5
+    # big-values pairs where pairs 0-17 draw from table
+    # T[(doc+g) % 6] and the rest from T[(doc+g+3) % 6] (the IMPLIED
+    # window-switching boundary at sample 36), x = (doc+3q+g) % dim,
+    # y = (2 doc+q+g) % dim, and 3 + (doc+g) % 4 table-B count1 quads
+    # of pattern (doc+5g+j) % 16.  A decoder that misplaces the
+    # boundary decodes region1 through the wrong code table and cannot
+    # land these sums; the oracle restates the generator arithmetic.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 2 + doc_id % 3 AS n_frames, gg.g AS g,
+             (doc_id + 2 * gg.g) % 16 AS sfc
+      FROM documents, LATERAL (SELECT unnest([0, 1]) AS g) gg
+    ),
+    bv AS (
+      SELECT doc_id, g, q, x, y,
+             x * (1 - 2 * ((doc_id + q + g) % 2))
+               + y * (1 - 2 * ((doc_id + q + g + 1) % 2)) AS signed_xy
+      FROM (
+        SELECT doc_id, g, q,
+               (doc_id + 3 * q + g) % dim AS x,
+               (2 * doc_id + q + g) % dim AS y
+        FROM (
+          SELECT doc_id, g, qq.q AS q,
+                 CASE (CASE WHEN qq.q < 18 THEN (doc_id + g) % 6
+                            ELSE (doc_id + g + 3) % 6 END)
+                      WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 3
+                      WHEN 3 THEN 4 WHEN 4 THEN 4 ELSE 6 END AS dim
+          FROM g, LATERAL (SELECT unnest(range(0, 20 + (doc_id + g) % 5))
+                           AS q) qq
+        )
+      )
+    ),
+    bva AS (
+      SELECT doc_id, g, COUNT(*) AS nbv, SUM(x + y) AS bv_abs,
+             SUM(signed_xy) AS bv_signed
+      FROM bv GROUP BY doc_id, g
+    ),
+    qd AS (
+      SELECT doc_id, g, COUNT(*) AS nq, SUM(nz) AS quad_abs,
+             SUM(nz * (1 - 2 * ((doc_id + j) % 2))) AS quad_signed
+      FROM (
+        SELECT doc_id, g, jj.j AS j,
+               ((doc_id + 5 * g + jj.j) % 16 // 8) % 2
+               + ((doc_id + 5 * g + jj.j) % 16 // 4) % 2
+               + ((doc_id + 5 * g + jj.j) % 16 // 2) % 2
+               + (doc_id + 5 * g + jj.j) % 16 % 2 AS nz
+        FROM g, LATERAL (SELECT unnest(range(0, 3 + (doc_id + g) % 4))
+                         AS j) jj
+      )
+      GROUP BY doc_id, g
+    ),
+    sf AS (
+      SELECT doc_id, g, n_frames,
+             18 * ((doc_id + g) % (CASE sl1 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END))
+             + 18 * ((doc_id + 7 + g) % (CASE sl2 WHEN 0 THEN 1
+                    WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                    ELSE 16 END)) AS sf_sum
+      FROM (
+        SELECT doc_id, g, n_frames,
+               CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+                    WHEN 3 THEN 0 WHEN 4 THEN 3 WHEN 5 THEN 1
+                    WHEN 6 THEN 1 WHEN 7 THEN 1 WHEN 8 THEN 2
+                    WHEN 9 THEN 2 WHEN 10 THEN 2 WHEN 11 THEN 3
+                    WHEN 12 THEN 3 WHEN 13 THEN 3 WHEN 14 THEN 4
+                    ELSE 4 END AS sl1,
+               CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                    WHEN 3 THEN 3 WHEN 4 THEN 0 WHEN 5 THEN 1
+                    WHEN 6 THEN 2 WHEN 7 THEN 3 WHEN 8 THEN 1
+                    WHEN 9 THEN 2 WHEN 10 THEN 3 WHEN 11 THEN 1
+                    WHEN 12 THEN 2 WHEN 13 THEN 3 WHEN 14 THEN 2
+                    ELSE 3 END AS sl2
+        FROM g
+      )
+    )
+    SELECT sf.doc_id,
+           CAST(MAX(sf.n_frames) AS BIGINT) AS n_frames,
+           CAST(0 AS BIGINT) AS max_reservoir,
+           CAST(SUM(sf.n_frames * sf.sf_sum) AS BIGINT) AS sum_scalefac,
+           CAST(SUM(sf.n_frames * bva.nbv) AS BIGINT) AS n_pairs,
+           CAST(SUM(sf.n_frames * bva.bv_abs) AS BIGINT) AS sum_bv_abs,
+           CAST(SUM(sf.n_frames * bva.bv_signed) AS BIGINT)
+             AS sum_bv_signed,
+           CAST(SUM(sf.n_frames * qd.nq) AS BIGINT) AS n_quads,
+           CAST(SUM(sf.n_frames * qd.quad_abs) AS BIGINT)
+             AS sum_quad_abs,
+           CAST(SUM(sf.n_frames * qd.quad_signed) AS BIGINT)
+             AS sum_quad_signed
+    FROM sf
+    JOIN bva ON sf.doc_id = bva.doc_id AND sf.g = bva.g
+    JOIN qd ON sf.doc_id = qd.doc_id AND sf.g = qd.g
+    GROUP BY sf.doc_id
+    ORDER BY sf.doc_id
+    """,
+)
+def multimodal_mp3_wswitch_regions_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MP3 short-block decode across the IMPLIED window-switching
+    region boundary (ISO 11172-3 2.4.2.7): block_type-2 granules carry
+    only TWO table_select entries and no region counts — the split is
+    fixed at sample 36, so big-values pairs 0-17 decode through
+    region0's Huffman table and the rest through region1's, which the
+    fixture always makes a DIFFERENT table.  A decoder that misplaces
+    the boundary (or applies the long-block B.8 region machinery) reads
+    the wrong code table mid-spectrum and desyncs before
+    part2_3_length accounting can land.  Completes the region-dispatch
+    matrix beside ``multimodal_mp3_hufftables_decode`` (explicit B.8
+    boundaries) and ``multimodal_mp3_short_block_decode`` (uniform
+    tables); start/stop blocks (types 1/3) at non-44.1 kHz rates
+    remain the declared stub.  Reference scope note: the reference
+    delegates all media handling to its warehouse; this query is part
+    of the training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_ws
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_maindata(synthesize_mp3_ws(docs)).orderBy("doc_id")
 
 
 @query(
@@ -1549,9 +1675,10 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with SHORT-in-slot vs offset-stored values, required-tag
     validation, and multi-strip reassembly, value-checked down to the
     last pixel.  Compression cycles by doc — PackBits (32773), LZW
-    (5, MSB-first codes with the EarlyChange width rule; half the LZW
-    docs add Predictor 2 horizontal differencing, undone per row at
-    the 3-sample pixel stride), and none — each strip decompressed
+    (5, MSB-first codes with the EarlyChange width rule), Adobe
+    deflate (8, one zlib stream per strip), and none; half the LZW
+    and deflate docs add Predictor 2 horizontal differencing, undone
+    per row at the 3-sample pixel stride — each strip decompressed
     independently per the spec.  Rounds out the image-container
     inventory (PNG static + Adam7, JPEG, GIF static + animated, BMP)
     with the archival/scanner format; other compressions, predictors,
