@@ -2543,8 +2543,8 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
     Honest stub boundary: B.7 Huffman tables 8-15 and the linbits
     escape tables 16-31 (their clean-room transcriptions failed the
     grid/prefix/Kraft validation, so they raise rather than risk a
-    silently-wrong table), B.8 rows other than 44.1 kHz, and
-    mixed-block scalefactor partitions raise ``NotImplementedError``
+    silently-wrong table) and B.8 rows other than 44.1 kHz raise
+    ``NotImplementedError``
     at the exact site a codec library would take over — everything
     this decoder emits it computed from the entropy bitstream itself.
     Malformed streams (reservoir pointer before stream start, granule
@@ -2610,12 +2610,7 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                         g["windows_switching_flag"]
                         and g["block_type"] == 2
                     )
-                    if short and g["mixed_block_flag"]:
-                        raise NotImplementedError(
-                            "mixed long/short scalefactor partitions "
-                            "not implemented (pure short and pure "
-                            "long granules only)"
-                        )
+                    mixed = short and g["mixed_block_flag"]
                     p23 = g["part2_3_length"]
                     # One bigint per granule, fields extracted by shift
                     # (a per-bit Python reader here dominated the sf0.1
@@ -2658,10 +2653,22 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                                 "short-block granule"
                             )
                         total = 0
-                        for bnd in range(12):
-                            slen = sl1 if bnd < 6 else sl2
-                            for _w in range(3):
-                                total += take(slen)
+                        if mixed:
+                            # mixed partition (2.4.2.7): 8 LONG bands
+                            # at slen1, then short bands 3-5 at slen1
+                            # and 6-11 at slen2, 3 windows each — the
+                            # spec's 17*slen1 + 18*slen2 part2 layout
+                            for _bnd in range(8):
+                                total += take(sl1)
+                            for bnd in range(3, 12):
+                                slen = sl1 if bnd < 6 else sl2
+                                for _w in range(3):
+                                    total += take(slen)
+                        else:
+                            for bnd in range(12):
+                                slen = sl1 if bnd < 6 else sl2
+                                for _w in range(3):
+                                    total += take(slen)
                         sum_sf += total
                     else:
                         groups = ((0, 6, sl1), (6, 5, sl1),
@@ -2888,6 +2895,33 @@ def synthesize_mp3_ws(docs_df: DataFrame) -> DataFrame:
                     "kind": ["audio"] * len(pdf),
                     "payload": [
                         make_mp3_ws_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_mp3_mx(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with an MPEG-1 Layer III stream whose
+    granules carry the MIXED long/short scalefactor partition
+    (``make_mp3_ws_bytes(doc_id, mixed=True)``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_ws_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_ws_bytes(int(d), mixed=True)
+                        for d in pdf["doc_id"]
                     ],
                 }
             )

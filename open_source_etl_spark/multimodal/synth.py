@@ -2886,7 +2886,7 @@ def mp3_ws_pairs(doc_id: int, g: int) -> list[tuple[int, int, int]]:
     return out
 
 
-def make_mp3_ws_bytes(doc_id: int) -> bytes:
+def make_mp3_ws_bytes(doc_id: int, mixed: bool = False) -> bytes:
     """MPEG-1 Layer III stream whose SHORT-BLOCK granules switch
     Huffman tables at the IMPLIED window-switching region boundary:
     block_type 2 granules carry two DIFFERENT table_selects and more
@@ -2895,7 +2895,13 @@ def make_mp3_ws_bytes(doc_id: int) -> bytes:
     that misplaces the 36-sample split reads the wrong code table and
     desyncs.  Any sample rate (the block_type-2 boundary is
     rate-independent); ``main_data_begin = 0``; scfsi 0; count1 table
-    B.  All values are closed forms a SQL oracle restates."""
+    B.  All values are closed forms a SQL oracle restates.
+
+    ``mixed=True`` keeps the identical entropy region but sets
+    mixed_block_flag and writes the MIXED scalefactor partition
+    instead (ISO 2.4.2.7): 8 LONG bands at slen1, then short bands
+    3-5 at slen1 and 6-11 at slen2 x 3 windows — the 17*slen1 +
+    18*slen2 part2 layout."""
     enc, _c1a = _mp3_ht_enc()
     n_frames = 2 + doc_id % 3
     sr_idx = doc_id % 3
@@ -2911,11 +2917,22 @@ def make_mp3_ws_bytes(doc_id: int) -> bytes:
         sf_a = (doc_id + g) % (1 << sl1)
         sf_b = (doc_id + 7 + g) % (1 << sl2)
         acc = nb = 0
-        for bnd in range(12):  # short partition: 12 bands x 3 windows
-            slen, val = (sl1, sf_a) if bnd < 6 else (sl2, sf_b)
-            for _w in range(3):
-                acc = (acc << slen) | val
-                nb += slen
+        if mixed:
+            # mixed partition: 8 long bands, then short bands 3-11
+            for _bnd in range(8):
+                acc = (acc << sl1) | sf_a
+                nb += sl1
+            for bnd in range(3, 12):
+                slen, val = (sl1, sf_a) if bnd < 6 else (sl2, sf_b)
+                for _w in range(3):
+                    acc = (acc << slen) | val
+                    nb += slen
+        else:
+            for bnd in range(12):  # short partition: 12 bands x 3 windows
+                slen, val = (sl1, sf_a) if bnd < 6 else (sl2, sf_b)
+                for _w in range(3):
+                    acc = (acc << slen) | val
+                    nb += slen
         for q, (t, x, y) in enumerate(mp3_ws_pairs(doc_id, g)):
             hlen, hcode = enc[t][(x, y)]
             acc = (acc << hlen) | hcode
@@ -2963,7 +2980,7 @@ def make_mp3_ws_bytes(doc_id: int) -> bytes:
             w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
             w.u(1, 1)       # windows_switching_flag
             w.u(2, 2)       # block_type 2: three short windows
-            w.u(0, 1)       # mixed_block_flag
+            w.u(1 if mixed else 0, 1)  # mixed_block_flag
             for t in mp3_ws_tables(doc_id, g):
                 w.u(t, 5)   # 2-entry table_select
             for win in range(3):

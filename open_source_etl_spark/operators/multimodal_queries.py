@@ -1067,10 +1067,10 @@ def multimodal_mp3_short_block_decode(
     table-B machinery and the same live bit reservoir as
     ``multimodal_mp3_maindata_decode``; a decoder that applies the
     long 21-band layout to these granules mis-slices every downstream
-    field and cannot land part2_3_length accounting.  Mixed
-    long/short granules remain a declared stub (``decode.py``); the
-    implied window-switching region boundary is exercised by
-    ``multimodal_mp3_wswitch_regions_decode``.  Reference
+    field and cannot land part2_3_length accounting.  The implied
+    window-switching region boundary is exercised by
+    ``multimodal_mp3_wswitch_regions_decode`` and the mixed long/short
+    partition by ``multimodal_mp3_mixed_block_decode``.  Reference
     scope note: the reference delegates all media handling to its
     warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
@@ -1335,6 +1335,127 @@ def multimodal_mp3_wswitch_regions_decode(
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_mp3_maindata(synthesize_mp3_ws(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_mp3_mixed_block_decode",
+    # formulas mirror synth.make_mp3_ws_bytes(mixed=True): the SAME
+    # entropy region as the wswitch fixture (20 + (doc+g) % 5 pairs
+    # across two tables at the implied 36-sample boundary, table-B
+    # count1 quads) but the MIXED scalefactor partition — 8 long bands
+    # + short bands 3-5 at slen1 (17 values of sf_a), short 6-11 at
+    # slen2 (18 values of sf_b) — so sum_scalefac = 17 sf_a + 18 sf_b
+    # per granule.  A decoder applying the pure-short 18/18 split (or
+    # the long 11/10) mis-slices part2 and desyncs everything after.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 2 + doc_id % 3 AS n_frames, gg.g AS g,
+             (doc_id + 2 * gg.g) % 16 AS sfc
+      FROM documents, LATERAL (SELECT unnest([0, 1]) AS g) gg
+    ),
+    bv AS (
+      SELECT doc_id, g, q, x, y,
+             x * (1 - 2 * ((doc_id + q + g) % 2))
+               + y * (1 - 2 * ((doc_id + q + g + 1) % 2)) AS signed_xy
+      FROM (
+        SELECT doc_id, g, q,
+               (doc_id + 3 * q + g) % dim AS x,
+               (2 * doc_id + q + g) % dim AS y
+        FROM (
+          SELECT doc_id, g, qq.q AS q,
+                 CASE (CASE WHEN qq.q < 18 THEN (doc_id + g) % 6
+                            ELSE (doc_id + g + 3) % 6 END)
+                      WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 3
+                      WHEN 3 THEN 4 WHEN 4 THEN 4 ELSE 6 END AS dim
+          FROM g, LATERAL (SELECT unnest(range(0, 20 + (doc_id + g) % 5))
+                           AS q) qq
+        )
+      )
+    ),
+    bva AS (
+      SELECT doc_id, g, COUNT(*) AS nbv, SUM(x + y) AS bv_abs,
+             SUM(signed_xy) AS bv_signed
+      FROM bv GROUP BY doc_id, g
+    ),
+    qd AS (
+      SELECT doc_id, g, COUNT(*) AS nq, SUM(nz) AS quad_abs,
+             SUM(nz * (1 - 2 * ((doc_id + j) % 2))) AS quad_signed
+      FROM (
+        SELECT doc_id, g, jj.j AS j,
+               ((doc_id + 5 * g + jj.j) % 16 // 8) % 2
+               + ((doc_id + 5 * g + jj.j) % 16 // 4) % 2
+               + ((doc_id + 5 * g + jj.j) % 16 // 2) % 2
+               + (doc_id + 5 * g + jj.j) % 16 % 2 AS nz
+        FROM g, LATERAL (SELECT unnest(range(0, 3 + (doc_id + g) % 4))
+                         AS j) jj
+      )
+      GROUP BY doc_id, g
+    ),
+    sf AS (
+      SELECT doc_id, g, n_frames,
+             17 * ((doc_id + g) % (CASE sl1 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END))
+             + 18 * ((doc_id + 7 + g) % (CASE sl2 WHEN 0 THEN 1
+                    WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                    ELSE 16 END)) AS sf_sum
+      FROM (
+        SELECT doc_id, g, n_frames,
+               CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+                    WHEN 3 THEN 0 WHEN 4 THEN 3 WHEN 5 THEN 1
+                    WHEN 6 THEN 1 WHEN 7 THEN 1 WHEN 8 THEN 2
+                    WHEN 9 THEN 2 WHEN 10 THEN 2 WHEN 11 THEN 3
+                    WHEN 12 THEN 3 WHEN 13 THEN 3 WHEN 14 THEN 4
+                    ELSE 4 END AS sl1,
+               CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                    WHEN 3 THEN 3 WHEN 4 THEN 0 WHEN 5 THEN 1
+                    WHEN 6 THEN 2 WHEN 7 THEN 3 WHEN 8 THEN 1
+                    WHEN 9 THEN 2 WHEN 10 THEN 3 WHEN 11 THEN 1
+                    WHEN 12 THEN 2 WHEN 13 THEN 3 WHEN 14 THEN 2
+                    ELSE 3 END AS sl2
+        FROM g
+      )
+    )
+    SELECT sf.doc_id,
+           CAST(MAX(sf.n_frames) AS BIGINT) AS n_frames,
+           CAST(0 AS BIGINT) AS max_reservoir,
+           CAST(SUM(sf.n_frames * sf.sf_sum) AS BIGINT) AS sum_scalefac,
+           CAST(SUM(sf.n_frames * bva.nbv) AS BIGINT) AS n_pairs,
+           CAST(SUM(sf.n_frames * bva.bv_abs) AS BIGINT) AS sum_bv_abs,
+           CAST(SUM(sf.n_frames * bva.bv_signed) AS BIGINT)
+             AS sum_bv_signed,
+           CAST(SUM(sf.n_frames * qd.nq) AS BIGINT) AS n_quads,
+           CAST(SUM(sf.n_frames * qd.quad_abs) AS BIGINT)
+             AS sum_quad_abs,
+           CAST(SUM(sf.n_frames * qd.quad_signed) AS BIGINT)
+             AS sum_quad_signed
+    FROM sf
+    JOIN bva ON sf.doc_id = bva.doc_id AND sf.g = bva.g
+    JOIN qd ON sf.doc_id = qd.doc_id AND sf.g = qd.g
+    GROUP BY sf.doc_id
+    ORDER BY sf.doc_id
+    """,
+)
+def multimodal_mp3_mixed_block_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MP3 MIXED-block decode (ISO 11172-3 2.4.2.7, block_type 2 with
+    mixed_block_flag set): the lowest two subbands stay long-window —
+    the scalefactor part2 is 8 LONG bands plus short bands 3-5 at
+    slen1 and short 6-11 at slen2, the 17*slen1 + 18*slen2 layout —
+    while the spectrum above still switches windows.  The entropy
+    region reuses the wswitch fixture's closed forms (two different
+    Huffman tables at the implied 36-sample boundary), so this query
+    isolates exactly the partition change: a decoder applying the
+    pure-short 18/18 (or long 11/10) split mis-slices part2 and
+    desyncs every downstream field.  This closes the MP3 scalefactor
+    partition matrix (long / short / mixed, with scfsi on the long
+    pairs).  Reference scope note: the reference delegates all media
+    handling to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_mx
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_maindata(synthesize_mp3_mx(docs)).orderBy("doc_id")
 
 
 @query(
