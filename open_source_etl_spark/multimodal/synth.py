@@ -317,6 +317,233 @@ def _jpeg_encode(
     )
 
 
+# Progressive-scan AC Huffman table: every symbol the 6-scan script can
+# emit, all at code length 5 (22 of 32 slots used — a legal incomplete
+# canonical table).  s=0 rows 0-4 are EOBRUN magnitudes (runs up to 31
+# blocks), s=1 rows 0-15 the run/newly-nonzero codes, 0xF0 is ZRL.
+JPEG_PROG_AC_SYMBOLS = bytes(
+    [0x00, 0x10, 0x20, 0x30, 0x40]
+    + [(r << 4) | 1 for r in range(16)]
+    + [0xF0]
+)
+JPEG_PROG_AC_COUNTS = bytes([0, 0, 0, 0, len(JPEG_PROG_AC_SYMBOLS)] + [0] * 11)
+
+
+def jpeg_prog_params(doc_id: int) -> tuple[int, int, int]:
+    """(blocks_x, blocks_y, base) for the progressive-JPEG fixture."""
+    return 2 + doc_id % 4, 2 + doc_id % 3, 40 + doc_id % 150
+
+
+def jpeg_prog_coefs(doc_id: int, k: int) -> list[int]:
+    """Block k's 64 QUANTIZED coefficients in zigzag order (closed
+    forms): DC = base + k - 128, one low-band AC at zigzag 1-5 with
+    value in [-3, 3], one high-band AC at zigzag 6-63 with value in
+    [-2, 2] — magnitudes that exercise both the newly-nonzero (|v| = 1)
+    and the correction-bit (|v| >= 2) paths of the successive-
+    approximation refinement scans."""
+    _bx, _by, base = jpeg_prog_params(doc_id)
+    coef = [0] * 64
+    coef[0] = base + k - 128
+    coef[1 + (doc_id + k) % 5] = ((doc_id + 2 * k) % 7) - 3
+    coef[6 + (doc_id + 3 * k) % 58] = ((doc_id + 5 * k) % 5) - 2
+    return coef
+
+
+def _jpeg_prog_ac_first(
+    w: "_BitWriter", ac_codes: dict, blocks: list, ss: int, se: int, al: int
+) -> None:
+    """One AC spectral-selection scan at successive-approximation bit
+    position ``al`` (ISO/IEC 10918-1 G.1.2.2): point-transformed
+    values, run/size coding, ZRL, and EOBRUN accumulation across
+    all-zero bands."""
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            w.write(code, length)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for coef in blocks:
+        vals = []
+        for k in range(ss, se + 1):
+            v = coef[k]
+            t = abs(v) >> al
+            vals.append(t if v >= 0 else -t)
+        if not any(vals):
+            eobrun += 1
+            continue
+        flush_eobrun()
+        run = 0
+        for t in vals:
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                run -= 16
+            s = abs(t).bit_length()
+            code, length = ac_codes[(run << 4) | s]
+            w.write(code, length)
+            bits = t if t >= 0 else t + (1 << s) - 1
+            w.write(bits & ((1 << s) - 1), s)
+            run = 0
+        if run:
+            eobrun += 1
+    flush_eobrun()
+
+
+def _jpeg_prog_ac_refine(
+    w: "_BitWriter", ac_codes: dict, blocks: list, ss: int, se: int, al: int
+) -> None:
+    """One AC refinement scan (G.1.2.3): newly-nonzero coefficients
+    (|v| >> al == 1) as run/sign codes over ZERO-HISTORY positions,
+    correction bits for already-nonzero coefficients interleaved after
+    the symbol they precede, and EOBRUN with its buffered correction
+    bits — the exact interleave the Annex-G decoder consumes."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            w.write(code, length)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            for b in pending:
+                w.write(b, 1)
+            pending.clear()
+            eobrun = 0
+
+    for coef in blocks:
+        temp = [abs(coef[k]) >> al for k in range(ss, se + 1)]
+        signs = [coef[k] >= 0 for k in range(ss, se + 1)]
+        if not any(t == 1 for t in temp):
+            # no newly-nonzero coefficient: the whole band joins the
+            # EOB run; already-nonzero coefs still owe correction bits
+            pending.extend(t & 1 for t in temp if t > 1)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        br: list[int] = []
+        for t, pos in zip(temp, signs):
+            if t == 0:
+                run += 1
+                continue
+            if t > 1:
+                br.append(t & 1)
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                for b in br:
+                    w.write(b, 1)
+                br = []
+                run -= 16
+            code, length = ac_codes[(run << 4) | 1]
+            w.write(code, length)
+            w.write(1 if pos else 0, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            run = 0
+        if run or br:
+            pending.extend(br)
+            eobrun += 1
+    flush_eobrun()
+
+
+def make_jpeg_prog_bytes(doc_id: int) -> bytes:
+    """Real PROGRESSIVE JPEG (ISO/IEC 10918-1 Annex G): SOF2, then the
+    6-scan script libjpeg-shaped encoders emit — DC first at
+    successive-approximation position 1 (diff coding of the
+    arithmetic-shifted DCs), AC first for bands 1-5 and 6-63 at
+    position 1 (point transform toward zero, EOBRUN across all-zero
+    bands), DC refinement (one raw bit per block), and AC refinement
+    for both bands (newly-nonzero run/sign codes over zero-history
+    positions with correction bits interleaved, EOBRUN carrying its
+    buffered correction bits).  Coefficient transmission is exact: the
+    final per-block coefficients equal ``jpeg_prog_coefs`` regardless
+    of the scan script, which is what the oracle pins."""
+    bx, by, _base = jpeg_prog_params(doc_id)
+    blocks = [jpeg_prog_coefs(doc_id, k) for k in range(bx * by)]
+    width, height = 8 * bx, 8 * by
+
+    quant = bytearray(64)
+    quant[0] = 8
+    for i in range(1, 64):
+        quant[i] = 16
+
+    dc_codes = _canonical_codes(JPEG_DC_COUNTS, JPEG_DC_SYMBOLS)
+    ac_codes = _canonical_codes(JPEG_PROG_AC_COUNTS, JPEG_PROG_AC_SYMBOLS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(ss: int, se: int, ah: int, al: int, td: int, ta: int) -> bytes:
+        return seg(
+            0xFFDA, bytes([1, 1, (td << 4) | ta, ss, se, (ah << 4) | al])
+        )
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xFFDB, bytes([0x00]) + bytes(quant))
+    out += seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += seg(0xFFC4, bytes([0x00]) + JPEG_DC_COUNTS + JPEG_DC_SYMBOLS)
+    out += seg(
+        0xFFC4, bytes([0x10]) + JPEG_PROG_AC_COUNTS + JPEG_PROG_AC_SYMBOLS
+    )
+
+    # scan 1: DC first, Al = 1 (arithmetic shift per G.1.2.1)
+    w = _BitWriter()
+    pred = 0
+    for coef in blocks:
+        pt = coef[0] >> 1
+        diff = pt - pred
+        pred = pt
+        size = abs(diff).bit_length()
+        code, length = dc_codes[size]
+        w.write(code, length)
+        if size:
+            bits = diff if diff >= 0 else diff + (1 << size) - 1
+            w.write(bits & ((1 << size) - 1), size)
+    out += sos(0, 0, 0, 1, 0, 0) + w.flush()
+
+    # scans 2-3: AC first per band, Al = 1
+    for ss, se in ((1, 5), (6, 63)):
+        w = _BitWriter()
+        _jpeg_prog_ac_first(w, ac_codes, blocks, ss, se, 1)
+        out += sos(ss, se, 0, 1, 0, 0) + w.flush()
+
+    # scan 4: DC refinement — one raw bit per block
+    w = _BitWriter()
+    for coef in blocks:
+        w.write(coef[0] & 1, 1)
+    out += sos(0, 0, 1, 0, 0, 0) + w.flush()
+
+    # scans 5-6: AC refinement per band
+    for ss, se in ((1, 5), (6, 63)):
+        w = _BitWriter()
+        _jpeg_prog_ac_refine(w, ac_codes, blocks, ss, se, 0)
+        out += sos(ss, se, 1, 0, 0, 0) + w.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def gif_params(doc_id: int) -> tuple[int, int]:
     """(width, height) for the 4-color gradient GIF fixture.  Pixel
     (x, y) carries palette index (x + y + doc_id) % 4; palette entry i

@@ -673,3 +673,90 @@ def behavior_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "behavior_event_regex",
+    # Parity note: both engines count non-overlapping matches of the
+    # same patterns over the same journey string.  The patterns are
+    # chosen UNAMBIGUOUS — in S[CV]*P the [CV]* run can never absorb
+    # the terminating P, and E{2,}'s maximal-run matches are unique —
+    # so Java regex (leftmost-greedy) and RE2 (leftmost-longest) agree
+    # on every match; an ambiguous pattern would not be
+    # engine-portable.
+    oracle="""
+    WITH j AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             string_agg(upper(substr(event_type, 1, 1)), ''
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS journey
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(journey, 'S[CV]*P'))
+                AS BIGINT) AS n_conversions,
+           CAST(COALESCE(list_sum(list_transform(
+                  regexp_extract_all(journey, 'S[CV]*P'),
+                  m -> len(m))), 0) AS BIGINT) AS conversion_chars,
+           CAST(len(regexp_extract_all(journey, 'E{2,}'))
+                AS BIGINT) AS n_error_bursts
+    FROM j
+    ORDER BY user_id
+    """,
+)
+def behavior_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern matching (the MATCH_RECOGNIZE /
+    Flink-CEP shape) as one shuffle + vectorized regex: each user's
+    timeline becomes a journey string — one character per event, in
+    (ts, event_id) order — and sequence patterns become regular
+    expressions evaluated JVM-side per user.  Measured here: completed
+    conversions ``S[CV]*P`` (signup, any browsing, purchase —
+    non-overlapping) with the total characters those funnels span, and
+    error bursts ``E{2,}``.  Patterns are restricted to unambiguous
+    regexes so leftmost-greedy and leftmost-longest engines provably
+    agree (see oracle note).
+
+    100 TB posture: one hash shuffle on user_id (same key the
+    sessionizer uses), then per-user state is a bounded string and the
+    regex scan is linear — no window re-sort per pattern, and adding a
+    pattern is one more column, not another shuffle.  A timeline too
+    long for one string would page through
+    ``applyInPandasWithState`` — the streaming twin is
+    ``stream_transform_with_state``."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    journeys = (
+        ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")),
+                    lambda e: F.upper(F.substring(e["event_type"], 1, 1)),
+                ),
+                "",
+            ).alias("journey"),
+        )
+    )
+    conv = r"S[CV]*P"
+    return journeys.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("journey", F.lit(conv)).cast("bigint").alias(
+            "n_conversions"
+        ),
+        F.aggregate(
+            F.regexp_extract_all("journey", F.lit(conv), F.lit(0)),
+            F.lit(0).cast("bigint"),
+            lambda acc, m: acc + F.length(m),
+        ).alias("conversion_chars"),
+        F.regexp_count("journey", F.lit(r"E{2,}")).cast("bigint").alias(
+            "n_error_bursts"
+        ),
+    ).orderBy("user_id")

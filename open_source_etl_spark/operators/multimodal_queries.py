@@ -795,6 +795,78 @@ def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_progressive_decode",
+    # formulas mirror synth.jpeg_prog_params / jpeg_prog_coefs: block k
+    # carries quantized DC = base + k - 128, a low-band AC of value
+    # (doc + 2k) % 7 - 3 and a high-band AC of (doc + 5k) % 5 - 2 (at
+    # disjoint zigzag positions, so sums never collide).  The 6-scan
+    # progressive transmission itself — successive approximation,
+    # spectral bands, EOBRUN, refinement correction bits — has no
+    # closed form: Spark must run the Annex-G state machine across all
+    # six scans to reconstruct these exact coefficients.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             2 + doc_id % 4 AS bx,
+             2 + doc_id % 3 AS by,
+             40 + doc_id % 150 AS base
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, bx, by, base, kk.k AS k,
+             base + kk.k - 128 AS dc,
+             (doc_id + 2 * kk.k) % 7 - 3 AS v1,
+             (doc_id + 5 * kk.k) % 5 - 2 AS v2
+      FROM p, LATERAL (SELECT unnest(range(0, bx * by)) AS k) kk
+    )
+    SELECT doc_id,
+           CAST(MAX(bx) * 8 AS BIGINT) AS width,
+           CAST(MAX(by) * 8 AS BIGINT) AS height,
+           CAST(MAX(bx * by) AS BIGINT) AS n_blocks,
+           CAST(6 AS BIGINT) AS n_scans,
+           CAST(SUM(dc) AS BIGINT) AS sum_dc,
+           CAST(SUM(v1 + v2) AS BIGINT) AS sum_ac_signed,
+           CAST(SUM(abs(v1) + abs(v2)) AS BIGINT) AS sum_ac_abs,
+           CAST(SUM(CASE WHEN v1 = 0 THEN 0 ELSE 1 END
+                    + CASE WHEN v2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_nonzero_ac
+    FROM k
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_progressive_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive JPEG decode (ISO/IEC 10918-1 Annex G) — the
+    encoding most web JPEGs actually use, and the step past
+    ``multimodal_jpeg_decode``'s baseline-sequential scans: a 6-scan
+    script of DC first + refinement (successive approximation with the
+    arithmetic point transform) and per-band AC first + refinement
+    scans (spectral selection 1-5 / 6-63, EOBRUN across all-zero
+    bands, newly-nonzero run/sign codes over zero-history positions,
+    correction bits interleaved in position order and buffered through
+    EOBRUN).  Coefficient reconstruction is exact — the oracle pins
+    the final quantized coefficients, which only a decoder that
+    consumed every scan correctly can produce; progression legality
+    (refinement must continue its band's bit position, DC-only scans)
+    is enforced and violations raise.  Multi-component progressive
+    frames and restart markers inside progressive scans remain the
+    declared stubs.  Reference scope note: the reference delegates all
+    media handling to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_jpeg_progressive,
+        synthesize_jpeg_prog,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_jpeg_progressive(synthesize_jpeg_prog(docs)).orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "multimodal_mp3_maindata_decode",
     # formulas mirror synth.mp3_md_params / mp3_md_granule /
     # mp3_bv_pairs: CBR frames (bitrate index 7 + doc_id % 3 ->
