@@ -1161,6 +1161,239 @@ def jpeg_decode_progressive(
     )
 
 
+def jpeg_decode_color(
+    doc_id: int, raw: bytes
+) -> tuple[int, ...]:
+    """Decode one baseline-sequential COLOR JPEG (interleaved YCbCr
+    scan, ISO/IEC 10918-1 A.2.3) to (width, height, n_mcus, h, v,
+    n_units_y, sum_dc_y, sum_dc_cb, sum_dc_cr, sum_ac_y, sum_ac_cb,
+    sum_ac_cr) over the quantized coefficients.  Generic MCU
+    interleave: data units per MCU follow component order with h*v
+    luma units then one unit per chroma component, each component
+    running its own DC predictor, quantization table, and DC/AC
+    Huffman pair.  Partial-MCU image edges (width/height not MCU
+    multiples), sampling factors above 2, restart markers in
+    interleaved scans, and non-YCbCr component counts raise at the
+    declared boundary."""
+    import struct
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError(f"doc {doc_id}: missing SOI")
+    pos = 2
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    quant_ids: set[int] = set()
+    sof = None
+    comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
+    while pos < len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"doc {doc_id}: marker sync lost")
+        while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(raw):
+            raise ValueError(f"doc {doc_id}: truncated marker")
+        marker = raw[pos + 1]
+        if marker == 0xD9:
+            raise ValueError(f"doc {doc_id}: no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(raw):
+            raise ValueError(f"doc {doc_id}: truncated marker segment")
+        (seg_len,) = struct.unpack_from(">H", raw, pos + 2)
+        if pos + 2 + seg_len > len(raw):
+            raise ValueError(f"doc {doc_id}: segment runs past EOF")
+        data = raw[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            p = 0
+            while p < len(data):
+                if data[p] >> 4 != 0:
+                    raise ValueError(f"doc {doc_id}: 16-bit DQT")
+                quant_ids.add(data[p] & 15)
+                p += 65
+        elif marker == 0xC0:
+            precision, hh, ww, nc = struct.unpack_from(">BHHB", data, 0)
+            if precision != 8:
+                raise ValueError(f"doc {doc_id}: non-8-bit precision")
+            if nc != 3:
+                raise ValueError(
+                    f"doc {doc_id}: interleaved decode expects 3 "
+                    f"components, got {nc}"
+                )
+            for c in range(nc):
+                cid = data[6 + 3 * c]
+                hv = data[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, data[8 + 3 * c]))
+            sof = (ww, hh)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(f"doc {doc_id}: non-baseline SOF {marker:x}")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 15
+                counts = data[p + 1 : p + 17]
+                nsym = sum(counts)
+                symbols = data[p + 17 : p + 17 + nsym]
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
+                    counts, symbols
+                )
+                p += 17 + nsym
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "restart intervals in interleaved scans not implemented"
+            )
+        elif marker == 0xDA:
+            ns = data[0]
+            if ns != 3:
+                raise ValueError(
+                    f"doc {doc_id}: interleaved scan must carry all 3 "
+                    "components"
+                )
+            tables = {}
+            for c in range(ns):
+                cs = data[1 + 2 * c]
+                tables[cs] = (data[2 + 2 * c] >> 4, data[2 + 2 * c] & 15)
+            pos += 2 + seg_len
+            break
+        pos += 2 + seg_len
+    else:
+        raise ValueError(f"doc {doc_id}: no SOS marker")
+    if sof is None or not comps:
+        raise ValueError(f"doc {doc_id}: missing SOF before SOS")
+    width, height = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2 not implemented")
+    for _cid, _h, _v, tq in comps:
+        if tq not in quant_ids:
+            raise ValueError(f"doc {doc_id}: component quant table missing")
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise NotImplementedError(
+            "partial-MCU image edges not implemented (exact MCU "
+            "multiples only)"
+        )
+    mx, my = width // (8 * hmax), height // (8 * vmax)
+    # de-stuff the single entropy segment
+    body = bytearray()
+    p = pos
+    while p < len(raw):
+        byte = raw[p]
+        if byte == 0xFF:
+            nxt = raw[p + 1] if p + 1 < len(raw) else None
+            if nxt == 0x00:
+                body.append(0xFF)
+                p += 2
+                continue
+            if nxt == 0xD9:
+                break
+            raise ValueError(f"doc {doc_id}: unexpected marker in scan")
+        body.append(byte)
+        p += 1
+    else:
+        raise ValueError(f"doc {doc_id}: missing EOI")
+    reader = _BitReader(bytes(body))
+    pred = {cid: 0 for cid, *_ in comps}
+    sum_dc = {cid: 0 for cid, *_ in comps}
+    sum_ac = {cid: 0 for cid, *_ in comps}
+    n_units = {cid: 0 for cid, *_ in comps}
+    for _m in range(mx * my):
+        for cid, ch, cv, _tq in comps:
+            td, ta = tables[cid]
+            dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
+            for _u in range(ch * cv):
+                size = reader.huff(dc_tab)
+                diff = _jpeg_extend(reader.bits(size), size)
+                pred[cid] += diff
+                sum_dc[cid] += pred[cid]
+                n_units[cid] += 1
+                k = 0
+                while k < 63:
+                    sym = reader.huff(ac_tab)
+                    if sym == 0x00:
+                        break
+                    run, s = sym >> 4, sym & 15
+                    if sym == 0xF0:
+                        k += 16
+                        if k > 63:
+                            raise ValueError(
+                                f"doc {doc_id}: AC index overflow"
+                            )
+                        continue
+                    k += run + 1
+                    if k > 63:
+                        raise ValueError(f"doc {doc_id}: AC index overflow")
+                    sum_ac[cid] += _jpeg_extend(reader.bits(s), s)
+    y_id, cb_id, cr_id = (c[0] for c in comps)
+    yh, yv = comps[0][1], comps[0][2]
+    return (
+        width, height, mx * my, yh, yv, n_units[y_id],
+        sum_dc[y_id], sum_dc[cb_id], sum_dc[cr_id],
+        sum_ac[y_id], sum_ac[cb_id], sum_ac[cr_id],
+    )
+
+
+JPEG_COLOR_SCHEMA = (
+    "doc_id long, width long, height long, n_mcus long, samp_h long, "
+    "samp_v long, n_units_y long, sum_dc_y long, sum_dc_cb long, "
+    "sum_dc_cr long, sum_ac_y long, sum_ac_cb long, sum_ac_cr long"
+)
+
+
+def synthesize_jpeg_color(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with an interleaved YCbCr baseline JPEG
+    (``make_jpeg_color_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_jpeg_color_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_jpeg_color_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_jpeg_color(media_df: DataFrame) -> DataFrame:
+    """Distributed interleaved-YCbCr JPEG decode: the generic MCU
+    walker (``jpeg_decode_color``) as an Arrow kernel over binary
+    payload rows — per-row decode, no cross-row state."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "width", "height", "n_mcus", "samp_h", "samp_v",
+            "n_units_y", "sum_dc_y", "sum_dc_cb", "sum_dc_cr",
+            "sum_ac_y", "sum_ac_cb", "sum_ac_cr",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (
+                    int(doc_id),
+                    *jpeg_decode_color(int(doc_id), bytes(b)),
+                )
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, JPEG_COLOR_SCHEMA
+    )
+
+
 JPEG_PROG_SCHEMA = (
     "doc_id long, width long, height long, n_blocks long, n_scans long, "
     "sum_dc long, sum_ac_signed long, sum_ac_abs long, n_nonzero_ac long"

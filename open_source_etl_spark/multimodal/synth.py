@@ -544,6 +544,128 @@ def make_jpeg_prog_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def jpeg_color_mode(doc_id: int) -> tuple[int, int]:
+    """(h, v) luma sampling factors for the color-JPEG fixture: the
+    corpus cycles 4:2:0 (2,2), 4:2:2 (2,1), and 4:4:4 (1,1) — chroma
+    is always (1,1)."""
+    return ((2, 2), (2, 1), (1, 1))[doc_id % 3]
+
+
+def jpeg_color_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(h, v, mcus_x, mcus_y) for the color fixture; the image is an
+    exact MCU multiple (partial-MCU edges are the declared boundary)."""
+    h, v = jpeg_color_mode(doc_id)
+    return h, v, 1 + doc_id % 3, 1 + doc_id % 2
+
+
+def jpeg_color_dc(doc_id: int, comp: int, j: int) -> int:
+    """Quantized DC of component ``comp`` (0 = Y, 1 = Cb, 2 = Cr) data
+    unit j, in MCU-interleaved order — closed forms a SQL oracle
+    restates."""
+    if comp == 0:
+        return ((doc_id * 3 + 7 * j) % 240) - 120
+    if comp == 1:
+        return ((doc_id * 5 + 11 * j) % 200) - 100
+    return ((doc_id * 7 + 13 * j) % 180) - 90
+
+
+def jpeg_color_ac(doc_id: int, comp: int, j: int) -> tuple[int, int]:
+    """(zigzag_position, value) of the single AC coefficient in that
+    data unit; value is ±1 so the run/size AC path does real work while
+    signed sums stay closed-form."""
+    pos = 1 + (doc_id + (comp + 1) * j) % 63
+    val = 1 if (doc_id + comp + j) % 2 == 0 else -1
+    return pos, val
+
+
+def make_jpeg_color_bytes(doc_id: int) -> bytes:
+    """Real baseline-sequential COLOR JPEG (ISO/IEC 10918-1 A.2.3):
+    three components (YCbCr ids 1/2/3), luma sampling cycling
+    4:2:0 / 4:2:2 / 4:4:4, TWO quantization tables and TWO DC/AC
+    Huffman table pairs (luma 0, chroma 1 — the layout real encoders
+    emit), and one interleaved scan whose MCUs carry h*v luma data
+    units then Cb then Cr, each component running its OWN DC
+    predictor.  Every data unit is one DC (category/extend diff
+    coding) plus one ±1 AC at a closed-form zigzag position (run/size
+    coding + EOB)."""
+    h, v, mx, my = jpeg_color_params(doc_id)
+    width, height = 8 * h * mx, 8 * v * my
+
+    quant = bytearray(64)
+    quant[0] = 8
+    for i in range(1, 64):
+        quant[i] = 16
+
+    dc_codes = _canonical_codes(JPEG_DC_COUNTS, JPEG_DC_SYMBOLS)
+    ac_codes = _canonical_codes(JPEG_PROG_AC_COUNTS, JPEG_PROG_AC_SYMBOLS)
+
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    counts = [0, 0, 0]  # data units emitted so far, per component
+
+    def unit(comp: int) -> None:
+        j = counts[comp]
+        counts[comp] += 1
+        dc = jpeg_color_dc(doc_id, comp, j)
+        diff = dc - pred[comp]
+        pred[comp] = dc
+        size = abs(diff).bit_length()
+        code, length = dc_codes[size]
+        w.write(code, length)
+        if size:
+            bits = diff if diff >= 0 else diff + (1 << size) - 1
+            w.write(bits & ((1 << size) - 1), size)
+        pos, val = jpeg_color_ac(doc_id, comp, j)
+        run = pos - 1
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            w.write(code, length)
+            run -= 16
+        code, length = ac_codes[(run << 4) | 1]
+        w.write(code, length)
+        w.write(1 if val > 0 else 0, 1)
+        if pos < 63:
+            code, length = ac_codes[0x00]  # EOB
+            w.write(code, length)
+
+    for _m in range(mx * my):
+        for _ in range(h * v):
+            unit(0)
+        unit(1)
+        unit(2)
+    scan = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0x00]) + bytes(quant))
+        + seg(0xFFDB, bytes([0x01]) + bytes(quant))
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + bytes([1, (h << 4) | v, 0])   # Y: table 0
+            + bytes([2, 0x11, 1])           # Cb: table 1
+            + bytes([3, 0x11, 1]),          # Cr: table 1
+        )
+        + seg(0xFFC4, bytes([0x00]) + JPEG_DC_COUNTS + JPEG_DC_SYMBOLS)
+        + seg(
+            0xFFC4, bytes([0x10]) + JPEG_PROG_AC_COUNTS + JPEG_PROG_AC_SYMBOLS
+        )
+        + seg(0xFFC4, bytes([0x01]) + JPEG_DC_COUNTS + JPEG_DC_SYMBOLS)
+        + seg(
+            0xFFC4, bytes([0x11]) + JPEG_PROG_AC_COUNTS + JPEG_PROG_AC_SYMBOLS
+        )
+        + seg(
+            0xFFDA,
+            bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+        )
+        + scan
+        + b"\xff\xd9"
+    )
+
+
 def gif_params(doc_id: int) -> tuple[int, int]:
     """(width, height) for the 4-color gradient GIF fixture.  Pixel
     (x, y) carries palette index (x + y + doc_id) % 4; palette entry i

@@ -867,6 +867,86 @@ def multimodal_jpeg_progressive_decode(
 
 
 @query(
+    "multimodal_jpeg_color_decode",
+    # formulas mirror synth.jpeg_color_params / jpeg_color_dc /
+    # jpeg_color_ac: luma sampling cycles 4:2:0/4:2:2/4:4:4 by doc % 3,
+    # the image is (1 + doc % 3) x (1 + doc % 2) MCUs, Y data unit j
+    # carries DC (doc*3 + 7j) % 240 - 120 and a ±1 AC by (doc + j)
+    # parity, Cb/Cr one unit per MCU with their own DC/AC forms.  The
+    # interleaved entropy scan — per-component DC predictors and
+    # Huffman pairs woven through every MCU — has no closed form;
+    # Spark must walk it to land ANY of these per-component sums.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 1 END AS h,
+             CASE doc_id % 3 WHEN 0 THEN 2 ELSE 1 END AS v,
+             1 + doc_id % 3 AS mx,
+             1 + doc_id % 2 AS my
+      FROM documents
+    ),
+    y AS (
+      SELECT doc_id,
+             SUM((doc_id * 3 + 7 * jj.j) % 240 - 120) AS sum_dc_y,
+             SUM(CASE WHEN (doc_id + jj.j) % 2 = 0 THEN 1 ELSE -1 END)
+               AS sum_ac_y
+      FROM p, LATERAL (SELECT unnest(range(0, mx * my * h * v)) AS j) jj
+      GROUP BY doc_id
+    ),
+    c AS (
+      SELECT doc_id,
+             SUM((doc_id * 5 + 11 * jj.j) % 200 - 100) AS sum_dc_cb,
+             SUM((doc_id * 7 + 13 * jj.j) % 180 - 90) AS sum_dc_cr,
+             SUM(CASE WHEN (doc_id + 1 + jj.j) % 2 = 0 THEN 1 ELSE -1
+                 END) AS sum_ac_cb,
+             SUM(CASE WHEN (doc_id + jj.j) % 2 = 0 THEN 1 ELSE -1 END)
+               AS sum_ac_cr
+      FROM p, LATERAL (SELECT unnest(range(0, mx * my)) AS j) jj
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(8 * h * mx AS BIGINT) AS width,
+           CAST(8 * v * my AS BIGINT) AS height,
+           CAST(mx * my AS BIGINT) AS n_mcus,
+           CAST(h AS BIGINT) AS samp_h,
+           CAST(v AS BIGINT) AS samp_v,
+           CAST(mx * my * h * v AS BIGINT) AS n_units_y,
+           CAST(sum_dc_y AS BIGINT) AS sum_dc_y,
+           CAST(sum_dc_cb AS BIGINT) AS sum_dc_cb,
+           CAST(sum_dc_cr AS BIGINT) AS sum_dc_cr,
+           CAST(sum_ac_y AS BIGINT) AS sum_ac_y,
+           CAST(sum_ac_cb AS BIGINT) AS sum_ac_cb,
+           CAST(sum_ac_cr AS BIGINT) AS sum_ac_cr
+    FROM p JOIN y ON p.doc_id = y.doc_id JOIN c ON p.doc_id = c.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_jpeg_color_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL interleaved-YCbCr baseline JPEG decode (ISO/IEC 10918-1
+    A.2.3) — the other half of real-world JPEG beside
+    ``multimodal_jpeg_progressive_decode``: three components with luma
+    subsampling cycling 4:2:0 / 4:2:2 / 4:4:4, two quantization tables
+    and two DC/AC Huffman pairs (luma/chroma), and ONE entropy scan
+    whose MCUs interleave h*v luma data units with Cb and Cr — each
+    component running its own DC predictor, so a decoder that
+    mis-walks the MCU structure scrambles every component's sums.
+    Partial-MCU edges, sampling factors above 2, and restart intervals
+    in interleaved scans raise at the declared boundary.  Reference
+    scope note: the reference delegates all media handling to its
+    warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_jpeg_color,
+        synthesize_jpeg_color,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_jpeg_color(synthesize_jpeg_color(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_mp3_maindata_decode",
     # formulas mirror synth.mp3_md_params / mp3_md_granule /
     # mp3_bv_pairs: CBR frames (bitrate index 7 + doc_id % 3 ->
