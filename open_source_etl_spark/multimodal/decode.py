@@ -2628,6 +2628,296 @@ def _parse_ipcm_slice(
     return idr_pic_id, first_mb, mb_sums
 
 
+# ITU-T H.264 Table 9-5, coeff_token column for 0 <= nC < 2:
+# (code_length, code) -> (TotalCoeff, TrailingOnes).  Clean-room
+# transcription machine-validated the same way as the MP3 B.7 tables
+# (tests/test_multimodal.py): 62 entries, prefix-free, no duplicates,
+# Kraft sum 1 - 2^-15 (the column is incomplete by exactly one 15-bit
+# slot by construction).  The 2 <= nC < 4 and 4 <= nC < 8 columns
+# failed transcription validation and stay behind the declared stub;
+# nC >= 8 is the spec's 6-bit FLC and carries no table data.
+H264_COEFF_TOKEN_NC0: dict[tuple[int, int], tuple[int, int]] = {
+    (len(s), int(s, 2)): tc_t1
+    for tc_t1, s in {
+        (0, 0): "1",
+        (1, 0): "000101", (1, 1): "01",
+        (2, 0): "00000111", (2, 1): "000100", (2, 2): "001",
+        (3, 0): "000000111", (3, 1): "00000110", (3, 2): "0000101",
+        (3, 3): "00011",
+        (4, 0): "0000000111", (4, 1): "000000110", (4, 2): "00000101",
+        (4, 3): "000011",
+        (5, 0): "00000000111", (5, 1): "0000000110", (5, 2): "000000101",
+        (5, 3): "0000100",
+        (6, 0): "0000000001111", (6, 1): "00000000110",
+        (6, 2): "0000000101", (6, 3): "00000100",
+        (7, 0): "0000000001011", (7, 1): "0000000001110",
+        (7, 2): "00000000101", (7, 3): "000000100",
+        (8, 0): "0000000001000", (8, 1): "0000000001010",
+        (8, 2): "0000000001101", (8, 3): "0000000100",
+        (9, 0): "00000000001111", (9, 1): "00000000001110",
+        (9, 2): "0000000001001", (9, 3): "00000000100",
+        (10, 0): "00000000001011", (10, 1): "00000000001010",
+        (10, 2): "00000000001101", (10, 3): "0000000001100",
+        (11, 0): "000000000001111", (11, 1): "000000000001110",
+        (11, 2): "00000000001001", (11, 3): "00000000001100",
+        (12, 0): "000000000001011", (12, 1): "000000000001010",
+        (12, 2): "000000000001101", (12, 3): "00000000001000",
+        (13, 0): "0000000000001111", (13, 1): "000000000000001",
+        (13, 2): "000000000001001", (13, 3): "000000000001100",
+        (14, 0): "0000000000001011", (14, 1): "0000000000001110",
+        (14, 2): "0000000000001101", (14, 3): "000000000001000",
+        (15, 0): "0000000000000111", (15, 1): "0000000000001010",
+        (15, 2): "0000000000001001", (15, 3): "0000000000001100",
+        (16, 0): "0000000000000100", (16, 1): "0000000000000110",
+        (16, 2): "0000000000000101", (16, 3): "0000000000001000",
+    }.items()
+}
+
+
+def _cavlc_residual(
+    reader: "_H264BitReader", n_c: int, max_coeff: int, doc_id: int
+) -> list[int]:
+    """One residual_block_cavlc (ITU-T H.264 9.2) restricted to FULL
+    blocks: coeff_token through the nC dispatch (the validated nC < 2
+    table, or the 6-bit FLC for nC >= 8; 2 <= nC < 8 raises the
+    declared missing-table stub), TrailingOnes sign bits, and the
+    suffix-length-adaptive level decode including escape prefixes.
+    TotalCoeff < maxNumCoeff would need total_zeros (Table 9-7) and
+    run_before (Table 9-10), whose transcriptions are not shipped —
+    such a block raises at that exact boundary."""
+    if n_c >= 8:
+        code = reader.u(6)
+        if code == 0b000011:
+            total, t1 = 0, 0
+        else:
+            total, t1 = (code >> 2) + 1, code & 3
+    elif n_c < 2:
+        length = code = 0
+        while True:
+            code = (code << 1) | reader.u(1)
+            length += 1
+            hit = H264_COEFF_TOKEN_NC0.get((length, code))
+            if hit is not None:
+                total, t1 = hit
+                break
+            if length >= 16:
+                raise ValueError(
+                    f"doc {doc_id}: invalid coeff_token code"
+                )
+    else:
+        raise NotImplementedError(
+            f"coeff_token VLC table for nC = {n_c} not shipped "
+            "(validated transcriptions exist for nC < 2 and the "
+            "nC >= 8 FLC only)"
+        )
+    if t1 > total or total > max_coeff:
+        raise ValueError(
+            f"doc {doc_id}: coeff_token ({total},{t1}) out of range"
+        )
+    if total != max_coeff:
+        raise NotImplementedError(
+            "partial blocks need total_zeros/run_before (Tables "
+            "9-7/9-10) — not shipped; this decoder handles full "
+            "blocks (TotalCoeff = maxNumCoeff)"
+        )
+    levels = []
+    for _ in range(t1):
+        levels.append(-1 if reader.u(1) else 1)
+    suffix_len = 1 if total > 10 and t1 < 3 else 0
+    for i in range(t1, total):
+        prefix = 0
+        while reader.u(1) == 0:
+            prefix += 1
+            if prefix > 32:
+                raise ValueError(f"doc {doc_id}: level_prefix overflow")
+        if prefix == 14 and suffix_len == 0:
+            suffix_size = 4
+        elif prefix >= 15:
+            suffix_size = prefix - 3
+        else:
+            suffix_size = suffix_len
+        level_code = min(15, prefix) << suffix_len
+        if suffix_size:
+            level_code += reader.u(suffix_size)
+        if prefix >= 15 and suffix_len == 0:
+            level_code += 15
+        if prefix >= 16:
+            level_code += (1 << (prefix - 3)) - 4096
+        if i == t1 and t1 < 3:
+            level_code += 2
+        if level_code % 2 == 0:
+            level = (level_code + 2) >> 1
+        else:
+            level = -((level_code + 1) >> 1)
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    return levels
+
+
+def decode_h264_cavlc(media_df: DataFrame) -> DataFrame:
+    """REAL CAVLC-entropy H.264 decode (ITU-T H.264 9.2) — the layer
+    the I_PCM and motion fixtures bypass: every IDR slice carries
+    Intra_16x16 macroblocks (mb_type 15: DC prediction,
+    CodedBlockPatternLuma 15) whose Intra16x16DCLevel and sixteen
+    Intra16x16ACLevel blocks are context-adaptive variable-length
+    coded.  The decoder re-derives each block's nC from neighbor
+    4x4 nonzero counts (in-MB or adjacent-MB, picture edges
+    unavailable), dispatches coeff_token through the machine-validated
+    nC < 2 table or the nC >= 8 FLC, reads TrailingOnes signs, and
+    runs the suffix-length-adaptive level decode — emitting
+    coefficient-domain sums only a correct walk can land.  Declared
+    stubs: coeff_token columns for 2 <= nC < 8, partial blocks
+    (total_zeros/run_before tables), non-I_16x16 entropy-coded
+    macroblocks, and CABAC."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            sps = pps = None
+            n_frames = 0
+            n_mb_total = 0
+            sum_dc = sum_dc_abs = sum_ac = sum_ac_abs = n_t1 = 0
+            for unit in h264_split_nals(doc_id, raw):
+                nal_type = unit[0] & 0x1F
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                    if pps[0] != 0:
+                        raise NotImplementedError(
+                            "CABAC slice data not implemented"
+                        )
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    mb_w = sps["width"] // 16
+                    n_mbs = mb_w * (sps["height"] // 16)
+                    r = _H264BitReader(rbsp, doc_id)
+                    if r.ue() != 0:
+                        raise ValueError(
+                            f"doc {doc_id}: multi-slice CAVLC picture"
+                        )
+                    if r.ue() != 7:
+                        raise ValueError(f"doc {doc_id}: non-I slice")
+                    r.ue()  # pps id
+                    r.u(sps["frame_num_bits"])
+                    idr_pic_id = r.ue()
+                    if idr_pic_id != n_frames:
+                        raise ValueError(
+                            f"doc {doc_id}: idr_pic_id out of order"
+                        )
+                    r.u(2)  # dec_ref_pic_marking flags
+                    r.se()  # slice_qp_delta
+                    for m in range(n_mbs):
+                        mb_type = r.ue()
+                        if mb_type != 15:
+                            raise NotImplementedError(
+                                f"entropy-coded mb_type {mb_type} not "
+                                "implemented (Intra_16x16 DC/cbp15 "
+                                "only)"
+                            )
+                        if r.ue() > 3:
+                            raise ValueError(
+                                f"doc {doc_id}: bad chroma pred mode"
+                            )
+                        r.se()  # mb_qp_delta
+
+                        def n_c(blk: int) -> int:
+                            zx = ((blk >> 2) & 1) * 2 + (blk & 1)
+                            zy = ((blk >> 3) & 1) * 2 + ((blk >> 1) & 1)
+                            has_a = zx > 0 or m % mb_w > 0
+                            has_b = zy > 0 or m // mb_w > 0
+                            return 15 if has_a or has_b else 0
+
+                        dc = _cavlc_residual(r, n_c(0), 16, doc_id)
+                        sum_dc += sum(dc)
+                        sum_dc_abs += sum(abs(v) for v in dc)
+                        n_t1 += sum(1 for v in dc[:3] if abs(v) == 1)
+                        for blk in range(16):
+                            ac = _cavlc_residual(
+                                r, n_c(blk), 15, doc_id
+                            )
+                            sum_ac += sum(ac)
+                            sum_ac_abs += sum(abs(v) for v in ac)
+                            n_t1 += sum(
+                                1 for v in ac[:3] if abs(v) == 1
+                            )
+                        n_mb_total += 1
+                    # rbsp_trailing_bits: stop bit then zero padding
+                    if r.u(1) != 1:
+                        raise ValueError(
+                            f"doc {doc_id}: missing rbsp stop bit"
+                        )
+                    while r.pos % 8:
+                        if r.u(1):
+                            raise ValueError(
+                                f"doc {doc_id}: nonzero rbsp padding"
+                            )
+                    if r.pos != 8 * len(rbsp):
+                        raise ValueError(
+                            f"doc {doc_id}: slice carries trailing bytes"
+                        )
+                    n_frames += 1
+            if sps is None or n_frames == 0:
+                raise ValueError(f"doc {doc_id}: no CAVLC frames decoded")
+            return (
+                sps["width"], sps["height"], n_frames, n_mb_total,
+                sum_dc, sum_dc_abs, sum_ac, sum_ac_abs, n_t1,
+            )
+
+        cols = (
+            "doc_id", "width", "height", "n_frames", "n_mbs",
+            "sum_dc_signed", "sum_dc_abs", "sum_ac_signed",
+            "sum_ac_abs", "n_trailing_ones",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, width long, height long, n_frames long, "
+        "n_mbs long, sum_dc_signed long, sum_dc_abs long, "
+        "sum_ac_signed long, sum_ac_abs long, n_trailing_ones long",
+    )
+
+
+def synthesize_h264_cavlc(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a CAVLC-residual all-I_16x16 H.264
+    stream (``make_h264_cavlc_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_cavlc_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_cavlc_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 def decode_h264_ipcm(media_df: DataFrame) -> DataFrame:
     """REAL pixel-level H.264 decode for all-I_PCM streams: the NAL
     walk + SPS/PPS parses, then every IDR slice's macroblock layer —

@@ -1377,6 +1377,149 @@ def h264_ipcm_idr_rbsp(
     return b"".join(parts)
 
 
+def h264_cavlc_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, mb_w, mb_h) for the CAVLC-residual fixture."""
+    return 1 + doc_id % 3, 1 + doc_id % 2, 1 + (doc_id // 2) % 2
+
+
+def h264_cavlc_levels(doc_id: int, f: int, b: int, a: int) -> list[int]:
+    """Block ``a``'s coefficient levels in DECODE order (highest scan
+    position first) for macroblock ``b`` of frame ``f`` — a = 16 is
+    the Intra16x16 DC block (16 levels), a = 0..15 the AC blocks (15
+    levels each).  The first ``(doc+f+b+a) % 4`` levels are trailing
+    ±1s, the rest have magnitude 2-4 — every block is FULL (TotalCoeff
+    = maxNumCoeff), the shape under which total_zeros and run_before
+    are not coded at all (9.2.3: inferred zero), so the entire
+    entropy load sits on coeff_token and the suffix-adaptive level
+    codes."""
+    t = (doc_id + f + b + a) % 4
+    n = 16 if a == 16 else 15
+    out = []
+    for i in range(n):
+        mag = 1 if i < t else 2 + (doc_id + f + b + a + i) % 3
+        out.append(mag if (doc_id + f + b + a + i) % 2 == 0 else -mag)
+    return out
+
+
+def _cavlc_write_block(
+    w: "_H264BitWriter", levels: list[int], n_c: int,
+    coeff_token_enc: dict,
+) -> None:
+    """residual_block_cavlc encode (ITU-T H.264 9.2, full-block form):
+    coeff_token through the nC-selected code (the VLC table for
+    nC < 2, the 6-bit FLC for nC >= 8), TrailingOnes sign bits, then
+    the suffix-length-adaptive level codes."""
+    total = len(levels)
+    t1 = 0
+    while t1 < min(3, total) and abs(levels[t1]) == 1:
+        t1 += 1
+    if n_c >= 8:  # FLC: 4 bits TotalCoeff-1, 2 bits TrailingOnes
+        code = 0b000011 if total == 0 else ((total - 1) << 2) | t1
+        w.u(code, 6)
+    elif n_c < 2:
+        length, code = coeff_token_enc[(total, t1)]
+        w.u(code, length)
+    else:  # pragma: no cover - fixture never produces 2 <= nC < 8
+        raise ValueError(f"nC {n_c} needs an unshipped coeff_token table")
+    for i in range(t1):
+        w.u(1 if levels[i] < 0 else 0, 1)
+    suffix_len = 1 if total > 10 and t1 < 3 else 0
+    for i in range(t1, total):
+        v = levels[i]
+        level_code = 2 * (abs(v) - 1) + (0 if v > 0 else 1)
+        if i == t1 and t1 < 3:
+            level_code -= 2
+        if level_code < (15 << suffix_len) and not (
+            suffix_len == 0 and level_code >= 14
+        ):
+            prefix = level_code >> suffix_len
+            w.u(0, prefix)
+            w.u(1, 1)
+            if suffix_len:
+                w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+        else:  # pragma: no cover - fixture magnitudes never escape
+            raise ValueError("level escape codes not exercised")
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(v) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+
+
+def h264_cavlc_idr_rbsp(
+    doc_id: int, f: int, n_mbs: int, mb_w: int, coeff_token_enc: dict
+) -> bytes:
+    """One all-I_16x16 IDR slice RBSP with REAL CAVLC residuals: per
+    macroblock mb_type 15 (Intra_16x16, DC prediction,
+    CodedBlockPatternLuma 15 / Chroma 0), intra_chroma_pred_mode,
+    mb_qp_delta, then the Intra16x16DCLevel block and all 16
+    Intra16x16ACLevel blocks through ``_cavlc_write_block`` — with the
+    per-4x4 nzc neighbor bookkeeping that drives each block's nC
+    exactly as the decoder re-derives it."""
+    w = _H264BitWriter()
+    w.ue(0)        # first_mb_in_slice
+    w.ue(7)        # slice_type: I
+    w.ue(0)        # pic_parameter_set_id
+    w.u(0, 4)      # frame_num
+    w.ue(f)        # idr_pic_id
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)        # slice_qp_delta
+    # every decoded AC block carries nzc 15 in this fixture, so a
+    # block's nC is 15 whenever ANY neighbor is available ((nA+nB+1)>>1
+    # of two 15s, or the single available one) and 0 only at the
+    # picture's top-left 4x4 — the two regimes the decoder ships
+    # (nC < 2 VLC table and nC >= 8 FLC)
+
+    def n_c(mb: int, blk: int) -> int:
+        zx = ((blk >> 2) & 1) * 2 + (blk & 1)
+        zy = ((blk >> 3) & 1) * 2 + ((blk >> 1) & 1)
+        has_a = zx > 0 or mb % mb_w > 0
+        has_b = zy > 0 or mb // mb_w > 0
+        return 15 if has_a or has_b else 0
+
+    for m in range(n_mbs):
+        w.ue(15)   # mb_type: I_16x16, pred DC, cbp luma 15 chroma 0
+        w.ue(0)    # intra_chroma_pred_mode: DC
+        w.se(0)    # mb_qp_delta
+        _cavlc_write_block(
+            w, h264_cavlc_levels(doc_id, f, m, 16), n_c(m, 0),
+            coeff_token_enc,
+        )
+        for blk in range(16):
+            _cavlc_write_block(
+                w, h264_cavlc_levels(doc_id, f, m, blk), n_c(m, blk),
+                coeff_token_enc,
+            )
+    w.u(1, 1)  # rbsp_stop_one_bit
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    return w.to_bytes()
+
+
+def make_h264_cavlc_bytes(doc_id: int) -> bytes:
+    """REAL CAVLC-entropy H.264 Annex-B stream: every frame a
+    single-slice IDR of Intra_16x16 macroblocks whose residuals are
+    context-adaptive variable-length coded (ITU-T H.264 9.2) — the
+    entropy layer the I_PCM and inter fixtures bypass."""
+    from .decode import H264_COEFF_TOKEN_NC0
+
+    enc = {tv: lc for lc, tv in H264_COEFF_TOKEN_NC0.items()}
+    n_frames, mb_w, mb_h = h264_cavlc_params(doc_id)
+    units = [
+        _h264_nal(3, 7, _h264_sps_from_fields(66, 10, mb_w - 1, mb_h - 1), 0),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+    for f in range(n_frames):
+        units.append(
+            _h264_nal(
+                3, 5,
+                h264_cavlc_idr_rbsp(doc_id, f, mb_w * mb_h, mb_w, enc),
+                2 + f,
+            )
+        )
+    return b"".join(units)
+
+
 def h264_gop_params(doc_id: int) -> tuple[int, int, int, int]:
     """(n_gops, gop_len, mb_w, mb_h) for the inter-frame GOP fixture:
     each GOP is one all-I_PCM IDR picture followed by gop_len-1 all-

@@ -947,6 +947,93 @@ def multimodal_jpeg_color_decode(
 
 
 @query(
+    "multimodal_h264_cavlc_decode",
+    # formulas mirror synth.h264_cavlc_params / h264_cavlc_levels:
+    # 1 + doc % 3 single-slice IDR frames of (1 + doc % 2) x
+    # (1 + (doc//2) % 2) Intra_16x16 macroblocks; block a (16 = the
+    # DC block with 16 levels, 0-15 the AC blocks with 15) of
+    # macroblock b in frame f carries (doc+f+b+a) % 4 trailing ±1s
+    # then magnitudes 2 + (doc+f+b+a+i) % 3, signed by (doc+f+b+a+i)
+    # parity.  The CAVLC bitstream itself — coeff_token dispatch on
+    # re-derived neighbor nC, suffix-adaptive level codes — has no
+    # closed form; Spark must entropy-decode every block to land
+    # these sums.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 3 AS nf,
+             1 + doc_id % 2 AS mw,
+             1 + (doc_id // 2) % 2 AS mh
+      FROM documents
+    ),
+    lv AS (
+      SELECT p.doc_id, aa.a, ii.i,
+             (p.doc_id + ff.f + bb.b + aa.a) % 4 AS t,
+             CASE WHEN ii.i < (p.doc_id + ff.f + bb.b + aa.a) % 4
+                  THEN 1
+                  ELSE 2 + (p.doc_id + ff.f + bb.b + aa.a + ii.i) % 3
+             END AS mag,
+             CASE WHEN (p.doc_id + ff.f + bb.b + aa.a + ii.i) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM p,
+           LATERAL (SELECT unnest(range(0, nf)) AS f) ff,
+           LATERAL (SELECT unnest(range(0, mw * mh)) AS b) bb,
+           LATERAL (SELECT unnest(range(0, 17)) AS a) aa,
+           LATERAL (SELECT unnest(range(0,
+                     CASE WHEN aa.a = 16 THEN 16 ELSE 15 END)) AS i) ii
+    )
+    SELECT p.doc_id,
+           CAST(16 * mw AS BIGINT) AS width,
+           CAST(16 * mh AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * mw * mh AS BIGINT) AS n_mbs,
+           CAST(SUM(CASE WHEN a = 16 THEN mag * sgn ELSE 0 END)
+                AS BIGINT) AS sum_dc_signed,
+           CAST(SUM(CASE WHEN a = 16 THEN mag ELSE 0 END) AS BIGINT)
+             AS sum_dc_abs,
+           CAST(SUM(CASE WHEN a < 16 THEN mag * sgn ELSE 0 END)
+                AS BIGINT) AS sum_ac_signed,
+           CAST(SUM(CASE WHEN a < 16 THEN mag ELSE 0 END) AS BIGINT)
+             AS sum_ac_abs,
+           CAST(SUM(CASE WHEN i = 0 THEN t ELSE 0 END) AS BIGINT)
+             AS n_trailing_ones
+    FROM p JOIN lv ON p.doc_id = lv.doc_id
+    GROUP BY p.doc_id, nf, mw, mh
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_h264_cavlc_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL CAVLC entropy decode for H.264 I-slices (ITU-T H.264
+    9.2) — the layer every prior H.264 query bypassed (I_PCM carries
+    raw samples; the motion fixtures code no residuals): Intra_16x16
+    macroblocks whose DC and sixteen AC blocks are context-adaptive
+    variable-length coded, decoded through coeff_token dispatch on the
+    re-derived neighbor nC (the machine-validated nC < 2 table at the
+    picture's top-left block, the spec's 6-bit FLC at nC >= 8
+    everywhere else), TrailingOnes sign bits, and the suffix-length-
+    adaptive level decode with escape handling.  Fixture blocks are
+    FULL (TotalCoeff = maxNumCoeff), the spec shape under which
+    total_zeros and run_before are inferred rather than coded —
+    exactly where the shipped tables end.  Declared stubs:
+    coeff_token columns for 2 <= nC < 8 and the total_zeros /
+    run_before tables (transcriptions failed the validation gate that
+    admitted the nC < 2 column), partial blocks, non-I_16x16
+    entropy-coded macroblocks, and CABAC.  Reference scope note: the
+    reference delegates all media handling to its warehouse; this
+    query is part of the training-data-pipeline surface the brief
+    adds."""
+    from ..multimodal.decode import (
+        decode_h264_cavlc,
+        synthesize_h264_cavlc,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_cavlc(synthesize_h264_cavlc(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_mp3_maindata_decode",
     # formulas mirror synth.mp3_md_params / mp3_md_granule /
     # mp3_bv_pairs: CBR frames (bitrate index 7 + doc_id % 3 ->
