@@ -2674,6 +2674,25 @@ H264_COEFF_TOKEN_NC0: dict[tuple[int, int], tuple[int, int]] = {
 }
 
 
+# ITU-T H.264 Table 9-7, total_zeros column for TotalCoeff = 1:
+# (code_length, code) -> totalZeros.  Validated like the coeff_token
+# column: exactly the 16 legal values, prefix-free, Kraft 1 - 2^-9
+# (the all-zeros 9-bit slot is unused by construction).  Columns 2-14
+# failed transcription validation and stay behind the declared stub —
+# which bounds the shipped partial-block shapes to TotalCoeff = 1
+# (where run_before is never coded) and full blocks (where neither
+# total_zeros nor run_before is).
+H264_TOTAL_ZEROS_TC1: dict[tuple[int, int], int] = {
+    (len(s), int(s, 2)): tz
+    for tz, s in {
+        0: "1", 1: "011", 2: "010", 3: "0011", 4: "0010",
+        5: "00011", 6: "00010", 7: "000011", 8: "000010",
+        9: "0000011", 10: "0000010", 11: "00000011", 12: "00000010",
+        13: "000000011", 14: "000000010", 15: "000000001",
+    }.items()
+}
+
+
 def _cavlc_residual(
     reader: "_H264BitReader", n_c: int, max_coeff: int, doc_id: int
 ) -> list[int]:
@@ -2714,11 +2733,12 @@ def _cavlc_residual(
         raise ValueError(
             f"doc {doc_id}: coeff_token ({total},{t1}) out of range"
         )
-    if total != max_coeff:
+    if total not in (max_coeff, 1):
         raise NotImplementedError(
-            "partial blocks need total_zeros/run_before (Tables "
-            "9-7/9-10) — not shipped; this decoder handles full "
-            "blocks (TotalCoeff = maxNumCoeff)"
+            f"partial blocks with TotalCoeff = {total} need the "
+            "total_zeros/run_before columns (Tables 9-7/9-10) that "
+            "failed transcription validation; shipped shapes are full "
+            "blocks and single-coefficient blocks"
         )
     levels = []
     for _ in range(t1):
@@ -2754,6 +2774,25 @@ def _cavlc_residual(
             suffix_len = 1
         if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
             suffix_len += 1
+    if 0 < total < max_coeff:
+        # total_zeros (9.2.3): TotalCoeff = 1 is the one shipped
+        # column; its single coefficient leaves no run_before fields
+        length = code = 0
+        while True:
+            code = (code << 1) | reader.u(1)
+            length += 1
+            tz = H264_TOTAL_ZEROS_TC1.get((length, code))
+            if tz is not None:
+                break
+            if length >= 10:
+                raise ValueError(
+                    f"doc {doc_id}: invalid total_zeros code"
+                )
+        if tz > max_coeff - total:
+            raise ValueError(
+                f"doc {doc_id}: total_zeros {tz} exceeds the "
+                f"{max_coeff - total} available positions"
+            )
     return levels
 
 
@@ -2815,6 +2854,37 @@ def decode_h264_cavlc(media_df: DataFrame) -> DataFrame:
                         )
                     r.u(2)  # dec_ref_pic_marking flags
                     r.se()  # slice_qp_delta
+                    # per-picture 4x4 nonzero-count grid (9.2.1): each
+                    # decoded AC block's TotalCoeff feeds later blocks'
+                    # nC through the left/top neighbor average
+                    nzc: dict[tuple[int, int], int] = {}
+
+                    def zidx(zx: int, zy: int) -> int:
+                        return (
+                            ((zy & 2) << 2) | ((zx & 2) << 1)
+                            | ((zy & 1) << 1) | (zx & 1)
+                        )
+
+                    def n_c(m: int, blk: int) -> int:
+                        zx = ((blk >> 2) & 1) * 2 + (blk & 1)
+                        zy = ((blk >> 3) & 1) * 2 + ((blk >> 1) & 1)
+                        n_a = n_b = None
+                        if zx > 0:
+                            n_a = nzc[(m, zidx(zx - 1, zy))]
+                        elif m % mb_w > 0:
+                            n_a = nzc[(m - 1, zidx(3, zy))]
+                        if zy > 0:
+                            n_b = nzc[(m, zidx(zx, zy - 1))]
+                        elif m // mb_w > 0:
+                            n_b = nzc[(m - mb_w, zidx(zx, 3))]
+                        if n_a is not None and n_b is not None:
+                            return (n_a + n_b + 1) >> 1
+                        if n_a is not None:
+                            return n_a
+                        if n_b is not None:
+                            return n_b
+                        return 0
+
                     for m in range(n_mbs):
                         mb_type = r.ue()
                         if mb_type != 15:
@@ -2829,21 +2899,15 @@ def decode_h264_cavlc(media_df: DataFrame) -> DataFrame:
                             )
                         r.se()  # mb_qp_delta
 
-                        def n_c(blk: int) -> int:
-                            zx = ((blk >> 2) & 1) * 2 + (blk & 1)
-                            zy = ((blk >> 3) & 1) * 2 + ((blk >> 1) & 1)
-                            has_a = zx > 0 or m % mb_w > 0
-                            has_b = zy > 0 or m // mb_w > 0
-                            return 15 if has_a or has_b else 0
-
-                        dc = _cavlc_residual(r, n_c(0), 16, doc_id)
+                        dc = _cavlc_residual(r, n_c(m, 0), 16, doc_id)
                         sum_dc += sum(dc)
                         sum_dc_abs += sum(abs(v) for v in dc)
                         n_t1 += sum(1 for v in dc[:3] if abs(v) == 1)
                         for blk in range(16):
                             ac = _cavlc_residual(
-                                r, n_c(blk), 15, doc_id
+                                r, n_c(m, blk), 15, doc_id
                             )
+                            nzc[(m, blk)] = len(ac)
                             sum_ac += sum(ac)
                             sum_ac_abs += sum(abs(v) for v in ac)
                             n_t1 += sum(

@@ -1392,6 +1392,12 @@ def h264_cavlc_levels(doc_id: int, f: int, b: int, a: int) -> list[int]:
     are not coded at all (9.2.3: inferred zero), so the entire
     entropy load sits on coeff_token and the suffix-adaptive level
     codes."""
+    if a < 16 and (doc_id + f + b + a) % 5 == 0:
+        # single-coefficient AC block (TotalCoeff = 1): the shipped
+        # partial shape — total_zeros column 1 gets coded, run_before
+        # never is
+        mag = 1 + (doc_id + f + b + a) % 4
+        return [mag if (doc_id + f + b + a) % 2 == 0 else -mag]
     t = (doc_id + f + b + a) % 4
     n = 16 if a == 16 else 15
     out = []
@@ -1401,14 +1407,21 @@ def h264_cavlc_levels(doc_id: int, f: int, b: int, a: int) -> list[int]:
     return out
 
 
+def h264_cavlc_total_zeros(doc_id: int, f: int, b: int, a: int) -> int:
+    """totalZeros for a TC = 1 AC block: 0..14 (<= maxNumCoeff - 1)."""
+    return (doc_id + f + b + 2 * a) % 15
+
+
 def _cavlc_write_block(
     w: "_H264BitWriter", levels: list[int], n_c: int,
-    coeff_token_enc: dict,
+    coeff_token_enc: dict, total_zeros: int | None = None,
+    tz_enc: dict | None = None,
 ) -> None:
-    """residual_block_cavlc encode (ITU-T H.264 9.2, full-block form):
-    coeff_token through the nC-selected code (the VLC table for
-    nC < 2, the 6-bit FLC for nC >= 8), TrailingOnes sign bits, then
-    the suffix-length-adaptive level codes."""
+    """residual_block_cavlc encode (ITU-T H.264 9.2): coeff_token
+    through the nC-selected code (the VLC table for nC < 2, the 6-bit
+    FLC for nC >= 8), TrailingOnes sign bits, the suffix-length-
+    adaptive level codes, and — for single-coefficient blocks — the
+    total_zeros column-1 code (``total_zeros`` not None)."""
     total = len(levels)
     t1 = 0
     while t1 < min(3, total) and abs(levels[t1]) == 1:
@@ -1443,10 +1456,14 @@ def _cavlc_write_block(
             suffix_len = 1
         if abs(v) > (3 << (suffix_len - 1)) and suffix_len < 6:
             suffix_len += 1
+    if total_zeros is not None:
+        length, code = tz_enc[total_zeros]
+        w.u(code, length)
 
 
 def h264_cavlc_idr_rbsp(
-    doc_id: int, f: int, n_mbs: int, mb_w: int, coeff_token_enc: dict
+    doc_id: int, f: int, n_mbs: int, mb_w: int, coeff_token_enc: dict,
+    tz_enc: dict,
 ) -> bytes:
     """One all-I_16x16 IDR slice RBSP with REAL CAVLC residuals: per
     macroblock mb_type 15 (Intra_16x16, DC prediction,
@@ -1464,18 +1481,34 @@ def h264_cavlc_idr_rbsp(
     w.u(0, 1)
     w.u(0, 1)
     w.se(0)        # slice_qp_delta
-    # every decoded AC block carries nzc 15 in this fixture, so a
-    # block's nC is 15 whenever ANY neighbor is available ((nA+nB+1)>>1
-    # of two 15s, or the single available one) and 0 only at the
-    # picture's top-left 4x4 — the two regimes the decoder ships
-    # (nC < 2 VLC table and nC >= 8 FLC)
+    # per-picture 4x4 nonzero-count grid — the EXACT mirror of the
+    # decoder's neighbor bookkeeping (decode.decode_h264_cavlc): AC
+    # counts are 15 or 1 here, so nC lands in {0, 1, 8, 15} and never
+    # needs the unshipped 2 <= nC < 8 coeff_token columns
+    nzc: dict[tuple[int, int], int] = {}
+
+    def zidx(zx: int, zy: int) -> int:
+        return ((zy & 2) << 2) | ((zx & 2) << 1) | ((zy & 1) << 1) | (zx & 1)
 
     def n_c(mb: int, blk: int) -> int:
         zx = ((blk >> 2) & 1) * 2 + (blk & 1)
         zy = ((blk >> 3) & 1) * 2 + ((blk >> 1) & 1)
-        has_a = zx > 0 or mb % mb_w > 0
-        has_b = zy > 0 or mb // mb_w > 0
-        return 15 if has_a or has_b else 0
+        n_a = n_b = None
+        if zx > 0:
+            n_a = nzc[(mb, zidx(zx - 1, zy))]
+        elif mb % mb_w > 0:
+            n_a = nzc[(mb - 1, zidx(3, zy))]
+        if zy > 0:
+            n_b = nzc[(mb, zidx(zx, zy - 1))]
+        elif mb // mb_w > 0:
+            n_b = nzc[(mb - mb_w, zidx(zx, 3))]
+        if n_a is not None and n_b is not None:
+            return (n_a + n_b + 1) >> 1
+        if n_a is not None:
+            return n_a
+        if n_b is not None:
+            return n_b
+        return 0
 
     for m in range(n_mbs):
         w.ue(15)   # mb_type: I_16x16, pred DC, cbp luma 15 chroma 0
@@ -1486,10 +1519,15 @@ def h264_cavlc_idr_rbsp(
             coeff_token_enc,
         )
         for blk in range(16):
-            _cavlc_write_block(
-                w, h264_cavlc_levels(doc_id, f, m, blk), n_c(m, blk),
-                coeff_token_enc,
+            levels = h264_cavlc_levels(doc_id, f, m, blk)
+            tz = (
+                h264_cavlc_total_zeros(doc_id, f, m, blk)
+                if len(levels) == 1 else None
             )
+            _cavlc_write_block(
+                w, levels, n_c(m, blk), coeff_token_enc, tz, tz_enc
+            )
+            nzc[(m, blk)] = len(levels)
     w.u(1, 1)  # rbsp_stop_one_bit
     while len(w.bits) % 8:
         w.bits.append(0)
@@ -1501,9 +1539,10 @@ def make_h264_cavlc_bytes(doc_id: int) -> bytes:
     single-slice IDR of Intra_16x16 macroblocks whose residuals are
     context-adaptive variable-length coded (ITU-T H.264 9.2) — the
     entropy layer the I_PCM and inter fixtures bypass."""
-    from .decode import H264_COEFF_TOKEN_NC0
+    from .decode import H264_COEFF_TOKEN_NC0, H264_TOTAL_ZEROS_TC1
 
     enc = {tv: lc for lc, tv in H264_COEFF_TOKEN_NC0.items()}
+    tz_enc = {tz: lc for lc, tz in H264_TOTAL_ZEROS_TC1.items()}
     n_frames, mb_w, mb_h = h264_cavlc_params(doc_id)
     units = [
         _h264_nal(3, 7, _h264_sps_from_fields(66, 10, mb_w - 1, mb_h - 1), 0),
@@ -1513,7 +1552,9 @@ def make_h264_cavlc_bytes(doc_id: int) -> bytes:
         units.append(
             _h264_nal(
                 3, 5,
-                h264_cavlc_idr_rbsp(doc_id, f, mb_w * mb_h, mb_w, enc),
+                h264_cavlc_idr_rbsp(
+                    doc_id, f, mb_w * mb_h, mb_w, enc, tz_enc
+                ),
                 2 + f,
             )
         )

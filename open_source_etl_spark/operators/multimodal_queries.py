@@ -951,13 +951,15 @@ def multimodal_jpeg_color_decode(
     # formulas mirror synth.h264_cavlc_params / h264_cavlc_levels:
     # 1 + doc % 3 single-slice IDR frames of (1 + doc % 2) x
     # (1 + (doc//2) % 2) Intra_16x16 macroblocks; block a (16 = the
-    # DC block with 16 levels, 0-15 the AC blocks with 15) of
-    # macroblock b in frame f carries (doc+f+b+a) % 4 trailing ±1s
-    # then magnitudes 2 + (doc+f+b+a+i) % 3, signed by (doc+f+b+a+i)
-    # parity.  The CAVLC bitstream itself — coeff_token dispatch on
-    # re-derived neighbor nC, suffix-adaptive level codes — has no
-    # closed form; Spark must entropy-decode every block to land
-    # these sums.
+    # DC block with 16 levels, 0-15 the AC blocks) of macroblock b in
+    # frame f is SINGLE-COEFFICIENT (TotalCoeff 1, magnitude
+    # 1 + (doc+f+b+a) % 4) when a < 16 and (doc+f+b+a) % 5 = 0, else
+    # FULL with (doc+f+b+a) % 4 trailing ±1s then magnitudes
+    # 2 + (doc+f+b+a+i) % 3, all signed by (doc+f+b+a+i) parity.  The
+    # CAVLC bitstream itself — coeff_token dispatch on re-derived
+    # neighbor nC, suffix-adaptive level codes, total_zeros for the
+    # TC-1 blocks — has no closed form; Spark must entropy-decode
+    # every block to land these sums.
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -968,8 +970,16 @@ def multimodal_jpeg_color_decode(
     ),
     lv AS (
       SELECT p.doc_id, aa.a, ii.i,
-             (p.doc_id + ff.f + bb.b + aa.a) % 4 AS t,
-             CASE WHEN ii.i < (p.doc_id + ff.f + bb.b + aa.a) % 4
+             CASE WHEN aa.a < 16
+                       AND (p.doc_id + ff.f + bb.b + aa.a) % 5 = 0
+                  THEN CASE WHEN (p.doc_id + ff.f + bb.b + aa.a) % 4
+                            = 0 THEN 1 ELSE 0 END
+                  ELSE (p.doc_id + ff.f + bb.b + aa.a) % 4
+             END AS t,
+             CASE WHEN aa.a < 16
+                       AND (p.doc_id + ff.f + bb.b + aa.a) % 5 = 0
+                  THEN 1 + (p.doc_id + ff.f + bb.b + aa.a) % 4
+                  WHEN ii.i < (p.doc_id + ff.f + bb.b + aa.a) % 4
                   THEN 1
                   ELSE 2 + (p.doc_id + ff.f + bb.b + aa.a + ii.i) % 3
              END AS mag,
@@ -980,7 +990,11 @@ def multimodal_jpeg_color_decode(
            LATERAL (SELECT unnest(range(0, mw * mh)) AS b) bb,
            LATERAL (SELECT unnest(range(0, 17)) AS a) aa,
            LATERAL (SELECT unnest(range(0,
-                     CASE WHEN aa.a = 16 THEN 16 ELSE 15 END)) AS i) ii
+                     CASE WHEN aa.a < 16
+                               AND (p.doc_id + ff.f + bb.b + aa.a)
+                                   % 5 = 0 THEN 1
+                          WHEN aa.a = 16 THEN 16
+                          ELSE 15 END)) AS i) ii
     )
     SELECT p.doc_id,
            CAST(16 * mw AS BIGINT) AS width,
@@ -1014,13 +1028,16 @@ def multimodal_h264_cavlc_decode(
     picture's top-left block, the spec's 6-bit FLC at nC >= 8
     everywhere else), TrailingOnes sign bits, and the suffix-length-
     adaptive level decode with escape handling.  Fixture blocks are
-    FULL (TotalCoeff = maxNumCoeff), the spec shape under which
-    total_zeros and run_before are inferred rather than coded —
-    exactly where the shipped tables end.  Declared stubs:
-    coeff_token columns for 2 <= nC < 8 and the total_zeros /
-    run_before tables (transcriptions failed the validation gate that
-    admitted the nC < 2 column), partial blocks, non-I_16x16
-    entropy-coded macroblocks, and CABAC.  Reference scope note: the
+    FULL (TotalCoeff = maxNumCoeff — total_zeros and run_before
+    inferred rather than coded) or SINGLE-COEFFICIENT (TotalCoeff 1,
+    decoded through the validated total_zeros column-1 code; its one
+    coefficient leaves no run_before fields), and the neighbor counts
+    these shapes produce keep nC in {0, 1, 8, 15} — inside the shipped
+    dispatch by construction.  Declared stubs: coeff_token columns for
+    2 <= nC < 8 and total_zeros columns 2-14 (transcriptions failed
+    the validation gate that admitted the shipped tables), blocks with
+    2 <= TotalCoeff < maxNumCoeff, non-I_16x16 entropy-coded
+    macroblocks, and CABAC.  Reference scope note: the
     reference delegates all media handling to its warehouse; this
     query is part of the training-data-pipeline surface the brief
     adds."""
