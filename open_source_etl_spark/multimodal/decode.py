@@ -3416,14 +3416,29 @@ MP3_COUNT1A: dict[tuple[int, int], int] = {
 }
 
 # ISO 11172-3 Table B.8: long-block scalefactor band boundaries
-# (sample indices) at 44.1 kHz — the boundaries that split the
+# (sample indices) per sample rate — the boundaries that split the
 # big-values region into its three table_select regions via
-# region0_count/region1_count.  Only the 44.1 kHz row ships; a stream
-# that actually needs region dispatch at another rate raises.
+# region0_count/region1_count.  All three MPEG-1 rows ship;
+# transcription validation here is structural (23 boundaries, 0
+# start, 576 end, strictly increasing — asserted in
+# tests/test_multimodal.py) plus the fixture round-trip at the
+# diverging boundaries (the rows agree through b[8] = 36 and split
+# at b[9]: 44 / 42 / 44).
 MP3_SFB_LONG_44100 = (
     0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
     162, 196, 238, 288, 342, 418, 576,
 )
+MP3_SFB_LONG = {
+    44100: MP3_SFB_LONG_44100,
+    48000: (
+        0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128,
+        156, 190, 230, 276, 330, 384, 576,
+    ),
+    32000: (
+        0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156,
+        194, 240, 296, 364, 448, 550, 576,
+    ),
+}
 
 
 def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
@@ -3448,8 +3463,7 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
     Honest stub boundary: B.7 Huffman tables 8-15 and the linbits
     escape tables 16-31 (their clean-room transcriptions failed the
     grid/prefix/Kraft validation, so they raise rather than risk a
-    silently-wrong table) and B.8 rows other than 44.1 kHz raise
-    ``NotImplementedError``
+    silently-wrong table) raise ``NotImplementedError``
     at the exact site a codec library would take over — everything
     this decoder emits it computed from the entropy bitstream itself.
     Malformed streams (reservoir pointer before stream start, granule
@@ -3603,9 +3617,9 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                     # the region's table_select, x's sign then y's sign
                     # after each pair code (ISO 2.4.2.7).  Region
                     # boundaries only matter when the three tables
-                    # differ — then they come from Table B.8 (44.1 kHz
-                    # shipped); uniform table_selects decode without
-                    # boundary knowledge at any rate.
+                    # differ — then they come from the rate's Table
+                    # B.8 row (all three MPEG-1 rows shipped); uniform
+                    # table_selects decode without boundary knowledge.
                     nbv = g["big_values"]
                     if nbv:
                         tsels = g["table_select"]
@@ -3614,32 +3628,25 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                         elif g["windows_switching_flag"]:
                             # window-switching granules carry IMPLIED
                             # region boundaries (2.4.2.7): two regions,
-                            # region0 ending at sample 36 — a fixed,
-                            # rate-independent split for block_type-2
-                            # (short) granules; start/stop blocks
-                            # (types 1/3) keep the long band layout,
-                            # whose 8th boundary is 36 only on the
-                            # shipped 44.1 kHz B.8 row
-                            if g["block_type"] != 2 and sr != 44100:
-                                raise NotImplementedError(
-                                    "start/stop-block region "
-                                    "boundaries need ISO B.8 band "
-                                    "boundaries; only the 44.1 kHz "
-                                    "row is shipped"
-                                )
+                            # region0 ending at sample 36 — fixed for
+                            # block_type-2 (short) granules, and equal
+                            # to the long layout's 8th boundary for
+                            # start/stop blocks (types 1/3), which is
+                            # ALSO 36 on every MPEG-1 B.8 row (the
+                            # rows agree through b[8])
                             r0 = min(nbv, 18)
                             regions = [
                                 (r0, tsels[0]),
                                 (nbv - r0, tsels[1]),
                             ]
                         else:
-                            if sr != 44100:
+                            b = MP3_SFB_LONG.get(sr)
+                            if b is None:
                                 raise NotImplementedError(
                                     "region-dependent table switching "
-                                    "needs ISO B.8 band boundaries; "
-                                    "only the 44.1 kHz row is shipped"
+                                    f"needs the ISO B.8 row for "
+                                    f"{sr} Hz (MPEG-1 rows shipped)"
                                 )
-                            b = MP3_SFB_LONG_44100
                             r0 = min(
                                 nbv, b[g["region0_count"] + 1] // 2
                             )
@@ -3800,6 +3807,32 @@ def synthesize_mp3_ws(docs_df: DataFrame) -> DataFrame:
                     "kind": ["audio"] * len(pdf),
                     "payload": [
                         make_mp3_ws_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_mp3_b8(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with an MPEG-1 Layer III stream whose
+    region boundaries exercise all three B.8 rate rows at their
+    diverging entries (``make_mp3_b8_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_b8_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_b8_bytes(int(d)) for d in pdf["doc_id"]
                     ],
                 }
             )

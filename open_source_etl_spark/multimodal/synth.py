@@ -3419,6 +3419,132 @@ def mp3_ws_pairs(doc_id: int, g: int) -> list[tuple[int, int, int]]:
     return out
 
 
+def mp3_b8_boundaries(doc_id: int) -> tuple[int, int]:
+    """(region0_pairs, region1_pairs_end) for the B.8-row fixture at
+    region0_count = 8 / region1_count = 3: boundary samples b[9] and
+    b[13] of the doc's rate row, halved — the indices where the three
+    MPEG-1 rows genuinely diverge (44.1: 44/90, 48: 42/88,
+    32: 44/102)."""
+    return ((22, 45), (21, 44), (22, 51))[doc_id % 3]
+
+
+def mp3_b8_tsels(doc_id: int, g: int) -> tuple[int, int, int]:
+    """Three DIFFERENT shipped tables per granule, so every region
+    split lands in a different code table."""
+    return (
+        MP3_HT_TABLES[(doc_id + g) % 6],
+        MP3_HT_TABLES[(doc_id + g + 2) % 6],
+        MP3_HT_TABLES[(doc_id + g + 4) % 6],
+    )
+
+
+def mp3_b8_pairs(doc_id: int, g: int) -> list[tuple[int, int, int]]:
+    """Granule g's big-values pairs as (table, x, y): 54 + (doc+g) % 5
+    pairs split across the doc's RATE-DEPENDENT region boundaries —
+    a decoder using the wrong B.8 row assigns pairs near the split to
+    the wrong code table and desyncs."""
+    r0, r1 = mp3_b8_boundaries(doc_id)
+    t0, t1, t2 = mp3_b8_tsels(doc_id, g)
+    out = []
+    for q in range(54 + (doc_id + g) % 5):
+        t = t0 if q < r0 else (t1 if q < r1 else t2)
+        dim = MP3_HT_DIMS[t]
+        out.append((t, (doc_id + 3 * q + g) % dim,
+                    (2 * doc_id + q + g) % dim))
+    return out
+
+
+def make_mp3_b8_bytes(doc_id: int) -> bytes:
+    """MPEG-1 Layer III stream exercising the DEEP Table B.8 region
+    boundaries at every MPEG-1 rate: long-block granules at
+    region0_count = 8 / region1_count = 3 with three different Huffman
+    tables, where the three rate rows agree through b[8] but split at
+    b[9] (44/42/44) and b[13] (90/88/102) — so the sample rate the doc
+    cycles (44.1/48/32 kHz by doc % 3) genuinely selects which pairs
+    decode through which table.  ``main_data_begin = 0``, scfsi 0,
+    count1 table B."""
+    enc, _c1a = _mp3_ht_enc()
+    n_frames = 2 + doc_id % 3
+    sr_idx = doc_id % 3
+    br_idx = 7 + doc_id % 3
+    sr = MP3_SAMPLE_RATES[sr_idx]
+    kbps = MP3_BITRATES_KBPS[br_idx]
+    frame_len = (144 * kbps * 1000) // sr
+    cap = frame_len - 4 - 17
+
+    def granule_bits(g: int) -> tuple[int, int, int]:
+        sfc = (doc_id + 2 * g) % 16
+        sl1, sl2 = MP3_SLEN[sfc]
+        sf_a = (doc_id + g) % (1 << sl1)
+        sf_b = (doc_id + 7 + g) % (1 << sl2)
+        acc = nb = 0
+        for _band in range(11):
+            acc = (acc << sl1) | sf_a
+            nb += sl1
+        for _band in range(10):
+            acc = (acc << sl2) | sf_b
+            nb += sl2
+        for q, (t, x, y) in enumerate(mp3_b8_pairs(doc_id, g)):
+            hlen, hcode = enc[t][(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if x:
+                acc = (acc << 1) | ((doc_id + q + g) % 2)
+                nb += 1
+            if y:
+                acc = (acc << 1) | ((doc_id + q + g + 1) % 2)
+                nb += 1
+        for j in range(3 + (doc_id + g) % 4):  # count1 table B
+            pattern = (doc_id + 5 * g + j) % 16
+            acc = (acc << 4) | (pattern ^ 0xF)
+            nb += 4
+            neg = (doc_id + j) % 2
+            for shift in (3, 2, 1, 0):
+                if (pattern >> shift) & 1:
+                    acc = (acc << 1) | neg
+                    nb += 1
+        return acc, nb, nb
+
+    a0, n0, p23_0 = granule_bits(0)
+    a1, n1, p23_1 = granule_bits(1)
+    acc = (a0 << n1) | a1
+    nb = n0 + n1
+    pad = (8 - nb % 8) % 8
+    acc <<= pad
+    packed = acc.to_bytes((nb + pad) // 8, "big")
+    if len(packed) > cap:
+        raise ValueError("granule data overran the frame region")
+    region = packed + bytes(cap - len(packed))
+
+    out = bytearray()
+    for _k in range(n_frames):
+        out += bytes((0xFF, 0b11111011, (br_idx << 4) | (sr_idx << 2),
+                      0b11000100))
+        w = _BitPacker()
+        w.u(0, 9)
+        w.u(0, 5)
+        w.u(0, 4)
+        for g, p23 in ((0, p23_0), (1, p23_1)):
+            w.u(p23, 12)
+            w.u(len(mp3_b8_pairs(doc_id, g)), 9)
+            w.u((doc_id + 19 * g) % 256, 8)  # global_gain
+            w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
+            w.u(0, 1)                        # long blocks
+            for t in mp3_b8_tsels(doc_id, g):
+                w.u(t, 5)
+            w.u(8, 4)   # region0_count
+            w.u(3, 3)   # region1_count
+            w.u(0, 1)   # preflag
+            w.u(0, 1)   # scalefac_scale
+            w.u(1, 1)   # count1table_select: table B
+        si = w.to_bytes()
+        if len(si) != 17:
+            raise ValueError("side info must pack to 17 bytes")
+        out += si
+        out += region
+    return bytes(out)
+
+
 def make_mp3_ws_bytes(doc_id: int, mixed: bool = False) -> bytes:
     """MPEG-1 Layer III stream whose SHORT-BLOCK granules switch
     Huffman tables at the IMPLIED window-switching region boundary:

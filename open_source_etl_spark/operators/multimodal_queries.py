@@ -1344,8 +1344,8 @@ def multimodal_mp3_short_block_decode(
     # under scalefac_compress = (doc + 2g) % 16, a big-values region of
     # 5 + (doc+g) % 6 pairs whose per-region table cycles ALL SIX
     # shipped B.7 tables (every fifth doc splits its regions across
-    # three different tables at the B.8 44.1 kHz boundaries: pairs
-    # 0-1 / 2-3 / rest), x = (doc+3q+g) % dim, y = (2 doc+q+g) % dim,
+    # three different tables at the shared shallow B.8 boundaries:
+    # pairs 0-1 / 2-3 / rest), x = (doc+3q+g) % dim, y = (2 doc+q+g) % dim,
     # and 3 + (doc+g) % 4 count1 quadruples of pattern (doc+5g+j) % 16
     # coded in Huffman table A on even doc+g, fixed-length table B on
     # odd.  The entropy bitstream has no closed form — Spark must
@@ -1583,14 +1583,140 @@ def multimodal_mp3_wswitch_regions_decode(
     part2_3_length accounting can land.  Completes the region-dispatch
     matrix beside ``multimodal_mp3_hufftables_decode`` (explicit B.8
     boundaries) and ``multimodal_mp3_short_block_decode`` (uniform
-    tables); start/stop blocks (types 1/3) at non-44.1 kHz rates
-    remain the declared stub.  Reference scope note: the reference
+    tables); start/stop blocks split at the same sample-36 boundary
+    (b[8] agrees across every MPEG-1 B.8 row).  Reference scope note: the reference
     delegates all media handling to its warehouse; this query is part
     of the training-data-pipeline surface the brief adds."""
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_ws
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_mp3_maindata(synthesize_mp3_ws(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_mp3_b8_regions_decode",
+    # formulas mirror synth.make_mp3_b8_bytes / mp3_b8_pairs: docs
+    # cycle the three MPEG-1 rates; long granules at region0_count = 8
+    # / region1_count = 3 split 54 + (doc+g) % 5 pairs at the
+    # RATE-DEPENDENT halved boundaries b[9]/b[13] — (22,45) at
+    # 44.1 kHz, (21,44) at 48 kHz, (22,51) at 32 kHz — across three
+    # different tables T[(doc+g+2r) % 6].  A decoder with a wrong B.8
+    # row assigns boundary-adjacent pairs to the wrong code table and
+    # desyncs; the oracle restates the generator arithmetic.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 2 + doc_id % 3 AS n_frames, gg.g AS g,
+             (doc_id + 2 * gg.g) % 16 AS sfc,
+             CASE doc_id % 3 WHEN 1 THEN 21 ELSE 22 END AS r0,
+             CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 44
+                  ELSE 51 END AS r1
+      FROM documents, LATERAL (SELECT unnest([0, 1]) AS g) gg
+    ),
+    bv AS (
+      SELECT doc_id, g, q, x, y,
+             x * (1 - 2 * ((doc_id + q + g) % 2))
+               + y * (1 - 2 * ((doc_id + q + g + 1) % 2)) AS signed_xy
+      FROM (
+        SELECT doc_id, g, q,
+               (doc_id + 3 * q + g) % dim AS x,
+               (2 * doc_id + q + g) % dim AS y
+        FROM (
+          SELECT doc_id, g, qq.q AS q,
+                 CASE ((doc_id + g
+                        + 2 * (CASE WHEN qq.q < r0 THEN 0
+                                    WHEN qq.q < r1 THEN 1
+                                    ELSE 2 END)) % 6)
+                      WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 3
+                      WHEN 3 THEN 4 WHEN 4 THEN 4 ELSE 6 END AS dim
+          FROM g, LATERAL (SELECT unnest(range(0, 54 + (doc_id + g) % 5))
+                           AS q) qq
+        )
+      )
+    ),
+    bva AS (
+      SELECT doc_id, g, COUNT(*) AS nbv, SUM(x + y) AS bv_abs,
+             SUM(signed_xy) AS bv_signed
+      FROM bv GROUP BY doc_id, g
+    ),
+    qd AS (
+      SELECT doc_id, g, COUNT(*) AS nq, SUM(nz) AS quad_abs,
+             SUM(nz * (1 - 2 * ((doc_id + j) % 2))) AS quad_signed
+      FROM (
+        SELECT doc_id, g, jj.j AS j,
+               ((doc_id + 5 * g + jj.j) % 16 // 8) % 2
+               + ((doc_id + 5 * g + jj.j) % 16 // 4) % 2
+               + ((doc_id + 5 * g + jj.j) % 16 // 2) % 2
+               + (doc_id + 5 * g + jj.j) % 16 % 2 AS nz
+        FROM g, LATERAL (SELECT unnest(range(0, 3 + (doc_id + g) % 4))
+                         AS j) jj
+      )
+      GROUP BY doc_id, g
+    ),
+    sf AS (
+      SELECT doc_id, g, n_frames,
+             11 * ((doc_id + g) % (CASE sl1 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END))
+             + 10 * ((doc_id + 7 + g) % (CASE sl2 WHEN 0 THEN 1
+                    WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                    ELSE 16 END)) AS sf_sum
+      FROM (
+        SELECT doc_id, g, n_frames,
+               CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+                    WHEN 3 THEN 0 WHEN 4 THEN 3 WHEN 5 THEN 1
+                    WHEN 6 THEN 1 WHEN 7 THEN 1 WHEN 8 THEN 2
+                    WHEN 9 THEN 2 WHEN 10 THEN 2 WHEN 11 THEN 3
+                    WHEN 12 THEN 3 WHEN 13 THEN 3 WHEN 14 THEN 4
+                    ELSE 4 END AS sl1,
+               CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                    WHEN 3 THEN 3 WHEN 4 THEN 0 WHEN 5 THEN 1
+                    WHEN 6 THEN 2 WHEN 7 THEN 3 WHEN 8 THEN 1
+                    WHEN 9 THEN 2 WHEN 10 THEN 3 WHEN 11 THEN 1
+                    WHEN 12 THEN 2 WHEN 13 THEN 3 WHEN 14 THEN 2
+                    ELSE 3 END AS sl2
+        FROM g
+      )
+    )
+    SELECT sf.doc_id,
+           CAST(MAX(sf.n_frames) AS BIGINT) AS n_frames,
+           CAST(0 AS BIGINT) AS max_reservoir,
+           CAST(SUM(sf.n_frames * sf.sf_sum) AS BIGINT) AS sum_scalefac,
+           CAST(SUM(sf.n_frames * bva.nbv) AS BIGINT) AS n_pairs,
+           CAST(SUM(sf.n_frames * bva.bv_abs) AS BIGINT) AS sum_bv_abs,
+           CAST(SUM(sf.n_frames * bva.bv_signed) AS BIGINT)
+             AS sum_bv_signed,
+           CAST(SUM(sf.n_frames * qd.nq) AS BIGINT) AS n_quads,
+           CAST(SUM(sf.n_frames * qd.quad_abs) AS BIGINT)
+             AS sum_quad_abs,
+           CAST(SUM(sf.n_frames * qd.quad_signed) AS BIGINT)
+             AS sum_quad_signed
+    FROM sf
+    JOIN bva ON sf.doc_id = bva.doc_id AND sf.g = bva.g
+    JOIN qd ON sf.doc_id = qd.doc_id AND sf.g = qd.g
+    GROUP BY sf.doc_id
+    ORDER BY sf.doc_id
+    """,
+)
+def multimodal_mp3_b8_regions_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MP3 big-values region dispatch through the DEEP Table B.8 band
+    boundaries at every MPEG-1 rate: long granules at region0_count =
+    8 / region1_count = 3 split their spectrum at b[9] and b[13] of
+    the doc's rate row — entries where the 44.1/48/32 kHz rows
+    genuinely diverge (44/42/44 and 90/88/102 samples) — across three
+    different shipped Huffman tables.  The earlier region queries only
+    reached boundaries the rows share (b[1], b[2], the implied 36);
+    this one proves the decoder selects the RIGHT row per rate, since
+    a wrong row hands boundary-adjacent pairs to the wrong code table
+    and desyncs.  The 48/32 kHz rows are clean-room transcriptions
+    validated structurally (23 strictly-increasing boundaries, 0 to
+    576) and by this round-trip.  Reference scope note: the reference
+    delegates all media handling to its warehouse; this query is part
+    of the training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_b8
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_maindata(synthesize_mp3_b8(docs)).orderBy("doc_id")
 
 
 @query(
