@@ -3816,6 +3816,206 @@ def synthesize_mp3_ws(docs_df: DataFrame) -> DataFrame:
     )
 
 
+def parse_ogg_opus(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int, int, int, int, int]:
+    """Walk one Ogg-encapsulated Opus stream (RFC 3533 + RFC 7845 +
+    RFC 6716's TOC layer) to (n_pages, n_packets, channels, preskip,
+    total_samples, total_frames, sum_config, n_stereo, n_spanning):
+    per-page capture-pattern/version checks and the OGG CRC (poly
+    0x04c11db7 — not zlib's; verified over the page with a zeroed CRC
+    field), packet reassembly through the lacing tables INCLUDING
+    packets spanning pages (a page ending mid-255-run leaves its last
+    packet unfinished; the next page must set the continuation flag),
+    OpusHead/OpusTags parses, then every audio packet's TOC byte:
+    config -> samples per frame (RFC 6716 Table 2), the four
+    frame-count codes (one frame / two equal / two signaled / count
+    byte), and the EOS granule position cross-checked against the
+    cumulative decoded sample count.  SILK/CELT range decoding of the
+    frame CONTENTS is the declared stub — this is the container,
+    framing, and timing layer, the part a corpus pipeline needs to
+    count and slice audio."""
+    from .synth import ogg_crc, opus_samples_per_frame
+
+    pos = 0
+    n_pages = n_spanning = 0
+    packets: list[bytes] = []
+    pending = bytearray()
+    pending_open = False
+    last_granule = None
+    serial = None
+    while pos < len(raw):
+        if raw[pos : pos + 4] != b"OggS":
+            raise ValueError(f"doc {doc_id}: lost Ogg capture pattern")
+        if raw[pos + 4] != 0:
+            raise ValueError(f"doc {doc_id}: Ogg version {raw[pos+4]}")
+        header_type = raw[pos + 5]
+        (granule,) = struct.unpack_from("<q", raw, pos + 6)
+        (page_serial,) = struct.unpack_from("<I", raw, pos + 14)
+        (page_seq,) = struct.unpack_from("<I", raw, pos + 18)
+        (crc,) = struct.unpack_from("<I", raw, pos + 22)
+        n_segs = raw[pos + 26]
+        lacing = raw[pos + 27 : pos + 27 + n_segs]
+        body_at = pos + 27 + n_segs
+        body_len = sum(lacing)
+        page_end = body_at + body_len
+        if page_end > len(raw):
+            raise ValueError(f"doc {doc_id}: truncated Ogg page")
+        zeroed = bytearray(raw[pos:page_end])
+        zeroed[22:26] = b"\x00\x00\x00\x00"
+        if ogg_crc(bytes(zeroed)) != crc:
+            raise ValueError(f"doc {doc_id}: Ogg page CRC mismatch")
+        if serial is None:
+            serial = page_serial
+            if not header_type & 0x02:
+                raise ValueError(f"doc {doc_id}: first page is not BOS")
+        elif page_serial != serial:
+            raise ValueError(f"doc {doc_id}: multiplexed streams "
+                             "unsupported (serial changed)")
+        if page_seq != n_pages:
+            raise ValueError(
+                f"doc {doc_id}: page sequence {page_seq} != {n_pages}"
+            )
+        if bool(header_type & 0x01) != pending_open:
+            raise ValueError(
+                f"doc {doc_id}: continuation flag disagrees with the "
+                "previous page's unfinished packet"
+            )
+        at = body_at
+        spanning_pending = bool(header_type & 0x01)
+        for lace in lacing:
+            pending += raw[at : at + lace]
+            at += lace
+            if lace < 255:
+                packets.append(bytes(pending))
+                pending = bytearray()
+                if spanning_pending:
+                    n_spanning += 1
+                    spanning_pending = False
+        pending_open = bool(lacing) and lacing[-1] == 255
+        n_pages += 1
+        last_granule = granule
+        pos = page_end
+        if header_type & 0x04 and pos < len(raw):
+            raise ValueError(f"doc {doc_id}: data after the EOS page")
+    if pending_open or pending:
+        raise ValueError(f"doc {doc_id}: stream ends mid-packet")
+    if n_pages < 3:
+        raise ValueError(f"doc {doc_id}: too few Ogg pages")
+    if len(packets) < 3:
+        raise ValueError(f"doc {doc_id}: missing Opus headers")
+    head = packets[0]
+    if head[:8] != b"OpusHead" or head[8] != 1:
+        raise ValueError(f"doc {doc_id}: bad OpusHead")
+    channels = head[9]
+    (preskip,) = struct.unpack_from("<H", head, 10)
+    if head[18] != 0:
+        raise NotImplementedError(
+            "Opus channel mapping families other than 0 not implemented"
+        )
+    if packets[1][:8] != b"OpusTags":
+        raise ValueError(f"doc {doc_id}: bad OpusTags")
+    total_samples = total_frames = sum_config = n_stereo = 0
+    for pkt in packets[2:]:
+        if not pkt:
+            raise ValueError(f"doc {doc_id}: empty audio packet")
+        toc = pkt[0]
+        config, stereo, code = toc >> 3, (toc >> 2) & 1, toc & 3
+        if code == 0:
+            n_frames = 1
+        elif code in (1, 2):
+            n_frames = 2
+            if code == 2:
+                if len(pkt) < 2 or pkt[1] >= 252:
+                    raise NotImplementedError(
+                        "two-byte Opus frame-length form not implemented"
+                    )
+        else:
+            if len(pkt) < 2:
+                raise ValueError(f"doc {doc_id}: code-3 packet too short")
+            if pkt[1] & 0xC0:
+                raise NotImplementedError(
+                    "padded/VBR code-3 Opus packets not implemented"
+                )
+            n_frames = pkt[1] & 0x3F
+            if n_frames == 0:
+                raise ValueError(f"doc {doc_id}: zero-frame packet")
+        spf = opus_samples_per_frame(config)
+        if n_frames * spf > 5760:  # RFC 6716: 120 ms packet cap
+            raise ValueError(f"doc {doc_id}: packet exceeds 120 ms")
+        total_samples += n_frames * spf
+        total_frames += n_frames
+        sum_config += config
+        n_stereo += stereo
+    if last_granule != total_samples:
+        raise ValueError(
+            f"doc {doc_id}: EOS granule {last_granule} != decoded "
+            f"sample total {total_samples}"
+        )
+    return (
+        n_pages, len(packets) - 2, channels, preskip, total_samples,
+        total_frames, sum_config, n_stereo, n_spanning,
+    )
+
+
+OGG_OPUS_SCHEMA = (
+    "doc_id long, n_pages long, n_audio_packets long, channels long, "
+    "preskip long, total_samples long, total_frames long, "
+    "sum_config long, n_stereo long, n_spanning long"
+)
+
+
+def synthesize_ogg_opus(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying an Ogg-encapsulated Opus stream
+    (``make_ogg_opus_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_ogg_opus_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_ogg_opus_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_ogg_opus(media_df: DataFrame) -> DataFrame:
+    """Distributed Ogg/Opus container walk (``parse_ogg_opus``) as an
+    Arrow kernel over binary payload rows — per-row decode, no
+    cross-row state."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "n_pages", "n_audio_packets", "channels",
+            "preskip", "total_samples", "total_frames", "sum_config",
+            "n_stereo", "n_spanning",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *parse_ogg_opus(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, OGG_OPUS_SCHEMA
+    )
+
+
 def synthesize_mp3_b8(docs_df: DataFrame) -> DataFrame:
     """doc_id → media struct with an MPEG-1 Layer III stream whose
     region boundaries exercise all three B.8 rate rows at their

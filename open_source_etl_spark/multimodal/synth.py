@@ -2086,6 +2086,168 @@ def make_mp3_ht_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
+# Ogg page CRC-32 (RFC 3533 6.): polynomial 0x04c11db7, no reflection,
+# zero init and xorout — NOT the zlib CRC, a detail page walkers trip
+# over.  Table-driven, shared by synth and decode through this module.
+_OGG_CRC_TABLE = None
+
+
+def ogg_crc(data: bytes) -> int:
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        table = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            table.append(r & 0xFFFFFFFF)
+        _OGG_CRC_TABLE = table
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ byte
+        ]
+    return crc
+
+
+# RFC 6716 Table 2: samples per frame at 48 kHz by TOC config —
+# SILK configs 0-11 carry 10/20/40/60 ms per 4-config band group,
+# hybrid 12-15 carry 10/20 ms pairs, CELT 16-31 carry 2.5/5/10/20 ms.
+def opus_samples_per_frame(config: int) -> int:
+    if config < 12:
+        return (480, 960, 1920, 2880)[config % 4]
+    if config < 16:
+        return (480, 960)[config % 2]
+    return (120, 240, 480, 960)[config % 4]
+
+
+def ogg_opus_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_audio_packets, channels, preskip)."""
+    return 4 + doc_id % 5, 1 + doc_id % 2, 312 + doc_id % 50
+
+
+def ogg_opus_packet_fields(doc_id: int, i: int) -> tuple[int, int, int, int]:
+    """Audio packet i's (config, stereo_flag, count_code, n_frames):
+    configs sweep all 32 TOC modes, the frame-count code cycles all
+    four RFC 6716 packet codes (0: one frame, 1: two equal, 2: two
+    different sizes, 3: signaled count)."""
+    config = (doc_id + 3 * i) % 32
+    stereo = (doc_id + i) % 2
+    code = i % 4
+    if code == 3:
+        # RFC 6716 R5: a packet may not exceed 120 ms of audio
+        n_frames = min(
+            2 + (doc_id + i) % 3, 5760 // opus_samples_per_frame(config)
+        )
+    else:
+        n_frames = {0: 1, 1: 2, 2: 2}[code]
+    return config, stereo, code, n_frames
+
+
+def _opus_packet(doc_id: int, i: int) -> bytes:
+    """One self-delimiting-in-Ogg Opus packet: TOC byte, then the
+    code-dependent framing (RFC 6716 3.2) around deterministic fake
+    frame payloads (SILK/CELT range decoding is the declared stub —
+    the container, TOC, and duration layers are what's real here)."""
+    config, stereo, code, n_frames = ogg_opus_packet_fields(doc_id, i)
+    toc = (config << 3) | (stereo << 2) | code
+    frame = bytes(
+        (doc_id + i + j) % 256 for j in range(5 + (doc_id + i) % 9)
+    )
+    if code == 0:
+        return bytes([toc]) + frame
+    if code == 1:  # two frames, equal sizes
+        return bytes([toc]) + frame + frame
+    if code == 2:  # two frames, first length signaled (1-byte form)
+        assert len(frame) < 252
+        return bytes([toc, len(frame)]) + frame + frame + b"\x01"
+    # code 3: count byte (no padding, VBR off), N equal frames
+    return bytes([toc, n_frames]) + frame * n_frames
+
+
+def make_ogg_opus_bytes(doc_id: int) -> bytes:
+    """Real Ogg-encapsulated Opus (RFC 3533 + RFC 7845): a BOS page
+    carrying OpusHead, a page with OpusTags, then audio packets over
+    1-2 pages — ONE packet always SPANS a page boundary via a
+    255-lacing continuation (the shape naive parsers break on),
+    granule positions carry the cumulative 48 kHz sample count of
+    packets COMPLETED on each page, and every page closes with the
+    Ogg CRC (poly 0x04c11db7, zero init/xorout — not zlib's)."""
+    n_audio, channels, preskip = ogg_opus_params(doc_id)
+    serial = 0x1000 + doc_id % 97
+
+    def page(
+        seq: int, header_type: int, granule: int, segments: list[bytes],
+        lacing: list[int],
+    ) -> bytes:
+        header = bytearray()
+        header += b"OggS" + bytes([0, header_type])
+        header += struct.pack("<q", granule)
+        header += struct.pack("<I", serial)
+        header += struct.pack("<I", seq)
+        header += b"\x00\x00\x00\x00"  # CRC placeholder
+        header += bytes([len(lacing)]) + bytes(lacing)
+        body = b"".join(segments)
+        crc = ogg_crc(bytes(header) + body)
+        header[22:26] = struct.pack("<I", crc)
+        return bytes(header) + body
+
+    def lace(n: int) -> list[int]:
+        out = [255] * (n // 255)
+        out.append(n % 255)  # a multiple of 255 ends with a 0 lacing
+        return out
+
+    head = (
+        b"OpusHead" + bytes([1, channels])
+        + struct.pack("<H", preskip)
+        + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([0])
+    )
+    tags = (
+        b"OpusTags" + struct.pack("<I", 4) + b"etl!"
+        + struct.pack("<I", 0)
+    )
+    pages = [
+        page(0, 0x02, 0, [head], lace(len(head))),   # BOS
+        page(1, 0x00, 0, [tags], lace(len(tags))),
+    ]
+    packets = [_opus_packet(doc_id, i) for i in range(n_audio)]
+    samples = [
+        ogg_opus_packet_fields(doc_id, i)[3]
+        * opus_samples_per_frame(ogg_opus_packet_fields(doc_id, i)[0])
+        for i in range(n_audio)
+    ]
+    # audio page 1: whole packets 0..k-1 plus the FIRST part of packet
+    # k (k = n_audio // 2), continued on page 2
+    k = n_audio // 2
+    lac1: list[int] = []
+    segs1: list[bytes] = []
+    for i in range(k):
+        lac1 += lace(len(packets[i]))
+        segs1.append(packets[i])
+    # packet k spans into the next page: RFC 3533 marks an unfinished
+    # packet by ending the lacing table mid-255-run (no final < 255
+    # value), so the head part must be exactly 255 bytes — build
+    # packet k as a single-frame (code 0) packet longer than 255 bytes
+    # and split it there
+    long_frame = bytes((doc_id + 7 + j) % 256 for j in range(300))
+    long_toc_fields = ogg_opus_packet_fields(doc_id, k)
+    long_packet = bytes(
+        [(long_toc_fields[0] << 3) | (long_toc_fields[1] << 2) | 0]
+    ) + long_frame  # code 0: one frame
+    packets[k] = long_packet
+    samples[k] = opus_samples_per_frame(long_toc_fields[0])
+    head_part, tail_part = long_packet[:255], long_packet[255:]
+    lac1.append(255)
+    segs1.append(head_part)
+    granule1 = sum(samples[:k])  # packet k not completed here
+    pages.append(page(2, 0x00, granule1, segs1, lac1))
+    lac2: list[int] = [len(tail_part)]  # < 255 by construction
+    segs2: list[bytes] = [tail_part]
+    for i in range(k + 1, n_audio):
+        lac2 += lace(len(packets[i]))
+        segs2.append(packets[i])
+    pages.append(page(3, 0x04 | 0x01, sum(samples), segs2, lac2))
+    return b"".join(pages)
 # Adam7 pass grid (PNG spec 8.2): (x_start, x_step, y_start, y_step)
 PNG_ADAM7 = (
     (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),

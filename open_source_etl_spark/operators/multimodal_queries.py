@@ -1051,6 +1051,88 @@ def multimodal_h264_cavlc_decode(
 
 
 @query(
+    "multimodal_ogg_opus_walk",
+    # formulas mirror synth.ogg_opus_params / ogg_opus_packet_fields /
+    # opus_samples_per_frame: 4 + doc % 5 audio packets; packet i has
+    # TOC config (doc + 3i) % 32 (samples per frame from RFC 6716
+    # Table 2), stereo (doc+i) % 2, frame-count code i % 4 (code 3
+    # capped at the 120 ms rule), and the middle packet (i = n//2) is
+    # the page-SPANNING single-frame packet.  The page walk — Ogg CRC,
+    # lacing reassembly, continuation flags, granule cross-check —
+    # has no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 5 AS n_audio,
+             1 + doc_id % 2 AS channels, 312 + doc_id % 50 AS preskip
+      FROM documents
+    ),
+    pk AS (
+      SELECT p.doc_id, n_audio, ii.i,
+             (p.doc_id + 3 * ii.i) % 32 AS cfg,
+             (p.doc_id + ii.i) % 2 AS st
+      FROM p, LATERAL (SELECT unnest(range(0, n_audio)) AS i) ii
+    ),
+    fr AS (
+      SELECT doc_id, i, cfg, st, spf,
+             CASE WHEN i = n_audio // 2 THEN 1
+                  WHEN i % 4 = 0 THEN 1
+                  WHEN i % 4 IN (1, 2) THEN 2
+                  ELSE LEAST(2 + (doc_id + i) % 3, 5760 // spf)
+             END AS nf
+      FROM (
+        SELECT doc_id, n_audio, i, cfg, st,
+               CASE WHEN cfg < 12 THEN
+                      CASE cfg % 4 WHEN 0 THEN 480 WHEN 1 THEN 960
+                           WHEN 2 THEN 1920 ELSE 2880 END
+                    WHEN cfg < 16 THEN
+                      CASE cfg % 2 WHEN 0 THEN 480 ELSE 960 END
+                    ELSE
+                      CASE cfg % 4 WHEN 0 THEN 120 WHEN 1 THEN 240
+                           WHEN 2 THEN 480 ELSE 960 END
+               END AS spf
+        FROM pk
+      )
+    )
+    SELECT p.doc_id,
+           CAST(4 AS BIGINT) AS n_pages,
+           CAST(p.n_audio AS BIGINT) AS n_audio_packets,
+           CAST(p.channels AS BIGINT) AS channels,
+           CAST(p.preskip AS BIGINT) AS preskip,
+           CAST(SUM(fr.nf * fr.spf) AS BIGINT) AS total_samples,
+           CAST(SUM(fr.nf) AS BIGINT) AS total_frames,
+           CAST(SUM(fr.cfg) AS BIGINT) AS sum_config,
+           CAST(SUM(fr.st) AS BIGINT) AS n_stereo,
+           CAST(1 AS BIGINT) AS n_spanning
+    FROM p JOIN fr ON p.doc_id = fr.doc_id
+    GROUP BY p.doc_id, p.n_audio, p.channels, p.preskip
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_ogg_opus_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg-encapsulated Opus container walk (RFC 3533 + RFC 7845 +
+    RFC 6716's TOC layer) — the dominant open audio format a web crawl
+    yields: per-page capture/version checks and the Ogg CRC (poly
+    0x04c11db7, zeroed-field convention — NOT zlib's), packet
+    reassembly through lacing tables including a packet that SPANS a
+    page boundary (a page ending mid-255-run leaves its packet open;
+    the next page must carry the continuation flag — both directions
+    enforced), OpusHead/OpusTags parses, per-packet TOC decode across
+    all 32 configs and all four frame-count codes, the 120 ms packet
+    cap, and the EOS granule position cross-checked against the
+    cumulative decoded sample count.  SILK/CELT range decoding of
+    frame contents, multiplexed streams, channel mapping families
+    > 0, the two-byte frame-length form, and padded/VBR code-3
+    packets raise at the declared boundary.  Reference scope note:
+    the reference delegates all media handling to its warehouse; this
+    query is part of the training-data-pipeline surface the brief
+    adds."""
+    from ..multimodal.decode import decode_ogg_opus, synthesize_ogg_opus
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_ogg_opus(synthesize_ogg_opus(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_mp3_maindata_decode",
     # formulas mirror synth.mp3_md_params / mp3_md_granule /
     # mp3_bv_pairs: CBR frames (bitrate index 7 + doc_id % 3 ->
