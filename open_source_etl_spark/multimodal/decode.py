@@ -3816,6 +3816,224 @@ def synthesize_mp3_ws(docs_df: DataFrame) -> DataFrame:
     )
 
 
+def parse_webm(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int, int, int, int]:
+    """Walk one WebM (Matroska/EBML, RFC 8794) stream to (n_tracks,
+    n_video_tracks, n_clusters, n_blocks, n_keyframes, sum_abs_ts,
+    payload_bytes, duration_ms): vint ID/size parsing (IDs keep their
+    length marker, sizes strip it; the all-ones size means UNKNOWN
+    length and raises as the declared streaming-muxer stub), an
+    element tree walk that skips unknown elements and Void gaps by
+    size, EBML-header DocType validation, TrackEntry
+    number/type/codec parses, and per-cluster SimpleBlock decode —
+    vint track number, 2-byte signed relative timestamp, keyframe
+    flag, lacing REJECTED as the declared stub — with the Info
+    Duration cross-checked against the maximum decoded absolute block
+    timestamp.  Codec payloads stay opaque (VP9/Opus decode is the
+    stub); BlockGroups and non-millisecond TimestampScales raise."""
+
+    def vint(at: int, strip: bool) -> tuple[int, int]:
+        if at >= len(raw):
+            raise ValueError(f"doc {doc_id}: EBML vint past EOF")
+        first = raw[at]
+        if first == 0:
+            raise ValueError(f"doc {doc_id}: invalid EBML vint")
+        n = 9 - first.bit_length()
+        if at + n > len(raw):
+            raise ValueError(f"doc {doc_id}: EBML vint truncated")
+        val = int.from_bytes(raw[at : at + n], "big")
+        if strip:
+            marker = 1 << (7 * n)
+            val ^= marker
+            if val == marker - 1:
+                raise NotImplementedError(
+                    "unknown-size EBML elements (live-muxer output) "
+                    "not implemented"
+                )
+        return val, at + n
+
+    def walk(at: int, end: int):
+        while at < end:
+            eid, at = vint(at, strip=False)
+            size, at = vint(at, strip=True)
+            if at + size > end:
+                raise ValueError(
+                    f"doc {doc_id}: element {eid:x} overruns its parent"
+                )
+            yield eid, at, at + size
+            at = at + size
+
+    # EBML header
+    eid, at = vint(0, strip=False)
+    if eid != 0x1A45DFA3:
+        raise ValueError(f"doc {doc_id}: not an EBML stream")
+    size, at = vint(at, strip=True)
+    doc_type = None
+    for eid, s, e in walk(at, at + size):
+        if eid == 0x4282:
+            doc_type = raw[s:e]
+    if doc_type != b"webm":
+        raise ValueError(f"doc {doc_id}: DocType {doc_type!r} != webm")
+    at += size
+    eid, at = vint(at, strip=False)
+    if eid != 0x18538067:
+        raise ValueError(f"doc {doc_id}: missing Segment")
+    size, at = vint(at, strip=True)
+    if at + size != len(raw):
+        raise ValueError(f"doc {doc_id}: Segment size disagrees with EOF")
+
+    n_tracks = n_video = n_clusters = n_blocks = n_keys = 0
+    sum_abs_ts = payload_bytes = 0
+    duration_ms = None
+    max_ts = None
+    for eid, s, e in walk(at, len(raw)):
+        if eid == 0x1549A966:  # Info
+            for ei, is_, ie in walk(s, e):
+                if ei == 0x2AD7B1:
+                    scale = int.from_bytes(raw[is_:ie], "big")
+                    if scale != 1_000_000:
+                        raise NotImplementedError(
+                            "non-millisecond TimestampScale not "
+                            "implemented"
+                        )
+                elif ei == 0x4489:
+                    if ie - is_ != 8:
+                        raise ValueError(
+                            f"doc {doc_id}: Duration must be float64"
+                        )
+                    duration_ms = int(
+                        struct.unpack(">d", raw[is_:ie])[0]
+                    )
+        elif eid == 0x1654AE6B:  # Tracks
+            for ei, ts_, te in walk(s, e):
+                if ei != 0xAE:
+                    continue
+                n_tracks += 1
+                ttype = None
+                for fi, fs, fe in walk(ts_, te):
+                    if fi == 0x83:
+                        ttype = int.from_bytes(raw[fs:fe], "big")
+                    elif fi == 0x86 and raw[fs:fe] not in (
+                        b"V_VP9", b"V_VP8", b"A_OPUS", b"A_VORBIS"
+                    ):
+                        raise ValueError(
+                            f"doc {doc_id}: unexpected WebM codec "
+                            f"{raw[fs:fe]!r}"
+                        )
+                if ttype == 1:
+                    n_video += 1
+        elif eid == 0x1F43B675:  # Cluster
+            n_clusters += 1
+            cluster_ts = None
+            for ei, bs, be in walk(s, e):
+                if ei == 0xE7:
+                    cluster_ts = int.from_bytes(raw[bs:be], "big")
+                elif ei == 0xA3:  # SimpleBlock
+                    if cluster_ts is None:
+                        raise ValueError(
+                            f"doc {doc_id}: SimpleBlock before the "
+                            "cluster Timestamp"
+                        )
+                    track, p = vint(bs, strip=True)
+                    if p + 3 > be:
+                        raise ValueError(
+                            f"doc {doc_id}: truncated SimpleBlock"
+                        )
+                    (rel,) = struct.unpack_from(">h", raw, p)
+                    flags = raw[p + 2]
+                    if flags & 0x06:
+                        raise NotImplementedError(
+                            "laced SimpleBlocks not implemented"
+                        )
+                    if track not in (1, 2):
+                        raise ValueError(
+                            f"doc {doc_id}: block for unknown track "
+                            f"{track}"
+                        )
+                    n_blocks += 1
+                    n_keys += 1 if flags & 0x80 else 0
+                    abs_ts = cluster_ts + rel
+                    sum_abs_ts += abs_ts
+                    max_ts = (
+                        abs_ts if max_ts is None else max(max_ts, abs_ts)
+                    )
+                    payload_bytes += be - (p + 3)
+                elif ei == 0xA0:
+                    raise NotImplementedError(
+                        "BlockGroup clusters not implemented "
+                        "(SimpleBlock streams only)"
+                    )
+        # Void (0xEC) and anything else: skipped by size
+    if duration_ms is None or n_clusters == 0:
+        raise ValueError(f"doc {doc_id}: no decodable WebM timeline")
+    if max_ts != duration_ms:
+        raise ValueError(
+            f"doc {doc_id}: Duration {duration_ms} != last block "
+            f"timestamp {max_ts}"
+        )
+    return (
+        n_tracks, n_video, n_clusters, n_blocks, n_keys,
+        sum_abs_ts, payload_bytes, duration_ms,
+    )
+
+
+WEBM_SCHEMA = (
+    "doc_id long, n_tracks long, n_video_tracks long, n_clusters long, "
+    "n_blocks long, n_keyframes long, sum_abs_ts long, "
+    "payload_bytes long, duration_ms long"
+)
+
+
+def synthesize_webm(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a WebM stream (``make_webm_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_webm_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_webm_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_webm(media_df: DataFrame) -> DataFrame:
+    """Distributed WebM/EBML container walk (``parse_webm``) as an
+    Arrow kernel over binary payload rows."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "n_tracks", "n_video_tracks", "n_clusters",
+            "n_blocks", "n_keyframes", "sum_abs_ts", "payload_bytes",
+            "duration_ms",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *parse_webm(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, WEBM_SCHEMA
+    )
+
+
 def parse_ogg_opus(
     doc_id: int, raw: bytes
 ) -> tuple[int, int, int, int, int, int, int, int, int]:

@@ -2248,6 +2248,111 @@ def make_ogg_opus_bytes(doc_id: int) -> bytes:
         segs2.append(packets[i])
     pages.append(page(3, 0x04 | 0x01, sum(samples), segs2, lac2))
     return b"".join(pages)
+def ebml_vint_size(value: int) -> bytes:
+    """EBML data-size vint (RFC 8794 4.): the length marker's leading
+    1 sits in the first byte, the remaining bits carry the value.
+    Smallest representation, 1-8 bytes."""
+    for n in range(1, 9):
+        if value < (1 << (7 * n)) - 1:  # all-ones is the unknown-size
+            out = value | (1 << (7 * n))
+            return out.to_bytes(n, "big")
+    raise ValueError(f"vint overflow: {value}")
+
+
+def _ebml(eid: int, payload: bytes) -> bytes:
+    """One EBML element: raw ID bytes (IDs keep their marker) +
+    size vint + payload."""
+    id_len = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(id_len, "big") + ebml_vint_size(len(payload)) + payload
+
+
+def _ebml_uint(eid: int, value: int) -> bytes:
+    n = max(1, (value.bit_length() + 7) // 8)
+    return _ebml(eid, value.to_bytes(n, "big"))
+
+
+def webm_params(doc_id: int) -> tuple[int, int]:
+    """(n_clusters, cluster_ts_base)."""
+    return 2 + doc_id % 3, doc_id % 100
+
+
+def webm_blocks(doc_id: int, c: int) -> list[tuple[int, int, int, int]]:
+    """Cluster c's SimpleBlocks as (track, rel_ts, keyframe,
+    payload_len) closed forms."""
+    out = []
+    for b in range(3 + (doc_id + c) % 4):
+        out.append((
+            1 + (doc_id + c + b) % 2,
+            b * (doc_id % 7 + 1),
+            1 if (doc_id + c + b) % 3 == 0 else 0,
+            4 + (doc_id + b) % 6,
+        ))
+    return out
+
+
+def make_webm_bytes(doc_id: int) -> bytes:
+    """Real WebM (Matroska/EBML, RFC 8794 + the Matroska element set):
+    an EBML header declaring DocType webm, then one Segment holding
+    Info (TimestampScale + a float64 Duration), Tracks (a VP9 video
+    track and an Opus audio track with TrackNumber/TrackType/CodecID),
+    a Void element (a skippable gap real muxers leave), and
+    closed-form Clusters of SimpleBlocks — vint track number, 2-byte
+    signed relative timestamp, flags byte with the keyframe bit, then
+    the (opaque) codec payload.  Frame payload DECODE is the VP9/Opus
+    stub; the element tree, vint layer, and block timing are what the
+    walk proves."""
+    n_clusters, ts_base = webm_params(doc_id)
+
+    header = _ebml(
+        0x1A45DFA3,
+        _ebml_uint(0x4286, 1)            # EBMLVersion
+        + _ebml_uint(0x42F7, 1)          # EBMLReadVersion
+        + _ebml_uint(0x42F2, 4)          # EBMLMaxIDLength
+        + _ebml_uint(0x42F3, 8)          # EBMLMaxSizeLength
+        + _ebml(0x4282, b"webm")         # DocType
+        + _ebml_uint(0x4287, 4)          # DocTypeVersion
+        + _ebml_uint(0x4285, 2),         # DocTypeReadVersion
+    )
+    total_ms = (
+        (n_clusters - 1) * 1000 + ts_base
+        + max(r for _t, r, _k, _p in webm_blocks(doc_id, n_clusters - 1))
+    )
+    info = _ebml(
+        0x1549A966,
+        _ebml_uint(0x2AD7B1, 1_000_000)  # TimestampScale: 1 ms ticks
+        + _ebml(0x4489, struct.pack(">d", float(total_ms))),  # Duration
+    )
+    tracks = _ebml(
+        0x1654AE6B,
+        _ebml(
+            0xAE,
+            _ebml_uint(0xD7, 1) + _ebml_uint(0x83, 1)
+            + _ebml(0x86, b"V_VP9"),
+        )
+        + _ebml(
+            0xAE,
+            _ebml_uint(0xD7, 2) + _ebml_uint(0x83, 2)
+            + _ebml(0x86, b"A_OPUS"),
+        ),
+    )
+    void = _ebml(0xEC, bytes(10 + doc_id % 20))
+    clusters = b""
+    for c in range(n_clusters):
+        body = _ebml_uint(0xE7, c * 1000 + ts_base)  # Timestamp
+        for track, rel, key, plen in webm_blocks(doc_id, c):
+            payload = bytes((doc_id + track + j) % 256 for j in range(plen))
+            block = (
+                ebml_vint_size(track)
+                + struct.pack(">h", rel)
+                + bytes([0x80 if key else 0x00])
+                + payload
+            )
+            body += _ebml(0xA3, block)  # SimpleBlock
+        clusters += _ebml(0x1F43B675, body)
+    segment = _ebml(0x18538067, info + tracks + void + clusters)
+    return header + segment
+
+
 # Adam7 pass grid (PNG spec 8.2): (x_start, x_step, y_start, y_step)
 PNG_ADAM7 = (
     (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),

@@ -1051,6 +1051,71 @@ def multimodal_h264_cavlc_decode(
 
 
 @query(
+    "multimodal_webm_ebml_walk",
+    # formulas mirror synth.webm_params / webm_blocks: 2 + doc % 3
+    # clusters at timestamps c*1000 + doc % 100; cluster c carries
+    # 3 + (doc+c) % 4 SimpleBlocks with relative timestamps
+    # b*(doc % 7 + 1), keyframe when (doc+c+b) % 3 = 0, payloads of
+    # 4 + (doc+b) % 6 bytes; Duration = the last cluster's maximum
+    # absolute timestamp.  The EBML vint layer, element tree, and
+    # block framing have no closed form — Spark must walk them.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 2 + doc_id % 3 AS nc, doc_id % 100 AS ts_base,
+             doc_id % 7 + 1 AS step
+      FROM documents
+    ),
+    blk AS (
+      SELECT p.doc_id, cc.c, bb.b,
+             cc.c * 1000 + ts_base + bb.b * step AS abs_ts,
+             CASE WHEN (p.doc_id + cc.c + bb.b) % 3 = 0 THEN 1
+                  ELSE 0 END AS key,
+             4 + (p.doc_id + bb.b) % 6 AS plen
+      FROM p,
+           LATERAL (SELECT unnest(range(0, nc)) AS c) cc,
+           LATERAL (SELECT unnest(range(0,
+                     3 + (p.doc_id + cc.c) % 4)) AS b) bb
+    )
+    SELECT p.doc_id,
+           CAST(2 AS BIGINT) AS n_tracks,
+           CAST(1 AS BIGINT) AS n_video_tracks,
+           CAST(p.nc AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(key) AS BIGINT) AS n_keyframes,
+           CAST(SUM(abs_ts) AS BIGINT) AS sum_abs_ts,
+           CAST(SUM(plen) AS BIGINT) AS payload_bytes,
+           CAST((p.nc - 1) * 1000 + p.ts_base
+                + (2 + (p.doc_id + p.nc - 1) % 4) * p.step
+                AS BIGINT) AS duration_ms
+    FROM p JOIN blk ON p.doc_id = blk.doc_id
+    GROUP BY p.doc_id, p.nc, p.ts_base, p.step
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_webm_ebml_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM container walk (Matroska/EBML, RFC 8794) — the modern
+    crawl video container beside the shipped AVI and raw-Annex-B
+    H.264 paths: vint ID/size parsing (IDs keep their length marker,
+    sizes strip it), an element-tree walk that skips Void gaps and
+    unknown elements by size, EBML-header DocType validation,
+    TrackEntry parses (a VP9 video and an Opus audio track), and
+    per-cluster SimpleBlock decode — vint track numbers validated
+    against the track set, signed relative timestamps against the
+    cluster Timestamp, keyframe flags — with the Info Duration
+    cross-checked against the maximum decoded absolute timestamp.
+    Declared stubs: unknown-size elements (live-muxer output), laced
+    SimpleBlocks, BlockGroups, non-millisecond TimestampScales, and
+    the codec payloads themselves.  Reference scope note: the
+    reference delegates all media handling to its warehouse; this
+    query is part of the training-data-pipeline surface the brief
+    adds."""
+    from ..multimodal.decode import decode_webm, synthesize_webm
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_webm(synthesize_webm(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_ogg_opus_walk",
     # formulas mirror synth.ogg_opus_params / ogg_opus_packet_fields /
     # opus_samples_per_frame: 4 + doc % 5 audio packets; packet i has
