@@ -3816,6 +3816,256 @@ def synthesize_mp3_ws(docs_df: DataFrame) -> DataFrame:
     )
 
 
+def parse_mp4(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int, int, int, int]:
+    """Walk one ISO-BMFF / MP4 file (ISO 14496-12) to (n_boxes,
+    n_tracks, n_video_tracks, total_samples, sum_sample_bytes,
+    duration_ms, max_track_duration, mdat_bytes): the size/type box
+    tree (64-bit largesize accepted, size-0 to-EOF and any truncation
+    rejected), ftyp brand check, the moov hierarchy — mvhd, per-trak
+    mdhd/hdlr and the full sample table: stts run-lengths, stsz sizes,
+    stsc, stco — skipping unknown boxes by size, with three
+    cross-checks a header-skimmer cannot fake: each track's stsz
+    sample count must equal its stts total, each track's mdhd duration
+    must equal its stts duration sum, and every track's stco+stsz
+    extent must land inside mdat (whose payload total must equal the
+    sum of all sample sizes).  Codec configuration inside stsd sample
+    entries stays opaque (the avc1/mp4a decode stubs); fragmented MP4
+    (moof) and non-millisecond timescales raise."""
+
+    def boxes(at: int, end: int):
+        while at < end:
+            if at + 8 > end:
+                raise ValueError(f"doc {doc_id}: truncated box header")
+            (size,) = struct.unpack_from(">I", raw, at)
+            btype = raw[at + 4 : at + 8]
+            body = at + 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", raw, at + 8)
+                body = at + 16
+            elif size == 0:
+                raise NotImplementedError(
+                    "size-0 (to end of file) boxes not implemented"
+                )
+            if size < body - at or at + size > end:
+                raise ValueError(
+                    f"doc {doc_id}: box {btype!r} size {size} overruns "
+                    "its parent"
+                )
+            yield btype, body, at + size
+            at += size
+
+    n_boxes = n_tracks = n_video = 0
+    total_samples = sum_sample_bytes = 0
+    duration_ms = None
+    max_track_dur = 0
+    mdat_span = None
+    track_extents: list[tuple[int, int]] = []
+    saw_ftyp = False
+    for btype, s, e in boxes(0, len(raw)):
+        n_boxes += 1
+        if btype == b"ftyp":
+            if raw[s : s + 4] not in (b"isom", b"mp41", b"mp42"):
+                raise ValueError(
+                    f"doc {doc_id}: unexpected major brand "
+                    f"{raw[s:s+4]!r}"
+                )
+            saw_ftyp = True
+        elif btype == b"moof":
+            raise NotImplementedError(
+                "fragmented MP4 (moof) not implemented"
+            )
+        elif btype == b"mdat":
+            mdat_span = (s, e)
+        elif btype == b"moov":
+            for t2, s2, e2 in boxes(s, e):
+                n_boxes += 1
+                if t2 == b"mvhd":
+                    (scale, dur) = struct.unpack_from(">II", raw, s2 + 12)
+                    if scale != 1000:
+                        raise NotImplementedError(
+                            "non-millisecond movie timescales not "
+                            "implemented"
+                        )
+                    duration_ms = dur
+                elif t2 == b"trak":
+                    n_tracks += 1
+                    tdur = None
+                    counts = sizes = None
+                    stts_total = stts_dur = None
+                    chunk_off = None
+                    for t3, s3, e3 in boxes(s2, e2):
+                        n_boxes += 1
+                        if t3 != b"mdia":
+                            continue
+                        for t4, s4, e4 in boxes(s3, e3):
+                            n_boxes += 1
+                            if t4 == b"mdhd":
+                                (mscale, mdur) = struct.unpack_from(
+                                    ">II", raw, s4 + 12
+                                )
+                                if mscale != 1000:
+                                    raise NotImplementedError(
+                                        "non-millisecond media "
+                                        "timescales not implemented"
+                                    )
+                                tdur = mdur
+                            elif t4 == b"hdlr":
+                                if raw[s4 + 8 : s4 + 12] == b"vide":
+                                    n_video += 1
+                            elif t4 == b"minf":
+                                for t5, s5, e5 in boxes(s4, e4):
+                                    n_boxes += 1
+                                    if t5 != b"stbl":
+                                        continue
+                                    for t6, s6, e6 in boxes(s5, e5):
+                                        n_boxes += 1
+                                        if t6 == b"stts":
+                                            (n_runs,) = struct.unpack_from(
+                                                ">I", raw, s6 + 4
+                                            )
+                                            stts_total = stts_dur = 0
+                                            for r_ in range(n_runs):
+                                                c_, d_ = struct.unpack_from(
+                                                    ">II",
+                                                    raw,
+                                                    s6 + 8 + 8 * r_,
+                                                )
+                                                stts_total += c_
+                                                stts_dur += c_ * d_
+                                        elif t6 == b"stsz":
+                                            (fixed, cnt) = (
+                                                struct.unpack_from(
+                                                    ">II", raw, s6 + 4
+                                                )
+                                            )
+                                            if fixed:
+                                                sizes = [fixed] * cnt
+                                            else:
+                                                sizes = [
+                                                    struct.unpack_from(
+                                                        ">I",
+                                                        raw,
+                                                        s6 + 12 + 4 * i_,
+                                                    )[0]
+                                                    for i_ in range(cnt)
+                                                ]
+                                            counts = cnt
+                                        elif t6 == b"stco":
+                                            (nc_,) = struct.unpack_from(
+                                                ">I", raw, s6 + 4
+                                            )
+                                            if nc_ != 1:
+                                                raise NotImplementedError(
+                                                    "multi-chunk tracks "
+                                                    "not implemented"
+                                                )
+                                            (chunk_off,) = (
+                                                struct.unpack_from(
+                                                    ">I", raw, s6 + 8
+                                                )
+                                            )
+                    if None in (tdur, counts, stts_total, chunk_off):
+                        raise ValueError(
+                            f"doc {doc_id}: trak missing sample-table "
+                            "boxes"
+                        )
+                    if counts != stts_total:
+                        raise ValueError(
+                            f"doc {doc_id}: stsz count {counts} != "
+                            f"stts total {stts_total}"
+                        )
+                    if tdur != stts_dur:
+                        raise ValueError(
+                            f"doc {doc_id}: mdhd duration {tdur} != "
+                            f"stts duration {stts_dur}"
+                        )
+                    total_samples += counts
+                    sum_sample_bytes += sum(sizes)
+                    max_track_dur = max(max_track_dur, tdur)
+                    track_extents.append((chunk_off, sum(sizes)))
+    if not saw_ftyp or duration_ms is None:
+        raise ValueError(f"doc {doc_id}: not a complete MP4")
+    if mdat_span is None:
+        raise ValueError(f"doc {doc_id}: missing mdat")
+    if duration_ms != max_track_dur:
+        raise ValueError(
+            f"doc {doc_id}: mvhd duration {duration_ms} != longest "
+            f"track {max_track_dur}"
+        )
+    if mdat_span[1] - mdat_span[0] != sum_sample_bytes:
+        raise ValueError(
+            f"doc {doc_id}: mdat carries {mdat_span[1] - mdat_span[0]} "
+            f"bytes for {sum_sample_bytes} bytes of samples"
+        )
+    for off, nbytes in track_extents:
+        if off < mdat_span[0] or off + nbytes > mdat_span[1]:
+            raise ValueError(
+                f"doc {doc_id}: chunk at {off} reaches outside mdat"
+            )
+    return (
+        n_boxes, n_tracks, n_video, total_samples, sum_sample_bytes,
+        duration_ms, max_track_dur, mdat_span[1] - mdat_span[0],
+    )
+
+
+MP4_SCHEMA = (
+    "doc_id long, n_boxes long, n_tracks long, n_video_tracks long, "
+    "total_samples long, sum_sample_bytes long, duration_ms long, "
+    "max_track_duration long, mdat_bytes long"
+)
+
+
+def synthesize_mp4(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying an ISO-BMFF MP4 (``make_mp4_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp4_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_mp4_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_mp4(media_df: DataFrame) -> DataFrame:
+    """Distributed ISO-BMFF box walk (``parse_mp4``) as an Arrow kernel
+    over binary payload rows."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "n_boxes", "n_tracks", "n_video_tracks",
+            "total_samples", "sum_sample_bytes", "duration_ms",
+            "max_track_duration", "mdat_bytes",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *parse_mp4(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, MP4_SCHEMA
+    )
+
+
 def parse_webm(
     doc_id: int, raw: bytes
 ) -> tuple[int, int, int, int, int, int, int, int]:

@@ -2353,6 +2353,142 @@ def make_webm_bytes(doc_id: int) -> bytes:
     return header + segment
 
 
+def mp4_track_samples(doc_id: int, track: int) -> list[tuple[int, int]]:
+    """Track's samples as (duration_ms, size_bytes) closed forms —
+    track 0 is the video track (two stts runs with different deltas),
+    track 1 the audio track (one uniform run)."""
+    if track == 0:
+        n = 5 + doc_id % 6
+        n1 = n // 2
+        d1, d2 = 33 + doc_id % 3, 40 + doc_id % 5
+        return [
+            (d1 if i < n1 else d2, 10 + (doc_id + i) % 20)
+            for i in range(n)
+        ]
+    n = 4 + doc_id % 5
+    return [(20, 6 + (doc_id + i) % 9) for i in range(n)]
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _full_box(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+def make_mp4_bytes(doc_id: int) -> bytes:
+    """Real ISO-BMFF / MP4 (ISO 14496-12): ftyp, a moov hierarchy with
+    mvhd and two traks (an avc1 video track with a TWO-RUN stts and a
+    mp4a audio track) each carrying mdhd/hdlr and a full sample table
+    (stsd with an opaque sample entry, stts run-lengths, stsz sizes,
+    stsc, stco pointing into mdat), and an mdat whose payload is the
+    tracks' samples in chunk order.  One free box sits between moov
+    and mdat (the gap real muxers leave); the video trak's mdia is
+    preceded by an UNKNOWN box the walker must skip by size.  All
+    timescales are 1000 (ms ticks) so every duration is integer-exact;
+    mvhd duration = the longer track's total."""
+    tracks = [mp4_track_samples(doc_id, t) for t in (0, 1)]
+    durations = [sum(d for d, _ in t) for t in tracks]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+
+    # mdat payload: track 0's samples then track 1's (one chunk each)
+    mdat_payload = b"".join(
+        bytes((doc_id + t + j) % 256 for j in range(size))
+        for t, samples in enumerate(tracks)
+        for _d, size in samples
+    )
+
+    def stts(samples: list) -> bytes:
+        runs: list[tuple[int, int]] = []
+        for d, _s in samples:
+            if runs and runs[-1][1] == d:
+                runs[-1] = (runs[-1][0] + 1, d)
+            else:
+                runs.append((1, d))
+        out = struct.pack(">I", len(runs))
+        for count, delta in runs:
+            out += struct.pack(">II", count, delta)
+        return _full_box(b"stts", 0, 0, out)
+
+    def stbl(track: int, chunk_off: int) -> bytes:
+        samples = tracks[track]
+        fmt = b"avc1" if track == 0 else b"mp4a"
+        stsd = _full_box(
+            b"stsd", 0, 0,
+            struct.pack(">I", 1)
+            + _box(fmt, bytes(8)),  # opaque sample entry (codec stub)
+        )
+        stsz = _full_box(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, len(samples))
+            + b"".join(struct.pack(">I", s) for _d, s in samples),
+        )
+        stsc = _full_box(
+            b"stsc", 0, 0,
+            struct.pack(">I", 1) + struct.pack(">III", 1, len(samples), 1),
+        )
+        stco = _full_box(
+            b"stco", 0, 0, struct.pack(">II", 1, chunk_off)
+        )
+        return _box(b"stbl", stsd + stts(samples) + stsz + stsc + stco)
+
+    def trak(track: int, chunk_off: int) -> bytes:
+        samples = tracks[track]
+        tkhd = _full_box(
+            b"tkhd", 0, 7,
+            struct.pack(">II", 0, 0)          # times
+            + struct.pack(">I", track + 1)    # track_ID
+            + bytes(4)
+            + struct.pack(">I", durations[track])
+            + bytes(8) + struct.pack(">hhh", 0, 0, 0) + b"\x00\x00"
+            + bytes(36) + struct.pack(">II", 0, 0),
+        )
+        mdhd = _full_box(
+            b"mdhd", 0, 0,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", 1000, durations[track])
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        handler = b"vide" if track == 0 else b"soun"
+        hdlr = _full_box(
+            b"hdlr", 0, 0,
+            bytes(4) + handler + bytes(12) + b"etl\x00",
+        )
+        minf = _box(b"minf", stbl(track, chunk_off))
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        unknown = _box(b"uuid", bytes(6 + doc_id % 10))
+        if track == 0:
+            return _box(b"trak", tkhd + unknown + mdia)
+        return _box(b"trak", tkhd + mdia)
+
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, max(durations))
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + bytes(10) + bytes(36) + bytes(24)
+        + struct.pack(">I", 3),  # next_track_ID
+    )
+    free = _box(b"free", bytes(8 + doc_id % 16))
+
+    # chunk offsets need the final layout: moov size depends only on
+    # run/sample counts, so build moov twice — once to measure, once
+    # with the real offsets
+    def build_moov(off0: int, off1: int) -> bytes:
+        return _box(b"moov", mvhd + trak(0, off0) + trak(1, off1))
+
+    probe = build_moov(0, 0)
+    mdat_at = len(ftyp) + len(probe) + len(free) + 8
+    off0 = mdat_at
+    off1 = mdat_at + sum(s for _d, s in tracks[0])
+    moov = build_moov(off0, off1)
+    if len(moov) != len(probe):
+        raise ValueError("moov sizing must be layout-independent")
+    return ftyp + moov + free + _box(b"mdat", mdat_payload)
+
+
 # Adam7 pass grid (PNG spec 8.2): (x_start, x_step, y_start, y_step)
 PNG_ADAM7 = (
     (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),

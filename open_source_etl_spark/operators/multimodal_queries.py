@@ -1051,6 +1051,75 @@ def multimodal_h264_cavlc_decode(
 
 
 @query(
+    "multimodal_mp4_box_walk",
+    # formulas mirror synth.mp4_track_samples: the video track has
+    # 5 + doc % 6 samples (first half at 33 + doc % 3 ms, the rest at
+    # 40 + doc % 5 ms, sizes 10 + (doc+i) % 20), the audio track
+    # 4 + doc % 5 samples (20 ms, sizes 6 + (doc+i) % 9); the movie
+    # duration is the longer track's total and mdat carries exactly
+    # the samples' bytes.  The box tree itself (30 boxes incl. the
+    # free gap and the unknown uuid box the walker must skip) has no
+    # closed form Spark can shortcut — the sample-table cross-checks
+    # force a full walk.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             5 + doc_id % 6 AS n0,
+             4 + doc_id % 5 AS m,
+             33 + doc_id % 3 AS d1,
+             40 + doc_id % 5 AS d2
+      FROM documents
+    ),
+    v AS (
+      SELECT p.doc_id,
+             SUM(10 + (p.doc_id + ii.i) % 20) AS bytes0
+      FROM p, LATERAL (SELECT unnest(range(0, n0)) AS i) ii
+      GROUP BY p.doc_id
+    ),
+    a AS (
+      SELECT p.doc_id,
+             SUM(6 + (p.doc_id + ii.i) % 9) AS bytes1
+      FROM p, LATERAL (SELECT unnest(range(0, m)) AS i) ii
+      GROUP BY p.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(30 AS BIGINT) AS n_boxes,
+           CAST(2 AS BIGINT) AS n_tracks,
+           CAST(1 AS BIGINT) AS n_video_tracks,
+           CAST(n0 + m AS BIGINT) AS total_samples,
+           CAST(bytes0 + bytes1 AS BIGINT) AS sum_sample_bytes,
+           CAST(GREATEST((n0 // 2) * d1 + (n0 - n0 // 2) * d2,
+                         20 * m) AS BIGINT) AS duration_ms,
+           CAST(GREATEST((n0 // 2) * d1 + (n0 - n0 // 2) * d2,
+                         20 * m) AS BIGINT) AS max_track_duration,
+           CAST(bytes0 + bytes1 AS BIGINT) AS mdat_bytes
+    FROM p JOIN v ON p.doc_id = v.doc_id JOIN a ON p.doc_id = a.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF / MP4 container walk (ISO 14496-12) — the most common
+    crawl video container, completing the trifecta beside AVI and
+    WebM: the size/type box tree (64-bit largesize accepted, size-0
+    to-EOF rejected as the declared streaming stub), ftyp brand check,
+    the moov hierarchy with mvhd and per-trak mdhd/hdlr plus the full
+    sample table (stts run-lengths, stsz sizes, stsc, stco), unknown
+    boxes skipped by size — and three cross-checks a header-skimmer
+    cannot fake: stsz counts must equal stts totals, mdhd durations
+    must equal stts duration sums, and the tracks' chunk extents must
+    tile mdat exactly.  Codec configuration in stsd entries stays
+    opaque (the avc1/mp4a decode stubs); fragmented MP4 (moof),
+    multi-chunk tracks, and non-millisecond timescales raise.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..multimodal.decode import decode_mp4, synthesize_mp4
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp4(synthesize_mp4(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_webm_ebml_walk",
     # formulas mirror synth.webm_params / webm_blocks: 2 + doc % 3
     # clusters at timestamps c*1000 + doc % 100; cluster c carries
