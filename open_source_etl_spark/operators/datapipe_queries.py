@@ -1808,3 +1808,55 @@ def datapipe_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return extract_gzip_jsonl(docs).orderBy("doc_id")
+
+
+@query(
+    "datapipe_pdf_text_extract",
+    # formulas mirror ingest.pdf: 2 + doc % 3 pages, page p carrying
+    # the text slice [7p, 7p + 24 + 3p) (clamped) plus two injected
+    # parentheses on page 0; the file holds 2 + 2*n_pages objects and
+    # one content stream per page, every other one FlateDecode-
+    # compressed.  The xref walk, /Length framing, inflate, and
+    # Tj-operator string-literal unescaping have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 2 + doc_id % 3 AS np, LENGTH(text) AS t_len
+      FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, np,
+             GREATEST(0, LEAST(24 + 3 * pp.p, t_len - 7 * pp.p))
+               + CASE WHEN pp.p = 0 THEN 2 ELSE 0 END AS chars
+      FROM p, LATERAL (SELECT unnest(range(0, np)) AS p) pp
+    )
+    SELECT doc_id,
+           CAST(2 + 2 * MAX(np) AS BIGINT) AS n_objects,
+           CAST(MAX(np) AS BIGINT) AS n_pages,
+           CAST(MAX(np) AS BIGINT) AS n_streams,
+           CAST(MAX(np) // 2 AS BIGINT) AS n_flate,
+           CAST(SUM(chars) AS BIGINT) AS text_chars
+    FROM pg
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def datapipe_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (ISO 32000-1) — the crawl format training
+    pipelines most often need text OUT of, beside WARC bodies: the
+    walk goes startxref -> xref table (20-byte entries, offsets
+    validated against the object headers they point at — one
+    uncompressed content stream embeds a literal ``7 0 obj`` so a
+    parser that scans for object keywords instead of walking the
+    cross-reference table miscounts), trailer /Size and /Encrypt
+    checks, stream payloads sliced by /Length with the endstream
+    keyword enforced, FlateDecode through stdlib zlib, and page text
+    recovered by executing Tj show operators with string-literal
+    escapes (parens, backslash, octal) undone.  Cross-reference
+    streams (PDF 1.5+), object streams, encryption, and non-Flate
+    filters raise at the declared boundary (``ingest/pdf.py``).  Same
+    mapInPandas shape and 100 TB posture as the other container
+    extractors."""
+    from ..ingest.pdf import extract_pdf_text
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return extract_pdf_text(docs).orderBy("doc_id")

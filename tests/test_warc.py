@@ -766,3 +766,79 @@ def test_avro_schema_resolution():
     raw = make_avro_v1_bytes(5, "y" * 120)
     n, ids, chars, nulls, q, lang = parse_avro_evolved(5, raw)
     assert n == lang == 2 + 5 % 3
+
+
+def test_pdf_extracts_exact_text_and_rejects_corruption():
+    """The PDF walk recovers the exact page text (escapes undone) via
+    the xref table, not keyword scanning — the uncompressed trap
+    comment adds a literal '7 0 obj' the object count must not see —
+    and the integrity checks fire: a /Length that misses endstream, a
+    corrupt Flate stream, an /Encrypt trailer, a wrong xref offset,
+    and a digit at the startxref target (a PDF 1.5 cross-reference
+    stream) raising the declared stub."""
+    import re
+
+    import pytest
+
+    from open_source_etl_spark.ingest.pdf import (
+        _STRING_RE,
+        _unescape,
+        make_pdf_bytes,
+        parse_pdf,
+        pdf_n_pages,
+        pdf_page_text,
+    )
+
+    text = "pa\\k my box with (five) dozen liquor jugs! " * 4
+    doc = 6
+    raw = make_pdf_bytes(doc, text)
+
+    # exact text recovery: run the production literal/unescape pair on
+    # page 0's raw stream (page 0 is uncompressed) and pin the string
+    first_stream = raw[raw.index(b"stream\n") + 7 :]
+    lit = _STRING_RE.search(first_stream).group(0)
+    got = _unescape(lit[1 : lit.rindex(b")")])
+    assert got == pdf_page_text(text, 0)
+    assert got.startswith("(") and "\\" in got  # escapes really undone
+
+    n_obj, n_pages, *_ = parse_pdf(doc, raw)
+    assert n_pages == pdf_n_pages(doc)
+    assert n_obj == 2 + 2 * n_pages
+    assert raw.count(b"7 0 obj") > raw.count(b"\n7 0 obj")  # trap present
+
+    bad_len = re.sub(
+        rb"/Length (\d+)",
+        lambda m: b"/Length " + str(int(m.group(1)) + 2).encode(),
+        raw, count=1,
+    )
+    with pytest.raises(ValueError, match="endstream|shorter"):
+        parse_pdf(doc, bad_len)
+
+    flate_at = raw.index(b"/Filter /FlateDecode")
+    stream_at = raw.index(b"stream\n", flate_at) + 7
+    corrupt = bytearray(raw)
+    corrupt[stream_at + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="bad Flate"):
+        parse_pdf(doc, bytes(corrupt))
+
+    encrypted = raw.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    # the trailer grew: the startxref offset is unchanged (trailer sits
+    # after the xref entries), so only the dict contents differ
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        parse_pdf(doc, encrypted)
+
+    wrong_off = re.sub(
+        rb"\n0000000009 00000 n", b"\n0000000010 00000 n", raw, count=1
+    )
+    if wrong_off == raw:  # first object offset is doc-dependent
+        m = re.search(rb"\n(\d{10}) 00000 n", raw)
+        bumped = str(int(m.group(1)) + 1).zfill(10).encode()
+        wrong_off = raw[: m.start(1)] + bumped + raw[m.end(1) :]
+    with pytest.raises(ValueError, match="wrong place"):
+        parse_pdf(doc, wrong_off)
+
+    xref_stream = re.sub(
+        rb"startxref\s+(\d+)", b"startxref\n9", raw
+    )
+    with pytest.raises(Exception, match="cross-reference|garbage"):
+        parse_pdf(doc, xref_stream)
