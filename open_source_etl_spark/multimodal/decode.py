@@ -3816,6 +3816,115 @@ def synthesize_mp3_ws(docs_df: DataFrame) -> DataFrame:
     )
 
 
+def parse_aac_adts(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int, int]:
+    """Walk one ADTS-framed AAC stream (ISO/IEC 14496-3 1.A.2) to
+    (n_frames, sum_profile, sum_channels, total_raw_blocks,
+    payload_bytes, sum_sample_rate): frames located strictly by the
+    13-bit frame_length field (never by scanning for the syncword —
+    payload bytes may alias 0xFFF), with the syncword, layer bits,
+    and samplingFrequencyIndex validated per frame and the index
+    mapped through the 14496-3 rate table.  CRC-protected headers
+    (protection_absent 0) and the raw-data-block entropy decode are
+    the declared stubs."""
+    from .synth import AAC_SAMPLE_RATES
+
+    pos = 0
+    n_frames = sum_profile = sum_channels = n_rdb = 0
+    payload_bytes = sum_rate = 0
+    while pos < len(raw):
+        if pos + 7 > len(raw):
+            raise ValueError(f"doc {doc_id}: truncated ADTS header")
+        hdr = int.from_bytes(raw[pos : pos + 7], "big")
+        if hdr >> 44 != 0xFFF:
+            raise ValueError(f"doc {doc_id}: lost ADTS sync at {pos}")
+        if (hdr >> 41) & 0x3 != 0:
+            raise ValueError(f"doc {doc_id}: nonzero layer bits")
+        if not (hdr >> 40) & 1:
+            raise NotImplementedError(
+                "CRC-protected ADTS headers not implemented"
+            )
+        profile = (hdr >> 38) & 0x3
+        sf_idx = (hdr >> 34) & 0xF
+        if sf_idx >= len(AAC_SAMPLE_RATES):
+            raise ValueError(
+                f"doc {doc_id}: reserved sampling index {sf_idx}"
+            )
+        channels = (hdr >> 30) & 0x7
+        frame_len = (hdr >> 13) & 0x1FFF
+        if frame_len < 7 or pos + frame_len > len(raw):
+            raise ValueError(f"doc {doc_id}: ADTS frame overruns EOF")
+        n_frames += 1
+        sum_profile += profile
+        sum_channels += channels
+        n_rdb += (hdr & 0x3) + 1
+        payload_bytes += frame_len - 7
+        sum_rate += AAC_SAMPLE_RATES[sf_idx]
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError(f"doc {doc_id}: no ADTS frames")
+    return (
+        n_frames, sum_profile, sum_channels, n_rdb, payload_bytes,
+        sum_rate,
+    )
+
+
+AAC_SCHEMA = (
+    "doc_id long, n_frames long, sum_profile long, sum_channels long, "
+    "total_raw_blocks long, payload_bytes long, sum_sample_rate long"
+)
+
+
+def synthesize_aac_adts(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying an ADTS AAC stream
+    (``make_aac_adts_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_aac_adts_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_aac_adts_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_aac_adts(media_df: DataFrame) -> DataFrame:
+    """Distributed ADTS frame walk (``parse_aac_adts``) as an Arrow
+    kernel over binary payload rows."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "n_frames", "sum_profile", "sum_channels",
+            "total_raw_blocks", "payload_bytes", "sum_sample_rate",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *parse_aac_adts(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, AAC_SCHEMA
+    )
+
+
 def parse_mp4(
     doc_id: int, raw: bytes
 ) -> tuple[int, int, int, int, int, int, int, int]:

@@ -2489,6 +2489,58 @@ def make_mp4_bytes(doc_id: int) -> bytes:
     return ftyp + moov + free + _box(b"mdat", mdat_payload)
 
 
+# ISO/IEC 14496-3 1.6.3.4 samplingFrequencyIndex table (indices 0-12)
+AAC_SAMPLE_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050, 16000,
+    12000, 11025, 8000, 7350,
+)
+
+
+def aac_adts_frame_fields(doc_id: int, k: int) -> tuple[int, int, int, int, int]:
+    """Frame k's (profile, sf_index, channels, n_raw_blocks,
+    payload_len) closed forms."""
+    return (
+        (doc_id + k) % 4,
+        (doc_id + k) % 13,
+        1 + (doc_id + k) % 7,
+        1 + (doc_id + k) % 4,
+        9 + (doc_id + 3 * k) % 30,
+    )
+
+
+def make_aac_adts_bytes(doc_id: int) -> bytes:
+    """Real ADTS-framed AAC (ISO/IEC 14496-3 1.A.2): 3 + doc % 4
+    frames, each a 7-byte header (syncword FFF, MPEG-4, layer 00,
+    protection_absent 1, 2-bit profile, 4-bit sampling index, 3-bit
+    channel configuration, 13-bit frame length spanning header +
+    payload, 0x7FF buffer fullness = VBR, raw-data-block count) over
+    deterministic fake AAC payload bytes (the raw-data-block entropy
+    decode is the declared stub — the framing layer is what the walk
+    proves)."""
+    out = bytearray()
+    for k in range(3 + doc_id % 4):
+        profile, sf_idx, channels, n_rdb, plen = aac_adts_frame_fields(
+            doc_id, k
+        )
+        frame_len = 7 + plen
+        hdr = 0
+        hdr = (hdr << 12) | 0xFFF        # syncword
+        hdr = (hdr << 1) | 0             # MPEG-4
+        hdr = (hdr << 2) | 0             # layer
+        hdr = (hdr << 1) | 1             # protection_absent (no CRC)
+        hdr = (hdr << 2) | profile
+        hdr = (hdr << 4) | sf_idx
+        hdr = (hdr << 1) | 0             # private
+        hdr = (hdr << 3) | channels
+        hdr = (hdr << 4) | 0             # orig/home/copyright bits
+        hdr = (hdr << 13) | frame_len
+        hdr = (hdr << 11) | 0x7FF        # buffer fullness: VBR
+        hdr = (hdr << 2) | (n_rdb - 1)
+        out += hdr.to_bytes(7, "big")
+        out += bytes((doc_id + k + j) % 256 for j in range(plen))
+    return bytes(out)
+
+
 # Adam7 pass grid (PNG spec 8.2): (x_start, x_step, y_start, y_step)
 PNG_ADAM7 = (
     (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),

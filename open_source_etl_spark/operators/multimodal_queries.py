@@ -1051,6 +1051,63 @@ def multimodal_h264_cavlc_decode(
 
 
 @query(
+    "multimodal_aac_adts_walk",
+    # formulas mirror synth.aac_adts_frame_fields: 3 + doc % 4 frames,
+    # frame k carrying profile (doc+k) % 4, sampling index
+    # (doc+k) % 13 mapped through the 14496-3 rate table, channels
+    # 1 + (doc+k) % 7, 1 + (doc+k) % 4 raw data blocks, and
+    # 9 + (doc+3k) % 30 payload bytes.  The header bit-packing and
+    # frame_length-driven walk have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents
+    ),
+    f AS (
+      SELECT p.doc_id,
+             (p.doc_id + kk.k) % 4 AS profile,
+             CASE (p.doc_id + kk.k) % 13
+                  WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+                  WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+                  WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+                  WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+                  ELSE 7350 END AS rate,
+             1 + (p.doc_id + kk.k) % 7 AS channels,
+             1 + (p.doc_id + kk.k) % 4 AS rdb,
+             9 + (p.doc_id + 3 * kk.k) % 30 AS plen
+      FROM p, LATERAL (SELECT unnest(range(0, nf)) AS k) kk
+    )
+    SELECT p.doc_id,
+           CAST(p.nf AS BIGINT) AS n_frames,
+           CAST(SUM(profile) AS BIGINT) AS sum_profile,
+           CAST(SUM(channels) AS BIGINT) AS sum_channels,
+           CAST(SUM(rdb) AS BIGINT) AS total_raw_blocks,
+           CAST(SUM(plen) AS BIGINT) AS payload_bytes,
+           CAST(SUM(rate) AS BIGINT) AS sum_sample_rate
+    FROM p JOIN f ON p.doc_id = f.doc_id
+    GROUP BY p.doc_id, p.nf
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_aac_adts_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADTS-framed AAC walk (ISO/IEC 14496-3 1.A.2) — the transport
+    framing AAC radio/crawl streams arrive in, completing the audio
+    container set beside MP3, WAV, FLAC, and Ogg/Opus: frames located
+    strictly by the 13-bit frame_length field (payload bytes may alias
+    the 0xFFF syncword, so scanning miscounts), per-frame syncword /
+    layer / samplingFrequencyIndex validation with the index mapped
+    through the 14496-3 rate table, and profile / channel / raw-data-
+    block accounting.  CRC-protected headers and the raw-data-block
+    entropy decode raise at the declared boundary.  Reference scope
+    note: the reference delegates all media handling to its warehouse;
+    this query is part of the training-data-pipeline surface the brief
+    adds."""
+    from ..multimodal.decode import decode_aac_adts, synthesize_aac_adts
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_aac_adts(synthesize_aac_adts(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_mp4_box_walk",
     # formulas mirror synth.mp4_track_samples: the video track has
     # 5 + doc % 6 samples (first half at 33 + doc % 3 ms, the rest at
