@@ -570,13 +570,13 @@ def dsir_main() -> None:
 
 
 def containers_main() -> None:
-    """Scale probe for the three container extractors
+    """Scale probe for the container extractors and walks
     (`python tools/scale_probe.py containers [mults]`): replicate the
     documents corpus (doc_id offset per copy, text reused — container
     bytes are per-row so verbatim replication is safe here, unlike the
-    shingle probes), run WARC/ZIP/TAR extraction, fit exponents.
-    Expected: embarrassingly parallel mapInPandas kernels, alpha ~= 1
-    until the 32 cores saturate, then exactly 1."""
+    shingle probes), run every synthesize-and-walk kernel, fit
+    exponents.  Expected: embarrassingly parallel mapInPandas kernels,
+    alpha ~= 1 until the 32 cores saturate, then exactly 1."""
     import math
 
     from pyspark.sql import functions as F
@@ -585,10 +585,17 @@ def containers_main() -> None:
     from open_source_etl_spark.operators.datapipe_queries import (
         datapipe_avro_scan,
         datapipe_gzip_jsonl_scan,
+        datapipe_pdf_text_extract,
         datapipe_tar_extract,
         datapipe_tfrecord_scan,
         datapipe_warc_extract,
         datapipe_zip_extract,
+    )
+    from open_source_etl_spark.operators.multimodal_queries import (
+        multimodal_aac_adts_walk,
+        multimodal_mp4_box_walk,
+        multimodal_ogg_opus_walk,
+        multimodal_webm_ebml_walk,
     )
     from open_source_etl_spark.session import build_session
 
@@ -601,12 +608,21 @@ def containers_main() -> None:
 
     base = spark.read.parquet(f"{BASE}/documents.parquet")
     probes = [
-        ("datapipe_warc_extract", datapipe_warc_extract),
-        ("datapipe_zip_extract", datapipe_zip_extract),
-        ("datapipe_tar_extract", datapipe_tar_extract),
-        ("datapipe_tfrecord_scan", datapipe_tfrecord_scan),
-        ("datapipe_avro_scan", datapipe_avro_scan),
-        ("datapipe_gzip_jsonl_scan", datapipe_gzip_jsonl_scan),
+        ("datapipe_warc_extract", datapipe_warc_extract, "n_records"),
+        ("datapipe_zip_extract", datapipe_zip_extract, "n_members"),
+        ("datapipe_tar_extract", datapipe_tar_extract, "n_members"),
+        ("datapipe_tfrecord_scan", datapipe_tfrecord_scan, "n_records"),
+        ("datapipe_avro_scan", datapipe_avro_scan, "n_records"),
+        ("datapipe_gzip_jsonl_scan", datapipe_gzip_jsonl_scan, "n_lines"),
+        ("datapipe_pdf_text_extract", datapipe_pdf_text_extract,
+         "n_objects"),
+        ("multimodal_mp4_box_walk", multimodal_mp4_box_walk, "n_boxes"),
+        ("multimodal_webm_ebml_walk", multimodal_webm_ebml_walk,
+         "n_blocks"),
+        ("multimodal_ogg_opus_walk", multimodal_ogg_opus_walk,
+         "n_pages"),
+        ("multimodal_aac_adts_walk", multimodal_aac_adts_walk,
+         "n_frames"),
     ]
     times: dict[str, list[tuple[int, float]]] = {}
     for mult in mults:
@@ -621,17 +637,8 @@ def containers_main() -> None:
         for p in parts[1:]:
             u = u.unionAll(p)
         u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
-        for qname, fn in probes:
+        for qname, fn, count_col in probes:
             t0 = time.time()
-            count_col = (
-                "n_records"
-                if qname in ("datapipe_warc_extract",
-                             "datapipe_tfrecord_scan",
-                             "datapipe_avro_scan")
-                else "n_lines"
-                if qname == "datapipe_gzip_jsonl_scan"
-                else "n_members"
-            )
             row = fn(spark, out).agg(
                 F.count("*"), F.sum(count_col)
             ).first()
