@@ -3816,6 +3816,161 @@ def synthesize_mp3_ws(docs_df: DataFrame) -> DataFrame:
     )
 
 
+def parse_jpeg_exif(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int, int, int]:
+    """Extract Exif metadata from a JPEG's APP1 segment and
+    CROSS-CHECK it against the image itself: (big_endian, orientation,
+    iso, exif_width, exif_height, make_chars, mean_gray).  The walk
+    finds APP1 among the markers, validates the ``Exif\\0\\0``
+    signature, parses the embedded TIFF structure in EITHER byte order
+    (IFD0: Make out-of-line ASCII, Orientation SHORT in-slot, the
+    0x8769 ExifIFD pointer; sub-IFD: ISOSpeedRatings and the pixel
+    dimensions), requires PixelXDimension/PixelYDimension to equal the
+    SOF frame size, and then runs the full baseline pixel decode —
+    so a row can't be produced from metadata alone.  Multi-page TIFF
+    chains inside APP1 and MakerNote parsing are out of scope."""
+    import struct
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError(f"doc {doc_id}: missing SOI")
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"doc {doc_id}: marker sync lost")
+        marker = raw[pos + 1]
+        if marker == 0xDA:
+            break
+        (seg_len,) = struct.unpack_from(">H", raw, pos + 2)
+        if marker == 0xE1:
+            data = raw[pos + 4 : pos + 2 + seg_len]
+            if data[:6] != b"Exif\x00\x00":
+                raise ValueError(f"doc {doc_id}: APP1 is not Exif")
+            tiff = data[6:]
+        pos += 2 + seg_len
+    if tiff is None:
+        raise ValueError(f"doc {doc_id}: no Exif APP1 segment")
+    if tiff[:2] == b"II":
+        e, be = "<", 0
+    elif tiff[:2] == b"MM":
+        e, be = ">", 1
+    else:
+        raise ValueError(f"doc {doc_id}: bad TIFF byte-order mark")
+    if struct.unpack_from(e + "H", tiff, 2)[0] != 42:
+        raise ValueError(f"doc {doc_id}: TIFF magic 42 missing")
+
+    def read_ifd(at: int) -> tuple[dict, int]:
+        (n,) = struct.unpack_from(e + "H", tiff, at)
+        out = {}
+        for i in range(n):
+            tag, typ, count = struct.unpack_from(
+                e + "HHI", tiff, at + 2 + 12 * i
+            )
+            slot = at + 2 + 12 * i + 8
+            out[tag] = (typ, count, slot)
+        (nxt,) = struct.unpack_from(e + "I", tiff, at + 2 + 12 * n)
+        return out, nxt
+
+    (ifd0_at,) = struct.unpack_from(e + "I", tiff, 4)
+    ifd0, nxt = read_ifd(ifd0_at)
+    if nxt != 0:
+        raise NotImplementedError(
+            "chained IFDs (thumbnail IFD1) not implemented"
+        )
+
+    def short(ifd: dict, tag: int) -> int:
+        typ, _c, slot = ifd[tag]
+        if typ != 3:
+            raise ValueError(f"doc {doc_id}: tag {tag:#x} is not SHORT")
+        return struct.unpack_from(e + "H", tiff, slot)[0]
+
+    def long_(ifd: dict, tag: int) -> int:
+        typ, _c, slot = ifd[tag]
+        if typ != 4:
+            raise ValueError(f"doc {doc_id}: tag {tag:#x} is not LONG")
+        return struct.unpack_from(e + "I", tiff, slot)[0]
+
+    if 0x010F not in ifd0 or 0x0112 not in ifd0 or 0x8769 not in ifd0:
+        raise ValueError(f"doc {doc_id}: IFD0 missing required tags")
+    typ, count, slot = ifd0[0x010F]
+    if typ != 2:
+        raise ValueError(f"doc {doc_id}: Make is not ASCII")
+    (make_at,) = struct.unpack_from(e + "I", tiff, slot)
+    make = tiff[make_at : make_at + count]
+    if not make.endswith(b"\x00"):
+        raise ValueError(f"doc {doc_id}: Make not NUL-terminated")
+    orientation = short(ifd0, 0x0112)
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"doc {doc_id}: orientation {orientation}")
+    exif_ifd, _ = read_ifd(long_(ifd0, 0x8769))
+    iso = short(exif_ifd, 0x8827)
+    exif_w = long_(exif_ifd, 0xA002)
+    exif_h = long_(exif_ifd, 0xA003)
+    width, height, _nb, mean = jpeg_decode_gray(doc_id, raw)
+    if (exif_w, exif_h) != (width, height):
+        raise ValueError(
+            f"doc {doc_id}: Exif dimensions {exif_w}x{exif_h} disagree "
+            f"with the decoded frame {width}x{height}"
+        )
+    return be, orientation, iso, exif_w, exif_h, count - 1, mean
+
+
+JPEG_EXIF_SCHEMA = (
+    "doc_id long, big_endian long, orientation long, iso long, "
+    "exif_width long, exif_height long, make_chars long, mean_gray long"
+)
+
+
+def synthesize_jpeg_exif(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying an Exif-tagged baseline JPEG
+    (``make_jpeg_exif_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_jpeg_exif_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_jpeg_exif_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_jpeg_exif(media_df: DataFrame) -> DataFrame:
+    """Distributed Exif extraction + pixel cross-check
+    (``parse_jpeg_exif``) as an Arrow kernel over binary rows."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "big_endian", "orientation", "iso", "exif_width",
+            "exif_height", "make_chars", "mean_gray",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *parse_jpeg_exif(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, JPEG_EXIF_SCHEMA
+    )
+
+
 def parse_aac_adts(
     doc_id: int, raw: bytes
 ) -> tuple[int, int, int, int, int, int]:

@@ -544,6 +544,58 @@ def make_jpeg_prog_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def jpeg_exif_fields(doc_id: int) -> tuple[int, int, str]:
+    """(orientation, iso, make) for the EXIF fixture — closed forms a
+    SQL oracle restates (make's LENGTH is what the oracle pins)."""
+    return 1 + doc_id % 8, 100 * (1 + doc_id % 32), f"Maker{doc_id % 100}"
+
+
+def make_jpeg_exif_bytes(doc_id: int) -> bytes:
+    """A baseline JPEG whose APP1 segment carries REAL Exif metadata
+    (Exif 2.x = a TIFF structure after the ``Exif\\0\\0`` signature):
+    byte order cycles II/MM per doc, IFD0 holds Make (ASCII, stored
+    out-of-line), Orientation (SHORT in-slot), and the ExifIFD pointer
+    (0x8769); the Exif sub-IFD holds ISOSpeedRatings and
+    PixelXDimension/PixelYDimension — which MATCH the SOF frame size,
+    the cross-check a metadata extractor should make.  The image body
+    is the standard block-gradient fixture."""
+    bx, by, base = jpeg_params(doc_id)
+    width, height = 8 * bx, 8 * by
+    orientation, iso, make = jpeg_exif_fields(doc_id)
+    be = doc_id % 2 == 1
+    e = ">" if be else "<"
+    make_b = make.encode() + b"\x00"
+
+    def entry(tag: int, typ: int, count: int, value: bytes) -> bytes:
+        return struct.pack(e + "HHI", tag, typ, count) + value.ljust(4, b"\x00")
+
+    # layout: TIFF header (8) | IFD0 (2 + 3*12 + 4) | make string |
+    # ExifIFD (2 + 3*12 + 4)
+    ifd0_at = 8
+    ifd0_len = 2 + 3 * 12 + 4
+    make_at = ifd0_at + ifd0_len
+    exif_at = make_at + len(make_b)
+    tiff = bytearray()
+    tiff += (b"MM" if be else b"II") + struct.pack(e + "H", 42)
+    tiff += struct.pack(e + "I", ifd0_at)
+    tiff += struct.pack(e + "H", 3)
+    tiff += entry(0x010F, 2, len(make_b), struct.pack(e + "I", make_at))
+    tiff += entry(0x0112, 3, 1, struct.pack(e + "H", orientation))
+    tiff += entry(0x8769, 4, 1, struct.pack(e + "I", exif_at))
+    tiff += struct.pack(e + "I", 0)  # next IFD
+    tiff += make_b
+    tiff += struct.pack(e + "H", 3)
+    tiff += entry(0x8827, 3, 1, struct.pack(e + "H", iso))
+    tiff += entry(0xA002, 4, 1, struct.pack(e + "I", width))
+    tiff += entry(0xA003, 4, 1, struct.pack(e + "I", height))
+    tiff += struct.pack(e + "I", 0)
+
+    app1_payload = b"Exif\x00\x00" + bytes(tiff)
+    app1 = struct.pack(">HH", 0xFFE1, len(app1_payload) + 2) + app1_payload
+    body = _jpeg_encode(bx, by, base)
+    return body[:2] + app1 + body[2:]  # APP1 right after SOI
+
+
 def jpeg_color_mode(doc_id: int) -> tuple[int, int]:
     """(h, v) luma sampling factors for the color-JPEG fixture: the
     corpus cycles 4:2:0 (2,2), 4:2:2 (2,1), and 4:4:4 (1,1) — chroma

@@ -1051,6 +1051,51 @@ def multimodal_h264_cavlc_decode(
 
 
 @query(
+    "multimodal_jpeg_exif_meta",
+    # formulas mirror synth.jpeg_exif_fields / jpeg_params: orientation
+    # 1 + doc % 8, ISO 100 * (1 + doc % 32), Make "Maker<doc % 100>"
+    # (so 6 or 7 chars), Exif pixel dimensions equal to the 8*(2+doc%4)
+    # x 8*(1+doc%3) frame, byte order II/MM by doc parity, and the
+    # decoded mean gray (doc*5)%150 + (n_blocks-1)//2 of the
+    # block-gradient body.  The APP1/TIFF-IFD walk and the metadata-vs-pixels
+    # cross-check have no closed form.
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 2 AS BIGINT) AS big_endian,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           CAST(100 * (1 + doc_id % 32) AS BIGINT) AS iso,
+           CAST(8 * (2 + doc_id % 4) AS BIGINT) AS exif_width,
+           CAST(8 * (1 + doc_id % 3) AS BIGINT) AS exif_height,
+           CAST(5 + CASE WHEN doc_id % 100 < 10 THEN 1 ELSE 2 END
+                AS BIGINT) AS make_chars,
+           CAST((doc_id * 5) % 150
+                + ((2 + doc_id % 4) * (1 + doc_id % 3) - 1) // 2
+                AS BIGINT) AS mean_gray
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exif metadata extraction with a pixels-vs-metadata cross-check —
+    the canonical first stage of an image-corpus pipeline
+    (orientation normalization, capture metadata, dimension sanity):
+    find the APP1 segment among the JPEG markers, validate the
+    ``Exif\\0\\0`` signature, parse the embedded TIFF structure in
+    either byte order (IFD0 Make/Orientation and the 0x8769 ExifIFD
+    pointer; sub-IFD ISO and pixel dimensions), REQUIRE the Exif
+    dimensions to equal the SOF frame size, and run the full baseline
+    pixel decode so no row can come from metadata alone.  Chained
+    thumbnail IFDs and MakerNotes stay out of scope.  Reference scope
+    note: the reference delegates all media handling to its warehouse;
+    this query is part of the training-data-pipeline surface the brief
+    adds."""
+    from ..multimodal.decode import decode_jpeg_exif, synthesize_jpeg_exif
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_jpeg_exif(synthesize_jpeg_exif(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_aac_adts_walk",
     # formulas mirror synth.aac_adts_frame_fields: 3 + doc % 4 frames,
     # frame k carrying profile (doc+k) % 4, sampling index
