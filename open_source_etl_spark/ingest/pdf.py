@@ -290,3 +290,151 @@ def extract_pdf_text(docs_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs_df.select("doc_id", "text").mapInPandas(kernel, PDF_SCHEMA)
+
+
+# --- Subtitles (SRT / WebVTT) ------------------------------------------
+# Same clean-room, closed-form pattern as the PDF walk above; placed in
+# this module because both feed the text-extraction tier of a corpus
+# pipeline.
+
+
+def srt_n_cues(doc_id: int) -> int:
+    return 3 + doc_id % 4
+
+
+def srt_cue_times(doc_id: int, i: int) -> tuple[int, int]:
+    """Cue i's (start_ms, end_ms) closed forms — strictly increasing
+    and non-overlapping across cues."""
+    start = i * 2500 + doc_id % 500
+    return start, start + 1200 + 100 * (doc_id % 5)
+
+
+def srt_cue_text(text: str, doc_id: int, i: int) -> list[str]:
+    """Cue i's 1-2 text lines: closed-form slices of the document."""
+    lines = [text[5 * i : 5 * i + 18 + 2 * i]]
+    if (doc_id + i) % 2 == 0:
+        lines.append(text[40 + 3 * i : 40 + 3 * i + 11 + i])
+    return [ln if ln else "-" for ln in lines]
+
+
+def _fmt_ts(ms: int, sep: str) -> str:
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, frac = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}{sep}{frac:03d}"
+
+
+def make_subtitle_bytes(doc_id: int, text: str) -> bytes:
+    """A real subtitle file: even docs SubRip (.srt — numeric cue
+    index, ``HH:MM:SS,mmm --> HH:MM:SS,mmm``, comma millisecond
+    separator), odd docs WebVTT (a ``WEBVTT`` header line, DOT
+    millisecond separator, no cue numbers) — the two formats caption
+    corpora actually mix, differing in exactly the details a single
+    parser must dispatch on."""
+    vtt = doc_id % 2 == 1
+    sep = "." if vtt else ","
+    out = ["WEBVTT", ""] if vtt else []
+    for i in range(srt_n_cues(doc_id)):
+        start, end = srt_cue_times(doc_id, i)
+        if not vtt:
+            out.append(str(i + 1))
+        out.append(f"{_fmt_ts(start, sep)} --> {_fmt_ts(end, sep)}")
+        out.extend(srt_cue_text(text, doc_id, i))
+        out.append("")
+    return "\n".join(out).encode()
+
+
+def parse_subtitles(doc_id: int, raw: bytes) -> tuple[int, int, int, int, int]:
+    """(is_vtt, n_cues, total_duration_ms, text_chars, n_lines) by
+    parsing either format: the WEBVTT header selects the dialect
+    (dot vs comma millisecond separator, optional cue numbers), each
+    cue's timestamps are decomposed from HH:MM:SS back to
+    milliseconds, end > start and monotone cue starts are enforced,
+    and the payload lines are counted and measured.  Malformed
+    timestamps, out-of-order cues, and a dialect-mismatched
+    millisecond separator raise."""
+    text = raw.decode("utf-8")
+    lines = text.split("\n")
+    pos = 0
+    vtt = bool(lines) and lines[0].startswith("WEBVTT")
+    sep = "." if vtt else ","
+    if vtt:
+        pos = 1
+        while pos < len(lines) and lines[pos].strip():
+            pos += 1  # header metadata lines
+    ts_re = re.compile(
+        r"^(\d{2}):(\d{2}):(\d{2})" + re.escape(sep)
+        + r"(\d{3}) --> (\d{2}):(\d{2}):(\d{2})" + re.escape(sep)
+        + r"(\d{3})$"
+    )
+    n_cues = total_dur = chars = n_lines = 0
+    prev_start = -1
+    while pos < len(lines):
+        if not lines[pos].strip():
+            pos += 1
+            continue
+        if not vtt:
+            if not lines[pos].strip().isdigit():
+                raise ValueError(
+                    f"doc {doc_id}: SRT cue missing its numeric index"
+                )
+            if int(lines[pos]) != n_cues + 1:
+                raise ValueError(
+                    f"doc {doc_id}: cue numbers out of sequence"
+                )
+            pos += 1
+        m = ts_re.match(lines[pos].strip())
+        if not m:
+            raise ValueError(
+                f"doc {doc_id}: malformed cue timing {lines[pos]!r}"
+            )
+        h1, m1, s1, f1, h2, m2, s2, f2 = (int(g) for g in m.groups())
+        start = ((h1 * 60 + m1) * 60 + s1) * 1000 + f1
+        end = ((h2 * 60 + m2) * 60 + s2) * 1000 + f2
+        if end <= start:
+            raise ValueError(f"doc {doc_id}: cue ends before it starts")
+        if start <= prev_start:
+            raise ValueError(f"doc {doc_id}: cue starts out of order")
+        prev_start = start
+        pos += 1
+        if pos >= len(lines) or not lines[pos].strip():
+            raise ValueError(f"doc {doc_id}: cue has no text lines")
+        while pos < len(lines) and lines[pos].strip():
+            chars += len(lines[pos])
+            n_lines += 1
+            pos += 1
+        n_cues += 1
+        total_dur += end - start
+    if n_cues == 0:
+        raise ValueError(f"doc {doc_id}: no cues")
+    return int(vtt), n_cues, total_dur, chars, n_lines
+
+
+SUBTITLE_SCHEMA = (
+    "doc_id long, is_vtt long, n_cues long, total_duration_ms long, "
+    "text_chars long, n_lines long"
+)
+
+
+def extract_subtitles(docs_df: DataFrame) -> DataFrame:
+    """Synthesize-and-parse an SRT/WebVTT file per document row."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "is_vtt", "n_cues", "total_duration_ms",
+            "text_chars", "n_lines",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = make_subtitle_bytes(int(doc_id), str(t))
+                vals = (int(doc_id), *parse_subtitles(int(doc_id), raw))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return docs_df.select("doc_id", "text").mapInPandas(
+        kernel, SUBTITLE_SCHEMA
+    )

@@ -1860,3 +1860,58 @@ def datapipe_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return extract_pdf_text(docs).orderBy("doc_id")
+
+
+@query(
+    "datapipe_subtitle_extract",
+    # formulas mirror ingest.pdf srt_*: 3 + doc % 4 cues, every cue
+    # 1200 + 100*(doc % 5) ms long; cue i's first line is the clamped
+    # slice [5i, 5i + 18 + 2i) of the text ("-" when empty) and a
+    # second line [40 + 3i, 40 + 3i + 11 + i) appears when (doc + i)
+    # is even.  The timestamp decomposition, dialect dispatch
+    # (SRT comma vs WebVTT dot, cue numbers vs none), and monotonicity
+    # checks have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 3 + doc_id % 4 AS nc, LENGTH(text) AS t_len
+      FROM documents
+    ),
+    cue AS (
+      SELECT doc_id, nc,
+             GREATEST(1, LEAST(18 + 2 * ii.i, t_len - 5 * ii.i))
+               AS l1,
+             CASE WHEN (doc_id + ii.i) % 2 = 0
+                  THEN GREATEST(1, LEAST(11 + ii.i,
+                                         t_len - 40 - 3 * ii.i))
+                  ELSE 0 END AS l2,
+             CASE WHEN (doc_id + ii.i) % 2 = 0 THEN 2 ELSE 1 END
+               AS lines
+      FROM p, LATERAL (SELECT unnest(range(0, nc)) AS i) ii
+    )
+    SELECT doc_id,
+           CAST(doc_id % 2 AS BIGINT) AS is_vtt,
+           CAST(MAX(nc) AS BIGINT) AS n_cues,
+           CAST(MAX(nc) * (1200 + 100 * (doc_id % 5)) AS BIGINT)
+             AS total_duration_ms,
+           CAST(SUM(l1 + l2) AS BIGINT) AS text_chars,
+           CAST(SUM(lines) AS BIGINT) AS n_lines
+    FROM cue
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def datapipe_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle/caption extraction (SubRip + WebVTT) — the aligned-text
+    format video corpora carry for transcript mining: a single parser
+    dispatches on the WEBVTT header (dot vs comma millisecond
+    separators, numbered vs unnumbered cues), decomposes
+    ``HH:MM:SS?mmm --> HH:MM:SS?mmm`` timings back to milliseconds,
+    enforces end-after-start and monotone cue order, and measures the
+    payload lines.  Malformed timings, out-of-sequence cue numbers,
+    and cue blocks without text raise (``ingest/pdf.py``).  Same
+    mapInPandas shape and 100 TB posture as the other text
+    extractors."""
+    from ..ingest.pdf import extract_subtitles
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return extract_subtitles(docs).orderBy("doc_id")

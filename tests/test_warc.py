@@ -842,3 +842,47 @@ def test_pdf_extracts_exact_text_and_rejects_corruption():
     )
     with pytest.raises(Exception, match="cross-reference|garbage"):
         parse_pdf(doc, xref_stream)
+
+
+def test_subtitles_parse_both_dialects_and_reject_malformed():
+    """One parser, two dialects: SRT (comma, numbered cues) and WebVTT
+    (dot, unnumbered) parse to identical shapes; a dot separator in an
+    SRT file, out-of-sequence cue numbers, a cue ending before it
+    starts, and a cue with no text all raise."""
+    import pytest
+
+    from open_source_etl_spark.ingest.pdf import (
+        make_subtitle_bytes,
+        parse_subtitles,
+    )
+
+    text = "words for cues " * 12
+    srt = make_subtitle_bytes(2, text)   # even: SRT
+    vtt = make_subtitle_bytes(3, text)   # odd: WebVTT
+    assert parse_subtitles(2, srt)[0] == 0
+    assert parse_subtitles(3, vtt)[0] == 1
+    assert b"WEBVTT" in vtt and b"WEBVTT" not in srt
+    assert b"," in srt.split(b"\n")[1]  # SRT comma separator
+
+    dotted = srt.replace(b",", b".", 2)  # first cue's separators
+    with pytest.raises(ValueError, match="malformed cue timing"):
+        parse_subtitles(2, dotted)
+
+    renumbered = srt.replace(b"\n2\n", b"\n5\n", 1)
+    with pytest.raises(ValueError, match="out of sequence"):
+        parse_subtitles(2, renumbered)
+
+    # swap a cue's start/end hours so it ends before it starts
+    lines = srt.decode().split("\n")
+    ts_i = next(i for i, l in enumerate(lines) if "-->" in l)
+    a, b = lines[ts_i].split(" --> ")
+    lines[ts_i] = f"{b} --> {a}"  # end (smaller) now follows start
+    with pytest.raises(ValueError, match="ends before|out of order"):
+        parse_subtitles(2, "\n".join(lines).encode())
+
+    # drop the first cue's text lines entirely
+    empty = srt.decode().split("\n")
+    del empty[ts_i + 1 : ts_i + 2]
+    joined = "\n".join(empty[: ts_i + 1] + [""] + empty[ts_i + 1 :])
+    with pytest.raises(ValueError, match="no text lines"):
+        parse_subtitles(2, joined.encode())
