@@ -310,11 +310,19 @@ def srt_cue_times(doc_id: int, i: int) -> tuple[int, int]:
 
 
 def srt_cue_text(text: str, doc_id: int, i: int) -> list[str]:
-    """Cue i's 1-2 text lines: closed-form slices of the document."""
+    """Cue i's 1-2 text lines: closed-form slices of the document,
+    sanitized for the line-framed format — every whitespace character
+    becomes "_" (length-preserving, so the oracle stays pure length
+    arithmetic and no line can be blank or split) and only a
+    zero-length slice becomes "-"."""
     lines = [text[5 * i : 5 * i + 18 + 2 * i]]
     if (doc_id + i) % 2 == 0:
         lines.append(text[40 + 3 * i : 40 + 3 * i + 11 + i])
-    return [ln if ln else "-" for ln in lines]
+    out = []
+    for ln in lines:
+        ln = "".join("_" if ch.isspace() else ch for ch in ln)
+        out.append(ln if ln else "-")
+    return out
 
 
 def _fmt_ts(ms: int, sep: str) -> str:

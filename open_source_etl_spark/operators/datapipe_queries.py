@@ -1866,23 +1866,24 @@ def datapipe_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datapipe_subtitle_extract",
     # formulas mirror ingest.pdf srt_*: 3 + doc % 4 cues, every cue
     # 1200 + 100*(doc % 5) ms long; cue i's first line is the clamped
-    # slice [5i, 5i + 18 + 2i) of the text ("-" when empty) and a
-    # second line [40 + 3i, 40 + 3i + 11 + i) appears when (doc + i)
-    # is even.  The timestamp decomposition, dialect dispatch
+    # slice [5i, 5i + 18 + 2i) of the text (whitespace mapped to "_"
+    # length-preserving, "-" when empty) and a second line
+    # [40 + 3i, 40 + 3i + 11 + i) appears when (doc + i) is even.  The timestamp decomposition, dialect dispatch
     # (SRT comma vs WebVTT dot, cue numbers vs none), and monotonicity
     # checks have no closed form.
     oracle="""
     WITH p AS (
-      SELECT doc_id, 3 + doc_id % 4 AS nc, LENGTH(text) AS t_len
+      SELECT doc_id, 3 + doc_id % 4 AS nc, text
       FROM documents
     ),
     cue AS (
       SELECT doc_id, nc,
-             GREATEST(1, LEAST(18 + 2 * ii.i, t_len - 5 * ii.i))
-               AS l1,
+             GREATEST(1, LENGTH(SUBSTR(text, 5 * ii.i + 1,
+                                       18 + 2 * ii.i))) AS l1,
              CASE WHEN (doc_id + ii.i) % 2 = 0
-                  THEN GREATEST(1, LEAST(11 + ii.i,
-                                         t_len - 40 - 3 * ii.i))
+                  THEN GREATEST(1, LENGTH(SUBSTR(text,
+                                                 40 + 3 * ii.i + 1,
+                                                 11 + ii.i)))
                   ELSE 0 END AS l2,
              CASE WHEN (doc_id + ii.i) % 2 = 0 THEN 2 ELSE 1 END
                AS lines
