@@ -61,7 +61,9 @@ def make_pdf_bytes(doc_id: int, text: str) -> bytes:
     raw), a correct xref table whose entries carry the true byte
     offsets, and a trailer with ``startxref``.  Page 0's text embeds
     literal parentheses (escaped in the string literal) and one
-    content stream embeds the bytes ``7 0 obj`` — the scan trap."""
+    content stream embeds a phantom object header ``{2+2n+1} 0 obj``
+    (one past the last real object, so it is out of range for every
+    page count) — the scan trap."""
     n = pdf_n_pages(doc_id)
     objects: list[bytes] = []
 
@@ -84,8 +86,10 @@ def make_pdf_bytes(doc_id: int, text: str) -> bytes:
             # embedded-keyword trap (a comment in an UNCOMPRESSED
             # stream, so the literal bytes sit in the file): a parser
             # that scans for "N 0 obj" instead of walking the xref
-            # table finds one object too many
-            body += b" % 7 0 obj"
+            # table finds one object too many — the trap number is
+            # one PAST the last real object (2 + 2n), so it is a
+            # phantom for every page count
+            body += f" % {2 + 2 * n + 1} 0 obj".encode()
         if p % 2 == 1:
             data = zlib.compress(body, 9)
             head = (
@@ -203,28 +207,34 @@ def parse_pdf(doc_id: int, raw: bytes) -> tuple[int, int, int, int, int]:
             )
         n_objects += 1
         body_at = off + head.end()
-        end = raw.index(b"endobj", body_at)
-        obj = raw[body_at:end]
-        sm = re.search(rb"stream\r?\n", obj)
-        if sm:
-            lm = re.search(rb"/Length\s+(\d+)", obj)
+        # classify the object BEFORE scanning for endobj: a stream
+        # payload is arbitrary binary (Flate output can contain the
+        # bytes "endobj" or "stream"), so the payload must be sliced
+        # by /Length — never bounded by a keyword scan through it.
+        # The dict between the header and the stream keyword is text,
+        # so whichever of "stream\n" / "endobj" occurs FIRST decides.
+        sm = re.compile(rb"stream\r?\n").search(raw, body_at)
+        eo = raw.find(b"endobj", body_at)
+        if sm is not None and (eo == -1 or sm.start() < eo):
+            sdict = raw[body_at : sm.start()]
+            lm = re.search(rb"/Length\s+(\d+)", sdict)
             if not lm:
                 raise ValueError(
                     f"doc {doc_id}: stream object {num} missing /Length"
                 )
             length = int(lm.group(1))
-            data = obj[sm.end() : sm.end() + length]
+            data = raw[sm.end() : sm.end() + length]
             if len(data) != length:
                 raise ValueError(
                     f"doc {doc_id}: stream {num} shorter than /Length"
                 )
-            after = obj[sm.end() + length :]
-            if not re.match(rb"\s*endstream", after):
+            after = raw[sm.end() + length : sm.end() + length + 32]
+            if not re.match(rb"\s*endstream\s+endobj", after):
                 raise ValueError(
                     f"doc {doc_id}: /Length of stream {num} does not "
                     "land on endstream"
                 )
-            fm = re.search(rb"/Filter\s*/(\w+)", obj[: sm.start()])
+            fm = re.search(rb"/Filter\s*/(\w+)", sdict)
             if fm:
                 if fm.group(1) != b"FlateDecode":
                     raise NotImplementedError(
@@ -240,14 +250,21 @@ def parse_pdf(doc_id: int, raw: bytes) -> tuple[int, int, int, int, int]:
                 n_flate += 1
             n_streams += 1
             streams[num] = data
-        elif re.search(rb"/Type\s*/Page\b", obj):
-            n_pages += 1
-            cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", obj)
-            if not cm:
+        else:
+            if eo == -1:
                 raise ValueError(
-                    f"doc {doc_id}: page object {num} has no /Contents"
+                    f"doc {doc_id}: object {num} missing endobj"
                 )
-            page_contents[num] = int(cm.group(1))
+            obj = raw[body_at:eo]
+            if re.search(rb"/Type\s*/Page\b", obj):
+                n_pages += 1
+                cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", obj)
+                if not cm:
+                    raise ValueError(
+                        f"doc {doc_id}: page object {num} has no "
+                        "/Contents"
+                    )
+                page_contents[num] = int(cm.group(1))
     for page, content in sorted(page_contents.items()):
         if content not in streams:
             raise ValueError(

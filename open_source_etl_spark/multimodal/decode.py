@@ -4089,14 +4089,19 @@ def parse_mp4(
     tree (64-bit largesize accepted, size-0 to-EOF and any truncation
     rejected), ftyp brand check, the moov hierarchy — mvhd, per-trak
     mdhd/hdlr and the full sample table: stts run-lengths, stsz sizes,
-    stsc, stco — skipping unknown boxes by size, with three
-    cross-checks a header-skimmer cannot fake: each track's stsz
-    sample count must equal its stts total, each track's mdhd duration
-    must equal its stts duration sum, and every track's stco+stsz
-    extent must land inside mdat (whose payload total must equal the
-    sum of all sample sizes).  Codec configuration inside stsd sample
-    entries stays opaque (the avc1/mp4a decode stubs); fragmented MP4
-    (moof) and non-millisecond timescales raise."""
+    stsc sample-to-chunk, stco — skipping unknown boxes by size, with
+    four cross-checks a header-skimmer cannot fake: each track's stsz
+    sample count must equal its stts total, its single stsc entry
+    must map exactly that count starting at chunk 1, each track's
+    mdhd duration must equal its stts duration sum, and every track's
+    stco+stsz extent must land inside mdat (whose payload total must
+    equal the sum of all sample sizes).  Full-box version bytes are
+    enforced: version-1 (64-bit) mvhd/mdhd raise the declared
+    NotImplementedError boundary, and a nonzero version on
+    stts/stsz/stsc/stco (the spec defines only version 0) rejects.
+    Codec configuration inside stsd sample entries stays opaque (the
+    avc1/mp4a decode stubs); fragmented MP4 (moof) and
+    non-millisecond timescales raise."""
 
     def boxes(at: int, end: int):
         while at < end:
@@ -4146,6 +4151,10 @@ def parse_mp4(
             for t2, s2, e2 in boxes(s, e):
                 n_boxes += 1
                 if t2 == b"mvhd":
+                    if raw[s2]:
+                        raise NotImplementedError(
+                            "version-1 (64-bit) mvhd not implemented"
+                        )
                     (scale, dur) = struct.unpack_from(">II", raw, s2 + 12)
                     if scale != 1000:
                         raise NotImplementedError(
@@ -4159,6 +4168,7 @@ def parse_mp4(
                     counts = sizes = None
                     stts_total = stts_dur = None
                     chunk_off = None
+                    stsc_entry = None
                     for t3, s3, e3 in boxes(s2, e2):
                         n_boxes += 1
                         if t3 != b"mdia":
@@ -4166,6 +4176,11 @@ def parse_mp4(
                         for t4, s4, e4 in boxes(s3, e3):
                             n_boxes += 1
                             if t4 == b"mdhd":
+                                if raw[s4]:
+                                    raise NotImplementedError(
+                                        "version-1 (64-bit) mdhd not "
+                                        "implemented"
+                                    )
                                 (mscale, mdur) = struct.unpack_from(
                                     ">II", raw, s4 + 12
                                 )
@@ -4186,6 +4201,12 @@ def parse_mp4(
                                     for t6, s6, e6 in boxes(s5, e5):
                                         n_boxes += 1
                                         if t6 == b"stts":
+                                            if raw[s6]:
+                                                raise ValueError(
+                                                    f"doc {doc_id}: "
+                                                    "stts defines only "
+                                                    "version 0"
+                                                )
                                             (n_runs,) = struct.unpack_from(
                                                 ">I", raw, s6 + 4
                                             )
@@ -4199,6 +4220,12 @@ def parse_mp4(
                                                 stts_total += c_
                                                 stts_dur += c_ * d_
                                         elif t6 == b"stsz":
+                                            if raw[s6]:
+                                                raise ValueError(
+                                                    f"doc {doc_id}: "
+                                                    "stsz defines only "
+                                                    "version 0"
+                                                )
                                             (fixed, cnt) = (
                                                 struct.unpack_from(
                                                     ">II", raw, s6 + 4
@@ -4216,7 +4243,35 @@ def parse_mp4(
                                                     for i_ in range(cnt)
                                                 ]
                                             counts = cnt
+                                        elif t6 == b"stsc":
+                                            if raw[s6]:
+                                                raise ValueError(
+                                                    f"doc {doc_id}: "
+                                                    "stsc defines only "
+                                                    "version 0"
+                                                )
+                                            (ne_,) = struct.unpack_from(
+                                                ">I", raw, s6 + 4
+                                            )
+                                            if ne_ != 1:
+                                                raise NotImplementedError(
+                                                    "multi-entry stsc "
+                                                    "(multi-chunk "
+                                                    "tracks) not "
+                                                    "implemented"
+                                                )
+                                            stsc_entry = (
+                                                struct.unpack_from(
+                                                    ">III", raw, s6 + 8
+                                                )
+                                            )
                                         elif t6 == b"stco":
+                                            if raw[s6]:
+                                                raise ValueError(
+                                                    f"doc {doc_id}: "
+                                                    "stco defines only "
+                                                    "version 0"
+                                                )
                                             (nc_,) = struct.unpack_from(
                                                 ">I", raw, s6 + 4
                                             )
@@ -4230,10 +4285,23 @@ def parse_mp4(
                                                     ">I", raw, s6 + 8
                                                 )
                                             )
-                    if None in (tdur, counts, stts_total, chunk_off):
+                    if (
+                        None in (tdur, counts, stts_total, chunk_off)
+                        or stsc_entry is None
+                    ):
                         raise ValueError(
                             f"doc {doc_id}: trak missing sample-table "
                             "boxes"
+                        )
+                    # stsc cross-check: a single-chunk track's one
+                    # sample-to-chunk entry must start at chunk 1 and
+                    # assign exactly the stsz sample count to it
+                    if stsc_entry[0] != 1 or stsc_entry[1] != counts:
+                        raise ValueError(
+                            f"doc {doc_id}: stsc maps "
+                            f"{stsc_entry[1]} samples from chunk "
+                            f"{stsc_entry[0]} but stsz carries "
+                            f"{counts} in one chunk"
                         )
                     if counts != stts_total:
                         raise ValueError(

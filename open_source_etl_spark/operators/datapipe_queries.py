@@ -1845,9 +1845,10 @@ def datapipe_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines most often need text OUT of, beside WARC bodies: the
     walk goes startxref -> xref table (20-byte entries, offsets
     validated against the object headers they point at — one
-    uncompressed content stream embeds a literal ``7 0 obj`` so a
-    parser that scans for object keywords instead of walking the
-    cross-reference table miscounts), trailer /Size and /Encrypt
+    uncompressed content stream embeds a phantom out-of-range object
+    header so a parser that scans for object keywords instead of
+    walking the cross-reference table miscounts), trailer /Size and
+    /Encrypt
     checks, stream payloads sliced by /Length with the endstream
     keyword enforced, FlateDecode through stdlib zlib, and page text
     recovered by executing Tj show operators with string-literal

@@ -804,7 +804,37 @@ def test_pdf_extracts_exact_text_and_rejects_corruption():
     n_obj, n_pages, *_ = parse_pdf(doc, raw)
     assert n_pages == pdf_n_pages(doc)
     assert n_obj == 2 + 2 * n_pages
-    assert raw.count(b"7 0 obj") > raw.count(b"\n7 0 obj")  # trap present
+    # trap present, and it names a phantom object (one past the last)
+    trap = f"% {2 + 2 * n_pages + 1} 0 obj".encode()
+    assert trap in raw
+
+    # stream payloads are sliced by /Length, never bounded by keyword
+    # scans: a payload embedding the literal bytes "endobj"/"stream"
+    # (routine in FlateDecode output) must still parse.  Build a
+    # 1-page PDF whose uncompressed content stream carries both.
+    payload = b"BT /F1 12 Tf 72 720 Td (hi) Tj ET % endobj stream x"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/MediaBox [0 0 612 792] >>",
+        f"<< /Length {len(payload)} >>".encode()
+        + b"\nstream\n" + payload + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offs:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF".encode()
+    )
+    assert parse_pdf(0, bytes(out)) == (4, 1, 1, 0, 2)
 
     bad_len = re.sub(
         rb"/Length (\d+)",
