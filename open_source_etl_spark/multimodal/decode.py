@@ -2677,11 +2677,7 @@ H264_COEFF_TOKEN_NC0: dict[tuple[int, int], tuple[int, int]] = {
 # ITU-T H.264 Table 9-7, total_zeros column for TotalCoeff = 1:
 # (code_length, code) -> totalZeros.  Validated like the coeff_token
 # column: exactly the 16 legal values, prefix-free, Kraft 1 - 2^-9
-# (the all-zeros 9-bit slot is unused by construction).  Columns 2-14
-# failed transcription validation and stay behind the declared stub —
-# which bounds the shipped partial-block shapes to TotalCoeff = 1
-# (where run_before is never coded) and full blocks (where neither
-# total_zeros nor run_before is).
+# (the all-zeros 9-bit slot is unused by construction).
 H264_TOTAL_ZEROS_TC1: dict[tuple[int, int], int] = {
     (len(s), int(s, 2)): tz
     for tz, s in {
@@ -2692,30 +2688,176 @@ H264_TOTAL_ZEROS_TC1: dict[tuple[int, int], int] = {
     }.items()
 }
 
+# ITU-T H.264 Tables 9-5 (remaining coeff_token VLC columns), 9-7/9-8
+# (total_zeros columns 2-15) and 9-10 (run_before) — the tables that
+# complete CAVLC for arbitrary TotalCoeff.  Round-11 clean-room
+# transcriptions, machine-validated like every shipped entropy table
+# (tests/test_multimodal.py): each total_zeros column is a COMPLETE
+# prefix code over exactly its 17 - tc legal values (Kraft exactly 1
+# — all fourteen validated on first transcription, the strongest
+# form of the gate); the two coeff_token columns carry exactly 62
+# entries, prefix-free, incomplete by exactly the all-zeros slot
+# (one 13-bit slot for 2 <= nC < 4, one 10-bit slot for 4 <= nC < 8)
+# — the same structural signature as the validated nC < 2 column's
+# unused all-zeros 15-bit slot; run_before columns 1-6 are complete
+# and the zerosLeft > 6 column is incomplete by exactly the 11-bit
+# all-zeros slot (the spec's open-ended zero-run extension, capped
+# here at run_before = 14, the 4x4 maximum).
+H264_COEFF_TOKEN_NC2: dict[tuple[int, int], tuple[int, int]] = {
+    (len(s), int(s, 2)): tc_t1
+    for tc_t1, s in {
+        (0, 0): "11",
+        (1, 0): "001011", (1, 1): "10",
+        (2, 0): "000111", (2, 1): "00111", (2, 2): "011",
+        (3, 0): "0000111", (3, 1): "001010", (3, 2): "001001",
+        (3, 3): "0101",
+        (4, 0): "00000111", (4, 1): "000110", (4, 2): "000101",
+        (4, 3): "0100",
+        (5, 0): "00000100", (5, 1): "0000110", (5, 2): "0000101",
+        (5, 3): "00110",
+        (6, 0): "000000111", (6, 1): "00000110", (6, 2): "00000101",
+        (6, 3): "001000",
+        (7, 0): "00000001111", (7, 1): "000000110", (7, 2): "000000101",
+        (7, 3): "000100",
+        (8, 0): "00000001011", (8, 1): "00000001110",
+        (8, 2): "00000001101", (8, 3): "0000100",
+        (9, 0): "000000001111", (9, 1): "00000001010",
+        (9, 2): "00000001001", (9, 3): "000000100",
+        (10, 0): "000000001011", (10, 1): "000000001110",
+        (10, 2): "000000001101", (10, 3): "00000001100",
+        (11, 0): "000000001000", (11, 1): "000000001010",
+        (11, 2): "000000001001", (11, 3): "00000001000",
+        (12, 0): "0000000001111", (12, 1): "0000000001110",
+        (12, 2): "0000000001101", (12, 3): "000000001100",
+        (13, 0): "0000000001011", (13, 1): "0000000001010",
+        (13, 2): "0000000001001", (13, 3): "0000000001100",
+        (14, 0): "0000000000111", (14, 1): "00000000001011",
+        (14, 2): "0000000000110", (14, 3): "0000000001000",
+        (15, 0): "00000000001001", (15, 1): "00000000001000",
+        (15, 2): "00000000001010", (15, 3): "0000000000001",
+        (16, 0): "00000000000111", (16, 1): "00000000000110",
+        (16, 2): "00000000000101", (16, 3): "00000000000100",
+    }.items()
+}
+H264_COEFF_TOKEN_NC4: dict[tuple[int, int], tuple[int, int]] = {
+    (len(s), int(s, 2)): tc_t1
+    for tc_t1, s in {
+        (0, 0): "1111",
+        (1, 0): "001111", (1, 1): "1110",
+        (2, 0): "001011", (2, 1): "01111", (2, 2): "1101",
+        (3, 0): "001000", (3, 1): "01100", (3, 2): "01110",
+        (3, 3): "1100",
+        (4, 0): "0001111", (4, 1): "01010", (4, 2): "01011",
+        (4, 3): "1011",
+        (5, 0): "0001011", (5, 1): "01000", (5, 2): "01001",
+        (5, 3): "1010",
+        (6, 0): "0001001", (6, 1): "001110", (6, 2): "001101",
+        (6, 3): "1001",
+        (7, 0): "0001000", (7, 1): "001010", (7, 2): "001001",
+        (7, 3): "1000",
+        (8, 0): "00001111", (8, 1): "0001110", (8, 2): "0001101",
+        (8, 3): "01101",
+        (9, 0): "00001011", (9, 1): "00001110", (9, 2): "0001010",
+        (9, 3): "001100",
+        (10, 0): "000001111", (10, 1): "00001010", (10, 2): "00001101",
+        (10, 3): "0001100",
+        (11, 0): "000001011", (11, 1): "000001110", (11, 2): "00001001",
+        (11, 3): "00001100",
+        (12, 0): "000001000", (12, 1): "000001010", (12, 2): "000001101",
+        (12, 3): "00001000",
+        (13, 0): "0000001101", (13, 1): "000000111", (13, 2): "000001001",
+        (13, 3): "000001100",
+        (14, 0): "0000001001", (14, 1): "0000001100", (14, 2): "0000001011",
+        (14, 3): "0000001010",
+        (15, 0): "0000000101", (15, 1): "0000001000", (15, 2): "0000000111",
+        (15, 3): "0000000110",
+        (16, 0): "0000000001", (16, 1): "0000000100", (16, 2): "0000000011",
+        (16, 3): "0000000010",
+    }.items()
+}
+_H264_TZ_COLS = {
+    2: "111,110,101,100,011,0101,0100,0011,0010,00011,00010,"
+       "000011,000010,000001,000000",
+    3: "0101,111,110,101,100,011,0100,0011,0010,00011,00010,"
+       "000001,00001,000000",
+    4: "00011,111,0101,0100,110,101,100,0011,011,0010,00010,"
+       "00001,00000",
+    5: "0101,0100,0011,111,110,101,100,011,0010,00001,0001,00000",
+    6: "000001,00001,111,110,101,100,011,010,0001,001,000000",
+    7: "000001,00001,101,100,011,11,010,0001,001,000000",
+    8: "000001,0001,00001,011,11,10,010,001,000000",
+    9: "000001,000000,0001,11,10,001,01,00001",
+    10: "00001,00000,001,11,10,01,0001",
+    11: "0000,0001,001,010,1,011",
+    12: "0000,0001,01,1,001",
+    13: "000,001,1,01",
+    14: "00,01,1",
+    15: "0,1",
+}
+# column index (= TotalCoeff) -> {(code_length, code): totalZeros}
+H264_TOTAL_ZEROS: dict[int, dict[tuple[int, int], int]] = {
+    1: H264_TOTAL_ZEROS_TC1,
+    **{
+        tc: {
+            (len(s), int(s, 2)): tz
+            for tz, s in enumerate(col.split(","))
+        }
+        for tc, col in _H264_TZ_COLS.items()
+    },
+}
+_H264_RB_COLS = {
+    1: "1,0",
+    2: "1,01,00",
+    3: "11,10,01,00",
+    4: "11,10,01,001,000",
+    5: "11,10,011,010,001,000",
+    6: "11,000,001,011,010,101,100",
+    # zerosLeft > 6: runs 7-14 are the spec's open-ended extension
+    # ((run - 4) zeros then a 1), capped at the 4x4 maximum of 14
+    7: "111,110,101,100,011,010,001,0001,00001,000001,0000001,"
+       "00000001,000000001,0000000001,00000000001",
+}
+# min(zerosLeft, 7) -> {(code_length, code): run_before}
+H264_RUN_BEFORE: dict[int, dict[tuple[int, int], int]] = {
+    zl: {
+        (len(s), int(s, 2)): run
+        for run, s in enumerate(col.split(","))
+    }
+    for zl, col in _H264_RB_COLS.items()
+}
+
 
 def _cavlc_residual(
     reader: "_H264BitReader", n_c: int, max_coeff: int, doc_id: int
 ) -> list[int]:
-    """One residual_block_cavlc (ITU-T H.264 9.2) restricted to FULL
-    blocks: coeff_token through the nC dispatch (the validated nC < 2
-    table, or the 6-bit FLC for nC >= 8; 2 <= nC < 8 raises the
-    declared missing-table stub), TrailingOnes sign bits, and the
-    suffix-length-adaptive level decode including escape prefixes.
-    TotalCoeff < maxNumCoeff would need total_zeros (Table 9-7) and
-    run_before (Table 9-10), whose transcriptions are not shipped —
-    such a block raises at that exact boundary."""
+    """One COMPLETE residual_block_cavlc (ITU-T H.264 9.2):
+    coeff_token through the full nC dispatch (Table 9-5: the nC < 2,
+    2 <= nC < 4 and 4 <= nC < 8 VLC columns — every one machine-
+    validated with exactly the all-zeros slot unused — or the 6-bit
+    FLC for nC >= 8), TrailingOnes sign bits, the suffix-length-
+    adaptive level decode including escape prefixes, total_zeros
+    through the per-TotalCoeff column (Tables 9-7/9-8, each a
+    validated COMPLETE prefix code over its 17 - tc legal values),
+    and the run_before walk (Table 9-10) with zerosLeft accounting —
+    runs stop being coded the moment zerosLeft hits 0, exactly as
+    9.2.3 infers them."""
     if n_c >= 8:
         code = reader.u(6)
         if code == 0b000011:
             total, t1 = 0, 0
         else:
             total, t1 = (code >> 2) + 1, code & 3
-    elif n_c < 2:
+    else:
+        table = (
+            H264_COEFF_TOKEN_NC0 if n_c < 2
+            else H264_COEFF_TOKEN_NC2 if n_c < 4
+            else H264_COEFF_TOKEN_NC4
+        )
         length = code = 0
         while True:
             code = (code << 1) | reader.u(1)
             length += 1
-            hit = H264_COEFF_TOKEN_NC0.get((length, code))
+            hit = table.get((length, code))
             if hit is not None:
                 total, t1 = hit
                 break
@@ -2723,22 +2865,9 @@ def _cavlc_residual(
                 raise ValueError(
                     f"doc {doc_id}: invalid coeff_token code"
                 )
-    else:
-        raise NotImplementedError(
-            f"coeff_token VLC table for nC = {n_c} not shipped "
-            "(validated transcriptions exist for nC < 2 and the "
-            "nC >= 8 FLC only)"
-        )
     if t1 > total or total > max_coeff:
         raise ValueError(
             f"doc {doc_id}: coeff_token ({total},{t1}) out of range"
-        )
-    if total not in (max_coeff, 1):
-        raise NotImplementedError(
-            f"partial blocks with TotalCoeff = {total} need the "
-            "total_zeros/run_before columns (Tables 9-7/9-10) that "
-            "failed transcription validation; shipped shapes are full "
-            "blocks and single-coefficient blocks"
         )
     levels = []
     for _ in range(t1):
@@ -2775,13 +2904,13 @@ def _cavlc_residual(
         if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
             suffix_len += 1
     if 0 < total < max_coeff:
-        # total_zeros (9.2.3): TotalCoeff = 1 is the one shipped
-        # column; its single coefficient leaves no run_before fields
+        # total_zeros (9.2.3) through the TotalCoeff-indexed column
+        tz_table = H264_TOTAL_ZEROS[total]
         length = code = 0
         while True:
             code = (code << 1) | reader.u(1)
             length += 1
-            tz = H264_TOTAL_ZEROS_TC1.get((length, code))
+            tz = tz_table.get((length, code))
             if tz is not None:
                 break
             if length >= 10:
@@ -2793,6 +2922,30 @@ def _cavlc_residual(
                 f"doc {doc_id}: total_zeros {tz} exceeds the "
                 f"{max_coeff - total} available positions"
             )
+        # run_before (9.2.3): coded for all but the last coefficient,
+        # and only while zeros remain to distribute
+        zeros_left = tz
+        for _i in range(total - 1):
+            if zeros_left <= 0:
+                break
+            rb_table = H264_RUN_BEFORE[min(zeros_left, 7)]
+            length = code = 0
+            while True:
+                code = (code << 1) | reader.u(1)
+                length += 1
+                run = rb_table.get((length, code))
+                if run is not None:
+                    break
+                if length >= 11:
+                    raise ValueError(
+                        f"doc {doc_id}: invalid run_before code"
+                    )
+            if run > zeros_left:
+                raise ValueError(
+                    f"doc {doc_id}: run_before {run} exceeds "
+                    f"zerosLeft {zeros_left}"
+                )
+            zeros_left -= run
     return levels
 
 
@@ -2805,12 +2958,14 @@ def decode_h264_cavlc(media_df: DataFrame) -> DataFrame:
     coded.  The decoder re-derives each block's nC from neighbor
     4x4 nonzero counts (in-MB or adjacent-MB, picture edges
     unavailable), dispatches coeff_token through the machine-validated
-    nC < 2 table or the nC >= 8 FLC, reads TrailingOnes signs, and
-    runs the suffix-length-adaptive level decode — emitting
-    coefficient-domain sums only a correct walk can land.  Declared
-    stubs: coeff_token columns for 2 <= nC < 8, partial blocks
-    (total_zeros/run_before tables), non-I_16x16 entropy-coded
-    macroblocks, and CABAC."""
+    Table 9-5 column for that nC (or the nC >= 8 FLC), reads
+    TrailingOnes signs, runs the suffix-length-adaptive level decode,
+    and — for partial blocks with any TotalCoeff — walks total_zeros
+    (Tables 9-7/9-8) and run_before (Table 9-10) with zerosLeft
+    accounting, emitting coefficient-domain sums only a correct walk
+    can land.  Declared stubs: non-I_16x16 entropy-coded macroblocks
+    (nonzero cbp_chroma would add the 2x2 chroma-DC total_zeros
+    table) and CABAC."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -1437,21 +1437,25 @@ def h264_cavlc_params(doc_id: int) -> tuple[int, int, int]:
 def h264_cavlc_levels(doc_id: int, f: int, b: int, a: int) -> list[int]:
     """Block ``a``'s coefficient levels in DECODE order (highest scan
     position first) for macroblock ``b`` of frame ``f`` — a = 16 is
-    the Intra16x16 DC block (16 levels), a = 0..15 the AC blocks (15
-    levels each).  The first ``(doc+f+b+a) % 4`` levels are trailing
-    ±1s, the rest have magnitude 2-4 — every block is FULL (TotalCoeff
-    = maxNumCoeff), the shape under which total_zeros and run_before
-    are not coded at all (9.2.3: inferred zero), so the entire
-    entropy load sits on coeff_token and the suffix-adaptive level
-    codes."""
-    if a < 16 and (doc_id + f + b + a) % 5 == 0:
-        # single-coefficient AC block (TotalCoeff = 1): the shipped
-        # partial shape — total_zeros column 1 gets coded, run_before
-        # never is
+    the Intra16x16 DC block (16 levels), a = 0..15 the AC blocks.
+    Shape selector s = (doc+f+b+a) % 5 for AC blocks: s = 0 gives a
+    SINGLE-COEFFICIENT block (TotalCoeff 1 — total_zeros column 1,
+    no run_before); s = 1 gives a PARTIAL block with TotalCoeff
+    2 + (doc+f+b+a) % 13 (2..14 — total_zeros columns 2-14 AND the
+    run_before walk genuinely coded); anything else (and every DC
+    block) is FULL (TotalCoeff = maxNumCoeff — total_zeros and
+    run_before inferred, 9.2.3).  The first min((doc+f+b+a) % 4, n)
+    levels are trailing ±1s, the rest have magnitude 2-4, all signed
+    by (doc+f+b+a+i) parity."""
+    sel = (doc_id + f + b + a) % 5
+    if a < 16 and sel == 0:
         mag = 1 + (doc_id + f + b + a) % 4
         return [mag if (doc_id + f + b + a) % 2 == 0 else -mag]
-    t = (doc_id + f + b + a) % 4
-    n = 16 if a == 16 else 15
+    if a < 16 and sel == 1:
+        n = 2 + (doc_id + f + b + a) % 13
+    else:
+        n = 16 if a == 16 else 15
+    t = min((doc_id + f + b + a) % 4, n)
     out = []
     for i in range(n):
         mag = 1 if i < t else 2 + (doc_id + f + b + a + i) % 3
@@ -1460,20 +1464,45 @@ def h264_cavlc_levels(doc_id: int, f: int, b: int, a: int) -> list[int]:
 
 
 def h264_cavlc_total_zeros(doc_id: int, f: int, b: int, a: int) -> int:
-    """totalZeros for a TC = 1 AC block: 0..14 (<= maxNumCoeff - 1)."""
-    return (doc_id + f + b + 2 * a) % 15
+    """totalZeros for a partial AC block with TotalCoeff = tc:
+    0..15 - tc (<= maxNumCoeff - tc for the 15-coefficient AC
+    block)."""
+    tc = len(h264_cavlc_levels(doc_id, f, b, a))
+    return (doc_id + f + b + 2 * a) % (16 - tc)
+
+
+def h264_cavlc_runs(
+    doc_id: int, f: int, b: int, a: int, tc: int, tz: int
+) -> list[int]:
+    """run_before values for coefficients 0..tc-2 (the last
+    coefficient takes whatever zeros remain): run i is
+    min(zerosLeft, (doc+f+b+a+i) % 4), so runs shrink as zeros are
+    consumed and hit the zerosLeft = 0 not-coded case on real
+    fixtures."""
+    runs = []
+    zeros_left = tz
+    for i in range(tc - 1):
+        r = min(zeros_left, (doc_id + f + b + a + i) % 4)
+        runs.append(r)
+        zeros_left -= r
+    return runs
 
 
 def _cavlc_write_block(
     w: "_H264BitWriter", levels: list[int], n_c: int,
-    coeff_token_enc: dict, total_zeros: int | None = None,
-    tz_enc: dict | None = None,
+    enc: "dict", total_zeros: int | None = None,
+    runs: list[int] | None = None,
 ) -> None:
     """residual_block_cavlc encode (ITU-T H.264 9.2): coeff_token
-    through the nC-selected code (the VLC table for nC < 2, the 6-bit
-    FLC for nC >= 8), TrailingOnes sign bits, the suffix-length-
-    adaptive level codes, and — for single-coefficient blocks — the
-    total_zeros column-1 code (``total_zeros`` not None)."""
+    through the nC-selected code (the Table 9-5 VLC column for
+    nC < 8, the 6-bit FLC above), TrailingOnes sign bits, the
+    suffix-length-adaptive level codes, and — for partial blocks —
+    the per-TotalCoeff total_zeros column code plus the run_before
+    fields (coded only while zerosLeft > 0, mirroring the decoder's
+    9.2.3 accounting).  ``enc`` maps 0/2/4 to the inverted
+    coeff_token columns, "tz" to the column-indexed total_zeros
+    encoders and "rb" to the zerosLeft-indexed run_before
+    encoders."""
     total = len(levels)
     t1 = 0
     while t1 < min(3, total) and abs(levels[t1]) == 1:
@@ -1481,11 +1510,10 @@ def _cavlc_write_block(
     if n_c >= 8:  # FLC: 4 bits TotalCoeff-1, 2 bits TrailingOnes
         code = 0b000011 if total == 0 else ((total - 1) << 2) | t1
         w.u(code, 6)
-    elif n_c < 2:
-        length, code = coeff_token_enc[(total, t1)]
+    else:
+        col = 0 if n_c < 2 else 2 if n_c < 4 else 4
+        length, code = enc[col][(total, t1)]
         w.u(code, length)
-    else:  # pragma: no cover - fixture never produces 2 <= nC < 8
-        raise ValueError(f"nC {n_c} needs an unshipped coeff_token table")
     for i in range(t1):
         w.u(1 if levels[i] < 0 else 0, 1)
     suffix_len = 1 if total > 10 and t1 < 3 else 0
@@ -1509,13 +1537,19 @@ def _cavlc_write_block(
         if abs(v) > (3 << (suffix_len - 1)) and suffix_len < 6:
             suffix_len += 1
     if total_zeros is not None:
-        length, code = tz_enc[total_zeros]
+        length, code = enc["tz"][total][total_zeros]
         w.u(code, length)
+        zeros_left = total_zeros
+        for r in runs or []:
+            if zeros_left <= 0:
+                break
+            length, code = enc["rb"][min(zeros_left, 7)][r]
+            w.u(code, length)
+            zeros_left -= r
 
 
 def h264_cavlc_idr_rbsp(
-    doc_id: int, f: int, n_mbs: int, mb_w: int, coeff_token_enc: dict,
-    tz_enc: dict,
+    doc_id: int, f: int, n_mbs: int, mb_w: int, enc: dict,
 ) -> bytes:
     """One all-I_16x16 IDR slice RBSP with REAL CAVLC residuals: per
     macroblock mb_type 15 (Intra_16x16, DC prediction,
@@ -1535,8 +1569,8 @@ def h264_cavlc_idr_rbsp(
     w.se(0)        # slice_qp_delta
     # per-picture 4x4 nonzero-count grid — the EXACT mirror of the
     # decoder's neighbor bookkeeping (decode.decode_h264_cavlc): AC
-    # counts are 15 or 1 here, so nC lands in {0, 1, 8, 15} and never
-    # needs the unshipped 2 <= nC < 8 coeff_token columns
+    # counts now span 1..15, so the re-derived nC sweeps every
+    # Table 9-5 column (nC < 2, 2-4, 4-8) plus the nC >= 8 FLC
     nzc: dict[tuple[int, int], int] = {}
 
     def zidx(zx: int, zy: int) -> int:
@@ -1567,17 +1601,19 @@ def h264_cavlc_idr_rbsp(
         w.ue(0)    # intra_chroma_pred_mode: DC
         w.se(0)    # mb_qp_delta
         _cavlc_write_block(
-            w, h264_cavlc_levels(doc_id, f, m, 16), n_c(m, 0),
-            coeff_token_enc,
+            w, h264_cavlc_levels(doc_id, f, m, 16), n_c(m, 0), enc,
         )
         for blk in range(16):
             levels = h264_cavlc_levels(doc_id, f, m, blk)
-            tz = (
-                h264_cavlc_total_zeros(doc_id, f, m, blk)
-                if len(levels) == 1 else None
-            )
+            if len(levels) < 15:  # partial: total_zeros (+ runs) coded
+                tz = h264_cavlc_total_zeros(doc_id, f, m, blk)
+                runs = h264_cavlc_runs(
+                    doc_id, f, m, blk, len(levels), tz
+                )
+            else:
+                tz, runs = None, None
             _cavlc_write_block(
-                w, levels, n_c(m, blk), coeff_token_enc, tz, tz_enc
+                w, levels, n_c(m, blk), enc, tz, runs
             )
             nzc[(m, blk)] = len(levels)
     w.u(1, 1)  # rbsp_stop_one_bit
@@ -1590,11 +1626,30 @@ def make_h264_cavlc_bytes(doc_id: int) -> bytes:
     """REAL CAVLC-entropy H.264 Annex-B stream: every frame a
     single-slice IDR of Intra_16x16 macroblocks whose residuals are
     context-adaptive variable-length coded (ITU-T H.264 9.2) — the
-    entropy layer the I_PCM and inter fixtures bypass."""
-    from .decode import H264_COEFF_TOKEN_NC0, H264_TOTAL_ZEROS_TC1
+    entropy layer the I_PCM and inter fixtures bypass.  Encoder
+    tables are inverted from the decoder's validated transcriptions
+    so the spec data has one source of truth in the repo."""
+    from .decode import (
+        H264_COEFF_TOKEN_NC0,
+        H264_COEFF_TOKEN_NC2,
+        H264_COEFF_TOKEN_NC4,
+        H264_RUN_BEFORE,
+        H264_TOTAL_ZEROS,
+    )
 
-    enc = {tv: lc for lc, tv in H264_COEFF_TOKEN_NC0.items()}
-    tz_enc = {tz: lc for lc, tz in H264_TOTAL_ZEROS_TC1.items()}
+    enc = {
+        0: {tv: lc for lc, tv in H264_COEFF_TOKEN_NC0.items()},
+        2: {tv: lc for lc, tv in H264_COEFF_TOKEN_NC2.items()},
+        4: {tv: lc for lc, tv in H264_COEFF_TOKEN_NC4.items()},
+        "tz": {
+            tc: {tz: lc for lc, tz in col.items()}
+            for tc, col in H264_TOTAL_ZEROS.items()
+        },
+        "rb": {
+            zl: {run: lc for lc, run in col.items()}
+            for zl, col in H264_RUN_BEFORE.items()
+        },
+    }
     n_frames, mb_w, mb_h = h264_cavlc_params(doc_id)
     units = [
         _h264_nal(3, 7, _h264_sps_from_fields(66, 10, mb_w - 1, mb_h - 1), 0),
@@ -1605,7 +1660,7 @@ def make_h264_cavlc_bytes(doc_id: int) -> bytes:
             _h264_nal(
                 3, 5,
                 h264_cavlc_idr_rbsp(
-                    doc_id, f, mb_w * mb_h, mb_w, enc, tz_enc
+                    doc_id, f, mb_w * mb_h, mb_w, enc
                 ),
                 2 + f,
             )

@@ -952,14 +952,15 @@ def multimodal_jpeg_color_decode(
     # 1 + doc % 3 single-slice IDR frames of (1 + doc % 2) x
     # (1 + (doc//2) % 2) Intra_16x16 macroblocks; block a (16 = the
     # DC block with 16 levels, 0-15 the AC blocks) of macroblock b in
-    # frame f is SINGLE-COEFFICIENT (TotalCoeff 1, magnitude
-    # 1 + (doc+f+b+a) % 4) when a < 16 and (doc+f+b+a) % 5 = 0, else
-    # FULL with (doc+f+b+a) % 4 trailing ±1s then magnitudes
-    # 2 + (doc+f+b+a+i) % 3, all signed by (doc+f+b+a+i) parity.  The
+    # frame f, with k = doc+f+b+a, is SINGLE-COEFFICIENT (TotalCoeff
+    # 1, magnitude 1 + k % 4) when a < 16 and k % 5 = 0, PARTIAL with
+    # TotalCoeff 2 + k % 13 when a < 16 and k % 5 = 1, else FULL;
+    # non-single blocks carry LEAST(k % 4, TotalCoeff) trailing ±1s
+    # then magnitudes 2 + (k+i) % 3, all signed by (k+i) parity.  The
     # CAVLC bitstream itself — coeff_token dispatch on re-derived
-    # neighbor nC, suffix-adaptive level codes, total_zeros for the
-    # TC-1 blocks — has no closed form; Spark must entropy-decode
-    # every block to land these sums.
+    # neighbor nC, suffix-adaptive level codes, total_zeros columns
+    # 1-14, run_before walks — has no closed form; Spark must
+    # entropy-decode every block to land these sums.
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -968,33 +969,35 @@ def multimodal_jpeg_color_decode(
              1 + (doc_id // 2) % 2 AS mh
       FROM documents
     ),
-    lv AS (
-      SELECT p.doc_id, aa.a, ii.i,
+    blk AS (
+      SELECT p.doc_id, p.nf, p.mw, p.mh, aa.a,
+             p.doc_id + ff.f + bb.b + aa.a AS k,
+             (aa.a < 16
+              AND (p.doc_id + ff.f + bb.b + aa.a) % 5 = 0) AS single,
              CASE WHEN aa.a < 16
                        AND (p.doc_id + ff.f + bb.b + aa.a) % 5 = 0
-                  THEN CASE WHEN (p.doc_id + ff.f + bb.b + aa.a) % 4
-                            = 0 THEN 1 ELSE 0 END
-                  ELSE (p.doc_id + ff.f + bb.b + aa.a) % 4
-             END AS t,
-             CASE WHEN aa.a < 16
-                       AND (p.doc_id + ff.f + bb.b + aa.a) % 5 = 0
-                  THEN 1 + (p.doc_id + ff.f + bb.b + aa.a) % 4
-                  WHEN ii.i < (p.doc_id + ff.f + bb.b + aa.a) % 4
                   THEN 1
-                  ELSE 2 + (p.doc_id + ff.f + bb.b + aa.a + ii.i) % 3
-             END AS mag,
-             CASE WHEN (p.doc_id + ff.f + bb.b + aa.a + ii.i) % 2 = 0
-                  THEN 1 ELSE -1 END AS sgn
+                  WHEN aa.a < 16
+                       AND (p.doc_id + ff.f + bb.b + aa.a) % 5 = 1
+                  THEN 2 + (p.doc_id + ff.f + bb.b + aa.a) % 13
+                  WHEN aa.a = 16 THEN 16
+                  ELSE 15 END AS cnt
       FROM p,
            LATERAL (SELECT unnest(range(0, nf)) AS f) ff,
            LATERAL (SELECT unnest(range(0, mw * mh)) AS b) bb,
-           LATERAL (SELECT unnest(range(0, 17)) AS a) aa,
-           LATERAL (SELECT unnest(range(0,
-                     CASE WHEN aa.a < 16
-                               AND (p.doc_id + ff.f + bb.b + aa.a)
-                                   % 5 = 0 THEN 1
-                          WHEN aa.a = 16 THEN 16
-                          ELSE 15 END)) AS i) ii
+           LATERAL (SELECT unnest(range(0, 17)) AS a) aa
+    ),
+    lv AS (
+      SELECT doc_id, a, ii.i,
+             CASE WHEN single
+                  THEN CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END
+                  ELSE LEAST(k % 4, cnt) END AS t,
+             CASE WHEN single THEN 1 + k % 4
+                  WHEN ii.i < LEAST(k % 4, cnt) THEN 1
+                  ELSE 2 + (k + ii.i) % 3 END AS mag,
+             CASE WHEN (k + ii.i) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM blk,
+           LATERAL (SELECT unnest(range(0, cnt)) AS i) ii
     )
     SELECT p.doc_id,
            CAST(16 * mw AS BIGINT) AS width,
@@ -1024,20 +1027,20 @@ def multimodal_h264_cavlc_decode(
     raw samples; the motion fixtures code no residuals): Intra_16x16
     macroblocks whose DC and sixteen AC blocks are context-adaptive
     variable-length coded, decoded through coeff_token dispatch on the
-    re-derived neighbor nC (the machine-validated nC < 2 table at the
-    picture's top-left block, the spec's 6-bit FLC at nC >= 8
-    everywhere else), TrailingOnes sign bits, and the suffix-length-
-    adaptive level decode with escape handling.  Fixture blocks are
-    FULL (TotalCoeff = maxNumCoeff — total_zeros and run_before
-    inferred rather than coded) or SINGLE-COEFFICIENT (TotalCoeff 1,
-    decoded through the validated total_zeros column-1 code; its one
-    coefficient leaves no run_before fields), and the neighbor counts
-    these shapes produce keep nC in {0, 1, 8, 15} — inside the shipped
-    dispatch by construction.  Declared stubs: coeff_token columns for
-    2 <= nC < 8 and total_zeros columns 2-14 (transcriptions failed
-    the validation gate that admitted the shipped tables), blocks with
-    2 <= TotalCoeff < maxNumCoeff, non-I_16x16 entropy-coded
-    macroblocks, and CABAC.  Reference scope note: the
+    re-derived neighbor nC (the machine-validated Table 9-5 column
+    for that nC — all three VLC columns ship as of round 11, each
+    incomplete by exactly its all-zeros slot — or the spec's 6-bit
+    FLC at nC >= 8), TrailingOnes sign bits, the suffix-length-
+    adaptive level decode with escape handling, and — new in round
+    11 — the COMPLETE partial-block walk: total_zeros through the
+    per-TotalCoeff columns (Tables 9-7/9-8, all fourteen validated
+    complete on first transcription) and run_before (Table 9-10)
+    with zerosLeft accounting.  Fixture blocks cycle FULL,
+    SINGLE-COEFFICIENT, and PARTIAL shapes with TotalCoeff 2-14, so
+    the neighbor counts sweep nC across every dispatch column.
+    Declared stubs: non-I_16x16 entropy-coded macroblocks (nonzero
+    cbp_chroma would add the 2x2 chroma-DC total_zeros table) and
+    CABAC.  Reference scope note: the
     reference delegates all media handling to its warehouse; this
     query is part of the training-data-pipeline surface the brief
     adds."""
