@@ -4378,8 +4378,15 @@ def parse_mp4(
     NotImplementedError boundary, and a nonzero version on
     stts/stsz/stsc/stco (the spec defines only version 0) rejects.
     Codec configuration inside stsd sample entries stays opaque (the
-    avc1/mp4a decode stubs); fragmented MP4 (moof) and
-    non-millisecond timescales raise."""
+    avc1/mp4a decode stubs).  FRAGMENTED files (8.8) walk too:
+    zero-entry sample tables mark moof-fed tracks (mvex/trex must
+    declare exactly those tracks), and each moof's mfhd sequence,
+    tfhd (default-base-is-moof only), and trun (explicit durations +
+    sizes + data offsets that must land on the following mdat's
+    payload cursor) accumulate per-track totals cross-checked against
+    mdhd and mehd.  Non-millisecond timescales, version-1 full
+    boxes, multi-chunk progressive tracks, trex sample defaults, and
+    other tfhd/trun flag shapes raise."""
 
     def boxes(at: int, end: int):
         while at < end:
@@ -4410,6 +4417,16 @@ def parse_mp4(
     mdat_span = None
     track_extents: list[tuple[int, int]] = []
     saw_ftyp = False
+    # fragmented-file state: empty-sample-table tracks fed by moofs
+    empty_tracks: dict[int, int] = {}     # track_id -> mdhd duration
+    trex_ids: set[int] = set()
+    mehd_dur = None
+    frag_dur: dict[int, int] = {}
+    frag_bytes: dict[int, int] = {}
+    frag_samples: dict[int, int] = {}
+    next_seq = 1
+    pending_mdat = None                   # bytes the next mdat must carry
+    frag_mdat_total = 0
     for btype, s, e in boxes(0, len(raw)):
         n_boxes += 1
         if btype == b"ftyp":
@@ -4420,11 +4437,108 @@ def parse_mp4(
                 )
             saw_ftyp = True
         elif btype == b"moof":
-            raise NotImplementedError(
-                "fragmented MP4 (moof) not implemented"
-            )
+            if not empty_tracks:
+                raise ValueError(
+                    f"doc {doc_id}: moof without fragmented tracks"
+                )
+            if pending_mdat is not None:
+                raise ValueError(
+                    f"doc {doc_id}: consecutive moofs without mdat"
+                )
+            moof_size = e - s + 8  # box header included
+            frag_off = moof_size + 8  # next mdat's first payload byte
+            this_frag_bytes = 0
+            saw_mfhd = False
+            for t2, s2, e2 in boxes(s, e):
+                n_boxes += 1
+                if t2 == b"mfhd":
+                    (seq,) = struct.unpack_from(">I", raw, s2 + 4)
+                    if seq != next_seq:
+                        raise ValueError(
+                            f"doc {doc_id}: mfhd sequence {seq}, "
+                            f"expected {next_seq}"
+                        )
+                    saw_mfhd = True
+                elif t2 == b"traf":
+                    tfhd_id = None
+                    for t3, s3, e3 in boxes(s2, e2):
+                        n_boxes += 1
+                        if t3 == b"tfhd":
+                            flags = int.from_bytes(
+                                raw[s3 + 1 : s3 + 4], "big"
+                            )
+                            if flags != 0x020000:
+                                raise NotImplementedError(
+                                    "tfhd flags other than "
+                                    "default-base-is-moof not "
+                                    "implemented"
+                                )
+                            (tfhd_id,) = struct.unpack_from(
+                                ">I", raw, s3 + 4
+                            )
+                            if tfhd_id not in empty_tracks:
+                                raise ValueError(
+                                    f"doc {doc_id}: traf for unknown "
+                                    f"track {tfhd_id}"
+                                )
+                        elif t3 == b"trun":
+                            if tfhd_id is None:
+                                raise ValueError(
+                                    f"doc {doc_id}: trun before tfhd"
+                                )
+                            flags = int.from_bytes(
+                                raw[s3 + 1 : s3 + 4], "big"
+                            )
+                            if flags != 0x000301:
+                                raise NotImplementedError(
+                                    "trun flags other than data-"
+                                    "offset + sample-duration + "
+                                    "sample-size not implemented"
+                                )
+                            (cnt, off) = struct.unpack_from(
+                                ">Ii", raw, s3 + 4
+                            )
+                            if off != frag_off + this_frag_bytes:
+                                raise ValueError(
+                                    f"doc {doc_id}: trun data_offset "
+                                    f"{off} does not land on the "
+                                    "mdat payload cursor"
+                                )
+                            for j in range(cnt):
+                                d_, sz_ = struct.unpack_from(
+                                    ">II", raw, s3 + 12 + 8 * j
+                                )
+                                frag_dur[tfhd_id] = (
+                                    frag_dur.get(tfhd_id, 0) + d_
+                                )
+                                frag_bytes[tfhd_id] = (
+                                    frag_bytes.get(tfhd_id, 0) + sz_
+                                )
+                                this_frag_bytes += sz_
+                            frag_samples[tfhd_id] = (
+                                frag_samples.get(tfhd_id, 0) + cnt
+                            )
+            if not saw_mfhd:
+                raise ValueError(f"doc {doc_id}: moof without mfhd")
+            next_seq += 1
+            pending_mdat = this_frag_bytes
         elif btype == b"mdat":
-            mdat_span = (s, e)
+            if empty_tracks:
+                if pending_mdat is None:
+                    raise ValueError(
+                        f"doc {doc_id}: fragmented mdat without a "
+                        "preceding moof"
+                    )
+                if e - s != pending_mdat:
+                    raise ValueError(
+                        f"doc {doc_id}: fragment mdat carries "
+                        f"{e - s} bytes for {pending_mdat} bytes of "
+                        "trun samples"
+                    )
+                frag_mdat_total += e - s
+                pending_mdat = None
+            else:
+                mdat_span = (s, e)
         elif btype == b"moov":
             for t2, s2, e2 in boxes(s, e):
                 n_boxes += 1
@@ -4440,6 +4554,28 @@ def parse_mp4(
                             "implemented"
                         )
                     duration_ms = dur
+                elif t2 == b"mvex":
+                    for t3, s3, e3 in boxes(s2, e2):
+                        n_boxes += 1
+                        if t3 == b"mehd":
+                            if raw[s3]:
+                                raise NotImplementedError(
+                                    "version-1 mehd not implemented"
+                                )
+                            (mehd_dur,) = struct.unpack_from(
+                                ">I", raw, s3 + 4
+                            )
+                        elif t3 == b"trex":
+                            tid, sdi, dd, ds, df = struct.unpack_from(
+                                ">IIIII", raw, s3 + 4
+                            )
+                            if sdi != 1 or dd or ds or df:
+                                raise NotImplementedError(
+                                    "trex sample defaults not "
+                                    "implemented (fragments must "
+                                    "carry explicit durations/sizes)"
+                                )
+                            trex_ids.add(tid)
                 elif t2 == b"trak":
                     n_tracks += 1
                     tdur = None
@@ -4447,8 +4583,14 @@ def parse_mp4(
                     stts_total = stts_dur = None
                     chunk_off = None
                     stsc_entry = None
+                    track_id = None
                     for t3, s3, e3 in boxes(s2, e2):
                         n_boxes += 1
+                        if t3 == b"tkhd":
+                            (track_id,) = struct.unpack_from(
+                                ">I", raw, s3 + 12
+                            )
+                            continue
                         if t3 != b"mdia":
                             continue
                         for t4, s4, e4 in boxes(s3, e3):
@@ -4531,18 +4673,23 @@ def parse_mp4(
                                             (ne_,) = struct.unpack_from(
                                                 ">I", raw, s6 + 4
                                             )
-                                            if ne_ != 1:
+                                            if ne_ == 0:
+                                                stsc_entry = ()
+                                            elif ne_ != 1:
                                                 raise NotImplementedError(
                                                     "multi-entry stsc "
                                                     "(multi-chunk "
                                                     "tracks) not "
                                                     "implemented"
                                                 )
-                                            stsc_entry = (
-                                                struct.unpack_from(
-                                                    ">III", raw, s6 + 8
+                                            else:
+                                                stsc_entry = (
+                                                    struct.unpack_from(
+                                                        ">III",
+                                                        raw,
+                                                        s6 + 8,
+                                                    )
                                                 )
-                                            )
                                         elif t6 == b"stco":
                                             if raw[s6]:
                                                 raise ValueError(
@@ -4553,16 +4700,19 @@ def parse_mp4(
                                             (nc_,) = struct.unpack_from(
                                                 ">I", raw, s6 + 4
                                             )
-                                            if nc_ != 1:
+                                            if nc_ == 0:
+                                                chunk_off = -1
+                                            elif nc_ != 1:
                                                 raise NotImplementedError(
                                                     "multi-chunk tracks "
                                                     "not implemented"
                                                 )
-                                            (chunk_off,) = (
-                                                struct.unpack_from(
-                                                    ">I", raw, s6 + 8
+                                            else:
+                                                (chunk_off,) = (
+                                                    struct.unpack_from(
+                                                        ">I", raw, s6 + 8
+                                                    )
                                                 )
-                                            )
                     if (
                         None in (tdur, counts, stts_total, chunk_off)
                         or stsc_entry is None
@@ -4571,6 +4721,25 @@ def parse_mp4(
                             f"doc {doc_id}: trak missing sample-table "
                             "boxes"
                         )
+                    if counts == 0 or stsc_entry == () or chunk_off < 0:
+                        # a fragmented track: ALL four tables must be
+                        # empty together, and the moofs must feed it
+                        if (
+                            counts != 0 or stts_total != 0
+                            or stsc_entry != () or chunk_off >= 0
+                        ):
+                            raise ValueError(
+                                f"doc {doc_id}: partially-empty "
+                                "sample tables"
+                            )
+                        if track_id is None:
+                            raise ValueError(
+                                f"doc {doc_id}: fragmented trak "
+                                "missing tkhd"
+                            )
+                        empty_tracks[track_id] = tdur
+                        max_track_dur = max(max_track_dur, tdur)
+                        continue
                     # stsc cross-check: a single-chunk track's one
                     # sample-to-chunk entry must start at chunk 1 and
                     # assign exactly the stsz sample count to it
@@ -4597,13 +4766,56 @@ def parse_mp4(
                     track_extents.append((chunk_off, sum(sizes)))
     if not saw_ftyp or duration_ms is None:
         raise ValueError(f"doc {doc_id}: not a complete MP4")
-    if mdat_span is None:
-        raise ValueError(f"doc {doc_id}: missing mdat")
     if duration_ms != max_track_dur:
         raise ValueError(
             f"doc {doc_id}: mvhd duration {duration_ms} != longest "
             f"track {max_track_dur}"
         )
+    if empty_tracks:
+        # fragmented file: the moofs must have fed every empty track
+        # exactly to its declared duration
+        if track_extents:
+            raise NotImplementedError(
+                "mixed progressive + fragmented tracks not implemented"
+            )
+        if trex_ids != set(empty_tracks):
+            raise ValueError(
+                f"doc {doc_id}: trex tracks {sorted(trex_ids)} != "
+                f"fragmented tracks {sorted(empty_tracks)}"
+            )
+        if mehd_dur is None or mehd_dur != max_track_dur:
+            raise ValueError(
+                f"doc {doc_id}: mehd fragment_duration {mehd_dur} != "
+                f"longest track {max_track_dur}"
+            )
+        if pending_mdat is not None:
+            raise ValueError(
+                f"doc {doc_id}: trailing moof without its mdat"
+            )
+        if next_seq == 1:
+            raise ValueError(f"doc {doc_id}: fragmented file with no "
+                             "fragments")
+        for tid, want_dur in empty_tracks.items():
+            if frag_dur.get(tid, 0) != want_dur:
+                raise ValueError(
+                    f"doc {doc_id}: track {tid} fragments cover "
+                    f"{frag_dur.get(tid, 0)} ms of its {want_dur} ms"
+                )
+        total_samples = sum(frag_samples.values())
+        sum_sample_bytes = sum(frag_bytes.values())
+        if frag_mdat_total != sum_sample_bytes:
+            raise ValueError(
+                f"doc {doc_id}: fragment mdats carry "
+                f"{frag_mdat_total} bytes for {sum_sample_bytes} "
+                "bytes of samples"
+            )
+        return (
+            n_boxes, n_tracks, n_video, total_samples,
+            sum_sample_bytes, duration_ms, max_track_dur,
+            frag_mdat_total,
+        )
+    if mdat_span is None:
+        raise ValueError(f"doc {doc_id}: missing mdat")
     if mdat_span[1] - mdat_span[0] != sum_sample_bytes:
         raise ValueError(
             f"doc {doc_id}: mdat carries {mdat_span[1] - mdat_span[0]} "

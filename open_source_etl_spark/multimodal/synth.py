@@ -2493,6 +2493,11 @@ def _full_box(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
     return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
 
 
+def mp4_n_fragments(doc_id: int) -> int:
+    """Fragment count for fragmented docs (doc % 4 == 3): 2 or 3."""
+    return 2 + doc_id % 2
+
+
 def make_mp4_bytes(doc_id: int) -> bytes:
     """Real ISO-BMFF / MP4 (ISO 14496-12): ftyp, a moov hierarchy with
     mvhd and two traks (an avc1 video track with a TWO-RUN stts and a
@@ -2503,7 +2508,12 @@ def make_mp4_bytes(doc_id: int) -> bytes:
     and mdat (the gap real muxers leave); the video trak's mdia is
     preceded by an UNKNOWN box the walker must skip by size.  All
     timescales are 1000 (ms ticks) so every duration is integer-exact;
-    mvhd duration = the longer track's total."""
+    mvhd duration = the longer track's total.  Every fourth doc
+    (doc % 4 == 3) is FRAGMENTED instead (``make_mp4_fragmented``):
+    same tracks and samples, but the sample data rides moof/traf/trun
+    fragments the way DASH and streaming-origin files do."""
+    if doc_id % 4 == 3:
+        return make_mp4_fragmented(doc_id)
     tracks = [mp4_track_samples(doc_id, t) for t in (0, 1)]
     durations = [sum(d for d, _ in t) for t in tracks]
 
@@ -2603,6 +2613,129 @@ def make_mp4_bytes(doc_id: int) -> bytes:
     if len(moov) != len(probe):
         raise ValueError("moov sizing must be layout-independent")
     return ftyp + moov + free + _box(b"mdat", mdat_payload)
+
+
+def make_mp4_fragmented(doc_id: int) -> bytes:
+    """FRAGMENTED ISO-BMFF (ISO 14496-12 8.8) — the shape DASH and
+    streaming-origin files actually have: the moov carries the same
+    two tracks but with EMPTY sample tables (zero-entry
+    stts/stsz/stsc/stco) plus an mvex (mehd fragment_duration, one
+    trex per track); the samples ride ``mp4_n_fragments`` movie
+    fragments, each a moof (mfhd with 1-based sequence numbers, one
+    traf per track: tfhd with the default-base-is-moof flag, trun
+    with data-offset + sample-duration + sample-size flags) followed
+    by its mdat.  Fragment k takes the contiguous slice
+    [k*n//nf, (k+1)*n//nf) of each track's samples, so trun
+    durations/sizes sum exactly to the mdhd/mehd totals the walker
+    cross-checks."""
+    tracks = [mp4_track_samples(doc_id, t) for t in (0, 1)]
+    durations = [sum(d for d, _ in t) for t in tracks]
+    nf = mp4_n_fragments(doc_id)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+
+    def frag_slice(t: int, k: int) -> list:
+        n = len(tracks[t])
+        return tracks[t][k * n // nf: (k + 1) * n // nf]
+
+    def trak(track: int) -> bytes:
+        tkhd = _full_box(
+            b"tkhd", 0, 7,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">I", track + 1)
+            + bytes(4)
+            + struct.pack(">I", durations[track])
+            + bytes(8) + struct.pack(">hhh", 0, 0, 0) + b"\x00\x00"
+            + bytes(36) + struct.pack(">II", 0, 0),
+        )
+        mdhd = _full_box(
+            b"mdhd", 0, 0,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", 1000, durations[track])
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        handler = b"vide" if track == 0 else b"soun"
+        hdlr = _full_box(
+            b"hdlr", 0, 0, bytes(4) + handler + bytes(12) + b"etl\x00"
+        )
+        fmt = b"avc1" if track == 0 else b"mp4a"
+        stsd = _full_box(
+            b"stsd", 0, 0, struct.pack(">I", 1) + _box(fmt, bytes(8))
+        )
+        # zero-entry sample tables: the data lives in the fragments
+        stbl = _box(
+            b"stbl",
+            stsd
+            + _full_box(b"stts", 0, 0, struct.pack(">I", 0))
+            + _full_box(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+            + _full_box(b"stsc", 0, 0, struct.pack(">I", 0))
+            + _full_box(b"stco", 0, 0, struct.pack(">I", 0)),
+        )
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, max(durations))
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + bytes(10) + bytes(36) + bytes(24)
+        + struct.pack(">I", 3),
+    )
+    mvex = _box(
+        b"mvex",
+        _full_box(b"mehd", 0, 0, struct.pack(">I", max(durations)))
+        + b"".join(
+            _full_box(
+                b"trex", 0, 0,
+                struct.pack(">IIIII", t + 1, 1, 0, 0, 0),
+            )
+            for t in (0, 1)
+        ),
+    )
+    moov = _box(b"moov", mvhd + trak(0) + trak(1) + mvex)
+
+    out = bytearray(ftyp + moov)
+    for k in range(nf):
+        frags = [frag_slice(t, k) for t in (0, 1)]
+        # one traf per track: tfhd flags 0x020000 (default-base-is-
+        # moof), trun flags 0x000301 (data-offset, sample-duration,
+        # sample-size); data offsets need the final moof size, which
+        # is sample-count-dependent only, so build twice
+        def build_moof(off0: int, off1: int) -> bytes:
+            trafs = b""
+            for t, off in ((0, off0), (1, off1)):
+                tfhd = _full_box(
+                    b"tfhd", 0, 0x020000, struct.pack(">I", t + 1)
+                )
+                trun = _full_box(
+                    b"trun", 0, 0x000301,
+                    struct.pack(">Ii", len(frags[t]), off)
+                    + b"".join(
+                        struct.pack(">II", d, s) for d, s in frags[t]
+                    ),
+                )
+                trafs += _box(b"traf", tfhd + trun)
+            return _box(
+                b"moof",
+                _full_box(b"mfhd", 0, 0, struct.pack(">I", k + 1))
+                + trafs,
+            )
+
+        probe = build_moof(0, 0)
+        off0 = len(probe) + 8
+        off1 = off0 + sum(s for _d, s in frags[0])
+        moof = build_moof(off0, off1)
+        if len(moof) != len(probe):
+            raise ValueError("moof sizing must be layout-independent")
+        payload = b"".join(
+            bytes((doc_id + t + j) % 256 for j in range(size))
+            for t, frag in enumerate(frags)
+            for _d, size in frag
+        )
+        out += moof + _box(b"mdat", payload)
+    return bytes(out)
 
 
 # ISO/IEC 14496-3 1.6.3.4 samplingFrequencyIndex table (indices 0-12)

@@ -1162,10 +1162,13 @@ def multimodal_aac_adts_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 40 + doc % 5 ms, sizes 10 + (doc+i) % 20), the audio track
     # 4 + doc % 5 samples (20 ms, sizes 6 + (doc+i) % 9); the movie
     # duration is the longer track's total and mdat carries exactly
-    # the samples' bytes.  The box tree itself (30 boxes incl. the
-    # free gap and the unknown uuid box the walker must skip) has no
-    # closed form Spark can shortcut — the sample-table cross-checks
-    # force a full walk.
+    # the samples' bytes.  Every fourth doc (doc % 4 = 3) is
+    # FRAGMENTED: the same samples ride 2 + doc % 2 moof/mdat
+    # fragments (31 + 9 * nf boxes: no free/uuid gap boxes, plus
+    # mvex/mehd/trex and per-fragment moof/mfhd/traf/tfhd/trun/mdat);
+    # progressive docs keep their 30-box tree.  The box tree has no
+    # closed form Spark can shortcut — the sample-table and fragment
+    # cross-checks force a full walk.
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -1188,7 +1191,9 @@ def multimodal_aac_adts_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.doc_id
     )
     SELECT p.doc_id,
-           CAST(30 AS BIGINT) AS n_boxes,
+           CAST(CASE WHEN p.doc_id % 4 = 3
+                     THEN 31 + 9 * (2 + p.doc_id % 2)
+                     ELSE 30 END AS BIGINT) AS n_boxes,
            CAST(2 AS BIGINT) AS n_tracks,
            CAST(1 AS BIGINT) AS n_video_tracks,
            CAST(n0 + m AS BIGINT) AS total_samples,
@@ -1209,12 +1214,21 @@ def multimodal_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to-EOF rejected as the declared streaming stub), ftyp brand check,
     the moov hierarchy with mvhd and per-trak mdhd/hdlr plus the full
     sample table (stts run-lengths, stsz sizes, stsc, stco), unknown
-    boxes skipped by size — and three cross-checks a header-skimmer
-    cannot fake: stsz counts must equal stts totals, mdhd durations
-    must equal stts duration sums, and the tracks' chunk extents must
-    tile mdat exactly.  Codec configuration in stsd entries stays
-    opaque (the avc1/mp4a decode stubs); fragmented MP4 (moof),
-    multi-chunk tracks, and non-millisecond timescales raise.
+    boxes skipped by size — and cross-checks a header-skimmer cannot
+    fake: stsz counts must equal stts totals, mdhd durations must
+    equal stts duration sums, and the tracks' chunk extents must tile
+    mdat exactly.  FRAGMENTED files (ISO 14496-12 8.8, the DASH /
+    streaming-origin shape) walk too as of round 11: empty-sample-
+    table tracks declared by mvex/trex, mehd fragment_duration, and
+    per-fragment moof/mfhd/traf/tfhd/trun parsing with their own
+    cross-checks — 1-based consecutive mfhd sequence numbers, trun
+    data offsets landing exactly on the following mdat's payload
+    cursor, per-track fragment durations summing to the mdhd total,
+    and fragment mdats tiling the trun sample bytes.  Codec
+    configuration in stsd entries stays opaque (the avc1/mp4a decode
+    stubs); multi-chunk tracks, non-millisecond timescales, trex
+    sample defaults, and tfhd/trun flag shapes beyond
+    default-base-is-moof + explicit durations/sizes raise.
     Reference scope note: the reference delegates all media handling
     to its warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
