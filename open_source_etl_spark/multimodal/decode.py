@@ -1172,9 +1172,9 @@ def jpeg_decode_color(
     luma units then one unit per chroma component, each component
     running its own DC predictor, quantization table, and DC/AC
     Huffman pair.  Partial-MCU image edges (width/height not MCU
-    multiples), sampling factors above 2, restart markers in
-    interleaved scans, and non-YCbCr component counts raise at the
-    declared boundary."""
+    multiples), restart markers in interleaved scans, and non-YCbCr
+    component counts raise at the declared boundary; sampling factors
+    run the full spec range 1..4 (B.2.2), above which rejects."""
     import struct
 
     if raw[:2] != b"\xff\xd8":
@@ -1263,8 +1263,11 @@ def jpeg_decode_color(
     width, height = sof
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if hmax > 2 or vmax > 2:
-        raise NotImplementedError("sampling factors above 2 not implemented")
+    if hmax > 4 or vmax > 4:
+        # ISO/IEC 10918-1 B.2.2: Hi/Vi are 1..4 — above is invalid
+        raise ValueError(
+            f"doc {doc_id}: sampling factor above the spec maximum of 4"
+        )
     for _cid, _h, _v, tq in comps:
         if tq not in quant_ids:
             raise ValueError(f"doc {doc_id}: component quant table missing")
@@ -4106,8 +4109,12 @@ def parse_jpeg_exif(
     0x8769 ExifIFD pointer; sub-IFD: ISOSpeedRatings and the pixel
     dimensions), requires PixelXDimension/PixelYDimension to equal the
     SOF frame size, and then runs the full baseline pixel decode —
-    so a row can't be produced from metadata alone.  Multi-page TIFF
-    chains inside APP1 and MakerNote parsing are out of scope."""
+    so a row can't be produced from metadata alone.  A chained
+    thumbnail IFD1 (next-IFD pointer nonzero) is walked too:
+    Compression must be 6, the JPEGInterchangeFormat/Length slice is
+    SOI..EOI-validated and decoded with the same baseline decoder to
+    its mean gray (-1 when no IFD1).  TIFF-strip thumbnails and
+    MakerNote parsing are out of scope."""
     import struct
 
     if raw[:2] != b"\xff\xd8":
@@ -4152,10 +4159,6 @@ def parse_jpeg_exif(
 
     (ifd0_at,) = struct.unpack_from(e + "I", tiff, 4)
     ifd0, nxt = read_ifd(ifd0_at)
-    if nxt != 0:
-        raise NotImplementedError(
-            "chained IFDs (thumbnail IFD1) not implemented"
-        )
 
     def short(ifd: dict, tag: int) -> int:
         typ, _c, slot = ifd[tag]
@@ -4185,18 +4188,49 @@ def parse_jpeg_exif(
     iso = short(exif_ifd, 0x8827)
     exif_w = long_(exif_ifd, 0xA002)
     exif_h = long_(exif_ifd, 0xA003)
+    # chained thumbnail IFD1 (the DSLR layout): Compression must be 6
+    # (JPEG), JPEGInterchangeFormat/Length frame an embedded JPEG
+    # which is DECODED with the same baseline decoder — its mean gray
+    # is the output, so a parser cannot skip the chain
+    thumb_mean = -1
+    if nxt:
+        ifd1, nxt2 = read_ifd(nxt)
+        if nxt2:
+            raise ValueError(
+                f"doc {doc_id}: IFD chain continues past IFD1"
+            )
+        if 0x0103 not in ifd1:
+            raise ValueError(f"doc {doc_id}: IFD1 missing Compression")
+        if short(ifd1, 0x0103) != 6:
+            raise NotImplementedError(
+                "TIFF-strip (Compression != 6) thumbnails not "
+                "implemented"
+            )
+        t_at = long_(ifd1, 0x0201)
+        t_len = long_(ifd1, 0x0202)
+        thumb = bytes(tiff[t_at : t_at + t_len])
+        if len(thumb) != t_len:
+            raise ValueError(
+                f"doc {doc_id}: thumbnail overruns the TIFF block"
+            )
+        if thumb[:2] != b"\xff\xd8" or thumb[-2:] != b"\xff\xd9":
+            raise ValueError(
+                f"doc {doc_id}: thumbnail is not SOI..EOI framed"
+            )
+        _tw, _th, _tnb, thumb_mean = jpeg_decode_gray(doc_id, thumb)
     width, height, _nb, mean = jpeg_decode_gray(doc_id, raw)
     if (exif_w, exif_h) != (width, height):
         raise ValueError(
             f"doc {doc_id}: Exif dimensions {exif_w}x{exif_h} disagree "
             f"with the decoded frame {width}x{height}"
         )
-    return be, orientation, iso, exif_w, exif_h, count - 1, mean
+    return be, orientation, iso, exif_w, exif_h, count - 1, mean, thumb_mean
 
 
 JPEG_EXIF_SCHEMA = (
     "doc_id long, big_endian long, orientation long, iso long, "
-    "exif_width long, exif_height long, make_chars long, mean_gray long"
+    "exif_width long, exif_height long, make_chars long, "
+    "mean_gray long, thumb_mean long"
 )
 
 
@@ -4234,7 +4268,7 @@ def decode_jpeg_exif(media_df: DataFrame) -> DataFrame:
 
         cols = (
             "doc_id", "big_endian", "orientation", "iso", "exif_width",
-            "exif_height", "make_chars", "mean_gray",
+            "exif_height", "make_chars", "mean_gray", "thumb_mean",
         )
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}

@@ -557,8 +557,11 @@ def make_jpeg_exif_bytes(doc_id: int) -> bytes:
     out-of-line), Orientation (SHORT in-slot), and the ExifIFD pointer
     (0x8769); the Exif sub-IFD holds ISOSpeedRatings and
     PixelXDimension/PixelYDimension — which MATCH the SOF frame size,
-    the cross-check a metadata extractor should make.  The image body
-    is the standard block-gradient fixture."""
+    the cross-check a metadata extractor should make.  Every third
+    doc chains a thumbnail IFD1 (Compression 6 + the
+    JPEGInterchangeFormat/Length pair framing an embedded baseline
+    JPEG), the DSLR layout.  The image body is the standard
+    block-gradient fixture."""
     bx, by, base = jpeg_params(doc_id)
     width, height = 8 * bx, 8 * by
     orientation, iso, make = jpeg_exif_fields(doc_id)
@@ -569,12 +572,25 @@ def make_jpeg_exif_bytes(doc_id: int) -> bytes:
     def entry(tag: int, typ: int, count: int, value: bytes) -> bytes:
         return struct.pack(e + "HHI", tag, typ, count) + value.ljust(4, b"\x00")
 
+    # every third doc chains a thumbnail IFD1 after IFD0 (the layout
+    # DSLR output has): Compression 6 (JPEG), JPEGInterchangeFormat/
+    # Length framing an embedded baseline JPEG (the standard
+    # block-gradient fixture at its own closed-form base)
+    with_thumb = doc_id % 3 == 0
+    thumb = (
+        _jpeg_encode(2 + doc_id % 4, 1, (doc_id * 7) % 150)
+        if with_thumb else b""
+    )
+
     # layout: TIFF header (8) | IFD0 (2 + 3*12 + 4) | make string |
-    # ExifIFD (2 + 3*12 + 4)
+    # ExifIFD (2 + 3*12 + 4) | [IFD1 (2 + 3*12 + 4) | thumbnail JPEG]
     ifd0_at = 8
     ifd0_len = 2 + 3 * 12 + 4
     make_at = ifd0_at + ifd0_len
     exif_at = make_at + len(make_b)
+    exif_len = 2 + 3 * 12 + 4
+    ifd1_at = exif_at + exif_len if with_thumb else 0
+    thumb_at = ifd1_at + 2 + 3 * 12 + 4
     tiff = bytearray()
     tiff += (b"MM" if be else b"II") + struct.pack(e + "H", 42)
     tiff += struct.pack(e + "I", ifd0_at)
@@ -582,13 +598,20 @@ def make_jpeg_exif_bytes(doc_id: int) -> bytes:
     tiff += entry(0x010F, 2, len(make_b), struct.pack(e + "I", make_at))
     tiff += entry(0x0112, 3, 1, struct.pack(e + "H", orientation))
     tiff += entry(0x8769, 4, 1, struct.pack(e + "I", exif_at))
-    tiff += struct.pack(e + "I", 0)  # next IFD
+    tiff += struct.pack(e + "I", ifd1_at)  # next IFD (IFD1 when chained)
     tiff += make_b
     tiff += struct.pack(e + "H", 3)
     tiff += entry(0x8827, 3, 1, struct.pack(e + "H", iso))
     tiff += entry(0xA002, 4, 1, struct.pack(e + "I", width))
     tiff += entry(0xA003, 4, 1, struct.pack(e + "I", height))
     tiff += struct.pack(e + "I", 0)
+    if with_thumb:
+        tiff += struct.pack(e + "H", 3)
+        tiff += entry(0x0103, 3, 1, struct.pack(e + "H", 6))
+        tiff += entry(0x0201, 4, 1, struct.pack(e + "I", thumb_at))
+        tiff += entry(0x0202, 4, 1, struct.pack(e + "I", len(thumb)))
+        tiff += struct.pack(e + "I", 0)
+        tiff += thumb
 
     app1_payload = b"Exif\x00\x00" + bytes(tiff)
     app1 = struct.pack(">HH", 0xFFE1, len(app1_payload) + 2) + app1_payload
@@ -598,9 +621,10 @@ def make_jpeg_exif_bytes(doc_id: int) -> bytes:
 
 def jpeg_color_mode(doc_id: int) -> tuple[int, int]:
     """(h, v) luma sampling factors for the color-JPEG fixture: the
-    corpus cycles 4:2:0 (2,2), 4:2:2 (2,1), and 4:4:4 (1,1) — chroma
-    is always (1,1)."""
-    return ((2, 2), (2, 1), (1, 1))[doc_id % 3]
+    corpus cycles 4:2:0 (2,2), 4:2:2 (2,1), 4:4:4 (1,1), and 4:1:1
+    (4,1 — the DV-style factor-4 layout real DSLR/camcorder output
+    uses) — chroma is always (1,1)."""
+    return ((2, 2), (2, 1), (1, 1), (4, 1))[doc_id % 4]
 
 
 def jpeg_color_params(doc_id: int) -> tuple[int, int, int, int]:
@@ -633,7 +657,7 @@ def jpeg_color_ac(doc_id: int, comp: int, j: int) -> tuple[int, int]:
 def make_jpeg_color_bytes(doc_id: int) -> bytes:
     """Real baseline-sequential COLOR JPEG (ISO/IEC 10918-1 A.2.3):
     three components (YCbCr ids 1/2/3), luma sampling cycling
-    4:2:0 / 4:2:2 / 4:4:4, TWO quantization tables and TWO DC/AC
+    4:2:0 / 4:2:2 / 4:4:4 / 4:1:1, TWO quantization tables and TWO DC/AC
     Huffman table pairs (luma 0, chroma 1 — the layout real encoders
     emit), and one interleaved scan whose MCUs carry h*v luma data
     units then Cb then Cr, each component running its OWN DC

@@ -869,8 +869,8 @@ def multimodal_jpeg_progressive_decode(
 @query(
     "multimodal_jpeg_color_decode",
     # formulas mirror synth.jpeg_color_params / jpeg_color_dc /
-    # jpeg_color_ac: luma sampling cycles 4:2:0/4:2:2/4:4:4 by doc % 3,
-    # the image is (1 + doc % 3) x (1 + doc % 2) MCUs, Y data unit j
+    # jpeg_color_ac: luma sampling cycles 4:2:0/4:2:2/4:4:4/4:1:1 by
+    # doc % 4, the image is (1 + doc % 3) x (1 + doc % 2) MCUs, Y unit j
     # carries DC (doc*3 + 7j) % 240 - 120 and a ±1 AC by (doc + j)
     # parity, Cb/Cr one unit per MCU with their own DC/AC forms.  The
     # interleaved entropy scan — per-component DC predictors and
@@ -879,8 +879,9 @@ def multimodal_jpeg_progressive_decode(
     oracle="""
     WITH p AS (
       SELECT doc_id,
-             CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 1 END AS h,
-             CASE doc_id % 3 WHEN 0 THEN 2 ELSE 1 END AS v,
+             CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 2
+                  WHEN 2 THEN 1 ELSE 4 END AS h,
+             CASE doc_id % 4 WHEN 0 THEN 2 ELSE 1 END AS v,
              1 + doc_id % 3 AS mx,
              1 + doc_id % 2 AS my
       FROM documents
@@ -927,13 +928,15 @@ def multimodal_jpeg_color_decode(
     """REAL interleaved-YCbCr baseline JPEG decode (ISO/IEC 10918-1
     A.2.3) — the other half of real-world JPEG beside
     ``multimodal_jpeg_progressive_decode``: three components with luma
-    subsampling cycling 4:2:0 / 4:2:2 / 4:4:4, two quantization tables
-    and two DC/AC Huffman pairs (luma/chroma), and ONE entropy scan
-    whose MCUs interleave h*v luma data units with Cb and Cr — each
-    component running its own DC predictor, so a decoder that
+    subsampling cycling 4:2:0 / 4:2:2 / 4:4:4 / 4:1:1 (the last
+    exercising sampling factor 4, the spec maximum), two quantization
+    tables and two DC/AC Huffman pairs (luma/chroma), and ONE entropy
+    scan whose MCUs interleave h*v luma data units with Cb and Cr —
+    each component running its own DC predictor, so a decoder that
     mis-walks the MCU structure scrambles every component's sums.
-    Partial-MCU edges, sampling factors above 2, and restart intervals
-    in interleaved scans raise at the declared boundary.  Reference
+    Partial-MCU edges and restart intervals in interleaved scans
+    raise at the declared boundary; factors above 4 reject as the
+    spec violation they are.  Reference
     scope note: the reference delegates all media handling to its
     warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
@@ -1058,10 +1061,12 @@ def multimodal_h264_cavlc_decode(
     # formulas mirror synth.jpeg_exif_fields / jpeg_params: orientation
     # 1 + doc % 8, ISO 100 * (1 + doc % 32), Make "Maker<doc % 100>"
     # (so 6 or 7 chars), Exif pixel dimensions equal to the 8*(2+doc%4)
-    # x 8*(1+doc%3) frame, byte order II/MM by doc parity, and the
-    # decoded mean gray (doc*5)%150 + (n_blocks-1)//2 of the
-    # block-gradient body.  The APP1/TIFF-IFD walk and the metadata-vs-pixels
-    # cross-check have no closed form.
+    # x 8*(1+doc%3) frame, byte order II/MM by doc parity, the decoded
+    # mean gray (doc*5)%150 + (n_blocks-1)//2 of the block-gradient
+    # body, and — for doc % 3 = 0, which chains a thumbnail IFD1 —
+    # the DECODED thumbnail's mean gray (doc*7)%150 + (1+doc%4)//2
+    # (-1 when no IFD1).  The APP1/TIFF-IFD walk, the IFD1 chain, and
+    # the metadata-vs-pixels cross-check have no closed form.
     oracle="""
     SELECT doc_id,
            CAST(doc_id % 2 AS BIGINT) AS big_endian,
@@ -1073,7 +1078,10 @@ def multimodal_h264_cavlc_decode(
                 AS BIGINT) AS make_chars,
            CAST((doc_id * 5) % 150
                 + ((2 + doc_id % 4) * (1 + doc_id % 3) - 1) // 2
-                AS BIGINT) AS mean_gray
+                AS BIGINT) AS mean_gray,
+           CAST(CASE WHEN doc_id % 3 = 0
+                     THEN (doc_id * 7) % 150 + (1 + doc_id % 4) // 2
+                     ELSE -1 END AS BIGINT) AS thumb_mean
     FROM documents
     ORDER BY doc_id
     """,
@@ -1088,7 +1096,10 @@ def multimodal_jpeg_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer; sub-IFD ISO and pixel dimensions), REQUIRE the Exif
     dimensions to equal the SOF frame size, and run the full baseline
     pixel decode so no row can come from metadata alone.  Chained
-    thumbnail IFDs and MakerNotes stay out of scope.  Reference scope
+    thumbnail IFD1s (every third doc, the DSLR layout) are walked as
+    of round 11: Compression must be 6 and the JPEGInterchangeFormat
+    slice is itself decoded to its mean gray.  TIFF-strip thumbnails
+    and MakerNotes stay out of scope.  Reference scope
     note: the reference delegates all media handling to its warehouse;
     this query is part of the training-data-pipeline surface the brief
     adds."""
