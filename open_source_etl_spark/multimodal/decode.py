@@ -15,9 +15,11 @@ driver.  Two tiers coexist:
 - Library-shaped stubs for what genuinely needs a codec/DSP library or
   entropy-model tables this container lacks: ``codec="real"`` raises
   ``NotImplementedError`` at the exact call site PIL/librosa/av would
-  occupy (generic image open, PCM DSP), and the MP3 Huffman/IMDCT
-  sample path and H.264 CAVLC/CABAC macroblock path remain declared
-  stubs; ``codec="fake"`` runs a deterministic, oracle-checkable
+  occupy (generic image open, PCM DSP); the MP3 16x16 Huffman tables
+  (13/15, linbits 16-31), the polyphase synthesis window, and the
+  H.264 CABAC path remain declared stubs (CAVLC and the hybrid
+  filterbank ship); ``codec="fake"`` runs a deterministic,
+  oracle-checkable
   stand-in so the entire Spark-side pipeline — schema, batching, row
   expansion, partitioning — is tested either way.
 
@@ -4062,6 +4064,316 @@ def synthesize_mp3_md(docs_df: DataFrame) -> DataFrame:
                     "kind": ["audio"] * len(pdf),
                     "payload": [
                         make_mp3_md_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+# ISO 11172-3 Table B.9 alias-reduction coefficients ci — the hybrid
+# filterbank's butterfly weights csi = 1/sqrt(1+ci^2),
+# cai = ci/sqrt(1+ci^2) are DERIVED from these eight published values
+# (not transcribed tables, so no Kraft-style gate applies; the DuckDB
+# oracle re-derives them from the same literals).
+MP3_ALIAS_CI = (
+    -0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037,
+)
+
+_MP3_FB_Q = 4096  # Q12 fixed point: keeps every product in bigint
+
+_MP3_FB_TABLES = None
+
+
+def _mp3_fb_tables():
+    """Q12 integer tables for the hybrid synthesis filterbank: the
+    36-point IMDCT cosine matrix cos(pi/72 (2n+19)(2k+1)), the
+    block-type-0 sine window sin(pi/36 (n+0.5)), and the B.9
+    butterfly weights.  floor(x + 0.5) rounding matches SQL ROUND()
+    everywhere except exact .5 ties, which irrational cosine values
+    cannot produce."""
+    global _MP3_FB_TABLES
+    if _MP3_FB_TABLES is None:
+        import math
+
+        q = _MP3_FB_Q
+
+        def fix(x: float) -> int:
+            return int(math.floor(q * x + 0.5))
+
+        cos36 = [
+            [
+                fix(math.cos(math.pi / 72 * (2 * n + 19) * (2 * k + 1)))
+                for k in range(18)
+            ]
+            for n in range(36)
+        ]
+        win = [fix(math.sin(math.pi / 36 * (n + 0.5))) for n in range(36)]
+        cs = [fix(1 / math.sqrt(1 + c * c)) for c in MP3_ALIAS_CI]
+        ca = [fix(c / math.sqrt(1 + c * c)) for c in MP3_ALIAS_CI]
+        _MP3_FB_TABLES = (cos36, win, cs, ca)
+    return _MP3_FB_TABLES
+
+
+def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
+    """REAL MPEG-1 Layer III hybrid synthesis filterbank (ISO 11172-3
+    2.4.3.4) — the layer between the entropy/requantization decode
+    and the polyphase subband filter: entropy-decode each granule's
+    quantized lines (region dispatch through table 0's silent region
+    and B.7 table codes, count1 quadruples), requantize EXACTLY
+    (fixture streams carry only 0/±1 levels at global_gain 210 and
+    zero scalefactors, where |is|^(4/3) * 2^0 is the identity — any
+    other gain/magnitude raises the declared non-unit-requantization
+    boundary), then run the filterbank in EXACT integer Q12
+    arithmetic: the eight B.9 alias-reduction butterflies at every
+    subband boundary, the 36-point IMDCT per subband, the
+    block-type-0 sine window, overlap-add of each granule's tail into
+    the next, and frequency inversion (odd samples of odd subbands
+    negated).  Every product keeps full precision (no rounding after
+    the Q12 tables), so the emitted sums are exact integers a SQL
+    oracle reproduces to the bit.  Window-switching blocks
+    (block_type != 0) raise: their 12-point IMDCT triplets are the
+    declared next layer.  The polyphase synthesis filter (Table B.3's
+    512-coefficient window) stays a declared boundary."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cos36, win, cs, ca = _mp3_fb_tables()
+        q = _MP3_FB_Q
+
+        def granule_levels(doc_id, data, bitpos, g_fields):
+            """Entropy-decode one granule to its 576 integer levels."""
+            p23, bv, tsels, rc, rc2, c1a = g_fields
+            take_base = bitpos
+
+            def take(n):
+                nonlocal bitpos
+                out = 0
+                for _ in range(n):
+                    out = (out << 1) | (
+                        (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                    )
+                    bitpos += 1
+                return out
+
+            levels = [0] * 576
+            b = MP3_SFB_LONG[44100]
+            if rc + 1 >= len(b) or rc + rc2 + 2 >= len(b):
+                raise ValueError(
+                    f"doc {doc_id}: region counts overrun Table B.8"
+                )
+            r0 = min(bv, b[rc + 1] // 2)
+            r1 = min(bv, b[rc + rc2 + 2] // 2)
+            pos = 0
+            for count, tsel in (
+                (r0, tsels[0]), (r1 - r0, tsels[1]), (bv - r1, tsels[2]),
+            ):
+                if count <= 0:
+                    continue
+                if tsel == 0:
+                    pos += 2 * count
+                    continue
+                table = MP3_HUFF_TABLES.get(tsel)
+                if table is None:
+                    raise NotImplementedError(
+                        f"ISO 11172-3 B.7 Huffman table {tsel} data "
+                        "not shipped"
+                    )
+                for _ in range(count):
+                    length = code = 0
+                    while True:
+                        code = (code << 1) | take(1)
+                        length += 1
+                        xy = table.get((length, code))
+                        if xy is not None:
+                            break
+                        if length >= 19:
+                            raise ValueError(
+                                f"doc {doc_id}: invalid big-values code"
+                            )
+                    for v in xy:
+                        if v > 1:
+                            raise NotImplementedError(
+                                "non-unit quantized magnitudes (the "
+                                "irrational |is|^(4/3) power) not "
+                                "implemented in the exact filterbank"
+                            )
+                        if v:
+                            levels[pos] = -v if take(1) else v
+                        pos += 1
+            while bitpos - take_base < p23:
+                if pos + 4 > 576:
+                    raise ValueError(
+                        f"doc {doc_id}: count1 overruns the spectrum"
+                    )
+                if c1a:
+                    length = code = 0
+                    while True:
+                        code = (code << 1) | take(1)
+                        length += 1
+                        quad = MP3_COUNT1A.get((length, code))
+                        if quad is not None:
+                            break
+                        if length >= 7:
+                            raise ValueError(
+                                f"doc {doc_id}: invalid count1 code"
+                            )
+                else:
+                    quad = take(4) ^ 0xF
+                for idx, shift in enumerate((3, 2, 1, 0)):
+                    if (quad >> shift) & 1:
+                        levels[pos + idx] = -1 if take(1) else 1
+                if bitpos - take_base > p23:
+                    raise ValueError(
+                        f"doc {doc_id}: count1 overran part2_3_length"
+                    )
+                pos += 4
+            if bitpos - take_base != p23:
+                raise ValueError(
+                    f"doc {doc_id}: part2_3_length not exactly consumed"
+                )
+            return levels, bitpos
+
+        def filterbank(doc_id, granules):
+            """Exact integer hybrid filterbank over the granule
+            sequence; returns (sum_signed, sum_abs, n_nonzero)."""
+            prev = [[0] * 36 for _ in range(32)]
+            s_signed = s_abs = nnz = 0
+            for levels in granules:
+                for sb in range(32):
+                    base = 18 * sb
+                    # alias-reduction butterflies feeding this
+                    # subband use the RAW neighbour lines, so build
+                    # the aliased 18 lines here (scale q)
+                    xa = [levels[base + k] * q for k in range(18)]
+                    if sb >= 1:
+                        for i in range(8):
+                            va = levels[base - 1 - i]
+                            vb = levels[base + i]
+                            xa[i] = vb * cs[i] + va * ca[i]
+                    if sb < 31:
+                        for i in range(8):
+                            va = levels[base + 17 - i]
+                            vb = levels[base + 18 + i]
+                            xa[17 - i] = va * cs[i] - vb * ca[i]
+                    if any(xa) or any(prev[sb][18:]):
+                        z = [
+                            sum(
+                                xa[k] * cos36[n][k] for k in range(18)
+                            ) * win[n]
+                            for n in range(36)
+                        ]
+                    else:
+                        z = [0] * 36
+                    for n in range(18):
+                        v = z[n] + prev[sb][18 + n]
+                        if sb % 2 and n % 2:
+                            v = -v
+                        s_signed += v
+                        s_abs += abs(v)
+                        if v:
+                            nnz += 1
+                    prev[sb] = z
+            return s_signed, s_abs, nnz
+
+        def walk(doc_id: int, raw: bytes):
+            if len(raw) < 21 or raw[0] != 0xFF or (raw[1] & 0xFE) != 0xFA:
+                raise ValueError(f"doc {doc_id}: not an MPEG-1 L3 frame")
+            side = raw[4:21]
+            bitpos = 0
+
+            def sbits(n):
+                nonlocal bitpos
+                out = 0
+                for _ in range(n):
+                    out = (out << 1) | (
+                        (side[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                    )
+                    bitpos += 1
+                return out
+
+            if sbits(9):
+                raise ValueError(
+                    f"doc {doc_id}: filterbank fixture uses no "
+                    "reservoir"
+                )
+            sbits(5)
+            if sbits(4):
+                raise ValueError(f"doc {doc_id}: scfsi must be 0")
+            gfields = []
+            for _g in range(2):
+                p23 = sbits(12)
+                bv = sbits(9)
+                if sbits(8) != 210:
+                    raise NotImplementedError(
+                        "non-unit requantization (global_gain != "
+                        "210) not implemented in the exact filterbank"
+                    )
+                if sbits(4):
+                    raise NotImplementedError(
+                        "nonzero scalefactors not implemented in the "
+                        "exact filterbank (slen 0/0 only)"
+                    )
+                if sbits(1):
+                    raise NotImplementedError(
+                        "window-switching blocks (12-point IMDCT "
+                        "triplets) not implemented"
+                    )
+                tsels = tuple(sbits(5) for _ in range(3))
+                rc = sbits(4)
+                rc2 = sbits(3)
+                if sbits(1):
+                    raise ValueError(f"doc {doc_id}: preflag set with "
+                                     "zero scalefactors")
+                sbits(1)  # scalefac_scale: moot at zero scalefactors
+                c1a = sbits(1) == 0
+                gfields.append((p23, bv, tsels, rc, rc2, c1a))
+            granules = []
+            dpos = 21 * 8
+            for gf in gfields:
+                levels, dpos = granule_levels(doc_id, raw, dpos, gf)
+                granules.append(levels)
+            s_signed, s_abs, nnz = filterbank(doc_id, granules)
+            return len(granules), s_signed, s_abs, nnz
+
+        cols = (
+            "doc_id", "n_granules", "sum_pcm_signed", "sum_pcm_abs",
+            "n_nonzero_samples",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, n_granules long, sum_pcm_signed long, "
+        "sum_pcm_abs long, n_nonzero_samples long",
+    )
+
+
+def synthesize_mp3_imdct(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying the unit-magnitude filterbank
+    stream (``make_mp3_imdct_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_imdct_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_imdct_bytes(int(d)) for d in pdf["doc_id"]
                     ],
                 }
             )

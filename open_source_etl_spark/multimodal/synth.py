@@ -2226,6 +2226,131 @@ def make_mp3_ht_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def mp3_imdct_geometry(doc_id: int, g: int) -> tuple[int, int, int, int]:
+    """(region0_count, region0_pairs, n_live_pairs, n_quads) for the
+    filterbank fixture's granule g.  region0 spans the first
+    ``region0_pairs`` = B.8[rc+1] // 2 pairs and uses TABLE 0 — an
+    all-zero region that transmits no bits — which pushes the live
+    ±1 lines into higher subbands so the alias-reduction butterflies
+    at the subband boundaries do real mixing."""
+    rc = 1 + (doc_id + g) % 15
+    from .decode import MP3_SFB_LONG_44100
+
+    return (
+        rc,
+        MP3_SFB_LONG_44100[rc + 1] // 2,
+        9 + (doc_id + g) % 7,
+        3 + (doc_id + g) % 3,
+    )
+
+
+def mp3_imdct_spectrum(doc_id: int, g: int) -> dict[int, int]:
+    """Granule g's nonzero requantized lines (position -> ±1) —
+    closed forms the SQL oracle restates.  Unit magnitudes make
+    requantization EXACT (|±1|^(4/3) = 1, global_gain 210 -> 2^0)."""
+    _rc, r0_pairs, nbv, nq = mp3_imdct_geometry(doc_id, g)
+    base = 2 * r0_pairs
+    out = {}
+    for q in range(nbv):
+        if (doc_id + 3 * q + g) % 2:
+            out[base + 2 * q] = (
+                1 if (doc_id + q + g) % 2 == 0 else -1
+            )
+        if (2 * doc_id + q + g) % 2:
+            out[base + 2 * q + 1] = (
+                1 if (doc_id + q + g + 1) % 2 == 0 else -1
+            )
+    c1_base = base + 2 * nbv
+    for j in range(nq):
+        pattern = (doc_id + 5 * g + j) % 16
+        neg = (doc_id + j) % 2
+        for idx, shift in enumerate((3, 2, 1, 0)):
+            if (pattern >> shift) & 1:
+                out[c1_base + 4 * j + idx] = -1 if neg else 1
+    return out
+
+
+def make_mp3_imdct_bytes(doc_id: int) -> bytes:
+    """Single-frame MPEG-1 Layer III stream for the hybrid synthesis
+    filterbank: 44.1 kHz 128 kbps, main_data_begin 0, scfsi 0, both
+    granules long-block with global_gain 210 (the 2^0 requantization
+    point), scalefac_compress 0 (slen 0/0 — zero scalefactor bits),
+    preflag/scalefac_scale 0, and tsels (0, 1, 1): region0 is the
+    silent table-0 span, regions 1-2 carry ``mp3_imdct_spectrum``'s
+    ±1 pairs through B.7 table 1, then count1 table B quadruples.
+    Every quantized value is 0 or ±1, so the requantized spectrum IS
+    the integer level array and the filterbank runs integer-exact."""
+    from .decode import MP3_SFB_LONG_44100
+
+    def granule_bits(g: int) -> tuple[int, int]:
+        rc, r0_pairs, nbv, nq = mp3_imdct_geometry(doc_id, g)
+        # regions 1+2 must hold all live pairs (no clipping surprises);
+        # region1_count is clamped so the B.8 index stays in range
+        rc2 = min(7, 20 - rc)
+        if r0_pairs + nbv > MP3_SFB_LONG_44100[rc + rc2 + 2] // 2:
+            raise ValueError("live pairs overrun region1")
+        acc = nb = 0
+        for q in range(nbv):
+            x = (doc_id + 3 * q + g) % 2
+            y = (2 * doc_id + q + g) % 2
+            hlen, hcode = MP3_HUFF1_ENC[(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if x:
+                acc = (acc << 1) | ((doc_id + q + g) % 2)
+                nb += 1
+            if y:
+                acc = (acc << 1) | ((doc_id + q + g + 1) % 2)
+                nb += 1
+        for j in range(nq):
+            pattern = (doc_id + 5 * g + j) % 16
+            acc = (acc << 4) | (pattern ^ 0xF)  # table B: complemented
+            nb += 4
+            neg = (doc_id + j) % 2
+            for shift in (3, 2, 1, 0):
+                if (pattern >> shift) & 1:
+                    acc = (acc << 1) | neg
+                    nb += 1
+        return acc, nb
+
+    br_idx = 9  # 128 kbps
+    frame_len = (144 * MP3_BITRATES_KBPS[br_idx] * 1000) // 44100
+    cap = frame_len - 4 - 17
+    a0, n0 = granule_bits(0)
+    a1, n1 = granule_bits(1)
+    acc = (a0 << n1) | a1
+    nb = n0 + n1
+    pad = (8 - nb % 8) % 8
+    packed = (acc << pad).to_bytes((nb + pad) // 8, "big")
+    if len(packed) > cap:
+        raise ValueError("granule data overran the frame region")
+
+    w = _BitPacker()
+    w.u(0, 9)   # main_data_begin
+    w.u(0, 5)
+    w.u(0, 4)   # scfsi
+    for g, p23 in ((0, n0), (1, n1)):
+        rc, r0_pairs, nbv, _nq = mp3_imdct_geometry(doc_id, g)
+        w.u(p23, 12)
+        w.u(r0_pairs + nbv, 9)   # big_values
+        w.u(210, 8)              # global_gain: exact 2^0
+        w.u(0, 4)                # scalefac_compress: slen 0/0
+        w.u(0, 1)                # long blocks
+        for t in (0, 1, 1):
+            w.u(t, 5)
+        w.u(rc, 4)               # region0_count
+        w.u(min(7, 20 - rc), 3)  # region1_count: region2 empty
+        w.u(0, 1)                # preflag
+        w.u(0, 1)                # scalefac_scale
+        w.u(1, 1)                # count1table_select: table B
+    si = w.to_bytes()
+    assert len(si) == 17
+    return (
+        bytes((0xFF, 0b11111011, (br_idx << 4), 0b11000100))
+        + si + packed + bytes(cap - len(packed))
+    )
+
+
 # Ogg page CRC-32 (RFC 3533 6.): polynomial 0x04c11db7, no reflection,
 # zero init and xorout — NOT the zlib CRC, a detail page walkers trip
 # over.  Table-driven, shared by synth and decode through this module.

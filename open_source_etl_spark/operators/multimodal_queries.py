@@ -1817,6 +1817,165 @@ def multimodal_mp3_hufftables_decode(
 
 
 @query(
+    "multimodal_mp3_imdct_synth",
+    # formulas mirror synth.mp3_imdct_geometry / mp3_imdct_spectrum
+    # and decode._mp3_fb_tables: granule g's live ±1 lines start at
+    # B.8[rc+1] (rc = 1 + (doc+g) % 15 — region0 is a silent table-0
+    # span), 9 + (doc+g) % 7 big-values pairs then 3 + (doc+g) % 3
+    # count1 quads; the filterbank is exact integer Q12, so the
+    # oracle re-derives the SAME cosine/window/butterfly tables via
+    # ROUND(4096 * cos/sin/sqrt(...)) and pushes each line through
+    # alias butterflies, the 36-point IMDCT, the sine window,
+    # overlap-add, and frequency inversion symbolically.  The entropy
+    # bitstream and the filterbank recursion have no closed form —
+    # Spark must decode and filter to land these exact bigints.
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id, gg.g AS g,
+             1 + (doc_id + gg.g) % 15 AS rc,
+             9 + (doc_id + gg.g) % 7 AS nbv,
+             3 + (doc_id + gg.g) % 3 AS nq
+      FROM documents, LATERAL (SELECT unnest([0, 1]) AS g) gg
+    ),
+    geo2 AS (
+      SELECT *,
+             CASE rc WHEN 1 THEN 8 WHEN 2 THEN 12 WHEN 3 THEN 16
+                  WHEN 4 THEN 20 WHEN 5 THEN 24 WHEN 6 THEN 30
+                  WHEN 7 THEN 36 WHEN 8 THEN 44 WHEN 9 THEN 52
+                  WHEN 10 THEN 62 WHEN 11 THEN 74 WHEN 12 THEN 90
+                  WHEN 13 THEN 110 WHEN 14 THEN 134 ELSE 162
+             END AS base
+      FROM geo
+    ),
+    spec AS (
+      SELECT doc_id, g, base + 2 * qq.q AS pos,
+             CASE WHEN (doc_id + qq.q + g) % 2 = 0 THEN 1 ELSE -1
+             END AS v
+      FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
+      WHERE (doc_id + 3 * qq.q + g) % 2 = 1
+      UNION ALL
+      SELECT doc_id, g, base + 2 * qq.q + 1,
+             CASE WHEN (doc_id + qq.q + g + 1) % 2 = 0 THEN 1 ELSE -1
+             END
+      FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
+      WHERE (2 * doc_id + qq.q + g) % 2 = 1
+      UNION ALL
+      SELECT doc_id, g, base + 2 * nbv + 4 * jj.j + ii.idx,
+             CASE WHEN (doc_id + jj.j) % 2 = 1 THEN -1 ELSE 1 END
+      FROM geo2,
+           LATERAL (SELECT unnest(range(0, nq)) AS j) jj,
+           LATERAL (SELECT unnest([0, 1, 2, 3]) AS idx) ii
+      WHERE ((doc_id + 5 * g + jj.j) % 16
+             // CAST(POW(2, 3 - ii.idx) AS BIGINT)) % 2 = 1
+    ),
+    alias_c AS (
+      -- butterfly-side contributions at Q12 scale; CS/CA re-derived
+      -- from the B.9 ci literals exactly as the decoder does
+      SELECT doc_id, g, pos AS pos2,
+             v * CAST(ROUND(4096 / SQRT(1 + ci * ci)) AS BIGINT) AS val
+      FROM (SELECT *, pos % 18 AS i FROM spec)
+           q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
+                          (3, 0.185), (4, 0.095), (5, 0.041),
+                          (6, 0.0142), (7, 0.0037)) c(bi, aci)
+             ON q.i = c.bi,
+           LATERAL (SELECT -aci AS ci) l
+      WHERE pos % 18 <= 7 AND pos >= 18
+      UNION ALL
+      SELECT doc_id, g, pos - 2 * (pos % 18) - 1,
+             -v * CAST(ROUND(4096 * ci / SQRT(1 + ci * ci)) AS BIGINT)
+      FROM (SELECT *, pos % 18 AS i FROM spec)
+           q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
+                          (3, 0.185), (4, 0.095), (5, 0.041),
+                          (6, 0.0142), (7, 0.0037)) c(bi, aci)
+             ON q.i = c.bi,
+           LATERAL (SELECT -aci AS ci) l
+      WHERE pos % 18 <= 7 AND pos >= 18
+      UNION ALL
+      SELECT doc_id, g, pos,
+             v * CAST(ROUND(4096 / SQRT(1 + ci * ci)) AS BIGINT)
+      FROM (SELECT *, 17 - pos % 18 AS i FROM spec)
+           q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
+                          (3, 0.185), (4, 0.095), (5, 0.041),
+                          (6, 0.0142), (7, 0.0037)) c(bi, aci)
+             ON q.i = c.bi,
+           LATERAL (SELECT -aci AS ci) l
+      WHERE pos % 18 >= 10 AND pos < 558
+      UNION ALL
+      SELECT doc_id, g, pos + 2 * (17 - pos % 18) + 1,
+             v * CAST(ROUND(4096 * ci / SQRT(1 + ci * ci)) AS BIGINT)
+      FROM (SELECT *, 17 - pos % 18 AS i FROM spec)
+           q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
+                          (3, 0.185), (4, 0.095), (5, 0.041),
+                          (6, 0.0142), (7, 0.0037)) c(bi, aci)
+             ON q.i = c.bi,
+           LATERAL (SELECT -aci AS ci) l
+      WHERE pos % 18 >= 10 AND pos < 558
+      UNION ALL
+      SELECT doc_id, g, pos, v * 4096
+      FROM spec
+      WHERE NOT (pos % 18 <= 7 AND pos >= 18)
+        AND NOT (pos % 18 >= 10 AND pos < 558)
+    ),
+    samples AS (
+      -- each aliased line feeds its own granule's 18 output samples
+      -- (IMDCT row n) and the NEXT granule's via the overlap tail
+      -- (row n + 18); granule 1's tail is never emitted
+      SELECT a.doc_id, a.g + ov.d AS g2, a.pos2 // 18 AS sb, nn.n AS n,
+             SUM(a.val
+                 * CAST(ROUND(4096 * COS(PI() / 72.0
+                       * (2 * (nn.n + 18 * ov.d) + 19)
+                       * (2 * (a.pos2 % 18) + 1))) AS BIGINT)
+                 * CAST(ROUND(4096 * SIN(PI() / 36.0
+                       * (nn.n + 18 * ov.d + 0.5))) AS BIGINT)
+             ) AS sv
+      FROM alias_c a,
+           LATERAL (SELECT unnest([0, 1]) AS d) ov,
+           LATERAL (SELECT unnest(range(0, 18)) AS n) nn
+      WHERE a.g + ov.d <= 1
+      GROUP BY a.doc_id, a.g + ov.d, a.pos2 // 18, nn.n
+    )
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_granules,
+           CAST(SUM(CASE WHEN sb % 2 = 1 AND n % 2 = 1 THEN -sv
+                         ELSE sv END) AS BIGINT) AS sum_pcm_signed,
+           CAST(SUM(ABS(sv)) AS BIGINT) AS sum_pcm_abs,
+           CAST(SUM(CASE WHEN sv != 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonzero_samples
+    FROM samples
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_imdct_synth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-1 Layer III hybrid synthesis filterbank (ISO 11172-3
+    2.4.3.4) — the layer between entropy decode and the polyphase
+    subband filter, run in EXACT integer Q12 arithmetic: entropy
+    decode (region dispatch through a silent table-0 region0 and B.7
+    table-1 codes, count1 table B), identity requantization (the
+    fixture's 0/±1 levels at global_gain 210 and zero scalefactors
+    make |is|^(4/3) * 2^((gain-210)/4) exactly 1), the eight Table
+    B.9 alias-reduction butterflies at every subband boundary, the
+    36-point IMDCT, the block-type-0 sine window, overlap-add of each
+    granule's tail into the next granule, and frequency inversion.
+    All tables are DERIVED (round(4096 * cos/sin/sqrt)) rather than
+    transcribed, and every product keeps full integer precision, so
+    the DuckDB oracle reproduces the sums to the bit by re-deriving
+    the same tables.  Declared boundaries: non-unit requantization
+    (the irrational 4/3 power), window-switching blocks (12-point
+    IMDCT triplets), and the polyphase synthesis filter (Table B.3's
+    512 empirical window coefficients).  Reference scope note: the
+    reference delegates all media handling to its warehouse; this
+    query is part of the training-data-pipeline surface the brief
+    adds."""
+    from ..multimodal.decode import decode_mp3_imdct, synthesize_mp3_imdct
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_imdct(synthesize_mp3_imdct(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_mp3_wswitch_regions_decode",
     # formulas mirror synth.make_mp3_ws_bytes / mp3_ws_tables /
     # mp3_ws_pairs: n_frames = 2 + doc % 3, short-block granules
