@@ -4090,10 +4090,13 @@ _MP3_FB_TABLES = None
 def _mp3_fb_tables():
     """Q12 integer tables for the hybrid synthesis filterbank: the
     36-point IMDCT cosine matrix cos(pi/72 (2n+19)(2k+1)), the
-    block-type-0 sine window sin(pi/36 (n+0.5)), and the B.9
-    butterfly weights.  floor(x + 0.5) rounding matches SQL ROUND()
-    everywhere except exact .5 ties, which irrational cosine values
-    cannot produce."""
+    12-point short-block matrix cos(pi/24 (2m+7)(2k+1)), the four
+    block-type windows (2.4.3.4.10.3: normal sine, start, short,
+    stop), and the B.9 butterfly weights.  floor(x + 0.5) rounding
+    matches SQL ROUND() everywhere except exact .5 ties, which the
+    involved irrational values cannot produce (Niven: rational
+    cos(pi q) is only 0, ±1/2, ±1 — all of which quantize to
+    integers)."""
     global _MP3_FB_TABLES
     if _MP3_FB_TABLES is None:
         import math
@@ -4110,10 +4113,31 @@ def _mp3_fb_tables():
             ]
             for n in range(36)
         ]
-        win = [fix(math.sin(math.pi / 36 * (n + 0.5))) for n in range(36)]
+        cos12 = [
+            [
+                fix(math.cos(math.pi / 24 * (2 * m + 7) * (2 * k + 1)))
+                for k in range(6)
+            ]
+            for m in range(12)
+        ]
+        sin36 = [fix(math.sin(math.pi / 36 * (n + 0.5))) for n in range(36)]
+        sin12 = [fix(math.sin(math.pi / 12 * (n + 0.5))) for n in range(12)]
+        win_start = (
+            sin36[:18]
+            + [q] * 6
+            + [sin12[n - 24 + 6] for n in range(24, 30)]
+            + [0] * 6
+        )
+        win_stop = (
+            [0] * 6
+            + [sin12[n - 6] for n in range(6, 12)]
+            + [q] * 6
+            + sin36[18:]
+        )
+        windows = {0: sin36, 1: win_start, 3: win_stop}
         cs = [fix(1 / math.sqrt(1 + c * c)) for c in MP3_ALIAS_CI]
         ca = [fix(c / math.sqrt(1 + c * c)) for c in MP3_ALIAS_CI]
-        _MP3_FB_TABLES = (cos36, win, cs, ca)
+        _MP3_FB_TABLES = (cos36, cos12, windows, sin12, cs, ca)
     return _MP3_FB_TABLES
 
 
@@ -4141,12 +4165,12 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        cos36, win, cs, ca = _mp3_fb_tables()
+        cos36, cos12, windows, sin12, cs, ca = _mp3_fb_tables()
         q = _MP3_FB_Q
 
         def granule_levels(doc_id, data, bitpos, g_fields):
             """Entropy-decode one granule to its 576 integer levels."""
-            p23, bv, tsels, rc, rc2, c1a = g_fields
+            bt, p23, bv, tsels, rc, rc2, c1a = g_fields
             take_base = bitpos
 
             def take(n):
@@ -4160,17 +4184,25 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                 return out
 
             levels = [0] * 576
-            b = MP3_SFB_LONG[44100]
-            if rc + 1 >= len(b) or rc + rc2 + 2 >= len(b):
-                raise ValueError(
-                    f"doc {doc_id}: region counts overrun Table B.8"
+            if bt == 0:
+                b = MP3_SFB_LONG[44100]
+                if rc + 1 >= len(b) or rc + rc2 + 2 >= len(b):
+                    raise ValueError(
+                        f"doc {doc_id}: region counts overrun Table B.8"
+                    )
+                r0 = min(bv, b[rc + 1] // 2)
+                r1 = min(bv, b[rc + rc2 + 2] // 2)
+                regions = (
+                    (r0, tsels[0]), (r1 - r0, tsels[1]),
+                    (bv - r1, tsels[2]),
                 )
-            r0 = min(bv, b[rc + 1] // 2)
-            r1 = min(bv, b[rc + rc2 + 2] // 2)
+            else:
+                # window-switching granules: the IMPLIED two-region
+                # split at sample 36 (2.4.2.7)
+                r0 = min(bv, 18)
+                regions = ((r0, tsels[0]), (bv - r0, tsels[1]))
             pos = 0
-            for count, tsel in (
-                (r0, tsels[0]), (r1 - r0, tsels[1]), (bv - r1, tsels[2]),
-            ):
+            for count, tsel in regions:
                 if count <= 0:
                     continue
                 if tsel == 0:
@@ -4242,32 +4274,50 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
             sequence; returns (sum_signed, sum_abs, n_nonzero)."""
             prev = [[0] * 36 for _ in range(32)]
             s_signed = s_abs = nnz = 0
-            for levels in granules:
+            for bt, levels in granules:
                 for sb in range(32):
                     base = 18 * sb
-                    # alias-reduction butterflies feeding this
-                    # subband use the RAW neighbour lines, so build
-                    # the aliased 18 lines here (scale q)
-                    xa = [levels[base + k] * q for k in range(18)]
-                    if sb >= 1:
-                        for i in range(8):
-                            va = levels[base - 1 - i]
-                            vb = levels[base + i]
-                            xa[i] = vb * cs[i] + va * ca[i]
-                    if sb < 31:
-                        for i in range(8):
-                            va = levels[base + 17 - i]
-                            vb = levels[base + 18 + i]
-                            xa[17 - i] = va * cs[i] - vb * ca[i]
-                    if any(xa) or any(prev[sb][18:]):
-                        z = [
-                            sum(
-                                xa[k] * cos36[n][k] for k in range(18)
-                            ) * win[n]
-                            for n in range(36)
-                        ]
-                    else:
+                    if bt == 2:
+                        # short blocks: NO alias reduction; three
+                        # 12-point IMDCTs (window-major 6-line
+                        # groups) windowed and overlapped at
+                        # 6-sample stride from sample 6 (2.4.3.4.6)
                         z = [0] * 36
+                        if any(levels[base : base + 18]):
+                            for w_ in range(3):
+                                for m in range(12):
+                                    y = sum(
+                                        levels[base + 6 * w_ + k] * q
+                                        * cos12[m][k]
+                                        for k in range(6)
+                                    )
+                                    z[6 + 6 * w_ + m] += y * sin12[m]
+                    else:
+                        win = windows[bt]
+                        # alias-reduction butterflies feeding this
+                        # subband use the RAW neighbour lines, so
+                        # build the aliased 18 lines here (scale q)
+                        xa = [levels[base + k] * q for k in range(18)]
+                        if sb >= 1:
+                            for i in range(8):
+                                va = levels[base - 1 - i]
+                                vb = levels[base + i]
+                                xa[i] = vb * cs[i] + va * ca[i]
+                        if sb < 31:
+                            for i in range(8):
+                                va = levels[base + 17 - i]
+                                vb = levels[base + 18 + i]
+                                xa[17 - i] = va * cs[i] - vb * ca[i]
+                        if any(xa) or any(prev[sb][18:]):
+                            z = [
+                                sum(
+                                    xa[k] * cos36[n][k]
+                                    for k in range(18)
+                                ) * win[n]
+                                for n in range(36)
+                            ]
+                        else:
+                            z = [0] * 36
                     for n in range(18):
                         v = z[n] + prev[sb][18 + n]
                         if sb % 2 and n % 2:
@@ -4317,25 +4367,43 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                         "nonzero scalefactors not implemented in the "
                         "exact filterbank (slen 0/0 only)"
                     )
-                if sbits(1):
-                    raise NotImplementedError(
-                        "window-switching blocks (12-point IMDCT "
-                        "triplets) not implemented"
-                    )
-                tsels = tuple(sbits(5) for _ in range(3))
-                rc = sbits(4)
-                rc2 = sbits(3)
+                if sbits(1):  # window_switching_flag
+                    bt = sbits(2)
+                    if bt == 0:
+                        raise ValueError(
+                            f"doc {doc_id}: window switching with "
+                            "block_type 0 is forbidden"
+                        )
+                    if sbits(1):
+                        raise NotImplementedError(
+                            "mixed blocks (long low subbands + short "
+                            "high) not implemented in the exact "
+                            "filterbank"
+                        )
+                    tsels = tuple(sbits(5) for _ in range(2))
+                    if any(sbits(3) for _ in range(3)):
+                        raise NotImplementedError(
+                            "nonzero subblock_gain (non-unit "
+                            "requantization) not implemented in the "
+                            "exact filterbank"
+                        )
+                    rc = rc2 = 0
+                else:
+                    bt = 0
+                    tsels = tuple(sbits(5) for _ in range(3))
+                    rc = sbits(4)
+                    rc2 = sbits(3)
                 if sbits(1):
                     raise ValueError(f"doc {doc_id}: preflag set with "
                                      "zero scalefactors")
                 sbits(1)  # scalefac_scale: moot at zero scalefactors
                 c1a = sbits(1) == 0
-                gfields.append((p23, bv, tsels, rc, rc2, c1a))
+                gfields.append((bt, p23, bv, tsels, rc, rc2, c1a))
             granules = []
             dpos = 21 * 8
             for gf in gfields:
                 levels, dpos = granule_levels(doc_id, raw, dpos, gf)
-                granules.append(levels)
+                granules.append((gf[0], levels))
             s_signed, s_abs, nnz = filterbank(doc_id, granules)
             return len(granules), s_signed, s_abs, nnz
 

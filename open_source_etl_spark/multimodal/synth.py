@@ -2226,19 +2226,32 @@ def make_mp3_ht_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def mp3_imdct_block_type(doc_id: int, g: int) -> int:
+    """Granule g's block_type for the filterbank fixture: cycles
+    normal long (0), start (1), short (2), and stop (3) windows."""
+    return (doc_id + 2 * g) % 4
+
+
 def mp3_imdct_geometry(doc_id: int, g: int) -> tuple[int, int, int, int]:
     """(region0_count, region0_pairs, n_live_pairs, n_quads) for the
-    filterbank fixture's granule g.  region0 spans the first
-    ``region0_pairs`` = B.8[rc+1] // 2 pairs and uses TABLE 0 — an
-    all-zero region that transmits no bits — which pushes the live
-    ±1 lines into higher subbands so the alias-reduction butterflies
-    at the subband boundaries do real mixing."""
+    filterbank fixture's granule g.  For long granules region0 spans
+    the first ``region0_pairs`` = B.8[rc+1] // 2 pairs and uses
+    TABLE 0 — an all-zero region that transmits no bits — which
+    pushes the live ±1 lines into higher subbands so the
+    alias-reduction butterflies at the subband boundaries do real
+    mixing.  Window-switching granules (block_type 1/2/3) have the
+    IMPLIED region0 of 18 pairs (36 samples), silent via table 0
+    here, so their lines start at position 36."""
     rc = 1 + (doc_id + g) % 15
     from .decode import MP3_SFB_LONG_44100
 
+    r0_pairs = (
+        MP3_SFB_LONG_44100[rc + 1] // 2
+        if mp3_imdct_block_type(doc_id, g) == 0 else 18
+    )
     return (
         rc,
-        MP3_SFB_LONG_44100[rc + 1] // 2,
+        r0_pairs,
         9 + (doc_id + g) % 7,
         3 + (doc_id + g) % 3,
     )
@@ -2247,7 +2260,10 @@ def mp3_imdct_geometry(doc_id: int, g: int) -> tuple[int, int, int, int]:
 def mp3_imdct_spectrum(doc_id: int, g: int) -> dict[int, int]:
     """Granule g's nonzero requantized lines (position -> ±1) —
     closed forms the SQL oracle restates.  Unit magnitudes make
-    requantization EXACT (|±1|^(4/3) = 1, global_gain 210 -> 2^0)."""
+    requantization EXACT (|±1|^(4/3) = 1, global_gain 210 -> 2^0).
+    For block_type 2 granules the positions are POST-REORDER subband
+    order (the scalefactor-band -> subband reorder belongs to the
+    general requantization layer, which stays a declared boundary)."""
     _rc, r0_pairs, nbv, nq = mp3_imdct_geometry(doc_id, g)
     base = 2 * r0_pairs
     out = {}
@@ -2287,7 +2303,10 @@ def make_mp3_imdct_bytes(doc_id: int) -> bytes:
         # regions 1+2 must hold all live pairs (no clipping surprises);
         # region1_count is clamped so the B.8 index stays in range
         rc2 = min(7, 20 - rc)
-        if r0_pairs + nbv > MP3_SFB_LONG_44100[rc + rc2 + 2] // 2:
+        if (
+            mp3_imdct_block_type(doc_id, g) == 0
+            and r0_pairs + nbv > MP3_SFB_LONG_44100[rc + rc2 + 2] // 2
+        ):
             raise ValueError("live pairs overrun region1")
         acc = nb = 0
         for q in range(nbv):
@@ -2331,15 +2350,25 @@ def make_mp3_imdct_bytes(doc_id: int) -> bytes:
     w.u(0, 4)   # scfsi
     for g, p23 in ((0, n0), (1, n1)):
         rc, r0_pairs, nbv, _nq = mp3_imdct_geometry(doc_id, g)
+        bt = mp3_imdct_block_type(doc_id, g)
         w.u(p23, 12)
         w.u(r0_pairs + nbv, 9)   # big_values
         w.u(210, 8)              # global_gain: exact 2^0
         w.u(0, 4)                # scalefac_compress: slen 0/0
-        w.u(0, 1)                # long blocks
-        for t in (0, 1, 1):
-            w.u(t, 5)
-        w.u(rc, 4)               # region0_count
-        w.u(min(7, 20 - rc), 3)  # region1_count: region2 empty
+        if bt == 0:
+            w.u(0, 1)            # long blocks: normal layout
+            for t in (0, 1, 1):
+                w.u(t, 5)
+            w.u(rc, 4)           # region0_count
+            w.u(min(7, 20 - rc), 3)  # region1_count: region2 empty
+        else:
+            w.u(1, 1)            # window_switching_flag
+            w.u(bt, 2)           # block_type 1/2/3
+            w.u(0, 1)            # mixed_block_flag
+            for t in (0, 1):     # region0 silent, region1 table 1
+                w.u(t, 5)
+            for _sb in range(3):
+                w.u(0, 3)        # subblock_gain: 0 keeps exactness
         w.u(0, 1)                # preflag
         w.u(0, 1)                # scalefac_scale
         w.u(1, 1)                # count1table_select: table B

@@ -1818,20 +1818,22 @@ def multimodal_mp3_hufftables_decode(
 
 @query(
     "multimodal_mp3_imdct_synth",
-    # formulas mirror synth.mp3_imdct_geometry / mp3_imdct_spectrum
-    # and decode._mp3_fb_tables: granule g's live ±1 lines start at
-    # B.8[rc+1] (rc = 1 + (doc+g) % 15 — region0 is a silent table-0
-    # span), 9 + (doc+g) % 7 big-values pairs then 3 + (doc+g) % 3
-    # count1 quads; the filterbank is exact integer Q12, so the
-    # oracle re-derives the SAME cosine/window/butterfly tables via
+    # formulas mirror synth.mp3_imdct_geometry / mp3_imdct_spectrum /
+    # mp3_imdct_block_type and decode._mp3_fb_tables: granule g has
+    # block_type bt = (doc + 2g) % 4; its live ±1 lines start at
+    # B.8[rc+1] for long granules (rc = 1 + (doc+g) % 15 — region0 is
+    # a silent table-0 span) or at 36 for window-switching granules
+    # (the implied region split), 9 + (doc+g) % 7 big-values pairs
+    # then 3 + (doc+g) % 3 count1 quads; the filterbank is exact
+    # integer Q12, so the oracle re-derives the SAME tables via
     # ROUND(4096 * cos/sin/sqrt(...)) and pushes each line through
-    # alias butterflies, the 36-point IMDCT, the sine window,
-    # overlap-add, and frequency inversion symbolically.  The entropy
-    # bitstream and the filterbank recursion have no closed form —
-    # Spark must decode and filter to land these exact bigints.
+    # the alias butterflies (skipped for short granules), the
+    # 36-point (long/start/stop windows) or 12-point-triplet (short)
+    # IMDCT, overlap-add, and frequency inversion symbolically.
     oracle="""
     WITH geo AS (
       SELECT doc_id, gg.g AS g,
+             (doc_id + 2 * gg.g) % 4 AS bt,
              1 + (doc_id + gg.g) % 15 AS rc,
              9 + (doc_id + gg.g) % 7 AS nbv,
              3 + (doc_id + gg.g) % 3 AS nq
@@ -1839,28 +1841,29 @@ def multimodal_mp3_hufftables_decode(
     ),
     geo2 AS (
       SELECT *,
+             CASE WHEN bt != 0 THEN 36 ELSE
              CASE rc WHEN 1 THEN 8 WHEN 2 THEN 12 WHEN 3 THEN 16
                   WHEN 4 THEN 20 WHEN 5 THEN 24 WHEN 6 THEN 30
                   WHEN 7 THEN 36 WHEN 8 THEN 44 WHEN 9 THEN 52
                   WHEN 10 THEN 62 WHEN 11 THEN 74 WHEN 12 THEN 90
                   WHEN 13 THEN 110 WHEN 14 THEN 134 ELSE 162
-             END AS base
+             END END AS base
       FROM geo
     ),
     spec AS (
-      SELECT doc_id, g, base + 2 * qq.q AS pos,
+      SELECT doc_id, g, bt, base + 2 * qq.q AS pos,
              CASE WHEN (doc_id + qq.q + g) % 2 = 0 THEN 1 ELSE -1
              END AS v
       FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
       WHERE (doc_id + 3 * qq.q + g) % 2 = 1
       UNION ALL
-      SELECT doc_id, g, base + 2 * qq.q + 1,
+      SELECT doc_id, g, bt, base + 2 * qq.q + 1,
              CASE WHEN (doc_id + qq.q + g + 1) % 2 = 0 THEN 1 ELSE -1
              END
       FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
       WHERE (2 * doc_id + qq.q + g) % 2 = 1
       UNION ALL
-      SELECT doc_id, g, base + 2 * nbv + 4 * jj.j + ii.idx,
+      SELECT doc_id, g, bt, base + 2 * nbv + 4 * jj.j + ii.idx,
              CASE WHEN (doc_id + jj.j) % 2 = 1 THEN -1 ELSE 1 END
       FROM geo2,
            LATERAL (SELECT unnest(range(0, nq)) AS j) jj,
@@ -1869,9 +1872,10 @@ def multimodal_mp3_hufftables_decode(
              // CAST(POW(2, 3 - ii.idx) AS BIGINT)) % 2 = 1
     ),
     alias_c AS (
-      -- butterfly-side contributions at Q12 scale; CS/CA re-derived
-      -- from the B.9 ci literals exactly as the decoder does
-      SELECT doc_id, g, pos AS pos2,
+      -- butterfly-side contributions at Q12 scale (long/start/stop
+      -- granules only; short granules skip alias reduction); CS/CA
+      -- re-derived from the B.9 ci literals exactly as the decoder
+      SELECT doc_id, g, bt, pos AS pos2,
              v * CAST(ROUND(4096 / SQRT(1 + ci * ci)) AS BIGINT) AS val
       FROM (SELECT *, pos % 18 AS i FROM spec)
            q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
@@ -1879,9 +1883,9 @@ def multimodal_mp3_hufftables_decode(
                           (6, 0.0142), (7, 0.0037)) c(bi, aci)
              ON q.i = c.bi,
            LATERAL (SELECT -aci AS ci) l
-      WHERE pos % 18 <= 7 AND pos >= 18
+      WHERE bt != 2 AND pos % 18 <= 7 AND pos >= 18
       UNION ALL
-      SELECT doc_id, g, pos - 2 * (pos % 18) - 1,
+      SELECT doc_id, g, bt, pos - 2 * (pos % 18) - 1,
              -v * CAST(ROUND(4096 * ci / SQRT(1 + ci * ci)) AS BIGINT)
       FROM (SELECT *, pos % 18 AS i FROM spec)
            q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
@@ -1889,9 +1893,9 @@ def multimodal_mp3_hufftables_decode(
                           (6, 0.0142), (7, 0.0037)) c(bi, aci)
              ON q.i = c.bi,
            LATERAL (SELECT -aci AS ci) l
-      WHERE pos % 18 <= 7 AND pos >= 18
+      WHERE bt != 2 AND pos % 18 <= 7 AND pos >= 18
       UNION ALL
-      SELECT doc_id, g, pos,
+      SELECT doc_id, g, bt, pos,
              v * CAST(ROUND(4096 / SQRT(1 + ci * ci)) AS BIGINT)
       FROM (SELECT *, 17 - pos % 18 AS i FROM spec)
            q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
@@ -1899,9 +1903,9 @@ def multimodal_mp3_hufftables_decode(
                           (6, 0.0142), (7, 0.0037)) c(bi, aci)
              ON q.i = c.bi,
            LATERAL (SELECT -aci AS ci) l
-      WHERE pos % 18 >= 10 AND pos < 558
+      WHERE bt != 2 AND pos % 18 >= 10 AND pos < 558
       UNION ALL
-      SELECT doc_id, g, pos + 2 * (17 - pos % 18) + 1,
+      SELECT doc_id, g, bt, pos + 2 * (17 - pos % 18) + 1,
              v * CAST(ROUND(4096 * ci / SQRT(1 + ci * ci)) AS BIGINT)
       FROM (SELECT *, 17 - pos % 18 AS i FROM spec)
            q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
@@ -1909,30 +1913,62 @@ def multimodal_mp3_hufftables_decode(
                           (6, 0.0142), (7, 0.0037)) c(bi, aci)
              ON q.i = c.bi,
            LATERAL (SELECT -aci AS ci) l
-      WHERE pos % 18 >= 10 AND pos < 558
+      WHERE bt != 2 AND pos % 18 >= 10 AND pos < 558
       UNION ALL
-      SELECT doc_id, g, pos, v * 4096
+      SELECT doc_id, g, bt, pos, v * 4096
       FROM spec
-      WHERE NOT (pos % 18 <= 7 AND pos >= 18)
-        AND NOT (pos % 18 >= 10 AND pos < 558)
+      WHERE bt = 2
+         OR (NOT (pos % 18 <= 7 AND pos >= 18)
+             AND NOT (pos % 18 >= 10 AND pos < 558))
+    ),
+    zvals AS (
+      -- each aliased line's windowed-IMDCT contribution to its
+      -- granule's 36-sample subband vector, position m
+      SELECT doc_id, g, pos2 // 18 AS sb, mm.m AS m,
+             val
+             * CAST(ROUND(4096 * COS(PI() / 72.0 * (2 * mm.m + 19)
+                   * (2 * (pos2 % 18) + 1))) AS BIGINT)
+             * CAST(CASE
+                 WHEN bt = 0 THEN
+                   ROUND(4096 * SIN(PI() / 36.0 * (mm.m + 0.5)))
+                 WHEN bt = 1 THEN CASE
+                   WHEN mm.m < 18 THEN
+                     ROUND(4096 * SIN(PI() / 36.0 * (mm.m + 0.5)))
+                   WHEN mm.m < 24 THEN 4096
+                   WHEN mm.m < 30 THEN
+                     ROUND(4096 * SIN(PI() / 12.0 * (mm.m - 17.5)))
+                   ELSE 0 END
+                 ELSE CASE
+                   WHEN mm.m < 6 THEN 0
+                   WHEN mm.m < 12 THEN
+                     ROUND(4096 * SIN(PI() / 12.0 * (mm.m - 5.5)))
+                   WHEN mm.m < 18 THEN 4096
+                   ELSE ROUND(4096 * SIN(PI() / 36.0 * (mm.m + 0.5)))
+                 END END AS BIGINT) AS zc
+      FROM alias_c, LATERAL (SELECT unnest(range(0, 36)) AS m) mm
+      WHERE bt != 2
+      UNION ALL
+      -- short granules: line (w, k) feeds z[6 + 6w + m2] through the
+      -- 12-point IMDCT and the short sine window
+      SELECT doc_id, g, pos2 // 18 AS sb,
+             6 + 6 * ((pos2 % 18) // 6) + mm.m AS m,
+             val
+             * CAST(ROUND(4096 * COS(PI() / 24.0 * (2 * mm.m + 7)
+                   * (2 * (pos2 % 6) + 1))) AS BIGINT)
+             * CAST(ROUND(4096 * SIN(PI() / 12.0 * (mm.m + 0.5)))
+                    AS BIGINT)
+      FROM alias_c, LATERAL (SELECT unnest(range(0, 12)) AS m) mm
+      WHERE bt = 2
     ),
     samples AS (
-      -- each aliased line feeds its own granule's 18 output samples
-      -- (IMDCT row n) and the NEXT granule's via the overlap tail
-      -- (row n + 18); granule 1's tail is never emitted
-      SELECT a.doc_id, a.g + ov.d AS g2, a.pos2 // 18 AS sb, nn.n AS n,
-             SUM(a.val
-                 * CAST(ROUND(4096 * COS(PI() / 72.0
-                       * (2 * (nn.n + 18 * ov.d) + 19)
-                       * (2 * (a.pos2 % 18) + 1))) AS BIGINT)
-                 * CAST(ROUND(4096 * SIN(PI() / 36.0
-                       * (nn.n + 18 * ov.d + 0.5))) AS BIGINT)
-             ) AS sv
-      FROM alias_c a,
-           LATERAL (SELECT unnest([0, 1]) AS d) ov,
-           LATERAL (SELECT unnest(range(0, 18)) AS n) nn
-      WHERE a.g + ov.d <= 1
-      GROUP BY a.doc_id, a.g + ov.d, a.pos2 // 18, nn.n
+      -- emitted sample (g2, sb, n): the granule's own z[n] plus the
+      -- previous granule's overlap tail z[n + 18]
+      SELECT doc_id, z.g + ov.d AS g2, sb, z.m - 18 * ov.d AS n,
+             SUM(zc) AS sv
+      FROM zvals z, LATERAL (SELECT unnest([0, 1]) AS d) ov
+      WHERE z.g + ov.d <= 1
+        AND z.m - 18 * ov.d BETWEEN 0 AND 17
+      GROUP BY doc_id, z.g + ov.d, sb, z.m - 18 * ov.d
     )
     SELECT doc_id,
            CAST(2 AS BIGINT) AS n_granules,
@@ -1951,21 +1987,28 @@ def multimodal_mp3_imdct_synth(
 ) -> DataFrame:
     """MPEG-1 Layer III hybrid synthesis filterbank (ISO 11172-3
     2.4.3.4) — the layer between entropy decode and the polyphase
-    subband filter, run in EXACT integer Q12 arithmetic: entropy
-    decode (region dispatch through a silent table-0 region0 and B.7
-    table-1 codes, count1 table B), identity requantization (the
-    fixture's 0/±1 levels at global_gain 210 and zero scalefactors
+    subband filter, run in EXACT integer Q12 arithmetic across ALL
+    FOUR window types: entropy decode (region dispatch through a
+    silent table-0 region0 and B.7 table-1 codes, count1 table B;
+    window-switching granules use the implied two-region split at
+    sample 36), identity requantization (the fixture's 0/±1 levels
+    at global_gain 210, zero scalefactors and zero subblock_gain
     make |is|^(4/3) * 2^((gain-210)/4) exactly 1), the eight Table
-    B.9 alias-reduction butterflies at every subband boundary, the
-    36-point IMDCT, the block-type-0 sine window, overlap-add of each
-    granule's tail into the next granule, and frequency inversion.
-    All tables are DERIVED (round(4096 * cos/sin/sqrt)) rather than
-    transcribed, and every product keeps full integer precision, so
-    the DuckDB oracle reproduces the sums to the bit by re-deriving
-    the same tables.  Declared boundaries: non-unit requantization
-    (the irrational 4/3 power), window-switching blocks (12-point
-    IMDCT triplets), and the polyphase synthesis filter (Table B.3's
-    512 empirical window coefficients).  Reference scope note: the
+    B.9 alias-reduction butterflies at every subband boundary
+    (skipped for short granules, per spec), the 36-point IMDCT under
+    the normal/start/stop windows or the three 12-point IMDCTs under
+    the short window overlapped at 6-sample stride, overlap-add of
+    each granule's tail into the next granule, and frequency
+    inversion.  All tables are DERIVED (round(4096 * cos/sin/sqrt))
+    rather than transcribed, and every product keeps full integer
+    precision, so the DuckDB oracle reproduces the sums to the bit
+    by re-deriving the same tables.  Declared boundaries: non-unit
+    requantization (the irrational 4/3 power, nonzero scalefactors /
+    subblock_gain), mixed blocks, the scalefactor-band -> subband
+    reorder (part of general requantization; short-granule fixture
+    lines are post-reorder subband order), and the polyphase
+    synthesis filter (Table B.3's 512 empirical window
+    coefficients).  Reference scope note: the
     reference delegates all media handling to its warehouse; this
     query is part of the training-data-pipeline surface the brief
     adds."""
