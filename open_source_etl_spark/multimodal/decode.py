@@ -2831,6 +2831,35 @@ H264_RUN_BEFORE: dict[int, dict[tuple[int, int], int]] = {
     for zl, col in _H264_RB_COLS.items()
 }
 
+# Chroma DC entropy tables (round 11): the Table 9-5 nC == -1
+# coeff_token column (14 legal pairs for the 2x2 chroma DC block) and
+# the Table 9-9(a) total_zeros columns for maxNumCoeff 4.  All four
+# validate as COMPLETE prefix codes (Kraft exactly 1, no unused
+# slots) — the strongest gate outcome; a first-pass recall collided
+# and was corrected against a second independent memory layout, with
+# completeness as the arbiter.
+H264_COEFF_TOKEN_CHROMA_DC: dict[tuple[int, int], tuple[int, int]] = {
+    (len(s), int(s, 2)): tc_t1
+    for tc_t1, s in {
+        (0, 0): "01",
+        (1, 0): "000111", (1, 1): "1",
+        (2, 0): "000100", (2, 1): "000110", (2, 2): "001",
+        (3, 0): "000011", (3, 1): "0000011", (3, 2): "0000010",
+        (3, 3): "000101",
+        (4, 0): "000010", (4, 1): "00000011", (4, 2): "00000010",
+        (4, 3): "0000000",
+    }.items()
+}
+H264_TOTAL_ZEROS_CHROMA_DC: dict[int, dict[tuple[int, int], int]] = {
+    tc: {
+        (len(s), int(s, 2)): tz
+        for tz, s in enumerate(col.split(","))
+    }
+    for tc, col in {
+        1: "1,01,001,000", 2: "1,01,00", 3: "1,0",
+    }.items()
+}
+
 
 def _cavlc_residual(
     reader: "_H264BitReader", n_c: int, max_coeff: int, doc_id: int
@@ -2854,7 +2883,8 @@ def _cavlc_residual(
             total, t1 = (code >> 2) + 1, code & 3
     else:
         table = (
-            H264_COEFF_TOKEN_NC0 if n_c < 2
+            H264_COEFF_TOKEN_CHROMA_DC if n_c < 0
+            else H264_COEFF_TOKEN_NC0 if n_c < 2
             else H264_COEFF_TOKEN_NC2 if n_c < 4
             else H264_COEFF_TOKEN_NC4
         )
@@ -2909,8 +2939,12 @@ def _cavlc_residual(
         if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
             suffix_len += 1
     if 0 < total < max_coeff:
-        # total_zeros (9.2.3) through the TotalCoeff-indexed column
-        tz_table = H264_TOTAL_ZEROS[total]
+        # total_zeros (9.2.3) through the TotalCoeff-indexed column —
+        # the chroma DC block (maxNumCoeff 4) has its own Table 9-9(a)
+        tz_table = (
+            H264_TOTAL_ZEROS_CHROMA_DC[total] if max_coeff == 4
+            else H264_TOTAL_ZEROS[total]
+        )
         length = code = 0
         while True:
             code = (code << 1) | reader.u(1)
@@ -2968,9 +3002,13 @@ def decode_h264_cavlc(media_df: DataFrame) -> DataFrame:
     and — for partial blocks with any TotalCoeff — walks total_zeros
     (Tables 9-7/9-8) and run_before (Table 9-10) with zerosLeft
     accounting, emitting coefficient-domain sums only a correct walk
-    can land.  Declared stubs: non-I_16x16 entropy-coded macroblocks
-    (nonzero cbp_chroma would add the 2x2 chroma-DC total_zeros
-    table) and CABAC."""
+    can land.  CHROMA residuals decode too (round 11): mb_types
+    15/19/23 carry cbp_chroma 0/1/2 — both components' 2x2 DC blocks
+    through the nC = -1 coeff_token column and the Table 9-9(a)
+    total_zeros columns, then (cbp_chroma 2) both components' four
+    AC blocks with their own 2x2-grid nC neighbor bookkeeping.
+    Declared stubs: non-I_16x16 entropy-coded macroblocks and
+    CABAC."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -2980,6 +3018,7 @@ def decode_h264_cavlc(media_df: DataFrame) -> DataFrame:
             n_frames = 0
             n_mb_total = 0
             sum_dc = sum_dc_abs = sum_ac = sum_ac_abs = n_t1 = 0
+            sum_cdc = sum_cdc_abs = sum_cac = sum_cac_abs = 0
             for unit in h264_split_nals(doc_id, raw):
                 nal_type = unit[0] & 0x1F
                 rbsp = h264_unescape(doc_id, unit[1:])
@@ -3045,14 +3084,41 @@ def decode_h264_cavlc(media_df: DataFrame) -> DataFrame:
                             return n_b
                         return 0
 
+                    # chroma 4x4 nonzero-count grids (2x2 per MB, per
+                    # component) — the chroma AC nC bookkeeping
+                    cnzc: dict[tuple[int, int, int], int] = {}
+
+                    def c_n_c(m: int, comp: int, blk: int) -> int:
+                        cx, cy = blk % 2, blk // 2
+                        n_a = n_b = None
+                        if cx > 0:
+                            n_a = cnzc[(m, comp, blk - 1)]
+                        elif m % mb_w > 0:
+                            n_a = cnzc[(m - 1, comp, blk + 1)]
+                        if cy > 0:
+                            n_b = cnzc[(m, comp, blk - 2)]
+                        elif m // mb_w > 0:
+                            n_b = cnzc[(m - mb_w, comp, blk + 2)]
+                        if n_a is not None and n_b is not None:
+                            return (n_a + n_b + 1) >> 1
+                        if n_a is not None:
+                            return n_a
+                        if n_b is not None:
+                            return n_b
+                        return 0
+
                     for m in range(n_mbs):
                         mb_type = r.ue()
-                        if mb_type != 15:
+                        # I_16x16 with DC prediction and
+                        # CodedBlockPatternLuma 15 (7.4.5 Table 7-11):
+                        # mb_type = 1 + 2 + 4*cbp_chroma + 12
+                        if mb_type not in (15, 19, 23):
                             raise NotImplementedError(
                                 f"entropy-coded mb_type {mb_type} not "
-                                "implemented (Intra_16x16 DC/cbp15 "
-                                "only)"
+                                "implemented (Intra_16x16 DC/cbp-luma-"
+                                "15 shapes only)"
                             )
+                        cbp_chroma = (mb_type - 15) // 4
                         if r.ue() > 3:
                             raise ValueError(
                                 f"doc {doc_id}: bad chroma pred mode"
@@ -3073,6 +3139,35 @@ def decode_h264_cavlc(media_df: DataFrame) -> DataFrame:
                             n_t1 += sum(
                                 1 for v in ac[:3] if abs(v) == 1
                             )
+                        # chroma residuals (7.3.5.3.3 ordering): both
+                        # components' DC blocks, then both components'
+                        # AC blocks when cbp_chroma == 2
+                        if cbp_chroma:
+                            for _comp in range(2):
+                                cdc = _cavlc_residual(r, -1, 4, doc_id)
+                                sum_cdc += sum(cdc)
+                                sum_cdc_abs += sum(abs(v) for v in cdc)
+                                n_t1 += sum(
+                                    1 for v in cdc[:3] if abs(v) == 1
+                                )
+                        for comp in range(2):
+                            for blk in range(4):
+                                if cbp_chroma == 2:
+                                    cac = _cavlc_residual(
+                                        r, c_n_c(m, comp, blk), 15,
+                                        doc_id,
+                                    )
+                                    sum_cac += sum(cac)
+                                    sum_cac_abs += sum(
+                                        abs(v) for v in cac
+                                    )
+                                    n_t1 += sum(
+                                        1 for v in cac[:3]
+                                        if abs(v) == 1
+                                    )
+                                    cnzc[(m, comp, blk)] = len(cac)
+                                else:
+                                    cnzc[(m, comp, blk)] = 0
                         n_mb_total += 1
                     # rbsp_trailing_bits: stop bit then zero padding
                     if r.u(1) != 1:
@@ -3093,13 +3188,15 @@ def decode_h264_cavlc(media_df: DataFrame) -> DataFrame:
                 raise ValueError(f"doc {doc_id}: no CAVLC frames decoded")
             return (
                 sps["width"], sps["height"], n_frames, n_mb_total,
-                sum_dc, sum_dc_abs, sum_ac, sum_ac_abs, n_t1,
+                sum_dc, sum_dc_abs, sum_ac, sum_ac_abs,
+                sum_cdc, sum_cdc_abs, sum_cac, sum_cac_abs, n_t1,
             )
 
         cols = (
             "doc_id", "width", "height", "n_frames", "n_mbs",
             "sum_dc_signed", "sum_dc_abs", "sum_ac_signed",
-            "sum_ac_abs", "n_trailing_ones",
+            "sum_ac_abs", "sum_cdc_signed", "sum_cdc_abs",
+            "sum_cac_signed", "sum_cac_abs", "n_trailing_ones",
         )
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}
@@ -3113,7 +3210,9 @@ def decode_h264_cavlc(media_df: DataFrame) -> DataFrame:
         kernel,
         "doc_id long, width long, height long, n_frames long, "
         "n_mbs long, sum_dc_signed long, sum_dc_abs long, "
-        "sum_ac_signed long, sum_ac_abs long, n_trailing_ones long",
+        "sum_ac_signed long, sum_ac_abs long, sum_cdc_signed long, "
+        "sum_cdc_abs long, sum_cac_signed long, sum_cac_abs long, "
+        "n_trailing_ones long",
     )
 
 

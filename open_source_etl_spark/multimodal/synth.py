@@ -1495,6 +1495,47 @@ def h264_cavlc_total_zeros(doc_id: int, f: int, b: int, a: int) -> int:
     return (doc_id + f + b + 2 * a) % (16 - tc)
 
 
+def h264_cavlc_cbp_chroma(doc_id: int, f: int, b: int) -> int:
+    """CodedBlockPatternChroma for macroblock b of frame f: cycles
+    0 (no chroma residual), 1 (DC only), 2 (DC + AC) — mb_type
+    15/19/23 under Table 7-11's I_16x16 mapping."""
+    return (doc_id + f + b) % 3
+
+
+def h264_cavlc_chroma_levels(
+    doc_id: int, f: int, b: int, comp: int, blk: int
+) -> list[int]:
+    """Chroma block levels in decode order: blk 4 is the 2x2 DC block
+    (TotalCoeff 1 + k % 4 of maxNumCoeff 4, exercising every Table
+    9-9(a) column and the full nC = -1 coeff_token range), blk 0..3
+    the AC blocks (single / partial / full like luma, but through the
+    GENERAL level formula).  a = 17 + 5*comp + blk keys the closed
+    forms."""
+    a = 17 + 5 * comp + blk
+    k = doc_id + f + b + a
+    if blk == 4:
+        n = 1 + k % 4
+    else:
+        sel = k % 5
+        n = 1 if sel == 0 else (2 + k % 13 if sel == 1 else 15)
+    t = min(k % 4, n)
+    out = []
+    for i in range(n):
+        mag = 1 if i < t else 2 + (k + i) % 3
+        out.append(mag if (k + i) % 2 == 0 else -mag)
+    return out
+
+
+def h264_cavlc_chroma_tz(
+    doc_id: int, f: int, b: int, comp: int, blk: int
+) -> int:
+    """totalZeros for a partial chroma block: bounded by its
+    maxNumCoeff (4 for the DC block, 15 for AC)."""
+    maxn = 4 if blk == 4 else 15
+    tc = len(h264_cavlc_chroma_levels(doc_id, f, b, comp, blk))
+    return (doc_id + f + b + 2 * blk + 3 * comp) % (maxn - tc + 1)
+
+
 def h264_cavlc_runs(
     doc_id: int, f: int, b: int, a: int, tc: int, tz: int
 ) -> list[int]:
@@ -1535,7 +1576,7 @@ def _cavlc_write_block(
         code = 0b000011 if total == 0 else ((total - 1) << 2) | t1
         w.u(code, 6)
     else:
-        col = 0 if n_c < 2 else 2 if n_c < 4 else 4
+        col = -1 if n_c < 0 else 0 if n_c < 2 else 2 if n_c < 4 else 4
         length, code = enc[col][(total, t1)]
         w.u(code, length)
     for i in range(t1):
@@ -1561,7 +1602,8 @@ def _cavlc_write_block(
         if abs(v) > (3 << (suffix_len - 1)) and suffix_len < 6:
             suffix_len += 1
     if total_zeros is not None:
-        length, code = enc["tz"][total][total_zeros]
+        tz_cols = enc["tzc"] if n_c < 0 else enc["tz"]
+        length, code = tz_cols[total][total_zeros]
         w.u(code, length)
         zeros_left = total_zeros
         for r in runs or []:
@@ -1620,8 +1662,30 @@ def h264_cavlc_idr_rbsp(
             return n_b
         return 0
 
+    cnzc: dict[tuple[int, int, int], int] = {}
+
+    def c_n_c(mb: int, comp: int, blk: int) -> int:
+        cx, cy = blk % 2, blk // 2
+        n_a = n_b = None
+        if cx > 0:
+            n_a = cnzc[(mb, comp, blk - 1)]
+        elif mb % mb_w > 0:
+            n_a = cnzc[(mb - 1, comp, blk + 1)]
+        if cy > 0:
+            n_b = cnzc[(mb, comp, blk - 2)]
+        elif mb // mb_w > 0:
+            n_b = cnzc[(mb - mb_w, comp, blk + 2)]
+        if n_a is not None and n_b is not None:
+            return (n_a + n_b + 1) >> 1
+        if n_a is not None:
+            return n_a
+        if n_b is not None:
+            return n_b
+        return 0
+
     for m in range(n_mbs):
-        w.ue(15)   # mb_type: I_16x16, pred DC, cbp luma 15 chroma 0
+        cbp_c = h264_cavlc_cbp_chroma(doc_id, f, m)
+        w.ue(15 + 4 * cbp_c)  # I_16x16, pred DC, cbp luma 15
         w.ue(0)    # intra_chroma_pred_mode: DC
         w.se(0)    # mb_qp_delta
         _cavlc_write_block(
@@ -1640,6 +1704,39 @@ def h264_cavlc_idr_rbsp(
                 w, levels, n_c(m, blk), enc, tz, runs
             )
             nzc[(m, blk)] = len(levels)
+        if cbp_c:
+            for comp in range(2):
+                cdc = h264_cavlc_chroma_levels(doc_id, f, m, comp, 4)
+                if len(cdc) < 4:
+                    tz = h264_cavlc_chroma_tz(doc_id, f, m, comp, 4)
+                    runs = h264_cavlc_runs(
+                        doc_id, f, m, 17 + 5 * comp + 4, len(cdc), tz
+                    )
+                else:
+                    tz, runs = None, None
+                _cavlc_write_block(w, cdc, -1, enc, tz, runs)
+        for comp in range(2):
+            for blk in range(4):
+                if cbp_c == 2:
+                    cac = h264_cavlc_chroma_levels(
+                        doc_id, f, m, comp, blk
+                    )
+                    if len(cac) < 15:
+                        tz = h264_cavlc_chroma_tz(
+                            doc_id, f, m, comp, blk
+                        )
+                        runs = h264_cavlc_runs(
+                            doc_id, f, m, 17 + 5 * comp + blk,
+                            len(cac), tz,
+                        )
+                    else:
+                        tz, runs = None, None
+                    _cavlc_write_block(
+                        w, cac, c_n_c(m, comp, blk), enc, tz, runs
+                    )
+                    cnzc[(m, comp, blk)] = len(cac)
+                else:
+                    cnzc[(m, comp, blk)] = 0
     w.u(1, 1)  # rbsp_stop_one_bit
     while len(w.bits) % 8:
         w.bits.append(0)
@@ -1654,20 +1751,27 @@ def make_h264_cavlc_bytes(doc_id: int) -> bytes:
     tables are inverted from the decoder's validated transcriptions
     so the spec data has one source of truth in the repo."""
     from .decode import (
+        H264_COEFF_TOKEN_CHROMA_DC,
         H264_COEFF_TOKEN_NC0,
         H264_COEFF_TOKEN_NC2,
         H264_COEFF_TOKEN_NC4,
         H264_RUN_BEFORE,
         H264_TOTAL_ZEROS,
+        H264_TOTAL_ZEROS_CHROMA_DC,
     )
 
     enc = {
+        -1: {tv: lc for lc, tv in H264_COEFF_TOKEN_CHROMA_DC.items()},
         0: {tv: lc for lc, tv in H264_COEFF_TOKEN_NC0.items()},
         2: {tv: lc for lc, tv in H264_COEFF_TOKEN_NC2.items()},
         4: {tv: lc for lc, tv in H264_COEFF_TOKEN_NC4.items()},
         "tz": {
             tc: {tz: lc for lc, tz in col.items()}
             for tc, col in H264_TOTAL_ZEROS.items()
+        },
+        "tzc": {
+            tc: {tz: lc for lc, tz in col.items()}
+            for tc, col in H264_TOTAL_ZEROS_CHROMA_DC.items()
         },
         "rb": {
             zl: {run: lc for lc, run in col.items()}

@@ -973,6 +973,8 @@ def multimodal_jpeg_color_decode(
       FROM documents
     ),
     blk AS (
+      -- a 0..15: luma AC, 16: luma DC, 17+5c+blk: chroma (21/26 the
+      -- DC blocks); chroma rows exist per cbp_chroma = (d+f+b) % 3
       SELECT p.doc_id, p.nf, p.mw, p.mh, aa.a,
              p.doc_id + ff.f + bb.b + aa.a AS k,
              (aa.a < 16
@@ -983,12 +985,25 @@ def multimodal_jpeg_color_decode(
                   WHEN aa.a < 16
                        AND (p.doc_id + ff.f + bb.b + aa.a) % 5 = 1
                   THEN 2 + (p.doc_id + ff.f + bb.b + aa.a) % 13
+                  WHEN aa.a < 16 THEN 15
                   WHEN aa.a = 16 THEN 16
-                  ELSE 15 END AS cnt
+                  WHEN aa.a IN (21, 26) THEN
+                    CASE WHEN (p.doc_id + ff.f + bb.b) % 3 >= 1
+                         THEN 1 + (p.doc_id + ff.f + bb.b + aa.a) % 4
+                         ELSE 0 END
+                  ELSE
+                    CASE WHEN (p.doc_id + ff.f + bb.b) % 3 = 2 THEN
+                      CASE (p.doc_id + ff.f + bb.b + aa.a) % 5
+                        WHEN 0 THEN 1
+                        WHEN 1 THEN
+                          2 + (p.doc_id + ff.f + bb.b + aa.a) % 13
+                        ELSE 15 END
+                    ELSE 0 END
+             END AS cnt
       FROM p,
            LATERAL (SELECT unnest(range(0, nf)) AS f) ff,
            LATERAL (SELECT unnest(range(0, mw * mh)) AS b) bb,
-           LATERAL (SELECT unnest(range(0, 17)) AS a) aa
+           LATERAL (SELECT unnest(range(0, 27)) AS a) aa
     ),
     lv AS (
       SELECT doc_id, a, ii.i,
@@ -1015,6 +1030,15 @@ def multimodal_jpeg_color_decode(
                 AS BIGINT) AS sum_ac_signed,
            CAST(SUM(CASE WHEN a < 16 THEN mag ELSE 0 END) AS BIGINT)
              AS sum_ac_abs,
+           CAST(SUM(CASE WHEN a IN (21, 26) THEN mag * sgn ELSE 0
+                    END) AS BIGINT) AS sum_cdc_signed,
+           CAST(SUM(CASE WHEN a IN (21, 26) THEN mag ELSE 0 END)
+                AS BIGINT) AS sum_cdc_abs,
+           CAST(SUM(CASE WHEN a >= 17 AND a NOT IN (21, 26)
+                    THEN mag * sgn ELSE 0 END) AS BIGINT)
+             AS sum_cac_signed,
+           CAST(SUM(CASE WHEN a >= 17 AND a NOT IN (21, 26)
+                    THEN mag ELSE 0 END) AS BIGINT) AS sum_cac_abs,
            CAST(SUM(CASE WHEN i = 0 THEN t ELSE 0 END) AS BIGINT)
              AS n_trailing_ones
     FROM p JOIN lv ON p.doc_id = lv.doc_id
@@ -1040,10 +1064,16 @@ def multimodal_h264_cavlc_decode(
     complete on first transcription) and run_before (Table 9-10)
     with zerosLeft accounting.  Fixture blocks cycle FULL,
     SINGLE-COEFFICIENT, and PARTIAL shapes with TotalCoeff 2-14, so
-    the neighbor counts sweep nC across every dispatch column.
-    Declared stubs: non-I_16x16 entropy-coded macroblocks (nonzero
-    cbp_chroma would add the 2x2 chroma-DC total_zeros table) and
-    CABAC.  Reference scope note: the
+    the neighbor counts sweep nC across every dispatch column; and
+    macroblocks cycle cbp_chroma 0/1/2 (mb_types 15/19/23), so both
+    chroma components' 2x2 DC blocks run the nC = -1 coeff_token
+    column and the Table 9-9(a) total_zeros columns (all four
+    validated COMPLETE prefix codes) and the chroma AC blocks run
+    their own 2x2-grid neighbor-nC bookkeeping.  Declared stubs:
+    non-I_16x16 entropy-coded macroblocks and CABAC (whose
+    rangeTabLPS and context-init tables have no self-validating
+    structure a clean-room transcription gate can lean on — the
+    documented reason it stays out).  Reference scope note: the
     reference delegates all media handling to its warehouse; this
     query is part of the training-data-pipeline surface the brief
     adds."""
