@@ -4269,7 +4269,7 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
 
         def granule_levels(doc_id, data, bitpos, g_fields):
             """Entropy-decode one granule to its 576 integer levels."""
-            bt, p23, bv, tsels, rc, rc2, c1a = g_fields
+            bt, _mixed, p23, bv, tsels, rc, rc2, c1a = g_fields
             take_base = bitpos
 
             def take(n):
@@ -4373,10 +4373,15 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
             sequence; returns (sum_signed, sum_abs, n_nonzero)."""
             prev = [[0] * 36 for _ in range(32)]
             s_signed = s_abs = nnz = 0
-            for bt, levels in granules:
+            for bt, mixed, levels in granules:
                 for sb in range(32):
                     base = 18 * sb
-                    if bt == 2:
+                    # mixed granules (2.4.3.4.6): subbands 0-1 run
+                    # the LONG path under the normal window with
+                    # alias reduction restricted to the long-long
+                    # boundary; subbands 2+ run the short path
+                    short_sb = bt == 2 and not (mixed and sb < 2)
+                    if short_sb:
                         # short blocks: NO alias reduction; three
                         # 12-point IMDCTs (window-major 6-line
                         # groups) windowed and overlapped at
@@ -4392,17 +4397,21 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                                     )
                                     z[6 + 6 * w_ + m] += y * sin12[m]
                     else:
-                        win = windows[bt]
+                        win = windows[0 if bt == 2 else bt]
                         # alias-reduction butterflies feeding this
                         # subband use the RAW neighbour lines, so
-                        # build the aliased 18 lines here (scale q)
+                        # build the aliased 18 lines here (scale q);
+                        # a mixed granule's long part only
+                        # butterflies at the boundary between its
+                        # two long subbands
+                        long_top = 1 if bt == 2 else 31
                         xa = [levels[base + k] * q for k in range(18)]
                         if sb >= 1:
                             for i in range(8):
                                 va = levels[base - 1 - i]
                                 vb = levels[base + i]
                                 xa[i] = vb * cs[i] + va * ca[i]
-                        if sb < 31:
+                        if sb < long_top:
                             for i in range(8):
                                 va = levels[base + 17 - i]
                                 vb = levels[base + 18 + i]
@@ -4466,6 +4475,7 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                         "nonzero scalefactors not implemented in the "
                         "exact filterbank (slen 0/0 only)"
                     )
+                mixed = False
                 if sbits(1):  # window_switching_flag
                     bt = sbits(2)
                     if bt == 0:
@@ -4474,11 +4484,12 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                             "block_type 0 is forbidden"
                         )
                     if sbits(1):
-                        raise NotImplementedError(
-                            "mixed blocks (long low subbands + short "
-                            "high) not implemented in the exact "
-                            "filterbank"
-                        )
+                        if bt != 2:
+                            raise ValueError(
+                                f"doc {doc_id}: mixed_block_flag on "
+                                f"block_type {bt}"
+                            )
+                        mixed = True
                     tsels = tuple(sbits(5) for _ in range(2))
                     if any(sbits(3) for _ in range(3)):
                         raise NotImplementedError(
@@ -4497,12 +4508,14 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                                      "zero scalefactors")
                 sbits(1)  # scalefac_scale: moot at zero scalefactors
                 c1a = sbits(1) == 0
-                gfields.append((bt, p23, bv, tsels, rc, rc2, c1a))
+                gfields.append(
+                    (bt, mixed, p23, bv, tsels, rc, rc2, c1a)
+                )
             granules = []
             dpos = 21 * 8
             for gf in gfields:
                 levels, dpos = granule_levels(doc_id, raw, dpos, gf)
-                granules.append((gf[0], levels))
+                granules.append((gf[0], gf[1], levels))
             s_signed, s_abs, nnz = filterbank(doc_id, granules)
             return len(granules), s_signed, s_abs, nnz
 

@@ -2336,6 +2336,12 @@ def mp3_imdct_block_type(doc_id: int, g: int) -> int:
     return (doc_id + 2 * g) % 4
 
 
+def mp3_imdct_mixed(doc_id: int, g: int) -> bool:
+    """Every other short granule is MIXED: subbands 0-1 long under
+    the normal window, subbands 2+ short — the 2.4.3.4.6 hybrid."""
+    return mp3_imdct_block_type(doc_id, g) == 2 and (doc_id + g) % 2 == 1
+
+
 def mp3_imdct_geometry(doc_id: int, g: int) -> tuple[int, int, int, int]:
     """(region0_count, region0_pairs, n_live_pairs, n_quads) for the
     filterbank fixture's granule g.  For long granules region0 spans
@@ -2353,10 +2359,16 @@ def mp3_imdct_geometry(doc_id: int, g: int) -> tuple[int, int, int, int]:
         MP3_SFB_LONG_44100[rc + 1] // 2
         if mp3_imdct_block_type(doc_id, g) == 0 else 18
     )
+    nbv = 9 + (doc_id + g) % 7
+    if mp3_imdct_mixed(doc_id, g):
+        # mixed granules carry LIVE pairs in region0 too (the long
+        # part): the pair index runs straight through both regions
+        nbv += 18
+        r0_pairs = 0
     return (
         rc,
         r0_pairs,
-        9 + (doc_id + g) % 7,
+        nbv,
         3 + (doc_id + g) % 3,
     )
 
@@ -2466,10 +2478,13 @@ def make_mp3_imdct_bytes(doc_id: int) -> bytes:
             w.u(rc, 4)           # region0_count
             w.u(min(7, 20 - rc), 3)  # region1_count: region2 empty
         else:
+            mixed = mp3_imdct_mixed(doc_id, g)
             w.u(1, 1)            # window_switching_flag
             w.u(bt, 2)           # block_type 1/2/3
-            w.u(0, 1)            # mixed_block_flag
-            for t in (0, 1):     # region0 silent, region1 table 1
+            w.u(1 if mixed else 0, 1)  # mixed_block_flag
+            # mixed: region0 (the long part) is LIVE table 1; other
+            # ws granules keep it silent via table 0
+            for t in ((1, 1) if mixed else (0, 1)):
                 w.u(t, 5)
             for _sb in range(3):
                 w.u(0, 3)        # subblock_gain: 0 keeps exactness

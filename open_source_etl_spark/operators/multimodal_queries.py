@@ -1864,14 +1864,19 @@ def multimodal_mp3_hufftables_decode(
     WITH geo AS (
       SELECT doc_id, gg.g AS g,
              (doc_id + 2 * gg.g) % 4 AS bt,
+             ((doc_id + 2 * gg.g) % 4 = 2
+              AND (doc_id + gg.g) % 2 = 1) AS mx,
              1 + (doc_id + gg.g) % 15 AS rc,
-             9 + (doc_id + gg.g) % 7 AS nbv,
+             9 + (doc_id + gg.g) % 7
+               + CASE WHEN (doc_id + 2 * gg.g) % 4 = 2
+                           AND (doc_id + gg.g) % 2 = 1
+                      THEN 18 ELSE 0 END AS nbv,
              3 + (doc_id + gg.g) % 3 AS nq
       FROM documents, LATERAL (SELECT unnest([0, 1]) AS g) gg
     ),
     geo2 AS (
       SELECT *,
-             CASE WHEN bt != 0 THEN 36 ELSE
+             CASE WHEN mx THEN 0 WHEN bt != 0 THEN 36 ELSE
              CASE rc WHEN 1 THEN 8 WHEN 2 THEN 12 WHEN 3 THEN 16
                   WHEN 4 THEN 20 WHEN 5 THEN 24 WHEN 6 THEN 30
                   WHEN 7 THEN 36 WHEN 8 THEN 44 WHEN 9 THEN 52
@@ -1881,19 +1886,19 @@ def multimodal_mp3_hufftables_decode(
       FROM geo
     ),
     spec AS (
-      SELECT doc_id, g, bt, base + 2 * qq.q AS pos,
+      SELECT doc_id, g, bt, mx, base + 2 * qq.q AS pos,
              CASE WHEN (doc_id + qq.q + g) % 2 = 0 THEN 1 ELSE -1
              END AS v
       FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
       WHERE (doc_id + 3 * qq.q + g) % 2 = 1
       UNION ALL
-      SELECT doc_id, g, bt, base + 2 * qq.q + 1,
+      SELECT doc_id, g, bt, mx, base + 2 * qq.q + 1,
              CASE WHEN (doc_id + qq.q + g + 1) % 2 = 0 THEN 1 ELSE -1
              END
       FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
       WHERE (2 * doc_id + qq.q + g) % 2 = 1
       UNION ALL
-      SELECT doc_id, g, bt, base + 2 * nbv + 4 * jj.j + ii.idx,
+      SELECT doc_id, g, bt, mx, base + 2 * nbv + 4 * jj.j + ii.idx,
              CASE WHEN (doc_id + jj.j) % 2 = 1 THEN -1 ELSE 1 END
       FROM geo2,
            LATERAL (SELECT unnest(range(0, nq)) AS j) jj,
@@ -1905,7 +1910,7 @@ def multimodal_mp3_hufftables_decode(
       -- butterfly-side contributions at Q12 scale (long/start/stop
       -- granules only; short granules skip alias reduction); CS/CA
       -- re-derived from the B.9 ci literals exactly as the decoder
-      SELECT doc_id, g, bt, pos AS pos2,
+      SELECT doc_id, g, bt, mx, pos AS pos2,
              v * CAST(ROUND(4096 / SQRT(1 + ci * ci)) AS BIGINT) AS val
       FROM (SELECT *, pos % 18 AS i FROM spec)
            q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
@@ -1913,9 +1918,10 @@ def multimodal_mp3_hufftables_decode(
                           (6, 0.0142), (7, 0.0037)) c(bi, aci)
              ON q.i = c.bi,
            LATERAL (SELECT -aci AS ci) l
-      WHERE bt != 2 AND pos % 18 <= 7 AND pos >= 18
+      WHERE (bt != 2 OR (mx AND pos < 36))
+        AND pos % 18 <= 7 AND pos >= 18
       UNION ALL
-      SELECT doc_id, g, bt, pos - 2 * (pos % 18) - 1,
+      SELECT doc_id, g, bt, mx, pos - 2 * (pos % 18) - 1,
              -v * CAST(ROUND(4096 * ci / SQRT(1 + ci * ci)) AS BIGINT)
       FROM (SELECT *, pos % 18 AS i FROM spec)
            q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
@@ -1923,9 +1929,10 @@ def multimodal_mp3_hufftables_decode(
                           (6, 0.0142), (7, 0.0037)) c(bi, aci)
              ON q.i = c.bi,
            LATERAL (SELECT -aci AS ci) l
-      WHERE bt != 2 AND pos % 18 <= 7 AND pos >= 18
+      WHERE (bt != 2 OR (mx AND pos < 36))
+        AND pos % 18 <= 7 AND pos >= 18
       UNION ALL
-      SELECT doc_id, g, bt, pos,
+      SELECT doc_id, g, bt, mx, pos,
              v * CAST(ROUND(4096 / SQRT(1 + ci * ci)) AS BIGINT)
       FROM (SELECT *, 17 - pos % 18 AS i FROM spec)
            q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
@@ -1933,9 +1940,11 @@ def multimodal_mp3_hufftables_decode(
                           (6, 0.0142), (7, 0.0037)) c(bi, aci)
              ON q.i = c.bi,
            LATERAL (SELECT -aci AS ci) l
-      WHERE bt != 2 AND pos % 18 >= 10 AND pos < 558
+      WHERE pos % 18 >= 10
+        AND (CASE WHEN bt != 2 THEN pos < 558
+                  WHEN mx THEN pos < 18 ELSE FALSE END)
       UNION ALL
-      SELECT doc_id, g, bt, pos + 2 * (17 - pos % 18) + 1,
+      SELECT doc_id, g, bt, mx, pos + 2 * (17 - pos % 18) + 1,
              v * CAST(ROUND(4096 * ci / SQRT(1 + ci * ci)) AS BIGINT)
       FROM (SELECT *, 17 - pos % 18 AS i FROM spec)
            q JOIN (VALUES (0, 0.6), (1, 0.535), (2, 0.33),
@@ -1943,13 +1952,17 @@ def multimodal_mp3_hufftables_decode(
                           (6, 0.0142), (7, 0.0037)) c(bi, aci)
              ON q.i = c.bi,
            LATERAL (SELECT -aci AS ci) l
-      WHERE bt != 2 AND pos % 18 >= 10 AND pos < 558
+      WHERE pos % 18 >= 10
+        AND (CASE WHEN bt != 2 THEN pos < 558
+                  WHEN mx THEN pos < 18 ELSE FALSE END)
       UNION ALL
-      SELECT doc_id, g, bt, pos, v * 4096
+      SELECT doc_id, g, bt, mx, pos, v * 4096
       FROM spec
-      WHERE bt = 2
-         OR (NOT (pos % 18 <= 7 AND pos >= 18)
-             AND NOT (pos % 18 >= 10 AND pos < 558))
+      WHERE NOT ((bt != 2 OR (mx AND pos < 36))
+                 AND pos % 18 <= 7 AND pos >= 18)
+        AND NOT (pos % 18 >= 10
+                 AND (CASE WHEN bt != 2 THEN pos < 558
+                           WHEN mx THEN pos < 18 ELSE FALSE END))
     ),
     zvals AS (
       -- each aliased line's windowed-IMDCT contribution to its
@@ -1959,7 +1972,7 @@ def multimodal_mp3_hufftables_decode(
              * CAST(ROUND(4096 * COS(PI() / 72.0 * (2 * mm.m + 19)
                    * (2 * (pos2 % 18) + 1))) AS BIGINT)
              * CAST(CASE
-                 WHEN bt = 0 THEN
+                 WHEN bt = 0 OR bt = 2 THEN
                    ROUND(4096 * SIN(PI() / 36.0 * (mm.m + 0.5)))
                  WHEN bt = 1 THEN CASE
                    WHEN mm.m < 18 THEN
@@ -1976,7 +1989,7 @@ def multimodal_mp3_hufftables_decode(
                    ELSE ROUND(4096 * SIN(PI() / 36.0 * (mm.m + 0.5)))
                  END END AS BIGINT) AS zc
       FROM alias_c, LATERAL (SELECT unnest(range(0, 36)) AS m) mm
-      WHERE bt != 2
+      WHERE bt != 2 OR (mx AND pos2 < 36)
       UNION ALL
       -- short granules: line (w, k) feeds z[6 + 6w + m2] through the
       -- 12-point IMDCT and the short sine window
@@ -1988,7 +2001,7 @@ def multimodal_mp3_hufftables_decode(
              * CAST(ROUND(4096 * SIN(PI() / 12.0 * (mm.m + 0.5)))
                     AS BIGINT)
       FROM alias_c, LATERAL (SELECT unnest(range(0, 12)) AS m) mm
-      WHERE bt = 2
+      WHERE bt = 2 AND NOT (mx AND pos2 < 36)
     ),
     samples AS (
       -- emitted sample (g2, sb, n): the granule's own z[n] plus the
@@ -2032,13 +2045,16 @@ def multimodal_mp3_imdct_synth(
     inversion.  All tables are DERIVED (round(4096 * cos/sin/sqrt))
     rather than transcribed, and every product keeps full integer
     precision, so the DuckDB oracle reproduces the sums to the bit
-    by re-deriving the same tables.  Declared boundaries: non-unit
-    requantization (the irrational 4/3 power, nonzero scalefactors /
-    subblock_gain), mixed blocks, the scalefactor-band -> subband
-    reorder (part of general requantization; short-granule fixture
-    lines are post-reorder subband order), and the polyphase
-    synthesis filter (Table B.3's 512 empirical window
-    coefficients).  Reference scope note: the
+    by re-deriving the same tables.  MIXED granules run too (every
+    other short granule): subbands 0-1 long under the normal window
+    with alias reduction restricted to the long-long boundary,
+    subbands 2+ short.  Declared boundaries: non-unit requantization
+    (the irrational 4/3 power, nonzero scalefactors /
+    subblock_gain), the scalefactor-band -> subband reorder (part of
+    general requantization; short-granule fixture lines are
+    post-reorder subband order), and the polyphase synthesis filter
+    (Table B.3's 512 empirical window coefficients).  Reference
+    scope note: the
     reference delegates all media handling to its warehouse; this
     query is part of the training-data-pipeline surface the brief
     adds."""
