@@ -4251,15 +4251,20 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
     other gain/magnitude raises the declared non-unit-requantization
     boundary), then run the filterbank in EXACT integer Q12
     arithmetic: the eight B.9 alias-reduction butterflies at every
-    subband boundary, the 36-point IMDCT per subband, the
-    block-type-0 sine window, overlap-add of each granule's tail into
-    the next, and frequency inversion (odd samples of odd subbands
-    negated).  Every product keeps full precision (no rounding after
-    the Q12 tables), so the emitted sums are exact integers a SQL
-    oracle reproduces to the bit.  Window-switching blocks
-    (block_type != 0) raise: their 12-point IMDCT triplets are the
-    declared next layer.  The polyphase synthesis filter (Table B.3's
-    512-coefficient window) stays a declared boundary."""
+    subband boundary, the 36-point IMDCT under the
+    normal/start/stop windows (block types 0/1/3), the three
+    12-point IMDCTs under the short window for block type 2
+    (overlapped at 6-sample stride, alias reduction skipped), MIXED
+    granules (long low 2 subbands with the butterfly restricted to
+    the long-long boundary, short upper), overlap-add of each
+    granule's tail into the next, and frequency inversion (odd
+    samples of odd subbands negated).  Every product keeps full
+    precision (no rounding after the Q12 tables), so the emitted
+    sums are exact integers a SQL oracle reproduces to the bit.
+    Nonzero subblock_gain, the scalefactor-band -> subband reorder
+    (general requantization), and the polyphase synthesis filter
+    (Table B.3's 512-coefficient window) stay declared
+    boundaries."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
