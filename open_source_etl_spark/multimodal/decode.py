@@ -4543,6 +4543,285 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
     )
 
 
+_MP3_RQ_TABLES = None
+
+
+def _mp3_rq_tables():
+    """Derived fixed-point requantization tables (2.4.3.4): the
+    |is|^(4/3) power curve at Q12 for magnitudes 0..7 (every value a
+    shipped B.7 table can emit), the 2^((gain-210)/4) factor at Q12
+    over the 198..222 exactness band, and the half-step scalefactor
+    curve 2^(-k/2) at Q14 for k 0..18.  All three round identically
+    in DuckDB's ROUND(POW(...)) — verified: the only arguments with
+    rational results quantize exactly, and the irrational ones sit
+    far from .5 ties."""
+    global _MP3_RQ_TABLES
+    if _MP3_RQ_TABLES is None:
+        import math
+
+        p43 = [
+            int(math.floor(4096 * v ** (4 / 3) + 0.5)) for v in range(8)
+        ]
+        gain = {
+            g: int(math.floor(4096 * 2 ** ((g - 210) / 4) + 0.5))
+            for g in range(198, 223)
+        }
+        sfhalf = [
+            int(math.floor(16384 * 2 ** (-k / 2) + 0.5))
+            for k in range(19)
+        ]
+        _MP3_RQ_TABLES = (p43, gain, sfhalf)
+    return _MP3_RQ_TABLES
+
+
+def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
+    """REAL MPEG-1 Layer III requantization (ISO 11172-3 2.4.3.4) in
+    EXACT integer arithmetic — the layer the unit-gain filterbank
+    fixture bypassed: decode the slen-coded scalefactors (both
+    scalefac_scale modes), entropy-decode the big-values and count1
+    lines, map every line to its Table B.8 scalefactor band, and
+    requantize xr = sign * |is|^(4/3) * 2^((global_gain-210)/4) *
+    2^(-mult*scalefac[sfb]) with each factor a DERIVED fixed-point
+    table (Q12 * Q12 * Q14, products kept at full precision), so the
+    emitted sums are exact integers a SQL oracle re-derives.
+    Declared boundaries: gains outside the 198..222 band (Q12
+    over/underflow), half-step indices past 18, preflag (Table B.6's
+    pretab is an empirical table with no self-validating structure —
+    excluded rather than shipped unvalidated), window-switching
+    granules (subblock_gain), and quantized magnitudes above 7 (only
+    the unshipped 16x16 tables can emit them)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        p43, gain_tab, sfhalf = _mp3_rq_tables()
+        b8 = MP3_SFB_LONG[44100]
+
+        def walk(doc_id: int, raw: bytes):
+            if len(raw) < 21 or raw[0] != 0xFF or (raw[1] & 0xFE) != 0xFA:
+                raise ValueError(f"doc {doc_id}: not an MPEG-1 L3 frame")
+            side = raw[4:21]
+            bitpos = 0
+
+            def sbits(n):
+                nonlocal bitpos
+                out = 0
+                for _ in range(n):
+                    out = (out << 1) | (
+                        (side[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                    )
+                    bitpos += 1
+                return out
+
+            from .synth import MP3_SLEN
+
+            if sbits(9):
+                raise ValueError(f"doc {doc_id}: requant fixture uses "
+                                 "no reservoir")
+            sbits(5)
+            if sbits(4):
+                raise ValueError(f"doc {doc_id}: scfsi must be 0")
+            gfields = []
+            for _g in range(2):
+                p23 = sbits(12)
+                bv = sbits(9)
+                gg = sbits(8)
+                if not 198 <= gg <= 222:
+                    raise NotImplementedError(
+                        f"global_gain {gg} outside the 198..222 "
+                        "exact-Q12 band"
+                    )
+                sl1, sl2 = MP3_SLEN[sbits(4)]
+                if sbits(1):
+                    raise NotImplementedError(
+                        "requantization for window-switching "
+                        "granules (subblock_gain) not implemented"
+                    )
+                tsels = tuple(sbits(5) for _ in range(3))
+                rc = sbits(4)
+                rc2 = sbits(3)
+                if sbits(1):
+                    raise NotImplementedError(
+                        "preflag requantization not implemented "
+                        "(Table B.6 pretab excluded: no "
+                        "self-validating structure)"
+                    )
+                sfs = sbits(1)
+                c1a = sbits(1) == 0
+                gfields.append(
+                    (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a)
+                )
+
+            dpos = 21 * 8
+
+            def take(n):
+                nonlocal dpos
+                out = 0
+                for _ in range(n):
+                    out = (out << 1) | (
+                        (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
+                    )
+                    dpos += 1
+                return out
+
+            s_signed = s_abs = nnz = pos_signed = 0
+            for p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a in gfields:
+                start = dpos
+                sfac = [take(sl1) for _ in range(11)]
+                sfac += [take(sl2) for _ in range(10)]
+                mult2 = 2 if sfs else 1  # exponent in HALF steps
+
+                def sf_index(pos: int) -> int:
+                    # scalefactor band of a line; the zone above
+                    # b8[21] carries no scalefactor (factor 1)
+                    for sfb in range(21):
+                        if pos < b8[sfb + 1]:
+                            return sfac[sfb] * mult2
+                    return 0
+
+                if rc + 1 >= len(b8) or rc + rc2 + 2 >= len(b8):
+                    raise ValueError(
+                        f"doc {doc_id}: region counts overrun B.8"
+                    )
+                r0 = min(bv, b8[rc + 1] // 2)
+                r1 = min(bv, b8[rc + rc2 + 2] // 2)
+                pos = 0
+                levels: list[tuple[int, int]] = []
+                for count, tsel in (
+                    (r0, tsels[0]), (r1 - r0, tsels[1]),
+                    (bv - r1, tsels[2]),
+                ):
+                    if count <= 0:
+                        continue
+                    if tsel == 0:
+                        pos += 2 * count
+                        continue
+                    table = MP3_HUFF_TABLES.get(tsel)
+                    if table is None:
+                        raise NotImplementedError(
+                            f"B.7 Huffman table {tsel} data not "
+                            "shipped"
+                        )
+                    for _ in range(count):
+                        length = code = 0
+                        while True:
+                            code = (code << 1) | take(1)
+                            length += 1
+                            xy = table.get((length, code))
+                            if xy is not None:
+                                break
+                            if length >= 19:
+                                raise ValueError(
+                                    f"doc {doc_id}: invalid "
+                                    "big-values code"
+                                )
+                        for v in xy:
+                            if v:
+                                levels.append(
+                                    (pos, -v if take(1) else v)
+                                )
+                            pos += 1
+                while dpos - start < p23:
+                    if pos + 4 > 576:
+                        raise ValueError(
+                            f"doc {doc_id}: count1 overruns spectrum"
+                        )
+                    if c1a:
+                        length = code = 0
+                        while True:
+                            code = (code << 1) | take(1)
+                            length += 1
+                            quad = MP3_COUNT1A.get((length, code))
+                            if quad is not None:
+                                break
+                            if length >= 7:
+                                raise ValueError(
+                                    f"doc {doc_id}: invalid count1 "
+                                    "code"
+                                )
+                    else:
+                        quad = take(4) ^ 0xF
+                    for idx, shift in enumerate((3, 2, 1, 0)):
+                        if (quad >> shift) & 1:
+                            levels.append(
+                                (pos + idx, -1 if take(1) else 1)
+                            )
+                    if dpos - start > p23:
+                        raise ValueError(
+                            f"doc {doc_id}: count1 overran "
+                            "part2_3_length"
+                        )
+                    pos += 4
+                if dpos - start != p23:
+                    raise ValueError(
+                        f"doc {doc_id}: part2_3_length not exactly "
+                        "consumed"
+                    )
+                for pos, v in levels:
+                    mag = abs(v)
+                    if mag > 7:
+                        raise NotImplementedError(
+                            "quantized magnitudes above 7 (16x16 "
+                            "table territory) not implemented"
+                        )
+                    k = sf_index(pos)
+                    if k > 18:
+                        raise NotImplementedError(
+                            f"half-step scalefactor index {k} past "
+                            "the derived Q14 table"
+                        )
+                    rq = p43[mag] * gain_tab[gg] * sfhalf[k]
+                    rq = -rq if v < 0 else rq
+                    s_signed += rq
+                    s_abs += abs(rq)
+                    nnz += 1
+                    pos_signed += pos if v > 0 else -pos
+            return 2, s_signed, s_abs, nnz, pos_signed
+
+        cols = (
+            "doc_id", "n_granules", "sum_rq_signed", "sum_rq_abs",
+            "n_nonzero", "sum_pos_signed",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, n_granules long, sum_rq_signed long, "
+        "sum_rq_abs long, n_nonzero long, sum_pos_signed long",
+    )
+
+
+def synthesize_mp3_rq(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying the general-requantization stream
+    (``make_mp3_rq_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_rq_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_rq_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 def synthesize_mp3_imdct(docs_df: DataFrame) -> DataFrame:
     """doc_id → media rows carrying the unit-magnitude filterbank
     stream (``make_mp3_imdct_bytes``)."""

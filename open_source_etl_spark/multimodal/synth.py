@@ -2499,6 +2499,146 @@ def make_mp3_imdct_bytes(doc_id: int) -> bytes:
     )
 
 
+def mp3_rq_fields(doc_id: int, g: int) -> tuple[int, int, int, int, int]:
+    """(rc, global_gain, scalefac_scale, sf_a, sf_b) for the
+    requantization fixture's granule g: gains sweep the 198..222
+    exactness band, scalefac_scale alternates (half-step vs full-step
+    scalefactor exponents), and the scalefactor values are capped so
+    the half-step index 2*mult*sf stays inside the derived Q14
+    table."""
+    rc = 1 + (doc_id + g) % 15
+    gg = 198 + (doc_id + 5 * g) % 25
+    sfs = (doc_id + g) % 2
+    sl1, sl2 = MP3_SLEN[(doc_id + g) % 16]
+    cap = 8 if sfs else 16
+    sf_a = (doc_id + g) % min(1 << sl1, cap) if sl1 else 0
+    sf_b = (doc_id + 7 + g) % min(1 << sl2, cap) if sl2 else 0
+    return rc, gg, sfs, sf_a, sf_b
+
+
+def mp3_rq_spectrum(doc_id: int, g: int) -> dict[int, int]:
+    """The requantization fixture's nonzero QUANTIZED lines
+    (position -> signed level, magnitudes 0..7 through B.7 table 10):
+    nbv pairs at positions B.8[rc+1] + 2q, then count1 ±1 quads."""
+    rc, *_ = mp3_rq_fields(doc_id, g)
+    from .decode import MP3_SFB_LONG_44100
+
+    base = MP3_SFB_LONG_44100[rc + 1]
+    nbv = 9 + (doc_id + g) % 7
+    nq = 3 + (doc_id + g) % 3
+    out = {}
+    for q in range(nbv):
+        x = (doc_id + 3 * q + g) % 8
+        y = (2 * doc_id + q + g) % 8
+        if x:
+            out[base + 2 * q] = x if (doc_id + q + g) % 2 == 0 else -x
+        if y:
+            out[base + 2 * q + 1] = (
+                y if (doc_id + q + g + 1) % 2 == 0 else -y
+            )
+    c1_base = base + 2 * nbv
+    for j in range(nq):
+        pattern = (doc_id + 5 * g + j) % 16
+        neg = (doc_id + j) % 2
+        for idx, shift in enumerate((3, 2, 1, 0)):
+            if (pattern >> shift) & 1:
+                out[c1_base + 4 * j + idx] = -1 if neg else 1
+    return out
+
+
+def make_mp3_rq_bytes(doc_id: int) -> bytes:
+    """Single-frame MPEG-1 Layer III stream for EXACT general
+    requantization: long-block granules whose scalefactors are REAL
+    (slen-coded under scalefac_compress = (doc+g) % 16, both
+    scalefac_scale modes), global_gain sweeps 198..222, and the
+    big-values region carries magnitudes 0..7 through B.7 table 10 —
+    so |is|^(4/3), 2^((gain-210)/4), and the per-band 2^(-mult*sf)
+    factors all do real work.  preflag stays 0 (Table B.6's pretab is
+    an empirical table with no self-validating structure, so it is
+    excluded rather than shipped unvalidated)."""
+    from .decode import MP3_SFB_LONG_44100
+
+    enc, _c1a = _mp3_ht_enc()
+
+    def granule_bits(g: int) -> tuple[int, int]:
+        rc, _gg, _sfs, sf_a, sf_b = mp3_rq_fields(doc_id, g)
+        sl1, sl2 = MP3_SLEN[(doc_id + g) % 16]
+        nbv = 9 + (doc_id + g) % 7
+        nq = 3 + (doc_id + g) % 3
+        rc2 = min(7, 20 - rc)
+        r0_pairs = MP3_SFB_LONG_44100[rc + 1] // 2
+        if r0_pairs + nbv > MP3_SFB_LONG_44100[rc + rc2 + 2] // 2:
+            raise ValueError("live pairs overrun region1")
+        acc = nb = 0
+        for _band in range(11):
+            acc = (acc << sl1) | sf_a
+            nb += sl1
+        for _band in range(10):
+            acc = (acc << sl2) | sf_b
+            nb += sl2
+        for q in range(nbv):
+            x = (doc_id + 3 * q + g) % 8
+            y = (2 * doc_id + q + g) % 8
+            hlen, hcode = enc[10][(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if x:
+                acc = (acc << 1) | ((doc_id + q + g) % 2)
+                nb += 1
+            if y:
+                acc = (acc << 1) | ((doc_id + q + g + 1) % 2)
+                nb += 1
+        for j in range(nq):
+            pattern = (doc_id + 5 * g + j) % 16
+            acc = (acc << 4) | (pattern ^ 0xF)
+            nb += 4
+            neg = (doc_id + j) % 2
+            for shift in (3, 2, 1, 0):
+                if (pattern >> shift) & 1:
+                    acc = (acc << 1) | neg
+                    nb += 1
+        return acc, nb
+
+    br_idx = 9
+    frame_len = (144 * MP3_BITRATES_KBPS[br_idx] * 1000) // 44100
+    cap = frame_len - 4 - 17
+    a0, n0 = granule_bits(0)
+    a1, n1 = granule_bits(1)
+    acc = (a0 << n1) | a1
+    nb = n0 + n1
+    pad = (8 - nb % 8) % 8
+    packed = (acc << pad).to_bytes((nb + pad) // 8, "big")
+    if len(packed) > cap:
+        raise ValueError("granule data overran the frame region")
+
+    w = _BitPacker()
+    w.u(0, 9)
+    w.u(0, 5)
+    w.u(0, 4)   # scfsi
+    for g, p23 in ((0, n0), (1, n1)):
+        rc, gg, sfs, _a, _b = mp3_rq_fields(doc_id, g)
+        nbv = 9 + (doc_id + g) % 7
+        r0_pairs = MP3_SFB_LONG_44100[rc + 1] // 2
+        w.u(p23, 12)
+        w.u(r0_pairs + nbv, 9)
+        w.u(gg, 8)                   # global_gain: the 198..222 band
+        w.u((doc_id + g) % 16, 4)    # scalefac_compress
+        w.u(0, 1)                    # long blocks
+        for t in (0, 10, 10):
+            w.u(t, 5)
+        w.u(rc, 4)
+        w.u(min(7, 20 - rc), 3)
+        w.u(0, 1)                    # preflag: pretab excluded
+        w.u(sfs, 1)                  # scalefac_scale
+        w.u(1, 1)                    # count1table_select: table B
+    si = w.to_bytes()
+    assert len(si) == 17
+    return (
+        bytes((0xFF, 0b11111011, (br_idx << 4), 0b11000100))
+        + si + packed + bytes(cap - len(packed))
+    )
+
+
 # Ogg page CRC-32 (RFC 3533 6.): polynomial 0x04c11db7, no reflection,
 # zero init and xorout — NOT the zlib CRC, a detail page walkers trip
 # over.  Table-driven, shared by synth and decode through this module.
