@@ -2339,7 +2339,7 @@ def _parse_sps_all(doc_id: int, rbsp: bytes) -> dict:
         raise ValueError(f"doc {doc_id}: POC type 1 unsupported")
     elif poc_type != 2:
         raise ValueError(f"doc {doc_id}: invalid pic_order_cnt_type {poc_type}")
-    r.ue()  # max_num_ref_frames
+    max_num_ref_frames = r.ue()
     r.u(1)  # gaps_in_frame_num_value_allowed_flag
     w_m1 = r.ue()
     h_m1 = r.ue()
@@ -2368,6 +2368,7 @@ def _parse_sps_all(doc_id: int, rbsp: bytes) -> dict:
         "height": height,
         "frame_num_bits": frame_num_bits,
         "poc_type": poc_type,
+        "max_num_ref_frames": max_num_ref_frames,
     }
 
 
@@ -8197,7 +8198,7 @@ def decode_bmp_rle4(media_df: DataFrame) -> DataFrame:
 
 
 def _h264_mvp(
-    mbs: list, idx: int, mb_w: int
+    mbs: list, idx: int, mb_w: int, cur_ref: int = 0
 ) -> tuple[int, int]:
     """Luma 16x16 motion vector predictor (ITU-T H.264 8.4.1.3) over
     the CURRENT picture's already-decoded macroblock state ``mbs``
@@ -8207,9 +8208,10 @@ def _h264_mvp(
     C above-right (D above-left substitutes when C is outside the
     picture).  Rules, in spec order: (1) if B, C and D are all
     unavailable and A is available, the predictor is mvA wholesale;
-    (2) if EXACTLY ONE neighbor's ref_idx equals the current ref (0 in
-    this single-reference stream), the predictor is that neighbor's MV
-    wholesale; (3) otherwise the component-wise median."""
+    (2) if EXACTLY ONE neighbor's ref_idx equals ``cur_ref`` (the
+    macroblock's own reference index), the predictor is that
+    neighbor's MV wholesale; (3) otherwise the component-wise
+    median."""
     row, col = idx // mb_w, idx % mb_w
 
     def neighbor(dr: int, dc: int):
@@ -8234,7 +8236,7 @@ def _h264_mvp(
     ref_mv = [
         nb if nb is not None else (-1, (0, 0)) for nb in (a, b, c)
     ]
-    matches = [mv for ref, mv in ref_mv if ref == 0]
+    matches = [mv for ref, mv in ref_mv if ref == cur_ref]
     if len(matches) == 1:
         return matches[0]  # rule 2: exactly one matching reference
     xs = sorted(mv[0] for _ref, mv in ref_mv)
@@ -8269,8 +8271,11 @@ def _parse_p_inter_slice(
     residual tables and raises), and I_PCM refreshes (mb_type 30).
     Sub-16x16 partitions (mb_types 1-4) would need pixel-plane
     interpolation state and raise at the declared boundary.  Returns
-    (frame_num, ops) where ops[i] is ('mv', (mvx, mvy)) in
-    quarter-pel units, or ('pcm', luma_sum)."""
+    (frame_num, n_active_refs, ref_list_mods, ops) where ops[i] is
+    ('inter', (mvx, mvy), ref_idx) / ('skip', (mvx, mvy)) in
+    quarter-pel units, or ('pcm', luma_sum); ref_list_mods is the
+    parsed ref_pic_list_modification ops [(idc, abs_diff_pic_num)]
+    in stream order."""
     n_mbs = mb_w * mb_h
     r = _H264BitReader(rbsp, doc_id)
     if r.ue() != 0:
@@ -8282,23 +8287,39 @@ def _parse_p_inter_slice(
         )
     r.ue()  # pic_parameter_set_id
     frame_num = r.u(frame_num_bits)
+    active = 1
     if r.u(1):  # num_ref_idx_active_override_flag
-        if r.ue() != 0:
+        active = r.ue() + 1
+        if active > 4:
             raise NotImplementedError(
-                "multiple reference pictures not implemented "
-                "(single-ref fixture)"
+                "more than 4 active reference pictures not implemented"
             )
-    if r.u(1):
-        raise NotImplementedError(
-            "ref_pic_list_modification not implemented (single-ref fixture)"
-        )
+    mods: list = []
+    if r.u(1):  # ref_pic_list_modification_flag_l0 (7.3.3.1)
+        while True:
+            idc = r.ue()
+            if idc == 3:
+                break
+            if idc == 2:
+                raise NotImplementedError(
+                    "long-term reference modification not implemented"
+                )
+            if idc > 3:
+                raise ValueError(
+                    f"doc {doc_id}: modification_of_pic_nums_idc {idc}"
+                )
+            mods.append((idc, r.ue() + 1))
+            if len(mods) > 16:
+                raise ValueError(
+                    f"doc {doc_id}: runaway modification list"
+                )
     if r.u(1):
         raise NotImplementedError("adaptive reference marking not implemented")
     qp_delta = r.se()
     if not -52 < qp_delta < 52:
         raise ValueError(f"doc {doc_id}: slice_qp_delta out of range")
     mbs: list = [None] * n_mbs   # (ref_idx, (mvx, mvy)) per decoded MB
-    ops: list = [None] * n_mbs   # ('mv', mv) | ('pcm', luma_sum)
+    ops: list = [None] * n_mbs
     decoded = 0
     while decoded < n_mbs:
         skip_run = r.ue()
@@ -8315,8 +8336,20 @@ def _parse_p_inter_slice(
             break
         mb_type = r.ue()
         if mb_type == 0:  # P_L0_16x16
+            # ref_idx_l0, te(v): absent at 1 active ref, a single
+            # INVERTED bit at 2, plain ue above
+            if active == 1:
+                ref = 0
+            elif active == 2:
+                ref = 1 - r.u(1)
+            else:
+                ref = r.ue()
+            if ref >= active:
+                raise ValueError(
+                    f"doc {doc_id}: ref_idx {ref} >= active {active}"
+                )
             mvd = (r.se(), r.se())
-            mvp = _h264_mvp(mbs, decoded, mb_w)
+            mvp = _h264_mvp(mbs, decoded, mb_w, ref)
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             cbp_code = r.ue()
             if cbp_code != 0:
@@ -8325,8 +8358,8 @@ def _parse_p_inter_slice(
                     "blocks (declared stub; Table 9-4 Inter codeNum 0 "
                     "only)"
                 )
-            mbs[decoded] = (0, mv)
-            ops[decoded] = ("inter", mv)
+            mbs[decoded] = (ref, mv)
+            ops[decoded] = ("inter", mv, ref)
             decoded += 1
         elif mb_type == 30:  # I_PCM (intra 25 + P-slice offset 5)
             luma = _read_pcm_mb_luma(doc_id, r, rbsp)
@@ -8350,7 +8383,7 @@ def _parse_p_inter_slice(
             raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
     if r.pos != 8 * len(rbsp):
         raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
-    return frame_num, ops
+    return frame_num, active, mods, ops
 
 
 H264_INTER_SCHEMA = (
@@ -8416,9 +8449,15 @@ def decode_h264_inter(media_df: DataFrame) -> DataFrame:
                         )
                     mb_w = sps["width"] // 16
                     mb_h = sps["height"] // 16
-                    frame_num, ops = _parse_p_inter_slice(
+                    frame_num, active, mods, ops = _parse_p_inter_slice(
                         doc_id, rbsp, sps["frame_num_bits"], mb_w, mb_h
                     )
+                    if active != 1 or mods:
+                        raise NotImplementedError(
+                            "multi-reference slices belong to the "
+                            "multiref walker (this one holds a single "
+                            "reference picture)"
+                        )
                     if frame_num != expect_frame % 16:
                         raise ValueError(
                             f"doc {doc_id}: frame_num {frame_num} != "
@@ -8427,7 +8466,8 @@ def decode_h264_inter(media_df: DataFrame) -> DataFrame:
                     expect_frame += 1
                     new = [0] * len(ops)
                     n_skip = n_inter = mv_sum = skip_mv_sum = 0
-                    for idx, (kind, val) in enumerate(ops):
+                    for idx, op in enumerate(ops):
+                        kind, val = op[0], op[1]
                         if kind == "pcm":
                             new[idx] = val
                             continue
@@ -8480,6 +8520,196 @@ def decode_h264_inter(media_df: DataFrame) -> DataFrame:
 
     return media_df.select("doc_id", "payload").mapInPandas(
         kernel, H264_INTER_SCHEMA
+    )
+
+
+H264_MULTIREF_SCHEMA = (
+    "doc_id long, frame_idx long, frame_type string, mean_luma long, "
+    "n_skip long, n_inter long, sum_ref_idx long, n_list_mods long"
+)
+
+
+def decode_h264_multiref(media_df: DataFrame) -> DataFrame:
+    """MULTI-REFERENCE H.264 decode (ITU-T H.264 8.2.4): a sliding-
+    window DPB of max_num_ref_frames decoded pictures, the default P
+    reference list in descending PicNum order, te(v)-coded
+    ref_idx_l0 per macroblock selecting which picture to copy from,
+    and REAL ref_pic_list_modification handling (8.2.4.3.1: picNum
+    arithmetic with MaxPicNum wrapping, the matched picture moved to
+    the front of the list and the remainder shifted).  A decoder
+    that clamps to one reference or skips the modification
+    reconstructs the wrong pictures and the value oracle catches it.
+    Long-term references, B slices, and sub-16x16 partitions stay
+    declared boundaries."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            sps = pps = None
+            rows = []
+            dpb: list = []  # (frame_num, per-MB luma sums), newest first
+            expect_frame = 1
+            for unit in h264_split_nals(doc_id, raw):
+                nal_type = unit[0] & 0x1F
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    n_mbs = (sps["width"] // 16) * (sps["height"] // 16)
+                    _pid, first_mb, mb_sums = _parse_ipcm_slice(
+                        doc_id, rbsp, sps["frame_num_bits"], n_mbs
+                    )
+                    if first_mb != 0 or len(mb_sums) != n_mbs:
+                        raise ValueError(
+                            f"doc {doc_id}: partial IDR in multiref "
+                            "fixture"
+                        )
+                    dpb = [(0, list(mb_sums))]
+                    rows.append(
+                        ("I", sum(mb_sums) // (256 * n_mbs), 0, 0, 0, 0)
+                    )
+                    expect_frame = 1
+                elif nal_type == 1:
+                    if not dpb or sps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: P slice with no reference"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    frame_num, active, mods, ops = _parse_p_inter_slice(
+                        doc_id, rbsp, sps["frame_num_bits"], mb_w, mb_h
+                    )
+                    if frame_num != expect_frame % 16:
+                        raise ValueError(
+                            f"doc {doc_id}: frame_num {frame_num} != "
+                            f"expected {expect_frame % 16}"
+                        )
+                    if active > len(dpb):
+                        raise ValueError(
+                            f"doc {doc_id}: {active} active refs with "
+                            f"only {len(dpb)} decoded pictures"
+                        )
+                    # 8.2.4.3.1: modifications move the named PicNum
+                    # to the front, shifting the rest; picNumPred
+                    # starts at CurrPicNum with MaxPicNum wrapping
+                    ref_list = list(dpb)
+                    max_pic = 1 << sps["frame_num_bits"]
+                    pic_num_pred = frame_num
+                    for at, (idc, abs_diff) in enumerate(mods):
+                        if idc == 0:
+                            pic_num = pic_num_pred - abs_diff
+                            if pic_num < 0:
+                                pic_num += max_pic
+                        else:
+                            pic_num = pic_num_pred + abs_diff
+                            if pic_num >= max_pic:
+                                pic_num -= max_pic
+                        hits = [
+                            j for j, (fn, _p) in enumerate(ref_list)
+                            if fn == pic_num
+                        ]
+                        if not hits:
+                            raise ValueError(
+                                f"doc {doc_id}: modification names "
+                                f"PicNum {pic_num} not in the DPB"
+                            )
+                        ref_list.insert(at, ref_list.pop(hits[0]))
+                        pic_num_pred = pic_num
+                    new = [0] * n_mbs
+                    n_skip = n_inter = ref_sum = 0
+                    for idx, op in enumerate(ops):
+                        kind = op[0]
+                        if kind == "pcm":
+                            new[idx] = op[1]
+                            continue
+                        mvx, mvy = op[1]
+                        ref = op[2] if kind == "inter" else 0
+                        if mvx % 64 or mvy % 64:
+                            raise NotImplementedError(
+                                "sub-macroblock motion needs pixel-"
+                                "plane reference state (declared "
+                                "boundary)"
+                            )
+                        row_, col = idx // mb_w, idx % mb_w
+                        sr = row_ + mvy // 64
+                        sc = col + mvx // 64
+                        if not (0 <= sr < mb_h and 0 <= sc < mb_w):
+                            raise NotImplementedError(
+                                "motion past the picture edge needs "
+                                "8.4.2.2.1 clipping (declared "
+                                "boundary)"
+                            )
+                        new[idx] = ref_list[ref][1][sr * mb_w + sc]
+                        if kind == "inter":
+                            n_inter += 1
+                            ref_sum += ref
+                        else:
+                            n_skip += 1
+                    # sliding-window marking: newest first, trimmed
+                    # to the SPS bound
+                    dpb.insert(0, (frame_num, new))
+                    del dpb[max(sps["max_num_ref_frames"], 1):]
+                    expect_frame += 1
+                    rows.append(
+                        ("P", sum(new) // (256 * n_mbs), n_skip,
+                         n_inter, ref_sum, len(mods))
+                    )
+                elif nal_type not in (7, 8):
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected NAL type {nal_type}"
+                    )
+            if not rows:
+                raise ValueError(f"doc {doc_id}: no pictures decoded")
+            return rows
+
+        cols = (
+            "doc_id", "frame_idx", "frame_type", "mean_luma",
+            "n_skip", "n_inter", "sum_ref_idx", "n_list_mods",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, row in enumerate(walk(int(doc_id), bytes(b))):
+                    vals = (int(doc_id), fi, *row)
+                    for col, v in zip(cols, vals):
+                        out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, H264_MULTIREF_SCHEMA
+    )
+
+
+def synthesize_h264_multiref(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying the multi-reference H.264 GOP
+    (``make_h264_multiref_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_multiref_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_multiref_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
     )
 
 

@@ -1241,7 +1241,8 @@ def h264_sps_rbsp(doc_id: int) -> bytes:
 
 
 def _h264_sps_from_fields(
-    profile_idc: int, level_idc: int, w_m1: int, h_m1: int
+    profile_idc: int, level_idc: int, w_m1: int, h_m1: int,
+    max_ref: int = 1,
 ) -> bytes:
     w = _H264BitWriter()
     w.u(profile_idc, 8)
@@ -1250,7 +1251,7 @@ def _h264_sps_from_fields(
     w.ue(0)    # seq_parameter_set_id
     w.ue(0)    # log2_max_frame_num_minus4
     w.ue(2)    # pic_order_cnt_type (2: no further POC fields)
-    w.ue(1)    # max_num_ref_frames
+    w.ue(max_ref)  # max_num_ref_frames
     w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
     w.ue(w_m1)  # pic_width_in_mbs_minus1
     w.ue(h_m1)  # pic_height_in_map_units_minus1
@@ -1793,6 +1794,110 @@ def make_h264_cavlc_bytes(doc_id: int) -> bytes:
                 2 + f,
             )
         )
+    return b"".join(units)
+
+
+def h264_multiref_w(doc_id: int, i: int) -> int:
+    """Flat luma of the multi-reference fixture's i-th P1 refresh."""
+    return 12 + (doc_id * 17 + 29 * i) % 180
+
+
+def make_h264_multiref_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream exercising MULTIPLE REFERENCE PICTURES
+    and ref_pic_list_modification (ITU-T H.264 7.3.3.1 + 8.2.4.3):
+    SPS max_num_ref_frames 2, and four pictures —
+
+    - IDR: the affine I_PCM plane L(r,c) = B + 5r + 3c.
+    - P1: I_PCM refreshes at macroblocks 0 and 1 (values W0/W1), the
+      rest P_Skip — so the two newest references genuinely DIFFER at
+      two known macroblocks.
+    - P2: num_ref_idx_active_override to TWO references; every
+      macroblock is a zero-MV P_L0_16x16 whose te(v) ref_idx_l0
+      cycles (doc+idx) % 2 — picking between P1 (ref 0) and the IDR
+      (ref 1), observable exactly at the refreshed macroblocks.
+    - P3: the same two-reference setup PLUS a ref_pic_list_
+      modification (idc 0, abs_diff_pic_num_minus1 1) that moves
+      PicNum 1 (P1) to the FRONT of the list, with the ref pattern
+      inverted — a decoder that ignores the modification reconstructs
+      P2's sums instead of P1's and the value oracle catches it.
+
+    All MVs are zero so the reference CHOICE is the entire signal."""
+    mb_w, mb_h, _ca = h264_inter_params(doc_id)
+    n_mbs = mb_w * mb_h
+    base = h264_inter_base(doc_id)
+    units = [
+        _h264_nal(
+            3, 7,
+            _h264_sps_from_fields(66, 10, mb_w - 1, mb_h - 1, max_ref=2),
+            0,
+        ),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+    lumas = [base + 5 * r + 3 * c for r in range(mb_h) for c in range(mb_w)]
+    units.append(_h264_nal(3, 5, _h264_idr_values_rbsp(0, lumas), 2))
+
+    def p_header(
+        frame_num: int, n_refs: int, modify: bool
+    ) -> "_H264BitWriter":
+        w = _H264BitWriter()
+        w.ue(0)                 # first_mb_in_slice
+        w.ue(5)                 # slice_type: P
+        w.ue(0)                 # pic_parameter_set_id
+        w.u(frame_num % 16, 4)  # frame_num
+        if n_refs == 1:
+            w.u(0, 1)           # num_ref_idx_active_override_flag
+        else:
+            w.u(1, 1)
+            w.ue(n_refs - 1)    # num_ref_idx_l0_active_minus1
+        if modify:
+            w.u(1, 1)           # ref_pic_list_modification_flag_l0
+            w.ue(0)             # idc 0: subtract from picNumPred
+            w.ue(1)             # abs_diff_pic_num_minus1 -> PicNum 1
+            w.ue(3)             # idc 3: end of modification list
+        else:
+            w.u(0, 1)
+        w.u(0, 1)               # adaptive_ref_pic_marking_mode_flag
+        w.se(0)                 # slice_qp_delta
+        return w
+
+    # P1: PCM refreshes at 0 and 1, the rest one long skip run
+    w = p_header(1, 1, False)
+    w.ue(0)
+    w.ue(30)  # I_PCM in a P slice
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    parts = [w.to_bytes()]
+    parts.append(
+        bytes([h264_multiref_w(doc_id, 0)]) * 256 + bytes([128]) * 128
+    )
+    w2 = _H264BitWriter()
+    w2.ue(0)
+    w2.ue(30)
+    while len(w2.bits) % 8:
+        w2.bits.append(0)
+    parts.append(w2.to_bytes())
+    parts.append(
+        bytes([h264_multiref_w(doc_id, 1)]) * 256 + bytes([128]) * 128
+    )
+    w3 = _H264BitWriter()
+    w3.ue(n_mbs - 2)
+    parts.append(w3.rbsp_trailing())
+    units.append(_h264_nal(2, 1, b"".join(parts), 3))
+
+    def inter_picture(frame_num: int, flip: int, modify: bool) -> bytes:
+        w = p_header(frame_num, 2, modify)
+        for idx in range(n_mbs):
+            w.ue(0)          # mb_skip_run 0
+            w.ue(0)          # mb_type: P_L0_16x16
+            ref = (doc_id + idx + flip) % 2
+            w.u(1 - ref, 1)  # ref_idx_l0, te(v) with cMax 1: inverted
+            w.se(0)          # mvd x
+            w.se(0)          # mvd y
+            w.ue(0)          # coded_block_pattern: codeNum 0
+        return w.rbsp_trailing()
+
+    units.append(_h264_nal(2, 1, inter_picture(2, 0, False), 4))
+    units.append(_h264_nal(2, 1, inter_picture(3, 1, True), 5))
     return b"".join(units)
 
 

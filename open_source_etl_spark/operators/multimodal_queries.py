@@ -1847,6 +1847,94 @@ def multimodal_mp3_hufftables_decode(
 
 
 @query(
+    "multimodal_h264_multiref_decode",
+    # formulas mirror synth.make_h264_multiref_bytes / h264_inter_*:
+    # an affine IDR (S0 = n*B + 5*mbw*T(mbh) + 3*mbh*T(mbw)), P1
+    # refreshing MBs 0/1 to W0/W1 (S1 = S0 + W0 + W1 - 2B - 3), P2
+    # choosing per-MB between the two newest references by
+    # (doc+idx) % 2 (S2 = S0 + (doc even ? W0-B : W1-B-3)), and P3
+    # repeating with the ref pattern INVERTED plus a
+    # ref_pic_list_modification that swaps the list — so S3 = S1,
+    # while a decoder ignoring the modification lands S2.  The DPB
+    # order, te(v) ref_idx decode, and 8.2.4.3.1 picNum arithmetic
+    # have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             4 + doc_id % 2 AS mbw,
+             3 + doc_id % 2 AS mbh,
+             30 + (doc_id * 7) % 90 AS b,
+             12 + (doc_id * 17) % 180 AS w0,
+             12 + (doc_id * 17 + 29) % 180 AS w1
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, mbw * mbh AS n, b, w0, w1,
+             mbw * mbh * b
+               + 5 * mbw * (mbh * (mbh - 1) // 2)
+               + 3 * mbh * (mbw * (mbw - 1) // 2) AS s0
+      FROM p
+    ),
+    f AS (
+      SELECT doc_id, n, ff.k AS frame_idx,
+             CASE ff.k WHEN 0 THEN 'I' ELSE 'P' END AS frame_type,
+             CASE ff.k
+               WHEN 0 THEN s0
+               WHEN 1 THEN s0 + w0 + w1 - 2 * b - 3
+               WHEN 2 THEN s0 + CASE WHEN doc_id % 2 = 0
+                                     THEN w0 - b ELSE w1 - b - 3 END
+               ELSE s0 + w0 + w1 - 2 * b - 3
+             END AS total,
+             CASE ff.k WHEN 1 THEN n - 2 ELSE 0 END AS n_skip,
+             CASE WHEN ff.k >= 2 THEN n ELSE 0 END AS n_inter,
+             CASE ff.k
+               WHEN 2 THEN n // 2 + (doc_id % 2) * (n % 2)
+               WHEN 3 THEN n - (n // 2 + (doc_id % 2) * (n % 2))
+               ELSE 0 END AS sum_ref_idx,
+             CASE ff.k WHEN 3 THEN 1 ELSE 0 END AS n_list_mods
+      FROM s, LATERAL (SELECT unnest([0, 1, 2, 3]) AS k) ff
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           frame_type,
+           CAST(total // n AS BIGINT) AS mean_luma,
+           CAST(n_skip AS BIGINT) AS n_skip,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sum_ref_idx AS BIGINT) AS sum_ref_idx,
+           CAST(n_list_mods AS BIGINT) AS n_list_mods
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_h264_multiref_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-REFERENCE H.264 inter decode (ITU-T H.264 8.2.4) — the
+    other half of real-world P-slice decoding beside the
+    motion-vector layer: a sliding-window DPB holds the two newest
+    decoded pictures, every macroblock's te(v)-coded ref_idx_l0
+    selects which one to copy from (the two candidates genuinely
+    differ at known macroblocks, so the choice is value-observable),
+    and the final picture carries a REAL ref_pic_list_modification
+    (idc 0 + abs_diff_pic_num, 8.2.4.3.1 picNum arithmetic with
+    MaxPicNum wrapping) that swaps the list — a decoder that ignores
+    it reconstructs the previous picture's sums and hash-mismatches.
+    Long-term references, B slices, and sub-16x16 partitions stay
+    declared boundaries.  Reference scope note: the reference
+    delegates all media handling to its warehouse; this query is part
+    of the training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_h264_multiref,
+        synthesize_h264_multiref,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_multiref(synthesize_h264_multiref(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
     "multimodal_mp3_requant_exact",
     # formulas mirror synth.mp3_rq_fields / mp3_rq_spectrum and
     # decode._mp3_rq_tables: granule g carries gain 198+(d+5g)%25,
