@@ -1811,6 +1811,111 @@ def datapipe_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "datapipe_zstd_scan",
+    # formulas mirror ingest.zstd: 1 + doc % 3 frames (every third doc
+    # led by a skippable frame), frame i carrying a RAW block of
+    # 20 + (doc+5i) % 40 bytes (doc+i+j) % 256, an RLE block of
+    # 10 + (doc+3i) % 50 copies of 65 + (doc+i) % 26, and a COMPRESSED
+    # block whose Huffman literals are (doc+i+j) % 8 and whose
+    # FSE-coded sequences splice matches from the RLE run, the raw
+    # payload (at offsets 3 and 5+ml1), and a Repeat1 reuse — or, on
+    # RLE-mode docs, two offset-15 matches into the RLE run.  The
+    # backward bitstreams, FSE state walks, Huffman table build, and
+    # XXH64 checksums have no closed form; the oracle restates the
+    # generator arithmetic per 'kind' of decoded byte.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, ff.i AS i,
+             doc_id + ff.i AS k,
+             20 + (doc_id + 5 * ff.i) % 40 AS raw_n,
+             10 + (doc_id + 3 * ff.i) % 50 AS rle_n,
+             65 + (doc_id + ff.i) % 26 AS rle_b,
+             12 + (doc_id + ff.i) % 8 AS n_lit,
+             4 + (doc_id + ff.i) % 4 AS ll0,
+             4 + (doc_id + ff.i) % 6 AS ml1,
+             3 + (doc_id + ff.i) % 4 AS ml2,
+             ((doc_id + ff.i) % 3 != 0
+              AND (doc_id + ff.i) % 4 = 2) AS rle_mode
+      FROM documents,
+           LATERAL (SELECT unnest(range(0, 1 + doc_id % 3)) AS i) ff
+    ),
+    parts AS (
+      -- raw-block bytes
+      SELECT doc_id, i, (k + jj.j) % 256 AS v
+      FROM f, LATERAL (SELECT unnest(range(0, raw_n)) AS j) jj
+      UNION ALL
+      -- RLE block plus the compressed block's RLE-sourced matches
+      SELECT doc_id, i,
+             rle_b * (rle_n + CASE WHEN rle_mode THEN 20 ELSE 3 END)
+      FROM f
+      UNION ALL
+      -- Huffman literals
+      SELECT doc_id, i, (k + jj.j) % 8
+      FROM f, LATERAL (SELECT unnest(range(0, n_lit)) AS j) jj
+      UNION ALL
+      -- matches into the raw payload (predefined-FSE docs only):
+      -- payload[3 .. 3+ml1) and payload[5+ml1 .. 5+ml1+ml2)
+      SELECT doc_id, i, (k + 3 + jj.j) % 256
+      FROM f, LATERAL (SELECT unnest(range(0, ml1)) AS j) jj
+      WHERE NOT rle_mode
+      UNION ALL
+      SELECT doc_id, i, (k + 5 + ml1 + jj.j) % 256
+      FROM f, LATERAL (SELECT unnest(range(0, ml2)) AS j) jj
+      WHERE NOT rle_mode
+    ),
+    sums AS (
+      SELECT doc_id, SUM(v) AS c_sum
+      FROM parts GROUP BY doc_id
+    ),
+    meta AS (
+      SELECT doc_id,
+             COUNT(*) AS nf,
+             SUM(raw_n + rle_n + n_lit
+                 + CASE WHEN rle_mode THEN 20
+                        ELSE 3 + ml1 + ml2 END) AS c_bytes,
+             SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS n_ck
+      FROM f GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(CASE WHEN m.doc_id % 3 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_skippable,
+           CAST(3 * nf AS BIGINT) AS n_blocks,
+           CAST(c_bytes AS BIGINT) AS content_bytes,
+           CAST(c_sum AS BIGINT) AS content_sum,
+           CAST(n_ck AS BIGINT) AS n_checksums
+    FROM meta m JOIN sums s ON m.doc_id = s.doc_id
+    ORDER BY m.doc_id
+    """,
+)
+def datapipe_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstandard (.zst) frame decode (RFC 8878) — THE compression
+    format web-scale training corpora ship, decoded from the byte
+    level with no codec library: concatenated frames (skippable
+    metadata frames stepped over), frame-header descriptor decode,
+    raw and RLE blocks, and FULL compressed blocks — Huffman-coded
+    literals (direct-weights table build with the implied-last-weight
+    power-of-two completion, canonical slot assignment, backward
+    bitstreams with 1-sentinels, 1-stream and 4-stream layouts),
+    FSE-coded sequences through the spec's PREDEFINED distributions
+    (structurally gated: each must normalize to exactly
+    1 << accuracy_log) and RLE-mode degenerate tables, the
+    interleaved state/extra-bit walk, repeat-offset history, and
+    overlap-safe match execution against the window — plus REAL
+    XXH64 content checksums (implemented from the spec constants,
+    validated against the published test vectors).  Declared
+    boundaries: dictionary frames, FSE-compressed Huffman weights,
+    FSE-described/repeat sequence tables, treeless literals.
+    Reference scope note: the reference delegates storage formats to
+    its warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..ingest.zstd import extract_zstd
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return extract_zstd(docs).orderBy("doc_id")
+
+
+@query(
     "datapipe_pdf_text_extract",
     # formulas mirror ingest.pdf: 2 + doc % 3 pages, page p carrying
     # the text slice [7p, 7p + 24 + 3p) (clamped) plus two injected

@@ -916,3 +916,98 @@ def test_subtitles_parse_both_dialects_and_reject_malformed():
     joined = "\n".join(empty[: ts_i + 1] + [""] + empty[ts_i + 1 :])
     with pytest.raises(ValueError, match="no text lines"):
         parse_subtitles(2, joined.encode())
+
+
+def test_zstd_decodes_and_rejects_corruption():
+    """RFC 8878 zstd decode: the predefined FSE distributions pass
+    their structural gate (each normalizes to exactly
+    1 << accuracy_log counting -1 entries as one slot), XXH64 matches
+    the published test vectors, the full decode (Huffman literals,
+    FSE sequences, repeat offsets, 4-stream splits) reproduces the
+    INDEPENDENTLY computed closed-form content, and the integrity
+    checks fire: a flipped content byte breaks the XXH64 checksum, a
+    bad magic rejects, reserved FHD bits reject, a dictionary ID hits
+    the declared boundary, and a corrupted Huffman weight header
+    (FSE-compressed form) hits its declared boundary."""
+    import pytest
+
+    from open_source_etl_spark.ingest.zstd import (
+        ZSTD_LL_ACCLOG,
+        ZSTD_LL_DIST,
+        ZSTD_ML_ACCLOG,
+        ZSTD_ML_DIST,
+        ZSTD_OF_ACCLOG,
+        ZSTD_OF_DIST,
+        _fse_decode_table,
+        make_zstd_bytes,
+        parse_zstd,
+        xxh64,
+        zstd_block3_content,
+        zstd_n_frames,
+        zstd_raw_payload,
+        zstd_rle_fields,
+    )
+
+    # structural gate on the spec-literal distributions
+    for dist, log in (
+        (ZSTD_LL_DIST, ZSTD_LL_ACCLOG),
+        (ZSTD_ML_DIST, ZSTD_ML_ACCLOG),
+        (ZSTD_OF_DIST, ZSTD_OF_ACCLOG),
+    ):
+        assert sum(f if f > 0 else 1 for f in dist) == 1 << log
+        tab = _fse_decode_table(dist, log)
+        assert len(tab) == 1 << log
+        # every baseline window must stay inside the state space
+        for _s, nb, base in tab:
+            assert 0 <= base and base + (1 << nb) <= (1 << log)
+
+    # XXH64 published vectors
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+
+    # full decode matches independently computed content
+    for d in (0, 1, 2, 3, 5, 6, 7, 10):
+        raw = make_zstd_bytes(d)
+        nf, _ns, nb, cb, cs, _nck = parse_zstd(d, raw)
+        want_cb = want_cs = 0
+        for i in range(zstd_n_frames(d)):
+            p = zstd_raw_payload(d, i)
+            b, r = zstd_rle_fields(d, i)
+            c3 = zstd_block3_content(d, i, len(p) + r)
+            want_cb += len(p) + r + len(c3)
+            want_cs += sum(p) + b * r + sum(c3)
+        assert nf == zstd_n_frames(d) and nb == 3 * nf
+        assert (cb, cs) == (want_cb, want_cs), d
+
+    # doc 2 frame 0 carries a checksum: flip a raw-payload byte
+    raw = bytearray(make_zstd_bytes(2))
+    at = 4 + 1 + 1 + 4 + 3  # magic, fhd, wd, fcs, block header
+    raw[at] ^= 0xFF
+    with pytest.raises(ValueError, match="XXH64"):
+        parse_zstd(2, bytes(raw))
+
+    raw = bytearray(make_zstd_bytes(1))
+    raw[0] ^= 0xFF
+    with pytest.raises(ValueError, match="magic"):
+        parse_zstd(1, bytes(raw))
+
+    # reserved FHD bit set
+    raw = bytearray(make_zstd_bytes(1))
+    raw[4] |= 0x08
+    with pytest.raises(ValueError, match="reserved"):
+        parse_zstd(1, bytes(raw))
+
+    # dictionary-ID flag -> declared boundary
+    raw = bytearray(make_zstd_bytes(1))
+    raw[4] |= 0x01
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        parse_zstd(1, bytes(raw))
+
+    # FSE-compressed Huffman weights (header byte < 128) -> boundary.
+    # doc 1 frame 0: find the literals tree header (127 + 7 = 134)
+    raw = bytearray(make_zstd_bytes(1))
+    th_at = raw.index(bytes((134,)))
+    raw[th_at] = 60
+    with pytest.raises(Exception, match="FSE-compressed|exhaust"):
+        parse_zstd(1, bytes(raw))
