@@ -193,15 +193,40 @@ def _zstd_compressed_block(doc_id: int, i: int, h_len: int) -> bytes:
     ml_codes = [0, ml1 - 3, ml2 - 3]
     of_vals = [off0 + 3, of1 + 3, 1]
     of_codes = [v.bit_length() - 1 for v in of_vals]
-    ll_tab = _fse_decode_table(ZSTD_LL_DIST, ZSTD_LL_ACCLOG)
+    described = k % 5 == 4  # variant D: FSE-DESCRIBED LL/ML tables
+    if described:
+        def custom_dist(codes: list[int], acclog: int) -> list[int]:
+            used = sorted(set(codes))
+            share = (1 << acclog) // len(used)
+            d = [0] * (used[-1] + 1)
+            for c in used:
+                d[c] = share
+            d[used[0]] += (1 << acclog) - share * len(used)
+            return d
+
+        ll_dist = custom_dist(ll_codes, 5)
+        ml_dist = custom_dist(ml_codes, 5)
+        ll_tab = _fse_decode_table(ll_dist, 5)
+        ml_tab = _fse_decode_table(ml_dist, 5)
+        ll_log = ml_log = 5
+        tables = (
+            _write_fse_description(ll_dist, 5)
+            + _write_fse_description(ml_dist, 5)
+        )
+        modes = (2 << 6) | (0 << 4) | (2 << 2)
+    else:
+        ll_tab = _fse_decode_table(ZSTD_LL_DIST, ZSTD_LL_ACCLOG)
+        ml_tab = _fse_decode_table(ZSTD_ML_DIST, ZSTD_ML_ACCLOG)
+        ll_log, ml_log = ZSTD_LL_ACCLOG, ZSTD_ML_ACCLOG
+        tables = b""
+        modes = 0x00
     of_tab = _fse_decode_table(ZSTD_OF_DIST, ZSTD_OF_ACCLOG)
-    ml_tab = _fse_decode_table(ZSTD_ML_DIST, ZSTD_ML_ACCLOG)
     ll_states, ll_upd = _fse_pick_states(ll_tab, ll_codes, doc_id)
     of_states, of_upd = _fse_pick_states(of_tab, of_codes, doc_id)
     ml_states, ml_upd = _fse_pick_states(ml_tab, ml_codes, doc_id)
-    w.put(ll_states[0], ZSTD_LL_ACCLOG)
+    w.put(ll_states[0], ll_log)
     w.put(of_states[0], ZSTD_OF_ACCLOG)
-    w.put(ml_states[0], ZSTD_ML_ACCLOG)
+    w.put(ml_states[0], ml_log)
     for s in range(3):
         w.put(of_vals[s] - (1 << of_codes[s]), of_codes[s])
         # ml/ll codes here carry no extra bits by construction
@@ -209,7 +234,9 @@ def _zstd_compressed_block(doc_id: int, i: int, h_len: int) -> bytes:
             w.put(*ll_upd[s])
             w.put(*ml_upd[s])
             w.put(*of_upd[s])
-    seq = bytes((3, 0x00)) + w.to_bytes()
+    # table descriptions sit between the modes byte and the bitstream,
+    # in LL / OF / ML field order
+    seq = bytes((3, modes)) + tables + w.to_bytes()
     return lit_sec_block(lit_sec, seq)
 
 
@@ -456,6 +483,153 @@ class _BackBitWriter:
 
     def to_bytes(self) -> bytes:
         return self.acc.to_bytes((self.nbits + 8) // 8, "little")
+
+
+class _FwdBits:
+    """Forward little-endian bitstream (RFC 8878 FSE table
+    descriptions): bits are consumed LSB-first within each byte."""
+
+    def __init__(self, doc_id: int, raw: bytes, pos: int):
+        self.raw = raw
+        self.byte = pos
+        self.bit = 0
+        self.doc_id = doc_id
+
+    def read(self, n: int) -> int:
+        out = 0
+        got = 0
+        while got < n:
+            if self.byte >= len(self.raw):
+                raise ValueError(
+                    f"doc {self.doc_id}: FSE description overruns the "
+                    "block"
+                )
+            take = min(8 - self.bit, n - got)
+            out |= (
+                (self.raw[self.byte] >> self.bit) & ((1 << take) - 1)
+            ) << got
+            got += take
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return out
+
+    def align(self) -> int:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+        return self.byte
+
+
+class _FwdBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = 0
+        self.bit = 0
+
+    def put(self, value: int, n: int) -> None:
+        for j in range(n):
+            self.cur |= ((value >> j) & 1) << self.bit
+            self.bit += 1
+            if self.bit == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.bit = 0
+
+    def to_bytes(self) -> bytes:
+        if self.bit:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.bit = 0
+        return bytes(self.out)
+
+
+def _read_fse_description(
+    doc_id: int, raw: bytes, pos: int, max_acclog: int
+) -> tuple[list[int], int, int]:
+    """Decode an FSE table description (RFC 8878 4.1.1): 4-bit
+    accuracy_log (plus the base of 5), then truncated-binary-coded
+    probabilities over the remaining slot budget — value - 1 is the
+    probability, -1 taking one slot, and a ZERO probability is
+    followed by 2-bit repeat flags counting further zero-probability
+    symbols (value 3 chains).  Ends byte-aligned with the budget
+    spent exactly."""
+    br = _FwdBits(doc_id, raw, pos)
+    acclog = 5 + br.read(4)
+    if acclog > max_acclog:
+        raise ValueError(
+            f"doc {doc_id}: FSE accuracy_log {acclog} above the "
+            f"field's {max_acclog} maximum"
+        )
+    remaining = (1 << acclog) + 1
+    dist: list[int] = []
+    while remaining > 1:
+        # truncated binary over [0, remaining]
+        n_vals = remaining + 1
+        k = (n_vals - 1).bit_length()
+        u = (1 << k) - n_vals
+        v = br.read(k - 1)
+        if v >= u:
+            v = (v << 1 | br.read(1)) - u
+        proba = v - 1
+        dist.append(proba)
+        if proba == -1:
+            remaining -= 1
+        elif proba > 0:
+            remaining -= proba
+        else:
+            # zero probability: repeat flags for more zero symbols
+            while True:
+                rep = br.read(2)
+                dist.extend([0] * rep)
+                if rep != 3:
+                    break
+        if len(dist) > 256:
+            raise ValueError(
+                f"doc {doc_id}: runaway FSE description"
+            )
+    return dist, acclog, br.align()
+
+
+def _write_fse_description(dist: list[int], acclog: int) -> bytes:
+    """Encoder twin of ``_read_fse_description``."""
+    w = _FwdBitWriter()
+    w.put(acclog - 5, 4)
+    remaining = (1 << acclog) + 1
+    i = 0
+    while remaining > 1:
+        proba = dist[i]
+        i += 1
+        n_vals = remaining + 1
+        k = (n_vals - 1).bit_length()
+        u = (1 << k) - n_vals
+        v = proba + 1
+        if v < u:
+            w.put(v, k - 1)
+        else:
+            enc = v + u
+            w.put(enc >> 1, k - 1)
+            w.put(enc & 1, 1)
+        if proba == -1:
+            remaining -= 1
+        elif proba > 0:
+            remaining -= proba
+        else:
+            zeros = 0
+            while i < len(dist) and dist[i] == 0 and zeros < 3:
+                zeros += 1
+                i += 1
+            w.put(zeros, 2)
+            while zeros == 3:
+                zeros = 0
+                while i < len(dist) and dist[i] == 0 and zeros < 3:
+                    zeros += 1
+                    i += 1
+                w.put(zeros, 2)
+    if i != len(dist):
+        raise ValueError("FSE description distribution overlong")
+    return w.to_bytes()
 
 
 def _fse_decode_table(
@@ -764,7 +938,10 @@ def _decode_compressed_block(
     if modes & 3:
         raise ValueError(f"doc {doc_id}: reserved sequence-mode bits")
 
-    def seq_table(mode: int, dist: tuple, acclog: int, max_code: int):
+    def seq_table(
+        mode: int, dist: tuple, acclog: int, max_code: int,
+        max_acclog: int,
+    ):
         nonlocal pos
         if mode == 0:
             return _fse_decode_table(dist, acclog), acclog
@@ -777,19 +954,29 @@ def _decode_compressed_block(
                     "range"
                 )
             return [(sym, 0, 0)], 0
+        if mode == 2:  # FSE-described: decode the count header
+            d, log, pos = _read_fse_description(
+                doc_id, raw, pos, max_acclog
+            )
+            if len(d) - 1 > max_code:
+                raise ValueError(
+                    f"doc {doc_id}: described table reaches symbol "
+                    f"{len(d) - 1} past the field maximum {max_code}"
+                )
+            return _fse_decode_table(d, log), log
         raise NotImplementedError(
-            "FSE-described / repeat sequence tables not implemented "
-            "(predefined and RLE modes only)"
+            "repeat sequence tables (cross-block FSE state) not "
+            "implemented"
         )
 
     ll_tab, ll_log = seq_table(
-        (modes >> 6) & 3, ZSTD_LL_DIST, ZSTD_LL_ACCLOG, 35
+        (modes >> 6) & 3, ZSTD_LL_DIST, ZSTD_LL_ACCLOG, 35, 9
     )
     of_tab, of_log = seq_table(
-        (modes >> 4) & 3, ZSTD_OF_DIST, ZSTD_OF_ACCLOG, 31
+        (modes >> 4) & 3, ZSTD_OF_DIST, ZSTD_OF_ACCLOG, 31, 8
     )
     ml_tab, ml_log = seq_table(
-        (modes >> 2) & 3, ZSTD_ML_DIST, ZSTD_ML_ACCLOG, 52
+        (modes >> 2) & 3, ZSTD_ML_DIST, ZSTD_ML_ACCLOG, 52, 9
     )
     br = _BackBits(doc_id, raw[pos:block_end])
     ll_state = br.read(ll_log)

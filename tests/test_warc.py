@@ -928,7 +928,10 @@ def test_zstd_decodes_and_rejects_corruption():
     checks fire: a flipped content byte breaks the XXH64 checksum, a
     bad magic rejects, reserved FHD bits reject, a dictionary ID hits
     the declared boundary, and a corrupted Huffman weight header
-    (FSE-compressed form) hits its declared boundary."""
+    (FSE-compressed form) hits its declared boundary.  The FSE table
+    DESCRIPTION codec (accuracy_log + truncated-binary counts +
+    zero-run repeat flags) round-trips and enforces exact
+    normalization."""
     import pytest
 
     from open_source_etl_spark.ingest.zstd import (
@@ -960,6 +963,21 @@ def test_zstd_decodes_and_rejects_corruption():
         # every baseline window must stay inside the state space
         for _s, nb, base in tab:
             assert 0 <= base and base + (1 << nb) <= (1 << log)
+
+    # FSE description codec: truncated-binary counts round-trip,
+    # zero-run repeat flags chain, and the budget is enforced exactly
+    from open_source_etl_spark.ingest.zstd import (
+        _read_fse_description,
+        _write_fse_description,
+    )
+
+    for dist in ([10, 0, 0, 12, -1, 0, 9], [2] + [0] * 8 + [30],
+                 [-1, -1, 30]):
+        blob = _write_fse_description(dist, 5)
+        got, log, _end = _read_fse_description(0, blob, 0, 9)
+        assert got == dist and log == 5
+    with pytest.raises(ValueError, match="accuracy_log"):
+        _read_fse_description(0, _write_fse_description([32], 5), 0, 4)
 
     # XXH64 published vectors
     assert xxh64(b"") == 0xEF46DB3751D8E999
