@@ -133,7 +133,9 @@ def _zstd_huffman_enc() -> tuple[bytes, list, list, int, list]:
     return hdr, codes, nbits, max_bits, slots
 
 
-def _zstd_compressed_block(doc_id: int, i: int, h_len: int) -> bytes:
+def _zstd_compressed_block(
+    doc_id: int, i: int, h_len: int, last: bool = True
+) -> bytes:
     """Encode frame i's compressed block: Huffman literals (1-stream,
     or 4-stream when (doc+i) % 3 == 0) and either predefined-FSE
     sequences (three: an RLE-run match, a far match into the raw
@@ -186,7 +188,7 @@ def _zstd_compressed_block(doc_id: int, i: int, h_len: int) -> bytes:
         for _ in range(2):
             w.put(15 + 3 - (1 << 4), 4)  # of_value 18 -> offset 15
         seq += w.to_bytes()
-        return lit_sec_block(lit_sec, seq)
+        return lit_sec_block(lit_sec, seq, last=int(last))
     ll1 = n_lit - ll0 - 4
     of1 = h_len + ll0 + 3 + ll1 - 3  # source lands at payload byte 3
     ll_codes = [ll0, ll1, 2]
@@ -237,17 +239,88 @@ def _zstd_compressed_block(doc_id: int, i: int, h_len: int) -> bytes:
     # table descriptions sit between the modes byte and the bitstream,
     # in LL / OF / ML field order
     seq = bytes((3, modes)) + tables + w.to_bytes()
-    return lit_sec_block(lit_sec, seq)
+    return lit_sec_block(lit_sec, seq, last=int(last))
 
 
-def lit_sec_block(lit_sec: bytes, seq: bytes) -> bytes:
-    """Wrap literals + sequences sections as one LAST compressed
-    block."""
+def lit_sec_block(lit_sec: bytes, seq: bytes, last: int = 1) -> bytes:
+    """Wrap literals + sequences sections as one compressed block."""
     payload = lit_sec + seq
     return (
-        struct.pack("<I", (len(payload) << 3) | (2 << 1) | 1)[:3]
+        struct.pack("<I", (len(payload) << 3) | (2 << 1) | last)[:3]
         + payload
     )
+
+
+def zstd_has_block4(doc_id: int, i: int) -> bool:
+    """Frame i carries a SECOND compressed block (treeless literals +
+    repeat-mode sequence tables) when (doc+i) % 7 == 3 — excluded on
+    RLE-mode frames, whose fixed codes the repeat block's sequence
+    does not fit."""
+    k = doc_id + i
+    rle_mode = k % 3 != 0 and k % 4 == 2
+    return k % 7 == 3 and not rle_mode
+
+
+def _zstd_block4(doc_id: int, i: int) -> bytes:
+    """The treeless + repeat-mode block: four literals through the
+    FRAME's previous Huffman table (no table header), one sequence
+    through the previous LL/OF/ML tables (mode 3), its match pulled
+    from the RLE run through the frame window."""
+    k = doc_id + i
+    n_lit, ll0, off0, ml1, ml2 = zstd_lit_fields(doc_id, i)
+    _hdr, codes, nbits, _max_bits, _slots = _zstd_huffman_enc()
+    lits = bytes((k + j) % 8 for j in range(4))
+    wlit = _BackBitWriter()
+    for sym in lits:
+        wlit.put(codes[sym], nbits[sym])
+    body = wlit.to_bytes()
+    h = (3 | (0 << 2) | (4 << 4) | (len(body) << 14)) & 0xFFFFFF
+    lit_sec = struct.pack("<I", h)[:3] + body
+    # one sequence: ll 2, ml = ml1, offset reaching the RLE run
+    c3_len = n_lit + 3 + ml1 + ml2
+    of4 = c3_len + ml1 + 3
+    described = k % 5 == 4
+    if described:
+        used_ll = sorted({ll0, n_lit - ll0 - 4, 2})
+        used_ml = sorted({0, ml1 - 3, ml2 - 3})
+
+        def custom_dist(used, acclog):
+            share = (1 << acclog) // len(used)
+            d = [0] * (used[-1] + 1)
+            for c in used:
+                d[c] = share
+            d[used[0]] += (1 << acclog) - share * len(used)
+            return d
+
+        ll_tab = _fse_decode_table(custom_dist(used_ll, 5), 5)
+        ml_tab = _fse_decode_table(custom_dist(used_ml, 5), 5)
+        ll_log = ml_log = 5
+    else:
+        ll_tab = _fse_decode_table(ZSTD_LL_DIST, ZSTD_LL_ACCLOG)
+        ml_tab = _fse_decode_table(ZSTD_ML_DIST, ZSTD_ML_ACCLOG)
+        ll_log, ml_log = ZSTD_LL_ACCLOG, ZSTD_ML_ACCLOG
+    of_tab = _fse_decode_table(ZSTD_OF_DIST, ZSTD_OF_ACCLOG)
+    of_val = of4 + 3
+    of_code = of_val.bit_length() - 1
+    ll_states, _ = _fse_pick_states(ll_tab, [2], doc_id)
+    of_states, _ = _fse_pick_states(of_tab, [of_code], doc_id)
+    ml_states, _ = _fse_pick_states(ml_tab, [ml1 - 3], doc_id)
+    w = _BackBitWriter()
+    w.put(ll_states[0], ll_log)
+    w.put(of_states[0], ZSTD_OF_ACCLOG)
+    w.put(ml_states[0], ml_log)
+    w.put(of_val - (1 << of_code), of_code)
+    seq = bytes((1, 0xFC)) + w.to_bytes()  # modes: repeat/repeat/repeat
+    return lit_sec_block(lit_sec, seq, last=1)
+
+
+def zstd_block4_content(doc_id: int, i: int) -> bytes:
+    """Block 4's decoded content by closed forms."""
+    k = doc_id + i
+    _n_lit, _ll0, _off0, ml1, _ml2 = zstd_lit_fields(doc_id, i)
+    rle_b, _run = zstd_rle_fields(doc_id, i)
+    lits = bytes((k + j) % 8 for j in range(4))
+    return lits[:2] + bytes((rle_b,)) * ml1 + lits[2:]
 
 
 def zstd_block3_content(doc_id: int, i: int, h_len: int) -> bytes:
@@ -292,11 +365,15 @@ def make_zstd_bytes(doc_id: int) -> bytes:
         raw_payload = zstd_raw_payload(doc_id, i)
         rle_byte, rle_run = zstd_rle_fields(doc_id, i)
         h_len = len(raw_payload) + rle_run
-        block3 = _zstd_compressed_block(doc_id, i, h_len)
+        has4 = zstd_has_block4(doc_id, i)
+        block3 = _zstd_compressed_block(doc_id, i, h_len, last=not has4)
         content = (
             raw_payload + bytes((rle_byte,)) * rle_run
             + zstd_block3_content(doc_id, i, h_len)
         )
+        if has4:
+            block3 += _zstd_block4(doc_id, i)
+            content += zstd_block4_content(doc_id, i)
         checksum = (doc_id + i) % 2 == 0
         single_segment = i % 2 == 1
         out += struct.pack("<I", ZSTD_MAGIC)
@@ -387,6 +464,11 @@ def parse_zstd(
                 fcs += 256
             pos += fcs_size
         content = bytearray()
+        # per-FRAME decoder state (RFC 8878): the previous Huffman
+        # table (treeless literals), the previous sequence tables
+        # (repeat mode), and the repeat-offset history all persist
+        # ACROSS blocks within a frame
+        fstate = {"huff": None, "tables": None, "reps": [1, 4, 8]}
         while True:
             if pos + 3 > len(raw):
                 raise ValueError(f"doc {doc_id}: truncated block header")
@@ -405,7 +487,7 @@ def parse_zstd(
                 pos += 1
             elif btype == 2:
                 new, pos = _decode_compressed_block(
-                    doc_id, raw, pos, bsize, bytes(content)
+                    doc_id, raw, pos, bsize, bytes(content), fstate
                 )
                 content += new
             else:
@@ -807,12 +889,13 @@ def _huffman_decode_stream(
 
 
 def _decode_literals(
-    doc_id: int, raw: bytes, pos: int
+    doc_id: int, raw: bytes, pos: int, fstate: dict
 ) -> tuple[bytes, int]:
     """Literals section (RFC 3.1.1.3.1): raw / RLE / Huffman-
-    compressed with a DIRECT-weights table, 1-stream or 4-stream.
-    FSE-compressed weight headers and treeless (table-reuse) blocks
-    raise declared boundaries."""
+    compressed with a DIRECT-weights table (recorded in the frame
+    state), or TREELESS — reusing the frame's previous Huffman table
+    — in 1-stream or 4-stream layouts.  FSE-compressed weight
+    headers raise the declared boundary."""
     b0 = raw[pos]
     ltype = b0 & 3
     fmt = (b0 >> 2) & 3
@@ -833,12 +916,7 @@ def _decode_literals(
             lit = bytes((raw[pos],)) * size
             pos += 1
         return lit, pos
-    if ltype == 3:
-        raise NotImplementedError(
-            "treeless literals (Huffman table reuse across blocks) "
-            "not implemented"
-        )
-    # compressed: sizes by format
+    # compressed (2) or treeless (3): sizes by format
     if fmt == 0:  # 1 stream, 10-bit sizes, 3 header bytes
         h = int.from_bytes(raw[pos : pos + 3], "little") >> 4
         regen = h & 0x3FF
@@ -864,21 +942,32 @@ def _decode_literals(
         pos += 5
         streams = 4
     end = pos + csize
-    th = raw[pos]
-    if th < 128:
-        raise NotImplementedError(
-            "FSE-compressed Huffman weight headers not implemented "
-            "(direct 4-bit weights only)"
+    if ltype == 3:
+        if fstate["huff"] is None:
+            raise ValueError(
+                f"doc {doc_id}: treeless literals with no prior "
+                "Huffman table in the frame"
+            )
+        slots, nbits, max_bits = fstate["huff"]
+    else:
+        th = raw[pos]
+        if th < 128:
+            raise NotImplementedError(
+                "FSE-compressed Huffman weight headers not "
+                "implemented (direct 4-bit weights only)"
+            )
+        n_weights = th - 127
+        pos += 1
+        wbytes = (n_weights + 1) // 2
+        weights = []
+        for j in range(n_weights):
+            byte = raw[pos + j // 2]
+            weights.append((byte >> 4) if j % 2 == 0 else (byte & 15))
+        pos += wbytes
+        slots, nbits, max_bits = _huffman_weights_to_table(
+            doc_id, weights
         )
-    n_weights = th - 127
-    pos += 1
-    wbytes = (n_weights + 1) // 2
-    weights = []
-    for j in range(n_weights):
-        byte = raw[pos + j // 2]
-        weights.append((byte >> 4) if j % 2 == 0 else (byte & 15))
-    pos += wbytes
-    slots, nbits, max_bits = _huffman_weights_to_table(doc_id, weights)
+        fstate["huff"] = (slots, nbits, max_bits)
     if streams == 1:
         lit = _huffman_decode_stream(
             doc_id, raw[pos:end], regen, slots, nbits, max_bits
@@ -906,7 +995,8 @@ def _decode_literals(
 
 
 def _decode_compressed_block(
-    doc_id: int, raw: bytes, pos: int, bsize: int, history: bytes
+    doc_id: int, raw: bytes, pos: int, bsize: int, history: bytes,
+    fstate: dict,
 ) -> tuple[bytes, int]:
     """One compressed block (RFC 3.1.1.3): the literals section, the
     sequences section (predefined or RLE symbol tables; FSE-described
@@ -915,7 +1005,7 @@ def _decode_compressed_block(
     execution against the window (repeat-offset history with the
     literals_length-0 variant, overlap-safe match copies)."""
     block_end = pos + bsize
-    lit, pos = _decode_literals(doc_id, raw, pos)
+    lit, pos = _decode_literals(doc_id, raw, pos, fstate)
     nb0 = raw[pos]
     if nb0 < 128:
         n_seq = nb0
@@ -964,27 +1054,37 @@ def _decode_compressed_block(
                     f"{len(d) - 1} past the field maximum {max_code}"
                 )
             return _fse_decode_table(d, log), log
-        raise NotImplementedError(
-            "repeat sequence tables (cross-block FSE state) not "
-            "implemented"
-        )
+        return None  # mode 3: repeat the frame's previous table
 
-    ll_tab, ll_log = seq_table(
-        (modes >> 6) & 3, ZSTD_LL_DIST, ZSTD_LL_ACCLOG, 35, 9
-    )
-    of_tab, of_log = seq_table(
-        (modes >> 4) & 3, ZSTD_OF_DIST, ZSTD_OF_ACCLOG, 31, 8
-    )
-    ml_tab, ml_log = seq_table(
-        (modes >> 2) & 3, ZSTD_ML_DIST, ZSTD_ML_ACCLOG, 52, 9
-    )
+    fields = []
+    for shift, dist, acclog, max_code, max_al in (
+        (6, ZSTD_LL_DIST, ZSTD_LL_ACCLOG, 35, 9),
+        (4, ZSTD_OF_DIST, ZSTD_OF_ACCLOG, 31, 8),
+        (2, ZSTD_ML_DIST, ZSTD_ML_ACCLOG, 52, 9),
+    ):
+        got = seq_table(
+            (modes >> shift) & 3, dist, acclog, max_code, max_al
+        )
+        fields.append(got)
+    if any(f is None for f in fields):
+        if fstate["tables"] is None:
+            raise ValueError(
+                f"doc {doc_id}: repeat sequence tables with no prior "
+                "compressed block in the frame"
+            )
+        fields = [
+            f if f is not None else prev
+            for f, prev in zip(fields, fstate["tables"])
+        ]
+    fstate["tables"] = fields
+    (ll_tab, ll_log), (of_tab, of_log), (ml_tab, ml_log) = fields
     br = _BackBits(doc_id, raw[pos:block_end])
     ll_state = br.read(ll_log)
     of_state = br.read(of_log)
     ml_state = br.read(ml_log)
     out = bytearray()
     lit_pos = 0
-    reps = [1, 4, 8]
+    reps = fstate["reps"]
     for k in range(n_seq):
         ll_code = ll_tab[ll_state][0]
         of_code = of_tab[of_state][0]
@@ -1046,6 +1146,7 @@ def _decode_compressed_block(
             f"doc {doc_id}: sequence bitstream carries "
             f"{br.bits_left} unconsumed bits"
         )
+    fstate["reps"] = reps
     out += lit[lit_pos:]
     return bytes(out), block_end
 

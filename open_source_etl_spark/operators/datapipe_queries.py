@@ -1819,10 +1819,13 @@ def datapipe_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # block whose Huffman literals are (doc+i+j) % 8 and whose
     # FSE-coded sequences splice matches from the RLE run, the raw
     # payload (at offsets 3 and 5+ml1), and a Repeat1 reuse — or, on
-    # RLE-mode docs, two offset-15 matches into the RLE run.  The
-    # backward bitstreams, FSE state walks, Huffman table build, and
-    # XXH64 checksums have no closed form; the oracle restates the
-    # generator arithmetic per 'kind' of decoded byte.
+    # RLE-mode docs, two offset-15 matches into the RLE run; frames
+    # with (doc+i) % 7 == 3 (non-RLE) append a SECOND compressed
+    # block — treeless literals + repeat-mode tables — whose match
+    # pulls ml1 more RLE-run bytes.  The backward bitstreams, FSE
+    # state walks, Huffman table build, and XXH64 checksums have no
+    # closed form; the oracle restates the generator arithmetic per
+    # 'kind' of decoded byte.
     oracle="""
     WITH f AS (
       SELECT doc_id, ff.i AS i,
@@ -1835,7 +1838,10 @@ def datapipe_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              4 + (doc_id + ff.i) % 6 AS ml1,
              3 + (doc_id + ff.i) % 4 AS ml2,
              ((doc_id + ff.i) % 3 != 0
-              AND (doc_id + ff.i) % 4 = 2) AS rle_mode
+              AND (doc_id + ff.i) % 4 = 2) AS rle_mode,
+             ((doc_id + ff.i) % 7 = 3
+              AND NOT ((doc_id + ff.i) % 3 != 0
+                       AND (doc_id + ff.i) % 4 = 2)) AS has4
       FROM documents,
            LATERAL (SELECT unnest(range(0, 1 + doc_id % 3)) AS i) ff
     ),
@@ -1844,14 +1850,21 @@ def datapipe_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, i, (k + jj.j) % 256 AS v
       FROM f, LATERAL (SELECT unnest(range(0, raw_n)) AS j) jj
       UNION ALL
-      -- RLE block plus the compressed block's RLE-sourced matches
+      -- RLE block plus the compressed blocks' RLE-sourced matches
+      -- (block 4's repeat-mode match adds ml1 more copies)
       SELECT doc_id, i,
-             rle_b * (rle_n + CASE WHEN rle_mode THEN 20 ELSE 3 END)
+             rle_b * (rle_n + CASE WHEN rle_mode THEN 20 ELSE 3 END
+                      + CASE WHEN has4 THEN ml1 ELSE 0 END)
       FROM f
       UNION ALL
       -- Huffman literals
       SELECT doc_id, i, (k + jj.j) % 8
       FROM f, LATERAL (SELECT unnest(range(0, n_lit)) AS j) jj
+      UNION ALL
+      -- block 4's treeless literals
+      SELECT doc_id, i, (k + jj.j) % 8
+      FROM f, LATERAL (SELECT unnest([0, 1, 2, 3]) AS j) jj
+      WHERE has4
       UNION ALL
       -- matches into the raw payload (predefined-FSE docs only):
       -- payload[3 .. 3+ml1) and payload[5+ml1 .. 5+ml1+ml2)
@@ -1872,15 +1885,17 @@ def datapipe_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS nf,
              SUM(raw_n + rle_n + n_lit
                  + CASE WHEN rle_mode THEN 20
-                        ELSE 3 + ml1 + ml2 END) AS c_bytes,
-             SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS n_ck
+                        ELSE 3 + ml1 + ml2 END
+                 + CASE WHEN has4 THEN 4 + ml1 ELSE 0 END) AS c_bytes,
+             SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS n_ck,
+             SUM(CASE WHEN has4 THEN 1 ELSE 0 END) AS n4
       FROM f GROUP BY doc_id
     )
     SELECT m.doc_id,
            CAST(nf AS BIGINT) AS n_frames,
            CAST(CASE WHEN m.doc_id % 3 = 0 THEN 1 ELSE 0 END
                 AS BIGINT) AS n_skippable,
-           CAST(3 * nf AS BIGINT) AS n_blocks,
+           CAST(3 * nf + n4 AS BIGINT) AS n_blocks,
            CAST(c_bytes AS BIGINT) AS content_bytes,
            CAST(c_sum AS BIGINT) AS content_sum,
            CAST(n_ck AS BIGINT) AS n_checksums
@@ -1899,13 +1914,16 @@ def datapipe_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitstreams with 1-sentinels, 1-stream and 4-stream layouts),
     FSE-coded sequences through the spec's PREDEFINED distributions
     (structurally gated: each must normalize to exactly
-    1 << accuracy_log) and RLE-mode degenerate tables, the
-    interleaved state/extra-bit walk, repeat-offset history, and
-    overlap-safe match execution against the window — plus REAL
-    XXH64 content checksums (implemented from the spec constants,
-    validated against the published test vectors).  Declared
-    boundaries: dictionary frames, FSE-compressed Huffman weights,
-    FSE-described/repeat sequence tables, treeless literals.
+    1 << accuracy_log), FSE-DESCRIBED tables (truncated-binary
+    normalized-count headers with zero-run repeat flags), RLE-mode
+    degenerate tables, and REPEAT mode reusing the frame's previous
+    tables; TREELESS literals reusing the frame's previous Huffman
+    table; frame-scoped repeat-offset history; the interleaved
+    state/extra-bit walk; overlap-safe match execution against the
+    window — plus REAL XXH64 content checksums (implemented from the
+    spec constants, validated against the published test vectors).
+    Declared boundaries: dictionary frames and FSE-compressed
+    Huffman weight headers.
     Reference scope note: the reference delegates storage formats to
     its warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""

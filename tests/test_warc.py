@@ -985,17 +985,28 @@ def test_zstd_decodes_and_rejects_corruption():
     assert xxh64(b"abc") == 0x44BC2CF5AD770999
 
     # full decode matches independently computed content
+    from open_source_etl_spark.ingest.zstd import (
+        zstd_block4_content,
+        zstd_has_block4 as _has4,
+    )
+
     for d in (0, 1, 2, 3, 5, 6, 7, 10):
         raw = make_zstd_bytes(d)
         nf, _ns, nb, cb, cs, _nck = parse_zstd(d, raw)
-        want_cb = want_cs = 0
+        want_cb = want_cs = want_nb = 0
         for i in range(zstd_n_frames(d)):
             p = zstd_raw_payload(d, i)
             b, r = zstd_rle_fields(d, i)
             c3 = zstd_block3_content(d, i, len(p) + r)
             want_cb += len(p) + r + len(c3)
             want_cs += sum(p) + b * r + sum(c3)
-        assert nf == zstd_n_frames(d) and nb == 3 * nf
+            want_nb += 3
+            if _has4(d, i):
+                c4 = zstd_block4_content(d, i)
+                want_cb += len(c4)
+                want_cs += sum(c4)
+                want_nb += 1
+        assert nf == zstd_n_frames(d) and nb == want_nb
         assert (cb, cs) == (want_cb, want_cs), d
 
     # doc 2 frame 0 carries a checksum: flip a raw-payload byte
@@ -1029,3 +1040,26 @@ def test_zstd_decodes_and_rejects_corruption():
     raw[th_at] = 60
     with pytest.raises(Exception, match="FSE-compressed|exhaust"):
         parse_zstd(1, bytes(raw))
+
+    # treeless + repeat-mode second blocks exist in the corpus and
+    # decode through the FRAME state; doc 3 frame 0 has one
+    from open_source_etl_spark.ingest.zstd import zstd_has_block4
+
+    assert zstd_has_block4(3, 0)
+    raw3 = make_zstd_bytes(3)
+    assert parse_zstd(3, raw3)[2] >= 4  # block count includes block 4
+
+    # a treeless block with NO prior table in the frame rejects: make
+    # the FIRST compressed block treeless by patching its literals
+    # type bits (2 -> 3) — doc 5 frame 0 has no block 4
+    raw5 = bytearray(make_zstd_bytes(5))
+    # literals section starts right after the 3-byte header of the
+    # third block: magic(4)+fhd(1)+wd(1)+fcs(4), raw block (3+raw_n),
+    # RLE block (3+1), block header (3)
+    from open_source_etl_spark.ingest.zstd import zstd_raw_payload
+
+    lit_at = 10 + 3 + len(zstd_raw_payload(5, 0)) + 4 + 3
+    assert raw5[lit_at] & 3 == 2
+    raw5[lit_at] |= 3
+    with pytest.raises(Exception, match="treeless|prior"):
+        parse_zstd(5, bytes(raw5))
