@@ -3809,6 +3809,16 @@ MP3_SFB_LONG_44100 = (
     0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
     162, 196, 238, 288, 342, 418, 576,
 )
+# ISO 11172-3 Table B.8 SHORT-block scalefactor band boundaries
+# (per-window sample indices, 12 bands + the unscaled zone) — same
+# structural gate as the long rows: 13 boundaries, 0 start, strictly
+# increasing, 3x the last boundary <= 576 (tests/test_multimodal.py).
+MP3_SFB_SHORT = {
+    44100: (0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136),
+    48000: (0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126),
+    32000: (0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180),
+}
+
 MP3_SFB_LONG = {
     44100: MP3_SFB_LONG_44100,
     48000: (
@@ -4567,9 +4577,12 @@ def _mp3_rq_tables():
             g: int(math.floor(4096 * 2 ** ((g - 210) / 4) + 0.5))
             for g in range(198, 223)
         }
+        # half-step exponents reach 2*15 (full-step scalefactors) +
+        # 4*7 (subblock_gain) — deep entries round to 0 identically
+        # in both engines (positive values: half-up == half-away)
         sfhalf = [
             int(math.floor(16384 * 2 ** (-k / 2) + 0.5))
-            for k in range(19)
+            for k in range(59)
         ]
         _MP3_RQ_TABLES = (p43, gain, sfhalf)
     return _MP3_RQ_TABLES
@@ -4597,6 +4610,7 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
 
         p43, gain_tab, sfhalf = _mp3_rq_tables()
         b8 = MP3_SFB_LONG[44100]
+        bs = MP3_SFB_SHORT[44100]
 
         def walk(doc_id: int, raw: bytes):
             if len(raw) < 21 or raw[0] != 0xFF or (raw[1] & 0xFE) != 0xFA:
@@ -4633,14 +4647,27 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                         "exact-Q12 band"
                     )
                 sl1, sl2 = MP3_SLEN[sbits(4)]
-                if sbits(1):
-                    raise NotImplementedError(
-                        "requantization for window-switching "
-                        "granules (subblock_gain) not implemented"
-                    )
-                tsels = tuple(sbits(5) for _ in range(3))
-                rc = sbits(4)
-                rc2 = sbits(3)
+                if sbits(1):  # window_switching_flag
+                    bt = sbits(2)
+                    if bt == 0:
+                        raise ValueError(
+                            f"doc {doc_id}: window switching with "
+                            "block_type 0 is forbidden"
+                        )
+                    if sbits(1):
+                        raise NotImplementedError(
+                            "mixed-block requantization (split "
+                            "long/short band layouts) not implemented"
+                        )
+                    tsels = tuple(sbits(5) for _ in range(2)) + (0,)
+                    ssg = tuple(sbits(3) for _ in range(3))
+                    rc = rc2 = 0
+                else:
+                    bt = 0
+                    tsels = tuple(sbits(5) for _ in range(3))
+                    ssg = (0, 0, 0)
+                    rc = sbits(4)
+                    rc2 = sbits(3)
                 if sbits(1):
                     raise NotImplementedError(
                         "preflag requantization not implemented "
@@ -4650,7 +4677,8 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                 sfs = sbits(1)
                 c1a = sbits(1) == 0
                 gfields.append(
-                    (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a)
+                    (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a,
+                     bt, ssg)
                 )
 
             dpos = 21 * 8
@@ -4666,26 +4694,59 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                 return out
 
             s_signed = s_abs = nnz = pos_signed = 0
-            for p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a in gfields:
+            for (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a,
+                 bt, ssg) in gfields:
                 start = dpos
-                sfac = [take(sl1) for _ in range(11)]
-                sfac += [take(sl2) for _ in range(10)]
                 mult2 = 2 if sfs else 1  # exponent in HALF steps
+                if bt == 2:
+                    # short layout: per-window scalefactors, bands
+                    # 0-5 under slen1 then 6-11 under slen2
+                    sfac_s = [
+                        [take(sl1) for _w in range(3)]
+                        for _b in range(6)
+                    ] + [
+                        [take(sl2) for _w in range(3)]
+                        for _b in range(6)
+                    ]
 
-                def sf_index(pos: int) -> int:
-                    # scalefactor band of a line; the zone above
-                    # b8[21] carries no scalefactor (factor 1)
-                    for sfb in range(21):
-                        if pos < b8[sfb + 1]:
-                            return sfac[sfb] * mult2
-                    return 0
+                    def sf_index(pos: int) -> int:
+                        if pos >= 3 * bs[12]:
+                            raise NotImplementedError(
+                                "the unscaled short zone's window "
+                                "interleave not implemented"
+                            )
+                        for sfb in range(12):
+                            if pos < 3 * bs[sfb + 1]:
+                                width = bs[sfb + 1] - bs[sfb]
+                                w_ = (pos - 3 * bs[sfb]) // width
+                                return (
+                                    sfac_s[sfb][w_] * mult2
+                                    + 4 * ssg[w_]
+                                )
+                        raise AssertionError
+                else:
+                    sfac = [take(sl1) for _ in range(11)]
+                    sfac += [take(sl2) for _ in range(10)]
 
-                if rc + 1 >= len(b8) or rc + rc2 + 2 >= len(b8):
-                    raise ValueError(
-                        f"doc {doc_id}: region counts overrun B.8"
-                    )
-                r0 = min(bv, b8[rc + 1] // 2)
-                r1 = min(bv, b8[rc + rc2 + 2] // 2)
+                    def sf_index(pos: int) -> int:
+                        # scalefactor band of a line; the zone above
+                        # b8[21] carries no scalefactor (factor 1)
+                        for sfb in range(21):
+                            if pos < b8[sfb + 1]:
+                                return sfac[sfb] * mult2
+                        return 0
+
+                if bt == 0:
+                    if rc + 1 >= len(b8) or rc + rc2 + 2 >= len(b8):
+                        raise ValueError(
+                            f"doc {doc_id}: region counts overrun B.8"
+                        )
+                    r0 = min(bv, b8[rc + 1] // 2)
+                    r1 = min(bv, b8[rc + rc2 + 2] // 2)
+                else:
+                    # window-switching: the implied split at sample 36
+                    r0 = min(bv, 18)
+                    r1 = bv
                 pos = 0
                 levels: list[tuple[int, int]] = []
                 for count, tsel in (
@@ -4766,7 +4827,7 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                             "table territory) not implemented"
                         )
                     k = sf_index(pos)
-                    if k > 18:
+                    if k >= len(sfhalf):
                         raise NotImplementedError(
                             f"half-step scalefactor index {k} past "
                             "the derived Q14 table"
@@ -4795,6 +4856,31 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
         kernel,
         "doc_id long, n_granules long, sum_rq_signed long, "
         "sum_rq_abs long, n_nonzero long, sum_pos_signed long",
+    )
+
+
+def synthesize_mp3_rqs(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying the SHORT-block requantization
+    stream (``make_mp3_rqs_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_rqs_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_rqs_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
     )
 
 

@@ -2744,6 +2744,139 @@ def make_mp3_rq_bytes(doc_id: int) -> bytes:
     )
 
 
+def mp3_rqs_fields(
+    doc_id: int, g: int
+) -> tuple[int, int, tuple, int, int]:
+    """(global_gain, scalefac_scale, subblock_gains, sf_a cap'd
+    modulus base, sf_b base) for the SHORT-block requantization
+    fixture's granule g — the per-window scalefactor is
+    (base + w) % min(2^slen, cap)."""
+    gg = 198 + (doc_id + 5 * g) % 25
+    sfs = (doc_id + g) % 2
+    ssg = tuple((doc_id + g + w) % 3 for w in range(3))
+    return gg, sfs, ssg, doc_id + g, doc_id + 7 + g
+
+
+def mp3_rqs_spectrum(doc_id: int, g: int) -> dict[int, int]:
+    """The short-requant granule's nonzero quantized lines: region0
+    (the implied 36-sample split) is silent via table 0, then nbv
+    table-10 pairs and ±1 count1 quads — same value closed forms as
+    the long fixture, positions offset by 36."""
+    nbv = 9 + (doc_id + g) % 7
+    nq = 3 + (doc_id + g) % 3
+    out = {}
+    for q in range(nbv):
+        x = (doc_id + 3 * q + g) % 8
+        y = (2 * doc_id + q + g) % 8
+        if x:
+            out[36 + 2 * q] = x if (doc_id + q + g) % 2 == 0 else -x
+        if y:
+            out[36 + 2 * q + 1] = (
+                y if (doc_id + q + g + 1) % 2 == 0 else -y
+            )
+    base = 36 + 2 * nbv
+    for j in range(nq):
+        pattern = (doc_id + 5 * g + j) % 16
+        neg = (doc_id + j) % 2
+        for idx, shift in enumerate((3, 2, 1, 0)):
+            if (pattern >> shift) & 1:
+                out[base + 4 * j + idx] = -1 if neg else 1
+    return out
+
+
+def make_mp3_rqs_bytes(doc_id: int) -> bytes:
+    """Single-frame stream for SHORT-BLOCK exact requantization: both
+    granules window-switching block_type 2 (non-mixed) with REAL
+    per-window scalefactors (6 bands under slen1 then 6 under slen2,
+    each x3 windows), nonzero subblock_gain (exact powers of two:
+    half-step index 4*ssg), the implied two-region split at sample
+    36, and table-10 magnitudes 0..7 — so the short band/window
+    mapping decides every line's exponent."""
+    enc, _c1a = _mp3_ht_enc()
+
+    def granule_bits(g: int) -> tuple[int, int]:
+        _gg, sfs, _ssg, base_a, base_b = mp3_rqs_fields(doc_id, g)
+        sl1, sl2 = MP3_SLEN[(doc_id + g) % 16]
+        cap = 8 if sfs else 16
+        nbv = 9 + (doc_id + g) % 7
+        nq = 3 + (doc_id + g) % 3
+        acc = nb = 0
+        for _b in range(6):
+            for w_ in range(3):
+                acc = (acc << sl1) | (
+                    (base_a + w_) % min(1 << sl1, cap) if sl1 else 0
+                )
+                nb += sl1
+        for _b in range(6):
+            for w_ in range(3):
+                acc = (acc << sl2) | (
+                    (base_b + w_) % min(1 << sl2, cap) if sl2 else 0
+                )
+                nb += sl2
+        for q in range(nbv):
+            x = (doc_id + 3 * q + g) % 8
+            y = (2 * doc_id + q + g) % 8
+            hlen, hcode = enc[10][(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if x:
+                acc = (acc << 1) | ((doc_id + q + g) % 2)
+                nb += 1
+            if y:
+                acc = (acc << 1) | ((doc_id + q + g + 1) % 2)
+                nb += 1
+        for j in range(nq):
+            pattern = (doc_id + 5 * g + j) % 16
+            acc = (acc << 4) | (pattern ^ 0xF)
+            nb += 4
+            neg = (doc_id + j) % 2
+            for shift in (3, 2, 1, 0):
+                if (pattern >> shift) & 1:
+                    acc = (acc << 1) | neg
+                    nb += 1
+        return acc, nb
+
+    br_idx = 9
+    frame_len = (144 * MP3_BITRATES_KBPS[br_idx] * 1000) // 44100
+    cap_bytes = frame_len - 4 - 17
+    a0, n0 = granule_bits(0)
+    a1, n1 = granule_bits(1)
+    acc = (a0 << n1) | a1
+    nb = n0 + n1
+    pad = (8 - nb % 8) % 8
+    packed = (acc << pad).to_bytes((nb + pad) // 8, "big")
+    if len(packed) > cap_bytes:
+        raise ValueError("granule data overran the frame region")
+
+    w = _BitPacker()
+    w.u(0, 9)
+    w.u(0, 5)
+    w.u(0, 4)
+    for g, p23 in ((0, n0), (1, n1)):
+        gg, sfs, ssg, _a, _b = mp3_rqs_fields(doc_id, g)
+        nbv = 9 + (doc_id + g) % 7
+        w.u(p23, 12)
+        w.u(18 + nbv, 9)   # big_values: silent region0 + live pairs
+        w.u(gg, 8)
+        w.u((doc_id + g) % 16, 4)
+        w.u(1, 1)          # window_switching_flag
+        w.u(2, 2)          # block_type: short
+        w.u(0, 1)          # mixed_block_flag
+        for t in (0, 10):
+            w.u(t, 5)
+        for w_ in range(3):
+            w.u(ssg[w_], 3)
+        w.u(0, 1)          # preflag
+        w.u(sfs, 1)
+        w.u(1, 1)          # count1table_select: table B
+    si = w.to_bytes()
+    assert len(si) == 17
+    return (
+        bytes((0xFF, 0b11111011, (br_idx << 4), 0b11000100))
+        + si + packed + bytes(cap_bytes - len(packed))
+    )
+
+
 # Ogg page CRC-32 (RFC 3533 6.): polynomial 0x04c11db7, no reflection,
 # zero init and xorout — NOT the zlib CRC, a detail page walkers trip
 # over.  Table-driven, shared by synth and decode through this module.

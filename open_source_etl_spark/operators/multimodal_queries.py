@@ -2074,6 +2074,132 @@ def multimodal_mp3_requant_exact(
 
 
 @query(
+    "multimodal_mp3_requant_short",
+    # formulas mirror synth.mp3_rqs_fields / mp3_rqs_spectrum: both
+    # granules short (non-mixed) with per-window scalefactors
+    # (base + w) % LEAST(2^slen, cap) (group A bands 0-5 under slen1,
+    # B 6-11 under slen2), subblock_gain (doc+g+w) % 3 adding 4*ssg
+    # half-steps, gains 198..222, and table-10 lines at positions
+    # 36 + 2q whose SHORT band/window is decided by the B.8 short row
+    # (3*boundary spans, w = (pos - 3*lo) // width).  Same derived
+    # fixed-point tables as the long query.
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id, gg.g AS g,
+             198 + (doc_id + 5 * gg.g) % 25 AS gain,
+             (doc_id + gg.g) % 2 AS sfs,
+             9 + (doc_id + gg.g) % 7 AS nbv,
+             3 + (doc_id + gg.g) % 3 AS nq,
+             (doc_id + gg.g) % 16 AS sfc
+      FROM documents, LATERAL (SELECT unnest([0, 1]) AS g) gg
+    ),
+    geo2 AS (
+      SELECT *,
+             CAST(POW(2, CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0
+                  WHEN 2 THEN 0 WHEN 3 THEN 0 WHEN 4 THEN 3
+                  WHEN 5 THEN 1 WHEN 6 THEN 1 WHEN 7 THEN 1
+                  WHEN 8 THEN 2 WHEN 9 THEN 2 WHEN 10 THEN 2
+                  WHEN 11 THEN 3 WHEN 12 THEN 3 WHEN 13 THEN 3
+                  WHEN 14 THEN 4 ELSE 4 END) AS BIGINT) AS p1,
+             CAST(POW(2, CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1
+                  WHEN 2 THEN 2 WHEN 3 THEN 3 WHEN 4 THEN 0
+                  WHEN 5 THEN 1 WHEN 6 THEN 2 WHEN 7 THEN 3
+                  WHEN 8 THEN 1 WHEN 9 THEN 2 WHEN 10 THEN 3
+                  WHEN 11 THEN 1 WHEN 12 THEN 2 WHEN 13 THEN 3
+                  WHEN 14 THEN 2 ELSE 3 END) AS BIGINT) AS p2
+      FROM geo
+    ),
+    spec AS (
+      SELECT doc_id, g, gain, sfs, p1, p2, 36 + 2 * qq.q AS pos,
+             (doc_id + 3 * qq.q + g) % 8 AS mag,
+             CASE WHEN (doc_id + qq.q + g) % 2 = 0 THEN 1 ELSE -1
+             END AS sgn
+      FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
+      WHERE (doc_id + 3 * qq.q + g) % 8 > 0
+      UNION ALL
+      SELECT doc_id, g, gain, sfs, p1, p2, 36 + 2 * qq.q + 1,
+             (2 * doc_id + qq.q + g) % 8,
+             CASE WHEN (doc_id + qq.q + g + 1) % 2 = 0 THEN 1 ELSE -1
+             END
+      FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
+      WHERE (2 * doc_id + qq.q + g) % 8 > 0
+      UNION ALL
+      SELECT doc_id, g, gain, sfs, p1, p2,
+             36 + 2 * nbv + 4 * jj.j + ii.idx, 1,
+             CASE WHEN (doc_id + jj.j) % 2 = 1 THEN -1 ELSE 1 END
+      FROM geo2,
+           LATERAL (SELECT unnest(range(0, nq)) AS j) jj,
+           LATERAL (SELECT unnest([0, 1, 2, 3]) AS idx) ii
+      WHERE ((doc_id + 5 * g + jj.j) % 16
+             // CAST(POW(2, 3 - ii.idx) AS BIGINT)) % 2 = 1
+    ),
+    banded AS (
+      SELECT s.*,
+             (s.pos - 3 * bands.lo) // bands.w AS win,
+             bands.sfb AS sfb
+      FROM spec s
+      JOIN (VALUES (0,0,4,4),(1,4,8,4),(2,8,12,4),(3,12,16,4),
+                   (4,16,22,6),(5,22,30,8),(6,30,40,10),(7,40,52,12),
+                   (8,52,66,14),(9,66,84,18),(10,84,106,22),
+                   (11,106,136,30)) bands(sfb, lo, hi, w)
+        ON s.pos >= 3 * bands.lo AND s.pos < 3 * bands.hi
+    ),
+    rq AS (
+      SELECT doc_id,
+             sgn * CAST(ROUND(4096 * POW(mag, 4.0 / 3.0)) AS BIGINT)
+                 * CAST(ROUND(4096 * POW(2, (gain - 210) / 4.0))
+                        AS BIGINT)
+                 * CAST(ROUND(16384 * POW(2,
+                       -((CASE WHEN sfb <= 5
+                               THEN (doc_id + g + win)
+                                    % LEAST(p1, CASE sfs WHEN 1
+                                            THEN 8 ELSE 16 END)
+                               ELSE (doc_id + 7 + g + win)
+                                    % LEAST(p2, CASE sfs WHEN 1
+                                            THEN 8 ELSE 16 END)
+                          END)
+                          * (CASE sfs WHEN 1 THEN 2 ELSE 1 END)
+                          + 4 * ((doc_id + g + win) % 3)) / 2.0))
+                        AS BIGINT) AS v,
+             pos, sgn
+      FROM banded
+    )
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_granules,
+           CAST(SUM(v) AS BIGINT) AS sum_rq_signed,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_rq_abs,
+           CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+           CAST(SUM(pos * sgn) AS BIGINT) AS sum_pos_signed
+    FROM rq
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_requant_short(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHORT-BLOCK exact requantization (ISO 11172-3 2.4.3.4 for
+    window-switching granules): per-window slen-coded scalefactors
+    (six bands under slen1 then six under slen2, times three
+    windows), nonzero subblock_gain as EXACT powers of two (4*ssg
+    half-steps in the derived Q14 curve), the implied two-region
+    split at sample 36, and the Table B.8 SHORT band/window mapping
+    (3x per-window boundaries, window = (pos - 3*lo) // width)
+    deciding every line's exponent — all through the same derived
+    Q12/Q12/Q14 fixed-point tables as the long-block query, bit-exact
+    against the re-deriving DuckDB oracle.  Declared boundaries:
+    mixed blocks (split band layouts) and nonzero lines in the
+    unscaled short zone (its window interleave).  Reference scope
+    note: the reference delegates all media handling to its
+    warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..multimodal.decode import decode_mp3_requant, synthesize_mp3_rqs
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_requant(synthesize_mp3_rqs(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_mp3_imdct_synth",
     # formulas mirror synth.mp3_imdct_geometry / mp3_imdct_spectrum /
     # mp3_imdct_block_type and decode._mp3_fb_tables: granule g has
