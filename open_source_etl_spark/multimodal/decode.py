@@ -2333,8 +2333,9 @@ def _parse_sps_all(doc_id: int, rbsp: bytes) -> dict:
             raise ValueError(f"doc {doc_id}: SPS scaling matrices unsupported")
     frame_num_bits = r.ue() + 4  # log2_max_frame_num_minus4
     poc_type = r.ue()
+    poc_lsb_bits = 0
     if poc_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        poc_lsb_bits = r.ue() + 4  # log2_max_pic_order_cnt_lsb_minus4
     elif poc_type == 1:
         raise ValueError(f"doc {doc_id}: POC type 1 unsupported")
     elif poc_type != 2:
@@ -2368,6 +2369,7 @@ def _parse_sps_all(doc_id: int, rbsp: bytes) -> dict:
         "height": height,
         "frame_num_bits": frame_num_bits,
         "poc_type": poc_type,
+        "poc_lsb_bits": poc_lsb_bits if poc_type == 0 else 0,
         "max_num_ref_frames": max_num_ref_frames,
     }
 
@@ -2576,7 +2578,8 @@ def _read_pcm_mb_luma(doc_id: int, r, rbsp: bytes) -> int:
 
 
 def _parse_ipcm_slice(
-    doc_id: int, rbsp: bytes, frame_num_bits: int, n_mbs: int
+    doc_id: int, rbsp: bytes, frame_num_bits: int, n_mbs: int,
+    poc_bits: int = 0,
 ) -> tuple[int, int, list]:
     """Decode one I_PCM IDR SLICE (ITU-T H.264 7.3.3 + 7.3.5): the
     COMPLETE header for this stream shape (through the IDR
@@ -2599,6 +2602,8 @@ def _parse_ipcm_slice(
     if r.u(frame_num_bits) != 0:
         raise ValueError(f"doc {doc_id}: IDR slice with nonzero frame_num")
     idr_pic_id = r.ue()
+    if poc_bits:
+        r.u(poc_bits)  # pic_order_cnt_lsb (POC type 0 streams)
     r.u(1)  # dec_ref_pic_marking: no_output_of_prior_pics_flag
     r.u(1)  # dec_ref_pic_marking: long_term_reference_flag
     qp_delta = r.se()  # slice_qp_delta (I_PCM ignores qp; range-check only)
@@ -8346,7 +8351,8 @@ def _h264_skip_mv(mbs: list, idx: int, mb_w: int) -> tuple[int, int]:
 
 
 def _parse_p_inter_slice(
-    doc_id: int, rbsp: bytes, frame_num_bits: int, mb_w: int, mb_h: int
+    doc_id: int, rbsp: bytes, frame_num_bits: int, mb_w: int, mb_h: int,
+    poc_bits: int = 0,
 ) -> tuple[int, list]:
     """Decode one P slice carrying REAL motion (ITU-T H.264 7.3.3 +
     7.3.4 + 7.3.5): P_Skip runs whose per-macroblock motion is
@@ -8373,6 +8379,7 @@ def _parse_p_inter_slice(
         )
     r.ue()  # pic_parameter_set_id
     frame_num = r.u(frame_num_bits)
+    poc = r.u(poc_bits) if poc_bits else None
     active = 1
     if r.u(1):  # num_ref_idx_active_override_flag
         active = r.ue() + 1
@@ -8469,7 +8476,7 @@ def _parse_p_inter_slice(
             raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
     if r.pos != 8 * len(rbsp):
         raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
-    return frame_num, active, mods, ops
+    return frame_num, poc, active, mods, ops
 
 
 H264_INTER_SCHEMA = (
@@ -8535,8 +8542,11 @@ def decode_h264_inter(media_df: DataFrame) -> DataFrame:
                         )
                     mb_w = sps["width"] // 16
                     mb_h = sps["height"] // 16
-                    frame_num, active, mods, ops = _parse_p_inter_slice(
-                        doc_id, rbsp, sps["frame_num_bits"], mb_w, mb_h
+                    frame_num, _poc, active, mods, ops = (
+                        _parse_p_inter_slice(
+                            doc_id, rbsp, sps["frame_num_bits"],
+                            mb_w, mb_h,
+                        )
                     )
                     if active != 1 or mods:
                         raise NotImplementedError(
@@ -8609,6 +8619,293 @@ def decode_h264_inter(media_df: DataFrame) -> DataFrame:
     )
 
 
+def _parse_b_slice(
+    doc_id: int, rbsp: bytes, frame_num_bits: int, poc_bits: int,
+    mb_w: int, mb_h: int,
+) -> tuple[int, int, list]:
+    """Decode one B slice (ITU-T H.264 7.3.3/7.3.5) restricted to
+    explicit 16x16 predictions: B_L0_16x16 (mb_type 1), B_L1_16x16
+    (2), and B_Bi_16x16 (3) with se(v) MV differences per used list
+    and coded_block_pattern 0.  Direct modes (B_Skip / B_Direct,
+    which need co-located MV inference), partitions, and residuals
+    raise declared boundaries.  Returns (frame_num, poc, ops) with
+    ops[i] = (kind 'l0'/'l1'/'bi', mv_l0, mv_l1)."""
+    n_mbs = mb_w * mb_h
+    r = _H264BitReader(rbsp, doc_id)
+    if r.ue() != 0:
+        raise ValueError(f"doc {doc_id}: multi-slice B picture")
+    if r.ue() % 5 != 1:
+        raise ValueError(f"doc {doc_id}: not a B slice")
+    r.ue()  # pic_parameter_set_id
+    frame_num = r.u(frame_num_bits)
+    poc = r.u(poc_bits)
+    if r.u(1):
+        raise NotImplementedError(
+            "spatial/temporal DIRECT prediction (co-located MV "
+            "inference) not implemented"
+        )
+    if r.u(1):  # num_ref_idx_active_override_flag
+        if r.ue() or r.ue():
+            raise NotImplementedError(
+                "multi-reference B lists not implemented (one "
+                "picture per list)"
+            )
+    for _lx in range(2):  # ref_pic_list_modification l0 / l1
+        if r.u(1):
+            raise NotImplementedError(
+                "B-list modification not implemented"
+            )
+    # nal_ref_idc 0: no dec_ref_pic_marking
+    qp_delta = r.se()
+    if not -52 < qp_delta < 52:
+        raise ValueError(f"doc {doc_id}: slice_qp_delta out of range")
+    # per-list MB state for the 8.4.1.3 predictors: (ref, mv) with
+    # ref -1 when the macroblock does not use that list
+    mbs_l0: list = [None] * n_mbs
+    mbs_l1: list = [None] * n_mbs
+    ops: list = [None] * n_mbs
+    decoded = 0
+    while decoded < n_mbs:
+        skip_run = r.ue()
+        if skip_run:
+            raise NotImplementedError(
+                "B_Skip macroblocks (direct inference) not implemented"
+            )
+        mb_type = r.ue()
+        if mb_type not in (1, 2, 3):
+            raise NotImplementedError(
+                f"B mb_type {mb_type} not implemented (explicit "
+                "16x16 L0/L1/Bi only)"
+            )
+        mv_l0 = mv_l1 = None
+        if mb_type in (1, 3):
+            mvd = (r.se(), r.se())
+            mvp = _h264_mvp(mbs_l0, decoded, mb_w, 0)
+            mv_l0 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        if mb_type in (2, 3):
+            mvd = (r.se(), r.se())
+            mvp = _h264_mvp(mbs_l1, decoded, mb_w, 0)
+            mv_l1 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        if r.ue() != 0:
+            raise NotImplementedError(
+                "nonzero coded_block_pattern carries CAVLC residual "
+                "blocks (declared stub)"
+            )
+        mbs_l0[decoded] = (0, mv_l0) if mv_l0 else (-1, (0, 0))
+        mbs_l1[decoded] = (0, mv_l1) if mv_l1 else (-1, (0, 0))
+        ops[decoded] = (
+            ("l0", mv_l0, None) if mb_type == 1
+            else ("l1", None, mv_l1) if mb_type == 2
+            else ("bi", mv_l0, mv_l1)
+        )
+        decoded += 1
+    if r.u(1) != 1:
+        raise ValueError(f"doc {doc_id}: missing rbsp_stop_one_bit")
+    while r.pos % 8:
+        if r.u(1) != 0:
+            raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
+    if r.pos != 8 * len(rbsp):
+        raise ValueError(f"doc {doc_id}: trailing bytes after B slice")
+    return frame_num, poc, ops
+
+
+H264_BFRAME_SCHEMA = (
+    "doc_id long, frame_idx long, frame_type string, mean_luma long, "
+    "n_l0 long, n_l1 long, n_bi long"
+)
+
+
+def decode_h264_bframe(media_df: DataFrame) -> DataFrame:
+    """B-SLICE H.264 decode (ITU-T H.264 8.4.2.1/8.2.4.2.3): a
+    POC-type-0 stream whose non-reference B picture sits BETWEEN its
+    two references in display order while arriving last in decode
+    order; the decoder reads pic_order_cnt_lsb from every slice
+    header and builds the B lists BY POC — L0 past-first (descending
+    POC below the current picture, then ascending above), L1
+    future-first — so a decoder that ignores POC and uses decode
+    order fetches the wrong pictures.  B_L0/B_L1 macroblocks copy
+    from their list's picture; B_Bi averages the two predictions
+    with the spec's (a + b + 1) >> 1 rounding — exact on the flat
+    fixture macroblocks.  Direct modes, B_Skip, partitions,
+    residuals, and weighted prediction stay declared boundaries."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            sps = pps = None
+            rows = []
+            # (poc, per-MB flat luma VALUES) of reference pictures
+            refs: list = []
+            for unit in h264_split_nals(doc_id, raw):
+                nal_type = unit[0] & 0x1F
+                nal_ref = (unit[0] >> 5) & 3
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                    if sps["poc_type"] != 0:
+                        raise ValueError(
+                            f"doc {doc_id}: B stream needs POC type 0"
+                        )
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    n_mbs = (sps["width"] // 16) * (sps["height"] // 16)
+                    _pid, first_mb, mb_sums = _parse_ipcm_slice(
+                        doc_id, rbsp, sps["frame_num_bits"], n_mbs,
+                        sps["poc_lsb_bits"],
+                    )
+                    if first_mb != 0 or len(mb_sums) != n_mbs:
+                        raise ValueError(
+                            f"doc {doc_id}: partial IDR in B fixture"
+                        )
+                    vals = [s // 256 for s in mb_sums]
+                    refs = [(0, vals)]
+                    rows.append(("I", sum(vals) // n_mbs, 0, 0, 0))
+                elif nal_type == 1:
+                    if not refs or sps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: inter slice with no "
+                            "reference"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    n_mbs = mb_w * mb_h
+                    # peek slice_type to route P vs B
+                    rr = _H264BitReader(rbsp, doc_id)
+                    rr.ue()
+                    stype = rr.ue() % 5
+                    if stype == 0:  # P: single-ref copy/refresh layer
+                        _fn, poc, active, mods, ops = (
+                            _parse_p_inter_slice(
+                                doc_id, rbsp, sps["frame_num_bits"],
+                                mb_w, mb_h, sps["poc_lsb_bits"],
+                            )
+                        )
+                        if active != 1 or mods:
+                            raise NotImplementedError(
+                                "multi-ref P inside the B fixture "
+                                "not implemented"
+                            )
+                        src = refs[-1][1]
+                        new = [0] * n_mbs
+                        for idx, op in enumerate(ops):
+                            if op[0] == "pcm":
+                                new[idx] = op[1] // 256
+                                continue
+                            mvx, mvy = op[1]
+                            if mvx or mvy:
+                                raise NotImplementedError(
+                                    "moving P macroblocks in the B "
+                                    "fixture not implemented"
+                                )
+                            new[idx] = src[idx]
+                        if nal_ref:
+                            refs.append((poc, new))
+                            refs.sort(key=lambda t: t[0])
+                        rows.append(
+                            ("P", sum(new) // n_mbs, 0, 0, 0)
+                        )
+                    else:  # B
+                        if nal_ref:
+                            raise NotImplementedError(
+                                "reference B pictures (marking in B "
+                                "slice headers) not implemented"
+                            )
+                        frame_num, poc, ops = _parse_b_slice(
+                            doc_id, rbsp, sps["frame_num_bits"],
+                            sps["poc_lsb_bits"], mb_w, mb_h,
+                        )
+                        past = [p for p in refs if p[0] < poc]
+                        future = [p for p in refs if p[0] > poc]
+                        if not past or not future:
+                            raise ValueError(
+                                f"doc {doc_id}: B picture lacks a "
+                                "reference on each side"
+                            )
+                        # 8.2.4.2.3 initial lists, one entry each:
+                        # L0 = nearest past, L1 = nearest future
+                        l0 = max(past, key=lambda t: t[0])[1]
+                        l1 = min(future, key=lambda t: t[0])[1]
+                        new = [0] * n_mbs
+                        n_l0 = n_l1 = n_bi = 0
+                        for idx, (kind, mv0, mv1) in enumerate(ops):
+                            for mv in (mv0, mv1):
+                                if mv and (mv[0] or mv[1]):
+                                    raise NotImplementedError(
+                                        "moving B macroblocks need "
+                                        "pixel-plane interpolation "
+                                        "(declared boundary)"
+                                    )
+                            if kind == "l0":
+                                new[idx] = l0[idx]
+                                n_l0 += 1
+                            elif kind == "l1":
+                                new[idx] = l1[idx]
+                                n_l1 += 1
+                            else:
+                                # 8.4.2.3.2 default bi-prediction
+                                new[idx] = (l0[idx] + l1[idx] + 1) >> 1
+                                n_bi += 1
+                        rows.append(
+                            ("B", sum(new) // n_mbs, n_l0, n_l1, n_bi)
+                        )
+                elif nal_type not in (7, 8):
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected NAL type {nal_type}"
+                    )
+            if len(rows) < 3:
+                raise ValueError(f"doc {doc_id}: incomplete B GOP")
+            return rows
+
+        cols = (
+            "doc_id", "frame_idx", "frame_type", "mean_luma",
+            "n_l0", "n_l1", "n_bi",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, row in enumerate(walk(int(doc_id), bytes(b))):
+                    vals = (int(doc_id), fi, *row)
+                    for col, v in zip(cols, vals):
+                        out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, H264_BFRAME_SCHEMA
+    )
+
+
+def synthesize_h264_bframe(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying the B-slice GOP
+    (``make_h264_bframe_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_bframe_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_bframe_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 H264_MULTIREF_SCHEMA = (
     "doc_id long, frame_idx long, frame_type string, mean_luma long, "
     "n_skip long, n_inter long, sum_ref_idx long, n_list_mods long"
@@ -8669,8 +8966,11 @@ def decode_h264_multiref(media_df: DataFrame) -> DataFrame:
                         )
                     mb_w = sps["width"] // 16
                     mb_h = sps["height"] // 16
-                    frame_num, active, mods, ops = _parse_p_inter_slice(
-                        doc_id, rbsp, sps["frame_num_bits"], mb_w, mb_h
+                    frame_num, _poc, active, mods, ops = (
+                        _parse_p_inter_slice(
+                            doc_id, rbsp, sps["frame_num_bits"],
+                            mb_w, mb_h,
+                        )
                     )
                     if frame_num != expect_frame % 16:
                         raise ValueError(

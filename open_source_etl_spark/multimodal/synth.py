@@ -1242,7 +1242,7 @@ def h264_sps_rbsp(doc_id: int) -> bytes:
 
 def _h264_sps_from_fields(
     profile_idc: int, level_idc: int, w_m1: int, h_m1: int,
-    max_ref: int = 1,
+    max_ref: int = 1, poc_type: int = 2,
 ) -> bytes:
     w = _H264BitWriter()
     w.u(profile_idc, 8)
@@ -1250,7 +1250,9 @@ def _h264_sps_from_fields(
     w.u(level_idc, 8)
     w.ue(0)    # seq_parameter_set_id
     w.ue(0)    # log2_max_frame_num_minus4
-    w.ue(2)    # pic_order_cnt_type (2: no further POC fields)
+    w.ue(poc_type)  # pic_order_cnt_type
+    if poc_type == 0:
+        w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4 -> 4-bit lsb
     w.ue(max_ref)  # max_num_ref_frames
     w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
     w.ue(w_m1)  # pic_width_in_mbs_minus1
@@ -1898,6 +1900,112 @@ def make_h264_multiref_bytes(doc_id: int) -> bytes:
 
     units.append(_h264_nal(2, 1, inter_picture(2, 0, False), 4))
     units.append(_h264_nal(2, 1, inter_picture(3, 1, True), 5))
+    return b"".join(units)
+
+
+def make_h264_bframe_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream with a REAL B picture (ITU-T H.264
+    8.4.2): POC type 0, decode order IDR(poc 0) -> P(poc 4,
+    reference) -> B(poc 2, NON-reference, nal_ref_idc 0) — the B
+    picture sits BETWEEN its references in display order, so its
+    lists are L0 = the IDR (nearest past by POC) and L1 = the P
+    (nearest future).  The P refreshes macroblocks 0/1 to W0/W1 so
+    the two references differ observably; the B's macroblocks cycle
+    B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 by (doc + idx) % 3 with
+    zero MVs and cbp 0 — bi-prediction averages flat macroblocks
+    with the spec's (a+b+1)>>1 rounding, exactly."""
+    mb_w, mb_h, _ca = h264_inter_params(doc_id)
+    n_mbs = mb_w * mb_h
+    base = h264_inter_base(doc_id)
+    units = [
+        _h264_nal(
+            3, 7,
+            _h264_sps_from_fields(
+                66, 10, mb_w - 1, mb_h - 1, max_ref=2, poc_type=0
+            ),
+            0,
+        ),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+
+    # IDR: the affine plane, now with a pic_order_cnt_lsb field
+    w = _H264BitWriter()
+    w.ue(0)        # first_mb_in_slice
+    w.ue(7)        # slice_type: I
+    w.ue(0)        # pic_parameter_set_id
+    w.u(0, 4)      # frame_num
+    w.ue(0)        # idr_pic_id
+    w.u(0, 4)      # pic_order_cnt_lsb = 0
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(25)
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    parts = [w.to_bytes()]
+    lumas = [base + 5 * r + 3 * c for r in range(mb_h) for c in range(mb_w)]
+    for m, luma in enumerate(lumas):
+        if m:
+            parts.append(b"\x0d\x00")
+        parts.append(bytes([luma]) * 256 + bytes([128]) * 128)
+    parts.append(b"\x80")
+    units.append(_h264_nal(3, 5, b"".join(parts), 2))
+
+    # P (reference, poc 4): PCM refreshes at 0/1, the rest skip
+    w = _H264BitWriter()
+    w.ue(0)
+    w.ue(5)                  # slice_type: P
+    w.ue(0)
+    w.u(1, 4)                # frame_num
+    w.u(4, 4)                # pic_order_cnt_lsb = 4
+    w.u(0, 1)                # num_ref_idx_active_override_flag
+    w.u(0, 1)                # ref_pic_list_modification_flag_l0
+    w.u(0, 1)                # adaptive_ref_pic_marking_mode_flag
+    w.se(0)
+    w.ue(0)                  # skip run 0
+    w.ue(30)                 # I_PCM
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    parts = [w.to_bytes()]
+    parts.append(
+        bytes([h264_multiref_w(doc_id, 0)]) * 256 + bytes([128]) * 128
+    )
+    w2 = _H264BitWriter()
+    w2.ue(0)
+    w2.ue(30)
+    while len(w2.bits) % 8:
+        w2.bits.append(0)
+    parts.append(w2.to_bytes())
+    parts.append(
+        bytes([h264_multiref_w(doc_id, 1)]) * 256 + bytes([128]) * 128
+    )
+    w3 = _H264BitWriter()
+    w3.ue(n_mbs - 2)
+    parts.append(w3.rbsp_trailing())
+    units.append(_h264_nal(2, 1, b"".join(parts), 3))
+
+    # B (non-reference, poc 2, between the references)
+    w = _H264BitWriter()
+    w.ue(0)
+    w.ue(6)                  # slice_type: B (6 = B, all slices)
+    w.ue(0)
+    w.u(2, 4)                # frame_num
+    w.u(2, 4)                # pic_order_cnt_lsb = 2
+    w.u(0, 1)                # direct_spatial_mv_pred_flag
+    w.u(0, 1)                # num_ref_idx_active_override_flag
+    w.u(0, 1)                # ref_pic_list_modification_flag_l0
+    w.u(0, 1)                # ref_pic_list_modification_flag_l1
+    w.se(0)                  # slice_qp_delta (nal_ref_idc 0: no marking)
+    for idx in range(n_mbs):
+        w.ue(0)              # mb_skip_run 0
+        kind = (doc_id + idx) % 3
+        w.ue(1 + kind)       # mb_type: B_L0 / B_L1 / B_Bi 16x16
+        n_mvs = 2 if kind == 2 else 1
+        for _ in range(n_mvs):
+            w.se(0)          # mvd x
+            w.se(0)          # mvd y
+        w.ue(0)              # coded_block_pattern
+    units.append(_h264_nal(0, 1, w.rbsp_trailing(), 4))
     return b"".join(units)
 
 

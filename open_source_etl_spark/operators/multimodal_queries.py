@@ -2074,6 +2074,95 @@ def multimodal_mp3_requant_exact(
 
 
 @query(
+    "multimodal_h264_bframe_decode",
+    # formulas mirror synth.make_h264_bframe_bytes: the affine IDR
+    # plane V(idx) = B + 5*(idx//mbw) + 3*(idx%mbw), a P refreshing
+    # macroblocks 0/1 to W0/W1, and a B whose macroblocks cycle
+    # L0 (-> the IDR, nearest past by POC) / L1 (-> the P, nearest
+    # future) / Bi ((a+b+1)//2) by (doc+idx) % 3.  The POC-driven
+    # list construction, display-vs-decode reordering, and B
+    # macroblock syntax have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             4 + doc_id % 2 AS mbw,
+             3 + doc_id % 2 AS mbh,
+             30 + (doc_id * 7) % 90 AS b,
+             12 + (doc_id * 17) % 180 AS w0,
+             12 + (doc_id * 17 + 29) % 180 AS w1
+      FROM documents
+    ),
+    mb AS (
+      SELECT doc_id, mbw, mbh, ii.idx AS idx,
+             b + 5 * (ii.idx // mbw) + 3 * (ii.idx % mbw) AS vi,
+             CASE ii.idx WHEN 0 THEN w0 WHEN 1 THEN w1
+                  ELSE b + 5 * (ii.idx // mbw) + 3 * (ii.idx % mbw)
+             END AS vp,
+             (doc_id + ii.idx) % 3 AS kind
+      FROM p, LATERAL (SELECT unnest(range(0, mbw * mbh)) AS idx) ii
+    ),
+    agg AS (
+      SELECT doc_id, mbw * mbh AS n,
+             SUM(vi) AS si, SUM(vp) AS sp,
+             SUM(CASE kind WHEN 0 THEN vi WHEN 1 THEN vp
+                  ELSE (vi + vp + 1) // 2 END) AS sb,
+             SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS nl0,
+             SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS nl1,
+             SUM(CASE WHEN kind = 2 THEN 1 ELSE 0 END) AS nbi
+      FROM mb GROUP BY doc_id, mbw * mbh
+    ),
+    f AS (
+      SELECT doc_id, ff.k AS frame_idx,
+             CASE ff.k WHEN 0 THEN 'I' WHEN 1 THEN 'P' ELSE 'B'
+             END AS frame_type,
+             CASE ff.k WHEN 0 THEN si WHEN 1 THEN sp ELSE sb
+             END // n AS mean_luma,
+             CASE WHEN ff.k = 2 THEN nl0 ELSE 0 END AS n_l0,
+             CASE WHEN ff.k = 2 THEN nl1 ELSE 0 END AS n_l1,
+             CASE WHEN ff.k = 2 THEN nbi ELSE 0 END AS n_bi
+      FROM agg, LATERAL (SELECT unnest([0, 1, 2]) AS k) ff
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           frame_type,
+           CAST(mean_luma AS BIGINT) AS mean_luma,
+           CAST(n_l0 AS BIGINT) AS n_l0,
+           CAST(n_l1 AS BIGINT) AS n_l1,
+           CAST(n_bi AS BIGINT) AS n_bi
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_h264_bframe_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B-SLICE H.264 decode (ITU-T H.264 8.4.2.1) — the last of the
+    three P/B inter shapes beside single-ref motion and multi-ref
+    selection: a POC-type-0 stream whose NON-reference B picture
+    arrives last in decode order but sits between its references in
+    display order, so the decoder must read pic_order_cnt_lsb from
+    every slice header and build L0 (nearest past) / L1 (nearest
+    future) BY POC — decode-order lists fetch the wrong pictures and
+    hash-mismatch.  B_L0/B_L1 macroblocks copy their list's picture;
+    B_Bi averages both with the spec's (a+b+1)>>1 rounding, exact on
+    flat macroblocks.  Declared boundaries: direct modes / B_Skip
+    (co-located MV inference), reference B pictures, moving B
+    macroblocks (pixel-plane interpolation), multi-reference B
+    lists, weighted prediction.  Reference scope note: the reference
+    delegates all media handling to its warehouse; this query is
+    part of the training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_h264_bframe,
+        synthesize_h264_bframe,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_bframe(synthesize_h264_bframe(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
     "multimodal_mp3_requant_short",
     # formulas mirror synth.mp3_rqs_fields / mp3_rqs_spectrum: both
     # granules short (non-mixed) with per-window scalefactors
