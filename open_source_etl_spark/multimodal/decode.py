@@ -5151,6 +5151,309 @@ def decode_jpeg_exif(media_df: DataFrame) -> DataFrame:
     )
 
 
+VP8L_CL_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+)
+
+
+class _Vp8lBits:
+    """Forward LSB-first bit reader; Huffman codes are consumed
+    bit-by-bit MSB-of-code-first (canonical tree walk)."""
+
+    def __init__(self, doc_id: int, raw: bytes, pos: int):
+        self.raw = raw
+        self.byte = pos
+        self.bit = 0
+        self.doc_id = doc_id
+
+    def read(self, n: int) -> int:
+        out = 0
+        for j in range(n):
+            if self.byte >= len(self.raw):
+                raise ValueError(
+                    f"doc {self.doc_id}: VP8L stream exhausted"
+                )
+            out |= ((self.raw[self.byte] >> self.bit) & 1) << j
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return out
+
+    def read_symbol(self, table: dict, what: str) -> int:
+        if isinstance(table, int):  # 1-symbol simple code: zero bits
+            return table
+        code = length = 0
+        while True:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+            if length > 15:
+                raise ValueError(
+                    f"doc {self.doc_id}: invalid {what} Huffman code"
+                )
+
+
+def _vp8l_canonical(doc_id: int, lengths: dict, what: str) -> dict:
+    """Canonical decode table {(nbits, code): symbol} with the
+    completeness gate (Kraft must be exactly 1)."""
+    from fractions import Fraction
+
+    if sum(Fraction(1, 1 << l) for l in lengths.values()) != 1:
+        raise ValueError(f"doc {doc_id}: {what} code is not complete")
+    out = {}
+    code = 0
+    for ln in sorted(set(lengths.values())):
+        for sym in sorted(s for s, l in lengths.items() if l == ln):
+            out[(ln, code)] = sym
+            code += 1
+        code <<= 1
+    return out
+
+
+def _vp8l_prefix_value(r: "_Vp8lBits", code: int) -> int:
+    """LZ77 prefix decode (WebP lossless spec): code -> value >= 1."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.read(extra) + 1
+
+
+def _vp8l_read_code(r: "_Vp8lBits", alphabet: int, what: str):
+    """One Huffman code (simple or normal form).  Normal form reads
+    code lengths through the code-length code with repeat symbols
+    (16: repeat previous, 17/18: zero runs) and stops when the Kraft
+    budget closes — libwebp's early-stop convention, which doubles as
+    the completeness gate."""
+    if r.read(1):  # simple
+        n_sym = r.read(1) + 1
+        if r.read(1):
+            first = r.read(8)
+        else:
+            first = r.read(1)
+        if n_sym == 1:
+            return first
+        second = r.read(8)
+        if first == second:
+            raise ValueError(f"doc {r.doc_id}: duplicate simple symbols")
+        return {(1, 0): min(first, second), (1, 1): max(first, second)}
+    n_cl = 4 + r.read(4)
+    if n_cl > 19:
+        raise ValueError(f"doc {r.doc_id}: too many code-length codes")
+    cl_lengths = {}
+    for k in range(n_cl):
+        ln = r.read(3)
+        if ln:
+            cl_lengths[VP8L_CL_ORDER[k]] = ln
+    cl_table = _vp8l_canonical(r.doc_id, cl_lengths, "code-length")
+    max_symbol = alphabet
+    if r.read(1):  # use_max_symbol
+        length_nbits = 2 + 2 * r.read(3)
+        max_symbol = 2 + r.read(length_nbits)
+        if max_symbol > alphabet:
+            raise ValueError(
+                f"doc {r.doc_id}: max_symbol past the {what} alphabet"
+            )
+    lengths: dict = {}
+    space = 1 << 15
+    sym = 0
+    prev_len = 8
+    while sym < max_symbol and space > 0:
+        cl = r.read_symbol(cl_table, "code-length")
+        if cl < 16:
+            if cl:
+                lengths[sym] = cl
+                prev_len = cl
+                space -= 1 << (15 - cl)
+            sym += 1
+        elif cl == 16:
+            rep = 3 + r.read(2)
+            for _ in range(rep):
+                lengths[sym] = prev_len
+                space -= 1 << (15 - prev_len)
+                sym += 1
+        elif cl == 17:
+            sym += 3 + r.read(3)
+        else:
+            sym += 11 + r.read(7)
+        if sym > alphabet:
+            raise ValueError(
+                f"doc {r.doc_id}: {what} code lengths overrun the "
+                "alphabet"
+            )
+    if space < 0:
+        raise ValueError(
+            f"doc {r.doc_id}: {what} code lengths oversubscribe the "
+            "Kraft budget"
+        )
+    return _vp8l_canonical(r.doc_id, lengths, what)
+
+
+def parse_webp_vp8l(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int, int, int]:
+    """Decode one LOSSLESS WebP (RIFF/WEBP/VP8L, the WebP lossless
+    bitstream spec) to (width, height, n_literals, n_backref_pixels,
+    sum_green, sum_red, sum_blue): the RIFF walk, the 0x2F
+    signature + 14-bit dimensions, the five entropy codes (simple
+    1-/2-symbol and NORMAL code-length-coded forms, the latter with
+    repeat/zero-run symbols, the optional max_symbol shortcut, and
+    libwebp's Kraft-budget early stop — enforced complete), row-major
+    ARGB decoding (green/red/blue/alpha order), and LZ77 backrefs via
+    the prefix-coded length and DIRECT distances (plane codes > 120).
+    Declared boundaries: transforms (predictor/color/subtract-green/
+    palette), color cache, meta-Huffman tiles, the <=120 plane-code
+    neighbor map, and lossy VP8 / extended VP8X chunks."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        raise ValueError(f"doc {doc_id}: not a RIFF/WEBP container")
+    (riff_size,) = struct.unpack_from("<I", raw, 4)
+    if 8 + riff_size != len(raw):
+        raise ValueError(f"doc {doc_id}: RIFF size disagrees with file")
+    pos = 12
+    payload = None
+    while pos < len(raw):
+        tag = raw[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8 : pos + 8 + size]
+        if tag == b"VP8L":
+            payload = body
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy VP8 / extended VP8X WebP not implemented "
+                "(lossless VP8L only)"
+            )
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError(f"doc {doc_id}: no VP8L chunk")
+    r = _Vp8lBits(doc_id, payload, 0)
+    if r.read(8) != 0x2F:
+        raise ValueError(f"doc {doc_id}: bad VP8L signature")
+    width = r.read(14) + 1
+    height = r.read(14) + 1
+    r.read(1)  # alpha hint
+    if r.read(3) != 0:
+        raise ValueError(f"doc {doc_id}: unknown VP8L version")
+    if r.read(1):
+        raise NotImplementedError(
+            "VP8L transforms (predictor/color/subtract-green/"
+            "palette) not implemented"
+        )
+    if r.read(1):
+        raise NotImplementedError("VP8L color cache not implemented")
+    if r.read(1):
+        raise NotImplementedError(
+            "VP8L meta-Huffman tiles not implemented"
+        )
+    green = _vp8l_read_code(r, 280, "green")
+    red = _vp8l_read_code(r, 256, "red")
+    blue = _vp8l_read_code(r, 256, "blue")
+    alpha = _vp8l_read_code(r, 256, "alpha")
+    distance = _vp8l_read_code(r, 40, "distance")
+    n_px = width * height
+    pixels: list = []
+    n_lit = n_back = sum_g = sum_r = sum_b = 0
+    while len(pixels) < n_px:
+        g = r.read_symbol(green, "green")
+        if g < 256:
+            rr = r.read_symbol(red, "red")
+            bb = r.read_symbol(blue, "blue")
+            aa = r.read_symbol(alpha, "alpha")
+            pixels.append((g, rr, bb, aa))
+            n_lit += 1
+            sum_g += g
+            sum_r += rr
+            sum_b += bb
+        elif g < 280:
+            length = _vp8l_prefix_value(r, g - 256)
+            dcode = _vp8l_prefix_value(
+                r, r.read_symbol(distance, "distance")
+            )
+            if dcode <= 120:
+                raise NotImplementedError(
+                    "VP8L plane-code neighbor map (distance codes "
+                    "<= 120) not implemented"
+                )
+            dist = dcode - 120
+            if dist > len(pixels):
+                raise ValueError(
+                    f"doc {doc_id}: backref distance {dist} before "
+                    "the image start"
+                )
+            if len(pixels) + length > n_px:
+                raise ValueError(
+                    f"doc {doc_id}: backref overruns the image"
+                )
+            for _ in range(length):
+                px = pixels[len(pixels) - dist]
+                pixels.append(px)
+                sum_g += px[0]
+                sum_r += px[1]
+                sum_b += px[2]
+                n_back += 1
+        else:
+            raise ValueError(f"doc {doc_id}: green symbol {g} out of "
+                             "range without a color cache")
+    return width, height, n_lit, n_back, sum_g, sum_r, sum_b
+
+
+def synthesize_webp(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a lossless WebP
+    (``make_webp_vp8l_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_webp_vp8l_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_webp_vp8l_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_webp(media_df: DataFrame) -> DataFrame:
+    """Distributed VP8L decode (``parse_webp_vp8l``) as an Arrow
+    kernel over binary rows."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "width", "height", "n_literals", "n_backref",
+            "sum_green", "sum_red", "sum_blue",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (
+                    int(doc_id), *parse_webp_vp8l(int(doc_id), bytes(b))
+                )
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, width long, height long, n_literals long, "
+        "n_backref long, sum_green long, sum_red long, sum_blue long",
+    )
+
+
 def parse_aac_adts(
     doc_id: int, raw: bytes
 ) -> tuple[int, int, int, int, int, int]:

@@ -3189,6 +3189,175 @@ def webm_blocks(doc_id: int, c: int) -> list[tuple[int, int, int, int]]:
     return out
 
 
+class _LsbBitWriter:
+    """Forward LSB-first bit writer (the VP8L stream convention)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def put(self, value: int, n: int) -> None:
+        for j in range(n):
+            self.cur |= ((value >> j) & 1) << self.nbits
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def put_code(self, code: int, n: int) -> None:
+        """Huffman codes go MSB-first (tree-walk order) into the
+        LSB-first stream."""
+        for j in range(n - 1, -1, -1):
+            self.put((code >> j) & 1, 1)
+
+    def to_bytes(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+# VP8L code-length-code order (the WebP lossless spec's constant)
+VP8L_CL_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+)
+
+
+def _canonical_codes_from_lengths(lengths: dict) -> dict:
+    """symbol -> (code, nbits) per the canonical convention (shorter
+    first, ties by symbol order)."""
+    out = {}
+    code = 0
+    for ln in sorted(set(lengths.values())):
+        for sym in sorted(s for s, l in lengths.items() if l == ln):
+            out[sym] = (code, ln)
+            code += 1
+        code <<= 1
+    return out
+
+
+def _vp8l_prefix(value: int) -> tuple[int, int, int]:
+    """LZ77 prefix coding (WebP lossless spec): value >= 1 ->
+    (prefix_code, extra_bits_value, extra_bits_count)."""
+    if value < 5:
+        return value - 1, 0, 0
+    v = value - 1
+    extra = v.bit_length() - 2
+    offset = (2 + ((v >> extra) & 1)) << extra
+    return 2 * extra + ((v >> extra) & 1) + 2, v - offset, extra
+
+
+def webp_vp8l_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, backref_distance, backref_len) closed forms."""
+    return (
+        8 + doc_id % 9, 6 + doc_id % 7, 5 + doc_id % 10,
+        3 + doc_id % 3,
+    )
+
+
+def webp_green(doc_id: int, p: int) -> int:
+    """Green literal value of pixel p."""
+    return 64 + (doc_id + 3 * p) % 4
+
+
+def make_webp_vp8l_bytes(doc_id: int) -> bytes:
+    """A REAL WebP lossless image (RIFF/WEBP/VP8L): the 0x2F
+    signature, 14-bit dimensions, no transforms, no color cache, a
+    NORMAL (code-length-coded) green tree — its 280-symbol length
+    array written with repeat-zero-run symbols and terminated by the
+    Kraft-budget early stop, exactly libwebp's convention — SIMPLE
+    1-symbol red/blue/alpha/distance trees, row-major green literals,
+    and one LZ77 backref of ``backref_len`` pixels at a DIRECT
+    distance (plane codes > 120).  Red/blue are per-doc constants,
+    alpha 255."""
+    w_px, h_px, dist, mlen = webp_vp8l_params(doc_id)
+    n_px = w_px * h_px
+    n_lit = n_px - mlen
+    len_prefix, len_extra, len_extra_n = _vp8l_prefix(mlen)
+    dist_prefix, dist_extra, dist_extra_n = _vp8l_prefix(dist + 120)
+
+    w = _LsbBitWriter()
+    w.put(0x2F, 8)            # VP8L signature
+    w.put(w_px - 1, 14)
+    w.put(h_px - 1, 14)
+    w.put(0, 1)               # alpha_is_used hint
+    w.put(0, 3)               # version
+    w.put(0, 1)               # no transforms
+    w.put(0, 1)               # no color cache
+    w.put(0, 1)               # no meta-huffman
+
+    # GREEN: normal tree over {64,65,66,67: len 2,2,2,3;
+    # 256+len_prefix: len 3} — complete (3/4 + 2/8 = 1)
+    green_lengths = {64: 2, 65: 2, 66: 2, 67: 3, 256 + len_prefix: 3}
+    w.put(0, 1)               # not a simple code
+    # code-length-code lengths: symbols {2: 2 bits, 3: 2, 18: 1};
+    # kOrder prefix of 6 covers 17,18,0,1,2,3
+    w.put(6 - 4, 4)
+    for cl_sym in VP8L_CL_ORDER[:6]:
+        w.put({18: 1, 2: 2, 3: 2}.get(cl_sym, 0), 3)
+    w.put(0, 1)               # no max_symbol shortcut
+    cl_codes = _canonical_codes_from_lengths({18: 1, 2: 2, 3: 2})
+
+    def put_cl(sym: int) -> None:
+        c, n = cl_codes[sym]
+        w.put_code(c, n)
+
+    def put_zero_run(count: int) -> None:
+        while count:
+            take = min(count, 138)
+            if take < 11:
+                raise ValueError("zero runs below 11 unsupported here")
+            put_cl(18)
+            w.put(take - 11, 7)
+            count -= take
+
+    put_zero_run(64)          # symbols 0..63
+    put_cl(2)                 # 64
+    put_cl(2)                 # 65
+    put_cl(2)                 # 66
+    put_cl(3)                 # 67
+    put_zero_run(256 + len_prefix - 68)
+    put_cl(3)                 # the length-prefix symbol
+    # Kraft budget now closes: the decoder infers the rest as zeros
+
+    def put_simple_tree(symbol: int) -> None:
+        w.put(1, 1)           # simple code
+        w.put(0, 1)           # one symbol
+        if symbol < 2:
+            w.put(0, 1)       # first symbol in 1 bit
+            w.put(symbol, 1)
+        else:
+            w.put(1, 1)       # first symbol in 8 bits
+            w.put(symbol, 8)
+
+    red = (doc_id * 3) % 256
+    blue = (doc_id * 5) % 256
+    put_simple_tree(red)          # RED tree
+    put_simple_tree(blue)         # BLUE tree
+    put_simple_tree(255)          # ALPHA tree
+    put_simple_tree(dist_prefix)  # DISTANCE tree
+
+    green_codes = _canonical_codes_from_lengths(green_lengths)
+    for p in range(n_lit):
+        c, n = green_codes[webp_green(doc_id, p)]
+        w.put_code(c, n)
+        # red/blue/alpha: 1-symbol simple codes cost zero bits
+    c, n = green_codes[256 + len_prefix]
+    w.put_code(c, n)
+    w.put(len_extra, len_extra_n)
+    # distance: the 1-symbol simple tree costs zero bits
+    w.put(dist_extra, dist_extra_n)
+
+    payload = w.to_bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def make_webm_bytes(doc_id: int) -> bytes:
     """Real WebM (Matroska/EBML, RFC 8794 + the Matroska element set):
     an EBML header declaring DocType webm, then one Segment holding

@@ -2074,6 +2074,76 @@ def multimodal_mp3_requant_exact(
 
 
 @query(
+    "multimodal_webp_vp8l_decode",
+    # formulas mirror synth.webp_vp8l_params / webp_green: an
+    # (8 + doc % 9) x (6 + doc % 7) image whose first N - M pixels
+    # are green literals 64 + (doc + 3p) % 4 (red/blue constant
+    # (doc*3) % 256 / (doc*5) % 256), closed by one LZ77 backref of
+    # M = 3 + doc % 3 pixels at direct distance D = 5 + doc % 10 —
+    # so the copied greens re-read the literal closed form at
+    # p = N - M - D + j.  The VP8L bit layer (canonical Huffman
+    # trees, code-length codes with zero-run symbols and the
+    # Kraft-budget early stop, LZ77 prefix coding) has no closed
+    # form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             6 + doc_id % 7 AS h,
+             5 + doc_id % 10 AS d,
+             3 + doc_id % 3 AS m
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, d, m, w * h - m AS n_lit,
+             SUM(64 + (doc_id + 3 * pp.p) % 4) AS sum_lit
+      FROM p, LATERAL (SELECT unnest(range(0, w * h - m)) AS p) pp
+      GROUP BY doc_id, w, h, d, m
+    ),
+    back AS (
+      SELECT p.doc_id,
+             SUM(64 + (p.doc_id
+                 + 3 * (p.w * p.h - p.m - p.d + jj.j)) % 4) AS sum_back
+      FROM p, LATERAL (SELECT unnest(range(0, m)) AS j) jj
+      GROUP BY p.doc_id
+    )
+    SELECT px.doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(n_lit AS BIGINT) AS n_literals,
+           CAST(m AS BIGINT) AS n_backref,
+           CAST(sum_lit + sum_back AS BIGINT) AS sum_green,
+           CAST(((px.doc_id * 3) % 256) * w * h AS BIGINT) AS sum_red,
+           CAST(((px.doc_id * 5) % 256) * w * h AS BIGINT) AS sum_blue
+    FROM px JOIN back ON px.doc_id = back.doc_id
+    ORDER BY px.doc_id
+    """,
+)
+def multimodal_webp_vp8l_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOSSLESS WebP decode (RIFF/WEBP/VP8L, the WebP lossless
+    bitstream spec) — the other image format crawl corpora are full
+    of, beside JPEG/PNG/GIF/BMP/TIFF: the RIFF chunk walk, the VP8L
+    signature and 14-bit dimensions, all five entropy codes (simple
+    1-/2-symbol forms and NORMAL code-length-coded trees with
+    repeat/zero-run symbols, the optional max_symbol shortcut, and
+    libwebp's Kraft-budget early stop — every decoded tree enforced
+    COMPLETE, the same gate as the repo's other entropy tables),
+    row-major ARGB literal decoding, and LZ77 backrefs through the
+    prefix-coded length/distance scheme with direct distances.
+    Declared boundaries: the four VP8L transforms, color cache,
+    meta-Huffman tiles, the <=120 plane-code neighbor map, and
+    lossy VP8 / extended VP8X.  Reference scope note: the reference
+    delegates all media handling to its warehouse; this query is
+    part of the training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_webp, synthesize_webp
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_webp(synthesize_webp(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_h264_bframe_decode",
     # formulas mirror synth.make_h264_bframe_bytes: the affine IDR
     # plane V(idx) = B + 5*(idx//mbw) + 3*(idx%mbw), a P refreshing
