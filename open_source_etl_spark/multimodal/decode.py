@@ -5151,6 +5151,178 @@ def decode_jpeg_exif(media_df: DataFrame) -> DataFrame:
     )
 
 
+def parse_id3v2(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int, int, int, int, int]:
+    """Extract ID3v2 metadata (the id3v2.3.0 / id3v2.4.0 informal
+    standards) to (version, n_text_frames, n_skipped_frames,
+    title_chars, artist_chars, album_chars, track, year,
+    audio_bytes): the syncsafe tag size, per-frame headers whose SIZE
+    field is plain big-endian under v2.3 but SYNCSAFE under v2.4
+    (the classic reader bug), text-frame decoding under Latin-1,
+    UTF-16 with its BOM, and (v2.4) UTF-8, TRCK 'n/total' splitting,
+    the version-appropriate year frame (TYER vs TDRC), unknown
+    frames skipped by size, zero-padding terminating the frame walk,
+    and the audio payload located exactly past the declared tag
+    size.  Unsynchronisation, extended headers, footers, compressed
+    or encrypted frames raise declared boundaries."""
+    if raw[:3] != b"ID3":
+        raise ValueError(f"doc {doc_id}: missing ID3v2 header")
+    ver = raw[3]
+    if ver not in (3, 4):
+        raise NotImplementedError(
+            f"ID3v2.{ver} tags not implemented (2.3/2.4 only)"
+        )
+    flags = raw[5]
+    if flags & 0x80:
+        raise NotImplementedError(
+            "ID3v2 unsynchronisation not implemented"
+        )
+    if flags & 0x40:
+        raise NotImplementedError(
+            "ID3v2 extended headers not implemented"
+        )
+    if flags & 0x10:
+        raise NotImplementedError("ID3v2 footers not implemented")
+    if flags & 0x2F:
+        raise ValueError(f"doc {doc_id}: reserved ID3v2 flags set")
+    if any(b & 0x80 for b in raw[6:10]):
+        raise ValueError(f"doc {doc_id}: tag size is not syncsafe")
+    tag_size = (
+        (raw[6] << 21) | (raw[7] << 14) | (raw[8] << 7) | raw[9]
+    )
+    end = 10 + tag_size
+    if end > len(raw):
+        raise ValueError(f"doc {doc_id}: tag size overruns the file")
+    pos = 10
+    n_text = n_skip = 0
+    title_chars = artist_chars = album_chars = track = year = -1
+    while pos < end:
+        if raw[pos] == 0:  # padding
+            if any(raw[pos:end]):
+                raise ValueError(
+                    f"doc {doc_id}: nonzero bytes inside the padding"
+                )
+            break
+        fid = raw[pos : pos + 4]
+        if ver == 4:
+            if any(b & 0x80 for b in raw[pos + 4 : pos + 8]):
+                raise ValueError(
+                    f"doc {doc_id}: v2.4 frame size is not syncsafe"
+                )
+            fsize = (
+                (raw[pos + 4] << 21) | (raw[pos + 5] << 14)
+                | (raw[pos + 6] << 7) | raw[pos + 7]
+            )
+        else:
+            fsize = int.from_bytes(raw[pos + 4 : pos + 8], "big")
+        fflags = int.from_bytes(raw[pos + 8 : pos + 10], "big")
+        if fflags & 0x00FF:
+            raise NotImplementedError(
+                "compressed/encrypted/grouped ID3 frames not "
+                "implemented"
+            )
+        body = raw[pos + 10 : pos + 10 + fsize]
+        if len(body) != fsize:
+            raise ValueError(
+                f"doc {doc_id}: frame {fid!r} overruns the tag"
+            )
+        pos += 10 + fsize
+        if fid[:1] == b"T":
+            enc = body[0]
+            data = body[1:]
+            if enc == 0:
+                text = data.decode("latin-1")
+            elif enc == 1:
+                if data[:2] not in (b"\xff\xfe", b"\xfe\xff"):
+                    raise ValueError(
+                        f"doc {doc_id}: UTF-16 text without a BOM"
+                    )
+                text = data.decode("utf-16")
+            elif enc == 3 and ver == 4:
+                text = data.decode("utf-8")
+            else:
+                raise ValueError(
+                    f"doc {doc_id}: text encoding {enc} invalid for "
+                    f"ID3v2.{ver}"
+                )
+            text = text.rstrip("\x00")
+            n_text += 1
+            if fid == b"TIT2":
+                title_chars = len(text)
+            elif fid == b"TPE1":
+                artist_chars = len(text)
+            elif fid == b"TALB":
+                album_chars = len(text)
+            elif fid == b"TRCK":
+                track = int(text.split("/")[0])
+            elif fid in (b"TYER", b"TDRC"):
+                if (fid == b"TYER") != (ver == 3):
+                    raise ValueError(
+                        f"doc {doc_id}: {fid!r} in an ID3v2.{ver} tag"
+                    )
+                year = int(text[:4])
+        else:
+            n_skip += 1
+    return (
+        ver, n_text, n_skip, title_chars, artist_chars, album_chars,
+        track, year, len(raw) - end,
+    )
+
+
+def synthesize_mp3_id3(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying an ID3v2-tagged MP3
+    (``make_mp3_id3_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_id3_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_id3_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_mp3_id3(media_df: DataFrame) -> DataFrame:
+    """Distributed ID3v2 tag extraction (``parse_id3v2``) as an
+    Arrow kernel over binary rows."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "version", "n_text_frames", "n_skipped_frames",
+            "title_chars", "artist_chars", "album_chars", "track",
+            "year", "audio_bytes",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *parse_id3v2(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, version long, n_text_frames long, "
+        "n_skipped_frames long, title_chars long, artist_chars long, "
+        "album_chars long, track long, year long, audio_bytes long",
+    )
+
+
 VP8L_CL_ORDER = (
     17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
 )

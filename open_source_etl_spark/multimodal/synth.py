@@ -3189,6 +3189,76 @@ def webm_blocks(doc_id: int, c: int) -> list[tuple[int, int, int, int]]:
     return out
 
 
+def id3_fields(doc_id: int) -> tuple[int, str, str, str, int, int]:
+    """(version, title, artist, album, track, year) closed forms."""
+    return (
+        3 + doc_id % 2,
+        f"Title {doc_id}",
+        f"Artist {doc_id % 100}",
+        f"Album {doc_id % 50}",
+        1 + doc_id % 20,
+        1970 + doc_id % 55,
+    )
+
+
+def make_mp3_id3_bytes(doc_id: int) -> bytes:
+    """An ID3v2.3 or ID3v2.4 tag (version by doc parity) followed by
+    one real MP3 frame: the tag carries TIT2/TPE1/TALB text frames
+    whose encodings cycle Latin-1 / UTF-16-with-BOM / (v2.4) UTF-8,
+    TRCK as 'n/20', the version-appropriate year frame (TYER vs
+    TDRC), and one PRIV frame a tag reader must skip by size.  Frame
+    sizes are plain big-endian under v2.3 but SYNCSAFE under v2.4 —
+    the classic reader bug — and the tag ends with closed-form
+    padding."""
+    ver, title, artist, album, track, year = id3_fields(doc_id)
+
+    def text_frame(fid: bytes, value: str, enc: int) -> bytes:
+        if enc == 0:
+            body = bytes((0,)) + value.encode("latin-1")
+        elif enc == 1:
+            body = bytes((1,)) + b"\xff\xfe" + value.encode("utf-16-le")
+        else:
+            body = bytes((3,)) + value.encode("utf-8")
+        size = len(body)
+        if ver == 4:  # syncsafe frame size
+            raw_size = bytes(
+                (size >> s) & 0x7F for s in (21, 14, 7, 0)
+            )
+        else:
+            raw_size = size.to_bytes(4, "big")
+        return fid + raw_size + b"\x00\x00" + body
+
+    encs = [0, 1, 3 if ver == 4 else 0]
+    frames = b"".join(
+        (
+            text_frame(b"TIT2", title, encs[doc_id % 3]),
+            text_frame(b"TPE1", artist, encs[(doc_id + 1) % 3]),
+            text_frame(b"TALB", album, encs[(doc_id + 2) % 3]),
+            text_frame(b"TRCK", f"{track}/20", 0),
+            text_frame(
+                b"TYER" if ver == 3 else b"TDRC",
+                str(year) if ver == 3 else f"{year}-01-02",
+                0,
+            ),
+        )
+    )
+    priv = b"PRIV"
+    pbody = b"com.example\x00" + bytes((doc_id % 256,)) * (doc_id % 7)
+    if ver == 4:
+        priv += bytes((len(pbody) >> s) & 0x7F for s in (21, 14, 7, 0))
+    else:
+        priv += len(pbody).to_bytes(4, "big")
+    priv += b"\x00\x00" + pbody
+    frames += priv
+    padding = 10 + doc_id % 30
+    tag_size = len(frames) + padding
+    hdr = b"ID3" + bytes((ver, 0, 0)) + bytes(
+        (tag_size >> s) & 0x7F for s in (21, 14, 7, 0)
+    )
+    audio = make_mp3_imdct_bytes(doc_id)
+    return hdr + frames + bytes(padding) + audio
+
+
 class _LsbBitWriter:
     """Forward LSB-first bit writer (the VP8L stream convention)."""
 

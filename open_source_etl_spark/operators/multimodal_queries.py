@@ -2074,6 +2074,56 @@ def multimodal_mp3_requant_exact(
 
 
 @query(
+    "multimodal_mp3_id3_tags",
+    # formulas mirror synth.id3_fields / make_mp3_id3_bytes: version
+    # 3 + doc % 2, five text frames (title 'Title <doc>', artist
+    # 'Artist <doc%100>', album 'Album <doc%50>', track
+    # (1 + doc % 20)/20, year 1970 + doc % 55 via TYER or TDRC by
+    # version) plus one PRIV frame skipped by size; the audio tail is
+    # the single-frame filterbank fixture (417 bytes at 128 kbps).
+    # The syncsafe size fields, version-dependent frame-size coding,
+    # and the three text encodings have no closed form.
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 2 AS BIGINT) AS version,
+           CAST(5 AS BIGINT) AS n_text_frames,
+           CAST(1 AS BIGINT) AS n_skipped_frames,
+           CAST(6 + LENGTH(CAST(doc_id AS VARCHAR)) AS BIGINT)
+             AS title_chars,
+           CAST(7 + LENGTH(CAST(doc_id % 100 AS VARCHAR)) AS BIGINT)
+             AS artist_chars,
+           CAST(6 + LENGTH(CAST(doc_id % 50 AS VARCHAR)) AS BIGINT)
+             AS album_chars,
+           CAST(1 + doc_id % 20 AS BIGINT) AS track,
+           CAST(1970 + doc_id % 55 AS BIGINT) AS year,
+           CAST(417 AS BIGINT) AS audio_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_id3_tags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ID3v2 metadata extraction (id3v2.3.0/.4.0) — the tag layer an
+    audio-corpus pipeline reads before ever touching frames: syncsafe
+    tag sizes, frame sizes that are PLAIN big-endian under v2.3 but
+    SYNCSAFE under v2.4 (the classic cross-version reader bug, both
+    shapes in the corpus), text frames decoded under Latin-1, UTF-16
+    with BOM, and v2.4 UTF-8, TRCK 'n/total' splitting, TYER-vs-TDRC
+    year dispatch enforced per version, unknown frames skipped by
+    size, zero-padding terminating the walk, and the audio payload
+    located exactly past the declared tag end.  Unsynchronisation,
+    extended headers, footers, and compressed/encrypted frames raise
+    declared boundaries.  Reference scope note: the reference
+    delegates all media handling to its warehouse; this query is part
+    of the training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_mp3_id3, synthesize_mp3_id3
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_id3(synthesize_mp3_id3(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_webp_vp8l_decode",
     # formulas mirror synth.webp_vp8l_params / webp_green: an
     # (8 + doc % 9) x (6 + doc % 7) image whose first N - M pixels
