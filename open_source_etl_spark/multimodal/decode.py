@@ -5509,18 +5509,34 @@ def parse_webp_vp8l(
     r.read(1)  # alpha hint
     if r.read(3) != 0:
         raise ValueError(f"doc {doc_id}: unknown VP8L version")
-    if r.read(1):
-        raise NotImplementedError(
-            "VP8L transforms (predictor/color/subtract-green/"
-            "palette) not implemented"
-        )
-    if r.read(1):
-        raise NotImplementedError("VP8L color cache not implemented")
+    subtract_green = False
+    while r.read(1):  # transform loop
+        ttype = r.read(2)
+        if ttype != 2:
+            raise NotImplementedError(
+                "VP8L predictor/color/palette transforms not "
+                "implemented (subtract-green only)"
+            )
+        if subtract_green:
+            raise ValueError(
+                f"doc {doc_id}: duplicate subtract-green transform"
+            )
+        subtract_green = True
+    cache_bits = 0
+    if r.read(1):  # color cache
+        cache_bits = r.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(
+                f"doc {doc_id}: color-cache bits {cache_bits} out of "
+                "range"
+            )
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
     if r.read(1):
         raise NotImplementedError(
             "VP8L meta-Huffman tiles not implemented"
         )
-    green = _vp8l_read_code(r, 280, "green")
+    green = _vp8l_read_code(r, 280 + cache_size, "green")
     red = _vp8l_read_code(r, 256, "red")
     blue = _vp8l_read_code(r, 256, "blue")
     alpha = _vp8l_read_code(r, 256, "alpha")
@@ -5528,17 +5544,44 @@ def parse_webp_vp8l(
     n_px = width * height
     pixels: list = []
     n_lit = n_back = sum_g = sum_r = sum_b = 0
+
+    def insert(px: tuple) -> None:
+        if cache_size:
+            g_, r_, b_, a_ = px
+            argb = (a_ << 24) | (r_ << 16) | (g_ << 8) | b_
+            cache[
+                ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+            ] = px
+
     while len(pixels) < n_px:
         g = r.read_symbol(green, "green")
         if g < 256:
             rr = r.read_symbol(red, "red")
             bb = r.read_symbol(blue, "blue")
             aa = r.read_symbol(alpha, "alpha")
-            pixels.append((g, rr, bb, aa))
+            px = (g, rr, bb, aa)
+            pixels.append(px)
+            insert(px)
             n_lit += 1
             sum_g += g
             sum_r += rr
             sum_b += bb
+        elif g >= 280:
+            if g - 280 >= cache_size:
+                raise ValueError(
+                    f"doc {doc_id}: cache symbol {g} without a "
+                    "large-enough color cache"
+                )
+            px = cache[g - 280]
+            if px == 0:
+                raise ValueError(
+                    f"doc {doc_id}: cache hit on an empty slot"
+                )
+            pixels.append(px)
+            n_lit += 1
+            sum_g += px[0]
+            sum_r += px[1]
+            sum_b += px[2]
         elif g < 280:
             length = _vp8l_prefix_value(r, g - 256)
             dcode = _vp8l_prefix_value(
@@ -5562,13 +5605,17 @@ def parse_webp_vp8l(
             for _ in range(length):
                 px = pixels[len(pixels) - dist]
                 pixels.append(px)
+                insert(px)
                 sum_g += px[0]
                 sum_r += px[1]
                 sum_b += px[2]
                 n_back += 1
-        else:
-            raise ValueError(f"doc {doc_id}: green symbol {g} out of "
-                             "range without a color cache")
+    if subtract_green:
+        # inverse transform: add green back into red and blue
+        sum_r = sum_b = 0
+        for g, rr, bb, _aa in pixels:
+            sum_r += (rr + g) & 0xFF
+            sum_b += (bb + g) & 0xFF
     return width, height, n_lit, n_back, sum_g, sum_r, sum_b
 
 

@@ -3320,17 +3320,33 @@ def _vp8l_prefix(value: int) -> tuple[int, int, int]:
     return 2 * extra + ((v >> extra) & 1) + 2, v - offset, extra
 
 
-def webp_vp8l_params(doc_id: int) -> tuple[int, int, int, int]:
-    """(width, height, backref_distance, backref_len) closed forms."""
+def webp_vp8l_params(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(width, height, backref_distance, backref_len, n_cache_pixels)
+    closed forms.  Every third doc uses a color cache: C pixels
+    repeating pixel 0 sit between the literals and the backref, and
+    the distance grows so the backref still sources pure literals."""
+    cc = doc_id % 3 == 0
     return (
-        8 + doc_id % 9, 6 + doc_id % 7, 5 + doc_id % 10,
+        8 + doc_id % 9,
+        6 + doc_id % 7,
+        10 + doc_id % 5 if cc else 5 + doc_id % 10,
         3 + doc_id % 3,
+        2 + doc_id % 3 if cc else 0,
     )
 
 
 def webp_green(doc_id: int, p: int) -> int:
     """Green literal value of pixel p."""
     return 64 + (doc_id + 3 * p) % 4
+
+
+def webp_red_blue(doc_id: int) -> tuple[int, int]:
+    """The red/blue constants: subtract-green docs keep them in
+    [80, 250) so the transformed chroma symbols sit at clean
+    zero-run offsets in the length stream."""
+    if doc_id % 2 == 1:
+        return 80 + (doc_id * 3) % 170, 80 + (doc_id * 5) % 170
+    return (doc_id * 3) % 256, (doc_id * 5) % 256
 
 
 def make_webp_vp8l_bytes(doc_id: int) -> bytes:
@@ -3343,11 +3359,15 @@ def make_webp_vp8l_bytes(doc_id: int) -> bytes:
     and one LZ77 backref of ``backref_len`` pixels at a DIRECT
     distance (plane codes > 120).  Red/blue are per-doc constants,
     alpha 255."""
-    w_px, h_px, dist, mlen = webp_vp8l_params(doc_id)
+    w_px, h_px, dist, mlen = webp_vp8l_params(doc_id)[:4]
+    n_cache = webp_vp8l_params(doc_id)[4]
+    sub_green = doc_id % 2 == 1
+    cache_bits = 8 if n_cache else 0
     n_px = w_px * h_px
-    n_lit = n_px - mlen
+    n_lit = n_px - mlen - n_cache
     len_prefix, len_extra, len_extra_n = _vp8l_prefix(mlen)
     dist_prefix, dist_extra, dist_extra_n = _vp8l_prefix(dist + 120)
+    red, blue = webp_red_blue(doc_id)
 
     w = _LsbBitWriter()
     w.put(0x2F, 8)            # VP8L signature
@@ -3355,21 +3375,45 @@ def make_webp_vp8l_bytes(doc_id: int) -> bytes:
     w.put(h_px - 1, 14)
     w.put(0, 1)               # alpha_is_used hint
     w.put(0, 3)               # version
-    w.put(0, 1)               # no transforms
-    w.put(0, 1)               # no color cache
+    if sub_green:
+        w.put(1, 1)           # transform present
+        w.put(2, 2)           # subtract-green (no payload)
+    w.put(0, 1)               # end of transforms
+    if n_cache:
+        w.put(1, 1)
+        w.put(cache_bits, 4)
+    else:
+        w.put(0, 1)           # no color cache
     w.put(0, 1)               # no meta-huffman
 
-    # GREEN: normal tree over {64,65,66,67: len 2,2,2,3;
-    # 256+len_prefix: len 3} — complete (3/4 + 2/8 = 1)
-    green_lengths = {64: 2, 65: 2, 66: 2, 67: 3, 256 + len_prefix: 3}
-    w.put(0, 1)               # not a simple code
-    # code-length-code lengths: symbols {2: 2 bits, 3: 2, 18: 1};
-    # kOrder prefix of 6 covers 17,18,0,1,2,3
-    w.put(6 - 4, 4)
-    for cl_sym in VP8L_CL_ORDER[:6]:
-        w.put({18: 1, 2: 2, 3: 2}.get(cl_sym, 0), 3)
-    w.put(0, 1)               # no max_symbol shortcut
-    cl_codes = _canonical_codes_from_lengths({18: 1, 2: 2, 3: 2})
+    def cache_slot(g: int) -> int:
+        rr = (red - g) % 256 if sub_green else red
+        bb = (blue - g) % 256 if sub_green else blue
+        argb = (255 << 24) | (rr << 16) | (g << 8) | bb
+        return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    # GREEN: normal tree over the literals, the length prefix, and —
+    # for cache docs — pixel 0's cache symbol (complete by lengths)
+    if n_cache:
+        g0 = webp_green(doc_id, 0)
+        cache_sym = 280 + cache_slot(g0)
+        green_lengths = {
+            64: 2, 65: 2, 66: 2, 67: 3, 256 + len_prefix: 4,
+            cache_sym: 4,
+        }
+    else:
+        green_lengths = {
+            64: 2, 65: 2, 66: 2, 67: 3, 256 + len_prefix: 3,
+        }
+    # shared code-length code for every normal tree this doc emits;
+    # the kOrder prefix must cover every used symbol (cache docs also
+    # emit length-4 codes, kOrder idx 6)
+    cl_lengths = (
+        {18: 2, 2: 2, 3: 3, 4: 3, 0: 2} if n_cache
+        else {18: 1, 2: 2, 3: 2}
+    )
+    n_cl = 7 if n_cache else 6
+    cl_codes = _canonical_codes_from_lengths(cl_lengths)
 
     def put_cl(sym: int) -> None:
         c, n = cl_codes[sym]
@@ -3377,21 +3421,34 @@ def make_webp_vp8l_bytes(doc_id: int) -> bytes:
 
     def put_zero_run(count: int) -> None:
         while count:
-            take = min(count, 138)
-            if take < 11:
+            if count < 11:
                 raise ValueError("zero runs below 11 unsupported here")
+            # keep any remainder >= 11 so every chunk fits symbol 18
+            take = 138 if count >= 149 else (
+                count if count <= 138 else count - 11
+            )
             put_cl(18)
             w.put(take - 11, 7)
             count -= take
 
-    put_zero_run(64)          # symbols 0..63
-    put_cl(2)                 # 64
-    put_cl(2)                 # 65
-    put_cl(2)                 # 66
-    put_cl(3)                 # 67
-    put_zero_run(256 + len_prefix - 68)
-    put_cl(3)                 # the length-prefix symbol
-    # Kraft budget now closes: the decoder infers the rest as zeros
+    def put_normal_tree(lengths: dict) -> None:
+        """One NORMAL tree: not-simple bit, this doc's shared
+        code-length code header, no max_symbol shortcut, then the
+        symbol-length stream (sorted symbols, zero runs between,
+        Kraft-closed — trailing zeros implied)."""
+        w.put(0, 1)
+        w.put(n_cl - 4, 4)
+        for cl_sym in VP8L_CL_ORDER[:n_cl]:
+            w.put(cl_lengths.get(cl_sym, 0), 3)
+        w.put(0, 1)
+        at = 0
+        for sym in sorted(lengths):
+            if sym > at:
+                put_zero_run(sym - at)
+            put_cl(lengths[sym])
+            at = sym + 1
+
+    put_normal_tree(green_lengths)
 
     def put_simple_tree(symbol: int) -> None:
         w.put(1, 1)           # simple code
@@ -3403,18 +3460,52 @@ def make_webp_vp8l_bytes(doc_id: int) -> bytes:
             w.put(1, 1)       # first symbol in 8 bits
             w.put(symbol, 8)
 
-    red = (doc_id * 3) % 256
-    blue = (doc_id * 5) % 256
-    put_simple_tree(red)          # RED tree
-    put_simple_tree(blue)         # BLUE tree
+    if sub_green:
+        # the transformed red/blue take four CONSECUTIVE values
+        # (constant minus the four greens), coded by a normal tree
+        red_lengths = {(red - 64 - j) % 256: 2 for j in range(4)}
+        blue_lengths = {(blue - 64 - j) % 256: 2 for j in range(4)}
+        put_normal_tree(red_lengths)
+        red_codes = _canonical_codes_from_lengths(red_lengths)
+        put_normal_tree(blue_lengths)
+        blue_codes = _canonical_codes_from_lengths(blue_lengths)
+    else:
+        put_simple_tree(red)          # RED tree
+        put_simple_tree(blue)         # BLUE tree
+        red_codes = blue_codes = None
     put_simple_tree(255)          # ALPHA tree
     put_simple_tree(dist_prefix)  # DISTANCE tree
 
     green_codes = _canonical_codes_from_lengths(green_lengths)
-    for p in range(n_lit):
-        c, n = green_codes[webp_green(doc_id, p)]
+    sim_cache = [None] * (1 << cache_bits) if n_cache else None
+
+    def emit_literal(p_green: int) -> None:
+        c, n = green_codes[p_green]
         w.put_code(c, n)
-        # red/blue/alpha: 1-symbol simple codes cost zero bits
+        if sub_green:
+            c, n = red_codes[(red - p_green) % 256]
+            w.put_code(c, n)
+            c, n = blue_codes[(blue - p_green) % 256]
+            w.put_code(c, n)
+        # alpha: the 1-symbol simple code costs zero bits
+
+    def sim_insert(p_green: int) -> None:
+        if sim_cache is not None:
+            sim_cache[cache_slot(p_green)] = p_green
+
+    for p in range(n_lit):
+        g = webp_green(doc_id, p)
+        emit_literal(g)
+        sim_insert(g)
+    if n_cache:
+        g0 = webp_green(doc_id, 0)
+        for _ in range(n_cache):
+            if sim_cache[cache_slot(g0)] == g0:
+                c, n = green_codes[cache_sym]
+                w.put_code(c, n)
+            else:  # a colliding color evicted pixel 0: literal form
+                emit_literal(g0)
+            sim_insert(g0)
     c, n = green_codes[256 + len_prefix]
     w.put_code(c, n)
     w.put(len_extra, len_extra_n)

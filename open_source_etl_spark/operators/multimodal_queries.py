@@ -2125,30 +2125,38 @@ def multimodal_mp3_id3_tags(
 
 @query(
     "multimodal_webp_vp8l_decode",
-    # formulas mirror synth.webp_vp8l_params / webp_green: an
-    # (8 + doc % 9) x (6 + doc % 7) image whose first N - M pixels
-    # are green literals 64 + (doc + 3p) % 4 (red/blue constant
-    # (doc*3) % 256 / (doc*5) % 256), closed by one LZ77 backref of
-    # M = 3 + doc % 3 pixels at direct distance D = 5 + doc % 10 —
-    # so the copied greens re-read the literal closed form at
-    # p = N - M - D + j.  The VP8L bit layer (canonical Huffman
-    # trees, code-length codes with zero-run symbols and the
-    # Kraft-budget early stop, LZ77 prefix coding) has no closed
-    # form.
+    # formulas mirror synth.webp_vp8l_params / webp_green /
+    # webp_red_blue: an (8 + doc % 9) x (6 + doc % 7) image of green
+    # literals 64 + (doc + 3p) % 4, then — on cache docs (doc % 3 = 0)
+    # — C = 2 + doc % 3 color-cache pixels repeating pixel 0, closed
+    # by one LZ77 backref of M = 3 + doc % 3 pixels at direct
+    # distance D (10 + doc % 5 on cache docs so the source stays in
+    # the literals, else 5 + doc % 10).  Red/blue constants shift
+    # into [80, 250) on subtract-green docs (doc odd).  The VP8L bit
+    # layer — canonical trees, the Kraft-budget early stop, the
+    # transform and cache paths — has no closed form.
     oracle="""
     WITH p AS (
       SELECT doc_id,
              8 + doc_id % 9 AS w,
              6 + doc_id % 7 AS h,
-             5 + doc_id % 10 AS d,
-             3 + doc_id % 3 AS m
+             CASE WHEN doc_id % 3 = 0 THEN 10 + doc_id % 5
+                  ELSE 5 + doc_id % 10 END AS d,
+             3 + doc_id % 3 AS m,
+             CASE WHEN doc_id % 3 = 0 THEN 2 + doc_id % 3 ELSE 0
+             END AS c,
+             CASE WHEN doc_id % 2 = 1 THEN 80 + (doc_id * 3) % 170
+                  ELSE (doc_id * 3) % 256 END AS red,
+             CASE WHEN doc_id % 2 = 1 THEN 80 + (doc_id * 5) % 170
+                  ELSE (doc_id * 5) % 256 END AS blue
       FROM documents
     ),
     px AS (
-      SELECT doc_id, w, h, d, m, w * h - m AS n_lit,
+      SELECT doc_id, w, h, d, m, c, red, blue,
              SUM(64 + (doc_id + 3 * pp.p) % 4) AS sum_lit
-      FROM p, LATERAL (SELECT unnest(range(0, w * h - m)) AS p) pp
-      GROUP BY doc_id, w, h, d, m
+      FROM p,
+           LATERAL (SELECT unnest(range(0, w * h - m - c)) AS p) pp
+      GROUP BY doc_id, w, h, d, m, c, red, blue
     ),
     back AS (
       SELECT p.doc_id,
@@ -2160,11 +2168,12 @@ def multimodal_mp3_id3_tags(
     SELECT px.doc_id,
            CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
-           CAST(n_lit AS BIGINT) AS n_literals,
+           CAST(w * h - m AS BIGINT) AS n_literals,
            CAST(m AS BIGINT) AS n_backref,
-           CAST(sum_lit + sum_back AS BIGINT) AS sum_green,
-           CAST(((px.doc_id * 3) % 256) * w * h AS BIGINT) AS sum_red,
-           CAST(((px.doc_id * 5) % 256) * w * h AS BIGINT) AS sum_blue
+           CAST(sum_lit + c * (64 + px.doc_id % 4) + sum_back
+                AS BIGINT) AS sum_green,
+           CAST(red * w * h AS BIGINT) AS sum_red,
+           CAST(blue * w * h AS BIGINT) AS sum_blue
     FROM px JOIN back ON px.doc_id = back.doc_id
     ORDER BY px.doc_id
     """,
@@ -2180,11 +2189,15 @@ def multimodal_webp_vp8l_decode(
     repeat/zero-run symbols, the optional max_symbol shortcut, and
     libwebp's Kraft-budget early stop — every decoded tree enforced
     COMPLETE, the same gate as the repo's other entropy tables),
-    row-major ARGB literal decoding, and LZ77 backrefs through the
-    prefix-coded length/distance scheme with direct distances.
-    Declared boundaries: the four VP8L transforms, color cache,
-    meta-Huffman tiles, the <=120 plane-code neighbor map, and
-    lossy VP8 / extended VP8X.  Reference scope note: the reference
+    row-major ARGB literal decoding, LZ77 backrefs through the
+    prefix-coded length/distance scheme with direct distances, the
+    COLOR CACHE (the spec's multiplicative hash over ARGB, fed by
+    every decoded pixel, hit via green symbols >= 280 — every third
+    doc), and the SUBTRACT-GREEN transform (odd docs; inverse
+    applied after decoding).  Declared boundaries: the
+    predictor/color/palette transforms, meta-Huffman tiles, the
+    <=120 plane-code neighbor map, and lossy VP8 / extended VP8X.
+    Reference scope note: the reference
     delegates all media handling to its warehouse; this query is
     part of the training-data-pipeline surface the brief adds."""
     from ..multimodal.decode import decode_webp, synthesize_webp
