@@ -4864,6 +4864,274 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
     )
 
 
+def decode_mp3_requant_ms(media_df: DataFrame) -> DataFrame:
+    """MS JOINT-STEREO requantization (ISO 11172-3 2.4.3.4.9.2): a
+    stereo frame's 32-byte side info (granule-major, channel-minor),
+    per-channel long-block requantization exactly as the mono query
+    — slen-coded scalefactors, the derived Q12/Q12/Q8 fixed-point
+    factor tables — then the middle/side matrix Li = (Mi + Si)/sqrt2,
+    Ri = (Mi - Si)/sqrt2 applied per spectral line with the DERIVED
+    Q14 constant round(16384/sqrt2) = 11585, keeping every product a
+    full-precision integer a SQL oracle reproduces to the bit.  The
+    header's mode/mode_extension gate the path: intensity stereo and
+    dual-channel/plain-stereo frames raise declared boundaries, as
+    do window-switching granules and preflag."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        p43, gain_tab, _sfhalf14 = _mp3_rq_tables()
+        # Q8 scalefactor curve keeps the stereo product inside int64
+        sf8 = [
+            int(math.floor(256 * 2 ** (-k / 2) + 0.5)) for k in range(31)
+        ]
+        rs = int(math.floor(16384 / math.sqrt(2) + 0.5))  # 11585
+        b8 = MP3_SFB_LONG[44100]
+
+        def walk(doc_id: int, raw: bytes):
+            from .synth import MP3_SLEN
+
+            if len(raw) < 36 or raw[0] != 0xFF or (raw[1] & 0xFE) != 0xFA:
+                raise ValueError(f"doc {doc_id}: not an MPEG-1 L3 frame")
+            mode = (raw[3] >> 6) & 3
+            mode_ext = (raw[3] >> 4) & 3
+            if mode != 1:
+                raise NotImplementedError(
+                    "MS requantization needs a joint-stereo frame "
+                    f"(mode {mode})"
+                )
+            if mode_ext != 2:
+                raise NotImplementedError(
+                    "intensity stereo / non-MS joint modes not "
+                    "implemented (mode_extension 10 only)"
+                )
+            side = raw[4:36]
+            bitpos = 0
+
+            def sbits(n):
+                nonlocal bitpos
+                out = 0
+                for _ in range(n):
+                    out = (out << 1) | (
+                        (side[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                    )
+                    bitpos += 1
+                return out
+
+            if sbits(9):
+                raise ValueError(
+                    f"doc {doc_id}: MS fixture uses no reservoir"
+                )
+            sbits(3)
+            if sbits(8):
+                raise ValueError(f"doc {doc_id}: scfsi must be 0")
+            gfields = []
+            for _gch in range(4):
+                p23 = sbits(12)
+                bv = sbits(9)
+                gg = sbits(8)
+                if not 198 <= gg <= 222:
+                    raise NotImplementedError(
+                        f"global_gain {gg} outside the 198..222 "
+                        "exact-Q12 band"
+                    )
+                sl1, sl2 = MP3_SLEN[sbits(4)]
+                if sbits(1):
+                    raise NotImplementedError(
+                        "MS requantization for window-switching "
+                        "granules not implemented"
+                    )
+                tsels = tuple(sbits(5) for _ in range(3))
+                rc = sbits(4)
+                rc2 = sbits(3)
+                if sbits(1):
+                    raise NotImplementedError(
+                        "preflag requantization not implemented"
+                    )
+                sfs = sbits(1)
+                c1a = sbits(1) == 0
+                gfields.append(
+                    (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a)
+                )
+
+            dpos = 36 * 8
+
+            def take(n):
+                nonlocal dpos
+                out = 0
+                for _ in range(n):
+                    out = (out << 1) | (
+                        (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
+                    )
+                    dpos += 1
+                return out
+
+            sum_l = abs_l = sum_r = abs_r = nnz = 0
+            for g in (0, 1):
+                spectra = []
+                for ch in (0, 1):
+                    (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs,
+                     c1a) = gfields[2 * g + ch]
+                    start = dpos
+                    sfac = [take(sl1) for _ in range(11)]
+                    sfac += [take(sl2) for _ in range(10)]
+                    mult2 = 2 if sfs else 1
+                    if rc + 1 >= len(b8) or rc + rc2 + 2 >= len(b8):
+                        raise ValueError(
+                            f"doc {doc_id}: region counts overrun B.8"
+                        )
+                    r0 = min(bv, b8[rc + 1] // 2)
+                    r1 = min(bv, b8[rc + rc2 + 2] // 2)
+                    pos = 0
+                    lines: dict[int, int] = {}
+                    for count, tsel in (
+                        (r0, tsels[0]), (r1 - r0, tsels[1]),
+                        (bv - r1, tsels[2]),
+                    ):
+                        if count <= 0:
+                            continue
+                        if tsel == 0:
+                            pos += 2 * count
+                            continue
+                        table = MP3_HUFF_TABLES.get(tsel)
+                        if table is None:
+                            raise NotImplementedError(
+                                f"B.7 table {tsel} data not shipped"
+                            )
+                        for _ in range(count):
+                            length = code = 0
+                            while True:
+                                code = (code << 1) | take(1)
+                                length += 1
+                                xy = table.get((length, code))
+                                if xy is not None:
+                                    break
+                                if length >= 19:
+                                    raise ValueError(
+                                        f"doc {doc_id}: invalid "
+                                        "big-values code"
+                                    )
+                            for v in xy:
+                                if v:
+                                    lines[pos] = -v if take(1) else v
+                                pos += 1
+                    while dpos - start < p23:
+                        if pos + 4 > 576:
+                            raise ValueError(
+                                f"doc {doc_id}: count1 overruns the "
+                                "spectrum"
+                            )
+                        if c1a:
+                            length = code = 0
+                            while True:
+                                code = (code << 1) | take(1)
+                                length += 1
+                                quad = MP3_COUNT1A.get((length, code))
+                                if quad is not None:
+                                    break
+                                if length >= 7:
+                                    raise ValueError(
+                                        f"doc {doc_id}: invalid "
+                                        "count1 code"
+                                    )
+                        else:
+                            quad = take(4) ^ 0xF
+                        for idx, shift in enumerate((3, 2, 1, 0)):
+                            if (quad >> shift) & 1:
+                                lines[pos + idx] = -1 if take(1) else 1
+                        if dpos - start > p23:
+                            raise ValueError(
+                                f"doc {doc_id}: count1 overran "
+                                "part2_3_length"
+                            )
+                        pos += 4
+                    if dpos - start != p23:
+                        raise ValueError(
+                            f"doc {doc_id}: part2_3_length not "
+                            "exactly consumed"
+                        )
+                    fp: dict[int, int] = {}
+                    for pos_, v in lines.items():
+                        mag = abs(v)
+                        if mag > 7:
+                            raise NotImplementedError(
+                                "magnitudes above 7 not implemented"
+                            )
+                        sfb = 21
+                        for i_ in range(21):
+                            if pos_ < b8[i_ + 1]:
+                                sfb = i_
+                                break
+                        sf = sfac[sfb] if sfb < 21 else 0
+                        k = sf * mult2
+                        if k >= len(sf8):
+                            raise NotImplementedError(
+                                f"half-step index {k} past the Q8 "
+                                "table"
+                            )
+                        rq = p43[mag] * gain_tab[gg] * sf8[k]
+                        fp[pos_] = -rq if v < 0 else rq
+                    spectra.append(fp)
+                mid, sid = spectra
+                for pos_ in set(mid) | set(sid):
+                    m = mid.get(pos_, 0)
+                    s_ = sid.get(pos_, 0)
+                    left = (m + s_) * rs
+                    right = (m - s_) * rs
+                    sum_l += left
+                    abs_l += abs(left)
+                    sum_r += right
+                    abs_r += abs(right)
+                    nnz += 1
+            return 2, sum_l, abs_l, sum_r, abs_r, nnz
+
+        cols = (
+            "doc_id", "n_granules", "sum_left_signed", "sum_left_abs",
+            "sum_right_signed", "sum_right_abs", "n_nonzero_lines",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, n_granules long, sum_left_signed long, "
+        "sum_left_abs long, sum_right_signed long, "
+        "sum_right_abs long, n_nonzero_lines long",
+    )
+
+
+def synthesize_mp3_ms(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying the MS joint-stereo stream
+    (``make_mp3_ms_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_ms_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_ms_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 def synthesize_mp3_rqs(docs_df: DataFrame) -> DataFrame:
     """doc_id → media rows carrying the SHORT-block requantization
     stream (``make_mp3_rqs_bytes``)."""

@@ -2852,6 +2852,156 @@ def make_mp3_rq_bytes(doc_id: int) -> bytes:
     )
 
 
+def mp3_ms_fields(
+    doc_id: int, g: int, ch: int
+) -> tuple[int, int, int, int, int, int, int]:
+    """(rc, global_gain, scalefac_scale, sf_a base, sf_b base, nbv,
+    nq) for channel ch of the MS joint-stereo fixture's granule g —
+    the long-block requant closed forms keyed by k = doc + g + 5*ch
+    so the mid and side spectra genuinely differ."""
+    k = doc_id + g + 5 * ch
+    return (
+        1 + k % 15,
+        198 + (doc_id + 5 * g + 7 * ch) % 25,
+        k % 2,
+        k,
+        k + 7,
+        9 + k % 7,
+        3 + k % 3,
+    )
+
+
+def mp3_ms_spectrum(doc_id: int, g: int, ch: int) -> dict[int, int]:
+    """Channel ch's nonzero quantized lines (table-10 magnitudes) for
+    the MS fixture, positions from B.8[rc+1]."""
+    from .decode import MP3_SFB_LONG_44100
+
+    rc, _gg, _sfs, _a, _b, nbv, nq = mp3_ms_fields(doc_id, g, ch)
+    base = MP3_SFB_LONG_44100[rc + 1]
+    k = doc_id + g + 5 * ch
+    out = {}
+    for q in range(nbv):
+        x = (k + 3 * q) % 8
+        y = (2 * k + q) % 8
+        if x:
+            out[base + 2 * q] = x if (k + q) % 2 == 0 else -x
+        if y:
+            out[base + 2 * q + 1] = y if (k + q + 1) % 2 == 0 else -y
+    c1 = base + 2 * nbv
+    for j in range(nq):
+        pattern = (k + 5 * j) % 16
+        neg = (k + j) % 2
+        for idx, shift in enumerate((3, 2, 1, 0)):
+            if (pattern >> shift) & 1:
+                out[c1 + 4 * j + idx] = -1 if neg else 1
+    return out
+
+
+def make_mp3_ms_bytes(doc_id: int) -> bytes:
+    """Single-frame JOINT-STEREO MPEG-1 Layer III stream with MS
+    stereo on (header mode 01, mode_extension 10): a 32-byte stereo
+    side info (granule-major, channel-minor), per-channel long-block
+    granules with real slen-coded scalefactors, gains in the 198..222
+    band, and table-10 spectra whose mid and side lines differ — the
+    layer that forces a decoder to run the (M±S)/sqrt(2) matrix."""
+    from .decode import MP3_SFB_LONG_44100
+
+    enc, _c1a = _mp3_ht_enc()
+
+    def granule_bits(g: int, ch: int) -> tuple[int, int]:
+        rc, _gg, sfs, base_a, base_b, nbv, nq = mp3_ms_fields(
+            doc_id, g, ch
+        )
+        k = doc_id + g + 5 * ch
+        sl1, sl2 = MP3_SLEN[k % 16]
+        cap = 8 if sfs else 16
+        rc2 = min(7, 20 - rc)
+        r0_pairs = MP3_SFB_LONG_44100[rc + 1] // 2
+        if r0_pairs + nbv > MP3_SFB_LONG_44100[rc + rc2 + 2] // 2:
+            raise ValueError("live pairs overrun region1")
+        sf_a = base_a % min(1 << sl1, cap) if sl1 else 0
+        sf_b = base_b % min(1 << sl2, cap) if sl2 else 0
+        acc = nb = 0
+        for _band in range(11):
+            acc = (acc << sl1) | sf_a
+            nb += sl1
+        for _band in range(10):
+            acc = (acc << sl2) | sf_b
+            nb += sl2
+        for q in range(nbv):
+            x = (k + 3 * q) % 8
+            y = (2 * k + q) % 8
+            hlen, hcode = enc[10][(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if x:
+                acc = (acc << 1) | ((k + q) % 2)
+                nb += 1
+            if y:
+                acc = (acc << 1) | ((k + q + 1) % 2)
+                nb += 1
+        for j in range(nq):
+            pattern = (k + 5 * j) % 16
+            acc = (acc << 4) | (pattern ^ 0xF)
+            nb += 4
+            neg = (k + j) % 2
+            for shift in (3, 2, 1, 0):
+                if (pattern >> shift) & 1:
+                    acc = (acc << 1) | neg
+                    nb += 1
+        return acc, nb
+
+    br_idx = 9
+    frame_len = (144 * MP3_BITRATES_KBPS[br_idx] * 1000) // 44100
+    cap_bytes = frame_len - 4 - 32
+    acc = nb = 0
+    p23s = []
+    for g in (0, 1):
+        for ch in (0, 1):
+            a, n = granule_bits(g, ch)
+            acc = (acc << n) | a
+            nb += n
+            p23s.append(n)
+    pad = (8 - nb % 8) % 8
+    packed = (acc << pad).to_bytes((nb + pad) // 8, "big")
+    if len(packed) > cap_bytes:
+        raise ValueError("granule data overran the frame region")
+
+    w = _BitPacker()
+    w.u(0, 9)   # main_data_begin
+    w.u(3, 3)   # private_bits (3 for stereo)
+    w.u(0, 8)   # scfsi, both channels
+    i = 0
+    for g in (0, 1):
+        for ch in (0, 1):
+            rc, gg, sfs, _a, _b, nbv, _nq = mp3_ms_fields(
+                doc_id, g, ch
+            )
+            k = doc_id + g + 5 * ch
+            r0_pairs = MP3_SFB_LONG_44100[rc + 1] // 2
+            w.u(p23s[i], 12)
+            w.u(r0_pairs + nbv, 9)
+            w.u(gg, 8)
+            w.u(k % 16, 4)
+            w.u(0, 1)        # long blocks
+            for t in (0, 10, 10):
+                w.u(t, 5)
+            w.u(rc, 4)
+            w.u(min(7, 20 - rc), 3)
+            w.u(0, 1)        # preflag
+            w.u(sfs, 1)
+            w.u(1, 1)        # count1table_select: table B
+            i += 1
+    si = w.to_bytes()
+    assert len(si) == 32
+    # header: MPEG-1 L3, 128 kbps, 44.1 kHz, JOINT STEREO (mode 01),
+    # mode_extension 10 (MS on, intensity off)
+    return (
+        bytes((0xFF, 0b11111011, (br_idx << 4), 0b01100100))
+        + si + packed + bytes(cap_bytes - len(packed))
+    )
+
+
 def mp3_rqs_fields(
     doc_id: int, g: int
 ) -> tuple[int, int, tuple, int, int]:

@@ -2296,6 +2296,147 @@ def multimodal_h264_bframe_decode(
 
 
 @query(
+    "multimodal_mp3_requant_ms_stereo",
+    # formulas mirror synth.mp3_ms_fields / mp3_ms_spectrum: channel
+    # ch of granule g keys its closed forms by k = doc + g + 5*ch
+    # (rc = 1 + k % 15 placing lines at B.8[rc+1], nbv = 9 + k % 7
+    # table-10 pairs, nq = 3 + k % 3 count1 quads, gain
+    # 198 + (doc+5g+7ch) % 25, scalefac_scale k % 2, group
+    # scalefactors from bases k / k+7).  Requantized mid/side lines
+    # combine per position as L = (M+S)*11585, R = (M-S)*11585 — the
+    # derived ROUND(16384/SQRT(2)) matrix constant — with the
+    # Q12/Q12/Q8 factor tables re-derived in SQL.  The stereo side
+    # info, per-channel bitstreams, and the MS matrix have no closed
+    # form.
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id, gg.g AS g, cc.ch AS ch,
+             doc_id + gg.g + 5 * cc.ch AS k,
+             1 + (doc_id + gg.g + 5 * cc.ch) % 15 AS rc,
+             198 + (doc_id + 5 * gg.g + 7 * cc.ch) % 25 AS gain,
+             (doc_id + gg.g + 5 * cc.ch) % 2 AS sfs,
+             9 + (doc_id + gg.g + 5 * cc.ch) % 7 AS nbv,
+             3 + (doc_id + gg.g + 5 * cc.ch) % 3 AS nq,
+             (doc_id + gg.g + 5 * cc.ch) % 16 AS sfc
+      FROM documents,
+           LATERAL (SELECT unnest([0, 1]) AS g) gg,
+           LATERAL (SELECT unnest([0, 1]) AS ch) cc
+    ),
+    geo2 AS (
+      SELECT *,
+             CASE rc WHEN 1 THEN 8 WHEN 2 THEN 12 WHEN 3 THEN 16
+                  WHEN 4 THEN 20 WHEN 5 THEN 24 WHEN 6 THEN 30
+                  WHEN 7 THEN 36 WHEN 8 THEN 44 WHEN 9 THEN 52
+                  WHEN 10 THEN 62 WHEN 11 THEN 74 WHEN 12 THEN 90
+                  WHEN 13 THEN 110 WHEN 14 THEN 134 ELSE 162
+             END AS base,
+             k % LEAST(
+               CAST(POW(2, CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0
+                    WHEN 2 THEN 0 WHEN 3 THEN 0 WHEN 4 THEN 3
+                    WHEN 5 THEN 1 WHEN 6 THEN 1 WHEN 7 THEN 1
+                    WHEN 8 THEN 2 WHEN 9 THEN 2 WHEN 10 THEN 2
+                    WHEN 11 THEN 3 WHEN 12 THEN 3 WHEN 13 THEN 3
+                    WHEN 14 THEN 4 ELSE 4 END) AS BIGINT),
+               CASE sfs WHEN 1 THEN 8 ELSE 16 END) AS sf_a,
+             (k + 7) % LEAST(
+               CAST(POW(2, CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1
+                    WHEN 2 THEN 2 WHEN 3 THEN 3 WHEN 4 THEN 0
+                    WHEN 5 THEN 1 WHEN 6 THEN 2 WHEN 7 THEN 3
+                    WHEN 8 THEN 1 WHEN 9 THEN 2 WHEN 10 THEN 3
+                    WHEN 11 THEN 1 WHEN 12 THEN 2 WHEN 13 THEN 3
+                    WHEN 14 THEN 2 ELSE 3 END) AS BIGINT),
+               CASE sfs WHEN 1 THEN 8 ELSE 16 END) AS sf_b
+      FROM geo
+    ),
+    spec AS (
+      SELECT doc_id, g, ch, gain, sfs, sf_a, sf_b,
+             base + 2 * qq.q AS pos,
+             (k + 3 * qq.q) % 8 AS mag,
+             CASE WHEN (k + qq.q) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
+      WHERE (k + 3 * qq.q) % 8 > 0
+      UNION ALL
+      SELECT doc_id, g, ch, gain, sfs, sf_a, sf_b,
+             base + 2 * qq.q + 1,
+             (2 * k + qq.q) % 8,
+             CASE WHEN (k + qq.q + 1) % 2 = 0 THEN 1 ELSE -1 END
+      FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
+      WHERE (2 * k + qq.q) % 8 > 0
+      UNION ALL
+      SELECT doc_id, g, ch, gain, sfs, sf_a, sf_b,
+             base + 2 * nbv + 4 * jj.j + ii.idx, 1,
+             CASE WHEN (k + jj.j) % 2 = 1 THEN -1 ELSE 1 END
+      FROM geo2,
+           LATERAL (SELECT unnest(range(0, nq)) AS j) jj,
+           LATERAL (SELECT unnest([0, 1, 2, 3]) AS idx) ii
+      WHERE ((k + 5 * jj.j) % 16
+             // CAST(POW(2, 3 - ii.idx) AS BIGINT)) % 2 = 1
+    ),
+    rq AS (
+      SELECT s.doc_id, s.g, s.ch, s.pos,
+             sgn * CAST(ROUND(4096 * POW(mag, 4.0 / 3.0)) AS BIGINT)
+                 * CAST(ROUND(4096 * POW(2, (gain - 210) / 4.0))
+                        AS BIGINT)
+                 * CAST(ROUND(256 * POW(2,
+                       -((CASE WHEN bands.sfb <= 10 THEN sf_a
+                               WHEN bands.sfb <= 20 THEN sf_b
+                               ELSE 0 END)
+                          * (CASE sfs WHEN 1 THEN 2 ELSE 1 END))
+                       / 2.0)) AS BIGINT) AS v
+      FROM spec s
+      JOIN (VALUES (0,0,4),(1,4,8),(2,8,12),(3,12,16),(4,16,20),
+                   (5,20,24),(6,24,30),(7,30,36),(8,36,44),(9,44,52),
+                   (10,52,62),(11,62,74),(12,74,90),(13,90,110),
+                   (14,110,134),(15,134,162),(16,162,196),
+                   (17,196,238),(18,238,288),(19,288,342),
+                   (20,342,418),(21,418,576)) bands(sfb, lo, hi)
+        ON s.pos >= bands.lo AND s.pos < bands.hi
+    ),
+    ms AS (
+      SELECT doc_id, g, pos,
+             SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS m,
+             SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS s
+      FROM rq GROUP BY doc_id, g, pos
+    )
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_granules,
+           CAST(SUM((m + s) * 11585) AS BIGINT) AS sum_left_signed,
+           CAST(SUM(ABS((m + s) * 11585)) AS BIGINT) AS sum_left_abs,
+           CAST(SUM((m - s) * 11585) AS BIGINT) AS sum_right_signed,
+           CAST(SUM(ABS((m - s) * 11585)) AS BIGINT)
+             AS sum_right_abs,
+           CAST(COUNT(*) AS BIGINT) AS n_nonzero_lines
+    FROM ms
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_requant_ms_stereo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MS JOINT-STEREO requantization (ISO 11172-3 2.4.3.4.9.2) —
+    the stereo layer every prior MP3 query bypassed (all mono
+    fixtures): a real joint-stereo frame (header mode 01,
+    mode_extension 10) whose 32-byte side info interleaves four
+    granule-channel infos, per-channel long-block requantization
+    through the derived Q12/Q12/Q8 factor tables, and the
+    middle/side matrix Li = (Mi+Si)/sqrt2, Ri = (Mi-Si)/sqrt2
+    applied per spectral line with the derived Q14 constant
+    round(16384/sqrt2) — every product full-precision integer,
+    bit-exact against the re-deriving DuckDB oracle.  Declared
+    boundaries: intensity stereo (per-band position coding),
+    dual-channel and plain-stereo modes in this walker,
+    window-switching granules, preflag, gains outside the band.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_mp3_requant_ms, synthesize_mp3_ms
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_requant_ms(synthesize_mp3_ms(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_mp3_requant_short",
     # formulas mirror synth.mp3_rqs_fields / mp3_rqs_spectrum: both
     # granules short (non-mixed) with per-window scalefactors
