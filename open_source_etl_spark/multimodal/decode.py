@@ -5419,6 +5419,167 @@ def decode_jpeg_exif(media_df: DataFrame) -> DataFrame:
     )
 
 
+def parse_png_ct(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int, int]:
+    """Decode grayscale / gray+alpha / RGBA PNGs (color types 0/4/6,
+    every legal bit depth incl. 16-bit big-endian samples and
+    MSB-first sub-byte packing) to (width, height, color_type,
+    bit_depth, sum_first_channel, sum_alpha): the chunk walk with
+    CRC-32 verification, multi-IDAT concatenation, zlib inflate, the
+    five scanline unfilters at the spec's bpp = max(1, channel
+    bytes), and sample extraction.  Illegal depth/type combinations
+    reject; types 2/3 route to their sibling decoders."""
+    import zlib
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"doc {doc_id}: missing PNG signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(raw):
+        (length,) = struct.unpack_from(">I", raw, pos)
+        typ = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + length)
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"doc {doc_id}: chunk {typ!r} CRC-32 bad")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError(f"doc {doc_id}: no IHDR")
+    width, height, depth, ct, comp, filt, interlace = ihdr
+    if comp or filt or interlace:
+        raise ValueError(
+            f"doc {doc_id}: unsupported compression/filter/interlace "
+            "method"
+        )
+    legal = {0: (1, 2, 4, 8, 16), 4: (8, 16), 6: (8, 16)}
+    if ct in (2, 3):
+        raise ValueError(
+            f"doc {doc_id}: color type {ct} belongs to the RGB/"
+            "palette decoders"
+        )
+    if ct not in legal or depth not in legal[ct]:
+        raise ValueError(
+            f"doc {doc_id}: illegal depth {depth} for color type {ct}"
+        )
+    n_ch = {0: 1, 4: 2, 6: 4}[ct]
+    plain = zlib.decompress(bytes(idat))
+    if depth < 8:
+        stride = (width * depth + 7) // 8
+    else:
+        stride = width * n_ch * (depth // 8)
+    bpp = max(1, n_ch * depth // 8)
+    if len(plain) != height * (stride + 1):
+        raise ValueError(
+            f"doc {doc_id}: IDAT carries {len(plain)} bytes for "
+            f"{height}x(1+{stride}) scanlines"
+        )
+    prev = bytes(stride)
+    sum_first = sum_alpha = 0
+    for y in range(height):
+        f = plain[y * (stride + 1)]
+        line = bytearray(
+            plain[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        )
+        if f > 4:
+            raise ValueError(f"doc {doc_id}: filter type {f}")
+        for x in range(stride):
+            left = line[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            up_left = prev[x - bpp] if x >= bpp else 0
+            if f == 1:
+                line[x] = (line[x] + left) & 0xFF
+            elif f == 2:
+                line[x] = (line[x] + up) & 0xFF
+            elif f == 3:
+                line[x] = (line[x] + (left + up) // 2) & 0xFF
+            elif f == 4:
+                from .synth import _paeth
+
+                line[x] = (line[x] + _paeth(left, up, up_left)) & 0xFF
+        prev = bytes(line)
+        if depth < 8:
+            for x in range(width):
+                bit = x * depth
+                byte = line[bit >> 3]
+                shift = 8 - depth - (bit & 7)
+                sum_first += (byte >> shift) & ((1 << depth) - 1)
+        elif depth == 8:
+            for x in range(width):
+                sum_first += line[x * n_ch]
+                if n_ch > 1:
+                    sum_alpha += line[x * n_ch + n_ch - 1]
+        else:
+            for x in range(width):
+                at = x * n_ch * 2
+                sum_first += int.from_bytes(
+                    line[at : at + 2], "big"
+                )
+                if n_ch > 1:
+                    a0 = at + (n_ch - 1) * 2
+                    sum_alpha += int.from_bytes(
+                        line[a0 : a0 + 2], "big"
+                    )
+    return width, height, ct, depth, sum_first, sum_alpha
+
+
+def synthesize_png_ct(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a gray/gray+alpha/RGBA PNG
+    (``make_png_ct_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_png_ct_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_png_ct_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_png_ct(media_df: DataFrame) -> DataFrame:
+    """Distributed color-type PNG decode (``parse_png_ct``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "width", "height", "color_type", "bit_depth",
+            "sum_first", "sum_alpha",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *parse_png_ct(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, width long, height long, color_type long, "
+        "bit_depth long, sum_first long, sum_alpha long",
+    )
+
+
 def parse_id3v2(
     doc_id: int, raw: bytes
 ) -> tuple[int, int, int, int, int, int, int, int, int]:

@@ -154,6 +154,117 @@ def make_png_bytes(doc_id: int) -> bytes:
     )
 
 
+PNG_CT_COMBOS = (
+    (0, 1), (0, 2), (0, 4), (0, 8), (0, 16), (4, 8), (4, 16),
+    (6, 8), (6, 16),
+)
+
+
+def png_ct_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, color_type, bit_depth) — the fixture cycles
+    every legal grayscale / gray+alpha / RGBA combination, with
+    widths chosen so sub-byte rows genuinely carry padding bits."""
+    ct, depth = PNG_CT_COMBOS[doc_id % 9]
+    return 5 + doc_id % 12, 4 + doc_id % 6, ct, depth
+
+
+def png_ct_sample(doc_id: int, ch: int, x: int, y: int) -> int:
+    """Channel ch's sample at (x, y): 0 = gray/red, 1 = green,
+    2 = blue, 3 = alpha — reduced modulo the combo's sample range."""
+    _w, _h, _ct, depth = png_ct_params(doc_id)
+    base = (
+        doc_id + 3 * x + 7 * y,
+        doc_id + 5 * x + y,
+        doc_id + x + 3 * y,
+        doc_id + x + 2 * y,
+    )[ch]
+    return base % (1 << depth)
+
+
+def make_png_ct_bytes(doc_id: int) -> bytes:
+    """Real PNG across the OTHER color types: grayscale (type 0, bit
+    depths 1/2/4/8/16 with MSB-first sub-byte packing and padded row
+    tails), gray+alpha (4) and RGBA (6) at 8/16 bits — scanline
+    filters cycling all five per row with the spec's bpp =
+    max(1, channel_bytes) reach, zlib IDAT (split across TWO chunks,
+    which readers must concatenate), CRC-32 on every chunk."""
+    import zlib
+
+    width, height, ct, depth = png_ct_params(doc_id)
+    n_ch = {0: 1, 4: 2, 6: 4}[ct]
+    alpha_ch = {0: None, 4: 3, 6: 3}[ct]
+
+    def row_bytes(y: int) -> bytes:
+        if depth < 8:
+            acc = 0
+            nbits = 0
+            out = bytearray()
+            for x in range(width):
+                acc = (acc << depth) | png_ct_sample(doc_id, 0, x, y)
+                nbits += depth
+                if nbits == 8:
+                    out.append(acc)
+                    acc = nbits = 0
+            if nbits:
+                out.append(acc << (8 - nbits))
+            return bytes(out)
+        out = bytearray()
+        for x in range(width):
+            chans = [0] if ct == 0 else (
+                [0, 3] if ct == 4 else [0, 1, 2, 3]
+            )
+            for ch in chans:
+                v = png_ct_sample(doc_id, ch, x, y)
+                if depth == 16:
+                    out += v.to_bytes(2, "big")
+                else:
+                    out.append(v)
+        return bytes(out)
+
+    bpp = max(1, n_ch * depth // 8)
+    prev = bytes(len(row_bytes(0)))
+    scanlines = []
+    for y in range(height):
+        row = row_bytes(y)
+        f = y % 5
+        filt = bytearray(len(row))
+        for x in range(len(row)):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            up_left = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, up_left)
+            filt[x] = (row[x] - pred) & 0xFF
+        scanlines.append(bytes([f]) + bytes(filt))
+        prev = row
+    raw = zlib.compress(b"".join(scanlines))
+    half = len(raw) // 2
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ct, 0, 0, 0)
+    del alpha_ch
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw[:half])
+        + chunk(b"IDAT", raw[half:])
+        + chunk(b"IEND", b"")
+    )
+
+
 def jpeg_params(doc_id: int) -> tuple[int, int, int]:
     """(blocks_x, blocks_y, base) for the block-gradient JPEG fixture.
     Block k (raster order) is the constant value base + k; with dims a

@@ -2296,6 +2296,72 @@ def multimodal_h264_bframe_decode(
 
 
 @query(
+    "multimodal_png_colortypes_decode",
+    # formulas mirror synth.png_ct_params / png_ct_sample: the combo
+    # cycle (doc % 9) walks color types 0 (depths 1/2/4/8/16), 4
+    # (8/16), 6 (8/16) over a (5 + doc % 12) x (4 + doc % 6) grid;
+    # the first channel is (doc + 3x + 7y) % 2^depth and alpha
+    # (doc + x + 2y) % 2^depth.  The bit layer — MSB-first sub-byte
+    # packing with padded row tails, 16-bit big-endian samples, five
+    # cycling scanline filters at the spec's bpp, split IDATs — has
+    # no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             5 + doc_id % 12 AS w,
+             4 + doc_id % 6 AS h,
+             CASE WHEN doc_id % 9 <= 4 THEN 0
+                  WHEN doc_id % 9 <= 6 THEN 4 ELSE 6 END AS ct,
+             CASE doc_id % 9 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+                  WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 8
+                  WHEN 6 THEN 16 WHEN 7 THEN 8 ELSE 16 END AS depth
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, h, ct, depth,
+             SUM((doc_id + 3 * xx.x + 7 * yy.y)
+                 % CAST(POW(2, depth) AS BIGINT)) AS sum_first,
+             SUM(CASE WHEN ct IN (4, 6)
+                      THEN (doc_id + xx.x + 2 * yy.y)
+                           % CAST(POW(2, depth) AS BIGINT)
+                      ELSE 0 END) AS sum_alpha
+      FROM p,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, h)) AS y) yy
+      GROUP BY doc_id, w, h, ct, depth
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(ct AS BIGINT) AS color_type,
+           CAST(depth AS BIGINT) AS bit_depth,
+           CAST(sum_first AS BIGINT) AS sum_first,
+           CAST(sum_alpha AS BIGINT) AS sum_alpha
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def multimodal_png_colortypes_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PNG across the remaining color types — grayscale at every
+    legal bit depth (1/2/4/8/16, with MSB-first sub-byte packing and
+    padded row tails), gray+alpha, and RGBA at 8/16 bits (16-bit
+    samples big-endian) — through the full chunk walk (CRC-32
+    verified, IDAT split across two chunks the reader must
+    concatenate), zlib inflate, and all five scanline unfilters at
+    the spec's bpp = max(1, channel bytes).  Illegal depth/type
+    combinations reject; RGB and palette types route to their
+    sibling decoders.  Reference scope note: the reference delegates
+    all media handling to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_png_ct, synthesize_png_ct
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_png_ct(synthesize_png_ct(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_mp3_requant_ms_stereo",
     # formulas mirror synth.mp3_ms_fields / mp3_ms_spectrum: channel
     # ch of granule g keys its closed forms by k = doc + g + 5*ch
