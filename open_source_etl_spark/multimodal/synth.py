@@ -192,7 +192,6 @@ def make_png_ct_bytes(doc_id: int) -> bytes:
 
     width, height, ct, depth = png_ct_params(doc_id)
     n_ch = {0: 1, 4: 2, 6: 4}[ct]
-    alpha_ch = {0: None, 4: 3, 6: 3}[ct]
 
     def row_bytes(y: int) -> bytes:
         if depth < 8:
@@ -255,7 +254,6 @@ def make_png_ct_bytes(doc_id: int) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, depth, ct, 0, 0, 0)
-    del alpha_ch
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
