@@ -4,7 +4,8 @@ bodies).  Everything implemented from the public ISO 32000-1 spec:
 the header/xref/trailer skeleton, 20-byte cross-reference entries
 located from ``startxref`` at the tail, per-object parses through the
 xref offsets (never by scanning for ``obj`` — one content stream
-embeds the literal bytes ``7 0 obj`` as a trap), stream extraction
+embeds a phantom ``{2+2n+1} 0 obj`` keyword as a trap), stream
+extraction
 with ``/Length`` cross-checked, FlateDecode through the same stdlib
 zlib the ZIP/PNG paths use, and page text recovered from content
 streams by executing the ``Tj`` show operators on PDF string literals

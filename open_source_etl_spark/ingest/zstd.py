@@ -1,10 +1,13 @@
 """Zstandard (RFC 8878) frame decoding — the compression format
 web-scale training corpora actually ship (.jsonl.zst shards), decoded
 from the byte level up with NO codec library: frame headers, block
-framing, raw/RLE blocks, Huffman-coded literals, FSE-coded sequences
-with the spec's predefined distributions, sequence execution against
-the window, and XXH64 content checksums (the spec's own hash,
-implemented from its published constants).
+framing, raw/RLE blocks, Huffman-coded literals (direct AND
+FSE-compressed weight headers via the two-state interleaved stream),
+FSE-coded sequences with the spec's predefined distributions and
+FSE-described tables (spec-form low-bits-threshold count coding),
+sequence execution against the window, dictionary frames (raw-content
+and formatted, RFC 8878 §5), and XXH64 content checksums (the spec's
+own hash, implemented from its published constants).
 
 Everything here derives from RFC 8878's algorithms and spec-literal
 tables; the predefined FSE distributions carry a structural gate (they
@@ -116,20 +119,39 @@ def zstd_lit_fields(doc_id: int, i: int) -> tuple[int, int, int, int, int]:
     return n_lit, ll0, ll0 + 3 + k % 7, 4 + k % 6, 3 + k % 4
 
 
-def _zstd_huffman_enc() -> tuple[bytes, list, list, int, list]:
-    """The fixture's 8-symbol (values 0..7), all-weight-1 Huffman
-    table: direct-weights header bytes, encoder codes, per-symbol bit
-    counts, max_bits, and the decoder slot table (for tests)."""
-    weights = [1] * 7  # symbol 7's weight is implied
+def _zstd_huffman_enc(
+    fse_w: bool = False,
+) -> tuple[bytes, list, list, int, list]:
+    """The fixture's 8-symbol (values 0..7) Huffman table: header
+    bytes, encoder codes, per-symbol bit counts, max_bits, and the
+    decoder slot table (for tests).  Direct 4-bit weights (all
+    weight 1, symbol 7 implied) by default; with ``fse_w`` the
+    weights are [2,1,1,1,1,1,1] (symbol 7's weight-4 implied) and
+    the header is FSE-COMPRESSED (RFC 4.2.1.2) — a table description
+    plus the two-state interleaved backward bitstream."""
+    weights = [2, 1, 1, 1, 1, 1, 1] if fse_w else [1] * 7
     slots, nbits, max_bits = _huffman_weights_to_table(-1, weights)
     starts: dict[int, int] = {}
     for idx, s in enumerate(slots):
         starts.setdefault(s, idx)
     codes = [starts[s] >> (max_bits - nbits[s]) for s in range(8)]
-    hdr = bytes((127 + 7,)) + bytes(
-        (weights[j] << 4) | (weights[j + 1] if j + 1 < 7 else 0)
-        for j in range(0, 7, 2)
-    )
+    if fse_w:
+        wtab = _fse_decode_table(
+            _WEIGHTS_FSE_DIST, _WEIGHTS_FSE_ACCLOG
+        )
+        body = _write_fse_description(
+            list(_WEIGHTS_FSE_DIST), _WEIGHTS_FSE_ACCLOG
+        ) + _fse_encode_interleaved(
+            weights, wtab, _WEIGHTS_FSE_ACCLOG
+        )
+        if len(body) >= 128:
+            raise ValueError("compressed weight header too large")
+        hdr = bytes((len(body),)) + body
+    else:
+        hdr = bytes((127 + 7,)) + bytes(
+            (weights[j] << 4) | (weights[j + 1] if j + 1 < 7 else 0)
+            for j in range(0, 7, 2)
+        )
     return hdr, codes, nbits, max_bits, slots
 
 
@@ -146,7 +168,12 @@ def _zstd_compressed_block(
     k = doc_id + i
     n_lit, ll0, off0, ml1, ml2 = zstd_lit_fields(doc_id, i)
     lits = bytes((k + j) % 8 for j in range(n_lit))
-    hdr, codes, nbits, max_bits, _slots = _zstd_huffman_enc()
+    # every k % 5 == 1 frame ships its weights FSE-compressed (the
+    # header shape real zstd encoders emit on nearly every block);
+    # the literal VALUES are unchanged, so content closed forms hold
+    hdr, codes, nbits, max_bits, _slots = _zstd_huffman_enc(
+        fse_w=k % 5 == 1
+    )
     four_stream = k % 3 == 0
     rle_seq = (not four_stream) and k % 4 == 2
 
@@ -268,7 +295,9 @@ def _zstd_block4(doc_id: int, i: int) -> bytes:
     from the RLE run through the frame window."""
     k = doc_id + i
     n_lit, ll0, off0, ml1, ml2 = zstd_lit_fields(doc_id, i)
-    _hdr, codes, nbits, _max_bits, _slots = _zstd_huffman_enc()
+    _hdr, codes, nbits, _max_bits, _slots = _zstd_huffman_enc(
+        fse_w=k % 5 == 1
+    )
     lits = bytes((k + j) % 8 for j in range(4))
     wlit = _BackBitWriter()
     for sym in lits:
@@ -402,17 +431,90 @@ def make_zstd_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
+DICT_MAGIC = 0xEC30A437
+
+
+def _load_dictionary(doc_id: int, blob: bytes) -> dict:
+    """Parse a zstd dictionary (RFC 8878 §5).  With the dictionary
+    magic: dict ID, entropy tables (Huffman weights in the literals-
+    header serialization, then OF / ML / LL FSE table descriptions),
+    three 4-byte recent offsets, and the content.  Without the magic
+    the whole blob is RAW CONTENT — window bytes only, no entropy
+    state, default repeat offsets."""
+    if len(blob) >= 8 and struct.unpack_from("<I", blob)[0] == DICT_MAGIC:
+        (did,) = struct.unpack_from("<I", blob, 4)
+        pos = 8
+        th = blob[pos]
+        pos += 1
+        if th < 128:
+            wend = pos + th
+            if wend > len(blob):
+                raise ValueError(
+                    f"doc {doc_id}: dictionary weight header overruns"
+                )
+            dist, wlog, pos = _read_fse_description(
+                doc_id, blob, pos, 6
+            )
+            wtab = _fse_decode_table(dist, wlog)
+            weights = _fse_decode_interleaved(
+                doc_id, blob[pos:wend], wtab, wlog
+            )
+            pos = wend
+        else:
+            n_weights = th - 127
+            weights = []
+            for j in range(n_weights):
+                byte = blob[pos + j // 2]
+                weights.append(
+                    (byte >> 4) if j % 2 == 0 else (byte & 15)
+                )
+            pos += (n_weights + 1) // 2
+        huff = _huffman_weights_to_table(doc_id, weights)
+        of_d, of_log, pos = _read_fse_description(doc_id, blob, pos, 8)
+        ml_d, ml_log, pos = _read_fse_description(doc_id, blob, pos, 9)
+        ll_d, ll_log, pos = _read_fse_description(doc_id, blob, pos, 9)
+        tables = [
+            (_fse_decode_table(ll_d, ll_log), ll_log),
+            (_fse_decode_table(of_d, of_log), of_log),
+            (_fse_decode_table(ml_d, ml_log), ml_log),
+        ]
+        if pos + 12 > len(blob):
+            raise ValueError(
+                f"doc {doc_id}: dictionary truncated before offsets"
+            )
+        reps = list(struct.unpack_from("<III", blob, pos))
+        pos += 12
+        content = blob[pos:]
+        for r in reps:
+            if not 1 <= r <= len(content):
+                raise ValueError(
+                    f"doc {doc_id}: dictionary repeat offset {r} "
+                    "outside its content"
+                )
+        return {
+            "id": did, "huff": huff, "tables": tables,
+            "reps": reps, "content": content,
+        }
+    return {
+        "id": None, "huff": None, "tables": None,
+        "reps": [1, 4, 8], "content": blob,
+    }
+
+
 def parse_zstd(
-    doc_id: int, raw: bytes
+    doc_id: int, raw: bytes, dicts: dict[int, bytes] | None = None,
+    used_dids: list[int] | None = None,
 ) -> tuple[int, int, int, int, int, int]:
     """Walk concatenated zstd frames to (n_frames, n_skippable,
     n_blocks, content_bytes, content_sum, n_checksums): magic
     dispatch (data vs skippable), frame-header descriptor decode
     (FCS size flags, single-segment, window descriptor, dictionary
-    IDs raise the declared boundary), the block loop (raw / RLE;
-    compressed blocks raise at this stage's declared boundary),
-    frame-content-size cross-check, and REAL XXH64 verification of
-    every checksummed frame's decoded content."""
+    IDs resolved through ``dicts`` — a referenced dictionary seeds
+    the frame's entropy state, repeat offsets, and window prefix,
+    and ``used_dids`` collects the referenced IDs), the block loop
+    (raw / RLE / compressed), frame-content-size cross-check, and
+    REAL XXH64 verification of every checksummed frame's decoded
+    content."""
     pos = 0
     n_frames = n_skip = n_blocks = c_bytes = c_sum = n_ck = 0
     while pos < len(raw):
@@ -421,6 +523,10 @@ def parse_zstd(
         (magic,) = struct.unpack_from("<I", raw, pos)
         pos += 4
         if (magic & 0xFFFFFFF0) == SKIPPABLE_LO:
+            if pos + 4 > len(raw):
+                raise ValueError(
+                    f"doc {doc_id}: truncated skippable frame size"
+                )
             (size,) = struct.unpack_from("<I", raw, pos)
             pos += 4 + size
             if pos > len(raw):
@@ -448,10 +554,27 @@ def parse_zstd(
             pos += 1
             if (wd >> 3) + 10 > 31:
                 raise ValueError(f"doc {doc_id}: window too large")
+        dictionary = None
         if did_size:
-            raise NotImplementedError(
-                "dictionary-keyed zstd frames not implemented"
-            )
+            if pos + did_size > len(raw):
+                raise ValueError(
+                    f"doc {doc_id}: truncated dictionary ID"
+                )
+            did = int.from_bytes(raw[pos : pos + did_size], "little")
+            pos += did_size
+            if dicts is None or did not in dicts:
+                raise ValueError(
+                    f"doc {doc_id}: frame references dictionary "
+                    f"{did} which was not provided"
+                )
+            dictionary = _load_dictionary(doc_id, dicts[did])
+            if dictionary["id"] is not None and dictionary["id"] != did:
+                raise ValueError(
+                    f"doc {doc_id}: dictionary {did} carries "
+                    f"mismatched ID {dictionary['id']}"
+                )
+            if used_dids is not None:
+                used_dids.append(did)
         fcs = None
         fcs_size = (
             (1 if single_segment else 0), 2, 4, 8
@@ -467,8 +590,19 @@ def parse_zstd(
         # per-FRAME decoder state (RFC 8878): the previous Huffman
         # table (treeless literals), the previous sequence tables
         # (repeat mode), and the repeat-offset history all persist
-        # ACROSS blocks within a frame
-        fstate = {"huff": None, "tables": None, "reps": [1, 4, 8]}
+        # ACROSS blocks within a frame; a referenced dictionary
+        # seeds all three plus the window prefix (its content is
+        # match-reachable but NOT part of the frame's output)
+        if dictionary is not None:
+            fstate = {
+                "huff": dictionary["huff"],
+                "tables": dictionary["tables"],
+                "reps": list(dictionary["reps"]),
+            }
+            window_prefix = dictionary["content"]
+        else:
+            fstate = {"huff": None, "tables": None, "reps": [1, 4, 8]}
+            window_prefix = b""
         while True:
             if pos + 3 > len(raw):
                 raise ValueError(f"doc {doc_id}: truncated block header")
@@ -476,18 +610,23 @@ def parse_zstd(
             pos += 3
             last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
             if btype == 0:  # raw
-                content += raw[pos : pos + bsize]
                 if pos + bsize > len(raw):
                     raise ValueError(
                         f"doc {doc_id}: raw block overruns the file"
                     )
+                content += raw[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:  # RLE
+                if pos >= len(raw):
+                    raise ValueError(
+                        f"doc {doc_id}: RLE block overruns the file"
+                    )
                 content += bytes((raw[pos],)) * bsize
                 pos += 1
             elif btype == 2:
                 new, pos = _decode_compressed_block(
-                    doc_id, raw, pos, bsize, bytes(content), fstate
+                    doc_id, raw, pos, bsize,
+                    window_prefix + bytes(content), fstate,
                 )
                 content += new
             else:
@@ -631,12 +770,17 @@ def _read_fse_description(
     doc_id: int, raw: bytes, pos: int, max_acclog: int
 ) -> tuple[list[int], int, int]:
     """Decode an FSE table description (RFC 8878 4.1.1): 4-bit
-    accuracy_log (plus the base of 5), then truncated-binary-coded
-    probabilities over the remaining slot budget — value - 1 is the
-    probability, -1 taking one slot, and a ZERO probability is
-    followed by 2-bit repeat flags counting further zero-probability
-    symbols (value 3 chains).  Ends byte-aligned with the budget
-    spent exactly."""
+    accuracy_log (plus the base of 5), then spec-coded probabilities
+    over the remaining slot budget.  Each value is read as up to
+    nb_bits little-endian bits where ``threshold = 1 << (nb_bits-1)``
+    shrinks as the budget drains: peek nb_bits; if the LOW nb_bits-1
+    bits fall below ``max = 2*threshold - 1 - remaining`` (the count
+    of small values that fit in one fewer bit), consume nb_bits-1 and
+    use the low bits, else consume nb_bits and subtract ``max`` from
+    values at or above the threshold.  value - 1 is the probability,
+    -1 taking one slot, and a ZERO probability is followed by 2-bit
+    repeat flags counting further zero-probability symbols (value 3
+    chains).  Ends byte-aligned with the budget spent exactly."""
     br = _FwdBits(doc_id, raw, pos)
     acclog = 5 + br.read(4)
     if acclog > max_acclog:
@@ -645,28 +789,31 @@ def _read_fse_description(
             f"field's {max_acclog} maximum"
         )
     remaining = (1 << acclog) + 1
+    threshold = 1 << acclog
+    nb_bits = acclog + 1
     dist: list[int] = []
     while remaining > 1:
-        # truncated binary over [0, remaining]
-        n_vals = remaining + 1
-        k = (n_vals - 1).bit_length()
-        u = (1 << k) - n_vals
-        v = br.read(k - 1)
-        if v >= u:
-            v = (v << 1 | br.read(1)) - u
+        small = 2 * threshold - 1 - remaining
+        v = br.read(nb_bits - 1)
+        if v < small:
+            pass  # low bits alone identify the value
+        else:
+            v |= br.read(1) << (nb_bits - 1)
+            if v >= threshold:
+                v -= small
         proba = v - 1
         dist.append(proba)
-        if proba == -1:
-            remaining -= 1
-        elif proba > 0:
-            remaining -= proba
-        else:
+        remaining -= -proba if proba < 0 else proba
+        if proba == 0:
             # zero probability: repeat flags for more zero symbols
             while True:
                 rep = br.read(2)
                 dist.extend([0] * rep)
                 if rep != 3:
                     break
+        while remaining > 1 and remaining < threshold:
+            threshold >>= 1
+            nb_bits -= 1
         if len(dist) > 256:
             raise ValueError(
                 f"doc {doc_id}: runaway FSE description"
@@ -679,25 +826,22 @@ def _write_fse_description(dist: list[int], acclog: int) -> bytes:
     w = _FwdBitWriter()
     w.put(acclog - 5, 4)
     remaining = (1 << acclog) + 1
+    threshold = 1 << acclog
+    nb_bits = acclog + 1
     i = 0
     while remaining > 1:
         proba = dist[i]
         i += 1
-        n_vals = remaining + 1
-        k = (n_vals - 1).bit_length()
-        u = (1 << k) - n_vals
+        small = 2 * threshold - 1 - remaining
         v = proba + 1
-        if v < u:
-            w.put(v, k - 1)
+        if v < small:
+            w.put(v, nb_bits - 1)
+        elif v < threshold:
+            w.put(v, nb_bits)
         else:
-            enc = v + u
-            w.put(enc >> 1, k - 1)
-            w.put(enc & 1, 1)
-        if proba == -1:
-            remaining -= 1
-        elif proba > 0:
-            remaining -= proba
-        else:
+            w.put(v + small, nb_bits)
+        remaining -= -proba if proba < 0 else proba
+        if proba == 0:
             zeros = 0
             while i < len(dist) and dist[i] == 0 and zeros < 3:
                 zeros += 1
@@ -709,6 +853,9 @@ def _write_fse_description(dist: list[int], acclog: int) -> bytes:
                     zeros += 1
                     i += 1
                 w.put(zeros, 2)
+        while remaining > 1 and remaining < threshold:
+            threshold >>= 1
+            nb_bits -= 1
     if i != len(dist):
         raise ValueError("FSE description distribution overlong")
     return w.to_bytes()
@@ -754,17 +901,31 @@ def _fse_decode_table(
 
 
 def _fse_pick_states(
-    dtable: list, codes: list[int], doc_id: int
+    dtable: list, codes: list[int], doc_id: int,
+    last_needs_bits: bool = False,
 ) -> tuple[list[int], list[tuple[int, int]]]:
     """Encoder side: choose the decoder's state chain for ``codes``
     and the update-bit fields.  FSE's baseline windows per symbol
     tile the whole state space, so walking backward from any final
-    symbol-matching state the predecessor is unique."""
+    symbol-matching state the predecessor is unique.  With
+    ``last_needs_bits`` the final state must carry nb_bits > 0 (the
+    two-state interleaved decode terminates on a state whose update
+    over-runs the stream, which a zero-bit update never does)."""
     by_symbol: dict[int, list[int]] = {}
     for st, (s, _nb, _b) in enumerate(dtable):
         by_symbol.setdefault(s, []).append(st)
     states = [0] * len(codes)
-    states[-1] = by_symbol[codes[-1]][0]
+    last_candidates = by_symbol[codes[-1]]
+    if last_needs_bits:
+        last_candidates = [
+            st for st in last_candidates if dtable[st][1] > 0
+        ]
+        if not last_candidates:
+            raise ValueError(
+                f"doc {doc_id}: no terminating FSE state for symbol "
+                f"{codes[-1]}"
+            )
+    states[-1] = last_candidates[0]
     for k in range(len(codes) - 2, -1, -1):
         target = states[k + 1]
         for st in by_symbol[codes[k]]:
@@ -779,6 +940,75 @@ def _fse_pick_states(
         _s, nb, base = dtable[states[k]]
         updates.append((states[k + 1] - base, nb))
     return states, updates
+
+
+def _fse_decode_interleaved(
+    doc_id: int, buf: bytes, dtable: list, acclog: int,
+    max_out: int = 255,
+) -> list[int]:
+    """Two-state interleaved FSE decode (RFC 8878 4.1.1, the layout
+    Huffman weight streams use): the backward bitstream opens with
+    both states, then symbols alternate state1/state2, each emission
+    followed by that state's nb_bits update — until an update would
+    over-run the stream, at which point the OTHER state's symbol is
+    emitted and decoding stops."""
+    br = _BackBits(doc_id, buf)
+    s1 = br.read(acclog)
+    s2 = br.read(acclog)
+    out: list[int] = []
+    while True:
+        sym, nb, base = dtable[s1]
+        out.append(sym)
+        if nb > br.bits_left:
+            out.append(dtable[s2][0])
+            break
+        s1 = base + br.read(nb)
+        sym, nb, base = dtable[s2]
+        out.append(sym)
+        if nb > br.bits_left:
+            out.append(dtable[s1][0])
+            break
+        s2 = base + br.read(nb)
+        if len(out) > max_out:
+            raise ValueError(
+                f"doc {doc_id}: interleaved FSE stream produced more "
+                f"than {max_out} symbols without terminating"
+            )
+    return out
+
+
+def _fse_encode_interleaved(
+    syms: list[int], dtable: list, acclog: int
+) -> bytes:
+    """Encoder twin of ``_fse_decode_interleaved``: split symbols
+    into the two alternating chains, pick window-compatible state
+    walks (the terminating chain's final state must carry bits), and
+    pack init states + alternating updates in decode order."""
+    if len(syms) < 2:
+        raise ValueError("interleaved FSE needs at least two symbols")
+    chain1, chain2 = syms[0::2], syms[1::2]
+    even = len(syms) % 2 == 0
+    # termination: for an even count state1's last update over-runs;
+    # for an odd count state2's does
+    s1, u1 = _fse_pick_states(dtable, chain1, -1, last_needs_bits=even)
+    s2, u2 = _fse_pick_states(
+        dtable, chain2, -1, last_needs_bits=not even
+    )
+    w = _BackBitWriter()
+    w.put(s1[0], acclog)
+    w.put(s2[0], acclog)
+    for j in range(max(len(u1), len(u2))):
+        if j < len(u1):
+            w.put(*u1[j])
+        if j < len(u2):
+            w.put(*u2[j])
+    return w.to_bytes()
+
+
+# FSE distribution the fixture's compressed weight headers use
+# (symbols are the weight VALUES 1 and 2; normalizes to 1 << 5)
+_WEIGHTS_FSE_DIST = (0, 28, 4)
+_WEIGHTS_FSE_ACCLOG = 5
 
 
 # Predefined FSE distributions (RFC 8878 3.1.1.3.2.2) — spec-literal
@@ -892,10 +1122,9 @@ def _decode_literals(
     doc_id: int, raw: bytes, pos: int, fstate: dict
 ) -> tuple[bytes, int]:
     """Literals section (RFC 3.1.1.3.1): raw / RLE / Huffman-
-    compressed with a DIRECT-weights table (recorded in the frame
-    state), or TREELESS — reusing the frame's previous Huffman table
-    — in 1-stream or 4-stream layouts.  FSE-compressed weight
-    headers raise the declared boundary."""
+    compressed with a DIRECT-weights or FSE-COMPRESSED-weights table
+    (recorded in the frame state), or TREELESS — reusing the frame's
+    previous Huffman table — in 1-stream or 4-stream layouts."""
     b0 = raw[pos]
     ltype = b0 & 3
     fmt = (b0 >> 2) & 3
@@ -951,19 +1180,35 @@ def _decode_literals(
         slots, nbits, max_bits = fstate["huff"]
     else:
         th = raw[pos]
-        if th < 128:
-            raise NotImplementedError(
-                "FSE-compressed Huffman weight headers not "
-                "implemented (direct 4-bit weights only)"
-            )
-        n_weights = th - 127
         pos += 1
-        wbytes = (n_weights + 1) // 2
-        weights = []
-        for j in range(n_weights):
-            byte = raw[pos + j // 2]
-            weights.append((byte >> 4) if j % 2 == 0 else (byte & 15))
-        pos += wbytes
+        if th < 128:
+            # FSE-compressed weights (RFC 4.2.1.2): th bytes holding
+            # an FSE table description (accuracy_log <= 6) then a
+            # two-state interleaved backward bitstream of weights
+            wend = pos + th
+            if wend > end:
+                raise ValueError(
+                    f"doc {doc_id}: compressed weight header "
+                    "overruns the literals section"
+                )
+            dist, wlog, pos = _read_fse_description(
+                doc_id, raw, pos, 6
+            )
+            wtab = _fse_decode_table(dist, wlog)
+            weights = _fse_decode_interleaved(
+                doc_id, raw[pos:wend], wtab, wlog
+            )
+            pos = wend
+        else:
+            n_weights = th - 127
+            wbytes = (n_weights + 1) // 2
+            weights = []
+            for j in range(n_weights):
+                byte = raw[pos + j // 2]
+                weights.append(
+                    (byte >> 4) if j % 2 == 0 else (byte & 15)
+                )
+            pos += wbytes
         slots, nbits, max_bits = _huffman_weights_to_table(
             doc_id, weights
         )
@@ -1151,10 +1396,195 @@ def _decode_compressed_block(
     return bytes(out), block_end
 
 
+def zstd_dict_ids(doc_id: int) -> tuple[int, int]:
+    """(formatted_dict_id, raw_dict_id) for the dict-frame fixture."""
+    return 300 + doc_id % 50, 40 + doc_id % 30
+
+
+def zstd_dict_content(did: int) -> bytes:
+    """A dictionary's content bytes by closed form."""
+    return bytes((did + 3 * j) % 256 for j in range(40 + did % 24))
+
+
+def make_zstd_dictionary(did: int) -> bytes:
+    """Serialize dictionary ``did``: FORMATTED (RFC 8878 §5 — magic,
+    ID, Huffman weights + OF/ML/LL table descriptions carrying the
+    predefined distributions, recent offsets [dlen, 4, 8], content)
+    for ids >= 300, RAW CONTENT otherwise."""
+    content = zstd_dict_content(did)
+    if did < 300:
+        return content
+    hdr, _codes, _nbits, _mb, _slots = _zstd_huffman_enc()
+    return (
+        struct.pack("<II", DICT_MAGIC, did)
+        + hdr
+        + _write_fse_description(list(ZSTD_OF_DIST), ZSTD_OF_ACCLOG)
+        + _write_fse_description(list(ZSTD_ML_DIST), ZSTD_ML_ACCLOG)
+        + _write_fse_description(list(ZSTD_LL_DIST), ZSTD_LL_ACCLOG)
+        + struct.pack("<III", len(content), 4, 8)
+        + content
+    )
+
+
+def zstd_dict_fields(doc_id: int) -> tuple[int, int, int, int, int, int]:
+    """(n_lit, ll0, m1, m2, n_lit2, m3) closed forms of the two
+    dict-keyed frames."""
+    return (
+        10 + doc_id % 6, 3 + doc_id % 3, 4 + doc_id % 4,
+        3 + doc_id % 3, 8 + doc_id % 5, 3 + doc_id % 5,
+    )
+
+
+def zstd_dict_frame0_content(doc_id: int) -> bytes:
+    """Frame 0's decoded output: treeless literals spliced with a
+    far match into the formatted dictionary's content and a
+    dict-seeded repeat-offset match."""
+    d1, _d2 = zstd_dict_ids(doc_id)
+    n_lit, ll0, m1, m2, _n2, _m3 = zstd_dict_fields(doc_id)
+    lits = bytes((doc_id + j) % 8 for j in range(n_lit))
+    dc = zstd_dict_content(d1)
+    ll1 = 2
+    t = ll0 + m1 + ll1
+    return (
+        lits[:ll0] + dc[2 : 2 + m1]
+        + lits[ll0 : ll0 + ll1] + dc[t : t + m2]
+        + lits[ll0 + ll1 :]
+    )
+
+
+def zstd_dict_frame1_content(doc_id: int) -> bytes:
+    """Frame 1's decoded output: raw literals spliced with a match
+    into the raw-content dictionary."""
+    _d1, d2 = zstd_dict_ids(doc_id)
+    _n, _l, _m1, _m2, n_lit2, m3 = zstd_dict_fields(doc_id)
+    lits = bytes((2 * doc_id + j) % 256 for j in range(n_lit2))
+    dc = zstd_dict_content(d2)
+    return lits[:4] + dc[1 : 1 + m3] + lits[4:]
+
+
+def make_zstd_dict_frames(doc_id: int) -> tuple[bytes, dict[int, bytes]]:
+    """Two dictionary-keyed frames per doc: frame 0 references a
+    FORMATTED dictionary (2-byte ID field, 4-byte on every fifth
+    doc) and decodes a treeless-literals + repeat-mode block whose
+    matches reach into the dictionary window and whose second
+    sequence resolves a DICT-SEEDED repeat offset; frame 1
+    references a RAW-CONTENT dictionary (1-byte ID field) and
+    decodes a predefined-tables block matching into that window.
+    Returns (frames_bytes, {dict_id: dict_bytes})."""
+    d1, d2 = zstd_dict_ids(doc_id)
+    n_lit, ll0, m1, m2, n_lit2, m3 = zstd_dict_fields(doc_id)
+    dlen1 = len(zstd_dict_content(d1))
+    dlen2 = len(zstd_dict_content(d2))
+    out = bytearray()
+
+    # ---- frame 0: formatted dict, treeless + repeat-mode block ----
+    lits = bytes((doc_id + j) % 8 for j in range(n_lit))
+    _hdr, codes, nbits, _mb, _slots = _zstd_huffman_enc()
+    wlit = _BackBitWriter()
+    for s in lits:
+        wlit.put(codes[s], nbits[s])
+    body = wlit.to_bytes()
+    h = (3 | (0 << 2) | (n_lit << 4) | (len(body) << 14)) & 0xFFFFFF
+    lit_sec = struct.pack("<I", h)[:3] + body
+    ll1 = 2
+    ll_codes = [ll0, ll1]
+    ml_codes = [m1 - 3, m2 - 3]
+    of_vals = [(ll0 + dlen1 - 2) + 3, 2]  # far match, then Repeat2
+    of_codes = [v.bit_length() - 1 for v in of_vals]
+    ll_tab = _fse_decode_table(ZSTD_LL_DIST, ZSTD_LL_ACCLOG)
+    ml_tab = _fse_decode_table(ZSTD_ML_DIST, ZSTD_ML_ACCLOG)
+    of_tab = _fse_decode_table(ZSTD_OF_DIST, ZSTD_OF_ACCLOG)
+    ll_states, ll_upd = _fse_pick_states(ll_tab, ll_codes, doc_id)
+    of_states, of_upd = _fse_pick_states(of_tab, of_codes, doc_id)
+    ml_states, ml_upd = _fse_pick_states(ml_tab, ml_codes, doc_id)
+    w = _BackBitWriter()
+    w.put(ll_states[0], ZSTD_LL_ACCLOG)
+    w.put(of_states[0], ZSTD_OF_ACCLOG)
+    w.put(ml_states[0], ZSTD_ML_ACCLOG)
+    for s in range(2):
+        w.put(of_vals[s] - (1 << of_codes[s]), of_codes[s])
+        if s < 1:
+            w.put(*ll_upd[s])
+            w.put(*ml_upd[s])
+            w.put(*of_upd[s])
+    seq = bytes((2, 0xFC)) + w.to_bytes()  # modes: repeat x3
+    block0 = lit_sec_block(lit_sec, seq, last=1)
+    content0 = zstd_dict_frame0_content(doc_id)
+    did_flag = 3 if doc_id % 5 == 0 else 2
+    out += struct.pack("<I", ZSTD_MAGIC)
+    out += bytes((0x80 | 0x04 | did_flag, 0x00))  # fhd, window desc
+    out += d1.to_bytes(4 if did_flag == 3 else 2, "little")
+    out += struct.pack("<I", len(content0))
+    out += block0
+    out += struct.pack("<I", xxh64(content0) & 0xFFFFFFFF)
+
+    # ---- frame 1: raw dict, raw literals + predefined tables ----
+    lits2 = bytes((2 * doc_id + j) % 256 for j in range(n_lit2))
+    h2 = 0 | (0 << 2) | (n_lit2 << 3)  # raw literals, 1-byte header
+    lit_sec2 = bytes((h2 & 0xFF,)) + lits2
+    of_val2 = (dlen2 + 3) + 3
+    of_code2 = of_val2.bit_length() - 1
+    ll_states2, _ = _fse_pick_states(ll_tab, [4], doc_id)
+    of_states2, _ = _fse_pick_states(of_tab, [of_code2], doc_id)
+    ml_states2, _ = _fse_pick_states(ml_tab, [m3 - 3], doc_id)
+    w2 = _BackBitWriter()
+    w2.put(ll_states2[0], ZSTD_LL_ACCLOG)
+    w2.put(of_states2[0], ZSTD_OF_ACCLOG)
+    w2.put(ml_states2[0], ZSTD_ML_ACCLOG)
+    w2.put(of_val2 - (1 << of_code2), of_code2)
+    seq2 = bytes((1, 0x00)) + w2.to_bytes()  # modes: predefined x3
+    block1 = lit_sec_block(lit_sec2, seq2, last=1)
+    content1 = zstd_dict_frame1_content(doc_id)
+    out += struct.pack("<I", ZSTD_MAGIC)
+    out += bytes((0x80 | 0x04 | 0x01, 0x00))
+    out += d2.to_bytes(1, "little")
+    out += struct.pack("<I", len(content1))
+    out += block1
+    out += struct.pack("<I", xxh64(content1) & 0xFFFFFFFF)
+
+    return bytes(out), {
+        d1: make_zstd_dictionary(d1), d2: make_zstd_dictionary(d2)
+    }
+
+
 ZSTD_SCHEMA = (
     "doc_id long, n_frames long, n_skippable long, n_blocks long, "
     "content_bytes long, content_sum long, n_checksums long"
 )
+
+ZSTD_DICT_SCHEMA = (
+    "doc_id long, n_frames long, n_blocks long, content_bytes long, "
+    "content_sum long, dict_ids_sum long, n_checksums long"
+)
+
+
+def extract_zstd_dicts(docs_df: DataFrame) -> DataFrame:
+    """Synthesize-and-walk two dictionary-keyed frames per doc row."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "n_frames", "n_blocks", "content_bytes",
+            "content_sum", "dict_ids_sum", "n_checksums",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                raw, dicts = make_zstd_dict_frames(d)
+                used: list[int] = []
+                nf, _ns, nb, cb, cs, nck = parse_zstd(
+                    d, raw, dicts=dicts, used_dids=used
+                )
+                vals = (d, nf, nb, cb, cs, sum(used), nck)
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, ZSTD_DICT_SCHEMA
+    )
 
 
 def extract_zstd(docs_df: DataFrame) -> DataFrame:

@@ -1922,8 +1922,11 @@ def datapipe_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     state/extra-bit walk; overlap-safe match execution against the
     window — plus REAL XXH64 content checksums (implemented from the
     spec constants, validated against the published test vectors).
-    Declared boundaries: dictionary frames and FSE-compressed
-    Huffman weight headers.
+    Huffman weight headers decode in BOTH forms: direct 4-bit weights
+    and FSE-COMPRESSED (table description + the two-state interleaved
+    backward stream, RFC 4.2.1.2 — frames with (doc+i) % 5 == 1 ship
+    that form).  Dictionary frames are covered by
+    datapipe_zstd_dict_scan.
     Reference scope note: the reference delegates storage formats to
     its warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
@@ -1931,6 +1934,81 @@ def datapipe_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return extract_zstd(docs).orderBy("doc_id")
+
+
+@query(
+    "datapipe_zstd_dict_scan",
+    # formulas mirror ingest.zstd dict fixtures: dictionary ids
+    # d1 = 300 + doc % 50 (formatted) and d2 = 40 + doc % 30 (raw
+    # content), dict content (D + 3j) % 256 over 40 + D % 24 bytes.
+    # Frame 0 splices treeless literals (doc+j) % 8 with dict slices
+    # [2, 2+m1) and [t, t+m2) (t = ll0+m1+2); frame 1 splices raw
+    # literals (2*doc+j) % 256 with dict slice [1, 1+m3).
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             300 + doc_id % 50 AS d1,
+             40 + doc_id % 30 AS d2,
+             10 + doc_id % 6 AS n_lit,
+             3 + doc_id % 3 AS ll0,
+             4 + doc_id % 4 AS m1,
+             3 + doc_id % 3 AS m2,
+             8 + doc_id % 5 AS n_lit2,
+             3 + doc_id % 5 AS m3
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, (doc_id + jj.j) % 8 AS v
+      FROM f, LATERAL (SELECT unnest(range(0, n_lit)) AS j) jj
+      UNION ALL
+      SELECT doc_id, (d1 + 3 * (2 + jj.j)) % 256
+      FROM f, LATERAL (SELECT unnest(range(0, m1)) AS j) jj
+      UNION ALL
+      SELECT doc_id, (d1 + 3 * (ll0 + m1 + 2 + jj.j)) % 256
+      FROM f, LATERAL (SELECT unnest(range(0, m2)) AS j) jj
+      UNION ALL
+      SELECT doc_id, (2 * doc_id + jj.j) % 256
+      FROM f, LATERAL (SELECT unnest(range(0, n_lit2)) AS j) jj
+      UNION ALL
+      SELECT doc_id, (d2 + 3 * (1 + jj.j)) % 256
+      FROM f, LATERAL (SELECT unnest(range(0, m3)) AS j) jj
+    )
+    SELECT f.doc_id,
+           CAST(2 AS BIGINT) AS n_frames,
+           CAST(2 AS BIGINT) AS n_blocks,
+           CAST(n_lit + m1 + m2 + n_lit2 + m3 AS BIGINT)
+             AS content_bytes,
+           CAST(s.c_sum AS BIGINT) AS content_sum,
+           CAST(d1 + d2 AS BIGINT) AS dict_ids_sum,
+           CAST(2 AS BIGINT) AS n_checksums
+    FROM f JOIN (
+      SELECT doc_id, SUM(v) AS c_sum FROM parts GROUP BY doc_id
+    ) s ON f.doc_id = s.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def datapipe_zstd_dict_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-keyed zstandard frames (RFC 8878 §5) — the standard
+    shard-compression trick for training corpora (one shared dict,
+    many small frames).  Per doc, TWO dictionary-referencing frames
+    decode: frame 0 against a FORMATTED dictionary (magic 0xEC30A437,
+    entropy tables — Huffman weights plus OF/ML/LL FSE table
+    descriptions — recent offsets, content), carrying a
+    TREELESS-literals + REPEAT-mode block whose entropy state comes
+    entirely from the dictionary, one match reaching into the
+    dictionary window and one resolving a DICT-SEEDED repeat offset;
+    frame 1 against a RAW-CONTENT dictionary (window bytes only),
+    matching into it through predefined tables.  Dictionary-ID
+    fields exercise 1-, 2-, and 4-byte widths; both frames verify
+    REAL XXH64 checksums, and a frame referencing an unknown or
+    ID-mismatched dictionary rejects.
+    Reference scope note: the reference delegates storage formats to
+    its warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..ingest.zstd import extract_zstd_dicts
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return extract_zstd_dicts(docs).orderBy("doc_id")
 
 
 @query(

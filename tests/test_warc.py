@@ -1027,18 +1027,43 @@ def test_zstd_decodes_and_rejects_corruption():
     with pytest.raises(ValueError, match="reserved"):
         parse_zstd(1, bytes(raw))
 
-    # dictionary-ID flag -> declared boundary
+    # dictionary-ID flag with no dictionary registry -> rejects
+    # (dictionary-keyed decode itself is covered by
+    # test_zstd_dictionary_frames)
     raw = bytearray(make_zstd_bytes(1))
     raw[4] |= 0x01
-    with pytest.raises(NotImplementedError, match="dictionary"):
+    with pytest.raises(ValueError, match="dictionary"):
         parse_zstd(1, bytes(raw))
 
-    # FSE-compressed Huffman weights (header byte < 128) -> boundary.
-    # doc 1 frame 0: find the literals tree header (127 + 7 = 134)
+    # FSE-compressed Huffman weights (header byte < 128): fixture
+    # frames with (doc+i) % 5 == 1 ship them — decoded through the
+    # table description + two-state interleaved stream (RFC 4.2.1.2).
+    # The weight set differs ([2,1,...] vs all-1) but the literal
+    # VALUES are unchanged, so the closed-form content check above
+    # (doc 1 frame 0 has k=1) already proved the decode.  The
+    # two-state codec round-trips standalone:
+    from open_source_etl_spark.ingest.zstd import (
+        _WEIGHTS_FSE_ACCLOG,
+        _WEIGHTS_FSE_DIST,
+        _fse_decode_interleaved,
+        _fse_encode_interleaved,
+    )
+
+    wtab = _fse_decode_table(_WEIGHTS_FSE_DIST, _WEIGHTS_FSE_ACCLOG)
+    for syms in ([2, 1, 1, 1, 1, 1, 1], [1, 2], [1, 1, 2, 1, 2]):
+        blob = _fse_encode_interleaved(syms, wtab, _WEIGHTS_FSE_ACCLOG)
+        assert _fse_decode_interleaved(
+            0, blob, wtab, _WEIGHTS_FSE_ACCLOG
+        ) == syms
+    # corrupting the compressed-weight header size overruns: doc 1
+    # frame 0 (k=1): magic+fhd+wd+fcs (10), raw block (3+21), RLE
+    # (3+1), block3 header (3), 1-stream literals header (3), then
+    # the FSE-weight header byte
     raw = bytearray(make_zstd_bytes(1))
-    th_at = raw.index(bytes((134,)))
-    raw[th_at] = 60
-    with pytest.raises(Exception, match="FSE-compressed|exhaust"):
+    th_at = 10 + 3 + len(zstd_raw_payload(1, 0)) + 4 + 3 + 3
+    assert raw[th_at] < 128  # the compressed-weights form
+    raw[th_at] = 90
+    with pytest.raises(Exception, match="overrun|exhaust|sentinel"):
         parse_zstd(1, bytes(raw))
 
     # treeless + repeat-mode second blocks exist in the corpus and
@@ -1063,3 +1088,75 @@ def test_zstd_decodes_and_rejects_corruption():
     raw5[lit_at] |= 3
     with pytest.raises(Exception, match="treeless|prior"):
         parse_zstd(5, bytes(raw5))
+
+
+def test_zstd_dictionary_frames():
+    """RFC 8878 §5 dictionary frames: formatted dictionaries load
+    entropy tables + recent offsets + content, raw-content
+    dictionaries provide window bytes only; frames decode treeless
+    literals and repeat-mode sequences entirely from dictionary
+    state, matches reach into the dictionary window, dict-seeded
+    repeat offsets resolve, and XXH64 checksums verify.  Rejections:
+    an unreferenced dictionary, an ID-mismatched formatted
+    dictionary, and an out-of-range recent offset."""
+    import struct
+
+    import pytest
+
+    from open_source_etl_spark.ingest.zstd import (
+        DICT_MAGIC,
+        _load_dictionary,
+        make_zstd_dict_frames,
+        make_zstd_dictionary,
+        parse_zstd,
+        zstd_dict_content,
+        zstd_dict_frame0_content,
+        zstd_dict_frame1_content,
+        zstd_dict_ids,
+    )
+
+    for d in (0, 1, 4, 5, 7, 12, 29, 49):
+        raw, dicts = make_zstd_dict_frames(d)
+        used: list[int] = []
+        nf, _ns, nb, cb, cs, nck = parse_zstd(
+            d, raw, dicts=dicts, used_dids=used
+        )
+        c0 = zstd_dict_frame0_content(d)
+        c1 = zstd_dict_frame1_content(d)
+        assert (nf, nb, nck) == (2, 2, 2)
+        assert cb == len(c0) + len(c1)
+        assert cs == sum(c0) + sum(c1)
+        assert used == list(zstd_dict_ids(d))
+
+    # formatted dictionaries parse their entropy + offsets + content
+    d1, d2 = zstd_dict_ids(3)
+    dd = _load_dictionary(3, make_zstd_dictionary(d1))
+    assert dd["id"] == d1
+    assert dd["content"] == zstd_dict_content(d1)
+    assert dd["reps"][0] == len(dd["content"])
+    assert dd["huff"] is not None and dd["tables"] is not None
+    rawd = _load_dictionary(3, make_zstd_dictionary(d2))
+    assert rawd["id"] is None and rawd["huff"] is None
+    assert rawd["content"] == zstd_dict_content(d2)
+
+    # frame referencing a dictionary that was not provided
+    raw, dicts = make_zstd_dict_frames(3)
+    missing = dict(dicts)
+    missing.pop(d1)
+    with pytest.raises(ValueError, match="not provided"):
+        parse_zstd(3, raw, dicts=missing)
+    with pytest.raises(ValueError, match="not provided"):
+        parse_zstd(3, raw)  # no dicts at all
+
+    # ID-mismatched formatted dictionary rejects
+    blob = bytearray(make_zstd_dictionary(d1))
+    struct.pack_into("<I", blob, 4, d1 + 1)
+    with pytest.raises(ValueError, match="mismatched"):
+        parse_zstd(3, raw, dicts={**dicts, d1: bytes(blob)})
+
+    # recent offset outside the dictionary content rejects
+    blob = bytearray(make_zstd_dictionary(d1))
+    rep_at = len(blob) - len(zstd_dict_content(d1)) - 12
+    struct.pack_into("<I", blob, rep_at, 100000)
+    with pytest.raises(ValueError, match="repeat offset"):
+        parse_zstd(3, raw, dicts={**dicts, d1: bytes(blob)})
