@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from open_source_etl_spark.registry import all_oracles, all_queries  # noqa: E402
 from open_source_etl_spark.session import tune_session  # noqa: E402
+from open_source_etl_spark._precompile import ensure_bytecode  # noqa: E402
+
+# the environment disables implicit bytecode caching; precompile once so
+# Spark's Python workers load .pyc instead of recompiling the 10k-line
+# codec modules on every process spin-up
+ensure_bytecode()
 
 _SF_SMOKE = "/root/testdata/sf0.001"
 

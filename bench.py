@@ -28,9 +28,14 @@ QUERY_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "150"))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from open_source_etl_spark._precompile import ensure_bytecode
     from open_source_etl_spark.conf import EngineConfig
     from open_source_etl_spark.registry import all_queries
     from open_source_etl_spark.session import build_session
+
+    # the env disables implicit bytecode caching; precompile once so every
+    # Python worker loads .pyc instead of recompiling the codec modules
+    ensure_bytecode()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     cfg = EngineConfig(master=f"local[{cpus}]", shuffle_partitions=max(int(cpus), 8))
