@@ -5893,21 +5893,240 @@ def _vp8l_read_code(r: "_Vp8lBits", alphabet: int, what: str):
     return _vp8l_canonical(r.doc_id, lengths, what)
 
 
+# WebP lossless spec distance map: plane codes 1..120 address a close
+# neighborhood as (xoffset, yoffset) pairs; dist = x + y*width (min 1).
+# Structural gates (asserted in tests): 120 unique pairs, y in 0..7,
+# x in -7..8, y == 0 rows strictly to the left (x > 0).
+VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+def _vp8l_read_argb_image(
+    r: "_Vp8lBits", width: int, height: int, allow_meta: bool
+) -> tuple[list, int, int]:
+    """One VP8L entropy-coded ARGB image (the spec's 'decoding of
+    image data'): optional color cache, optional meta-Huffman tile
+    map (level-0 only — recursively another entropy-coded image whose
+    (red<<8|green) selects among huffman groups of five codes),
+    row-major literal/cache/LZ77 decoding with the plane-code
+    neighbor map for distance codes <= 120 and direct distances
+    above.  Returns (pixels as packed ARGB ints, n_literals,
+    n_backref_pixels)."""
+    doc_id = r.doc_id
+    cache_bits = 0
+    if r.read(1):  # color cache
+        cache_bits = r.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(
+                f"doc {doc_id}: color-cache bits {cache_bits} out of "
+                "range"
+            )
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size
+    meta = None
+    meta_w = hb = 0
+    n_groups = 1
+    if allow_meta and r.read(1):  # meta-Huffman tile map
+        hb = 2 + r.read(3)
+        meta_w = (width + (1 << hb) - 1) >> hb
+        meta_h = (height + (1 << hb) - 1) >> hb
+        meta_px, _ml, _mb = _vp8l_read_argb_image(
+            r, meta_w, meta_h, False
+        )
+        meta = [((p >> 8) & 0xFFFF) for p in meta_px]
+        n_groups = max(meta) + 1
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _vp8l_read_code(r, 280 + cache_size, "green"),
+            _vp8l_read_code(r, 256, "red"),
+            _vp8l_read_code(r, 256, "blue"),
+            _vp8l_read_code(r, 256, "alpha"),
+            _vp8l_read_code(r, 40, "distance"),
+        ))
+    n_px = width * height
+    pixels: list = []
+    n_lit = n_back = 0
+
+    def insert(argb: int) -> None:
+        if cache_size:
+            cache[
+                ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+            ] = argb
+
+    while len(pixels) < n_px:
+        if meta is not None:
+            x, y = len(pixels) % width, len(pixels) // width
+            grp = groups[meta[(y >> hb) * meta_w + (x >> hb)]]
+        else:
+            grp = groups[0]
+        green, red, blue, alpha, distance = grp
+        g = r.read_symbol(green, "green")
+        if g < 256:
+            rr = r.read_symbol(red, "red")
+            bb = r.read_symbol(blue, "blue")
+            aa = r.read_symbol(alpha, "alpha")
+            argb = (aa << 24) | (rr << 16) | (g << 8) | bb
+            pixels.append(argb)
+            insert(argb)
+            n_lit += 1
+        elif g >= 280:
+            if g - 280 >= cache_size:
+                raise ValueError(
+                    f"doc {doc_id}: cache symbol {g} without a "
+                    "large-enough color cache"
+                )
+            argb = cache[g - 280]
+            if argb is None:
+                raise ValueError(
+                    f"doc {doc_id}: cache hit on an empty slot"
+                )
+            pixels.append(argb)
+            n_lit += 1
+        else:
+            length = _vp8l_prefix_value(r, g - 256)
+            dcode = _vp8l_prefix_value(
+                r, r.read_symbol(distance, "distance")
+            )
+            if dcode <= 120:
+                xo, yo = VP8L_DIST_MAP[dcode - 1]
+                dist = max(1, xo + yo * width)
+            else:
+                dist = dcode - 120
+            if dist > len(pixels):
+                raise ValueError(
+                    f"doc {doc_id}: backref distance {dist} before "
+                    "the image start"
+                )
+            if len(pixels) + length > n_px:
+                raise ValueError(
+                    f"doc {doc_id}: backref overruns the image"
+                )
+            for _ in range(length):
+                argb = pixels[len(pixels) - dist]
+                pixels.append(argb)
+                insert(argb)
+                n_back += 1
+    return pixels, n_lit, n_back
+
+
+def _argb_split(p: int) -> tuple[int, int, int, int]:
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _argb_join(a: int, r: int, g: int, b: int) -> int:
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _avg2(p: int, q: int) -> int:
+    """Per-channel (p + q) >> 1 without unpacking (no carries leak
+    across channels after masking)."""
+    return (((p ^ q) & 0xFEFEFEFE) >> 1) + (p & q)
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _vp8l_predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    """The 14 VP8L spatial predictors (WebP lossless spec)."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(left, tr), top)
+    if mode == 6:
+        return _avg2(left, tl)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(tl, top)
+    if mode == 9:
+        return _avg2(top, tr)
+    if mode == 10:
+        return _avg2(_avg2(left, tl), _avg2(top, tr))
+    la, lr, lg, lb = _argb_split(left)
+    ta, tr_, tg, tb = _argb_split(top)
+    ca, cr, cg, cb = _argb_split(tl)
+    if mode == 11:  # Select
+        pa, pr = la + ta - ca, lr + tr_ - cr
+        pg, pb = lg + tg - cg, lb + tb - cb
+        p_l = abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb)
+        p_t = abs(pa - ta) + abs(pr - tr_) + abs(pg - tg) + abs(pb - tb)
+        return left if p_l < p_t else top
+    if mode == 12:  # ClampAddSubtractFull
+        return _argb_join(
+            _clamp255(la + ta - ca), _clamp255(lr + tr_ - cr),
+            _clamp255(lg + tg - cg), _clamp255(lb + tb - cb),
+        )
+    if mode == 13:  # ClampAddSubtractHalf
+
+        def half(a: int, b: int) -> int:
+            d = a - b
+            # C integer division truncates toward zero
+            return _clamp255(a + (abs(d) // 2 if d >= 0 else -(abs(d) // 2)))
+
+        return _argb_join(
+            half((la + ta) >> 1, ca), half((lr + tr_) >> 1, cr),
+            half((lg + tg) >> 1, cg), half((lb + tb) >> 1, cb),
+        )
+    raise ValueError(f"invalid VP8L predictor mode {mode}")
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: both args sign-extended int8, product
+    arithmetic-shifted right 5 (Python >> floors, matching C's
+    arithmetic shift on the platforms libwebp supports)."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
 def parse_webp_vp8l(
     doc_id: int, raw: bytes
 ) -> tuple[int, int, int, int, int, int, int]:
     """Decode one LOSSLESS WebP (RIFF/WEBP/VP8L, the WebP lossless
     bitstream spec) to (width, height, n_literals, n_backref_pixels,
     sum_green, sum_red, sum_blue): the RIFF walk, the 0x2F
-    signature + 14-bit dimensions, the five entropy codes (simple
-    1-/2-symbol and NORMAL code-length-coded forms, the latter with
-    repeat/zero-run symbols, the optional max_symbol shortcut, and
-    libwebp's Kraft-budget early stop — enforced complete), row-major
-    ARGB decoding (green/red/blue/alpha order), and LZ77 backrefs via
-    the prefix-coded length and DIRECT distances (plane codes > 120).
-    Declared boundaries: transforms (predictor/color/subtract-green/
-    palette), color cache, meta-Huffman tiles, the <=120 plane-code
-    neighbor map, and lossy VP8 / extended VP8X chunks."""
+    signature + 14-bit dimensions, ALL FOUR transforms — PREDICTOR
+    (14 spatial modes over a tile grid stored as an entropy-coded
+    sub-image, with the black/left/top edge rules and the rightmost-
+    column top-right wraparound), COLOR (per-tile green_to_red /
+    green_to_blue / red_to_blue int8 deltas, inverse-applied in
+    reconstructed-red order), SUBTRACT-GREEN, and COLOR-INDEXING
+    (subtraction-coded palette with pixel BUNDLING at <= 16 colors) —
+    inverted in reverse read order; the five entropy codes per
+    huffman group (simple and NORMAL forms, Kraft-enforced complete);
+    META-HUFFMAN tile maps (a recursive entropy-coded image selecting
+    among groups); the color cache; and LZ77 backrefs via prefix-coded
+    lengths with BOTH direct distances and the <=120 PLANE-CODE
+    neighbor map.  Counts are over the coded (post-bundling) image;
+    sums are over the final reconstructed pixels.
+    Declared boundary: lossy VP8 / extended VP8X chunks."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
         raise ValueError(f"doc {doc_id}: not a RIFF/WEBP container")
     (riff_size,) = struct.unpack_from("<I", raw, 4)
@@ -5938,113 +6157,132 @@ def parse_webp_vp8l(
     r.read(1)  # alpha hint
     if r.read(3) != 0:
         raise ValueError(f"doc {doc_id}: unknown VP8L version")
-    subtract_green = False
+    transforms: list = []  # (ttype, payload) in read order
+    seen_types: set = set()
+    coded_w = width
     while r.read(1):  # transform loop
         ttype = r.read(2)
-        if ttype != 2:
-            raise NotImplementedError(
-                "VP8L predictor/color/palette transforms not "
-                "implemented (subtract-green only)"
-            )
-        if subtract_green:
+        if ttype in seen_types:
             raise ValueError(
-                f"doc {doc_id}: duplicate subtract-green transform"
+                f"doc {doc_id}: duplicate VP8L transform {ttype}"
             )
-        subtract_green = True
-    cache_bits = 0
-    if r.read(1):  # color cache
-        cache_bits = r.read(4)
-        if not 1 <= cache_bits <= 11:
-            raise ValueError(
-                f"doc {doc_id}: color-cache bits {cache_bits} out of "
-                "range"
-            )
-    cache_size = (1 << cache_bits) if cache_bits else 0
-    cache = [0] * cache_size
-    if r.read(1):
-        raise NotImplementedError(
-            "VP8L meta-Huffman tiles not implemented"
-        )
-    green = _vp8l_read_code(r, 280 + cache_size, "green")
-    red = _vp8l_read_code(r, 256, "red")
-    blue = _vp8l_read_code(r, 256, "blue")
-    alpha = _vp8l_read_code(r, 256, "alpha")
-    distance = _vp8l_read_code(r, 40, "distance")
-    n_px = width * height
-    pixels: list = []
-    n_lit = n_back = sum_g = sum_r = sum_b = 0
-
-    def insert(px: tuple) -> None:
-        if cache_size:
-            g_, r_, b_, a_ = px
-            argb = (a_ << 24) | (r_ << 16) | (g_ << 8) | b_
-            cache[
-                ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
-            ] = px
-
-    while len(pixels) < n_px:
-        g = r.read_symbol(green, "green")
-        if g < 256:
-            rr = r.read_symbol(red, "red")
-            bb = r.read_symbol(blue, "blue")
-            aa = r.read_symbol(alpha, "alpha")
-            px = (g, rr, bb, aa)
-            pixels.append(px)
-            insert(px)
-            n_lit += 1
-            sum_g += g
-            sum_r += rr
-            sum_b += bb
-        elif g >= 280:
-            if g - 280 >= cache_size:
-                raise ValueError(
-                    f"doc {doc_id}: cache symbol {g} without a "
-                    "large-enough color cache"
+        seen_types.add(ttype)
+        if ttype in (0, 1):  # predictor / color: tiled sub-image
+            size_bits = 2 + r.read(3)
+            tw = (coded_w + (1 << size_bits) - 1) >> size_bits
+            th = (height + (1 << size_bits) - 1) >> size_bits
+            tiles, _l, _b = _vp8l_read_argb_image(r, tw, th, False)
+            transforms.append((ttype, (size_bits, tw, tiles)))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, None))
+        else:  # color indexing (palette)
+            psize = r.read(8) + 1
+            deltas, _l, _b = _vp8l_read_argb_image(r, psize, 1, False)
+            palette = []
+            acc = 0
+            for d in deltas:
+                # component-wise accumulation mod 256
+                acc = (
+                    (((acc >> 24) + (d >> 24)) & 0xFF) << 24
+                    | (((acc >> 16) + (d >> 16)) & 0xFF) << 16
+                    | (((acc >> 8) + (d >> 8)) & 0xFF) << 8
+                    | ((acc + d) & 0xFF)
                 )
-            px = cache[g - 280]
-            if px == 0:
-                raise ValueError(
-                    f"doc {doc_id}: cache hit on an empty slot"
+                palette.append(acc)
+            if psize <= 2:
+                wb = 3
+            elif psize <= 4:
+                wb = 2
+            elif psize <= 16:
+                wb = 1
+            else:
+                wb = 0
+            coded_w = (width + (1 << wb) - 1) >> wb
+            transforms.append((3, (palette, wb)))
+    pixels, n_lit, n_back = _vp8l_read_argb_image(
+        r, coded_w, height, True
+    )
+    # inverse transforms, reverse read order
+    for ttype, tdata in reversed(transforms):
+        if ttype == 3:  # palette: unbundle then map
+            palette, wb = tdata
+            ppb = 1 << wb
+            mask = (1 << (8 >> wb)) - 1 if wb else 0xFF
+            bits = 8 >> wb
+            out = []
+            for y in range(height):
+                for x in range(width):
+                    bundled = pixels[y * coded_w + (x >> wb)]
+                    idx = ((bundled >> 8) >> (bits * (x % ppb))) & mask
+                    if idx >= len(palette):
+                        raise ValueError(
+                            f"doc {doc_id}: palette index {idx} past "
+                            f"the {len(palette)}-color table"
+                        )
+                    out.append(palette[idx])
+            pixels = out
+        elif ttype == 2:  # add green back into red and blue
+            pixels = [
+                (p & 0xFF000000)
+                | ((((p >> 16) + (p >> 8)) & 0xFF) << 16)
+                | (p & 0xFF00)
+                | ((p + (p >> 8)) & 0xFF)
+                for p in pixels
+            ]
+        elif ttype == 1:  # color transform inverse
+            size_bits, tw, tiles = tdata
+            out = []
+            for i, p in enumerate(pixels):
+                x, y = i % width, i // width
+                cte = tiles[(y >> size_bits) * tw + (x >> size_bits)]
+                g2r = cte & 0xFF           # blue channel
+                g2b = (cte >> 8) & 0xFF    # green channel
+                r2b = (cte >> 16) & 0xFF   # red channel
+                a, rr, gg, bb = _argb_split(p)
+                rr = (rr + _ct_delta(g2r, gg)) & 0xFF
+                bb = (bb + _ct_delta(g2b, gg) + _ct_delta(r2b, rr)) & 0xFF
+                out.append(_argb_join(a, rr, gg, bb))
+            pixels = out
+        else:  # predictor transform inverse (sequential raster scan)
+            size_bits, tw, tiles = tdata
+            out = []
+            for i, p in enumerate(pixels):
+                x, y = i % width, i // width
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = out[i - 1]  # top row: left
+                elif x == 0:
+                    pred = out[i - width]  # left column: top
+                else:
+                    mode = (
+                        tiles[(y >> size_bits) * tw + (x >> size_bits)]
+                        >> 8
+                    ) & 0xFF
+                    if mode > 13:
+                        raise ValueError(
+                            f"doc {doc_id}: predictor mode {mode} "
+                            "out of range"
+                        )
+                    # top-right of the rightmost column wraps to the
+                    # current row's first pixel (contiguous memory
+                    # addressing, as the spec defines)
+                    pred = _vp8l_predict(
+                        mode, out[i - 1], out[i - width],
+                        out[i - width - 1], out[i - width + 1],
+                    )
+                out.append(
+                    ((((p >> 24) + (pred >> 24)) & 0xFF) << 24)
+                    | ((((p >> 16) + (pred >> 16)) & 0xFF) << 16)
+                    | ((((p >> 8) + (pred >> 8)) & 0xFF) << 8)
+                    | ((p + pred) & 0xFF)
                 )
-            pixels.append(px)
-            n_lit += 1
-            sum_g += px[0]
-            sum_r += px[1]
-            sum_b += px[2]
-        elif g < 280:
-            length = _vp8l_prefix_value(r, g - 256)
-            dcode = _vp8l_prefix_value(
-                r, r.read_symbol(distance, "distance")
-            )
-            if dcode <= 120:
-                raise NotImplementedError(
-                    "VP8L plane-code neighbor map (distance codes "
-                    "<= 120) not implemented"
-                )
-            dist = dcode - 120
-            if dist > len(pixels):
-                raise ValueError(
-                    f"doc {doc_id}: backref distance {dist} before "
-                    "the image start"
-                )
-            if len(pixels) + length > n_px:
-                raise ValueError(
-                    f"doc {doc_id}: backref overruns the image"
-                )
-            for _ in range(length):
-                px = pixels[len(pixels) - dist]
-                pixels.append(px)
-                insert(px)
-                sum_g += px[0]
-                sum_r += px[1]
-                sum_b += px[2]
-                n_back += 1
-    if subtract_green:
-        # inverse transform: add green back into red and blue
-        sum_r = sum_b = 0
-        for g, rr, bb, _aa in pixels:
-            sum_r += (rr + g) & 0xFF
-            sum_b += (bb + g) & 0xFF
+            pixels = out
+    sum_g = sum_r = sum_b = 0
+    for p in pixels:
+        sum_r += (p >> 16) & 0xFF
+        sum_g += (p >> 8) & 0xFF
+        sum_b += p & 0xFF
     return width, height, n_lit, n_back, sum_g, sum_r, sum_b
 
 
@@ -6064,6 +6302,32 @@ def synthesize_webp(docs_df: DataFrame) -> DataFrame:
                     "kind": ["image"] * len(pdf),
                     "payload": [
                         make_webp_vp8l_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_webp_transform(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a lossless WebP exercising the
+    transform surface (``make_webp_vp8l_transform_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_webp_vp8l_transform_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_webp_vp8l_transform_bytes(int(d))
                         for d in pdf["doc_id"]
                     ],
                 }

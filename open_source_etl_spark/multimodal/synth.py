@@ -3778,6 +3778,353 @@ def make_webp_vp8l_bytes(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
+def _vp8l_flat_lengths(n: int) -> dict:
+    """A COMPLETE canonical code over symbols 0..n-1 using at most
+    two adjacent lengths (2^k - n symbols at k-1 bits, the rest at
+    k): trivially Kraft-exact, so any symbol stream encodes without
+    per-stream tree construction."""
+    k = (n - 1).bit_length()
+    if (1 << k) == n:
+        return {s: k for s in range(n)}
+    n_short = (1 << k) - n
+    return {s: (k - 1 if s < n_short else k) for s in range(n)}
+
+
+def _vp8l_put_flat_tree(w: "_LsbBitWriter", n: int) -> dict:
+    """Write the flat complete tree over alphabet n in NORMAL form
+    (code-length-code header + per-symbol lengths, closing the Kraft
+    budget exactly at the last symbol) and return the encoder map
+    symbol -> (code, nbits)."""
+    lengths = _vp8l_flat_lengths(n)
+    used = sorted(set(lengths.values()))
+    if len(used) == 1:
+        # a complete CL code needs two leaves; declare an unused one
+        cl_lengths = {used[0]: 1, 0: 1}
+    else:
+        cl_lengths = {used[0]: 1, used[1]: 1}
+    n_cl = max(VP8L_CL_ORDER.index(s) for s in cl_lengths) + 1
+    w.put(0, 1)               # normal (not simple) form
+    w.put(n_cl - 4, 4)
+    for s in VP8L_CL_ORDER[:n_cl]:
+        w.put(cl_lengths.get(s, 0), 3)
+    w.put(0, 1)               # no max_symbol shortcut
+    cl_codes = _canonical_codes_from_lengths(cl_lengths)
+    for s in range(n):
+        c, nb = cl_codes[lengths[s]]
+        w.put_code(c, nb)
+    return _canonical_codes_from_lengths(lengths)
+
+
+def _vp8l_split(p: int) -> tuple[int, int, int, int]:
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _vp8l_ct_delta(t: int, c: int) -> int:
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def webp_vp8l_t_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, backref_len, palette_size) for the transform
+    fixture."""
+    return (
+        8 + doc_id % 9, 6 + doc_id % 7, 3 + doc_id % 3,
+        2 + doc_id % 20,
+    )
+
+
+def webp_vp8l_t_pixel(doc_id: int, p: int) -> tuple[int, int, int]:
+    """FINAL-image (r, g, b) of pixel p on the non-palette strata
+    (alpha is 255 everywhere)."""
+    w_px, h_px, m, _ps = webp_vp8l_t_params(doc_id)
+    if doc_id % 3 == 2 and p >= w_px * h_px - m:
+        p -= w_px  # the plane-coded backref copies the row above
+    return (
+        (3 * doc_id + 2 * p) % 256,
+        (doc_id + p) % 256,
+        (5 * doc_id + p) % 256,
+    )
+
+
+def webp_vp8l_t_palette(doc_id: int, i: int) -> tuple[int, int, int]:
+    """Palette entry i's (r, g, b) on the palette stratum."""
+    return (
+        (doc_id + 7 * i) % 256,
+        (2 * doc_id + 9 * i) % 256,
+        (3 * doc_id + 5 * i) % 256,
+    )
+
+
+def make_webp_vp8l_transform_bytes(doc_id: int) -> bytes:
+    """A lossless WebP exercising the VP8L surface the basic fixture
+    leaves out, by stratum:
+      doc %% 3 == 0 — COLOR-INDEXING: a subtraction-coded palette of
+        2 + doc %% 20 entries with pixel BUNDLING (8/4/2/1 indices
+        per coded byte as the palette shrinks), indices
+        (doc + p) %% psize;
+      doc %% 3 == 1 — PREDICTOR transform (tile grid, mode
+        (doc + tx + 2*ty) %% 14), plus the COLOR transform on even
+        docs / SUBTRACT-GREEN on odd docs (read order = forward
+        application order), META-HUFFMAN tiles (2 groups,
+        checkerboard), and a declared-but-unhit color cache on
+        doc %% 5 == 2;
+      doc %% 3 == 2 — SUBTRACT-GREEN plus an LZ77 backref of
+        3 + doc %% 3 pixels through PLANE CODE 1 ((0,1): the row
+        above, distance = width).
+    Every entropy code is a flat two-length complete tree, so the
+    writer encodes arbitrary residuals; the decoder twin must invert
+    the full transform pipeline to reproduce the closed-form final
+    image."""
+    w_px, h_px, m, psize = webp_vp8l_t_params(doc_id)
+    n_px = w_px * h_px
+    stratum = doc_id % 3
+    w = _LsbBitWriter()
+    w.put(0x2F, 8)
+    w.put(w_px - 1, 14)
+    w.put(h_px - 1, 14)
+    w.put(0, 1)               # alpha hint
+    w.put(0, 3)               # version
+
+    def emit_plain_image(pixels: list, alphabet_g: int = 280) -> None:
+        """A sub-image (no meta, no cache): flat trees, all literals."""
+        w.put(0, 1)           # no color cache
+        g_codes = _vp8l_put_flat_tree(w, alphabet_g)
+        r_codes = _vp8l_put_flat_tree(w, 256)
+        b_codes = _vp8l_put_flat_tree(w, 256)
+        a_codes = _vp8l_put_flat_tree(w, 256)
+        _vp8l_put_flat_tree(w, 40)  # distance (unused)
+        for p in pixels:
+            aa, rr, gg, bb = _vp8l_split(p)
+            for codes, v in (
+                (g_codes, gg), (r_codes, rr), (b_codes, bb),
+                (a_codes, aa),
+            ):
+                c, nb = codes[v]
+                w.put_code(c, nb)
+
+    if stratum == 0:
+        # ---- palette stratum ----
+        if psize <= 2:
+            wb = 3
+        elif psize <= 4:
+            wb = 2
+        elif psize <= 16:
+            wb = 1
+        else:
+            wb = 0
+        ppb = 1 << wb
+        bits = 8 >> wb
+        coded_w = (w_px + ppb - 1) >> wb
+        w.put(1, 1)           # transform present
+        w.put(3, 2)           # color indexing
+        w.put(psize - 1, 8)
+        # subtraction-coded palette entries as an entropy image
+        deltas = []
+        prev = (0, 0, 0, 0)
+        for i in range(psize):
+            rr, gg, bb = webp_vp8l_t_palette(doc_id, i)
+            cur = (255, rr, gg, bb)
+            deltas.append(
+                ((cur[0] - prev[0]) % 256) << 24
+                | ((cur[1] - prev[1]) % 256) << 16
+                | ((cur[2] - prev[2]) % 256) << 8
+                | ((cur[3] - prev[3]) % 256)
+            )
+            prev = cur
+        emit_plain_image(deltas)
+        w.put(0, 1)           # end of transforms
+        # bundled coded image: indices packed into the green channel
+        coded = []
+        for y in range(h_px):
+            for cx in range(coded_w):
+                g = 0
+                for k in range(ppb):
+                    x = (cx << wb) + k
+                    if x < w_px:
+                        idx = (doc_id + y * w_px + x) % psize
+                        g |= idx << (bits * k)
+                coded.append((0 << 24) | (g << 8))
+        w.put(0, 1)           # no color cache
+        w.put(0, 1)           # no meta-huffman
+        g_codes = _vp8l_put_flat_tree(w, 280)
+        r_codes = _vp8l_put_flat_tree(w, 256)
+        b_codes = _vp8l_put_flat_tree(w, 256)
+        a_codes = _vp8l_put_flat_tree(w, 256)
+        _vp8l_put_flat_tree(w, 40)
+        for p in coded:
+            aa, rr, gg, bb = _vp8l_split(p)
+            for codes, v in (
+                (g_codes, gg), (r_codes, rr), (b_codes, bb),
+                (a_codes, aa),
+            ):
+                c, nb = codes[v]
+                w.put_code(c, nb)
+    else:
+        # ---- transform / backref strata: build the FINAL image ----
+        final = []
+        for p in range(n_px):
+            rr, gg, bb = webp_vp8l_t_pixel(doc_id, p)
+            final.append((255 << 24) | (rr << 16) | (gg << 8) | bb)
+        sub_green = stratum == 2 or doc_id % 2 == 1
+        color_tf = stratum == 1 and doc_id % 2 == 0
+        predictor = stratum == 1
+        img = list(final)
+        # forward pipeline in read order: SG, color, predictor
+        if sub_green:
+            w.put(1, 1)
+            w.put(2, 2)
+            img = [
+                (p & 0xFF00FF00)
+                | (((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) % 256)
+                   << 16)
+                | (((p & 0xFF) - ((p >> 8) & 0xFF)) % 256)
+                for p in img
+            ]
+        if color_tf:
+            cbits = 2 + (doc_id + 1) % 2
+            ctw = (w_px + (1 << cbits) - 1) >> cbits
+            cth = (h_px + (1 << cbits) - 1) >> cbits
+            ctes = []
+            for ty in range(cth):
+                for tx in range(ctw):
+                    g2r = ((doc_id + 3 * tx + ty) * 5) % 256
+                    g2b = ((2 * doc_id + tx) * 7) % 256
+                    r2b = ((doc_id + ty) * 11) % 256
+                    ctes.append(
+                        (255 << 24) | (r2b << 16) | (g2b << 8) | g2r
+                    )
+            w.put(1, 1)
+            w.put(1, 2)       # color transform
+            w.put(cbits - 2, 3)
+            emit_plain_image(ctes)
+            out = []
+            for i, p in enumerate(img):
+                x, y = i % w_px, i // w_px
+                cte = ctes[(y >> cbits) * ctw + (x >> cbits)]
+                g2r = cte & 0xFF
+                g2b = (cte >> 8) & 0xFF
+                r2b = (cte >> 16) & 0xFF
+                aa, rr, gg, bb = _vp8l_split(p)
+                new_r = (rr - _vp8l_ct_delta(g2r, gg)) % 256
+                new_b = (
+                    bb - _vp8l_ct_delta(g2b, gg)
+                    - _vp8l_ct_delta(r2b, rr)
+                ) % 256
+                out.append((aa << 24) | (new_r << 16) | (gg << 8) | new_b)
+            img = out
+        if predictor:
+            pbits = 2 + doc_id % 2
+            ptw = (w_px + (1 << pbits) - 1) >> pbits
+            pth = (h_px + (1 << pbits) - 1) >> pbits
+            modes = []
+            for ty in range(pth):
+                for tx in range(ptw):
+                    modes.append((doc_id + tx + 2 * ty) % 14)
+            w.put(1, 1)
+            w.put(0, 2)       # predictor transform
+            w.put(pbits - 2, 3)
+            emit_plain_image([
+                (255 << 24) | (mo << 8) for mo in modes
+            ])
+            from .decode import _vp8l_predict
+
+            out = []
+            for i, p in enumerate(img):
+                x, y = i % w_px, i // w_px
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = img[i - 1]
+                elif x == 0:
+                    pred = img[i - w_px]
+                else:
+                    pred = _vp8l_predict(
+                        modes[(y >> pbits) * ptw + (x >> pbits)],
+                        img[i - 1], img[i - w_px],
+                        img[i - w_px - 1], img[i - w_px + 1],
+                    )
+                out.append(
+                    ((((p >> 24) - (pred >> 24)) % 256) << 24)
+                    | ((((p >> 16) - (pred >> 16)) % 256) << 16)
+                    | ((((p >> 8) - (pred >> 8)) % 256) << 8)
+                    | ((p - pred) % 256)
+                )
+            img = out
+        w.put(0, 1)           # end of transforms
+        # color cache: declared but never hit on doc % 5 == 2
+        cache_bits = 4 if doc_id % 5 == 2 else 0
+        if cache_bits:
+            w.put(1, 1)
+            w.put(cache_bits, 4)
+        else:
+            w.put(0, 1)
+        alphabet_g = 280 + ((1 << cache_bits) if cache_bits else 0)
+        meta = stratum == 1
+        if meta:
+            w.put(1, 1)       # meta-huffman present
+            hb = 2
+            w.put(hb - 2, 3)
+            mw = (w_px + (1 << hb) - 1) >> hb
+            mh = (h_px + (1 << hb) - 1) >> hb
+            meta_px = [
+                (255 << 24) | (((tx + ty) % 2) << 8)
+                for ty in range(mh) for tx in range(mw)
+            ]
+            emit_plain_image(meta_px)
+            n_groups = 2
+        else:
+            w.put(0, 1)
+            hb = mw = 0
+            n_groups = 1
+        group_codes = []
+        for _ in range(n_groups):
+            group_codes.append((
+                _vp8l_put_flat_tree(w, alphabet_g),
+                _vp8l_put_flat_tree(w, 256),
+                _vp8l_put_flat_tree(w, 256),
+                _vp8l_put_flat_tree(w, 256),
+                _vp8l_put_flat_tree(w, 40),
+            ))
+        n_emit = n_px - (m if stratum == 2 else 0)
+        for i in range(n_emit):
+            if meta:
+                x, y = i % w_px, i // w_px
+                grp = group_codes[
+                    ((x >> hb) + (y >> hb)) % 2
+                ]
+            else:
+                grp = group_codes[0]
+            g_codes, r_codes, b_codes, a_codes, _d = grp
+            aa, rr, gg, bb = _vp8l_split(img[i])
+            for codes, v in (
+                (g_codes, gg), (r_codes, rr), (b_codes, bb),
+                (a_codes, aa),
+            ):
+                c, nb = codes[v]
+                w.put_code(c, nb)
+        if stratum == 2:
+            # backref: length m through plane code 1 ((0,1) = row
+            # above, distance = width)
+            len_prefix, len_extra, len_extra_n = _vp8l_prefix(m)
+            g_codes, _r, _b, _a, d_codes = group_codes[0]
+            c, nb = g_codes[256 + len_prefix]
+            w.put_code(c, nb)
+            w.put(len_extra, len_extra_n)
+            dist_prefix, dist_extra, dist_extra_n = _vp8l_prefix(1)
+            c, nb = d_codes[dist_prefix]
+            w.put_code(c, nb)
+            w.put(dist_extra, dist_extra_n)
+
+    payload = w.to_bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def make_webm_bytes(doc_id: int) -> bytes:
     """Real WebM (Matroska/EBML, RFC 8794 + the Matroska element set):
     an EBML header declaring DocType webm, then one Segment holding

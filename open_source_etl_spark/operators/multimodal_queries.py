@@ -2207,6 +2207,101 @@ def multimodal_webp_vp8l_decode(
 
 
 @query(
+    "multimodal_webp_vp8l_transform_decode",
+    # formulas mirror synth.webp_vp8l_t_*: stratum doc % 3 == 0 maps
+    # indices (doc+p) % psize through palette entries
+    # ((doc+7i) % 256, (2doc+9i) % 256, (3doc+5i) % 256) with the
+    # coded image BUNDLED to ceil(w/ppb) columns; other strata carry
+    # final pixels ((3doc+2p) % 256, (doc+p) % 256, (5doc+p) % 256),
+    # stratum 2 replacing the last m pixels with the row above (the
+    # plane-code-1 backref).  The transform pipeline (predictor
+    # modes, color-transform deltas, subtract-green) inverts exactly
+    # to those closed forms and so never appears in the oracle.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             6 + doc_id % 7 AS h,
+             3 + doc_id % 3 AS m,
+             2 + doc_id % 20 AS ps,
+             doc_id % 3 AS stratum,
+             CASE WHEN 2 + doc_id % 20 <= 2 THEN 8
+                  WHEN 2 + doc_id % 20 <= 4 THEN 4
+                  WHEN 2 + doc_id % 20 <= 16 THEN 2
+                  ELSE 1 END AS ppb
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             CASE WHEN stratum = 2 AND pp.p >= w * h - m
+                  THEN pp.p - w ELSE pp.p END AS q
+      FROM p, LATERAL (SELECT unnest(range(0, w * h)) AS p) pp
+      WHERE stratum != 0
+    ),
+    sums_np AS (
+      SELECT doc_id,
+             SUM((3 * doc_id + 2 * q) % 256) AS sr,
+             SUM((doc_id + q) % 256) AS sg,
+             SUM((5 * doc_id + q) % 256) AS sb
+      FROM px GROUP BY doc_id
+    ),
+    pal AS (
+      SELECT p.doc_id,
+             SUM((p.doc_id + 7 * ((p.doc_id + pp.p) % ps)) % 256)
+               AS sr,
+             SUM((2 * p.doc_id + 9 * ((p.doc_id + pp.p) % ps)) % 256)
+               AS sg,
+             SUM((3 * p.doc_id + 5 * ((p.doc_id + pp.p) % ps)) % 256)
+               AS sb
+      FROM p, LATERAL (SELECT unnest(range(0, w * h)) AS p) pp
+      WHERE stratum = 0
+      GROUP BY p.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN stratum = 0
+                     THEN ((w + ppb - 1) // ppb) * h
+                     WHEN stratum = 2 THEN w * h - m
+                     ELSE w * h END AS BIGINT) AS n_literals,
+           CAST(CASE WHEN stratum = 2 THEN m ELSE 0 END AS BIGINT)
+             AS n_backref,
+           CAST(COALESCE(s.sg, g.sg) AS BIGINT) AS sum_green,
+           CAST(COALESCE(s.sr, g.sr) AS BIGINT) AS sum_red,
+           CAST(COALESCE(s.sb, g.sb) AS BIGINT) AS sum_blue
+    FROM p LEFT JOIN sums_np s ON p.doc_id = s.doc_id
+           LEFT JOIN pal g ON p.doc_id = g.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_webp_vp8l_transform_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The VP8L TRANSFORM surface — what real lossless WebP encoders
+    actually emit (libwebp applies the predictor transform by
+    default): the PREDICTOR transform's 14 spatial modes over an
+    entropy-coded tile grid (black/left/top edge rules, the
+    rightmost-column top-right wraparound, the Select and
+    clamped-add-subtract predictors with C-truncation semantics);
+    the COLOR transform's per-tile int8 green_to_red / green_to_blue
+    / red_to_blue deltas inverse-applied in reconstructed-red order;
+    SUBTRACT-GREEN composed with both; COLOR-INDEXING with a
+    subtraction-coded palette and pixel BUNDLING (8/4/2/1 indices
+    per coded byte); META-HUFFMAN tile maps (a recursive
+    entropy-coded image selecting between huffman groups per 4x4
+    tile); and the <=120 PLANE-CODE neighbor map (distance code 1 =
+    the pixel one row up).  Transforms invert in reverse read order;
+    every entropy code is Kraft-enforced complete.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_webp, synthesize_webp_transform
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_webp(synthesize_webp_transform(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_h264_bframe_decode",
     # formulas mirror synth.make_h264_bframe_bytes: the affine IDR
     # plane V(idx) = B + 5*(idx//mbw) + 3*(idx%mbw), a P refreshing
