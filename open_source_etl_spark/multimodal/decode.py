@@ -9565,9 +9565,128 @@ def _h264_skip_mv(mbs: list, idx: int, mb_w: int) -> tuple[int, int]:
     return _h264_mvp(mbs, idx, mb_w)
 
 
+def _h264_pred_weight_table(
+    doc_id: int, r: "_H264BitReader", n_l0: int, n_l1: int = 0,
+) -> dict:
+    """pred_weight_table (ITU-T H.264 7.3.3.2), luma only (the
+    fixtures keep chroma_weight_lX_flag 0): log2 denominators and
+    per-reference (weight, offset) pairs, defaulting to the identity
+    (1 << denom, 0) when luma_weight_lX_flag is 0."""
+    luma_denom = r.ue()
+    if luma_denom > 7:
+        raise ValueError(
+            f"doc {doc_id}: luma_log2_weight_denom {luma_denom} > 7"
+        )
+    r.ue()  # chroma_log2_weight_denom (4:2:0 fixtures)
+
+    def read_list(n: int) -> list:
+        out = []
+        for _ in range(n):
+            if r.u(1):  # luma_weight_lX_flag
+                w_ = r.se()
+                o_ = r.se()
+                if not -128 <= w_ <= 127 or not -128 <= o_ <= 127:
+                    raise ValueError(
+                        f"doc {doc_id}: luma weight/offset out of "
+                        "the spec's [-128, 127]"
+                    )
+                out.append((w_, o_))
+            else:
+                out.append((1 << luma_denom, 0))
+            if r.u(1):  # chroma_weight_lX_flag
+                raise NotImplementedError(
+                    "chroma weighted prediction not implemented "
+                    "(luma-only fixtures)"
+                )
+        return out
+
+    return {
+        "denom": luma_denom,
+        "l0": read_list(n_l0),
+        "l1": read_list(n_l1),
+    }
+
+
+def h264_weight_uni(v: int, w: int, o: int, denom: int) -> int:
+    """8.4.2.3.2 explicit uni-directional weighted luma prediction."""
+    if denom >= 1:
+        v = ((v * w + (1 << (denom - 1))) >> denom) + o
+    else:
+        v = v * w + o
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def h264_weight_bi(
+    v0: int, v1: int, w0: int, o0: int, w1: int, o1: int, denom: int
+) -> int:
+    """8.4.2.3.2 explicit bi-directional weighted luma prediction."""
+    v = ((v0 * w0 + v1 * w1 + (1 << denom)) >> (denom + 1)) + (
+        (o0 + o1 + 1) >> 1
+    )
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _h264_direct_spatial(
+    mbs_l0: list, mbs_l1: list, idx: int, mb_w: int,
+    col: "tuple | None",
+) -> tuple:
+    """Spatial direct luma motion inference (ITU-T H.264 8.4.1.2.2)
+    for B_Skip / B_Direct_16x16: per list, refIdxLX is the
+    MinPositive of neighbors A/B/C's refIdxLX (C falling back to D
+    as in 8.4.1.3.2); both lists empty means the zero-prediction
+    case (refIdx 0 both, zero MVs); otherwise each used list takes
+    the 8.4.1.3 median predictor, zeroed when colZeroFlag holds (the
+    co-located macroblock of L1[0] is short-term inter with ref 0
+    and |mv| <= 1 quarter-pel) and refIdxLX is 0.  ``col`` is
+    (short_term, motion_list) or None when no co-located state
+    exists.  Returns ((refIdxL0, mvL0), (refIdxL1, mvL1)) with
+    refIdx -1 marking an unused list."""
+    row, c0 = idx // mb_w, idx % mb_w
+
+    def neighbor(mbs: list, dr: int, dc: int):
+        r2, c2 = row + dr, c0 + dc
+        if r2 < 0 or c2 < 0 or c2 >= mb_w:
+            return None
+        j = r2 * mb_w + c2
+        if j >= idx or mbs[j] is None:
+            return None
+        return mbs[j]
+
+    def min_positive(mbs: list) -> int:
+        refs = []
+        for dr, dc in ((0, -1), (-1, 0), (-1, 1)):
+            nb = neighbor(mbs, dr, dc)
+            if nb is None and (dr, dc) == (-1, 1):
+                nb = neighbor(mbs, -1, -1)  # D substitutes for C
+            refs.append(nb[0] if nb is not None else -1)
+        pos = [x for x in refs if x >= 0]
+        return min(pos) if pos else -1
+
+    ref0 = min_positive(mbs_l0)
+    ref1 = min_positive(mbs_l1)
+    if ref0 < 0 and ref1 < 0:
+        return (0, (0, 0)), (0, (0, 0))
+    col_zero = False
+    if col is not None:
+        short_term, motion = col
+        cref, (cx, cy) = motion[idx]
+        col_zero = (
+            short_term and cref == 0 and abs(cx) <= 1 and abs(cy) <= 1
+        )
+    out = []
+    for ref, mbs in ((ref0, mbs_l0), (ref1, mbs_l1)):
+        if ref < 0:
+            out.append((-1, (0, 0)))
+        elif col_zero and ref == 0:
+            out.append((ref, (0, 0)))
+        else:
+            out.append((ref, _h264_mvp(mbs, idx, mb_w, ref)))
+    return out[0], out[1]
+
+
 def _parse_p_inter_slice(
     doc_id: int, rbsp: bytes, frame_num_bits: int, mb_w: int, mb_h: int,
-    poc_bits: int = 0,
+    poc_bits: int = 0, weighted: bool = False,
 ) -> tuple[int, list]:
     """Decode one P slice carrying REAL motion (ITU-T H.264 7.3.3 +
     7.3.4 + 7.3.5): P_Skip runs whose per-macroblock motion is
@@ -9578,11 +9697,14 @@ def _parse_p_inter_slice(
     residual tables and raises), and I_PCM refreshes (mb_type 30).
     Sub-16x16 partitions (mb_types 1-4) would need pixel-plane
     interpolation state and raise at the declared boundary.  Returns
-    (frame_num, n_active_refs, ref_list_mods, ops) where ops[i] is
+    (frame_num, poc, n_active_refs, ref_list_mods, ops, weights)
+    where poc is
+    the raw pic_order_cnt_lsb (None unless ``poc_bits``), ops[i] is
     ('inter', (mvx, mvy), ref_idx) / ('skip', (mvx, mvy)) in
     quarter-pel units, or ('pcm', luma_sum); ref_list_mods is the
     parsed ref_pic_list_modification ops [(idc, abs_diff_pic_num)]
-    in stream order."""
+    in stream order; weights is the parsed pred_weight_table (None
+    unless ``weighted`` — PPS weighted_pred_flag — is set)."""
     n_mbs = mb_w * mb_h
     r = _H264BitReader(rbsp, doc_id)
     if r.ue() != 0:
@@ -9621,6 +9743,9 @@ def _parse_p_inter_slice(
                 raise ValueError(
                     f"doc {doc_id}: runaway modification list"
                 )
+    weights = (
+        _h264_pred_weight_table(doc_id, r, active) if weighted else None
+    )
     if r.u(1):
         raise NotImplementedError("adaptive reference marking not implemented")
     qp_delta = r.se()
@@ -9691,7 +9816,7 @@ def _parse_p_inter_slice(
             raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
     if r.pos != 8 * len(rbsp):
         raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
-    return frame_num, poc, active, mods, ops
+    return frame_num, poc, active, mods, ops, weights
 
 
 H264_INTER_SCHEMA = (
@@ -9757,7 +9882,7 @@ def decode_h264_inter(media_df: DataFrame) -> DataFrame:
                         )
                     mb_w = sps["width"] // 16
                     mb_h = sps["height"] // 16
-                    frame_num, _poc, active, mods, ops = (
+                    frame_num, _poc, active, mods, ops, _wt = (
                         _parse_p_inter_slice(
                             doc_id, rbsp, sps["frame_num_bits"],
                             mb_w, mb_h,
@@ -9769,10 +9894,11 @@ def decode_h264_inter(media_df: DataFrame) -> DataFrame:
                             "multiref walker (this one holds a single "
                             "reference picture)"
                         )
-                    if frame_num != expect_frame % 16:
+                    fn_wrap = 1 << sps["frame_num_bits"]
+                    if frame_num != expect_frame % fn_wrap:
                         raise ValueError(
                             f"doc {doc_id}: frame_num {frame_num} != "
-                            f"expected {expect_frame % 16}"
+                            f"expected {expect_frame % fn_wrap}"
                         )
                     expect_frame += 1
                     new = [0] * len(ops)
@@ -9836,15 +9962,22 @@ def decode_h264_inter(media_df: DataFrame) -> DataFrame:
 
 def _parse_b_slice(
     doc_id: int, rbsp: bytes, frame_num_bits: int, poc_bits: int,
-    mb_w: int, mb_h: int,
-) -> tuple[int, int, list]:
-    """Decode one B slice (ITU-T H.264 7.3.3/7.3.5) restricted to
-    explicit 16x16 predictions: B_L0_16x16 (mb_type 1), B_L1_16x16
-    (2), and B_Bi_16x16 (3) with se(v) MV differences per used list
-    and coded_block_pattern 0.  Direct modes (B_Skip / B_Direct,
-    which need co-located MV inference), partitions, and residuals
-    raise declared boundaries.  Returns (frame_num, poc, ops) with
-    ops[i] = (kind 'l0'/'l1'/'bi', mv_l0, mv_l1)."""
+    mb_w: int, mb_h: int, weighted: bool = False, get_col=None,
+) -> tuple[int, int, list, "dict | None"]:
+    """Decode one B slice (ITU-T H.264 7.3.3/7.3.5): explicit 16x16
+    predictions — B_L0_16x16 (mb_type 1), B_L1_16x16 (2), B_Bi_16x16
+    (3) with se(v) MV differences per used list — plus B_Skip (via
+    mb_skip_run) and B_Direct_16x16 (mb_type 0), both inferred by
+    SPATIAL direct prediction (8.4.1.2.2: per-list MinPositive
+    refIdx over neighbors, the zero-prediction case, and colZeroFlag
+    against L1[0]'s co-located motion via ``get_col(poc)``).
+    Temporal direct (direct_spatial_mv_pred_flag 0 with skip/direct
+    macroblocks), partitions, and residuals raise declared
+    boundaries.  When ``weighted`` (PPS weighted_bipred_idc 1) the
+    pred_weight_table parses into the returned weights dict.
+    Returns (frame_num, poc, ops, weights) with ops[i] =
+    (kind 'l0'/'l1'/'bi'/'skip'/'direct', mv_l0 | None, mv_l1 |
+    None) — for skip/direct a None marks the list unused."""
     n_mbs = mb_w * mb_h
     r = _H264BitReader(rbsp, doc_id)
     if r.ue() != 0:
@@ -9854,11 +9987,7 @@ def _parse_b_slice(
     r.ue()  # pic_parameter_set_id
     frame_num = r.u(frame_num_bits)
     poc = r.u(poc_bits)
-    if r.u(1):
-        raise NotImplementedError(
-            "spatial/temporal DIRECT prediction (co-located MV "
-            "inference) not implemented"
-        )
+    direct_spatial = r.u(1)
     if r.u(1):  # num_ref_idx_active_override_flag
         if r.ue() or r.ue():
             raise NotImplementedError(
@@ -9870,27 +9999,69 @@ def _parse_b_slice(
             raise NotImplementedError(
                 "B-list modification not implemented"
             )
+    weights = (
+        _h264_pred_weight_table(doc_id, r, 1, 1) if weighted else None
+    )
     # nal_ref_idc 0: no dec_ref_pic_marking
     qp_delta = r.se()
     if not -52 < qp_delta < 52:
         raise ValueError(f"doc {doc_id}: slice_qp_delta out of range")
+    col = get_col(poc) if get_col is not None else None
     # per-list MB state for the 8.4.1.3 predictors: (ref, mv) with
     # ref -1 when the macroblock does not use that list
     mbs_l0: list = [None] * n_mbs
     mbs_l1: list = [None] * n_mbs
     ops: list = [None] * n_mbs
     decoded = 0
+
+    def infer_direct(idx: int) -> tuple:
+        if not direct_spatial:
+            raise NotImplementedError(
+                "temporal direct prediction (co-located MV scaling) "
+                "not implemented — spatial direct only"
+            )
+        (ref0, mv0), (ref1, mv1) = _h264_direct_spatial(
+            mbs_l0, mbs_l1, idx, mb_w, col
+        )
+        mbs_l0[idx] = (ref0, mv0) if ref0 >= 0 else (-1, (0, 0))
+        mbs_l1[idx] = (ref1, mv1) if ref1 >= 0 else (-1, (0, 0))
+        if ref0 > 0 or ref1 > 0:
+            raise ValueError(
+                f"doc {doc_id}: direct refIdx past the single-entry "
+                "lists"
+            )
+        return (
+            mv0 if ref0 >= 0 else None,
+            mv1 if ref1 >= 0 else None,
+        )
+
     while decoded < n_mbs:
         skip_run = r.ue()
-        if skip_run:
-            raise NotImplementedError(
-                "B_Skip macroblocks (direct inference) not implemented"
+        if skip_run > n_mbs - decoded:
+            raise ValueError(
+                f"doc {doc_id}: mb_skip_run exceeds the B picture"
             )
+        for _ in range(skip_run):
+            mv0, mv1 = infer_direct(decoded)
+            ops[decoded] = ("skip", mv0, mv1)
+            decoded += 1
+        if decoded == n_mbs:
+            break
         mb_type = r.ue()
+        if mb_type == 0:  # B_Direct_16x16
+            mv0, mv1 = infer_direct(decoded)
+            if r.ue() != 0:
+                raise NotImplementedError(
+                    "nonzero coded_block_pattern carries CAVLC "
+                    "residual blocks (declared stub)"
+                )
+            ops[decoded] = ("direct", mv0, mv1)
+            decoded += 1
+            continue
         if mb_type not in (1, 2, 3):
             raise NotImplementedError(
-                f"B mb_type {mb_type} not implemented (explicit "
-                "16x16 L0/L1/Bi only)"
+                f"B mb_type {mb_type} not implemented (direct and "
+                "explicit 16x16 L0/L1/Bi only)"
             )
         mv_l0 = mv_l1 = None
         if mb_type in (1, 3):
@@ -9921,7 +10092,7 @@ def _parse_b_slice(
             raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
     if r.pos != 8 * len(rbsp):
         raise ValueError(f"doc {doc_id}: trailing bytes after B slice")
-    return frame_num, poc, ops
+    return frame_num, poc, ops, weights
 
 
 H264_BFRAME_SCHEMA = (
@@ -9995,7 +10166,7 @@ def decode_h264_bframe(media_df: DataFrame) -> DataFrame:
                     rr.ue()
                     stype = rr.ue() % 5
                     if stype == 0:  # P: single-ref copy/refresh layer
-                        _fn, poc, active, mods, ops = (
+                        _fn, poc, active, mods, ops, _wt = (
                             _parse_p_inter_slice(
                                 doc_id, rbsp, sps["frame_num_bits"],
                                 mb_w, mb_h, sps["poc_lsb_bits"],
@@ -10031,7 +10202,7 @@ def decode_h264_bframe(media_df: DataFrame) -> DataFrame:
                                 "reference B pictures (marking in B "
                                 "slice headers) not implemented"
                             )
-                        frame_num, poc, ops = _parse_b_slice(
+                        frame_num, poc, ops, _wt = _parse_b_slice(
                             doc_id, rbsp, sps["frame_num_bits"],
                             sps["poc_lsb_bits"], mb_w, mb_h,
                         )
@@ -10092,6 +10263,252 @@ def decode_h264_bframe(media_df: DataFrame) -> DataFrame:
 
     return media_df.select("doc_id", "payload").mapInPandas(
         kernel, H264_BFRAME_SCHEMA
+    )
+
+
+H264_WEIGHTED_SCHEMA = (
+    "doc_id long, frame_idx long, frame_type string, sum_luma long, "
+    "n_skip long, n_direct long, n_explicit long"
+)
+
+
+def decode_h264_weighted(media_df: DataFrame) -> DataFrame:
+    """EXPLICIT WEIGHTED PREDICTION + SPATIAL DIRECT H.264 decode:
+    the PPS raises weighted_pred_flag / weighted_bipred_idc 1, so
+    every P and B slice carries a pred_weight_table (7.3.3.2 — both
+    the luma_weight_flag-0 identity default and real (denom, weight,
+    offset) triplets) and every inter prediction routes through
+    8.4.2.3.2 — uni ((v*w + 2^(d-1)) >> d) + o on P macroblocks
+    INCLUDING P_Skip, bi ((v0*w0 + v1*w1 + 2^d) >> (d+1)) +
+    ((o0+o1+1) >> 1) on the B — with Clip1 at both ends.  The B
+    picture's macroblocks are B_Skip / B_Direct_16x16 / B_Bi_16x16,
+    the first two inferred by SPATIAL DIRECT prediction (8.4.1.2.2:
+    MinPositive refIdx over neighbors, the zero-prediction case on
+    the neighborless first macroblock, colZeroFlag against L1[0]'s
+    co-located motion — intra co-located macroblocks leave it 0).
+    Emits per picture: frame type, exact luma value sum, and
+    skip/direct/explicit macroblock counts."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            sps = pps = None
+            rows = []
+            # reference pictures: (poc, per-MB luma values, motion)
+            refs: list = []
+            expect_fn = 1
+            for unit in h264_split_nals(doc_id, raw):
+                nal_type = unit[0] & 0x1F
+                nal_ref = (unit[0] >> 5) & 3
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    n_mbs = (sps["width"] // 16) * (sps["height"] // 16)
+                    _pid, first_mb, mb_sums = _parse_ipcm_slice(
+                        doc_id, rbsp, sps["frame_num_bits"], n_mbs,
+                        sps["poc_lsb_bits"],
+                    )
+                    if first_mb != 0 or len(mb_sums) != n_mbs:
+                        raise ValueError(
+                            f"doc {doc_id}: partial IDR"
+                        )
+                    vals = [v // 256 for v in mb_sums]
+                    refs = [(0, vals, [(-1, (0, 0))] * n_mbs)]
+                    expect_fn = 1
+                    rows.append(("I", sum(vals), 0, 0, 0))
+                elif nal_type == 1:
+                    if not refs or sps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: inter slice with no "
+                            "reference"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    n_mbs = mb_w * mb_h
+                    rr = _H264BitReader(rbsp, doc_id)
+                    rr.ue()
+                    stype = rr.ue() % 5
+                    fn_wrap = 1 << sps["frame_num_bits"]
+                    if stype == 0:  # weighted P
+                        fn, poc, active, mods, ops, wt = (
+                            _parse_p_inter_slice(
+                                doc_id, rbsp, sps["frame_num_bits"],
+                                mb_w, mb_h, sps["poc_lsb_bits"],
+                                weighted=True,
+                            )
+                        )
+                        if active != 1 or mods:
+                            raise NotImplementedError(
+                                "multi-ref weighted P not implemented"
+                            )
+                        if fn != expect_fn % fn_wrap:
+                            raise ValueError(
+                                f"doc {doc_id}: frame_num {fn} != "
+                                f"{expect_fn % fn_wrap}"
+                            )
+                        w0, o0 = wt["l0"][0]
+                        d = wt["denom"]
+                        src = refs[-1][1]  # L0[0]: newest reference
+                        vals = [0] * n_mbs
+                        motion = [None] * n_mbs
+                        n_skip = n_exp = 0
+                        for idx, op in enumerate(ops):
+                            if op[0] == "pcm":
+                                vals[idx] = op[1] // 256
+                                motion[idx] = (-1, (0, 0))
+                                continue
+                            mvx, mvy = op[1]
+                            if mvx or mvy:
+                                raise NotImplementedError(
+                                    "moving weighted macroblocks "
+                                    "not implemented"
+                                )
+                            vals[idx] = h264_weight_uni(
+                                src[idx], w0, o0, d
+                            )
+                            motion[idx] = (0, (0, 0))
+                            if op[0] == "skip":
+                                n_skip += 1
+                            else:
+                                n_exp += 1
+                        if nal_ref:
+                            refs.append((poc, vals, motion))
+                            expect_fn += 1
+                        rows.append(
+                            ("P", sum(vals), n_skip, 0, n_exp)
+                        )
+                    else:  # weighted B with spatial direct
+                        if nal_ref:
+                            raise NotImplementedError(
+                                "reference B pictures not implemented"
+                            )
+
+                        def get_col(poc: int):
+                            future = [
+                                t for t in refs if t[0] > poc
+                            ]
+                            if not future:
+                                return None
+                            col = min(future, key=lambda t: t[0])
+                            return True, col[2]  # short-term
+
+                        fn, poc, ops, wt = _parse_b_slice(
+                            doc_id, rbsp, sps["frame_num_bits"],
+                            sps["poc_lsb_bits"], mb_w, mb_h,
+                            weighted=True, get_col=get_col,
+                        )
+                        if fn != expect_fn % fn_wrap:
+                            raise ValueError(
+                                f"doc {doc_id}: B frame_num {fn} != "
+                                f"{expect_fn % fn_wrap}"
+                            )
+                        past = [t for t in refs if t[0] < poc]
+                        future = [t for t in refs if t[0] > poc]
+                        if not past or not future:
+                            raise ValueError(
+                                f"doc {doc_id}: B lacks a reference "
+                                "on each side"
+                            )
+                        l0 = max(past, key=lambda t: t[0])[1]
+                        l1 = min(future, key=lambda t: t[0])[1]
+                        wl0, ol0 = wt["l0"][0]
+                        wl1, ol1 = wt["l1"][0]
+                        d = wt["denom"]
+                        vals = [0] * n_mbs
+                        n_skip = n_direct = n_exp = 0
+                        for idx, (kind, mv0, mv1) in enumerate(ops):
+                            for mv in (mv0, mv1):
+                                if mv and (mv[0] or mv[1]):
+                                    raise NotImplementedError(
+                                        "moving weighted B "
+                                        "macroblocks not implemented"
+                                    )
+                            if mv0 is not None and mv1 is not None:
+                                vals[idx] = h264_weight_bi(
+                                    l0[idx], l1[idx],
+                                    wl0, ol0, wl1, ol1, d,
+                                )
+                            elif mv0 is not None:
+                                vals[idx] = h264_weight_uni(
+                                    l0[idx], wl0, ol0, d
+                                )
+                            elif mv1 is not None:
+                                vals[idx] = h264_weight_uni(
+                                    l1[idx], wl1, ol1, d
+                                )
+                            else:
+                                raise ValueError(
+                                    f"doc {doc_id}: B macroblock "
+                                    "uses no list"
+                                )
+                            if kind == "skip":
+                                n_skip += 1
+                            elif kind == "direct":
+                                n_direct += 1
+                            else:
+                                n_exp += 1
+                        rows.append(
+                            ("B", sum(vals), n_skip, n_direct, n_exp)
+                        )
+                elif nal_type not in (7, 8):
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected NAL type {nal_type}"
+                    )
+            if len(rows) < 4:
+                raise ValueError(
+                    f"doc {doc_id}: incomplete weighted GOP"
+                )
+            return rows
+
+        cols = (
+            "doc_id", "frame_idx", "frame_type", "sum_luma",
+            "n_skip", "n_direct", "n_explicit",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, row in enumerate(walk(int(doc_id), bytes(b))):
+                    vals = (int(doc_id), fi, *row)
+                    for col, v in zip(cols, vals):
+                        out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, H264_WEIGHTED_SCHEMA
+    )
+
+
+def synthesize_h264_weighted(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying the weighted/direct GOP
+    (``make_h264_weighted_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_weighted_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_weighted_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
     )
 
 
@@ -10181,16 +10598,17 @@ def decode_h264_multiref(media_df: DataFrame) -> DataFrame:
                         )
                     mb_w = sps["width"] // 16
                     mb_h = sps["height"] // 16
-                    frame_num, _poc, active, mods, ops = (
+                    frame_num, _poc, active, mods, ops, _wt = (
                         _parse_p_inter_slice(
                             doc_id, rbsp, sps["frame_num_bits"],
                             mb_w, mb_h,
                         )
                     )
-                    if frame_num != expect_frame % 16:
+                    fn_wrap = 1 << sps["frame_num_bits"]
+                    if frame_num != expect_frame % fn_wrap:
                         raise ValueError(
                             f"doc {doc_id}: frame_num {frame_num} != "
-                            f"expected {expect_frame % 16}"
+                            f"expected {expect_frame % fn_wrap}"
                         )
                     if active > len(dpb):
                         raise ValueError(

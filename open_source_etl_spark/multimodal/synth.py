@@ -2012,6 +2012,212 @@ def make_h264_multiref_bytes(doc_id: int) -> bytes:
     return b"".join(units)
 
 
+def h264_weighted_fields(doc_id: int) -> dict:
+    """Closed-form weight-table fields of the weighted/direct
+    fixture: P2's uni-directional (denom, weight, offset) and the
+    B's per-list pairs."""
+    return {
+        "d2": doc_id % 3,
+        "w2": 1 + doc_id % 5,
+        "o2": doc_id % 11 - 5,
+        "db": doc_id % 2,
+        "wl0": 1 + doc_id % 3,
+        "ol0": doc_id % 7 - 3,
+        "wl1": 1 + (doc_id + 1) % 3,
+        "ol1": (doc_id + 2) % 7 - 3,
+    }
+
+
+def h264_weighted_pps_rbsp(doc_id: int) -> bytes:
+    """PPS with weighted_pred_flag 1 (P slices carry
+    pred_weight_table) and weighted_bipred_idc 1 (explicit B
+    weights)."""
+    w = _H264BitWriter()
+    w.ue(0)    # pic_parameter_set_id
+    w.ue(0)    # seq_parameter_set_id
+    w.u(0, 1)  # entropy_coding_mode_flag: CAVLC
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)    # num_slice_groups_minus1
+    w.ue(0)    # num_ref_idx_l0_default_active_minus1
+    w.ue(0)    # num_ref_idx_l1_default_active_minus1
+    w.u(1, 1)  # weighted_pred_flag: EXPLICIT P weights
+    w.u(1, 2)  # weighted_bipred_idc: EXPLICIT B weights
+    w.se(h264_pic_init_qp(doc_id) - 26)
+    w.se(0)
+    w.se(0)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    return w.rbsp_trailing()
+
+
+def make_h264_weighted_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream exercising EXPLICIT WEIGHTED PREDICTION
+    (ITU-T H.264 7.3.3.2 + 8.4.2.3.2) and SPATIAL DIRECT B modes
+    (8.4.1.2.2).  Decode order IDR(poc 0) -> P1(poc 4, identity
+    weight table via luma_weight_flag 0, PCM refreshes at MBs 0/1 +
+    skips) -> P2(poc 8, REAL uni weights (d2, w2, o2): skip-run then
+    explicit zero-MV P_L0 macroblocks, ALL weighted — including the
+    skips) -> B(poc 2, non-reference, direct_spatial_mv_pred_flag 1,
+    per-list weights): macroblocks cycle B_Skip / B_Direct_16x16 /
+    B_Bi_16x16 by (doc + idx) %% 3, every one resolving to
+    BI-prediction (explicit-bi neighbors force MinPositive refIdx
+    0/0; the first macroblock hits the zero-prediction case), so
+    each value is the 8.4.2.3.2 explicit bi formula over the IDR
+    (L0, nearest past by POC) and P1 (L1, nearest future —
+    co-located picture for colZeroFlag)."""
+    mb_w, mb_h, _ca = h264_inter_params(doc_id)
+    n_mbs = mb_w * mb_h
+    base = h264_inter_base(doc_id)
+    f = h264_weighted_fields(doc_id)
+    units = [
+        _h264_nal(
+            3, 7,
+            _h264_sps_from_fields(
+                66, 10, mb_w - 1, mb_h - 1, max_ref=3, poc_type=0
+            ),
+            0,
+        ),
+        _h264_nal(3, 8, h264_weighted_pps_rbsp(doc_id), 1),
+    ]
+
+    # IDR (poc 0): the affine plane
+    w = _H264BitWriter()
+    w.ue(0)
+    w.ue(7)
+    w.ue(0)
+    w.u(0, 4)      # frame_num
+    w.ue(0)        # idr_pic_id
+    w.u(0, 4)      # pic_order_cnt_lsb
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(25)
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    parts = [w.to_bytes()]
+    lumas = [base + 5 * r + 3 * c for r in range(mb_h) for c in range(mb_w)]
+    for m, luma in enumerate(lumas):
+        if m:
+            parts.append(b"\x0d\x00")
+        parts.append(bytes([luma]) * 256 + bytes([128]) * 128)
+    parts.append(b"\x80")
+    units.append(_h264_nal(3, 5, b"".join(parts), 2))
+
+    # P1 (reference, poc 4): identity weight table (flag-0 default
+    # path), PCM refreshes at 0/1, the rest skip
+    w = _H264BitWriter()
+    w.ue(0)
+    w.ue(5)
+    w.ue(0)
+    w.u(1, 4)                # frame_num
+    w.u(4, 4)                # poc lsb
+    w.u(0, 1)                # num_ref_idx_active_override_flag
+    w.u(0, 1)                # ref_pic_list_modification_flag_l0
+    w.ue(0)                  # luma_log2_weight_denom
+    w.ue(0)                  # chroma_log2_weight_denom
+    w.u(0, 1)                # luma_weight_l0_flag: identity default
+    w.u(0, 1)                # chroma_weight_l0_flag
+    w.u(0, 1)                # adaptive_ref_pic_marking_mode_flag
+    w.se(0)
+    w.ue(0)                  # skip run 0
+    w.ue(30)                 # I_PCM
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    parts = [w.to_bytes()]
+    parts.append(
+        bytes([h264_multiref_w(doc_id, 0)]) * 256 + bytes([128]) * 128
+    )
+    w2 = _H264BitWriter()
+    w2.ue(0)
+    w2.ue(30)
+    while len(w2.bits) % 8:
+        w2.bits.append(0)
+    parts.append(w2.to_bytes())
+    parts.append(
+        bytes([h264_multiref_w(doc_id, 1)]) * 256 + bytes([128]) * 128
+    )
+    w3 = _H264BitWriter()
+    w3.ue(n_mbs - 2)         # skip the rest
+    parts.append(w3.rbsp_trailing())
+    units.append(_h264_nal(2, 1, b"".join(parts), 3))
+
+    # P2 (reference, poc 8): REAL uni weights over P1; a skip run of
+    # doc % 3 then explicit zero-MV P_L0_16x16 macroblocks
+    s = doc_id % 3
+    w = _H264BitWriter()
+    w.ue(0)
+    w.ue(5)
+    w.ue(0)
+    w.u(2, 4)                # frame_num
+    w.u(8, 4)                # poc lsb
+    w.u(0, 1)
+    w.u(0, 1)
+    w.ue(f["d2"])            # luma_log2_weight_denom
+    w.ue(0)
+    w.u(1, 1)                # luma_weight_l0_flag
+    w.se(f["w2"])
+    w.se(f["o2"])
+    w.u(0, 1)                # chroma_weight_l0_flag
+    w.u(0, 1)                # adaptive marking
+    w.se(0)
+    w.ue(s)                  # leading skip run
+    for _ in range(n_mbs - s):
+        w.ue(0)              # mb_type P_L0_16x16
+        w.se(0)              # mvd x
+        w.se(0)              # mvd y
+        w.ue(0)              # coded_block_pattern
+        if _ < n_mbs - s - 1:
+            w.ue(0)          # next mb_skip_run
+    units.append(_h264_nal(2, 1, w.rbsp_trailing(), 4))
+
+    # B (non-reference, poc 2): spatial direct + per-list weights
+    w = _H264BitWriter()
+    w.ue(0)
+    w.ue(6)                  # slice_type B
+    w.ue(0)
+    w.u(3, 4)                # frame_num
+    w.u(2, 4)                # poc lsb
+    w.u(1, 1)                # direct_spatial_mv_pred_flag
+    w.u(0, 1)                # num_ref_idx_active_override_flag
+    w.u(0, 1)                # ref_pic_list_modification_flag_l0
+    w.u(0, 1)                # ref_pic_list_modification_flag_l1
+    w.ue(f["db"])            # luma_log2_weight_denom
+    w.ue(0)
+    w.u(1, 1)                # luma_weight_l0_flag
+    w.se(f["wl0"])
+    w.se(f["ol0"])
+    w.u(0, 1)
+    w.u(1, 1)                # luma_weight_l1_flag
+    w.se(f["wl1"])
+    w.se(f["ol1"])
+    w.u(0, 1)
+    w.se(0)                  # slice_qp_delta (non-ref: no marking)
+    idx = 0
+    while idx < n_mbs:
+        run = 0
+        while idx < n_mbs and (doc_id + idx) % 3 == 0:
+            run += 1
+            idx += 1
+        w.ue(run)            # mb_skip_run (B_Skip)
+        if idx == n_mbs:
+            break
+        kind = (doc_id + idx) % 3
+        if kind == 1:        # B_Direct_16x16
+            w.ue(0)
+            w.ue(0)          # coded_block_pattern
+        else:                # B_Bi_16x16
+            w.ue(3)
+            w.se(0)
+            w.se(0)
+            w.se(0)
+            w.se(0)
+            w.ue(0)
+        idx += 1
+    units.append(_h264_nal(0, 1, w.rbsp_trailing(), 5))
+    return b"".join(units)
+
+
 def make_h264_bframe_bytes(doc_id: int) -> bytes:
     """H.264 Annex-B stream with a REAL B picture (ITU-T H.264
     8.4.2): POC type 0, decode order IDR(poc 0) -> P(poc 4,

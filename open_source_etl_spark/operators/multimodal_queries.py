@@ -2302,6 +2302,116 @@ def multimodal_webp_vp8l_transform_decode(
 
 
 @query(
+    "multimodal_h264_weighted_decode",
+    # formulas mirror synth.make_h264_weighted_bytes /
+    # h264_weighted_fields: the affine IDR plane, P1 with identity
+    # weights and PCM refreshes W0/W1, P2 = the 8.4.2.3.2 uni formula
+    # over P1 with (d2, w2, o2), and the B = the bi formula over
+    # (IDR, P1) with (db, wl0/ol0, wl1/ol1) — every B macroblock
+    # resolves to bi-prediction by construction (spatial direct
+    # MinPositive over bi neighbors; zero-prediction on MB 0).
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             4 + doc_id % 2 AS mbw,
+             3 + doc_id % 2 AS mbh,
+             30 + (doc_id * 7) % 90 AS b,
+             12 + (doc_id * 17) % 180 AS w0,
+             12 + (doc_id * 17 + 29) % 180 AS w1,
+             doc_id % 3 AS d2,
+             1 + doc_id % 5 AS w2,
+             doc_id % 11 - 5 AS o2,
+             doc_id % 2 AS db,
+             1 + doc_id % 3 AS wl0,
+             doc_id % 7 - 3 AS ol0,
+             1 + (doc_id + 1) % 3 AS wl1,
+             (doc_id + 2) % 7 - 3 AS ol1,
+             doc_id % 3 AS s
+      FROM documents
+    ),
+    mb AS (
+      SELECT p.*, ii.idx AS idx,
+             b + 5 * (ii.idx // mbw) + 3 * (ii.idx % mbw) AS vi,
+             CASE ii.idx WHEN 0 THEN w0 WHEN 1 THEN w1
+                  ELSE b + 5 * (ii.idx // mbw) + 3 * (ii.idx % mbw)
+             END AS vp1,
+             (doc_id + ii.idx) % 3 AS kind
+      FROM p, LATERAL (SELECT unnest(range(0, mbw * mbh)) AS idx) ii
+    ),
+    vals AS (
+      SELECT doc_id, mbw * mbh AS n, s, idx, vi, vp1, kind,
+             LEAST(255, GREATEST(0,
+               CASE WHEN d2 = 0 THEN vp1 * w2 + o2
+                    ELSE (vp1 * w2 + (1 << (d2 - 1))) // (1 << d2)
+                         + o2 END)) AS vp2,
+             LEAST(255, GREATEST(0,
+               (vi * wl0 + vp1 * wl1 + (1 << db)) // (1 << (db + 1))
+               + CAST(FLOOR((ol0 + ol1 + 1) / 2.0) AS BIGINT)
+             )) AS vb
+      FROM mb
+    ),
+    agg AS (
+      SELECT doc_id, MAX(n) AS n, MAX(s) AS s,
+             SUM(vi) AS si, SUM(vp1) AS sp1, SUM(vp2) AS sp2,
+             SUM(vb) AS sb,
+             SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS k0,
+             SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS k1,
+             SUM(CASE WHEN kind = 2 THEN 1 ELSE 0 END) AS k2
+      FROM vals GROUP BY doc_id
+    )
+    SELECT doc_id, frame_idx, frame_type,
+           CAST(sum_luma AS BIGINT) AS sum_luma,
+           CAST(n_skip AS BIGINT) AS n_skip,
+           CAST(n_direct AS BIGINT) AS n_direct,
+           CAST(n_explicit AS BIGINT) AS n_explicit
+    FROM (
+      SELECT doc_id, 0 AS frame_idx, 'I' AS frame_type,
+             si AS sum_luma, 0 AS n_skip, 0 AS n_direct,
+             0 AS n_explicit
+      FROM agg
+      UNION ALL
+      SELECT doc_id, 1, 'P', sp1, n - 2, 0, 0 FROM agg
+      UNION ALL
+      SELECT doc_id, 2, 'P', sp2, s, 0, n - s FROM agg
+      UNION ALL
+      SELECT doc_id, 3, 'B', sb, k0, k1, k2 FROM agg
+    )
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_h264_weighted_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPLICIT WEIGHTED PREDICTION and SPATIAL DIRECT B modes — the
+    two inter-prediction tools real CAVLC H.264 streams use that the
+    bframe/multiref queries leave out (ITU-T H.264 7.3.3.2,
+    8.4.2.3.2, 8.4.1.2.2).  Every P and B slice parses a
+    pred_weight_table (the luma_weight_flag-0 identity default on
+    P1, real (denom, weight, offset) triplets on P2 and the B);
+    every inter macroblock — INCLUDING P_Skip — routes through the
+    explicit weighted formulas with Clip1.  The B picture's
+    macroblocks cycle B_Skip / B_Direct_16x16 / B_Bi_16x16, the
+    first two inferred by spatial direct prediction: per-list
+    MinPositive reference over neighbors A/B/C (D substitution), the
+    zero-prediction case on the neighborless first macroblock, and
+    colZeroFlag against the co-located macroblock of L1[0] (intra
+    co-located leaves it 0).  Value sums pin the arithmetic exactly;
+    macroblock-kind counts pin the parse paths.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_h264_weighted,
+        synthesize_h264_weighted,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_weighted(
+        synthesize_h264_weighted(docs)
+    ).orderBy("doc_id", "frame_idx")
+
+
+@query(
     "multimodal_h264_bframe_decode",
     # formulas mirror synth.make_h264_bframe_bytes: the affine IDR
     # plane V(idx) = B + 5*(idx//mbw) + 3*(idx%mbw), a P refreshing
