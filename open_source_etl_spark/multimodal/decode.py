@@ -3689,7 +3689,10 @@ MP3_HUFF_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
 #        the decreasing-order invariant across all 576 shipped cells
 #        (recalled 11,16,6) — an equal-length transposition is
 #        exactly the error class completeness cannot catch, so the
-#        pair is shipped in invariant order (16,11,6).
+#        pair is shipped in invariant order (16,11,6).  UNVERIFIED
+#        against an independent source: the reorder rests on the
+#        style heuristic alone, and a real t10 stream decoded by
+#        another implementation is the only way to settle it.
 #   t11: row 5's eight recalled hcod VALUES exactly tile the 28
 #        missing leaves left by rows 0-4,6,7 (six disjoint hole runs),
 #        which uniquely forces its hlen row to 8,8,9,10,10,11,10,11.
@@ -4562,6 +4565,52 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
 _MP3_RQ_TABLES = None
 
 
+# ISO 11172-3 Table B.6 pretab — the per-band preemphasis added to
+# the scalefactor when preflag is set.  Clean-room transcription
+# note: a short, widely-reproduced table; the structural invariants
+# it must satisfy (bands 0-10 all zero, values bounded by 3, the
+# 1,1,1,1 / 2,2 / 3,3,3 ramp peaking at bands 17-19, band 21 zero)
+# hold and are asserted in tests, but like every empirical spec
+# table an equal-value transposition would be undetectable — the
+# table is flagged as transcribed, not derived.
+MP3_PRETAB = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0,
+)
+
+_MP3_IS_TABLES = None
+
+
+def _mp3_is_tables() -> tuple:
+    """DERIVED Q15 intensity-stereo ratios (ISO 11172-3 2.4.3.4.9.3):
+    kl(n) = tan(n*pi/12) / (1 + tan(n*pi/12)) for is_pos n 0..6,
+    which reduce to exact surd forms in sqrt(3) — (3-sqrt3)/6,
+    (sqrt3-1)/2, 1/2 and their complements — computed here from an
+    integer sqrt at 2^40 precision, with the spec's structural
+    identity kl(n) + kl(6-n) = 1 enforced by constructing the upper
+    half as the exact Q15 complement.  Returns (KL, KR) with
+    KR[n] = 32768 - KL[n]."""
+    global _MP3_IS_TABLES
+    if _MP3_IS_TABLES is None:
+        import math
+
+        s = math.isqrt(3 << 80)  # floor(sqrt(3) * 2^40)
+        one = 1 << 40
+
+        def q15(num: int, den: int) -> int:
+            return (32768 * num * 2 + den) // (2 * den)
+
+        kl = [0] * 7
+        kl[1] = q15(3 * one - s, 6 * one)   # (3 - sqrt3)/6
+        kl[2] = q15(s - one, 2 * one)       # (sqrt3 - 1)/2
+        kl[3] = 16384
+        kl[4] = 32768 - kl[2]
+        kl[5] = 32768 - kl[1]
+        kl[6] = 32768
+        kr = [32768 - v for v in kl]
+        _MP3_IS_TABLES = (tuple(kl), tuple(kr))
+    return _MP3_IS_TABLES
+
+
 def _mp3_rq_tables():
     """Derived fixed-point requantization tables (2.4.3.4): the
     |is|^(4/3) power curve at Q12 for magnitudes 0..7 (every value a
@@ -4603,12 +4652,13 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
     2^(-mult*scalefac[sfb]) with each factor a DERIVED fixed-point
     table (Q12 * Q12 * Q14, products kept at full precision), so the
     emitted sums are exact integers a SQL oracle re-derives.
+    Preflag adds Table B.6's pretab to the long-band scalefactor
+    exponent (the transcribed table ships with its structural
+    invariants asserted; the intensity-stereo query value-tests it).
     Declared boundaries: gains outside the 198..222 band (Q12
-    over/underflow), half-step indices past 18, preflag (Table B.6's
-    pretab is an empirical table with no self-validating structure —
-    excluded rather than shipped unvalidated), window-switching
-    granules (subblock_gain), and quantized magnitudes above 7 (only
-    the unshipped 16x16 tables can emit them)."""
+    over/underflow), preflag on window-switching granules, and
+    quantized magnitudes above 7 (only the unshipped 16x16 tables
+    can emit them)."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -4673,17 +4723,18 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                     ssg = (0, 0, 0)
                     rc = sbits(4)
                     rc2 = sbits(3)
-                if sbits(1):
+                pre = sbits(1)
+                if pre and bt == 2:
                     raise NotImplementedError(
-                        "preflag requantization not implemented "
-                        "(Table B.6 pretab excluded: no "
-                        "self-validating structure)"
+                        "preflag with window-switching granules not "
+                        "implemented (pretab indexes the LONG band "
+                        "table)"
                     )
                 sfs = sbits(1)
                 c1a = sbits(1) == 0
                 gfields.append(
                     (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a,
-                     bt, ssg)
+                     bt, ssg, pre)
                 )
 
             dpos = 21 * 8
@@ -4700,7 +4751,7 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
 
             s_signed = s_abs = nnz = pos_signed = 0
             for (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a,
-                 bt, ssg) in gfields:
+                 bt, ssg, pre) in gfields:
                 start = dpos
                 mult2 = 2 if sfs else 1  # exponent in HALF steps
                 if bt == 2:
@@ -4735,10 +4786,14 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
 
                     def sf_index(pos: int) -> int:
                         # scalefactor band of a line; the zone above
-                        # b8[21] carries no scalefactor (factor 1)
+                        # b8[21] carries no scalefactor (factor 1);
+                        # preflag adds Table B.6's pretab
                         for sfb in range(21):
                             if pos < b8[sfb + 1]:
-                                return sfac[sfb] * mult2
+                                return (
+                                    sfac[sfb]
+                                    + (MP3_PRETAB[sfb] if pre else 0)
+                                ) * mult2
                         return 0
 
                 if bt == 0:
@@ -4864,6 +4919,119 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
     )
 
 
+def _mp3_granule_long(
+    doc_id: int, raw: bytes, dpos: int, fields: tuple, p43: list,
+    gain_tab: dict, sf8: list, b8: tuple,
+) -> tuple[list, dict, int]:
+    """One stereo-fixture LONG-block granule-channel: slen-coded
+    scalefactors, big-values + count1 entropy decode, and the exact
+    Q12*Q12*Q8 requantization — with preflag adding Table B.6's
+    pretab to the scalefactor exponent.  ``fields`` is (p23, bv, gg,
+    sl1, sl2, tsels, rc, rc2, sfs, c1a, pre).  Returns (scalefactors,
+    {pos: fixed-point value}, new_dpos)."""
+    (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a, pre) = fields
+
+    def take(n: int) -> int:
+        nonlocal dpos
+        out = 0
+        for _ in range(n):
+            out = (out << 1) | ((raw[dpos >> 3] >> (7 - (dpos & 7))) & 1)
+            dpos += 1
+        return out
+
+    start = dpos
+    sfac = [take(sl1) for _ in range(11)]
+    sfac += [take(sl2) for _ in range(10)]
+    mult2 = 2 if sfs else 1
+    if rc + 1 >= len(b8) or rc + rc2 + 2 >= len(b8):
+        raise ValueError(f"doc {doc_id}: region counts overrun B.8")
+    r0 = min(bv, b8[rc + 1] // 2)
+    r1 = min(bv, b8[rc + rc2 + 2] // 2)
+    pos = 0
+    lines: dict[int, int] = {}
+    for count, tsel in (
+        (r0, tsels[0]), (r1 - r0, tsels[1]), (bv - r1, tsels[2]),
+    ):
+        if count <= 0:
+            continue
+        if tsel == 0:
+            pos += 2 * count
+            continue
+        table = MP3_HUFF_TABLES.get(tsel)
+        if table is None:
+            raise NotImplementedError(
+                f"B.7 table {tsel} data not shipped"
+            )
+        for _ in range(count):
+            length = code = 0
+            while True:
+                code = (code << 1) | take(1)
+                length += 1
+                xy = table.get((length, code))
+                if xy is not None:
+                    break
+                if length >= 19:
+                    raise ValueError(
+                        f"doc {doc_id}: invalid big-values code"
+                    )
+            for v in xy:
+                if v:
+                    lines[pos] = -v if take(1) else v
+                pos += 1
+    while dpos - start < p23:
+        if pos + 4 > 576:
+            raise ValueError(
+                f"doc {doc_id}: count1 overruns the spectrum"
+            )
+        if c1a:
+            length = code = 0
+            while True:
+                code = (code << 1) | take(1)
+                length += 1
+                quad = MP3_COUNT1A.get((length, code))
+                if quad is not None:
+                    break
+                if length >= 7:
+                    raise ValueError(
+                        f"doc {doc_id}: invalid count1 code"
+                    )
+        else:
+            quad = take(4) ^ 0xF
+        for idx, shift in enumerate((3, 2, 1, 0)):
+            if (quad >> shift) & 1:
+                lines[pos + idx] = -1 if take(1) else 1
+        if dpos - start > p23:
+            raise ValueError(
+                f"doc {doc_id}: count1 overran part2_3_length"
+            )
+        pos += 4
+    if dpos - start != p23:
+        raise ValueError(
+            f"doc {doc_id}: part2_3_length not exactly consumed"
+        )
+    fp: dict[int, int] = {}
+    for pos_, v in lines.items():
+        mag = abs(v)
+        if mag > 7:
+            raise NotImplementedError(
+                "magnitudes above 7 not implemented"
+            )
+        sfb = 21
+        for i_ in range(21):
+            if pos_ < b8[i_ + 1]:
+                sfb = i_
+                break
+        sf = sfac[sfb] if sfb < 21 else 0
+        k = (sf + (MP3_PRETAB[sfb] if pre else 0)) * mult2
+        if k >= len(sf8):
+            raise NotImplementedError(
+                f"half-step index {k} past the Q8 table"
+            )
+        rq = p43[mag] * gain_tab[gg] * sf8[k]
+        fp[pos_] = -rq if v < 0 else rq
+    return sfac, fp, dpos
+
+
 def decode_mp3_requant_ms(media_df: DataFrame) -> DataFrame:
     """MS JOINT-STEREO requantization (ISO 11172-3 2.4.3.4.9.2): a
     stereo frame's 32-byte side info (granule-major, channel-minor),
@@ -4873,9 +5041,10 @@ def decode_mp3_requant_ms(media_df: DataFrame) -> DataFrame:
     Ri = (Mi - Si)/sqrt2 applied per spectral line with the DERIVED
     Q14 constant round(16384/sqrt2) = 11585, keeping every product a
     full-precision integer a SQL oracle reproduces to the bit.  The
-    header's mode/mode_extension gate the path: intensity stereo and
-    dual-channel/plain-stereo frames raise declared boundaries, as
-    do window-switching granules and preflag."""
+    header's mode/mode_extension gate the path: intensity-stereo
+    frames belong to ``decode_mp3_requant_is``; dual-channel/plain-
+    stereo frames, window-switching granules, and preflag raise this
+    walker's declared boundaries."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import math
@@ -4957,122 +5126,15 @@ def decode_mp3_requant_ms(media_df: DataFrame) -> DataFrame:
                 )
 
             dpos = 36 * 8
-
-            def take(n):
-                nonlocal dpos
-                out = 0
-                for _ in range(n):
-                    out = (out << 1) | (
-                        (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
-                    )
-                    dpos += 1
-                return out
-
             sum_l = abs_l = sum_r = abs_r = nnz = 0
             for g in (0, 1):
                 spectra = []
                 for ch in (0, 1):
-                    (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs,
-                     c1a) = gfields[2 * g + ch]
-                    start = dpos
-                    sfac = [take(sl1) for _ in range(11)]
-                    sfac += [take(sl2) for _ in range(10)]
-                    mult2 = 2 if sfs else 1
-                    if rc + 1 >= len(b8) or rc + rc2 + 2 >= len(b8):
-                        raise ValueError(
-                            f"doc {doc_id}: region counts overrun B.8"
-                        )
-                    r0 = min(bv, b8[rc + 1] // 2)
-                    r1 = min(bv, b8[rc + rc2 + 2] // 2)
-                    pos = 0
-                    lines: dict[int, int] = {}
-                    for count, tsel in (
-                        (r0, tsels[0]), (r1 - r0, tsels[1]),
-                        (bv - r1, tsels[2]),
-                    ):
-                        if count <= 0:
-                            continue
-                        if tsel == 0:
-                            pos += 2 * count
-                            continue
-                        table = MP3_HUFF_TABLES.get(tsel)
-                        if table is None:
-                            raise NotImplementedError(
-                                f"B.7 table {tsel} data not shipped"
-                            )
-                        for _ in range(count):
-                            length = code = 0
-                            while True:
-                                code = (code << 1) | take(1)
-                                length += 1
-                                xy = table.get((length, code))
-                                if xy is not None:
-                                    break
-                                if length >= 19:
-                                    raise ValueError(
-                                        f"doc {doc_id}: invalid "
-                                        "big-values code"
-                                    )
-                            for v in xy:
-                                if v:
-                                    lines[pos] = -v if take(1) else v
-                                pos += 1
-                    while dpos - start < p23:
-                        if pos + 4 > 576:
-                            raise ValueError(
-                                f"doc {doc_id}: count1 overruns the "
-                                "spectrum"
-                            )
-                        if c1a:
-                            length = code = 0
-                            while True:
-                                code = (code << 1) | take(1)
-                                length += 1
-                                quad = MP3_COUNT1A.get((length, code))
-                                if quad is not None:
-                                    break
-                                if length >= 7:
-                                    raise ValueError(
-                                        f"doc {doc_id}: invalid "
-                                        "count1 code"
-                                    )
-                        else:
-                            quad = take(4) ^ 0xF
-                        for idx, shift in enumerate((3, 2, 1, 0)):
-                            if (quad >> shift) & 1:
-                                lines[pos + idx] = -1 if take(1) else 1
-                        if dpos - start > p23:
-                            raise ValueError(
-                                f"doc {doc_id}: count1 overran "
-                                "part2_3_length"
-                            )
-                        pos += 4
-                    if dpos - start != p23:
-                        raise ValueError(
-                            f"doc {doc_id}: part2_3_length not "
-                            "exactly consumed"
-                        )
-                    fp: dict[int, int] = {}
-                    for pos_, v in lines.items():
-                        mag = abs(v)
-                        if mag > 7:
-                            raise NotImplementedError(
-                                "magnitudes above 7 not implemented"
-                            )
-                        sfb = 21
-                        for i_ in range(21):
-                            if pos_ < b8[i_ + 1]:
-                                sfb = i_
-                                break
-                        sf = sfac[sfb] if sfb < 21 else 0
-                        k = sf * mult2
-                        if k >= len(sf8):
-                            raise NotImplementedError(
-                                f"half-step index {k} past the Q8 "
-                                "table"
-                            )
-                        rq = p43[mag] * gain_tab[gg] * sf8[k]
-                        fp[pos_] = -rq if v < 0 else rq
+                    fields = gfields[2 * g + ch] + (0,)  # preflag 0
+                    _sfac, fp, dpos = _mp3_granule_long(
+                        doc_id, raw, dpos, fields, p43, gain_tab,
+                        sf8, b8,
+                    )
                     spectra.append(fp)
                 mid, sid = spectra
                 for pos_ in set(mid) | set(sid):
@@ -5104,6 +5166,208 @@ def decode_mp3_requant_ms(media_df: DataFrame) -> DataFrame:
         "doc_id long, n_granules long, sum_left_signed long, "
         "sum_left_abs long, sum_right_signed long, "
         "sum_right_abs long, n_nonzero_lines long",
+    )
+
+
+def decode_mp3_requant_is(media_df: DataFrame) -> DataFrame:
+    """INTENSITY-STEREO requantization (ISO 11172-3 2.4.3.4.9.3) —
+    the last stereo mode (header mode 01, mode_extension 01): the
+    left channel requantizes normally (INCLUDING preflag — Table
+    B.6's pretab added to the scalefactor exponent); the right
+    channel carries NO spectral data, its scalefactors instead
+    coding per-band intensity positions is_pos.  The intensity
+    region starts at the first scalefactor band past the right
+    channel's last nonzero line (the whole spectrum here); within
+    it L = xr * kl(is_pos), R = xr * (1 - kl(is_pos)) with
+    kl = tan(n*pi/12)/(1+tan(n*pi/12)) in the DERIVED exact-surd Q15
+    table (kl(n) + kl(6-n) = 1 enforced structurally); is_pos 7
+    switches intensity OFF for the band (left as-is, right silent).
+    Every product stays a full-precision integer the SQL oracle
+    re-derives.  Declared boundaries: intensity into scalefactor
+    band 21 (no is_pos field exists for it), window-switching
+    granules, MS+intensity combined (mode_extension 11), gains
+    outside the exact-Q12 band."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        p43, gain_tab, _sfhalf14 = _mp3_rq_tables()
+        sf8 = [
+            int(math.floor(256 * 2 ** (-k / 2) + 0.5)) for k in range(41)
+        ]
+        kl_tab, kr_tab = _mp3_is_tables()
+        b8 = MP3_SFB_LONG[44100]
+
+        def walk(doc_id: int, raw: bytes):
+            from .synth import MP3_SLEN
+
+            if len(raw) < 36 or raw[0] != 0xFF or (raw[1] & 0xFE) != 0xFA:
+                raise ValueError(f"doc {doc_id}: not an MPEG-1 L3 frame")
+            mode = (raw[3] >> 6) & 3
+            mode_ext = (raw[3] >> 4) & 3
+            if mode != 1:
+                raise NotImplementedError(
+                    "intensity requantization needs a joint-stereo "
+                    f"frame (mode {mode})"
+                )
+            if mode_ext != 1:
+                raise NotImplementedError(
+                    "MS / combined joint modes belong to the MS "
+                    "walker (mode_extension 01 only here)"
+                )
+            side = raw[4:36]
+            bitpos = 0
+
+            def sbits(n):
+                nonlocal bitpos
+                out = 0
+                for _ in range(n):
+                    out = (out << 1) | (
+                        (side[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                    )
+                    bitpos += 1
+                return out
+
+            if sbits(9):
+                raise ValueError(
+                    f"doc {doc_id}: intensity fixture uses no reservoir"
+                )
+            sbits(3)
+            if sbits(8):
+                raise ValueError(f"doc {doc_id}: scfsi must be 0")
+            gfields = []
+            for _gch in range(4):
+                p23 = sbits(12)
+                bv = sbits(9)
+                gg = sbits(8)
+                if not 198 <= gg <= 222:
+                    raise NotImplementedError(
+                        f"global_gain {gg} outside the 198..222 "
+                        "exact-Q12 band"
+                    )
+                sl1, sl2 = MP3_SLEN[sbits(4)]
+                if sbits(1):
+                    raise NotImplementedError(
+                        "intensity requantization for window-"
+                        "switching granules not implemented"
+                    )
+                tsels = tuple(sbits(5) for _ in range(3))
+                rc = sbits(4)
+                rc2 = sbits(3)
+                pre = sbits(1)
+                sfs = sbits(1)
+                c1a = sbits(1) == 0
+                gfields.append(
+                    (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a,
+                     pre)
+                )
+
+            dpos = 36 * 8
+            sum_l = abs_l = sum_r = abs_r = 0
+            n_is = n_off = 0
+            for g in (0, 1):
+                _sfl, fp_l, dpos = _mp3_granule_long(
+                    doc_id, raw, dpos, gfields[2 * g], p43, gain_tab,
+                    sf8, b8,
+                )
+                sfr, fp_r, dpos = _mp3_granule_long(
+                    doc_id, raw, dpos, gfields[2 * g + 1], p43,
+                    gain_tab, sf8, b8,
+                )
+                # intensity bound: the first scalefactor band past
+                # the right channel's last nonzero line
+                last = max(fp_r) + 1 if fp_r else 0
+                bound = 0
+                while bound < 22 and b8[bound] < last:
+                    bound += 1
+                for pos_, v in fp_l.items():
+                    sfb = 21
+                    for i_ in range(21):
+                        if pos_ < b8[i_ + 1]:
+                            sfb = i_
+                            break
+                    if sfb < bound:  # both channels coded normally
+                        left = v << 15
+                        right = fp_r.get(pos_, 0) << 15
+                    else:
+                        if sfb >= 21:
+                            raise NotImplementedError(
+                                "intensity into scalefactor band 21 "
+                                "(no is_pos field) not implemented"
+                            )
+                        is_pos = sfr[sfb]
+                        if is_pos > 7:
+                            raise ValueError(
+                                f"doc {doc_id}: is_pos {is_pos} past "
+                                "the MPEG-1 maximum 7"
+                            )
+                        if is_pos == 7:  # intensity off: left only
+                            left = v << 15
+                            right = 0
+                            n_off += 1
+                        else:
+                            left = v * kl_tab[is_pos]
+                            right = v * kr_tab[is_pos]
+                            n_is += 1
+                    sum_l += left
+                    abs_l += abs(left)
+                    sum_r += right
+                    abs_r += abs(right)
+                for pos_, v in fp_r.items():
+                    if pos_ in fp_l:
+                        continue  # handled above
+                    # right-only lines sit below the intensity bound
+                    # by construction of the bound
+                    right = v << 15
+                    sum_r += right
+                    abs_r += abs(right)
+            return 2, sum_l, abs_l, sum_r, abs_r, n_is, n_off
+
+        cols = (
+            "doc_id", "n_granules", "sum_left_signed", "sum_left_abs",
+            "sum_right_signed", "sum_right_abs", "n_is_lines",
+            "n_off_lines",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, n_granules long, sum_left_signed long, "
+        "sum_left_abs long, sum_right_signed long, "
+        "sum_right_abs long, n_is_lines long, n_off_lines long",
+    )
+
+
+def synthesize_mp3_is(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying the intensity-stereo stream
+    (``make_mp3_is_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_is_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_is_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
     )
 
 

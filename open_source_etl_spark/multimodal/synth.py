@@ -3317,6 +3317,160 @@ def make_mp3_ms_bytes(doc_id: int) -> bytes:
     )
 
 
+def mp3_is_fields(
+    doc_id: int, g: int
+) -> tuple[int, int, int, int, int, int, int, int]:
+    """(rc, global_gain, scalefac_scale, preflag, sf_a base, sf_b
+    base, nbv, nq) of the intensity fixture's LEFT channel, granule
+    g, keyed by k = doc + 7*g."""
+    k = doc_id + 7 * g
+    return (
+        1 + k % 15,
+        198 + (doc_id + 5 * g) % 25,
+        k % 2,
+        (doc_id + g) % 2,
+        k,
+        k + 7,
+        9 + k % 7,
+        3 + k % 3,
+    )
+
+
+def mp3_is_pos(doc_id: int, g: int, band: int) -> int:
+    """The right channel's per-band intensity position (0..7; 7 =
+    intensity off for the band)."""
+    return (doc_id + g + band) % 8
+
+
+def make_mp3_is_bytes(doc_id: int) -> bytes:
+    """Single-frame JOINT-STEREO MPEG-1 Layer III stream with
+    INTENSITY stereo on (header mode 01, mode_extension 01): the
+    left channel carries real long-block granules (table-10 spectra,
+    slen-coded scalefactors, PREFLAG set on alternating granules so
+    Table B.6's pretab joins the exponent); the right channel
+    carries NO spectral data — big_values 0, part2_3_length exactly
+    its 21 3-bit scalefactors (scalefac_compress 13), which code the
+    per-band intensity positions is_pos = (doc + g + band) %% 8,
+    including 7s (intensity off).  The whole spectrum is therefore
+    the intensity region and every left line splits L/R by the
+    derived Q15 tan-ratio table."""
+    from .decode import MP3_SFB_LONG_44100
+
+    enc, _c1a = _mp3_ht_enc()
+
+    def left_granule_bits(g: int) -> tuple[int, int]:
+        rc, _gg, sfs, _pre, base_a, base_b, nbv, nq = mp3_is_fields(
+            doc_id, g
+        )
+        k = doc_id + 7 * g
+        sl1, sl2 = MP3_SLEN[k % 16]
+        cap = 8 if sfs else 16
+        rc2 = min(7, 20 - rc)
+        r0_pairs = MP3_SFB_LONG_44100[rc + 1] // 2
+        if r0_pairs + nbv > MP3_SFB_LONG_44100[rc + rc2 + 2] // 2:
+            raise ValueError("live pairs overrun region1")
+        sf_a = base_a % min(1 << sl1, cap) if sl1 else 0
+        sf_b = base_b % min(1 << sl2, cap) if sl2 else 0
+        acc = nb = 0
+        for _band in range(11):
+            acc = (acc << sl1) | sf_a
+            nb += sl1
+        for _band in range(10):
+            acc = (acc << sl2) | sf_b
+            nb += sl2
+        for q in range(nbv):
+            x = (k + 3 * q) % 8
+            y = (2 * k + q) % 8
+            hlen, hcode = enc[10][(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if x:
+                acc = (acc << 1) | ((k + q) % 2)
+                nb += 1
+            if y:
+                acc = (acc << 1) | ((k + q + 1) % 2)
+                nb += 1
+        for j in range(nq):
+            pattern = (k + 5 * j) % 16
+            acc = (acc << 4) | (pattern ^ 0xF)
+            nb += 4
+            neg = (k + j) % 2
+            for shift in (3, 2, 1, 0):
+                if (pattern >> shift) & 1:
+                    acc = (acc << 1) | neg
+                    nb += 1
+        return acc, nb
+
+    def right_granule_bits(g: int) -> tuple[int, int]:
+        # 21 x 3-bit is_pos scalefactors, no spectral data
+        acc = nb = 0
+        for band in range(21):
+            acc = (acc << 3) | mp3_is_pos(doc_id, g, band)
+            nb += 3
+        return acc, nb
+
+    br_idx = 9
+    frame_len = (144 * MP3_BITRATES_KBPS[br_idx] * 1000) // 44100
+    cap_bytes = frame_len - 4 - 32
+    acc = nb = 0
+    p23s = []
+    for g in (0, 1):
+        for fn in (left_granule_bits, right_granule_bits):
+            a, n = fn(g)
+            acc = (acc << n) | a
+            nb += n
+            p23s.append(n)
+    pad = (8 - nb % 8) % 8
+    packed = (acc << pad).to_bytes((nb + pad) // 8, "big")
+    if len(packed) > cap_bytes:
+        raise ValueError("granule data overran the frame region")
+
+    w = _BitPacker()
+    w.u(0, 9)   # main_data_begin
+    w.u(3, 3)   # private_bits
+    w.u(0, 8)   # scfsi
+    i = 0
+    for g in (0, 1):
+        rc, gg, sfs, pre, _a, _b, nbv, _nq = mp3_is_fields(doc_id, g)
+        k = doc_id + 7 * g
+        r0_pairs = MP3_SFB_LONG_44100[rc + 1] // 2
+        # left channel granule info
+        w.u(p23s[2 * g], 12)
+        w.u(r0_pairs + nbv, 9)
+        w.u(gg, 8)
+        w.u(k % 16, 4)
+        w.u(0, 1)        # long blocks
+        for t in (0, 10, 10):
+            w.u(t, 5)
+        w.u(rc, 4)
+        w.u(min(7, 20 - rc), 3)
+        w.u(pre, 1)      # PREFLAG
+        w.u(sfs, 1)
+        w.u(1, 1)        # count1table_select: table B
+        # right channel granule info: scalefactors only
+        w.u(p23s[2 * g + 1], 12)
+        w.u(0, 9)        # big_values 0
+        w.u(210, 8)      # global_gain (no data to scale)
+        w.u(13, 4)       # scalefac_compress 13 -> slen (3, 3)
+        w.u(0, 1)
+        for t in (0, 0, 0):
+            w.u(t, 5)
+        w.u(0, 4)
+        w.u(0, 3)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.u(1, 1)
+        i += 2
+    si = w.to_bytes()
+    assert len(si) == 32
+    # header: MPEG-1 L3, 128 kbps, 44.1 kHz, JOINT STEREO (mode 01),
+    # mode_extension 01 (intensity on, MS off)
+    return (
+        bytes((0xFF, 0b11111011, (br_idx << 4), 0b01010100))
+        + si + packed + bytes(cap_bytes - len(packed))
+    )
+
+
 def mp3_rqs_fields(
     doc_id: int, g: int
 ) -> tuple[int, int, tuple, int, int]:

@@ -2708,6 +2708,162 @@ def multimodal_mp3_requant_ms_stereo(
 
 
 @query(
+    "multimodal_mp3_requant_is_stereo",
+    # formulas mirror synth.mp3_is_fields / mp3_is_pos: the LEFT
+    # channel of granule g keys its closed forms by k = doc + 7*g
+    # (rc = 1 + k % 15 placing lines at B.8[rc+1], nbv = 9 + k % 7
+    # table-10 pairs, nq = 3 + k % 3 count1 quads, gain
+    # 198 + (doc+5g) % 25, scalefac_scale k % 2, preflag
+    # (doc+g) % 2 adding Table B.6's pretab); the right channel has
+    # no data, so every band is intensity-coded with is_pos =
+    # (doc + g + sfb) % 8 and the derived Q15 ratios
+    # (0, 6925, 11994, 16384, 20774, 25843, 32768); is_pos 7 leaves
+    # the left line as-is (<< 15) and the right silent.
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id, gg.g AS g,
+             doc_id + 7 * gg.g AS k,
+             1 + (doc_id + 7 * gg.g) % 15 AS rc,
+             198 + (doc_id + 5 * gg.g) % 25 AS gain,
+             (doc_id + 7 * gg.g) % 2 AS sfs,
+             (doc_id + gg.g) % 2 AS pre,
+             9 + (doc_id + 7 * gg.g) % 7 AS nbv,
+             3 + (doc_id + 7 * gg.g) % 3 AS nq,
+             (doc_id + 7 * gg.g) % 16 AS sfc
+      FROM documents,
+           LATERAL (SELECT unnest([0, 1]) AS g) gg
+    ),
+    geo2 AS (
+      SELECT *,
+             CASE rc WHEN 1 THEN 8 WHEN 2 THEN 12 WHEN 3 THEN 16
+                  WHEN 4 THEN 20 WHEN 5 THEN 24 WHEN 6 THEN 30
+                  WHEN 7 THEN 36 WHEN 8 THEN 44 WHEN 9 THEN 52
+                  WHEN 10 THEN 62 WHEN 11 THEN 74 WHEN 12 THEN 90
+                  WHEN 13 THEN 110 WHEN 14 THEN 134 ELSE 162
+             END AS base,
+             k % LEAST(
+               CAST(POW(2, CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0
+                    WHEN 2 THEN 0 WHEN 3 THEN 0 WHEN 4 THEN 3
+                    WHEN 5 THEN 1 WHEN 6 THEN 1 WHEN 7 THEN 1
+                    WHEN 8 THEN 2 WHEN 9 THEN 2 WHEN 10 THEN 2
+                    WHEN 11 THEN 3 WHEN 12 THEN 3 WHEN 13 THEN 3
+                    WHEN 14 THEN 4 ELSE 4 END) AS BIGINT),
+               CASE sfs WHEN 1 THEN 8 ELSE 16 END) AS sf_a,
+             (k + 7) % LEAST(
+               CAST(POW(2, CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1
+                    WHEN 2 THEN 2 WHEN 3 THEN 3 WHEN 4 THEN 0
+                    WHEN 5 THEN 1 WHEN 6 THEN 2 WHEN 7 THEN 3
+                    WHEN 8 THEN 1 WHEN 9 THEN 2 WHEN 10 THEN 3
+                    WHEN 11 THEN 1 WHEN 12 THEN 2 WHEN 13 THEN 3
+                    WHEN 14 THEN 2 ELSE 3 END) AS BIGINT),
+               CASE sfs WHEN 1 THEN 8 ELSE 16 END) AS sf_b
+      FROM geo
+    ),
+    spec AS (
+      SELECT doc_id, g, gain, sfs, pre, sf_a, sf_b,
+             base + 2 * qq.q AS pos,
+             (k + 3 * qq.q) % 8 AS mag,
+             CASE WHEN (k + qq.q) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
+      WHERE (k + 3 * qq.q) % 8 > 0
+      UNION ALL
+      SELECT doc_id, g, gain, sfs, pre, sf_a, sf_b,
+             base + 2 * qq.q + 1,
+             (2 * k + qq.q) % 8,
+             CASE WHEN (k + qq.q + 1) % 2 = 0 THEN 1 ELSE -1 END
+      FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
+      WHERE (2 * k + qq.q) % 8 > 0
+      UNION ALL
+      SELECT doc_id, g, gain, sfs, pre, sf_a, sf_b,
+             base + 2 * nbv + 4 * jj.j + ii.idx, 1,
+             CASE WHEN (k + jj.j) % 2 = 1 THEN -1 ELSE 1 END
+      FROM geo2,
+           LATERAL (SELECT unnest(range(0, nq)) AS j) jj,
+           LATERAL (SELECT unnest([0, 1, 2, 3]) AS idx) ii
+      WHERE ((k + 5 * jj.j) % 16
+             // CAST(POW(2, 3 - ii.idx) AS BIGINT)) % 2 = 1
+    ),
+    rq AS (
+      SELECT s.doc_id, s.g, bands.sfb,
+             sgn * CAST(ROUND(4096 * POW(mag, 4.0 / 3.0)) AS BIGINT)
+                 * CAST(ROUND(4096 * POW(2, (gain - 210) / 4.0))
+                        AS BIGINT)
+                 * CAST(ROUND(256 * POW(2,
+                       -(((CASE WHEN bands.sfb <= 10 THEN sf_a
+                                ELSE sf_b END)
+                          + pre * bands.pt)
+                          * (CASE sfs WHEN 1 THEN 2 ELSE 1 END))
+                       / 2.0)) AS BIGINT) AS v,
+             (s.doc_id + s.g + bands.sfb) % 8 AS is_pos
+      FROM spec s
+      JOIN (VALUES (0,0,4,0),(1,4,8,0),(2,8,12,0),(3,12,16,0),
+                   (4,16,20,0),(5,20,24,0),(6,24,30,0),(7,30,36,0),
+                   (8,36,44,0),(9,44,52,0),(10,52,62,0),(11,62,74,1),
+                   (12,74,90,1),(13,90,110,1),(14,110,134,1),
+                   (15,134,162,2),(16,162,196,2),(17,196,238,3),
+                   (18,238,288,3),(19,288,342,3),(20,342,418,2))
+             bands(sfb, lo, hi, pt)
+        ON s.pos >= bands.lo AND s.pos < bands.hi
+    ),
+    lr AS (
+      SELECT doc_id,
+             v * (CASE is_pos WHEN 0 THEN 0 WHEN 1 THEN 6925
+                  WHEN 2 THEN 11994 WHEN 3 THEN 16384
+                  WHEN 4 THEN 20774 WHEN 5 THEN 25843
+                  WHEN 6 THEN 32768 ELSE 32768 END) AS lv,
+             v * (CASE is_pos WHEN 0 THEN 32768 WHEN 1 THEN 25843
+                  WHEN 2 THEN 20774 WHEN 3 THEN 16384
+                  WHEN 4 THEN 11994 WHEN 5 THEN 6925
+                  WHEN 6 THEN 0 ELSE 0 END) AS rv,
+             CASE WHEN is_pos = 7 THEN 0 ELSE 1 END AS is_on
+      FROM rq
+    )
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_granules,
+           CAST(SUM(lv) AS BIGINT) AS sum_left_signed,
+           CAST(SUM(ABS(lv)) AS BIGINT) AS sum_left_abs,
+           CAST(SUM(rv) AS BIGINT) AS sum_right_signed,
+           CAST(SUM(ABS(rv)) AS BIGINT) AS sum_right_abs,
+           CAST(SUM(is_on) AS BIGINT) AS n_is_lines,
+           CAST(SUM(1 - is_on) AS BIGINT) AS n_off_lines
+    FROM lr
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_requant_is_stereo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTENSITY-STEREO requantization (ISO 11172-3 2.4.3.4.9.3) —
+    the last MPEG-1 stereo mode, closing the matrix after MS
+    (mode_extension 10) and mono: a joint-stereo frame with
+    mode_extension 01 whose RIGHT channel carries no spectral data,
+    its 21 slen-coded scalefactors instead coding per-band intensity
+    positions; the LEFT channel requantizes through the derived
+    Q12/Q12/Q8 tables WITH PREFLAG — Table B.6's pretab joining the
+    scalefactor exponent on alternating granules — and every line in
+    the intensity region (the whole spectrum here) splits
+    L = xr*kl(is_pos), R = xr*(1-kl(is_pos)) through the DERIVED
+    exact-surd Q15 tangent-ratio table (kl(n)+kl(6-n)=1 enforced
+    structurally); is_pos 7 turns intensity off per band.  Every
+    product is a full-precision integer the DuckDB oracle re-derives
+    to the bit.  Declared boundaries: intensity into band 21,
+    MS+intensity combined frames, window-switching granules.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_mp3_requant_is,
+        synthesize_mp3_is,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_requant_is(synthesize_mp3_is(docs)).orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "multimodal_mp3_requant_short",
     # formulas mirror synth.mp3_rqs_fields / mp3_rqs_spectrum: both
     # granules short (non-mixed) with per-window scalefactors

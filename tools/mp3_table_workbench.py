@@ -44,6 +44,18 @@ Outcome record (round 11):
   NotImplementedError boundary: without a validating transcription,
   shipping would risk a silently-wrong table, which is worse than an
   honest raise.
+
+Round-12 decision: no further recall attempts were made for tables
+13/15/16/24.  Rounds 10 and 11 both produced recalls failing Kraft by
+large margins (+321, -1, -3538, -1571 leaf units respectively), and a
+third attempt would have to "repair" hundreds of cells against the
+Kraft arithmetic — recreating, at 4x the scale, exactly the
+equal-length-swap risk the t10 row-6 note documents.  The boundary
+stands until an independent validation channel exists (a real MP3
+granule decoded by another implementation, or a second published
+transcription to cross-check against); the round instead shipped the
+layers that ARE derivable: intensity stereo (exact-surd Q15 ratios)
+and Table B.6 pretab (short, invariant-gated).
 """
 from fractions import Fraction
 
