@@ -5922,6 +5922,11 @@ def parse_id3v2(
             )
         pos += 10 + fsize
         if fid[:1] == b"T":
+            if fsize < 1:
+                raise ValueError(
+                    f"doc {doc_id}: text frame {fid!r} too short for "
+                    "its encoding byte"
+                )
             enc = body[0]
             data = body[1:]
             if enc == 0:
@@ -5948,11 +5953,21 @@ def parse_id3v2(
             elif fid == b"TALB":
                 album_chars = len(text)
             elif fid == b"TRCK":
-                track = int(text.split("/")[0])
+                head = text.split("/")[0]
+                if not head.isdigit():
+                    raise ValueError(
+                        f"doc {doc_id}: non-numeric TRCK {text!r}"
+                    )
+                track = int(head)
             elif fid in (b"TYER", b"TDRC"):
                 if (fid == b"TYER") != (ver == 3):
                     raise ValueError(
                         f"doc {doc_id}: {fid!r} in an ID3v2.{ver} tag"
+                    )
+                if not text[:4].isdigit():
+                    raise ValueError(
+                        f"doc {doc_id}: non-numeric year frame "
+                        f"{text!r}"
                     )
                 year = int(text[:4])
         else:

@@ -60,3 +60,33 @@ def test_bench_rejects_unknown_query_names():
     )
     assert proc.returncode == 2
     assert "no_such_query" in proc.stderr
+
+
+def test_stale_floor_detection(tmp_path, monkeypatch):
+    """stale_floors flags a bar no recent round approached (within
+    1.25x), reports the last round that did, skips sub-jitter floors
+    and queries absent from recent records, and unwraps the driver's
+    parsed-envelope BENCH_r files."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench_regression import stale_floors
+
+    monkeypatch.chdir(tmp_path)
+    rounds = {
+        7: {"queries": {"a": 1.0, "b": 2.0, "tiny": 0.1}},
+        8: {"queries": {"a": 2.9, "b": 2.1, "tiny": 0.3}},
+        # driver envelope shape
+        9: {"parsed": {"queries": {"a": 3.0, "b": 2.2, "tiny": 0.3}}},
+        10: {"queries": {"a": 3.1, "b": 1.9, "tiny": 0.2}},
+    }
+    for n, payload in rounds.items():
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps(payload)
+        )
+    base = {"a": 1.0, "b": 2.0, "tiny": 0.1, "absent": 5.0}
+    out = stale_floors(base)
+    names = {n for n, *_ in out}
+    # a: floor 1.0, best of r08-r10 = 2.9 > 1.25 -> stale, achieved r07
+    assert names == {"a"}
+    _n, floor, best, achieved = out[0]
+    assert floor == 1.0 and best == 2.9 and achieved == 7
+    # b stays inside 1.25x; tiny is sub-jitter; absent has no history
