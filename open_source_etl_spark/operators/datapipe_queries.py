@@ -2012,6 +2012,98 @@ def datapipe_zstd_dict_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "datapipe_lz4_scan",
+    # formulas mirror ingest.lz4: 1 + doc % 3 frames (doc % 4 == 1
+    # led by a skippable frame), frame i (k = doc+i) carrying a
+    # compressed block — n_lit = 20 + (doc+5i) % 40 literals
+    # (k+j) % 256, an m = 8 + k % 10 byte match at offset
+    # o = 5 + k % 12 whose OVERLAP copies have period o (byte j =
+    # (k + n_lit - o + j%o) % 256), and t = 6 + k % 7 tail literals
+    # (3doc+i+j) % 256 — then block 2: u = 10 + (doc+3i) % 20
+    # uncompressed bytes (2doc+i+j) % 256, prefixed on LINKED frames
+    # (k % 3 == 2) by m bytes matched from block 1 ((k+2+j) % 256).
+    # The token/extension layer, checksums, and window mechanics have
+    # no closed form.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, ff.i AS i,
+             doc_id + ff.i AS k,
+             20 + (doc_id + 5 * ff.i) % 40 AS n_lit,
+             8 + (doc_id + ff.i) % 10 AS m,
+             5 + (doc_id + ff.i) % 12 AS o,
+             6 + (doc_id + ff.i) % 7 AS t,
+             10 + (doc_id + 3 * ff.i) % 20 AS u,
+             ((doc_id + ff.i) % 3 = 2) AS linked
+      FROM documents,
+           LATERAL (SELECT unnest(range(0, 1 + doc_id % 3)) AS i) ff
+    ),
+    parts AS (
+      SELECT doc_id, (k + jj.j) % 256 AS v
+      FROM f, LATERAL (SELECT unnest(range(0, n_lit)) AS j) jj
+      UNION ALL
+      SELECT doc_id, (k + n_lit - o + (jj.j % o)) % 256
+      FROM f, LATERAL (SELECT unnest(range(0, m)) AS j) jj
+      UNION ALL
+      SELECT doc_id, (3 * doc_id + i + jj.j) % 256
+      FROM f, LATERAL (SELECT unnest(range(0, t)) AS j) jj
+      UNION ALL
+      SELECT doc_id, (2 * doc_id + i + jj.j) % 256
+      FROM f, LATERAL (SELECT unnest(range(0, u)) AS j) jj
+      UNION ALL
+      SELECT doc_id, (k + 2 + jj.j) % 256
+      FROM f, LATERAL (SELECT unnest(range(0, m)) AS j) jj
+      WHERE linked
+    ),
+    meta AS (
+      SELECT doc_id,
+             COUNT(*) AS nf,
+             SUM(n_lit + m + t + u
+                 + CASE WHEN linked THEN m ELSE 0 END) AS c_bytes,
+             SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS n_ck
+      FROM f GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(CASE WHEN m.doc_id % 4 = 1 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_skippable,
+           CAST(2 * nf AS BIGINT) AS n_blocks,
+           CAST(c_bytes AS BIGINT) AS content_bytes,
+           CAST(s.c_sum AS BIGINT) AS content_sum,
+           CAST(n_ck AS BIGINT) AS n_checksums
+    FROM meta m JOIN (
+      SELECT doc_id, SUM(v) AS c_sum FROM parts GROUP BY doc_id
+    ) s ON m.doc_id = s.doc_id
+    ORDER BY m.doc_id
+    """,
+)
+def datapipe_lz4_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4 frame decode (the public lz4 Frame & Block format specs) —
+    the low-latency compression format shipped beside zstd in
+    training corpora (.jsonl.lz4 shards, Kafka/Arrow payloads),
+    decoded from the byte level with no codec library: concatenated
+    frames with skippable metadata frames stepped over, the frame
+    descriptor (version, block independence, all three checksum
+    flags, optional content size, block max-size codes) with its
+    XXH32-derived header-checksum byte VERIFIED, compressed blocks
+    through the token/extension sequence layer (literal and match
+    lengths crossing the 15-threshold, overlap-safe match copies),
+    uncompressed blocks (high-bit size flag), BLOCK-LINKED frames
+    whose matches reach into earlier blocks, per-block and
+    whole-content XXH32 checksums (implemented from the published
+    constants, validated against the published vectors), the
+    EndMark, and the content-size cross-check.  The format has no
+    empirical tables — every structure is derived from the spec's
+    algorithms.
+    Reference scope note: the reference delegates storage formats to
+    its warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..ingest.lz4 import extract_lz4
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return extract_lz4(docs).orderBy("doc_id")
+
+
+@query(
     "datapipe_pdf_text_extract",
     # formulas mirror ingest.pdf: 2 + doc % 3 pages, page p carrying
     # the text slice [7p, 7p + 24 + 3p) (clamped) plus two injected
