@@ -11,9 +11,11 @@ floats/doubles, index-prefixed unions, block-encoded arrays and maps
 fixed as raw bytes, and the container framing itself — with block
 compression per the spec's codec registry: raw-DEFLATE
 (``avro.codec: deflate``) through the same stdlib inflate the ZIP/PNG
-paths use, whole-stream bzip2, and whole-stream xz (the spec's
-``bzip2`` / ``xz`` codecs; ``snappy`` and ``zstandard`` raise at the
-declared boundary — their libraries are not in this environment).  The reader decodes
+paths use, whole-stream bzip2, whole-stream xz, and ``snappy`` —
+each block a raw snappy stream (decoded by the repo's own
+``ingest/snappy.py``, no codec library) closed by the spec's 4-byte
+BIG-endian CRC32 of the uncompressed block, VERIFIED (``zstandard``
+raises at the declared boundary).  The reader decodes
 GENERICALLY from the parsed writer schema; per-block sync markers and
 exact byte consumption are verified, unknown codecs and unsupported
 schema forms raise at the exact boundary.
@@ -205,8 +207,9 @@ def avro_sync(doc_id: int) -> bytes:
 def avro_codec(doc_id: int) -> str:
     """The fixture's per-doc block codec: cycles the full shipped set
     (spec codec registry: null, deflate = raw DEFLATE, bzip2 and xz =
-    whole compressed streams per block)."""
-    return ("null", "deflate", "bzip2", "xz")[doc_id % 4]
+    whole compressed streams per block, snappy = raw snappy + the
+    big-endian CRC32 trailer)."""
+    return ("null", "deflate", "bzip2", "xz", "snappy")[doc_id % 5]
 
 
 def _encode_block(codec: str, plain: bytes) -> bytes:
@@ -217,6 +220,12 @@ def _encode_block(codec: str, plain: bytes) -> bytes:
         return bz2.compress(plain, 9)
     if codec == "xz":
         return lzma.compress(plain, format=lzma.FORMAT_XZ)
+    if codec == "snappy":
+        from .snappy import snappy_compress
+
+        return snappy_compress(plain) + struct.pack(
+            ">I", zlib.crc32(plain)
+        )
     return plain
 
 
@@ -235,6 +244,20 @@ def _decode_block(doc_id: int, codec: str, data: bytes) -> bytes:
         raise ValueError(
             f"doc {doc_id}: bad {codec} block: {exc}"
         ) from None
+    if codec == "snappy":
+        from .snappy import snappy_decompress
+
+        if len(data) < 4:
+            raise ValueError(
+                f"doc {doc_id}: snappy block too short for its CRC"
+            )
+        plain = snappy_decompress(doc_id, data[:-4])
+        (want,) = struct.unpack(">I", data[-4:])
+        if zlib.crc32(plain) != want:
+            raise ValueError(
+                f"doc {doc_id}: snappy block CRC32 mismatch"
+            )
+        return plain
     return data
 
 
@@ -309,10 +332,10 @@ def parse_avro(doc_id: int, raw: bytes) -> tuple[int, int, int, int, int, int, i
         raise ValueError(f"doc {doc_id}: container missing avro.schema")
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "bzip2", "xz"):
+    if codec not in ("null", "deflate", "bzip2", "xz", "snappy"):
         raise NotImplementedError(
             f"avro codec {codec!r} not implemented "
-            "(null/deflate/bzip2/xz only)"
+            "(null/deflate/bzip2/xz/snappy only)"
         )
     sync = r.take(16)
     n_records = n_blocks = sum_ids = sum_chars = n_nulls = 0
@@ -607,10 +630,10 @@ def parse_avro_evolved(
             "not the V1 writer this reader evolves from"
         )
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "bzip2", "xz"):
+    if codec not in ("null", "deflate", "bzip2", "xz", "snappy"):
         raise NotImplementedError(
             f"avro codec {codec!r} not implemented "
-            "(null/deflate/bzip2/xz only)"
+            "(null/deflate/bzip2/xz/snappy only)"
         )
     sync = r.take(16)
     n_records = sum_ids = sum_chars = n_nulls = sum_q = n_default = 0

@@ -1688,7 +1688,9 @@ def datapipe_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer schema + codec), per-block count/size framing with the sync
     marker verified after EVERY block, block decompression through the
     spec's codec registry (the fixture cycles null / raw-DEFLATE /
-    bzip2 / xz; snappy and zstandard stay declared stubs), and a
+    bzip2 / xz / SNAPPY — the snappy blocks decoded by the repo's own
+    raw-format codec, ``ingest/snappy.py``, with the spec's big-endian
+    CRC32 trailer verified; zstandard stays the declared stub), and a
     GENERIC schema-driven binary decode — zigzag
     varint longs, index-prefixed unions (nullable body), block-encoded
     arrays, IEEE doubles — with exact per-block byte-consumption

@@ -363,7 +363,8 @@ def test_avro_container_roundtrip_and_rejects_corruption():
     )
 
     text = "the quick brown fox jumps over the lazy dog " * 3
-    for doc in (4, 5, 6, 7):  # null / deflate / bzip2 / xz codecs
+    # null / deflate / bzip2 / xz / snappy codecs (doc % 5)
+    for doc in (5, 6, 7, 8, 9):
         raw = make_avro_bytes(doc, text)
         n = avro_n_records(doc)
         exp_chars = sum(
@@ -373,48 +374,50 @@ def test_avro_container_roundtrip_and_rejects_corruption():
         assert got[0] == n and got[1] == (n + 1) // 2
         assert got[3] == exp_chars
 
-    raw = make_avro_bytes(5, text)  # deflate doc (5 % 4 = 1)
+    raw = make_avro_bytes(6, text)  # deflate doc (6 % 5 = 1)
 
     bad_magic = b"Obj\x02" + raw[4:]
     with pytest.raises(ValueError, match="not an avro container"):
-        parse_avro(5, bad_magic)
+        parse_avro(6, bad_magic)
 
     flipped_sync = bytearray(raw)
     flipped_sync[-1] ^= 0xFF  # final block's sync marker
     with pytest.raises(ValueError, match="sync marker mismatch"):
-        parse_avro(5, bytes(flipped_sync))
+        parse_avro(6, bytes(flipped_sync))
 
     bad_deflate = bytearray(raw)
     bad_deflate[-20] ^= 0xFF  # inside the final compressed block
     with pytest.raises(ValueError, match="deflate|sync|consumed|varint|overruns"):
-        parse_avro(5, bytes(bad_deflate))
+        parse_avro(6, bytes(bad_deflate))
 
     with pytest.raises(ValueError, match="truncated|overruns"):
-        parse_avro(5, raw[:-10])
+        parse_avro(6, raw[:-10])
 
-    # a flipped byte inside a bzip2 / xz block fails as a corrupt
-    # stream (or downstream as desynced records), never as garbage
-    for doc, codec in ((6, "bzip2"), (7, "xz")):
+    # a flipped byte inside a bzip2 / xz / snappy block fails as a
+    # corrupt stream (bad stream, CRC32 mismatch, or downstream as
+    # desynced records), never as garbage
+    for doc, codec in ((7, "bzip2"), (8, "xz"), (9, "snappy")):
         braw = bytearray(make_avro_bytes(doc, text))
         braw[-20] ^= 0xFF
         with pytest.raises(
             ValueError,
-            match=f"{codec}|sync|consumed|varint|overruns",
+            match=f"{codec}|sync|consumed|varint|overruns|CRC32",
         ):
             parse_avro(doc, bytes(braw))
 
-    # unknown codec: rebuild the header with avro.codec = snappy
+    # unknown codec: rebuild the header with avro.codec = zstandard
+    # (snappy now decodes through ingest/snappy.py)
     header = bytearray(b"Obj\x01")
     header += write_long(2)
     for k, v in (
         ("avro.schema", json.dumps(AVRO_SCHEMA).encode()),
-        ("avro.codec", b"snappy"),
+        ("avro.codec", b"zstandard"),
     ):
         header += write_long(len(k)) + k.encode()
         header += write_long(len(v)) + v
     header += write_long(0) + bytes(16)
     header += write_long(1) + write_long(1) + b"\x00" + bytes(16)
-    with pytest.raises(NotImplementedError, match="snappy"):
+    with pytest.raises(NotImplementedError, match="zstandard"):
         parse_avro(1, bytes(header))
 
     # block count lying about its records: one record encoded, two
@@ -1247,3 +1250,60 @@ def test_lz4_decodes_and_rejects_corruption():
     raw[4 + 2 + 1 + 4 + 2] ^= 0xFF
     with pytest.raises(ValueError, match="block checksum"):
         parse_lz4(0, bytes(raw))
+
+
+def test_snappy_codec_roundtrips_and_rejects():
+    """The raw snappy codec: round-trips on repetitive and
+    incompressible data (the greedy encoder genuinely emits copies),
+    hand-built streams exercise the literal extension and all three
+    copy-tag forms incl. overlap RLE, and the checks fire — length
+    preamble lies, offsets outside the prefix, truncation."""
+    import pytest
+
+    from open_source_etl_spark.ingest.snappy import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    for data in (
+        b"", b"x", b"abcd" * 200, bytes(range(256)),
+        b"the quick brown fox " * 40,
+        bytes((7 * j) % 256 for j in range(4000)),
+    ):
+        assert snappy_decompress(0, snappy_compress(data)) == data
+    # copies actually shrink repetitive data
+    assert len(snappy_compress(b"abcd" * 200)) < 120
+
+    # literal with the 1-byte length extension (len 61)
+    lit = bytes(range(61))
+    s = bytes((61,)) + bytes((60 << 2, 60)) + lit
+    assert snappy_decompress(0, s) == lit
+
+    # copy1 overlap RLE: literal 'Z' then copy1 len 8 offset 1
+    s = bytes((9,)) + bytes((0 << 2,)) + b"Z" + bytes(
+        (((8 - 4) << 2) | 1, 1)
+    )
+    assert snappy_decompress(0, s) == b"Z" * 9
+
+    # copy4: literal 'AB' then copy4 len 3 offset 2
+    s = bytes((5,)) + bytes((1 << 2,)) + b"AB" + bytes(
+        ((2 << 2) | 3,)
+    ) + (2).to_bytes(4, "little")
+    assert snappy_decompress(0, s) == b"ABABA"
+
+    # preamble lying about the length
+    s = bytes((9,)) + bytes((1 << 2,)) + b"AB"
+    with pytest.raises(ValueError, match="claims"):
+        snappy_decompress(0, s)
+
+    # offset outside the decoded prefix
+    s = bytes((5,)) + bytes((0 << 2,)) + b"A" + bytes(
+        (((8 - 4) << 2) | 1, 9)
+    )
+    with pytest.raises(ValueError, match="outside"):
+        snappy_decompress(0, s)
+
+    # truncated copy offset
+    s = bytes((5,)) + bytes((0 << 2,)) + b"A" + bytes(((2 << 2) | 2,))
+    with pytest.raises(ValueError, match="truncated"):
+        snappy_decompress(0, s)
