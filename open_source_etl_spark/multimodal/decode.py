@@ -7228,6 +7228,246 @@ def parse_mp4(
     )
 
 
+def parse_heif(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int, int, int, int, int, int]:
+    """Walk one HEIF/AVIF still-image container (ISO/IEC 23008-12
+    over the 14496-12 box layer) to (is_avif, n_items,
+    n_image_items, primary_id, primary_w, primary_h, rot,
+    payload_sum, n_extents, n_props): the ftyp brand gate
+    (avif/heic major with mif1 compatible), the meta full-box, the
+    'pict' handler, pitm, iinf's version-2 infe items (protection
+    rejected), iprp = ipco property boxes + ipma associations
+    (every referenced property index bounds-checked against ipco;
+    the primary item's ispe and irot extracted), and iloc (version
+    0, 4-byte offset/length fields, inline data references only)
+    with every extent bounds-checked and its payload bytes summed.
+    Cross-checks: iinf vs iloc item counts, iloc items must exist
+    in iinf.  Declared boundaries: iloc versions 1/2 (construction
+    methods), external data references, protected items, and codec
+    payload decode (av01/hvc1 bitstreams are opaque items here)."""
+
+    def boxes(pos: int, end: int):
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError(f"doc {doc_id}: truncated box header")
+            (size,) = struct.unpack_from(">I", raw, pos)
+            tag = raw[pos + 4 : pos + 8]
+            if size < 8 or pos + size > end:
+                raise ValueError(
+                    f"doc {doc_id}: box {tag!r} size {size} overruns"
+                )
+            yield tag, pos + 8, pos + size
+            pos += size
+
+    top = list(boxes(0, len(raw)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError(f"doc {doc_id}: missing leading ftyp")
+    f0 = raw[top[0][1] : top[0][2]]
+    major = f0[:4]
+    compat = [
+        f0[8 + 4 * k : 12 + 4 * k] for k in range((len(f0) - 8) // 4)
+    ]
+    if major not in (b"avif", b"heic") or b"mif1" not in compat:
+        raise ValueError(
+            f"doc {doc_id}: not a HEIF/AVIF still image "
+            f"(major {major!r})"
+        )
+    meta_span = next(
+        ((s, e) for t, s, e in top if t == b"meta"), None
+    )
+    if meta_span is None:
+        raise ValueError(f"doc {doc_id}: no meta box")
+    ms, me = meta_span
+    if raw[ms : ms + 4] != b"\x00\x00\x00\x00":
+        raise ValueError(f"doc {doc_id}: meta version/flags nonzero")
+    inner = {t: (s, e) for t, s, e in boxes(ms + 4, me)}
+    for need in (b"hdlr", b"pitm", b"iinf", b"iloc", b"iprp"):
+        if need not in inner:
+            raise ValueError(f"doc {doc_id}: meta missing {need!r}")
+    hs, _he = inner[b"hdlr"]
+    if raw[hs + 8 : hs + 12] != b"pict":
+        raise ValueError(f"doc {doc_id}: handler is not 'pict'")
+    ps, _pe = inner[b"pitm"]
+    primary = (
+        struct.unpack_from(">H", raw, ps + 4)[0] if raw[ps] == 0
+        else struct.unpack_from(">I", raw, ps + 4)[0]
+    )
+    is_, ie = inner[b"iinf"]
+    if raw[is_] != 0:
+        raise NotImplementedError(
+            f"iinf version {raw[is_]} not implemented"
+        )
+    (n_items,) = struct.unpack_from(">H", raw, is_ + 4)
+    item_types: dict[int, bytes] = {}
+    for t, s, _e in boxes(is_ + 6, ie):
+        if t != b"infe":
+            raise ValueError(f"doc {doc_id}: iinf holds {t!r}")
+        if raw[s] != 2:
+            raise NotImplementedError(
+                f"infe version {raw[s]} not implemented"
+            )
+        iid, prot = struct.unpack_from(">HH", raw, s + 4)
+        if prot:
+            raise NotImplementedError(
+                "protected HEIF items not implemented"
+            )
+        item_types[iid] = raw[s + 8 : s + 12]
+    if len(item_types) != n_items:
+        raise ValueError(
+            f"doc {doc_id}: iinf declares {n_items} items, "
+            f"holds {len(item_types)}"
+        )
+    qs_, qe = inner[b"iprp"]
+    sub = list(boxes(qs_, qe))
+    if len(sub) < 2 or sub[0][0] != b"ipco" or sub[-1][0] != b"ipma":
+        raise ValueError(f"doc {doc_id}: iprp must be ipco then ipma")
+    _t, cs, ce = sub[0]
+    props = list(boxes(cs, ce))
+    _t, as_, _ae = sub[-1]
+    ipma_flags = int.from_bytes(raw[as_ + 1 : as_ + 4], "big")
+    (n_assoc,) = struct.unpack_from(">I", raw, as_ + 4)
+    pos = as_ + 8
+    assoc: dict[int, list[int]] = {}
+    for _ in range(n_assoc):
+        (iid,) = struct.unpack_from(">H", raw, pos)
+        cnt = raw[pos + 2]
+        pos += 3
+        idxs = []
+        for _a in range(cnt):
+            if ipma_flags & 1:
+                v = struct.unpack_from(">H", raw, pos)[0]
+                pos += 2
+                idxs.append(v & 0x7FFF)
+            else:
+                idxs.append(raw[pos] & 0x7F)
+                pos += 1
+        for ix in idxs:
+            if not 1 <= ix <= len(props):
+                raise ValueError(
+                    f"doc {doc_id}: ipma references property {ix} "
+                    f"past the {len(props)} in ipco"
+                )
+        if iid not in item_types:
+            raise ValueError(
+                f"doc {doc_id}: ipma names unknown item {iid}"
+            )
+        assoc[iid] = idxs
+    w = h = rot = -1
+    for ix in assoc.get(primary, []):
+        t, s, _e = props[ix - 1]
+        if t == b"ispe":
+            w, h = struct.unpack_from(">II", raw, s + 4)
+        elif t == b"irot":
+            rot = raw[s] & 3
+    ls, _le = inner[b"iloc"]
+    if raw[ls] != 0:
+        raise NotImplementedError(
+            f"iloc version {raw[ls]} (construction methods) not "
+            "implemented"
+        )
+    off_sz, len_sz = raw[ls + 4] >> 4, raw[ls + 4] & 15
+    base_sz = raw[ls + 5] >> 4
+    if (off_sz, len_sz, base_sz) != (4, 4, 0):
+        raise NotImplementedError(
+            f"iloc field sizes ({off_sz},{len_sz},{base_sz}) not "
+            "implemented (4/4/0 only)"
+        )
+    (n_loc,) = struct.unpack_from(">H", raw, ls + 6)
+    if n_loc != n_items:
+        raise ValueError(
+            f"doc {doc_id}: iloc holds {n_loc} items, iinf {n_items}"
+        )
+    pos = ls + 8
+    payload_sum = 0
+    n_extents = 0
+    for _ in range(n_loc):
+        iid, dref, n_ext = struct.unpack_from(">HHH", raw, pos)
+        if iid not in item_types:
+            raise ValueError(
+                f"doc {doc_id}: iloc names unknown item {iid}"
+            )
+        if dref:
+            raise NotImplementedError(
+                "external HEIF data references not implemented"
+            )
+        pos += 6
+        for _e in range(n_ext):
+            off, ln = struct.unpack_from(">II", raw, pos)
+            pos += 8
+            if off + ln > len(raw):
+                raise ValueError(
+                    f"doc {doc_id}: item {iid} extent overruns the "
+                    "file"
+                )
+            payload_sum += sum(raw[off : off + ln])
+            n_extents += 1
+    n_image = sum(
+        1 for t in item_types.values() if t in (b"av01", b"hvc1")
+    )
+    return (
+        1 if major == b"avif" else 0, n_items, n_image, primary,
+        w, h, rot, payload_sum, n_extents, len(props),
+    )
+
+
+HEIF_SCHEMA = (
+    "doc_id long, is_avif long, n_items long, n_image_items long, "
+    "primary_id long, primary_w long, primary_h long, rot long, "
+    "payload_sum long, n_extents long, n_props long"
+)
+
+
+def synthesize_heif(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a HEIF/AVIF still image
+    (``make_heif_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_heif_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_heif_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def decode_heif(media_df: DataFrame) -> DataFrame:
+    """Distributed HEIF/AVIF walk (``parse_heif``) as an Arrow kernel
+    over binary rows."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "is_avif", "n_items", "n_image_items",
+            "primary_id", "primary_w", "primary_h", "rot",
+            "payload_sum", "n_extents", "n_props",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *parse_heif(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, HEIF_SCHEMA
+    )
+
+
 MP4_SCHEMA = (
     "doc_id long, n_boxes long, n_tracks long, n_video_tracks long, "
     "total_samples long, sum_sample_bytes long, duration_ms long, "

@@ -4577,6 +4577,119 @@ def mp4_n_fragments(doc_id: int) -> int:
     return 2 + doc_id % 2
 
 
+def heif_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(n_image_items, primary_w, primary_h, rot) closed forms of the
+    HEIF/AVIF fixture."""
+    return (
+        1 + doc_id % 3,
+        64 + 8 * (doc_id % 5),
+        48 + 8 * (doc_id % 4),
+        doc_id % 4,
+    )
+
+
+def heif_item_payload(doc_id: int, item_id: int) -> bytes:
+    """Item item_id's mdat payload bytes by closed form."""
+    n = 16 + (doc_id + 5 * item_id) % 24
+    return bytes((doc_id + 3 * item_id + j) % 256 for j in range(n))
+
+
+def make_heif_bytes(doc_id: int) -> bytes:
+    """A HEIF/AVIF still-image container (ISO/IEC 23008-12 over
+    14496-12): ftyp (avif on even docs, heic on odd, mif1+miaf
+    compatible brands), a meta box holding hdlr('pict'), pitm, iinf
+    with version-2 infe items (av01/hvc1 image items plus an Exif
+    item on even docs), iprp = ipco property list (two ispe boxes,
+    one irot, one pixi) + ipma associations (the primary gets the
+    full-size ispe, the irot, and pixi; secondaries the half-size
+    ispe + pixi; the essential bit set on ispe/irot), an iloc with
+    4-byte offset/length fields whose item 2 splits into TWO extents,
+    and the mdat carrying the closed-form item payloads at the iloc's
+    absolute offsets."""
+
+    def _b(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    def _f(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+        return _b(tag, bytes((version,)) + flags.to_bytes(3, "big") + body)
+
+    n_img, w0, h0, rot = heif_params(doc_id)
+    avif = doc_id % 2 == 0
+    has_exif = doc_id % 2 == 0
+    items = list(range(1, n_img + 1))
+    exif_id = n_img + 1 if has_exif else None
+    all_ids = items + ([exif_id] if exif_id else [])
+    payloads = {i: heif_item_payload(doc_id, i) for i in all_ids}
+
+    ftyp = _b(
+        b"ftyp",
+        (b"avif" if avif else b"heic") + struct.pack(">I", 0)
+        + (b"avif" if avif else b"heic") + b"mif1" + b"miaf",
+    )
+    hdlr = _f(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"pict" + bytes(12) + b"graft\x00",
+    )
+    pitm = _f(b"pitm", 0, 0, struct.pack(">H", 1))
+    infes = b""
+    for i in all_ids:
+        itype = (
+            b"Exif" if i == exif_id
+            else (b"av01" if avif else b"hvc1")
+        )
+        infes += _f(
+            b"infe", 2, 0, struct.pack(">HH", i, 0) + itype + b"\x00"
+        )
+    iinf = _f(b"iinf", 0, 0, struct.pack(">H", len(all_ids)) + infes)
+    props = [
+        _f(b"ispe", 0, 0, struct.pack(">II", w0, h0)),
+        _f(b"ispe", 0, 0, struct.pack(">II", w0 // 2, h0 // 2)),
+        _b(b"irot", bytes((rot,))),
+        _f(b"pixi", 0, 0, bytes((3, 8, 8, 8))),
+    ]
+    ipco = _b(b"ipco", b"".join(props))
+    entries = b""
+    for i in items:
+        assoc = [0x80 | (1 if i == 1 else 2)]
+        if i == 1:
+            assoc.append(0x80 | 3)
+        assoc.append(4)
+        entries += struct.pack(">HB", i, len(assoc)) + bytes(assoc)
+    ipma = _f(
+        b"ipma", 0, 0, struct.pack(">I", len(items)) + entries
+    )
+    iprp = _b(b"iprp", ipco + ipma)
+
+    mdat_body = bytearray()
+    extents: dict[int, list[tuple[int, int]]] = {}
+    for i in all_ids:
+        p = payloads[i]
+        parts = [p[: len(p) // 2], p[len(p) // 2 :]] if i == 2 else [p]
+        ext = []
+        for part in parts:
+            ext.append((len(mdat_body), len(part)))
+            mdat_body += part
+        extents[i] = ext
+
+    def build_iloc(mdat_at: int) -> bytes:
+        body = bytes((0x44, 0x00)) + struct.pack(">H", len(all_ids))
+        for i in all_ids:
+            ext = extents[i]
+            body += struct.pack(">HHH", i, 0, len(ext))
+            for off, ln in ext:
+                body += struct.pack(">II", mdat_at + off, ln)
+        return _f(b"iloc", 0, 0, body)
+
+    # two passes: iloc size is offset-independent, so the second pass
+    # patches absolute offsets once meta's size is known
+    meta = _f(b"meta", 0, 0, hdlr + pitm + iinf + iprp + build_iloc(0))
+    mdat_at = len(ftyp) + len(meta) + 8
+    meta = _f(
+        b"meta", 0, 0, hdlr + pitm + iinf + iprp + build_iloc(mdat_at)
+    )
+    return ftyp + meta + _b(b"mdat", bytes(mdat_body))
+
+
 def make_mp4_bytes(doc_id: int) -> bytes:
     """Real ISO-BMFF / MP4 (ISO 14496-12): ftyp, a moov hierarchy with
     mvhd and two traks (an avc1 video track with a TWO-RUN stts and a

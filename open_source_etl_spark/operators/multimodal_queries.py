@@ -1197,6 +1197,84 @@ def multimodal_aac_adts_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_heif_box_walk",
+    # formulas mirror synth.heif_params / heif_item_payload:
+    # n_image_items = 1 + doc % 3 plus an Exif item on even docs;
+    # item i's payload is 16 + (doc+5i) % 24 bytes (doc+3i+j) % 256;
+    # the primary's ispe is (64 + 8*(doc%5), 48 + 8*(doc%4)) and its
+    # irot angle doc % 4; item 2 (when present) splits into two iloc
+    # extents; ipco always holds 4 properties.  The box framing,
+    # ipma bitfields, and iloc offset arithmetic have no closed form.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 3 AS n_img,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS exif,
+             64 + 8 * (doc_id % 5) AS w0,
+             48 + 8 * (doc_id % 4) AS h0,
+             doc_id % 4 AS rot
+      FROM documents
+    ),
+    items AS (
+      SELECT doc_id, ii.i AS i,
+             16 + (doc_id + 5 * ii.i) % 24 AS plen
+      FROM p,
+           LATERAL (
+             SELECT unnest(range(1, n_img + exif + 1)) AS i
+           ) ii
+    ),
+    sums AS (
+      SELECT i.doc_id,
+             SUM((i.doc_id + 3 * i.i + jj.j) % 256) AS psum
+      FROM items i,
+           LATERAL (SELECT unnest(range(0, plen)) AS j) jj
+      GROUP BY i.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(1 - p.doc_id % 2 AS BIGINT) AS is_avif,
+           CAST(n_img + exif AS BIGINT) AS n_items,
+           CAST(n_img AS BIGINT) AS n_image_items,
+           CAST(1 AS BIGINT) AS primary_id,
+           CAST(w0 AS BIGINT) AS primary_w,
+           CAST(h0 AS BIGINT) AS primary_h,
+           CAST(rot AS BIGINT) AS rot,
+           CAST(s.psum AS BIGINT) AS payload_sum,
+           CAST(n_img + exif
+                + CASE WHEN n_img + exif >= 2 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_extents,
+           CAST(4 AS BIGINT) AS n_props
+    FROM p JOIN sums s ON p.doc_id = s.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_heif_box_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HEIF/AVIF still-image containers (ISO/IEC 23008-12 over the
+    14496-12 box layer) — the image format modern crawls increasingly
+    carry (iPhone HEIC photos, AVIF web images): the ftyp brand gate
+    (avif/heic major, mif1 compatible), the meta full-box with its
+    'pict' handler, pitm primary-item selection, iinf's version-2
+    infe item records (av01/hvc1 image items beside an Exif metadata
+    item; protected items reject), the iprp PROPERTY system — ipco's
+    property list (ispe dimensions, irot rotation, pixi bit depths)
+    with ipma's per-item association bitfields, every referenced
+    index bounds-checked — and iloc item location with multi-extent
+    items, inline data references only, every extent bounds-checked
+    and its mdat payload summed.  iinf/iloc item counts cross-check;
+    codec payload decode (av01/hvc1 bitstreams) is the declared
+    boundary — this is the container layer a pipeline needs to
+    extract, route, and dedup such items.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_heif, synthesize_heif
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_heif(synthesize_heif(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_mp4_box_walk",
     # formulas mirror synth.mp4_track_samples: the video track has
     # 5 + doc % 6 samples (first half at 33 + doc % 3 ms, the rest at
