@@ -9078,7 +9078,18 @@ def decode_bmp_rle8(media_df: DataFrame) -> DataFrame:
                 tuple(raw[pal_at + 4 * i : pal_at + 4 * i + 3])  # B, G, R
                 for i in range(n_pal)
             ]
-            img = [[0] * width for _ in range(height)]
+            # the emitted stats need only per-palette-index pixel
+            # COUNTS plus the two probe pixels — RLE never overwrites
+            # a pixel (the cursor only advances), so runs accumulate
+            # counts in O(runs), absolute segments through a C-speed
+            # Counter, and unwritten pixels settle to index 0 at the
+            # end; no O(width*height) image materializes
+            from collections import Counter
+
+            counts = [0] * n_pal
+            # probes: top-left = storage row height-1 col 0,
+            # bottom-right = storage row 0 col width-1 (bottom-up)
+            tl = br = 0
             pos, x, y = offset, 0, 0  # y counts storage rows (bottom-up)
             ended = False
             while pos < len(raw):
@@ -9107,14 +9118,17 @@ def decode_bmp_rle8(media_df: DataFrame) -> DataFrame:
                             raise ValueError(
                                 f"doc {doc_id}: truncated absolute run"
                             )
-                        row = img[height - 1 - y]
-                        for i, v in enumerate(seg):
-                            if v >= n_pal:
-                                raise ValueError(
-                                    f"doc {doc_id}: palette index {v} "
-                                    f"out of range"
-                                )
-                            row[x + i] = v
+                        if max(seg) >= n_pal:
+                            raise ValueError(
+                                f"doc {doc_id}: palette index "
+                                f"{max(seg)} out of range"
+                            )
+                        for v, c in Counter(seg).items():
+                            counts[v] += c
+                        if y == height - 1 and x == 0:
+                            tl = seg[0]
+                        if y == 0 and x <= width - 1 < x + b1:
+                            br = seg[width - 1 - x]
                         x += b1
                         pos += b1 + (b1 % 2)  # word-boundary padding
                 else:  # encoded run: b0 copies of index b1
@@ -9126,25 +9140,34 @@ def decode_bmp_rle8(media_df: DataFrame) -> DataFrame:
                         raise ValueError(
                             f"doc {doc_id}: palette index {b1} out of range"
                         )
-                    row = img[height - 1 - y]
-                    for i in range(b0):
-                        row[x + i] = b1
+                    counts[b1] += b0
+                    if y == height - 1 and x == 0:
+                        tl = b1
+                    if y == 0 and x <= width - 1 < x + b0:
+                        br = b1
                     x += b0
             if not ended:
                 raise ValueError(f"doc {doc_id}: missing end-of-bitmap escape")
             if pos != len(raw):
                 raise ValueError(f"doc {doc_id}: trailing bytes after bitmap")
-            tr = tg = tb = 0
-            for row in img:
-                for v in row:
-                    b, g, r = palette[v]
-                    tr += r
-                    tg += g
-                    tb += b
             n_px = width * height
+            written = sum(counts)
+            if written > n_px:
+                raise ValueError(
+                    f"doc {doc_id}: RLE writes {written} pixels into "
+                    f"a {n_px}-pixel bitmap"
+                )
+            counts[0] += n_px - written  # undefined pixels are index 0
+            tr = tg = tb = 0
+            for v, c in enumerate(counts):
+                if c:
+                    b, g, r = palette[v]
+                    tr += r * c
+                    tg += g * c
+                    tb += b * c
             return (
                 width, height, tr // n_px, tg // n_px, tb // n_px,
-                palette[img[0][0]][2], palette[img[-1][-1]][2],
+                palette[tl][2], palette[br][2],
             )
 
         cols = (
