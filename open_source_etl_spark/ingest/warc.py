@@ -82,11 +82,27 @@ def make_warc_bytes(doc_id: int, text: str) -> bytes:
         body_text = ("WARC/1.0 " if k == 0 else "") + text[start : start + length]
         body = f"<html><body>{body_text}</body></html>".encode()
         reason = "OK" if status == 200 else "Not Found"
-        http = (
-            f"HTTP/1.1 {status} {reason}\r\n"
-            f"Content-Type: text/html\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n"
-        ).encode() + body
+        if (doc_id + k) % 3 == 1:
+            # chunked transfer coding (RFC 9112 §7.1) — the body shape
+            # crawled HTTP responses actually arrive in; the first
+            # chunk keeps the embedded-magic trap contiguous
+            cut = max(16, len(body) // 2)
+            chunks = [body[:cut], body[cut:]]
+            wire = b"".join(
+                f"{len(c):x}\r\n".encode() + c + b"\r\n"
+                for c in chunks if c
+            ) + b"0\r\n\r\n"
+            http = (
+                f"HTTP/1.1 {status} {reason}\r\n"
+                f"Content-Type: text/html\r\n"
+                f"Transfer-Encoding: chunked\r\n\r\n"
+            ).encode() + wire
+        else:
+            http = (
+                f"HTTP/1.1 {status} {reason}\r\n"
+                f"Content-Type: text/html\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
         out.append(record("response", uri, http))
     if doc_id % 2:
         import gzip
@@ -152,6 +168,48 @@ def parse_warc(doc_id: int, raw: bytes) -> tuple[int, int, int, int, int]:
     return _parse_warc_records(doc_id, raw)
 
 
+def _dechunk(doc_id: int, body: bytes) -> bytes:
+    """Decode an RFC 9112 §7.1 chunked body: hex chunk-size lines
+    (chunk extensions after ';' ignored), each chunk closed by CRLF,
+    the stream closed by the zero chunk; trailers are not consumed
+    (the WARC Content-Length already bounded the body).  Bad sizes,
+    missing CRLFs, truncation, or bytes after the terminator raise."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError(
+                f"doc {doc_id}: chunked body missing a size line"
+            )
+        size_field = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            raise ValueError(
+                f"doc {doc_id}: bad chunk size {size_field!r}"
+            ) from None
+        pos = eol + 2
+        if size == 0:
+            if body[pos : pos + 2] != b"\r\n":
+                raise ValueError(
+                    f"doc {doc_id}: chunked body missing its final CRLF"
+                )
+            if body[pos + 2 :]:
+                raise ValueError(
+                    f"doc {doc_id}: bytes after the last chunk"
+                )
+            return bytes(out)
+        if pos + size + 2 > len(body):
+            raise ValueError(f"doc {doc_id}: truncated chunk")
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError(
+                f"doc {doc_id}: chunk not closed by CRLF"
+            )
+        pos += size + 2
+
+
 def _parse_warc_records(
     doc_id: int, raw: bytes
 ) -> tuple[int, int, int, int, int]:
@@ -193,9 +251,21 @@ def _parse_warc_records(
                 raise ValueError(f"doc {doc_id}: response without HTTP head")
             status_line = payload[: payload.find(b"\r\n")].decode()
             status = int(status_line.split(" ")[1])
+            http_fields = {}
+            for line in payload[:http_end].decode(
+                "utf-8", "strict"
+            ).split("\r\n")[1:]:
+                name, _, value = line.partition(":")
+                http_fields[name.strip().lower()] = value.strip()
             if status == 200:
                 n_ok += 1
-                html = payload[http_end + 4 :].decode("utf-8", "strict")
+                body = payload[http_end + 4 :]
+                if (
+                    http_fields.get("transfer-encoding", "").lower()
+                    == "chunked"
+                ):
+                    body = _dechunk(doc_id, body)
+                html = body.decode("utf-8", "strict")
                 text_chars += len(strip_html_text(html))
         pos = body_at + length + 4
     if n_records == 0:

@@ -1488,6 +1488,9 @@ def datapipe_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     record by record strictly by ``Content-Length`` (one body embeds a
     literal ``WARC/1.0`` marker, so magic-rescanning parsers miscount),
     split warcinfo/request/response types, parse HTTP status lines,
+    DE-CHUNK responses shipped with ``Transfer-Encoding: chunked``
+    (RFC 9112 §7.1 — hex size lines, extensions ignored, the zero
+    terminator enforced; every third page arrives chunked),
     and strip HTML tags from 200 responses to count visible text.
     Odd docs arrive as ``.warc.gz`` in the Common Crawl layout — every
     record its own gzip member (trailers verified, exactly one record

@@ -1307,3 +1307,46 @@ def test_snappy_codec_roundtrips_and_rejects():
     s = bytes((5,)) + bytes((0 << 2,)) + b"A" + bytes(((2 << 2) | 2,))
     with pytest.raises(ValueError, match="truncated"):
         snappy_decompress(0, s)
+
+
+def test_warc_chunked_transfer_encoding():
+    """Responses with (doc+k) % 3 == 1 ship chunked bodies (RFC 9112
+    §7.1): the walker de-chunks before text extraction (totals match
+    the Content-Length form's closed forms), chunk extensions are
+    tolerated, and the checks fire — a bad hex size, a chunk not
+    closed by CRLF, a missing terminator, and trailing bytes."""
+    import pytest
+
+    from open_source_etl_spark.ingest.warc import (
+        _dechunk,
+        make_warc_bytes,
+        parse_warc,
+    )
+
+    text = "w" * 180
+    # doc 4 page 0 is chunked ((4+0)%3==1); totals must match a doc
+    # whose pages are all Content-Length (doc 6: (6+k)%3 in {0,1,2}
+    # -> page 1 chunked) — i.e. both parse cleanly with the same
+    # closed-form text accounting as before
+    for d in (1, 4, 6, 7):
+        raw = make_warc_bytes(d, text)
+        n_records, n_resp, n_ok, chars, _payload = parse_warc(d, raw)
+        assert n_records == 1 + 2 * (2 + d % 3)
+        assert n_resp == 2 + d % 3
+        assert chars > 0
+    # the wire genuinely contains a chunked response
+    assert b"Transfer-Encoding: chunked" in make_warc_bytes(4, text)
+
+    # dechunk unit behavior: extensions ignored, exact reassembly
+    assert _dechunk(0, b"4;ext=1\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n") \
+        == b"Wikipedia"
+    with pytest.raises(ValueError, match="bad chunk size"):
+        _dechunk(0, b"zz\r\nxx\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="not closed by CRLF"):
+        _dechunk(0, b"4\r\nWikiXX0\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated chunk"):
+        _dechunk(0, b"ff\r\nshort\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="missing a size line"):
+        _dechunk(0, b"4\r\nWiki\r\n")
+    with pytest.raises(ValueError, match="after the last chunk"):
+        _dechunk(0, b"4\r\nWiki\r\n0\r\n\r\nEXTRA")
