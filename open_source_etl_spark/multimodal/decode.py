@@ -7536,10 +7536,14 @@ def parse_webm(
     size, EBML-header DocType validation, TrackEntry
     number/type/codec parses, and per-cluster SimpleBlock decode —
     vint track number, 2-byte signed relative timestamp, keyframe
-    flag, lacing REJECTED as the declared stub — with the Info
-    Duration cross-checked against the maximum decoded absolute block
-    timestamp.  Codec payloads stay opaque (VP9/Opus decode is the
-    stub); BlockGroups and non-millisecond TimestampScales raise."""
+    flag, and ALL THREE LACING forms (Xiph 255-run sizes, EBML
+    signed-vint delta sizes, fixed equal-split), each frame count and
+    size set validated to tile the block payload exactly — with the
+    Info Duration cross-checked against the maximum decoded absolute
+    block timestamp.  Returns an extra n_frames beside n_blocks
+    (laced blocks carry several frames at one timestamp).  Codec
+    payloads stay opaque (VP9/Opus decode is the stub); BlockGroups
+    and non-millisecond TimestampScales raise."""
 
     def vint(at: int, strip: bool) -> tuple[int, int]:
         if at >= len(raw):
@@ -7592,7 +7596,7 @@ def parse_webm(
         raise ValueError(f"doc {doc_id}: Segment size disagrees with EOF")
 
     n_tracks = n_video = n_clusters = n_blocks = n_keys = 0
-    sum_abs_ts = payload_bytes = 0
+    n_frames = sum_abs_ts = payload_bytes = 0
     duration_ms = None
     max_ts = None
     for eid, s, e in walk(at, len(raw)):
@@ -7650,10 +7654,6 @@ def parse_webm(
                         )
                     (rel,) = struct.unpack_from(">h", raw, p)
                     flags = raw[p + 2]
-                    if flags & 0x06:
-                        raise NotImplementedError(
-                            "laced SimpleBlocks not implemented"
-                        )
                     if track not in (1, 2):
                         raise ValueError(
                             f"doc {doc_id}: block for unknown track "
@@ -7666,7 +7666,66 @@ def parse_webm(
                     max_ts = (
                         abs_ts if max_ts is None else max(max_ts, abs_ts)
                     )
-                    payload_bytes += be - (p + 3)
+                    lace = (flags >> 1) & 3
+                    q = p + 3
+                    if lace == 0:
+                        n_frames += 1
+                        payload_bytes += be - q
+                        continue
+                    # laced block: frame-count byte then per-form
+                    # size headers; sizes must tile the payload
+                    if q >= be:
+                        raise ValueError(
+                            f"doc {doc_id}: laced block missing its "
+                            "frame count"
+                        )
+                    nf = raw[q] + 1
+                    q += 1
+                    sizes: list[int] = []
+                    if lace == 1:  # Xiph: 255-run coded sizes
+                        for _f in range(nf - 1):
+                            sz = 0
+                            while True:
+                                if q >= be:
+                                    raise ValueError(
+                                        f"doc {doc_id}: truncated "
+                                        "Xiph lace sizes"
+                                    )
+                                bb = raw[q]
+                                q += 1
+                                sz += bb
+                                if bb != 255:
+                                    break
+                            sizes.append(sz)
+                    elif lace == 3:  # EBML: vint + signed-vint deltas
+                        first, q = vint(q, strip=True)
+                        sizes.append(first)
+                        for _f in range(1, nf - 1):
+                            v, q2 = vint(q, strip=True)
+                            ln = q2 - q
+                            delta = v - ((1 << (7 * ln - 1)) - 1)
+                            sizes.append(sizes[-1] + delta)
+                            q = q2
+                    # lace == 2 (fixed): no size header
+                    remaining = be - q
+                    if lace == 2:
+                        if nf <= 0 or remaining % nf:
+                            raise ValueError(
+                                f"doc {doc_id}: fixed lacing does "
+                                f"not split {remaining} bytes into "
+                                f"{nf} frames"
+                            )
+                        sizes = [remaining // nf] * nf
+                    else:
+                        last = remaining - sum(sizes)
+                        sizes.append(last)
+                    if any(sz <= 0 for sz in sizes) or sum(sizes) != remaining:
+                        raise ValueError(
+                            f"doc {doc_id}: lace sizes do not tile "
+                            "the block payload"
+                        )
+                    n_frames += nf
+                    payload_bytes += remaining
                 elif ei == 0xA0:
                     raise NotImplementedError(
                         "BlockGroup clusters not implemented "
@@ -7681,14 +7740,14 @@ def parse_webm(
             f"timestamp {max_ts}"
         )
     return (
-        n_tracks, n_video, n_clusters, n_blocks, n_keys,
+        n_tracks, n_video, n_clusters, n_blocks, n_frames, n_keys,
         sum_abs_ts, payload_bytes, duration_ms,
     )
 
 
 WEBM_SCHEMA = (
     "doc_id long, n_tracks long, n_video_tracks long, n_clusters long, "
-    "n_blocks long, n_keyframes long, sum_abs_ts long, "
+    "n_blocks long, n_frames long, n_keyframes long, sum_abs_ts long, "
     "payload_bytes long, duration_ms long"
 )
 
@@ -7726,8 +7785,8 @@ def decode_webm(media_df: DataFrame) -> DataFrame:
 
         cols = (
             "doc_id", "n_tracks", "n_video_tracks", "n_clusters",
-            "n_blocks", "n_keyframes", "sum_abs_ts", "payload_bytes",
-            "duration_ms",
+            "n_blocks", "n_frames", "n_keyframes", "sum_abs_ts",
+            "payload_bytes", "duration_ms",
         )
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}

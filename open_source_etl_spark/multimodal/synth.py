@@ -3808,6 +3808,24 @@ def webm_blocks(doc_id: int, c: int) -> list[tuple[int, int, int, int]]:
     return out
 
 
+def webm_lacing(doc_id: int, c: int, b: int) -> tuple[int, list[int]]:
+    """Block b of cluster c's lacing: (lace_type, frame_sizes).
+    lace_type 0 = none (single frame of the block's payload_len),
+    1 = Xiph, 3 = EBML, 2 = fixed — laced when (doc+c+b) % 5 == 4,
+    carrying 2 + (doc+b) % 3 frames; fixed lacing repeats the block's
+    payload_len, the other forms size frame f as 4 + (doc+b+f) % 6."""
+    plen = 4 + (doc_id + b) % 6
+    if (doc_id + c + b) % 5 != 4:
+        return 0, [plen]
+    n_frames = 2 + (doc_id + b) % 3
+    lace = (1, 3, 2)[(doc_id + c) % 3]
+    if lace == 2:  # fixed: equal sizes
+        return 2, [plen] * n_frames
+    return lace, [
+        4 + (doc_id + b + f) % 6 for f in range(n_frames)
+    ]
+
+
 def id3_fields(doc_id: int) -> tuple[int, str, str, str, int, int]:
     """(version, title, artist, album, track, year) closed forms."""
     return (
@@ -4534,12 +4552,37 @@ def make_webm_bytes(doc_id: int) -> bytes:
     clusters = b""
     for c in range(n_clusters):
         body = _ebml_uint(0xE7, c * 1000 + ts_base)  # Timestamp
-        for track, rel, key, plen in webm_blocks(doc_id, c):
-            payload = bytes((doc_id + track + j) % 256 for j in range(plen))
+        for b, (track, rel, key, _plen) in enumerate(
+            webm_blocks(doc_id, c)
+        ):
+            lace, sizes = webm_lacing(doc_id, c, b)
+            total = sum(sizes)
+            payload = bytes(
+                (doc_id + track + j) % 256 for j in range(total)
+            )
+            flags = (0x80 if key else 0x00) | (lace << 1)
+            head = b""
+            if lace:
+                head = bytes((len(sizes) - 1,))
+                if lace == 1:  # Xiph: 255-run coded sizes
+                    for sz in sizes[:-1]:
+                        runs = b""
+                        while sz >= 255:
+                            runs += bytes((255,))
+                            sz -= 255
+                        runs += bytes((sz,))
+                        head += runs
+                elif lace == 3:  # EBML: vint + 1-byte signed deltas
+                    head += ebml_vint_size(sizes[0])
+                    for f in range(1, len(sizes) - 1):
+                        delta = sizes[f] - sizes[f - 1]
+                        head += bytes((0x80 | (delta + 63),))
+                # lace == 2 (fixed): count byte only
             block = (
                 ebml_vint_size(track)
                 + struct.pack(">h", rel)
-                + bytes([0x80 if key else 0x00])
+                + bytes([flags])
+                + head
                 + payload
             )
             body += _ebml(0xA3, block)  # SimpleBlock

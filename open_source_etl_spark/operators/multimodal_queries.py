@@ -1359,13 +1359,16 @@ def multimodal_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_webm_ebml_walk",
-    # formulas mirror synth.webm_params / webm_blocks: 2 + doc % 3
-    # clusters at timestamps c*1000 + doc % 100; cluster c carries
-    # 3 + (doc+c) % 4 SimpleBlocks with relative timestamps
-    # b*(doc % 7 + 1), keyframe when (doc+c+b) % 3 = 0, payloads of
-    # 4 + (doc+b) % 6 bytes; Duration = the last cluster's maximum
-    # absolute timestamp.  The EBML vint layer, element tree, and
-    # block framing have no closed form — Spark must walk them.
+    # formulas mirror synth.webm_params / webm_blocks / webm_lacing:
+    # 2 + doc % 3 clusters at timestamps c*1000 + doc % 100; cluster
+    # c carries 3 + (doc+c) % 4 SimpleBlocks with relative timestamps
+    # b*(doc % 7 + 1), keyframe when (doc+c+b) % 3 = 0.  Blocks with
+    # (doc+c+b) % 5 = 4 are LACED with 2 + (doc+b) % 3 frames —
+    # fixed lacing ((doc+c) % 3 = 2) repeats the 4 + (doc+b) % 6
+    # payload length, Xiph/EBML size frame f as 4 + (doc+b+f) % 6;
+    # unlaced blocks carry one 4 + (doc+b) % 6 frame.  Duration = the
+    # last cluster's maximum absolute timestamp.  The EBML vint
+    # layer, element tree, and lacing headers have no closed form.
     oracle="""
     WITH p AS (
       SELECT doc_id, 2 + doc_id % 3 AS nc, doc_id % 100 AS ts_base,
@@ -1377,24 +1380,39 @@ def multimodal_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
              cc.c * 1000 + ts_base + bb.b * step AS abs_ts,
              CASE WHEN (p.doc_id + cc.c + bb.b) % 3 = 0 THEN 1
                   ELSE 0 END AS key,
-             4 + (p.doc_id + bb.b) % 6 AS plen
+             CASE WHEN (p.doc_id + cc.c + bb.b) % 5 = 4
+                  THEN 2 + (p.doc_id + bb.b) % 3 ELSE 1
+             END AS nf,
+             CASE WHEN (p.doc_id + cc.c + bb.b) % 5 = 4
+                       AND (p.doc_id + cc.c) % 3 = 2
+                  THEN 1 ELSE 0 END AS fixed_lace
       FROM p,
            LATERAL (SELECT unnest(range(0, nc)) AS c) cc,
            LATERAL (SELECT unnest(range(0,
                      3 + (p.doc_id + cc.c) % 4)) AS b) bb
+    ),
+    fr AS (
+      SELECT doc_id, c, b, abs_ts, key, nf,
+             SUM(CASE WHEN fixed_lace = 1
+                      THEN 4 + (doc_id + b) % 6
+                      ELSE 4 + (doc_id + b + ff.f) % 6
+                 END) AS plen
+      FROM blk, LATERAL (SELECT unnest(range(0, nf)) AS f) ff
+      GROUP BY doc_id, c, b, abs_ts, key, nf
     )
     SELECT p.doc_id,
            CAST(2 AS BIGINT) AS n_tracks,
            CAST(1 AS BIGINT) AS n_video_tracks,
            CAST(p.nc AS BIGINT) AS n_clusters,
            CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(nf) AS BIGINT) AS n_frames,
            CAST(SUM(key) AS BIGINT) AS n_keyframes,
            CAST(SUM(abs_ts) AS BIGINT) AS sum_abs_ts,
            CAST(SUM(plen) AS BIGINT) AS payload_bytes,
            CAST((p.nc - 1) * 1000 + p.ts_base
                 + (2 + (p.doc_id + p.nc - 1) % 4) * p.step
                 AS BIGINT) AS duration_ms
-    FROM p JOIN blk ON p.doc_id = blk.doc_id
+    FROM p JOIN fr ON p.doc_id = fr.doc_id
     GROUP BY p.doc_id, p.nc, p.ts_base, p.step
     ORDER BY p.doc_id
     """,
@@ -1408,10 +1426,13 @@ def multimodal_webm_ebml_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TrackEntry parses (a VP9 video and an Opus audio track), and
     per-cluster SimpleBlock decode — vint track numbers validated
     against the track set, signed relative timestamps against the
-    cluster Timestamp, keyframe flags — with the Info Duration
-    cross-checked against the maximum decoded absolute timestamp.
-    Declared stubs: unknown-size elements (live-muxer output), laced
-    SimpleBlocks, BlockGroups, non-millisecond TimestampScales, and
+    cluster Timestamp, keyframe flags, and ALL THREE LACING forms
+    (Xiph 255-run sizes, EBML signed-vint delta sizes, fixed
+    equal-split — each frame set validated to tile the block payload
+    exactly; every fifth block arrives laced) — with the Info
+    Duration cross-checked against the maximum decoded absolute
+    timestamp.  Declared stubs: unknown-size elements (live-muxer
+    output), BlockGroups, non-millisecond TimestampScales, and
     the codec payloads themselves.  Reference scope note: the
     reference delegates all media handling to its warehouse; this
     query is part of the training-data-pipeline surface the brief
