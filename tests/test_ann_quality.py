@@ -41,6 +41,54 @@ def test_ivf_query_reports_floor_met(spark, queries):
     assert len(rows) == 1 and rows[0].recall_floor_met is True
 
 
+def test_pq_recall_floor(spark, queries, exact_top10):
+    """Product quantization: codebook fidelity must keep ADC ordering
+    informative — recall@10 after the scaled exact re-rank stays at
+    or above the registered 0.5 floor (measured 0.7-0.9)."""
+    from open_source_etl_spark.operators.llm_similarity import _pq_topk
+
+    pq = {r.vec_id for r in _pq_topk(spark, SF).collect()}
+    recall = len(exact_top10 & pq) / len(exact_top10)
+    assert recall >= 0.5, f"PQ recall@10 collapsed: {recall}"
+
+
+def test_pq_query_reports_floor_met(spark, queries):
+    rows = queries["ann_pq_search"](spark, SF).collect()
+    assert len(rows) == 1 and rows[0].recall_floor_met is True
+
+
+def test_pq_codes_compress(spark, queries):
+    """The code table really is m codes per vector over a ksub-sized
+    codebook: every (sub, cell) lies in range and each vector carries
+    exactly m code rows."""
+    from pyspark.sql import functions as F
+
+    from open_source_etl_spark.operators.llm_similarity import (
+        _pq_assign,
+        _pq_centroid_means,
+        _pq_subrows,
+    )
+    from open_source_etl_spark.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+    subrows = _pq_subrows(emb, 8, 8)
+    codebook = _pq_centroid_means(
+        subrows.withColumn("cell", F.col("vec_id") % 16)
+    )
+    codes = _pq_assign(subrows, codebook).select("vec_id", "sub", "cell")
+    stats = codes.agg(
+        F.countDistinct("sub").alias("n_subs"),
+        F.max("cell").alias("max_cell"),
+        F.min("cell").alias("min_cell"),
+        (F.count("*") / F.countDistinct("vec_id")).alias("per_vec"),
+    ).collect()[0]
+    assert stats.n_subs == 8
+    assert 0 <= stats.min_cell and stats.max_cell <= 15
+    assert stats.per_vec == 8.0
+
+
 def test_lsh_recall_floor(spark, queries, exact_top10):
     from open_source_etl_spark.operators.llm_similarity import _lsh_topk
 
