@@ -322,6 +322,88 @@ def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("euclidean_dist", "vec_id")
 
 
+@query(
+    "ann_hamming_binarized",
+    # both engines binarize identically (bit i set iff dim i > 0,
+    # packed into two 32-bit words inside signed bigints) and Hamming
+    # distance is pure integer bit_count(xor) — an EXACT row-set
+    # oracle, unlike the k-means-based ANN pins
+    oracle="""
+    WITH bits AS (
+      SELECT vec_id, label,
+             SUM(CASE WHEN o <= 32 AND v > 0
+                      THEN (CAST(1 AS BIGINT) << (o - 1)) ELSE 0
+                 END) AS lo,
+             SUM(CASE WHEN o > 32 AND v > 0
+                      THEN (CAST(1 AS BIGINT) << (o - 33)) ELSE 0
+                 END) AS hi
+      FROM (
+        SELECT vec_id, label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS o
+        FROM embeddings WHERE len(embedding) = 64
+      )
+      GROUP BY vec_id, label
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi FROM bits WHERE vec_id = 0)
+    SELECT b.vec_id, b.label,
+           CAST(bit_count(xor(b.lo, qlo)) + bit_count(xor(b.hi, qhi))
+                AS BIGINT) AS hamming
+    FROM bits b, q
+    WHERE b.vec_id <> 0
+    ORDER BY hamming, b.vec_id
+    LIMIT 10
+    """,
+)
+def ann_hamming_binarized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binarized (sign-bit) embedding search — the 32x compression
+    trick billion-scale retrieval stacks use for first-stage
+    candidate generation: each 64-dim vector packs into 64 sign bits
+    (two 32-bit words held in bigints, built JVM-side by one
+    ``aggregate`` over the dims — no UDF), and neighbor ranking is
+    pure integer ``bit_count(xor)`` Hamming distance against the
+    query's code.  Top-10 by distance with deterministic vec_id
+    tie-breaks, so the DuckDB oracle checks the EXACT row set — no
+    recall pin needed.  At 100 TB the code column is 8 bytes/vector,
+    the scan is bitwise ops inside codegen, and the full-width
+    embeddings are touched only by the (separate) re-rank stage."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+
+    def pack(lo_dim: int) -> Column:
+        # Horner form over DESCENDING dims: acc*2 + sign bit — no
+        # per-element shift amount needed (shiftleft takes a literal)
+        return F.aggregate(
+            F.sequence(F.lit(31), F.lit(0), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(
+                F.element_at("embedding", i + lo_dim + 1) > 0, 1
+            ).otherwise(0).cast("long"),
+        )
+
+    bits = emb.select(
+        "vec_id", "label",
+        pack(0).alias("lo"), pack(32).alias("hi"),
+    )
+    q = bits.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    return (
+        bits.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            ).cast("long").alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )
+
+
 def _pq_subrows(emb: DataFrame, m: int, sub_d: int) -> DataFrame:
     """(vec_id, sub, subvec) rows: each vector split into m
     contiguous subspaces of sub_d dims — one narrow explode, no
