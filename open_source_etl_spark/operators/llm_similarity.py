@@ -323,6 +323,124 @@ def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retrieval_rrf_fusion",
+    # Reciprocal Rank Fusion over two retrieval lists: the lexical
+    # top-20 (BM25, the text_bm25_retrieval scorer) and the vector
+    # top-20 (exact cosine vs vec 0, the knn baseline).  Ranks come
+    # from ROUNDED scores with id tiebreaks, so they are integers on
+    # both engines; the fused score 1/(60+r_a) + 1/(60+r_b) rounds
+    # at 6dp for the final EXACT row-set comparison.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+      WHERE tok IN ('spark', 'join', 'vector')
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), bm25 AS (
+      SELECT tf.doc_id AS doc_id, ROUND(SUM(
+               LN(1 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+             ), 6) AS s
+      FROM tf JOIN df ON tf.tok = df.tok
+      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM bm25 QUALIFY r <= 15
+    ), q AS (
+      SELECT unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS o
+      FROM embeddings WHERE vec_id = 0 AND len(embedding) > 0
+    ), cos AS (
+      SELECT c.vec_id AS doc_id,
+             ROUND(SUM(CAST(c.v AS DOUBLE) * CAST(q.v AS DOUBLE)), 6)
+               AS s
+      FROM (
+        SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS o
+        FROM embeddings WHERE vec_id <> 0 AND len(embedding) > 0
+      ) c JOIN q ON c.o = q.o
+      GROUP BY c.vec_id
+    ), vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM cos QUALIFY r <= 15
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(1.0 / (60 + lex.r), 0)
+                 + COALESCE(1.0 / (60 + vec.r), 0), 6) AS rrf,
+           CAST(COALESCE(lex.r, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(vec.r, 0) AS BIGINT) AS vec_rank
+    FROM lex FULL JOIN vec USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion — the standard hybrid-retrieval merge
+    every RAG stack runs between its lexical and vector indexes:
+    take the BM25 top-15 (the text_bm25_retrieval scorer over a
+    fixed query) and the exact-cosine top-15 (vs vec 0), and fuse by
+    score(d) = sum over lists of 1/(60 + rank_d) — rank-based, so
+    incomparable score scales never need calibration.  Ranks come
+    from rounded scores with deterministic tiebreaks, making the
+    fused top-10 an EXACT row-set oracle.  Scale: both input lists
+    are top-k (tiny); the fusion is a broadcast-sized full join —
+    the expensive parts are the upstream retrievals this query
+    shares with their standalone operators."""
+    from .llm_text import text_bm25_retrieval
+
+    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    lex = (
+        text_bm25_retrieval(spark, sf_dir)
+        .withColumnRenamed("bm25", "s")
+        .select("doc_id", F.row_number().over(w).alias("lex_r"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot("embedding", "qv"), 6).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(15)
+        .select("doc_id", F.row_number().over(w).alias("vec_r"))
+    )
+    fused = (
+        lex.join(cos, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("lex_r")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vec_r")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.coalesce("lex_r", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("vec_r", F.lit(0)).cast("long").alias("vec_rank"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@query(
     "ann_hamming_binarized",
     # both engines binarize identically (bit i set iff dim i > 0,
     # packed into two 32-bit words inside signed bigints) and Hamming

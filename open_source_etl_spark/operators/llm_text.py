@@ -373,6 +373,106 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bm25_retrieval",
+    # Okapi BM25 with the Lucene IDF (ln(1 + (N-df+.5)/(df+.5))),
+    # k1 = 1.2, b = 0.75, a fixed three-term query.  avgdl and the
+    # per-term scores are pure functions of integer tf/df/dl inputs,
+    # so both engines' doubles agree; rank on the ROUNDED score with
+    # a doc_id tiebreak (the tfidf precedent).
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+      WHERE tok IN ('spark', 'join', 'vector')
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               LN(1 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+             ) AS s
+      FROM tf
+      JOIN df ON tf.tok = df.tok
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(s, 6) AS bm25
+    FROM scored
+    ORDER BY ROUND(s, 6) DESC, doc_id
+    LIMIT 15
+    """,
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval — the first-stage scorer of every
+    hybrid RAG stack beside the vector index: per-document term
+    frequencies for a fixed query, Lucene-variant IDF
+    ln(1 + (N-df+0.5)/(df+0.5)) so scores stay positive, and the
+    k1/b length normalization (1.2 / 0.75) against the corpus's
+    average document length.  Top-15 by rounded score with
+    deterministic tiebreaks — an EXACT row-set oracle.  Scale: one
+    token explode feeding two grouped aggregations (tf filtered to
+    the query terms BEFORE the shuffle, so the exchange carries only
+    query-term hits), document lengths as a side aggregate, and a
+    broadcast of the tiny (term, df) frame — the classic
+    inverted-index probe shape without materializing the index."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    terms = ["spark", "join", "vector"]
+    tf = (
+        tok.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf") * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("s", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+@query(
     "text_tfidf_top_terms",
     # rank on the ROUNDED score (6dp) with a token tiebreak: LN() may
     # differ in the last ulp across libm implementations, and ranking the
