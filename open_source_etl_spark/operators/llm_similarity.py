@@ -679,14 +679,12 @@ def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic embeddings (tests/test_ann_quality.py pins the same
     floor); the neighbor list itself stays engine-specific (codebook
     math), hence the pin rather than a row-set oracle."""
-    exact = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter((F.size("embedding") == 64) & (F.col("vec_id") != 0))
+    emb64 = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
     )
-    qv = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter((F.col("vec_id") == 0) & (F.size("embedding") == 64))
-        .select(F.col("embedding").alias("qv"))
+    exact = emb64.filter(F.col("vec_id") != 0)
+    qv = emb64.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
     )
     exact_top = (
         exact.crossJoin(F.broadcast(qv))
