@@ -2017,6 +2017,80 @@ def datapipe_zstd_dict_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "datapipe_sliding_chunks",
+    # size-32 chunks at stride 24 (8-token overlap): chunk i spans
+    # tokens [24i, 24i+32); chunks start while 24i < n_tokens; both
+    # engines emit (doc, chunk_idx, token count, first token) rows —
+    # pure integer boundary math plus one array index, an EXACT
+    # row-set oracle.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id < 60
+    ),
+    chunks AS (
+      SELECT doc_id, cc.i AS chunk_idx,
+             LEAST(32, len(w) - 24 * cc.i) AS chunk_tokens,
+             w[24 * cc.i + 1] AS first_tok
+      FROM t,
+           LATERAL (
+             SELECT unnest(range(0,
+               CAST(CEIL(GREATEST(len(w) - 8, 1) / 24.0) AS BIGINT)
+             )) AS i
+           ) cc
+      WHERE 24 * cc.i < len(w)
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_tokens AS BIGINT) AS chunk_tokens, first_tok
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def datapipe_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the RAG-standard
+    document splitter (beside the pack/greedy-pack operators, which
+    CONCATENATE for pretraining; this one SPLITS for retrieval):
+    size-32 token chunks at stride 24, so consecutive chunks share an
+    8-token overlap and no token is more than one boundary from a
+    chunk interior.  Emits one row per (doc, chunk) with the chunk's
+    token count and first token — exact row-set checked.  Scale: one
+    tokenize + a per-row sequence explode, no shuffle at all until a
+    downstream consumer groups; chunk boundaries are pure integer
+    functions of the token count, so the operator is deterministic
+    under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 60
+    )
+    t = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    ).withColumn("n", F.size("w"))
+    return (
+        t.select(
+            "doc_id", "w", "n",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.greatest(F.col("n") - 8, F.lit(1)) - 1) / 24)
+                    .cast("int"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .filter(24 * F.col("chunk_idx") < F.col("n"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long"),
+            F.least(F.lit(32), F.col("n") - 24 * F.col("chunk_idx"))
+            .cast("long")
+            .alias("chunk_tokens"),
+            F.element_at("w", 24 * F.col("chunk_idx") + 1).alias(
+                "first_tok"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
     "datapipe_lz4_scan",
     # formulas mirror ingest.lz4: 1 + doc % 3 frames (doc % 4 == 1
     # led by a skippable frame), frame i (k = doc+i) carrying a
