@@ -1667,6 +1667,132 @@ def decode_gif_real(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "payload").mapInPandas(kernel, GIF_META_SCHEMA)
 
 
+GIF_INTERLACE_SCHEMA = (
+    "doc_id long, width long, height long, probe_r1 long, "
+    "probe_r2 long, probe_r4 long, probe_r8 long, "
+    "weighted_idx_sum long"
+)
+
+
+def decode_gif_interlaced(media_df: DataFrame) -> DataFrame:
+    """INTERLACED GIF decode (GIF89a spec Appendix E): the image
+    descriptor's interlace flag routes the LZW-decoded rows through
+    the 4-pass reordering — pass 1 rows 0,8,16..., pass 2 rows
+    4,12..., pass 3 rows 2,6,10..., pass 4 odd rows — onto the
+    display raster.  Emits the red channel at (0, y) for y in
+    1/2/4/8 (one probe per pass) plus a row-weighted palette-index
+    sum, both of which a decoder that ignores the flag gets wrong."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _s
+
+        import pandas as pd
+
+        def decode_one(doc_id: int, raw: bytes):
+            if raw[:6] not in (b"GIF89a", b"GIF87a"):
+                raise ValueError(f"doc {doc_id}: not a GIF payload")
+            packed = raw[10]
+            if not packed & 0x80:
+                raise ValueError(
+                    f"doc {doc_id}: global color table required"
+                )
+            n_colors = 2 << (packed & 0x07)
+            pos = 13
+            palette = [
+                tuple(raw[pos + 3 * i : pos + 3 * i + 3])
+                for i in range(n_colors)
+            ]
+            pos += 3 * n_colors
+            if raw[pos] != 0x2C:
+                raise ValueError(f"doc {doc_id}: missing image descriptor")
+            _l, _t, w_, h_ = _s.unpack_from("<HHHH", raw, pos + 1)
+            ipacked = raw[pos + 9]
+            if not ipacked & 0x40:
+                raise ValueError(
+                    f"doc {doc_id}: fixture image must be interlaced"
+                )
+            pos += 10
+            min_code_size = raw[pos]
+            pos += 1
+            lzw = bytearray()
+            while raw[pos]:
+                n = raw[pos]
+                lzw += raw[pos + 1 : pos + 1 + n]
+                pos += n + 1
+            pos += 1
+            if raw[pos] != 0x3B:
+                raise ValueError(f"doc {doc_id}: missing trailer")
+            seq = gif_lzw_decode(bytes(lzw), min_code_size, w_ * h_, doc_id)
+            if len(seq) != w_ * h_:
+                raise ValueError(
+                    f"doc {doc_id}: LZW yielded {len(seq)} of "
+                    f"{w_ * h_} pixels"
+                )
+            # de-interlace: storage rows land on display rows in the
+            # 4-pass order
+            img = [None] * h_
+            at = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, h_, step):
+                    img[y] = seq[at * w_ : (at + 1) * w_]
+                    at += 1
+            if at != h_ or any(row is None for row in img):
+                raise ValueError(
+                    f"doc {doc_id}: interlace passes did not cover "
+                    "every row"
+                )
+            probes = [
+                palette[img[y][0]][0] if y < h_ else -1
+                for y in (1, 2, 4, 8)
+            ]
+            wsum = sum(
+                (y + 1) * sum(img[y]) for y in range(h_)
+            )
+            return (w_, h_, *probes, wsum)
+
+        cols = (
+            "doc_id", "width", "height", "probe_r1", "probe_r2",
+            "probe_r4", "probe_r8", "weighted_idx_sum",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *decode_one(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, GIF_INTERLACE_SCHEMA
+    )
+
+
+def synthesize_gif_interlaced(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying an interlaced GIF
+    (``make_gif_interlaced_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_gif_interlaced_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_gif_interlaced_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 def synthesize_gif(docs_df: DataFrame) -> DataFrame:
     """doc_id → media struct with a REAL LZW-compressed GIF89a payload."""
 

@@ -958,6 +958,53 @@ def make_gif_bytes(doc_id: int) -> bytes:
     )
 
 
+def gif_interlace_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) with height > 8 so every interlace pass has
+    rows."""
+    return 8 + doc_id % 9, 9 + doc_id % 8
+
+
+def gif_interlace_rows(height: int) -> list[int]:
+    """The GIF 4-pass row storage order: pass 1 rows 0,8,16..., pass
+    2 rows 4,12..., pass 3 rows 2,6,10..., pass 4 odd rows."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def make_gif_interlaced_bytes(doc_id: int) -> bytes:
+    """Real INTERLACED GIF89a: the image descriptor's interlace flag
+    set and the pixel rows stored in the 4-pass order — a decoder
+    that ignores the flag reads a row-scrambled image.  Pixel (x, y)
+    of the DISPLAY image has palette index (doc + x + 2y) %% 4."""
+    width, height = gif_interlace_params(doc_id)
+    palette = gif_palette(doc_id)
+    rows = gif_interlace_rows(height)
+    indices = [
+        (doc_id + x + 2 * y) % 4 for y in rows for x in range(width)
+    ]
+    lzw = _lzw_encode(indices, 2)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    gct = bytes(v for rgb in palette for v in rgb)
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0x81, 0, 0])
+        + gct
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x40"  # interlace flag
+        + bytes([2])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
 def avi_params(doc_id: int) -> tuple[int, int, int, int]:
     """(n_frames, blocks_x, blocks_y, base) for the MJPEG-in-AVI
     fixture.  Every frame shares ``jpeg_params(doc_id)`` geometry (an

@@ -1197,6 +1197,68 @@ def multimodal_aac_adts_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_interlaced_decode",
+    # formulas mirror synth.make_gif_interlaced_bytes: a
+    # (8 + doc % 9) x (9 + doc % 8) image whose DISPLAY pixel (x, y)
+    # has palette index (doc + x + 2y) % 4 with red channel
+    # (40*i + 7*(doc % 5)) % 256 — stored in the 4-pass interlace
+    # row order, so only a de-interlacing decoder reproduces the
+    # row-sensitive probes and the row-weighted index sum.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 9 + doc_id % 8 AS h
+      FROM documents
+    ),
+    wsum AS (
+      SELECT p.doc_id,
+             SUM((yy.y + 1) * ((p.doc_id + xx.x + 2 * yy.y) % 4))
+               AS ws
+      FROM p,
+           LATERAL (SELECT unnest(range(0, h)) AS y) yy,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xx
+      GROUP BY p.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST((40 * ((p.doc_id + 2) % 4) + 7 * (p.doc_id % 5)) % 256
+                AS BIGINT) AS probe_r1,
+           CAST((40 * ((p.doc_id + 4) % 4) + 7 * (p.doc_id % 5)) % 256
+                AS BIGINT) AS probe_r2,
+           CAST((40 * ((p.doc_id + 8) % 4) + 7 * (p.doc_id % 5)) % 256
+                AS BIGINT) AS probe_r4,
+           CAST((40 * ((p.doc_id + 16) % 4) + 7 * (p.doc_id % 5)) % 256
+                AS BIGINT) AS probe_r8,
+           CAST(ws AS BIGINT) AS weighted_idx_sum
+    FROM p JOIN wsum ON p.doc_id = wsum.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_gif_interlaced_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERLACED GIF decode (GIF89a Appendix E) — the row-reordered
+    form web GIFs commonly ship, closing the interlace matrix beside
+    the Adam7 PNG query: the LZW-decoded rows land on the display
+    raster through the 4-pass order (rows 0,8,16... / 4,12... /
+    2,6,10... / odd), with one probe pixel per pass and a
+    row-weighted palette-index sum — both wrong for any decoder that
+    ignores the interlace flag.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_gif_interlaced,
+        synthesize_gif_interlaced,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_gif_interlaced(
+        synthesize_gif_interlaced(docs)
+    ).orderBy("doc_id")
+
+
+@query(
     "multimodal_heif_box_walk",
     # formulas mirror synth.heif_params / heif_item_payload:
     # n_image_items = 1 + doc % 3 plus an Exif item on even docs;
