@@ -2175,10 +2175,26 @@ def synthesize_avi(docs_df: DataFrame) -> DataFrame:
 
 MP3_META_SCHEMA = (
     "doc_id long, n_frames long, sample_rate long, duration_ms long, "
-    "avg_kbps long, is_vbr boolean, n_padded long, "
+    "avg_kbps long, is_vbr boolean, n_padded long, n_crc_frames long, "
     "sum_main_data_begin long, max_main_data_begin long, "
     "sum_part2_3_length long, sum_big_values long, sum_global_gain long"
 )
+
+
+def mp3_crc16(data: bytes) -> int:
+    """The MPEG audio CRC-16 (ISO 11172-3 2.4.3.1 / A.9): polynomial
+    x^16 + x^15 + x^2 + 1 (0x8005), initial value 0xFFFF, MSB-first,
+    no final inversion.  For Layer III the protected span is header
+    bytes 2-3 followed by the complete side information."""
+    crc = 0xFFFF
+    for b in data:
+        for i in range(7, -1, -1):
+            bit = (b >> i) & 1
+            msb = (crc >> 15) & 1
+            crc = (crc << 1) & 0xFFFF
+            if msb ^ bit:
+                crc ^= 0x8005
+    return crc
 
 
 def parse_mp3_side_info(doc_id: int, si: bytes) -> tuple[int, list[tuple[int, int, int]]]:
@@ -2289,7 +2305,7 @@ def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
                     (raw[6] << 21) | (raw[7] << 14) | (raw[8] << 7) | raw[9]
                 )
                 pos = 10 + size
-            n_frames = n_padded = 0
+            n_frames = n_padded = n_crc = 0
             kbps_sum = mdb_sum = mdb_max = 0
             p23_sum = bv_sum = gg_sum = 0
             kbps_seen: set[int] = set()
@@ -2320,14 +2336,29 @@ def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
                 frame_len = (144 * kbps * 1000) // this_sr + padding
                 if pos + frame_len > len(raw):
                     raise ValueError(f"doc {doc_id}: truncated final frame")
-                # mono, no CRC: the 17-byte side info starts right after
-                # the header — parse it fully (parse_mp3_side_info)
-                if frame_len < 4 + 17:
+                # protection_absent 0: a 16-bit CRC (poly 0x8005,
+                # init 0xFFFF) over header bytes 2-3 + the side info
+                # sits between the header and the side info — VERIFIED
+                protected = (h1 & 1) == 0
+                crc_len = 2 if protected else 0
+                if frame_len < 4 + crc_len + 17:
                     raise ValueError(
                         f"doc {doc_id}: frame at {pos} too short for side info"
                     )
+                si_at = pos + 4 + crc_len
+                if protected:
+                    want = (raw[pos + 4] << 8) | raw[pos + 5]
+                    got = mp3_crc16(
+                        raw[pos + 2 : pos + 4]
+                        + raw[si_at : si_at + 17]
+                    )
+                    if got != want:
+                        raise ValueError(
+                            f"doc {doc_id}: frame CRC mismatch at {pos}"
+                        )
+                    n_crc += 1
                 mdb, granules = parse_mp3_side_info(
-                    int(doc_id), raw[pos + 4 : pos + 21]
+                    int(doc_id), raw[si_at : si_at + 17]
                 )
                 mdb_sum += mdb
                 mdb_max = max(mdb_max, mdb)
@@ -2345,13 +2376,14 @@ def decode_mp3_frames(media_df: DataFrame) -> DataFrame:
             duration_ms = (n_frames * MP3_SAMPLES_PER_FRAME * 1000) // sr
             return (
                 n_frames, sr, duration_ms, kbps_sum // n_frames,
-                len(kbps_seen) > 1, n_padded, mdb_sum, mdb_max,
+                len(kbps_seen) > 1, n_padded, n_crc, mdb_sum, mdb_max,
                 p23_sum, bv_sum, gg_sum,
             )
 
         cols = (
             "doc_id", "n_frames", "sample_rate", "duration_ms",
-            "avg_kbps", "is_vbr", "n_padded", "sum_main_data_begin",
+            "avg_kbps", "is_vbr", "n_padded", "n_crc_frames",
+            "sum_main_data_begin",
             "max_main_data_begin", "sum_part2_3_length",
             "sum_big_values", "sum_global_gain",
         )

@@ -1295,18 +1295,28 @@ def make_mp3_bytes(doc_id: int) -> bytes:
          (id3_len >> 7) & 0x7F, id3_len & 0x7F)
     )
     out += b"\x20" * id3_len
+    from .decode import mp3_crc16
+
     for k in range(n_frames):
         br_idx = 1 + (doc_id + 3 * k) % 14
         padding = (doc_id + k) % 2
+        protected = (doc_id + k) % 3 == 1  # protection_absent 0
         kbps = MP3_BITRATES_KBPS[br_idx]
         frame_len = (144 * kbps * 1000) // sr + padding
         h0 = 0xFF
-        h1 = 0b11111011  # sync cont. + MPEG-1 (11) + Layer III (01) + no CRC (1)
+        # sync cont. + MPEG-1 (11) + Layer III (01) + protection bit
+        h1 = 0b11111010 | (0 if protected else 1)
         h2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
         h3 = 0b11000100  # mono + no mode ext + not copyrighted + original
         out += bytes((h0, h1, h2, h3))
-        out += mp3_side_info(doc_id, k)
-        out += bytes([(doc_id + k) % 128]) * (frame_len - 4 - 17)
+        si = mp3_side_info(doc_id, k)
+        crc_len = 0
+        if protected:
+            crc = mp3_crc16(bytes((h2, h3)) + si)
+            out += bytes((crc >> 8, crc & 0xFF))
+            crc_len = 2
+        out += si
+        out += bytes([(doc_id + k) % 128]) * (frame_len - 4 - crc_len - 17)
     return bytes(out)
 
 

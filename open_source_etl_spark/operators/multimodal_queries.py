@@ -594,9 +594,11 @@ def multimodal_avi_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_mp3_frame_walk",
     # formulas mirror synth.mp3_params: n_frames = 4 + doc_id % 5,
     # sample rate from doc_id % 3, frame k's bitrate
-    # list[1 + (doc_id + 3k) % 14], padding bit (doc_id + k) % 2.  The
-    # stream framing (ID3v2 skip, per-frame lengths) has no closed
-    # form — Spark must walk the headers to count anything at all.
+    # list[1 + (doc_id + 3k) % 14], padding bit (doc_id + k) % 2,
+    # CRC-protected frames at (doc_id + k) % 3 == 1 (verified with
+    # the 11172-3 poly-0x8005 CRC over header bytes 2-3 + side info).
+    # The stream framing (ID3v2 skip, per-frame lengths) has no
+    # closed form — Spark must walk the headers to count anything.
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -630,6 +632,8 @@ def multimodal_avi_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(kbps) // MAX(n_frames) AS BIGINT) AS avg_kbps,
            COUNT(DISTINCT kbps) > 1 AS is_vbr,
            CAST(SUM(padded) AS BIGINT) AS n_padded,
+           CAST(SUM(CASE WHEN (doc_id + k) % 3 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_crc_frames,
            CAST(SUM(mdb) AS BIGINT) AS sum_main_data_begin,
            CAST(MAX(mdb) AS BIGINT) AS max_main_data_begin,
            CAST(MAX(gr.sum_p23) AS BIGINT) AS sum_part2_3_length,
@@ -647,11 +651,14 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mono side info (ISO 11172-3 2.4.1.7): ``main_data_begin``
     (bit-reservoir back-pointer, sum/max) and per-granule
     ``part2_3_length`` / ``big_values`` / ``global_gain`` (sums), all
-    value-checked — the metadata pass (duration, average bitrate,
-    CBR/VBR, padded-frame count, reservoir depth, Huffman-region
-    geometry) an audio data pipeline runs per file without decoding
-    audio; the Huffman/IMDCT sample path itself remains the declared
-    stub (``decode.py`` codec='real' sites)."""
+    value-checked.  Every third frame arrives CRC-PROTECTED
+    (protection_absent 0) and its 16-bit CRC — the ISO 11172-3
+    poly-0x8005/init-0xFFFF checksum over header bytes 2-3 plus the
+    side info — is VERIFIED, with a corrupted side-info byte
+    rejecting.  The metadata pass (duration, average bitrate,
+    CBR/VBR, padded/protected-frame counts, reservoir depth,
+    Huffman-region geometry) an audio data pipeline runs per file
+    without decoding audio."""
     from ..multimodal.decode import decode_mp3_frames, synthesize_mp3
 
     docs = load_table_compute(spark, sf_dir, "documents")
