@@ -9712,6 +9712,134 @@ def synthesize_flac_stereo(docs_df: DataFrame) -> DataFrame:
     )
 
 
+def g711_ulaw_to_linear(code: int) -> int:
+    """ITU-T G.711 mu-law expansion (the transmitted byte is
+    complemented; bias 0x84, 3-bit segment, 4-bit mantissa)."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def g711_alaw_to_linear(code: int) -> int:
+    """ITU-T G.711 A-law expansion (even bits inverted on the wire:
+    XOR 0x55; segment 0 adds the half-step 8, higher segments the
+    0x108 offset shifted)."""
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+WAV_G711_SCHEMA = (
+    "doc_id long, format_tag long, n_samples long, sum_signed long, "
+    "sum_abs long, peak long"
+)
+
+
+def decode_wav_g711(media_df: DataFrame) -> DataFrame:
+    """G.711 companded WAV decode (format tags 7 = mu-law, 6 =
+    A-law) — the telephony/voicemail audio a crawl corpus still
+    carries: the RIFF walk, an 8-bit mono fmt gate, and per-byte
+    expansion through the ITU-T G.711 formulas (mu-law's
+    complemented bias-0x84 segments, A-law's XOR-0x55 wire inversion
+    and half-step segment 0) to linear PCM — pure integer
+    arithmetic the SQL oracle restates byte for byte."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+            pos = 12
+            fmt = data = None
+            while pos + 8 <= len(raw):
+                tag = raw[pos : pos + 4]
+                (clen,) = struct.unpack_from("<I", raw, pos + 4)
+                payload = raw[pos + 8 : pos + 8 + clen]
+                if len(payload) != clen:
+                    raise ValueError(
+                        f"doc {doc_id}: chunk {tag!r} truncated"
+                    )
+                if tag == b"fmt ":
+                    fmt = payload
+                elif tag == b"data":
+                    data = payload
+                pos += 8 + clen + (clen % 2)
+            if fmt is None or data is None:
+                raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
+            fmt_tag, channels, _rate, _bps, _align, bits = (
+                struct.unpack_from("<HHIIHH", fmt)
+            )
+            if fmt_tag not in (6, 7):
+                raise ValueError(
+                    f"doc {doc_id}: format tag {fmt_tag} is not G.711"
+                )
+            if channels != 1 or bits != 8:
+                raise ValueError(
+                    f"doc {doc_id}: G.711 fixture must be 8-bit mono"
+                )
+            expand = (
+                g711_ulaw_to_linear if fmt_tag == 7
+                else g711_alaw_to_linear
+            )
+            s_sum = s_abs = peak = 0
+            for c in data:
+                v = expand(c)
+                s_sum += v
+                s_abs += abs(v)
+                peak = max(peak, abs(v))
+            return fmt_tag, len(data), s_sum, s_abs, peak
+
+        cols = (
+            "doc_id", "format_tag", "n_samples", "sum_signed",
+            "sum_abs", "peak",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, WAV_G711_SCHEMA
+    )
+
+
+def synthesize_wav_g711(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a G.711 WAV
+    (``make_wav_g711_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_wav_g711_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_wav_g711_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 WAV_EXT_SCHEMA = (
     "doc_id long, format_tag long, bits long, framerate long, "
     "n_frames long, peak_q15 long, rms_q15 long"

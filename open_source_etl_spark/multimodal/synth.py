@@ -958,6 +958,30 @@ def make_gif_bytes(doc_id: int) -> bytes:
     )
 
 
+def wav_g711_params(doc_id: int) -> tuple[int, int]:
+    """(format_tag, n_samples): A-law (6) on odd docs, mu-law (7) on
+    even."""
+    return (7 if doc_id % 2 == 0 else 6), 200 + doc_id % 100
+
+
+def make_wav_g711_bytes(doc_id: int) -> bytes:
+    """A RIFF/WAVE file carrying G.711 companded audio — format tag
+    7 (mu-law) on even docs, 6 (A-law) on odd — 8 bits per sample,
+    mono, 8 kHz, code byte j = (doc + 7j) %% 256 (every byte value
+    appears across the corpus, so all eight companding segments
+    decode)."""
+    fmt_tag, n = wav_g711_params(doc_id)
+    data = bytes((doc_id + 7 * j) % 256 for j in range(n))
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def gif_interlace_params(doc_id: int) -> tuple[int, int]:
     """(width, height) with height > 8 so every interlace pass has
     rows."""

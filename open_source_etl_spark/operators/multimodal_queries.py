@@ -1204,6 +1204,80 @@ def multimodal_aac_adts_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_wav_g711_decode",
+    # formulas mirror synth.make_wav_g711_bytes + the ITU-T G.711
+    # expansions: code byte j = (doc + 7j) % 256 over
+    # n = 200 + doc % 100 samples; mu-law (even docs): u = 255 - c,
+    # t = ((u%16)*8 + 132) << ((u//16)%8), v = ±(t - 132); A-law
+    # (odd docs): a = c XOR 0x55, segment-0 half-step +8, higher
+    # segments (16m + 264) << (seg-1), sign from bit 0x80.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS fmt_tag,
+             200 + doc_id % 100 AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, fmt_tag, n,
+             (doc_id + 7 * jj.j) % 256 AS code
+      FROM p, LATERAL (SELECT unnest(range(0, n)) AS j) jj
+    ),
+    v AS (
+      SELECT doc_id, fmt_tag, n,
+             CASE WHEN fmt_tag = 7 THEN
+               CASE WHEN (255 - code) >= 128
+                    THEN 132 - ((((255 - code) % 16) * 8 + 132)
+                                * (1 << (((255 - code) // 16) % 8)))
+                    ELSE ((((255 - code) % 16) * 8 + 132)
+                          * (1 << (((255 - code) // 16) % 8))) - 132
+               END
+             ELSE
+               CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END *
+               CASE ((xor(code, 85) // 16) % 8)
+                 WHEN 0 THEN (xor(code, 85) % 16) * 16 + 8
+                 WHEN 1 THEN (xor(code, 85) % 16) * 16 + 264
+                 ELSE ((xor(code, 85) % 16) * 16 + 264)
+                      * (1 << (((xor(code, 85) // 16) % 8) - 1))
+               END
+             END AS val
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(MAX(fmt_tag) AS BIGINT) AS format_tag,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(val) AS BIGINT) AS sum_signed,
+           CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(val)) AS BIGINT) AS peak
+    FROM v
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_wav_g711_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """G.711 companded WAV decode — the telephony/voicemail audio
+    (format tags 7 = mu-law, 6 = A-law) a crawl corpus still
+    carries: the RIFF chunk walk, an 8-bit mono fmt gate, and
+    per-byte expansion to linear PCM through the ITU-T G.711
+    formulas (mu-law's complemented bias-0x84 segment/mantissa
+    layout; A-law's XOR-0x55 wire inversion with the segment-0
+    half-step) — pure integer arithmetic, derivable entirely from
+    the spec's formulas (no empirical tables), restated byte for
+    byte by the oracle.  The fixture's code bytes sweep all 256
+    values across the corpus, so every companding segment of both
+    laws decodes.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_wav_g711, synthesize_wav_g711
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_wav_g711(synthesize_wav_g711(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_gif_interlaced_decode",
     # formulas mirror synth.make_gif_interlaced_bytes: a
     # (8 + doc % 9) x (9 + doc % 8) image whose DISPLAY pixel (x, y)
