@@ -6136,6 +6136,118 @@ def parse_id3v2(
     )
 
 
+def parse_id3v1(
+    doc_id: int, raw: bytes
+) -> tuple[int, int, int, int, int, int, int]:
+    """Extract the trailing 128-byte ID3v1 tag (the informal id3v1.1
+    standard) to (title_chars, artist_chars, album_chars, year,
+    track, genre, is_v11): the 'TAG' magic at EOF-128, NUL-padded
+    30-byte text fields, the 4-digit year, and the v1.1 comment
+    split (comment[28] + NUL + track byte) — a zero byte at comment
+    offset 28 with a nonzero track marks v1.1, else the whole 30
+    bytes are comment and no track exists.  Missing magic or a
+    non-numeric year raise."""
+    if len(raw) < 128:
+        raise ValueError(f"doc {doc_id}: file shorter than an ID3v1 tag")
+    tag = raw[-128:]
+    if tag[:3] != b"TAG":
+        raise ValueError(f"doc {doc_id}: no ID3v1 trailer")
+
+    def text(at: int, n: int) -> str:
+        return tag[at : at + n].split(b"\x00")[0].decode("latin-1")
+
+    title = text(3, 30)
+    artist = text(33, 30)
+    album = text(63, 30)
+    year_s = tag[93:97].decode("latin-1")
+    if not year_s.isdigit():
+        raise ValueError(
+            f"doc {doc_id}: non-numeric ID3v1 year {year_s!r}"
+        )
+    is_v11 = tag[125] == 0 and tag[126] != 0
+    track = tag[126] if is_v11 else 0
+    genre = tag[127]
+    return (
+        len(title), len(artist), len(album), int(year_s), track,
+        genre, 1 if is_v11 else 0,
+    )
+
+
+ID3V1_SCHEMA = (
+    "doc_id long, v1_title_chars long, v1_artist_chars long, "
+    "v1_album_chars long, v1_year long, v1_track long, genre long, "
+    "is_v11 long, matches_v2 boolean"
+)
+
+
+def decode_mp3_id3v1(media_df: DataFrame) -> DataFrame:
+    """Double-tag reconciliation: parse BOTH the leading ID3v2 tag
+    (``parse_id3v2``) and the trailing ID3v1.1 tag (``parse_id3v1``)
+    of each file and cross-check the shared fields — the consistency
+    pass an audio-metadata pipeline runs on legacy collections where
+    the two tags routinely disagree (here they must agree, and the
+    emitted flag proves both parsers ran)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            (tc, ac, alc, year, track, genre, is_v11) = parse_id3v1(
+                doc_id, raw
+            )
+            # the v2 parser must not see the trailer as audio
+            (_ver, _nt, _ns, v2_tc, v2_ac, v2_alc, v2_track, v2_year,
+             _audio) = parse_id3v2(doc_id, raw[:-128])
+            matches = (
+                tc == v2_tc and ac == v2_ac and alc == v2_alc
+                and track == v2_track and year == v2_year
+            )
+            return (tc, ac, alc, year, track, genre, is_v11, matches)
+
+        cols = (
+            "doc_id", "v1_title_chars", "v1_artist_chars",
+            "v1_album_chars", "v1_year", "v1_track", "genre",
+            "is_v11", "matches_v2",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                vals = (int(doc_id), *walk(int(doc_id), bytes(b)))
+                for col, v in zip(cols, vals):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, ID3V1_SCHEMA
+    )
+
+
+def synthesize_mp3_id3v1(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying a double-tagged MP3
+    (``make_mp3_id3v1_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_id3v1_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_id3v1_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 def synthesize_mp3_id3(docs_df: DataFrame) -> DataFrame:
     """doc_id → media rows carrying an ID3v2-tagged MP3
     (``make_mp3_id3_bytes``)."""

@@ -3977,6 +3977,34 @@ def make_mp3_id3_bytes(doc_id: int) -> bytes:
     return hdr + frames + bytes(padding) + audio
 
 
+def make_mp3_id3v1_bytes(doc_id: int) -> bytes:
+    """The double-tagged legacy layout real MP3 collections carry: an
+    ID3v2 tag + audio (``make_mp3_id3_bytes``) CLOSED by a 128-byte
+    ID3v1.1 trailer — 'TAG', NUL-padded title/artist/album (30 bytes
+    each, the same closed-form values as the v2 frames), a 4-digit
+    year, a 28-byte comment + NUL + track byte (the v1.1 split), and
+    a genre byte doc %% 80."""
+    ver, title, artist, album, track, year = id3_fields(doc_id)
+
+    def pad30(s: str) -> bytes:
+        b = s.encode("latin-1")[:30]
+        return b + bytes(30 - len(b))
+
+    comment = f"c{doc_id % 10}".encode("latin-1")
+    tag = (
+        b"TAG"
+        + pad30(title)
+        + pad30(artist)
+        + pad30(album)
+        + str(year).encode()[:4]
+        + comment + bytes(28 - len(comment))
+        + bytes((0, track))
+        + bytes((doc_id % 80,))
+    )
+    assert len(tag) == 128
+    return make_mp3_id3_bytes(doc_id) + tag
+
+
 class _LsbBitWriter:
     """Forward LSB-first bit writer (the VP8L stream convention)."""
 

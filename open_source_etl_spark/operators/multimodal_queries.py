@@ -1204,6 +1204,56 @@ def multimodal_aac_adts_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp3_id3v1_tags",
+    # formulas mirror synth.id3_fields / make_mp3_id3v1_bytes: title
+    # "Title {doc}", artist "Artist {doc%100}", album "Album
+    # {doc%50}" (char counts = prefix length + digits), year
+    # 1970 + doc % 55, track 1 + doc % 20 (v1.1 split always
+    # present), genre doc % 80; the v2 cross-check must agree.
+    oracle="""
+    SELECT doc_id,
+           CAST(6 + LENGTH(CAST(doc_id AS VARCHAR)) AS BIGINT)
+             AS v1_title_chars,
+           CAST(7 + LENGTH(CAST(doc_id % 100 AS VARCHAR)) AS BIGINT)
+             AS v1_artist_chars,
+           CAST(6 + LENGTH(CAST(doc_id % 50 AS VARCHAR)) AS BIGINT)
+             AS v1_album_chars,
+           CAST(1970 + doc_id % 55 AS BIGINT) AS v1_year,
+           CAST(1 + doc_id % 20 AS BIGINT) AS v1_track,
+           CAST(doc_id % 80 AS BIGINT) AS genre,
+           CAST(1 AS BIGINT) AS is_v11,
+           TRUE AS matches_v2
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_id3v1_tags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ID3v1.1 trailer tags — the 128-byte 'TAG' block legacy MP3
+    collections carry at EOF beside (and often disagreeing with)
+    their ID3v2 header: NUL-padded 30-byte title/artist/album
+    fields, the 4-digit year, the v1.1 comment split (comment[28] +
+    NUL + track byte), and the genre byte.  The walker parses BOTH
+    tags of each double-tagged file and cross-checks the shared
+    fields — the metadata-reconciliation pass an audio pipeline runs
+    before trusting either tag — with the v2 parse proving the
+    trailer was excluded from the audio span.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_mp3_id3v1,
+        synthesize_mp3_id3v1,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_id3v1(synthesize_mp3_id3v1(docs)).orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "multimodal_wav_g711_decode",
     # formulas mirror synth.make_wav_g711_bytes + the ITU-T G.711
     # expansions: code byte j = (doc + 7j) % 256 over
