@@ -8554,6 +8554,32 @@ def synthesize_mp3_ht(docs_df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_mp3_lb(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with an MPEG-1 Layer III stream whose
+    big-values regions cycle the 16x16 tier — table 15 and the eight
+    linbits escape tables 24-31 (``make_mp3_lb_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_lb_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_lb_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 PNG_ADAM7_SCHEMA = (
     "doc_id long, width long, height long, n_passes long, "
     "mean_r long, mean_g long, mean_b long, "

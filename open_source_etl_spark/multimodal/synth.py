@@ -2939,6 +2939,146 @@ def make_mp3_ht_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
+# The 16x16-table tier (round 13): table 15 (no linbits) plus the
+# whole validated 24-31 linbits family.  Tables 13 and 16-23 stay
+# out until their code matrices clear the workbench gate.
+MP3_LB_TABLES = (15, 24, 25, 26, 27, 28, 29, 30, 31)
+
+
+def mp3_lb_table(doc_id: int, g: int) -> int:
+    """Granule g's (uniform) big-values table id for the linbits
+    fixture — cycles table 15 and the eight linbits ids 24-31."""
+    return MP3_LB_TABLES[(doc_id + g) % len(MP3_LB_TABLES)]
+
+
+def mp3_lb_pairs(doc_id: int, g: int) -> list[tuple[int, int, int, int]]:
+    """Granule g's big-values pairs as (x, y, ex_x, ex_y) closed
+    forms: pair q has x = (doc + 3q + g) % 16, y = (2 doc + q + g)
+    % 16 — the full 16x16 grid, so x or y lands on the ESC value 15
+    in ~1/8 of pairs — and, when the granule's table carries linbits
+    L, an escaped coordinate is extended by ex = (doc + 2q + g) %
+    2^L (x) / (doc + 3q + 2g + 1) % 2^L (y), making the transmitted
+    magnitude 15 + ex."""
+    from .decode import MP3_LINBITS
+
+    lb = MP3_LINBITS.get(mp3_lb_table(doc_id, g), 0)
+    out = []
+    for q in range(3 + (doc_id + g) % 4):
+        x = (doc_id + 3 * q + g) % 16
+        y = (2 * doc_id + q + g) % 16
+        ex_x = (doc_id + 2 * q + g) % (1 << lb) if lb and x == 15 else 0
+        ex_y = (
+            (doc_id + 3 * q + 2 * g + 1) % (1 << lb)
+            if lb and y == 15 else 0
+        )
+        out.append((x, y, ex_x, ex_y))
+    return out
+
+
+def make_mp3_lb_bytes(doc_id: int) -> bytes:
+    """MPEG-1 Layer III stream exercising the 16x16 B.7 tier: granule
+    regions cycle table 15 and ALL EIGHT linbits tables 24-31
+    (``mp3_lb_table``), so escaped coordinates (a decoded 15) are
+    extended by the table's raw linbits field before their sign bit —
+    the 2.4.2.7 order code, linbits-x, sign-x, linbits-y, sign-y.
+    CBR 44.1 kHz frames (96/112/128 kbps), ``main_data_begin = 0``,
+    scfsi 0, both granules long-block with uniform table_select
+    (region boundaries never dispatched), count1 always fixed-length
+    table B.  Every value is a closed form the SQL oracle restates;
+    ``part2_3_length`` is the exact bit count, so one wrong code or a
+    missed linbits read desyncs the stream and fails accounting."""
+    enc, _ = _mp3_ht_enc()
+    n_frames = 2 + doc_id % 3
+    br_idx = 7 + doc_id % 3  # 96/112/128 kbps
+    kbps = MP3_BITRATES_KBPS[br_idx]
+    frame_len = (144 * kbps * 1000) // 44100
+    cap = frame_len - 4 - 17
+
+    from .decode import MP3_LINBITS
+
+    def granule_bits(g: int) -> tuple[int, int, int]:
+        sfc = (doc_id + 2 * g) % 16
+        sl1, sl2 = MP3_SLEN[sfc]
+        sf_a = (doc_id + g) % (1 << sl1)
+        sf_b = (doc_id + 7 + g) % (1 << sl2)
+        acc = nb = 0
+        for _band in range(11):
+            acc = (acc << sl1) | sf_a
+            nb += sl1
+        for _band in range(10):
+            acc = (acc << sl2) | sf_b
+            nb += sl2
+        t = mp3_lb_table(doc_id, g)
+        lb = MP3_LINBITS.get(t, 0)
+        # ids 25-31 share table 24's code matrix (only linbits differ)
+        enc_t = enc[24 if 24 <= t <= 31 else t]
+        for q, (x, y, ex_x, ex_y) in enumerate(mp3_lb_pairs(doc_id, g)):
+            hlen, hcode = enc_t[(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if lb and x == 15:
+                acc = (acc << lb) | ex_x
+                nb += lb
+            if x:
+                acc = (acc << 1) | ((doc_id + q + g) % 2)
+                nb += 1
+            if lb and y == 15:
+                acc = (acc << lb) | ex_y
+                nb += lb
+            if y:
+                acc = (acc << 1) | ((doc_id + q + g + 1) % 2)
+                nb += 1
+        for j in range(2 + (doc_id + g) % 3):
+            pattern = (doc_id + 5 * g + j) % 16
+            acc = (acc << 4) | (pattern ^ 0xF)
+            nb += 4
+            neg = (doc_id + j) % 2
+            for shift in (3, 2, 1, 0):
+                if (pattern >> shift) & 1:
+                    acc = (acc << 1) | neg
+                    nb += 1
+        return acc, nb, nb
+
+    a0, n0, p23_0 = granule_bits(0)
+    a1, n1, p23_1 = granule_bits(1)
+    acc = (a0 << n1) | a1
+    nb = n0 + n1
+    pad = (8 - nb % 8) % 8
+    acc <<= pad
+    packed = acc.to_bytes((nb + pad) // 8, "big") if nb else b""
+    if len(packed) > cap:
+        raise ValueError("granule data overran the frame region")
+    region = packed + bytes(cap - len(packed))
+
+    out = bytearray()
+    for _k in range(n_frames):
+        out += bytes((0xFF, 0b11111011, (br_idx << 4) | (0 << 2),
+                      0b11000100))
+        w = _BitPacker()
+        w.u(0, 9)   # main_data_begin
+        w.u(0, 5)
+        w.u(0, 4)   # scfsi
+        for g, p23 in ((0, p23_0), (1, p23_1)):
+            w.u(p23, 12)
+            w.u(len(mp3_lb_pairs(doc_id, g)), 9)
+            w.u((doc_id + 31 * g) % 256, 8)  # global_gain
+            w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
+            w.u(0, 1)                        # long blocks
+            t = mp3_lb_table(doc_id, g)
+            for _r in range(3):
+                w.u(t, 5)                    # uniform table_select
+            w.u(0, 4)   # region0_count
+            w.u(0, 3)   # region1_count
+            w.u(0, 1)   # preflag
+            w.u(0, 1)   # scalefac_scale
+            w.u(1, 1)   # count1: fixed-length table B
+        si = w.to_bytes()
+        assert len(si) == 17
+        out += si
+        out += region
+    return bytes(out)
+
+
 def mp3_imdct_block_type(doc_id: int, g: int) -> int:
     """Granule g's block_type for the filterbank fixture: cycles
     normal long (0), start (1), short (2), and stop (3) windows."""

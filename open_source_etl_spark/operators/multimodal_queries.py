@@ -2139,6 +2139,143 @@ def multimodal_mp3_hufftables_decode(
 
 
 @query(
+    "multimodal_mp3_linbits_decode",
+    # formulas mirror synth.make_mp3_lb_bytes / mp3_lb_table /
+    # mp3_lb_pairs: n_frames = 2 + doc % 3, main_data_begin = 0,
+    # granule tables cycle the 16x16 tier (doc+g) % 9 -> table 15
+    # (linbits 0) then 24-31 (linbits 4,5,6,7,8,9,11,13); pairs q in
+    # 0..2+(doc+g)%4 have x = (doc+3q+g) % 16, y = (2doc+q+g) % 16,
+    # and a coordinate decoded as the ESC value 15 is extended by the
+    # raw linbits field ex_x = (doc+2q+g) % 2^lb / ex_y =
+    # (doc+3q+2g+1) % 2^lb, so the transmitted magnitude is 15+ex;
+    # count1 is always fixed-length table B with 2+(doc+g)%3 quads of
+    # pattern (doc+5g+j) % 16.  The entropy bitstream has no closed
+    # form — Spark must walk the 16x16 Huffman tree AND consume the
+    # right number of linbits at each escape to land these sums (a
+    # missed or mis-sized linbits read desyncs the stream and fails
+    # exact part2_3_length accounting); the oracle restates the
+    # generator arithmetic.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 2 + doc_id % 3 AS n_frames, gg.g AS g,
+             (doc_id + 2 * gg.g) % 16 AS sfc,
+             CASE (doc_id + gg.g) % 9 WHEN 0 THEN 0 WHEN 1 THEN 4
+                  WHEN 2 THEN 5 WHEN 3 THEN 6 WHEN 4 THEN 7
+                  WHEN 5 THEN 8 WHEN 6 THEN 9 WHEN 7 THEN 11
+                  ELSE 13 END AS lb
+      FROM documents, LATERAL (SELECT unnest([0, 1]) AS g) gg
+    ),
+    bv AS (
+      SELECT doc_id, g, q,
+             x + CASE WHEN lb > 0 AND x = 15
+                      THEN (doc_id + 2 * q + g) % (1 << lb)
+                      ELSE 0 END AS xv,
+             y + CASE WHEN lb > 0 AND y = 15
+                      THEN (doc_id + 3 * q + 2 * g + 1) % (1 << lb)
+                      ELSE 0 END AS yv
+      FROM (
+        SELECT doc_id, g, lb, qq.q AS q,
+               (doc_id + 3 * qq.q + g) % 16 AS x,
+               (2 * doc_id + qq.q + g) % 16 AS y
+        FROM g, LATERAL (SELECT unnest(range(0, 3 + (doc_id + g) % 4))
+                         AS q) qq
+      )
+    ),
+    bva AS (
+      SELECT doc_id, g, COUNT(*) AS nbv, SUM(xv + yv) AS bv_abs,
+             SUM(CASE WHEN xv > 0
+                      THEN xv * (1 - 2 * ((doc_id + q + g) % 2))
+                      ELSE 0 END
+                 + CASE WHEN yv > 0
+                        THEN yv * (1 - 2 * ((doc_id + q + g + 1) % 2))
+                        ELSE 0 END) AS bv_signed
+      FROM bv GROUP BY doc_id, g
+    ),
+    qd AS (
+      SELECT doc_id, g, COUNT(*) AS nq, SUM(nz) AS quad_abs,
+             SUM(nz * (1 - 2 * ((doc_id + j) % 2))) AS quad_signed
+      FROM (
+        SELECT doc_id, g, jj.j AS j,
+               ((doc_id + 5 * g + jj.j) % 16 // 8) % 2
+               + ((doc_id + 5 * g + jj.j) % 16 // 4) % 2
+               + ((doc_id + 5 * g + jj.j) % 16 // 2) % 2
+               + (doc_id + 5 * g + jj.j) % 16 % 2 AS nz
+        FROM g, LATERAL (SELECT unnest(range(0, 2 + (doc_id + g) % 3))
+                         AS j) jj
+      )
+      GROUP BY doc_id, g
+    ),
+    sf AS (
+      SELECT doc_id, g, n_frames,
+             11 * ((doc_id + g) % (CASE sl1 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END))
+             + 10 * ((doc_id + 7 + g) % (CASE sl2 WHEN 0 THEN 1
+                    WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                    ELSE 16 END)) AS sf_sum
+      FROM (
+        SELECT doc_id, g, n_frames,
+               CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+                    WHEN 3 THEN 0 WHEN 4 THEN 3 WHEN 5 THEN 1
+                    WHEN 6 THEN 1 WHEN 7 THEN 1 WHEN 8 THEN 2
+                    WHEN 9 THEN 2 WHEN 10 THEN 2 WHEN 11 THEN 3
+                    WHEN 12 THEN 3 WHEN 13 THEN 3 WHEN 14 THEN 4
+                    ELSE 4 END AS sl1,
+               CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                    WHEN 3 THEN 3 WHEN 4 THEN 0 WHEN 5 THEN 1
+                    WHEN 6 THEN 2 WHEN 7 THEN 3 WHEN 8 THEN 1
+                    WHEN 9 THEN 2 WHEN 10 THEN 3 WHEN 11 THEN 1
+                    WHEN 12 THEN 2 WHEN 13 THEN 3 WHEN 14 THEN 2
+                    ELSE 3 END AS sl2
+        FROM g
+      )
+    )
+    SELECT sf.doc_id,
+           CAST(MAX(sf.n_frames) AS BIGINT) AS n_frames,
+           CAST(0 AS BIGINT) AS max_reservoir,
+           CAST(SUM(sf.n_frames * sf.sf_sum) AS BIGINT) AS sum_scalefac,
+           CAST(SUM(sf.n_frames * bva.nbv) AS BIGINT) AS n_pairs,
+           CAST(SUM(sf.n_frames * bva.bv_abs) AS BIGINT) AS sum_bv_abs,
+           CAST(SUM(sf.n_frames * bva.bv_signed) AS BIGINT)
+             AS sum_bv_signed,
+           CAST(SUM(sf.n_frames * qd.nq) AS BIGINT) AS n_quads,
+           CAST(SUM(sf.n_frames * qd.quad_abs) AS BIGINT)
+             AS sum_quad_abs,
+           CAST(SUM(sf.n_frames * qd.quad_signed) AS BIGINT)
+             AS sum_quad_signed
+    FROM sf
+    JOIN bva ON sf.doc_id = bva.doc_id AND sf.g = bva.g
+    JOIN qd ON sf.doc_id = qd.doc_id AND sf.g = qd.g
+    GROUP BY sf.doc_id
+    ORDER BY sf.doc_id
+    """,
+)
+def multimodal_mp3_linbits_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MP3 main-data decode through the 16x16 B.7 Huffman tier:
+    granule regions cycle table 15 and ALL EIGHT linbits escape
+    tables 24-31 (validated round 13 via the edge-tiling solve —
+    tools/mp3_table_workbench.py; ids 25-31 share table 24's code
+    matrix and differ only in MP3_LINBITS width).  A coordinate
+    decoded as the ESC value 15 is extended by the table's raw
+    linbits field BEFORE its sign bit (2.4.2.7 order), so transmitted
+    magnitudes reach 15 + 2^13 - 1 — the loud-frame regime real
+    encoders emit that previously raised at the declared boundary.
+    A decoder with a wrong code entry, or one that misses or
+    mis-sizes a single linbits read, desyncs the bitstream and fails
+    exact part2_3_length accounting — it cannot land these spectrum
+    sums by accident.  Tables 13 and 16-23 (sharing still-unvalidated
+    table 16) remain the declared NotImplementedError boundary.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_lb
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_maindata(synthesize_mp3_lb(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_h264_multiref_decode",
     # formulas mirror synth.make_h264_multiref_bytes / h264_inter_*:
     # an affine IDR (S0 = n*B + 5*mbw*T(mbh) + 3*mbh*T(mbw)), P1
