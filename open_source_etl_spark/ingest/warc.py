@@ -183,12 +183,17 @@ def _dechunk(doc_id: int, body: bytes) -> bytes:
                 f"doc {doc_id}: chunked body missing a size line"
             )
         size_field = body[pos:eol].split(b";")[0].strip()
-        try:
-            size = int(size_field, 16)
-        except ValueError:
+        # RFC 9112 chunk-size is 1*HEXDIG: reject signs, 0x prefixes,
+        # underscores — anything int(, 16) would otherwise accept (a
+        # negative size silently yields an empty chunk and misaligned
+        # CRLF checks instead of a clean rejection)
+        if not size_field or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_field
+        ):
             raise ValueError(
                 f"doc {doc_id}: bad chunk size {size_field!r}"
-            ) from None
+            )
+        size = int(size_field, 16)
         pos = eol + 2
         if size == 0:
             if body[pos : pos + 2] != b"\r\n":

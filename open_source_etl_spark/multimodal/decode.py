@@ -1715,12 +1715,22 @@ def decode_gif_interlaced(media_df: DataFrame) -> DataFrame:
             min_code_size = raw[pos]
             pos += 1
             lzw = bytearray()
-            while raw[pos]:
+            while True:
+                if pos >= len(raw):
+                    raise ValueError(
+                        f"doc {doc_id}: truncated LZW sub-block chain"
+                    )
+                if not raw[pos]:
+                    break
                 n = raw[pos]
+                if pos + 1 + n > len(raw):
+                    raise ValueError(
+                        f"doc {doc_id}: truncated LZW sub-block"
+                    )
                 lzw += raw[pos + 1 : pos + 1 + n]
                 pos += n + 1
             pos += 1
-            if raw[pos] != 0x3B:
+            if pos >= len(raw) or raw[pos] != 0x3B:
                 raise ValueError(f"doc {doc_id}: missing trailer")
             seq = gif_lzw_decode(bytes(lzw), min_code_size, w_ * h_, doc_id)
             if len(seq) != w_ * h_:

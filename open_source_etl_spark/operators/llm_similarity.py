@@ -325,8 +325,8 @@ def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "retrieval_rrf_fusion",
     # Reciprocal Rank Fusion over two retrieval lists: the lexical
-    # top-20 (BM25, the text_bm25_retrieval scorer) and the vector
-    # top-20 (exact cosine vs vec 0, the knn baseline).  Ranks come
+    # top-15 (BM25, the text_bm25_retrieval scorer) and the vector
+    # top-15 (exact cosine vs vec 0, the knn baseline).  Ranks come
     # from ROUNDED scores with id tiebreaks, so they are integers on
     # both engines; the fused score 1/(60+r_a) + 1/(60+r_b) rounds
     # at 6dp for the final EXACT row-set comparison.
@@ -669,8 +669,9 @@ def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN recall@10 pin (the ann_ivf_search
     pattern): runs the full PQ pipeline (``_pq_topk`` — per-subspace
     k-means codebooks, 8 four-bit codes per vector, the
-    asymmetric-distance scan over codes only, a 100-candidate exact
-    re-rank) AND the exact
+    asymmetric-distance scan over codes only, then an exact re-rank
+    of the top 12.5% of the corpus — min 100 — by ADC score, so the
+    re-rank budget grows with scale) AND the exact
     brute-force twin on the same fixed-dimension corpus, emitting a
     one-row summary asserting recall@10 >= 0.5.  The driver
     hash-checks the assertion: a refactor that guts codebook fidelity

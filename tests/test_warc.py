@@ -1342,6 +1342,13 @@ def test_warc_chunked_transfer_encoding():
         == b"Wikipedia"
     with pytest.raises(ValueError, match="bad chunk size"):
         _dechunk(0, b"zz\r\nxx\r\n0\r\n\r\n")
+    # int(, 16) would accept all three of these; 1*HEXDIG must not
+    with pytest.raises(ValueError, match="bad chunk size"):
+        _dechunk(0, b"-4\r\nWiki\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="bad chunk size"):
+        _dechunk(0, b"0x4\r\nWiki\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="bad chunk size"):
+        _dechunk(0, b"\r\nWiki\r\n0\r\n\r\n")
     with pytest.raises(ValueError, match="not closed by CRLF"):
         _dechunk(0, b"4\r\nWikiXX0\r\n\r\n")
     with pytest.raises(ValueError, match="truncated chunk"):
