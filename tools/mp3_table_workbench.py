@@ -121,6 +121,24 @@ by recall+structure as above; for t24 the row-1 len-10 run
 (327, 345, ...) violates row monotonicity as recalled, but swapping
 (1,10)/(1,11) breaks MORE invariants (column 11 monotonicity), so
 the recall order ships and the cell pair is flagged UNVERIFIED here.
+
+Round-13 double-entry record (tables 8-12, the round-12 ADVICE item):
+second-sitting transcriptions of t8, t9, t10 were machine-diffed
+against the shipped matrices:
+  - t8: 0 disagreements (including the round-11 hlen(5,3)=9 repair).
+  - t9: 0 disagreements.
+  - t10: exactly 2 — the (6,3)/(6,4) len-10 pair, where the fresh
+    sitting reproduced the ORIGINAL recall order 11,16 against the
+    round-11 style reorder 16,11.  Since the monotonicity heuristic
+    now has counterexamples inside recall-agreed data (t10 column
+    6's len-9 run 12,19,18 appears in BOTH sittings and violates
+    column order; a single-value (0,6)<->(5,1) swap would "fix" it
+    but both sittings place 12 at (0,6)), two agreeing recalls
+    outrank the heuristic: row 6 ships as 11,16,6,
+    verified-by-double-entry, and the heuristic is demoted from
+    "override recall" to "flag for re-inspection".
+  t11 row 5 / t12 row 7 need no double entry: their values are
+  FORCED by the hole-tiling (a stronger channel than recall).
 """
 from fractions import Fraction
 
