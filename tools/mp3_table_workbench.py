@@ -233,14 +233,30 @@ def round13_t13_notes():
       (0,15)=13/19  (7,15)=16/42                 [column 15]
     plus near-anchors where the recalled VALUE matches a hole one
     level up/down ((14,4)~13/36, (14,5)~13/35, (14,6)~15/53,
-    (14,8)~16/16, (15,1)~14/15, (1,15)~13/14).  The 46-cell solve has
-    far more freedom than t15's 31-cell one (39 unpinned cells vs
-    22), and the round-13 session's exhaustive DFS did not reduce the
-    style-clean candidate set below ~dozens of tied solutions in the
-    row-14 region, so table 13 stays a boundary rather than shipping
-    a guess.  Next independent channel to try: a second fresh
-    transcription of row 14 alone (double-entry), which would pin the
-    region the ties concentrate in."""
+    (14,8)~16/16, (15,1)~14/15, (1,15)~13/14).
+
+    End-of-round state: constraint propagation from the anchors
+    forced 39 of the 46 cells — the recalled values tile the holes
+    under the same systematic misread patterns t15/t24 exhibited
+    (same value one level shallower: 13/20->12/20, 14/36->13/36,
+    15/16->14/16, 16/6->15/6; value doubling at the same length:
+    15/11->15/22), every placement mutually consistent with row/
+    column same-length monotonicity and trusted-mirror symmetry.
+    The LAST SEVEN cells — the deep corner (14,13..15), (15,12..15)
+    over holes 16/{0,1,2,4} + 17/23 — remain underdetermined: the
+    exhaustive DFS finds 4486 invariant-valid tilings with a 3-way
+    recall-score tie at the top, the recalled corner values (1,4,2,
+    1,1,0,1 at claimed len 16-18) cannot all be placed, and some
+    cell must own 17/23 (sibling of the (10,15)=17/22 anchor) with
+    no recall support anywhere in the corner.  The length-
+    monotonicity heuristic discriminates nothing (minimum 3
+    violations even among the anchored cells — consistent with its
+    round-13 demotion after the t10 double-entry).  Shipping any of
+    the tied corners would be a guess that in-repo tests cannot
+    falsify (synth shares the table), so table 13 stays a boundary.
+    Next independent channel: a fresh double-entry of ONLY the
+    corner 3x4 region at a later sitting, or a real t13 stream from
+    another implementation."""
 
 
 if __name__ == "__main__":
