@@ -17,24 +17,33 @@ are large → size partitions by bytes, never collect payloads to the
 driver).
 """
 
-from .decode import (
-    audio_chunk_energy,
-    decode_bmp_real,
-    decode_wav_real,
-    synthesize_bmp,
-    synthesize_wav,
-    wav_window_features,
-    block_mean_resize,
-    byte_histogram,
-    perceptual_hash,
-    decode_image_meta,
-    sample_frames,
-)
 from .schema import (
     IMAGE_META_SCHEMA,
     MEDIA_SCHEMA,
     with_media_payload,
 )
+
+# decode re-exports are LAZY (PEP 562): a Spark worker importing a
+# split-out family module (dec_mp3, ...) must not execute decode.py
+# as a side effect of this package's __init__.
+_DECODE_NAMES = frozenset({
+    "audio_chunk_energy", "decode_bmp_real", "decode_wav_real",
+    "synthesize_bmp", "synthesize_wav", "wav_window_features",
+    "block_mean_resize", "byte_histogram", "perceptual_hash",
+    "decode_image_meta", "sample_frames",
+})
+
+
+def __getattr__(name):
+    if name in _DECODE_NAMES:
+        from . import decode
+
+        value = getattr(decode, name)
+        globals()[name] = value
+        return value
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )
 
 __all__ = [
     "MEDIA_SCHEMA",
