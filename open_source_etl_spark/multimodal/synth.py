@@ -2405,6 +2405,235 @@ def make_h264_bframe_bytes(doc_id: int) -> bytes:
     return b"".join(units)
 
 
+def h264_p8x8_quadrant_mv(
+    doc_id: int, qr: int, qc: int, qw: int, qh: int
+) -> tuple[int, int]:
+    """Closed-form target MV (quarter-pel) of one 8x8 sub-partition
+    in the P_8x8 fixture: one quadrant step (32 quarter-pel = 8 px)
+    in each axis, zeroed by a mod-3 gate and at the grid edges so
+    every source quadrant stays in the picture.  The SQL oracle
+    restates exactly this arithmetic."""
+    ex = (
+        0
+        if (doc_id + qr + 2 * qc) % 3 == 0 or qc < 1 or qc >= qw - 1
+        else (1 if (doc_id + qr + qc) % 2 == 0 else -1)
+    )
+    ey = (
+        0
+        if (doc_id + 3 * qr + qc) % 3 == 0 or qr < 1 or qr >= qh - 1
+        else (1 if (doc_id + qr + 2 * qc) % 2 == 0 else -1)
+    )
+    return 32 * ex, 32 * ey
+
+
+def make_h264_p8x8_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream whose P picture carries P_8x8
+    SUB-MACROBLOCK motion (ITU-T H.264 7.3.4/7.3.5.2): macroblock
+    kinds cycle (doc+idx) % 4 — P_Skip (0), P_8x8 (1, 2) with four
+    independent per-quadrant MVs coded as se(v) differences against
+    the PARTITION-level 8.4.1.3 median predictor, and zero-MV
+    P_L0_16x16 (3) — so skip inference, macroblock prediction and
+    sub-partition prediction interleave in one picture (every skip's
+    left neighbor is a zero-MV 16x16 or the picture edge, making the
+    8.4.1.1 inferred motion structurally zero).  A second all-skip P
+    picture chains the quadrant state.  The encoder mirrors the
+    decoder's quadrant-grid predictor (decode._h264_qmvp), so each
+    mvd is exact; every MV is a multiple of 32 quarter-pel (one
+    quadrant) and in-bounds by construction."""
+    from .decode import _h264_qmvp
+
+    mb_w, mb_h, _ca = h264_inter_params(doc_id)
+    n_mbs = mb_w * mb_h
+    qw, qh = 2 * mb_w, 2 * mb_h
+    base = h264_inter_base(doc_id)
+    lumas = [base + 5 * r + 3 * c for r in range(mb_h) for c in range(mb_w)]
+    units = [
+        _h264_nal(3, 7, _h264_sps_from_fields(66, 10, mb_w - 1, mb_h - 1), 0),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+        _h264_nal(3, 5, _h264_idr_values_rbsp(doc_id % 4, lumas), 2),
+    ]
+
+    # P1: skip / P_8x8 / zero-MV 16x16 by (doc + idx) % 4
+    w = _H264BitWriter()
+    w.ue(0)        # first_mb_in_slice
+    w.ue(5)        # slice_type P
+    w.ue(0)        # pic_parameter_set_id
+    w.u(1, 4)      # frame_num
+    w.u(0, 1)      # num_ref_idx_active_override_flag
+    w.u(0, 1)      # ref_pic_list_modification_flag_l0
+    w.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
+    w.se(0)        # slice_qp_delta
+    qmvs: list = [[None] * qw for _ in range(qh)]
+    run = 0
+    for idx in range(n_mbs):
+        mr, mc = idx // mb_w, idx % mb_w
+        kind = (doc_id + idx) % 4
+        if kind == 0:  # P_Skip: structurally zero inferred motion
+            run += 1
+            for i in range(4):
+                qmvs[2 * mr + i // 2][2 * mc + i % 2] = (0, (0, 0))
+            continue
+        w.ue(run)
+        run = 0
+        if kind == 3:  # zero-MV P_L0_16x16
+            mvp = _h264_qmvp(qmvs, 2 * mr, 2 * mc, qw, 2)
+            w.ue(0)            # mb_type
+            w.se(-mvp[0])
+            w.se(-mvp[1])
+            w.ue(0)            # coded_block_pattern
+            for i in range(4):
+                qmvs[2 * mr + i // 2][2 * mc + i % 2] = (0, (0, 0))
+        else:  # P_8x8
+            w.ue(3)            # mb_type P_8x8
+            for _i in range(4):
+                w.ue(0)        # sub_mb_type: P_L0_8x8
+            for i in range(4):
+                qr2, qc2 = 2 * mr + i // 2, 2 * mc + i % 2
+                mv = h264_p8x8_quadrant_mv(doc_id, qr2, qc2, qw, qh)
+                mvp = _h264_qmvp(qmvs, qr2, qc2, qw, 1)
+                w.se(mv[0] - mvp[0])
+                w.se(mv[1] - mvp[1])
+                qmvs[qr2][qc2] = (0, mv)
+            w.ue(0)            # coded_block_pattern
+    if run:
+        w.ue(run)
+    units.append(_h264_nal(2, 1, w.rbsp_trailing(), 3))
+
+    # P2: one all-skip run (zero motion chains through 8.4.1.1)
+    w2 = _H264BitWriter()
+    w2.ue(0)
+    w2.ue(5)
+    w2.ue(0)
+    w2.u(2, 4)     # frame_num
+    w2.u(0, 1)
+    w2.u(0, 1)
+    w2.u(0, 1)
+    w2.se(0)
+    w2.ue(n_mbs)   # mb_skip_run: the whole picture
+    units.append(_h264_nal(2, 1, w2.rbsp_trailing(), 4))
+    return b"".join(units)
+
+
+def h264_tdirect_dims(doc_id: int) -> tuple[int, int]:
+    """(mb_w, mb_h) for the temporal-direct fixture: wide enough
+    (6-7 x 3-4) that interior columns can carry the 2-macroblock
+    co-located motion with every scaled source in-picture."""
+    return 6 + doc_id % 2, 3 + doc_id % 2
+
+
+def h264_tdirect_dx(doc_id: int, idx: int, mb_w: int) -> int:
+    """Closed-form horizontal motion (in 2-macroblock units) of the
+    co-located P picture's macroblock ``idx``: zero via a mod-3 gate
+    and outside columns 2..mb_w-3, else ±1 by parity.  mvCol =
+    (128*dx, 0) quarter-pel, so the POC-2-of-4 temporal scale gives
+    mvL0 = (64*dx, 0) and mvL1 = (-64*dx, 0) — all macroblock-
+    aligned, all in-bounds.  The SQL oracle restates this."""
+    c = idx % mb_w
+    if (doc_id + idx) % 3 == 0 or c < 2 or c > mb_w - 3:
+        return 0
+    return 1 if (doc_id + idx) % 2 == 0 else -1
+
+
+def make_h264_tdirect_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream whose B picture is decoded by TEMPORAL
+    direct prediction (ITU-T H.264 8.4.1.2.3): decode order IDR(poc
+    0, affine I_PCM plane) -> P(poc 4, reference; EVERY macroblock an
+    explicit P_L0_16x16 with real motion mvCol = (128*dx, 0) against
+    the 8.4.1.3 median predictor) -> B(poc 2, non-reference,
+    direct_spatial_mv_pred_flag 0; macroblocks are B_Skip except
+    every fifth, an explicit B_Direct_16x16) — so every B macroblock
+    derives its motion purely from the co-located P macroblock and
+    the POC distances (tb 2, td 4: DistScaleFactor 128, an exact
+    halving)."""
+    from .decode import _h264_mvp
+
+    mb_w, mb_h = h264_tdirect_dims(doc_id)
+    n_mbs = mb_w * mb_h
+    base = h264_inter_base(doc_id)
+    units = [
+        _h264_nal(
+            3, 7,
+            _h264_sps_from_fields(
+                66, 10, mb_w - 1, mb_h - 1, max_ref=2, poc_type=0
+            ),
+            0,
+        ),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+
+    # IDR (poc 0): affine I_PCM plane, with the POC-type-0 field
+    w = _H264BitWriter()
+    w.ue(0)
+    w.ue(7)
+    w.ue(0)
+    w.u(0, 4)      # frame_num
+    w.ue(doc_id % 4)
+    w.u(0, 4)      # pic_order_cnt_lsb = 0
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(25)
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    parts = [w.to_bytes()]
+    lumas = [base + 5 * r + 3 * c for r in range(mb_h) for c in range(mb_w)]
+    for m, luma in enumerate(lumas):
+        if m:
+            parts.append(b"\x0d\x00")
+        parts.append(bytes([luma]) * 256 + bytes([128]) * 128)
+    parts.append(b"\x80")
+    units.append(_h264_nal(3, 5, b"".join(parts), 2))
+
+    # P (reference, poc 4): explicit real motion everywhere
+    w = _H264BitWriter()
+    w.ue(0)
+    w.ue(5)
+    w.ue(0)
+    w.u(1, 4)      # frame_num
+    w.u(4, 4)      # pic_order_cnt_lsb = 4
+    w.u(0, 1)      # num_ref_idx_active_override_flag
+    w.u(0, 1)      # ref_pic_list_modification_flag_l0
+    w.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
+    w.se(0)
+    mbs: list = [None] * n_mbs
+    for idx in range(n_mbs):
+        mv = (128 * h264_tdirect_dx(doc_id, idx, mb_w), 0)
+        mvp = _h264_mvp(mbs, idx, mb_w)
+        w.ue(0)            # mb_skip_run
+        w.ue(0)            # mb_type P_L0_16x16
+        w.se(mv[0] - mvp[0])
+        w.se(mv[1] - mvp[1])
+        w.ue(0)            # coded_block_pattern
+        mbs[idx] = (0, mv)
+    units.append(_h264_nal(2, 1, w.rbsp_trailing(), 3))
+
+    # B (non-reference, poc 2): temporal skip/direct only
+    w = _H264BitWriter()
+    w.ue(0)
+    w.ue(6)        # slice_type B
+    w.ue(0)
+    w.u(2, 4)      # frame_num
+    w.u(2, 4)      # pic_order_cnt_lsb = 2
+    w.u(0, 1)      # direct_spatial_mv_pred_flag = 0: TEMPORAL
+    w.u(0, 1)      # num_ref_idx_active_override_flag
+    w.u(0, 1)      # ref_pic_list_modification_flag_l0
+    w.u(0, 1)      # ref_pic_list_modification_flag_l1
+    w.se(0)
+    run = 0
+    for idx in range(n_mbs):
+        if (doc_id + idx) % 5 == 0:
+            w.ue(run)
+            run = 0
+            w.ue(0)    # mb_type B_Direct_16x16
+            w.ue(0)    # coded_block_pattern
+        else:
+            run += 1
+    if run:
+        w.ue(run)  # trailing skip run
+    units.append(_h264_nal(0, 1, w.rbsp_trailing(), 4))
+    return b"".join(units)
+
+
 def h264_gop_params(doc_id: int) -> tuple[int, int, int, int]:
     """(n_gops, gop_len, mb_w, mb_h) for the inter-frame GOP fixture:
     each GOP is one all-I_PCM IDR picture followed by gop_len-1 all-

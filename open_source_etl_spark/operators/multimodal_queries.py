@@ -2364,6 +2364,225 @@ def multimodal_h264_multiref_decode(
 
 
 @query(
+    "multimodal_h264_p8x8_decode",
+    # formulas mirror synth.make_h264_p8x8_bytes /
+    # h264_p8x8_quadrant_mv: grid (4+doc%2) x (3+doc%2), affine IDR
+    # plane V(mb) = 30+(7doc)%90 + 5r + 3c; P1 macroblock kinds cycle
+    # (doc+mb)%4 — P_Skip (0, structurally zero motion), P_8x8 (1,2)
+    # whose quadrant (qr,qc) moves by (32ex, 32ey) with ex/ey zeroed
+    # by a mod-3 gate and at grid edges, else +-1 by parity — and
+    # zero-MV P_L0_16x16 (3); P2 is one all-skip run.  The per-
+    # quadrant MVD bitstream (se(v) against the partition-level
+    # 8.4.1.3 median) has no closed form — Spark must run the
+    # quadrant predictor to land any of these sums; the oracle
+    # restates the generator arithmetic.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 2 AS w, 3 + doc_id % 2 AS h,
+             30 + (doc_id * 7) % 90 AS base
+      FROM documents
+    ),
+    mb AS (
+      SELECT doc_id, w, h, base, w * h AS n, m.mb AS mb,
+             (doc_id + m.mb) % 4 AS kind,
+             base + 5 * (m.mb // w) + 3 * (m.mb % w) AS v
+      FROM p, LATERAL (SELECT unnest(range(0, w * h)) AS mb) m
+    ),
+    quad AS (
+      SELECT doc_id, w, h, n, base, mb, kind, v,
+             2 * (mb // w) + i.i // 2 AS qr,
+             2 * (mb % w) + i.i % 2 AS qc
+      FROM mb, LATERAL (SELECT unnest([0, 1, 2, 3]) AS i) i
+    ),
+    moved AS (
+      SELECT doc_id, n, w, mb, kind, v, qr, qc,
+             CASE WHEN (doc_id + qr + 2 * qc) % 3 = 0 OR qc < 1
+                       OR qc >= 2 * w - 1 THEN 0
+                  WHEN (doc_id + qr + qc) % 2 = 0 THEN 1
+                  ELSE -1 END AS ex,
+             CASE WHEN (doc_id + 3 * qr + qc) % 3 = 0 OR qr < 1
+                       OR qr >= 2 * h - 1 THEN 0
+                  WHEN (doc_id + qr + 2 * qc) % 2 = 0 THEN 1
+                  ELSE -1 END AS ey
+      FROM quad
+    ),
+    contrib AS (
+      SELECT m1.doc_id, m1.n,
+             CASE WHEN m1.kind IN (1, 2)
+                  THEN (SELECT v FROM mb m2
+                        WHERE m2.doc_id = m1.doc_id
+                          AND m2.mb = ((m1.qr + m1.ey) // 2) * m1.w
+                                      + ((m1.qc + m1.ex) // 2))
+                  ELSE m1.v END AS val,
+             CASE WHEN m1.kind IN (1, 2)
+                  THEN 32 * (ABS(m1.ex) + ABS(m1.ey)) ELSE 0 END AS mv
+      FROM moved m1
+    ),
+    p1 AS (
+      SELECT doc_id, MAX(n) AS n, SUM(val) // (4 * MAX(n)) AS mean_p,
+             SUM(mv) AS mv_sum
+      FROM contrib GROUP BY doc_id
+    ),
+    counts AS (
+      SELECT doc_id,
+             SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS nsk,
+             SUM(CASE WHEN kind = 3 THEN 1 ELSE 0 END) AS n16,
+             SUM(CASE WHEN kind IN (1, 2) THEN 1 ELSE 0 END) AS n8,
+             SUM(v) // MAX(n) AS mean_i
+      FROM mb GROUP BY doc_id
+    )
+    SELECT doc_id, frame_idx, frame_type, mean_luma, n_skip, n_16x16,
+           n_8x8, sum_abs_mv
+    FROM (
+      SELECT c.doc_id, 0 AS frame_idx, 'I' AS frame_type,
+             CAST(c.mean_i AS BIGINT) AS mean_luma,
+             CAST(0 AS BIGINT) AS n_skip, CAST(0 AS BIGINT) AS n_16x16,
+             CAST(0 AS BIGINT) AS n_8x8, CAST(0 AS BIGINT) AS sum_abs_mv
+      FROM counts c
+      UNION ALL
+      SELECT c.doc_id, 1, 'P', CAST(p1.mean_p AS BIGINT),
+             CAST(c.nsk AS BIGINT), CAST(c.n16 AS BIGINT),
+             CAST(c.n8 AS BIGINT), CAST(p1.mv_sum AS BIGINT)
+      FROM counts c JOIN p1 ON c.doc_id = p1.doc_id
+      UNION ALL
+      SELECT c.doc_id, 2, 'P', CAST(p1.mean_p AS BIGINT),
+             CAST(p1.n AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM counts c JOIN p1 ON c.doc_id = p1.doc_id
+    )
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_h264_p8x8_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H.264 P_8x8 SUB-MACROBLOCK decode (ITU-T H.264 7.3.4 +
+    8.4.1.3): each P_8x8 macroblock carries FOUR independent 8x8
+    motion vectors, each coded as an se(v) difference against the
+    partition-level spatial median predictor — whose neighbors
+    include sub-partitions of the SAME macroblock decoded moments
+    earlier, which macroblock-level prediction cannot express — and
+    applied over 8x8-quadrant reference state.  P_Skip and zero-MV
+    P_L0_16x16 interleave in the same picture and a second all-skip
+    picture chains the quadrant state.  Closes the long-declared
+    'sub-macroblock motion' boundary for quadrant-aligned MVs;
+    sub-8x8 shapes and interpolated motion remain declared
+    boundaries.  Reference scope note: the reference delegates all
+    media handling to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_h264_p8x8,
+        synthesize_h264_p8x8,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_p8x8(synthesize_h264_p8x8(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
+    "multimodal_h264_tdirect_decode",
+    # formulas mirror synth.make_h264_tdirect_bytes / h264_tdirect_dx:
+    # grid (6+doc%2) x (3+doc%2), affine IDR V(mb) = 30+(7doc)%90 +
+    # 5r + 3c at poc 0; the P reference (poc 4) moves every
+    # macroblock by mvCol = (128*dx, 0) with dx zero via a mod-3 gate
+    # and outside columns 2..w-3, else +-1 by parity, so P[m] =
+    # V(m) + 6*dx(m); the B (poc 2, temporal direct) scales mvCol by
+    # DistScaleFactor 128 — mvL0 = 64*dx into the IDR, mvL1 = -64*dx
+    # into the P — giving B[m] = (V(m+dx(m)) + P[m-dx(m)] + 1) >> 1
+    # = V(m) + 3*dx(m - dx(m)) exactly.  The MV bits exist only in
+    # the P picture; the B derives ALL its motion from co-located
+    # scaling, so a decoder that skips the 8.4.1.2.3 arithmetic
+    # cannot land these sums.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 6 + doc_id % 2 AS w, 3 + doc_id % 2 AS h,
+             30 + (doc_id * 7) % 90 AS base
+      FROM documents
+    ),
+    mb AS (
+      SELECT doc_id, w, h, base, w * h AS n, m.mb AS mb,
+             base + 5 * (m.mb // w) + 3 * (m.mb % w) AS v,
+             CASE WHEN (doc_id + m.mb) % 3 = 0 OR m.mb % w < 2
+                       OR m.mb % w > w - 3 THEN 0
+                  WHEN (doc_id + m.mb) % 2 = 0 THEN 1
+                  ELSE -1 END AS dx
+      FROM p, LATERAL (SELECT unnest(range(0, w * h)) AS mb) m
+    ),
+    b AS (
+      SELECT m1.doc_id, m1.n, m1.v + 3 * m2.dx AS bval,
+             64 * ABS(m1.dx) AS amv,
+             CASE WHEN (m1.doc_id + m1.mb) % 5 = 0 THEN 1 ELSE 0 END
+               AS is_direct
+      FROM mb m1 JOIN mb m2
+        ON m2.doc_id = m1.doc_id AND m2.mb = m1.mb - m1.dx
+    ),
+    agg AS (
+      SELECT mb.doc_id, MAX(mb.n) AS n,
+             SUM(mb.v) // MAX(mb.n) AS mean_i,
+             SUM(mb.v + 6 * mb.dx) // MAX(mb.n) AS mean_p,
+             SUM(128 * ABS(mb.dx)) AS pmv
+      FROM mb GROUP BY mb.doc_id
+    ),
+    bagg AS (
+      SELECT doc_id, SUM(bval) // MAX(n) AS mean_b, SUM(amv) AS bmv,
+             SUM(is_direct) AS nd, MAX(n) - SUM(is_direct) AS nsk
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, frame_idx, frame_type, mean_luma, n_skip, n_direct,
+           sum_mv_l0, sum_mv_l1
+    FROM (
+      SELECT a.doc_id, 0 AS frame_idx, 'I' AS frame_type,
+             CAST(a.mean_i AS BIGINT) AS mean_luma,
+             CAST(0 AS BIGINT) AS n_skip, CAST(0 AS BIGINT) AS n_direct,
+             CAST(0 AS BIGINT) AS sum_mv_l0,
+             CAST(0 AS BIGINT) AS sum_mv_l1
+      FROM agg a
+      UNION ALL
+      SELECT a.doc_id, 1, 'P', CAST(a.mean_p AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(a.pmv AS BIGINT), CAST(0 AS BIGINT)
+      FROM agg a
+      UNION ALL
+      SELECT g.doc_id, 2, 'B', CAST(g.mean_b AS BIGINT),
+             CAST(g.nsk AS BIGINT), CAST(g.nd AS BIGINT),
+             CAST(g.bmv AS BIGINT), CAST(g.bmv AS BIGINT)
+      FROM bagg g
+    )
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_h264_tdirect_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H.264 TEMPORAL direct B decode (ITU-T H.264 8.4.1.2.3): the B
+    picture's skip/direct macroblocks transmit no motion — each
+    derives mvL0/mvL1 by scaling the CO-LOCATED macroblock's motion
+    from L1[0] by the picture-order-count distances (tb 2, td 4:
+    DistScaleFactor exactly 128, a halving), with mvL1 = mvL0 -
+    mvCol pointing backward into the future reference.  The
+    co-located P picture carries real per-macroblock explicit
+    motion, so ignoring mvCol — or scaling with the wrong rounding,
+    (dsf*mv + 128) >> 8 — fetches different source macroblocks and
+    misses every sum.  Closes the long-declared 'temporal direct'
+    boundary for frame-coded short-term references; long-term
+    references and negative td remain declared boundaries.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_h264_tdirect,
+        synthesize_h264_tdirect,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_tdirect(synthesize_h264_tdirect(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
     "multimodal_mp3_requant_exact",
     # formulas mirror synth.mp3_rq_fields / mp3_rq_spectrum and
     # decode._mp3_rq_tables: granule g carries gain 198+(d+5g)%25,
