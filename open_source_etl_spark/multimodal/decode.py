@@ -4607,9 +4607,11 @@ def parse_mp4(
     mdhd duration must equal its stts duration sum, and every track's
     stco+stsz extent must land inside mdat (whose payload total must
     equal the sum of all sample sizes).  Full-box version bytes are
-    enforced: version-1 (64-bit) mvhd/mdhd raise the declared
-    NotImplementedError boundary, and a nonzero version on
-    stts/stsz/stsc/stco (the spec defines only version 0) rejects.
+    enforced: mvhd/mdhd/mehd parse BOTH version 0 and the version-1
+    (64-bit times/duration) form long-duration real files use (ISO
+    14496-12 8.2.2/8.4.2/8.8.2 — round 13), versions >= 2 reject,
+    and a nonzero version on stts/stsz/stsc/stco (the spec defines
+    only version 0) rejects.
     Codec configuration inside stsd sample entries stays opaque (the
     avc1/mp4a decode stubs).  FRAGMENTED files (8.8) walk too:
     zero-entry sample tables mark moof-fed tracks (mvex/trex must
@@ -4617,9 +4619,9 @@ def parse_mp4(
     tfhd (default-base-is-moof only), and trun (explicit durations +
     sizes + data offsets that must land on the following mdat's
     payload cursor) accumulate per-track totals cross-checked against
-    mdhd and mehd.  Non-millisecond timescales, version-1 full
-    boxes, multi-chunk progressive tracks, trex sample defaults, and
-    other tfhd/trun flag shapes raise."""
+    mdhd and mehd.  Non-millisecond timescales, multi-chunk
+    progressive tracks, trex sample defaults, and other tfhd/trun
+    flag shapes raise."""
 
     def boxes(at: int, end: int):
         while at < end:
@@ -4776,11 +4778,21 @@ def parse_mp4(
             for t2, s2, e2 in boxes(s, e):
                 n_boxes += 1
                 if t2 == b"mvhd":
-                    if raw[s2]:
-                        raise NotImplementedError(
-                            "version-1 (64-bit) mvhd not implemented"
+                    # version 1 (ISO 14496-12 8.2.2): 64-bit
+                    # creation/modification times and duration
+                    # straddling the 32-bit timescale — long-form
+                    # real video uses it
+                    if raw[s2] == 0:
+                        (scale, dur) = struct.unpack_from(
+                            ">II", raw, s2 + 12
                         )
-                    (scale, dur) = struct.unpack_from(">II", raw, s2 + 12)
+                    elif raw[s2] == 1:
+                        (scale,) = struct.unpack_from(">I", raw, s2 + 20)
+                        (dur,) = struct.unpack_from(">Q", raw, s2 + 24)
+                    else:
+                        raise ValueError(
+                            f"doc {doc_id}: mvhd version {raw[s2]}"
+                        )
                     if scale != 1000:
                         raise NotImplementedError(
                             "non-millisecond movie timescales not "
@@ -4791,13 +4803,19 @@ def parse_mp4(
                     for t3, s3, e3 in boxes(s2, e2):
                         n_boxes += 1
                         if t3 == b"mehd":
-                            if raw[s3]:
-                                raise NotImplementedError(
-                                    "version-1 mehd not implemented"
+                            if raw[s3] == 0:
+                                (mehd_dur,) = struct.unpack_from(
+                                    ">I", raw, s3 + 4
                                 )
-                            (mehd_dur,) = struct.unpack_from(
-                                ">I", raw, s3 + 4
-                            )
+                            elif raw[s3] == 1:
+                                (mehd_dur,) = struct.unpack_from(
+                                    ">Q", raw, s3 + 4
+                                )
+                            else:
+                                raise ValueError(
+                                    f"doc {doc_id}: mehd version "
+                                    f"{raw[s3]}"
+                                )
                         elif t3 == b"trex":
                             tid, sdi, dd, ds, df = struct.unpack_from(
                                 ">IIIII", raw, s3 + 4
@@ -4829,14 +4847,22 @@ def parse_mp4(
                         for t4, s4, e4 in boxes(s3, e3):
                             n_boxes += 1
                             if t4 == b"mdhd":
-                                if raw[s4]:
-                                    raise NotImplementedError(
-                                        "version-1 (64-bit) mdhd not "
-                                        "implemented"
+                                if raw[s4] == 0:
+                                    (mscale, mdur) = struct.unpack_from(
+                                        ">II", raw, s4 + 12
                                     )
-                                (mscale, mdur) = struct.unpack_from(
-                                    ">II", raw, s4 + 12
-                                )
+                                elif raw[s4] == 1:
+                                    (mscale,) = struct.unpack_from(
+                                        ">I", raw, s4 + 20
+                                    )
+                                    (mdur,) = struct.unpack_from(
+                                        ">Q", raw, s4 + 24
+                                    )
+                                else:
+                                    raise ValueError(
+                                        f"doc {doc_id}: mdhd version "
+                                        f"{raw[s4]}"
+                                    )
                                 if mscale != 1000:
                                     raise NotImplementedError(
                                         "non-millisecond media "
@@ -5367,8 +5393,10 @@ def parse_webm(
     """Walk one WebM (Matroska/EBML, RFC 8794) stream to (n_tracks,
     n_video_tracks, n_clusters, n_blocks, n_keyframes, sum_abs_ts,
     payload_bytes, duration_ms): vint ID/size parsing (IDs keep their
-    length marker, sizes strip it; the all-ones size means UNKNOWN
-    length and raises as the declared streaming-muxer stub), an
+    length marker, sizes strip it; an all-ones UNKNOWN size is
+    accepted on Segment — runs to EOF — and on Cluster, whose end is
+    found by scanning child IDs per RFC 8794 6.2, the live-muxer
+    framing; unknown size anywhere else rejects), an
     element tree walk that skips unknown elements and Void gaps by
     size, EBML-header DocType validation, TrackEntry
     number/type/codec parses, and per-cluster SimpleBlock decode —
@@ -5382,7 +5410,21 @@ def parse_webm(
     payloads stay opaque (VP9/Opus decode is the stub); BlockGroups
     and non-millisecond TimestampScales raise."""
 
-    def vint(at: int, strip: bool) -> tuple[int, int]:
+    # RFC 8794 6.2: an all-ones VINT_DATA size means UNKNOWN length —
+    # live muxers emit it on Segment and Cluster because they cannot
+    # seek back to patch the size.  An unknown-size MASTER element
+    # ends at the first byte where the next element ID is not one of
+    # its permitted children (or at its parent's end).  Only the two
+    # elements real muxers stream this way are accepted; an
+    # unknown-size leaf is structurally undecodable and rejects.
+    _UNKNOWN_OK = {0x18538067: None}  # Segment: runs to parent end
+    _CLUSTER_CHILDREN = frozenset(
+        # Timestamp, Position, PrevSize, SimpleBlock, BlockGroup,
+        # Void, CRC-32
+        (0xE7, 0xA7, 0xAB, 0xA3, 0xA0, 0xEC, 0xBF)
+    )
+
+    def vint(at: int, strip: bool, unknown_ok: bool = False):
         if at >= len(raw):
             raise ValueError(f"doc {doc_id}: EBML vint past EOF")
         first = raw[at]
@@ -5396,16 +5438,45 @@ def parse_webm(
             marker = 1 << (7 * n)
             val ^= marker
             if val == marker - 1:
-                raise NotImplementedError(
-                    "unknown-size EBML elements (live-muxer output) "
-                    "not implemented"
-                )
+                if not unknown_ok:
+                    raise ValueError(
+                        f"doc {doc_id}: unknown-size EBML element "
+                        "where a sized one is required (only "
+                        "Segment and Cluster may stream unsized)"
+                    )
+                return None, at + n
         return val, at + n
+
+    def cluster_end(at: int, end: int) -> int:
+        """End offset of an unknown-size Cluster: children are
+        scanned by ID until a non-Cluster-child element (the next
+        Cluster, Cues, ...) or the parent end appears."""
+        while at < end:
+            eid, nxt = vint(at, strip=False)
+            if eid not in _CLUSTER_CHILDREN:
+                return at
+            size, nxt = vint(nxt, strip=True)
+            if nxt + size > end:
+                raise ValueError(
+                    f"doc {doc_id}: cluster child {eid:x} overruns "
+                    "the stream"
+                )
+            at = nxt + size
+        return end
 
     def walk(at: int, end: int):
         while at < end:
             eid, at = vint(at, strip=False)
-            size, at = vint(at, strip=True)
+            unknown_ok = eid == 0x1F43B675 or eid in _UNKNOWN_OK
+            size, at = vint(at, strip=True, unknown_ok=unknown_ok)
+            if size is None:
+                e = (
+                    cluster_end(at, end)
+                    if eid == 0x1F43B675 else end
+                )
+                yield eid, at, e
+                at = e
+                continue
             if at + size > end:
                 raise ValueError(
                     f"doc {doc_id}: element {eid:x} overruns its parent"
@@ -5428,8 +5499,10 @@ def parse_webm(
     eid, at = vint(at, strip=False)
     if eid != 0x18538067:
         raise ValueError(f"doc {doc_id}: missing Segment")
-    size, at = vint(at, strip=True)
-    if at + size != len(raw):
+    size, at = vint(at, strip=True, unknown_ok=True)
+    if size is None:
+        pass  # unknown-size Segment (live muxer): runs to EOF
+    elif at + size != len(raw):
         raise ValueError(f"doc {doc_id}: Segment size disagrees with EOF")
 
     n_tracks = n_video = n_clusters = n_blocks = n_keys = 0
@@ -5748,9 +5821,34 @@ def parse_ogg_opus(
         elif code in (1, 2):
             n_frames = 2
             if code == 2:
-                if len(pkt) < 2 or pkt[1] >= 252:
-                    raise NotImplementedError(
-                        "two-byte Opus frame-length form not implemented"
+                # RFC 6716 3.2.1: first-frame length, 1- or 2-byte
+                # form (252-255 lead bytes: len = second*4 + first,
+                # reaching the 1275-byte cap)
+                if len(pkt) < 2:
+                    raise ValueError(
+                        f"doc {doc_id}: code-2 packet too short"
+                    )
+                b1 = pkt[1]
+                if b1 >= 252:
+                    if len(pkt) < 3:
+                        raise ValueError(
+                            f"doc {doc_id}: two-byte frame length "
+                            "truncated"
+                        )
+                    n1 = pkt[2] * 4 + b1
+                    data_off = 3
+                else:
+                    n1 = b1
+                    data_off = 2
+                if n1 > 1275:
+                    raise ValueError(
+                        f"doc {doc_id}: frame length {n1} exceeds "
+                        "the RFC 6716 1275-byte cap"
+                    )
+                if data_off + n1 > len(pkt):
+                    raise ValueError(
+                        f"doc {doc_id}: code-2 first frame overruns "
+                        "the packet"
                     )
         else:
             if len(pkt) < 2:

@@ -4126,7 +4126,16 @@ def _opus_packet(doc_id: int, i: int) -> bytes:
         return bytes([toc]) + frame
     if code == 1:  # two frames, equal sizes
         return bytes([toc]) + frame + frame
-    if code == 2:  # two frames, first length signaled (1-byte form)
+    if code == 2:  # two frames, first length signaled
+        if (doc_id + i) % 3 == 0:
+            # TWO-BYTE length form (RFC 6716 3.2.1): first frame
+            # longer than 251 bytes, length = second*4 + first with
+            # the lead byte in 252..255
+            n1 = 252 + (doc_id + i) % 40
+            first = 252 + (n1 - 252) % 4
+            second = (n1 - first) // 4
+            big = bytes((doc_id + i + j) % 256 for j in range(n1))
+            return bytes([toc, first, second]) + big + frame
         assert len(frame) < 252
         return bytes([toc, len(frame)]) + frame + frame + b"\x01"
     # code 3: count byte (no padding, VBR off), N equal frames
@@ -4991,7 +5000,9 @@ def make_webm_bytes(doc_id: int) -> bytes:
     signed relative timestamp, flags byte with the keyframe bit, then
     the (opaque) codec payload.  Frame payload DECODE is the VP9/Opus
     stub; the element tree, vint layer, and block timing are what the
-    walk proves."""
+    walk proves.  Docs with doc % 4 == 1 stream the Segment AND the
+    last Cluster with the UNKNOWN-size vint (RFC 8794 6.2) the way a
+    live muxer does — same decoded values, different framing."""
     n_clusters, ts_base = webm_params(doc_id)
 
     header = _ebml(
@@ -5064,8 +5075,21 @@ def make_webm_bytes(doc_id: int) -> bytes:
                 + payload
             )
             body += _ebml(0xA3, block)  # SimpleBlock
-        clusters += _ebml(0x1F43B675, body)
-    segment = _ebml(0x18538067, info + tracks + void + clusters)
+        if doc_id % 4 == 1 and c == n_clusters - 1:
+            # live-muxer shape: the LAST cluster streams with the
+            # UNKNOWN size vint (all VINT_DATA ones, RFC 8794 6.2) —
+            # it ends where its parent does
+            clusters += (
+                (0x1F43B675).to_bytes(4, "big") + b"\xff" + body
+            )
+        else:
+            clusters += _ebml(0x1F43B675, body)
+    seg_body = info + tracks + void + clusters
+    if doc_id % 4 == 1:
+        # unknown-size Segment too: runs to EOF
+        segment = (0x18538067).to_bytes(4, "big") + b"\xff" + seg_body
+    else:
+        segment = _ebml(0x18538067, seg_body)
     return header + segment
 
 
@@ -5284,12 +5308,23 @@ def make_mp4_bytes(doc_id: int) -> bytes:
             + bytes(8) + struct.pack(">hhh", 0, 0, 0) + b"\x00\x00"
             + bytes(36) + struct.pack(">II", 0, 0),
         )
-        mdhd = _full_box(
-            b"mdhd", 0, 0,
-            struct.pack(">II", 0, 0)
-            + struct.pack(">II", 1000, durations[track])
-            + struct.pack(">HH", 0x55C4, 0),
-        )
+        # every third doc writes the VERSION-1 (64-bit) mdhd form
+        # long-duration real files use (ISO 14496-12 8.4.2)
+        if doc_id % 3 == 2:
+            mdhd = _full_box(
+                b"mdhd", 1, 0,
+                struct.pack(">QQ", 0, 0)
+                + struct.pack(">I", 1000)
+                + struct.pack(">Q", durations[track])
+                + struct.pack(">HH", 0x55C4, 0),
+            )
+        else:
+            mdhd = _full_box(
+                b"mdhd", 0, 0,
+                struct.pack(">II", 0, 0)
+                + struct.pack(">II", 1000, durations[track])
+                + struct.pack(">HH", 0x55C4, 0),
+            )
         handler = b"vide" if track == 0 else b"soun"
         hdlr = _full_box(
             b"hdlr", 0, 0,
@@ -5302,14 +5337,26 @@ def make_mp4_bytes(doc_id: int) -> bytes:
             return _box(b"trak", tkhd + unknown + mdia)
         return _box(b"trak", tkhd + mdia)
 
-    mvhd = _full_box(
-        b"mvhd", 0, 0,
-        struct.pack(">II", 0, 0)
-        + struct.pack(">II", 1000, max(durations))
-        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
-        + bytes(10) + bytes(36) + bytes(24)
-        + struct.pack(">I", 3),  # next_track_ID
-    )
+    if doc_id % 3 == 2:
+        # version-1 mvhd: 64-bit times and duration (8.2.2)
+        mvhd = _full_box(
+            b"mvhd", 1, 0,
+            struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", 1000)
+            + struct.pack(">Q", max(durations))
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + bytes(10) + bytes(36) + bytes(24)
+            + struct.pack(">I", 3),  # next_track_ID
+        )
+    else:
+        mvhd = _full_box(
+            b"mvhd", 0, 0,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", 1000, max(durations))
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + bytes(10) + bytes(36) + bytes(24)
+            + struct.pack(">I", 3),  # next_track_ID
+        )
     free = _box(b"free", bytes(8 + doc_id % 16))
 
     # chunk offsets need the final layout: moov size depends only on
@@ -5361,12 +5408,23 @@ def make_mp4_fragmented(doc_id: int) -> bytes:
             + bytes(8) + struct.pack(">hhh", 0, 0, 0) + b"\x00\x00"
             + bytes(36) + struct.pack(">II", 0, 0),
         )
-        mdhd = _full_box(
-            b"mdhd", 0, 0,
-            struct.pack(">II", 0, 0)
-            + struct.pack(">II", 1000, durations[track])
-            + struct.pack(">HH", 0x55C4, 0),
-        )
+        # every third doc writes the VERSION-1 (64-bit) mdhd form
+        # long-duration real files use (ISO 14496-12 8.4.2)
+        if doc_id % 3 == 2:
+            mdhd = _full_box(
+                b"mdhd", 1, 0,
+                struct.pack(">QQ", 0, 0)
+                + struct.pack(">I", 1000)
+                + struct.pack(">Q", durations[track])
+                + struct.pack(">HH", 0x55C4, 0),
+            )
+        else:
+            mdhd = _full_box(
+                b"mdhd", 0, 0,
+                struct.pack(">II", 0, 0)
+                + struct.pack(">II", 1000, durations[track])
+                + struct.pack(">HH", 0x55C4, 0),
+            )
         handler = b"vide" if track == 0 else b"soun"
         hdlr = _full_box(
             b"hdlr", 0, 0, bytes(4) + handler + bytes(12) + b"etl\x00"
@@ -5398,7 +5456,9 @@ def make_mp4_fragmented(doc_id: int) -> bytes:
     )
     mvex = _box(
         b"mvex",
-        _full_box(b"mehd", 0, 0, struct.pack(">I", max(durations)))
+        (_full_box(b"mehd", 1, 0, struct.pack(">Q", max(durations)))
+         if doc_id % 2
+         else _full_box(b"mehd", 0, 0, struct.pack(">I", max(durations))))
         + b"".join(
             _full_box(
                 b"trex", 0, 0,
