@@ -292,11 +292,13 @@ MP3_MAINDATA_SCHEMA = (
 # Tables 16-23 share table 16's codes and 25-31 share table 24's,
 # differing only in linbits (MP3_LINBITS below), so validating table
 # 24 unlocks the whole 24-31 linbits family.
-# Remaining clean-room boundary: tables 13 and 16 — their inner
-# recall blocks still carry prefix/Kraft conflicts (t13: row 14;
-# t16: rows 1/13 — the workbench documents the per-table deltas), so
-# table_select into 13 and 16-23 raises rather than risking a
-# silently-wrong table.
+# Remaining clean-room boundary: table 13 alone — its deep corner
+# (7 cells over holes 16/{0,1,2,4} + 17/23) admits thousands of
+# invariant-valid tilings with recall-score ties (the workbench
+# records the full solve state), so table_select 13 raises rather
+# than risking a silently-wrong table.  Table 16 cleared the gate
+# later in round 13 via the same split (rows 1/13 + one row-14 cell
+# solved against the 13-row trusted block), unlocking 16-23.
 MP3_HUFF_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
     1: {(1, 0b1): (0, 0), (2, 0b01): (1, 0),
         (3, 0b001): (0, 1), (3, 0b000): (1, 1)},
@@ -598,6 +600,84 @@ _MP3_B7_MATRICES: dict[int, tuple[list, list]] = {
           360, 358, 356, 0],
          [43, 20, 19, 17, 15, 13, 11, 9, 7, 6, 4, 7, 5, 3, 1, 3]],
     ),
+    # Table 16 (16x16, the linbits family 16-23's shared code
+    # matrix), validated round 13 by the same split: the 13-row
+    # trusted block (all rows except 1, 13 and cell (14,12))
+    # validated clean standalone with deficit 7565/32768, and the
+    # recalled row-1/row-13 values tiled the 30 maximal holes almost
+    # verbatim — all 16 row-1 cells land on holes exactly (5 with
+    # the one-level length slip), row 13's 211/210 pair splits hole
+    # 11/105, and the deep corner closed through the descendant
+    # pattern: recalled 3459/6917 are hole 16/1729's length-17/18
+    # descendants (the unique mass-consistent partition is 17/3459 +
+    # 18/6916 + 18/6917, with recalled "3458" the doubling-misread
+    # of 18/6916).  Style caveats recorded in the workbench: t16's
+    # own TRUSTED rows violate the small tables' row-monotonicity
+    # and near-symmetry invariants (rows 7/12/14; (9,12) vs (12,9)),
+    # so those heuristics were not applied against recall here.
+    16: (
+        [[1, 4, 6, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 9],
+         [3, 4, 6, 7, 8, 9, 9, 9, 10, 10, 10, 11, 12, 11, 12, 8],
+         [6, 6, 7, 8, 9, 9, 10, 10, 11, 10, 11, 11, 11, 12, 12, 9],
+         [8, 7, 8, 9, 9, 10, 10, 10, 11, 11, 12, 12, 12, 13, 13,
+          10],
+         [9, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 13, 13,
+          9],
+         [9, 8, 9, 9, 10, 11, 11, 12, 11, 12, 12, 13, 13, 13, 14,
+          10],
+         [10, 9, 9, 10, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 14,
+          10],
+         [10, 9, 10, 10, 11, 11, 11, 12, 12, 13, 13, 13, 13, 15, 15,
+          10],
+         [10, 10, 10, 11, 11, 11, 12, 12, 13, 13, 13, 13, 14, 14,
+          14, 10],
+         [11, 10, 10, 11, 11, 12, 12, 13, 13, 13, 13, 14, 13, 14,
+          13, 11],
+         [11, 11, 10, 11, 12, 12, 12, 12, 13, 14, 14, 14, 15, 15,
+          14, 10],
+         [12, 11, 11, 11, 12, 12, 13, 14, 14, 14, 14, 14, 14, 13,
+          14, 11],
+         [12, 12, 12, 12, 12, 13, 13, 13, 13, 15, 14, 14, 14, 14,
+          16, 11],
+         [14, 12, 12, 12, 13, 13, 14, 14, 14, 16, 14, 17, 15, 18,
+          15, 11],
+         [13, 13, 11, 12, 14, 14, 13, 14, 14, 15, 16, 15, 18, 15,
+          14, 11],
+         [9, 8, 8, 9, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11,
+          8]],
+        [[1, 5, 14, 44, 74, 63, 110, 93, 172, 149, 138, 242, 225,
+          195, 376, 17],
+         [3, 4, 12, 20, 35, 62, 53, 47, 83, 75, 68, 119, 201, 107,
+          207, 9],
+         [15, 13, 23, 38, 67, 58, 103, 90, 161, 72, 127, 117, 110,
+          209, 206, 16],
+         [45, 21, 39, 69, 64, 114, 99, 87, 158, 140, 252, 212, 199,
+          387, 365, 26],
+         [75, 36, 68, 65, 115, 101, 179, 164, 155, 264, 246, 226,
+          395, 382, 362, 9],
+         [66, 30, 59, 56, 102, 185, 173, 265, 142, 253, 232, 400,
+          388, 378, 445, 16],
+         [111, 54, 52, 100, 184, 178, 160, 133, 257, 244, 228, 217,
+          385, 366, 715, 10],
+         [98, 48, 91, 88, 165, 157, 148, 261, 248, 407, 397, 372,
+          380, 889, 884, 8],
+         [85, 84, 81, 159, 156, 143, 260, 249, 427, 401, 392, 383,
+          727, 713, 708, 7],
+         [154, 76, 73, 141, 131, 256, 245, 426, 406, 394, 384, 735,
+          359, 710, 352, 11],
+         [139, 129, 67, 125, 247, 233, 229, 219, 393, 743, 737, 720,
+          885, 882, 439, 4],
+         [243, 120, 118, 115, 227, 223, 396, 746, 742, 736, 721,
+          712, 706, 223, 436, 6],
+         [202, 224, 222, 218, 216, 389, 386, 381, 364, 888, 443,
+          707, 440, 437, 1728, 4],
+         [747, 211, 210, 208, 370, 379, 734, 723, 714, 1735, 438,
+          3459, 883, 6917, 865, 2],
+         [377, 369, 102, 187, 726, 722, 358, 711, 709, 866, 1734,
+          871, 6916, 870, 434, 0],
+         [12, 10, 7, 11, 10, 17, 11, 9, 13, 12, 10, 7, 5, 3, 1,
+          3]],
+    ),
 }
 
 # ISO 11172-3 Table B.7 linbits escape widths: tables 16-23 all use
@@ -645,8 +725,8 @@ def _mp3_bv_table(
             f"ISO 11172-3 B.7 Huffman table {base} data not shipped "
             "(its clean-room transcription still fails the "
             "grid/prefix/Kraft gate — tools/mp3_table_workbench.py; "
-            "tables 1-3, 5-12, 15 and the 24-31 linbits family are "
-            "validated and ship)"
+            "every other B.7 table — 1-3, 5-12, 15 and both linbits "
+            "families 16-23/24-31 — is validated and ships)"
         )
     return table, MP3_LINBITS.get(tsel, 0)
 

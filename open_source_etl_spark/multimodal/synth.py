@@ -3012,7 +3012,7 @@ MP3_HT_TABLES = (1, 2, 3, 5, 6, 7)
 MP3_HT_TABLES_ALL = (1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12)
 MP3_HT_DIMS = {
     1: 2, 2: 3, 3: 3, 5: 4, 6: 4, 7: 6, 8: 6, 9: 6, 10: 8, 11: 8,
-    12: 8, 15: 16, 24: 16,
+    12: 8, 15: 16, 16: 16, 24: 16,
 }
 
 _MP3_HT_ENC_CACHE: dict | None = None
@@ -3168,10 +3168,13 @@ def make_mp3_ht_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
-# The 16x16-table tier (round 13): table 15 (no linbits) plus the
-# whole validated 24-31 linbits family.  Tables 13 and 16-23 stay
-# out until their code matrices clear the workbench gate.
-MP3_LB_TABLES = (15, 24, 25, 26, 27, 28, 29, 30, 31)
+# The 16x16-table tier (round 13): table 15 (no linbits) plus BOTH
+# validated linbits families 16-23 and 24-31.  Table 13 stays out
+# until its code matrix clears the workbench gate.
+MP3_LB_TABLES = (
+    15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30,
+    31,
+)
 
 
 def mp3_lb_table(doc_id: int, g: int) -> int:
@@ -3239,8 +3242,9 @@ def make_mp3_lb_bytes(doc_id: int) -> bytes:
             nb += sl2
         t = mp3_lb_table(doc_id, g)
         lb = MP3_LINBITS.get(t, 0)
-        # ids 25-31 share table 24's code matrix (only linbits differ)
-        enc_t = enc[24 if 24 <= t <= 31 else t]
+        # ids 17-23 share table 16's code matrix and 25-31 share
+        # table 24's (only linbits differ)
+        enc_t = enc[16 if 16 <= t <= 23 else (24 if 24 <= t <= 31 else t)]
         for q, (x, y, ex_x, ex_y) in enumerate(mp3_lb_pairs(doc_id, g)):
             hlen, hcode = enc_t[(x, y)]
             acc = (acc << hlen) | hcode

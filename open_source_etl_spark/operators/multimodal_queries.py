@@ -2142,8 +2142,10 @@ def multimodal_mp3_hufftables_decode(
     "multimodal_mp3_linbits_decode",
     # formulas mirror synth.make_mp3_lb_bytes / mp3_lb_table /
     # mp3_lb_pairs: n_frames = 2 + doc % 3, main_data_begin = 0,
-    # granule tables cycle the 16x16 tier (doc+g) % 9 -> table 15
-    # (linbits 0) then 24-31 (linbits 4,5,6,7,8,9,11,13); pairs q in
+    # granule tables cycle the FULL 16x16 tier (doc+g) % 17 -> table
+    # 15 (linbits 0), 16-23 (linbits 1,2,3,4,6,8,10,13 on table 16's
+    # codes) and 24-31 (linbits 4,5,6,7,8,9,11,13 on table 24's);
+    # pairs q in
     # 0..2+(doc+g)%4 have x = (doc+3q+g) % 16, y = (2doc+q+g) % 16,
     # and a coordinate decoded as the ESC value 15 is extended by the
     # raw linbits field ex_x = (doc+2q+g) % 2^lb / ex_y =
@@ -2159,9 +2161,12 @@ def multimodal_mp3_hufftables_decode(
     WITH g AS (
       SELECT doc_id, 2 + doc_id % 3 AS n_frames, gg.g AS g,
              (doc_id + 2 * gg.g) % 16 AS sfc,
-             CASE (doc_id + gg.g) % 9 WHEN 0 THEN 0 WHEN 1 THEN 4
-                  WHEN 2 THEN 5 WHEN 3 THEN 6 WHEN 4 THEN 7
-                  WHEN 5 THEN 8 WHEN 6 THEN 9 WHEN 7 THEN 11
+             CASE (doc_id + gg.g) % 17 WHEN 0 THEN 0 WHEN 1 THEN 1
+                  WHEN 2 THEN 2 WHEN 3 THEN 3 WHEN 4 THEN 4
+                  WHEN 5 THEN 6 WHEN 6 THEN 8 WHEN 7 THEN 10
+                  WHEN 8 THEN 13 WHEN 9 THEN 4 WHEN 10 THEN 5
+                  WHEN 11 THEN 6 WHEN 12 THEN 7 WHEN 13 THEN 8
+                  WHEN 14 THEN 9 WHEN 15 THEN 11
                   ELSE 13 END AS lb
       FROM documents, LATERAL (SELECT unnest([0, 1]) AS g) gg
     ),
@@ -2252,11 +2257,12 @@ def multimodal_mp3_hufftables_decode(
 def multimodal_mp3_linbits_decode(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """MP3 main-data decode through the 16x16 B.7 Huffman tier:
-    granule regions cycle table 15 and ALL EIGHT linbits escape
-    tables 24-31 (validated round 13 via the edge-tiling solve —
-    tools/mp3_table_workbench.py; ids 25-31 share table 24's code
-    matrix and differ only in MP3_LINBITS width).  A coordinate
+    """MP3 main-data decode through the COMPLETE 16x16 B.7 Huffman
+    tier: granule regions cycle table 15 and ALL SIXTEEN linbits
+    escape tables 16-31 (validated round 13 via the edge/row-tiling
+    solves — tools/mp3_table_workbench.py; ids 17-23 share table
+    16's code matrix and 25-31 share table 24's, differing only in
+    MP3_LINBITS width).  A coordinate
     decoded as the ESC value 15 is extended by the table's raw
     linbits field BEFORE its sign bit (2.4.2.7 order), so transmitted
     magnitudes reach 15 + 2^13 - 1 — the loud-frame regime real
@@ -2264,8 +2270,8 @@ def multimodal_mp3_linbits_decode(
     A decoder with a wrong code entry, or one that misses or
     mis-sizes a single linbits read, desyncs the bitstream and fails
     exact part2_3_length accounting — it cannot land these spectrum
-    sums by accident.  Tables 13 and 16-23 (sharing still-unvalidated
-    table 16) remain the declared NotImplementedError boundary.
+    sums by accident.  Table 13 is the one remaining declared
+    NotImplementedError boundary in the B.7 space.
     Reference scope note: the reference delegates all media handling
     to its warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""

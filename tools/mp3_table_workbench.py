@@ -57,8 +57,9 @@ transcription to cross-check against); the round instead shipped the
 layers that ARE derivable: intensity stereo (exact-surd Q15 ratios)
 and Table B.6 pretab (short, invariant-gated).
 
-Round-13 outcome: tables 15 and 24 VALIDATED and shipped; 13 and 16
-remain boundaries.  What changed: instead of scoring each fresh
+Round-13 outcome: tables 15, 24 and (later in the round, see
+round13_t16_record) 16 VALIDATED and shipped — every B.7 table except
+13 now ships.  What changed: instead of scoring each fresh
 16x16 recall as a monolith, the recall was split into its inner
 15x15 block and its last row/column, because the round-13 fresh
 transcriptions showed all duplicate/prefix conflicts clustering in
@@ -106,12 +107,12 @@ hole-reconstructed t11 column), and |hlen(x,y)-hlen(y,x)| <= 1.
   (row 14 + row 15 + column 15) would need the tiling solve with
   only 7 exact-hole recall anchors — attempted this round, see
   round13_t13_notes() for the hole table and anchor list.
-  t16: fresh recall carries +287 x 2^-16 Kraft EXCESS with 12
-  prefix conflicts spread over rows 1 and 13 — no clean trusted
-  block exists to anchor a tiling, so the round-12 reasoning
-  (repair-by-arithmetic at this error density recreates the
-  silent-swap risk) still applies.  Tables 16-23 therefore stay
-  behind the boundary; 24-31 ship via t24 + MP3_LINBITS.
+  t16: the fresh recall's +287 x 2^-16 Kraft EXCESS and 12 prefix
+  conflicts all localize to rows 1 and 13 plus cell (14,12); with
+  those 33 cells removed the 13-row trusted block validates clean,
+  and the row-tiling solve closed the table later in the round —
+  see round13_t16_record() below.  Both linbits families 16-23 and
+  24-31 ship.
 
 Residual risk for the two newly shipped tables (same class as the
 t10 row-6 note): an equal-length code swap between two cells that
@@ -271,3 +272,29 @@ if __name__ == "__main__":
         n_ok += validate(f"table {t}", tab, dim, dim)
         style_check(f"table {t}", tab, dim, dim)
     print(f"{n_ok}/{len(MP3_HUFF_TABLES)} shipped tables validate")
+
+
+def round13_t16_record():
+    """Round-13 (late session) t16 outcome: VALIDATED and shipped.
+    The trusted block = every row except 1 and 13 plus cell (14,12)
+    validated standalone (0 conflicts, deficit exactly 7565/32768
+    over 30 maximal holes).  The recalled untrusted cells then tiled
+    the holes with overwhelming agreement:
+      - all 16 row-1 cells sit on holes — 11 at the recalled
+        (len, code) exactly, 5 at the recalled value one level
+        deeper (the same systematic slip t13/t15 showed);
+      - row 13: 9 exact-hole matches; 211/210 are the two halves of
+        hole 11/105; 370/379 match len-13 holes exactly;
+      - the deep corner closed by the DESCENDANT pattern: recalled
+        3459 and 6917 are hole 16/1729's unique length-17/18
+        descendants under the mass equation ({14,15,15,17,18,18} is
+        the only multiset fitting 36 leaf-18 units over 6 cells),
+        and recalled "(14,12) = 16/3458" is the doubling-misread of
+        the remaining leaf 18/6916.
+    Style caveat, recorded deliberately: t16's own TRUSTED rows
+    violate the small tables' row-monotonicity (rows 7/12/14) and
+    +-1 length symmetry ((9,12)=13 vs (12,9)=15), so neither
+    heuristic was weighed against recall for this table — consistent
+    with the round-13 demotion of the heuristics after the t10
+    double-entry.  Residual risk class: unchanged (equal-length
+    swaps inside the trusted recall block)."""
