@@ -921,8 +921,14 @@ def jpeg_decode_progressive(
     enforced: a refinement scan must continue at the bit position the
     band's previous scan left (Ah == previous Al), DC-only scans must
     have Se = 0, and bands may not mix DC with AC.  Multi-component
-    frames, restart markers inside progressive scans, and 16-bit
-    quantizers raise at the declared boundary."""
+    frames and 16-bit
+    quantizers raise at the declared boundary.  DRI/RSTn restart
+    intervals decode per E.1.4 inside every scan kind (round 13): the
+    entropy data splits at RSTn markers into segments of
+    restart_interval MCUs, each decoded with a FRESH DC predictor and
+    EOBRUN and its own byte-aligned 1-padding, the D0-D7 sequence is
+    validated cyclically, and segment counts must tile the block
+    count exactly."""
     import struct
 
     if raw[:2] != b"\xff\xd8":
@@ -936,9 +942,12 @@ def jpeg_decode_progressive(
     # per-coefficient-band progression state: next expected Al, keyed
     # by the band's start index (0 = DC)
     band_al: dict[tuple[int, int], int] = {}
+    restart_interval = 0
 
-    def scan_bounds(p: int) -> int:
-        # entropy data runs until the next non-RST, non-stuffed marker
+    def scan_bounds(p: int) -> tuple[int, list]:
+        # entropy data runs until the next non-RST, non-stuffed
+        # marker; RSTn positions are returned for segment splitting
+        rsts = []
         while p < len(raw):
             if raw[p] == 0xFF:
                 nxt = raw[p + 1] if p + 1 < len(raw) else None
@@ -946,11 +955,10 @@ def jpeg_decode_progressive(
                     p += 2
                     continue
                 if nxt is not None and 0xD0 <= nxt <= 0xD7:
-                    raise NotImplementedError(
-                        "restart markers inside progressive scans "
-                        "not implemented"
-                    )
-                return p
+                    rsts.append((p, nxt - 0xD0))
+                    p += 2
+                    continue
+                return p, rsts
             p += 1
         raise ValueError(f"doc {doc_id}: scan runs past EOF")
 
@@ -971,7 +979,9 @@ def jpeg_decode_progressive(
         if pos + 2 + seg_len > len(raw):
             raise ValueError(f"doc {doc_id}: segment runs past EOF")
         data = raw[pos + 4 : pos + 2 + seg_len]
-        if marker == 0xDB:
+        if marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDB:
             p = 0
             while p < len(data):
                 if data[p] >> 4 != 0:
@@ -1034,117 +1044,152 @@ def jpeg_decode_progressive(
                     )
             band_al[key] = al
             scan_start = pos + 2 + seg_len
-            scan_end = scan_bounds(scan_start)
-            payload = (
-                raw[scan_start:scan_end]
-                .replace(b"\xff\x00", b"\xff")
-            )
-            reader = _BitReader(payload)
+            scan_end, rsts = scan_bounds(scan_start)
+            if rsts and not restart_interval:
+                raise ValueError(
+                    f"doc {doc_id}: RSTn inside a scan without a DRI "
+                    "segment"
+                )
+            # E.1.4: split the entropy data into restart segments of
+            # restart_interval MCUs (one block per MCU here); each
+            # segment decodes with a fresh DC predictor and EOBRUN
+            spans = []
+            prev = scan_start
+            for i, (mp, m) in enumerate(rsts):
+                if m != i % 8:
+                    raise ValueError(
+                        f"doc {doc_id}: restart marker D{m} out of "
+                        f"sequence (expected D{i % 8})"
+                    )
+                spans.append((prev, mp))
+                prev = mp + 2
+            spans.append((prev, scan_end))
+            ri = restart_interval if restart_interval else len(blocks)
+            if restart_interval:
+                exp = -(-len(blocks) // ri)
+                if len(spans) != exp:
+                    raise ValueError(
+                        f"doc {doc_id}: {len(spans)} restart segments "
+                        f"for {len(blocks)} blocks at interval {ri}"
+                    )
             n_scans += 1
             p1, m1 = 1 << al, -(1 << al)
-            if ss == 0:  # DC scan
-                if ah == 0:
-                    dc_tab = huff_dc[td]
-                    pred = 0
-                    for coef in blocks:
-                        size = reader.huff(dc_tab)
-                        diff = _jpeg_extend(reader.bits(size), size)
-                        pred += diff
-                        coef[0] = pred << al
-                else:
-                    for coef in blocks:
-                        if reader.bit():
-                            coef[0] |= p1
-            elif ah == 0:  # AC first scan
-                ac_tab = huff_ac[ta]
-                eobrun = 0
-                for coef in blocks:
-                    if eobrun:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        sym = reader.huff(ac_tab)
-                        r, s = sym >> 4, sym & 15
-                        if s == 0:
-                            if r != 15:
-                                eobrun = (1 << r) - 1
-                                if r:
-                                    eobrun += reader.bits(r)
-                                break
-                            k += 16  # ZRL
+            for si, (a_, b_) in enumerate(spans):
+                payload = (
+                    raw[a_:b_].replace(b"\xff\x00", b"\xff")
+                )
+                reader = _BitReader(payload)
+                seg_blocks = blocks[si * ri : (si + 1) * ri]
+                if ss == 0:  # DC scan
+                    if ah == 0:
+                        dc_tab = huff_dc[td]
+                        pred = 0
+                        for coef in seg_blocks:
+                            size = reader.huff(dc_tab)
+                            diff = _jpeg_extend(reader.bits(size), size)
+                            pred += diff
+                            coef[0] = pred << al
+                    else:
+                        for coef in seg_blocks:
+                            if reader.bit():
+                                coef[0] |= p1
+                elif ah == 0:  # AC first scan
+                    ac_tab = huff_ac[ta]
+                    eobrun = 0
+                    for coef in seg_blocks:
+                        if eobrun:
+                            eobrun -= 1
                             continue
-                        k += r
-                        if k > se:
-                            raise ValueError(
-                                f"doc {doc_id}: AC run overflows band"
-                            )
-                        coef[k] = (
-                            _jpeg_extend(reader.bits(s), s) << al
-                        )
-                        k += 1
-            else:  # AC refinement scan (G.1.2.3)
-                ac_tab = huff_ac[ta]
-                eobrun = 0
-
-                def correct(coef: list, k: int) -> None:
-                    if reader.bit() and not (abs(coef[k]) & p1):
-                        coef[k] += p1 if coef[k] > 0 else m1
-
-                for coef in blocks:
-                    k = ss
-                    if eobrun == 0:
+                        k = ss
                         while k <= se:
                             sym = reader.huff(ac_tab)
                             r, s = sym >> 4, sym & 15
-                            newval = 0
                             if s == 0:
                                 if r != 15:
-                                    eobrun = 1 << r
+                                    eobrun = (1 << r) - 1
                                     if r:
                                         eobrun += reader.bits(r)
                                     break
-                                # ZRL: pass 16 zero-history positions
-                            elif s == 1:
-                                newval = p1 if reader.bit() else m1
-                            else:
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
                                 raise ValueError(
-                                    f"doc {doc_id}: refinement symbol "
-                                    f"size {s} > 1"
+                                    f"doc {doc_id}: AC run overflows "
+                                    "band"
                                 )
+                            coef[k] = (
+                                _jpeg_extend(reader.bits(s), s) << al
+                            )
+                            k += 1
+                else:  # AC refinement scan (G.1.2.3)
+                    ac_tab = huff_ac[ta]
+                    eobrun = 0
+
+                    def correct(
+                        coef: list, k: int, reader=None
+                    ) -> None:
+                        if reader.bit() and not (abs(coef[k]) & p1):
+                            coef[k] += p1 if coef[k] > 0 else m1
+
+                    import functools
+
+                    correct = functools.partial(correct, reader=reader)
+
+                    for coef in seg_blocks:
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = reader.huff(ac_tab)
+                                r, s = sym >> 4, sym & 15
+                                newval = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += reader.bits(r)
+                                        break
+                                    # ZRL: 16 zero-history positions
+                                elif s == 1:
+                                    newval = p1 if reader.bit() else m1
+                                else:
+                                    raise ValueError(
+                                        f"doc {doc_id}: refinement "
+                                        f"symbol size {s} > 1"
+                                    )
+                                while k <= se:
+                                    if coef[k] != 0:
+                                        correct(coef, k)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if s and k <= se:
+                                    coef[k] = newval
+                                elif s:
+                                    raise ValueError(
+                                        f"doc {doc_id}: newly-nonzero "
+                                        "coefficient overflows band"
+                                    )
+                                k += 1
+                        if eobrun:
                             while k <= se:
                                 if coef[k] != 0:
                                     correct(coef, k)
-                                else:
-                                    if r == 0:
-                                        break
-                                    r -= 1
                                 k += 1
-                            if s and k <= se:
-                                coef[k] = newval
-                            elif s:
-                                raise ValueError(
-                                    f"doc {doc_id}: newly-nonzero "
-                                    "coefficient overflows band"
-                                )
-                            k += 1
-                    if eobrun:
-                        while k <= se:
-                            if coef[k] != 0:
-                                correct(coef, k)
-                            k += 1
-                        eobrun -= 1
-            # 1-padding to the byte edge must be all ones
-            while reader.nbits:
-                if not reader.bit():
+                            eobrun -= 1
+                # per-segment 1-padding to the byte edge
+                while reader.nbits:
+                    if not reader.bit():
+                        raise ValueError(
+                            f"doc {doc_id}: zero bit in scan padding"
+                        )
+                if reader.pos != len(payload):
                     raise ValueError(
-                        f"doc {doc_id}: zero bit in scan padding"
+                        f"doc {doc_id}: scan segment carries "
+                        f"{len(payload) - reader.pos} undecoded bytes"
                     )
-            if reader.pos != len(payload):
-                raise ValueError(
-                    f"doc {doc_id}: scan carries "
-                    f"{len(payload) - reader.pos} undecoded bytes"
-                )
             pos = scan_end
             continue
         pos += 2 + seg_len
@@ -1421,6 +1466,33 @@ def synthesize_jpeg_prog(docs_df: DataFrame) -> DataFrame:
                     "kind": ["image"] * len(pdf),
                     "payload": [
                         make_jpeg_prog_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_jpeg_prog_rst(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a progressive JPEG whose every scan
+    is split by DRI/RSTn restart intervals
+    (``make_jpeg_prog_rst_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_jpeg_prog_rst_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_jpeg_prog_rst_bytes(int(d))
+                        for d in pdf["doc_id"]
                     ],
                 }
             )

@@ -438,6 +438,111 @@ JPEG_PROG_AC_SYMBOLS = bytes(
 JPEG_PROG_AC_COUNTS = bytes([0, 0, 0, 0, len(JPEG_PROG_AC_SYMBOLS)] + [0] * 11)
 
 
+def jpeg_prog_rst_interval(doc_id: int) -> int:
+    """Restart interval (MCUs = blocks, grayscale non-interleaved)
+    for the progressive-restart fixture."""
+    return 2 + doc_id % 3
+
+
+def make_jpeg_prog_rst_bytes(doc_id: int) -> bytes:
+    """PROGRESSIVE JPEG with DRI/RSTn restart intervals inside every
+    scan (ISO/IEC 10918-1 E.1.4 + Annex G): the same 6-scan script
+    and final coefficients as ``make_jpeg_prog_bytes``, but each
+    scan's entropy data splits into restart segments of
+    ``jpeg_prog_rst_interval`` blocks — every segment byte-aligned
+    with 1-padding, the DC predictor and EOBRUN reset per segment,
+    and the RSTn markers cycling D0-D7.  Decoders that carry the DC
+    predictor or an EOBRUN across a restart land different
+    coefficients and fail the pinned sums."""
+    bx, by, _base = jpeg_prog_params(doc_id)
+    blocks = [jpeg_prog_coefs(doc_id, k) for k in range(bx * by)]
+    width, height = 8 * bx, 8 * by
+    ri = jpeg_prog_rst_interval(doc_id)
+
+    quant = bytearray(64)
+    quant[0] = 8
+    for i in range(1, 64):
+        quant[i] = 16
+
+    dc_codes = _canonical_codes(JPEG_DC_COUNTS, JPEG_DC_SYMBOLS)
+    ac_codes = _canonical_codes(JPEG_PROG_AC_COUNTS, JPEG_PROG_AC_SYMBOLS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(ss: int, se: int, ah: int, al: int, td: int, ta: int) -> bytes:
+        return seg(
+            0xFFDA, bytes([1, 1, (td << 4) | ta, ss, se, (ah << 4) | al])
+        )
+
+    def segmented(encode_one) -> bytes:
+        """Run ``encode_one(writer, seg_blocks)`` per restart segment
+        and join the flushed segments with cycling RSTn markers."""
+        parts = []
+        for si in range(0, len(blocks), ri):
+            w = _BitWriter()
+            encode_one(w, blocks[si : si + ri])
+            if si:
+                parts.append(bytes([0xFF, 0xD0 + ((si // ri) - 1) % 8]))
+            parts.append(w.flush())
+        return b"".join(parts)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xFFDB, bytes([0x00]) + bytes(quant))
+    out += seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += seg(0xFFDD, struct.pack(">H", ri))  # DRI
+    out += seg(0xFFC4, bytes([0x00]) + JPEG_DC_COUNTS + JPEG_DC_SYMBOLS)
+    out += seg(
+        0xFFC4, bytes([0x10]) + JPEG_PROG_AC_COUNTS + JPEG_PROG_AC_SYMBOLS
+    )
+
+    # scan 1: DC first, Al = 1 — predictor resets per segment
+    def dc_first(w, seg_blocks):
+        pred = 0
+        for coef in seg_blocks:
+            pt = coef[0] >> 1
+            diff = pt - pred
+            pred = pt
+            size = abs(diff).bit_length()
+            code, length = dc_codes[size]
+            w.write(code, length)
+            if size:
+                bits = diff if diff >= 0 else diff + (1 << size) - 1
+                w.write(bits & ((1 << size) - 1), size)
+
+    out += sos(0, 0, 0, 1, 0, 0) + segmented(dc_first)
+
+    # scans 2-3: AC first per band (EOBRUN cannot cross a restart)
+    for ss, se in ((1, 5), (6, 63)):
+        out += sos(ss, se, 0, 1, 0, 0) + segmented(
+            lambda w, sb, ss=ss, se=se: _jpeg_prog_ac_first(
+                w, ac_codes, sb, ss, se, 1
+            )
+        )
+
+    # scan 4: DC refinement — one raw bit per block
+    def dc_refine(w, seg_blocks):
+        for coef in seg_blocks:
+            w.write(coef[0] & 1, 1)
+
+    out += sos(0, 0, 1, 0, 0, 0) + segmented(dc_refine)
+
+    # scans 5-6: AC refinement per band
+    for ss, se in ((1, 5), (6, 63)):
+        out += sos(ss, se, 1, 0, 0, 0) + segmented(
+            lambda w, sb, ss=ss, se=se: _jpeg_prog_ac_refine(
+                w, ac_codes, sb, ss, se, 0
+            )
+        )
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def jpeg_prog_params(doc_id: int) -> tuple[int, int, int]:
     """(blocks_x, blocks_y, base) for the progressive-JPEG fixture."""
     return 2 + doc_id % 4, 2 + doc_id % 3, 40 + doc_id % 150

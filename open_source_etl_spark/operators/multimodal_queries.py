@@ -858,8 +858,9 @@ def multimodal_jpeg_progressive_decode(
     consumed every scan correctly can produce; progression legality
     (refinement must continue its band's bit position, DC-only scans)
     is enforced and violations raise.  Multi-component progressive
-    frames and restart markers inside progressive scans remain the
-    declared stubs.  Reference scope note: the reference delegates all
+    frames remain the declared stub; restart intervals inside
+    progressive scans decode for real in
+    ``multimodal_jpeg_prog_restart_decode``.  Reference scope note: the reference delegates all
     media handling to its warehouse; this query is part of the
     training-data-pipeline surface the brief adds."""
     from ..multimodal.decode import (
@@ -2366,6 +2367,74 @@ def multimodal_h264_multiref_decode(
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_h264_multiref(synthesize_h264_multiref(docs)).orderBy(
         "doc_id", "frame_idx"
+    )
+
+
+@query(
+    "multimodal_jpeg_prog_restart_decode",
+    # same closed forms as multimodal_jpeg_progressive_decode
+    # (synth.jpeg_prog_params / jpeg_prog_coefs): the restart fixture
+    # transmits the SAME final coefficients through the same 6-scan
+    # script, but every scan's entropy data is split by DRI/RSTn
+    # restart intervals (E.1.4) — per-segment DC predictor and EOBRUN
+    # resets, per-segment byte-aligned 1-padding, D0-D7 cycling — so
+    # a decoder that carries state across a restart reconstructs
+    # different coefficients and misses these sums.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             2 + doc_id % 4 AS bx,
+             2 + doc_id % 3 AS by,
+             40 + doc_id % 150 AS base
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, bx, by, base, kk.k AS k,
+             base + kk.k - 128 AS dc,
+             (doc_id + 2 * kk.k) % 7 - 3 AS v1,
+             (doc_id + 5 * kk.k) % 5 - 2 AS v2
+      FROM p, LATERAL (SELECT unnest(range(0, bx * by)) AS k) kk
+    )
+    SELECT doc_id,
+           CAST(MAX(bx) * 8 AS BIGINT) AS width,
+           CAST(MAX(by) * 8 AS BIGINT) AS height,
+           CAST(MAX(bx * by) AS BIGINT) AS n_blocks,
+           CAST(6 AS BIGINT) AS n_scans,
+           CAST(SUM(dc) AS BIGINT) AS sum_dc,
+           CAST(SUM(v1 + v2) AS BIGINT) AS sum_ac_signed,
+           CAST(SUM(abs(v1) + abs(v2)) AS BIGINT) AS sum_ac_abs,
+           CAST(SUM(CASE WHEN v1 = 0 THEN 0 ELSE 1 END
+                    + CASE WHEN v2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_nonzero_ac
+    FROM k
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_prog_restart_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive JPEG with RESTART INTERVALS (ISO/IEC 10918-1
+    E.1.4 inside Annex-G scans) — closing the round-12 'restart
+    markers inside progressive scans' declared boundary: every scan's
+    entropy data splits at RSTn markers into segments of DRI MCUs,
+    each decoded with a FRESH DC predictor and EOBRUN and its own
+    byte-aligned 1-padding, the D0-D7 sequence validated cyclically
+    and segment counts required to tile the block count exactly.  The
+    final coefficients equal the plain progressive fixture's, so the
+    oracle pins the same sums — reachable only by a decoder that
+    resets exactly the right state at each restart.  Reference scope
+    note: the reference delegates all media handling to its
+    warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_jpeg_progressive,
+        synthesize_jpeg_prog_rst,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_jpeg_progressive(synthesize_jpeg_prog_rst(docs)).orderBy(
+        "doc_id"
     )
 
 
