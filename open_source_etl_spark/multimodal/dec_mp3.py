@@ -1552,8 +1552,9 @@ def _mp3_is_tables() -> tuple:
 
 def _mp3_rq_tables():
     """Derived fixed-point requantization tables (2.4.3.4): the
-    |is|^(4/3) power curve at Q12 for magnitudes 0..7 (every value a
-    shipped B.7 table can emit), the 2^((gain-210)/4) factor at Q12
+    |is|^(4/3) power curve at Q12 for magnitudes 0..15 (the full
+    non-escape range of the 16x16 tables; round 13), the
+    2^((gain-210)/4) factor at Q12
     over the 198..222 exactness band, and the half-step scalefactor
     curve 2^(-k/2) at Q14 for k 0..18.  All three round identically
     in DuckDB's ROUND(POW(...)) — verified: the only arguments with
@@ -1564,7 +1565,7 @@ def _mp3_rq_tables():
         import math
 
         p43 = [
-            int(math.floor(4096 * v ** (4 / 3) + 0.5)) for v in range(8)
+            int(math.floor(4096 * v ** (4 / 3) + 0.5)) for v in range(16)
         ]
         gain = {
             g: int(math.floor(4096 * 2 ** ((g - 210) / 4) + 0.5))
@@ -1596,8 +1597,9 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
     invariants asserted; the intensity-stereo query value-tests it).
     Declared boundaries: gains outside the 198..222 band (Q12
     over/underflow), preflag on window-switching granules, and
-    quantized magnitudes above 7 (only the unshipped 16x16 tables
-    can emit them)."""
+    quantized magnitudes above 15 (linbits escape territory — the
+    full non-escape 16x16 range 0..15 requantizes exactly since
+    round 13)."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1774,12 +1776,12 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                         for v in xy:
                             if v == 15 and linbits:
                                 v += take(linbits)
-                            if v >= 8:
+                            if v >= 16:
                                 raise NotImplementedError(
-                                    "|is| >= 8 requantization (the "
-                                    "Q12 |is|^(4/3) table covers "
-                                    "magnitudes 0-7; linbits escape "
-                                    "values land here) not "
+                                    "|is| >= 16 requantization "
+                                    "(linbits ESCAPE magnitudes; the "
+                                    "Q12 |is|^(4/3) table covers the "
+                                    "full non-escape range 0-15) not "
                                     "implemented in the exact "
                                     "requant path"
                                 )
@@ -1826,10 +1828,10 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                     )
                 for pos, v in levels:
                     mag = abs(v)
-                    if mag > 7:
+                    if mag > 15:
                         raise NotImplementedError(
-                            "quantized magnitudes above 7 (16x16 "
-                            "table territory) not implemented"
+                            "quantized magnitudes above 15 (linbits "
+                            "ESCAPE territory) not implemented"
                         )
                     k = sf_index(pos)
                     if k >= len(sfhalf):
@@ -1918,11 +1920,11 @@ def _mp3_granule_long(
             for v in xy:
                 if v == 15 and linbits:
                     v += take(linbits)
-                if v >= 8:
+                if v >= 16:
                     raise NotImplementedError(
-                        "|is| >= 8 requantization (the Q12 "
-                        "|is|^(4/3) table covers magnitudes 0-7; "
-                        "linbits escape values land here) not "
+                        "|is| >= 16 requantization (linbits ESCAPE "
+                        "magnitudes; the Q12 |is|^(4/3) table covers "
+                        "the full non-escape range 0-15) not "
                         "implemented in the exact requant path"
                     )
                 if v:
@@ -1962,9 +1964,9 @@ def _mp3_granule_long(
     fp: dict[int, int] = {}
     for pos_, v in lines.items():
         mag = abs(v)
-        if mag > 7:
+        if mag > 15:
             raise NotImplementedError(
-                "magnitudes above 7 not implemented"
+                "magnitudes above 15 (linbits escape) not implemented"
             )
         sfb = 21
         for i_ in range(21):
@@ -2362,6 +2364,31 @@ def synthesize_mp3_rqs(docs_df: DataFrame) -> DataFrame:
                     "kind": ["audio"] * len(pdf),
                     "payload": [
                         make_mp3_rqs_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_mp3_rqw(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying the WIDE requantization fixture
+    (``make_mp3_rqw_bytes``: table 15, magnitudes 0..15)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_rqw_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_rqw_bytes(int(d)) for d in pdf["doc_id"]
                     ],
                 }
             )

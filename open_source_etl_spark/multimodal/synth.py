@@ -3633,6 +3633,126 @@ def mp3_rq_spectrum(doc_id: int, g: int) -> dict[int, int]:
     return out
 
 
+def mp3_rqw_spectrum(doc_id: int, g: int) -> dict[int, int]:
+    """The WIDE requantization fixture's nonzero quantized lines
+    (position -> signed level, magnitudes 0..15 through B.7 table
+    15): nbv pairs at positions B.8[rc+1] + 2q, then count1 quads."""
+    rc, *_ = mp3_rq_fields(doc_id, g)
+    from .decode import MP3_SFB_LONG_44100
+
+    base = MP3_SFB_LONG_44100[rc + 1]
+    nbv = 9 + (doc_id + g) % 7
+    nq = 3 + (doc_id + g) % 3
+    out = {}
+    for q in range(nbv):
+        x = (doc_id + 3 * q + g) % 16
+        y = (2 * doc_id + q + g) % 16
+        if x:
+            out[base + 2 * q] = x if (doc_id + q + g) % 2 == 0 else -x
+        if y:
+            out[base + 2 * q + 1] = (
+                y if (doc_id + q + g + 1) % 2 == 0 else -y
+            )
+    c1_base = base + 2 * nbv
+    for j in range(nq):
+        pattern = (doc_id + 5 * g + j) % 16
+        neg = (doc_id + j) % 2
+        for idx, shift in enumerate((3, 2, 1, 0)):
+            if (pattern >> shift) & 1:
+                out[c1_base + 4 * j + idx] = -1 if neg else 1
+    return out
+
+
+def make_mp3_rqw_bytes(doc_id: int) -> bytes:
+    """Single-frame MPEG-1 Layer III stream for WIDE exact
+    requantization: identical geometry to ``make_mp3_rq_bytes`` but
+    the big-values region runs through the round-13-validated 16x16
+    B.7 table 15 with magnitudes 0..15 — the full non-escape range —
+    so the extended |is|^(4/3) Q12 table does real work at every
+    index."""
+    from .decode import MP3_SFB_LONG_44100
+
+    enc, _c1a = _mp3_ht_enc()
+
+    def granule_bits(g: int) -> tuple[int, int]:
+        rc, _gg, _sfs, sf_a, sf_b = mp3_rq_fields(doc_id, g)
+        sl1, sl2 = MP3_SLEN[(doc_id + g) % 16]
+        nbv = 9 + (doc_id + g) % 7
+        nq = 3 + (doc_id + g) % 3
+        rc2 = min(7, 20 - rc)
+        r0_pairs = MP3_SFB_LONG_44100[rc + 1] // 2
+        if r0_pairs + nbv > MP3_SFB_LONG_44100[rc + rc2 + 2] // 2:
+            raise ValueError("live pairs overrun region1")
+        acc = nb = 0
+        for _band in range(11):
+            acc = (acc << sl1) | sf_a
+            nb += sl1
+        for _band in range(10):
+            acc = (acc << sl2) | sf_b
+            nb += sl2
+        for q in range(nbv):
+            x = (doc_id + 3 * q + g) % 16
+            y = (2 * doc_id + q + g) % 16
+            hlen, hcode = enc[15][(x, y)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if x:
+                acc = (acc << 1) | ((doc_id + q + g) % 2)
+                nb += 1
+            if y:
+                acc = (acc << 1) | ((doc_id + q + g + 1) % 2)
+                nb += 1
+        for j in range(nq):
+            pattern = (doc_id + 5 * g + j) % 16
+            acc = (acc << 4) | (pattern ^ 0xF)
+            nb += 4
+            neg = (doc_id + j) % 2
+            for shift in (3, 2, 1, 0):
+                if (pattern >> shift) & 1:
+                    acc = (acc << 1) | neg
+                    nb += 1
+        return acc, nb
+
+    br_idx = 9
+    frame_len = (144 * MP3_BITRATES_KBPS[br_idx] * 1000) // 44100
+    cap = frame_len - 4 - 17
+    a0, n0 = granule_bits(0)
+    a1, n1 = granule_bits(1)
+    acc = (a0 << n1) | a1
+    nb = n0 + n1
+    pad = (8 - nb % 8) % 8
+    packed = (acc << pad).to_bytes((nb + pad) // 8, "big")
+    if len(packed) > cap:
+        raise ValueError("granule data overran the frame region")
+
+    w = _BitPacker()
+    w.u(0, 9)
+    w.u(0, 5)
+    w.u(0, 4)   # scfsi
+    for g, p23 in ((0, n0), (1, n1)):
+        rc, gg, sfs, _a, _b = mp3_rq_fields(doc_id, g)
+        nbv = 9 + (doc_id + g) % 7
+        r0_pairs = MP3_SFB_LONG_44100[rc + 1] // 2
+        w.u(p23, 12)
+        w.u(r0_pairs + nbv, 9)
+        w.u(gg, 8)
+        w.u((doc_id + g) % 16, 4)
+        w.u(0, 1)                    # long blocks
+        for t in (0, 15, 15):
+            w.u(t, 5)
+        w.u(rc, 4)
+        w.u(min(7, 20 - rc), 3)
+        w.u(0, 1)                    # preflag
+        w.u(sfs, 1)
+        w.u(1, 1)                    # count1table_select: table B
+    si = w.to_bytes()
+    assert len(si) == 17
+    return (
+        bytes((0xFF, 0b11111011, (br_idx << 4), 0b11000100))
+        + si + packed + bytes(cap - len(packed))
+    )
+
+
 def make_mp3_rq_bytes(doc_id: int) -> bytes:
     """Single-frame MPEG-1 Layer III stream for EXACT general
     requantization: long-block granules whose scalefactors are REAL
