@@ -255,6 +255,14 @@ def round13_t13_notes():
     round-13 demotion after the t10 double-entry).  Shipping any of
     the tied corners would be a guess that in-repo tests cannot
     falsify (synth shares the table), so table 13 stays a boundary.
+    Late-round refinement after the t16 descendant-pattern lesson:
+    reopening the (14,12) pin (recalled 16/6 could be the doubling-
+    misread of a 15/6 descendant) and re-ranking all 41k+ corner
+    tilings with misread-aware scoring STILL leaves a tie at the
+    top — two solutions differing only in which of (15,13)/(15,15)
+    takes 16/1 vs 17/1, with 17/23's position floating among three
+    cells one rank below.  The corner is information-theoretically
+    underdetermined from this recall; t13 stays out.
     Next independent channel: a fresh double-entry of ONLY the
     corner 3x4 region at a later sitting, or a real t13 stream from
     another implementation."""
