@@ -6,11 +6,16 @@ Uncompressed formats decode FOR REAL with the stdlib: RIFF/WAVE via the
 ``wave`` module and 24-bit BMP via hand struct parsing (``synth.py``
 generates spec-compliant fixtures; ``decode_wav_real``/``decode_bmp_real``
 parse them back, differentially checked against formula oracles).  The
-container has no compressed-codec libraries, but three compressed codec
-families are now decoded in pure stdlib anyway — PNG (DEFLATE + scanline
-unfilters), baseline JPEG (canonical Huffman + dequant + IDCT), and GIF
-(variable-width LZW) — leaving only MP3/H.264 behind declared
-``NotImplementedError`` sites with deterministic fakes — while everything Spark-side is real and tested: the struct
+container has no compressed-codec libraries, but the compressed codec
+families are decoded in pure stdlib anyway — PNG (DEFLATE + scanline
+unfilters, all color types, Adam7), JPEG (baseline through progressive
+with restart intervals), GIF (variable-width LZW), FLAC, WebP VP8L,
+TIFF, MP3 (every B.7 Huffman table incl. linbits escapes, requant,
+stereo, exact filterbank — ``dec_mp3.py``) and H.264 CAVLC intra +
+integer-pel inter (multi-ref, B/weighted/direct) — with the remaining
+depth (CABAC, fractional-pel motion, and kin) behind declared
+``NotImplementedError`` boundaries that name their spec clause and
+carry rejection tests — while everything Spark-side is real and tested: the struct
 schemas, the binary payload plumbing, the mapInPandas batch iteration,
 row expansion (frame sampling), and the partitioning posture (media rows
 are large → size partitions by bytes, never collect payloads to the

@@ -292,13 +292,15 @@ MP3_MAINDATA_SCHEMA = (
 # Tables 16-23 share table 16's codes and 25-31 share table 24's,
 # differing only in linbits (MP3_LINBITS below), so validating table
 # 24 unlocks the whole 24-31 linbits family.
-# Remaining clean-room boundary: table 13 alone — its deep corner
-# (7 cells over holes 16/{0,1,2,4} + 17/23) admits thousands of
-# invariant-valid tilings with recall-score ties (the workbench
-# records the full solve state), so table_select 13 raises rather
-# than risking a silently-wrong table.  Table 16 cleared the gate
-# later in round 13 via the same split (rows 1/13 + one row-14 cell
-# solved against the 13-row trusted block), unlocking 16-23.
+# Table 16 cleared the gate later in round 13 via the same split
+# (rows 1/13 + one row-14 cell solved against the 13-row trusted
+# block), unlocking 16-23.  Table 13 — the last B.7 gap — cleared in
+# round 14 when a fresh full-table sitting passed the complete gate
+# verbatim (tools/mp3_t13_round14.py): its trusted block reproduced
+# the committed round-13 hole/anchor record exactly, and the
+# round-13 corner tie turned out to be a solver artifact (the edge
+# solve capped lengths at 18, excluding t13's two real 19-bit codes
+# at (15,12)/(15,14)).  EVERY B.7 table now ships.
 MP3_HUFF_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
     1: {(1, 0b1): (0, 0), (2, 0b01): (1, 0),
         (3, 0b001): (0, 1), (3, 0b000): (1, 1)},
@@ -491,6 +493,89 @@ _MP3_B7_MATRICES: dict[int, tuple[list, list]] = {
     #      interleave the rest of the table exhibits.
     #   Residual risk (same class as t10 row 6, documented there): an
     #      equal-length swap between style-tied cells.
+    # Table 13 (16x16, the largest non-linbits table and the only
+    # B.7 table with 19-bit codes), validated round 14 by a fresh
+    # full-table double entry (tools/mp3_t13_round14.py): the new
+    # sitting's 256-cell transcription passed the complete gate
+    # VERBATIM — grid coverage, 0 prefix conflicts, Kraft exactly 1
+    # — with no repairs, and its trusted block reproduced the
+    # round-13 committed record exactly (same 30 maximal holes, same
+    # 1672 leaf-19 deficit, all 7 anchors agree), so 217 cells are
+    # confirmed by two independent sittings and the rest by
+    # completeness (any single wrong cell must collide or leave a
+    # hole).  The round-13 4486-way corner tie is explained, not
+    # contradicted: tools/mp3_t13_solver.py capped edge lengths at
+    # 18 and enforced |hlen(x,y)-hlen(y,x)| <= 1 as HARD, excluding
+    # the true corner — the table's two 19-bit codes 19/0 and 19/1
+    # sit at (15,14)/(15,12) (hole 16/0 splits into the ladder
+    # 19/0 + 19/1 + 18/1 + 17/1), and 17/23's owner is (14,9), not a
+    # corner cell.  Style flags retained as known counterexamples:
+    # the corner is genuinely asymmetric ((15,12)=19 vs (12,15)=16)
+    # and five trusted-block rows violate same-length row order —
+    # both heuristics were demoted in round 13 (t10 double-entry).
+    13: (
+        [[1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13],
+         [3, 4, 6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12],
+         [6, 6, 7, 8, 9, 9, 10, 10, 9, 10, 10, 11, 11, 12, 13, 13],
+         [7, 7, 8, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13,
+          13],
+         [8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12, 12, 13, 13,
+          14],
+         [9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13, 13, 14,
+          14],
+         [9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14,
+          14],
+         [10, 9, 10, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 14, 16,
+          16],
+         [9, 8, 9, 10, 10, 11, 11, 12, 12, 12, 12, 13, 13, 14, 15,
+          15],
+         [10, 9, 10, 10, 11, 11, 11, 13, 12, 13, 13, 14, 14, 14, 16,
+          15],
+         [10, 10, 10, 11, 11, 12, 12, 13, 12, 13, 14, 13, 14, 15,
+          16, 17],
+         [11, 10, 10, 11, 12, 12, 12, 12, 13, 13, 13, 14, 15, 15,
+          15, 16],
+         [11, 11, 11, 12, 12, 13, 12, 13, 14, 14, 15, 15, 15, 16,
+          16, 16],
+         [12, 11, 12, 13, 13, 13, 14, 14, 14, 14, 14, 15, 16, 15,
+          16, 16],
+         [13, 12, 12, 13, 13, 13, 15, 14, 14, 17, 15, 15, 15, 17,
+          16, 16],
+         [12, 12, 13, 14, 14, 14, 15, 14, 15, 15, 16, 16, 19, 18,
+          19, 16]],
+        [[1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43,
+          19],
+         [3, 4, 12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22,
+          14],
+         [15, 13, 23, 36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33,
+          42, 16],
+         [22, 20, 37, 61, 56, 79, 73, 64, 43, 76, 56, 37, 26, 31,
+          25, 14],
+         [35, 16, 60, 57, 97, 75, 114, 91, 54, 73, 55, 41, 48, 53,
+          23, 24],
+         [58, 27, 50, 96, 76, 70, 93, 84, 77, 58, 79, 29, 74, 49,
+          41, 17],
+         [47, 45, 78, 74, 115, 94, 90, 79, 69, 83, 71, 50, 59, 38,
+          36, 15],
+         [72, 34, 56, 95, 92, 85, 91, 90, 86, 73, 77, 65, 51, 44,
+          43, 42],
+         [43, 20, 30, 44, 55, 78, 72, 87, 78, 61, 46, 54, 37, 30,
+          20, 16],
+         [53, 25, 41, 37, 44, 59, 54, 81, 66, 76, 57, 54, 37, 18,
+          39, 11],
+         [35, 33, 31, 57, 42, 82, 72, 80, 47, 58, 55, 21, 22, 26,
+          38, 22],
+         [53, 25, 23, 38, 70, 60, 51, 36, 55, 26, 34, 23, 27, 14,
+          9, 7],
+         [34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52, 28, 18, 17,
+          9, 5],
+         [45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15, 10, 7, 6,
+          3],
+         [48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1, 4,
+          2],
+         [16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0,
+          1]],
+    ),
     15: (
         [[3, 4, 5, 7, 7, 8, 9, 9, 9, 10, 10, 11, 11, 11, 12, 13],
          [4, 3, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 10, 11, 11],
@@ -705,10 +790,10 @@ def _mp3_bv_table(
     """Resolve a big-values ``table_select`` to its (code table,
     linbits) pair: ids 16-23 share table 16's code matrix and 25-31
     share table 24's (B.7 prints each block once with a linbits
-    column); 4 and 14 are reserved.  Raises the declared
-    NotImplementedError for the two tables whose clean-room
-    transcriptions still fail the workbench gate (13 -> itself,
-    16-23 -> table 16)."""
+    column); 4 and 14 are reserved.  As of round 14 every B.7 table
+    (1-3, 5-13, 15 and both linbits families) is validated through
+    the workbench gate and ships — table 13, the last gap, cleared
+    via the fresh-sitting double entry in tools/mp3_t13_round14.py."""
     if tsel in (4, 14):
         raise ValueError(
             f"doc {doc_id}: table_select {tsel} is reserved "
@@ -719,16 +804,7 @@ def _mp3_bv_table(
         base = 16
     elif 24 <= tsel <= 31:
         base = 24
-    table = MP3_HUFF_TABLES.get(base)
-    if table is None:
-        raise NotImplementedError(
-            f"ISO 11172-3 B.7 Huffman table {base} data not shipped "
-            "(its clean-room transcription still fails the "
-            "grid/prefix/Kraft gate — tools/mp3_table_workbench.py; "
-            "every other B.7 table — 1-3, 5-12, 15 and both linbits "
-            "families 16-23/24-31 — is validated and ships)"
-        )
-    return table, MP3_LINBITS.get(tsel, 0)
+    return MP3_HUFF_TABLES[base], MP3_LINBITS.get(tsel, 0)
 
 
 # ISO 11172-3 Table B.7 "count1 table A": the Huffman-coded (vs table
@@ -2855,8 +2931,8 @@ def synthesize_mp3_ht(docs_df: DataFrame) -> DataFrame:
 
 def synthesize_mp3_lb(docs_df: DataFrame) -> DataFrame:
     """doc_id → media struct with an MPEG-1 Layer III stream whose
-    big-values regions cycle the 16x16 tier — table 15 and the eight
-    linbits escape tables 24-31 (``make_mp3_lb_bytes``)."""
+    big-values regions cycle the complete 18-id 16x16 tier — tables
+    13/15 and both linbits families 16-31 (``make_mp3_lb_bytes``)."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

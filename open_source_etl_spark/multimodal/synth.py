@@ -3117,7 +3117,7 @@ MP3_HT_TABLES = (1, 2, 3, 5, 6, 7)
 MP3_HT_TABLES_ALL = (1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12)
 MP3_HT_DIMS = {
     1: 2, 2: 3, 3: 3, 5: 4, 6: 4, 7: 6, 8: 6, 9: 6, 10: 8, 11: 8,
-    12: 8, 15: 16, 16: 16, 24: 16,
+    12: 8, 13: 16, 15: 16, 16: 16, 24: 16,
 }
 
 _MP3_HT_ENC_CACHE: dict | None = None
@@ -3273,18 +3273,19 @@ def make_mp3_ht_bytes(doc_id: int) -> bytes:
     return bytes(out)
 
 
-# The 16x16-table tier (round 13): table 15 (no linbits) plus BOTH
-# validated linbits families 16-23 and 24-31.  Table 13 stays out
-# until its code matrix clears the workbench gate.
+# The complete 16x16-table tier: tables 13 and 15 (no linbits, t13
+# validated round 14 — tools/mp3_t13_round14.py) plus BOTH linbits
+# families 16-23 and 24-31 (validated round 13).  All 18 ids cycle.
 MP3_LB_TABLES = (
-    15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30,
-    31,
+    13, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31,
 )
 
 
 def mp3_lb_table(doc_id: int, g: int) -> int:
     """Granule g's (uniform) big-values table id for the linbits
-    fixture — cycles table 15 and the eight linbits ids 24-31."""
+    fixture — cycles the full 18-id 16x16 tier: 13 and 15 (linbits
+    0), 16-23 (table 16's codes) and 24-31 (table 24's)."""
     return MP3_LB_TABLES[(doc_id + g) % len(MP3_LB_TABLES)]
 
 
@@ -3313,9 +3314,10 @@ def mp3_lb_pairs(doc_id: int, g: int) -> list[tuple[int, int, int, int]]:
 
 
 def make_mp3_lb_bytes(doc_id: int) -> bytes:
-    """MPEG-1 Layer III stream exercising the 16x16 B.7 tier: granule
-    regions cycle table 15 and ALL EIGHT linbits tables 24-31
-    (``mp3_lb_table``), so escaped coordinates (a decoded 15) are
+    """MPEG-1 Layer III stream exercising the COMPLETE 16x16 B.7
+    tier: granule regions cycle all 18 ids — 13 and 15 (no linbits)
+    plus both linbits families 16-23 and 24-31 (``mp3_lb_table``) —
+    so escaped coordinates (a decoded 15) are
     extended by the table's raw linbits field before their sign bit —
     the 2.4.2.7 order code, linbits-x, sign-x, linbits-y, sign-y.
     CBR 44.1 kHz frames (96/112/128 kbps), ``main_data_begin = 0``,

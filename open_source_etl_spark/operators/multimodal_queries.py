@@ -2126,10 +2126,9 @@ def multimodal_mp3_hufftables_decode(
     patterns) with the fixed-length complemented table B.  A decoder
     with any wrong code entry desyncs the bitstream and fails
     part2_3_length accounting — it cannot produce these sums by
-    accident.  The 16x16 B.7 tables 13/15 and the linbits escape
-    tables 16-31 remain declared stubs (their clean-room
-    transcriptions still fail the grid/prefix/Kraft validation that
-    gates shipping — tools/mp3_table_workbench.py).  Reference
+    accident.  The 16x16 tier (tables 13/15 and the linbits tables
+    16-31, all validated through the workbench gate by round 14) is
+    exercised separately by multimodal_mp3_linbits_decode.  Reference
     scope note: the reference delegates all media handling to its
     warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
@@ -2143,10 +2142,10 @@ def multimodal_mp3_hufftables_decode(
     "multimodal_mp3_linbits_decode",
     # formulas mirror synth.make_mp3_lb_bytes / mp3_lb_table /
     # mp3_lb_pairs: n_frames = 2 + doc % 3, main_data_begin = 0,
-    # granule tables cycle the FULL 16x16 tier (doc+g) % 17 -> table
-    # 15 (linbits 0), 16-23 (linbits 1,2,3,4,6,8,10,13 on table 16's
-    # codes) and 24-31 (linbits 4,5,6,7,8,9,11,13 on table 24's);
-    # pairs q in
+    # granule tables cycle the FULL 16x16 tier (doc+g) % 18 -> tables
+    # 13 and 15 (linbits 0), 16-23 (linbits 1,2,3,4,6,8,10,13 on
+    # table 16's codes) and 24-31 (linbits 4,5,6,7,8,9,11,13 on
+    # table 24's); pairs q in
     # 0..2+(doc+g)%4 have x = (doc+3q+g) % 16, y = (2doc+q+g) % 16,
     # and a coordinate decoded as the ESC value 15 is extended by the
     # raw linbits field ex_x = (doc+2q+g) % 2^lb / ex_y =
@@ -2162,12 +2161,12 @@ def multimodal_mp3_hufftables_decode(
     WITH g AS (
       SELECT doc_id, 2 + doc_id % 3 AS n_frames, gg.g AS g,
              (doc_id + 2 * gg.g) % 16 AS sfc,
-             CASE (doc_id + gg.g) % 17 WHEN 0 THEN 0 WHEN 1 THEN 1
-                  WHEN 2 THEN 2 WHEN 3 THEN 3 WHEN 4 THEN 4
-                  WHEN 5 THEN 6 WHEN 6 THEN 8 WHEN 7 THEN 10
-                  WHEN 8 THEN 13 WHEN 9 THEN 4 WHEN 10 THEN 5
-                  WHEN 11 THEN 6 WHEN 12 THEN 7 WHEN 13 THEN 8
-                  WHEN 14 THEN 9 WHEN 15 THEN 11
+             CASE (doc_id + gg.g) % 18 WHEN 0 THEN 0 WHEN 1 THEN 0
+                  WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 3
+                  WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+                  WHEN 8 THEN 10 WHEN 9 THEN 13 WHEN 10 THEN 4
+                  WHEN 11 THEN 5 WHEN 12 THEN 6 WHEN 13 THEN 7
+                  WHEN 14 THEN 8 WHEN 15 THEN 9 WHEN 16 THEN 11
                   ELSE 13 END AS lb
       FROM documents, LATERAL (SELECT unnest([0, 1]) AS g) gg
     ),
@@ -2259,11 +2258,12 @@ def multimodal_mp3_linbits_decode(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """MP3 main-data decode through the COMPLETE 16x16 B.7 Huffman
-    tier: granule regions cycle table 15 and ALL SIXTEEN linbits
-    escape tables 16-31 (validated round 13 via the edge/row-tiling
-    solves — tools/mp3_table_workbench.py; ids 17-23 share table
-    16's code matrix and 25-31 share table 24's, differing only in
-    MP3_LINBITS width).  A coordinate
+    tier: granule regions cycle all 18 ids — tables 13 (validated
+    round 14, tools/mp3_t13_round14.py) and 15 plus ALL SIXTEEN
+    linbits escape tables 16-31 (validated round 13 via the
+    edge/row-tiling solves — tools/mp3_table_workbench.py; ids 17-23
+    share table 16's code matrix and 25-31 share table 24's,
+    differing only in MP3_LINBITS width).  A coordinate
     decoded as the ESC value 15 is extended by the table's raw
     linbits field BEFORE its sign bit (2.4.2.7 order), so transmitted
     magnitudes reach 15 + 2^13 - 1 — the loud-frame regime real
@@ -2271,8 +2271,8 @@ def multimodal_mp3_linbits_decode(
     A decoder with a wrong code entry, or one that misses or
     mis-sizes a single linbits read, desyncs the bitstream and fails
     exact part2_3_length accounting — it cannot land these spectrum
-    sums by accident.  Table 13 is the one remaining declared
-    NotImplementedError boundary in the B.7 space.
+    sums by accident.  With table 13 shipped the B.7 space is
+    complete: no big-values table raises anymore.
     Reference scope note: the reference delegates all media handling
     to its warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
