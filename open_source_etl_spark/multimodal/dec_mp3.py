@@ -1628,20 +1628,25 @@ def _mp3_is_tables() -> tuple:
 
 def _mp3_rq_tables():
     """Derived fixed-point requantization tables (2.4.3.4): the
-    |is|^(4/3) power curve at Q12 for magnitudes 0..15 (the full
-    non-escape range of the 16x16 tables; round 13), the
+    |is|^(4/3) power curve at Q12 for the FULL magnitude range
+    0..8206 (15 + 2^13 - 1, the deepest linbits escape table 23 can
+    transmit; round 14 — escapes requantize exactly), the
     2^((gain-210)/4) factor at Q12
     over the 198..222 exactness band, and the half-step scalefactor
     curve 2^(-k/2) at Q14 for k 0..18.  All three round identically
     in DuckDB's ROUND(POW(...)) — verified: the only arguments with
     rational results quantize exactly, and the irrational ones sit
-    far from .5 ties."""
+    far from .5 ties (the wide |is|^(4/3) tier is additionally
+    checked against exact integer cube-root round-half-up arithmetic
+    over all 8207 indices in tests/test_multimodal.py; the closest
+    tie approach is 7.1e-5 at Q12)."""
     global _MP3_RQ_TABLES
     if _MP3_RQ_TABLES is None:
         import math
 
         p43 = [
-            int(math.floor(4096 * v ** (4 / 3) + 0.5)) for v in range(16)
+            int(math.floor(4096 * v ** (4 / 3) + 0.5))
+            for v in range(8207)
         ]
         gain = {
             g: int(math.floor(4096 * 2 ** ((g - 210) / 4) + 0.5))
@@ -1672,10 +1677,11 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
     exponent (the transcribed table ships with its structural
     invariants asserted; the intensity-stereo query value-tests it).
     Declared boundaries: gains outside the 198..222 band (Q12
-    over/underflow), preflag on window-switching granules, and
-    quantized magnitudes above 15 (linbits escape territory — the
-    full non-escape 16x16 range 0..15 requantizes exactly since
-    round 13)."""
+    over/underflow) and preflag on window-switching granules.
+    Since round 14 linbits ESCAPE magnitudes (16..8206) requantize
+    exactly too: the derived |is|^(4/3) Q12 table spans the full
+    13-linbits range, verified tie-free against exact integer
+    cube-root arithmetic and DuckDB's ROUND(POW(...))."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1852,15 +1858,6 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                         for v in xy:
                             if v == 15 and linbits:
                                 v += take(linbits)
-                            if v >= 16:
-                                raise NotImplementedError(
-                                    "|is| >= 16 requantization "
-                                    "(linbits ESCAPE magnitudes; the "
-                                    "Q12 |is|^(4/3) table covers the "
-                                    "full non-escape range 0-15) not "
-                                    "implemented in the exact "
-                                    "requant path"
-                                )
                             if v:
                                 levels.append(
                                     (pos, -v if take(1) else v)
@@ -1904,10 +1901,10 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                     )
                 for pos, v in levels:
                     mag = abs(v)
-                    if mag > 15:
-                        raise NotImplementedError(
-                            "quantized magnitudes above 15 (linbits "
-                            "ESCAPE territory) not implemented"
+                    if mag >= len(p43):
+                        raise ValueError(
+                            f"doc {doc_id}: magnitude {mag} past the "
+                            "13-linbits ceiling 8206"
                         )
                     k = sf_index(pos)
                     if k >= len(sfhalf):
@@ -1998,10 +1995,11 @@ def _mp3_granule_long(
                     v += take(linbits)
                 if v >= 16:
                     raise NotImplementedError(
-                        "|is| >= 16 requantization (linbits ESCAPE "
-                        "magnitudes; the Q12 |is|^(4/3) table covers "
-                        "the full non-escape range 0-15) not "
-                        "implemented in the exact requant path"
+                        "|is| >= 16 requantization in the STEREO "
+                        "path (the downstream Q15 ratio product "
+                        "would overflow the exact int64 output "
+                        "contract; the mono path requantizes the "
+                        "full escape range since round 14)"
                     )
                 if v:
                     lines[pos] = -v if take(1) else v
@@ -2042,7 +2040,9 @@ def _mp3_granule_long(
         mag = abs(v)
         if mag > 15:
             raise NotImplementedError(
-                "magnitudes above 15 (linbits escape) not implemented"
+                "magnitudes above 15 (linbits escape) not implemented "
+                "in the stereo granule path (int64 headroom; the mono "
+                "path covers them)"
             )
         sfb = 21
         for i_ in range(21):
@@ -2465,6 +2465,32 @@ def synthesize_mp3_rqw(docs_df: DataFrame) -> DataFrame:
                     "kind": ["audio"] * len(pdf),
                     "payload": [
                         make_mp3_rqw_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_mp3_rqe(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying the ESCAPE requantization fixture
+    (``make_mp3_rqe_bytes``: linbits tables 24/23/22 + table 15,
+    magnitudes sweeping past 15 into linbits territory)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp3_rqe_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        make_mp3_rqe_bytes(int(d)) for d in pdf["doc_id"]
                     ],
                 }
             )

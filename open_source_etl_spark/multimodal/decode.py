@@ -10074,7 +10074,8 @@ for _fam, _names in {
         "synthesize_mp3_b8", "synthesize_mp3_ht", "synthesize_mp3_id3",
         "synthesize_mp3_id3v1", "synthesize_mp3_imdct",
         "synthesize_mp3_is", "synthesize_mp3_lb", "synthesize_mp3_md",
-        "synthesize_mp3_ms", "synthesize_mp3_mx", "synthesize_mp3_rq", "synthesize_mp3_rqw",
+        "synthesize_mp3_ms", "synthesize_mp3_mx", "synthesize_mp3_rq",
+        "synthesize_mp3_rqe", "synthesize_mp3_rqw",
         "synthesize_mp3_rqs", "synthesize_mp3_sb", "synthesize_mp3_ws",
     ),
 }.items():

@@ -3755,6 +3755,166 @@ def make_mp3_rqw_bytes(doc_id: int) -> bytes:
     )
 
 
+# The escape-requantization fixture's granule table cycle: linbits
+# tables 24 (lb 4), 23 (lb 13, table 16's codes), 22 (lb 10) plus
+# the non-escape 16x16 table 15 — so escape magnitudes flow into the
+# exact requantization path.  Magnitudes are capped at 1024 (well
+# under table 23's 8206 ceiling) to keep the summed Q12*Q12*Q14
+# products comfortably inside the int64 output contract; the wide
+# |is|^(4/3) derivation itself is exactness-tested over the FULL
+# 0..8206 range in tests/test_multimodal.py.
+MP3_RQE_TABLES = (24, 23, 22, 15)
+
+
+def mp3_rqe_table(doc_id: int, g: int) -> int:
+    """Granule g's (uniform) big-values table id for the ESCAPE
+    requantization fixture."""
+    return MP3_RQE_TABLES[(doc_id + g) % 4]
+
+
+def _mp3_rqe_mod(tsel: int) -> int:
+    from .decode import MP3_LINBITS
+
+    lb = MP3_LINBITS.get(tsel, 0)
+    return min(15 + (1 << lb), 1024) if lb else 16
+
+
+def mp3_rqe_spectrum(doc_id: int, g: int) -> dict[int, int]:
+    """The ESCAPE requantization fixture's nonzero quantized lines
+    (position -> signed level): nbv pairs at positions B.8[rc+1]+2q
+    whose magnitudes m_x = (37 doc + 113 q + 61 g) % M / m_y =
+    (53 doc + 97 q + 29 g + 17) % M sweep past 15 into linbits
+    territory (M = min(15 + 2^linbits, 1024)), then count1 quads."""
+    rc, *_ = mp3_rq_fields(doc_id, g)
+    from .decode import MP3_SFB_LONG_44100
+
+    base = MP3_SFB_LONG_44100[rc + 1]
+    nbv = 9 + (doc_id + g) % 7
+    nq = 3 + (doc_id + g) % 3
+    m = _mp3_rqe_mod(mp3_rqe_table(doc_id, g))
+    out = {}
+    for q in range(nbv):
+        mx = (37 * doc_id + 113 * q + 61 * g) % m
+        my = (53 * doc_id + 97 * q + 29 * g + 17) % m
+        if mx:
+            out[base + 2 * q] = mx if (doc_id + q + g) % 2 == 0 else -mx
+        if my:
+            out[base + 2 * q + 1] = (
+                my if (doc_id + q + g + 1) % 2 == 0 else -my
+            )
+    c1_base = base + 2 * nbv
+    for j in range(nq):
+        pattern = (doc_id + 5 * g + j) % 16
+        neg = (doc_id + j) % 2
+        for idx, shift in enumerate((3, 2, 1, 0)):
+            if (pattern >> shift) & 1:
+                out[c1_base + 4 * j + idx] = -1 if neg else 1
+    return out
+
+
+def make_mp3_rqe_bytes(doc_id: int) -> bytes:
+    """Single-frame MPEG-1 Layer III stream for ESCAPE-magnitude
+    exact requantization: identical geometry to ``make_mp3_rqw_bytes``
+    but the big-values region cycles the linbits tables
+    ``MP3_RQE_TABLES`` and transmits magnitudes >= 15 as the ESC code
+    15 plus a raw linbits extension (2.4.2.7), so requantization must
+    evaluate |is|^(4/3) far beyond the 16-entry table."""
+    from .decode import MP3_LINBITS, MP3_SFB_LONG_44100
+
+    enc, _c1a = _mp3_ht_enc()
+
+    def granule_bits(g: int) -> tuple[int, int]:
+        rc, _gg, _sfs, sf_a, sf_b = mp3_rq_fields(doc_id, g)
+        sl1, sl2 = MP3_SLEN[(doc_id + g) % 16]
+        nbv = 9 + (doc_id + g) % 7
+        nq = 3 + (doc_id + g) % 3
+        rc2 = min(7, 20 - rc)
+        r0_pairs = MP3_SFB_LONG_44100[rc + 1] // 2
+        if r0_pairs + nbv > MP3_SFB_LONG_44100[rc + rc2 + 2] // 2:
+            raise ValueError("live pairs overrun region1")
+        tsel = mp3_rqe_table(doc_id, g)
+        lb = MP3_LINBITS.get(tsel, 0)
+        mcap = _mp3_rqe_mod(tsel)
+        enc_t = enc[16 if 16 <= tsel <= 23 else
+                    (24 if 24 <= tsel <= 31 else tsel)]
+        acc = nb = 0
+        for _band in range(11):
+            acc = (acc << sl1) | sf_a
+            nb += sl1
+        for _band in range(10):
+            acc = (acc << sl2) | sf_b
+            nb += sl2
+        for q in range(nbv):
+            mx = (37 * doc_id + 113 * q + 61 * g) % mcap
+            my = (53 * doc_id + 97 * q + 29 * g + 17) % mcap
+            cx, cy = min(mx, 15), min(my, 15)
+            hlen, hcode = enc_t[(cx, cy)]
+            acc = (acc << hlen) | hcode
+            nb += hlen
+            if cx == 15 and lb:
+                acc = (acc << lb) | (mx - 15)
+                nb += lb
+            if mx:
+                acc = (acc << 1) | ((doc_id + q + g) % 2)
+                nb += 1
+            if cy == 15 and lb:
+                acc = (acc << lb) | (my - 15)
+                nb += lb
+            if my:
+                acc = (acc << 1) | ((doc_id + q + g + 1) % 2)
+                nb += 1
+        for j in range(nq):
+            pattern = (doc_id + 5 * g + j) % 16
+            acc = (acc << 4) | (pattern ^ 0xF)
+            nb += 4
+            neg = (doc_id + j) % 2
+            for shift in (3, 2, 1, 0):
+                if (pattern >> shift) & 1:
+                    acc = (acc << 1) | neg
+                    nb += 1
+        return acc, nb
+
+    br_idx = 9
+    frame_len = (144 * MP3_BITRATES_KBPS[br_idx] * 1000) // 44100
+    cap = frame_len - 4 - 17
+    a0, n0 = granule_bits(0)
+    a1, n1 = granule_bits(1)
+    acc = (a0 << n1) | a1
+    nb = n0 + n1
+    pad = (8 - nb % 8) % 8
+    packed = (acc << pad).to_bytes((nb + pad) // 8, "big")
+    if len(packed) > cap:
+        raise ValueError("granule data overran the frame region")
+
+    w = _BitPacker()
+    w.u(0, 9)
+    w.u(0, 5)
+    w.u(0, 4)   # scfsi
+    for g, p23 in ((0, n0), (1, n1)):
+        rc, gg, sfs, _a, _b = mp3_rq_fields(doc_id, g)
+        nbv = 9 + (doc_id + g) % 7
+        r0_pairs = MP3_SFB_LONG_44100[rc + 1] // 2
+        w.u(p23, 12)
+        w.u(r0_pairs + nbv, 9)
+        w.u(gg, 8)
+        w.u((doc_id + g) % 16, 4)
+        w.u(0, 1)                    # long blocks
+        tsel = mp3_rqe_table(doc_id, g)
+        for t in (0, tsel, tsel):
+            w.u(t, 5)
+        w.u(rc, 4)
+        w.u(min(7, 20 - rc), 3)
+        w.u(0, 1)                    # preflag
+        w.u(sfs, 1)
+        w.u(1, 1)                    # count1table_select: table B
+    si = w.to_bytes()
+    assert len(si) == 17
+    return (
+        bytes((0xFF, 0b11111011, (br_idx << 4), 0b11000100))
+        + si + packed + bytes(cap - len(packed))
+    )
+
+
 def make_mp3_rq_bytes(doc_id: int) -> bytes:
     """Single-frame MPEG-1 Layer III stream for EXACT general
     requantization: long-block granules whose scalefactors are REAL

@@ -2923,8 +2923,9 @@ def multimodal_mp3_requant_wide(
     the bit.  Declared boundaries: gains outside 198..222, half-step
     indices past 18, preflag (Table B.6's pretab is an empirical
     table with no self-validating structure — excluded rather than
-    shipped unvalidated), window-switching granules (subblock_gain),
-    and linbits ESCAPE magnitudes above 15.  Reference scope
+    shipped unvalidated) and window-switching granules
+    (subblock_gain); linbits ESCAPE magnitudes are covered since
+    round 14 by multimodal_mp3_requant_escape.  Reference scope
     note: the reference delegates all media handling to its
     warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
@@ -2932,6 +2933,146 @@ def multimodal_mp3_requant_wide(
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_mp3_requant(synthesize_mp3_rqw(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_mp3_requant_escape",
+    # formulas mirror synth.mp3_rq_fields / mp3_rqe_spectrum /
+    # make_mp3_rqe_bytes: granule tables cycle (doc+g) % 4 ->
+    # (24, 23, 22, 15) with linbits (4, 13, 10, 0), magnitudes
+    # m_x = (37 doc + 113 q + 61 g) % M / m_y = (53 doc + 97 q +
+    # 29 g + 17) % M with M = min(15 + 2^linbits, 1024) =
+    # (31, 1024, 1024, 16), transmitted as ESC code 15 + raw linbits
+    # when m >= 15.  Spark must walk the 16x16 tree, consume the
+    # right linbits at every escape, AND evaluate the |is|^(4/3)
+    # power far past the 16-entry tier; the oracle re-derives the
+    # same Q12/Q12/Q14 fixed points with ROUND(POW(...)) (verified
+    # tie-free over the whole 0..8206 range against exact integer
+    # cube-root arithmetic).
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id, gg.g AS g,
+             1 + (doc_id + gg.g) % 15 AS rc,
+             198 + (doc_id + 5 * gg.g) % 25 AS gain,
+             (doc_id + gg.g) % 2 AS sfs,
+             9 + (doc_id + gg.g) % 7 AS nbv,
+             3 + (doc_id + gg.g) % 3 AS nq,
+             (doc_id + gg.g) % 16 AS sfc,
+             CASE (doc_id + gg.g) % 4 WHEN 0 THEN 31 WHEN 1 THEN 1024
+                  WHEN 2 THEN 1024 ELSE 16 END AS mcap
+      FROM documents, LATERAL (SELECT unnest([0, 1]) AS g) gg
+    ),
+    geo2 AS (
+      SELECT *,
+             CASE rc WHEN 1 THEN 8 WHEN 2 THEN 12 WHEN 3 THEN 16
+                  WHEN 4 THEN 20 WHEN 5 THEN 24 WHEN 6 THEN 30
+                  WHEN 7 THEN 36 WHEN 8 THEN 44 WHEN 9 THEN 52
+                  WHEN 10 THEN 62 WHEN 11 THEN 74 WHEN 12 THEN 90
+                  WHEN 13 THEN 110 WHEN 14 THEN 134 ELSE 162
+             END AS base,
+             (doc_id + g) % LEAST(
+               CAST(POW(2, CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0
+                    WHEN 2 THEN 0 WHEN 3 THEN 0 WHEN 4 THEN 3
+                    WHEN 5 THEN 1 WHEN 6 THEN 1 WHEN 7 THEN 1
+                    WHEN 8 THEN 2 WHEN 9 THEN 2 WHEN 10 THEN 2
+                    WHEN 11 THEN 3 WHEN 12 THEN 3 WHEN 13 THEN 3
+                    WHEN 14 THEN 4 ELSE 4 END) AS BIGINT),
+               CASE sfs WHEN 1 THEN 8 ELSE 16 END) AS sf_a,
+             (doc_id + 7 + g) % LEAST(
+               CAST(POW(2, CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1
+                    WHEN 2 THEN 2 WHEN 3 THEN 3 WHEN 4 THEN 0
+                    WHEN 5 THEN 1 WHEN 6 THEN 2 WHEN 7 THEN 3
+                    WHEN 8 THEN 1 WHEN 9 THEN 2 WHEN 10 THEN 3
+                    WHEN 11 THEN 1 WHEN 12 THEN 2 WHEN 13 THEN 3
+                    WHEN 14 THEN 2 ELSE 3 END) AS BIGINT),
+               CASE sfs WHEN 1 THEN 8 ELSE 16 END) AS sf_b
+      FROM geo
+    ),
+    spec AS (
+      SELECT doc_id, g, gain, sfs, sf_a, sf_b,
+             base + 2 * qq.q AS pos,
+             (37 * doc_id + 113 * qq.q + 61 * g) % mcap AS mag,
+             CASE WHEN (doc_id + qq.q + g) % 2 = 0 THEN 1 ELSE -1
+             END AS sgn
+      FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
+      WHERE (37 * doc_id + 113 * qq.q + 61 * g) % mcap > 0
+      UNION ALL
+      SELECT doc_id, g, gain, sfs, sf_a, sf_b,
+             base + 2 * qq.q + 1,
+             (53 * doc_id + 97 * qq.q + 29 * g + 17) % mcap,
+             CASE WHEN (doc_id + qq.q + g + 1) % 2 = 0 THEN 1 ELSE -1
+             END
+      FROM geo2, LATERAL (SELECT unnest(range(0, nbv)) AS q) qq
+      WHERE (53 * doc_id + 97 * qq.q + 29 * g + 17) % mcap > 0
+      UNION ALL
+      SELECT doc_id, g, gain, sfs, sf_a, sf_b,
+             base + 2 * nbv + 4 * jj.j + ii.idx, 1,
+             CASE WHEN (doc_id + jj.j) % 2 = 1 THEN -1 ELSE 1 END
+      FROM geo2,
+           LATERAL (SELECT unnest(range(0, nq)) AS j) jj,
+           LATERAL (SELECT unnest([0, 1, 2, 3]) AS idx) ii
+      WHERE ((doc_id + 5 * g + jj.j) % 16
+             // CAST(POW(2, 3 - ii.idx) AS BIGINT)) % 2 = 1
+    ),
+    banded AS (
+      SELECT s.*,
+             (CASE WHEN bands.sfb <= 10 THEN sf_a
+                   WHEN bands.sfb <= 20 THEN sf_b
+                   ELSE 0 END)
+             * (CASE sfs WHEN 1 THEN 2 ELSE 1 END) AS k
+      FROM spec s
+      JOIN (VALUES (0,0,4),(1,4,8),(2,8,12),(3,12,16),(4,16,20),
+                   (5,20,24),(6,24,30),(7,30,36),(8,36,44),(9,44,52),
+                   (10,52,62),(11,62,74),(12,74,90),(13,90,110),
+                   (14,110,134),(15,134,162),(16,162,196),
+                   (17,196,238),(18,238,288),(19,288,342),
+                   (20,342,418),(21,418,576)) bands(sfb, lo, hi)
+        ON s.pos >= bands.lo AND s.pos < bands.hi
+    ),
+    rq AS (
+      SELECT doc_id,
+             sgn * CAST(ROUND(4096 * POW(mag, 4.0 / 3.0)) AS BIGINT)
+                 * CAST(ROUND(4096 * POW(2, (gain - 210) / 4.0))
+                        AS BIGINT)
+                 * CAST(ROUND(16384 * POW(2, -k / 2.0)) AS BIGINT)
+               AS v,
+             pos, sgn
+      FROM banded
+    )
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_granules,
+           CAST(SUM(v) AS BIGINT) AS sum_rq_signed,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_rq_abs,
+           CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+           CAST(SUM(pos * sgn) AS BIGINT) AS sum_pos_signed
+    FROM rq
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_requant_escape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-1 Layer III requantization of linbits ESCAPE magnitudes
+    (ISO 11172-3 2.4.3.4 + 2.4.2.7, round 14): the big-values region
+    cycles linbits tables 24/23/22 (escape widths 4/13/10) plus the
+    non-escape table 15, transmitting quantized magnitudes up to 1023
+    as ESC code 15 + raw linbits extension — the loud-frame seam
+    that previously raised between entropy decode and PCM.  The
+    |is|^(4/3) factor is evaluated from the derived Q12 curve over
+    the FULL 0..8206 escape range (exactness proven three ways:
+    float64 derivation, integer cube-root round-half-up, and DuckDB
+    ROUND(POW(...)) agree at every index — tests/test_multimodal.py),
+    and the Q12*Q12*Q14 products stay exact int64.  Remaining
+    declared boundaries: gains outside 198..222 and escape
+    magnitudes in the STEREO requant path (Q15 ratio product would
+    overflow int64).  Reference scope note: the reference delegates
+    all media handling to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import decode_mp3_requant, synthesize_mp3_rqe
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp3_requant(synthesize_mp3_rqe(docs)).orderBy("doc_id")
 
 
 @query(
