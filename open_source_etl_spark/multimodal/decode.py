@@ -8543,7 +8543,9 @@ def decode_h264_inter(media_df: DataFrame) -> DataFrame:
                         if mvx % 64 or mvy % 64:
                             raise NotImplementedError(
                                 "sub-macroblock motion needs pixel-plane "
-                                "reference state (declared boundary)"
+                                "reference state (this walker keeps "
+                                "MB sums; decode_h264_fracpel is the "
+                                "pixel-plane tier)"
                             )
                         row_, col = idx // mb_w, idx % mb_w
                         sr = row_ + mvy // 64
@@ -8551,8 +8553,9 @@ def decode_h264_inter(media_df: DataFrame) -> DataFrame:
                         if not (0 <= sr < mb_h and 0 <= sc < mb_w):
                             raise NotImplementedError(
                                 "motion past the picture edge needs the "
-                                "8.4.2.2.1 reference clipping (declared "
-                                "boundary; fixture MVs stay inside)"
+                                "8.4.2.2.1 reference clipping (MB-sum "
+                                "walker; decode_h264_fracpel clamps "
+                                "per-pixel)"
                             )
                         new[idx] = ref[sr * mb_w + sc]
                         fullpel = (abs(mvx) + abs(mvy)) // 4
@@ -8900,7 +8903,8 @@ def decode_h264_bframe(media_df: DataFrame) -> DataFrame:
                                     raise NotImplementedError(
                                         "moving B macroblocks need "
                                         "pixel-plane interpolation "
-                                        "(declared boundary)"
+                                        "(declared boundary; the P-slice "
+                                        "pixel tier is decode_h264_fracpel)"
                                     )
                             if kind == "l0":
                                 new[idx] = l0[idx]
@@ -9328,8 +9332,8 @@ def decode_h264_multiref(media_df: DataFrame) -> DataFrame:
                         if mvx % 64 or mvy % 64:
                             raise NotImplementedError(
                                 "sub-macroblock motion needs pixel-"
-                                "plane reference state (declared "
-                                "boundary)"
+                                "plane reference state (MB-sum walker; "
+                                "decode_h264_fracpel is the pixel tier)"
                             )
                         row_, col = idx // mb_w, idx % mb_w
                         sr = row_ + mvy // 64
@@ -9701,9 +9705,9 @@ def decode_h264_p8x8(media_df: DataFrame) -> DataFrame:
                         if mvx % 32 or mvy % 32:
                             raise NotImplementedError(
                                 "sub-quadrant motion needs pixel-"
-                                "plane interpolation (declared "
-                                "boundary; fixture MVs are quadrant-"
-                                "aligned)"
+                                "plane interpolation (quadrant-sum "
+                                "walker; decode_h264_fracpel is the "
+                                "pixel tier)"
                             )
                         sr, sc = qr2 + mvy // 32, qc2 + mvx // 32
                         if not (0 <= sr < qh and 0 <= sc < qw):
@@ -10037,6 +10041,296 @@ def synthesize_h264_tdirect(docs_df: DataFrame) -> DataFrame:
                     "kind": ["video"] * len(pdf),
                     "payload": [
                         make_h264_tdirect_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def _parse_ipcm_slice_plane(
+    doc_id: int, rbsp: bytes, frame_num_bits: int, mb_w: int, mb_h: int,
+):
+    """Decode one all-I_PCM IDR slice into a FULL PIXEL PLANE (numpy
+    int32, mb_h*16 x mb_w*16): same header walk as _parse_ipcm_slice
+    but the raw 256 luma bytes per macroblock are kept, not summed —
+    the reference state fractional-pel motion compensation needs."""
+    import numpy as np
+
+    n_mbs = mb_w * mb_h
+    r = _H264BitReader(rbsp, doc_id)
+    if r.ue() != 0:
+        raise ValueError(f"doc {doc_id}: multi-slice IDR in fracpel decode")
+    if r.ue() % 5 != 2:
+        raise ValueError(f"doc {doc_id}: I_PCM stream with non-I slice")
+    r.ue()  # pic_parameter_set_id
+    if r.u(frame_num_bits) != 0:
+        raise ValueError(f"doc {doc_id}: IDR slice with nonzero frame_num")
+    r.ue()  # idr_pic_id
+    r.u(1)  # no_output_of_prior_pics_flag
+    r.u(1)  # long_term_reference_flag
+    if not -52 < r.se() < 52:
+        raise ValueError(f"doc {doc_id}: slice_qp_delta out of range")
+    plane = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int32)
+    for m in range(n_mbs):
+        if r.ue() != 25:
+            raise ValueError(
+                f"doc {doc_id}: mb_type != I_PCM in fracpel IDR"
+            )
+        while r.pos % 8:
+            if r.u(1) != 0:
+                raise ValueError(
+                    f"doc {doc_id}: nonzero pcm_alignment_zero_bit"
+                )
+        at = r.pos // 8
+        if at + 384 > len(rbsp):
+            raise ValueError(f"doc {doc_id}: truncated I_PCM samples")
+        my, mx = (m // mb_w) * 16, (m % mb_w) * 16
+        plane[my : my + 16, mx : mx + 16] = np.frombuffer(
+            rbsp, dtype=np.uint8, count=256, offset=at
+        ).reshape(16, 16)
+        r.pos += 384 * 8
+    if r.u(1) != 1:
+        raise ValueError(f"doc {doc_id}: missing rbsp_stop_one_bit")
+    while r.pos % 8:
+        if r.u(1) != 0:
+            raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
+    if r.pos != 8 * len(rbsp):
+        raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
+    return plane
+
+
+def _h264_fracpel_block(ref, x0: int, y0: int, bw: int, bh: int,
+                        mvx: int, mvy: int):
+    """Quarter-pel luma motion compensation for one block (ITU-T
+    H.264 8.4.2.2.1 sample derivation + 8.4.2.2.2 interpolation):
+    returns the bw x bh predicted block for target origin (x0, y0)
+    and quarter-pel MV (mvx, mvy) over reference plane ``ref``.
+
+    Integer positions come from the clamped reference grid
+    (Clip3(0, W-1, ...) per 8.4.2.2.1 — motion past the picture edge
+    replicates border samples).  Half-pel positions b/h apply the
+    6-tap (1, -5, 20, 20, -5, 1) filter with (x+16)>>5 rounding;
+    the center j applies the vertical 6-tap to the UNrounded
+    horizontal intermediates with (x+512)>>10; quarter positions
+    average the two nearest integer/half samples with (a+b+1)>>1
+    per Table 8-12.  All arithmetic vectorized in numpy (int64)."""
+    import numpy as np
+
+    H, W = ref.shape
+    ix, fx = mvx >> 2, mvx & 3
+    iy, fy = mvy >> 2, mvy & 3
+    xs = x0 + ix + np.arange(bw)
+    ys = y0 + iy + np.arange(bh)
+
+    def grid(dy, dx, h=bh, w=bw):
+        return ref[
+            np.ix_(
+                np.clip(ys[:h] + dy, 0, H - 1),
+                np.clip(xs[:w] + dx, 0, W - 1),
+            )
+        ].astype(np.int64)
+
+    def clip1(a):
+        return np.clip(a, 0, 255)
+
+    if fx == 0 and fy == 0:
+        return grid(0, 0)
+
+    taps = (1, -5, 20, 20, -5, 1)
+
+    def hrow(dy):
+        # horizontal 6-tap intermediate (unrounded) at row offset dy
+        return sum(
+            t * grid(dy, k - 2) for k, t in enumerate(taps)
+        )
+
+    def vcol(dx):
+        # vertical 6-tap intermediate (unrounded) at column offset dx
+        return sum(
+            t * grid(k - 2, dx) for k, t in enumerate(taps)
+        )
+
+    if fy == 0:
+        b = clip1((hrow(0) + 16) >> 5)
+        if fx == 2:
+            return b
+        return (grid(0, 0 if fx == 1 else 1) + b + 1) >> 1
+    if fx == 0:
+        h = clip1((vcol(0) + 16) >> 5)
+        if fy == 2:
+            return h
+        return (grid(0 if fy == 1 else 1, 0) + h + 1) >> 1
+    # mixed fractional: need j (center) and/or the b/h/m/s halves
+    b1 = {dy: hrow(dy) for dy in range(-2, 4)}
+    j1 = sum(t * b1[k - 2] for k, t in enumerate(taps))
+    j = clip1((j1 + 512) >> 10)
+    if fx == 2 and fy == 2:
+        return j
+    b = clip1((b1[0] + 16) >> 5)       # half (2, 0)
+    s = clip1((b1[1] + 16) >> 5)       # half (2, 4): b one row down
+    h = clip1((vcol(0) + 16) >> 5)     # half (0, 2)
+    m = clip1((vcol(1) + 16) >> 5)     # half (4, 2): h one col right
+    if fy == 2:                        # i / k row
+        return (j + (h if fx == 1 else m) + 1) >> 1
+    if fx == 2:                        # f / q column
+        return (j + (b if fy == 1 else s) + 1) >> 1
+    # corner quarters e/g/p/r: average the two nearest halves
+    hv = b if fy == 1 else s
+    vv = h if fx == 1 else m
+    return (hv + vv + 1) >> 1
+
+
+H264_FRACPEL_SCHEMA = (
+    "doc_id long, frame_idx long, frame_type string, sum_luma long, "
+    "mv_phase long, sum_abs_mv long"
+)
+
+
+def decode_h264_fracpel(media_df: DataFrame) -> DataFrame:
+    """H.264 luma motion compensation at QUARTER-PEL precision over a
+    REAL pixel plane (ITU-T H.264 8.4.2.2.1/8.4.2.2.2) — the tier the
+    aggregate walkers (decode_h264_inter and kin, which carry per-MB
+    or per-quadrant luma sums) declare as their boundary.  Each IDR
+    is parsed into a full numpy plane from its I_PCM samples; each P
+    picture re-runs the 8.4.1.3 median MV prediction, then predicts
+    every P_L0_16x16 macroblock with the 6-tap half-pel + bilinear
+    quarter-pel filter chain, border coordinates clamped per
+    8.4.2.2.1 (motion past the picture edge is LEGAL here, unlike
+    the sum-state walkers).  Emits one row per picture: the decoded
+    plane's luma sum, the MV fractional phase (fx*4+fy, -1 for IDRs)
+    and the summed |MV| in quarter-pel units.  Scale posture: one
+    Arrow batch per media row, no cross-row state, planes bounded by
+    the fixture geometry (<= 64x48)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            sps = pps = None
+            ref = None
+            rows = []
+            for unit in h264_split_nals(doc_id, raw):
+                if not unit:
+                    raise ValueError(f"doc {doc_id}: empty NAL unit")
+                nal_type = unit[0] & 0x1F
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    ref = _parse_ipcm_slice_plane(
+                        doc_id, rbsp, sps["frame_num_bits"],
+                        sps["width"] // 16, sps["height"] // 16,
+                    )
+                    rows.append(("I", int(ref.sum()), -1, 0))
+                elif nal_type == 1:
+                    if ref is None or sps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: P slice with no reference"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    frame_num, _poc, active, mods, ops, _wt = (
+                        _parse_p_inter_slice(
+                            doc_id, rbsp, sps["frame_num_bits"],
+                            mb_w, mb_h,
+                        )
+                    )
+                    if active != 1 or mods:
+                        raise NotImplementedError(
+                            "multi-reference fractional-pel slices "
+                            "not implemented (single reference plane)"
+                        )
+                    if frame_num != 1:
+                        raise ValueError(
+                            f"doc {doc_id}: fracpel P expects "
+                            f"frame_num 1, got {frame_num}"
+                        )
+                    import numpy as np
+
+                    mvs = []
+                    for op in ops:
+                        if op[0] == "pcm":
+                            raise NotImplementedError(
+                                "I_PCM refresh inside the fracpel "
+                                "fixture not implemented"
+                            )
+                        mvs.append(op[1])
+                    mv_abs = sum(abs(x) + abs(y) for x, y in mvs)
+                    phase = (mvs[-1][0] & 3) * 4 + (mvs[-1][1] & 3)
+                    if len(set(mvs)) == 1:
+                        # uniform motion: one whole-plane vectorized
+                        # interpolation instead of per-MB blocks (the
+                        # shape a frame-sized kernel would use at
+                        # production resolutions)
+                        ref = _h264_fracpel_block(
+                            ref, 0, 0, ref.shape[1], ref.shape[0],
+                            *mvs[0],
+                        )
+                    else:
+                        new = np.zeros_like(ref)
+                        for idx, (mvx, mvy) in enumerate(mvs):
+                            my = (idx // mb_w) * 16
+                            mx = (idx % mb_w) * 16
+                            new[my : my + 16, mx : mx + 16] = (
+                                _h264_fracpel_block(
+                                    ref, mx, my, 16, 16, mvx, mvy
+                                )
+                            )
+                        ref = new
+                    rows.append(("P", int(ref.sum()), phase, mv_abs))
+                elif nal_type not in (7, 8):
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected NAL type {nal_type}"
+                    )
+            if not rows:
+                raise ValueError(f"doc {doc_id}: no pictures decoded")
+            return rows
+
+        cols = (
+            "doc_id", "frame_idx", "frame_type", "sum_luma",
+            "mv_phase", "sum_abs_mv",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, row in enumerate(walk(int(doc_id), bytes(b))):
+                    vals = (int(doc_id), fi, *row)
+                    for col, v in zip(cols, vals):
+                        out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, H264_FRACPEL_SCHEMA
+    )
+
+
+def synthesize_h264_fracpel(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a REAL H.264 stream whose P
+    pictures carry quarter-pel MVs over per-pixel I_PCM planes
+    (``make_h264_fracpel_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_fracpel_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_fracpel_bytes(int(d))
                         for d in pdf["doc_id"]
                     ],
                 }

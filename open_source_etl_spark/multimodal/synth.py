@@ -7727,3 +7727,110 @@ def make_h264_inter_bytes(doc_id: int) -> bytes:
     parts.append(w3.rbsp_trailing())
     units.append(_h264_nal(2, 1, b"".join(parts), 5))
     return b"".join(units)
+
+
+def h264_fracpel_dims(doc_id: int) -> tuple[int, int, int]:
+    """(mb_w, mb_h, n_pairs) for the fractional-pel fixture: a real
+    pixel plane (48x32 .. 64x48) and 2-4 (IDR, P) picture pairs."""
+    return 3 + doc_id % 2, 2 + doc_id % 2, 2 + doc_id % 3
+
+
+def h264_fracpel_luma(doc_id: int, f: int, x: int, y: int) -> int:
+    """Reference-plane luma of pair f at pixel (x, y): a bounded
+    two-gradient ramp with mod-200 wraps, so the 6-tap windows see
+    genuine high-frequency structure (the wrap edges) and the
+    interpolator's Clip1/rounding paths all do real work."""
+    return 16 + (3 * x + 7 * y + 11 * doc_id + 31 * f) % 200
+
+
+def h264_fracpel_mv(doc_id: int, f: int) -> tuple[int, int]:
+    """Pair f's global quarter-pel motion vector: integer parts sweep
+    -16..16 / -12..12 full-pel (so blocks genuinely reach past the
+    picture edge and the 8.4.2.2.1 clamp fires) and the fractional
+    phases (fx, fy) cycle all 16 quarter-pel combinations across
+    docs and pairs."""
+    ix = ((doc_id + 5 * f) % 33) - 16
+    iy = ((2 * doc_id + 7 * f) % 25) - 12
+    fx = (doc_id + 2 * f) % 4
+    fy = (3 * doc_id + f) % 4
+    return 4 * ix + fx, 4 * iy + fy
+
+
+def _h264_idr_pixels_rbsp(idr_pic_id: int, plane: list) -> bytes:
+    """All-I_PCM IDR slice RBSP carrying an arbitrary PER-PIXEL luma
+    plane (``plane[y][x]``), 16x16 macroblock raster order — the
+    pixel-exact reference state the fractional-pel walker needs."""
+    w = _H264BitWriter()
+    w.ue(0)        # first_mb_in_slice
+    w.ue(7)        # slice_type: I
+    w.ue(0)        # pic_parameter_set_id
+    w.u(0, 4)      # frame_num
+    w.ue(idr_pic_id)
+    w.u(0, 1)      # no_output_of_prior_pics_flag
+    w.u(0, 1)      # long_term_reference_flag
+    w.se(0)        # slice_qp_delta
+    w.ue(25)       # first mb_type: I_PCM
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    mb_h, mb_w = len(plane) // 16, len(plane[0]) // 16
+    parts = [w.to_bytes()]
+    for m in range(mb_w * mb_h):
+        if m:
+            parts.append(b"\x0d\x00")  # ue(25) + alignment
+        my, mx = (m // mb_w) * 16, (m % mb_w) * 16
+        parts.append(bytes(
+            plane[my + r][mx + c] for r in range(16) for c in range(16)
+        ))
+        parts.append(bytes([128]) * 128)
+    parts.append(b"\x80")
+    return b"".join(parts)
+
+
+def make_h264_fracpel_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream exercising FRACTIONAL-PEL luma motion
+    compensation (ITU-T H.264 8.4.2.2.1/8.4.2.2.2): n_pairs picture
+    pairs, each an all-I_PCM IDR carrying a per-pixel closed-form
+    plane followed by one P picture whose P_L0_16x16 macroblocks all
+    share a global quarter-pel MV (first MB transmits the full mvd
+    against the zero predictor; every later MB's spatial median
+    predictor equals the MV, so its mvd is 0 — the decoder must
+    re-run 8.4.1.3 to agree).  Integer MV parts reach past the
+    picture edge (the 8.4.2.2.1 coordinate clamp) and the fractional
+    phases cycle all 16 (fx, fy) combinations, so the decoder's
+    6-tap half-pel + bilinear quarter-pel chain is fully exercised;
+    the SQL oracle recomputes the same filter arithmetic from the
+    plane closed form."""
+    mb_w, mb_h, n_pairs = h264_fracpel_dims(doc_id)
+    w_px, h_px = 16 * mb_w, 16 * mb_h
+    n_mbs = mb_w * mb_h
+    units = [
+        _h264_nal(3, 7, _h264_sps_from_fields(66, 10, mb_w - 1, mb_h - 1), 0),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+    idx = 2
+    for f in range(n_pairs):
+        plane = [
+            [h264_fracpel_luma(doc_id, f, x, y) for x in range(w_px)]
+            for y in range(h_px)
+        ]
+        units.append(_h264_nal(3, 5, _h264_idr_pixels_rbsp(f, plane), idx))
+        idx += 1
+        mvx, mvy = h264_fracpel_mv(doc_id, f)
+        w = _H264BitWriter()
+        w.ue(0)        # first_mb_in_slice
+        w.ue(5)        # slice_type: P
+        w.ue(0)        # pic_parameter_set_id
+        w.u(1, 4)      # frame_num
+        w.u(0, 1)      # num_ref_idx_active_override_flag
+        w.u(0, 1)      # ref_pic_list_modification_flag_l0
+        w.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
+        w.se(0)        # slice_qp_delta
+        for m in range(n_mbs):
+            w.ue(0)    # mb_skip_run
+            w.ue(0)    # mb_type: P_L0_16x16
+            w.se(mvx if m == 0 else 0)  # mvd_l0 x
+            w.se(mvy if m == 0 else 0)  # mvd_l0 y
+            w.ue(0)    # coded_block_pattern: codeNum 0
+        units.append(_h264_nal(2, 1, w.rbsp_trailing(), idx))
+        idx += 1
+    return b"".join(units)
