@@ -10184,6 +10184,303 @@ def _h264_fracpel_block(ref, x0: int, y0: int, bw: int, bh: int,
     return (hv + vv + 1) >> 1
 
 
+# sub_mb_type -> luma sub-partitions as (dx4, dy4, w4, h4) in 4x4
+# units relative to the 8x8 sub-macroblock (ITU-T H.264 Table 7-17,
+# partitions in subMbPartIdx order): P_L0_8x8, P_L0_8x4 (top then
+# bottom), P_L0_4x8 (left then right), P_L0_4x4 (raster).
+H264_SUB_MB_PARTS: dict[int, tuple] = {
+    0: ((0, 0, 2, 2),),
+    1: ((0, 0, 2, 1), (0, 1, 2, 1)),
+    2: ((0, 0, 1, 2), (1, 0, 1, 2)),
+    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
+}
+
+
+def _parse_submb_slice(
+    doc_id: int, rbsp: bytes, frame_num_bits: int, mb_w: int, mb_h: int,
+) -> tuple[int, list]:
+    """Decode one P slice at FULL sub-macroblock granularity (ITU-T
+    H.264 7.3.4 + 7.3.5.2 + Table 7-17): P_8x8 / P_8x8ref0
+    macroblocks carry four sub_mb_type fields covering ALL FOUR luma
+    shapes — 8x8, 8x4, 4x8, 4x4 — then one MV difference per
+    sub-partition in subMbPartIdx order.  Motion state lives on the
+    4x4 BLOCK grid (the spec's own prediction granularity), so each
+    partition's 8.4.1.3 median predictor sees its true neighbors —
+    including partitions of the same sub-macroblock decoded moments
+    earlier, with the not-yet-decoded above-right falling back to D
+    exactly as 6.4.11.7 prescribes (``_h264_qmvp`` is granularity-
+    agnostic: it takes the grid and the partition width in grid
+    units).  P_Skip and P_L0_16x16 participate so the shapes
+    interleave; single reference, zero coded_block_pattern (CAVLC
+    residual boundary), I_PCM raises (the pixel-plane fixtures never
+    refresh mid-GOP).  Returns (frame_num, ops) with ops[i] =
+    ('skip', mv) | ('mb', mv) | ('sub', [(dx4, dy4, w4, h4, mv),
+    ...] relative to the macroblock, MVs quarter-pel)."""
+    n_mbs = mb_w * mb_h
+    bw4 = 4 * mb_w
+    bmvs: list = [[None] * bw4 for _ in range(4 * mb_h)]
+    r = _H264BitReader(rbsp, doc_id)
+    if r.ue() != 0:
+        raise ValueError(f"doc {doc_id}: multi-slice picture")
+    if r.ue() % 5 != 0:
+        raise ValueError(f"doc {doc_id}: non-P slice in submb decode")
+    r.ue()  # pic_parameter_set_id
+    frame_num = r.u(frame_num_bits)
+    if r.u(1):
+        raise NotImplementedError(
+            "num_ref_idx override not implemented in the submb walker "
+            "(single reference)"
+        )
+    if r.u(1):
+        raise NotImplementedError(
+            "ref_pic_list_modification not implemented in the submb "
+            "walker"
+        )
+    if r.u(1):
+        raise NotImplementedError(
+            "adaptive reference marking not implemented"
+        )
+    if not -52 < r.se() < 52:
+        raise ValueError(f"doc {doc_id}: slice_qp_delta out of range")
+
+    def fill(by: int, bx: int, w4: int, h4: int, mv) -> None:
+        for yy in range(by, by + h4):
+            for xx in range(bx, bx + w4):
+                bmvs[yy][xx] = (0, mv)
+
+    ops: list = [None] * n_mbs
+    decoded = 0
+    while decoded < n_mbs:
+        skip_run = r.ue()
+        if skip_run > n_mbs - decoded:
+            raise ValueError(
+                f"doc {doc_id}: mb_skip_run exceeds the picture"
+            )
+        for _ in range(skip_run):
+            mr, mc = decoded // mb_w, decoded % mb_w
+            by, bx = 4 * mr, 4 * mc
+            a = bmvs[by][bx - 1] if bx > 0 else None
+            b = bmvs[by - 1][bx] if by > 0 else None
+            if (
+                a is None or b is None
+                or a == (0, (0, 0)) or b == (0, (0, 0))
+            ):
+                mv = (0, 0)
+            else:
+                mv = _h264_qmvp(bmvs, by, bx, bw4, 4)
+            fill(by, bx, 4, 4, mv)
+            ops[decoded] = ("skip", mv)
+            decoded += 1
+        if decoded == n_mbs:
+            break
+        mb_type = r.ue()
+        mr, mc = decoded // mb_w, decoded % mb_w
+        by, bx = 4 * mr, 4 * mc
+        if mb_type == 0:  # P_L0_16x16
+            mvd = (r.se(), r.se())
+            mvp = _h264_qmvp(bmvs, by, bx, bw4, 4)
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            if r.ue() != 0:
+                raise NotImplementedError(
+                    "nonzero coded_block_pattern carries CAVLC "
+                    "residual blocks (declared stub)"
+                )
+            fill(by, bx, 4, 4, mv)
+            ops[decoded] = ("mb", mv)
+            decoded += 1
+        elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0
+            smts = []
+            for _i in range(4):
+                smt = r.ue()
+                if smt > 3:
+                    raise ValueError(
+                        f"doc {doc_id}: sub_mb_type {smt} out of the "
+                        "P Table 7-17 range"
+                    )
+                smts.append(smt)
+            parts = []
+            for m, smt in enumerate(smts):
+                oy, ox = by + 2 * (m // 2), bx + 2 * (m % 2)
+                for dx4, dy4, w4, h4 in H264_SUB_MB_PARTS[smt]:
+                    mvd = (r.se(), r.se())
+                    mvp = _h264_qmvp(
+                        bmvs, oy + dy4, ox + dx4, bw4, w4
+                    )
+                    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                    fill(oy + dy4, ox + dx4, w4, h4, mv)
+                    parts.append(
+                        (ox - bx + dx4, oy - by + dy4, w4, h4, mv)
+                    )
+            if r.ue() != 0:
+                raise NotImplementedError(
+                    "nonzero coded_block_pattern carries CAVLC "
+                    "residual blocks (declared stub)"
+                )
+            ops[decoded] = ("sub", parts)
+            decoded += 1
+        elif mb_type == 30:
+            raise NotImplementedError(
+                "I_PCM refresh inside the submb fixture not "
+                "implemented (pixel planes refresh only at IDRs)"
+            )
+        else:
+            raise NotImplementedError(
+                f"mb_type {mb_type} not implemented in the submb "
+                "walker (P_Skip / P_L0_16x16 / P_8x8)"
+            )
+    if r.u(1) != 1:
+        raise ValueError(f"doc {doc_id}: missing rbsp_stop_one_bit")
+    while r.pos % 8:
+        if r.u(1) != 0:
+            raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
+    if r.pos != 8 * len(rbsp):
+        raise ValueError(f"doc {doc_id}: trailing bytes after slice")
+    return frame_num, ops
+
+
+H264_SUBMB_SCHEMA = (
+    "doc_id long, frame_idx long, frame_type string, sum_luma long, "
+    "n_parts long, sum_abs_mv long"
+)
+
+
+def decode_h264_submb(media_df: DataFrame) -> DataFrame:
+    """H.264 P-slice decode at FULL partition-tree granularity over a
+    real pixel plane: P_8x8 macroblocks with all four Table 7-17
+    sub-partition shapes (8x8 / 8x4 / 4x8 / 4x4), each partition
+    carrying its own quarter-pel MV, predicted per 8.4.1.3 on the
+    4x4 block grid and motion-compensated through the fractional-pel
+    interpolator (``_h264_fracpel_block``) with 8.4.2.2.1 border
+    clamping.  Together with decode_h264_fracpel this completes the
+    P-slice luma partition tree the quadrant-sum walker declares as
+    its boundary.  Emits one row per picture: luma sum, partition
+    count and summed |MV| (quarter-pel)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            sps = pps = None
+            ref = None
+            rows = []
+            for unit in h264_split_nals(doc_id, raw):
+                if not unit:
+                    raise ValueError(f"doc {doc_id}: empty NAL unit")
+                nal_type = unit[0] & 0x1F
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    ref = _parse_ipcm_slice_plane(
+                        doc_id, rbsp, sps["frame_num_bits"],
+                        sps["width"] // 16, sps["height"] // 16,
+                    )
+                    rows.append(("I", int(ref.sum()), 0, 0))
+                elif nal_type == 1:
+                    if ref is None or sps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: P slice with no reference"
+                        )
+                    mb_w = sps["width"] // 16
+                    frame_num, ops = _parse_submb_slice(
+                        doc_id, rbsp, sps["frame_num_bits"],
+                        mb_w, sps["height"] // 16,
+                    )
+                    if frame_num != 1:
+                        raise ValueError(
+                            f"doc {doc_id}: submb P expects frame_num "
+                            f"1, got {frame_num}"
+                        )
+                    import numpy as np
+
+                    new = np.zeros_like(ref)
+                    n_parts = mv_abs = 0
+                    for idx, op in enumerate(ops):
+                        my = (idx // mb_w) * 16
+                        mx = (idx % mb_w) * 16
+                        kind = op[0]
+                        if kind in ("skip", "mb"):
+                            mvx, mvy = op[1]
+                            new[my : my + 16, mx : mx + 16] = (
+                                _h264_fracpel_block(
+                                    ref, mx, my, 16, 16, mvx, mvy
+                                )
+                            )
+                            mv_abs += abs(mvx) + abs(mvy)
+                        else:
+                            for dx4, dy4, w4, h4, (mvx, mvy) in op[1]:
+                                x0, y0 = mx + 4 * dx4, my + 4 * dy4
+                                new[
+                                    y0 : y0 + 4 * h4, x0 : x0 + 4 * w4
+                                ] = _h264_fracpel_block(
+                                    ref, x0, y0, 4 * w4, 4 * h4,
+                                    mvx, mvy,
+                                )
+                                n_parts += 1
+                                mv_abs += abs(mvx) + abs(mvy)
+                    ref = new
+                    rows.append(
+                        ("P", int(ref.sum()), n_parts, mv_abs)
+                    )
+                elif nal_type not in (7, 8):
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected NAL type {nal_type}"
+                    )
+            if not rows:
+                raise ValueError(f"doc {doc_id}: no pictures decoded")
+            return rows
+
+        cols = (
+            "doc_id", "frame_idx", "frame_type", "sum_luma",
+            "n_parts", "sum_abs_mv",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, row in enumerate(walk(int(doc_id), bytes(b))):
+                    vals = (int(doc_id), fi, *row)
+                    for col, v in zip(cols, vals):
+                        out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, H264_SUBMB_SCHEMA
+    )
+
+
+def synthesize_h264_submb(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a REAL H.264 stream whose P
+    pictures carry all four sub-macroblock partition shapes with
+    fractional MVs (``make_h264_submb_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_submb_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_submb_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 H264_FRACPEL_SCHEMA = (
     "doc_id long, frame_idx long, frame_type string, sum_luma long, "
     "mv_phase long, sum_abs_mv long"

@@ -7786,6 +7786,105 @@ def _h264_idr_pixels_rbsp(idr_pic_id: int, plane: list) -> bytes:
     return b"".join(parts)
 
 
+def h264_submb_dims(doc_id: int) -> tuple[int, int, int]:
+    """(mb_w, mb_h, n_pairs) for the sub-macroblock-shapes fixture."""
+    return 3 + doc_id % 2, 2 + doc_id % 2, 2
+
+
+def h264_submb_luma(doc_id: int, f: int, x: int, y: int) -> int:
+    """Reference-plane luma of pair f at pixel (x, y)."""
+    return 16 + (5 * x + 3 * y + 13 * doc_id + 29 * f) % 200
+
+
+def h264_submb_smt(doc_id: int, f: int, i: int, m: int) -> int:
+    """sub_mb_type of sub-macroblock m of macroblock i: cycles all
+    four Table 7-17 shapes (0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4)."""
+    return (doc_id + f + i + m) % 4
+
+
+def h264_submb_mv(
+    doc_id: int, f: int, i: int, m: int, p: int
+) -> tuple[int, int]:
+    """Quarter-pel MV of partition p of sub-macroblock m of
+    macroblock i in pair f: integer parts sweep -8..8 / -6..6
+    full-pel and the fractional phases cycle independently per
+    partition, so neighboring partitions genuinely disagree and the
+    4x4-grid median prediction does real work."""
+    ix = ((doc_id + 2 * f + 3 * i + 5 * m + 7 * p) % 17) - 8
+    iy = ((2 * doc_id + f + i + 3 * m + 5 * p) % 13) - 6
+    fx = (doc_id + f + i + m + p) % 4
+    fy = (3 * doc_id + 2 * f + i + m + 3 * p) % 4
+    return 4 * ix + fx, 4 * iy + fy
+
+
+def make_h264_submb_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream whose P pictures partition EVERY
+    macroblock as P_8x8 with all four Table 7-17 sub-partition
+    shapes (8x8/8x4/4x8/4x4 via ``h264_submb_smt``), each partition
+    carrying its own quarter-pel MV (``h264_submb_mv``) coded as an
+    se(v) difference against the 4x4-grid 8.4.1.3 median predictor —
+    the encoder mirrors the decoder's predictor (decode._h264_qmvp on
+    the 4x4 block grid) so every mvd is exact, and a decoder that
+    predicts at the wrong granularity or wrong availability rule
+    desyncs values immediately.  Pictures pair as (per-pixel I_PCM
+    IDR, P), so each P predicts from a closed-form plane the SQL
+    oracle restates."""
+    from .decode import H264_SUB_MB_PARTS, _h264_qmvp
+
+    mb_w, mb_h, n_pairs = h264_submb_dims(doc_id)
+    w_px, h_px = 16 * mb_w, 16 * mb_h
+    n_mbs = mb_w * mb_h
+    bw4 = 4 * mb_w
+    units = [
+        _h264_nal(3, 7, _h264_sps_from_fields(66, 10, mb_w - 1, mb_h - 1), 0),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+    idx = 2
+    for f in range(n_pairs):
+        plane = [
+            [h264_submb_luma(doc_id, f, x, y) for x in range(w_px)]
+            for y in range(h_px)
+        ]
+        units.append(_h264_nal(3, 5, _h264_idr_pixels_rbsp(f, plane), idx))
+        idx += 1
+        w = _H264BitWriter()
+        w.ue(0)        # first_mb_in_slice
+        w.ue(5)        # slice_type: P
+        w.ue(0)        # pic_parameter_set_id
+        w.u(1, 4)      # frame_num
+        w.u(0, 1)      # num_ref_idx_active_override_flag
+        w.u(0, 1)      # ref_pic_list_modification_flag_l0
+        w.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
+        w.se(0)        # slice_qp_delta
+        bmvs: list = [[None] * bw4 for _ in range(4 * mb_h)]
+        for i in range(n_mbs):
+            mr, mc = i // mb_w, i % mb_w
+            by, bx = 4 * mr, 4 * mc
+            w.ue(0)    # mb_skip_run
+            w.ue(3)    # mb_type: P_8x8
+            for m in range(4):
+                w.ue(h264_submb_smt(doc_id, f, i, m))
+            for m in range(4):
+                smt = h264_submb_smt(doc_id, f, i, m)
+                oy, ox = by + 2 * (m // 2), bx + 2 * (m % 2)
+                for p, (dx4, dy4, w4, h4) in enumerate(
+                    H264_SUB_MB_PARTS[smt]
+                ):
+                    mv = h264_submb_mv(doc_id, f, i, m, p)
+                    mvp = _h264_qmvp(
+                        bmvs, oy + dy4, ox + dx4, bw4, w4
+                    )
+                    w.se(mv[0] - mvp[0])
+                    w.se(mv[1] - mvp[1])
+                    for yy in range(oy + dy4, oy + dy4 + h4):
+                        for xx in range(ox + dx4, ox + dx4 + w4):
+                            bmvs[yy][xx] = (0, mv)
+            w.ue(0)    # coded_block_pattern
+        units.append(_h264_nal(2, 1, w.rbsp_trailing(), idx))
+        idx += 1
+    return b"".join(units)
+
+
 def make_h264_fracpel_bytes(doc_id: int) -> bytes:
     """H.264 Annex-B stream exercising FRACTIONAL-PEL luma motion
     compensation (ITU-T H.264 8.4.2.2.1/8.4.2.2.2): n_pairs picture

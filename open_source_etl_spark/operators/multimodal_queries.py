@@ -2657,20 +2657,13 @@ def multimodal_h264_tdirect_decode(
     )
 
 
-def _fracpel_oracle() -> str:
-    """Compose the fractional-pel oracle SQL: the 8.4.2.2.2 filter
-    arithmetic restated per target pixel over the closed-form
-    reference plane, with 8.4.2.2.1 coordinate clamping as
-    LEAST/GREATEST.  Built programmatically because the center
-    position needs 36 clamped reference fetches; the generated SQL
-    is plain closed-form arithmetic DuckDB vectorizes."""
-
-    def R(a: str, b: str) -> str:
-        return (
-            "(16 + ((3 * LEAST(GREATEST(" + a + ", 0), 16 * mbw - 1)"
-            " + 7 * LEAST(GREATEST(" + b + ", 0), 16 * mbh - 1)"
-            " + 11 * doc_id + 31 * f) % 200))"
-        )
+def _qpel_sql_core(R) -> tuple[str, str, str]:
+    """Shared SQL fragments for the ITU-T H.264 8.4.2.2.2 quarter-pel
+    interpolation, parameterized by the clamped reference-fetch
+    expression builder ``R(a, b)``: returns (interm column list,
+    halves column list, per-pixel phase CASE) for a pixel row
+    carrying integer source coordinates (xi, yi) and fractional
+    phases (fx, fy)."""
 
     def tap6(terms: list) -> str:
         t = terms
@@ -2687,6 +2680,60 @@ def _fracpel_oracle() -> str:
 
     clip = "LEAST(GREATEST({}, 0), 255)"
     half = clip.format("(({} + 16) >> 5)")
+    interm = f"""
+             {b1(-2)} AS b1m2, {b1(-1)} AS b1m1, {b1(0)} AS b10,
+             {b1(1)} AS b1p1, {b1(2)} AS b1p2, {b1(3)} AS b1p3,
+             {h1(0)} AS h10, {h1(1)} AS h11,
+             {R("xi", "yi")} AS gg,
+             {R("xi + 1", "yi")} AS hh2,
+             {R("xi", "yi + 1")} AS mm2"""
+    halves = f"""
+             {half.format("b10")} AS bb,
+             {half.format("b1p1")} AS ss,
+             {half.format("h10")} AS hh,
+             {half.format("h11")} AS mm,
+             {clip.format(
+                 "(((b1m2 - 5 * b1m1 + 20 * b10 + 20 * b1p1"
+                 " - 5 * b1p2 + b1p3) + 512) >> 10)"
+             )} AS jj"""
+    case = """
+             CASE fx * 4 + fy
+               WHEN 0 THEN gg
+               WHEN 1 THEN (gg + hh + 1) >> 1
+               WHEN 2 THEN hh
+               WHEN 3 THEN (mm2 + hh + 1) >> 1
+               WHEN 4 THEN (gg + bb + 1) >> 1
+               WHEN 5 THEN (bb + hh + 1) >> 1
+               WHEN 6 THEN (hh + jj + 1) >> 1
+               WHEN 7 THEN (hh + ss + 1) >> 1
+               WHEN 8 THEN bb
+               WHEN 9 THEN (bb + jj + 1) >> 1
+               WHEN 10 THEN jj
+               WHEN 11 THEN (jj + ss + 1) >> 1
+               WHEN 12 THEN (hh2 + bb + 1) >> 1
+               WHEN 13 THEN (bb + mm + 1) >> 1
+               WHEN 14 THEN (jj + mm + 1) >> 1
+               ELSE (mm + ss + 1) >> 1
+             END"""
+    return interm, halves, case
+
+
+def _fracpel_oracle() -> str:
+    """Compose the fractional-pel oracle SQL: the 8.4.2.2.2 filter
+    arithmetic restated per target pixel over the closed-form
+    reference plane, with 8.4.2.2.1 coordinate clamping as
+    LEAST/GREATEST.  Built programmatically because the center
+    position needs 36 clamped reference fetches; the generated SQL
+    is plain closed-form arithmetic DuckDB vectorizes."""
+
+    def R(a: str, b: str) -> str:
+        return (
+            "(16 + ((3 * LEAST(GREATEST(" + a + ", 0), 16 * mbw - 1)"
+            " + 7 * LEAST(GREATEST(" + b + ", 0), 16 * mbh - 1)"
+            " + 11 * doc_id + 31 * f) % 200))"
+        )
+
+    interm, halves, case = _qpel_sql_core(R)
     return f"""
     WITH geo AS (
       SELECT doc_id, 3 + doc_id % 2 AS mbw, 2 + doc_id % 2 AS mbh,
@@ -2710,46 +2757,17 @@ def _fracpel_oracle() -> str:
     ),
     interm AS (
       SELECT doc_id, f, fx, fy, mbw, mbh, ivx, ivy,
-             {b1(-2)} AS b1m2, {b1(-1)} AS b1m1, {b1(0)} AS b10,
-             {b1(1)} AS b1p1, {b1(2)} AS b1p2, {b1(3)} AS b1p3,
-             {h1(0)} AS h10, {h1(1)} AS h11,
-             {R("xi", "yi")} AS gg,
-             {R("xi + 1", "yi")} AS hh2,
-             {R("xi", "yi + 1")} AS mm2
+             {interm}
       FROM ppix
     ),
     halves AS (
       SELECT *,
-             {half.format("b10")} AS bb,
-             {half.format("b1p1")} AS ss,
-             {half.format("h10")} AS hh,
-             {half.format("h11")} AS mm,
-             {clip.format(
-                 "(((b1m2 - 5 * b1m1 + 20 * b10 + 20 * b1p1"
-                 " - 5 * b1p2 + b1p3) + 512) >> 10)"
-             )} AS jj
+             {halves}
       FROM interm
     ),
     ppred AS (
       SELECT doc_id, f, fx, fy, mbw, mbh, ivx, ivy,
-             CASE fx * 4 + fy
-               WHEN 0 THEN gg
-               WHEN 1 THEN (gg + hh + 1) >> 1
-               WHEN 2 THEN hh
-               WHEN 3 THEN (mm2 + hh + 1) >> 1
-               WHEN 4 THEN (gg + bb + 1) >> 1
-               WHEN 5 THEN (bb + hh + 1) >> 1
-               WHEN 6 THEN (hh + jj + 1) >> 1
-               WHEN 7 THEN (hh + ss + 1) >> 1
-               WHEN 8 THEN bb
-               WHEN 9 THEN (bb + jj + 1) >> 1
-               WHEN 10 THEN jj
-               WHEN 11 THEN (jj + ss + 1) >> 1
-               WHEN 12 THEN (hh2 + bb + 1) >> 1
-               WHEN 13 THEN (bb + mm + 1) >> 1
-               WHEN 14 THEN (jj + mm + 1) >> 1
-               ELSE (mm + ss + 1) >> 1
-             END AS pred
+             {case} AS pred
       FROM halves
     ),
     prow AS (
@@ -2829,6 +2847,171 @@ def multimodal_h264_fracpel_decode(
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_h264_fracpel(synthesize_h264_fracpel(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+def _submb_oracle() -> str:
+    """Compose the sub-macroblock-shapes oracle: every pixel maps to
+    its macroblock / sub-macroblock / Table 7-17 partition, takes
+    that partition's closed-form quarter-pel MV, and runs the same
+    8.4.2.2.2 interpolation fragments as the fracpel oracle
+    (``_qpel_sql_core``) against the clamped plane closed form."""
+
+    def R(a: str, b: str) -> str:
+        return (
+            "(16 + ((5 * LEAST(GREATEST(" + a + ", 0), 16 * mbw - 1)"
+            " + 3 * LEAST(GREATEST(" + b + ", 0), 16 * mbh - 1)"
+            " + 13 * doc_id + 29 * f) % 200))"
+        )
+
+    interm, halves, case = _qpel_sql_core(R)
+    return f"""
+    WITH geo AS (
+      SELECT doc_id, 3 + doc_id % 2 AS mbw, 2 + doc_id % 2 AS mbh
+      FROM documents
+    ),
+    ppix AS (
+      SELECT g3.*,
+             ((doc_id + 2 * f + 3 * i + 5 * m + 7 * p) % 17) - 8
+               AS ivx,
+             ((2 * doc_id + f + i + 3 * m + 5 * p) % 13) - 6 AS ivy,
+             (doc_id + f + i + m + p) % 4 AS fx,
+             (3 * doc_id + 2 * f + i + m + 3 * p) % 4 AS fy,
+             x + ((doc_id + 2 * f + 3 * i + 5 * m + 7 * p) % 17) - 8
+               AS xi,
+             y + ((2 * doc_id + f + i + 3 * m + 5 * p) % 13) - 6
+               AS yi
+      FROM (
+        SELECT g2.*,
+               CASE smt WHEN 0 THEN 0
+                    WHEN 1 THEN (ly % 8) // 4
+                    WHEN 2 THEN (lx % 8) // 4
+                    ELSE ((ly % 8) // 4) * 2 + (lx % 8) // 4
+               END AS p
+        FROM (
+          SELECT geo.*, ff.f AS f, xx.x AS x, yy.y AS y,
+                 xx.x % 16 AS lx, yy.y % 16 AS ly,
+                 (yy.y // 16) * mbw + xx.x // 16 AS i,
+                 ((yy.y % 16) // 8) * 2 + (xx.x % 16) // 8 AS m,
+                 (doc_id + ff.f
+                  + (yy.y // 16) * mbw + xx.x // 16
+                  + ((yy.y % 16) // 8) * 2 + (xx.x % 16) // 8) % 4
+                   AS smt
+          FROM geo,
+               LATERAL (SELECT unnest([0, 1]) AS f) ff,
+               LATERAL (SELECT unnest(range(0, 16 * mbw)) AS x) xx,
+               LATERAL (SELECT unnest(range(0, 16 * mbh)) AS y) yy
+        ) g2
+      ) g3
+    ),
+    interm AS (
+      SELECT doc_id, f, fx, fy, mbw, mbh,
+             {interm}
+      FROM ppix
+    ),
+    halves AS (
+      SELECT *,
+             {halves}
+      FROM interm
+    ),
+    prow AS (
+      SELECT doc_id, 2 * f + 1 AS frame_idx, 'P' AS frame_type,
+             SUM({case}) AS sum_luma
+      FROM halves
+      GROUP BY doc_id, f
+    ),
+    parts AS (
+      SELECT doc_id, f,
+             COUNT(*) AS n_parts,
+             SUM(ABS(4 * (((doc_id + 2 * f + 3 * i + 5 * m + 7 * pp.p)
+                           % 17) - 8)
+                     + (doc_id + f + i + m + pp.p) % 4)
+                 + ABS(4 * (((2 * doc_id + f + i + 3 * m + 5 * pp.p)
+                             % 13) - 6)
+                       + (3 * doc_id + 2 * f + i + m + 3 * pp.p) % 4))
+               AS sum_abs_mv
+      FROM (
+        SELECT geo.doc_id, ff.f AS f, ii.i AS i, mm.m AS m,
+               CASE (geo.doc_id + ff.f + ii.i + mm.m) % 4
+                    WHEN 0 THEN 1 WHEN 3 THEN 4 ELSE 2 END AS np
+        FROM geo,
+             LATERAL (SELECT unnest([0, 1]) AS f) ff,
+             LATERAL (SELECT unnest(range(0, mbw * mbh)) AS i) ii,
+             LATERAL (SELECT unnest([0, 1, 2, 3]) AS m) mm
+      ) pm, LATERAL (SELECT unnest(range(0, np)) AS p) pp
+      GROUP BY doc_id, f
+    ),
+    irow AS (
+      SELECT doc_id, 2 * ff.f AS frame_idx, 'I' AS frame_type,
+             SUM(16 + ((5 * xx.x + 3 * yy.y + 13 * doc_id
+                        + 29 * ff.f) % 200)) AS sum_luma,
+             0 AS n_parts, 0 AS sum_abs_mv
+      FROM geo,
+           LATERAL (SELECT unnest([0, 1]) AS f) ff,
+           LATERAL (SELECT unnest(range(0, 16 * mbw)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, 16 * mbh)) AS y) yy
+      GROUP BY doc_id, ff.f
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_type,
+           CAST(sum_luma AS BIGINT) AS sum_luma,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           CAST(sum_abs_mv AS BIGINT) AS sum_abs_mv
+    FROM (
+      SELECT * FROM irow
+      UNION ALL
+      SELECT pr.doc_id, pr.frame_idx, pr.frame_type, pr.sum_luma,
+             pa.n_parts, pa.sum_abs_mv
+      FROM prow pr
+      JOIN parts pa ON pr.doc_id = pa.doc_id
+                   AND pr.frame_idx = 2 * pa.f + 1
+    )
+    ORDER BY doc_id, frame_idx
+    """
+
+
+@query(
+    "multimodal_h264_submb_decode",
+    # formulas mirror synth.h264_submb_dims / h264_submb_luma /
+    # h264_submb_smt / h264_submb_mv / make_h264_submb_bytes: two
+    # (IDR, P) pairs over the plane L = 16 + (5x + 3y + 13 doc +
+    # 29 f) % 200; every MB is P_8x8 whose four sub_mb_types cycle
+    # (doc+f+i+m) % 4 across the Table 7-17 shapes, and partition p
+    # carries MV (4 ix + fx, 4 iy + fy) with ix = ((doc + 2f + 3i +
+    # 5m + 7p) % 17) - 8, iy = ((2 doc + f + i + 3m + 5p) % 13) - 6,
+    # fx = (doc+f+i+m+p) % 4, fy = (3 doc + 2f + i + m + 3p) % 4.
+    # The oracle maps each pixel to its partition, then reruns the
+    # 8.4.2.2.2 interpolation with clamped fetches; Spark must land
+    # identical plane sums from the bitstream (4x4-grid median
+    # prediction with 6.4.11.7 availability, then per-partition
+    # fractional motion compensation).
+    oracle=_submb_oracle(),
+)
+def multimodal_h264_submb_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H.264 sub-macroblock partition shapes (ITU-T H.264 Table 7-17
+    + 7.3.5.2, round 14): P_8x8 macroblocks partition into ALL FOUR
+    luma shapes — 8x8, 8x4, 4x8, 4x4 — each partition predicted per
+    8.4.1.3 on the 4x4 BLOCK grid (the spec's own granularity, with
+    the 6.4.11.7 not-yet-decoded availability rule deciding the
+    above-right fallback) and motion-compensated at quarter-pel
+    precision through the 8.4.2.2.2 interpolator over a real pixel
+    plane.  With multimodal_h264_fracpel_decode this completes the
+    P-slice luma partition tree; the encoder mirrors the decoder's
+    predictor, so a wrong prediction granularity or availability
+    rule desyncs every downstream value.  Remaining declared
+    boundaries: CAVLC residuals on partitioned macroblocks, B-slice
+    sub-partitions.  Reference scope note: the reference delegates
+    all media handling to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_h264_submb,
+        synthesize_h264_submb,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_submb(synthesize_h264_submb(docs)).orderBy(
         "doc_id", "frame_idx"
     )
 
