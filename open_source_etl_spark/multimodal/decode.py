@@ -1218,10 +1218,15 @@ def jpeg_decode_color(
     interleave: data units per MCU follow component order with h*v
     luma units then one unit per chroma component, each component
     running its own DC predictor, quantization table, and DC/AC
-    Huffman pair.  Partial-MCU image edges (width/height not MCU
-    multiples), restart markers in interleaved scans, and non-YCbCr
-    component counts raise at the declared boundary; sampling factors
-    run the full spec range 1..4 (B.2.2), above which rejects."""
+    Huffman pair.  DRI/RSTn restart intervals decode per E.1.4 —
+    in an interleaved scan the interval counts whole MCUs, the
+    entropy data splits at the byte-aligned RSTn markers (D0-D7
+    sequence verified, segment count checked against ceil(n_mcu/ri))
+    and EVERY component's DC predictor resets at a segment boundary
+    (round 14; previously a declared boundary).  Partial-MCU image
+    edges (width/height not MCU multiples) and non-YCbCr component
+    counts raise at the declared boundary; sampling factors run the
+    full spec range 1..4 (B.2.2), above which rejects."""
     import struct
 
     if raw[:2] != b"\xff\xd8":
@@ -1231,6 +1236,7 @@ def jpeg_decode_color(
     huff_ac: dict[int, dict] = {}
     quant_ids: set[int] = set()
     sof = None
+    restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
     while pos < len(raw):
         if raw[pos] != 0xFF:
@@ -1285,10 +1291,8 @@ def jpeg_decode_color(
                     counts, symbols
                 )
                 p += 17 + nsym
-        elif marker == 0xDD:
-            raise NotImplementedError(
-                "restart intervals in interleaved scans not implemented"
-            )
+        elif marker == 0xDD:  # DRI (E.1.4; round 14: interleaved too)
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:
             ns = data[0]
             if ns != 3:
@@ -1324,7 +1328,12 @@ def jpeg_decode_color(
             "multiples only)"
         )
     mx, my = width // (8 * hmax), height // (8 * vmax)
-    # de-stuff the single entropy segment
+    # de-stuff the entropy data; RSTn markers split it into restart
+    # segments (ISO/IEC 10918-1 E.1.4 — in an interleaved scan the
+    # interval counts whole MCUs and every component's DC predictor
+    # resets at the segment boundary)
+    segments: list[bytes] = []
+    markers: list[int] = []
     body = bytearray()
     p = pos
     while p < len(raw):
@@ -1335,6 +1344,12 @@ def jpeg_decode_color(
                 body.append(0xFF)
                 p += 2
                 continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(body))
+                markers.append(nxt - 0xD0)
+                body = bytearray()
+                p += 2
+                continue
             if nxt == 0xD9:
                 break
             raise ValueError(f"doc {doc_id}: unexpected marker in scan")
@@ -1342,12 +1357,38 @@ def jpeg_decode_color(
         p += 1
     else:
         raise ValueError(f"doc {doc_id}: missing EOI")
-    reader = _BitReader(bytes(body))
+    segments.append(bytes(body))
+    if markers and not restart_interval:
+        raise ValueError(
+            f"doc {doc_id}: RSTn inside a scan without a DRI segment"
+        )
+    for k, m in enumerate(markers):
+        if m != k % 8:
+            raise ValueError(
+                f"doc {doc_id}: restart marker D{m} out of sequence "
+                f"(expected D{k % 8})"
+            )
+    if restart_interval:
+        expected_segs = -(-(mx * my) // restart_interval)
+        if len(segments) != expected_segs:
+            raise ValueError(
+                f"doc {doc_id}: {len(segments)} restart segments for "
+                f"{mx * my} MCUs at interval {restart_interval}"
+            )
+    reader = _BitReader(segments[0])
+    seg_idx = 0
     pred = {cid: 0 for cid, *_ in comps}
     sum_dc = {cid: 0 for cid, *_ in comps}
     sum_ac = {cid: 0 for cid, *_ in comps}
     n_units = {cid: 0 for cid, *_ in comps}
     for _m in range(mx * my):
+        if restart_interval and _m and _m % restart_interval == 0:
+            # restart: next byte-aligned segment, ALL DC predictors
+            # reset (E.1.4)
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            for cid in pred:
+                pred[cid] = 0
         for cid, ch, cv, _tq in comps:
             td, ta = tables[cid]
             dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
@@ -1406,6 +1447,31 @@ def synthesize_jpeg_color(docs_df: DataFrame) -> DataFrame:
                     "kind": ["image"] * len(pdf),
                     "payload": [
                         make_jpeg_color_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_jpeg_cdri(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with an interleaved YCbCr baseline JPEG
+    carrying DRI/RSTn restart intervals (``make_jpeg_cdri_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_jpeg_cdri_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        make_jpeg_cdri_bytes(int(d)) for d in pdf["doc_id"]
                     ],
                 }
             )

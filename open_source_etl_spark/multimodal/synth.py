@@ -878,6 +878,27 @@ def make_jpeg_color_bytes(doc_id: int) -> bytes:
     predictor.  Every data unit is one DC (category/extend diff
     coding) plus one ±1 AC at a closed-form zigzag position (run/size
     coding + EOB)."""
+    return _jpeg_color_encode(doc_id, 0)
+
+
+def jpeg_cdri_interval(doc_id: int) -> int:
+    """Restart interval (MCUs per segment) for the interleaved-DRI
+    fixture: 1..4, so single-MCU segments occur often."""
+    return 1 + doc_id % 4
+
+
+def make_jpeg_cdri_bytes(doc_id: int) -> bytes:
+    """Interleaved-YCbCr baseline JPEG with DRI/RSTn restart
+    intervals — the camera-default form (ISO/IEC 10918-1 E.1.4): the
+    same per-unit closed forms as ``make_jpeg_color_bytes`` but the
+    scan splits into 1-padded byte-aligned restart segments of
+    ``jpeg_cdri_interval`` MCUs with cycling D0-D7 markers, and
+    every component's DC predictor resets per segment (the
+    post-restart DC diffs are full-magnitude categories again)."""
+    return _jpeg_color_encode(doc_id, jpeg_cdri_interval(doc_id))
+
+
+def _jpeg_color_encode(doc_id: int, restart_interval: int) -> bytes:
     h, v, mx, my = jpeg_color_params(doc_id)
     width, height = 8 * h * mx, 8 * v * my
 
@@ -918,18 +939,33 @@ def make_jpeg_color_bytes(doc_id: int) -> bytes:
             code, length = ac_codes[0x00]  # EOB
             w.write(code, length)
 
-    for _m in range(mx * my):
+    parts = []
+    rst = 0
+    for m in range(mx * my):
+        if restart_interval and m and m % restart_interval == 0:
+            parts.append(w.flush())
+            parts.append(bytes((0xFF, 0xD0 + rst % 8)))
+            rst += 1
+            w = _BitWriter()
+            pred[0] = pred[1] = pred[2] = 0
         for _ in range(h * v):
             unit(0)
         unit(1)
         unit(2)
-    scan = w.flush()
+    parts.append(w.flush())
+    scan = b"".join(parts)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
+        + dri
         + seg(0xFFDB, bytes([0x00]) + bytes(quant))
         + seg(0xFFDB, bytes([0x01]) + bytes(quant))
         + seg(

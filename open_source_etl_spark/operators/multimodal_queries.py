@@ -942,9 +942,10 @@ def multimodal_jpeg_color_decode(
     scan whose MCUs interleave h*v luma data units with Cb and Cr —
     each component running its own DC predictor, so a decoder that
     mis-walks the MCU structure scrambles every component's sums.
-    Partial-MCU edges and restart intervals in interleaved scans
-    raise at the declared boundary; factors above 4 reject as the
-    spec violation they are.  Reference
+    Partial-MCU edges raise at the declared boundary (restart
+    intervals in interleaved scans decode since round 14 — exercised
+    by multimodal_jpeg_color_restart_decode); factors above 4 reject
+    as the spec violation they are.  Reference
     scope note: the reference delegates all media handling to its
     warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
@@ -955,6 +956,90 @@ def multimodal_jpeg_color_decode(
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_jpeg_color(synthesize_jpeg_color(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_jpeg_color_restart_decode",
+    # formulas mirror synth.jpeg_color_params / jpeg_color_dc /
+    # jpeg_color_ac / jpeg_cdri_interval / make_jpeg_cdri_bytes: the
+    # SAME per-unit closed forms as multimodal_jpeg_color_decode —
+    # restart segments re-code the DC DIFFS (predictors reset per
+    # segment) but the decoded DC VALUES are unchanged, so the sums
+    # are identical by construction — over a stream whose interleaved
+    # scan splits into byte-aligned RSTn segments of 1 + doc % 4
+    # MCUs.  A decoder that ignores or mis-walks the restart
+    # structure hits raw RSTn marker bytes mid-entropy-data (or
+    # carries a stale predictor) and cannot land these sums.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 2
+                  WHEN 2 THEN 1 ELSE 4 END AS h,
+             CASE doc_id % 4 WHEN 0 THEN 2 ELSE 1 END AS v,
+             1 + doc_id % 3 AS mx,
+             1 + doc_id % 2 AS my
+      FROM documents
+    ),
+    y AS (
+      SELECT doc_id,
+             SUM((doc_id * 3 + 7 * jj.j) % 240 - 120) AS sum_dc_y,
+             SUM(CASE WHEN (doc_id + jj.j) % 2 = 0 THEN 1 ELSE -1 END)
+               AS sum_ac_y
+      FROM p, LATERAL (SELECT unnest(range(0, mx * my * h * v)) AS j) jj
+      GROUP BY doc_id
+    ),
+    c AS (
+      SELECT doc_id,
+             SUM((doc_id * 5 + 11 * jj.j) % 200 - 100) AS sum_dc_cb,
+             SUM((doc_id * 7 + 13 * jj.j) % 180 - 90) AS sum_dc_cr,
+             SUM(CASE WHEN (doc_id + 1 + jj.j) % 2 = 0 THEN 1 ELSE -1
+                 END) AS sum_ac_cb,
+             SUM(CASE WHEN (doc_id + jj.j) % 2 = 0 THEN 1 ELSE -1 END)
+               AS sum_ac_cr
+      FROM p, LATERAL (SELECT unnest(range(0, mx * my)) AS j) jj
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(8 * h * mx AS BIGINT) AS width,
+           CAST(8 * v * my AS BIGINT) AS height,
+           CAST(mx * my AS BIGINT) AS n_mcus,
+           CAST(h AS BIGINT) AS samp_h,
+           CAST(v AS BIGINT) AS samp_v,
+           CAST(mx * my * h * v AS BIGINT) AS n_units_y,
+           CAST(sum_dc_y AS BIGINT) AS sum_dc_y,
+           CAST(sum_dc_cb AS BIGINT) AS sum_dc_cb,
+           CAST(sum_dc_cr AS BIGINT) AS sum_dc_cr,
+           CAST(sum_ac_y AS BIGINT) AS sum_ac_y,
+           CAST(sum_ac_cb AS BIGINT) AS sum_ac_cb,
+           CAST(sum_ac_cr AS BIGINT) AS sum_ac_cr
+    FROM p JOIN y ON p.doc_id = y.doc_id JOIN c ON p.doc_id = c.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_jpeg_color_restart_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DRI/RSTn restart intervals in INTERLEAVED baseline scans
+    (ISO/IEC 10918-1 E.1.4, round 14) — the restart form real cameras
+    emit, completing the DRI matrix (sequential grayscale and
+    progressive shipped earlier): the three-component YCbCr scan
+    splits at byte-aligned RSTn markers every 1-4 whole MCUs, the
+    D0-D7 sequence and ceil(n_mcu/ri) segment count are verified,
+    and EVERY component's DC predictor resets at each boundary.  The
+    per-unit sums intentionally equal multimodal_jpeg_color_decode's
+    (restarts change the transmitted diffs, not the decoded values),
+    so any mishandling of the restart structure — stale predictors,
+    unsplit segments, swallowed markers — either desyncs the scan or
+    lands wrong sums.  Reference scope note: the reference delegates
+    all media handling to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_jpeg_color,
+        synthesize_jpeg_cdri,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_jpeg_color(synthesize_jpeg_cdri(docs)).orderBy("doc_id")
 
 
 @query(
