@@ -4761,7 +4761,7 @@ def parse_mp4(
     progressive tracks, trex sample defaults, and other tfhd/trun
     flag shapes raise."""
 
-    def boxes(at: int, end: int):
+    def boxes(at: int, end: int, top: bool = False):
         while at < end:
             if at + 8 > end:
                 raise ValueError(f"doc {doc_id}: truncated box header")
@@ -4772,9 +4772,16 @@ def parse_mp4(
                 (size,) = struct.unpack_from(">Q", raw, at + 8)
                 body = at + 16
             elif size == 0:
-                raise NotImplementedError(
-                    "size-0 (to end of file) boxes not implemented"
-                )
+                # ISO 14496-12 4.2: size 0 = "extends to end of
+                # file", legal only for the LAST top-level box (the
+                # live-capture mdat shape); anywhere else it cannot
+                # be the last box of the file and rejects
+                if not top:
+                    raise ValueError(
+                        f"doc {doc_id}: size-0 box {btype!r} below "
+                        "the top level"
+                    )
+                size = end - at
             if size < body - at or at + size > end:
                 raise ValueError(
                     f"doc {doc_id}: box {btype!r} size {size} overruns "
@@ -4800,7 +4807,7 @@ def parse_mp4(
     next_seq = 1
     pending_mdat = None                   # bytes the next mdat must carry
     frag_mdat_total = 0
-    for btype, s, e in boxes(0, len(raw)):
+    for btype, s, e in boxes(0, len(raw), top=True):
         n_boxes += 1
         if btype == b"ftyp":
             if raw[s : s + 4] not in (b"isom", b"mp41", b"mp42"):
@@ -4818,8 +4825,13 @@ def parse_mp4(
                 raise ValueError(
                     f"doc {doc_id}: consecutive moofs without mdat"
                 )
-            moof_size = e - s + 8  # box header included
-            frag_off = moof_size + 8  # next mdat's first payload byte
+            # absolute offsets: the moof box starts at s - 8 (moofs
+            # use the 32-bit size form; a largesize moof would shift
+            # the base and fail the offset cross-check, not silently
+            # pass) and the following mdat's first payload byte sits
+            # after the moof plus the mdat's own 8-byte header
+            moof_at = s - 8
+            payload_at = e + 8
             this_frag_bytes = 0
             saw_mfhd = False
             for t2, s2, e2 in boxes(s, e):
@@ -4834,17 +4846,20 @@ def parse_mp4(
                     saw_mfhd = True
                 elif t2 == b"traf":
                     tfhd_id = None
+                    tf_base = None
+                    tf_def_dur = tf_def_size = None
                     for t3, s3, e3 in boxes(s2, e2):
                         n_boxes += 1
                         if t3 == b"tfhd":
+                            # 8.8.7: flag-driven optional fields in
+                            # declaration order after track_ID
                             flags = int.from_bytes(
                                 raw[s3 + 1 : s3 + 4], "big"
                             )
-                            if flags != 0x020000:
+                            if flags & 0x010000:
                                 raise NotImplementedError(
-                                    "tfhd flags other than "
-                                    "default-base-is-moof not "
-                                    "implemented"
+                                    "tfhd duration-is-empty "
+                                    "fragments not implemented"
                                 )
                             (tfhd_id,) = struct.unpack_from(
                                 ">I", raw, s3 + 4
@@ -4854,33 +4869,101 @@ def parse_mp4(
                                     f"doc {doc_id}: traf for unknown "
                                     f"track {tfhd_id}"
                                 )
+                            at3 = s3 + 8
+                            if flags & 0x000001:  # base-data-offset
+                                (tf_base,) = struct.unpack_from(
+                                    ">Q", raw, at3
+                                )
+                                at3 += 8
+                            if flags & 0x000002:  # sample-desc-index
+                                at3 += 4
+                            if flags & 0x000008:  # default duration
+                                (tf_def_dur,) = struct.unpack_from(
+                                    ">I", raw, at3
+                                )
+                                at3 += 4
+                            if flags & 0x000010:  # default size
+                                (tf_def_size,) = struct.unpack_from(
+                                    ">I", raw, at3
+                                )
+                                at3 += 4
+                            if flags & 0x000020:  # default flags
+                                at3 += 4
+                            if tf_base is None and flags & 0x020000:
+                                # default-base-is-moof (8.8.7.1)
+                                tf_base = moof_at
+                            if tf_base is None:
+                                raise NotImplementedError(
+                                    "tfhd without base-data-offset "
+                                    "or default-base-is-moof (the "
+                                    "previous-traf-end default) not "
+                                    "implemented"
+                                )
                         elif t3 == b"trun":
                             if tfhd_id is None:
                                 raise ValueError(
                                     f"doc {doc_id}: trun before tfhd"
                                 )
+                            # 8.8.8: flag-driven per-sample fields;
+                            # absent durations/sizes fall back to the
+                            # tfhd defaults
                             flags = int.from_bytes(
                                 raw[s3 + 1 : s3 + 4], "big"
                             )
-                            if flags != 0x000301:
-                                raise NotImplementedError(
-                                    "trun flags other than data-"
-                                    "offset + sample-duration + "
-                                    "sample-size not implemented"
-                                )
-                            (cnt, off) = struct.unpack_from(
-                                ">Ii", raw, s3 + 4
+                            (cnt,) = struct.unpack_from(
+                                ">I", raw, s3 + 4
                             )
-                            if off != frag_off + this_frag_bytes:
-                                raise ValueError(
-                                    f"doc {doc_id}: trun data_offset "
-                                    f"{off} does not land on the "
-                                    "mdat payload cursor"
+                            at3 = s3 + 8
+                            if flags & 0x000001:  # data-offset
+                                (off,) = struct.unpack_from(
+                                    ">i", raw, at3
                                 )
-                            for j in range(cnt):
-                                d_, sz_ = struct.unpack_from(
-                                    ">II", raw, s3 + 12 + 8 * j
-                                )
+                                at3 += 4
+                                if tf_base + off != (
+                                    payload_at + this_frag_bytes
+                                ):
+                                    raise ValueError(
+                                        f"doc {doc_id}: trun "
+                                        f"data_offset {off} does not "
+                                        "land on the mdat payload "
+                                        "cursor"
+                                    )
+                            if flags & 0x000004:  # first-sample-flags
+                                at3 += 4
+                            for _j in range(cnt):
+                                if flags & 0x000100:
+                                    (d_,) = struct.unpack_from(
+                                        ">I", raw, at3
+                                    )
+                                    at3 += 4
+                                elif tf_def_dur is not None:
+                                    d_ = tf_def_dur
+                                else:
+                                    raise NotImplementedError(
+                                        "trun without sample "
+                                        "durations needs trex "
+                                        "defaults (not implemented; "
+                                        "tfhd default absent)"
+                                    )
+                                if flags & 0x000200:
+                                    (sz_,) = struct.unpack_from(
+                                        ">I", raw, at3
+                                    )
+                                    at3 += 4
+                                elif tf_def_size is not None:
+                                    sz_ = tf_def_size
+                                else:
+                                    raise NotImplementedError(
+                                        "trun without sample sizes "
+                                        "needs trex defaults (not "
+                                        "implemented; tfhd default "
+                                        "absent)"
+                                    )
+                                if flags & 0x000400:  # sample-flags
+                                    at3 += 4
+                                if flags & 0x000800:  # composition
+                                    at3 += 4   # time offset (parsed
+                                    # and skipped: no PTS output)
                                 frag_dur[tfhd_id] = (
                                     frag_dur.get(tfhd_id, 0) + d_
                                 )
@@ -4888,6 +4971,11 @@ def parse_mp4(
                                     frag_bytes.get(tfhd_id, 0) + sz_
                                 )
                                 this_frag_bytes += sz_
+                            if at3 > e3:
+                                raise ValueError(
+                                    f"doc {doc_id}: trun entries "
+                                    "overrun the box"
+                                )
                             frag_samples[tfhd_id] = (
                                 frag_samples.get(tfhd_id, 0) + cnt
                             )
@@ -5491,6 +5579,31 @@ def synthesize_mp4(docs_df: DataFrame) -> DataFrame:
                     "kind": ["video"] * len(pdf),
                     "payload": [
                         make_mp4_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+def synthesize_mp4_fflags(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media rows carrying the fragmented MP4 with tfhd/trun
+    flag variants and a size-0 final mdat (``make_mp4_frag_flags``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_mp4_frag_flags
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_mp4_frag_flags(int(d)) for d in pdf["doc_id"]
                     ],
                 }
             )

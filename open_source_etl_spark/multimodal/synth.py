@@ -5802,6 +5802,21 @@ def make_mp4_bytes(doc_id: int) -> bytes:
     return ftyp + moov + free + _box(b"mdat", mdat_payload)
 
 
+def make_mp4_frag_flags(doc_id: int) -> bytes:
+    """Fragmented ISO-BMFF exercising the tfhd/trun FLAG VARIANTS
+    real DASH/live encoders emit (ISO 14496-12 8.8.7/8.8.8) plus the
+    size-0 (to end of file) final mdat: track 0's tfhd carries an
+    ABSOLUTE base-data-offset, a sample-description-index and
+    default-sample-flags, its samples split over two truns (the
+    first with first-sample-flags and NO data offset, the second
+    continuing the payload cursor); track 1's tfhd supplies a
+    default-sample-duration under default-base-is-moof and its trun
+    carries data-offset + sample-size + composition-time offsets
+    (durations from the tfhd default).  Same sample closed forms as
+    ``make_mp4_fragmented``, so totals cross-check identically."""
+    return _make_mp4_frag(doc_id, flag_tier=True)
+
+
 def make_mp4_fragmented(doc_id: int) -> bytes:
     """FRAGMENTED ISO-BMFF (ISO 14496-12 8.8) — the shape DASH and
     streaming-origin files actually have: the moov carries the same
@@ -5815,15 +5830,19 @@ def make_mp4_fragmented(doc_id: int) -> bytes:
     [k*n//nf, (k+1)*n//nf) of each track's samples, so trun
     durations/sizes sum exactly to the mdhd/mehd totals the walker
     cross-checks."""
+    return _make_mp4_frag(doc_id, flag_tier=False)
+
+
+def _make_mp4_frag(doc_id: int, flag_tier: bool) -> bytes:
     tracks = [mp4_track_samples(doc_id, t) for t in (0, 1)]
     durations = [sum(d for d, _ in t) for t in tracks]
     nf = mp4_n_fragments(doc_id)
 
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
-
     def frag_slice(t: int, k: int) -> list:
         n = len(tracks[t])
         return tracks[t][k * n // nf: (k + 1) * n // nf]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
 
     def trak(track: int) -> bytes:
         tkhd = _full_box(
@@ -5895,6 +5914,82 @@ def make_mp4_fragmented(doc_id: int) -> bytes:
         ),
     )
     moov = _box(b"moov", mvhd + trak(0) + trak(1) + mvex)
+
+    if flag_tier:
+        # ---- the tfhd/trun FLAG-VARIANT tier (round 14) ----------
+        # track 0: tfhd base-data-offset (absolute) + sample-
+        # description-index + default-sample-flags; its samples split
+        # across TWO truns — the first with first-sample-flags and NO
+        # data offset (the decoder's running payload cursor), the
+        # second continuing it.  track 1: tfhd default-base-is-moof +
+        # default-sample-duration (trun entries carry no durations),
+        # trun with data-offset + sample-size + composition-time
+        # offsets.  The LAST fragment's mdat is written as a SIZE-0
+        # (to end of file) box — the live-capture shape.
+        out = bytearray(ftyp + moov)
+        for k in range(nf):
+            frags = [frag_slice(t, k) for t in (0, 1)]
+            half = (len(frags[0]) + 1) // 2
+            b0 = sum(s for _d, s in frags[0])
+
+            def build_moof(base0: int, off1: int) -> bytes:
+                tfhd0 = _full_box(
+                    b"tfhd", 0, 0x000001 | 0x000002 | 0x000020,
+                    struct.pack(">IQ", 1, base0)
+                    + struct.pack(">II", 1, 0x02000000),
+                )
+                trun0a = _full_box(
+                    b"trun", 0, 0x000004 | 0x000100 | 0x000200,
+                    struct.pack(">II", half, 0x02000000)
+                    + b"".join(
+                        struct.pack(">II", d, s)
+                        for d, s in frags[0][:half]
+                    ),
+                )
+                trun0b = _full_box(
+                    b"trun", 0, 0x000100 | 0x000200,
+                    struct.pack(">I", len(frags[0]) - half)
+                    + b"".join(
+                        struct.pack(">II", d, s)
+                        for d, s in frags[0][half:]
+                    ),
+                )
+                tfhd1 = _full_box(
+                    b"tfhd", 0, 0x020000 | 0x000008,
+                    struct.pack(">II", 2, 20),
+                )
+                trun1 = _full_box(
+                    b"trun", 0, 0x000001 | 0x000200 | 0x000800,
+                    struct.pack(">Ii", len(frags[1]), off1)
+                    + b"".join(
+                        struct.pack(">II", s, ((doc_id + j) % 3) * 10)
+                        for j, (_d, s) in enumerate(frags[1])
+                    ),
+                )
+                return _box(
+                    b"moof",
+                    _full_box(b"mfhd", 0, 0, struct.pack(">I", k + 1))
+                    + _box(b"traf", tfhd0 + trun0a + trun0b)
+                    + _box(b"traf", tfhd1 + trun1),
+                )
+
+            probe = build_moof(0, 0)
+            base0 = len(out) + len(probe) + 8   # absolute payload start
+            off1 = len(probe) + 8 + b0          # relative to moof start
+            moof = build_moof(base0, off1)
+            if len(moof) != len(probe):
+                raise ValueError("moof sizing must be layout-independent")
+            payload = b"".join(
+                bytes((doc_id + t + j) % 256 for j in range(size))
+                for t, frag in enumerate(frags)
+                for _d, size in frag
+            )
+            if k == nf - 1:
+                # size-0 mdat: extends to end of file
+                out += moof + struct.pack(">I", 0) + b"mdat" + payload
+            else:
+                out += moof + _box(b"mdat", payload)
+        return bytes(out)
 
     out = bytearray(ftyp + moov)
     for k in range(nf):

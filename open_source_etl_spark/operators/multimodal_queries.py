@@ -1626,7 +1626,9 @@ def multimodal_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     configuration in stsd entries stays opaque (the avc1/mp4a decode
     stubs); multi-chunk tracks, non-millisecond timescales, trex
     sample defaults, and tfhd/trun flag shapes beyond
-    default-base-is-moof + explicit durations/sizes raise.
+    default-base-is-moof + explicit durations/sizes are exercised by
+    multimodal_mp4_frag_flags_walk (round 14), which also covers the
+    size-0 to-EOF final mdat.
     Reference scope note: the reference delegates all media handling
     to its warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
@@ -1634,6 +1636,84 @@ def multimodal_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_mp4(synthesize_mp4(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_mp4_frag_flags_walk",
+    # formulas mirror synth.mp4_track_samples / mp4_n_fragments /
+    # make_mp4_frag_flags: the SAME sample closed forms as the
+    # fragmented box-walk docs, but every doc is fragmented over
+    # nf = 2 + doc % 2 moofs whose trafs exercise the tfhd/trun flag
+    # variants (absolute base-data-offset, defaults, multi-trun
+    # trafs, first-sample-flags, composition-time offsets, a
+    # cursor-continuing trun with no data offset) and whose LAST
+    # mdat is a size-0 to-EOF box.  Box count: 31 moov-side boxes
+    # plus 10 per fragment (moof, mfhd, 2 traf, 2 tfhd, 3 trun,
+    # mdat).  The flag-driven field layouts have no closed form —
+    # the walker must honor every present/absent field to land the
+    # same totals and offsets.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             5 + doc_id % 6 AS n0,
+             4 + doc_id % 5 AS m,
+             33 + doc_id % 3 AS d1,
+             40 + doc_id % 5 AS d2,
+             2 + doc_id % 2 AS nf
+      FROM documents
+    ),
+    v AS (
+      SELECT p.doc_id,
+             SUM(10 + (p.doc_id + ii.i) % 20) AS bytes0
+      FROM p, LATERAL (SELECT unnest(range(0, n0)) AS i) ii
+      GROUP BY p.doc_id
+    ),
+    a AS (
+      SELECT p.doc_id,
+             SUM(6 + (p.doc_id + ii.i) % 9) AS bytes1
+      FROM p, LATERAL (SELECT unnest(range(0, m)) AS i) ii
+      GROUP BY p.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(31 + 10 * nf AS BIGINT) AS n_boxes,
+           CAST(2 AS BIGINT) AS n_tracks,
+           CAST(1 AS BIGINT) AS n_video_tracks,
+           CAST(n0 + m AS BIGINT) AS total_samples,
+           CAST(bytes0 + bytes1 AS BIGINT) AS sum_sample_bytes,
+           CAST(GREATEST((n0 // 2) * d1 + (n0 - n0 // 2) * d2,
+                         20 * m) AS BIGINT) AS duration_ms,
+           CAST(GREATEST((n0 // 2) * d1 + (n0 - n0 // 2) * d2,
+                         20 * m) AS BIGINT) AS max_track_duration,
+           CAST(bytes0 + bytes1 AS BIGINT) AS mdat_bytes
+    FROM p JOIN v ON p.doc_id = v.doc_id JOIN a ON p.doc_id = a.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_mp4_frag_flags_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fragmented-MP4 tfhd/trun FLAG VARIANTS + size-0 boxes (ISO
+    14496-12 8.8.7/8.8.8 + 4.2, round 14) — the field shapes real
+    DASH and live encoders emit: tfhd with an absolute
+    base-data-offset, sample-description-index, default-sample-
+    duration/flags; trafs splitting their samples over multiple
+    truns; truns with first-sample-flags, per-sample composition-
+    time offsets, durations inherited from the tfhd default, and a
+    data-offset-absent trun continuing the payload cursor; and a
+    final mdat written as the size-0 (to end of file) box live
+    captures produce — legal only as the last top-level box, which
+    the walker enforces.  All offset/total cross-checks from the
+    strict-flags walk still apply, so a walker that mis-sizes any
+    flag-driven field desyncs the box tree or misses the mdat
+    cursor.  Remaining declared boundaries: trex-level sample
+    defaults and tfhd duration-is-empty fragments.  Reference scope
+    note: the reference delegates all media handling to its
+    warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..multimodal.decode import decode_mp4, synthesize_mp4_fflags
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_mp4(synthesize_mp4_fflags(docs)).orderBy("doc_id")
 
 
 @query(
