@@ -10282,6 +10282,101 @@ def _parse_ipcm_slice_plane(
     return plane
 
 
+def _parse_ipcm_slice_planes3(
+    doc_id: int, rbsp: bytes, frame_num_bits: int, mb_w: int, mb_h: int,
+):
+    """Like ``_parse_ipcm_slice_plane`` but keeps ALL THREE planes:
+    returns (luma mb_h*16 x mb_w*16, cb mb_h*8 x mb_w*8, cr ...) —
+    I_PCM macroblocks carry 256 luma + 64 Cb + 64 Cr samples (4:2:0),
+    the chroma reference state eighth-pel motion compensation needs."""
+    import numpy as np
+
+    n_mbs = mb_w * mb_h
+    r = _H264BitReader(rbsp, doc_id)
+    if r.ue() != 0:
+        raise ValueError(f"doc {doc_id}: multi-slice IDR in chroma decode")
+    if r.ue() % 5 != 2:
+        raise ValueError(f"doc {doc_id}: I_PCM stream with non-I slice")
+    r.ue()  # pic_parameter_set_id
+    if r.u(frame_num_bits) != 0:
+        raise ValueError(f"doc {doc_id}: IDR slice with nonzero frame_num")
+    r.ue()  # idr_pic_id
+    r.u(2)  # dec_ref_pic_marking pair
+    if not -52 < r.se() < 52:
+        raise ValueError(f"doc {doc_id}: slice_qp_delta out of range")
+    luma = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int32)
+    cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
+    cr = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
+    for m in range(n_mbs):
+        if r.ue() != 25:
+            raise ValueError(
+                f"doc {doc_id}: mb_type != I_PCM in chroma IDR"
+            )
+        while r.pos % 8:
+            if r.u(1) != 0:
+                raise ValueError(
+                    f"doc {doc_id}: nonzero pcm_alignment_zero_bit"
+                )
+        at = r.pos // 8
+        if at + 384 > len(rbsp):
+            raise ValueError(f"doc {doc_id}: truncated I_PCM samples")
+        my, mx = (m // mb_w) * 16, (m % mb_w) * 16
+        luma[my : my + 16, mx : mx + 16] = np.frombuffer(
+            rbsp, dtype=np.uint8, count=256, offset=at
+        ).reshape(16, 16)
+        cb[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = np.frombuffer(
+            rbsp, dtype=np.uint8, count=64, offset=at + 256
+        ).reshape(8, 8)
+        cr[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = np.frombuffer(
+            rbsp, dtype=np.uint8, count=64, offset=at + 320
+        ).reshape(8, 8)
+        r.pos += 384 * 8
+    if r.u(1) != 1:
+        raise ValueError(f"doc {doc_id}: missing rbsp_stop_one_bit")
+    while r.pos % 8:
+        if r.u(1) != 0:
+            raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
+    if r.pos != 8 * len(rbsp):
+        raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
+    return luma, cb, cr
+
+
+def _h264_chroma_block(ref, x0: int, y0: int, bw: int, bh: int,
+                       mvx: int, mvy: int):
+    """EIGHTH-PEL chroma motion compensation (ITU-T H.264 8.4.1.4 +
+    8.4.2.2.2 final equation) for one chroma block: for 4:2:0 the
+    luma quarter-pel MV applies unscaled at chroma resolution, so
+    xFracC = mv & 7 and xIntC = mv >> 3, and the predicted sample is
+    the bilinear blend ((8-dx)(8-dy)A + dx(8-dy)B + (8-dx)dy C +
+    dx dy D + 32) >> 6 over the four clamped neighbors."""
+    import numpy as np
+
+    H, W = ref.shape
+    ix, fx = mvx >> 3, mvx & 7
+    iy, fy = mvy >> 3, mvy & 7
+    xs = x0 + ix + np.arange(bw)
+    ys = y0 + iy + np.arange(bh)
+
+    def grid(dy, dx):
+        return ref[
+            np.ix_(
+                np.clip(ys + dy, 0, H - 1),
+                np.clip(xs + dx, 0, W - 1),
+            )
+        ].astype(np.int64)
+
+    a = grid(0, 0)
+    if fx == 0 and fy == 0:
+        return a
+    b = grid(0, 1)
+    c = grid(1, 0)
+    d = grid(1, 1)
+    return (
+        (8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+        + (8 - fx) * fy * c + fx * fy * d + 32
+    ) >> 6
+
+
 def _h264_fracpel_block(ref, x0: int, y0: int, bw: int, bh: int,
                         mvx: int, mvy: int):
     """Quarter-pel luma motion compensation for one block (ITU-T
@@ -10650,6 +10745,157 @@ def synthesize_h264_submb(docs_df: DataFrame) -> DataFrame:
                     "kind": ["video"] * len(pdf),
                     "payload": [
                         make_h264_submb_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+H264_CHROMA_SCHEMA = (
+    "doc_id long, frame_idx long, frame_type string, sum_luma long, "
+    "sum_cb long, sum_cr long, mv_phase8 long"
+)
+
+
+def decode_h264_chroma(media_df: DataFrame) -> DataFrame:
+    """H.264 CHROMA motion compensation at EIGHTH-PEL precision
+    (ITU-T H.264 8.4.1.4 + 8.4.2.2.2 final equation): IDR I_PCM
+    slices parse into all three planes (luma + 4:2:0 Cb/Cr), and P
+    pictures predict luma through the quarter-pel 6-tap chain AND
+    chroma through the bilinear eighth-pel blend — the luma MV
+    applies unscaled at chroma resolution, so its quarter-pel value
+    is an eighth-pel chroma phase, with border coordinates clamped.
+    Closes the 'chroma fractional motion' boundary the fracpel query
+    declares.  Emits one row per picture with all three plane sums
+    and the chroma phase (cfx*8 + cfy, -1 for IDRs)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            sps = pps = None
+            planes = None
+            rows = []
+            for unit in h264_split_nals(doc_id, raw):
+                if not unit:
+                    raise ValueError(f"doc {doc_id}: empty NAL unit")
+                nal_type = unit[0] & 0x1F
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    planes = _parse_ipcm_slice_planes3(
+                        doc_id, rbsp, sps["frame_num_bits"],
+                        sps["width"] // 16, sps["height"] // 16,
+                    )
+                    rows.append((
+                        "I", int(planes[0].sum()), int(planes[1].sum()),
+                        int(planes[2].sum()), -1,
+                    ))
+                elif nal_type == 1:
+                    if planes is None or sps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: P slice with no reference"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    frame_num, _poc, active, mods, ops, _wt = (
+                        _parse_p_inter_slice(
+                            doc_id, rbsp, sps["frame_num_bits"],
+                            mb_w, mb_h,
+                        )
+                    )
+                    if active != 1 or mods:
+                        raise NotImplementedError(
+                            "multi-reference chroma slices not "
+                            "implemented (single reference)"
+                        )
+                    luma, cb, cr = planes
+                    mvs = []
+                    for op in ops:
+                        if op[0] == "pcm":
+                            raise NotImplementedError(
+                                "I_PCM refresh inside the chroma "
+                                "fixture not implemented"
+                            )
+                        mvs.append(op[1])
+                    if len(set(mvs)) != 1:
+                        raise NotImplementedError(
+                            "per-MB chroma motion not implemented in "
+                            "this walker (uniform-MV fixture; the "
+                            "submb walker holds the per-partition "
+                            "luma tier)"
+                        )
+                    mvx, mvy = mvs[0]
+                    luma = _h264_fracpel_block(
+                        luma, 0, 0, luma.shape[1], luma.shape[0],
+                        mvx, mvy,
+                    )
+                    cb = _h264_chroma_block(
+                        cb, 0, 0, cb.shape[1], cb.shape[0], mvx, mvy
+                    )
+                    cr = _h264_chroma_block(
+                        cr, 0, 0, cr.shape[1], cr.shape[0], mvx, mvy
+                    )
+                    planes = (luma, cb, cr)
+                    rows.append((
+                        "P", int(luma.sum()), int(cb.sum()),
+                        int(cr.sum()),
+                        (mvx & 7) * 8 + (mvy & 7),
+                    ))
+                elif nal_type not in (7, 8):
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected NAL type {nal_type}"
+                    )
+            if not rows:
+                raise ValueError(f"doc {doc_id}: no pictures decoded")
+            return rows
+
+        cols = (
+            "doc_id", "frame_idx", "frame_type", "sum_luma",
+            "sum_cb", "sum_cr", "mv_phase8",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, row in enumerate(walk(int(doc_id), bytes(b))):
+                    vals = (int(doc_id), fi, *row)
+                    for col, v in zip(cols, vals):
+                        out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, H264_CHROMA_SCHEMA
+    )
+
+
+def synthesize_h264_chroma(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a REAL H.264 stream whose I_PCM
+    planes carry per-pixel chroma and whose P pictures exercise
+    eighth-pel chroma motion (``make_h264_chroma_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_chroma_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_chroma_bytes(int(d))
                         for d in pdf["doc_id"]
                     ],
                 }

@@ -7887,10 +7887,15 @@ def h264_fracpel_mv(doc_id: int, f: int) -> tuple[int, int]:
     return 4 * ix + fx, 4 * iy + fy
 
 
-def _h264_idr_pixels_rbsp(idr_pic_id: int, plane: list) -> bytes:
+def _h264_idr_pixels_rbsp(
+    idr_pic_id: int, plane: list, cb: "list | None" = None,
+    cr: "list | None" = None,
+) -> bytes:
     """All-I_PCM IDR slice RBSP carrying an arbitrary PER-PIXEL luma
     plane (``plane[y][x]``), 16x16 macroblock raster order — the
-    pixel-exact reference state the fractional-pel walker needs."""
+    pixel-exact reference state the fractional-pel walker needs.
+    Optional ``cb``/``cr`` half-resolution planes fill the 4:2:0
+    chroma samples (flat 128 when omitted)."""
     w = _H264BitWriter()
     w.ue(0)        # first_mb_in_slice
     w.ue(7)        # slice_type: I
@@ -7912,7 +7917,16 @@ def _h264_idr_pixels_rbsp(idr_pic_id: int, plane: list) -> bytes:
         parts.append(bytes(
             plane[my + r][mx + c] for r in range(16) for c in range(16)
         ))
-        parts.append(bytes([128]) * 128)
+        if cb is None:
+            parts.append(bytes([128]) * 128)
+        else:
+            cy, cx = my // 2, mx // 2
+            parts.append(bytes(
+                cb[cy + r][cx + c] for r in range(8) for c in range(8)
+            ))
+            parts.append(bytes(
+                cr[cy + r][cx + c] for r in range(8) for c in range(8)
+            ))
     parts.append(b"\x80")
     return b"".join(parts)
 
@@ -8010,6 +8024,93 @@ def make_h264_submb_bytes(doc_id: int) -> bytes:
                     for yy in range(oy + dy4, oy + dy4 + h4):
                         for xx in range(ox + dx4, ox + dx4 + w4):
                             bmvs[yy][xx] = (0, mv)
+            w.ue(0)    # coded_block_pattern
+        units.append(_h264_nal(2, 1, w.rbsp_trailing(), idx))
+        idx += 1
+    return b"".join(units)
+
+
+def h264_chroma_dims(doc_id: int) -> tuple[int, int, int]:
+    """(mb_w, mb_h, n_pairs) for the eighth-pel chroma fixture."""
+    return 3 + doc_id % 2, 2 + doc_id % 2, 2
+
+
+def h264_chroma_luma(doc_id: int, f: int, x: int, y: int) -> int:
+    """Luma plane closed form of pair f."""
+    return 16 + (3 * x + 5 * y + 7 * doc_id + 19 * f) % 200
+
+
+def h264_chroma_cb(doc_id: int, f: int, cx: int, cy: int) -> int:
+    """Cb plane closed form (half-resolution coordinates)."""
+    return 16 + (7 * cx + 5 * cy + 9 * doc_id + 17 * f) % 200
+
+
+def h264_chroma_cr(doc_id: int, f: int, cx: int, cy: int) -> int:
+    """Cr plane closed form (half-resolution coordinates)."""
+    return 16 + (2 * cx + 11 * cy + 5 * doc_id + 23 * f) % 180
+
+
+def h264_chroma_mv(doc_id: int, f: int) -> tuple[int, int]:
+    """Pair f's global quarter-pel MV: integer parts sweep -14..14 /
+    -10..10 full-pel and the quarter phases cycle; because chroma
+    interprets the same value at half resolution, the EIGHTH-pel
+    chroma phase (mv & 7) additionally depends on the integer part's
+    parity, so the fixture covers the full 0..7 phase range."""
+    ix = ((doc_id + 5 * f) % 29) - 14
+    iy = ((2 * doc_id + 7 * f) % 21) - 10
+    fx = (doc_id + 2 * f) % 4
+    fy = (3 * doc_id + f) % 4
+    return 4 * ix + fx, 4 * iy + fy
+
+
+def make_h264_chroma_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream exercising EIGHTH-PEL chroma motion
+    compensation (ITU-T H.264 8.4.1.4 + 8.4.2.2.2 final equation):
+    I_PCM IDRs carry per-pixel luma AND per-pixel 4:2:0 Cb/Cr
+    planes; each P picture's macroblocks share a global quarter-pel
+    MV, which the decoder must apply to chroma unscaled (eighth-pel
+    at half resolution) through the bilinear blend with clamped
+    borders.  Same slice structure as ``make_h264_fracpel_bytes``."""
+    mb_w, mb_h, n_pairs = h264_chroma_dims(doc_id)
+    w_px, h_px = 16 * mb_w, 16 * mb_h
+    n_mbs = mb_w * mb_h
+    units = [
+        _h264_nal(3, 7, _h264_sps_from_fields(66, 10, mb_w - 1, mb_h - 1), 0),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+    idx = 2
+    for f in range(n_pairs):
+        plane = [
+            [h264_chroma_luma(doc_id, f, x, y) for x in range(w_px)]
+            for y in range(h_px)
+        ]
+        cb = [
+            [h264_chroma_cb(doc_id, f, x, y) for x in range(w_px // 2)]
+            for y in range(h_px // 2)
+        ]
+        cr = [
+            [h264_chroma_cr(doc_id, f, x, y) for x in range(w_px // 2)]
+            for y in range(h_px // 2)
+        ]
+        units.append(
+            _h264_nal(3, 5, _h264_idr_pixels_rbsp(f, plane, cb, cr), idx)
+        )
+        idx += 1
+        mvx, mvy = h264_chroma_mv(doc_id, f)
+        w = _H264BitWriter()
+        w.ue(0)        # first_mb_in_slice
+        w.ue(5)        # slice_type: P
+        w.ue(0)        # pic_parameter_set_id
+        w.u(1, 4)      # frame_num
+        w.u(0, 1)      # num_ref_idx_active_override_flag
+        w.u(0, 1)      # ref_pic_list_modification_flag_l0
+        w.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
+        w.se(0)        # slice_qp_delta
+        for m in range(n_mbs):
+            w.ue(0)    # mb_skip_run
+            w.ue(0)    # mb_type: P_L0_16x16
+            w.se(mvx if m == 0 else 0)
+            w.se(mvy if m == 0 else 0)
             w.ue(0)    # coded_block_pattern
         units.append(_h264_nal(2, 1, w.rbsp_trailing(), idx))
         idx += 1

@@ -3016,6 +3016,183 @@ def multimodal_h264_fracpel_decode(
     )
 
 
+def _chroma_oracle() -> str:
+    """Compose the eighth-pel chroma oracle: luma through the shared
+    8.4.2.2.2 fragments, chroma through the bilinear blend with
+    eighth-pel phases derived from the quarter-pel MV (cix = floor
+    (mv/8), cfx = mv mod 8) and LEAST/GREATEST border clamps."""
+
+    def RL(a: str, b: str) -> str:
+        return (
+            "(16 + ((3 * LEAST(GREATEST(" + a + ", 0), 16 * mbw - 1)"
+            " + 5 * LEAST(GREATEST(" + b + ", 0), 16 * mbh - 1)"
+            " + 7 * doc_id + 19 * f) % 200))"
+        )
+
+    def CB(a: str, b: str) -> str:
+        return (
+            "(16 + ((7 * LEAST(GREATEST(" + a + ", 0), 8 * mbw - 1)"
+            " + 5 * LEAST(GREATEST(" + b + ", 0), 8 * mbh - 1)"
+            " + 9 * doc_id + 17 * f) % 200))"
+        )
+
+    def CR(a: str, b: str) -> str:
+        return (
+            "(16 + ((2 * LEAST(GREATEST(" + a + ", 0), 8 * mbw - 1)"
+            " + 11 * LEAST(GREATEST(" + b + ", 0), 8 * mbh - 1)"
+            " + 5 * doc_id + 23 * f) % 180))"
+        )
+
+    def bilinear(R) -> str:
+        return (
+            f"((8 - cfx) * (8 - cfy) * {R('x + cix', 'y + ciy')}"
+            f" + cfx * (8 - cfy) * {R('x + cix + 1', 'y + ciy')}"
+            f" + (8 - cfx) * cfy * {R('x + cix', 'y + ciy + 1')}"
+            f" + cfx * cfy * {R('x + cix + 1', 'y + ciy + 1')}"
+            " + 32) >> 6"
+        )
+
+    interm, halves, case = _qpel_sql_core(RL)
+    return f"""
+    WITH geo AS (
+      SELECT doc_id, 3 + doc_id % 2 AS mbw, 2 + doc_id % 2 AS mbh
+      FROM documents
+    ),
+    pframes AS (
+      SELECT geo.*, ff.f AS f,
+             ((doc_id + 5 * ff.f) % 29) - 14 AS ivx,
+             ((2 * doc_id + 7 * ff.f) % 21) - 10 AS ivy,
+             (doc_id + 2 * ff.f) % 4 AS fx,
+             (3 * doc_id + ff.f) % 4 AS fy
+      FROM geo, LATERAL (SELECT unnest([0, 1]) AS f) ff
+    ),
+    ppix AS (
+      SELECT pf.*, xx.x AS x, yy.y AS y,
+             xx.x + ivx AS xi, yy.y + ivy AS yi
+      FROM pframes pf,
+           LATERAL (SELECT unnest(range(0, 16 * mbw)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, 16 * mbh)) AS y) yy
+    ),
+    interm AS (
+      SELECT doc_id, f, fx, fy, mbw, mbh,
+             {interm}
+      FROM ppix
+    ),
+    halves AS (
+      SELECT *, {halves}
+      FROM interm
+    ),
+    lsum AS (
+      SELECT doc_id, f, SUM({case}) AS sum_luma
+      FROM halves GROUP BY doc_id, f
+    ),
+    cpix AS (
+      SELECT pf.*, xx.x AS x, yy.y AS y,
+             CAST(FLOOR((4 * ivx + fx) / 8.0) AS BIGINT) AS cix,
+             CAST(FLOOR((4 * ivy + fy) / 8.0) AS BIGINT) AS ciy,
+             (((4 * ivx + fx) % 8) + 8) % 8 AS cfx,
+             (((4 * ivy + fy) % 8) + 8) % 8 AS cfy
+      FROM pframes pf,
+           LATERAL (SELECT unnest(range(0, 8 * mbw)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, 8 * mbh)) AS y) yy
+    ),
+    csum AS (
+      SELECT doc_id, f,
+             SUM({bilinear(CB)}) AS sum_cb,
+             SUM({bilinear(CR)}) AS sum_cr,
+             MAX(cfx) * 8 + MAX(cfy) AS mv_phase8
+      FROM cpix GROUP BY doc_id, f
+    ),
+    prow AS (
+      SELECT l.doc_id, 2 * l.f + 1 AS frame_idx, 'P' AS frame_type,
+             l.sum_luma, c.sum_cb, c.sum_cr, c.mv_phase8
+      FROM lsum l JOIN csum c
+        ON l.doc_id = c.doc_id AND l.f = c.f
+    ),
+    ilum AS (
+      SELECT doc_id, ff.f AS f,
+             SUM(16 + ((3 * xx.x + 5 * yy.y + 7 * doc_id
+                        + 19 * ff.f) % 200)) AS sum_luma
+      FROM geo,
+           LATERAL (SELECT unnest([0, 1]) AS f) ff,
+           LATERAL (SELECT unnest(range(0, 16 * mbw)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, 16 * mbh)) AS y) yy
+      GROUP BY doc_id, ff.f
+    ),
+    ichr AS (
+      SELECT doc_id, ff.f AS f,
+             SUM(16 + ((7 * xx.x + 5 * yy.y + 9 * doc_id
+                        + 17 * ff.f) % 200)) AS sum_cb,
+             SUM(16 + ((2 * xx.x + 11 * yy.y + 5 * doc_id
+                        + 23 * ff.f) % 180)) AS sum_cr
+      FROM geo,
+           LATERAL (SELECT unnest([0, 1]) AS f) ff,
+           LATERAL (SELECT unnest(range(0, 8 * mbw)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, 8 * mbh)) AS y) yy
+      GROUP BY doc_id, ff.f
+    ),
+    irow AS (
+      SELECT il.doc_id, 2 * il.f AS frame_idx, 'I' AS frame_type,
+             il.sum_luma, ic.sum_cb, ic.sum_cr, -1 AS mv_phase8
+      FROM ilum il JOIN ichr ic
+        ON il.doc_id = ic.doc_id AND il.f = ic.f
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_type,
+           CAST(sum_luma AS BIGINT) AS sum_luma,
+           CAST(sum_cb AS BIGINT) AS sum_cb,
+           CAST(sum_cr AS BIGINT) AS sum_cr,
+           CAST(mv_phase8 AS BIGINT) AS mv_phase8
+    FROM (SELECT * FROM irow UNION ALL SELECT * FROM prow)
+    ORDER BY doc_id, frame_idx
+    """
+
+
+@query(
+    "multimodal_h264_chroma_decode",
+    # formulas mirror synth.h264_chroma_dims / h264_chroma_luma /
+    # h264_chroma_cb / h264_chroma_cr / h264_chroma_mv: two (IDR, P)
+    # pairs; luma plane 16 + (3x + 5y + 7 doc + 19 f) % 200, chroma
+    # planes 16 + (7cx + 5cy + 9 doc + 17 f) % 200 (Cb) and
+    # 16 + (2cx + 11cy + 5 doc + 23 f) % 180 (Cr) at half
+    # resolution; the global quarter-pel MV (4 ix + fx, 4 iy + fy)
+    # with ix = ((doc + 5f) % 29) - 14, iy = ((2 doc + 7f) % 21) -
+    # 10, fx = (doc + 2f) % 4, fy = (3 doc + f) % 4 applies to
+    # chroma UNSCALED, so its eighth-pel phase is mv mod 8 and its
+    # integer chroma step floor(mv / 8).  The oracle reruns the luma
+    # 8.4.2.2.2 chain plus the chroma bilinear blend per pixel with
+    # clamped fetches.
+    oracle=_chroma_oracle(),
+)
+def multimodal_h264_chroma_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H.264 EIGHTH-PEL chroma motion compensation (ITU-T H.264
+    8.4.1.4 + 8.4.2.2.2 final equation, round 14): I_PCM IDRs carry
+    real per-pixel 4:2:0 Cb/Cr planes, and P pictures predict chroma
+    through the bilinear ((8-dx)(8-dy)A + dx(8-dy)B + (8-dx)dy C +
+    dx dy D + 32) >> 6 blend — the luma quarter-pel MV applies at
+    half resolution, so the chroma phase runs the full eighth-pel
+    0..7 range (it depends on the integer part's parity, which the
+    fixture sweeps), with border clamping on all four taps.  Closes
+    the 'chroma fractional motion' boundary the fracpel query
+    declared; luma decodes through the same 6-tap chain in the same
+    pass, so the two interpolators are cross-checked against one
+    bitstream.  Remaining declared boundaries: per-MB chroma motion
+    (uniform-MV fixture) and multi-reference/weighted chroma.
+    Reference scope note: the reference delegates all media handling
+    to its warehouse; this query is part of the
+    training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_h264_chroma,
+        synthesize_h264_chroma,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_chroma(synthesize_h264_chroma(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 def _submb_oracle() -> str:
     """Compose the sub-macroblock-shapes oracle: every pixel maps to
     its macroblock / sub-macroblock / Table 7-17 partition, takes
