@@ -9082,8 +9082,8 @@ def decode_h264_bframe(media_df: DataFrame) -> DataFrame:
                                     raise NotImplementedError(
                                         "moving B macroblocks need "
                                         "pixel-plane interpolation "
-                                        "(declared boundary; the P-slice "
-                                        "pixel tier is decode_h264_fracpel)"
+                                        "(MB-sum walker; the B pixel tier "
+                                        "is decode_h264_bpixel)"
                                     )
                             if kind == "l0":
                                 new[idx] = l0[idx]
@@ -10232,11 +10232,14 @@ def synthesize_h264_tdirect(docs_df: DataFrame) -> DataFrame:
 
 def _parse_ipcm_slice_plane(
     doc_id: int, rbsp: bytes, frame_num_bits: int, mb_w: int, mb_h: int,
+    poc_bits: int = 0,
 ):
     """Decode one all-I_PCM IDR slice into a FULL PIXEL PLANE (numpy
     int32, mb_h*16 x mb_w*16): same header walk as _parse_ipcm_slice
     but the raw 256 luma bytes per macroblock are kept, not summed —
-    the reference state fractional-pel motion compensation needs."""
+    the reference state fractional-pel motion compensation needs.
+    ``poc_bits`` > 0 reads the POC-type-0 pic_order_cnt_lsb field
+    (B-picture streams) and returns (plane, poc) instead."""
     import numpy as np
 
     n_mbs = mb_w * mb_h
@@ -10249,6 +10252,7 @@ def _parse_ipcm_slice_plane(
     if r.u(frame_num_bits) != 0:
         raise ValueError(f"doc {doc_id}: IDR slice with nonzero frame_num")
     r.ue()  # idr_pic_id
+    poc = r.u(poc_bits) if poc_bits else None
     r.u(1)  # no_output_of_prior_pics_flag
     r.u(1)  # long_term_reference_flag
     if not -52 < r.se() < 52:
@@ -10279,7 +10283,7 @@ def _parse_ipcm_slice_plane(
             raise ValueError(f"doc {doc_id}: nonzero rbsp alignment bit")
     if r.pos != 8 * len(rbsp):
         raise ValueError(f"doc {doc_id}: trailing bytes after slice data")
-    return plane
+    return (plane, poc) if poc_bits else plane
 
 
 def _parse_ipcm_slice_planes3(
@@ -10745,6 +10749,197 @@ def synthesize_h264_submb(docs_df: DataFrame) -> DataFrame:
                     "kind": ["video"] * len(pdf),
                     "payload": [
                         make_h264_submb_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
+H264_BPIXEL_SCHEMA = (
+    "doc_id long, frame_idx long, frame_type string, sum_luma long, "
+    "n_l0 long, n_l1 long, n_bi long"
+)
+
+
+def decode_h264_bpixel(media_df: DataFrame) -> DataFrame:
+    """B-slice bi-prediction over REAL pixel planes with FRACTIONAL
+    MVs (ITU-T H.264 8.4.2.1/8.4.2.3): decode order IDR(poc 0) ->
+    P(poc 4, reference) -> B(poc 2, non-reference), lists built by
+    POC (L0 the nearest past, L1 the nearest future picture);
+    B_L0/B_L1 macroblocks predict from their list's plane through
+    the quarter-pel 8.4.2.2.2 interpolator, and B_Bi averages the
+    two CLIPPED per-list predictions with the default (a + b + 1)
+    >> 1 of 8.4.2.3.1 — the 'moving B macroblocks' pixel tier the
+    sum-state B walker declares as its boundary.  Weighted or
+    multi-reference B streams belong to the other walkers."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            import numpy as np
+
+            sps = pps = None
+            refs: list = []  # (poc, plane), decode order
+            rows = []
+            for unit in h264_split_nals(doc_id, raw):
+                if not unit:
+                    raise ValueError(f"doc {doc_id}: empty NAL unit")
+                nal_type = unit[0] & 0x1F
+                ref_idc = unit[0] >> 5
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    plane, poc = _parse_ipcm_slice_plane(
+                        doc_id, rbsp, sps["frame_num_bits"],
+                        sps["width"] // 16, sps["height"] // 16,
+                        poc_bits=sps["poc_lsb_bits"],
+                    )
+                    refs = [(poc, plane)]
+                    rows.append(("I", int(plane.sum()), 0, 0, 0))
+                elif nal_type == 1 and ref_idc:
+                    # P reference picture with a uniform MV
+                    if not refs or sps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: P slice with no reference"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    frame_num, poc, active, mods, ops, _wt = (
+                        _parse_p_inter_slice(
+                            doc_id, rbsp, sps["frame_num_bits"],
+                            mb_w, mb_h, poc_bits=sps["poc_lsb_bits"],
+                        )
+                    )
+                    if active != 1 or mods:
+                        raise NotImplementedError(
+                            "multi-reference P not implemented in "
+                            "the B-pixel walker"
+                        )
+                    mvs = [op[1] for op in ops if op[0] != "pcm"]
+                    if len(mvs) != len(ops) or len(set(mvs)) != 1:
+                        raise NotImplementedError(
+                            "the B-pixel walker's P reference must "
+                            "carry uniform inter motion (I_PCM "
+                            "refreshes belong to the sum-state "
+                            "walkers)"
+                        )
+                    src = refs[-1][1]
+                    plane = _h264_fracpel_block(
+                        src, 0, 0, src.shape[1], src.shape[0], *mvs[0]
+                    )
+                    refs.append((poc, plane))
+                    rows.append(("P", int(plane.sum()), 0, 0, 0))
+                elif nal_type == 1:
+                    # non-reference B picture
+                    if len(refs) < 2 or sps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: B slice without two "
+                            "reference pictures"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    frame_num, poc, ops, _wt = _parse_b_slice(
+                        doc_id, rbsp, sps["frame_num_bits"],
+                        sps["poc_lsb_bits"], mb_w, mb_h,
+                    )
+                    past = [r_ for r_ in refs if r_[0] < poc]
+                    futr = [r_ for r_ in refs if r_[0] > poc]
+                    if not past or not futr:
+                        raise ValueError(
+                            f"doc {doc_id}: B poc {poc} not between "
+                            "its references"
+                        )
+                    l0 = max(past)[1]
+                    l1 = min(futr)[1]
+                    new = np.zeros_like(l0)
+                    n_l0 = n_l1 = n_bi = 0
+                    for idx, (kind, mv0, mv1) in enumerate(ops):
+                        if kind in ("skip", "direct"):
+                            raise NotImplementedError(
+                                "B_Skip / B_Direct in the pixel "
+                                "walker not implemented (the "
+                                "bframe/tdirect walkers hold the "
+                                "direct tiers)"
+                            )
+                        my = (idx // mb_w) * 16
+                        mx = (idx % mb_w) * 16
+                        p0 = p1 = None
+                        if mv0 is not None:
+                            p0 = _h264_fracpel_block(
+                                l0, mx, my, 16, 16, *mv0
+                            )
+                        if mv1 is not None:
+                            p1 = _h264_fracpel_block(
+                                l1, mx, my, 16, 16, *mv1
+                            )
+                        if kind == "l0":
+                            blk = p0
+                            n_l0 += 1
+                        elif kind == "l1":
+                            blk = p1
+                            n_l1 += 1
+                        else:
+                            blk = (p0 + p1 + 1) >> 1
+                            n_bi += 1
+                        new[my : my + 16, mx : mx + 16] = blk
+                    rows.append(
+                        ("B", int(new.sum()), n_l0, n_l1, n_bi)
+                    )
+                elif nal_type not in (7, 8):
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected NAL type {nal_type}"
+                    )
+            if not rows:
+                raise ValueError(f"doc {doc_id}: no pictures decoded")
+            return rows
+
+        cols = (
+            "doc_id", "frame_idx", "frame_type", "sum_luma",
+            "n_l0", "n_l1", "n_bi",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, row in enumerate(walk(int(doc_id), bytes(b))):
+                    vals = (int(doc_id), fi, *row)
+                    for col, v in zip(cols, vals):
+                        out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel, H264_BPIXEL_SCHEMA
+    )
+
+
+def synthesize_h264_bpixel(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a REAL H.264 stream whose B picture
+    carries fractional per-list MVs over pixel planes
+    (``make_h264_bpixel_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_bpixel_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_bpixel_bytes(int(d))
                         for d in pdf["doc_id"]
                     ],
                 }

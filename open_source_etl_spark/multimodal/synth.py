@@ -8030,6 +8030,156 @@ def make_h264_submb_bytes(doc_id: int) -> bytes:
     return b"".join(units)
 
 
+def h264_bpixel_dims(doc_id: int) -> tuple[int, int]:
+    """(mb_w, mb_h) for the B-picture pixel-plane fixture."""
+    return 3 + doc_id % 2, 2 + doc_id % 2
+
+
+def h264_bpixel_luma(doc_id: int, x: int, y: int) -> int:
+    """IDR reference-plane luma closed form."""
+    return 16 + (3 * x + 7 * y + 9 * doc_id) % 200
+
+
+def h264_bpixel_pmv(doc_id: int) -> tuple[int, int]:
+    """The P reference picture's uniform FULL-PEL MV (quarter-pel
+    units, multiples of 4): integer so the future reference plane
+    stays a closed-form clamped shift of the IDR plane."""
+    return 4 * ((doc_id % 9) - 4), 4 * (((2 * doc_id) % 7) - 3)
+
+
+def h264_bpixel_mv(doc_id: int, lst: int) -> tuple[int, int]:
+    """The B picture's global quarter-pel MV for list ``lst`` (0/1):
+    fractional phases cycle per doc and differ between the lists."""
+    ix = ((doc_id + 3 + 4 * lst) % 13) - 6
+    iy = ((2 * doc_id + 1 + 3 * lst) % 9) - 4
+    fx = (doc_id + 2 * lst) % 4
+    fy = (3 * doc_id + lst + 1) % 4
+    return 4 * ix + fx, 4 * iy + fy
+
+
+def make_h264_bpixel_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream whose B picture carries MOVING,
+    fractional-MV macroblocks over real pixel planes (ITU-T H.264
+    8.4.2.1 + 8.4.2.3): decode order IDR(poc 0, per-pixel I_PCM
+    plane) -> P(poc 4, reference, uniform full-pel MV) -> B(poc 2,
+    non-reference) whose macroblocks cycle B_L0_16x16 / B_L1_16x16 /
+    B_Bi_16x16 by (doc + idx) % 3, each list running a GLOBAL
+    quarter-pel MV; mvds are coded against the per-list 8.4.1.3
+    median predictors (mirrored from decode._h264_mvp, where
+    neighbors that do not use a list carry refIdx -1 — the
+    exactly-one-matching rule does real work at every kind
+    boundary).  Bi macroblocks average the two clipped predictions
+    with (a + b + 1) >> 1."""
+    from .decode import _h264_mvp
+
+    mb_w, mb_h = h264_bpixel_dims(doc_id)
+    w_px, h_px = 16 * mb_w, 16 * mb_h
+    n_mbs = mb_w * mb_h
+    units = [
+        _h264_nal(
+            3, 7,
+            _h264_sps_from_fields(
+                66, 10, mb_w - 1, mb_h - 1, max_ref=2, poc_type=0
+            ),
+            0,
+        ),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+
+    # IDR (poc 0): per-pixel plane, with the POC-type-0 lsb field
+    w = _H264BitWriter()
+    w.ue(0)        # first_mb_in_slice
+    w.ue(7)        # slice_type: I
+    w.ue(0)        # pic_parameter_set_id
+    w.u(0, 4)      # frame_num
+    w.ue(0)        # idr_pic_id
+    w.u(0, 4)      # pic_order_cnt_lsb = 0
+    w.u(0, 1)      # no_output_of_prior_pics_flag
+    w.u(0, 1)      # long_term_reference_flag
+    w.se(0)        # slice_qp_delta
+    w.ue(25)
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    parts = [w.to_bytes()]
+    for m in range(n_mbs):
+        if m:
+            parts.append(b"\x0d\x00")
+        my, mx = (m // mb_w) * 16, (m % mb_w) * 16
+        parts.append(bytes(
+            h264_bpixel_luma(doc_id, mx + c, my + r)
+            for r in range(16) for c in range(16)
+        ))
+        parts.append(bytes([128]) * 128)
+    parts.append(b"\x80")
+    units.append(_h264_nal(3, 5, b"".join(parts), 2))
+
+    # P (poc 4, reference): every MB P_L0_16x16 with the uniform MV
+    pmv = h264_bpixel_pmv(doc_id)
+    w = _H264BitWriter()
+    w.ue(0)
+    w.ue(5)        # slice_type: P
+    w.ue(0)
+    w.u(1, 4)      # frame_num
+    w.u(4, 4)      # pic_order_cnt_lsb = 4
+    w.u(0, 1)      # num_ref_idx_active_override_flag
+    w.u(0, 1)      # ref_pic_list_modification_flag_l0
+    w.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
+    w.se(0)
+    for m in range(n_mbs):
+        w.ue(0)    # mb_skip_run
+        w.ue(0)    # P_L0_16x16
+        w.se(pmv[0] if m == 0 else 0)
+        w.se(pmv[1] if m == 0 else 0)
+        w.ue(0)
+    units.append(_h264_nal(2, 1, w.rbsp_trailing(), 3))
+
+    # B (poc 2, NON-reference): kinds cycle l0/l1/bi
+    mv0, mv1 = h264_bpixel_mv(doc_id, 0), h264_bpixel_mv(doc_id, 1)
+    w = _H264BitWriter()
+    w.ue(0)
+    w.ue(6)        # slice_type: B (6 % 5 == 1)
+    w.ue(0)
+    w.u(2, 4)      # frame_num
+    w.u(2, 4)      # pic_order_cnt_lsb = 2
+    w.u(1, 1)      # direct_spatial_mv_pred_flag (unused: no directs)
+    w.u(0, 1)      # num_ref_idx_active_override_flag
+    w.u(0, 1)      # ref_pic_list_modification_flag_l0
+    w.u(0, 1)      # ref_pic_list_modification_flag_l1
+    w.se(0)        # slice_qp_delta (non-ref: no marking)
+    mbs_l0: list = [None] * n_mbs
+    mbs_l1: list = [None] * n_mbs
+    for m in range(n_mbs):
+        kind = (doc_id + m) % 3
+        w.ue(0)    # mb_skip_run
+        if kind == 0:          # B_L0_16x16
+            w.ue(1)
+            mvp = _h264_mvp(mbs_l0, m, mb_w, 0)
+            w.se(mv0[0] - mvp[0])
+            w.se(mv0[1] - mvp[1])
+            mbs_l0[m] = (0, mv0)
+            mbs_l1[m] = (-1, (0, 0))
+        elif kind == 1:        # B_L1_16x16
+            w.ue(2)
+            mvp = _h264_mvp(mbs_l1, m, mb_w, 0)
+            w.se(mv1[0] - mvp[0])
+            w.se(mv1[1] - mvp[1])
+            mbs_l0[m] = (-1, (0, 0))
+            mbs_l1[m] = (0, mv1)
+        else:                  # B_Bi_16x16
+            w.ue(3)
+            mvp = _h264_mvp(mbs_l0, m, mb_w, 0)
+            w.se(mv0[0] - mvp[0])
+            w.se(mv0[1] - mvp[1])
+            mvp = _h264_mvp(mbs_l1, m, mb_w, 0)
+            w.se(mv1[0] - mvp[0])
+            w.se(mv1[1] - mvp[1])
+            mbs_l0[m] = (0, mv0)
+            mbs_l1[m] = (0, mv1)
+        w.ue(0)    # coded_block_pattern
+    units.append(_h264_nal(0, 1, w.rbsp_trailing(), 4))
+    return b"".join(units)
+
+
 def h264_chroma_dims(doc_id: int) -> tuple[int, int, int]:
     """(mb_w, mb_h, n_pairs) for the eighth-pel chroma fixture."""
     return 3 + doc_id % 2, 2 + doc_id % 2, 2

@@ -3016,6 +3016,181 @@ def multimodal_h264_fracpel_decode(
     )
 
 
+def _bpixel_oracle() -> str:
+    """Compose the B-picture pixel oracle: TWO independent 8.4.2.2.2
+    interpolation chains — list 0 over the IDR plane, list 1 over
+    the P reference (itself a clamped full-pel shift of the IDR
+    plane, so its fetches compose two clamps) — joined per pixel and
+    blended by each macroblock's kind (L0 / L1 / Bi average)."""
+
+    def CLX(a: str) -> str:
+        return "LEAST(GREATEST(" + a + ", 0), 16 * mbw - 1)"
+
+    def CLY(b: str) -> str:
+        return "LEAST(GREATEST(" + b + ", 0), 16 * mbh - 1)"
+
+    def R0(a: str, b: str) -> str:
+        return (
+            "(16 + ((3 * " + CLX(a) + " + 7 * " + CLY(b)
+            + " + 9 * doc_id) % 200))"
+        )
+
+    def R1(a: str, b: str) -> str:
+        # the P reference plane: P1(u, v) = P0(CL(u + dx), CL(v + dy))
+        # fetched itself through the interpolator's clamp
+        return (
+            "(16 + ((3 * "
+            + CLX(CLX(a) + " + (doc_id % 9) - 4")
+            + " + 7 * "
+            + CLY(CLY(b) + " + ((2 * doc_id) % 7) - 3")
+            + " + 9 * doc_id) % 200))"
+        )
+
+    i0, h0, c0 = _qpel_sql_core(R0)
+    i1, h1, c1 = _qpel_sql_core(R1)
+    return f"""
+    WITH geo AS (
+      SELECT doc_id, 3 + doc_id % 2 AS mbw, 2 + doc_id % 2 AS mbh
+      FROM documents
+    ),
+    pix AS (
+      SELECT geo.*, xx.x AS x, yy.y AS y
+      FROM geo,
+           LATERAL (SELECT unnest(range(0, 16 * mbw)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, 16 * mbh)) AS y) yy
+    ),
+    p0i AS (
+      SELECT doc_id, mbw, mbh, x, y,
+             (doc_id) % 4 AS fx, (3 * doc_id + 1) % 4 AS fy,
+             x + ((doc_id + 3) % 13) - 6 AS xi,
+             y + ((2 * doc_id + 1) % 9) - 4 AS yi
+      FROM pix
+    ),
+    i0 AS (
+      SELECT doc_id, x, y, fx, fy, mbw, mbh, {i0}
+      FROM p0i
+    ),
+    h0c AS (SELECT *, {h0} FROM i0),
+    pr0 AS (
+      SELECT doc_id, x, y, mbw, {c0} AS pred0 FROM h0c
+    ),
+    p1i AS (
+      SELECT doc_id, mbw, mbh, x, y,
+             (doc_id + 2) % 4 AS fx, (3 * doc_id + 2) % 4 AS fy,
+             x + ((doc_id + 7) % 13) - 6 AS xi,
+             y + ((2 * doc_id + 4) % 9) - 4 AS yi
+      FROM pix
+    ),
+    i1 AS (
+      SELECT doc_id, x, y, fx, fy, mbw, mbh, {i1}
+      FROM p1i
+    ),
+    h1c AS (SELECT *, {h1} FROM i1),
+    pr1 AS (
+      SELECT doc_id, x, y, {c1} AS pred1 FROM h1c
+    ),
+    brow AS (
+      SELECT pr0.doc_id, CAST(2 AS BIGINT) AS frame_idx,
+             'B' AS frame_type,
+             SUM(CASE (pr0.doc_id + (pr0.y // 16) * pr0.mbw
+                       + pr0.x // 16) % 3
+                 WHEN 0 THEN pred0
+                 WHEN 1 THEN pred1
+                 ELSE (pred0 + pred1 + 1) >> 1 END) AS sum_luma
+      FROM pr0 JOIN pr1
+        ON pr0.doc_id = pr1.doc_id AND pr0.x = pr1.x
+       AND pr0.y = pr1.y
+      GROUP BY pr0.doc_id
+    ),
+    kinds AS (
+      SELECT doc_id,
+             SUM(CASE WHEN (doc_id + ii.i) % 3 = 0 THEN 1 ELSE 0 END)
+               AS n_l0,
+             SUM(CASE WHEN (doc_id + ii.i) % 3 = 1 THEN 1 ELSE 0 END)
+               AS n_l1,
+             SUM(CASE WHEN (doc_id + ii.i) % 3 = 2 THEN 1 ELSE 0 END)
+               AS n_bi
+      FROM geo, LATERAL (SELECT unnest(range(0, mbw * mbh)) AS i) ii
+      GROUP BY doc_id
+    ),
+    iprow AS (
+      SELECT doc_id,
+             SUM(16 + ((3 * x + 7 * y + 9 * doc_id) % 200)) AS sum_i,
+             SUM(16 + ((3 * LEAST(GREATEST(x + (doc_id % 9) - 4, 0),
+                                  16 * mbw - 1)
+                        + 7 * LEAST(GREATEST(
+                              y + ((2 * doc_id) % 7) - 3, 0),
+                              16 * mbh - 1)
+                        + 9 * doc_id) % 200)) AS sum_p
+      FROM pix
+      GROUP BY doc_id
+    )
+    SELECT doc_id, frame_idx, frame_type,
+           CAST(sum_luma AS BIGINT) AS sum_luma,
+           CAST(n_l0 AS BIGINT) AS n_l0,
+           CAST(n_l1 AS BIGINT) AS n_l1,
+           CAST(n_bi AS BIGINT) AS n_bi
+    FROM (
+      SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx, 'I' AS frame_type,
+             sum_i AS sum_luma, 0 AS n_l0, 0 AS n_l1, 0 AS n_bi
+      FROM iprow
+      UNION ALL
+      SELECT doc_id, CAST(1 AS BIGINT), 'P', sum_p, 0, 0, 0 FROM iprow
+      UNION ALL
+      SELECT b.doc_id, b.frame_idx, b.frame_type, b.sum_luma,
+             k.n_l0, k.n_l1, k.n_bi
+      FROM brow b JOIN kinds k ON b.doc_id = k.doc_id
+    )
+    ORDER BY doc_id, frame_idx
+    """
+
+
+@query(
+    "multimodal_h264_bpixel_decode",
+    # formulas mirror synth.h264_bpixel_dims / h264_bpixel_luma /
+    # h264_bpixel_pmv / h264_bpixel_mv / make_h264_bpixel_bytes:
+    # IDR plane 16 + (3x + 7y + 9 doc) % 200; the P reference shifts
+    # it by the full-pel ((doc % 9) - 4, ((2 doc) % 7) - 3) with
+    # border clamps; the B picture's lists run global quarter-pel
+    # MVs (list 0: ix = ((doc+3) % 13) - 6, fx = doc % 4, iy =
+    # ((2 doc + 1) % 9) - 4, fy = (3 doc + 1) % 4; list 1: ix =
+    # ((doc+7) % 13) - 6, fx = (doc+2) % 4, iy = ((2 doc + 4) % 9)
+    # - 4, fy = (3 doc + 2) % 4) and macroblock kinds cycle
+    # (doc + idx) % 3 over L0 / L1 / Bi.  The oracle runs BOTH
+    # interpolation chains per pixel (list 1's fetches compose the
+    # P shift's clamp with the interpolator's) and blends by kind.
+    oracle=_bpixel_oracle(),
+)
+def multimodal_h264_bpixel_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B-picture bi-prediction over REAL pixel planes with
+    FRACTIONAL per-list MVs (ITU-T H.264 8.4.2.1 + 8.4.2.3, round
+    14): decode order IDR(poc 0) -> P(poc 4, reference) -> B(poc 2,
+    non-reference), lists built by POC; B_L0/B_L1 macroblocks
+    predict through the quarter-pel 6-tap chain from their list's
+    plane and B_Bi averages the two clipped predictions with the
+    default (a + b + 1) >> 1 — closing the 'moving B macroblocks
+    need pixel-plane interpolation' boundary the sum-state B walker
+    declares.  Each list's mvds are coded against its own 8.4.1.3
+    median predictor where unused-list neighbors carry refIdx -1, so
+    the exactly-one-matching rule fires at every kind boundary.
+    Remaining declared boundaries: B_Skip/B_Direct at pixel level
+    (the bframe/tdirect walkers hold the direct tiers) and weighted
+    bi-prediction over pixels.  Reference scope note: the reference
+    delegates all media handling to its warehouse; this query is
+    part of the training-data-pipeline surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_h264_bpixel,
+        synthesize_h264_bpixel,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_bpixel(synthesize_h264_bpixel(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 def _chroma_oracle() -> str:
     """Compose the eighth-pel chroma oracle: luma through the shared
     8.4.2.2.2 fragments, chroma through the bilinear blend with
