@@ -1677,7 +1677,11 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
     exponent (the transcribed table ships with its structural
     invariants asserted; the intensity-stereo query value-tests it).
     Declared boundaries: gains outside the 198..222 band (Q12
-    over/underflow) and preflag on window-switching granules.
+    over/underflow).  Preflag requantizes on every layout the spec
+    allows it: long blocks and start/stop window-switching granules
+    (types 1/3, which use the LONG scalefactor layout); preflag on a
+    SHORT-block granule rejects as the 2.4.3.4 spec violation it is
+    ("preflag is never used if block_type is 2").
     Since round 14 linbits ESCAPE magnitudes (16..8206) requantize
     exactly too: the derived |is|^(4/3) Q12 table spans the full
     13-linbits range, verified tie-free against exact integer
@@ -1748,10 +1752,15 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                     rc2 = sbits(3)
                 pre = sbits(1)
                 if pre and bt == 2:
-                    raise NotImplementedError(
-                        "preflag with window-switching granules not "
-                        "implemented (pretab indexes the LONG band "
-                        "table)"
+                    # ISO 11172-3 2.4.3.4: "preflag is never used if
+                    # block_type is 2" — a short-block granule with
+                    # preflag set is a spec violation, not a missing
+                    # feature (start/stop blocks, types 1/3, use the
+                    # LONG scalefactor layout and requantize with
+                    # pretab through the normal path below)
+                    raise ValueError(
+                        f"doc {doc_id}: preflag set on a short-block "
+                        "granule (illegal per 2.4.3.4)"
                     )
                 sfs = sbits(1)
                 c1a = sbits(1) == 0
