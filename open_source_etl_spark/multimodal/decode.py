@@ -10616,6 +10616,73 @@ def _parse_submb_slice(
     return frame_num, ops
 
 
+def _h264_fracpel_plane_mapped(ref, ixm, iym, fxm, fym):
+    """Whole-plane quarter-pel motion compensation with PER-PIXEL
+    motion maps (same arithmetic as ``_h264_fracpel_block``, ITU-T
+    8.4.2.2.1/8.4.2.2.2): ``ixm``/``iym`` are each pixel's integer
+    source offsets, ``fxm``/``fym`` the quarter phases (0..3).  One
+    vectorized pass computes the 6-tap intermediates for every pixel
+    and selects by phase mask — partition-count-independent, the
+    shape per-partition MVs need at scale (a 4x4-partition 1080p
+    frame has ~32k partitions; per-partition kernel calls would be
+    32k Python round-trips, this is ~60 whole-plane gathers)."""
+    import numpy as np
+
+    H, W = ref.shape
+    ys0, xs0 = np.indices((H, W))
+    xi = xs0 + ixm
+    yi = ys0 + iym
+
+    def grid(dy, dx):
+        return ref[
+            np.clip(yi + dy, 0, H - 1), np.clip(xi + dx, 0, W - 1)
+        ].astype(np.int64)
+
+    def clip1(a):
+        return np.clip(a, 0, 255)
+
+    taps = (1, -5, 20, 20, -5, 1)
+    b1 = {
+        dy: sum(t * grid(dy, k - 2) for k, t in enumerate(taps))
+        for dy in range(-2, 4)
+    }
+    h1_0 = sum(t * grid(k - 2, 0) for k, t in enumerate(taps))
+    h1_1 = sum(t * grid(k - 2, 1) for k, t in enumerate(taps))
+    g = grid(0, 0)
+    b = clip1((b1[0] + 16) >> 5)
+    s = clip1((b1[1] + 16) >> 5)
+    h = clip1((h1_0 + 16) >> 5)
+    m = clip1((h1_1 + 16) >> 5)
+    j = clip1(
+        (sum(t * b1[k - 2] for k, t in enumerate(taps)) + 512) >> 10
+    )
+    hh2 = grid(0, 1)
+    mm2 = grid(1, 0)
+    phase_vals = [
+        g,                     # (0,0)
+        (g + h + 1) >> 1,      # (0,1)
+        h,                     # (0,2)
+        (mm2 + h + 1) >> 1,    # (0,3)
+        (g + b + 1) >> 1,      # (1,0)
+        (b + h + 1) >> 1,      # (1,1)
+        (h + j + 1) >> 1,      # (1,2)
+        (h + s + 1) >> 1,      # (1,3)
+        b,                     # (2,0)
+        (b + j + 1) >> 1,      # (2,1)
+        j,                     # (2,2)
+        (j + s + 1) >> 1,      # (2,3)
+        (hh2 + b + 1) >> 1,    # (3,0)
+        (b + m + 1) >> 1,      # (3,1)
+        (j + m + 1) >> 1,      # (3,2)
+        (m + s + 1) >> 1,      # (3,3)
+    ]
+    code = fxm * 4 + fym
+    out = phase_vals[0]
+    for c in range(1, 16):
+        out = np.where(code == c, phase_vals[c], out)
+    return out
+
+
 H264_SUBMB_SCHEMA = (
     "doc_id long, frame_idx long, frame_type string, sum_luma long, "
     "n_parts long, sum_abs_mv long"
@@ -10677,7 +10744,22 @@ def decode_h264_submb(media_df: DataFrame) -> DataFrame:
                         )
                     import numpy as np
 
-                    new = np.zeros_like(ref)
+                    # paint per-pixel motion maps from the partition
+                    # tree, then motion-compensate the WHOLE plane in
+                    # one vectorized pass (partition-count-
+                    # independent — the per-partition kernel-call
+                    # shape was 10x slower at 5k docs)
+                    ixm = np.zeros(ref.shape, dtype=np.int64)
+                    iym = np.zeros(ref.shape, dtype=np.int64)
+                    fxm = np.zeros(ref.shape, dtype=np.int64)
+                    fym = np.zeros(ref.shape, dtype=np.int64)
+
+                    def paint(x0, y0, w_, h_, mvx, mvy):
+                        ixm[y0 : y0 + h_, x0 : x0 + w_] = mvx >> 2
+                        iym[y0 : y0 + h_, x0 : x0 + w_] = mvy >> 2
+                        fxm[y0 : y0 + h_, x0 : x0 + w_] = mvx & 3
+                        fym[y0 : y0 + h_, x0 : x0 + w_] = mvy & 3
+
                     n_parts = mv_abs = 0
                     for idx, op in enumerate(ops):
                         my = (idx // mb_w) * 16
@@ -10685,24 +10767,19 @@ def decode_h264_submb(media_df: DataFrame) -> DataFrame:
                         kind = op[0]
                         if kind in ("skip", "mb"):
                             mvx, mvy = op[1]
-                            new[my : my + 16, mx : mx + 16] = (
-                                _h264_fracpel_block(
-                                    ref, mx, my, 16, 16, mvx, mvy
-                                )
-                            )
+                            paint(mx, my, 16, 16, mvx, mvy)
                             mv_abs += abs(mvx) + abs(mvy)
                         else:
                             for dx4, dy4, w4, h4, (mvx, mvy) in op[1]:
-                                x0, y0 = mx + 4 * dx4, my + 4 * dy4
-                                new[
-                                    y0 : y0 + 4 * h4, x0 : x0 + 4 * w4
-                                ] = _h264_fracpel_block(
-                                    ref, x0, y0, 4 * w4, 4 * h4,
-                                    mvx, mvy,
+                                paint(
+                                    mx + 4 * dx4, my + 4 * dy4,
+                                    4 * w4, 4 * h4, mvx, mvy,
                                 )
                                 n_parts += 1
                                 mv_abs += abs(mvx) + abs(mvy)
-                    ref = new
+                    ref = _h264_fracpel_plane_mapped(
+                        ref, ixm, iym, fxm, fym
+                    )
                     rows.append(
                         ("P", int(ref.sum()), n_parts, mv_abs)
                     )

@@ -7908,25 +7908,24 @@ def _h264_idr_pixels_rbsp(
     w.ue(25)       # first mb_type: I_PCM
     while len(w.bits) % 8:
         w.bits.append(0)
-    mb_h, mb_w = len(plane) // 16, len(plane[0]) // 16
+    import numpy as np
+
+    arr = np.asarray(plane, dtype=np.uint8)
+    cba = None if cb is None else np.asarray(cb, dtype=np.uint8)
+    cra = None if cr is None else np.asarray(cr, dtype=np.uint8)
+    mb_h, mb_w = arr.shape[0] // 16, arr.shape[1] // 16
     parts = [w.to_bytes()]
     for m in range(mb_w * mb_h):
         if m:
             parts.append(b"\x0d\x00")  # ue(25) + alignment
         my, mx = (m // mb_w) * 16, (m % mb_w) * 16
-        parts.append(bytes(
-            plane[my + r][mx + c] for r in range(16) for c in range(16)
-        ))
-        if cb is None:
+        parts.append(arr[my : my + 16, mx : mx + 16].tobytes())
+        if cba is None:
             parts.append(bytes([128]) * 128)
         else:
             cy, cx = my // 2, mx // 2
-            parts.append(bytes(
-                cb[cy + r][cx + c] for r in range(8) for c in range(8)
-            ))
-            parts.append(bytes(
-                cr[cy + r][cx + c] for r in range(8) for c in range(8)
-            ))
+            parts.append(cba[cy : cy + 8, cx : cx + 8].tobytes())
+            parts.append(cra[cy : cy + 8, cx : cx + 8].tobytes())
     parts.append(b"\x80")
     return b"".join(parts)
 
@@ -7985,11 +7984,12 @@ def make_h264_submb_bytes(doc_id: int) -> bytes:
         _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
     ]
     idx = 2
+    import numpy as np
+
+    xs = np.arange(w_px)[None, :]
+    ys = np.arange(h_px)[:, None]
     for f in range(n_pairs):
-        plane = [
-            [h264_submb_luma(doc_id, f, x, y) for x in range(w_px)]
-            for y in range(h_px)
-        ]
+        plane = 16 + (5 * xs + 3 * ys + 13 * doc_id + 29 * f) % 200
         units.append(_h264_nal(3, 5, _h264_idr_pixels_rbsp(f, plane), idx))
         idx += 1
         w = _H264BitWriter()
@@ -8100,15 +8100,16 @@ def make_h264_bpixel_bytes(doc_id: int) -> bytes:
     w.ue(25)
     while len(w.bits) % 8:
         w.bits.append(0)
+    import numpy as np
+
+    arr = (16 + (3 * np.arange(w_px)[None, :] + 7 * np.arange(h_px)[:, None]
+                 + 9 * doc_id) % 200).astype(np.uint8)
     parts = [w.to_bytes()]
     for m in range(n_mbs):
         if m:
             parts.append(b"\x0d\x00")
         my, mx = (m // mb_w) * 16, (m % mb_w) * 16
-        parts.append(bytes(
-            h264_bpixel_luma(doc_id, mx + c, my + r)
-            for r in range(16) for c in range(16)
-        ))
+        parts.append(arr[my : my + 16, mx : mx + 16].tobytes())
         parts.append(bytes([128]) * 128)
     parts.append(b"\x80")
     units.append(_h264_nal(3, 5, b"".join(parts), 2))
@@ -8229,19 +8230,16 @@ def make_h264_chroma_bytes(doc_id: int) -> bytes:
         _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
     ]
     idx = 2
+    import numpy as np
+
+    xs = np.arange(w_px)[None, :]
+    ys = np.arange(h_px)[:, None]
+    cxs = np.arange(w_px // 2)[None, :]
+    cys = np.arange(h_px // 2)[:, None]
     for f in range(n_pairs):
-        plane = [
-            [h264_chroma_luma(doc_id, f, x, y) for x in range(w_px)]
-            for y in range(h_px)
-        ]
-        cb = [
-            [h264_chroma_cb(doc_id, f, x, y) for x in range(w_px // 2)]
-            for y in range(h_px // 2)
-        ]
-        cr = [
-            [h264_chroma_cr(doc_id, f, x, y) for x in range(w_px // 2)]
-            for y in range(h_px // 2)
-        ]
+        plane = 16 + (3 * xs + 5 * ys + 7 * doc_id + 19 * f) % 200
+        cb = 16 + (7 * cxs + 5 * cys + 9 * doc_id + 17 * f) % 200
+        cr = 16 + (2 * cxs + 11 * cys + 5 * doc_id + 23 * f) % 180
         units.append(
             _h264_nal(3, 5, _h264_idr_pixels_rbsp(f, plane, cb, cr), idx)
         )
@@ -8289,11 +8287,12 @@ def make_h264_fracpel_bytes(doc_id: int) -> bytes:
         _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
     ]
     idx = 2
+    import numpy as np
+
+    xs = np.arange(w_px)[None, :]
+    ys = np.arange(h_px)[:, None]
     for f in range(n_pairs):
-        plane = [
-            [h264_fracpel_luma(doc_id, f, x, y) for x in range(w_px)]
-            for y in range(h_px)
-        ]
+        plane = 16 + (3 * xs + 7 * ys + 11 * doc_id + 31 * f) % 200
         units.append(_h264_nal(3, 5, _h264_idr_pixels_rbsp(f, plane), idx))
         idx += 1
         mvx, mvy = h264_fracpel_mv(doc_id, f)
