@@ -4800,6 +4800,7 @@ def parse_mp4(
     # fragmented-file state: empty-sample-table tracks fed by moofs
     empty_tracks: dict[int, int] = {}     # track_id -> mdhd duration
     trex_ids: set[int] = set()
+    trex_defaults: dict[int, tuple] = {}
     mehd_dur = None
     frag_dur: dict[int, int] = {}
     frag_bytes: dict[int, int] = {}
@@ -4938,12 +4939,16 @@ def parse_mp4(
                                     at3 += 4
                                 elif tf_def_dur is not None:
                                     d_ = tf_def_dur
+                                elif trex_defaults.get(
+                                    tfhd_id, (None, None)
+                                )[0] is not None:
+                                    d_ = trex_defaults[tfhd_id][0]
                                 else:
-                                    raise NotImplementedError(
-                                        "trun without sample "
-                                        "durations needs trex "
-                                        "defaults (not implemented; "
-                                        "tfhd default absent)"
+                                    raise ValueError(
+                                        f"doc {doc_id}: trun sample "
+                                        "without a duration at any "
+                                        "tier (per-sample, tfhd, "
+                                        "trex)"
                                     )
                                 if flags & 0x000200:
                                     (sz_,) = struct.unpack_from(
@@ -4952,12 +4957,15 @@ def parse_mp4(
                                     at3 += 4
                                 elif tf_def_size is not None:
                                     sz_ = tf_def_size
+                                elif trex_defaults.get(
+                                    tfhd_id, (None, None)
+                                )[1] is not None:
+                                    sz_ = trex_defaults[tfhd_id][1]
                                 else:
-                                    raise NotImplementedError(
-                                        "trun without sample sizes "
-                                        "needs trex defaults (not "
-                                        "implemented; tfhd default "
-                                        "absent)"
+                                    raise ValueError(
+                                        f"doc {doc_id}: trun sample "
+                                        "without a size at any tier "
+                                        "(per-sample, tfhd, trex)"
                                     )
                                 if flags & 0x000400:  # sample-flags
                                     at3 += 4
@@ -5043,15 +5051,20 @@ def parse_mp4(
                                     f"{raw[s3]}"
                                 )
                         elif t3 == b"trex":
-                            tid, sdi, dd, ds, df = struct.unpack_from(
+                            # 8.8.3: movie-level sample defaults —
+                            # the LAST fallback tier for trun
+                            # entries (per-sample -> tfhd default ->
+                            # trex default); default_sample_flags
+                            # carries no field this walker reports
+                            tid, sdi, dd, ds, _df = struct.unpack_from(
                                 ">IIIII", raw, s3 + 4
                             )
-                            if sdi != 1 or dd or ds or df:
+                            if sdi != 1:
                                 raise NotImplementedError(
-                                    "trex sample defaults not "
-                                    "implemented (fragments must "
-                                    "carry explicit durations/sizes)"
+                                    "trex sample_description_index "
+                                    "other than 1 not implemented"
                                 )
+                            trex_defaults[tid] = (dd or None, ds or None)
                             trex_ids.add(tid)
                 elif t2 == b"trak":
                     n_tracks += 1

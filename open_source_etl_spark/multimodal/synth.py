@@ -5809,10 +5809,10 @@ def make_mp4_frag_flags(doc_id: int) -> bytes:
     ABSOLUTE base-data-offset, a sample-description-index and
     default-sample-flags, its samples split over two truns (the
     first with first-sample-flags and NO data offset, the second
-    continuing the payload cursor); track 1's tfhd supplies a
-    default-sample-duration under default-base-is-moof and its trun
-    carries data-offset + sample-size + composition-time offsets
-    (durations from the tfhd default).  Same sample closed forms as
+    continuing the payload cursor); track 1's durations come from
+    the movie-level TREX default (its tfhd carries none) under
+    default-base-is-moof, and its trun carries data-offset +
+    sample-size + composition-time offsets.  Same sample closed forms as
     ``make_mp4_fragmented``, so totals cross-check identically."""
     return _make_mp4_frag(doc_id, flag_tier=True)
 
@@ -5908,7 +5908,14 @@ def _make_mp4_frag(doc_id: int, flag_tier: bool) -> bytes:
         + b"".join(
             _full_box(
                 b"trex", 0, 0,
-                struct.pack(">IIIII", t + 1, 1, 0, 0, 0),
+                # flag tier: track 2's default_sample_duration rides
+                # the TREX (movie-level) tier — its tfhd carries no
+                # duration default and its trun no per-sample
+                # durations, so the walker's last fallback is live
+                struct.pack(
+                    ">IIIII", t + 1, 1,
+                    20 if (flag_tier and t == 1) else 0, 0, 0,
+                ),
             )
             for t in (0, 1)
         ),
@@ -5955,8 +5962,8 @@ def _make_mp4_frag(doc_id: int, flag_tier: bool) -> bytes:
                     ),
                 )
                 tfhd1 = _full_box(
-                    b"tfhd", 0, 0x020000 | 0x000008,
-                    struct.pack(">II", 2, 20),
+                    b"tfhd", 0, 0x020000,
+                    struct.pack(">I", 2),
                 )
                 trun1 = _full_box(
                     b"trun", 0, 0x000001 | 0x000200 | 0x000800,

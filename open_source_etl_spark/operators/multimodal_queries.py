@@ -1702,11 +1702,14 @@ def multimodal_mp4_frag_flags_walk(
     data-offset-absent trun continuing the payload cursor; and a
     final mdat written as the size-0 (to end of file) box live
     captures produce — legal only as the last top-level box, which
-    the walker enforces.  All offset/total cross-checks from the
-    strict-flags walk still apply, so a walker that mis-sizes any
-    flag-driven field desyncs the box tree or misses the mdat
-    cursor.  Remaining declared boundaries: trex-level sample
-    defaults and tfhd duration-is-empty fragments.  Reference scope
+    the walker enforces.  Track 2's sample durations ride the TREX
+    (movie-level) default tier — its tfhd and trun carry no
+    durations at all, so the full per-sample -> tfhd -> trex
+    fallback chain of 8.8.8 is live and value-checked.  All
+    offset/total cross-checks from the strict-flags walk still
+    apply, so a walker that mis-sizes any flag-driven field desyncs
+    the box tree or misses the mdat cursor.  Remaining declared
+    boundary: tfhd duration-is-empty fragments.  Reference scope
     note: the reference delegates all media handling to its
     warehouse; this query is part of the training-data-pipeline
     surface the brief adds."""
