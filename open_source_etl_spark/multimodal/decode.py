@@ -11040,6 +11040,221 @@ def synthesize_h264_bpixel(docs_df: DataFrame) -> DataFrame:
     )
 
 
+def _h264_wuni(p, w: int, o: int, d: int):
+    """Explicit weighted UNI-prediction (ITU-T H.264 8.4.2.3.2
+    eq. 8-270/8-271): Clip1(((p * w + 2^(d-1)) >> d) + o) when the
+    denominator d >= 1, Clip1(p * w + o) when d == 0.  numpy-safe
+    (arithmetic >> matches the spec on negative products)."""
+    import numpy as np
+
+    p = p.astype(np.int64)
+    v = ((p * w + (1 << (d - 1))) >> d) + o if d > 0 else p * w + o
+    return np.clip(v, 0, 255)
+
+
+def decode_h264_wpixel(media_df: DataFrame) -> DataFrame:
+    """EXPLICIT WEIGHTED bi-prediction over real pixel planes (ITU-T
+    H.264 8.4.2.3.2): same IDR -> P -> B shape as decode_h264_bpixel
+    but under a weighted PPS — every inter slice carries a
+    pred_weight_table; the B picture's per-list (weight, offset)
+    pairs and log2 denominator are REAL, so B_L0/B_L1 apply
+    Clip1(((p*w + 2^(d-1)) >> d) + o) and B_Bi the two-list
+    Clip1(((p0*w0 + p1*w1 + 2^d) >> (d+1)) + ((o0+o1+1) >> 1)) —
+    closing the 'weighted bi-prediction over pixels' boundary.  The
+    P reference's table uses the identity flag form (luma_weight_
+    l0_flag 0 -> (1 << denom, 0)), keeping the reference plane the
+    oracle's closed-form shift while the parse depth stays live."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            import numpy as np
+
+            sps = pps = None
+            refs: list = []
+            rows = []
+            for unit in h264_split_nals(doc_id, raw):
+                if not unit:
+                    raise ValueError(f"doc {doc_id}: empty NAL unit")
+                nal_type = unit[0] & 0x1F
+                ref_idc = unit[0] >> 5
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    plane, poc = _parse_ipcm_slice_plane(
+                        doc_id, rbsp, sps["frame_num_bits"],
+                        sps["width"] // 16, sps["height"] // 16,
+                        poc_bits=sps["poc_lsb_bits"],
+                    )
+                    refs = [(poc, plane)]
+                    rows.append(("I", int(plane.sum()), 0))
+                elif nal_type == 1 and ref_idc:
+                    if not refs or sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: P slice with no reference"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    frame_num, poc, active, mods, ops, wt = (
+                        _parse_p_inter_slice(
+                            doc_id, rbsp, sps["frame_num_bits"],
+                            mb_w, mb_h, poc_bits=sps["poc_lsb_bits"],
+                            weighted=True,  # weighted-PPS fixture
+                        )
+                    )
+                    if active != 1 or mods:
+                        raise NotImplementedError(
+                            "multi-reference weighted P not "
+                            "implemented in the pixel walker"
+                        )
+                    mvs = [op[1] for op in ops if op[0] != "pcm"]
+                    if len(mvs) != len(ops) or len(set(mvs)) != 1:
+                        raise NotImplementedError(
+                            "the weighted pixel walker's P reference "
+                            "must carry uniform inter motion"
+                        )
+                    src = refs[-1][1]
+                    plane = _h264_fracpel_block(
+                        src, 0, 0, src.shape[1], src.shape[0], *mvs[0]
+                    )
+                    if wt is not None:
+                        w0, o0 = wt["l0"][0]
+                        plane = _h264_wuni(
+                            np.asarray(plane), w0, o0, wt["denom"]
+                        )
+                    refs.append((poc, plane))
+                    rows.append(("P", int(plane.sum()), 0))
+                elif nal_type == 1:
+                    if len(refs) < 2 or sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: B slice without two "
+                            "reference pictures"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    frame_num, poc, ops, wt = _parse_b_slice(
+                        doc_id, rbsp, sps["frame_num_bits"],
+                        sps["poc_lsb_bits"], mb_w, mb_h,
+                        weighted=True,  # weighted_bipred_idc 1
+                    )
+                    if wt is None:
+                        raise ValueError(
+                            f"doc {doc_id}: weighted walker expects "
+                            "a pred_weight_table"
+                        )
+                    db = wt["denom"]
+                    w0, o0 = wt["l0"][0]
+                    w1, o1 = wt["l1"][0]
+                    past = [r_ for r_ in refs if r_[0] < poc]
+                    futr = [r_ for r_ in refs if r_[0] > poc]
+                    if not past or not futr:
+                        raise ValueError(
+                            f"doc {doc_id}: B poc {poc} not between "
+                            "its references"
+                        )
+                    l0 = max(past)[1]
+                    l1 = min(futr)[1]
+                    new = np.zeros_like(np.asarray(l0))
+                    n_wmb = 0
+                    for idx, (kind, mv0, mv1) in enumerate(ops):
+                        if kind in ("skip", "direct"):
+                            raise NotImplementedError(
+                                "B_Skip / B_Direct in the weighted "
+                                "pixel walker not implemented"
+                            )
+                        my = (idx // mb_w) * 16
+                        mx = (idx % mb_w) * 16
+                        if kind == "l0":
+                            blk = _h264_wuni(
+                                _h264_fracpel_block(
+                                    l0, mx, my, 16, 16, *mv0
+                                ), w0, o0, db,
+                            )
+                        elif kind == "l1":
+                            blk = _h264_wuni(
+                                _h264_fracpel_block(
+                                    l1, mx, my, 16, 16, *mv1
+                                ), w1, o1, db,
+                            )
+                        else:
+                            p0 = _h264_fracpel_block(
+                                l0, mx, my, 16, 16, *mv0
+                            ).astype(np.int64)
+                            p1 = _h264_fracpel_block(
+                                l1, mx, my, 16, 16, *mv1
+                            ).astype(np.int64)
+                            # 8.4.2.3.2 eq. 8-272: two-list explicit
+                            blk = np.clip(
+                                ((p0 * w0 + p1 * w1 + (1 << db))
+                                 >> (db + 1))
+                                + ((o0 + o1 + 1) >> 1),
+                                0, 255,
+                            )
+                        new[my : my + 16, mx : mx + 16] = blk
+                        n_wmb += 1
+                    rows.append(("B", int(new.sum()), n_wmb))
+                elif nal_type not in (7, 8):
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected NAL type {nal_type}"
+                    )
+            if not rows:
+                raise ValueError(f"doc {doc_id}: no pictures decoded")
+            return rows
+
+        cols = (
+            "doc_id", "frame_idx", "frame_type", "sum_luma", "n_wmb",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, row in enumerate(walk(int(doc_id), bytes(b))):
+                    vals = (int(doc_id), fi, *row)
+                    for col, v in zip(cols, vals):
+                        out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, frame_idx long, frame_type string, "
+        "sum_luma long, n_wmb long",
+    )
+
+
+def synthesize_h264_wpixel(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a REAL weighted-PPS H.264 stream
+    whose B picture applies explicit per-list weights over pixel
+    planes (``make_h264_wpixel_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_wpixel_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_wpixel_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 H264_CHROMA_SCHEMA = (
     "doc_id long, frame_idx long, frame_type string, sum_luma long, "
     "sum_cb long, sum_cr long, mv_phase8 long"

@@ -8188,6 +8188,155 @@ def make_h264_bpixel_bytes(doc_id: int) -> bytes:
     return b"".join(units)
 
 
+def h264_wpixel_weights(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(denom, w0, o0, w1, o1) closed forms for the weighted-pixel B
+    picture: denominators 0..2, weights -2..3 (zero and negative
+    included), offsets -4..4."""
+    return (
+        doc_id % 3,
+        ((doc_id + 1) % 6) - 2,
+        ((2 * doc_id) % 9) - 4,
+        ((doc_id + 3) % 6) - 2,
+        ((3 * doc_id) % 9) - 4,
+    )
+
+
+def h264_wpixel_mv(doc_id: int, lst: int) -> tuple[int, int]:
+    """The weighted-pixel B picture's global quarter-pel MV for list
+    ``lst``."""
+    ix = ((doc_id + 5 + 4 * lst) % 13) - 6
+    iy = ((2 * doc_id + 2 + 4 * lst) % 9) - 4
+    fx = (doc_id + 1 + 2 * lst) % 4
+    fy = (3 * doc_id + 2 * lst) % 4
+    return 4 * ix + fx, 4 * iy + fy
+
+
+def make_h264_wpixel_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream exercising EXPLICIT WEIGHTED prediction
+    over pixel planes (ITU-T H.264 7.3.3.2 + 8.4.2.3.2): the PPS
+    sets weighted_pred_flag 1 / weighted_bipred_idc 1, so the P
+    slice carries a pred_weight_table (identity via
+    luma_weight_l0_flag 0) and the B slice carries REAL per-list
+    (weight, offset) pairs under a 0..2 denominator — weights
+    include zero and negatives.  Same IDR -> P -> B pixel shape as
+    ``make_h264_bpixel_bytes`` with its own plane/MV closed forms."""
+    from .decode import _h264_mvp
+
+    mb_w, mb_h = 3 + doc_id % 2, 2 + doc_id % 2
+    w_px, h_px = 16 * mb_w, 16 * mb_h
+    n_mbs = mb_w * mb_h
+    units = [
+        _h264_nal(
+            3, 7,
+            _h264_sps_from_fields(
+                66, 10, mb_w - 1, mb_h - 1, max_ref=2, poc_type=0
+            ),
+            0,
+        ),
+        _h264_nal(3, 8, h264_weighted_pps_rbsp(doc_id), 1),
+    ]
+
+    # IDR (poc 0)
+    import numpy as np
+
+    arr = (16 + (5 * np.arange(w_px)[None, :]
+                 + 7 * np.arange(h_px)[:, None]
+                 + 11 * doc_id) % 200).astype(np.uint8)
+    w = _H264BitWriter()
+    w.ue(0); w.ue(7); w.ue(0)
+    w.u(0, 4)
+    w.ue(0)
+    w.u(0, 4)      # pic_order_cnt_lsb = 0
+    w.u(0, 2)      # dec_ref_pic_marking pair
+    w.se(0)
+    w.ue(25)
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    parts = [w.to_bytes()]
+    for m in range(n_mbs):
+        if m:
+            parts.append(b"\x0d\x00")
+        my, mx = (m // mb_w) * 16, (m % mb_w) * 16
+        parts.append(arr[my : my + 16, mx : mx + 16].tobytes())
+        parts.append(bytes([128]) * 128)
+    parts.append(b"\x80")
+    units.append(_h264_nal(3, 5, b"".join(parts), 2))
+
+    # P (poc 4, reference): identity pred_weight_table, uniform MV
+    pmv = (4 * (((3 * doc_id) % 9) - 4), 4 * ((doc_id % 7) - 3))
+    dp = (doc_id + 1) % 3
+    w = _H264BitWriter()
+    w.ue(0); w.ue(5); w.ue(0)
+    w.u(1, 4)      # frame_num
+    w.u(4, 4)      # pic_order_cnt_lsb = 4
+    w.u(0, 1)      # num_ref_idx_active_override_flag
+    w.u(0, 1)      # ref_pic_list_modification_flag_l0
+    w.ue(dp)       # pred_weight_table: luma_log2_weight_denom
+    w.ue(0)        # chroma_log2_weight_denom
+    w.u(0, 1)      # luma_weight_l0_flag: identity (1 << dp, 0)
+    w.u(0, 1)      # chroma_weight_l0_flag
+    w.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
+    w.se(0)
+    for m in range(n_mbs):
+        w.ue(0)
+        w.ue(0)    # P_L0_16x16
+        w.se(pmv[0] if m == 0 else 0)
+        w.se(pmv[1] if m == 0 else 0)
+        w.ue(0)
+    units.append(_h264_nal(2, 1, w.rbsp_trailing(), 3))
+
+    # B (poc 2, non-reference): REAL weights, kinds cycle l0/l1/bi
+    db, w0, o0, w1, o1 = h264_wpixel_weights(doc_id)
+    mv0, mv1 = h264_wpixel_mv(doc_id, 0), h264_wpixel_mv(doc_id, 1)
+    w = _H264BitWriter()
+    w.ue(0); w.ue(6); w.ue(0)
+    w.u(2, 4)      # frame_num
+    w.u(2, 4)      # pic_order_cnt_lsb = 2
+    w.u(1, 1)      # direct_spatial_mv_pred_flag
+    w.u(0, 1)      # num_ref_idx_active_override_flag
+    w.u(0, 1)      # ref_pic_list_modification_flag_l0
+    w.u(0, 1)      # ref_pic_list_modification_flag_l1
+    w.ue(db)       # pred_weight_table: luma_log2_weight_denom
+    w.ue(0)        # chroma_log2_weight_denom
+    w.u(1, 1)      # luma_weight_l0_flag
+    w.se(w0)
+    w.se(o0)
+    w.u(0, 1)      # chroma_weight_l0_flag
+    w.u(1, 1)      # luma_weight_l1_flag
+    w.se(w1)
+    w.se(o1)
+    w.u(0, 1)      # chroma_weight_l1_flag
+    w.se(0)        # slice_qp_delta (non-ref: no marking)
+    mbs_l0: list = [None] * n_mbs
+    mbs_l1: list = [None] * n_mbs
+    for m in range(n_mbs):
+        kind = (doc_id + m) % 3
+        w.ue(0)
+        if kind == 0:
+            w.ue(1)
+            mvp = _h264_mvp(mbs_l0, m, mb_w, 0)
+            w.se(mv0[0] - mvp[0]); w.se(mv0[1] - mvp[1])
+            mbs_l0[m] = (0, mv0)
+            mbs_l1[m] = (-1, (0, 0))
+        elif kind == 1:
+            w.ue(2)
+            mvp = _h264_mvp(mbs_l1, m, mb_w, 0)
+            w.se(mv1[0] - mvp[0]); w.se(mv1[1] - mvp[1])
+            mbs_l0[m] = (-1, (0, 0))
+            mbs_l1[m] = (0, mv1)
+        else:
+            w.ue(3)
+            mvp = _h264_mvp(mbs_l0, m, mb_w, 0)
+            w.se(mv0[0] - mvp[0]); w.se(mv0[1] - mvp[1])
+            mvp = _h264_mvp(mbs_l1, m, mb_w, 0)
+            w.se(mv1[0] - mvp[0]); w.se(mv1[1] - mvp[1])
+            mbs_l0[m] = (0, mv0)
+            mbs_l1[m] = (0, mv1)
+        w.ue(0)
+    units.append(_h264_nal(0, 1, w.rbsp_trailing(), 4))
+    return b"".join(units)
+
+
 def h264_chroma_dims(doc_id: int) -> tuple[int, int, int]:
     """(mb_w, mb_h, n_pairs) for the eighth-pel chroma fixture."""
     return 3 + doc_id % 2, 2 + doc_id % 2, 2

@@ -3178,9 +3178,10 @@ def multimodal_h264_bpixel_decode(
     declares.  Each list's mvds are coded against its own 8.4.1.3
     median predictor where unused-list neighbors carry refIdx -1, so
     the exactly-one-matching rule fires at every kind boundary.
-    Remaining declared boundaries: B_Skip/B_Direct at pixel level
-    (the bframe/tdirect walkers hold the direct tiers) and weighted
-    bi-prediction over pixels.  Reference scope note: the reference
+    Remaining declared boundary: B_Skip/B_Direct at pixel level
+    (the bframe/tdirect walkers hold the direct tiers); weighted
+    bi-prediction over pixels is covered by
+    multimodal_h264_wpixel_decode.  Reference scope note: the reference
     delegates all media handling to its warehouse; this query is
     part of the training-data-pipeline surface the brief adds."""
     from ..multimodal.decode import (
@@ -3190,6 +3191,176 @@ def multimodal_h264_bpixel_decode(
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_h264_bpixel(synthesize_h264_bpixel(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+def _wpixel_oracle() -> str:
+    """Compose the weighted-pixel oracle: the two bpixel-style
+    interpolation chains plus the 8.4.2.3.2 explicit weighting —
+    uni Clip1(((p*w + 2^(d-1)) >> d) + o) (d = 0 degenerate form
+    included) and bi Clip1(((p0*w0 + p1*w1 + 2^d) >> (d+1)) +
+    ((o0+o1+1) >> 1)) — with doc-level weight closed forms."""
+
+    def CLX(a: str) -> str:
+        return "LEAST(GREATEST(" + a + ", 0), 16 * mbw - 1)"
+
+    def CLY(b: str) -> str:
+        return "LEAST(GREATEST(" + b + ", 0), 16 * mbh - 1)"
+
+    def R0(a: str, b: str) -> str:
+        return (
+            "(16 + ((5 * " + CLX(a) + " + 7 * " + CLY(b)
+            + " + 11 * doc_id) % 200))"
+        )
+
+    def R1(a: str, b: str) -> str:
+        return (
+            "(16 + ((5 * "
+            + CLX(CLX(a) + " + ((3 * doc_id) % 9) - 4")
+            + " + 7 * "
+            + CLY(CLY(b) + " + (doc_id % 7) - 3")
+            + " + 11 * doc_id) % 200))"
+        )
+
+    i0, h0, c0 = _qpel_sql_core(R0)
+    i1, h1, c1 = _qpel_sql_core(R1)
+    wuni = (
+        "LEAST(GREATEST(CASE WHEN db > 0 THEN (({p} * {w}"
+        " + (1 << (db - 1))) >> db) + {o} ELSE {p} * {w} + {o} END,"
+        " 0), 255)"
+    )
+    return f"""
+    WITH geo AS (
+      SELECT doc_id, 3 + doc_id % 2 AS mbw, 2 + doc_id % 2 AS mbh,
+             doc_id % 3 AS db,
+             ((doc_id + 1) % 6) - 2 AS w0,
+             ((2 * doc_id) % 9) - 4 AS o0,
+             ((doc_id + 3) % 6) - 2 AS w1,
+             ((3 * doc_id) % 9) - 4 AS o1
+      FROM documents
+    ),
+    pix AS (
+      SELECT geo.*, xx.x AS x, yy.y AS y
+      FROM geo,
+           LATERAL (SELECT unnest(range(0, 16 * mbw)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, 16 * mbh)) AS y) yy
+    ),
+    p0i AS (
+      SELECT doc_id, mbw, mbh, db, w0, o0, w1, o1, x, y,
+             (doc_id + 1) % 4 AS fx, (3 * doc_id) % 4 AS fy,
+             x + ((doc_id + 5) % 13) - 6 AS xi,
+             y + ((2 * doc_id + 2) % 9) - 4 AS yi
+      FROM pix
+    ),
+    i0 AS (SELECT doc_id, db, w0, o0, w1, o1, x, y, fx, fy, mbw, mbh,
+                  {i0}
+           FROM p0i),
+    h0c AS (SELECT *, {h0} FROM i0),
+    pr0 AS (
+      SELECT doc_id, db, w0, o0, w1, o1, x, y, mbw,
+             {c0} AS pred0
+      FROM h0c
+    ),
+    p1i AS (
+      SELECT doc_id, mbw, mbh, x, y,
+             (doc_id + 3) % 4 AS fx, (3 * doc_id + 2) % 4 AS fy,
+             x + ((doc_id + 9) % 13) - 6 AS xi,
+             y + ((2 * doc_id + 6) % 9) - 4 AS yi
+      FROM pix
+    ),
+    i1 AS (SELECT doc_id, x, y, fx, fy, mbw, mbh, {i1} FROM p1i),
+    h1c AS (SELECT *, {h1} FROM i1),
+    pr1 AS (SELECT doc_id, x, y, {c1} AS pred1 FROM h1c),
+    brow AS (
+      SELECT pr0.doc_id, CAST(2 AS BIGINT) AS frame_idx,
+             'B' AS frame_type,
+             SUM(CASE (pr0.doc_id + (pr0.y // 16) * pr0.mbw
+                       + pr0.x // 16) % 3
+                 WHEN 0 THEN {wuni.format(p="pred0", w="w0", o="o0")}
+                 WHEN 1 THEN {wuni.format(p="pred1", w="w1", o="o1")}
+                 ELSE LEAST(GREATEST(
+                        ((pred0 * w0 + pred1 * w1 + (1 << db))
+                         >> (db + 1))
+                        + ((o0 + o1 + 1) >> 1), 0), 255)
+                 END) AS sum_luma,
+             COUNT(DISTINCT (pr0.y // 16) * pr0.mbw + pr0.x // 16)
+               AS n_wmb
+      FROM pr0 JOIN pr1
+        ON pr0.doc_id = pr1.doc_id AND pr0.x = pr1.x
+       AND pr0.y = pr1.y
+      GROUP BY pr0.doc_id
+    ),
+    iprow AS (
+      SELECT doc_id,
+             SUM(16 + ((5 * x + 7 * y + 11 * doc_id) % 200)) AS sum_i,
+             SUM(16 + ((5 * LEAST(GREATEST(
+                              x + ((3 * doc_id) % 9) - 4, 0),
+                              16 * mbw - 1)
+                        + 7 * LEAST(GREATEST(
+                              y + (doc_id % 7) - 3, 0),
+                              16 * mbh - 1)
+                        + 11 * doc_id) % 200)) AS sum_p
+      FROM pix
+      GROUP BY doc_id
+    )
+    SELECT doc_id, frame_idx, frame_type,
+           CAST(sum_luma AS BIGINT) AS sum_luma,
+           CAST(n_wmb AS BIGINT) AS n_wmb
+    FROM (
+      SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx, 'I' AS frame_type,
+             sum_i AS sum_luma, 0 AS n_wmb
+      FROM iprow
+      UNION ALL
+      SELECT doc_id, CAST(1 AS BIGINT), 'P', sum_p, 0 FROM iprow
+      UNION ALL
+      SELECT doc_id, frame_idx, frame_type, sum_luma, n_wmb FROM brow
+    )
+    ORDER BY doc_id, frame_idx
+    """
+
+
+@query(
+    "multimodal_h264_wpixel_decode",
+    # formulas mirror synth.make_h264_wpixel_bytes /
+    # h264_wpixel_weights / h264_wpixel_mv: IDR plane 16 + (5x + 7y
+    # + 11 doc) % 200; P shifts it by the full-pel
+    # (((3 doc) % 9) - 4, (doc % 7) - 3) under an IDENTITY
+    # pred_weight_table (luma flag 0); the B picture's lists run
+    # global quarter-pel MVs and REAL explicit weights — denom
+    # doc % 3, w0 = ((doc+1) % 6) - 2, o0 = ((2 doc) % 9) - 4,
+    # w1 = ((doc+3) % 6) - 2, o1 = ((3 doc) % 9) - 4 (zero and
+    # negative weights included).  The oracle reruns both
+    # interpolation chains, then applies the 8.4.2.3.2 weighting per
+    # macroblock kind.
+    oracle=_wpixel_oracle(),
+)
+def multimodal_h264_wpixel_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPLICIT WEIGHTED prediction over real pixel planes (ITU-T
+    H.264 7.3.3.2 + 8.4.2.3.2, round 14): under a weighted PPS every
+    inter slice carries a pred_weight_table; the B picture's
+    per-list (weight, offset) pairs are REAL — including zero and
+    negative weights, so Clip1's low side genuinely fires — and
+    B_L0/B_L1 apply the uni form Clip1(((p*w + 2^(d-1)) >> d) + o)
+    (with the d = 0 degenerate) while B_Bi applies the two-list
+    Clip1(((p0*w0 + p1*w1 + 2^d) >> (d+1)) + ((o0+o1+1) >> 1)) on
+    top of quarter-pel interpolated predictions — closing the
+    'weighted bi-prediction over pixels' boundary (the sum-state
+    weighted walker covers the flat-macroblock tier).  The P
+    reference's identity table keeps the reference plane
+    closed-form while its parse depth stays live.  Reference scope
+    note: the reference delegates all media handling to its
+    warehouse; this query is part of the training-data-pipeline
+    surface the brief adds."""
+    from ..multimodal.decode import (
+        decode_h264_wpixel,
+        synthesize_h264_wpixel,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_wpixel(synthesize_h264_wpixel(docs)).orderBy(
         "doc_id", "frame_idx"
     )
 
