@@ -11040,6 +11040,195 @@ def synthesize_h264_bpixel(docs_df: DataFrame) -> DataFrame:
     )
 
 
+def decode_h264_dpixel(media_df: DataFrame) -> DataFrame:
+    """SPATIAL DIRECT and B_Skip motion over real pixel planes
+    (ITU-T H.264 8.4.1.2.2): the B picture's direct macroblocks
+    transmit NOTHING — each infers per-list refIdx (MinPositive over
+    neighbors), the 8.4.1.3 median MV, and the colZeroFlag zeroing
+    (the co-located macroblock of L1[0] short-term inter with ref 0
+    and |mv| <= 1 quarter-pel forces that list's MV to zero) — then
+    motion-compensates through the quarter-pel interpolator and
+    bi-averages like any explicit Bi macroblock.  The co-located
+    motion comes from the P reference's OWN parsed macroblocks, so a
+    decoder that drops the col state or skips the zero test fetches
+    the wrong pixels.  Closes the 'B_Skip/B_Direct at pixel level'
+    boundary (the sum-state bframe walker holds the flat tier)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def walk(doc_id: int, raw: bytes):
+            import numpy as np
+
+            sps = pps = None
+            refs: list = []
+            col_motion = None
+            rows = []
+            for unit in h264_split_nals(doc_id, raw):
+                if not unit:
+                    raise ValueError(f"doc {doc_id}: empty NAL unit")
+                nal_type = unit[0] & 0x1F
+                ref_idc = unit[0] >> 5
+                rbsp = h264_unescape(doc_id, unit[1:])
+                if nal_type == 7 and sps is None:
+                    sps = _parse_sps_all(doc_id, rbsp)
+                elif nal_type == 8 and pps is None:
+                    pps = parse_pps(doc_id, rbsp)
+                elif nal_type == 5:
+                    if sps is None or pps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: slice before parameter sets"
+                        )
+                    plane, poc = _parse_ipcm_slice_plane(
+                        doc_id, rbsp, sps["frame_num_bits"],
+                        sps["width"] // 16, sps["height"] // 16,
+                        poc_bits=sps["poc_lsb_bits"],
+                    )
+                    refs = [(poc, plane)]
+                    rows.append(("I", int(plane.sum()), 0, 0))
+                elif nal_type == 1 and ref_idc:
+                    if not refs or sps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: P slice with no reference"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    frame_num, poc, active, mods, ops, _wt = (
+                        _parse_p_inter_slice(
+                            doc_id, rbsp, sps["frame_num_bits"],
+                            mb_w, mb_h, poc_bits=sps["poc_lsb_bits"],
+                        )
+                    )
+                    if active != 1 or mods:
+                        raise NotImplementedError(
+                            "multi-reference P not implemented in "
+                            "the direct-pixel walker"
+                        )
+                    mvs = [op[1] for op in ops if op[0] != "pcm"]
+                    if len(mvs) != len(ops) or len(set(mvs)) != 1:
+                        raise NotImplementedError(
+                            "the direct-pixel walker's P reference "
+                            "must carry uniform inter motion"
+                        )
+                    src = refs[-1][1]
+                    plane = _h264_fracpel_block(
+                        src, 0, 0, src.shape[1], src.shape[0], *mvs[0]
+                    )
+                    # per-MB co-located motion for the B's spatial
+                    # direct colZeroFlag (8.4.1.2.2)
+                    col_motion = [(0, mvs[0])] * len(ops)
+                    refs.append((poc, plane))
+                    rows.append(("P", int(plane.sum()), 0, 0))
+                elif nal_type == 1:
+                    if len(refs) < 2 or sps is None:
+                        raise ValueError(
+                            f"doc {doc_id}: B slice without two "
+                            "reference pictures"
+                        )
+                    mb_w = sps["width"] // 16
+                    mb_h = sps["height"] // 16
+                    frame_num, poc, ops, _wt = _parse_b_slice(
+                        doc_id, rbsp, sps["frame_num_bits"],
+                        sps["poc_lsb_bits"], mb_w, mb_h,
+                        get_col=lambda _poc: (True, col_motion),
+                    )
+                    past = [r_ for r_ in refs if r_[0] < poc]
+                    futr = [r_ for r_ in refs if r_[0] > poc]
+                    if not past or not futr:
+                        raise ValueError(
+                            f"doc {doc_id}: B poc {poc} not between "
+                            "its references"
+                        )
+                    l0 = max(past)[1]
+                    l1 = min(futr)[1]
+                    new = np.zeros_like(np.asarray(l0))
+                    n_direct = n_skip = 0
+                    for idx, (kind, mv0, mv1) in enumerate(ops):
+                        if kind == "direct":
+                            n_direct += 1
+                        elif kind == "skip":
+                            n_skip += 1
+                        my = (idx // mb_w) * 16
+                        mx = (idx % mb_w) * 16
+                        p0 = p1 = None
+                        if mv0 is not None:
+                            p0 = _h264_fracpel_block(
+                                l0, mx, my, 16, 16, *mv0
+                            )
+                        if mv1 is not None:
+                            p1 = _h264_fracpel_block(
+                                l1, mx, my, 16, 16, *mv1
+                            )
+                        if p0 is not None and p1 is not None:
+                            blk = (p0 + p1 + 1) >> 1
+                        elif p0 is not None:
+                            blk = p0
+                        elif p1 is not None:
+                            blk = p1
+                        else:
+                            raise ValueError(
+                                f"doc {doc_id}: macroblock {idx} "
+                                "uses neither list"
+                            )
+                        new[my : my + 16, mx : mx + 16] = blk
+                    rows.append(
+                        ("B", int(new.sum()), n_direct, n_skip)
+                    )
+                elif nal_type not in (7, 8):
+                    raise ValueError(
+                        f"doc {doc_id}: unexpected NAL type {nal_type}"
+                    )
+            if not rows:
+                raise ValueError(f"doc {doc_id}: no pictures decoded")
+            return rows
+
+        cols = (
+            "doc_id", "frame_idx", "frame_type", "sum_luma",
+            "n_direct", "n_skip",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, row in enumerate(walk(int(doc_id), bytes(b))):
+                    vals = (int(doc_id), fi, *row)
+                    for col, v in zip(cols, vals):
+                        out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, frame_idx long, frame_type string, "
+        "sum_luma long, n_direct long, n_skip long",
+    )
+
+
+def synthesize_h264_dpixel(docs_df: DataFrame) -> DataFrame:
+    """doc_id → media struct with a REAL H.264 stream whose B picture
+    carries spatial-direct and B_Skip macroblocks over pixel planes
+    (``make_h264_dpixel_bytes``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .synth import make_h264_dpixel_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        make_h264_dpixel_bytes(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs_df.select("doc_id").mapInPandas(
+        kernel, "doc_id long, kind string, payload binary"
+    )
+
+
 def _h264_wuni(p, w: int, o: int, d: int):
     """Explicit weighted UNI-prediction (ITU-T H.264 8.4.2.3.2
     eq. 8-270/8-271): Clip1(((p * w + 2^(d-1)) >> d) + o) when the

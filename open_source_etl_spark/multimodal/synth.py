@@ -8188,6 +8188,149 @@ def make_h264_bpixel_bytes(doc_id: int) -> bytes:
     return b"".join(units)
 
 
+def h264_dpixel_pmv(doc_id: int) -> tuple[int, int]:
+    """The direct-pixel fixture's P reference MV (quarter-pel):
+    ZERO for doc % 5 == 0 (triggering the 8.4.1.2.2 colZeroFlag in
+    the B's spatial direct inference) and a nonzero full-pel shift
+    otherwise."""
+    if doc_id % 5 == 0:
+        return 0, 0
+    dx = ((2 * doc_id) % 7) - 3
+    dy = ((3 * doc_id) % 7) - 3
+    if dx == 0 and dy == 0:
+        dx = 1
+    return 4 * dx, 4 * dy
+
+
+def h264_dpixel_bmv(doc_id: int, lst: int) -> tuple[int, int]:
+    """The B picture's explicit-Bi global quarter-pel MV per list."""
+    ix = ((doc_id + 2 + 3 * lst) % 11) - 5
+    iy = ((2 * doc_id + 3 + 2 * lst) % 7) - 3
+    fx = (doc_id + 2 * lst) % 4
+    fy = (doc_id + 1 + lst) % 4
+    return 4 * ix + fx, 4 * iy + fy
+
+
+def h264_dpixel_is_direct(doc_id: int, m: int, mb_w: int) -> bool:
+    """Macroblock m is DIRECT/SKIP (transmits no motion) when it sits
+    off the top/left edges and (doc + m) is even — so every direct
+    macroblock has decoded neighbors to infer from."""
+    return m // mb_w >= 1 and m % mb_w >= 1 and (doc_id + m) % 2 == 0
+
+
+def make_h264_dpixel_bytes(doc_id: int) -> bytes:
+    """H.264 Annex-B stream whose B picture carries SPATIAL DIRECT
+    motion over pixel planes (ITU-T H.264 8.4.1.2.2): decode order
+    IDR(poc 0) -> P(poc 4, uniform MV — ZERO on every fifth doc so
+    colZeroFlag fires) -> B(poc 2, direct_spatial_mv_pred_flag 1)
+    whose off-edge even macroblocks transmit NO motion — coded as
+    B_Direct_16x16 on even docs and as B_Skip runs on odd docs —
+    and must infer refIdx/MV/colZero exactly as the decoder does
+    (the encoder mirrors decode._h264_direct_spatial to keep its
+    neighbor state identical); the rest are explicit B_Bi_16x16
+    with global per-list quarter-pel MVs."""
+    from .decode import _h264_direct_spatial, _h264_mvp
+
+    mb_w, mb_h = 3 + doc_id % 2, 2 + doc_id % 2
+    w_px, h_px = 16 * mb_w, 16 * mb_h
+    n_mbs = mb_w * mb_h
+    units = [
+        _h264_nal(
+            3, 7,
+            _h264_sps_from_fields(
+                66, 10, mb_w - 1, mb_h - 1, max_ref=2, poc_type=0
+            ),
+            0,
+        ),
+        _h264_nal(3, 8, h264_pps_rbsp(doc_id), 1),
+    ]
+
+    import numpy as np
+
+    arr = (16 + (7 * np.arange(w_px)[None, :]
+                 + 3 * np.arange(h_px)[:, None]
+                 + 13 * doc_id) % 200).astype(np.uint8)
+    w = _H264BitWriter()
+    w.ue(0); w.ue(7); w.ue(0)
+    w.u(0, 4)
+    w.ue(0)
+    w.u(0, 4)      # pic_order_cnt_lsb = 0
+    w.u(0, 2)
+    w.se(0)
+    w.ue(25)
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    parts = [w.to_bytes()]
+    for m in range(n_mbs):
+        if m:
+            parts.append(b"\x0d\x00")
+        my, mx = (m // mb_w) * 16, (m % mb_w) * 16
+        parts.append(arr[my : my + 16, mx : mx + 16].tobytes())
+        parts.append(bytes([128]) * 128)
+    parts.append(b"\x80")
+    units.append(_h264_nal(3, 5, b"".join(parts), 2))
+
+    pmv = h264_dpixel_pmv(doc_id)
+    w = _H264BitWriter()
+    w.ue(0); w.ue(5); w.ue(0)
+    w.u(1, 4)
+    w.u(4, 4)      # pic_order_cnt_lsb = 4
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    w.se(0)
+    for m in range(n_mbs):
+        w.ue(0)
+        w.ue(0)
+        w.se(pmv[0] if m == 0 else 0)
+        w.se(pmv[1] if m == 0 else 0)
+        w.ue(0)
+    units.append(_h264_nal(2, 1, w.rbsp_trailing(), 3))
+
+    # B: explicit Bi except the direct/skip positions
+    bmv0 = h264_dpixel_bmv(doc_id, 0)
+    bmv1 = h264_dpixel_bmv(doc_id, 1)
+    col = (True, [(0, pmv)] * n_mbs)
+    use_skip_form = doc_id % 2 == 1
+    w = _H264BitWriter()
+    w.ue(0); w.ue(6); w.ue(0)
+    w.u(2, 4)
+    w.u(2, 4)      # pic_order_cnt_lsb = 2
+    w.u(1, 1)      # direct_spatial_mv_pred_flag = 1
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    w.se(0)
+    mbs_l0: list = [None] * n_mbs
+    mbs_l1: list = [None] * n_mbs
+    run = 0
+    for m in range(n_mbs):
+        if h264_dpixel_is_direct(doc_id, m, mb_w):
+            (r0, mv0), (r1, mv1) = _h264_direct_spatial(
+                mbs_l0, mbs_l1, m, mb_w, col
+            )
+            mbs_l0[m] = (r0, mv0) if r0 >= 0 else (-1, (0, 0))
+            mbs_l1[m] = (r1, mv1) if r1 >= 0 else (-1, (0, 0))
+            if use_skip_form:
+                run += 1
+            else:
+                w.ue(run)
+                run = 0
+                w.ue(0)    # mb_type: B_Direct_16x16
+                w.ue(0)    # coded_block_pattern
+            continue
+        w.ue(run)
+        run = 0
+        w.ue(3)            # B_Bi_16x16
+        mvp = _h264_mvp(mbs_l0, m, mb_w, 0)
+        w.se(bmv0[0] - mvp[0]); w.se(bmv0[1] - mvp[1])
+        mvp = _h264_mvp(mbs_l1, m, mb_w, 0)
+        w.se(bmv1[0] - mvp[0]); w.se(bmv1[1] - mvp[1])
+        mbs_l0[m] = (0, bmv0)
+        mbs_l1[m] = (0, bmv1)
+        w.ue(0)
+    if run:
+        w.ue(run)
+    units.append(_h264_nal(0, 1, w.rbsp_trailing(), 4))
+    return b"".join(units)
+
+
 def h264_wpixel_weights(doc_id: int) -> tuple[int, int, int, int, int]:
     """(denom, w0, o0, w1, o1) closed forms for the weighted-pixel B
     picture: denominators 0..2, weights -2..3 (zero and negative

@@ -3178,10 +3178,9 @@ def multimodal_h264_bpixel_decode(
     declares.  Each list's mvds are coded against its own 8.4.1.3
     median predictor where unused-list neighbors carry refIdx -1, so
     the exactly-one-matching rule fires at every kind boundary.
-    Remaining declared boundary: B_Skip/B_Direct at pixel level
-    (the bframe/tdirect walkers hold the direct tiers); weighted
-    bi-prediction over pixels is covered by
-    multimodal_h264_wpixel_decode.  Reference scope note: the reference
+    B_Skip/B_Direct at pixel level are covered by
+    multimodal_h264_dpixel_decode, weighted bi-prediction over
+    pixels by multimodal_h264_wpixel_decode.  Reference scope note: the reference
     delegates all media handling to its warehouse; this query is
     part of the training-data-pipeline surface the brief adds."""
     from ..multimodal.decode import (
@@ -3191,6 +3190,172 @@ def multimodal_h264_bpixel_decode(
 
     docs = load_table_compute(spark, sf_dir, "documents")
     return decode_h264_bpixel(synthesize_h264_bpixel(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+def _dpixel_oracle() -> str:
+    """Compose the spatial-direct pixel oracle: explicit Bi and
+    (non-colZero) direct macroblocks share the same global-MV
+    two-chain bi-average; on colZero docs (zero P motion) the direct
+    macroblocks' inferred MVs are zero, so their pixels equal the
+    reference plane values directly."""
+
+    _dx = ("(CASE WHEN doc_id % 5 = 0 THEN 0"
+           " ELSE ((2 * doc_id) % 7) - 3 END)")
+    _dy = ("(CASE WHEN doc_id % 5 = 0 THEN 0"
+           " ELSE ((3 * doc_id) % 7) - 3 END)")
+
+    def CLX(a: str) -> str:
+        return "LEAST(GREATEST(" + a + ", 0), 16 * mbw - 1)"
+
+    def CLY(b: str) -> str:
+        return "LEAST(GREATEST(" + b + ", 0), 16 * mbh - 1)"
+
+    def R0(a: str, b: str) -> str:
+        return (
+            "(16 + ((7 * " + CLX(a) + " + 3 * " + CLY(b)
+            + " + 13 * doc_id) % 200))"
+        )
+
+    def R1(a: str, b: str) -> str:
+        return (
+            "(16 + ((7 * " + CLX(CLX(a) + " + " + _dx)
+            + " + 3 * " + CLY(CLY(b) + " + " + _dy)
+            + " + 13 * doc_id) % 200))"
+        )
+
+    i0, h0, c0 = _qpel_sql_core(R0)
+    i1, h1, c1 = _qpel_sql_core(R1)
+    return f"""
+    WITH geo AS (
+      SELECT doc_id, 3 + doc_id % 2 AS mbw, 2 + doc_id % 2 AS mbh
+      FROM documents
+    ),
+    pix AS (
+      SELECT geo.*, xx.x AS x, yy.y AS y
+      FROM geo,
+           LATERAL (SELECT unnest(range(0, 16 * mbw)) AS x) xx,
+           LATERAL (SELECT unnest(range(0, 16 * mbh)) AS y) yy
+    ),
+    p0i AS (
+      SELECT doc_id, mbw, mbh, x, y,
+             doc_id % 4 AS fx, (doc_id + 1) % 4 AS fy,
+             x + ((doc_id + 2) % 11) - 5 AS xi,
+             y + ((2 * doc_id + 3) % 7) - 3 AS yi
+      FROM pix
+    ),
+    i0 AS (SELECT doc_id, x, y, fx, fy, mbw, mbh, {i0} FROM p0i),
+    h0c AS (SELECT *, {h0} FROM i0),
+    pr0 AS (SELECT doc_id, x, y, mbw, {c0} AS pred0 FROM h0c),
+    p1i AS (
+      SELECT doc_id, mbw, mbh, x, y,
+             (doc_id + 2) % 4 AS fx, (doc_id + 2) % 4 AS fy,
+             x + ((doc_id + 5) % 11) - 5 AS xi,
+             y + ((2 * doc_id + 5) % 7) - 3 AS yi
+      FROM pix
+    ),
+    i1 AS (SELECT doc_id, x, y, fx, fy, mbw, mbh, {i1} FROM p1i),
+    h1c AS (SELECT *, {h1} FROM i1),
+    pr1 AS (SELECT doc_id, x, y, mbh, {c1} AS pred1 FROM h1c),
+    brow AS (
+      SELECT pr0.doc_id, CAST(2 AS BIGINT) AS frame_idx,
+             'B' AS frame_type,
+             SUM(CASE WHEN pr0.doc_id % 5 = 0
+                       AND pr0.y // 16 >= 1 AND pr0.x // 16 >= 1
+                       AND (pr0.doc_id + (pr0.y // 16) * pr0.mbw
+                            + pr0.x // 16) % 2 = 0
+                      THEN {R0("pr0.x", "pr0.y").replace(
+                          "doc_id", "pr0.doc_id").replace(
+                          "mbw", "pr0.mbw").replace(
+                          "mbh", "pr1.mbh")}
+                      ELSE (pred0 + pred1 + 1) >> 1
+                 END) AS sum_luma
+      FROM pr0 JOIN pr1
+        ON pr0.doc_id = pr1.doc_id AND pr0.x = pr1.x
+       AND pr0.y = pr1.y
+      GROUP BY pr0.doc_id
+    ),
+    counts AS (
+      SELECT doc_id,
+             SUM(CASE WHEN ii.i // mbw >= 1 AND ii.i % mbw >= 1
+                       AND (doc_id + ii.i) % 2 = 0
+                      THEN 1 ELSE 0 END) AS n_noxmit
+      FROM geo, LATERAL (SELECT unnest(range(0, mbw * mbh)) AS i) ii
+      GROUP BY doc_id
+    ),
+    iprow AS (
+      SELECT doc_id,
+             SUM(16 + ((7 * x + 3 * y + 13 * doc_id) % 200)) AS sum_i,
+             SUM(16 + ((7 * LEAST(GREATEST(x + {_dx}, 0),
+                                  16 * mbw - 1)
+                        + 3 * LEAST(GREATEST(y + {_dy}, 0),
+                                    16 * mbh - 1)
+                        + 13 * doc_id) % 200)) AS sum_p
+      FROM pix
+      GROUP BY doc_id
+    )
+    SELECT doc_id, frame_idx, frame_type,
+           CAST(sum_luma AS BIGINT) AS sum_luma,
+           CAST(n_direct AS BIGINT) AS n_direct,
+           CAST(n_skip AS BIGINT) AS n_skip
+    FROM (
+      SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx, 'I' AS frame_type,
+             sum_i AS sum_luma, 0 AS n_direct, 0 AS n_skip
+      FROM iprow
+      UNION ALL
+      SELECT doc_id, CAST(1 AS BIGINT), 'P', sum_p, 0, 0 FROM iprow
+      UNION ALL
+      SELECT b.doc_id, b.frame_idx, b.frame_type, b.sum_luma,
+             CASE WHEN b.doc_id % 2 = 0 THEN c.n_noxmit ELSE 0 END,
+             CASE WHEN b.doc_id % 2 = 1 THEN c.n_noxmit ELSE 0 END
+      FROM brow b JOIN counts c ON b.doc_id = c.doc_id
+    )
+    ORDER BY doc_id, frame_idx
+    """
+
+
+@query(
+    "multimodal_h264_dpixel_decode",
+    # formulas mirror synth.make_h264_dpixel_bytes / h264_dpixel_*:
+    # IDR plane 16 + (7x + 3y + 13 doc) % 200; the P reference MV is
+    # ZERO on doc % 5 = 0 (colZeroFlag docs) else the full-pel
+    # (((2 doc) % 7) - 3, ((3 doc) % 7) - 3) shift; B macroblocks
+    # off the top/left edges with (doc + m) even transmit NO motion
+    # (B_Direct_16x16 on even docs, B_Skip runs on odd docs) and
+    # infer the explicit neighbors' global MVs (list 0: ix =
+    # ((doc+2) % 11) - 5, fx = doc % 4, iy = ((2 doc+3) % 7) - 3,
+    # fy = (doc+1) % 4; list 1 shifted forms) — EXCEPT on colZero
+    # docs, where 8.4.1.2.2 forces their MVs to zero and their
+    # pixels equal the reference plane.  The oracle reruns both
+    # interpolation chains and branches exactly there.
+    oracle=_dpixel_oracle(),
+)
+def multimodal_h264_dpixel_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPATIAL DIRECT and B_Skip motion over real pixel planes
+    (ITU-T H.264 8.4.1.2.2, round 14): direct macroblocks transmit
+    nothing and infer per-list refIdx (MinPositive over neighbors),
+    the 8.4.1.3 median MV, and the colZeroFlag zeroing from the
+    co-located macroblock of L1[0] — supplied by the P reference's
+    OWN parsed motion, so every fifth doc (zero P motion) forces the
+    direct MVs to zero and moves real pixels differently than the
+    median would.  Both the B_Direct_16x16 and B_Skip coded forms
+    are exercised; inferred macroblocks then motion-compensate
+    through the quarter-pel interpolator and bi-average exactly like
+    explicit ones.  Completes the B pixel tier begun by
+    multimodal_h264_bpixel_decode.  Reference scope note: the
+    reference delegates all media handling to its warehouse; this
+    query is part of the training-data-pipeline surface the brief
+    adds."""
+    from ..multimodal.decode import (
+        decode_h264_dpixel,
+        synthesize_h264_dpixel,
+    )
+
+    docs = load_table_compute(spark, sf_dir, "documents")
+    return decode_h264_dpixel(synthesize_h264_dpixel(docs)).orderBy(
         "doc_id", "frame_idx"
     )
 

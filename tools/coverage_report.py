@@ -30,7 +30,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("Deduplication", ("dedup_exact", "dedup_normalized", "dedup_minhash_candidates", "dedup_simhash", "dedup_jaccard_blocked", "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_connected_components", "dedup_semantic_prune", "dedup_url_canonical", "dedup_levenshtein_blocked", "dedup_incremental_against_corpus", "dedup_cluster_canonical")),
     ("Similarity search", ("knn_bruteforce_cosine", "similarity_pairs_threshold", "ann_ivf_search", "ann_lsh_bucketed", "ann_pq_search", "ann_hamming_binarized", "retrieval_rrf_fusion", "embed_label_centroids", "embed_quantize_int8", "embed_covariance_block", "embed_pca_power", "ann_topk_multiquery", "embed_prefix_topk_overlap")),
     ("Text analysis", ("text_token_stats", "text_quality_score", "text_lang_guess", "text_bpe_token_count", "text_fingerprint", "text_heavy_hitters", "text_pii_redact", "text_edit_distance", "text_tfidf_top_terms", "text_repetition_filter", "text_ngram_novelty", "text_lm_surprisal", "text_zipf_fit", "text_domain_blocklist", "text_quality_classifier", "text_bm25_retrieval")),
-    ("Multimodal columns", ("multimodal_image_meta", "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_resize_blockmean", "multimodal_feature_histogram", "multimodal_phash_dedup", "multimodal_wav_decode", "multimodal_bmp_decode", "multimodal_wav_features", "multimodal_png_decode", "multimodal_jpeg_decode", "multimodal_gif_decode", "multimodal_avi_mjpeg_decode", "multimodal_mp3_frame_walk", "multimodal_h264_nal_walk", "multimodal_h264_ipcm_decode", "multimodal_avi_av_demux", "multimodal_mp3_maindata_decode", "multimodal_h264_gop_decode", "multimodal_png_adam7_decode", "multimodal_gif_anim_decode", "multimodal_tiff_decode", "multimodal_flac_decode", "multimodal_bmp_rle8_decode", "multimodal_flac_stereo_decode", "multimodal_flac_vbs_decode", "multimodal_mp3_short_block_decode", "multimodal_bmp_rle4_decode", "multimodal_gif_lct_decode", "multimodal_gif_disposal_decode", "multimodal_png_palette_decode", "multimodal_png_colortypes_decode", "multimodal_wav_extended_decode", "multimodal_h264_inter_decode", "multimodal_mp3_hufftables_decode", "multimodal_mp3_wswitch_regions_decode", "multimodal_mp3_mixed_block_decode", "multimodal_jpeg_progressive_decode", "multimodal_jpeg_color_decode", "multimodal_h264_cavlc_decode", "multimodal_mp3_b8_regions_decode", "multimodal_ogg_opus_walk", "multimodal_webm_ebml_walk", "multimodal_mp4_box_walk", "multimodal_aac_adts_walk", "multimodal_jpeg_exif_meta", "multimodal_mp3_imdct_synth", "multimodal_mp3_requant_exact", "multimodal_mp3_requant_short", "multimodal_mp3_requant_ms_stereo", "multimodal_h264_multiref_decode", "multimodal_h264_bframe_decode", "multimodal_webp_vp8l_decode", "multimodal_mp3_id3_tags", "multimodal_webp_vp8l_transform_decode", "multimodal_h264_weighted_decode", "multimodal_mp3_requant_is_stereo", "multimodal_heif_box_walk", "multimodal_gif_interlaced_decode", "multimodal_wav_g711_decode", "multimodal_mp3_id3v1_tags", "multimodal_mp3_linbits_decode", "multimodal_h264_p8x8_decode", "multimodal_h264_tdirect_decode", "multimodal_jpeg_prog_restart_decode", "multimodal_mp3_requant_wide", "multimodal_mp3_requant_escape", "multimodal_h264_fracpel_decode", "multimodal_h264_submb_decode", "multimodal_jpeg_color_restart_decode", "multimodal_mp4_frag_flags_walk", "multimodal_h264_chroma_decode", "multimodal_h264_bpixel_decode", "multimodal_h264_wpixel_decode")),
+    ("Multimodal columns", ("multimodal_image_meta", "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_resize_blockmean", "multimodal_feature_histogram", "multimodal_phash_dedup", "multimodal_wav_decode", "multimodal_bmp_decode", "multimodal_wav_features", "multimodal_png_decode", "multimodal_jpeg_decode", "multimodal_gif_decode", "multimodal_avi_mjpeg_decode", "multimodal_mp3_frame_walk", "multimodal_h264_nal_walk", "multimodal_h264_ipcm_decode", "multimodal_avi_av_demux", "multimodal_mp3_maindata_decode", "multimodal_h264_gop_decode", "multimodal_png_adam7_decode", "multimodal_gif_anim_decode", "multimodal_tiff_decode", "multimodal_flac_decode", "multimodal_bmp_rle8_decode", "multimodal_flac_stereo_decode", "multimodal_flac_vbs_decode", "multimodal_mp3_short_block_decode", "multimodal_bmp_rle4_decode", "multimodal_gif_lct_decode", "multimodal_gif_disposal_decode", "multimodal_png_palette_decode", "multimodal_png_colortypes_decode", "multimodal_wav_extended_decode", "multimodal_h264_inter_decode", "multimodal_mp3_hufftables_decode", "multimodal_mp3_wswitch_regions_decode", "multimodal_mp3_mixed_block_decode", "multimodal_jpeg_progressive_decode", "multimodal_jpeg_color_decode", "multimodal_h264_cavlc_decode", "multimodal_mp3_b8_regions_decode", "multimodal_ogg_opus_walk", "multimodal_webm_ebml_walk", "multimodal_mp4_box_walk", "multimodal_aac_adts_walk", "multimodal_jpeg_exif_meta", "multimodal_mp3_imdct_synth", "multimodal_mp3_requant_exact", "multimodal_mp3_requant_short", "multimodal_mp3_requant_ms_stereo", "multimodal_h264_multiref_decode", "multimodal_h264_bframe_decode", "multimodal_webp_vp8l_decode", "multimodal_mp3_id3_tags", "multimodal_webp_vp8l_transform_decode", "multimodal_h264_weighted_decode", "multimodal_mp3_requant_is_stereo", "multimodal_heif_box_walk", "multimodal_gif_interlaced_decode", "multimodal_wav_g711_decode", "multimodal_mp3_id3v1_tags", "multimodal_mp3_linbits_decode", "multimodal_h264_p8x8_decode", "multimodal_h264_tdirect_decode", "multimodal_jpeg_prog_restart_decode", "multimodal_mp3_requant_wide", "multimodal_mp3_requant_escape", "multimodal_h264_fracpel_decode", "multimodal_h264_submb_decode", "multimodal_jpeg_color_restart_decode", "multimodal_mp4_frag_flags_walk", "multimodal_h264_chroma_decode", "multimodal_h264_bpixel_decode", "multimodal_h264_wpixel_decode", "multimodal_h264_dpixel_decode")),
     ("Training-data pipeline", ("datapipe_split_assign", "datapipe_stratified_sample", "datapipe_pack_chunks", "datapipe_pack_greedy", "datapipe_shard_balance", "datapipe_global_shuffle", "datapipe_contamination", "datapipe_vocab_build", "datapipe_domain_mix", "datapipe_leakage_safe_split", "datapipe_corpus_pipeline", "datapipe_domain_quota", "datapipe_weighted_sample", "datapipe_curriculum_phases", "datapipe_c4_filter_cascade", "datapipe_cap_per_source", "datapipe_contamination_ngram", "datapipe_epoch_mixture", "datapipe_bpe_merge_step", "datapipe_bpe_tokenize", "datapipe_quality_percentile_filter", "datapipe_boilerplate_prune", "datapipe_dsir_importance", "datapipe_warc_extract", "datapipe_zip_extract", "datapipe_tar_extract", "datapipe_tfrecord_scan", "datapipe_avro_scan", "datapipe_avro_evolution_scan", "datapipe_gzip_jsonl_scan", "datapipe_pdf_text_extract", "datapipe_subtitle_extract", "datapipe_zstd_scan", "datapipe_zstd_dict_scan", "datapipe_lz4_scan", "datapipe_sliding_chunks")),
     ("Graph analytics", ("graph_pagerank", "graph_triangle_count", "graph_degree_distribution")),
     ("Data quality", ("dq_single_pass_suite", "dq_uniqueness_check", "dq_referential_integrity", "dq_outlier_zscore", "dq_freshness_check", "dq_outlier_mad", "dq_distribution_drift", "dq_benford_first_digit", "dq_anomaly_seasonal", "dq_profile_table", "dq_cross_field_consistency")),
