@@ -80,6 +80,32 @@ def test_python_stages_only_where_designed(audit):
     assert audit("multimodal_image_meta").python_stages >= 1
 
 
+@pytest.mark.parametrize("name", [
+    "multimodal_h264_fracpel_decode",
+    "multimodal_h264_submb_decode",
+    "multimodal_h264_chroma_decode",
+    "multimodal_h264_bpixel_decode",
+    "multimodal_h264_wpixel_decode",
+    "multimodal_h264_dpixel_decode",
+    "multimodal_mp3_requant_escape",
+    "multimodal_jpeg_color_restart_decode",
+    "multimodal_mp4_frag_flags_walk",
+])
+def test_round14_media_queries_keep_the_arrow_tier_shape(audit, name):
+    """Every round-14 media/container query keeps the established
+    scale shape: exactly two Python stages (synthesize -> decode
+    Arrow kernels), no data shuffle beyond the fixed synth
+    repartition + final orderBy (PLANS shuffles <= 2), one scan
+    column (doc_id), and no broadcast joins — per-row kernels with
+    no cross-row state cannot regress into shuffling pipelines
+    without tripping this pin."""
+    facts = audit(name)
+    assert facts.python_stages == 2, (name, facts.python_stages)
+    assert facts.exchanges <= 2, (name, facts.exchanges)
+    assert facts.broadcast_joins == 0, name
+    assert len(facts.read_columns) <= 1, (name, facts.read_columns)
+
+
 def test_partitioned_landing_prunes_at_plan_time(spark, tmp_path):
     """The date-partitioned landing layout must yield PLAN-TIME partition
     pruning: a month/day predicate lands entirely in the scan's
