@@ -7224,9 +7224,10 @@ def decode_bmp_rle8(media_df: DataFrame) -> DataFrame:
     raster, with cursor discipline enforced (runs past the row edge,
     missing escapes, or trailing bytes raise).  Emits palette-mapped
     channel means plus the top-left and bottom-right pixels as
-    placement probes.  The delta escape (00 02) is the declared
-    boundary — the fixture never moves the cursor over undefined
-    pixels."""
+    placement probes.  The delta escape (00 02 dx dy, round 14) jumps
+    the cursor with skipped pixels settling to palette index 0 — the
+    GDI zero-canvas convention the RLE4 walker already applied —
+    and rejects when it jumps off the raster."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -7282,10 +7283,25 @@ def decode_bmp_rle8(media_df: DataFrame) -> DataFrame:
                         ended = True
                         break
                     elif b1 == 2:
-                        raise NotImplementedError(
-                            "RLE8 delta escape leaves pixels undefined "
-                            "(declared boundary)"
-                        )
+                        # delta escape (00 02 dx dy): the cursor
+                        # jumps; skipped pixels stay palette index 0
+                        # on the zero-initialized canvas (the GDI
+                        # convention, same as the RLE4 walker) —
+                        # which the counting model already implements
+                        # via the final unwritten-pixels settle
+                        if pos + 2 > len(raw):
+                            raise ValueError(
+                                f"doc {doc_id}: truncated delta escape"
+                            )
+                        dx, dy = raw[pos], raw[pos + 1]
+                        pos += 2
+                        x += dx
+                        y += dy
+                        if x > width or y > height:
+                            raise ValueError(
+                                f"doc {doc_id}: delta jumps off the "
+                                "raster"
+                            )
                     else:  # absolute mode: b1 literal indices
                         if y >= height or x + b1 > width:
                             raise ValueError(
