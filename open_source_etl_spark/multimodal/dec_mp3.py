@@ -1479,6 +1479,15 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
         def walk(doc_id: int, raw: bytes):
             if len(raw) < 21 or raw[0] != 0xFF or (raw[1] & 0xFE) != 0xFA:
                 raise ValueError(f"doc {doc_id}: not an MPEG-1 L3 frame")
+            if (raw[2] >> 2) & 0x3 != 0:
+                # this walker hardcodes the 44.1 kHz Table B.8 rows;
+                # silently banding a 48/32 kHz frame with them would
+                # be WRONG, so reject loudly instead
+                raise NotImplementedError(
+                    "exact requantization at non-44.1 kHz rates not "
+                    "implemented (Table B.8 row dispatch; the "
+                    "main-data walker carries all three MPEG-1 rows)"
+                )
             side = raw[4:21]
             bitpos = 0
 
@@ -1697,6 +1706,15 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
         def walk(doc_id: int, raw: bytes):
             if len(raw) < 21 or raw[0] != 0xFF or (raw[1] & 0xFE) != 0xFA:
                 raise ValueError(f"doc {doc_id}: not an MPEG-1 L3 frame")
+            if (raw[2] >> 2) & 0x3 != 0:
+                # this walker hardcodes the 44.1 kHz Table B.8 rows;
+                # silently banding a 48/32 kHz frame with them would
+                # be WRONG, so reject loudly instead
+                raise NotImplementedError(
+                    "exact requantization at non-44.1 kHz rates not "
+                    "implemented (Table B.8 row dispatch; the "
+                    "main-data walker carries all three MPEG-1 rows)"
+                )
             side = raw[4:21]
             bitpos = 0
 
@@ -2101,6 +2119,11 @@ def decode_mp3_requant_ms(media_df: DataFrame) -> DataFrame:
 
             if len(raw) < 36 or raw[0] != 0xFF or (raw[1] & 0xFE) != 0xFA:
                 raise ValueError(f"doc {doc_id}: not an MPEG-1 L3 frame")
+            if (raw[2] >> 2) & 0x3 != 0:
+                raise NotImplementedError(
+                    "exact stereo requantization at non-44.1 kHz "
+                    "rates not implemented (Table B.8 row dispatch)"
+                )
             mode = (raw[3] >> 6) & 3
             mode_ext = (raw[3] >> 4) & 3
             if mode != 1:
@@ -2242,6 +2265,11 @@ def decode_mp3_requant_is(media_df: DataFrame) -> DataFrame:
 
             if len(raw) < 36 or raw[0] != 0xFF or (raw[1] & 0xFE) != 0xFA:
                 raise ValueError(f"doc {doc_id}: not an MPEG-1 L3 frame")
+            if (raw[2] >> 2) & 0x3 != 0:
+                raise NotImplementedError(
+                    "exact stereo requantization at non-44.1 kHz "
+                    "rates not implemented (Table B.8 row dispatch)"
+                )
             mode = (raw[3] >> 6) & 3
             mode_ext = (raw[3] >> 4) & 3
             if mode != 1:
