@@ -9845,7 +9845,9 @@ def decode_h264_p8x8(media_df: DataFrame) -> DataFrame:
     quadrant state chains across frames.  Closes the round-12
     'sub-macroblock motion' declared boundary for the quadrant-
     aligned case; sub-8x8 shapes (8x4/4x8/4x4) and interpolated
-    (non-multiple-of-32) MVs remain declared boundaries."""
+    MVs remain boundaries OF THIS SUM-STATE WALKER — since round 14
+    both decode for real in the pixel tier (decode_h264_submb with
+    full Table 7-17 shapes and fractional per-partition MVs)."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

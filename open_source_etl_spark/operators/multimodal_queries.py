@@ -3002,9 +3002,11 @@ def multimodal_h264_fracpel_decode(
     declare.  The decoder verifies 8.4.1.3 median MV prediction
     (only MB 0 transmits the mvd), and uniform-motion frames take a
     whole-plane vectorized path — the shape a production kernel
-    would use at real resolutions.  Remaining declared boundaries:
-    chroma fractional motion (eighth-pel 8.4.2.2.3) and fractional
-    motion under multi-reference/weighted prediction.
+    would use at real resolutions.  The rest of the pixel tier
+    landed in the same round: eighth-pel chroma
+    (multimodal_h264_chroma_decode), weighted prediction
+    (multimodal_h264_wpixel_decode); fractional motion under
+    MULTI-REFERENCE lists remains the declared boundary.
     Reference scope note: the reference delegates all media handling
     to its warehouse; this query is part of the
     training-data-pipeline surface the brief adds."""
@@ -6538,7 +6540,10 @@ def multimodal_bmp_rle8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     palette mapping, and cursor discipline enforced — the compressed
     sibling of the uncompressed ``multimodal_bmp_decode``, so the BMP
     surface now covers both of the format's storage modes.  The delta
-    escape (undefined pixels) stays the declared boundary."""
+    escape decodes since round 14 with the GDI zero-canvas convention
+    (skipped pixels settle to palette index 0, tested with a custom
+    delta-bearing stream); this fixture itself never emits one, so
+    the oracle is unchanged."""
     from ..multimodal.decode import decode_bmp_rle8, synthesize_bmp_rle8
 
     docs = load_table_compute(spark, sf_dir, "documents")
