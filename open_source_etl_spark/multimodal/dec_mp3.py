@@ -1315,13 +1315,25 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
             take_base = bitpos
 
             def take(n):
+                # byte-level read (same values; same IndexError when a
+                # consumed bit lies past the final byte)
                 nonlocal bitpos
-                out = 0
-                for _ in range(n):
-                    out = (out << 1) | (
-                        (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-                    )
+                if n == 1:
+                    out = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
                     bitpos += 1
+                    return out
+                if not n:
+                    return 0
+                end = bitpos + n
+                if (end - 1) >> 3 >= len(data):
+                    raise IndexError("index out of range")
+                out = (
+                    int.from_bytes(
+                        data[bitpos >> 3 : (end + 7) >> 3], "big"
+                    )
+                    >> ((-end) & 7)
+                ) & ((1 << n) - 1)
+                bitpos = end
                 return out
 
             levels = [0] * 576
@@ -1790,13 +1802,25 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
             dpos = 21 * 8
 
             def take(n):
+                # byte-level read (same values; same IndexError when a
+                # consumed bit lies past the final byte)
                 nonlocal dpos
-                out = 0
-                for _ in range(n):
-                    out = (out << 1) | (
-                        (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
-                    )
+                if n == 1:
+                    out = (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
                     dpos += 1
+                    return out
+                if not n:
+                    return 0
+                end = dpos + n
+                if (end - 1) >> 3 >= len(raw):
+                    raise IndexError("index out of range")
+                out = (
+                    int.from_bytes(
+                        raw[dpos >> 3 : (end + 7) >> 3], "big"
+                    )
+                    >> ((-end) & 7)
+                ) & ((1 << n) - 1)
+                dpos = end
                 return out
 
             s_signed = s_abs = nnz = pos_signed = 0
@@ -1979,11 +2003,23 @@ def _mp3_granule_long(
     (p23, bv, gg, sl1, sl2, tsels, rc, rc2, sfs, c1a, pre) = fields
 
     def take(n: int) -> int:
+        # byte-level read (same values; same IndexError when a
+        # consumed bit lies past the final byte)
         nonlocal dpos
-        out = 0
-        for _ in range(n):
-            out = (out << 1) | ((raw[dpos >> 3] >> (7 - (dpos & 7))) & 1)
+        if n == 1:
+            out = (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
             dpos += 1
+            return out
+        if not n:
+            return 0
+        end = dpos + n
+        if (end - 1) >> 3 >= len(raw):
+            raise IndexError("index out of range")
+        out = (
+            int.from_bytes(raw[dpos >> 3 : (end + 7) >> 3], "big")
+            >> ((-end) & 7)
+        ) & ((1 << n) - 1)
+        dpos = end
         return out
 
     start = dpos

@@ -2337,24 +2337,58 @@ class _H264BitReader:
         self.data = data
         self.pos = 0
         self.doc_id = doc_id
+        self.limit = 8 * len(data)
 
     def u(self, n: int) -> int:
-        if self.pos + n > 8 * len(self.data):
+        # byte-level extraction (one slice + int.from_bytes) instead of
+        # a per-bit loop — same MSB-first values, same exhaustion rule
+        # (raise without consuming when the read would pass the end)
+        pos = self.pos
+        end = pos + n
+        if end > self.limit:
             raise ValueError(f"doc {self.doc_id}: truncated bitstream")
-        val = 0
-        for _ in range(n):
-            byte = self.data[self.pos >> 3]
-            val = (val << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return val
+        self.pos = end
+        data = self.data
+        if n == 1:
+            return (data[pos >> 3] >> (7 - (pos & 7))) & 1
+        val = int.from_bytes(data[pos >> 3 : (end + 7) >> 3], "big")
+        return (val >> ((-end) & 7)) & ((1 << n) - 1)
 
     def ue(self) -> int:
+        # inlined leading-zero scan + suffix read (same values and the
+        # same raises as the u(1)-loop form, minus the per-bit calls)
+        data = self.data
+        pos = self.pos
+        limit = self.limit
         zeros = 0
-        while self.u(1) == 0:
+        while True:
+            if pos >= limit:
+                self.pos = pos
+                raise ValueError(
+                    f"doc {self.doc_id}: truncated bitstream"
+                )
+            bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+            pos += 1
+            if bit:
+                break
             zeros += 1
             if zeros > 31:
-                raise ValueError(f"doc {self.doc_id}: exp-Golomb overflow")
-        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+                self.pos = pos
+                raise ValueError(
+                    f"doc {self.doc_id}: exp-Golomb overflow"
+                )
+        if not zeros:
+            self.pos = pos
+            return 0
+        end = pos + zeros
+        if end > limit:
+            self.pos = pos
+            raise ValueError(f"doc {self.doc_id}: truncated bitstream")
+        self.pos = end
+        val = int.from_bytes(data[pos >> 3 : (end + 7) >> 3], "big")
+        return (1 << zeros) - 1 + (
+            (val >> ((-end) & 7)) & ((1 << zeros) - 1)
+        )
 
     def se(self) -> int:
         k = self.ue()
@@ -4013,39 +4047,76 @@ VP8L_CL_ORDER = (
 
 class _Vp8lBits:
     """Forward LSB-first bit reader; Huffman codes are consumed
-    bit-by-bit MSB-of-code-first (canonical tree walk)."""
+    bit-by-bit MSB-of-code-first (canonical tree walk).
+
+    Reads through a whole-byte accumulator (``acc`` holds the next
+    unconsumed bits LSB-aligned) instead of a per-bit loop — the
+    same values and the same exhaustion rule (a read raises iff it
+    would consume a bit past the final byte), at a fraction of the
+    per-call cost."""
 
     def __init__(self, doc_id: int, raw: bytes, pos: int):
         self.raw = raw
-        self.byte = pos
-        self.bit = 0
         self.doc_id = doc_id
+        self.pos = 8 * pos   # absolute bit position of the next bit
+        self.limit = 8 * len(raw)
+        self.acc = 0         # unconsumed bits at pos.., LSB-first
+        self.nacc = 0        # number of valid bits in acc
 
     def read(self, n: int) -> int:
-        out = 0
-        for j in range(n):
-            if self.byte >= len(self.raw):
-                raise ValueError(
-                    f"doc {self.doc_id}: VP8L stream exhausted"
-                )
-            out |= ((self.raw[self.byte] >> self.bit) & 1) << j
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
-        return out
+        pos = self.pos
+        if pos + n > self.limit:
+            raise ValueError(
+                f"doc {self.doc_id}: VP8L stream exhausted"
+            )
+        acc = self.acc
+        nacc = self.nacc
+        # pos + nacc is always byte-aligned (construction is aligned,
+        # refills add 8, consumption moves both in lockstep)
+        while nacc < n:
+            acc |= self.raw[(pos + nacc) >> 3] << nacc
+            nacc += 8
+        self.acc = acc >> n
+        self.nacc = nacc - n
+        self.pos = pos + n
+        return acc & ((1 << n) - 1)
 
     def read_symbol(self, table: dict, what: str) -> int:
         if isinstance(table, int):  # 1-symbol simple code: zero bits
             return table
+        # inlined bit-by-bit canonical walk (same values/raises as a
+        # read(1) loop, without the per-bit attribute traffic)
+        pos = self.pos
+        acc = self.acc
+        nacc = self.nacc
+        raw = self.raw
+        limit = self.limit
+        get = table.get
         code = length = 0
         while True:
-            code = (code << 1) | self.read(1)
+            if nacc == 0:
+                # pos + nacc stays byte-aligned, so pos is aligned here
+                if pos >= limit:
+                    raise ValueError(
+                        f"doc {self.doc_id}: VP8L stream exhausted"
+                    )
+                acc = raw[pos >> 3]
+                nacc = 8
+            code = (code << 1) | (acc & 1)
+            acc >>= 1
+            nacc -= 1
+            pos += 1
             length += 1
-            sym = table.get((length, code))
+            sym = get((length, code))
             if sym is not None:
+                self.pos = pos
+                self.acc = acc
+                self.nacc = nacc
                 return sym
             if length > 15:
+                self.pos = pos
+                self.acc = acc
+                self.nacc = nacc
                 raise ValueError(
                     f"doc {self.doc_id}: invalid {what} Huffman code"
                 )
@@ -4053,18 +4124,27 @@ class _Vp8lBits:
 
 def _vp8l_canonical(doc_id: int, lengths: dict, what: str) -> dict:
     """Canonical decode table {(nbits, code): symbol} with the
-    completeness gate (Kraft must be exactly 1)."""
-    from fractions import Fraction
+    completeness gate (Kraft must be exactly 1).
 
-    if sum(Fraction(1, 1 << l) for l in lengths.values()) != 1:
+    The Kraft sum is computed in exact integer arithmetic scaled by
+    2^15 (the max VP8L code length): sum(2^(15-l)) == 2^15 iff
+    sum(2^-l) == 1 — same gate as the previous ``Fraction`` form,
+    which profiled as ~55%% of the whole VP8L decode."""
+    if sum(1 << (15 - l) for l in lengths.values()) != 1 << 15:
         raise ValueError(f"doc {doc_id}: {what} code is not complete")
+    # canonical assignment in one sorted pass: iterate (length, symbol)
+    # ascending, left-shifting the running code ONCE at each length
+    # change — the same convention as synth._canonical_codes_from_lengths
+    # and bit-identical to the previous per-length loops.
     out = {}
     code = 0
-    for ln in sorted(set(lengths.values())):
-        for sym in sorted(s for s, l in lengths.items() if l == ln):
-            out[(ln, code)] = sym
-            code += 1
-        code <<= 1
+    prev_len = None
+    for ln, sym in sorted((l, s) for s, l in lengths.items()):
+        if prev_len is not None and ln != prev_len:
+            code <<= 1
+        out[(ln, code)] = sym
+        code += 1
+        prev_len = ln
     return out
 
 
@@ -6926,11 +7006,44 @@ class _FlacBits:
         self.bitpos = end
         return (chunk >> (last * 8 - end)) & ((1 << n) - 1)
 
+    def u_many(self, n: int, count: int) -> list:
+        """``count`` consecutive n-bit fields in one slice +
+        int.from_bytes (bit-identical to ``[self.u(n)] * count``
+        loops, without the per-field reader calls)."""
+        total = n * count
+        end = self.bitpos + total
+        if end > len(self.data) * 8:
+            raise ValueError("FLAC bitstream truncated")
+        first = self.bitpos >> 3
+        last = (end + 7) >> 3
+        big = int.from_bytes(self.data[first:last], "big") >> (
+            last * 8 - end
+        )
+        self.bitpos = end
+        mask = (1 << n) - 1
+        return [
+            (big >> sh) & mask
+            for sh in range(total - n, -1, -n)
+        ] if n else [0] * count
+
     def unary(self) -> int:
+        # scan whole bytes for the terminating 1 bit instead of a
+        # per-bit u(1) loop; same count, same truncation raise
+        data = self.data
+        pos = self.bitpos
+        limit = len(data) * 8
         q = 0
-        while self.u(1) == 0:
-            q += 1
-        return q
+        while True:
+            if pos >= limit:
+                raise ValueError("FLAC bitstream truncated")
+            rem = 8 - (pos & 7)
+            chunk = data[pos >> 3] & ((1 << rem) - 1)
+            if chunk:
+                lead = rem - chunk.bit_length()
+                self.bitpos = pos + lead + 1
+                return q + lead
+            q += rem
+            pos += rem
 
     def align(self) -> int:
         """Zero-check and skip padding to the next byte edge; return
@@ -6971,14 +7084,25 @@ def _flac_read_residuals(
         n = (blocksize >> porder) - (order if part == 0 else 0)
         if param == escape:  # raw two's-complement
             nbits = br.u(5)
+            if nbits:
+                sign = 1 << (nbits - 1)
+                full = 1 << nbits
+                res.extend(
+                    v - full if v & sign else v
+                    for v in br.u_many(nbits, n)
+                )
+            else:
+                res.extend([0] * n)
+        elif param:
+            unary = br.unary
+            u = br.u
             for _ in range(n):
-                v = br.u(nbits) if nbits else 0
-                if nbits and v >> (nbits - 1):
-                    v -= 1 << nbits
-                res.append(v)
+                m = (unary() << param) | u(param)
+                res.append((m >> 1) ^ -(m & 1))
         else:
+            unary = br.unary
             for _ in range(n):
-                m = (br.unary() << param) | (br.u(param) if param else 0)
+                m = unary()
                 res.append((m >> 1) ^ -(m & 1))
     return res
 
@@ -7461,7 +7585,9 @@ def _flac_read_subframe(
             )
             br.bitpos += 16 * blocksize
             return shifted(samples)
-        return shifted([signed(br.u(bps)) for _ in range(blocksize)])
+        return shifted(
+            [signed(v) for v in br.u_many(bps, blocksize)]
+        )
     if 8 <= stype <= 12 or stype >= 32:
         is_lpc = stype >= 32
         order = stype - 31 if is_lpc else stype - 8
@@ -7622,8 +7748,9 @@ def decode_flac_stereo(media_df: DataFrame) -> DataFrame:
                         for m, s in zip(subs[0], subs[1])
                     ]
                     right = [l - s for l, s in zip(left, subs[1])]
-                if any(
-                    not -0x8000 <= v <= 0x7FFF for v in left + right
+                if left and (
+                    min(min(left), min(right)) < -0x8000
+                    or max(max(left), max(right)) > 0x7FFF
                 ):
                     raise ValueError(
                         f"doc {doc_id}: decorrelated output exceeds "
@@ -9663,27 +9790,43 @@ def _h264_qmvp(
     sub-partition decoded moments earlier).  Rules in spec order as
     in ``_h264_mvp``: A-wholesale at the edge, exactly-one-matching-
     reference wholesale, else the component-wise median."""
-    qh = len(qmvs)
-
-    def q(r2: int, c2: int):
-        if r2 < 0 or c2 < 0 or c2 >= qw or r2 >= qh:
-            return None
-        return qmvs[r2][c2]
-
-    a = q(qr, qc - 1)
-    b = q(qr - 1, qc)
-    c = q(qr - 1, qc + part_w)
-    if c is None:
-        c = q(qr - 1, qc - 1)  # D substitutes for an unavailable C
+    # hot path (once per partition): direct neighbor indexing and a
+    # branch-form 3-median — same neighbors, same rules, same values
+    # as the original q()/sorted() form
+    a = qmvs[qr][qc - 1] if qc > 0 else None
+    if qr > 0:
+        rowu = qmvs[qr - 1]
+        b = rowu[qc]
+        c = rowu[qc + part_w] if qc + part_w < qw else None
+        if c is None:
+            c = rowu[qc - 1] if qc > 0 else None
+    else:
+        b = c = None
     if b is None and c is None and a is not None:
         return a[1]
-    ref_mv = [nb if nb is not None else (-1, (0, 0)) for nb in (a, b, c)]
-    matches = [mv for ref, mv in ref_mv if ref == cur_ref]
-    if len(matches) == 1:
-        return matches[0]
-    xs = sorted(mv[0] for _ref, mv in ref_mv)
-    ys = sorted(mv[1] for _ref, mv in ref_mv)
-    return xs[1], ys[1]
+    ra, mva = a if a is not None else (-1, (0, 0))
+    rb, mvb = b if b is not None else (-1, (0, 0))
+    rc, mvc = c if c is not None else (-1, (0, 0))
+    match = None
+    n_match = 0
+    if ra == cur_ref:
+        match = mva
+        n_match += 1
+    if rb == cur_ref:
+        match = mvb
+        n_match += 1
+    if rc == cur_ref:
+        match = mvc
+        n_match += 1
+    if n_match == 1:
+        return match
+    x0, y0 = mva
+    x1, y1 = mvb
+    x2, y2 = mvc
+    return (
+        max(min(x0, x1), min(max(x0, x1), x2)),
+        max(min(y0, y1), min(max(y0, y1), y2)),
+    )
 
 
 def _h264_qskip_mv(qmvs: list, qr: int, qc: int, qw: int) -> tuple[int, int]:
@@ -10664,54 +10807,126 @@ def _h264_fracpel_plane_mapped(ref, ixm, iym, fxm, fym):
     xi = xs0 + ixm
     yi = ys0 + iym
 
+    _grids: dict = {}
+
     def grid(dy, dx):
-        return ref[
-            np.clip(yi + dy, 0, H - 1), np.clip(xi + dx, 0, W - 1)
-        ].astype(np.int64)
+        got = _grids.get((dy, dx))
+        if got is None:
+            got = ref[
+                np.clip(yi + dy, 0, H - 1), np.clip(xi + dx, 0, W - 1)
+            ].astype(np.int64)
+            _grids[(dy, dx)] = got
+        return got
 
     def clip1(a):
         return np.clip(a, 0, 255)
 
     taps = (1, -5, 20, 20, -5, 1)
-    b1 = {
-        dy: sum(t * grid(dy, k - 2) for k, t in enumerate(taps))
-        for dy in range(-2, 4)
-    }
-    h1_0 = sum(t * grid(k - 2, 0) for k, t in enumerate(taps))
-    h1_1 = sum(t * grid(k - 2, 1) for k, t in enumerate(taps))
-    g = grid(0, 0)
-    b = clip1((b1[0] + 16) >> 5)
-    s = clip1((b1[1] + 16) >> 5)
-    h = clip1((h1_0 + 16) >> 5)
-    m = clip1((h1_1 + 16) >> 5)
-    j = clip1(
-        (sum(t * b1[k - 2] for k, t in enumerate(taps)) + 512) >> 10
-    )
-    hh2 = grid(0, 1)
-    mm2 = grid(1, 0)
-    phase_vals = [
-        g,                     # (0,0)
-        (g + h + 1) >> 1,      # (0,1)
-        h,                     # (0,2)
-        (mm2 + h + 1) >> 1,    # (0,3)
-        (g + b + 1) >> 1,      # (1,0)
-        (b + h + 1) >> 1,      # (1,1)
-        (h + j + 1) >> 1,      # (1,2)
-        (h + s + 1) >> 1,      # (1,3)
-        b,                     # (2,0)
-        (b + j + 1) >> 1,      # (2,1)
-        j,                     # (2,2)
-        (j + s + 1) >> 1,      # (2,3)
-        (hh2 + b + 1) >> 1,    # (3,0)
-        (b + m + 1) >> 1,      # (3,1)
-        (j + m + 1) >> 1,      # (3,2)
-        (m + s + 1) >> 1,      # (3,3)
+    _vals: dict = {}
+
+    def b1(dy):
+        got = _vals.get(("b1", dy))
+        if got is None:
+            got = sum(t * grid(dy, k - 2) for k, t in enumerate(taps))
+            _vals[("b1", dy)] = got
+        return got
+
+    def half(name):
+        # the four rounded half-pel planes and the center j
+        got = _vals.get(name)
+        if got is None:
+            if name == "b":
+                got = clip1((b1(0) + 16) >> 5)
+            elif name == "s":
+                got = clip1((b1(1) + 16) >> 5)
+            elif name == "h":
+                got = clip1(
+                    (sum(t * grid(k - 2, 0) for k, t in enumerate(taps))
+                     + 16) >> 5
+                )
+            elif name == "m":
+                got = clip1(
+                    (sum(t * grid(k - 2, 1) for k, t in enumerate(taps))
+                     + 16) >> 5
+                )
+            else:  # j
+                got = clip1(
+                    (sum(t * b1(k - 2) for k, t in enumerate(taps))
+                     + 512) >> 10
+                )
+            _vals[name] = got
+        return got
+
+    # phase index (fx*4 + fy) -> lazy value; only phases PRESENT in the
+    # motion map are computed (a uniform-phase frame costs one branch,
+    # not all sixteen — same per-pixel arithmetic as before)
+    phase_fns = [
+        lambda: grid(0, 0),                              # (0,0)
+        lambda: (grid(0, 0) + half("h") + 1) >> 1,       # (0,1)
+        lambda: half("h"),                               # (0,2)
+        lambda: (grid(1, 0) + half("h") + 1) >> 1,       # (0,3)
+        lambda: (grid(0, 0) + half("b") + 1) >> 1,       # (1,0)
+        lambda: (half("b") + half("h") + 1) >> 1,        # (1,1)
+        lambda: (half("h") + half("j") + 1) >> 1,        # (1,2)
+        lambda: (half("h") + half("s") + 1) >> 1,        # (1,3)
+        lambda: half("b"),                               # (2,0)
+        lambda: (half("b") + half("j") + 1) >> 1,        # (2,1)
+        lambda: half("j"),                               # (2,2)
+        lambda: (half("j") + half("s") + 1) >> 1,        # (2,3)
+        lambda: (grid(0, 1) + half("b") + 1) >> 1,       # (3,0)
+        lambda: (half("b") + half("m") + 1) >> 1,        # (3,1)
+        lambda: (half("j") + half("m") + 1) >> 1,        # (3,2)
+        lambda: (half("m") + half("s") + 1) >> 1,        # (3,3)
     ]
     code = fxm * 4 + fym
-    out = phase_vals[0]
-    for c in range(1, 16):
-        out = np.where(code == c, phase_vals[c], out)
+    present = np.unique(code)
+    first = phase_fns[int(present[0])]()
+    if len(present) == 1:
+        return first
+    out = first
+    for c in present[1:]:
+        out = np.where(code == c, phase_fns[int(c)](), out)
     return out
+
+
+def _h264_b_list_planes(l0, l1, ops, mb_w):
+    """Whole-plane per-list motion compensation for a B picture's
+    16x16 macroblocks: paint each list's per-MB quarter-pel MV into
+    per-pixel motion maps and run ONE vectorized
+    ``_h264_fracpel_plane_mapped`` pass per used list — the same
+    per-pixel arithmetic as a per-MB ``_h264_fracpel_block`` loop
+    (the partition-count-independent shape ``decode_h264_submb``
+    already uses), at a fraction of the Python call count.  Returns
+    (pred0, pred1, use0, use1); predN is None when no macroblock
+    uses list N, useN is the boolean per-pixel usage mask."""
+    import numpy as np
+
+    H, W = np.asarray(l0).shape
+    maps = [
+        [np.zeros((H, W), dtype=np.int64) for _ in range(4)]
+        for _ in range(2)
+    ]
+    use = [np.zeros((H, W), dtype=bool), np.zeros((H, W), dtype=bool)]
+    for idx, (_kind, mv0, mv1) in enumerate(ops):
+        my = (idx // mb_w) * 16
+        mx = (idx % mb_w) * 16
+        for lst, mv in ((0, mv0), (1, mv1)):
+            if mv is None:
+                continue
+            mvx, mvy = mv
+            ixm, iym, fxm, fym = maps[lst]
+            ixm[my : my + 16, mx : mx + 16] = mvx >> 2
+            iym[my : my + 16, mx : mx + 16] = mvy >> 2
+            fxm[my : my + 16, mx : mx + 16] = mvx & 3
+            fym[my : my + 16, mx : mx + 16] = mvy & 3
+            use[lst][my : my + 16, mx : mx + 16] = True
+    pred0 = (
+        _h264_fracpel_plane_mapped(l0, *maps[0]) if use[0].any() else None
+    )
+    pred1 = (
+        _h264_fracpel_plane_mapped(l1, *maps[1]) if use[1].any() else None
+    )
+    return pred0, pred1, use[0], use[1]
 
 
 H264_SUBMB_SCHEMA = (
@@ -10971,9 +11186,8 @@ def decode_h264_bpixel(media_df: DataFrame) -> DataFrame:
                         )
                     l0 = max(past)[1]
                     l1 = min(futr)[1]
-                    new = np.zeros_like(l0)
                     n_l0 = n_l1 = n_bi = 0
-                    for idx, (kind, mv0, mv1) in enumerate(ops):
+                    for kind, _mv0, _mv1 in ops:
                         if kind in ("skip", "direct"):
                             raise NotImplementedError(
                                 "B_Skip / B_Direct in the pixel "
@@ -10981,27 +11195,27 @@ def decode_h264_bpixel(media_df: DataFrame) -> DataFrame:
                                 "bframe/tdirect walkers hold the "
                                 "direct tiers)"
                             )
-                        my = (idx // mb_w) * 16
-                        mx = (idx % mb_w) * 16
-                        p0 = p1 = None
-                        if mv0 is not None:
-                            p0 = _h264_fracpel_block(
-                                l0, mx, my, 16, 16, *mv0
-                            )
-                        if mv1 is not None:
-                            p1 = _h264_fracpel_block(
-                                l1, mx, my, 16, 16, *mv1
-                            )
                         if kind == "l0":
-                            blk = p0
                             n_l0 += 1
                         elif kind == "l1":
-                            blk = p1
                             n_l1 += 1
                         else:
-                            blk = (p0 + p1 + 1) >> 1
                             n_bi += 1
-                        new[my : my + 16, mx : mx + 16] = blk
+                    # one vectorized pass per list over the whole
+                    # plane (same arithmetic as the old per-MB
+                    # _h264_fracpel_block loop), selected per pixel
+                    # by kind mask: l0 / l1 / bi-average
+                    p0, p1, use0, use1 = _h264_b_list_planes(
+                        l0, l1, ops, mb_w
+                    )
+                    z = np.zeros_like(np.asarray(l0), dtype=np.int64)
+                    p0 = z if p0 is None else p0
+                    p1 = z if p1 is None else p1
+                    new = np.where(
+                        use0 & use1,
+                        (p0 + p1 + 1) >> 1,
+                        np.where(use0, p0, p1),
+                    )
                     rows.append(
                         ("B", int(new.sum()), n_l0, n_l1, n_bi)
                     )
@@ -11159,36 +11373,31 @@ def decode_h264_dpixel(media_df: DataFrame) -> DataFrame:
                         )
                     l0 = max(past)[1]
                     l1 = min(futr)[1]
-                    new = np.zeros_like(np.asarray(l0))
                     n_direct = n_skip = 0
                     for idx, (kind, mv0, mv1) in enumerate(ops):
                         if kind == "direct":
                             n_direct += 1
                         elif kind == "skip":
                             n_skip += 1
-                        my = (idx // mb_w) * 16
-                        mx = (idx % mb_w) * 16
-                        p0 = p1 = None
-                        if mv0 is not None:
-                            p0 = _h264_fracpel_block(
-                                l0, mx, my, 16, 16, *mv0
-                            )
-                        if mv1 is not None:
-                            p1 = _h264_fracpel_block(
-                                l1, mx, my, 16, 16, *mv1
-                            )
-                        if p0 is not None and p1 is not None:
-                            blk = (p0 + p1 + 1) >> 1
-                        elif p0 is not None:
-                            blk = p0
-                        elif p1 is not None:
-                            blk = p1
-                        else:
+                        if mv0 is None and mv1 is None:
                             raise ValueError(
                                 f"doc {doc_id}: macroblock {idx} "
                                 "uses neither list"
                             )
-                        new[my : my + 16, mx : mx + 16] = blk
+                    # one vectorized pass per list (same arithmetic
+                    # as the old per-MB _h264_fracpel_block loop),
+                    # combined per pixel by list-usage mask
+                    p0, p1, use0, use1 = _h264_b_list_planes(
+                        l0, l1, ops, mb_w
+                    )
+                    z = np.zeros_like(np.asarray(l0), dtype=np.int64)
+                    p0 = z if p0 is None else p0
+                    p1 = z if p1 is None else p1
+                    new = np.where(
+                        use0 & use1,
+                        (p0 + p1 + 1) >> 1,
+                        np.where(use0, p0, p1),
+                    )
                     rows.append(
                         ("B", int(new.sum()), n_direct, n_skip)
                     )
@@ -11369,44 +11578,39 @@ def decode_h264_wpixel(media_df: DataFrame) -> DataFrame:
                         )
                     l0 = max(past)[1]
                     l1 = min(futr)[1]
-                    new = np.zeros_like(np.asarray(l0))
                     n_wmb = 0
-                    for idx, (kind, mv0, mv1) in enumerate(ops):
+                    for kind, _mv0, _mv1 in ops:
                         if kind in ("skip", "direct"):
                             raise NotImplementedError(
                                 "B_Skip / B_Direct in the weighted "
                                 "pixel walker not implemented"
                             )
-                        my = (idx // mb_w) * 16
-                        mx = (idx % mb_w) * 16
-                        if kind == "l0":
-                            blk = _h264_wuni(
-                                _h264_fracpel_block(
-                                    l0, mx, my, 16, 16, *mv0
-                                ), w0, o0, db,
-                            )
-                        elif kind == "l1":
-                            blk = _h264_wuni(
-                                _h264_fracpel_block(
-                                    l1, mx, my, 16, 16, *mv1
-                                ), w1, o1, db,
-                            )
-                        else:
-                            p0 = _h264_fracpel_block(
-                                l0, mx, my, 16, 16, *mv0
-                            ).astype(np.int64)
-                            p1 = _h264_fracpel_block(
-                                l1, mx, my, 16, 16, *mv1
-                            ).astype(np.int64)
-                            # 8.4.2.3.2 eq. 8-272: two-list explicit
-                            blk = np.clip(
-                                ((p0 * w0 + p1 * w1 + (1 << db))
-                                 >> (db + 1))
-                                + ((o0 + o1 + 1) >> 1),
-                                0, 255,
-                            )
-                        new[my : my + 16, mx : mx + 16] = blk
                         n_wmb += 1
+                    # one vectorized pass per list, then the
+                    # 8.4.2.3.2 weighted combines selected per pixel
+                    # by list-usage mask (uni eq. 8-270/8-271, bi
+                    # eq. 8-272) — same arithmetic as the old per-MB
+                    # _h264_fracpel_block loop
+                    p0, p1, use0, use1 = _h264_b_list_planes(
+                        l0, l1, ops, mb_w
+                    )
+                    z = np.zeros_like(np.asarray(l0), dtype=np.int64)
+                    p0 = (z if p0 is None else p0).astype(np.int64)
+                    p1 = (z if p1 is None else p1).astype(np.int64)
+                    bi = np.clip(
+                        ((p0 * w0 + p1 * w1 + (1 << db)) >> (db + 1))
+                        + ((o0 + o1 + 1) >> 1),
+                        0, 255,
+                    )
+                    new = np.where(
+                        use0 & use1,
+                        bi,
+                        np.where(
+                            use0,
+                            _h264_wuni(p0, w0, o0, db),
+                            _h264_wuni(p1, w1, o1, db),
+                        ),
+                    )
                     rows.append(("B", int(new.sum()), n_wmb))
                 elif nal_type not in (7, 8):
                     raise ValueError(
