@@ -308,6 +308,61 @@ def perceptual_hash(media_df: DataFrame, codec: str = "fake") -> DataFrame:
 # while MP3/H.264 stay behind the NotImplementedError sites above.
 # ---------------------------------------------------------------------------
 
+class _KernelCapture:
+    """Duck-typed DataFrame stand-in that records a builder's single
+    ``select(...).mapInPandas(kernel, schema)`` call so the kernel can
+    be re-hosted (``fuse_synth_decode``).  Any other DataFrame method
+    raises AttributeError, which the fuser treats as "not capturable"
+    and falls back to the two-stage composition."""
+
+    __slots__ = ("kernel", "schema")
+
+    def __init__(self) -> None:
+        self.kernel = None
+        self.schema = None
+
+    def select(self, *_cols):
+        return self
+
+    def mapInPandas(self, kernel, schema):
+        self.kernel = kernel
+        self.schema = schema
+        return self
+
+
+def fuse_synth_decode(docs_df: DataFrame, synthesize_fn, decode_fn) -> DataFrame:
+    """Compose a ``synthesize_X`` / ``decode_X`` pair into ONE Python
+    stage: the synthesized payload bytes stay inside the Python worker
+    and feed the decode kernel directly, instead of crossing the
+    JVM↔Python Arrow boundary twice between two chained mapInPandas
+    runners (guide §4.1 — control how many columns/bytes cross).
+    Results are identical by construction: the decode kernel consumes
+    the exact frames the synth kernel yields.
+
+    Both builders keep their public DataFrame-in/DataFrame-out
+    contract for tests and composition elsewhere; this helper only
+    captures their kernels (``_KernelCapture``).  Any builder that
+    does more than ``select().mapInPandas()`` silently falls back to
+    the original two-stage form, so fusion can never change what a
+    query computes."""
+    try:
+        cs, cd = _KernelCapture(), _KernelCapture()
+        if synthesize_fn(cs) is not cs or decode_fn(cd) is not cd:
+            raise TypeError("builder shape not capturable")
+        synth_kernel = cs.kernel
+        decode_kernel = cd.kernel
+        out_schema = cd.schema
+        if synth_kernel is None or decode_kernel is None or out_schema is None:
+            raise TypeError("builder did not call mapInPandas")
+    except Exception:
+        return decode_fn(synthesize_fn(docs_df))
+
+    def fused(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        return decode_kernel(synth_kernel(batches))
+
+    return docs_df.select("doc_id").mapInPandas(fused, out_schema)
+
+
 WAV_META_SCHEMA = (
     "doc_id long, n_bytes long, framerate long, n_channels long, "
     "sampwidth long, n_frames long, peak_amplitude long, rms_amplitude long"

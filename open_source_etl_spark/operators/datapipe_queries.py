@@ -1394,10 +1394,15 @@ def datapipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle compressed rows (<= 4096 per doc) instead of raw terms,
     # and the per-doc score becomes sum(c * lr) over the compressed
     # form — the two-pass structure the DSIR paper's hashed features
-    # are designed for.
+    # are designed for.  ``localCheckpoint`` materializes the counts
+    # ONCE: without it each consumer re-runs the tokenize + explode +
+    # md5 pass over the whole corpus (the plan held 3 copies of the
+    # scan→explode→hash chain, 13 exchanges total — guide §2.4), and
+    # the materialized frame is the COMPRESSED per-(doc, bucket) form,
+    # bounded by docs x 4096, never the raw term stream.
     counts = feats.groupBy("doc_id", "lang", "bucket").agg(
         F.count("*").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     tc = (
         counts.filter(F.col("lang") == "en")
         .groupBy("bucket")

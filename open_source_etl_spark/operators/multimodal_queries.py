@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_table_compute
+from ..multimodal.decode import fuse_synth_decode
 from ..multimodal import decode_image_meta, perceptual_hash, sample_frames, with_media_payload
 from ..registry import query
 
@@ -301,7 +302,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_wav_real, synthesize_wav
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_wav_real(synthesize_wav(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_wav, decode_wav_real).orderBy("doc_id")
 
 
 @query(
@@ -333,7 +334,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_bmp_real, synthesize_bmp
 
     docs = load_table_compute(spark, sf_dir, "documents", heavy=False)
-    return decode_bmp_real(synthesize_bmp(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_bmp, decode_bmp_real).orderBy("doc_id")
 
 
 @query(
@@ -367,7 +368,9 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import synthesize_wav, wav_window_features
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return wav_window_features(synthesize_wav(docs)).orderBy("doc_id", "window_idx")
+    return fuse_synth_decode(docs, synthesize_wav, wav_window_features).orderBy(
+        "doc_id", "window_idx"
+    )
 
 
 @query(
@@ -401,7 +404,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_png_real, synthesize_png
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_png_real(synthesize_png(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_png, decode_png_real).orderBy("doc_id")
 
 
 @query(
@@ -437,7 +440,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_jpeg_real, synthesize_jpeg
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_jpeg_real(synthesize_jpeg(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_jpeg, decode_jpeg_real).orderBy("doc_id")
 
 
 @query(
@@ -486,7 +489,7 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_gif_real, synthesize_gif
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_gif_real(synthesize_gif(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_gif, decode_gif_real).orderBy("doc_id")
 
 
 @query(
@@ -528,7 +531,7 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_avi_mjpeg, synthesize_avi
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_avi_mjpeg(synthesize_avi(docs)).orderBy("doc_id", "frame_idx")
+    return fuse_synth_decode(docs, synthesize_avi, decode_avi_mjpeg).orderBy("doc_id", "frame_idx")
 
 
 @query(
@@ -587,7 +590,7 @@ def multimodal_avi_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_avi_av, synthesize_avi_av
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_avi_av(synthesize_avi_av(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_avi_av, decode_avi_av).orderBy("doc_id")
 
 
 @query(
@@ -662,7 +665,7 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_mp3_frames, synthesize_mp3
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_frames(synthesize_mp3(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3, decode_mp3_frames).orderBy("doc_id")
 
 
 @query(
@@ -745,7 +748,7 @@ def multimodal_h264_nal_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_h264_nals, synthesize_h264
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_nals(synthesize_h264(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_h264, decode_h264_nals).orderBy("doc_id")
 
 
 @query(
@@ -796,7 +799,7 @@ def multimodal_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_h264_ipcm, synthesize_h264_ipcm
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_ipcm(synthesize_h264_ipcm(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_ipcm, decode_h264_ipcm).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -869,7 +872,7 @@ def multimodal_jpeg_progressive_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_jpeg_progressive(synthesize_jpeg_prog(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_jpeg_prog, decode_jpeg_progressive).orderBy(
         "doc_id"
     )
 
@@ -955,7 +958,7 @@ def multimodal_jpeg_color_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_jpeg_color(synthesize_jpeg_color(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_jpeg_color, decode_jpeg_color).orderBy("doc_id")
 
 
 @query(
@@ -1039,7 +1042,7 @@ def multimodal_jpeg_color_restart_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_jpeg_color(synthesize_jpeg_cdri(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_jpeg_cdri, decode_jpeg_color).orderBy("doc_id")
 
 
 @query(
@@ -1176,7 +1179,7 @@ def multimodal_h264_cavlc_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_cavlc(synthesize_h264_cavlc(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_h264_cavlc, decode_h264_cavlc).orderBy("doc_id")
 
 
 @query(
@@ -1229,7 +1232,7 @@ def multimodal_jpeg_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_jpeg_exif, synthesize_jpeg_exif
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_jpeg_exif(synthesize_jpeg_exif(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_jpeg_exif, decode_jpeg_exif).orderBy("doc_id")
 
 
 @query(
@@ -1286,7 +1289,7 @@ def multimodal_aac_adts_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_aac_adts, synthesize_aac_adts
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_aac_adts(synthesize_aac_adts(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_aac_adts, decode_aac_adts).orderBy("doc_id")
 
 
 @query(
@@ -1334,7 +1337,7 @@ def multimodal_mp3_id3v1_tags(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_id3v1(synthesize_mp3_id3v1(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_mp3_id3v1, decode_mp3_id3v1).orderBy(
         "doc_id"
     )
 
@@ -1410,7 +1413,7 @@ def multimodal_wav_g711_decode(
     from ..multimodal.decode import decode_wav_g711, synthesize_wav_g711
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_wav_g711(synthesize_wav_g711(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_wav_g711, decode_wav_g711).orderBy("doc_id")
 
 
 @query(
@@ -1470,9 +1473,7 @@ def multimodal_gif_interlaced_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_gif_interlaced(
-        synthesize_gif_interlaced(docs)
-    ).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_gif_interlaced, decode_gif_interlaced).orderBy("doc_id")
 
 
 @query(
@@ -1550,7 +1551,7 @@ def multimodal_heif_box_walk(
     from ..multimodal.decode import decode_heif, synthesize_heif
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_heif(synthesize_heif(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_heif, decode_heif).orderBy("doc_id")
 
 
 @query(
@@ -1635,7 +1636,7 @@ def multimodal_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_mp4, synthesize_mp4
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp4(synthesize_mp4(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp4, decode_mp4).orderBy("doc_id")
 
 
 @query(
@@ -1716,7 +1717,7 @@ def multimodal_mp4_frag_flags_walk(
     from ..multimodal.decode import decode_mp4, synthesize_mp4_fflags
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp4(synthesize_mp4_fflags(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp4_fflags, decode_mp4).orderBy("doc_id")
 
 
 @query(
@@ -1802,7 +1803,7 @@ def multimodal_webm_ebml_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_webm, synthesize_webm
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_webm(synthesize_webm(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_webm, decode_webm).orderBy("doc_id")
 
 
 @query(
@@ -1884,7 +1885,7 @@ def multimodal_ogg_opus_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_ogg_opus, synthesize_ogg_opus
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_ogg_opus(synthesize_ogg_opus(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_ogg_opus, decode_ogg_opus).orderBy("doc_id")
 
 
 @query(
@@ -2049,7 +2050,7 @@ def multimodal_mp3_maindata_decode(spark: SparkSession, sf_dir: str) -> DataFram
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_md
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_maindata(synthesize_mp3_md(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_md, decode_mp3_maindata).orderBy("doc_id")
 
 
 @query(
@@ -2170,7 +2171,7 @@ def multimodal_mp3_short_block_decode(
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_sb
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_maindata(synthesize_mp3_sb(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_sb, decode_mp3_maindata).orderBy("doc_id")
 
 
 @query(
@@ -2303,7 +2304,7 @@ def multimodal_mp3_hufftables_decode(
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_ht
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_maindata(synthesize_mp3_ht(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_ht, decode_mp3_maindata).orderBy("doc_id")
 
 
 @query(
@@ -2447,7 +2448,7 @@ def multimodal_mp3_linbits_decode(
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_lb
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_maindata(synthesize_mp3_lb(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_lb, decode_mp3_maindata).orderBy("doc_id")
 
 
 @query(
@@ -2533,7 +2534,7 @@ def multimodal_h264_multiref_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_multiref(synthesize_h264_multiref(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_multiref, decode_h264_multiref).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -2601,7 +2602,7 @@ def multimodal_jpeg_prog_restart_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_jpeg_progressive(synthesize_jpeg_prog_rst(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_jpeg_prog_rst, decode_jpeg_progressive).orderBy(
         "doc_id"
     )
 
@@ -2719,7 +2720,7 @@ def multimodal_h264_p8x8_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_p8x8(synthesize_h264_p8x8(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_p8x8, decode_h264_p8x8).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -2820,7 +2821,7 @@ def multimodal_h264_tdirect_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_tdirect(synthesize_h264_tdirect(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_tdirect, decode_h264_tdirect).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -3016,7 +3017,7 @@ def multimodal_h264_fracpel_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_fracpel(synthesize_h264_fracpel(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_fracpel, decode_h264_fracpel).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -3191,7 +3192,7 @@ def multimodal_h264_bpixel_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_bpixel(synthesize_h264_bpixel(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_bpixel, decode_h264_bpixel).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -3357,7 +3358,7 @@ def multimodal_h264_dpixel_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_dpixel(synthesize_h264_dpixel(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_dpixel, decode_h264_dpixel).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -3527,7 +3528,7 @@ def multimodal_h264_wpixel_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_wpixel(synthesize_h264_wpixel(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_wpixel, decode_h264_wpixel).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -3704,7 +3705,7 @@ def multimodal_h264_chroma_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_chroma(synthesize_h264_chroma(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_chroma, decode_h264_chroma).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -3869,7 +3870,7 @@ def multimodal_h264_submb_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_submb(synthesize_h264_submb(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_submb, decode_h264_submb).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -4010,7 +4011,7 @@ def multimodal_mp3_requant_exact(
     from ..multimodal.decode import decode_mp3_requant, synthesize_mp3_rq
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_requant(synthesize_mp3_rq(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_rq, decode_mp3_requant).orderBy("doc_id")
 
 
 @query(
@@ -4149,7 +4150,7 @@ def multimodal_mp3_requant_wide(
     from ..multimodal.decode import decode_mp3_requant, synthesize_mp3_rqw
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_requant(synthesize_mp3_rqw(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_rqw, decode_mp3_requant).orderBy("doc_id")
 
 
 @query(
@@ -4289,7 +4290,7 @@ def multimodal_mp3_requant_escape(
     from ..multimodal.decode import decode_mp3_requant, synthesize_mp3_rqe
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_requant(synthesize_mp3_rqe(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_rqe, decode_mp3_requant).orderBy("doc_id")
 
 
 @query(
@@ -4339,7 +4340,7 @@ def multimodal_mp3_id3_tags(
     from ..multimodal.decode import decode_mp3_id3, synthesize_mp3_id3
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_id3(synthesize_mp3_id3(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_id3, decode_mp3_id3).orderBy("doc_id")
 
 
 @query(
@@ -4422,7 +4423,7 @@ def multimodal_webp_vp8l_decode(
     from ..multimodal.decode import decode_webp, synthesize_webp
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_webp(synthesize_webp(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_webp, decode_webp).orderBy("doc_id")
 
 
 @query(
@@ -4517,7 +4518,7 @@ def multimodal_webp_vp8l_transform_decode(
     from ..multimodal.decode import decode_webp, synthesize_webp_transform
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_webp(synthesize_webp_transform(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_webp_transform, decode_webp).orderBy("doc_id")
 
 
 @query(
@@ -4625,9 +4626,7 @@ def multimodal_h264_weighted_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_weighted(
-        synthesize_h264_weighted(docs)
-    ).orderBy("doc_id", "frame_idx")
+    return fuse_synth_decode(docs, synthesize_h264_weighted, decode_h264_weighted).orderBy("doc_id", "frame_idx")
 
 
 @query(
@@ -4714,7 +4713,7 @@ def multimodal_h264_bframe_decode(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_bframe(synthesize_h264_bframe(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_bframe, decode_h264_bframe).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -4782,7 +4781,7 @@ def multimodal_png_colortypes_decode(
     from ..multimodal.decode import decode_png_ct, synthesize_png_ct
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_png_ct(synthesize_png_ct(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_png_ct, decode_png_ct).orderBy("doc_id")
 
 
 @query(
@@ -4923,7 +4922,7 @@ def multimodal_mp3_requant_ms_stereo(
     from ..multimodal.decode import decode_mp3_requant_ms, synthesize_mp3_ms
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_requant_ms(synthesize_mp3_ms(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_ms, decode_mp3_requant_ms).orderBy("doc_id")
 
 
 @query(
@@ -5077,7 +5076,7 @@ def multimodal_mp3_requant_is_stereo(
     )
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_requant_is(synthesize_mp3_is(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_mp3_is, decode_mp3_requant_is).orderBy(
         "doc_id"
     )
 
@@ -5205,7 +5204,7 @@ def multimodal_mp3_requant_short(
     from ..multimodal.decode import decode_mp3_requant, synthesize_mp3_rqs
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_requant(synthesize_mp3_rqs(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_rqs, decode_mp3_requant).orderBy("doc_id")
 
 
 @query(
@@ -5423,7 +5422,7 @@ def multimodal_mp3_imdct_synth(
     from ..multimodal.decode import decode_mp3_imdct, synthesize_mp3_imdct
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_imdct(synthesize_mp3_imdct(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_imdct, decode_mp3_imdct).orderBy("doc_id")
 
 
 @query(
@@ -5548,7 +5547,7 @@ def multimodal_mp3_wswitch_regions_decode(
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_ws
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_maindata(synthesize_mp3_ws(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_ws, decode_mp3_maindata).orderBy("doc_id")
 
 
 @query(
@@ -5674,7 +5673,7 @@ def multimodal_mp3_b8_regions_decode(
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_b8
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_maindata(synthesize_mp3_b8(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_b8, decode_mp3_maindata).orderBy("doc_id")
 
 
 @query(
@@ -5795,7 +5794,7 @@ def multimodal_mp3_mixed_block_decode(
     from ..multimodal.decode import decode_mp3_maindata, synthesize_mp3_mx
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_mp3_maindata(synthesize_mp3_mx(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_mp3_mx, decode_mp3_maindata).orderBy("doc_id")
 
 
 @query(
@@ -5872,7 +5871,7 @@ def multimodal_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_h264_gop, synthesize_h264_gop
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_gop(synthesize_h264_gop(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_gop, decode_h264_gop).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -5932,7 +5931,7 @@ def multimodal_png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_png_adam7, synthesize_png_adam7
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_png_adam7(synthesize_png_adam7(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_png_adam7, decode_png_adam7).orderBy("doc_id")
 
 
 @query(
@@ -6013,7 +6012,7 @@ def multimodal_gif_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_gif_anim, synthesize_gif_anim
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_gif_anim(synthesize_gif_anim(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_gif_anim, decode_gif_anim).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -6092,7 +6091,7 @@ def multimodal_gif_disposal_decode(spark: SparkSession, sf_dir: str) -> DataFram
     from ..multimodal.decode import decode_gif_anim, synthesize_gif_disposal
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_gif_anim(synthesize_gif_disposal(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_gif_disposal, decode_gif_anim).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -6147,7 +6146,7 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_tiff_real, synthesize_tiff
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_tiff_real(synthesize_tiff(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_tiff, decode_tiff_real).orderBy("doc_id")
 
 
 @query(
@@ -6209,7 +6208,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_flac_real, synthesize_flac
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_flac_real(synthesize_flac(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_flac, decode_flac_real).orderBy("doc_id")
 
 
 @query(
@@ -6277,7 +6276,7 @@ def multimodal_flac_vbs_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_flac_real, synthesize_flac_vbs
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_flac_real(synthesize_flac_vbs(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_flac_vbs, decode_flac_real).orderBy("doc_id")
 
 
 @query(
@@ -6342,7 +6341,7 @@ def multimodal_gif_lct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_gif_anim, synthesize_gif_lct
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_gif_anim(synthesize_gif_lct(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_gif_lct, decode_gif_anim).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -6395,7 +6394,7 @@ def multimodal_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..multimodal.decode import decode_png_palette, synthesize_png_palette
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_png_palette(synthesize_png_palette(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_png_palette, decode_png_palette).orderBy("doc_id")
 
 
 @query(
@@ -6432,7 +6431,7 @@ def multimodal_wav_extended_decode(spark: SparkSession, sf_dir: str) -> DataFram
     from ..multimodal.decode import decode_wav_ext, synthesize_wav_ext
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_wav_ext(synthesize_wav_ext(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_wav_ext, decode_wav_ext).orderBy("doc_id")
 
 
 @query(
@@ -6487,7 +6486,7 @@ def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..multimodal.decode import decode_flac_stereo, synthesize_flac_stereo
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_flac_stereo(synthesize_flac_stereo(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_flac_stereo, decode_flac_stereo).orderBy("doc_id")
 
 
 @query(
@@ -6547,7 +6546,7 @@ def multimodal_bmp_rle8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_bmp_rle8, synthesize_bmp_rle8
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_bmp_rle8(synthesize_bmp_rle8(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_bmp_rle8, decode_bmp_rle8).orderBy("doc_id")
 
 
 @query(
@@ -6618,7 +6617,7 @@ def multimodal_bmp_rle4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_bmp_rle4, synthesize_bmp_rle4
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_bmp_rle4(synthesize_bmp_rle4(docs)).orderBy("doc_id")
+    return fuse_synth_decode(docs, synthesize_bmp_rle4, decode_bmp_rle4).orderBy("doc_id")
 
 
 @query(
@@ -6708,6 +6707,6 @@ def multimodal_h264_inter_decode(
     from ..multimodal.decode import decode_h264_inter, synthesize_h264_inter
 
     docs = load_table_compute(spark, sf_dir, "documents")
-    return decode_h264_inter(synthesize_h264_inter(docs)).orderBy(
+    return fuse_synth_decode(docs, synthesize_h264_inter, decode_h264_inter).orderBy(
         "doc_id", "frame_idx"
     )
