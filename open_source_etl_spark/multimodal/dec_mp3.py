@@ -960,19 +960,29 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                         raise ValueError(
                             f"doc {doc_id}: main data ends mid-field"
                         )
-                    big = int.from_bytes(stream[base : base + nbytes], "big")
+                    # take() reads straight from the stream bytes:
+                    # the previous whole-granule bigint paid an
+                    # O(granule-size) shift per field read
+
                     tot = nbytes * 8
                     used = 0
 
                     def take(n: int) -> int:
                         nonlocal used
-                        shift = tot - off - used - n
-                        if shift < 0:
+                        end = off + used + n
+                        if end > tot:
                             raise ValueError(
                                 f"doc {doc_id}: main data ends mid-field"
                             )
-                        used += n
-                        return (big >> shift) & ((1 << n) - 1)
+                        p = (base << 3) + off + used
+                        used = end - off
+                        if n == 1:
+                            return (stream[p >> 3] >> (7 - (p & 7))) & 1
+                        pe = p + n
+                        val = int.from_bytes(
+                            stream[p >> 3 : (pe + 7) >> 3], "big"
+                        )
+                        return (val >> ((-pe) & 7)) & ((1 << n) - 1)
 
                     # scalefactors (2.4.2.7): long granules transmit
                     # 21 bands (granule 1 REUSES granule 0's values
@@ -1365,7 +1375,10 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                 for _ in range(count):
                     length = code = 0
                     while True:
-                        code = (code << 1) | take(1)
+                        code = (code << 1) | (
+                            (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                        )
+                        bitpos += 1
                         length += 1
                         xy = table.get((length, code))
                         if xy is not None:
@@ -1394,7 +1407,10 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                 if c1a:
                     length = code = 0
                     while True:
-                        code = (code << 1) | take(1)
+                        code = (code << 1) | (
+                            (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                        )
+                        bitpos += 1
                         length += 1
                         quad = MP3_COUNT1A.get((length, code))
                         if quad is not None:
@@ -1896,7 +1912,10 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                     for _ in range(count):
                         length = code = 0
                         while True:
-                            code = (code << 1) | take(1)
+                            code = (code << 1) | (
+                                (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
+                            )
+                            dpos += 1
                             length += 1
                             xy = table.get((length, code))
                             if xy is not None:
@@ -1922,7 +1941,10 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                     if c1a:
                         length = code = 0
                         while True:
-                            code = (code << 1) | take(1)
+                            code = (code << 1) | (
+                                (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
+                            )
+                            dpos += 1
                             length += 1
                             quad = MP3_COUNT1A.get((length, code))
                             if quad is not None:
@@ -2044,7 +2066,10 @@ def _mp3_granule_long(
         for _ in range(count):
             length = code = 0
             while True:
-                code = (code << 1) | take(1)
+                code = (code << 1) | (
+                    (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
+                )
+                dpos += 1
                 length += 1
                 xy = table.get((length, code))
                 if xy is not None:
@@ -2075,7 +2100,10 @@ def _mp3_granule_long(
         if c1a:
             length = code = 0
             while True:
-                code = (code << 1) | take(1)
+                code = (code << 1) | (
+                    (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
+                )
+                dpos += 1
                 length += 1
                 quad = MP3_COUNT1A.get((length, code))
                 if quad is not None:

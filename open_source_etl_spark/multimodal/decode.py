@@ -742,19 +742,59 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        # multi-byte refill instead of a per-bit loop; the accumulator
+        # keeps its low `nbits` bits valid (high bits are consumed
+        # garbage, masked out on extraction) and is clamped to 32 bits
+        # so it never grows into a big integer
+        nbits = self.nbits
+        if nbits < n:
+            data = self.data
+            pos = self.pos
+            acc = self.acc
+            ln = len(data)
+            while nbits < n:
+                if pos >= ln:
+                    raise ValueError("entropy stream truncated")
+                acc = ((acc << 8) | data[pos]) & 0xFFFFFFFF
+                pos += 1
+                nbits += 8
+            self.pos = pos
+            self.acc = acc
+        self.nbits = nbits - n
+        return (self.acc >> (nbits - n)) & ((1 << n) - 1)
 
     def huff(self, table: dict) -> int:
-        length, code = 0, 0
+        # inlined canonical walk (same values/raises as a bit() loop)
+        data = self.data
+        pos = self.pos
+        acc = self.acc
+        nbits = self.nbits
+        ln = len(data)
+        get = table.get
+        code = 0
+        length = 0
         while length < 16:
-            code = (code << 1) | self.bit()
+            if not nbits:
+                if pos >= ln:
+                    self.pos = pos
+                    self.acc = acc
+                    self.nbits = nbits
+                    raise ValueError("entropy stream truncated")
+                acc = data[pos]
+                pos += 1
+                nbits = 8
+            nbits -= 1
+            code = (code << 1) | ((acc >> nbits) & 1)
             length += 1
-            sym = table.get((length, code))
+            sym = get((length, code))
             if sym is not None:
+                self.pos = pos
+                self.acc = acc
+                self.nbits = nbits
                 return sym
+        self.pos = pos
+        self.acc = acc
+        self.nbits = nbits
         raise ValueError("invalid Huffman code in scan")
 
 
@@ -2449,6 +2489,61 @@ class _H264BitReader:
         k = self.ue()
         return (k + 1) // 2 if k % 2 else -(k // 2)
 
+    def vlc(self, table: dict, max_len: int, what: str):
+        """Canonical-walk VLC decode against a {(length, code): value}
+        table — the inlined form of the per-bit ``u(1)`` loop every
+        CAVLC table walk used (same values, same raises: 'truncated
+        bitstream' at EOF, 'invalid <what> code' past max_len)."""
+        data = self.data
+        pos = self.pos
+        limit = self.limit
+        get = table.get
+        code = 0
+        length = 0
+        while True:
+            if pos >= limit:
+                self.pos = pos
+                raise ValueError(
+                    f"doc {self.doc_id}: truncated bitstream"
+                )
+            code = (code << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+            length += 1
+            hit = get((length, code))
+            if hit is not None:
+                self.pos = pos
+                return hit
+            if length >= max_len:
+                self.pos = pos
+                raise ValueError(
+                    f"doc {self.doc_id}: invalid {what} code"
+                )
+
+    def unary_capped(self, cap: int, what: str) -> int:
+        """Count leading zero bits (consuming the terminating 1) with
+        the u(1)-loop's exact raise order: 'truncated bitstream' when
+        the scan hits EOF first, '<what> overflow' once more than
+        ``cap`` zeros have been consumed."""
+        data = self.data
+        pos = self.pos
+        limit = self.limit
+        zeros = 0
+        while True:
+            if pos >= limit:
+                self.pos = pos
+                raise ValueError(
+                    f"doc {self.doc_id}: truncated bitstream"
+                )
+            bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+            pos += 1
+            if bit:
+                self.pos = pos
+                return zeros
+            zeros += 1
+            if zeros > cap:
+                self.pos = pos
+                raise ValueError(f"doc {self.doc_id}: {what} overflow")
+
 
 def parse_sps(doc_id: int, rbsp: bytes) -> tuple[int, int, int, int]:
     """Parse a seq_parameter_set RBSP (ITU-T H.264 7.3.2.1.1) down to
@@ -3042,18 +3137,7 @@ def _cavlc_residual(
             else H264_COEFF_TOKEN_NC2 if n_c < 4
             else H264_COEFF_TOKEN_NC4
         )
-        length = code = 0
-        while True:
-            code = (code << 1) | reader.u(1)
-            length += 1
-            hit = table.get((length, code))
-            if hit is not None:
-                total, t1 = hit
-                break
-            if length >= 16:
-                raise ValueError(
-                    f"doc {doc_id}: invalid coeff_token code"
-                )
+        total, t1 = reader.vlc(table, 16, "coeff_token")
     if t1 > total or total > max_coeff:
         raise ValueError(
             f"doc {doc_id}: coeff_token ({total},{t1}) out of range"
@@ -3063,11 +3147,7 @@ def _cavlc_residual(
         levels.append(-1 if reader.u(1) else 1)
     suffix_len = 1 if total > 10 and t1 < 3 else 0
     for i in range(t1, total):
-        prefix = 0
-        while reader.u(1) == 0:
-            prefix += 1
-            if prefix > 32:
-                raise ValueError(f"doc {doc_id}: level_prefix overflow")
+        prefix = reader.unary_capped(32, "level_prefix")
         if prefix == 14 and suffix_len == 0:
             suffix_size = 4
         elif prefix >= 15:
@@ -3099,17 +3179,7 @@ def _cavlc_residual(
             H264_TOTAL_ZEROS_CHROMA_DC[total] if max_coeff == 4
             else H264_TOTAL_ZEROS[total]
         )
-        length = code = 0
-        while True:
-            code = (code << 1) | reader.u(1)
-            length += 1
-            tz = tz_table.get((length, code))
-            if tz is not None:
-                break
-            if length >= 10:
-                raise ValueError(
-                    f"doc {doc_id}: invalid total_zeros code"
-                )
+        tz = reader.vlc(tz_table, 10, "total_zeros")
         if tz > max_coeff - total:
             raise ValueError(
                 f"doc {doc_id}: total_zeros {tz} exceeds the "
@@ -3121,18 +3191,9 @@ def _cavlc_residual(
         for _i in range(total - 1):
             if zeros_left <= 0:
                 break
-            rb_table = H264_RUN_BEFORE[min(zeros_left, 7)]
-            length = code = 0
-            while True:
-                code = (code << 1) | reader.u(1)
-                length += 1
-                run = rb_table.get((length, code))
-                if run is not None:
-                    break
-                if length >= 11:
-                    raise ValueError(
-                        f"doc {doc_id}: invalid run_before code"
-                    )
+            run = reader.vlc(
+                H264_RUN_BEFORE[min(zeros_left, 7)], 11, "run_before"
+            )
             if run > zeros_left:
                 raise ValueError(
                     f"doc {doc_id}: run_before {run} exceeds "

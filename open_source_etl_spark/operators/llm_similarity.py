@@ -609,6 +609,15 @@ def _pq_topk(
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.size("embedding") == 64
     )
+    # one materialization of the subvector explode: it feeds the seed
+    # means, BOTH Lloyd rounds, and the final code assignment — without
+    # it each consumer re-runs the scan + explode (4 full passes).  The
+    # exploded form carries the same bytes as the input vectors (m
+    # sub_d-dim slices of each 64-dim embedding), so the checkpoint is
+    # corpus-sized, not corpus-multiplied; at 100 TB the codebook
+    # trains on a sample offline (docstring) and only the single
+    # code-assignment pass touches the full corpus.
+    subrows = _pq_subrows(emb, m, sub_d).localCheckpoint(eager=True)
     if n_candidates is None:
         # re-rank budget scales with the corpus (12.5%, min 100): ADC
         # ordering is a pruning dial, and a fixed candidate count
@@ -616,17 +625,23 @@ def _pq_topk(
         # On these WEAKLY-CLUSTERED synthetic embeddings recall is
         # largely bounded by probed mass (the IVF query documents the
         # same property); a deployment tunes the fraction against its
-        # own recall target on real, clusterable vectors.
-        n_candidates = max(100, emb.count() // 8)
-    subrows = _pq_subrows(emb, m, sub_d)
-    # seed codewords from a pure hash of vec_id, then 2 Lloyd rounds
+        # own recall target on real, clusterable vectors.  subrows
+        # carries exactly m rows per vector, so the corpus size is a
+        # cheap count over the materialized checkpoint — not a second
+        # parquet scan of the embedding column.
+        n_candidates = max(100, subrows.count() // m // 8)
+    # seed codewords from a pure hash of vec_id, then 2 Lloyd rounds.
+    # ONE materialization at the end of the chain: the intermediate
+    # per-round checkpoints each cost a blocking job; the final
+    # codebook is what both downstream consumers (code assignment and
+    # the ADC table) reuse, and the full chain from the materialized
+    # subrows is 3 mean-shuffles + 2 broadcast assigns computed once.
     codebook = _pq_centroid_means(
         subrows.withColumn("cell", F.col("vec_id") % ksub)
-    ).localCheckpoint()
+    )
     for _ in range(2):
-        codebook = _pq_centroid_means(
-            _pq_assign(subrows, codebook)
-        ).localCheckpoint()
+        codebook = _pq_centroid_means(_pq_assign(subrows, codebook))
+    codebook = codebook.localCheckpoint(eager=True)
     codes = _pq_assign(subrows, codebook).select("vec_id", "sub", "cell")
     # ADC table: the query's per-subspace dot with every codeword
     qsub = _pq_subrows(
