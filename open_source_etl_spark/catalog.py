@@ -153,9 +153,45 @@ def load_table_compute(
     if not heavy:
         return df
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _scan_splits(spark, sf_dir, name, df) < target:
         return df.repartition(target)
     return df
+
+
+# (sf_dir, table, file-fingerprint, parallelism, maxPartitionBytes) →
+# scan split count.  ``df.rdd.getNumPartitions()`` converts the plan to
+# an RDD (~50 ms of driver time) and its answer is a pure property of
+# the files and the two confs in the key, so it is probed once per
+# table per session instead of once per query — the same staleness
+# discipline as ``_SCHEMA_CACHE`` (fingerprint in the key; remote
+# schemes skip the cache).
+_SPLIT_CACHE: dict = {}
+
+
+def _scan_splits(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> int:
+    fp = _local_fingerprint(f"{sf_dir}/{name}.parquet")
+    if fp is None:
+        return df.rdd.getNumPartitions()
+    try:
+        # no fallback arg: Spark VALIDATES a fallback string against the
+        # conf's type, so get(key, "") raises on byte-typed confs
+        mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    except Exception:
+        mpb = ""
+    key = (
+        sf_dir,
+        name,
+        fp,
+        spark.sparkContext.defaultParallelism,
+        mpb,
+    )
+    n = _SPLIT_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_SPLIT_CACHE) > 4096:
+            _SPLIT_CACHE.clear()
+        _SPLIT_CACHE[key] = n
+    return n
 
 
 def scoped_view(spark: SparkSession, sf_dir: str, table: str, tag: str) -> str:

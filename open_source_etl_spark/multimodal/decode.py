@@ -4200,6 +4200,27 @@ class _Vp8lBits:
     def read_symbol(self, table: dict, what: str) -> int:
         if isinstance(table, int):  # 1-symbol simple code: zero bits
             return table
+        if len(table) == 2:
+            # a two-leaf complete canonical code is always
+            # {(1,0), (1,1)} (Kraft): one bit decides the symbol —
+            # the shape every code-length code in the flat-tree
+            # fixtures takes
+            pos = self.pos
+            if pos >= self.limit:
+                raise ValueError(
+                    f"doc {self.doc_id}: VP8L stream exhausted"
+                )
+            nacc = self.nacc
+            if nacc:
+                bit = self.acc & 1
+                self.acc >>= 1
+                self.nacc = nacc - 1
+            else:
+                bit = self.raw[pos >> 3] & 1
+                self.acc = self.raw[pos >> 3] >> 1
+                self.nacc = 7
+            self.pos = pos + 1
+            return table[(1, bit)]
         # inlined bit-by-bit canonical walk (same values/raises as a
         # read(1) loop, without the per-bit attribute traffic)
         pos = self.pos

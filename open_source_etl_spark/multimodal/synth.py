@@ -113,10 +113,14 @@ def make_png_bytes(doc_id: int) -> bytes:
     width, height, (r, g, b) = png_params(doc_id)
     bpp = 3  # bytes per pixel
     row = bytes((r, g, b)) * width
-    prev = bytes(len(row))
-    scanlines = []
-    for y in range(height):
-        f = y % 5
+
+    # every row of the solid image is identical, so each filter type
+    # produces ONE filtered form (row 0's f=0 ignores prev entirely,
+    # and every later row has prev == row): compute the five forms
+    # once and assemble scanlines by cycling them — byte-identical to
+    # filtering each of the <= 16 rows separately
+    def filtered(f: int) -> bytes:
+        prev = row
         filt = bytearray(len(row))
         for x in range(len(row)):
             left = row[x - bpp] if x >= bpp else 0
@@ -133,9 +137,12 @@ def make_png_bytes(doc_id: int) -> bytes:
             else:
                 pred = _paeth(left, up, up_left)
             filt[x] = (row[x] - pred) & 0xFF
-        scanlines.append(bytes([f]) + bytes(filt))
-        prev = row
-    idat = zlib.compress(b"".join(scanlines))
+        return bytes([f]) + bytes(filt)
+
+    forms = [filtered(f) for f in range(min(5, height))]
+    idat = zlib.compress(
+        b"".join(forms[y % 5] for y in range(height))
+    )
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -5116,9 +5123,26 @@ def _vp8l_put_flat_tree(w: "_LsbBitWriter", n: int) -> dict:
         w.put(cl_lengths.get(s, 0), 3)
     w.put(0, 1)               # no max_symbol shortcut
     cl_codes = _canonical_codes_from_lengths(cl_lengths)
+    # the flat tree uses at most two adjacent lengths, so the
+    # per-symbol code-length stream is at most two RUNS of one
+    # repeated 1-bit code each; emit each run as a single put of the
+    # repeated (bit-reversed) pattern instead of n put_code calls —
+    # bit-identical to the per-symbol loop
+    runs: list[list] = []
     for s in range(n):
         c, nb = cl_codes[lengths[s]]
-        w.put_code(c, nb)
+        if runs and runs[-1][0] == c and runs[-1][1] == nb:
+            runs[-1][2] += 1
+        else:
+            runs.append([c, nb, 1])
+    for c, nb, cnt in runs:
+        rc = 0
+        for _ in range(nb):  # put() is LSB-first: pre-reverse the code
+            rc = (rc << 1) | (c & 1)
+            c >>= 1
+        # rc repeated cnt times at stride nb, as one integer
+        pat = rc * (((1 << (nb * cnt)) - 1) // ((1 << nb) - 1))
+        w.put(pat, nb * cnt)
     return _canonical_codes_from_lengths(lengths)
 
 

@@ -93,14 +93,17 @@ def test_python_stages_only_where_designed(audit):
 ])
 def test_round14_media_queries_keep_the_arrow_tier_shape(audit, name):
     """Every round-14 media/container query keeps the established
-    scale shape: exactly two Python stages (synthesize -> decode
-    Arrow kernels), no data shuffle beyond the fixed synth
+    scale shape: ONE fused Python stage (the optimization round's
+    ``fuse_synth_decode`` composes the synthesize and decode Arrow
+    kernels inside a single mapInPandas, so payload bytes never
+    cross the JVM boundary), no data shuffle beyond the fixed synth
     repartition + final orderBy (PLANS shuffles <= 2), one scan
     column (doc_id), and no broadcast joins — per-row kernels with
-    no cross-row state cannot regress into shuffling pipelines
-    without tripping this pin."""
+    no cross-row state cannot regress into shuffling pipelines (or
+    back into the two-stage payload round-trip) without tripping
+    this pin."""
     facts = audit(name)
-    assert facts.python_stages == 2, (name, facts.python_stages)
+    assert facts.python_stages == 1, (name, facts.python_stages)
     assert facts.exchanges <= 2, (name, facts.exchanges)
     assert facts.broadcast_joins == 0, name
     assert len(facts.read_columns) <= 1, (name, facts.read_columns)
