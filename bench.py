@@ -315,10 +315,15 @@ def main() -> None:
     budget = 1900
 
     def _rank(name: str) -> tuple:
-        import re
-
-        m = re.match(r"q(\d+)_", name)
-        return (0, int(m.group(1))) if m else (1, name)
+        # Most-expensive first (VERDICT r14 item 1): the driver's PERF
+        # comparison only sees the entries that fit the one-line stdout
+        # budget, and alphabetical order sampled 64 sub-second queries
+        # while missing every heavy optimization target.  Descending
+        # time puts the queries where optimization lives inside the
+        # sample; the FULL 340-query map still ships in BENCH_FULL.json
+        # (referenced by "queries_full"), and every query still runs —
+        # nothing is dropped from the bench itself.
+        return (-timings[name], name)
 
     compact_queries: dict[str, float] = {}
     base = {
