@@ -22,19 +22,38 @@ MP3_META_SCHEMA = (
 )
 
 
+_MP3_CRC16_TAB: list[int] | None = None
+
+
+def _mp3_crc16_tab() -> list[int]:
+    """256-entry byte-at-a-time table for the MPEG CRC-16 (guide
+    §4.2 — hoist per-bit work out of the per-byte loop): T[v] is the
+    register after clocking byte v through the bitwise recurrence
+    with zero data bits, the standard table-driven MSB-first form.
+    Built once per process; fuzz-pinned against the bitwise reference
+    in tests/test_multimodal.py."""
+    global _MP3_CRC16_TAB
+    if _MP3_CRC16_TAB is None:
+        tab = []
+        for v in range(256):
+            crc = v << 8
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+            tab.append(crc)
+        _MP3_CRC16_TAB = tab
+    return _MP3_CRC16_TAB
+
+
 def mp3_crc16(data: bytes) -> int:
     """The MPEG audio CRC-16 (ISO 11172-3 2.4.3.1 / A.9): polynomial
     x^16 + x^15 + x^2 + 1 (0x8005), initial value 0xFFFF, MSB-first,
     no final inversion.  For Layer III the protected span is header
-    bytes 2-3 followed by the complete side information."""
+    bytes 2-3 followed by the complete side information.  Table-driven
+    byte-at-a-time form of the bitwise recurrence (identical values)."""
     crc = 0xFFFF
+    tab = _mp3_crc16_tab()
     for b in data:
-        for i in range(7, -1, -1):
-            bit = (b >> i) & 1
-            msb = (crc >> 15) & 1
-            crc = (crc << 1) & 0xFFFF
-            if msb ^ bit:
-                crc ^= 0x8005
+        crc = ((crc << 8) & 0xFFFF) ^ tab[(crc >> 8) ^ b]
     return crc
 
 
@@ -807,6 +826,83 @@ def _mp3_bv_table(
     return MP3_HUFF_TABLES[base], MP3_LINBITS.get(tsel, 0)
 
 
+# Peek-LUT forms of the B.7 walk (round 15, guide §4.2): every shipped
+# table is COMPLETE (Kraft sum exactly 1, asserted per table in
+# tests/test_multimodal.py), so any K-bit window — K the table's max
+# code length — resolves to exactly one codeword in one list probe,
+# replacing the per-bit shift/dict-probe walk.  Entries pack
+# (code_length << 8) | (x << 4) | y; built lazily once per process and
+# kept across tasks by worker reuse (dec_mp3 is an importable module).
+_MP3_BV_LUTS: dict[int, tuple[list[int], int]] = {}
+_MP3_C1A_LUT: tuple[list[int], int] | None = None
+
+
+def _mp3_bv_lut(base: int) -> tuple[list[int], int]:
+    got = _MP3_BV_LUTS.get(base)
+    if got is None:
+        table = MP3_HUFF_TABLES[base]
+        k = max(ln for ln, _ in table)
+        lut = [0] * (1 << k)
+        for (ln, code), (x, y) in table.items():
+            span = 1 << (k - ln)
+            start = code << (k - ln)
+            lut[start : start + span] = [(ln << 8) | (x << 4) | y] * span
+        if 0 in lut:  # pragma: no cover - completeness is test-asserted
+            raise AssertionError(f"B.7 table {base} is not complete")
+        _MP3_BV_LUTS[base] = got = (lut, k)
+    return got
+
+
+def _mp3_bv_lut_sel(tsel: int, doc_id: int) -> tuple[list[int], int, int]:
+    """``_mp3_bv_table`` with the code table in peek-LUT form:
+    (lut, peek_bits, linbits).  Same reserved-id raise."""
+    if tsel in (4, 14):
+        raise ValueError(
+            f"doc {doc_id}: table_select {tsel} is reserved "
+            "('not used' in Table B.7)"
+        )
+    base = tsel
+    if 16 <= tsel <= 23:
+        base = 16
+    elif 24 <= tsel <= 31:
+        base = 24
+    lut, k = _mp3_bv_lut(base)
+    return lut, k, MP3_LINBITS.get(tsel, 0)
+
+
+def _mp3_c1a_lut() -> list[int]:
+    """Count1 table A as a 6-bit peek LUT, entries
+    (code_length << 4) | quad — table A is complete, same gate."""
+    global _MP3_C1A_LUT
+    if _MP3_C1A_LUT is None:
+        lut = [0] * 64
+        for (ln, code), quad in MP3_COUNT1A.items():
+            span = 1 << (6 - ln)
+            start = code << (6 - ln)
+            lut[start : start + span] = [(ln << 4) | quad] * span
+        if 0 in lut:  # pragma: no cover
+            raise AssertionError("count1 table A is not complete")
+        _MP3_C1A_LUT = (lut, 6)
+    return _MP3_C1A_LUT[0]
+
+
+def _mp3_peek(data, p: int, k: int) -> int:
+    """k bits of ``data`` MSB-first from absolute bit position p,
+    zero-padded past the buffer end — callers bound-check the MATCHED
+    code's length afterwards, which reproduces the per-bit walk's
+    raise sites exactly (a match that fits is identical; a match that
+    would need out-of-range bits means the walk had no in-range match
+    and raised on its next read)."""
+    chunk = data[p >> 3 : (p + k + 7) >> 3]
+    avail = (len(chunk) << 3) - (p & 7)
+    v = int.from_bytes(chunk, "big")
+    if avail >= k:
+        return (v >> (avail - k)) & ((1 << k) - 1)
+    if avail <= 0:
+        return 0
+    return (v & ((1 << avail) - 1)) << (k - avail)
+
+
 # ISO 11172-3 Table B.7 "count1 table A": the Huffman-coded (vs table
 # B's fixed-length complement) encoding of the count1 quadruples,
 # (code_length, code) -> the 4-bit (v<<3 | w<<2 | x<<1 | y) pattern —
@@ -891,6 +987,8 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
         import pandas as pd
 
         from .synth import MP3_BITRATES_KBPS, MP3_SAMPLE_RATES, MP3_SLEN
+
+        lutA = _mp3_c1a_lut()
 
         def walk(doc_id: int, raw: bytes):
             pos = 0
@@ -1026,17 +1124,25 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                             reuse = gi == 1 and (
                                 (g["scfsi"] >> (3 - g_idx)) & 1
                             )
-                            for bnd in range(b_start, b_start + b_n):
-                                if reuse:
-                                    if g0_bands is None:
-                                        raise ValueError(
-                                            f"doc {doc_id}: scfsi "
-                                            "reuse without a long "
-                                            "granule 0"
-                                        )
-                                    bands[bnd] = g0_bands[bnd]
-                                else:
-                                    bands[bnd] = take(slen)
+                            if reuse:
+                                if g0_bands is None:
+                                    raise ValueError(
+                                        f"doc {doc_id}: scfsi "
+                                        "reuse without a long "
+                                        "granule 0"
+                                    )
+                                bands[b_start : b_start + b_n] = (
+                                    g0_bands[b_start : b_start + b_n]
+                                )
+                            else:
+                                # one read per band GROUP (same bits,
+                                # same mid-field raise), split by shift
+                                v = take(b_n * slen)
+                                msk = (1 << slen) - 1
+                                for i in range(b_n):
+                                    bands[b_start + i] = (
+                                        v >> ((b_n - 1 - i) * slen)
+                                    ) & msk
                         sum_sf += sum(bands)
                         if gi == 0:
                             g0_bands = bands
@@ -1099,38 +1205,69 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                                 # transmits nothing
                                 n_pairs += count
                                 continue
-                            table, linbits = _mp3_bv_table(
+                            lut, kk, linbits = _mp3_bv_lut_sel(
                                 tsel, doc_id
                             )
                             for _ in range(count):
-                                length = code = 0
-                                while True:
-                                    code = (code << 1) | take(1)
-                                    length += 1
-                                    xy = table.get((length, code))
-                                    if xy is not None:
-                                        break
-                                    if length >= 19:
-                                        raise ValueError(
-                                            f"doc {doc_id}: invalid "
-                                            "Huffman code in big_values"
-                                        )
-                                x, y = xy
+                                # one peek-LUT probe per pair code
+                                # (complete table: every kk-bit
+                                # pattern resolves); the bound check
+                                # is take()'s, verbatim
+                                e = lut[
+                                    _mp3_peek(
+                                        stream,
+                                        (base << 3) + off + used,
+                                        kk,
+                                    )
+                                ]
+                                ln = e >> 8
+                                if off + used + ln > tot:
+                                    raise ValueError(
+                                        f"doc {doc_id}: main data "
+                                        "ends mid-field"
+                                    )
+                                used += ln
+                                x = (e >> 4) & 15
+                                y = e & 15
                                 # linbits escape: a decoded 15 is
                                 # extended by the raw linbits field
                                 # BEFORE its sign bit (2.4.2.7 order:
                                 # code, linbits-x, sign-x, linbits-y,
-                                # sign-y)
-                                if x == 15 and linbits:
-                                    x += take(linbits)
-                                if x:
-                                    sum_bv_abs += x
-                                    sum_bv_signed += -x if take(1) else x
-                                if y == 15 and linbits:
-                                    y += take(linbits)
-                                if y:
-                                    sum_bv_abs += y
-                                    sum_bv_signed += -y if take(1) else y
+                                # sign-y) — all four fields in ONE
+                                # take (same bits, same raise)
+                                lx = linbits if x == 15 else 0
+                                ly = linbits if y == 15 else 0
+                                ex = (
+                                    lx + (1 if x else 0)
+                                    + ly + (1 if y else 0)
+                                )
+                                if ex:
+                                    bits = take(ex)
+                                    rem = ex
+                                    if x:
+                                        if lx:
+                                            rem -= lx
+                                            x += (bits >> rem) & (
+                                                (1 << lx) - 1
+                                            )
+                                        rem -= 1
+                                        sum_bv_abs += x
+                                        sum_bv_signed += (
+                                            -x if (bits >> rem) & 1
+                                            else x
+                                        )
+                                    if y:
+                                        if ly:
+                                            rem -= ly
+                                            y += (bits >> rem) & (
+                                                (1 << ly) - 1
+                                            )
+                                        rem -= 1
+                                        sum_bv_abs += y
+                                        sum_bv_signed += (
+                                            -y if (bits >> rem) & 1
+                                            else y
+                                        )
                                 n_pairs += 1
                                 if used > p23:
                                     raise ValueError(
@@ -1142,28 +1279,32 @@ def decode_mp3_maindata(media_df: DataFrame) -> DataFrame:
                         if count1a:
                             # table A: Huffman-coded quadruple pattern,
                             # transmitted UNcomplemented (max code 6
-                            # bits)
-                            length = code = 0
-                            while True:
-                                code = (code << 1) | take(1)
-                                length += 1
-                                q_val = MP3_COUNT1A.get((length, code))
-                                if q_val is not None:
-                                    break
-                                if length >= 7:
-                                    raise ValueError(
-                                        f"doc {doc_id}: invalid count1 "
-                                        "table-A Huffman code"
-                                    )
-                            quad = q_val
+                            # bits) — 6-bit peek LUT, complete code
+                            e = lutA[
+                                _mp3_peek(
+                                    stream,
+                                    (base << 3) + off + used,
+                                    6,
+                                )
+                            ]
+                            ln = e >> 4
+                            if off + used + ln > tot:
+                                raise ValueError(
+                                    f"doc {doc_id}: main data "
+                                    "ends mid-field"
+                                )
+                            used += ln
+                            quad = e & 15
                         else:
                             # table B: fixed-length, complemented
                             quad = take(4) ^ 0xF
-                        for shift4 in (3, 2, 1, 0):
-                            if (quad >> shift4) & 1:
-                                sign = take(1)
-                                sum_abs += 1
-                                sum_signed += -1 if sign else 1
+                        nz = quad.bit_count()
+                        if nz:
+                            # the quad's sign bits in one read (v,w,x,y
+                            # order = MSB-first in the read value)
+                            bits = take(nz)
+                            sum_abs += nz
+                            sum_signed += nz - 2 * bits.bit_count()
                         n_quads += 1
                         if used > p23:
                             raise ValueError(
@@ -1323,6 +1464,8 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
             """Entropy-decode one granule to its 576 integer levels."""
             bt, _mixed, p23, bv, tsels, rc, rc2, c1a = g_fields
             take_base = bitpos
+            nbits = len(data) << 3
+            lutA = _mp3_c1a_lut()
 
             def take(n):
                 # byte-level read (same values; same IndexError when a
@@ -1371,23 +1514,33 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                 if tsel == 0:
                     pos += 2 * count
                     continue
-                table, linbits = _mp3_bv_table(tsel, doc_id)
+                lut, kk, linbits = _mp3_bv_lut_sel(tsel, doc_id)
                 for _ in range(count):
-                    length = code = 0
-                    while True:
-                        code = (code << 1) | (
-                            (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-                        )
-                        bitpos += 1
-                        length += 1
-                        xy = table.get((length, code))
-                        if xy is not None:
-                            break
-                        if length >= 19:
-                            raise ValueError(
-                                f"doc {doc_id}: invalid big-values code"
-                            )
-                    for v in xy:
+                    # peek-LUT pair decode; bound check reproduces the
+                    # per-bit read's IndexError site
+                    e = lut[_mp3_peek(data, bitpos, kk)]
+                    if bitpos + (e >> 8) > nbits:
+                        raise IndexError("index out of range")
+                    bitpos += e >> 8
+                    x = (e >> 4) & 15
+                    y = e & 15
+                    if x <= 1 and y <= 1:
+                        # the unit-magnitude fast path: both sign
+                        # bits in one read (the >1 boundary path
+                        # below keeps field-at-a-time reads so its
+                        # raise sits between the same reads)
+                        ex = x + y
+                        if ex:
+                            bits = take(ex)
+                            if x:
+                                levels[pos] = (
+                                    -1 if (bits >> (ex - 1)) & 1 else 1
+                                )
+                            if y:
+                                levels[pos + 1] = -1 if bits & 1 else 1
+                        pos += 2
+                        continue
+                    for v in (x, y):
                         if v == 15 and linbits:
                             v += take(linbits)
                         if v > 1:
@@ -1405,25 +1558,23 @@ def decode_mp3_imdct(media_df: DataFrame) -> DataFrame:
                         f"doc {doc_id}: count1 overruns the spectrum"
                     )
                 if c1a:
-                    length = code = 0
-                    while True:
-                        code = (code << 1) | (
-                            (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-                        )
-                        bitpos += 1
-                        length += 1
-                        quad = MP3_COUNT1A.get((length, code))
-                        if quad is not None:
-                            break
-                        if length >= 7:
-                            raise ValueError(
-                                f"doc {doc_id}: invalid count1 code"
-                            )
+                    e = lutA[_mp3_peek(data, bitpos, 6)]
+                    if bitpos + (e >> 4) > nbits:
+                        raise IndexError("index out of range")
+                    bitpos += e >> 4
+                    quad = e & 15
                 else:
                     quad = take(4) ^ 0xF
-                for idx, shift in enumerate((3, 2, 1, 0)):
-                    if (quad >> shift) & 1:
-                        levels[pos + idx] = -1 if take(1) else 1
+                nz = quad.bit_count()
+                if nz:
+                    bits = take(nz)
+                    rem = nz
+                    for idx, shift in enumerate((3, 2, 1, 0)):
+                        if (quad >> shift) & 1:
+                            rem -= 1
+                            levels[pos + idx] = (
+                                -1 if (bits >> rem) & 1 else 1
+                            )
                 if bitpos - take_base > p23:
                     raise ValueError(
                         f"doc {doc_id}: count1 overran part2_3_length"
@@ -1816,6 +1967,8 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                 )
 
             dpos = 21 * 8
+            nbits = len(raw) << 3
+            lutA = _mp3_c1a_lut()
 
             def take(n):
                 # byte-level read (same values; same IndexError when a
@@ -1871,8 +2024,15 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                                 )
                         raise AssertionError
                 else:
-                    sfac = [take(sl1) for _ in range(11)]
-                    sfac += [take(sl2) for _ in range(10)]
+                    # 21 slen-coded bands in two reads, split by shift
+                    v1, v2 = take(11 * sl1), take(10 * sl2)
+                    m1, m2 = (1 << sl1) - 1, (1 << sl2) - 1
+                    sfac = [
+                        (v1 >> ((10 - i) * sl1)) & m1 for i in range(11)
+                    ]
+                    sfac += [
+                        (v2 >> ((9 - i) * sl2)) & m2 for i in range(10)
+                    ]
 
                     def sf_index(pos: int) -> int:
                         # scalefactor band of a line; the zone above
@@ -1908,59 +2068,71 @@ def decode_mp3_requant(media_df: DataFrame) -> DataFrame:
                     if tsel == 0:
                         pos += 2 * count
                         continue
-                    table, linbits = _mp3_bv_table(tsel, doc_id)
+                    lut, kk, linbits = _mp3_bv_lut_sel(tsel, doc_id)
                     for _ in range(count):
-                        length = code = 0
-                        while True:
-                            code = (code << 1) | (
-                                (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
-                            )
-                            dpos += 1
-                            length += 1
-                            xy = table.get((length, code))
-                            if xy is not None:
-                                break
-                            if length >= 19:
-                                raise ValueError(
-                                    f"doc {doc_id}: invalid "
-                                    "big-values code"
-                                )
-                        for v in xy:
-                            if v == 15 and linbits:
-                                v += take(linbits)
-                            if v:
+                        e = lut[_mp3_peek(raw, dpos, kk)]
+                        if dpos + (e >> 8) > nbits:
+                            raise IndexError("index out of range")
+                        dpos += e >> 8
+                        x = (e >> 4) & 15
+                        y = e & 15
+                        # linbits + sign fields for both values in ONE
+                        # read (2.4.2.7 order preserved; same
+                        # IndexError site on truncation)
+                        lx = linbits if x == 15 else 0
+                        ly = linbits if y == 15 else 0
+                        ex = lx + (1 if x else 0) + ly + (1 if y else 0)
+                        if ex:
+                            bits = take(ex)
+                            rem = ex
+                            if x:
+                                if lx:
+                                    rem -= lx
+                                    x += (bits >> rem) & ((1 << lx) - 1)
+                                rem -= 1
                                 levels.append(
-                                    (pos, -v if take(1) else v)
+                                    (pos, -x if (bits >> rem) & 1 else x)
                                 )
                             pos += 1
+                            if y:
+                                if ly:
+                                    rem -= ly
+                                    y += (bits >> rem) & ((1 << ly) - 1)
+                                rem -= 1
+                                levels.append(
+                                    (pos, -y if (bits >> rem) & 1 else y)
+                                )
+                            pos += 1
+                        else:
+                            pos += 2
                 while dpos - start < p23:
                     if pos + 4 > 576:
                         raise ValueError(
                             f"doc {doc_id}: count1 overruns spectrum"
                         )
                     if c1a:
-                        length = code = 0
-                        while True:
-                            code = (code << 1) | (
-                                (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
-                            )
-                            dpos += 1
-                            length += 1
-                            quad = MP3_COUNT1A.get((length, code))
-                            if quad is not None:
-                                break
-                            if length >= 7:
-                                raise ValueError(
-                                    f"doc {doc_id}: invalid count1 "
-                                    "code"
-                                )
+                        e = lutA[_mp3_peek(raw, dpos, 6)]
+                        if dpos + (e >> 4) > nbits:
+                            raise IndexError("index out of range")
+                        dpos += e >> 4
+                        quad = e & 15
                     else:
                         quad = take(4) ^ 0xF
-                    for idx, shift in enumerate((3, 2, 1, 0)):
-                        if (quad >> shift) & 1:
-                            levels.append(
-                                (pos + idx, -1 if take(1) else 1)
-                            )
+                    nz = quad.bit_count()
+                    if nz:
+                        # the quad's sign bits in one read, split in
+                        # v,w,x,y order (MSB-first)
+                        bits = take(nz)
+                        rem = nz
+                        for idx, shift in enumerate((3, 2, 1, 0)):
+                            if (quad >> shift) & 1:
+                                rem -= 1
+                                levels.append(
+                                    (
+                                        pos + idx,
+                                        -1 if (bits >> rem) & 1 else 1,
+                                    )
+                                )
                     if dpos - start > p23:
                         raise ValueError(
                             f"doc {doc_id}: count1 overran "
@@ -2045,8 +2217,13 @@ def _mp3_granule_long(
         return out
 
     start = dpos
-    sfac = [take(sl1) for _ in range(11)]
-    sfac += [take(sl2) for _ in range(10)]
+    nbits = len(raw) << 3
+    lutA = _mp3_c1a_lut()
+    # 21 slen-coded bands in two reads, split by shift
+    v1, v2 = take(11 * sl1), take(10 * sl2)
+    m1, m2 = (1 << sl1) - 1, (1 << sl2) - 1
+    sfac = [(v1 >> ((10 - i) * sl1)) & m1 for i in range(11)]
+    sfac += [(v2 >> ((9 - i) * sl2)) & m2 for i in range(10)]
     mult2 = 2 if sfs else 1
     if rc + 1 >= len(b8) or rc + rc2 + 2 >= len(b8):
         raise ValueError(f"doc {doc_id}: region counts overrun B.8")
@@ -2062,23 +2239,31 @@ def _mp3_granule_long(
         if tsel == 0:
             pos += 2 * count
             continue
-        table, linbits = _mp3_bv_table(tsel, doc_id)
+        lut, kk, linbits = _mp3_bv_lut_sel(tsel, doc_id)
         for _ in range(count):
-            length = code = 0
-            while True:
-                code = (code << 1) | (
-                    (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
-                )
-                dpos += 1
-                length += 1
-                xy = table.get((length, code))
-                if xy is not None:
-                    break
-                if length >= 19:
-                    raise ValueError(
-                        f"doc {doc_id}: invalid big-values code"
-                    )
-            for v in xy:
+            e = lut[_mp3_peek(raw, dpos, kk)]
+            if dpos + (e >> 8) > nbits:
+                raise IndexError("index out of range")
+            dpos += e >> 8
+            x = (e >> 4) & 15
+            y = e & 15
+            if x != 15 and y != 15:
+                # no escape possible: both sign bits in one read
+                # (the escape path below keeps its field-at-a-time
+                # reads so the >=16 boundary raises between the
+                # same reads as before)
+                ex = (1 if x else 0) + (1 if y else 0)
+                if ex:
+                    bits = take(ex)
+                    if x:
+                        lines[pos] = (
+                            -x if (bits >> (ex - 1)) & 1 else x
+                        )
+                    if y:
+                        lines[pos + 1] = -y if bits & 1 else y
+                pos += 2
+                continue
+            for v in (x, y):
                 if v == 15 and linbits:
                     v += take(linbits)
                 if v >= 16:
@@ -2098,25 +2283,21 @@ def _mp3_granule_long(
                 f"doc {doc_id}: count1 overruns the spectrum"
             )
         if c1a:
-            length = code = 0
-            while True:
-                code = (code << 1) | (
-                    (raw[dpos >> 3] >> (7 - (dpos & 7))) & 1
-                )
-                dpos += 1
-                length += 1
-                quad = MP3_COUNT1A.get((length, code))
-                if quad is not None:
-                    break
-                if length >= 7:
-                    raise ValueError(
-                        f"doc {doc_id}: invalid count1 code"
-                    )
+            e = lutA[_mp3_peek(raw, dpos, 6)]
+            if dpos + (e >> 4) > nbits:
+                raise IndexError("index out of range")
+            dpos += e >> 4
+            quad = e & 15
         else:
             quad = take(4) ^ 0xF
-        for idx, shift in enumerate((3, 2, 1, 0)):
-            if (quad >> shift) & 1:
-                lines[pos + idx] = -1 if take(1) else 1
+        nz = quad.bit_count()
+        if nz:
+            bits = take(nz)
+            rem = nz
+            for idx, shift in enumerate((3, 2, 1, 0)):
+                if (quad >> shift) & 1:
+                    rem -= 1
+                    lines[pos + idx] = -1 if (bits >> rem) & 1 else 1
         if dpos - start > p23:
             raise ValueError(
                 f"doc {doc_id}: count1 overran part2_3_length"

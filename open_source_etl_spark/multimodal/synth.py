@@ -3129,6 +3129,16 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
     stream += bytes(n_frames * cap - len(stream))
 
     out = bytearray()
+    # frame-invariant granule fields (pure in (doc_id, g)): computed
+    # once, not once per frame
+    g_fields = {}
+    for g in (0, 1):
+        sfc_g, _a, _b, _p, _nq, p23_g = mp3_md_granule(
+            doc_id, g, cap, delta
+        )
+        g_fields[g] = (sfc_g, p23_g, len(mp3_bv_pairs(doc_id, g)))
+    scfsi = mp3_scfsi(doc_id)
+    tsels = tuple(mp3_bv_tables(doc_id))
     for k in range(n_frames):
         out += bytes((
             0xFF, 0b11111011,
@@ -3137,15 +3147,15 @@ def make_mp3_md_bytes(doc_id: int) -> bytes:
         w = _BitPacker()
         w.u(k * delta, 9)   # main_data_begin: the real reservoir offset
         w.u(0, 5)
-        w.u(mp3_scfsi(doc_id), 4)  # scfsi: granule-1 scalefactor reuse
+        w.u(scfsi, 4)  # scfsi: granule-1 scalefactor reuse
         for g in (0, 1):
-            sfc, _a, _b, _p, _nq, p23 = mp3_md_granule(doc_id, g, cap, delta)
+            sfc, p23, n_bv = g_fields[g]
             w.u(p23, 12)
-            w.u(len(mp3_bv_pairs(doc_id, g)), 9)  # big_values (pairs)
+            w.u(n_bv, 9)  # big_values (pairs)
             w.u((doc_id + 29 * k + 17 * g) % 256, 8)
             w.u(sfc, 4)
             w.u(0, 1)       # long blocks
-            for t in mp3_bv_tables(doc_id):
+            for t in tsels:
                 w.u(t, 5)   # table_select per region
             w.u(0, 4)       # region0_count
             w.u(0, 3)       # region1_count
@@ -3297,30 +3307,30 @@ def make_mp3_ht_bytes(doc_id: int) -> bytes:
     region = packed + bytes(cap - len(packed))
 
     out = bytearray()
-    for _k in range(n_frames):
-        out += bytes((0xFF, 0b11111011, (br_idx << 4) | (0 << 2),
-                      0b11000100))
-        w = _BitPacker()
-        w.u(0, 9)   # main_data_begin: no reservoir in this fixture
-        w.u(0, 5)
-        w.u(0, 4)   # scfsi
-        for g, p23 in ((0, p23_0), (1, p23_1)):
-            w.u(p23, 12)
-            w.u(len(mp3_ht_pairs(doc_id, g)), 9)
-            w.u((doc_id + 31 * g) % 256, 8)  # global_gain
-            w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
-            w.u(0, 1)                        # long blocks
-            for t in mp3_ht_tsels(doc_id, g):
-                w.u(t, 5)
-            w.u(0, 4)   # region0_count
-            w.u(0, 3)   # region1_count
-            w.u(0, 1)   # preflag
-            w.u(0, 1)   # scalefac_scale
-            w.u(0 if (doc_id + g) % 2 == 0 else 1, 1)  # count1 A/B
-        si = w.to_bytes()
-        assert len(si) == 17
-        out += si
-        out += region
+    # every frame is byte-identical (no reservoir, k-independent side
+    # info): build one frame, repeat it — same bytes, golden-hash gated
+    w = _BitPacker()
+    w.u(0, 9)   # main_data_begin: no reservoir in this fixture
+    w.u(0, 5)
+    w.u(0, 4)   # scfsi
+    for g, p23 in ((0, p23_0), (1, p23_1)):
+        w.u(p23, 12)
+        w.u(len(mp3_ht_pairs(doc_id, g)), 9)
+        w.u((doc_id + 31 * g) % 256, 8)  # global_gain
+        w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
+        w.u(0, 1)                        # long blocks
+        for t in mp3_ht_tsels(doc_id, g):
+            w.u(t, 5)
+        w.u(0, 4)   # region0_count
+        w.u(0, 3)   # region1_count
+        w.u(0, 1)   # preflag
+        w.u(0, 1)   # scalefac_scale
+        w.u(0 if (doc_id + g) % 2 == 0 else 1, 1)  # count1 A/B
+    si = w.to_bytes()
+    assert len(si) == 17
+    frame = bytes((0xFF, 0b11111011, (br_idx << 4) | (0 << 2),
+                   0b11000100)) + si + region
+    out += frame * n_frames
     return bytes(out)
 
 
@@ -3442,31 +3452,30 @@ def make_mp3_lb_bytes(doc_id: int) -> bytes:
     region = packed + bytes(cap - len(packed))
 
     out = bytearray()
-    for _k in range(n_frames):
-        out += bytes((0xFF, 0b11111011, (br_idx << 4) | (0 << 2),
-                      0b11000100))
-        w = _BitPacker()
-        w.u(0, 9)   # main_data_begin
-        w.u(0, 5)
-        w.u(0, 4)   # scfsi
-        for g, p23 in ((0, p23_0), (1, p23_1)):
-            w.u(p23, 12)
-            w.u(len(mp3_lb_pairs(doc_id, g)), 9)
-            w.u((doc_id + 31 * g) % 256, 8)  # global_gain
-            w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
-            w.u(0, 1)                        # long blocks
-            t = mp3_lb_table(doc_id, g)
-            for _r in range(3):
-                w.u(t, 5)                    # uniform table_select
-            w.u(0, 4)   # region0_count
-            w.u(0, 3)   # region1_count
-            w.u(0, 1)   # preflag
-            w.u(0, 1)   # scalefac_scale
-            w.u(1, 1)   # count1: fixed-length table B
-        si = w.to_bytes()
-        assert len(si) == 17
-        out += si
-        out += region
+    # identical frames: build once, repeat (bytes unchanged)
+    w = _BitPacker()
+    w.u(0, 9)   # main_data_begin
+    w.u(0, 5)
+    w.u(0, 4)   # scfsi
+    for g, p23 in ((0, p23_0), (1, p23_1)):
+        w.u(p23, 12)
+        w.u(len(mp3_lb_pairs(doc_id, g)), 9)
+        w.u((doc_id + 31 * g) % 256, 8)  # global_gain
+        w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
+        w.u(0, 1)                        # long blocks
+        t = mp3_lb_table(doc_id, g)
+        for _r in range(3):
+            w.u(t, 5)                    # uniform table_select
+        w.u(0, 4)   # region0_count
+        w.u(0, 3)   # region1_count
+        w.u(0, 1)   # preflag
+        w.u(0, 1)   # scalefac_scale
+        w.u(1, 1)   # count1: fixed-length table B
+    si = w.to_bytes()
+    assert len(si) == 17
+    frame = bytes((0xFF, 0b11111011, (br_idx << 4) | (0 << 2),
+                   0b11000100)) + si + region
+    out += frame * n_frames
     return bytes(out)
 
 
@@ -7589,31 +7598,30 @@ def make_mp3_b8_bytes(doc_id: int) -> bytes:
     region = packed + bytes(cap - len(packed))
 
     out = bytearray()
-    for _k in range(n_frames):
-        out += bytes((0xFF, 0b11111011, (br_idx << 4) | (sr_idx << 2),
-                      0b11000100))
-        w = _BitPacker()
-        w.u(0, 9)
-        w.u(0, 5)
-        w.u(0, 4)
-        for g, p23 in ((0, p23_0), (1, p23_1)):
-            w.u(p23, 12)
-            w.u(len(mp3_b8_pairs(doc_id, g)), 9)
-            w.u((doc_id + 19 * g) % 256, 8)  # global_gain
-            w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
-            w.u(0, 1)                        # long blocks
-            for t in mp3_b8_tsels(doc_id, g):
-                w.u(t, 5)
-            w.u(8, 4)   # region0_count
-            w.u(3, 3)   # region1_count
-            w.u(0, 1)   # preflag
-            w.u(0, 1)   # scalefac_scale
-            w.u(1, 1)   # count1table_select: table B
-        si = w.to_bytes()
-        if len(si) != 17:
-            raise ValueError("side info must pack to 17 bytes")
-        out += si
-        out += region
+    # identical frames: build once, repeat (bytes unchanged)
+    w = _BitPacker()
+    w.u(0, 9)
+    w.u(0, 5)
+    w.u(0, 4)
+    for g, p23 in ((0, p23_0), (1, p23_1)):
+        w.u(p23, 12)
+        w.u(len(mp3_b8_pairs(doc_id, g)), 9)
+        w.u((doc_id + 19 * g) % 256, 8)  # global_gain
+        w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
+        w.u(0, 1)                        # long blocks
+        for t in mp3_b8_tsels(doc_id, g):
+            w.u(t, 5)
+        w.u(8, 4)   # region0_count
+        w.u(3, 3)   # region1_count
+        w.u(0, 1)   # preflag
+        w.u(0, 1)   # scalefac_scale
+        w.u(1, 1)   # count1table_select: table B
+    si = w.to_bytes()
+    if len(si) != 17:
+        raise ValueError("side info must pack to 17 bytes")
+    frame = bytes((0xFF, 0b11111011, (br_idx << 4) | (sr_idx << 2),
+                   0b11000100)) + si + region
+    out += frame * n_frames
     return bytes(out)
 
 
@@ -7697,33 +7705,32 @@ def make_mp3_ws_bytes(doc_id: int, mixed: bool = False) -> bytes:
     region = packed + bytes(cap - len(packed))
 
     out = bytearray()
-    for _k in range(n_frames):
-        out += bytes((0xFF, 0b11111011, (br_idx << 4) | (sr_idx << 2),
-                      0b11000100))
-        w = _BitPacker()
-        w.u(0, 9)   # main_data_begin
-        w.u(0, 5)
-        w.u(0, 4)   # scfsi: all zero (short blocks)
-        for g, p23 in ((0, p23_0), (1, p23_1)):
-            w.u(p23, 12)
-            w.u(len(mp3_ws_pairs(doc_id, g)), 9)
-            w.u((doc_id + 13 * g) % 256, 8)  # global_gain
-            w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
-            w.u(1, 1)       # windows_switching_flag
-            w.u(2, 2)       # block_type 2: three short windows
-            w.u(1 if mixed else 0, 1)  # mixed_block_flag
-            for t in mp3_ws_tables(doc_id, g):
-                w.u(t, 5)   # 2-entry table_select
-            for win in range(3):
-                w.u((doc_id + g + win) % 8, 3)  # subblock_gain
-            w.u(0, 1)       # preflag
-            w.u(0, 1)       # scalefac_scale
-            w.u(1, 1)       # count1table_select = 1: table B
-        si = w.to_bytes()
-        if len(si) != 17:
-            raise ValueError("side info must pack to 17 bytes")
-        out += si
-        out += region
+    # identical frames: build once, repeat (bytes unchanged)
+    w = _BitPacker()
+    w.u(0, 9)   # main_data_begin
+    w.u(0, 5)
+    w.u(0, 4)   # scfsi: all zero (short blocks)
+    for g, p23 in ((0, p23_0), (1, p23_1)):
+        w.u(p23, 12)
+        w.u(len(mp3_ws_pairs(doc_id, g)), 9)
+        w.u((doc_id + 13 * g) % 256, 8)  # global_gain
+        w.u((doc_id + 2 * g) % 16, 4)    # scalefac_compress
+        w.u(1, 1)       # windows_switching_flag
+        w.u(2, 2)       # block_type 2: three short windows
+        w.u(1 if mixed else 0, 1)  # mixed_block_flag
+        for t in mp3_ws_tables(doc_id, g):
+            w.u(t, 5)   # 2-entry table_select
+        for win in range(3):
+            w.u((doc_id + g + win) % 8, 3)  # subblock_gain
+        w.u(0, 1)       # preflag
+        w.u(0, 1)       # scalefac_scale
+        w.u(1, 1)       # count1table_select = 1: table B
+    si = w.to_bytes()
+    if len(si) != 17:
+        raise ValueError("side info must pack to 17 bytes")
+    frame = bytes((0xFF, 0b11111011, (br_idx << 4) | (sr_idx << 2),
+                   0b11000100)) + si + region
+    out += frame * n_frames
     return bytes(out)
 
 
