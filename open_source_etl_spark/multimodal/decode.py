@@ -10939,19 +10939,30 @@ def _h264_fracpel_plane_mapped(ref, ixm, iym, fxm, fym):
     32k Python round-trips, this is ~60 whole-plane gathers)."""
     import numpy as np
 
+    ref = np.asarray(ref)
     H, W = ref.shape
+    # round 15 (guide §4.2): the per-(dy, dx) gathers each paid two
+    # whole-plane np.clip calls plus a 2-D fancy index; pad the plane
+    # once with replicated borders (identical to the 8.4.2.2.1 clamp
+    # for every offset the 6-tap reaches: any yi <= -5 lands on row 0
+    # and any yi >= H+4 on row H-1 regardless of dy in [-2, 3]), clamp
+    # the motion maps once, and gather with one flat take per (dy, dx).
+    # int32 keeps every intermediate exact (|j1| <= 52 * 13260) at half
+    # the memory traffic; the returned plane is int64 as before.
+    m = 8
+    padded = np.pad(ref, m, mode="edge").astype(np.int32).ravel()
+    wp = W + 2 * m
     ys0, xs0 = np.indices((H, W))
-    xi = xs0 + ixm
-    yi = ys0 + iym
+    base = (np.clip(ys0 + iym, -5, H + 4) + m) * wp + (
+        np.clip(xs0 + ixm, -5, W + 4) + m
+    )
 
     _grids: dict = {}
 
     def grid(dy, dx):
         got = _grids.get((dy, dx))
         if got is None:
-            got = ref[
-                np.clip(yi + dy, 0, H - 1), np.clip(xi + dx, 0, W - 1)
-            ].astype(np.int64)
+            got = padded.take(base + (dy * wp + dx))
             _grids[(dy, dx)] = got
         return got
 
@@ -11019,11 +11030,11 @@ def _h264_fracpel_plane_mapped(ref, ixm, iym, fxm, fym):
     present = np.unique(code)
     first = phase_fns[int(present[0])]()
     if len(present) == 1:
-        return first
+        return first.astype(np.int64)
     out = first
     for c in present[1:]:
         out = np.where(code == c, phase_fns[int(c)](), out)
-    return out
+    return out.astype(np.int64)
 
 
 def _h264_b_list_planes(l0, l1, ops, mb_w):
@@ -11127,21 +11138,27 @@ def decode_h264_submb(media_df: DataFrame) -> DataFrame:
                         )
                     import numpy as np
 
-                    # paint per-pixel motion maps from the partition
-                    # tree, then motion-compensate the WHOLE plane in
-                    # one vectorized pass (partition-count-
-                    # independent — the per-partition kernel-call
-                    # shape was 10x slower at 5k docs)
-                    ixm = np.zeros(ref.shape, dtype=np.int64)
-                    iym = np.zeros(ref.shape, dtype=np.int64)
-                    fxm = np.zeros(ref.shape, dtype=np.int64)
-                    fym = np.zeros(ref.shape, dtype=np.int64)
+                    # paint per-4x4-BLOCK motion maps from the partition
+                    # tree (every partition is 4-aligned), expand to
+                    # per-pixel with one repeat, then motion-compensate
+                    # the WHOLE plane in one vectorized pass
+                    # (partition-count-independent — the per-partition
+                    # kernel-call shape was 10x slower at 5k docs; the
+                    # block-grid paint is 16x fewer stores than the
+                    # per-pixel paint it replaces, same expanded maps)
+                    bh_, bw_ = ref.shape[0] // 4, ref.shape[1] // 4
+                    ixm = np.zeros((bh_, bw_), dtype=np.int64)
+                    iym = np.zeros((bh_, bw_), dtype=np.int64)
+                    fxm = np.zeros((bh_, bw_), dtype=np.int64)
+                    fym = np.zeros((bh_, bw_), dtype=np.int64)
 
                     def paint(x0, y0, w_, h_, mvx, mvy):
-                        ixm[y0 : y0 + h_, x0 : x0 + w_] = mvx >> 2
-                        iym[y0 : y0 + h_, x0 : x0 + w_] = mvy >> 2
-                        fxm[y0 : y0 + h_, x0 : x0 + w_] = mvx & 3
-                        fym[y0 : y0 + h_, x0 : x0 + w_] = mvy & 3
+                        ys = slice(y0 >> 2, (y0 + h_) >> 2)
+                        xs = slice(x0 >> 2, (x0 + w_) >> 2)
+                        ixm[ys, xs] = mvx >> 2
+                        iym[ys, xs] = mvy >> 2
+                        fxm[ys, xs] = mvx & 3
+                        fym[ys, xs] = mvy & 3
 
                     n_parts = mv_abs = 0
                     for idx, op in enumerate(ops):
@@ -11161,7 +11178,11 @@ def decode_h264_submb(media_df: DataFrame) -> DataFrame:
                                 n_parts += 1
                                 mv_abs += abs(mvx) + abs(mvy)
                     ref = _h264_fracpel_plane_mapped(
-                        ref, ixm, iym, fxm, fym
+                        ref,
+                        ixm.repeat(4, 0).repeat(4, 1),
+                        iym.repeat(4, 0).repeat(4, 1),
+                        fxm.repeat(4, 0).repeat(4, 1),
+                        fym.repeat(4, 0).repeat(4, 1),
                     )
                     rows.append(
                         ("P", int(ref.sum()), n_parts, mv_abs)
