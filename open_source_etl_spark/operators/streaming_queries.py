@@ -466,11 +466,21 @@ def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
     ]
     wave1 = ev.filter(F.col("d") < F.lit(cutoff)).select(*feed_cols)
+    # one scan for wave 2 (r15): the restated day and the new days fold
+    # into a single disjunctive filter with a conditional value — same
+    # rows as the old two-branch union (the branches were disjoint:
+    # restate < cutoff), one events pass instead of two
     wave2 = (
-        ev.filter(F.col("d") == F.lit(restate))
-        .select("event_id", F.date_format("d", "yyyy-MM-dd").alias("date"),
-                (F.col("value") * 2).alias("value"))
-        .unionByName(ev.filter(F.col("d") >= F.lit(cutoff)).select(*feed_cols))
+        ev.filter(
+            (F.col("d") == F.lit(restate)) | (F.col("d") >= F.lit(cutoff))
+        )
+        .select(
+            "event_id",
+            F.date_format("d", "yyyy-MM-dd").alias("date"),
+            F.when(
+                F.col("d") == F.lit(restate), F.col("value") * 2
+            ).otherwise(F.col("value")).alias("value"),
+        )
     )
 
     workdir = _tf.mkdtemp(prefix="osetl-stream-upsert-q-")
