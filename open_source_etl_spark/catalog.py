@@ -172,18 +172,28 @@ def _scan_splits(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> 
     fp = _local_fingerprint(f"{sf_dir}/{name}.parquet")
     if fp is None:
         return df.rdd.getNumPartitions()
-    try:
-        # no fallback arg: Spark VALIDATES a fallback string against the
-        # conf's type, so get(key, "") raises on byte-typed confs
-        mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    except Exception:
-        mpb = ""
+    confs = []
+    # every conf that feeds FilePartition packing (ADVICE r14: a
+    # mid-session change to any of them could otherwise return a stale
+    # split count — perf-only, but cheap to key correctly)
+    for ck in (
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes",
+        "spark.sql.files.minPartitionNum",
+        "spark.sql.leafNodeDefaultParallelism",
+    ):
+        try:
+            # no fallback arg: Spark VALIDATES a fallback string against
+            # the conf's type, so get(key, "") raises on byte-typed confs
+            confs.append(spark.conf.get(ck))
+        except Exception:
+            confs.append("")
     key = (
         sf_dir,
         name,
         fp,
         spark.sparkContext.defaultParallelism,
-        mpb,
+        tuple(confs),
     )
     n = _SPLIT_CACHE.get(key)
     if n is None:

@@ -313,15 +313,21 @@ class _KernelCapture:
     ``select(...).mapInPandas(kernel, schema)`` call so the kernel can
     be re-hosted (``fuse_synth_decode``).  Any other DataFrame method
     raises AttributeError, which the fuser treats as "not capturable"
-    and falls back to the two-stage composition."""
+    and falls back to the two-stage composition.  The selected columns
+    are recorded too (ADVICE r14): the fused stage feeds the synth
+    kernel batches carrying ONLY doc_id, so a synth builder selecting
+    anything else must fall back to the two-stage form instead of
+    KeyError-ing inside the worker."""
 
-    __slots__ = ("kernel", "schema")
+    __slots__ = ("kernel", "schema", "select_cols")
 
     def __init__(self) -> None:
         self.kernel = None
         self.schema = None
+        self.select_cols = None
 
-    def select(self, *_cols):
+    def select(self, *cols):
+        self.select_cols = cols
         return self
 
     def mapInPandas(self, kernel, schema):
@@ -349,6 +355,10 @@ def fuse_synth_decode(docs_df: DataFrame, synthesize_fn, decode_fn) -> DataFrame
         cs, cd = _KernelCapture(), _KernelCapture()
         if synthesize_fn(cs) is not cs or decode_fn(cd) is not cd:
             raise TypeError("builder shape not capturable")
+        if cs.select_cols != ("doc_id",):
+            # the fused input carries only doc_id; a synth kernel that
+            # selected more would fail inside the worker, so fall back
+            raise TypeError("synth builder selects beyond doc_id")
         synth_kernel = cs.kernel
         decode_kernel = cd.kernel
         out_schema = cd.schema
