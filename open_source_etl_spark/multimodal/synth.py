@@ -1530,30 +1530,41 @@ class _BitPacker:
     """MSB-first bit packer (shared by the H.264 RBSP and MP3
     side-info encoders).
 
-    Bits accumulate MSB-first in one big integer (``acc``, ``nbits``
-    valid bits) instead of a per-bit Python list — same stream, an
-    order of magnitude fewer interpreter operations.  ``align()``
-    pads with zero bits to the next byte boundary (the old
-    ``while len(w.bits) %% 8: w.bits.append(0)`` idiom)."""
+    Bits accumulate MSB-first in one integer (``acc``, ``nbits`` valid
+    bits) instead of a per-bit Python list — same stream, an order of
+    magnitude fewer interpreter operations.  Round 15: once the
+    accumulator passes 4096 bits AND sits on a byte boundary it is
+    flushed to ``_done`` (guide §4.2 — the single growing bigint made
+    every ``u()`` O(stream length), quadratic per RBSP; flushing keeps
+    ``u()`` O(1) amortized with a byte-identical stream).  ``align()``
+    pads with zero bits to the next byte boundary of the TOTAL stream
+    (the old ``while len(w.bits) %% 8: w.bits.append(0)`` idiom)."""
 
     def __init__(self) -> None:
         self.acc = 0
         self.nbits = 0
+        self._done = bytearray()
 
     def u(self, value: int, n: int) -> None:
         # the low n bits of value, MSB-first (value mod 2^n — exactly
         # the bits the old per-bit loop appended)
+        nbits = self.nbits + n
         self.acc = (self.acc << n) | (value & ((1 << n) - 1))
-        self.nbits += n
+        if nbits >= 4096 and not (nbits & 7):
+            self._done += self.acc.to_bytes(nbits >> 3, "big")
+            self.acc = 0
+            nbits = 0
+        self.nbits = nbits
 
     def align(self) -> None:
-        rem = self.nbits & 7
+        rem = (len(self._done) * 8 + self.nbits) & 7
         if rem:
             self.u(0, 8 - rem)
 
     def to_bytes(self) -> bytes:
-        assert self.nbits % 8 == 0, "bitstream not byte-aligned"
-        return self.acc.to_bytes(self.nbits // 8, "big")
+        total = len(self._done) * 8 + self.nbits
+        assert total % 8 == 0, "bitstream not byte-aligned"
+        return bytes(self._done) + self.acc.to_bytes(self.nbits // 8, "big")
 
 
 class _H264BitWriter(_BitPacker):
